@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""Benchmark the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"<name>": sec, ...}, "sf": <sf>}
+
+Each query is fully materialized via the noop writer (no driver collect,
+no result-size bias) after a warm-up of the session.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entry_mod
+from moz_datapipeline_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: headline queries — one per operator family, heavy ones included
+HEADLINE = [
+    "pricing_summary",
+    "proj_filter",
+    "global_max_normalize",
+    "percentile_filter",
+    "multiway_join",
+    "merge_indicators",
+    "argmin_join",
+    "reverse_pair_fold",
+    "unpivot",
+    "trapezoid_integration",
+    "weighted_average",
+    "haversine_length",
+    "spatial_bbox_join",
+    "events_hourly",
+    "sessionization",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "similarity_topk",
+    "embedding_near_dup",
+    "token_count",
+    "quality_score",
+    "lang_id",
+]
+
+
+def main() -> None:
+    sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else -1.0
+    spark = get_spark(app_name="moz_datapipeline_spark_bench")
+
+    # warm up the JVM + parquet footers once, outside the timed region
+    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+
+    qs = entry_mod.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

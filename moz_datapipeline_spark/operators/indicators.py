@@ -1,0 +1,127 @@
+"""Indicator operators — the reference's inter-stage contract.
+
+Contract table: ``(way_id STRING, score DOUBLE, value DOUBLE)`` with
+score scaled 0–100 (reference README.md:76-83, scripts/utils/utils.js:111-118).
+
+Operators:
+
+- ``normalize_indicator``  (A1) — score = value / max(value) * 100
+  (scripts/indicator-from-prop/indicator-from-prop.js:56-63,
+  scripts/utils/utils.js:132-137).
+- ``indicator_from_prop``       — project a property column into the
+  contract and normalize.
+- ``percentile_filter``    (A8) — exact nearest-rank percentile filter
+  (scripts/filter-percentile/filter-percentile.js:60-73).
+- ``merge_indicators``     (J3) — left-join many indicator tables onto
+  the network keyed by way id
+  (scripts/merge-indicators/merge-indicators.js:94-125).
+
+Scale notes: ``normalize_indicator`` computes one scalar max and
+broadcast-joins it (no windowed max over an unpartitioned Window, which
+would funnel 100 TB through one task). ``percentile_filter`` computes
+the threshold on the value column only (2 narrow columns through the
+sort), then semi-filters the full rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def normalize_indicator(
+    df: DataFrame, value_col: str, id_col: str = "way_id"
+) -> DataFrame:
+    """(id, value) → (way_id, value, score) with score = value/max*100."""
+    vals = df.select(
+        F.col(id_col).alias("way_id"), F.col(value_col).cast("double").alias("value")
+    ).filter(~F.isnan(F.col("value")) & F.col("value").isNotNull())
+    mx = vals.agg(F.max("value").alias("_max_value"))
+    # scalar broadcast join: one row, never a shuffle of the big side
+    return (
+        vals.crossJoin(F.broadcast(mx))
+        .withColumn("score", F.col("value") / F.col("_max_value") * 100.0)
+        .drop("_max_value")
+    )
+
+
+def indicator_from_prop(df: DataFrame, prop: str, id_col: str = "NAME") -> DataFrame:
+    """Reference ``indicator-from-prop``: property column → indicator table."""
+    return normalize_indicator(df, prop, id_col=id_col)
+
+
+def percentile_filter(
+    df: DataFrame, value_col: str, percentile: float, missing_value: float = 0.0
+) -> DataFrame:
+    """Keep rows whose ``value_col`` >= the exact nearest-rank percentile.
+
+    Reference semantics (filter-percentile.js:60-73): sort ascending with
+    missing→0, ``rank = round(p/100·(n−1))`` (half-up), threshold =
+    value at that rank, keep ``value >= threshold``.
+    """
+    vals = df.select(
+        F.coalesce(F.col(value_col).cast("double"), F.lit(missing_value)).alias("_v")
+    )
+    w = Window.orderBy(F.col("_v"))
+    ranked = vals.withColumn("_rn", F.row_number().over(w) - 1)
+    n = vals.count()
+    target = int(round(percentile / 100.0 * (n - 1) + 1e-9)) if n > 0 else 0
+    thr = ranked.filter(F.col("_rn") == target).select(
+        F.col("_v").alias("_threshold")
+    )
+    return (
+        df.crossJoin(F.broadcast(thr))
+        .filter(
+            F.coalesce(F.col(value_col).cast("double"), F.lit(missing_value))
+            >= F.col("_threshold")
+        )
+        .drop("_threshold")
+    )
+
+
+def merge_indicators(
+    network: DataFrame,
+    indicators: dict[str, DataFrame],
+    network_key: str = "NAME",
+) -> DataFrame:
+    """Left-join each indicator table onto the network.
+
+    Each indicator DataFrame has the contract schema; its ``score`` and
+    ``value`` land as ``<name>Score`` / ``<name>Value`` columns (camelCase
+    per merge-indicators.js:85-103). Misses stay null (reference logs
+    them; callers can count nulls cheaply).
+
+    Indicator tables are way-level (≤ network size) but not necessarily
+    broadcastable at 100 TB — Catalyst/AQE picks broadcast vs sort-merge;
+    all joins share the same key so the shuffle partitioning is reused.
+    """
+    out = network
+    for name, ind in indicators.items():
+        sel = ind.select(
+            F.col("way_id").alias(f"_k_{name}"),
+            F.col("score").alias(f"{name}Score"),
+            *(
+                [F.col("value").alias(f"{name}Value")]
+                if "value" in ind.columns
+                else []
+            ),
+        )
+        out = out.join(
+            sel, on=out[network_key] == sel[f"_k_{name}"], how="left"
+        ).drop(f"_k_{name}")
+    return out
+
+
+def missing_indicator_report(
+    merged: DataFrame, indicator_names: list[str]
+) -> DataFrame:
+    """Count network rows that missed each indicator join (anti-join report).
+
+    Reference logs misses row-by-row (merge-indicators.js:110-125); at
+    scale this is one aggregate pass.
+    """
+    aggs = [
+        F.count(F.when(F.col(f"{n}Score").isNull(), 1)).alias(f"{n}_missing")
+        for n in indicator_names
+    ]
+    return merged.agg(*aggs)

@@ -1,0 +1,104 @@
+"""Text-analysis operators for training-data pipelines.
+
+All pure Column expressions (regexp + arithmetic) so they run inside
+whole-stage codegen over 100 TB of documents — no Python in the hot
+path.
+
+- ``token_count``      — whitespace tokenization count.
+- ``quality_features`` — length / punctuation / digit / stopword ratios,
+  mean word length; composite 0–100 quality score (the reference's
+  0–100 indicator-score convention, README.md:79-83).
+- ``lang_id``          — marker-stopword n-gram heuristic: count hits per
+  language's marker list, argmax with deterministic tiebreak.
+- ``fingerprint``      — deterministic 64-bit document fingerprint
+  (xxhash64 of normalized text) for exact-dup detection and
+  shard-stable sampling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny marker lists per language — deterministic heuristic, not a model
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a"),
+    "es": ("el", "la", "de", "que", "y"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "la", "les", "des", "et"),
+    "zh": ("de", "shi", "le", "zai", "he"),
+}
+
+
+def token_count(text: Column | str) -> Column:
+    t = F.col(text) if isinstance(text, str) else text
+    trimmed = F.trim(t)
+    return F.when(trimmed == "", F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+
+
+def _count_matches(t: Column, pattern: str) -> Column:
+    # count regex matches = len(text) - len(text with matches removed) is
+    # wrong for multi-char matches; use size(split)-1 which counts
+    # occurrences of the pattern as separators — robust and codegen'd.
+    return F.size(F.split(t, pattern)) - 1
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add length, ratios, and a composite quality_score column (0–100)."""
+    t = F.col(text_col)
+    n_chars = F.length(t).cast("double")
+    tokens = token_count(text_col).cast("double")
+    punct = _count_matches(t, r"[\.,;:!\?]").cast("double")
+    digits = _count_matches(t, r"[0-9]").cast("double")
+    stop = _count_matches(F.concat(F.lit(" "), F.lower(t), F.lit(" ")),
+                          r"\s(the|a|of|to|and|in|is)\s").cast("double")
+    out = (
+        df.withColumn("n_tokens", tokens.cast("long"))
+        .withColumn("punct_ratio", F.when(n_chars > 0, punct / n_chars).otherwise(0.0))
+        .withColumn("digit_ratio", F.when(n_chars > 0, digits / n_chars).otherwise(0.0))
+        .withColumn(
+            "stopword_ratio", F.when(tokens > 0, stop / tokens).otherwise(0.0)
+        )
+        .withColumn(
+            "mean_word_len", F.when(tokens > 0, (n_chars - tokens + 1) / tokens).otherwise(0.0)
+        )
+    )
+    # composite score: reward stopwords + moderate length, punish digit soup
+    score = (
+        F.least(F.col("stopword_ratio") * 4.0, F.lit(1.0)) * 50.0
+        + F.least(n_chars / 1000.0, F.lit(1.0)) * 30.0
+        + (1.0 - F.least(F.col("digit_ratio") * 10.0, F.lit(1.0))) * 20.0
+    )
+    return out.withColumn("quality_score", score)
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Predict language by marker-word hit counts; deterministic argmax.
+
+    Emits ``lang_pred`` plus per-language hit counts. Ties break by
+    language code ascending (stable across partitionings).
+    """
+    padded = F.concat(F.lit(" "), F.lower(F.col(text_col)), F.lit(" "))
+    out = df
+    for lang, markers in LANG_MARKERS.items():
+        pat = r"\s(" + "|".join(markers) + r")\s"
+        out = out.withColumn(f"hits_{lang}", _count_matches(padded, pat))
+    hits = F.array(
+        *[
+            F.struct(
+                (-F.col(f"hits_{lang}")).alias("neg"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang in LANG_MARKERS
+        ]
+    )
+    return out.withColumn("lang_pred", F.array_min(hits).getField("lang"))
+
+
+def fingerprint(text: Column | str) -> Column:
+    """64-bit content fingerprint of whitespace-normalized, lowercased text."""
+    t = F.col(text) if isinstance(text, str) else text
+    norm = F.regexp_replace(F.lower(F.trim(t)), r"\s+", " ")
+    return F.xxhash64(norm)
