@@ -562,6 +562,79 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# routing kernel (SURVEY §2.8 — non-SQL-expressible, rows-only checks)
+# ---------------------------------------------------------------------------
+
+def _nation_graph(spark: SparkSession, sf_dir: str):
+    """Deterministic synthetic road graph over the nation table.
+
+    Nodes = nation keys; a chain edge (i, i+1) per consecutive pair plus
+    'highway' shortcuts (i, i+5). Weights derive from the keys, so the
+    same graph appears at every scale factor.
+    """
+    import pandas as pd
+
+    keys = sorted(
+        r.n_nationkey
+        for r in _t(spark, sf_dir, "nation").select("n_nationkey").collect()
+    )
+    rows = []
+    for a, b in zip(keys, keys[1:]):
+        rows.append((f"w{a}-{b}", str(a), str(b), 1.0 + (a % 5) / 10.0, 1.0))
+    for a in keys:
+        if a + 5 in keys and a % 3 == 0:
+            rows.append((f"h{a}-{a+5}", str(a), str(a + 5), 4.5, 4.5))
+    edges = pd.DataFrame(rows, columns=["way_id", "src", "dst", "weight", "len_part"])
+    edges["ruc"] = edges["weight"] / edges["len_part"]
+    od = [str(keys[0]), str(keys[len(keys) // 2]), str(keys[-1])]
+    return edges, od
+
+
+def q_criticality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G6: leave-one-out criticality scores over the synthetic graph
+    (scripts/criticality/criticality.js:70-121)."""
+    from moz_datapipeline_spark.graph.criticality import criticality_scores
+
+    edges, od = _nation_graph(spark, sf_dir)
+    out = criticality_scores(spark, edges, od)
+    return out.select(
+        "way_id",
+        F.round("score", 6).alias("score"),
+        "unroutable_pairs",
+        "impacted_pairs",
+    )
+
+
+def q_eaul(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G7: EAUL per way×upgrade over the synthetic graph with
+    deterministic flood exposure (script-eaul/eaul.js:665-739)."""
+    import pandas as pd
+
+    from moz_datapipeline_spark.graph.eaul import eaul_scores
+
+    edges, od = _nation_graph(spark, sf_dir)
+    way_ids = sorted(edges["way_id"])
+    # flood a highway (on the best route, with a chain detour) plus one
+    # chain edge: detours stay routable, so EAUL is nonzero instead of
+    # everything becoming excluded as unroutable
+    flooded = {"h6-11", "w3-4"}
+    props = []
+    for i, w in enumerate(way_ids):
+        depths = [0.0] * 10
+        lengths = [0.0] * 10
+        if w in flooded:
+            depths[8], depths[9] = 2.0, 20.0
+            lengths[8], lengths[9] = 50.0, 100.0
+        props.append((w, 1.0, "unpaved" if i % 2 else "paved", depths, lengths))
+    way_props = pd.DataFrame(
+        props, columns=["way_id", "length_km", "surface", "depths", "lengths"]
+    )
+    traffic = {(0, 1): 73000.0, (0, 2): 36500.0, (1, 2): 73000.0}
+    out = eaul_scores(spark, edges, way_props, od, traffic)
+    return out.select("way_id", "upgrade_id", F.round("eaul", 4).alias("eaul"))
+
+
+# ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
 
@@ -603,6 +676,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
+        "criticality": q_criticality,
+        "eaul": q_eaul,
     }
 
 

@@ -1,0 +1,129 @@
+"""Criticality: leave-one-out time-penalty scenario engine.
+
+Reference: scripts/criticality/criticality.js. For each way, remove it
+from the network, recompute the OD cost table, diff against the
+benchmark, and fold per-way stats (criticality.js:232-303); score =
+(0.4·timeScore + 0.6·unroutableScore)·100 (criticality.js:96-110).
+
+Spark shape: a scenarios DataFrame (one row per way) fanned out through
+``applyInPandas``; the graph + benchmark are computed once and shipped
+via closure (broadcast) — the reference's per-way osrm-contract
+(criticality.js:197-225) becomes a boolean edge mask. The final scoring
+is relational (single agg for the two maxima, cf. A2
+criticality.js:96-99).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from moz_datapipeline_spark.graph.kernel import Graph, build_graph, pair_costs
+
+_STATS_SCHEMA = (
+    "way_id string, max_time double, avg_time double, avg_time_nonzero double, "
+    "unroutable_pairs long, impacted_pairs long"
+)
+
+
+def _way_stats(
+    way_ids: list[str],
+    g: Graph,
+    od_nodes: np.ndarray,
+    benchmark: np.ndarray,
+    iu: np.ndarray,
+    ju: np.ndarray,
+) -> pd.DataFrame:
+    """Per-way scenario fold, replicating criticality.js:232-303 exactly:
+
+    - scenario pair unroutable → unroutablePairs++
+    - else deltaT = time − benchmark; deltaT ≥ 0 enters timeDeltas;
+      deltaT > 0 → impactedPairs++; deltaT < 0 → treated unroutable
+      (reclassification, criticality.js:252-258).
+    - avgTimeNonZero = sum(timeDeltas)/count(nonzero) (|| 0 guard).
+    """
+    rows = []
+    for w in way_ids:
+        mask = g.way_id != w
+        mat = pair_costs(g, od_nodes, edge_mask=mask)
+        sc = mat[iu, ju]
+        bm = benchmark[iu, ju]
+        unroutable = int(np.sum(np.isinf(sc)))
+        routable = ~np.isinf(sc)
+        delta = sc[routable] - bm[routable]
+        neg = delta < 0
+        unroutable += int(np.sum(neg))
+        deltas = delta[~neg]  # deltaT >= 0 only
+        impacted = int(np.sum(delta > 0))
+        n_nonzero = int(np.sum(deltas != 0))
+        total = float(np.sum(deltas)) if len(deltas) else 0.0
+        rows.append(
+            {
+                "way_id": w,
+                "max_time": float(np.max(deltas)) if len(deltas) else 0.0,
+                "avg_time": total / len(deltas) if len(deltas) else 0.0,
+                "avg_time_nonzero": (total / n_nonzero) if n_nonzero else 0.0,
+                "unroutable_pairs": unroutable,
+                "impacted_pairs": impacted,
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def criticality_scores(
+    spark: SparkSession,
+    edges: pd.DataFrame,
+    od_nodes_by_id: list[str],
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Distributed criticality over all ways.
+
+    ``edges``: pandas (way_id, src, dst, weight) — the full (small)
+    graph, broadcast to every task. ``od_nodes_by_id``: node ids of the
+    OD points (pre-snapped). Returns (way_id, score, max_time, ...,
+    unroutable_pairs, impacted_pairs).
+    """
+    g = build_graph(edges)
+    node_index = {n: i for i, n in enumerate(g.node_ids)}
+    od_nodes = np.array([node_index[n] for n in od_nodes_by_id], dtype=np.int64)
+    benchmark = pair_costs(g, od_nodes)
+    n_od = len(od_nodes)
+    iu, ju = np.triu_indices(n_od, k=1)
+
+    way_ids = sorted(set(edges["way_id"]))
+    scenarios = spark.createDataFrame(
+        [(w,) for w in way_ids], schema="way_id string"
+    )
+    if n_partitions is None:
+        n_partitions = min(len(way_ids), spark.sparkContext.defaultParallelism * 2)
+    scenarios = scenarios.repartition(n_partitions, "way_id")
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _way_stats(list(pdf["way_id"]), g, od_nodes, benchmark, iu, ju)
+
+    stats = scenarios.groupBy("way_id").applyInPandas(kernel, _STATS_SCHEMA)
+
+    # scoring: one agg for the two maxima (A2), broadcast back over ways
+    maxima = stats.agg(
+        F.max(
+            (F.col("unroutable_pairs") + F.col("impacted_pairs"))
+            * F.col("avg_time_nonzero")
+        ).alias("_avg_max_time"),
+        F.max("unroutable_pairs").alias("_max_unroutable"),
+    )
+    scored = stats.crossJoin(F.broadcast(maxima))
+    time_score = F.when(
+        F.col("_avg_max_time") > 0,
+        (F.col("unroutable_pairs") + F.col("impacted_pairs"))
+        * F.col("avg_time_nonzero")
+        / F.col("_avg_max_time"),
+    ).otherwise(0.0)
+    unroutable_score = F.when(
+        F.col("_max_unroutable") > 0,
+        F.col("unroutable_pairs") / F.col("_max_unroutable"),
+    ).otherwise(0.0)
+    return scored.withColumn(
+        "score", (time_score * 0.4 + unroutable_score * 0.6) * 100.0
+    ).drop("_avg_max_time", "_max_unroutable")

@@ -1,0 +1,233 @@
+"""EAUL: expected annual user loss per road-upgrade scenario.
+
+Reference: script-eaul/eaul.js. Per way × upgrade: rebuild the graph
+with the upgraded RUC, compute 11 OD cost matrices (no-flood + 10 flood
+return periods with impassable ways removed), then
+
+    Ui   = ri · Σ_OD (RUC_flood,i − RUC_noflood) · t_OD      (eaul.js:565-575)
+    EAUL = ½ Σ_i (1/Ti − 1/Ti+1)(Ui + Ui+1)                   (eaul.js:644-656)
+    |EAUL| < 1 → 0                                            (eaul.js:727)
+
+Impassability: (WLcc − WLd·Dc) > 0.5 with WLd = depth at the 20-year
+design standard and Dc = 0.7 (1.0 for the upgraded way)
+(eaul.js:359-371). Repair time ri = max over impassable ways of
+flooded_km · hours[severity][surface] / 24 (eaul.js:387-415).
+
+The unroutable-pair exclusion set is frozen from the BASELINE flood
+runs and applied to every scenario (eaul.js:204-330) — modeled here as
+an explicit two-phase plan: baseline kernel run → frozen set → scenario
+fan-out. Pairs with zero traffic are excluded too (eaul.js:228-236).
+
+Spark shape: scenarios = ways × upgrades DataFrame; `applyInPandas`
+kernel with the immutable graph in closure; per-scenario work is pure
+numpy masking (the reference rebuilds OSRM 11× per scenario —
+eaul.js:506-549 — which is exactly what we avoid).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from moz_datapipeline_spark.functions.arrays import RETURN_PERIODS
+from moz_datapipeline_spark.graph.kernel import Graph, build_graph, pair_costs
+
+#: road upgrades evaluated per way (script-eaul/eaul.js:164-202)
+ROAD_UPGRADES: list[dict] = [
+    {"id": "upgrade-rehab-asphalt", "ruc": 0.23, "drainage_capacity": 1.0, "surface": "paved"},
+    {"id": "upgrade-rehab-gravel", "ruc": 0.27, "drainage_capacity": 1.0, "surface": "unpaved"},
+    {"id": "rehab-earth", "ruc": 0.3, "drainage_capacity": 1.0, "surface": "unpaved"},
+]
+
+#: flood repair hours/km by severity × surface (script-eaul/eaul.js:115-158;
+#: identical across road classes in the reference, so classes are collapsed)
+FLOOD_REPAIR_HOURS: dict[str, dict[str, float]] = {
+    "low": {"paved": 168.0, "unpaved": 1440.0},
+    "medium": {"paved": 336.0, "unpaved": 2160.0},
+    "high": {"paved": 1056.0, "unpaved": 4320.0},
+}
+
+#: design standard return period (script-eaul/eaul.js:161)
+ROAD_DESIGN_STANDARD = 20
+_DS_IDX = RETURN_PERIODS.index(ROAD_DESIGN_STANDARD)
+
+
+def _severity(wlcc: float) -> str:
+    # eaul.js:396-399 (note: differs from vulnerability.js banding)
+    if wlcc > 1.5:
+        return "high"
+    if wlcc > 0.5:
+        return "medium"
+    return "low"
+
+
+class EaulContext:
+    """Immutable per-job data shipped (via closure broadcast) to tasks."""
+
+    def __init__(
+        self,
+        edges: pd.DataFrame,
+        way_props: pd.DataFrame,
+        od_node_ids: list[str],
+        traffic_yearly: dict[tuple[int, int], float],
+    ):
+        """
+        edges: (way_id, src, dst, weight, len_part, ruc) — len_part is the
+            km of way length carried by this edge (weight = ruc·len_part).
+        way_props: (way_id, length_km, surface, depths list[10],
+            lengths list[10]) — flood depth (m) and % flooded per period.
+        od_node_ids: graph node id per OD point (pre-snapped).
+        traffic_yearly: {(oIdx, dIdx): yearly trips} (i < j).
+        """
+        self.g: Graph = build_graph(edges)
+        self.len_part = edges["len_part"].to_numpy(dtype=np.float64)
+        self.edge_ruc = edges["ruc"].to_numpy(dtype=np.float64)
+        node_index = {n: i for i, n in enumerate(self.g.node_ids)}
+        self.od_nodes = np.array([node_index[n] for n in od_node_ids], dtype=np.int64)
+        self.iu, self.ju = np.triu_indices(len(self.od_nodes), k=1)
+        self.traffic = np.array(
+            [traffic_yearly.get((int(i), int(j)), 0.0) for i, j in zip(self.iu, self.ju)]
+        )
+        wp = way_props.set_index("way_id")
+        self.way_props = wp
+        self.depths = {w: np.asarray(r["depths"], dtype=float) for w, r in wp.iterrows()}
+        self.lengths = {w: np.asarray(r["lengths"], dtype=float) for w, r in wp.iterrows()}
+
+    def impassable_ways(
+        self, period_idx: int, upgrade_way: str | None, upgrade_dc: float
+    ) -> set[str]:
+        out = set()
+        for w in self.way_props.index:
+            wlcc = self.depths[w][period_idx]
+            wld = self.depths[w][_DS_IDX]
+            dc = upgrade_dc if w == upgrade_way else 0.7
+            if (wlcc - wld * dc) > 0.5:
+                out.add(w)
+        return out
+
+    def repair_time_days(
+        self, period_idx: int, upgrade_way: str | None, upgrade_surface: str | None
+    ) -> float:
+        r = 0.0
+        for w in self.impassable_ways(period_idx, None, 0.7):
+            wlcc = self.depths[w][period_idx]
+            surface = (
+                upgrade_surface
+                if (upgrade_way is not None and w == upgrade_way)
+                else self.way_props.loc[w, "surface"]
+            )
+            len_flooded = (
+                self.way_props.loc[w, "length_km"]
+                * self.lengths[w][period_idx]
+                / 100.0
+            )
+            hours = FLOOD_REPAIR_HOURS[_severity(wlcc)][surface]
+            r = max(r, len_flooded * hours / 24.0)
+        return r
+
+    def scenario_pair_costs(
+        self, upgrade_way: str | None, new_ruc: float | None, removed: set[str]
+    ) -> np.ndarray:
+        """Upper-triangle pair RUC vector for one (upgrade, flood) state."""
+        weight = None
+        if upgrade_way is not None:
+            weight = self.g.weight.copy()
+            sel = self.g.way_id == upgrade_way
+            weight[sel] = new_ruc * self.len_part[sel]
+        mask = None
+        if removed:
+            mask = ~np.isin(self.g.way_id, list(removed))
+        mat = pair_costs(self.g, self.od_nodes, edge_mask=mask, weight_override=weight)
+        return mat[self.iu, self.ju]
+
+    def eaul(
+        self,
+        upgrade_way: str | None,
+        new_ruc: float | None,
+        upgrade_dc: float,
+        upgrade_surface: str | None,
+        excluded: np.ndarray | None,
+    ) -> tuple[float, np.ndarray]:
+        """EAUL for one scenario. Returns (eaul, unroutable_any_period mask).
+
+        When ``excluded`` is None this IS the baseline phase: the mask of
+        pairs unroutable in any flood period is returned to be frozen and
+        broadcast to every upgrade scenario (eaul.js:204-330).
+        """
+        base = self.scenario_pair_costs(upgrade_way, new_ruc, set())
+        flood_costs = []
+        unroutable_any = np.zeros(len(self.iu), dtype=bool)
+        for pi in range(len(RETURN_PERIODS)):
+            removed = self.impassable_ways(pi, upgrade_way, upgrade_dc)
+            fc = self.scenario_pair_costs(upgrade_way, new_ruc, removed)
+            unroutable_any |= np.isinf(fc)
+            flood_costs.append(fc)
+
+        if excluded is None:
+            excluded = unroutable_any | (self.traffic == 0)
+        keep = ~(excluded | unroutable_any)  # newly-unroutable also dropped
+
+        u = []
+        for pi in range(len(RETURN_PERIODS)):
+            r = self.repair_time_days(pi, upgrade_way, upgrade_surface)
+            diff = (flood_costs[pi][keep] - base[keep]) * self.traffic[keep]
+            u.append(r * float(np.sum(diff)))
+        t = RETURN_PERIODS
+        flood_sum = sum(
+            (1.0 / t[i] - 1.0 / t[i + 1]) * (u[i] + u[i + 1])
+            for i in range(len(t) - 1)
+        )
+        eaul = 0.5 * flood_sum
+        if abs(eaul) < 1.0:
+            eaul = 0.0
+        return eaul, (excluded if excluded is not None else unroutable_any)
+
+
+_EAUL_SCHEMA = "way_id string, upgrade_id string, eaul double"
+
+
+def eaul_scores(
+    spark: SparkSession,
+    edges: pd.DataFrame,
+    way_props: pd.DataFrame,
+    od_node_ids: list[str],
+    traffic_yearly: dict[tuple[int, int], float],
+    upgrades: list[dict] | None = None,
+) -> DataFrame:
+    """Two-phase distributed EAUL.
+
+    Phase 1 (driver, one kernel call): baseline EAUL + frozen exclusion
+    set. Phase 2 (cluster): ways × upgrades scenario DataFrame through
+    ``applyInPandas``. Output rows: (way_id, upgrade_id, eaul) with a
+    ('__baseline__', 'baseline') row first.
+    """
+    ups = upgrades or ROAD_UPGRADES
+    ctx = EaulContext(edges, way_props, od_node_ids, traffic_yearly)
+    baseline_eaul, excluded = ctx.eaul(None, None, 0.7, None, None)
+
+    way_ids = sorted(way_props["way_id"])
+    scenarios = spark.createDataFrame(
+        [(w, u["id"], u["ruc"], u["drainage_capacity"], u["surface"])
+         for w in way_ids for u in ups],
+        schema="way_id string, upgrade_id string, ruc double, dc double, surface string",
+    ).repartition(min(len(way_ids) * len(ups), spark.sparkContext.defaultParallelism * 2))
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for _, row in pdf.iterrows():
+            val, _ = ctx.eaul(
+                row["way_id"], row["ruc"], row["dc"], row["surface"], excluded
+            )
+            rows.append(
+                {"way_id": row["way_id"], "upgrade_id": row["upgrade_id"], "eaul": val}
+            )
+        return pd.DataFrame(rows)
+
+    result = scenarios.groupBy("way_id", "upgrade_id").applyInPandas(
+        kernel, _EAUL_SCHEMA
+    )
+    baseline_df = spark.createDataFrame(
+        [("__baseline__", "baseline", float(baseline_eaul))], schema=_EAUL_SCHEMA
+    )
+    return baseline_df.unionByName(result)
