@@ -1,0 +1,120 @@
+"""Readers: Parquet / CSV / JSON / GeoJSON / wide-matrix sources.
+
+The reference's scans (SURVEY §2.1 S1–S6) map to Spark readers with
+explicit schemas; geometry arrives as GeoJSON coordinate arrays kept as
+nested array columns (no opaque binary type → all geometry math stays
+in Catalyst).
+
+Object-store note (S10): every reader takes a path — ``s3a://`` URIs
+work unchanged on a cluster with the hadoop-aws jars; locally we read
+files. No code changes between the two.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: indicator contract (reference README.md:79-83)
+INDICATOR_SCHEMA = T.StructType(
+    [
+        T.StructField("way_id", T.StringType(), False),
+        T.StructField("score", T.DoubleType(), True),
+        T.StructField("value", T.DoubleType(), True),
+    ]
+)
+
+#: GeoJSON linestring feature → flat row with coordinates array
+LINESTRING_COORDS = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("lon", T.DoubleType(), False),
+            T.StructField("lat", T.DoubleType(), False),
+        ]
+    )
+)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def read_indicator_csv(spark: SparkSession, path: str) -> DataFrame:
+    """CSV sink contract of every indicator stage (S3/S8)."""
+    return spark.read.csv(path, header=True, schema=INDICATOR_SCHEMA)
+
+
+def read_csv(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    if schema is not None:
+        return spark.read.csv(path, header=True, schema=schema)
+    return spark.read.csv(path, header=True, inferSchema=True)
+
+
+def read_points_csv(
+    spark: SparkSession, path: str, lon_col: str, lat_col: str
+) -> DataFrame:
+    """S4: csv2geojson equivalent — CSV with lon/lat columns → point rows."""
+    df = spark.read.csv(path, header=True, inferSchema=True)
+    return df.withColumn("lon", F.col(lon_col).cast("double")).withColumn(
+        "lat", F.col(lat_col).cast("double")
+    )
+
+
+def read_geojson_features(spark: SparkSession, path: str) -> DataFrame:
+    """S5: GeoJSON FeatureCollection → one row per feature.
+
+    Distributed: reads the file as JSON text via Spark, explodes the
+    features array JVM-side (multiLine mode handles pretty-printed
+    files). Properties stay a map; geometry type + raw coordinates JSON
+    are exposed for downstream parsing with a typed from_json.
+    """
+    raw = spark.read.option("multiLine", "true").json(path)
+    feats = raw.select(F.explode("features").alias("f"))
+    return feats.select(
+        F.col("f.geometry.type").alias("geom_type"),
+        F.to_json(F.col("f.geometry.coordinates")).alias("coordinates_json"),
+        F.col("f.properties.*"),
+    )
+
+
+def linestring_coords(coordinates_json: str | F.Column) -> F.Column:
+    """Parse a GeoJSON LineString coordinate JSON into LINESTRING_COORDS."""
+    c = (
+        F.col(coordinates_json)
+        if isinstance(coordinates_json, str)
+        else coordinates_json
+    )
+    pairs = F.from_json(c, T.ArrayType(T.ArrayType(T.DoubleType())))
+    return F.transform(
+        pairs,
+        lambda p: F.struct(p.getItem(0).alias("lon"), p.getItem(1).alias("lat")),
+    )
+
+
+def read_wide_matrix(spark: SparkSession, path: str) -> DataFrame:
+    """S3 + U1 source: the wide OD traffic matrix CSV (one column per
+    destination id, 'from' key column)."""
+    return spark.read.csv(path, header=True, inferSchema=True)
+
+
+def dict_of_dicts_to_long(
+    spark: SparkSession, path: str, value_name: str
+) -> DataFrame:
+    """Flood-stats JSON ``{way: {period: value}}`` → long rows.
+
+    These files are small (one row per way × 10 periods); parse on the
+    driver, parallelize as a DataFrame — they broadcast into joins.
+    """
+    with open(path) as fh:
+        data = json.load(fh)
+    rows = [
+        (way, int(period), float(v))
+        for way, periods in data.items()
+        for period, v in periods.items()
+    ]
+    return spark.createDataFrame(
+        rows, schema=f"way_id string, return_period int, {value_name} double"
+    )
