@@ -561,6 +561,142 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", F.md5(norm).alias("fingerprint"))
 
 
+def q_bridge_snap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 full geometric form: point→segment distance argmin join
+    (prep-bridge.js:86-112). Bridges = supplier-derived points; road
+    segments = part-derived; equi-prefilter on a shared road key."""
+    from moz_datapipeline_spark.functions.geo import point_to_segment_distance
+
+    s = _t(spark, sf_dir, "supplier")
+    p = _t(spark, sf_dir, "part")
+    bridges = s.select(
+        F.col("s_suppkey").alias("bridge_id"),
+        (F.col("s_nationkey") % 10).alias("road_key"),
+        (F.col("s_suppkey") % 100 / 10.0).alias("px"),
+        (F.col("s_suppkey") * 3 % 100 / 10.0).alias("py"),
+    )
+    segments = p.filter(F.col("p_partkey") <= 200).select(
+        F.col("p_partkey").alias("seg_id"),
+        (F.col("p_partkey") % 10).alias("road_key"),
+        (F.col("p_partkey") % 7 + 0.0).alias("ax"),
+        (F.col("p_partkey") % 5 + 0.0).alias("ay"),
+        (F.col("p_partkey") % 7 + 3.0).alias("bx"),
+        (F.col("p_partkey") % 5 + 1.0).alias("by"),
+    )
+    joined = bridges.join(segments, "road_key").withColumn(
+        "dist", point_to_segment_distance("px", "py", "ax", "ay", "bx", "by")
+    )
+    w = Window.partitionBy("bridge_id").orderBy(
+        F.col("dist").asc(), F.col("seg_id").asc()
+    )
+    return (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("bridge_id", "seg_id", F.round("dist", 6).alias("dist"))
+    )
+
+
+def q_flood_ead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4+A6 end-to-end: severity banding → repair-cost lookup → flooded-km
+    damage → trapezoidal EAD per way (vulnerability.js:140-260). Synthetic
+    flood exposure derived from the nation table."""
+    from moz_datapipeline_spark.operators.vulnerability import (
+        ead,
+        flood_damage_long,
+    )
+
+    n = _t(spark, sf_dir, "nation")
+    periods = spark.createDataFrame(
+        [(p,) for p in (5, 10, 20, 50, 75, 100, 200, 250, 500, 1000)],
+        "return_period int",
+    )
+    ways = n.select(
+        F.concat(F.lit("w"), F.col("n_nationkey")).alias("way_id"),
+        (F.col("n_nationkey") % 5 + 1.0).alias("length_km"),
+        F.when(F.col("n_nationkey") % 2 == 0, "paved").otherwise("unpaved").alias(
+            "surface"
+        ),
+        F.col("n_nationkey").alias("_k"),
+    )
+    exposure = ways.crossJoin(F.broadcast(periods)).select(
+        "way_id",
+        "return_period",
+        "length_km",
+        "surface",
+        (F.col("_k") % 4 * F.log10("return_period") / 2.0).alias("max_depth_m"),
+        F.least(
+            F.lit(100.0), F.col("_k") % 7 * F.log10("return_period") * 10.0
+        ).alias("pct_flooded"),
+    )
+    dmg = flood_damage_long(exposure)
+    return ead(dmg).select("way_id", F.round("ead", 6).alias("ead"))
+
+
+def q_grouped_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7/A10: grouped collect into a deterministic ordered aggregate
+    (additional-props.js:68-76) — joined as a sorted string for
+    engine-neutral comparison."""
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.filter(F.col("c_custkey") <= 200)
+        .groupBy("c_nationkey")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("c_name")), ",").alias(
+                "customer_names"
+            ),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2/map surface: JSON property-bag extraction (the reference's
+    GeoJSON properties idiom, SURVEY §1.3) over the events props column."""
+    e = _events(spark, sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        e.select(k.alias("k_bucket"))
+        .groupBy((F.col("k_bucket") % 10).alias("k_mod"))
+        .agg(F.count("*").alias("n_events"), F.sum("k_bucket").alias("k_sum"))
+    )
+
+
+def q_raster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11: mapInPandas raster zonal-stats kernel (img-stats.py:76-105)
+    with the deterministic stub backend (rows-only check)."""
+    from moz_datapipeline_spark.operators.raster import zonal_flood_stats
+
+    n = _t(spark, sf_dir, "nation")
+    ways = n.select(F.concat(F.lit("w"), F.col("n_nationkey")).alias("NAME"))
+    return zonal_flood_stats(ways)
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payload column → feature vector via the
+    Arrow-batched mapInPandas kernel (decode stubbed; rows-only check)."""
+    from moz_datapipeline_spark.operators.multimodal import extract_image_features
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    media = d.select(
+        "doc_id",
+        F.struct(
+            F.encode(F.substring("text", 1, 64), "utf-8").alias("payload"),
+            F.lit("image/fake").alias("mime"),
+            F.lit(8).alias("width"),
+            F.lit(8).alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(None).cast("int").alias("channels"),
+            F.lit(None).cast("long").alias("duration_ms"),
+        ).alias("media"),
+    )
+    out = extract_image_features(media)
+    return out.select(
+        "doc_id",
+        F.round(F.col("features").getItem(3), 6).alias("mean_byte"),
+        F.col("features").getItem(0).alias("payload_len"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # routing kernel (SURVEY §2.8 — non-SQL-expressible, rows-only checks)
 # ---------------------------------------------------------------------------
@@ -678,6 +814,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "criticality": q_criticality,
         "eaul": q_eaul,
+        "bridge_snap": q_bridge_snap,
+        "flood_ead": q_flood_ead,
+        "grouped_collect": q_grouped_collect,
+        "json_props": q_json_props,
+        "raster_stats": q_raster_stats,
+        "multimodal_features": q_multimodal_features,
     }
 
 
@@ -993,5 +1135,83 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
             FROM documents
+        """,
+        "bridge_snap": """
+            WITH bridges AS (
+              SELECT s_suppkey AS bridge_id, s_nationkey % 10 AS road_key,
+                     s_suppkey % 100 / 10.0 AS px, s_suppkey * 3 % 100 / 10.0 AS py
+              FROM supplier
+            ), segments AS (
+              SELECT p_partkey AS seg_id, p_partkey % 10 AS road_key,
+                     p_partkey % 7 + 0.0 AS ax, p_partkey % 5 + 0.0 AS ay,
+                     p_partkey % 7 + 3.0 AS bx, p_partkey % 5 + 1.0 AS by
+              FROM part WHERE p_partkey <= 200
+            ), joined AS (
+              SELECT bridge_id, seg_id, px, py, ax, ay, bx, by,
+                     bx - ax AS dx, by - ay AS dy
+              FROM bridges JOIN segments USING (road_key)
+            ), dist AS (
+              SELECT bridge_id, seg_id,
+                     sqrt(pow(px - (ax + t * dx), 2) + pow(py - (ay + t * dy), 2)) AS d
+              FROM (
+                SELECT *, least(greatest(
+                         CASE WHEN dx*dx + dy*dy > 0
+                              THEN ((px - ax) * dx + (py - ay) * dy) / (dx*dx + dy*dy)
+                              ELSE 0.0 END, 0.0), 1.0) AS t
+                FROM joined)
+            )
+            SELECT bridge_id, seg_id, round(d, 6) AS dist
+            FROM dist
+            QUALIFY row_number() OVER (PARTITION BY bridge_id ORDER BY d ASC, seg_id ASC) = 1
+        """,
+        "flood_ead": """
+            WITH periods AS (
+              SELECT unnest([5,10,20,50,75,100,200,250,500,1000]) AS return_period
+            ), ways AS (
+              SELECT 'w' || n_nationkey AS way_id,
+                     n_nationkey % 5 + 1.0 AS length_km,
+                     CASE WHEN n_nationkey % 2 = 0 THEN 'paved' ELSE 'unpaved' END AS surface,
+                     n_nationkey AS k
+              FROM nation
+            ), exposure AS (
+              SELECT way_id, return_period, length_km, surface,
+                     k % 4 * log10(return_period) / 2.0 AS max_depth_m,
+                     least(100.0, k % 7 * log10(return_period) * 10.0) AS pct_flooded
+              FROM ways CROSS JOIN periods
+            ), damage AS (
+              SELECT way_id, return_period,
+                     length_km * pct_flooded / 100.0 *
+                     CASE
+                       WHEN max_depth_m < 0.2 THEN 0.0
+                       WHEN max_depth_m <= 0.5 THEN CASE WHEN surface='paved' THEN 50000.0 ELSE 20000.0 END
+                       WHEN max_depth_m <= 1.5 THEN CASE WHEN surface='paved' THEN 150000.0 ELSE 60000.0 END
+                       ELSE CASE WHEN surface='paved' THEN 400000.0 ELSE 150000.0 END
+                     END AS damage
+              FROM exposure
+            ), stepped AS (
+              SELECT way_id, return_period, damage,
+                     lead(return_period) OVER w AS p_next,
+                     lead(damage) OVER w AS d_next
+              FROM damage
+              WINDOW w AS (PARTITION BY way_id ORDER BY return_period)
+            )
+            SELECT way_id,
+                   round(sum((1.0/return_period - 1.0/p_next) * 0.5 * (damage + d_next)), 6) AS ead
+            FROM stepped WHERE p_next IS NOT NULL
+            GROUP BY way_id
+        """,
+        "grouped_collect": """
+            SELECT c_nationkey,
+                   string_agg(c_name, ',' ORDER BY c_name) AS customer_names,
+                   count(*) AS n
+            FROM customer WHERE c_custkey <= 200
+            GROUP BY c_nationkey
+        """,
+        "json_props": """
+            SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_mod,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS k_sum
+            FROM events
+            GROUP BY 1
         """,
     }

@@ -49,6 +49,12 @@ HEADLINE = [
     "token_count",
     "quality_score",
     "lang_id",
+    "bridge_snap",
+    "flood_ead",
+    "json_props",
+    "criticality",
+    "eaul",
+    "raster_stats",
 ]
 
 
