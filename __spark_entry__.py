@@ -485,6 +485,17 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate top-k (scale path; rows-only check)."""
+    from moz_datapipeline_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = ivf_topk(emb, emb.filter(F.col("vec_id") < 5), n_centroids=16, nprobe=4, k=3)
+    return out.select(
+        "query_id", "corpus_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via LSH buckets (rows-only check)."""
     from moz_datapipeline_spark.operators.similarity import embedding_near_dup
@@ -807,6 +818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "similarity_topk": q_similarity_topk,
+        "similarity_ivf": q_similarity_ivf,
         "embedding_near_dup": q_embedding_near_dup,
         "token_count": q_token_count,
         "quality_score": q_quality_score,

@@ -141,6 +141,73 @@ def lsh_bucket_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style approximate top-k: partition the corpus by nearest
+    centroid, probe only the ``nprobe`` nearest lists per query.
+
+    Centroids are a deterministic corpus sample (every ``m``-th vector by
+    id) — no iterative k-means, so the plan stays a fixed DAG; swap in
+    trained centroids for better recall without changing the shape.
+
+    Plan: one pass assigns corpus vectors to centroid lists (broadcast
+    centroids, argmin in array space); queries fan out to nprobe lists;
+    the scoring join is an equi join on the centroid id — the 100 TB
+    shuffle is bounded by nprobe/n_centroids of the cross product.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"), _as_double(vec_col).alias("_cv")
+    )
+    # deterministic sample: rank by id, take every ceil(n/n_centroids)-th
+    ids = [r[0] for r in corpus.select(id_col).orderBy(id_col).collect()]
+    step = max(1, len(ids) // n_centroids)
+    centroid_ids = ids[::step][:n_centroids]
+    cent = (
+        corpus.filter(F.col(id_col).isin(centroid_ids))
+        .select(F.col(id_col).alias("centroid_id"), _as_double(vec_col).alias("_ce"))
+    )
+
+    def nearest_lists(df: DataFrame, vec: str, n: int, out: str) -> DataFrame:
+        scored = df.crossJoin(F.broadcast(cent)).withColumn(
+            "_sim", cosine(F.col(vec), F.col("_ce"))
+        )
+        w = Window.partitionBy(df.columns[0]).orderBy(
+            F.col("_sim").desc(), F.col("centroid_id").asc()
+        )
+        return (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= n)
+            .select(*df.columns, F.col("centroid_id").alias(out))
+        )
+
+    assigned = nearest_lists(c, "_cv", 1, "list_id")
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("_qv")
+    )
+    probed = nearest_lists(q, "_qv", nprobe, "list_id")
+
+    scored = (
+        assigned.join(probed, "list_id")
+        .filter(F.col("corpus_id") != F.col("query_id"))
+        .withColumn("cosine", cosine(F.col("_qv"), F.col("_cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("corpus_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "cosine", "rank")
+    )
+
+
 def embedding_near_dup(
     vectors: DataFrame,
     threshold: float = 0.95,

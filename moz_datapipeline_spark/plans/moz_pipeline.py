@@ -1,0 +1,130 @@
+"""The reference's three entry points as engine pipelines.
+
+Maps the shell orchestration (SURVEY §3) onto operator compositions:
+
+- ``preparation``  ← scripts/preparation.sh: bridge prep (P5-P7, J5),
+  traffic unpivot+fold (U1, J12), percentile filter (A8), enrichment
+  (additional-props: P9, P12, J6-J8).
+- ``indicators``   ← scripts/indicators.sh: area indicators (J9+A5),
+  property indicator (A1), criticality (G6), vulnerability EAD (A4+A6),
+  merge (J3).
+- ``eaul``         ← script-eaul/: the two-phase scenario engine
+  (graph.eaul.eaul_scores).
+
+Each function takes/returns DataFrames — the whole of ``preparation``
++ ``indicators`` is ONE lazy Catalyst DAG with a handful of actions at
+the writes, where the reference round-trips every stage through files
+(process boundaries per numbered step, preparation.sh:90-257).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from moz_datapipeline_spark.operators.bridges import clean_bridges, snap_to_nearest_way
+from moz_datapipeline_spark.operators.enrich import (
+    add_bridges,
+    add_flood_arrays,
+    add_length,
+    add_province_iso,
+    rescale_ruc,
+)
+from moz_datapipeline_spark.operators.indicators import (
+    indicator_from_prop,
+    merge_indicators,
+    percentile_filter,
+)
+from moz_datapipeline_spark.operators.traffic import pair_reverse_fold, unpivot_matrix
+from moz_datapipeline_spark.operators.vulnerability import ead, flood_damage_long
+
+
+def explode_way_segments(ways: DataFrame, coords_col: str = "coordinates") -> DataFrame:
+    """ways with coordinate arrays → 2-vertex segment rows for snapping
+    and spatial joins (the exploded form used by J5/J9)."""
+    n = F.size(F.col(coords_col))
+    idx = F.explode(F.sequence(F.lit(0), n - 2)).alias("_i")
+    e = ways.select("NAME", "ROAD_ID", F.col(coords_col).alias("_c"), idx)
+    return e.select(
+        "NAME",
+        "ROAD_ID",
+        F.col("_c").getItem(F.col("_i")).getField("lon").alias("ax"),
+        F.col("_c").getItem(F.col("_i")).getField("lat").alias("ay"),
+        F.col("_c").getItem(F.col("_i") + 1).getField("lon").alias("bx"),
+        F.col("_c").getItem(F.col("_i") + 1).getField("lat").alias("by"),
+    )
+
+
+def preparation(
+    ways: DataFrame,
+    bridges_raw: DataFrame,
+    provinces: DataFrame,
+    flood_stats: DataFrame,
+    traffic_wide: DataFrame,
+    agriculture: DataFrame | None = None,
+    ag_percentile: float = 80.0,
+) -> dict[str, DataFrame]:
+    """preparation.sh as one DAG. Returns the prepared tables."""
+    cleaned = clean_bridges(bridges_raw)
+    segments = explode_way_segments(ways)
+    snapped = snap_to_nearest_way(cleaned, segments)
+
+    traffic = pair_reverse_fold(unpivot_matrix(traffic_wide))
+
+    enriched = add_length(ways)
+    enriched = add_province_iso(enriched, provinces)
+    enriched = add_bridges(enriched, snapped)
+    enriched = add_flood_arrays(enriched, flood_stats)
+    enriched = rescale_ruc(enriched)
+
+    out = {"network": enriched, "bridges": snapped, "traffic": traffic}
+    if agriculture is not None:
+        out["agriculture"] = percentile_filter(
+            agriculture, "ag_value", ag_percentile
+        )
+    return out
+
+
+def indicators(
+    spark: SparkSession,
+    network: DataFrame,
+    flood_stats: DataFrame,
+    aadt_prop: str = "AADT",
+) -> DataFrame:
+    """indicators.sh core: per-indicator tables → merge onto the network.
+
+    (Criticality/EAUL are separate engines — join their outputs the same
+    way via ``merge_indicators``.)
+    """
+    aadt = indicator_from_prop(
+        network.filter(F.col(aadt_prop).isNotNull()), aadt_prop
+    )
+
+    exposure = (
+        flood_stats.join(
+            network.select(
+                F.col("NAME").alias("way_id"),
+                F.col("length").alias("length_km"),
+                F.lower(F.col("SURF_TYPE")).alias("surface"),
+            ),
+            "way_id",
+        )
+    )
+    damage = flood_damage_long(exposure)
+    flood_ead = ead(damage)
+    flood_ind = flood_ead.select(
+        "way_id",
+        F.col("ead").alias("value"),
+    )
+    mx = flood_ind.agg(F.max("value").alias("_m"))
+    flood_ind = flood_ind.crossJoin(F.broadcast(mx)).select(
+        "way_id",
+        "value",
+        (F.col("value") / F.col("_m") * 100).alias("score"),
+    )
+
+    return merge_indicators(
+        network,
+        {"aadt": aadt, "floodEad": flood_ind},
+        network_key="NAME",
+    )
