@@ -20,7 +20,14 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from moz_datapipeline_spark.graph.kernel import Graph, build_graph, pair_costs
+from moz_datapipeline_spark.graph.kernel import (
+    Graph,
+    _csr,
+    build_graph,
+    dijkstra,
+    od_tree_ways,
+    pair_costs,
+)
 
 _STATS_SCHEMA = (
     "way_id string, max_time double, avg_time double, avg_time_nonzero double, "
@@ -35,6 +42,7 @@ def _way_stats(
     benchmark: np.ndarray,
     iu: np.ndarray,
     ju: np.ndarray,
+    tree_ways: list[set] | None = None,
 ) -> pd.DataFrame:
     """Per-way scenario fold, replicating criticality.js:232-303 exactly:
 
@@ -43,11 +51,29 @@ def _way_stats(
       deltaT > 0 → impactedPairs++; deltaT < 0 → treated unroutable
       (reclassification, criticality.js:252-258).
     - avgTimeNonZero = sum(timeDeltas)/count(nonzero) (|| 0 guard).
+
+    With ``tree_ways`` (per-source shortest-path way sets), each scenario
+    reruns Dijkstra ONLY for sources whose tree contains the removed way;
+    all other sources' rows are provably identical to the benchmark
+    (see ``od_tree_ways``) and are copied. In practice a way sits on few
+    sources' trees, cutting Dijkstra count ~|OD|-fold.
     """
     rows = []
     for w in way_ids:
         mask = g.way_id != w
-        mat = pair_costs(g, od_nodes, edge_mask=mask)
+        if tree_ways is None:
+            mat = pair_costs(g, od_nodes, edge_mask=mask)
+        else:
+            affected = [i for i, tw in enumerate(tree_ways) if w in tw]
+            mat = benchmark.copy()
+            if affected:
+                indptr, indices, weights = _csr(g, mask, None)
+                for i in affected:
+                    dist = dijkstra(
+                        indptr, indices, weights, int(od_nodes[i]), g.n_nodes
+                    )
+                    mat[i, :] = dist[od_nodes]
+                mat = np.maximum(mat, mat.T)
         sc = mat[iu, ju]
         bm = benchmark[iu, ju]
         unroutable = int(np.sum(np.isinf(sc)))
@@ -92,18 +118,39 @@ def criticality_scores(
     n_od = len(od_nodes)
     iu, ju = np.triu_indices(n_od, k=1)
 
-    way_ids = sorted(set(edges["way_id"]))
+    # Prune: a way on no OD shortest path is a zero-delta scenario — its
+    # stats are known without running Dijkstra. At national scale this
+    # cuts the fan-out from |ways| to the spanning set of OD routes.
+    # The same per-source tree sets drive incremental recompute inside
+    # the kernel (only affected sources re-run).
+    tree_ways = od_tree_ways(g, od_nodes)
+    all_ways = sorted(set(edges["way_id"]))
+    used = set().union(*tree_ways) if tree_ways else set()
+    active = sorted(used)
+    pruned = [w for w in all_ways if w not in used]
+    base_unroutable = int(np.sum(np.isinf(benchmark[iu, ju])))
+
     scenarios = spark.createDataFrame(
-        [(w,) for w in way_ids], schema="way_id string"
+        [(w,) for w in active], schema="way_id string"
     )
     if n_partitions is None:
-        n_partitions = min(len(way_ids), spark.sparkContext.defaultParallelism * 2)
+        n_partitions = max(
+            1, min(len(active), spark.sparkContext.defaultParallelism * 2)
+        )
     scenarios = scenarios.repartition(n_partitions, "way_id")
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        return _way_stats(list(pdf["way_id"]), g, od_nodes, benchmark, iu, ju)
+        return _way_stats(
+            list(pdf["way_id"]), g, od_nodes, benchmark, iu, ju, tree_ways
+        )
 
     stats = scenarios.groupBy("way_id").applyInPandas(kernel, _STATS_SCHEMA)
+    if pruned:
+        zero_rows = spark.createDataFrame(
+            [(w, 0.0, 0.0, 0.0, base_unroutable, 0) for w in pruned],
+            schema=_STATS_SCHEMA,
+        )
+        stats = stats.unionByName(zero_rows)
 
     # scoring: one agg for the two maxima (A2), broadcast back over ways
     maxima = stats.agg(

@@ -53,14 +53,22 @@ def build_graph(edges: pd.DataFrame) -> Graph:
 
 
 def _csr(
-    g: Graph, edge_mask: np.ndarray | None, weight_override: np.ndarray | None
-) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Build a CSR adjacency (both directions) from masked edge arrays."""
+    g: Graph,
+    edge_mask: np.ndarray | None,
+    weight_override: np.ndarray | None,
+    with_ways: bool = False,
+):
+    """Build a CSR adjacency (both directions) from masked edge arrays.
+
+    With ``with_ways`` also returns the owning way id per CSR position
+    (for shortest-path-tree edge attribution).
+    """
     w = g.weight if weight_override is None else weight_override
     if edge_mask is not None:
         s, d, w = g.src[edge_mask], g.dst[edge_mask], w[edge_mask]
+        ways = g.way_id[edge_mask]
     else:
-        s, d = g.src, g.dst
+        s, d, ways = g.src, g.dst, g.way_id
     # undirected: duplicate reversed
     all_src = np.concatenate([s, d])
     all_dst = np.concatenate([d, s])
@@ -70,6 +78,9 @@ def _csr(
     indptr = np.zeros(g.n_nodes + 1, dtype=np.int64)
     np.add.at(indptr, all_src + 1, 1)
     np.cumsum(indptr, out=indptr)
+    if with_ways:
+        all_ways = np.concatenate([ways, ways])[order]
+        return indptr, all_dst, all_w, all_ways
     return indptr, all_dst, all_w
 
 
@@ -91,6 +102,71 @@ def dijkstra(
                 dist[v] = nd
                 heapq.heappush(heap, (nd, v))
     return dist
+
+
+def dijkstra_with_pred(
+    indptr: np.ndarray, indices: np.ndarray, weights: np.ndarray, source: int, n: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Dijkstra that also returns the predecessor CSR edge position per
+    node (-1 for the source/unreachable) — used to extract the edges of
+    one shortest-path tree."""
+    dist = np.full(n, INF)
+    pred = np.full(n, -1, dtype=np.int64)
+    dist[source] = 0.0
+    heap = [(0.0, source)]
+    while heap:
+        d, u = heapq.heappop(heap)
+        if d > dist[u]:
+            continue
+        for k in range(indptr[u], indptr[u + 1]):
+            v = indices[k]
+            nd = d + weights[k]
+            if nd < dist[v]:
+                dist[v] = nd
+                pred[v] = k
+                heapq.heappush(heap, (nd, v))
+    return dist, pred
+
+
+def od_tree_ways(g: Graph, od_nodes: np.ndarray) -> list[set]:
+    """Per OD source: the set of ways on its shortest paths to the other
+    OD nodes (one computed tree per source).
+
+    Removing a way OUTSIDE source i's set leaves all of source i's OD
+    distances exactly at benchmark (the realizing paths survive; removal
+    can only increase costs) — this holds under ties, because the
+    computed tree's costs are what the benchmark recorded. These sets
+    drive both scenario pruning and per-source incremental recompute.
+    """
+    indptr, indices, weights, csr_way = _csr(g, None, None, with_ways=True)
+    out: list[set] = []
+    for s in od_nodes:
+        dist, pred = dijkstra_with_pred(
+            indptr, indices, weights, int(s), g.n_nodes
+        )
+        ways: set = set()
+        for t in od_nodes:
+            t = int(t)
+            if t == int(s) or np.isinf(dist[t]):
+                continue
+            v = t
+            while pred[v] != -1:
+                k = pred[v]
+                ways.add(csr_way[k])
+                # walk to the parent: the CSR stores (u -> v) at position k,
+                # and u is recoverable from the indptr bucket of k
+                u = int(np.searchsorted(indptr, k, side="right") - 1)
+                v = u
+        out.append(ways)
+    return out
+
+
+def used_way_ids(g: Graph, od_nodes: np.ndarray) -> set:
+    """Union of ``od_tree_ways`` — ways whose removal can change anything."""
+    used: set = set()
+    for s in od_tree_ways(g, od_nodes):
+        used |= s
+    return used
 
 
 def pair_costs(

@@ -50,6 +50,50 @@ def indicator_from_prop(df: DataFrame, prop: str, id_col: str = "NAME") -> DataF
     return normalize_indicator(df, prop, id_col=id_col)
 
 
+def exact_kth_value(df: DataFrame, col: str, k: int) -> float:
+    """Exact k-th smallest (0-based) of a column, distributed.
+
+    Range-partition on the value (parallel sort), count per partition
+    (tiny collect), locate the partition holding rank k driver-side,
+    then rank within that one partition only. No global-order window —
+    nothing funnels the full column through a single task, so this holds
+    at any scale; only one partition's values are ever ranked.
+    """
+    spark = df.sparkSession
+    n_parts = max(2, spark.sparkContext.defaultParallelism)
+    ranged = df.select(F.col(col).alias("_v")).repartitionByRange(
+        n_parts, F.col("_v")
+    )
+    # persist: the count job and the rank job must see the SAME range
+    # boundaries (RangePartitioner samples, so a recompute may split
+    # differently and invalidate the local rank)
+    with_pid = ranged.withColumn("_pid", F.spark_partition_id()).persist()
+    counts = (
+        with_pid.groupBy("_pid").count().orderBy("_pid").collect()
+    )
+    acc = 0
+    target_pid, local_rank = None, None
+    for row in counts:
+        if acc + row["count"] > k:
+            target_pid, local_rank = row["_pid"], k - acc
+            break
+        acc += row["count"]
+    if target_pid is None:
+        raise IndexError(f"rank {k} out of range (n={acc})")
+    w = Window.partitionBy("_pid").orderBy(F.col("_v"))
+    try:
+        hit = (
+            with_pid.filter(F.col("_pid") == target_pid)
+            .withColumn("_rn", F.row_number().over(w) - 1)
+            .filter(F.col("_rn") == local_rank)
+            .select("_v")
+            .first()
+        )
+    finally:
+        with_pid.unpersist()
+    return hit["_v"]
+
+
 def percentile_filter(
     df: DataFrame, value_col: str, percentile: float, missing_value: float = 0.0
 ) -> DataFrame:
@@ -58,24 +102,22 @@ def percentile_filter(
     Reference semantics (filter-percentile.js:60-73): sort ascending with
     missing→0, ``rank = round(p/100·(n−1))`` (half-up), threshold =
     value at that rank, keep ``value >= threshold``.
+
+    The threshold comes from ``exact_kth_value`` — a range-partitioned
+    distributed selection, not a global-order window (which would pull
+    the whole column through one task at scale).
     """
     vals = df.select(
         F.coalesce(F.col(value_col).cast("double"), F.lit(missing_value)).alias("_v")
     )
-    w = Window.orderBy(F.col("_v"))
-    ranked = vals.withColumn("_rn", F.row_number().over(w) - 1)
     n = vals.count()
-    target = int(round(percentile / 100.0 * (n - 1) + 1e-9)) if n > 0 else 0
-    thr = ranked.filter(F.col("_rn") == target).select(
-        F.col("_v").alias("_threshold")
-    )
-    return (
-        df.crossJoin(F.broadcast(thr))
-        .filter(
-            F.coalesce(F.col(value_col).cast("double"), F.lit(missing_value))
-            >= F.col("_threshold")
-        )
-        .drop("_threshold")
+    if n == 0:
+        return df
+    target = int(round(percentile / 100.0 * (n - 1) + 1e-9))
+    threshold = exact_kth_value(vals, "_v", target)
+    return df.filter(
+        F.coalesce(F.col(value_col).cast("double"), F.lit(missing_value))
+        >= F.lit(threshold)
     )
 
 
