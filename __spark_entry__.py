@@ -474,6 +474,21 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_candidates(sigs).filter(F.col("hamming") <= 12)
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: n-gram Jaccard pairs → connected components →
+    cluster sizes (large/small-star label propagation; rows-only check —
+    iterative, not SQL-expressible)."""
+    from moz_datapipeline_spark.operators.components import connected_components
+
+    pairs = q_dedup_ngram_jaccard(spark, sf_dir).select("id_a", "id_b")
+    comp = connected_components(pairs)
+    return (
+        comp.groupBy("component")
+        .agg(F.count("*").alias("cluster_size"))
+        .orderBy("component")
+    )
+
+
 def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-3 neighbors for query vectors vec_id < 5."""
     from moz_datapipeline_spark.operators.similarity import cosine_topk_bruteforce
@@ -817,6 +832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_clusters": q_dedup_clusters,
         "similarity_topk": q_similarity_topk,
         "similarity_ivf": q_similarity_ivf,
         "embedding_near_dup": q_embedding_near_dup,

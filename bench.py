@@ -44,6 +44,7 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_clusters",
     "similarity_topk",
     "embedding_near_dup",
     "token_count",

@@ -1,0 +1,115 @@
+"""Property-based tests (hypothesis) for order-sensitive operators."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@settings(**SETTINGS)
+@given(
+    vals=st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False), min_size=1,
+        max_size=200,
+    ),
+    pct=st.floats(min_value=0.0, max_value=100.0),
+)
+def test_percentile_matches_reference_semantics(spark, vals, pct):
+    """threshold = sorted[round(p/100·(n−1))], keep >= threshold."""
+    from moz_datapipeline_spark.operators.indicators import percentile_filter
+
+    df = spark.createDataFrame([(i, float(v)) for i, v in enumerate(vals)],
+                               "id int, v double")
+    kept = sorted(percentile_filter(df, "v", pct).toPandas()["v"])
+    s = sorted(vals)
+    rank = int(round(pct / 100.0 * (len(vals) - 1) + 1e-9))
+    expected = sorted(v for v in vals if v >= s[rank])
+    assert kept == pytest.approx(expected)
+
+
+@settings(**SETTINGS)
+@given(
+    vals=st.lists(
+        st.floats(min_value=0, max_value=1e6, allow_nan=False),
+        min_size=2, max_size=50,
+    )
+)
+def test_kth_value_matches_numpy(spark, vals):
+    from moz_datapipeline_spark.operators.indicators import exact_kth_value
+
+    df = spark.createDataFrame([(float(v),) for v in vals], "v double")
+    k = len(vals) // 2
+    assert exact_kth_value(df, "v", k) == sorted(vals)[k]
+
+
+@settings(**SETTINGS)
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(
+            lambda t: t[0] != t[1]
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_connected_components_match_networkless_union_find(spark, pairs):
+    from moz_datapipeline_spark.operators.components import connected_components
+
+    df = spark.createDataFrame(pairs, "id_a int, id_b int")
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(df).collect()
+    }
+
+    # reference union-find
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in pairs:
+        union(a, b)
+    expected = {x: find(x) for x in parent}
+    assert got == expected
+
+
+@settings(**SETTINGS)
+@given(
+    damages=st.lists(
+        st.floats(min_value=0, max_value=1e9, allow_nan=False),
+        min_size=10, max_size=10,
+    )
+)
+def test_trapezoid_matches_numpy(spark, damages):
+    from moz_datapipeline_spark.functions.arrays import RETURN_PERIODS, trapezoid_ead
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(damages,)], "damages array<double>")
+    got = df.select(trapezoid_ead("damages").alias("e")).first()["e"]
+    p = np.array(RETURN_PERIODS, dtype=float)
+    exceed = 1.0 / p
+    d = np.array(damages)
+    expected = float(
+        sum(
+            (exceed[i] - exceed[i + 1]) * 0.5 * (d[i] + d[i + 1])
+            for i in range(9)
+        )
+    )
+    assert got == pytest.approx(expected, rel=1e-9, abs=1e-9)
