@@ -31,7 +31,13 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 from moz_datapipeline_spark.functions.arrays import RETURN_PERIODS
-from moz_datapipeline_spark.graph.kernel import Graph, build_graph, pair_costs
+from moz_datapipeline_spark.graph.kernel import (
+    Graph,
+    _csr,
+    build_graph,
+    dijkstra,
+    pair_costs,
+)
 
 #: road upgrades evaluated per way (script-eaul/eaul.js:164-202)
 ROAD_UPGRADES: list[dict] = [
@@ -93,6 +99,28 @@ class EaulContext:
         self.way_props = wp
         self.depths = {w: np.asarray(r["depths"], dtype=float) for w, r in wp.iterrows()}
         self.lengths = {w: np.asarray(r["lengths"], dtype=float) for w, r in wp.iterrows()}
+        # single-edge ways qualify for the closed-form scenario fast path
+        self._way_edge_count = pd.Series(self.g.way_id).value_counts().to_dict()
+        self._dist_cache: dict[frozenset, np.ndarray] = {}
+
+    def _od_dists(self, removed: frozenset) -> np.ndarray:
+        """(n_od, n_nodes) shortest-dist rows from each OD node on the
+        graph with ``removed`` ways masked — cached per removal set.
+
+        These full rows power the closed-form upgrade formula; there are
+        at most 11 distinct removal sets (no-flood + 10 periods) per job,
+        so total Dijkstra count is 11 × n_od regardless of scenario count.
+        """
+        if removed not in self._dist_cache:
+            mask = (
+                ~np.isin(self.g.way_id, list(removed)) if removed else None
+            )
+            indptr, indices, weights = _csr(self.g, mask, None)
+            rows = np.empty((len(self.od_nodes), self.g.n_nodes))
+            for i, s in enumerate(self.od_nodes):
+                rows[i] = dijkstra(indptr, indices, weights, int(s), self.g.n_nodes)
+            self._dist_cache[removed] = rows
+        return self._dist_cache[removed]
 
     def impassable_ways(
         self, period_idx: int, upgrade_way: str | None, upgrade_dc: float
@@ -129,12 +157,54 @@ class EaulContext:
     def scenario_pair_costs(
         self, upgrade_way: str | None, new_ruc: float | None, removed: set[str]
     ) -> np.ndarray:
-        """Upper-triangle pair RUC vector for one (upgrade, flood) state."""
-        weight = None
-        if upgrade_way is not None:
-            weight = self.g.weight.copy()
-            sel = self.g.way_id == upgrade_way
-            weight[sel] = new_ruc * self.len_part[sel]
+        """Upper-triangle pair RUC vector for one (upgrade, flood) state.
+
+        Fast path (single-edge upgraded way, the post-split normal form —
+        the reference splits ways to 2-node OSM ways, preparation.sh:248
+        ``--split-ways 1``): the scenario matrix follows in closed form
+        from the period's cached baseline SSSP rows,
+
+            new(x,y) = min(old(x,y), old(x,a)+c+old(b,y), old(x,b)+c+old(a,y))
+
+        exact for an edge ADDITION at any weight (way flooded out in the
+        baseline period, passable after the upgrade's drainage), and for
+        a weight DECREASE (upgrades always lower RUC); so the scenario
+        fan-out runs ZERO Dijkstras — the reference rebuilds + re-queries
+        OSRM 11× per scenario here (eaul.js:506-549).
+        """
+        if upgrade_way is None or upgrade_way in removed:
+            # no weight change in play: pure masked-graph matrix (cached)
+            rows = self._od_dists(frozenset(removed))
+            mat = rows[:, self.od_nodes]
+            mat = np.maximum(mat, mat.T)
+            return mat[self.iu, self.ju]
+
+        if self._way_edge_count.get(upgrade_way, 0) == 1:
+            e = int(np.where(self.g.way_id == upgrade_way)[0][0])
+            a, b = int(self.g.src[e]), int(self.g.dst[e])
+            c_new = float(new_ruc) * float(self.len_part[e])
+            c_old = float(self.g.weight[e])
+            alt_key = frozenset(set(removed) | {upgrade_way})
+            if alt_key in self._dist_cache:
+                # (A) way absent from the cached period graph → addition
+                d = self._dist_cache[alt_key]
+            elif c_new <= c_old:
+                # (B) way present at old weight → decrease
+                d = self._od_dists(frozenset(removed))
+            else:
+                d = None
+            if d is not None:
+                direct = d[:, self.od_nodes]
+                via_ab = d[:, a][:, None] + c_new + d[:, b][None, :]
+                via_ba = d[:, b][:, None] + c_new + d[:, a][None, :]
+                mat = np.minimum(direct, np.minimum(via_ab, via_ba))
+                mat = np.maximum(mat, mat.T)
+                return mat[self.iu, self.ju]
+
+        # fallback: full recompute (multi-edge way, or weight increase)
+        weight = self.g.weight.copy()
+        sel = self.g.way_id == upgrade_way
+        weight[sel] = new_ruc * self.len_part[sel]
         mask = None
         if removed:
             mask = ~np.isin(self.g.way_id, list(removed))
