@@ -85,6 +85,35 @@ def preparation(
     return out
 
 
+def merge_eaul(network: DataFrame, eaul_results: DataFrame) -> DataFrame:
+    """J4 + U3: EAUL results → per-upgrade columns joined onto the network.
+
+    The reference reads one result JSON per way and flattens
+    ``eaul.{baseline, upgrade-*}`` into ``eaul-<key>`` properties
+    (scripts/merge-eaul/eaul.js:50-73). Here the long (way_id,
+    upgrade_id, eaul) table pivots on the fixed upgrade list (bounded
+    width) and left-joins on the way key; misses stay null.
+    """
+    upgrade_ids = [
+        r["upgrade_id"]
+        for r in eaul_results.select("upgrade_id").distinct().collect()
+        if r["upgrade_id"] != "baseline"
+    ]
+    wide = (
+        eaul_results.filter(F.col("upgrade_id") != "baseline")
+        .groupBy("way_id")
+        .pivot("upgrade_id", sorted(upgrade_ids))
+        .agg(F.first("eaul"))
+    )
+    renamed = wide.select(
+        F.col("way_id").alias("_w"),
+        *[F.col(u).alias(f"eaul-{u}") for u in sorted(upgrade_ids)],
+    )
+    return network.join(
+        renamed, network["NAME"] == renamed["_w"], "left"
+    ).drop("_w")
+
+
 def indicators(
     spark: SparkSession,
     network: DataFrame,

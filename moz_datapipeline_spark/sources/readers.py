@@ -94,6 +94,41 @@ def linestring_coords(coordinates_json: str | F.Column) -> F.Column:
     )
 
 
+def read_osm_ways(spark: SparkSession, path: str) -> DataFrame:
+    """S6: OSM XML → ways rows (NAME, nodes array, tags as columns).
+
+    The reference streams way elements out of OSM XML
+    (scripts/utils/extract-ways.js:56-63). Road-network OSM files are
+    small (the graph is per-country); parse driver-side with the stdlib
+    and parallelize — the distributed path for huge OSM extracts would
+    be spark-xml, which this environment doesn't ship.
+    """
+    import xml.etree.ElementTree as ET
+
+    root = ET.parse(path).getroot()
+    rows = []
+    for way in root.iter("way"):
+        tags = {t.get("k"): t.get("v") for t in way.iter("tag")}
+        nodes = [nd.get("ref") for nd in way.iter("nd")]
+        rows.append(
+            (
+                way.get("id"),
+                tags.get("NAME"),
+                nodes,
+                tags.get("ROAD_CLASS"),
+                tags.get("SURF_TYPE"),
+                tags.get("AVG_COND"),
+                float(tags["RUC"]) if "RUC" in tags else None,
+                float(tags["length"]) if "length" in tags else None,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "osm_id string, NAME string, nodes array<string>, ROAD_CLASS string, "
+        "SURF_TYPE string, AVG_COND string, RUC double, length double",
+    )
+
+
 def read_wide_matrix(spark: SparkSession, path: str) -> DataFrame:
     """S3 + U1 source: the wide OD traffic matrix CSV (one column per
     destination id, 'from' key column)."""
