@@ -10,10 +10,16 @@ oracle and get the driver's weaker rows-only check.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+# the query functions import moz_datapipeline_spark lazily; make sure the
+# package resolves regardless of the caller's working directory
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -50,7 +50,9 @@ def indicator_from_prop(df: DataFrame, prop: str, id_col: str = "NAME") -> DataF
     return normalize_indicator(df, prop, id_col=id_col)
 
 
-def exact_kth_value(df: DataFrame, col: str, k: int) -> float:
+def exact_kth_value(
+    df: DataFrame, col: str, k: int, local_threshold: int = 1_000_000
+) -> float:
     """Exact k-th smallest (0-based) of a column, distributed.
 
     Range-partition on the value (parallel sort), count per partition
@@ -61,9 +63,21 @@ def exact_kth_value(df: DataFrame, col: str, k: int) -> float:
     """
     spark = df.sparkSession
     n_parts = max(2, spark.sparkContext.defaultParallelism)
-    ranged = df.select(F.col(col).alias("_v")).repartitionByRange(
-        n_parts, F.col("_v")
-    )
+    vals = df.select(F.col(col).alias("_v"))
+    # small-input fast path: below ~1M values the value column fits on
+    # the driver comfortably (8 MB) and a local selection beats three
+    # Spark jobs; the distributed path takes over beyond that.
+    approx_n = vals.count()
+    if approx_n <= local_threshold:
+        import numpy as np
+
+        arr = np.fromiter(
+            (r["_v"] for r in vals.collect()), dtype=float, count=approx_n
+        )
+        if k >= len(arr):
+            raise IndexError(f"rank {k} out of range (n={len(arr)})")
+        return float(np.partition(arr, k)[k])
+    ranged = vals.repartitionByRange(n_parts, F.col("_v"))
     # persist: the count job and the rank job must see the SAME range
     # boundaries (RangePartitioner samples, so a recompute may split
     # differently and invalidate the local rank)

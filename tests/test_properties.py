@@ -47,7 +47,9 @@ def test_kth_value_matches_numpy(spark, vals):
 
     df = spark.createDataFrame([(float(v),) for v in vals], "v double")
     k = len(vals) // 2
-    assert exact_kth_value(df, "v", k) == sorted(vals)[k]
+    # force the DISTRIBUTED branch (local_threshold=0) — the local branch
+    # is plain np.partition and is covered by the percentile property test
+    assert exact_kth_value(df, "v", k, local_threshold=0) == sorted(vals)[k]
 
 
 @settings(**SETTINGS)
