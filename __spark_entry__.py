@@ -537,6 +537,24 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style pre-tokenizer token counts (LLM token budgeting)."""
+    from moz_datapipeline_spark.operators.text import bpe_ish_token_count
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", bpe_ish_token_count("text").alias("n_bpe_tokens")
+    )
+
+
+def q_doc_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (rolling k-gram window-min) document fingerprints."""
+    from moz_datapipeline_spark.operators.text import winnow_fingerprints
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return winnow_fingerprints(d, k=3, w=4)
+
+
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality features aggregated per language."""
     d = _t(spark, sf_dir, "documents")
@@ -843,6 +861,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ivf": q_similarity_ivf,
         "embedding_near_dup": q_embedding_near_dup,
         "token_count": q_token_count,
+        "bpe_token_count": q_bpe_token_count,
+        "doc_winnowing": q_doc_winnowing,
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1127,6 +1147,35 @@ def oracle_sql() -> dict[str, str]:
                         ELSE len(string_split_regex(trim(text), '\\s+')) END AS INTEGER) AS n_tokens,
                    CAST(length(text) AS INTEGER) AS n_chars_actual
             FROM documents
+        """,
+        "bpe_token_count": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                     '''s|''t|''re|''ve|''m|''ll|''d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+'
+                   )) AS INTEGER) AS n_bpe_tokens
+            FROM documents
+        """,
+        "doc_winnowing": """
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+              FROM documents WHERE doc_id < 100
+            ), grams AS (
+              SELECT doc_id, unnest(generate_series(1, greatest(len(t) - 2, 0))) AS pos, t
+              FROM toks
+            ), hashed AS (
+              SELECT doc_id, pos,
+                     md5(array_to_string(t[pos:pos+2], ' ')) AS fp,
+                     greatest(len(t) - 2, 0) AS n_kg
+              FROM grams
+            ), mins AS (
+              SELECT doc_id, pos, n_kg,
+                     min(fp) OVER (PARTITION BY doc_id ORDER BY pos
+                                   ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS win_min
+              FROM hashed
+            )
+            SELECT DISTINCT doc_id, win_min AS fingerprint
+            FROM mins WHERE pos <= n_kg - 3
         """,
         "quality_score": """
             WITH feat AS (

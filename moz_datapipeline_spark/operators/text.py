@@ -17,7 +17,7 @@ path.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # tiny marker lists per language — deterministic heuristic, not a model
@@ -95,6 +95,68 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
         ]
     )
     return out.withColumn("lang_pred", F.array_min(hits).getField("lang"))
+
+
+#: GPT-2-style pre-tokenizer approximation — contractions, letter runs,
+#: digit runs, punctuation runs (no lookahead: portable to RE2 engines)
+BPE_ISH_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """Token count under a BPE-style pre-tokenization regex.
+
+    Approximates LLM token budgeting far better than whitespace counts
+    (punctuation and digit runs split off). Pure regexp_extract_all —
+    JVM-side, and the pattern avoids lookahead so the same regex runs on
+    RE2-based engines for oracle checks.
+    """
+    t = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(t, F.lit(BPE_ISH_PATTERN), 0))
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03).
+
+    k-token grams are hashed (md5 — any total order works for winnowing,
+    so the lexicographic min of hex digests replaces the usual numeric
+    min, keeping every step portable), then each sliding window of ``w``
+    consecutive gram hashes contributes its minimum; the distinct mins
+    are the document's fingerprints. Shared fingerprints ⇒ shared
+    k-gram runs ⇒ local similarity — robust to insertions/reordering
+    where whole-document hashing breaks.
+
+    Plan: kgram build is array zip_with (O(n)); the window min is a
+    bounded ROWS window partitioned BY DOCUMENT — parallel across docs,
+    no global sort.
+    """
+    toks = F.split(
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " "
+    )
+    n = F.size(toks)
+    kg = toks
+    for off in range(1, k):
+        kg = F.zip_with(
+            F.slice(kg, 1, F.greatest(n - off, F.lit(1))),
+            F.slice(toks, off + 1, F.greatest(n - off, F.lit(1))),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    exploded = df.select(
+        F.col(id_col), F.posexplode(kg).alias("pos", "kgram")
+    ).withColumn("fp", F.md5("kgram"))
+    win = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, w - 1)
+    counts = Window.partitionBy(id_col)
+    mins = (
+        exploded.withColumn("win_min", F.min("fp").over(win))
+        .withColumn("_n", F.count("*").over(counts))
+        .filter(F.col("pos") <= F.col("_n") - w)
+    )
+    return mins.select(id_col, F.col("win_min").alias("fingerprint")).distinct()
 
 
 def fingerprint(text: Column | str) -> Column:

@@ -1,0 +1,64 @@
+"""Text-operator unit tests incl. winnowing vs a pure-Python reference."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+
+def _py_winnow(text: str, k: int = 3, w: int = 4) -> set[str]:
+    toks = " ".join(text.lower().split()).split(" ")
+    kgrams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+    fps = [hashlib.md5(g.encode()).hexdigest() for g in kgrams]
+    return {min(fps[i : i + w]) for i in range(len(fps) - w + 1)}
+
+
+def test_winnowing_matches_python_reference(spark):
+    from moz_datapipeline_spark.operators.text import winnow_fingerprints
+
+    texts = [
+        (0, "the quick brown fox jumps over the lazy dog again and again today"),
+        (1, "pack my box with five dozen liquor jugs and more words to fill space"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = winnow_fingerprints(df).toPandas()
+    for doc_id, text in texts:
+        expect = _py_winnow(text)
+        have = set(got[got.doc_id == doc_id]["fingerprint"])
+        assert have == expect, doc_id
+
+
+def test_winnowing_detects_local_overlap(spark):
+    """Documents sharing a run of tokens share fingerprints; disjoint
+    documents share none — the property whole-doc hashing lacks."""
+    from moz_datapipeline_spark.operators.text import winnow_fingerprints
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    edited = "PREFIX words here " + base + " SUFFIX tail tokens"
+    other = "one two three four five six seven eight nine ten eleven twelve"
+    df = spark.createDataFrame(
+        [(0, base), (1, edited), (2, other)], "doc_id long, text string"
+    )
+    fp = winnow_fingerprints(df).toPandas()
+    s0 = set(fp[fp.doc_id == 0]["fingerprint"])
+    s1 = set(fp[fp.doc_id == 1]["fingerprint"])
+    s2 = set(fp[fp.doc_id == 2]["fingerprint"])
+    assert s0 & s1, "edited copy must share fingerprints with the original"
+    assert not (s0 & s2), "unrelated docs must not collide"
+
+
+def test_bpe_ish_tokens_split_punct_and_digits(spark):
+    from moz_datapipeline_spark.operators.text import bpe_ish_token_count
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(0, "hello world"), (1, "it's 2024, really!"), (2, "a1b2")],
+        "id long, text string",
+    )
+    out = {r["id"]: r["n"] for r in df.select(
+        "id", bpe_ish_token_count("text").alias("n")
+    ).collect()}
+    assert out[0] == 2            # hello, world
+    assert out[1] == 6            # it, 's, 2024, ',', really, !
+    assert out[2] == 4            # a, 1, b, 2
