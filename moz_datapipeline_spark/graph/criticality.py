@@ -66,7 +66,15 @@ def _way_stats(
         else:
             affected = [i for i, tw in enumerate(tree_ways) if w in tw]
             mat = benchmark.copy()
-            if affected:
+            if len(affected) >= 4:
+                from moz_datapipeline_spark.graph.kernel import multi_source_dists
+
+                dists = multi_source_dists(
+                    g, od_nodes[affected], edge_mask=mask
+                )
+                mat[affected, :] = dists[:, od_nodes]
+                mat = np.maximum(mat, mat.T)
+            elif affected:
                 indptr, indices, weights = _csr(g, mask, None)
                 for i in affected:
                     dist = dijkstra(

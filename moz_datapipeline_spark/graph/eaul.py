@@ -112,14 +112,14 @@ class EaulContext:
         so total Dijkstra count is 11 × n_od regardless of scenario count.
         """
         if removed not in self._dist_cache:
+            from moz_datapipeline_spark.graph.kernel import multi_source_dists
+
             mask = (
                 ~np.isin(self.g.way_id, list(removed)) if removed else None
             )
-            indptr, indices, weights = _csr(self.g, mask, None)
-            rows = np.empty((len(self.od_nodes), self.g.n_nodes))
-            for i, s in enumerate(self.od_nodes):
-                rows[i] = dijkstra(indptr, indices, weights, int(s), self.g.n_nodes)
-            self._dist_cache[removed] = rows
+            self._dist_cache[removed] = multi_source_dists(
+                self.g, self.od_nodes, edge_mask=mask
+            )
         return self._dist_cache[removed]
 
     def impassable_ways(

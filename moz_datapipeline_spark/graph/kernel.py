@@ -169,6 +169,88 @@ def used_way_ids(g: Graph, od_nodes: np.ndarray) -> set:
     return used
 
 
+def multi_source_dists(
+    g: Graph,
+    sources: np.ndarray,
+    edge_mask: np.ndarray | None = None,
+    weight_override: np.ndarray | None = None,
+) -> np.ndarray:
+    """All-sources shortest distances, vectorized over sources.
+
+    Bellman-Ford-style synchronous relaxation: per round, every node
+    takes the min over incoming edges of (neighbor dist + weight),
+    computed for ALL sources at once with one ``minimum.reduceat`` over
+    edges sorted by destination. Rounds = shortest-path hop diameter;
+    each round is O(n_sources × E) in pure numpy — beats n_sources
+    Python-heapq Dijkstras once sources > a handful AND the hop diameter
+    is modest. Long-diameter graphs (relaxation crawls) hit the round
+    cap and fall back to per-source Dijkstra, so the worst case is
+    bounded. Returns (n_sources, n_nodes); inf = unreachable.
+    """
+    w = g.weight if weight_override is None else weight_override
+    if edge_mask is not None:
+        s, d, w = g.src[edge_mask], g.dst[edge_mask], w[edge_mask]
+    else:
+        s, d = g.src, g.dst
+    # undirected → directed both ways; group edges by destination
+    e_src = np.concatenate([s, d])
+    e_dst = np.concatenate([d, s])
+    e_w = np.concatenate([w, w]).astype(np.float64)
+    order = np.argsort(e_dst, kind="stable")
+    e_src, e_dst, e_w = e_src[order], e_dst[order], e_w[order]
+    # reduceat segment starts: first edge index per present destination
+    dst_unique, seg_starts = np.unique(e_dst, return_index=True)
+
+    n = g.n_nodes
+    # probe: one Dijkstra with hop tracking estimates how many relaxation
+    # rounds BF needs; its row is reused either way, so the probe is free
+    indptr, indices, weights = _csr(g, edge_mask, weight_override)
+    d0 = np.full(n, INF)
+    hops0 = np.zeros(n, dtype=np.int32)
+    s0 = int(sources[0])
+    d0[s0] = 0.0
+    heap = [(0.0, s0)]
+    while heap:
+        dd, u = heapq.heappop(heap)
+        if dd > d0[u]:
+            continue
+        for kk in range(indptr[u], indptr[u + 1]):
+            v = indices[kk]
+            nd = dd + weights[kk]
+            if nd < d0[v]:
+                d0[v] = nd
+                hops0[v] = hops0[u] + 1
+                heapq.heappush(heap, (nd, v))
+    reachable = ~np.isinf(d0)
+    hop_est = int(hops0[reachable].max()) if reachable.any() else 0
+    max_rounds = min(150, 2 * hop_est + 8)
+
+    if hop_est > 60 or len(sources) < 4:
+        out = np.empty((len(sources), n))
+        out[0] = d0
+        for i in range(1, len(sources)):
+            out[i] = dijkstra(indptr, indices, weights, int(sources[i]), n)
+        return out
+
+    dist = np.full((len(sources), n), INF)
+    dist[np.arange(len(sources)), sources] = 0.0
+    dist[0] = d0
+    for _ in range(max_rounds):
+        cand = dist[:, e_src] + e_w  # (n_sources, 2E)
+        best = np.minimum.reduceat(cand, seg_starts, axis=1)
+        new = dist.copy()
+        new[:, dst_unique] = np.minimum(new[:, dst_unique], best)
+        if np.array_equal(new, dist):
+            return dist
+        dist = new
+    # estimate was off: finish exactly with per-source Dijkstra
+    out = np.empty((len(sources), n))
+    out[0] = d0
+    for i in range(1, len(sources)):
+        out[i] = dijkstra(indptr, indices, weights, int(sources[i]), n)
+    return out
+
+
 def pair_costs(
     g: Graph,
     od_nodes: np.ndarray,
@@ -181,9 +263,16 @@ def pair_costs(
     unroutable. Pair cost = max(ab, ba) per the reference
     (criticality.js:144-171) — symmetric here because the graph is
     undirected, kept for parity of semantics.
+
+    Multi-source vectorized relaxation when several sources amortize it;
+    single-source falls back to Dijkstra.
     """
-    indptr, indices, weights = _csr(g, edge_mask, weight_override)
     n_od = len(od_nodes)
+    if n_od >= 4:
+        dist = multi_source_dists(g, od_nodes, edge_mask, weight_override)
+        mat = dist[:, od_nodes]
+        return np.maximum(mat, mat.T)
+    indptr, indices, weights = _csr(g, edge_mask, weight_override)
     mat = np.full((n_od, n_od), INF)
     for i, s in enumerate(od_nodes):
         dist = dijkstra(indptr, indices, weights, int(s), g.n_nodes)
