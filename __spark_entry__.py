@@ -537,6 +537,18 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_skew_salted_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant two-phase salted aggregation — must equal a plain
+    SUM (the salt only spreads the shuffle)."""
+    from moz_datapipeline_spark.operators.skew import salted_sum
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = salted_sum(li, ["l_returnflag"], "l_quantity", salt=16)
+    return out.select(
+        "l_returnflag", F.round("sum_l_quantity", 4).alias("total_qty")
+    )
+
+
 def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-style pre-tokenizer token counts (LLM token budgeting)."""
     from moz_datapipeline_spark.operators.text import bpe_ish_token_count
@@ -861,6 +873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ivf": q_similarity_ivf,
         "embedding_near_dup": q_embedding_near_dup,
         "token_count": q_token_count,
+        "skew_salted_sum": q_skew_salted_sum,
         "bpe_token_count": q_bpe_token_count,
         "doc_winnowing": q_doc_winnowing,
         "quality_score": q_quality_score,
@@ -1147,6 +1160,10 @@ def oracle_sql() -> dict[str, str]:
                         ELSE len(string_split_regex(trim(text), '\\s+')) END AS INTEGER) AS n_tokens,
                    CAST(length(text) AS INTEGER) AS n_chars_actual
             FROM documents
+        """,
+        "skew_salted_sum": """
+            SELECT l_returnflag, round(sum(l_quantity), 4) AS total_qty
+            FROM lineitem GROUP BY l_returnflag
         """,
         "bpe_token_count": """
             SELECT doc_id,

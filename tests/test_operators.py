@@ -192,6 +192,19 @@ def test_multimodal_feature_plumbing(spark):
     assert list(out.loc[2, "features"]) == [0.0] * 8
 
 
+def test_multimodal_frame_sampling(spark):
+    from moz_datapipeline_spark.operators.multimodal import sample_frames
+
+    rows = [(1, (bytearray(b"xx"), "video/fake", None, None, None, None, 3500))]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, media struct<payload:binary, mime:string, width:int, height:int, sample_rate:int, channels:int, duration_ms:long>",
+    )
+    out = sample_frames(df, every_ms=1000).toPandas()
+    # 3.5 s of video sampled every second → frames at 0,1000,2000,3000 ms
+    assert sorted(out["frame_ms"]) == [0, 1000, 2000, 3000]
+
+
 def test_streaming_hourly_rollup_batch(spark):
     from moz_datapipeline_spark.streaming.events import hourly_rollup
 
