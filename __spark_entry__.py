@@ -1314,4 +1314,94 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY 1
         """,
+        # Leave-one-out criticality, independently derived in pure SQL:
+        # simple-path enumeration via a recursive CTE (tractable on the
+        # synthetic graph), then the reference's stats fold and scoring
+        # (criticality.js:96-110, 232-303). Validates the Spark routing
+        # kernel end-to-end against a second implementation.
+        "criticality": """
+            WITH RECURSIVE
+            keys AS (SELECT n_nationkey AS k FROM nation),
+            chain AS (
+              SELECT 'w' || a.k || '-' || b.k AS way_id, a.k AS s, b.k AS d,
+                     CAST(1.0 + a.k % 5 / 10.0 AS DOUBLE) AS w
+              FROM keys a JOIN keys b ON b.k = a.k + 1
+            ),
+            hwy AS (
+              SELECT 'h' || k || '-' || (k+5) AS way_id, k AS s, k + 5 AS d,
+                     CAST(4.5 AS DOUBLE) AS w
+              FROM keys WHERE k % 3 = 0 AND k + 5 <= (SELECT max(k) FROM keys)
+            ),
+            edges AS (SELECT * FROM chain UNION ALL SELECT * FROM hwy),
+            edges_dir AS (
+              SELECT way_id, s, d, w FROM edges
+              UNION ALL SELECT way_id, d, s, w FROM edges
+            ),
+            od AS (
+              SELECT k FROM (SELECT min(k) AS k FROM keys
+                    UNION SELECT (SELECT k FROM keys ORDER BY k
+                                  LIMIT 1 OFFSET (SELECT count(*)//2 FROM keys))
+                    UNION SELECT max(k) FROM keys) t
+            ),
+            scenarios AS (
+              SELECT way_id AS removed FROM edges UNION ALL SELECT '__none__'
+            ),
+            paths AS (
+              SELECT sc.removed, o.k AS src, o.k AS node,
+                     CAST(0.0 AS DOUBLE) AS dist, [o.k] AS visited
+              FROM scenarios sc, od o
+              UNION ALL
+              SELECT p.removed, p.src, e.d, p.dist + e.w,
+                     list_append(p.visited, e.d)
+              FROM paths p JOIN edges_dir e
+                ON e.s = p.node AND e.way_id <> p.removed
+              WHERE NOT list_contains(p.visited, e.d)
+            ),
+            dists AS (
+              SELECT removed, src, node, min(dist) AS dist
+              FROM paths WHERE node IN (SELECT k FROM od)
+              GROUP BY 1,2,3
+            ),
+            pairs AS (SELECT a.k AS x, b.k AS y FROM od a JOIN od b ON a.k < b.k),
+            pair_dist AS (
+              SELECT sc.removed, p.x, p.y, d1.dist AS dxy, d2.dist AS dyx
+              FROM scenarios sc CROSS JOIN pairs p
+              LEFT JOIN dists d1 ON d1.removed = sc.removed AND d1.src = p.x AND d1.node = p.y
+              LEFT JOIN dists d2 ON d2.removed = sc.removed AND d2.src = p.y AND d2.node = p.x
+            ),
+            scen AS (
+              SELECT removed, x, y,
+                     CASE WHEN dxy IS NULL OR dyx IS NULL THEN NULL
+                          ELSE greatest(dxy, dyx) END AS cost
+              FROM pair_dist
+            ),
+            bench AS (SELECT x, y, cost FROM scen WHERE removed = '__none__'),
+            eval AS (
+              SELECT s.removed, s.cost IS NULL AS unroutable_direct,
+                     CASE WHEN s.cost IS NOT NULL THEN s.cost - b.cost END AS delta
+              FROM scen s JOIN bench b USING (x, y) WHERE s.removed <> '__none__'
+            ),
+            stats AS (
+              SELECT removed AS way_id,
+                     CAST(sum(CASE WHEN unroutable_direct OR delta < 0 THEN 1 ELSE 0 END) AS BIGINT) AS unroutable_pairs,
+                     CAST(sum(CASE WHEN delta > 0 THEN 1 ELSE 0 END) AS BIGINT) AS impacted_pairs,
+                     coalesce(sum(CASE WHEN delta >= 0 THEN delta END)
+                              / nullif(sum(CASE WHEN delta >= 0 AND delta <> 0 THEN 1 ELSE 0 END), 0), 0) AS avg_nz
+              FROM eval GROUP BY 1
+            ),
+            maxima AS (
+              SELECT max((unroutable_pairs + impacted_pairs) * avg_nz) AS avg_max_time,
+                     max(unroutable_pairs) AS max_unroutable
+              FROM stats
+            )
+            SELECT way_id,
+                   round((CASE WHEN avg_max_time > 0
+                               THEN (unroutable_pairs + impacted_pairs) * avg_nz / avg_max_time
+                               ELSE 0 END * 0.4
+                        + CASE WHEN max_unroutable > 0
+                               THEN CAST(unroutable_pairs AS DOUBLE) / max_unroutable
+                               ELSE 0 END * 0.6) * 100, 6) AS score,
+                   unroutable_pairs, impacted_pairs
+            FROM stats, maxima
+        """,
     }
