@@ -1314,6 +1314,145 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY 1
         """,
+        # EAUL per way x upgrade, independently derived in pure SQL:
+        # per-(scenario, flood-state) simple-path enumeration, the
+        # reference's repair-time/increased-user-cost/trapezoid math
+        # (eaul.js:387-415, 565-575, 644-656), and the baseline
+        # unroutable-pair exclusion (eaul.js:204-330). Validates the
+        # Spark scenario engine against a second implementation.
+        "eaul": """
+WITH RECURSIVE
+keys AS (SELECT n_nationkey AS k FROM nation),
+chain AS (
+  SELECT 'w' || a.k || '-' || b.k AS way_id, a.k AS s, b.k AS d,
+         CAST(1.0 + a.k % 5 / 10.0 AS DOUBLE) AS w, CAST(1.0 AS DOUBLE) AS len_part
+  FROM keys a JOIN keys b ON b.k = a.k + 1
+),
+hwy AS (
+  SELECT 'h' || k || '-' || (k+5) AS way_id, k AS s, k + 5 AS d,
+         CAST(4.5 AS DOUBLE) AS w, CAST(4.5 AS DOUBLE) AS len_part
+  FROM keys WHERE k % 3 = 0 AND k + 5 <= (SELECT max(k) FROM keys)
+),
+edges AS (SELECT * FROM chain UNION ALL SELECT * FROM hwy),
+way_order AS (
+  SELECT way_id, row_number() OVER (ORDER BY way_id) - 1 AS i FROM edges
+),
+way_surface AS (
+  SELECT way_id, CASE WHEN i % 2 = 1 THEN 'unpaved' ELSE 'paved' END AS surface
+  FROM way_order
+),
+flooded AS (SELECT unnest(['h6-11', 'w3-4']) AS way_id),
+upgrades AS (
+  SELECT * FROM (VALUES
+    ('upgrade-rehab-asphalt', CAST(0.23 AS DOUBLE), 'paved'),
+    ('upgrade-rehab-gravel', CAST(0.27 AS DOUBLE), 'unpaved'),
+    ('rehab-earth', CAST(0.3 AS DOUBLE), 'unpaved')
+  ) AS t(upgrade_id, ruc, up_surface)
+),
+scenarios AS (
+  SELECT e.way_id AS up_way, u.upgrade_id, u.ruc, u.up_surface
+  FROM edges e CROSS JOIN upgrades u
+  UNION ALL
+  SELECT NULL, 'baseline', NULL, NULL
+),
+states AS (
+  SELECT coalesce(s.up_way, '') || '|' || s.upgrade_id || '|' || f.fl AS state_id,
+         s.up_way, s.upgrade_id, s.ruc, s.up_surface, f.fl
+  FROM scenarios s CROSS JOIN (SELECT unnest([0, 1]) AS fl) f
+),
+state_edges AS (
+  SELECT st.state_id, e.s, e.d,
+         CASE WHEN st.up_way = e.way_id THEN st.ruc * e.len_part ELSE e.w END AS w
+  FROM states st JOIN edges e
+    ON NOT (st.fl = 1 AND e.way_id IN (SELECT way_id FROM flooded))
+),
+state_edges_dir AS (
+  SELECT state_id, s, d, w FROM state_edges
+  UNION ALL SELECT state_id, d, s, w FROM state_edges
+),
+od AS (
+  SELECT k FROM (SELECT min(k) AS k FROM keys
+        UNION SELECT (SELECT k FROM keys ORDER BY k
+                      LIMIT 1 OFFSET (SELECT count(*)//2 FROM keys))
+        UNION SELECT max(k) FROM keys) t
+),
+od_idx AS (SELECT k, row_number() OVER (ORDER BY k) - 1 AS idx FROM od),
+paths AS (
+  SELECT st.state_id, o.k AS src, o.k AS node, CAST(0.0 AS DOUBLE) AS dist, [o.k] AS visited
+  FROM (SELECT DISTINCT state_id FROM states) st, od o
+  UNION ALL
+  SELECT p.state_id, p.src, e.d, p.dist + e.w, list_append(p.visited, e.d)
+  FROM paths p JOIN state_edges_dir e ON e.state_id = p.state_id AND e.s = p.node
+  WHERE NOT list_contains(p.visited, e.d)
+),
+dists AS (
+  SELECT state_id, src, node, min(dist) AS dist
+  FROM paths WHERE node IN (SELECT k FROM od) GROUP BY 1,2,3
+),
+pairs AS (
+  SELECT a.k AS x, a.idx AS xi, b.k AS y, b.idx AS yi
+  FROM od_idx a JOIN od_idx b ON a.k < b.k
+),
+traffic AS (
+  SELECT * FROM (VALUES (0, 1, CAST(73000.0 AS DOUBLE)),
+                        (0, 2, CAST(36500.0 AS DOUBLE)),
+                        (1, 2, CAST(73000.0 AS DOUBLE))) AS t(xi, yi, yearly)
+),
+pair_cost AS (
+  SELECT st.state_id, p.xi, p.yi,
+         CASE WHEN d1.dist IS NULL OR d2.dist IS NULL THEN NULL
+              ELSE greatest(d1.dist, d2.dist) END AS cost
+  FROM (SELECT DISTINCT state_id FROM states) st CROSS JOIN pairs p
+  LEFT JOIN dists d1 ON d1.state_id = st.state_id AND d1.src = p.x AND d1.node = p.y
+  LEFT JOIN dists d2 ON d2.state_id = st.state_id AND d2.src = p.y AND d2.node = p.x
+),
+excluded AS (
+  SELECT pc.xi, pc.yi FROM pair_cost pc
+  JOIN states st ON st.state_id = pc.state_id
+  WHERE st.upgrade_id = 'baseline' AND st.fl = 1 AND pc.cost IS NULL
+  UNION
+  SELECT xi, yi FROM traffic WHERE yearly = 0
+),
+sums AS (
+  SELECT st.up_way, st.upgrade_id,
+         sum((fc.cost - nc.cost) * tr.yearly) AS s_diff
+  FROM states st
+  JOIN pair_cost fc ON fc.state_id = st.state_id AND st.fl = 1
+  JOIN pair_cost nc ON nc.state_id = replace(st.state_id, '|1', '|0')
+                    AND nc.xi = fc.xi AND nc.yi = fc.yi
+  JOIN traffic tr ON tr.xi = fc.xi AND tr.yi = fc.yi
+  WHERE NOT EXISTS (SELECT 1 FROM excluded ex WHERE ex.xi = fc.xi AND ex.yi = fc.yi)
+    AND fc.cost IS NOT NULL
+  GROUP BY 1, 2
+),
+repair AS (
+  SELECT st.up_way, st.upgrade_id,
+         max(CASE WHEN coalesce(st.up_way, '') = f.way_id THEN
+               CASE WHEN st.up_surface = 'paved' THEN 1056.0 ELSE 4320.0 END
+             ELSE CASE WHEN ws.surface = 'paved' THEN 1056.0 ELSE 4320.0 END
+             END * 0.5 / 24.0) AS r8,
+         max(CASE WHEN coalesce(st.up_way, '') = f.way_id THEN
+               CASE WHEN st.up_surface = 'paved' THEN 1056.0 ELSE 4320.0 END
+             ELSE CASE WHEN ws.surface = 'paved' THEN 1056.0 ELSE 4320.0 END
+             END * 1.0 / 24.0) AS r9
+  FROM states st
+  CROSS JOIN flooded f
+  JOIN way_surface ws ON ws.way_id = f.way_id
+  WHERE st.fl = 1
+  GROUP BY 1, 2
+),
+eaul_calc AS (
+  SELECT coalesce(s.up_way, '__baseline__') AS way_id, s.upgrade_id,
+         0.5 * ((1.0/250 - 1.0/500) * (r.r8 * s.s_diff)
+              + (1.0/500 - 1.0/1000) * (r.r8 * s.s_diff + r.r9 * s.s_diff)) AS eaul_raw
+  FROM sums s JOIN repair r
+    ON coalesce(s.up_way,'') = coalesce(r.up_way,'') AND s.upgrade_id = r.upgrade_id
+)
+SELECT way_id, upgrade_id,
+       round(CASE WHEN abs(eaul_raw) < 1.0 THEN 0.0 ELSE eaul_raw END, 4) AS eaul
+FROM eaul_calc
+
+        """,
         # Leave-one-out criticality, independently derived in pure SQL:
         # simple-path enumeration via a recursive CTE (tractable on the
         # synthetic graph), then the reference's stats fold and scoring
