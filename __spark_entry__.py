@@ -1453,6 +1453,113 @@ SELECT way_id, upgrade_id,
 FROM eaul_calc
 
         """,
+        # IVF approximate top-k replicated exactly in SQL: same
+        # deterministic centroid sample, assignment, probing, ranking.
+        "similarity_ivf": """
+WITH ordered AS (
+  SELECT vec_id, embedding,
+         row_number() OVER (ORDER BY vec_id) - 1 AS rn,
+         count(*) OVER () AS n
+  FROM embeddings
+),
+params AS (SELECT greatest(max(n) // 16, 1) AS step FROM ordered),
+cent AS (
+  SELECT o.vec_id AS centroid_id,
+         list_transform(o.embedding, x -> CAST(x AS DOUBLE)) AS ce
+  FROM ordered o, params p
+  WHERE o.rn % p.step = 0 AND o.rn // p.step < 16
+),
+corpus AS (
+  SELECT vec_id AS corpus_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+  FROM ordered
+),
+assigned AS (
+  SELECT corpus_id, cv, centroid_id AS list_id
+  FROM corpus CROSS JOIN cent
+  QUALIFY row_number() OVER (
+    PARTITION BY corpus_id
+    ORDER BY list_cosine_similarity(cv, ce) DESC, centroid_id ASC) = 1
+),
+queries AS (
+  SELECT vec_id AS query_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+  FROM ordered WHERE vec_id < 5
+),
+probed AS (
+  SELECT query_id, qv, centroid_id AS list_id
+  FROM queries CROSS JOIN cent
+  QUALIFY row_number() OVER (
+    PARTITION BY query_id
+    ORDER BY list_cosine_similarity(qv, ce) DESC, centroid_id ASC) <= 4
+),
+scored AS (
+  SELECT p.query_id, a.corpus_id,
+         list_cosine_similarity(p.qv, a.cv) AS cos_raw
+  FROM assigned a JOIN probed p USING (list_id)
+  WHERE a.corpus_id <> p.query_id
+)
+SELECT query_id, corpus_id, round(cos_raw, 6) AS cosine,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_raw DESC, corpus_id ASC) AS INTEGER) AS rank
+FROM scored
+QUALIFY rank <= 3
+
+        """,
+        "dedup_clusters": """
+            WITH RECURSIVE docs AS (
+              SELECT doc_id,
+                     list_distinct(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS words,
+                     array_to_string(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')[1:4], ' ') AS bucket
+              FROM documents
+            ), cand AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM docs a JOIN docs b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+              WHERE CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+                    / len(list_distinct(list_concat(a.words, b.words))) >= 0.3
+            ), undirected AS (
+              SELECT id_a AS u, id_b AS v FROM cand
+              UNION SELECT id_b, id_a FROM cand
+            ), nodes AS (SELECT DISTINCT u AS id FROM undirected),
+            reach AS (
+              SELECT id, id AS r FROM nodes
+              UNION
+              SELECT reach.id, e.v FROM reach JOIN undirected e ON e.u = reach.r
+            )
+            SELECT comp AS component, count(*) AS cluster_size
+            FROM (SELECT id, min(r) AS comp FROM reach GROUP BY id)
+            GROUP BY comp ORDER BY comp
+        """,
+        "raster_stats": """
+            WITH ways AS (
+              SELECT 'w' || n_nationkey AS way_id FROM nation
+            ), periods AS (
+              SELECT unnest([5,10,20,50,75,100,200,250,500,1000]) AS return_period,
+                     unnest([0,1,2,3,4,5,6,7,8,9]) AS rank
+            ), h AS (
+              SELECT way_id,
+                     CAST(('0x' || substr(md5(way_id), 1, 8)) AS BIGINT) % 1000 / 1000.0 AS hv
+              FROM ways
+            )
+            SELECT way_id, return_period,
+                   hv * rank * 0.5 AS max_depth_m,
+                   least(100.0, hv * rank * 12.5) AS pct_flooded
+            FROM h CROSS JOIN periods
+        """,
+        "multimodal_features": """
+            WITH d AS (
+              SELECT doc_id, substr(text, 1, 64) AS payload FROM documents
+              WHERE doc_id < 100
+            ), chars AS (
+              SELECT doc_id, payload,
+                     unnest(generate_series(1, length(payload))) AS i
+              FROM d
+            )
+            SELECT doc_id,
+                   round(avg(ord(substr(payload, i, 1))), 6) AS mean_byte,
+                   CAST(max(length(payload)) AS DOUBLE) AS payload_len
+            FROM chars GROUP BY doc_id
+        """,
         # Leave-one-out criticality, independently derived in pure SQL:
         # simple-path enumeration via a recursive CTE (tractable on the
         # synthetic graph), then the reference's stats fold and scoring

@@ -44,8 +44,10 @@ def _sample(way_id: str, period: int, use_real: bool) -> tuple[float, float]:
 
     h = int(hashlib.md5(way_id.encode()).hexdigest()[:8], 16) % 1000 / 1000.0
     rank = RETURN_PERIODS.index(period)
-    depth = round(h * rank * 0.5, 3)
-    pct = round(min(100.0, h * rank * 12.5), 3)
+    # no rounding: keep the arithmetic bit-identical across engines so the
+    # stub is oracle-checkable (python round() is banker's, SQL's isn't)
+    depth = h * rank * 0.5
+    pct = min(100.0, h * rank * 12.5)
     return depth, pct
 
 
