@@ -518,11 +518,16 @@ def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs via LSH buckets (rows-only check)."""
+    """Embedding-cosine near-dup pairs via LSH buckets.
+
+    Threshold 0.3: the synthetic embeddings carry no true duplicates
+    (max in-bucket cosine ≈ 0.47), so a production-style 0.9 threshold
+    would make the check vacuous."""
     from moz_datapipeline_spark.operators.similarity import embedding_near_dup
 
     emb = _t(spark, sf_dir, "embeddings")
-    return embedding_near_dup(emb, threshold=0.9, dim=64, n_planes=8)
+    out = embedding_near_dup(emb, threshold=0.3, dim=64, n_planes=8)
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -890,8 +895,144 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def _embedding_near_dup_oracle() -> str:
+    """LSH near-dup oracle: the deterministic hyperplanes are computed
+    here (same code path as the Spark operator) and inlined as literals,
+    so DuckDB replays the identical bucket assignment."""
+    from moz_datapipeline_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(64, 8)
+    values = ", ".join(
+        f"({p}, {list(plane)})" for p, plane in enumerate(planes)
+    )
+    return f"""
+        WITH planes AS (
+          SELECT * FROM (VALUES {values}) AS t(pidx, vec)
+        ),
+        v AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+          FROM embeddings
+        ),
+        signs AS (
+          SELECT v.vec_id, p.pidx,
+                 CASE WHEN list_dot_product(v.emb, p.vec) > 0
+                      THEN CAST(1 AS BIGINT) << p.pidx ELSE 0 END AS bit
+          FROM v CROSS JOIN planes p
+        ),
+        buckets AS (
+          SELECT vec_id, CAST(sum(bit) AS BIGINT) AS bucket
+          FROM signs GROUP BY vec_id
+        ),
+        joined AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM buckets a JOIN buckets b
+            ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        )
+        SELECT j.id_a, j.id_b,
+               round(list_cosine_similarity(va.emb, vb.emb), 6) AS cosine
+        FROM joined j
+        JOIN v va ON va.vec_id = j.id_a
+        JOIN v vb ON vb.vec_id = j.id_b
+        WHERE list_cosine_similarity(va.emb, vb.emb) >= 0.3
+    """
+
+
+_NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+_PHASH = "CAST(('0x' || substr(md5({v}), 1, 15)) AS BIGINT)"
+
+
+def _minhash_oracle(num_hashes: int = 32, bands: int = 8) -> str:
+    """MinHash+LSH oracle: identical portable hashing (md5-int), the same
+    permutation constants (generated by the same Python code as the Spark
+    operator), 3-gram polynomial combine, band md5 digests, bucket join."""
+    from moz_datapipeline_spark.operators.dedup import _MERSENNE_P, _minhash_params
+
+    p = _MERSENNE_P
+    tok_hash = _PHASH.format(v="t")
+    perms = ",\n                   ".join(
+        f"list_min(list_transform(kg, h -> (h * {a} + {b}) % {p}))"
+        for a, b in _minhash_params(num_hashes)
+    )
+    rows_per_band = num_hashes // bands
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents
+        ), hashed AS (
+          SELECT doc_id,
+                 list_transform(t, t -> {tok_hash} % {p}) AS th
+          FROM toks WHERE len(t) >= 3
+        ), grams AS (
+          SELECT doc_id,
+                 list_transform(generate_series(1, len(th) - 2),
+                   i -> ((th[i] * 1000003 + th[i+1]) % {p} * 1000003 + th[i+2]) % {p}
+                 ) AS kg
+          FROM hashed
+        ), sigs AS (
+          SELECT doc_id, [{perms}] AS sig FROM grams
+        ), banded AS (
+          SELECT doc_id, b AS band_idx,
+                 md5(array_to_string(sig[b*{rows_per_band}+1 : (b+1)*{rows_per_band}], ',')) AS band_hash
+          FROM sigs, unnest(generate_series(0, {bands - 1})) AS u(b)
+        )
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+    """
+
+
+def _simhash_oracle(bits: int = 64, chunks: int = 4, max_hamming: int = 12) -> str:
+    """SimHash oracle: portable token hash, 64 bit-vote sums, signature
+    assembly, 16-bit chunk bucketing, Hamming filter — mirroring
+    ``operators/dedup.simhash`` + ``simhash_candidates`` exactly.
+    (Bits ≥ 60 never set with a 60-bit hash, identically in both engines.)"""
+    tok_hash = _PHASH.format(v="t")
+    votes = ",\n                 ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(bits)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN v{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+        for i in range(60)  # 60-bit hash -> higher bits always clear
+    )
+    width = 64 // chunks
+    mask = (1 << width) - 1
+    return f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_distinct(string_split({_NORM}, ' ')) AS t
+          FROM documents
+        ), hashed AS (
+          SELECT doc_id, unnest(list_transform(t, t -> {tok_hash})) AS h
+          FROM toks
+        ), votes AS (
+          SELECT doc_id,
+                 {votes}
+          FROM hashed GROUP BY doc_id
+        ), sigs AS (
+          SELECT doc_id, {sig} AS simhash FROM votes
+        ), chunked AS (
+          SELECT doc_id, simhash, c AS chunk_idx,
+                 (simhash >> (c * {width})) & {mask} AS chunk_val
+          FROM sigs, unnest(generate_series(0, {chunks - 1})) AS u(c)
+        ), pairs AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                 a.simhash AS sa, b.simhash AS sb
+          FROM chunked a JOIN chunked b
+            ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val
+           AND a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b,
+               CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+        FROM pairs WHERE bit_count(xor(sa, sb)) <= {max_hamming}
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "embedding_near_dup": _embedding_near_dup_oracle(),
+        "dedup_minhash_lsh": _minhash_oracle(),
+        "dedup_simhash": _simhash_oracle(),
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    sum(l_quantity) AS sum_qty,

@@ -24,6 +24,17 @@ from pyspark.sql import functions as F
 _MERSENNE_P = (1 << 31) - 1
 
 
+def _portable_hash(col: Column) -> Column:
+    """Engine-portable 60-bit token hash: first 15 hex digits of md5.
+
+    Replaces xxhash64 so the minhash/simhash pipelines are reproducible
+    on any engine with md5 (the DuckDB oracle replays them exactly);
+    md5 costs more CPU than xxhash64 but the hash is a small fraction
+    of the dedup pipeline.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 def _normalized(text: Column) -> Column:
     return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
 
@@ -88,7 +99,7 @@ def minhash_signatures(
     # benchmarked ~20× slower.
     toks = F.split(_normalized(F.col(text_col)), " ")
     th = F.transform(
-        toks, lambda t: F.pmod(F.xxhash64(t), F.lit(_MERSENNE_P))
+        toks, lambda t: F.pmod(_portable_hash(t), F.lit(_MERSENNE_P))
     )
     n = F.size(th)
     combined = th
@@ -134,7 +145,8 @@ def minhash_lsh_candidates(
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
+                # md5 band digest (portable across engines, cf. _portable_hash)
+                lambda b: F.md5(
                     F.concat_ws(
                         ",",
                         F.transform(
@@ -211,7 +223,7 @@ def simhash(
     toks = F.array_distinct(F.split(_normalized(F.col(text_col)), " "))
     exploded = df.select(
         F.col(id_col),
-        F.explode(F.transform(toks, lambda t: F.xxhash64(t))).alias("_h"),
+        F.explode(F.transform(toks, lambda t: _portable_hash(t))).alias("_h"),
     )
     votes = [
         F.sum(
