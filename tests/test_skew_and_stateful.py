@@ -92,6 +92,73 @@ def test_stateful_dedup_stream(spark, tmp_path):
         q.stop()
 
 
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Streaming rollup with a watermark: events older than the watermark
+    horizon are dropped once the watermark advances past their window."""
+    import json
+
+    from moz_datapipeline_spark.streaming.events import hourly_rollup
+
+    src = tmp_path / "wm_in"
+    src.mkdir()
+    chk = str(tmp_path / "wm_chk")
+
+    def write_batch(name, rows):
+        with open(src / name, "w") as fh:
+            for r in rows:
+                fh.write(json.dumps(r) + "\n")
+
+    stream = (
+        spark.readStream.schema("ts string, event_type string, value double")
+        .json(str(src))
+        .withColumn("ts", F.to_timestamp("ts"))
+        .withWatermark("ts", "1 hour")
+    )
+    q = (
+        hourly_rollup(stream)
+        .writeStream.format("memory")
+        .queryName("wm_out")
+        .outputMode("append")
+        .option("checkpointLocation", chk)
+        .start()
+    )
+    try:
+        write_batch("b1.json", [
+            {"ts": "2024-01-01 00:10:00", "event_type": "c", "value": 1.0},
+            {"ts": "2024-01-01 00:20:00", "event_type": "c", "value": 2.0},
+        ])
+        q.processAllAvailable()
+        # advance event time far beyond hour 0 + watermark → hour-0 window closes
+        write_batch("b2.json", [
+            {"ts": "2024-01-01 05:00:00", "event_type": "c", "value": 4.0},
+        ])
+        q.processAllAvailable()
+        closed = spark.sql(
+            "SELECT total_value FROM wm_out ORDER BY window_start"
+        ).toPandas()
+        assert closed["total_value"].tolist() == [3.0]  # hour 0 emitted on close
+
+        # a LATE event for hour 0 (watermark now at 04:00) must be dropped
+        write_batch("b3.json", [
+            {"ts": "2024-01-01 00:30:00", "event_type": "c", "value": 100.0},
+            {"ts": "2024-01-01 06:00:00", "event_type": "c", "value": 8.0},
+        ])
+        q.processAllAvailable()
+        write_batch("b4.json", [
+            {"ts": "2024-01-01 09:00:00", "event_type": "c", "value": 16.0},
+        ])
+        q.processAllAvailable()
+        out = spark.sql(
+            "SELECT window_start, total_value FROM wm_out ORDER BY window_start"
+        ).toPandas()
+        # hour 0 stays 3.0 — the late 100.0 never lands anywhere
+        assert out["total_value"].tolist()[0] == 3.0
+        assert 100.0 not in out["total_value"].tolist()
+        assert 103.0 not in out["total_value"].tolist()
+    finally:
+        q.stop()
+
+
 def test_dedup_batch_twin(spark):
     from moz_datapipeline_spark.streaming.stateful import dedup_batch
 
