@@ -159,6 +159,54 @@ def test_watermark_drops_late_events(spark, tmp_path):
         q.stop()
 
 
+def test_session_window_streaming(spark, tmp_path):
+    """Native session_window under readStream: events within the gap fuse
+    into one session; a gap larger than 30 min splits sessions."""
+    import json
+
+    from moz_datapipeline_spark.streaming.events import sessionize_streaming
+
+    src = tmp_path / "sess_in"
+    src.mkdir()
+    chk = str(tmp_path / "sess_chk")
+    rows = [
+        {"ts": "2024-01-01 00:00:00", "user_id": 1},
+        {"ts": "2024-01-01 00:10:00", "user_id": 1},   # same session
+        {"ts": "2024-01-01 02:00:00", "user_id": 1},   # new session (gap 110m)
+        {"ts": "2024-01-01 00:05:00", "user_id": 2},
+        # watermark driver: pushes event time forward so sessions close
+        {"ts": "2024-01-01 09:00:00", "user_id": 99},
+    ]
+    with open(src / "b1.json", "w") as fh:
+        for r in rows:
+            fh.write(json.dumps(r) + "\n")
+
+    stream = (
+        spark.readStream.schema("ts string, user_id long")
+        .json(str(src))
+        .withColumn("ts", F.to_timestamp("ts"))
+        .withWatermark("ts", "10 minutes")
+    )
+    q = (
+        sessionize_streaming(stream, gap="30 minutes")
+        .writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("append")
+        .option("checkpointLocation", chk)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        out = spark.sql(
+            "SELECT user_id, n_events FROM sess_out ORDER BY user_id, session_start"
+        ).toPandas()
+        u1 = out[out.user_id == 1]["n_events"].tolist()
+        assert u1 == [2, 1]  # fused session of 2, then a separate 1
+        assert out[out.user_id == 2]["n_events"].tolist() == [1]
+    finally:
+        q.stop()
+
+
 def test_dedup_batch_twin(spark):
     from moz_datapipeline_spark.streaming.stateful import dedup_batch
 
