@@ -94,6 +94,36 @@ def linestring_coords(coordinates_json: str | F.Column) -> F.Column:
     )
 
 
+def read_shapefile(
+    spark: SparkSession, path: str, target_crs: str = "EPSG:4326"
+) -> DataFrame:
+    """S1: Shapefile scan + reprojection (ogr2ogr -t_srs equivalent,
+    scripts/base-network.sh:98-99).
+
+    Requires geopandas (not installed in this environment — the
+    GeoJSON path covers the same row contract); raises a clear error
+    otherwise. Rows surface with a ``coordinates`` array column in the
+    engine's LINESTRING_COORDS convention.
+    """
+    try:
+        import geopandas  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "read_shapefile needs geopandas; convert to GeoJSON and use "
+            "read_geojson_features, or install geopandas"
+        ) from exc
+    gdf = geopandas.read_file(path).to_crs(target_crs)
+    records = []
+    for _, row in gdf.iterrows():
+        geom = row.geometry
+        coords = [
+            {"lon": float(x), "lat": float(y)} for x, y in geom.coords
+        ] if geom is not None and geom.geom_type == "LineString" else None
+        props = {k: row[k] for k in gdf.columns if k != "geometry"}
+        records.append({**props, "coordinates": coords})
+    return spark.createDataFrame(records)
+
+
 def read_osm_ways(spark: SparkSession, path: str) -> DataFrame:
     """S6: OSM XML → ways rows (NAME, nodes array, tags as columns).
 
