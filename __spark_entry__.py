@@ -229,6 +229,56 @@ def q_reverse_pair_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join, filtered both sides, agg + exact top-10
+    (deterministic tie-break so LIMIT hash-matches across engines)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    out = (
+        c.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .filter(
+            (F.col("o_orderdate") < "1995-03-15")
+            & (F.col("l_shipdate") > "1995-03-15")
+        )
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+    )
+    return out.orderBy(
+        F.col("revenue").desc(), F.col("l_orderkey").asc()
+    ).limit(10)
+
+
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 5-way join with a same-nation predicate; revenue
+    per nation (join-reordering and broadcast exercise)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
 def q_anti_join_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J13-ish: entities missing from a join (merge-indicators.js:110-125
     miss reporting) — customers with no orders."""
@@ -860,6 +910,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_indicators": q_merge_indicators,
         "argmin_join": q_argmin_join,
         "reverse_pair_fold": q_reverse_pair_fold,
+        "shipping_priority": q_shipping_priority,
+        "local_supplier_volume": q_local_supplier_volume,
         "anti_join_missing": q_anti_join_missing,
         "unpivot": q_unpivot,
         "trapezoid_integration": q_trapezoid_integration,
@@ -1151,6 +1203,31 @@ def oracle_sql() -> dict[str, str]:
             FROM directed
             WHERE origin <> destination
             GROUP BY 1, 2
+        """,
+        "shipping_priority": """
+            SELECT l_orderkey, o_orderdate,
+                   sum(l_extendedprice * (1 - l_discount)) AS revenue
+            FROM customer
+            JOIN orders   ON c_custkey = o_custkey
+            JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+              AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+            GROUP BY l_orderkey, o_orderdate
+            ORDER BY revenue DESC, l_orderkey ASC
+            LIMIT 10
+        """,
+        "local_supplier_volume": """
+            SELECT n_name,
+                   sum(l_extendedprice * (1 - l_discount)) AS revenue,
+                   count(*) AS n_lines
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            WHERE c_nationkey = s_nationkey
+            GROUP BY n_name
         """,
         "anti_join_missing": """
             SELECT c_custkey, c_name FROM customer

@@ -30,6 +30,8 @@ HEADLINE = [
     "global_max_normalize",
     "percentile_filter",
     "multiway_join",
+    "shipping_priority",
+    "local_supplier_volume",
     "merge_indicators",
     "argmin_join",
     "reverse_pair_fold",

@@ -49,25 +49,20 @@ def connected_components(
             .groupBy(F.col("u").alias("id"))
             .agg(F.min("component").alias("_nmin"))
         )
-        updated = (
-            labels.join(neighbor_min, "id", "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("_nmin"), F.col("component"))
-                ).alias("component"),
-            )
+        new_label = F.least(
+            F.col("component"), F.coalesce(F.col("_nmin"), F.col("component"))
         )
-        changed = (
-            updated.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
+        # carry the changed flag inline — saves a labels⨝updated join per round
+        updated = labels.join(neighbor_min, "id", "left").select(
+            "id",
+            new_label.alias("component"),
+            (new_label != F.col("component")).alias("_changed"),
         )
         # materialize the new labels so the next round doesn't re-derive
         # the whole lineage (iterative algorithms grow plans exponentially)
         updated = updated.localCheckpoint(eager=True)
-        labels = updated
+        changed = updated.filter(F.col("_changed")).count()
+        labels = updated.drop("_changed")
         if changed == 0:
             break
     edges.unpersist()
