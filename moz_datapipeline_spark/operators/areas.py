@@ -89,7 +89,6 @@ def clipped_segment_length(
                           F.col(cmaxy) if isinstance(cmaxy, str) else cmaxy)
     t_in = F.greatest(tx0, ty0, F.lit(0.0))
     t_out = F.least(tx1, ty1, F.lit(1.0))
-    inside_x = F.when(dx != 0, F.lit(None).cast("double")).otherwise(ax)
     frac = F.greatest(t_out - t_in, F.lit(0.0))
     seg_len = F.sqrt(dx * dx + dy * dy)
     # degenerate axis: if dx==0 require minx<=ax<=maxx (same for y)
@@ -101,7 +100,6 @@ def clipped_segment_length(
         (ay >= (F.col(cminy) if isinstance(cminy, str) else cminy))
         & (ay <= (F.col(cmaxy) if isinstance(cmaxy, str) else cmaxy))
     )
-    _ = inside_x  # documented above; not a separate output
     return F.when(ok_x & ok_y, seg_len * frac).otherwise(F.lit(0.0))
 
 
