@@ -469,6 +469,29 @@ def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 # training-data pipeline operators (north-star extensions)
 # ---------------------------------------------------------------------------
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (backward, inclusive): each click event picks up the
+    user's most recent error at-or-before it. The union-and-carry plan
+    replaces the per-row lookup Spark lacks natively."""
+    from moz_datapipeline_spark.operators.temporal import asof_join
+
+    e = _events(spark, sf_dir)
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.col("ts").alias("ts_ns"), "value"
+    )
+    errors = e.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("ts").alias("ts_ns"), F.col("value").alias("err_value")
+    )
+    out = asof_join(clicks, errors, key="user_id", ts="ts_ns",
+                    right_value_cols=["err_value"])
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("err_value_right").alias("last_err_value"),
+        F.col("ts_ns_right").alias("last_err_ts"),
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup via content-hash groupBy."""
     from moz_datapipeline_spark.operators.dedup import exact_dedup
@@ -921,6 +944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_bbox_join": q_spatial_bbox_join,
         "events_hourly": q_events_hourly,
         "sessionization": q_sessionization,
+        "asof_join": q_asof_join,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1335,6 +1359,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(session_id) AS BIGINT) AS n_sessions,
                    count(*) AS n_events
             FROM sess GROUP BY user_id
+        """,
+        "asof_join": """
+            WITH clicks AS (
+              SELECT event_id, user_id, epoch_ns(ts) AS ts_ns, value
+              FROM events WHERE event_type = 'click'
+            ), errors AS (
+              SELECT user_id, epoch_ns(ts) AS ts_ns, value AS err_value
+              FROM events WHERE event_type = 'error'
+            )
+            SELECT c.event_id, c.user_id,
+                   e.err_value AS last_err_value,
+                   e.ts_ns AS last_err_ts
+            FROM clicks c
+            ASOF LEFT JOIN errors e
+              ON c.user_id = e.user_id AND e.ts_ns <= c.ts_ns
         """,
         "dedup_exact": """
             SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_hash,
