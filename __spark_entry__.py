@@ -492,6 +492,52 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed range join (big-big path, no broadcast): order totals
+    classified into price bands derived from part keys."""
+    from moz_datapipeline_spark.operators.ranges import bucketed_range_join
+
+    o = _t(spark, sf_dir, "orders")
+    bands = _t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 40).select(
+        F.col("p_partkey").alias("band_id"),
+        (F.col("p_partkey") * 12000.0).alias("lo"),
+        (F.col("p_partkey") * 12000.0 + 12000.0).alias("hi"),
+    )
+    joined = bucketed_range_join(
+        o.select("o_orderkey", "o_totalprice"),
+        bands,
+        point_col="o_totalprice",
+        lo_col="lo",
+        hi_col="hi",
+        bucket_width=12000.0,
+    )
+    return joined.groupBy("band_id").agg(
+        F.count("*").alias("n_orders"),
+        F.sum("o_totalprice").alias("band_total"),
+    )
+
+
+def q_multi_resolution_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: hourly AND daily rollups in
+    one grouping-sets pass over the event stream."""
+    e = _events(spark, sf_dir)
+    bucketed = e.select(
+        (F.floor(F.col("ts") / F.lit(3_600_000_000_000)) * 3600).alias("hour_epoch"),
+        (F.floor(F.col("ts") / F.lit(86_400_000_000_000)) * 86400).alias("day_epoch"),
+        "event_type",
+        "value",
+    )
+    bucketed.createOrReplaceTempView("_mrr_events")
+    return spark.sql(
+        """
+        SELECT hour_epoch, day_epoch, event_type,
+               count(*) AS n_events, sum(value) AS total_value
+        FROM _mrr_events
+        GROUP BY GROUPING SETS ((hour_epoch, event_type), (day_epoch, event_type))
+        """
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup via content-hash groupBy."""
     from moz_datapipeline_spark.operators.dedup import exact_dedup
@@ -945,6 +991,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "sessionization": q_sessionization,
         "asof_join": q_asof_join,
+        "range_join_bucketed": q_range_join_bucketed,
+        "multi_resolution_rollup": q_multi_resolution_rollup,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1359,6 +1407,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(session_id) AS BIGINT) AS n_sessions,
                    count(*) AS n_events
             FROM sess GROUP BY user_id
+        """,
+        "range_join_bucketed": """
+            WITH bands AS (
+              SELECT p_partkey AS band_id,
+                     p_partkey * 12000.0 AS lo,
+                     p_partkey * 12000.0 + 12000.0 AS hi
+              FROM part WHERE p_partkey <= 40
+            )
+            SELECT band_id, count(*) AS n_orders,
+                   sum(o_totalprice) AS band_total
+            FROM orders JOIN bands
+              ON o_totalprice >= lo AND o_totalprice < hi
+            GROUP BY band_id
+        """,
+        "multi_resolution_rollup": """
+            WITH b AS (
+              SELECT epoch_ns(ts) // 3600000000000 * 3600 AS hour_epoch,
+                     epoch_ns(ts) // 86400000000000 * 86400 AS day_epoch,
+                     event_type, value
+              FROM events
+            )
+            SELECT hour_epoch, day_epoch, event_type,
+                   count(*) AS n_events, sum(value) AS total_value
+            FROM b
+            GROUP BY GROUPING SETS ((hour_epoch, event_type), (day_epoch, event_type))
         """,
         "asof_join": """
             WITH clicks AS (

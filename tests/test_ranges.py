@@ -1,0 +1,39 @@
+"""Bucketed range join vs a plain inequality join (ground truth)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_bucketed_range_join_matches_plain(spark):
+    from moz_datapipeline_spark.operators.ranges import bucketed_range_join
+
+    points = spark.range(0, 1000).select(
+        (F.col("id") * 0.37).alias("p"), F.col("id").alias("pid")
+    )
+    intervals = spark.createDataFrame(
+        [(i, i * 7.0, i * 7.0 + 11.0) for i in range(60)],
+        "iid int, lo double, hi double",
+    )
+    got = bucketed_range_join(
+        points, intervals, "p", "lo", "hi", bucket_width=5.0
+    ).select("pid", "iid")
+    want = points.join(
+        intervals, (F.col("p") >= F.col("lo")) & (F.col("p") < F.col("hi"))
+    ).select("pid", "iid")
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_bucketed_range_join_boundaries(spark):
+    from moz_datapipeline_spark.operators.ranges import bucketed_range_join
+
+    # hi is exclusive; points exactly on lo included, on hi excluded —
+    # including when lo/hi sit exactly on bucket edges
+    points = spark.createDataFrame(
+        [(10.0, 1), (20.0, 2), (15.0, 3)], "p double, pid int"
+    )
+    intervals = spark.createDataFrame([(1, 10.0, 20.0)], "iid int, lo double, hi double")
+    out = bucketed_range_join(points, intervals, "p", "lo", "hi", 10.0).toPandas()
+    assert sorted(out["pid"]) == [1, 3]  # 20.0 excluded (hi), 10.0 included (lo)
