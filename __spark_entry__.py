@@ -740,6 +740,15 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stable_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10 % sample of documents by content-addressed hash —
+    identical membership on any engine, partitioning, or rerun."""
+    from moz_datapipeline_spark.operators.text import stable_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return stable_sample(d, 0.1, "doc_id").select("doc_id", "lang", "n_chars")
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic content fingerprint (md5 of normalized text)."""
     d = _t(spark, sf_dir, "documents")
@@ -1008,6 +1017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
+        "stable_sample": q_stable_sample,
         "criticality": q_criticality,
         "eaul": q_eaul,
         "bridge_snap": q_bridge_snap,
@@ -1565,6 +1575,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
             FROM documents
+        """,
+        "stable_sample": f"""
+            SELECT doc_id, lang, n_chars
+            FROM documents
+            WHERE CAST(('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                  < {int(0.1 * (1 << 60))}
         """,
         "bridge_snap": """
             WITH bridges AS (

@@ -58,6 +58,9 @@ HEADLINE = [
     "criticality",
     "eaul",
     "raster_stats",
+    "asof_join",
+    "range_join_bucketed",
+    "multi_resolution_rollup",
 ]
 
 

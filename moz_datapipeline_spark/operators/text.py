@@ -159,6 +159,27 @@ def winnow_fingerprints(
     return mins.select(id_col, F.col("win_min").alias("fingerprint")).distinct()
 
 
+def stable_sample(
+    df: DataFrame, fraction: float, key_col: str, seed: str = "sample"
+) -> DataFrame:
+    """Deterministic content-addressed sampling: keep a row iff
+    ``hash(seed, key) < fraction`` of the hash space.
+
+    Unlike ``df.sample()`` this is stable across runs, partitionings,
+    and engines (md5-based), so train/eval splits and downsampling
+    decisions are reproducible and a row's fate never changes when the
+    corpus is re-sharded — the property a 100 TB pipeline needs for
+    incremental reprocessing.
+    """
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(seed), F.lit(":"), F.col(key_col).cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    space = float(1 << 60)
+    return df.filter(h < F.lit(int(fraction * space)))
+
+
 def fingerprint(text: Column | str) -> Column:
     """64-bit content fingerprint of whitespace-normalized, lowercased text."""
     t = F.col(text) if isinstance(text, str) else text
