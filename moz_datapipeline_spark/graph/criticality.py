@@ -70,15 +70,17 @@ def _way_stats(
                 from moz_datapipeline_spark.graph.kernel import multi_source_dists
 
                 dists = multi_source_dists(
-                    g, od_nodes[affected], edge_mask=mask
+                    g, od_nodes[affected], edge_mask=mask, targets=od_nodes
                 )
                 mat[affected, :] = dists[:, od_nodes]
                 mat = np.maximum(mat, mat.T)
             elif affected:
                 indptr, indices, weights = _csr(g, mask, None)
                 for i in affected:
+                    # only OD columns read → early-exit at last target
                     dist = dijkstra(
-                        indptr, indices, weights, int(od_nodes[i]), g.n_nodes
+                        indptr, indices, weights, int(od_nodes[i]),
+                        g.n_nodes, targets=od_nodes,
                     )
                     mat[i, :] = dist[od_nodes]
                 mat = np.maximum(mat, mat.T)

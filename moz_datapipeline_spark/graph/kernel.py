@@ -85,16 +85,39 @@ def _csr(
 
 
 def dijkstra(
-    indptr: np.ndarray, indices: np.ndarray, weights: np.ndarray, source: int, n: int
+    indptr: np.ndarray,
+    indices: np.ndarray,
+    weights: np.ndarray,
+    source: int,
+    n: int,
+    targets: np.ndarray | None = None,
 ) -> np.ndarray:
-    """Single-source shortest path; returns dist array (inf = unreachable)."""
+    """Single-source shortest path; returns dist array (inf = unreachable).
+
+    With ``targets``, stops as soon as every target is settled — for OD
+    cost matrices only the OD columns are read, so the search can quit
+    long before exhausting the graph (distances beyond the last target
+    stay inf; callers must only read target entries in that mode).
+    """
     dist = np.full(n, INF)
     dist[source] = 0.0
     heap = [(0.0, source)]
+    is_target = None
+    n_left = -1
+    if targets is not None:
+        # the source itself is popped first and decremented like any target
+        is_target = np.zeros(n, dtype=bool)
+        is_target[targets] = True
+        n_left = int(is_target.sum())
     while heap:
         d, u = heapq.heappop(heap)
         if d > dist[u]:
             continue
+        if is_target is not None and is_target[u]:
+            is_target[u] = False
+            n_left -= 1
+            if n_left == 0:
+                break
         for k in range(indptr[u], indptr[u + 1]):
             v = indices[k]
             nd = d + weights[k]
@@ -174,6 +197,7 @@ def multi_source_dists(
     sources: np.ndarray,
     edge_mask: np.ndarray | None = None,
     weight_override: np.ndarray | None = None,
+    targets: np.ndarray | None = None,
 ) -> np.ndarray:
     """All-sources shortest distances, vectorized over sources.
 
@@ -226,10 +250,15 @@ def multi_source_dists(
     max_rounds = min(150, 2 * hop_est + 8)
 
     if hop_est > 60 or len(sources) < 4:
+        # with `targets`, callers promise to read only those columns, so
+        # the per-source searches may early-terminate (row 0 is full —
+        # it came from the probe)
         out = np.empty((len(sources), n))
         out[0] = d0
         for i in range(1, len(sources)):
-            out[i] = dijkstra(indptr, indices, weights, int(sources[i]), n)
+            out[i] = dijkstra(
+                indptr, indices, weights, int(sources[i]), n, targets=targets
+            )
         return out
 
     dist = np.full((len(sources), n), INF)
@@ -247,7 +276,9 @@ def multi_source_dists(
     out = np.empty((len(sources), n))
     out[0] = d0
     for i in range(1, len(sources)):
-        out[i] = dijkstra(indptr, indices, weights, int(sources[i]), n)
+        out[i] = dijkstra(
+            indptr, indices, weights, int(sources[i]), n, targets=targets
+        )
     return out
 
 
@@ -275,7 +306,10 @@ def pair_costs(
     indptr, indices, weights = _csr(g, edge_mask, weight_override)
     mat = np.full((n_od, n_od), INF)
     for i, s in enumerate(od_nodes):
-        dist = dijkstra(indptr, indices, weights, int(s), g.n_nodes)
+        # only OD columns are read → early-terminate at the last target
+        dist = dijkstra(
+            indptr, indices, weights, int(s), g.n_nodes, targets=od_nodes
+        )
         mat[i, :] = dist[od_nodes]
     # symmetrize with max (OSRM asymmetry semantics)
     return np.maximum(mat, mat.T)
