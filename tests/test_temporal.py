@@ -27,6 +27,57 @@ def test_asof_backward_inclusive(spark):
     assert out.loc[3, "v_right"] != out.loc[3, "v_right"] or out.loc[3, "v_right"] is None
 
 
+def test_asof_matches_pandas_merge_asof(spark):
+    """Randomized cross-check against pandas.merge_asof (backward,
+    inclusive) — the de-facto reference semantics."""
+    import numpy as np
+    import pandas as pd
+
+    from moz_datapipeline_spark.operators.temporal import asof_join
+
+    rng = np.random.RandomState(11)
+    left_pd = pd.DataFrame(
+        {
+            "id": range(200),
+            "key": [f"k{int(x)}" for x in rng.randint(0, 5, 200)],
+            "ts": rng.randint(0, 10_000, 200).astype("int64"),
+            "payload": ["p"] * 200,
+        }
+    )
+    right_pd = pd.DataFrame(
+        {
+            "key": [f"k{int(x)}" for x in rng.randint(0, 5, 300)],
+            "ts": rng.randint(0, 10_000, 300).astype("int64"),
+            "v": rng.rand(300),
+        }
+    ).drop_duplicates(["key", "ts"])  # unique (key, ts): no tie ambiguity
+
+    got = (
+        asof_join(
+            spark.createDataFrame(left_pd),
+            spark.createDataFrame(right_pd),
+            key="key",
+            ts="ts",
+            right_value_cols=["v"],
+        )
+        .toPandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    want = pd.merge_asof(
+        left_pd.sort_values("ts"),
+        right_pd.sort_values("ts"),
+        on="ts",
+        by="key",
+        direction="backward",
+        allow_exact_matches=True,
+    ).sort_values("id").reset_index(drop=True)
+    a = got["v_right"].to_numpy()
+    b = want["v"].to_numpy()
+    both_nan = np.isnan(a) & np.isnan(b)
+    assert bool(np.all(np.isclose(a, b) | both_nan))
+
+
 def test_asof_keys_isolated(spark):
     from moz_datapipeline_spark.operators.temporal import asof_join
 
