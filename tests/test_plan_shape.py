@@ -35,6 +35,30 @@ def test_bbox_join_broadcasts_polygon_side(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 
+def test_asof_join_single_shuffle_no_rangejoin(spark, sf_dir):
+    plan = _plan(entry_mod.q_asof_join(spark, sf_dir))
+    # union-and-carry: a window over the key, never a nested-loop range join
+    assert "Window" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_range_join_is_equi_join(spark, sf_dir):
+    plan = _plan(entry_mod.q_range_join_bucketed(spark, sf_dir))
+    # bucketing converts the range predicate to a hash-joinable key
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) \
+        or ("ShuffledHashJoin" in plan)
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_rollup_is_single_pass(spark, sf_dir):
+    plan = _plan(entry_mod.q_multi_resolution_rollup(spark, sf_dir))
+    # grouping sets = one Expand + one aggregation pipeline over one scan;
+    # a naive two-pass version would Union two aggregations
+    assert "Expand" in plan
+    assert "Union" not in plan
+
+
 def test_pricing_summary_partial_aggregation(spark, sf_dir):
     plan = _plan(entry_mod.q_pricing_summary(spark, sf_dir))
     # map-side partial aggregation around exactly one shuffle
