@@ -472,23 +472,31 @@ def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (backward, inclusive): each click event picks up the
     user's most recent error at-or-before it. The union-and-carry plan
-    replaces the per-row lookup Spark lacks natively."""
+    replaces the per-row lookup Spark lacks natively.
+
+    Timestamps are canonicalized to MICROSECONDS before the join
+    (integer ``DIV``, exact for ns epochs that overflow a double): the
+    parquet column holds true ns precision, which DuckDB truncates to µs
+    on read — joining in µs on both sides makes engine and oracle
+    semantics identical instead of merely usually-agreeing."""
     from moz_datapipeline_spark.operators.temporal import asof_join
 
     e = _events(spark, sf_dir)
     clicks = e.filter(F.col("event_type") == "click").select(
-        "event_id", "user_id", F.col("ts").alias("ts_ns"), "value"
+        "event_id", "user_id", F.expr("ts DIV 1000").alias("ts_us"), "value"
     )
     errors = e.filter(F.col("event_type") == "error").select(
-        "user_id", F.col("ts").alias("ts_ns"), F.col("value").alias("err_value")
+        "user_id",
+        F.expr("ts DIV 1000").alias("ts_us"),
+        F.col("value").alias("err_value"),
     )
-    out = asof_join(clicks, errors, key="user_id", ts="ts_ns",
+    out = asof_join(clicks, errors, key="user_id", ts="ts_us",
                     right_value_cols=["err_value"])
     return out.select(
         "event_id",
         "user_id",
         F.col("err_value_right").alias("last_err_value"),
-        F.col("ts_ns_right").alias("last_err_ts"),
+        F.col("ts_us_right").alias("last_err_ts"),
     )
 
 
@@ -1445,18 +1453,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "asof_join": """
             WITH clicks AS (
-              SELECT event_id, user_id, epoch_ns(ts) AS ts_ns, value
+              SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
               FROM events WHERE event_type = 'click'
             ), errors AS (
-              SELECT user_id, epoch_ns(ts) AS ts_ns, value AS err_value
+              SELECT user_id, epoch_us(ts) AS ts_us, value AS err_value
               FROM events WHERE event_type = 'error'
             )
             SELECT c.event_id, c.user_id,
                    e.err_value AS last_err_value,
-                   e.ts_ns AS last_err_ts
+                   e.ts_us AS last_err_ts
             FROM clicks c
             ASOF LEFT JOIN errors e
-              ON c.user_id = e.user_id AND e.ts_ns <= c.ts_ns
+              ON c.user_id = e.user_id AND e.ts_us <= c.ts_us
         """,
         "dedup_exact": """
             SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_hash,

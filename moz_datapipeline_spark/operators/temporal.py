@@ -5,10 +5,16 @@ before its timestamp, per key — the staple of event/state enrichment
 (prices, sensor states, config versions).
 
 Implementation is the union-and-carry trick, NOT a per-row lookup:
-tag both sides, union, sort within key by (ts, side) and carry the last
-non-null right values forward with an unbounded-preceding window. One
-shuffle on the key; no range explosion; skew follows the key
-distribution (salt upstream if a key dominates).
+tag both sides, union, sort within key by (ts, side, right-row) and
+carry the last non-null right-row STRUCT forward with an
+unbounded-preceding window. One shuffle on the key; no range explosion;
+skew follows the key distribution (salt upstream if a key dominates).
+
+All carried fields are packed in one struct so they always come from the
+SAME matched right row — including its genuine NULLs — matching
+``pandas.merge_asof`` semantics (carrying each column independently with
+``ignorenulls`` would mix fields from different right rows whenever the
+latest row holds a NULL).
 """
 
 from __future__ import annotations
@@ -30,24 +36,30 @@ def asof_join(
 
     Right-side timestamps equal to the left timestamp match (the right
     row sorts first via the side tag). Left rows with no prior right row
-    get nulls.
+    get nulls for every carried column.
+
+    Duplicate right timestamps on a key are resolved deterministically:
+    the greatest carried-struct value (field-wise comparison, matched
+    ts first) wins, giving a total order independent of partition
+    layout.
     """
     lcols = left.columns
-    carried = [f"{c}{suffix}" for c in right_value_cols] + [f"{ts}{suffix}"]
+    out_carried = [f"{c}{suffix}" for c in right_value_cols] + [f"{ts}{suffix}"]
 
+    # One struct holding the matched right row. Field order puts the
+    # right timestamp first so the dedup tiebreak is primarily temporal.
+    r_struct = F.struct(
+        F.col(ts).alias(f"{ts}{suffix}"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in right_value_cols],
+    )
+    r_tagged = right.select(
+        F.col(key), F.col(ts), F.lit(0).alias("_side"), r_struct.alias("_r")
+    )
+    r_type = r_tagged.schema["_r"].dataType
     l_tagged = left.select(
         *lcols,
         F.lit(1).alias("_side"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"{c}{suffix}")
-          for c in right_value_cols],
-        F.lit(None).cast(right.schema[ts].dataType).alias(f"{ts}{suffix}"),
-    )
-    r_tagged = right.select(
-        F.col(key),
-        F.col(ts),
-        F.lit(0).alias("_side"),
-        *[F.col(c).alias(f"{c}{suffix}") for c in right_value_cols],
-        F.col(ts).alias(f"{ts}{suffix}"),
+        F.lit(None).cast(r_type).alias("_r"),
     )
     # align schemas: left columns absent on the right become nulls
     for c in lcols:
@@ -57,12 +69,20 @@ def asof_join(
             )
     unioned = l_tagged.unionByName(r_tagged.select(l_tagged.columns))
 
+    # Tiebreak on the struct itself: duplicate right timestamps per key
+    # order deterministically (left rows all have a NULL struct, and only
+    # tie with other left rows, whose carried value is identical anyway).
     w = (
         Window.partitionBy(key)
-        .orderBy(F.col(ts).asc(), F.col("_side").asc())
+        .orderBy(
+            F.col(ts).asc(),
+            F.col("_side").asc(),
+            F.col("_r").asc_nulls_first(),
+        )
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    out = unioned
-    for c in carried:
-        out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    return out.filter(F.col("_side") == 1).drop("_side")
+    matched = unioned.withColumn("_r", F.last("_r", ignorenulls=True).over(w))
+    return matched.filter(F.col("_side") == 1).select(
+        *lcols,
+        *[F.col(f"_r.{c}").alias(c) for c in out_carried],
+    )

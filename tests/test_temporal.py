@@ -78,6 +78,47 @@ def test_asof_matches_pandas_merge_asof(spark):
     assert bool(np.all(np.isclose(a, b) | both_nan))
 
 
+def test_asof_null_in_matched_row_is_carried(spark):
+    """If the MATCHED (latest) right row holds a NULL value, that NULL is
+    carried — not an older non-null value (merge_asof semantics; carrying
+    columns independently with ignorenulls would get this wrong)."""
+    from moz_datapipeline_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "k", 300, "x")], "id int, key string, ts long, payload string"
+    )
+    right = spark.createDataFrame(
+        [("k", 100, 1.0), ("k", 200, None)], "key string, ts long, v double"
+    )
+    row = asof_join(
+        left, right, key="key", ts="ts", right_value_cols=["v"]
+    ).collect()[0]
+    assert row["v_right"] is None          # the ts=200 row's NULL, not 1.0
+    assert row["ts_right"] == 200          # ...and ts comes from the same row
+
+
+def test_asof_duplicate_right_ts_deterministic(spark):
+    """Duplicate right timestamps on a key resolve to the greatest carried
+    struct — stable across partition layouts and repeated runs."""
+    from moz_datapipeline_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "k", 500, "x")], "id int, key string, ts long, payload string"
+    )
+    right = spark.createDataFrame(
+        [("k", 100, 1.0), ("k", 100, 7.0), ("k", 100, 3.0)],
+        "key string, ts long, v double",
+    )
+    vals = set()
+    for _ in range(3):
+        row = asof_join(
+            left, right.repartition(8), key="key", ts="ts",
+            right_value_cols=["v"],
+        ).collect()[0]
+        vals.add(row["v_right"])
+    assert vals == {7.0}
+
+
 def test_asof_keys_isolated(spark):
     from moz_datapipeline_spark.operators.temporal import asof_join
 
