@@ -1808,25 +1808,20 @@ FROM eaul_calc
 
         """,
         # IVF approximate top-k replicated exactly in SQL: same
-        # deterministic centroid sample, assignment, probing, ranking.
+        # deterministic md5-ordered centroid sample, assignment,
+        # probing, ranking.
         "similarity_ivf": """
-WITH ordered AS (
-  SELECT vec_id, embedding,
-         row_number() OVER (ORDER BY vec_id) - 1 AS rn,
-         count(*) OVER () AS n
+WITH cent AS (
+  SELECT vec_id AS centroid_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce
   FROM embeddings
-),
-params AS (SELECT greatest(max(n) // 16, 1) AS step FROM ordered),
-cent AS (
-  SELECT o.vec_id AS centroid_id,
-         list_transform(o.embedding, x -> CAST(x AS DOUBLE)) AS ce
-  FROM ordered o, params p
-  WHERE o.rn % p.step = 0 AND o.rn // p.step < 16
+  ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC
+  LIMIT 16
 ),
 corpus AS (
   SELECT vec_id AS corpus_id,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
-  FROM ordered
+  FROM embeddings
 ),
 assigned AS (
   SELECT corpus_id, cv, centroid_id AS list_id
@@ -1838,7 +1833,7 @@ assigned AS (
 queries AS (
   SELECT vec_id AS query_id,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
-  FROM ordered WHERE vec_id < 5
+  FROM embeddings WHERE vec_id < 5
 ),
 probed AS (
   SELECT query_id, qv, centroid_id AS list_id

@@ -153,9 +153,13 @@ def ivf_topk(
     """IVF-style approximate top-k: partition the corpus by nearest
     centroid, probe only the ``nprobe`` nearest lists per query.
 
-    Centroids are a deterministic corpus sample (every ``m``-th vector by
-    id) — no iterative k-means, so the plan stays a fixed DAG; swap in
-    trained centroids for better recall without changing the shape.
+    Centroids are a deterministic DISTRIBUTED hash sample: order by
+    ``md5(id)`` and take the first ``n_centroids`` — a partial top-k
+    (per-partition heads merged), never a full corpus collect, so the
+    driver holds exactly ``n_centroids`` rows regardless of corpus size.
+    md5 scrambles any id clustering, so the sample is uniform-ish; no
+    iterative k-means, so the plan stays a fixed DAG — swap in trained
+    centroids for better recall without changing the shape.
 
     Plan: one pass assigns corpus vectors to centroid lists (broadcast
     centroids, argmin in array space); queries fan out to nprobe lists;
@@ -165,13 +169,16 @@ def ivf_topk(
     c = corpus.select(
         F.col(id_col).alias("corpus_id"), _as_double(vec_col).alias("_cv")
     )
-    # deterministic sample: rank by id, take every ceil(n/n_centroids)-th
-    ids = [r[0] for r in corpus.select(id_col).orderBy(id_col).collect()]
-    step = max(1, len(ids) // n_centroids)
-    centroid_ids = ids[::step][:n_centroids]
     cent = (
-        corpus.filter(F.col(id_col).isin(centroid_ids))
-        .select(F.col(id_col).alias("centroid_id"), _as_double(vec_col).alias("_ce"))
+        corpus.select(
+            F.col(id_col).alias("centroid_id"),
+            _as_double(vec_col).alias("_ce"),
+        )
+        .orderBy(
+            F.md5(F.col("centroid_id").cast("string")).asc(),
+            F.col("centroid_id").asc(),
+        )
+        .limit(n_centroids)
     )
 
     def nearest_lists(df: DataFrame, vec: str, n: int, out: str) -> DataFrame:

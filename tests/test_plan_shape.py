@@ -64,3 +64,44 @@ def test_pricing_summary_partial_aggregation(spark, sf_dir):
     # map-side partial aggregation around exactly one shuffle
     assert plan.count("HashAggregate") >= 2
     assert plan.count("+- Exchange") == 1
+
+
+def test_ivf_topk_builds_lazily_no_driver_collect(spark):
+    """Centroid selection must be part of the plan, not an eager driver
+    collect at construction time. A corpus whose id column explodes on
+    evaluation proves nothing runs until an action is taken."""
+    from pyspark.sql import functions as F
+
+    from moz_datapipeline_spark.operators.similarity import ivf_topk
+
+    @F.udf("long")
+    def _boom(x):
+        raise RuntimeError("corpus was evaluated during plan construction")
+
+    base = spark.range(50).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[(F.col("id") * (i + 1)).cast("double") for i in range(4)]).alias(
+            "embedding"
+        ),
+    )
+    corpus = base.withColumn("vec_id", _boom("vec_id"))
+    # old implementation collected every corpus id right here and raised
+    df = ivf_topk(corpus, base.limit(2), n_centroids=4, nprobe=2, k=2)
+    assert df.columns == ["query_id", "corpus_id", "cosine", "rank"]
+
+
+def test_ivf_topk_centroids_take_ordered(spark):
+    from pyspark.sql import functions as F
+
+    from moz_datapipeline_spark.operators.similarity import ivf_topk
+
+    base = spark.range(50).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[(F.col("id") * (i + 1)).cast("double") for i in range(4)]).alias(
+            "embedding"
+        ),
+    )
+    plan = _plan(ivf_topk(base, base.limit(2), n_centroids=4, nprobe=2, k=2))
+    # the centroid sample is a bounded ordered-limit, never a full sort
+    # materialized to the driver
+    assert ("TakeOrderedAndProject" in plan) or ("GlobalLimit" in plan)
