@@ -183,18 +183,22 @@ def q_merge_indicators(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_argmin_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J5: grouped nearest-neighbor/argmin join (prep-bridge.js:86-112 shape)."""
+    """J5: grouped nearest-neighbor/argmin join (prep-bridge.js:86-112 shape).
+
+    Only the argmin row is needed, so this is a single hash aggregation
+    with map-side partials — min over a (price, linenumber) struct, the
+    same (asc, asc) tiebreak a sort window would apply but without
+    sorting every partition."""
     li = _t(spark, sf_dir, "lineitem")
-    w = Window.partitionBy("l_orderkey").orderBy(
-        F.col("l_extendedprice").asc(), F.col("l_linenumber").asc()
-    )
     return (
-        li.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
+        li.groupBy("l_orderkey")
+        .agg(
+            F.min(F.struct("l_extendedprice", "l_linenumber")).alias("_m")
+        )
         .select(
             "l_orderkey",
-            F.col("l_linenumber").alias("cheapest_line"),
-            F.col("l_extendedprice").alias("cheapest_price"),
+            F.col("_m.l_linenumber").alias("cheapest_line"),
+            F.col("_m.l_extendedprice").alias("cheapest_price"),
         )
     )
 

@@ -54,7 +54,10 @@ def snap_to_nearest_way(
     (NAME, ROAD_ID, ax, ay, bx, by) — one row per 2-vertex piece of each
     way. Join on road id (equi, shuffles only matching pairs), compute
     point→segment distance as pure column math, keep the argmin per
-    bridge via row_number.
+    bridge via min-over-struct: one hash aggregation with map-side
+    partials instead of sorting every candidate group. Tiebreak order is
+    (_dist, NAME, remaining columns) — the first two match the reference
+    rule, the tail just makes exotic ties deterministic.
     """
     joined = bridges.join(
         way_segments,
@@ -66,10 +69,15 @@ def snap_to_nearest_way(
             bridge_x, bridge_y, "ax", "ay", "bx", "by"
         ),
     )
-    w = Window.partitionBy(bridge_id).orderBy(F.col("_dist").asc(), F.col("NAME").asc())
-    return (
-        joined.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-        .withColumnRenamed("NAME", "roadSegmentID")
+    rest = [c for c in joined.columns if c not in (bridge_id, "_dist", "NAME")]
+    argmin = joined.groupBy(bridge_id).agg(
+        F.min(F.struct("_dist", "NAME", *rest)).alias("_m")
+    )
+    return argmin.select(
+        bridge_id,
+        *[
+            F.col(f"_m.{c}").alias("roadSegmentID" if c == "NAME" else c)
+            for c in joined.columns
+            if c != bridge_id
+        ],
     )

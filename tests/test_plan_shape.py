@@ -105,3 +105,12 @@ def test_ivf_topk_centroids_take_ordered(spark):
     # the centroid sample is a bounded ordered-limit, never a full sort
     # materialized to the driver
     assert ("TakeOrderedAndProject" in plan) or ("GlobalLimit" in plan)
+
+
+def test_argmin_join_is_partial_agg_not_sort_window(spark, sf_dir):
+    plan = _plan(entry_mod.q_argmin_join(spark, sf_dir))
+    # argmin-only: min-over-struct aggregation with map-side partials —
+    # the shuffle carries one partial row per key per partition, never
+    # the whole table into a row_number window
+    assert "Window" not in plan
+    assert "partial_min" in plan
