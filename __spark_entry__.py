@@ -419,6 +419,42 @@ def q_spatial_bbox_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("n_nationkey").agg(F.count("*").alias("n_points"))
 
 
+def q_polygon_indicator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 for ARBITRARY polygons (indicator-from-areas.js:91-127):
+    lineSplit + midpoint-membership weighting via the numpy mapInPandas
+    kernel. Zones are diamonds (45°-rotated squares) so the oracle can
+    derive the exact chord overlap of each horizontal way algebraically:
+    at height y a diamond centered (cx,cy) radius r spans
+    x ∈ [cx-(r-|y-cy|), cx+(r-|y-cy|)]."""
+    from moz_datapipeline_spark.operators.areas import (
+        indicator_from_polygon_areas,
+    )
+
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    segs = c.select(
+        F.col("c_custkey").alias("way_id"),
+        (F.col("c_custkey") % 20).cast("double").alias("ax"),
+        (F.col("c_custkey") * 3 % 19 + 0.5).cast("double").alias("ay"),
+        (F.col("c_custkey") % 20 + 3 + F.col("c_custkey") % 5)
+        .cast("double")
+        .alias("bx"),
+        (F.col("c_custkey") * 3 % 19 + 0.5).cast("double").alias("by"),
+        (3 + F.col("c_custkey") % 5).cast("double").alias("way_len"),
+    )
+    cx = (F.col("n_nationkey") % 5 * 4 + 2).cast("double")
+    cy = (F.floor(F.col("n_nationkey") / 5) * 4 + 2).cast("double")
+    r = (2 + F.col("n_nationkey") % 3).cast("double")
+    polys = n.select(
+        F.col("n_nationkey").cast("string").alias("area_id"),
+        F.array(F.array(cx - r, cx, cx + r, cx)).alias("rings_x"),
+        F.array(F.array(cy, cy + r, cy, cy - r)).alias("rings_y"),
+        (F.col("n_nationkey") + 1).cast("double").alias("indicator"),
+    )
+    out = indicator_from_polygon_areas(segs, polys)
+    return out.select("way_id", F.round("value", 6).alias("value"))
+
+
 # ---------------------------------------------------------------------------
 # events (batch form of the streaming operators)
 # ---------------------------------------------------------------------------
@@ -1009,6 +1045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_average": q_weighted_average,
         "haversine_length": q_haversine_length,
         "spatial_bbox_join": q_spatial_bbox_join,
+        "polygon_indicator": q_polygon_indicator,
         "events_hourly": q_events_hourly,
         "sessionization": q_sessionization,
         "asof_join": q_asof_join,
@@ -1398,6 +1435,32 @@ def oracle_sql() -> dict[str, str]:
             FROM pts JOIN cells
               ON px >= minx AND px < maxx AND py >= miny AND py < maxy
             GROUP BY n_nationkey
+        """,
+        "polygon_indicator": """
+            WITH segs AS (
+              SELECT c_custkey AS way_id,
+                     CAST(c_custkey % 20 AS DOUBLE) AS ax,
+                     CAST(c_custkey * 3 % 19 + 0.5 AS DOUBLE) AS y,
+                     CAST(c_custkey % 20 + 3 + c_custkey % 5 AS DOUBLE) AS bx,
+                     CAST(3 + c_custkey % 5 AS DOUBLE) AS way_len
+              FROM customer
+            ), polys AS (
+              SELECT CAST(n_nationkey % 5 * 4 + 2 AS DOUBLE) AS cx,
+                     CAST(floor(n_nationkey / 5) * 4 + 2 AS DOUBLE) AS cy,
+                     CAST(2 + n_nationkey % 3 AS DOUBLE) AS r,
+                     CAST(n_nationkey + 1 AS DOUBLE) AS ind
+              FROM nation
+            ), pairs AS (
+              SELECT way_id, way_len, ind,
+                     GREATEST(0.0,
+                       LEAST(bx, cx + (r - ABS(y - cy)))
+                       - GREATEST(ax, cx - (r - ABS(y - cy)))) AS overlap
+              FROM segs JOIN polys ON ABS(y - cy) < r
+            )
+            SELECT way_id,
+                   round(sum(overlap * ind) / way_len, 6) AS value
+            FROM pairs WHERE overlap > 0
+            GROUP BY way_id, way_len
         """,
         "events_hourly": """
             SELECT epoch_ns(ts) // 3600000000000 * 3600 AS hour_epoch,
