@@ -455,6 +455,70 @@ def q_polygon_indicator(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("way_id", F.round("value", 6).alias("value"))
 
 
+def q_polygon_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shoelace centroid + area (preparation.sh:193-195 district
+    centroids) over key-derived irregular quadrilaterals — pure column
+    HOFs, no UDF. Oracle writes the 4-term shoelace explicitly."""
+    from moz_datapipeline_spark.functions.geo import (
+        polygon_area,
+        polygon_centroid,
+    )
+
+    n = _t(spark, sf_dir, "nation")
+    bx = (F.col("n_nationkey") % 5 * 10).cast("double")
+    by = (F.floor(F.col("n_nationkey") / 5) * 10).cast("double")
+    j2 = (F.col("n_nationkey") % 2).cast("double")
+    j3 = (F.col("n_nationkey") % 3).cast("double")
+    quads = n.select(
+        F.col("n_nationkey").alias("area_id"),
+        F.array(
+            F.array(bx + j2, bx + 6, bx + 6 - j2, bx)
+        ).alias("rings_x"),
+        F.array(
+            F.array(by, by + j3, by + 5, by + 4 + j2)
+        ).alias("rings_y"),
+    )
+    c = polygon_centroid("rings_x", "rings_y")
+    return quads.select(
+        "area_id",
+        F.round(c["cx"], 6).alias("cx"),
+        F.round(c["cy"], 6).alias("cy"),
+        F.round(polygon_area("rings_x", "rings_y"), 6).alias("area"),
+    )
+
+
+def q_dissolve_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped polygon union via edge cancellation + ring stitching
+    (preparation.sh:149-151 dissolve2). Nations are unit grid cells,
+    regions the dissolve groups; the oracle replays the cancellation in
+    SQL and checks conservation laws the stitched rings must satisfy:
+    edge count, perimeter, and signed shoelace area (= cell count)."""
+    from moz_datapipeline_spark.functions.geo import (
+        polygon_area,
+        polygon_perimeter,
+    )
+    from moz_datapipeline_spark.operators.geometry import dissolve
+
+    n = _t(spark, sf_dir, "nation")
+    c = (F.col("n_nationkey") % 5).cast("double")
+    r = F.floor(F.col("n_nationkey") / 5).cast("double")
+    cells = n.select(
+        F.col("n_regionkey").alias("region_key"),
+        F.array(F.array(c, c + 1, c + 1, c)).alias("rings_x"),
+        F.array(F.array(r, r, r + 1, r + 1)).alias("rings_y"),
+    )
+    d = dissolve(cells, "region_key")
+    n_edges = F.aggregate(
+        F.col("rings_x"), F.lit(0), lambda acc, ring: acc + F.size(ring)
+    )
+    return d.select(
+        "region_key",
+        n_edges.cast("long").alias("n_edges"),
+        F.round(polygon_perimeter("rings_x", "rings_y"), 6).alias("perimeter"),
+        F.round(polygon_area("rings_x", "rings_y"), 6).alias("area"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # events (batch form of the streaming operators)
 # ---------------------------------------------------------------------------
@@ -1046,6 +1110,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "haversine_length": q_haversine_length,
         "spatial_bbox_join": q_spatial_bbox_join,
         "polygon_indicator": q_polygon_indicator,
+        "polygon_centroid": q_polygon_centroid,
+        "dissolve_regions": q_dissolve_regions,
         "events_hourly": q_events_hourly,
         "sessionization": q_sessionization,
         "asof_join": q_asof_join,
@@ -1461,6 +1527,62 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(overlap * ind) / way_len, 6) AS value
             FROM pairs WHERE overlap > 0
             GROUP BY way_id, way_len
+        """,
+        "polygon_centroid": """
+            WITH q AS (
+              SELECT n_nationkey,
+                     CAST(n_nationkey % 5 * 10 + n_nationkey % 2 AS DOUBLE) AS x0,
+                     CAST(floor(n_nationkey / 5) * 10 AS DOUBLE) AS y0,
+                     CAST(n_nationkey % 5 * 10 + 6 AS DOUBLE) AS x1,
+                     CAST(floor(n_nationkey / 5) * 10 + n_nationkey % 3 AS DOUBLE) AS y1,
+                     CAST(n_nationkey % 5 * 10 + 6 - n_nationkey % 2 AS DOUBLE) AS x2,
+                     CAST(floor(n_nationkey / 5) * 10 + 5 AS DOUBLE) AS y2,
+                     CAST(n_nationkey % 5 * 10 AS DOUBLE) AS x3,
+                     CAST(floor(n_nationkey / 5) * 10 + 4 + n_nationkey % 2 AS DOUBLE) AS y3
+              FROM nation
+            ), m AS (
+              SELECT n_nationkey,
+                     x0*y1 - x1*y0 AS c0, x1*y2 - x2*y1 AS c1,
+                     x2*y3 - x3*y2 AS c2, x3*y0 - x0*y3 AS c3,
+                     x0, x1, x2, x3, y0, y1, y2, y3
+              FROM q
+            )
+            SELECT n_nationkey AS area_id,
+                   round(((x0+x1)*c0 + (x1+x2)*c1 + (x2+x3)*c2 + (x3+x0)*c3)
+                         / ((c0+c1+c2+c3) * 3.0), 6) AS cx,
+                   round(((y0+y1)*c0 + (y1+y2)*c1 + (y2+y3)*c2 + (y3+y0)*c3)
+                         / ((c0+c1+c2+c3) * 3.0), 6) AS cy,
+                   round((c0+c1+c2+c3) / 2.0, 6) AS area
+            FROM m
+        """,
+        "dissolve_regions": """
+            WITH cells AS (
+              SELECT n_regionkey AS rk,
+                     CAST(n_nationkey % 5 AS DOUBLE) AS c,
+                     CAST(floor(n_nationkey / 5) AS DOUBLE) AS r
+              FROM nation
+            ), edges AS (
+              SELECT rk, c AS x1, r AS y1, c+1 AS x2, r AS y2 FROM cells
+              UNION ALL SELECT rk, c+1, r, c+1, r+1 FROM cells
+              UNION ALL SELECT rk, c+1, r+1, c, r+1 FROM cells
+              UNION ALL SELECT rk, c, r+1, c, r FROM cells
+            ), canon AS (
+              SELECT rk,
+                     CASE WHEN x1 < x2 OR (x1 = x2 AND y1 < y2)
+                          THEN concat(x1, ',', y1, '|', x2, ',', y2)
+                          ELSE concat(x2, ',', y2, '|', x1, ',', y1) END AS ekey
+              FROM edges
+            ), boundary AS (
+              SELECT rk, ekey FROM canon GROUP BY rk, ekey HAVING count(*) = 1
+            ), cell_counts AS (
+              SELECT rk, count(*) AS n_cells FROM cells GROUP BY rk
+            )
+            SELECT b.rk AS region_key,
+                   count(*)::BIGINT AS n_edges,
+                   round(CAST(count(*) AS DOUBLE), 6) AS perimeter,
+                   round(CAST(a.n_cells AS DOUBLE), 6) AS area
+            FROM boundary b JOIN cell_counts a USING (rk)
+            GROUP BY b.rk, a.n_cells
         """,
         "events_hourly": """
             SELECT epoch_ns(ts) // 3600000000000 * 3600 AS hour_epoch,

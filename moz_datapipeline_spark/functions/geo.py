@@ -95,6 +95,102 @@ def point_to_segment_distance(
     return F.sqrt(F.pow(pxc - cx, 2) + F.pow(pyc - cy, 2))
 
 
+def _ring_moments(xs: Column, ys: Column) -> Column:
+    """Shoelace moments struct<a2,sx,sy> of one ring (open or closed).
+
+    a2 = 2×signed area, sx/sy = 6A-weighted centroid numerators. Pure
+    ``aggregate`` HOF over the vertex index — the wrap edge (i = n-1 →
+    0) closes open rings and is degenerate (zero cross) on explicitly
+    closed ones, so both conventions are accepted.
+    """
+    n = F.size(xs)
+
+    def step(acc: Column, i: Column) -> Column:
+        x0 = F.element_at(xs, i + 1)
+        y0 = F.element_at(ys, i + 1)
+        x1 = F.element_at(xs, (i + 1) % n + 1)
+        y1 = F.element_at(ys, (i + 1) % n + 1)
+        cr = x0 * y1 - x1 * y0
+        return F.struct(
+            (acc["a2"] + cr).alias("a2"),
+            (acc["sx"] + (x0 + x1) * cr).alias("sx"),
+            (acc["sy"] + (y0 + y1) * cr).alias("sy"),
+        )
+
+    return F.aggregate(
+        F.sequence(F.lit(0), n - 1),
+        F.struct(
+            F.lit(0.0).alias("a2"), F.lit(0.0).alias("sx"), F.lit(0.0).alias("sy")
+        ),
+        step,
+    )
+
+
+def polygon_moments(rings_x: Column | str, rings_y: Column | str) -> Column:
+    """Shoelace moments summed over all rings of a (multi)polygon.
+
+    ``rings_x``/``rings_y`` are array<array<double>>. Exterior rings
+    wound CCW and holes CW contribute with opposite signs, so area and
+    centroid come out exact for polygons with holes and multi-parts.
+    Used by the dissolve/centroid path of preparation
+    (scripts/preparation.sh:149-151,193-195).
+    """
+    rx, ry = _c(rings_x), _c(rings_y)
+
+    def step(acc: Column, k: Column) -> Column:
+        m = _ring_moments(F.element_at(rx, k + 1), F.element_at(ry, k + 1))
+        return F.struct(
+            (acc["a2"] + m["a2"]).alias("a2"),
+            (acc["sx"] + m["sx"]).alias("sx"),
+            (acc["sy"] + m["sy"]).alias("sy"),
+        )
+
+    return F.aggregate(
+        F.sequence(F.lit(0), F.size(rx) - 1),
+        F.struct(
+            F.lit(0.0).alias("a2"), F.lit(0.0).alias("sx"), F.lit(0.0).alias("sy")
+        ),
+        step,
+    )
+
+
+def polygon_area(rings_x: Column | str, rings_y: Column | str) -> Column:
+    """Signed planar area (CCW positive, holes subtract)."""
+    return polygon_moments(rings_x, rings_y)["a2"] / 2.0
+
+
+def polygon_centroid(rings_x: Column | str, rings_y: Column | str) -> Column:
+    """Area-weighted centroid struct<cx,cy> (district centroids,
+    scripts/preparation.sh:193-195). Undefined for zero-area input."""
+    m = polygon_moments(rings_x, rings_y)
+    return F.struct(
+        (m["sx"] / (m["a2"] * 3.0)).alias("cx"),
+        (m["sy"] / (m["a2"] * 3.0)).alias("cy"),
+    )
+
+
+def polygon_perimeter(rings_x: Column | str, rings_y: Column | str) -> Column:
+    """Total planar boundary length over all rings (open or closed)."""
+    rx, ry = _c(rings_x), _c(rings_y)
+
+    def ring_len(xs: Column, ys: Column) -> Column:
+        n = F.size(xs)
+
+        def step(acc: Column, i: Column) -> Column:
+            dx = F.element_at(xs, (i + 1) % n + 1) - F.element_at(xs, i + 1)
+            dy = F.element_at(ys, (i + 1) % n + 1) - F.element_at(ys, i + 1)
+            return acc + F.sqrt(dx * dx + dy * dy)
+
+        return F.aggregate(F.sequence(F.lit(0), n - 1), F.lit(0.0), step)
+
+    def outer(acc: Column, k: Column) -> Column:
+        return acc + ring_len(F.element_at(rx, k + 1), F.element_at(ry, k + 1))
+
+    return F.aggregate(
+        F.sequence(F.lit(0), F.size(rx) - 1), F.lit(0.0), outer
+    )
+
+
 def bbox(coords: Column | str) -> Column:
     """Bounding box struct<minx,miny,maxx,maxy> of a linestring coord array.
 

@@ -1,0 +1,186 @@
+"""Polygon dissolve (grouped union) for edge-matched tilings.
+
+Reference: scripts/preparation.sh:149-151 — mapshaper ``-dissolve2``
+merges Maputo city into its province before the network build. Admin
+boundary sets are edge-matched tilings (adjacent districts share their
+border vertices exactly), so the union is computable exactly by
+shared-edge cancellation, Spark-first:
+
+1. explode every ring into directed edges (coordinates quantized so
+   float twins key identically),
+2. ONE distributed groupBy on (group, undirected edge key): an edge
+   seen twice is interior to the union and vanishes; an edge seen once
+   is boundary — this is the whole geometric workload and it scales as
+   a plain hash aggregation (map-side partials, AQE skew-split),
+3. stitch each group's surviving directed edges into closed rings with
+   a tiny per-group kernel (``applyInPandas``) — O(E log E) per group,
+   deterministic (walks start at the smallest unused edge and always
+   take the smallest unused continuation).
+
+Matches dissolve2 semantics for edge-matched inputs (the admin case)
+without a computational-geometry dependency. Arbitrary overlapping
+unions are out of scope. Input rings must be consistently wound
+(exteriors CCW, holes CW — the GeoJSON/shapefile convention after
+normalization); output exterior rings keep CCW, dissolved holes come
+out CW, so the shoelace measures in ``functions.geo`` apply directly.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
+
+
+def ring_edges(
+    rings_x: Column | str, rings_y: Column | str, quant: int = 9
+) -> Column:
+    """All directed edges of a (multi)polygon as an array of structs.
+
+    Open rings are closed implicitly (wrap edge); the degenerate wrap
+    of explicitly closed rings is dropped by the caller's filter.
+    Coordinates are rounded to ``quant`` decimals so edges shared
+    between neighboring polygons compare equal bit-for-bit.
+    """
+    rx = F.col(rings_x) if isinstance(rings_x, str) else rings_x
+    ry = F.col(rings_y) if isinstance(rings_y, str) else rings_y
+
+    def per_ring(k: Column) -> Column:
+        xs = F.element_at(rx, k + 1)
+        ys = F.element_at(ry, k + 1)
+        n = F.size(xs)
+
+        def edge(i: Column) -> Column:
+            return F.struct(
+                F.round(F.element_at(xs, i + 1), quant).alias("x1"),
+                F.round(F.element_at(ys, i + 1), quant).alias("y1"),
+                F.round(F.element_at(xs, (i + 1) % n + 1), quant).alias("x2"),
+                F.round(F.element_at(ys, (i + 1) % n + 1), quant).alias("y2"),
+            )
+
+        return F.transform(F.sequence(F.lit(0), n - 1), edge)
+
+    return F.flatten(
+        F.transform(F.sequence(F.lit(0), F.size(rx) - 1), per_ring)
+    )
+
+
+def boundary_edges(
+    df: DataFrame,
+    group_key: str,
+    rings_x: str = "rings_x",
+    rings_y: str = "rings_y",
+    quant: int = 9,
+) -> DataFrame:
+    """Directed edges of the dissolved boundary per group.
+
+    The cancellation groupBy: undirected edges seen an even number of
+    times are interior (shared by two polygons of the group) and drop;
+    odd survivors keep their directed orientation. Returns
+    (group_key, x1, y1, x2, y2).
+    """
+    e = (
+        df.select(
+            F.col(group_key).alias("_g"),
+            F.explode(ring_edges(rings_x, rings_y, quant)).alias("_e"),
+        )
+        .select("_g", "_e.*")
+        .filter(~((F.col("x1") == F.col("x2")) & (F.col("y1") == F.col("y2"))))
+    )
+    fwd = (F.col("x1") < F.col("x2")) | (
+        (F.col("x1") == F.col("x2")) & (F.col("y1") < F.col("y2"))
+    )
+    keyed = e.select(
+        "_g",
+        "x1",
+        "y1",
+        "x2",
+        "y2",
+        F.when(fwd, F.struct("x1", "y1", "x2", "y2"))
+        .otherwise(
+            F.struct(
+                F.col("x2").alias("x1"),
+                F.col("y2").alias("y1"),
+                F.col("x1").alias("x2"),
+                F.col("y1").alias("y2"),
+            )
+        )
+        .alias("_k"),
+    )
+    return (
+        keyed.groupBy("_g", "_k")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.min(F.struct("x1", "y1", "x2", "y2")).alias("_d"),
+        )
+        .filter(F.col("_n") % 2 == 1)
+        .select(F.col("_g").alias(group_key), "_d.*")
+    )
+
+
+def dissolve(
+    df: DataFrame,
+    group_key: str,
+    rings_x: str = "rings_x",
+    rings_y: str = "rings_y",
+    quant: int = 9,
+) -> DataFrame:
+    """Grouped polygon union (ST_Union-by-key) for edge-matched inputs.
+
+    Returns one row per group with the dissolved rings (open, exterior
+    CCW / holes CW as inherited from the inputs), rings sorted by their
+    lexicographically smallest vertex and rotated to start there —
+    byte-stable output independent of partitioning.
+    """
+    import pandas as pd
+
+    boundary = boundary_edges(df, group_key, rings_x, rings_y, quant)
+    out_schema = StructType(
+        [
+            StructField(group_key, df.schema[group_key].dataType),
+            StructField(rings_x, ArrayType(ArrayType(DoubleType()))),
+            StructField(rings_y, ArrayType(ArrayType(DoubleType()))),
+        ]
+    )
+
+    def stitch(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = pdf[group_key].iloc[0]
+        edges = sorted(zip(pdf["x1"], pdf["y1"], pdf["x2"], pdf["y2"]))
+        adj: dict = defaultdict(list)
+        for x1, y1, x2, y2 in edges:
+            adj[(x1, y1)].append((x2, y2))
+        for k in adj:
+            adj[k].sort(reverse=True)  # pop() takes the smallest
+        rings = []
+        for x1, y1, _x2, _y2 in edges:
+            if not adj[(x1, y1)]:
+                continue
+            start = (x1, y1)
+            ring = [start]
+            cur = adj[start].pop()
+            while cur != start:
+                ring.append(cur)
+                nxt = adj.get(cur)
+                if not nxt:
+                    raise ValueError(
+                        "dissolve: boundary edges do not close — input "
+                        "polygons are not an edge-matched tiling "
+                        f"(stuck at vertex {cur} in group {g!r})"
+                    )
+                cur = nxt.pop()
+            m = min(range(len(ring)), key=lambda i: ring[i])
+            rings.append(ring[m:] + ring[:m])
+        rings.sort(key=lambda r: (r[0], len(r)))
+        return pd.DataFrame(
+            [
+                {
+                    group_key: g,
+                    rings_x: [[p[0] for p in r] for r in rings],
+                    rings_y: [[p[1] for p in r] for r in rings],
+                }
+            ]
+        )
+
+    return boundary.groupBy(group_key).applyInPandas(stitch, out_schema)

@@ -85,6 +85,41 @@ def preparation(
     return out
 
 
+def prepare_admin_areas(
+    districts: DataFrame,
+    province_key: str = "province_iso",
+    district_key: str = "district_id",
+) -> dict[str, DataFrame]:
+    """Admin-boundary prep (preparation.sh:149-151, 193-195).
+
+    The reference dissolves Maputo city into its province (mapshaper
+    -dissolve2) and computes district centroids (geojson-polygon-
+    center) as separate CLI passes; here both are lazy plans over the
+    same district table: grouped edge-cancellation union into province
+    polygons, and shoelace centroids per district.
+
+    ``districts``: (district_key, province_key, rings_x, rings_y).
+    """
+    from moz_datapipeline_spark.functions.geo import (
+        polygon_area,
+        polygon_centroid,
+    )
+    from moz_datapipeline_spark.operators.geometry import dissolve
+
+    provinces = dissolve(
+        districts.select(province_key, "rings_x", "rings_y"), province_key
+    )
+    c = polygon_centroid("rings_x", "rings_y")
+    centroids = districts.select(
+        district_key,
+        province_key,
+        c["cx"].alias("cx"),
+        c["cy"].alias("cy"),
+        polygon_area("rings_x", "rings_y").alias("area"),
+    )
+    return {"provinces": provinces, "district_centroids": centroids}
+
+
 def merge_eaul(network: DataFrame, eaul_results: DataFrame) -> DataFrame:
     """J4 + U3: EAUL results → per-upgrade columns joined onto the network.
 
