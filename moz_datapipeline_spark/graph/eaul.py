@@ -102,6 +102,8 @@ class EaulContext:
         # single-edge ways qualify for the closed-form scenario fast path
         self._way_edge_count = pd.Series(self.g.way_id).value_counts().to_dict()
         self._dist_cache: dict[frozenset, np.ndarray] = {}
+        self._csr_cache: dict[frozenset, tuple] = {}
+        self._s_dist_cache: dict[tuple[frozenset, str], np.ndarray] = {}
 
     def _od_dists(self, removed: frozenset) -> np.ndarray:
         """(n_od, n_nodes) shortest-dist rows from each OD node on the
@@ -121,6 +123,33 @@ class EaulContext:
                 self.g, self.od_nodes, edge_mask=mask
             )
         return self._dist_cache[removed]
+
+    def _masked_csr(self, removed: frozenset):
+        if removed not in self._csr_cache:
+            mask = ~np.isin(self.g.way_id, list(removed)) if removed else None
+            self._csr_cache[removed] = _csr(self.g, mask, None)
+        return self._csr_cache[removed]
+
+    def _way_node_dists(
+        self, graph_removed: frozenset, way: str, s_nodes: np.ndarray
+    ) -> np.ndarray:
+        """Pairwise shortest distances among the way's |S| endpoint nodes
+        on the graph with ``graph_removed`` masked — |S| target-terminated
+        Dijkstras, cached per (graph, way). With ≤11 distinct flood graphs
+        per job and ways split to a handful of edges, this is O(ways × 11
+        × |S|) small searches total, independent of scenario count."""
+        key = (graph_removed, way)
+        if key not in self._s_dist_cache:
+            indptr, indices, weights = self._masked_csr(graph_removed)
+            m = np.empty((len(s_nodes), len(s_nodes)))
+            for i, s in enumerate(s_nodes):
+                dist = dijkstra(
+                    indptr, indices, weights, int(s), self.g.n_nodes,
+                    targets=s_nodes,
+                )
+                m[i] = dist[s_nodes]
+            self._s_dist_cache[key] = m
+        return self._s_dist_cache[key]
 
     def impassable_ways(
         self, period_idx: int, upgrade_way: str | None, upgrade_dc: float
@@ -201,7 +230,56 @@ class EaulContext:
                 mat = np.maximum(mat, mat.T)
                 return mat[self.iu, self.ju]
 
-        # fallback: full recompute (multi-edge way, or weight increase)
+        else:
+            # multi-edge way: exact closed-form overlay. All changed edges
+            # have endpoints in the way's node set S, so every new shortest
+            # path alternates old-graph segments between S nodes and
+            # changed edges; the min-plus closure B* of
+            #     B(s,t) = min(old_d(s,t), new_edge_weight(s,t))
+            # over S (Floyd–Warshall on a tiny |S|×|S| matrix) captures all
+            # such alternations, and
+            #     new(x,y) = min(old(x,y), min_{s,t} old(x,s)+B*(s,t)+old(t,y))
+            # is exact for edge ADDITIONS and weight DECREASES — the only
+            # cases upgrades produce. Replaces the previous full-Dijkstra
+            # fallback (11 × n_od searches per scenario) with |S| cached
+            # target-terminated searches per (way, flood graph).
+            e_idx = np.where(self.g.way_id == upgrade_way)[0]
+            c_new_e = float(new_ruc) * self.len_part[e_idx]
+            alt_key = frozenset(set(removed) | {upgrade_way})
+            if alt_key in self._dist_cache:
+                # (A) way absent from the cached period graph → additions
+                d = self._dist_cache[alt_key]
+                graph_removed = alt_key
+            elif np.all(c_new_e <= self.g.weight[e_idx]):
+                # (B) way present at old weights → uniform decrease
+                d = self._od_dists(frozenset(removed))
+                graph_removed = frozenset(removed)
+            else:
+                d = None
+            if d is not None:
+                s_nodes = np.unique(
+                    np.concatenate([self.g.src[e_idx], self.g.dst[e_idx]])
+                ).astype(np.int64)
+                pos = {int(n): i for i, n in enumerate(s_nodes)}
+                B = self._way_node_dists(
+                    graph_removed, upgrade_way, s_nodes
+                ).copy()
+                for e, c in zip(e_idx, c_new_e):
+                    i, j = pos[int(self.g.src[e])], pos[int(self.g.dst[e])]
+                    if c < B[i, j]:
+                        B[i, j] = B[j, i] = c
+                np.fill_diagonal(B, 0.0)
+                for m in range(len(s_nodes)):
+                    B = np.minimum(B, B[:, m][:, None] + B[m, :][None, :])
+                d_S = d[:, s_nodes]  # (n_od, |S|)
+                via_s = (d_S[:, :, None] + B[None, :, :]).min(axis=1)
+                # old(t,y) = d(y,t) by symmetry of the undirected graph
+                via = (via_s[:, None, :] + d_S[None, :, :]).min(axis=2)
+                mat = np.minimum(d[:, self.od_nodes], via)
+                mat = np.maximum(mat, mat.T)
+                return mat[self.iu, self.ju]
+
+        # fallback: full recompute (weight increase — upgrades never do)
         weight = self.g.weight.copy()
         sel = self.g.way_id == upgrade_way
         weight[sel] = new_ruc * self.len_part[sel]
