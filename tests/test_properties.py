@@ -92,6 +92,28 @@ def test_connected_components_match_networkless_union_find(spark, pairs):
     assert got == expected
 
 
+def test_connected_components_long_chain_converges_in_log_rounds(spark):
+    """A 200-node path has diameter 199; pointer doubling must close it
+    well inside 12 rounds (2^12 ≫ 200) — plain propagation would need
+    ~200 and previously split the chain silently at the round cap."""
+    from moz_datapipeline_spark.operators.components import connected_components
+
+    chain = [(i, i + 1) for i in range(200)]
+    df = spark.createDataFrame(chain, "id_a int, id_b int")
+    got = connected_components(df, max_iterations=12).toPandas()
+    assert (got["component"] == 0).all()
+    assert len(got) == 201
+
+
+def test_connected_components_raises_on_round_exhaustion(spark):
+    from moz_datapipeline_spark.operators.components import connected_components
+
+    chain = [(i, i + 1) for i in range(60)]
+    df = spark.createDataFrame(chain, "id_a int, id_b int")
+    with pytest.raises(RuntimeError, match="no fixed point"):
+        connected_components(df, max_iterations=2)
+
+
 @settings(**SETTINGS)
 @given(
     damages=st.lists(
