@@ -757,7 +757,7 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from moz_datapipeline_spark.operators.similarity import embedding_near_dup
 
     emb = _t(spark, sf_dir, "embeddings")
-    out = embedding_near_dup(emb, threshold=0.3, dim=64, n_planes=8)
+    out = embedding_near_dup(emb, threshold=0.3, dim=64, n_planes=8, n_tables=2)
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
@@ -1145,37 +1145,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def _embedding_near_dup_oracle() -> str:
-    """LSH near-dup oracle: the deterministic hyperplanes are computed
-    here (same code path as the Spark operator) and inlined as literals,
-    so DuckDB replays the identical bucket assignment."""
-    from moz_datapipeline_spark.operators.similarity import _hyperplanes
+    """LSH near-dup oracle: the deterministic hyperplanes (2 tables × 8
+    planes) are computed here by the same code path as the Spark operator
+    and inlined as literals, so DuckDB replays the identical per-table
+    bucket assignment; candidates found by either table are deduplicated
+    (DISTINCT) exactly as the engine does before scoring."""
+    from moz_datapipeline_spark.operators.similarity import _plane_tables
 
-    planes = _hyperplanes(64, 8)
+    tables = _plane_tables(64, 8, 2)
     values = ", ".join(
-        f"({p}, {list(plane)})" for p, plane in enumerate(planes)
+        f"({t}, {p}, {list(plane)})"
+        for t, planes in enumerate(tables)
+        for p, plane in enumerate(planes)
     )
     return f"""
         WITH planes AS (
-          SELECT * FROM (VALUES {values}) AS t(pidx, vec)
+          SELECT * FROM (VALUES {values}) AS t(tbl, pidx, vec)
         ),
         v AS (
           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
           FROM embeddings
         ),
         signs AS (
-          SELECT v.vec_id, p.pidx,
+          SELECT v.vec_id, p.tbl, p.pidx,
                  CASE WHEN list_dot_product(v.emb, p.vec) > 0
                       THEN CAST(1 AS BIGINT) << p.pidx ELSE 0 END AS bit
           FROM v CROSS JOIN planes p
         ),
         buckets AS (
-          SELECT vec_id, CAST(sum(bit) AS BIGINT) AS bucket
-          FROM signs GROUP BY vec_id
+          SELECT vec_id, tbl, CAST(sum(bit) AS BIGINT) AS bucket
+          FROM signs GROUP BY vec_id, tbl
         ),
         joined AS (
-          SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
           FROM buckets a JOIN buckets b
-            ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+            ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
         )
         SELECT j.id_a, j.id_b,
                round(list_cosine_similarity(va.emb, vb.emb), 6) AS cosine

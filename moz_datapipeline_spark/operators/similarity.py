@@ -104,33 +104,66 @@ def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
     return sig
 
 
+def _plane_tables(
+    dim: int, n_planes: int, n_tables: int, seed: int = 7
+) -> list[list[list[float]]]:
+    """``n_tables`` independent hyperplane sets; table 0 keeps the
+    historical seed so single-table results are unchanged."""
+    return [
+        _hyperplanes(dim, n_planes, seed=seed + 997 * t) for t in range(n_tables)
+    ]
+
+
+def _bucketed(df: DataFrame, id_alias: str, vec_alias: str, tables) -> DataFrame:
+    """Explode one row per LSH table: (id, vec, _tbl, bucket)."""
+    sigs = F.array(*[lsh_signature(F.col(vec_alias), p) for p in tables])
+    return df.select(
+        id_alias, vec_alias, F.posexplode(sigs).alias("_tbl", "bucket")
+    )
+
+
 def lsh_bucket_topk(
     corpus: DataFrame,
     queries: DataFrame,
     dim: int,
     k: int = 5,
     n_planes: int = 8,
+    n_tables: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Approximate top-k: score only pairs sharing an LSH bucket.
 
-    One equi-join shuffle on the bucket id instead of a cross join —
-    the 100 TB path. Recall < 1; raise ``n_planes`` tables or union
-    multiple seeds for higher recall.
+    One equi-join shuffle on (table, bucket) instead of a cross join —
+    the 100 TB path. Recall for a pair at angle θ is
+    1 − (1 − (1−θ/π)^n_planes)^n_tables: more planes → fewer, purer
+    candidates; more tables → higher recall at ~n_tables× candidate
+    cost. Candidate pairs found by several tables are deduplicated
+    BEFORE scoring, so each pair is scored once.
     """
-    planes = _hyperplanes(dim, n_planes)
-    c = corpus.select(
-        F.col(id_col).alias("corpus_id"), _as_double(vec_col).alias("_cv")
-    ).withColumn("bucket", lsh_signature(F.col("_cv"), planes))
-    q = queries.select(
-        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("_qv")
-    ).withColumn("bucket", lsh_signature(F.col("_qv"), planes))
-    scored = (
-        c.join(q, "bucket")
-        .filter(F.col("corpus_id") != F.col("query_id"))
-        .withColumn("cosine", cosine(F.col("_qv"), F.col("_cv")))
+    tables = _plane_tables(dim, n_planes, n_tables)
+    c = _bucketed(
+        corpus.select(
+            F.col(id_col).alias("corpus_id"), _as_double(vec_col).alias("_cv")
+        ),
+        "corpus_id",
+        "_cv",
+        tables,
     )
+    q = _bucketed(
+        queries.select(
+            F.col(id_col).alias("query_id"), _as_double(vec_col).alias("_qv")
+        ),
+        "query_id",
+        "_qv",
+        tables,
+    )
+    cand = c.join(q, ["_tbl", "bucket"]).filter(
+        F.col("corpus_id") != F.col("query_id")
+    )
+    if n_tables > 1:
+        cand = cand.dropDuplicates(["query_id", "corpus_id"])
+    scored = cand.withColumn("cosine", cosine(F.col("_qv"), F.col("_cv")))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("corpus_id").asc()
     )
@@ -220,26 +253,38 @@ def embedding_near_dup(
     threshold: float = 0.95,
     dim: int = 64,
     n_planes: int = 8,
+    n_tables: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via LSH candidate buckets."""
-    planes = _hyperplanes(dim, n_planes)
-    v = vectors.select(
-        F.col(id_col), _as_double(vec_col).alias("_v")
-    ).withColumn("bucket", lsh_signature(F.col("_v"), planes))
+    """Embedding-cosine near-duplicate pairs via LSH candidate buckets.
+
+    ``n_tables`` independent hyperplane sets raise recall (union of
+    per-table candidates, deduplicated before scoring) at ~n_tables×
+    the candidate volume — same shuffle key (table, bucket)."""
+    tables = _plane_tables(dim, n_planes, n_tables)
+    v = _bucketed(
+        vectors.select(F.col(id_col), _as_double(vec_col).alias("_v")),
+        id_col,
+        "_v",
+        tables,
+    )
     a, b = v.alias("a"), v.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a._tbl") == F.col("b._tbl"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        F.col("a._v").alias("_va"),
+        F.col("b._v").alias("_vb"),
+    )
+    if n_tables > 1:
+        cand = cand.dropDuplicates(["id_a", "id_b"])
     return (
-        a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .withColumn("cosine", cosine(F.col("a._v"), F.col("b._v")))
+        cand.withColumn("cosine", cosine(F.col("_va"), F.col("_vb")))
         .filter(F.col("cosine") >= threshold)
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            "cosine",
-        )
+        .select("id_a", "id_b", "cosine")
     )

@@ -52,3 +52,64 @@ def test_lsh_topk_runs(spark, emb):
     ).toPandas()
     # buckets with 4 planes are coarse (16) — every query should find neighbors
     assert set(out["query_id"]) == {0, 1, 2, 3, 4}
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    """120 base vectors, each with 2 near copies (cosine ≈ 0.98) — the
+    near-dup regime LSH is built for. Ground truth for base i is its
+    copies at ids 1000+2i and 1000+2i+1."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    dim, n = 16, 120
+    base = rng.standard_normal((n, dim))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = [(i, base[i].tolist()) for i in range(n)]
+    for i in range(n):
+        for j in range(2):
+            noisy = base[i] + 0.05 * rng.standard_normal(dim)
+            rows.append((1000 + 2 * i + j, noisy.tolist()))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def _lsh_recall(planted_df, n_tables):
+    from moz_datapipeline_spark.operators.similarity import lsh_bucket_topk
+
+    queries = planted_df.filter(F.col("vec_id") < 120)
+    got = lsh_bucket_topk(
+        planted_df, queries, dim=16, k=2, n_planes=8, n_tables=n_tables
+    ).toPandas()
+    hits = sum(
+        1
+        for q, c in zip(got.query_id, got.corpus_id)
+        if c in (1000 + 2 * q, 1000 + 2 * q + 1)
+    )
+    return hits / (2 * 120)
+
+
+def test_lsh_multi_table_recall(spark, planted):
+    """Union of 4 hyperplane tables must lift recall substantially over
+    one table, and clear an absolute floor on planted near-dups."""
+    r1 = _lsh_recall(planted, 1)
+    r4 = _lsh_recall(planted, 4)
+    assert r4 >= r1, (r1, r4)
+    assert r4 >= 0.85, f"4-table LSH recall too low: {r4} (1-table: {r1})"
+
+
+def test_ivf_full_probe_equals_bruteforce(spark, planted):
+    """nprobe == n_centroids probes every inverted list — the result
+    must coincide exactly with the brute-force baseline."""
+    from moz_datapipeline_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        ivf_topk,
+    )
+
+    queries = planted.filter(F.col("vec_id") < 20)
+    exact = cosine_topk_bruteforce(planted, queries, k=3).toPandas()
+    full = ivf_topk(planted, queries, n_centroids=8, nprobe=8, k=3).toPandas()
+    key = ["query_id", "rank"]
+    e = exact.sort_values(key).reset_index(drop=True)
+    f = full.sort_values(key).reset_index(drop=True)
+    assert (e["corpus_id"] == f["corpus_id"]).all()
+    assert (abs(e["cosine"] - f["cosine"]) < 1e-9).all()
