@@ -6,13 +6,17 @@ Prints ONE JSON line:
      "queries": {"<name>": sec, ...}, "sf": <sf>}
 
 Each query is fully materialized via the noop writer (no driver collect,
-no result-size bias) after a warm-up of the session.
+no result-size bias) after a warm-up of the session. Per query the
+MEDIAN of $SPARK_GRAFT_BENCH_REPEATS runs (default 3) is reported —
+single runs on a shared VM swing ±40%, and the first execution pays
+one-off plan compilation that a resident engine would not.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -71,13 +75,17 @@ def main() -> None:
     # warm up the JVM + parquet footers once, outside the timed region
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
 
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
     qs = entry_mod.queries()
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
-        t0 = time.perf_counter()
-        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        runs = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(runs), 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -88,6 +96,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "repeats": repeats,
             }
         )
     )
