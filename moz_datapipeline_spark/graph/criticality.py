@@ -149,9 +149,18 @@ def criticality_scores(
         )
     scenarios = scenarios.repartition(n_partitions, "way_id")
 
+    # explicit broadcast: the graph + benchmark context ships ONCE per
+    # executor (torrent broadcast), not inside every task's pickled
+    # closure — at national graph sizes closure shipping re-serializes
+    # megabytes per task
+    ctx_bv = spark.sparkContext.broadcast(
+        (g, od_nodes, benchmark, iu, ju, tree_ways)
+    )
+
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        bg, bod, bbench, biu, bju, btrees = ctx_bv.value
         return _way_stats(
-            list(pdf["way_id"]), g, od_nodes, benchmark, iu, ju, tree_ways
+            list(pdf["way_id"]), bg, bod, bbench, biu, bju, btrees
         )
 
     stats = scenarios.groupBy("way_id").applyInPandas(kernel, _STATS_SCHEMA)

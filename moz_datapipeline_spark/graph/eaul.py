@@ -361,11 +361,19 @@ def eaul_scores(
         schema="way_id string, upgrade_id string, ruc double, dc double, surface string",
     ).repartition(min(len(way_ids) * len(ups), spark.sparkContext.defaultParallelism * 2))
 
+    # explicit broadcast: the routing context (graph + the baseline
+    # phase's populated SSSP caches) ships ONCE per executor instead of
+    # being re-pickled into every task closure — the caches are exactly
+    # what makes scenario tasks cheap, so shipping them efficiently
+    # matters at national graph size
+    ctx_bv = spark.sparkContext.broadcast((ctx, excluded))
+
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        bctx, bexcluded = ctx_bv.value
         rows = []
         for _, row in pdf.iterrows():
-            val, _ = ctx.eaul(
-                row["way_id"], row["ruc"], row["dc"], row["surface"], excluded
+            val, _ = bctx.eaul(
+                row["way_id"], row["ruc"], row["dc"], row["surface"], bexcluded
             )
             rows.append(
                 {"way_id": row["way_id"], "upgrade_id": row["upgrade_id"], "eaul": val}
