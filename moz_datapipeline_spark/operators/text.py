@@ -8,8 +8,9 @@ path.
 - ``quality_features`` — length / punctuation / digit / stopword ratios,
   mean word length; composite 0–100 quality score (the reference's
   0–100 indicator-score convention, README.md:79-83).
-- ``lang_id``          — marker-stopword n-gram heuristic: count hits per
-  language's marker list, argmax with deterministic tiebreak.
+- ``lang_id``          — two-tier heuristic: Unicode-script dominance
+  (Cyrillic/CJK/kana/Hangul/Arabic/Hebrew/Devanagari/Greek/Thai) first,
+  marker-stopword argmax for Latin-script text.
 - ``fingerprint``      — deterministic 64-bit document fingerprint
   (xxhash64 of normalized text) for exact-dup detection and
   shard-stable sampling.
@@ -27,6 +28,22 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
     "de": ("der", "die", "und", "das", "ist"),
     "fr": ("le", "la", "les", "des", "et"),
     "zh": ("de", "shi", "le", "zai", "he"),
+}
+
+#: Unicode script blocks → language guess when the script dominates.
+#: Marker words only work for Latin-script languages; for everything
+#: else the script itself is the strongest signal and needs no word
+#: list. Ranges are counted JVM-side (length diff after regexp strip).
+SCRIPT_RANGES: dict[str, str] = {
+    "ru": "\u0400-\u04ff",  # Cyrillic
+    "zh": "\u4e00-\u9fff",  # CJK Unified Ideographs (Han)
+    "ja": "\u3040-\u30ff",  # Hiragana + Katakana
+    "ko": "\uac00-\ud7af",  # Hangul syllables
+    "ar": "\u0600-\u06ff",  # Arabic
+    "he": "\u0590-\u05ff",  # Hebrew
+    "hi": "\u0900-\u097f",  # Devanagari
+    "el": "\u0370-\u03ff",  # Greek
+    "th": "\u0e00-\u0e7f",  # Thai
 }
 
 
@@ -74,13 +91,34 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn("quality_score", score)
 
 
-def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Predict language by marker-word hit counts; deterministic argmax.
+def _script_count(t: Column, char_range: str) -> Column:
+    """Chars of ``t`` inside the given Unicode range (length diff after
+    a regexp strip — stays in whole-stage codegen)."""
+    return F.length(t) - F.length(F.regexp_replace(t, f"[{char_range}]", ""))
 
-    Emits ``lang_pred`` plus per-language hit counts. Ties break by
-    language code ascending (stable across partitionings).
+
+def lang_id(
+    df: DataFrame, text_col: str = "text", script_threshold: float = 0.3
+) -> DataFrame:
+    """Predict language: Unicode-script dominance first, marker words else.
+
+    Two tiers, all JVM-side expressions:
+
+    1. **Script tier** — per-script character counts over
+       ``SCRIPT_RANGES``. Kana at >5% of non-space chars decides ``ja``
+       (Japanese mixes Han + kana; the kana are the discriminator vs
+       Chinese), else the argmax script decides if it holds more than
+       ``script_threshold`` of non-space chars.
+    2. **Marker tier** — Latin-script fallback: marker-word hit counts,
+       argmax with ties broken by language code ascending (stable
+       across partitionings). Pure-ASCII text never reaches tier 1, so
+       Latin-corpus results are unchanged by the script extension.
+
+    Emits ``lang_pred`` plus per-language ``hits_*`` and ``script_*``
+    feature counts.
     """
-    padded = F.concat(F.lit(" "), F.lower(F.col(text_col)), F.lit(" "))
+    t = F.col(text_col)
+    padded = F.concat(F.lit(" "), F.lower(t), F.lit(" "))
     out = df
     for lang, markers in LANG_MARKERS.items():
         pat = r"\s(" + "|".join(markers) + r")\s"
@@ -94,7 +132,31 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
             for lang in LANG_MARKERS
         ]
     )
-    return out.withColumn("lang_pred", F.array_min(hits).getField("lang"))
+    marker_pred = F.array_min(hits).getField("lang")
+
+    for lang, rng in SCRIPT_RANGES.items():
+        out = out.withColumn(f"script_{lang}", _script_count(t, rng))
+    non_space = F.length(F.regexp_replace(t, r"\s", "")).cast("double")
+    scripts = F.array(
+        *[
+            F.struct(
+                (-F.col(f"script_{lang}")).alias("neg"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang in SCRIPT_RANGES
+        ]
+    )
+    best = F.array_min(scripts)
+    best_count = (-best.getField("neg")).cast("double")
+    script_pred = F.when(
+        (non_space > 0)
+        & (F.col("script_ja").cast("double") / non_space > 0.05),
+        F.lit("ja"),
+    ).when(
+        (non_space > 0) & (best_count / non_space > script_threshold),
+        best.getField("lang"),
+    )
+    return out.withColumn("lang_pred", F.coalesce(script_pred, marker_pred))
 
 
 #: GPT-2-style pre-tokenizer approximation — contractions, letter runs,

@@ -62,3 +62,45 @@ def test_bpe_ish_tokens_split_punct_and_digits(spark):
     assert out[0] == 2            # hello, world
     assert out[1] == 6            # it, 's, 2024, ',', really, !
     assert out[2] == 4            # a, 1, b, 2
+
+
+def test_lang_id_script_tier(spark):
+    """Non-Latin scripts decide the language without marker words;
+    kana presence separates Japanese from Chinese."""
+    from moz_datapipeline_spark.operators.text import lang_id
+
+    rows = [
+        (0, "Это пример русского текста для проверки"),          # ru
+        (1, "这是一个中文文本的例子没有假名"),                      # zh: Han only
+        (2, "これは日本語のテキストです漢字も含む"),                # ja: kana + Han
+        (3, "한국어 텍스트 예시입니다"),                           # ko
+        (4, "هذا مثال على نص عربي للاختبار"),                     # ar
+        (5, "זוהי דוגמה לטקסט בעברית"),                           # he
+        (6, "यह हिंदी पाठ का एक उदाहरण है"),                       # hi
+        (7, "Αυτό είναι ένα παράδειγμα ελληνικού κειμένου"),      # el
+        (8, "นี่คือตัวอย่างข้อความภาษาไทย"),                        # th
+        (9, "the cat and the dog of a to"),                       # en via markers
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r["id"]: r["lang_pred"] for r in lang_id(df).collect()}
+    assert got == {
+        0: "ru", 1: "zh", 2: "ja", 3: "ko", 4: "ar",
+        5: "he", 6: "hi", 7: "el", 8: "th", 9: "en",
+    }
+
+
+def test_lang_id_ascii_unchanged_by_script_tier(spark):
+    """Pure-ASCII text must take the marker tier exactly as before."""
+    from moz_datapipeline_spark.operators.text import lang_id
+
+    rows = [
+        (0, "el perro y la casa de que"),
+        (1, "der hund und die katze ist"),
+        (2, "le chien et les chats des"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r["id"]: r["lang_pred"] for r in lang_id(df).collect()}
+    assert got[0] == "es" and got[1] == "de" and got[2] == "fr"
+    # empty text: deterministic tiebreak, first language code wins
+    assert got[3] == "de"
