@@ -237,3 +237,62 @@ def test_pipeline_runner(spark, tmp_path):
     p2.stage("sum", lambda df: df.agg(F.sum("x").alias("s")), ["evens"])
     res2 = p2.run(resume=True)
     assert res2["sum"].first()["s"] == 20
+
+
+def test_raster_real_backend_unavailable_raises_at_plan_time(spark):
+    from moz_datapipeline_spark.operators.raster import (
+        RasterUnavailable,
+        zonal_flood_stats,
+    )
+
+    try:
+        import rasterio  # noqa: F401
+
+        pytest.skip("rasterio present — gate test not applicable")
+    except ImportError:
+        pass
+    ways = spark.createDataFrame([("w1", "{}")], "NAME string, geometry string")
+    with pytest.raises(RasterUnavailable):
+        zonal_flood_stats(ways, use_real_backend=True, raster_paths={10: "/x.tif"})
+
+
+def test_raster_real_backend_window_read(spark, tmp_path):
+    """Real path (runs only where rasterio is installed): a 10×10 synthetic
+    GeoTIFF with known values under a 4-pixel polygon must reproduce the
+    reference's sentinel rules (img-stats.py:99-105)."""
+    rasterio = pytest.importorskip("rasterio")
+    import numpy as np
+    from rasterio.transform import from_origin
+
+    from moz_datapipeline_spark.operators.raster import zonal_flood_stats
+
+    # 10×10 raster, 1° pixels anchored at (0,10): values = row index,
+    # except one 999 (excluded from mean/min/max) and one -1 pixel
+    arr = np.tile(np.arange(10.0)[:, None], (1, 10))
+    arr[0, 0] = 999.0
+    arr[1, 1] = -1.0
+    path = str(tmp_path / "p10.tif")
+    with rasterio.open(
+        path, "w", driver="GTiff", height=10, width=10, count=1,
+        dtype="float64", crs="EPSG:4326", transform=from_origin(0, 10, 1, 1),
+    ) as dst:
+        dst.write(arr, 1)
+
+    # polygon over the top-left 2×2 pixel block: values {999, 0, 1(-1→excl), 1}
+    poly = (
+        '{"type": "Polygon", "coordinates":'
+        ' [[[0, 10], [2, 10], [2, 8], [0, 8], [0, 10]]]}'
+    )
+    ways = spark.createDataFrame([("w1", poly)], "NAME string, geometry string")
+    out = zonal_flood_stats(
+        ways, use_real_backend=True, raster_paths={10: path}
+    ).toPandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert r["count"] == 4                       # nodata=-9999 excludes nothing
+    # mean/min/max over {0.0, 1.0, -1.0} (999 excluded)
+    assert r["min"] == pytest.approx(-1.0)
+    assert r["max"] == pytest.approx(1.0)
+    assert r["mean"] == pytest.approx(0.0)
+    # denominator: pixels != -1 → 3; pct = 4/3*100
+    assert r["pct_flooded"] == pytest.approx(4 / 3 * 100.0)
