@@ -8,6 +8,17 @@ structure exists), then times the full near-dup path:
     minhash signatures → LSH candidates → exact Jaccard verify →
     connected components → representative filter
 
+and measures LSH RECALL against constructed ground truth: the corpus is
+10 deterministic mutations per original, so the true near-dup pairs are
+exactly the same-origin pairs whose 3-gram Jaccard clears the
+threshold — computable exactly (225k pairs), no all-pairs scan.
+
+A second rehearsal times the EAUL scenario engine on a synthetic
+national-scale MULTI-EDGE network (grid, ~2.3k ways × 3 edges, 138 OD
+zones, matching the reference's traffic_matrix.csv width) and compares
+the closed-form min-plus overlay per scenario against the full
+recompute it replaced.
+
 Run: python scale_check.py  (writes nothing outside /tmp; one JSON line)
 """
 
@@ -60,10 +71,140 @@ def amplified_corpus(spark, base_path: str, copies: int = 10):
     return out.repartition(32)
 
 
+def lsh_recall(docs, n_origins: int, cands, threshold: float = 0.8):
+    """Recall of the LSH candidate set against exact ground truth.
+
+    Truth: same-origin pairs (doc_id ≡ doc_id' mod n_origins) with true
+    3-gram Jaccard ≥ threshold — exact because the corpus construction
+    plants ALL near-dups inside origin groups, and the group pair count
+    (origins × C(10,2)) is small enough to verify exhaustively.
+    """
+    ids = docs.select("doc_id")
+    a, b = ids.alias("a"), ids.alias("b")
+    same_origin = a.join(
+        b,
+        (F.col("a.doc_id") % n_origins == F.col("b.doc_id") % n_origins)
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+    )
+    truth = ngram_jaccard_pairs(docs, same_origin, threshold=threshold).select(
+        "id_a", "id_b"
+    )
+    n_truth = truth.count()
+    n_found = truth.join(cands.select("id_a", "id_b"), ["id_a", "id_b"]).count()
+    return n_found / n_truth if n_truth else 1.0, n_truth
+
+
+def routing_scale_check(spark) -> dict:
+    """Multi-edge EAUL at reference full-run width (138 OD zones).
+
+    Grid network, every way owns 3 edges — the shape that previously hit
+    the full-recompute fallback. Times (a) the distributed scenario
+    fan-out end-to-end and (b) per-scenario overlay vs full recompute on
+    a 5-way sample for the headline speedup figure.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from moz_datapipeline_spark.graph.eaul import EaulContext, eaul_scores
+    from moz_datapipeline_spark.graph.kernel import pair_costs
+
+    side = 48  # 48×48 grid → 2,304 nodes
+    rows = []
+    for r in range(side):
+        for c in range(side - 1):
+            rows.append((f"h{r}_{c // 3}", f"n{r}_{c}", f"n{r}_{c + 1}"))
+    for c in range(side):
+        for r in range(side - 1):
+            rows.append((f"v{c}_{r // 3}", f"n{r}_{c}", f"n{r + 1}_{c}"))
+    edges = pd.DataFrame(
+        {
+            "way_id": [w for w, _, _ in rows],
+            "src": [s for _, s, _ in rows],
+            "dst": [d for _, _, d in rows],
+            "weight": 1.0,
+            "len_part": 1.0,
+            "ruc": 1.0,
+        }
+    )
+    way_ids = sorted(set(edges["way_id"]))
+    # flood pattern: every 9th way dies at the two largest return periods
+    way_props = pd.DataFrame(
+        {
+            "way_id": way_ids,
+            "length_km": 3.0,
+            "surface": "unpaved",
+            "depths": [
+                [0.0] * 8 + [20.0, 20.0] if i % 9 == 0 else [0.0] * 10
+                for i in range(len(way_ids))
+            ],
+            "lengths": [
+                [0.0] * 8 + [50.0, 100.0] if i % 9 == 0 else [0.0] * 10
+                for i in range(len(way_ids))
+            ],
+        }
+    )
+    # 138 OD zones spread over the grid (reference: traffic_matrix.csv width)
+    n_od = 138
+    step = side * side // n_od
+    od = [f"n{(i * step) // side}_{(i * step) % side}" for i in range(n_od)]
+    traffic = {
+        (i, j): 100.0 for i in range(n_od) for j in range(i + 1, n_od)
+    }
+
+    t0 = time.perf_counter()
+    ctx = EaulContext(edges, way_props, od, traffic)
+    _, excluded = ctx.eaul(None, None, 0.7, None, None)
+    t_baseline = time.perf_counter() - t0
+
+    # per-scenario: overlay vs the full recompute it replaced (5-way sample)
+    sample = way_ids[:: len(way_ids) // 5][:5]
+    t0 = time.perf_counter()
+    for w in sample:
+        ctx.scenario_pair_costs(w, 0.23, set())
+    t_overlay = (time.perf_counter() - t0) / len(sample)
+    t0 = time.perf_counter()
+    for w in sample:
+        weight = ctx.g.weight.copy()
+        sel = ctx.g.way_id == w
+        weight[sel] = 0.23 * ctx.len_part[sel]
+        pair_costs(ctx.g, ctx.od_nodes, weight_override=weight)
+    t_full = (time.perf_counter() - t0) / len(sample)
+
+    # distributed fan-out over one upgrade × all ways
+    t0 = time.perf_counter()
+    res = eaul_scores(
+        spark,
+        edges,
+        way_props,
+        od,
+        traffic,
+        upgrades=[
+            {"id": "upgrade-rehab-asphalt", "ruc": 0.23,
+             "drainage_capacity": 1.0, "surface": "paved"}
+        ],
+    )
+    n_scen = res.count() - 1
+    t_fanout = time.perf_counter() - t0
+    return {
+        "routing_nodes": side * side,
+        "routing_ways": len(way_ids),
+        "routing_od_zones": n_od,
+        "eaul_baseline_sec": round(t_baseline, 2),
+        "eaul_overlay_per_scenario_sec": round(t_overlay, 4),
+        "eaul_full_recompute_per_scenario_sec": round(t_full, 2),
+        "eaul_overlay_speedup": round(t_full / t_overlay, 1),
+        "eaul_scenarios": n_scen,
+        "eaul_fanout_sec": round(t_fanout, 2),
+    }
+
+
 def main() -> None:
     spark = get_spark(app_name="dedup_scale_check")
     docs = amplified_corpus(spark, "/root/testdata/sf0.1/documents.parquet")
     n_docs = docs.count()
+    n_origins = n_docs // 10
 
     t0 = time.perf_counter()
     sigs = minhash_signatures(docs, num_hashes=32)
@@ -83,18 +224,24 @@ def main() -> None:
     n_kept = survivors.count()
     t_cluster = time.perf_counter() - t0
 
+    recall, n_truth = lsh_recall(docs, n_origins, cands)
+    routing = routing_scale_check(spark)
+
     print(
         json.dumps(
             {
                 "n_docs": n_docs,
                 "lsh_candidates": n_cands,
                 "verified_pairs": n_verified,
+                "true_neardup_pairs": n_truth,
+                "lsh_recall": round(recall, 4),
                 "clusters": n_clusters,
                 "docs_kept": n_kept,
                 "removed_ratio": round(1 - n_kept / n_docs, 4),
                 "t_lsh_sec": round(t_lsh, 2),
                 "t_verify_sec": round(t_verify, 2),
                 "t_cluster_sec": round(t_cluster, 2),
+                **routing,
             }
         )
     )
