@@ -773,6 +773,42 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over documents with deterministic planted PII.
+
+    The synthetic corpus carries no real PII, so the query plants an
+    email + IP per doc (derived from doc_id) before redacting — the
+    oracle plants identically, making match counts and the redacted
+    text non-vacuous."""
+    from moz_datapipeline_spark.operators.text import redact_pii
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".1"),
+        ),
+    )
+    out = redact_pii(d)
+    return out.select(
+        "doc_id", "n_email", "n_phone", "n_ipv4", "redacted_text"
+    )
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window document chunking (training-sequence prep)."""
+    from moz_datapipeline_spark.operators.text import chunk_documents
+
+    d = _t(spark, sf_dir, "documents")
+    return chunk_documents(d, max_tokens=32, stride=24).select(
+        "doc_id", "chunk_idx", "n_tokens", "chunk_text"
+    )
+
+
 def q_skew_salted_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-resistant two-phase salted aggregation — must equal a plain
     SUM (the salt only spreads the shuffle)."""
@@ -1126,6 +1162,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ivf": q_similarity_ivf,
         "embedding_near_dup": q_embedding_near_dup,
         "token_count": q_token_count,
+        "redact_pii": q_redact_pii,
+        "doc_chunks": q_doc_chunks,
         "skew_salted_sum": q_skew_salted_sum,
         "bpe_token_count": q_bpe_token_count,
         "doc_winnowing": q_doc_winnowing,
@@ -1142,6 +1180,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_stats": q_raster_stats,
         "multimodal_features": q_multimodal_features,
     }
+
+
+def _redact_pii_oracle() -> str:
+    """PII-scrub oracle: the exact engine patterns (RE2-portable by
+    construction) are injected into sequential regexp_replace CTEs that
+    mirror the engine's count-on-partially-redacted-text order."""
+    from moz_datapipeline_spark.operators.text import PII_PATTERNS
+
+    e = "'" + PII_PATTERNS["email"] + "'"
+    p = "'" + PII_PATTERNS["phone"] + "'"
+    i = "'" + PII_PATTERNS["ipv4"] + "'"
+    return (
+        """
+        WITH aug AS (
+          SELECT doc_id,
+                 text || ' contact u' || CAST(doc_id AS VARCHAR)
+                      || '@example.com or 10.0.'
+                      || CAST(doc_id % 256 AS VARCHAR) || '.1' AS text
+          FROM documents
+        ), r1 AS (
+          SELECT doc_id,
+                 CAST(len(regexp_extract_all(text, """ + e + """)) AS INTEGER) AS n_email,
+                 regexp_replace(text, """ + e + """, '[EMAIL]', 'g') AS t1
+          FROM aug
+        ), r2 AS (
+          SELECT doc_id, n_email,
+                 CAST(len(regexp_extract_all(t1, """ + p + """)) AS INTEGER) AS n_phone,
+                 regexp_replace(t1, """ + p + """, '[PHONE]', 'g') AS t2
+          FROM r1
+        )
+        SELECT doc_id, n_email, n_phone,
+               CAST(len(regexp_extract_all(t2, """ + i + """)) AS INTEGER) AS n_ipv4,
+               regexp_replace(t2, """ + i + """, '[IP]', 'g') AS redacted_text
+        FROM r2
+        """
+    )
 
 
 def _embedding_near_dup_oracle() -> str:
@@ -1701,6 +1775,23 @@ def oracle_sql() -> dict[str, str]:
                         ELSE len(string_split_regex(trim(text), '\\s+')) END AS INTEGER) AS n_tokens,
                    CAST(length(text) AS INTEGER) AS n_chars_actual
             FROM documents
+        """,
+        "redact_pii": _redact_pii_oracle(),
+        "doc_chunks": """
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split_regex(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ') AS t
+              FROM documents
+              WHERE trim(text) <> ''
+            ), starts AS (
+              SELECT doc_id, t, unnest(range(0, len(t), 24)) AS st
+              FROM toks
+            )
+            SELECT doc_id,
+                   CAST(st // 24 AS INTEGER) AS chunk_idx,
+                   CAST(len(t[st+1:st+32]) AS INTEGER) AS n_tokens,
+                   array_to_string(t[st+1:st+32], ' ') AS chunk_text
+            FROM starts
         """,
         "skew_salted_sum": """
             SELECT l_returnflag, round(sum(l_quantity), 4) AS total_qty

@@ -56,6 +56,8 @@ HEADLINE = [
     "token_count",
     "quality_score",
     "lang_id",
+    "redact_pii",
+    "doc_chunks",
     "bridge_snap",
     "flood_ead",
     "json_props",

@@ -242,6 +242,76 @@ def stable_sample(
     return df.filter(h < F.lit(int(fraction * space)))
 
 
+#: PII patterns — deliberately RE2-portable (no lookbehind) so the same
+#: literal pattern drives Spark (Java regex) and DuckDB (RE2) oracles.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"(?:\+?[0-9]{1,3}[-. ])?\(?[0-9]{3}\)?[-. ]?[0-9]{3}[-. ]?[0-9]{4}",
+    "ipv4": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
+}
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Mask emails / phone numbers / IPv4 addresses in ``text_col``.
+
+    Standard pre-training scrub. Adds ``redacted_text`` (each match
+    replaced by ``[EMAIL]``/``[PHONE]``/``[IP]``) and per-kind match
+    counts (``n_email``…), all as chained regexp expressions inside
+    whole-stage codegen — no Python in the hot path. Order matters:
+    emails first so their digits can't be half-eaten by the phone rule.
+    """
+    labels = {"email": "[EMAIL]", "phone": "[PHONE]", "ipv4": "[IP]"}
+    out = df
+    red = F.col(text_col)
+    for kind, pat in PII_PATTERNS.items():
+        # count on the partially-redacted text: an email's digits must
+        # not double-count as a phone number
+        out = out.withColumn(f"n_{kind}", _count_matches(red, pat))
+        red = F.regexp_replace(red, pat, labels[kind])
+    return out.withColumn("redacted_text", red)
+
+
+def chunk_documents(
+    df: DataFrame,
+    max_tokens: int = 128,
+    stride: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into fixed-size token windows (training chunks).
+
+    ``stride`` < ``max_tokens`` yields overlapping windows (the usual
+    context-carryover trick); default is non-overlapping. Output: one
+    row per chunk with (id, chunk_idx, n_tokens, chunk_text).
+
+    Plan shape: tokens array built once per row, window starts via
+    ``sequence``, chunk slices via ``transform`` + ``slice`` — one
+    ``posexplode``, no shuffle at all until the caller aggregates; at
+    100 TB this is a pure map stage that AQE can pipeline into the
+    next shuffle.
+    """
+    s = stride or max_tokens
+    trimmed = F.trim(F.col(text_col))
+    toks = F.split(F.regexp_replace(trimmed, r"\s+", " "), " ")
+    n = F.size(toks)
+    # empty documents yield zero chunks (posexplode drops the row)
+    starts = F.when(
+        (trimmed != "") & (n > 0),
+        F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(s)),
+    ).otherwise(F.array().cast("array<int>"))
+    chunks = F.transform(
+        starts, lambda st: F.slice(toks, st + 1, max_tokens)
+    )
+    return (
+        df.select(
+            F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "_chunk")
+        )
+        .withColumn("n_tokens", F.size("_chunk"))
+        .withColumn("chunk_text", F.array_join("_chunk", " "))
+        .drop("_chunk")
+    )
+
+
 def fingerprint(text: Column | str) -> Column:
     """64-bit content fingerprint of whitespace-normalized, lowercased text."""
     t = F.col(text) if isinstance(text, str) else text

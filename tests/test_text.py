@@ -104,3 +104,36 @@ def test_lang_id_ascii_unchanged_by_script_tier(spark):
     assert got[0] == "es" and got[1] == "de" and got[2] == "fr"
     # empty text: deterministic tiebreak, first language code wins
     assert got[3] == "de"
+
+
+def test_redact_pii(spark):
+    from moz_datapipeline_spark.operators.text import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (0, "mail bob@example.com call 555-123-4567 or +1 (212) 555-0199 ip 10.0.0.1"),
+            (1, "clean text no pii here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert out[0]["n_email"] == 1 and out[0]["n_phone"] == 2 and out[0]["n_ipv4"] == 1
+    assert out[0]["redacted_text"] == "mail [EMAIL] call [PHONE] or [PHONE] ip [IP]"
+    assert out[1]["redacted_text"] == "clean text no pii here"
+
+
+def test_chunk_documents_windows(spark):
+    from moz_datapipeline_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame(
+        [(0, " ".join(f"w{i}" for i in range(10))), (1, ""), (2, "solo")],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(df, max_tokens=4, stride=3).toPandas()
+    d0 = out[out.doc_id == 0].sort_values("chunk_idx")
+    # starts 0,3,6,9 → sizes 4,4,4,1; stride<max_tokens → 1-token overlap
+    assert list(d0["n_tokens"]) == [4, 4, 4, 1]
+    assert d0.iloc[0]["chunk_text"] == "w0 w1 w2 w3"
+    assert d0.iloc[1]["chunk_text"] == "w3 w4 w5 w6"
+    assert (out.doc_id != 1).all()          # empty doc yields no chunks
+    assert list(out[out.doc_id == 2]["chunk_text"]) == ["solo"]
