@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import json
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -94,6 +95,17 @@ def linestring_coords(coordinates_json: str | F.Column) -> F.Column:
     )
 
 
+#: fixed shapefile row contract — schema can't be inferred lazily when
+#: parsing happens on executors
+SHAPEFILE_SCHEMA = (
+    "source_file string, "
+    "properties map<string,string>, "
+    "geom_type string, "
+    "coordinates array<struct<lon:double,lat:double>>, "
+    "geometry_json string"
+)
+
+
 def read_shapefile(
     spark: SparkSession, path: str, target_crs: str = "EPSG:4326"
 ) -> DataFrame:
@@ -101,9 +113,17 @@ def read_shapefile(
     scripts/base-network.sh:98-99).
 
     Requires geopandas (not installed in this environment — the
-    GeoJSON path covers the same row contract); raises a clear error
-    otherwise. Rows surface with a ``coordinates`` array column in the
-    engine's LINESTRING_COORDS convention.
+    GeoJSON path covers the same row contract); availability is checked
+    at plan time so the error is raised on the driver.
+
+    Distributed shape: ``path`` may be one ``.shp`` or a glob; the
+    driver only LISTS the files, and each executor task opens + parses
+    + reprojects its own files inside a ``mapInPandas`` kernel — no
+    feature rows ever pass through the driver. Parallelism is per file
+    (the shapefile format is unsplittable), which fits the real
+    workload: many small boundary/admin files. LineString coordinates
+    surface in the engine's LINESTRING_COORDS convention; every
+    geometry also carries its full GeoJSON for polygon consumers.
     """
     try:
         import geopandas  # noqa: F401
@@ -112,16 +132,55 @@ def read_shapefile(
             "read_shapefile needs geopandas; convert to GeoJSON and use "
             "read_geojson_features, or install geopandas"
         ) from exc
-    gdf = geopandas.read_file(path).to_crs(target_crs)
-    records = []
-    for _, row in gdf.iterrows():
-        geom = row.geometry
-        coords = [
-            {"lon": float(x), "lat": float(y)} for x, y in geom.coords
-        ] if geom is not None and geom.geom_type == "LineString" else None
-        props = {k: row[k] for k in gdf.columns if k != "geometry"}
-        records.append({**props, "coordinates": coords})
-    return spark.createDataFrame(records)
+    import glob as _glob
+    import json as _json
+
+    files = sorted(_glob.glob(path)) if any(c in path for c in "*?[") else [path]
+    if not files:
+        raise FileNotFoundError(f"no shapefiles match {path}")
+    paths = spark.createDataFrame(
+        [(f,) for f in files], "path string"
+    ).repartition(len(files))
+
+    def kernel(batches):
+        import geopandas as gpd
+
+        for pdf in batches:
+            for p in pdf["path"]:
+                gdf = gpd.read_file(p).to_crs(target_crs)
+                out = []
+                for _, row in gdf.iterrows():
+                    geom = row.geometry
+                    is_line = geom is not None and geom.geom_type == "LineString"
+                    out.append(
+                        {
+                            "source_file": p,
+                            "properties": {
+                                k: None if row[k] is None else str(row[k])
+                                for k in gdf.columns
+                                if k != "geometry"
+                            },
+                            "geom_type": None if geom is None else geom.geom_type,
+                            "coordinates": [
+                                {"lon": float(x), "lat": float(y)}
+                                for x, y in geom.coords
+                            ]
+                            if is_line
+                            else None,
+                            "geometry_json": None
+                            if geom is None
+                            else _json.dumps(geom.__geo_interface__),
+                        }
+                    )
+                yield pd.DataFrame(
+                    out,
+                    columns=[
+                        "source_file", "properties", "geom_type",
+                        "coordinates", "geometry_json",
+                    ],
+                )
+
+    return paths.mapInPandas(kernel, schema=SHAPEFILE_SCHEMA)
 
 
 def read_osm_ways(spark: SparkSession, path: str) -> DataFrame:
