@@ -283,6 +283,64 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_conditional_agg_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: join + CASE-WHEN conditional counts per group
+    (map-side partial agg of two conditional sums in one pass)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1994-01-01")
+            & (F.col("l_shipdate") < "1995-01-01")
+        )
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+def q_distinct_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: COUNT(DISTINCT) per group after a join with an
+    exclusion predicate — the two-shuffle distinct-agg plan."""
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        p.filter(F.col("p_size").isin(1, 4, 9, 14, 19, 23))
+        .join(li, F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q_large_order_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING over a grouped sum, semi-join back to the
+    order/customer dimensions, deterministic top-20."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        big.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name", "o_orderkey", "o_totalprice",
+            F.round("total_qty", 4).alias("total_qty"),
+        )
+        .orderBy(
+            F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+        )
+        .limit(20)
+    )
+
+
 def q_anti_join_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J13-ish: entities missing from a join (merge-indicators.js:110-125
     miss reporting) — customers with no orders."""
@@ -1138,6 +1196,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reverse_pair_fold": q_reverse_pair_fold,
         "shipping_priority": q_shipping_priority,
         "local_supplier_volume": q_local_supplier_volume,
+        "conditional_agg_priority": q_conditional_agg_priority,
+        "distinct_supplier_variety": q_distinct_supplier_variety,
+        "large_order_topk": q_large_order_topk,
         "anti_join_missing": q_anti_join_missing,
         "unpivot": q_unpivot,
         "trapezoid_integration": q_trapezoid_integration,
@@ -1503,6 +1564,38 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation   ON s_nationkey = n_nationkey
             WHERE c_nationkey = s_nationkey
             GROUP BY n_name
+        """,
+        "conditional_agg_priority": """
+            SELECT l_returnflag,
+                   sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+                   sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1995-01-01 00:00:00'
+            GROUP BY l_returnflag
+        """,
+        "distinct_supplier_variety": """
+            SELECT p_brand, p_size,
+                   count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+            FROM part JOIN lineitem ON p_partkey = l_partkey
+            WHERE p_size IN (1, 4, 9, 14, 19, 23)
+            GROUP BY p_brand, p_size
+        """,
+        "large_order_topk": """
+            WITH big AS (
+              SELECT l_orderkey, sum(l_quantity) AS total_qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING sum(l_quantity) > 150
+            )
+            SELECT c_name, o_orderkey, o_totalprice,
+                   round(total_qty, 4) AS total_qty
+            FROM big
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey ASC
+            LIMIT 20
         """,
         "anti_join_missing": """
             SELECT c_custkey, c_name FROM customer

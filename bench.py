@@ -36,6 +36,8 @@ HEADLINE = [
     "multiway_join",
     "shipping_priority",
     "local_supplier_volume",
+    "conditional_agg_priority",
+    "distinct_supplier_variety",
     "merge_indicators",
     "argmin_join",
     "reverse_pair_fold",
