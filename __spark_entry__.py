@@ -376,8 +376,13 @@ def q_trapezoid_integration(spark: SparkSession, sf_dir: str) -> DataFrame:
     y = l_quantity, per order with ≥2 lines."""
     li = _t(spark, sf_dir, "lineitem")
     # l_linenumber is not unique per order: collapse duplicates first so
-    # the lead() series is deterministic in any engine
-    series = li.groupBy(
+    # the lead() series is deterministic in any engine.
+    # One shuffle total: partition on the parent key up front — the
+    # (key, x) agg is satisfied by the subset partitioning, and the
+    # window + final agg reuse it. Map-side combine would buy nothing
+    # here ((l_orderkey, l_linenumber) is nearly unique per row), so
+    # pre-shuffling raw rows is strictly cheaper than two exchanges.
+    series = li.repartition("l_orderkey").groupBy(
         "l_orderkey", F.col("l_linenumber").cast("double").alias("x")
     ).agg(F.sum("l_quantity").alias("y"))
     w = Window.partitionBy("l_orderkey").orderBy("x")

@@ -114,3 +114,35 @@ def test_argmin_join_is_partial_agg_not_sort_window(spark, sf_dir):
     # the whole table into a row_number window
     assert "Window" not in plan
     assert "partial_min" in plan
+
+
+def test_trapezoid_single_exchange(spark, sf_dir):
+    """Dedup agg + lead window + final agg must share ONE shuffle: the
+    subset partitioning on the parent key satisfies all three."""
+    import re
+
+    plan = _plan(entry_mod.q_trapezoid_integration(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+
+def test_doc_chunks_is_shuffle_free(spark, sf_dir):
+    """Token-window chunking is a pure map stage — no Exchange at all."""
+    plan = _plan(entry_mod.q_doc_chunks(spark, sf_dir))
+    assert "Exchange" not in plan
+
+
+def test_redact_pii_is_pure_codegen(spark, sf_dir):
+    """PII scrub: single scan, no shuffle, no python UDF."""
+    plan = _plan(entry_mod.q_redact_pii(spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_conditional_agg_partial(spark, sf_dir):
+    """Q12 shape: both conditional sums fold in ONE aggregate with a
+    map-side partial before the group shuffle."""
+    import re
+
+    plan = _plan(entry_mod.q_conditional_agg_priority(spark, sf_dir))
+    assert "HashAggregate" in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2
