@@ -19,10 +19,15 @@ def salted_sum(
 
     Phase 1 shuffles on (key, salt) spreading a hot key over ``salt``
     reducers; phase 2 combines the ``salt`` partials — its shuffle moves
-    only |groups|·salt rows. Deterministic salting (hash of a uniform
-    random column would break retry-determinism; we hash a row-stable
-    expression instead is unnecessary — partial sums are commutative, so
-    a nondeterministic salt is safe for SUM-like aggregates only).
+    only |groups|·salt rows.
+
+    Salt choice: ``F.rand(seed)``. A task retry may re-deal rows to
+    different salt buckets, which is harmless HERE because a sum is
+    commutative and reassociable — the per-key total is identical no
+    matter how rows split across salts. That argument covers SUM-like
+    aggregates only; for order- or identity-sensitive aggregates
+    (first, collect_list, …) use a content-derived salt
+    (``hash(stable_col) % salt``) so every retry deals identically.
     """
     salted = df.withColumn("_salt", (F.rand(seed=7) * salt).cast("int"))
     partial = salted.groupBy(*keys, "_salt").agg(
