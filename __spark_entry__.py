@@ -872,6 +872,30 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-cut sample packing: document spans over token bins."""
+    from moz_datapipeline_spark.operators.text import pack_documents
+
+    d = _t(spark, sf_dir, "documents")
+    return pack_documents(d, max_tokens=512)
+
+
+def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 quantization with dequantization fidelity."""
+    from moz_datapipeline_spark.operators.similarity import quantize_embeddings
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = quantize_embeddings(emb)
+    return out.select(
+        "vec_id",
+        F.round("scale", 9).alias("scale"),
+        F.array_join(F.transform("quantized", lambda x: x.cast("string")), ",").alias(
+            "codes"
+        ),
+        F.round("dequant_cosine", 6).alias("dequant_cosine"),
+    )
+
+
 def q_skew_salted_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-resistant two-phase salted aggregation — must equal a plain
     SUM (the salt only spreads the shuffle)."""
@@ -1230,6 +1254,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "redact_pii": q_redact_pii,
         "doc_chunks": q_doc_chunks,
+        "pack_documents": q_pack_documents,
+        "quantize_embeddings": q_quantize_embeddings,
         "skew_salted_sum": q_skew_salted_sum,
         "bpe_token_count": q_bpe_token_count,
         "doc_winnowing": q_doc_winnowing,
@@ -1890,6 +1916,54 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(t[st+1:st+32]) AS INTEGER) AS n_tokens,
                    array_to_string(t[st+1:st+32], ' ') AS chunk_text
             FROM starts
+        """,
+        "pack_documents": """
+            WITH n AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+              FROM documents
+            ), spans AS (
+              SELECT doc_id, n_tokens,
+                     CAST(sum(n_tokens) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS e
+              FROM n
+            ), s2 AS (
+              SELECT doc_id, n_tokens, e - n_tokens AS s, e
+              FROM spans WHERE n_tokens > 0
+            ), bins AS (
+              SELECT doc_id, n_tokens, s, e,
+                     unnest(range(s // 512, (e - 1) // 512 + 1)) AS bin
+              FROM s2
+            )
+            SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens, bin,
+                   greatest(s, bin * 512) - s AS bin_start,
+                   least(e, bin * 512 + 512) - s AS bin_end
+            FROM bins
+        """,
+        "quantize_embeddings": """
+            WITH v AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+              FROM embeddings
+            ), s AS (
+              SELECT vec_id, emb,
+                     list_max(list_transform(emb, x -> abs(x))) / 127.0 AS scale
+              FROM v
+            ), q AS (
+              SELECT vec_id, emb, scale,
+                     CASE WHEN scale > 0 THEN
+                       list_transform(emb,
+                         x -> CAST(sign(x) * floor(abs(x) / scale + 0.5) AS INTEGER))
+                     ELSE list_transform(emb, x -> 0) END AS qc
+              FROM s
+            )
+            SELECT vec_id, round(scale, 9) AS scale,
+                   array_to_string(list_transform(qc, x -> CAST(x AS VARCHAR)), ',') AS codes,
+                   round(CASE WHEN scale > 0 THEN
+                     list_cosine_similarity(emb, list_transform(qc, y -> y * scale))
+                   END, 6) AS dequant_cosine
+            FROM q
         """,
         "skew_salted_sum": """
             SELECT l_returnflag, round(sum(l_quantity), 4) AS total_qty

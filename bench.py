@@ -60,6 +60,8 @@ HEADLINE = [
     "lang_id",
     "redact_pii",
     "doc_chunks",
+    "pack_documents",
+    "quantize_embeddings",
     "bridge_snap",
     "flood_ead",
     "json_props",

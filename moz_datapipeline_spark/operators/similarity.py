@@ -248,6 +248,48 @@ def ivf_topk(
     )
 
 
+def quantize_embeddings(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization (storage/ANN compression).
+
+    scale = max|x| / 127; q_i = sign(x_i)·floor(|x_i|/scale + 0.5) —
+    the explicit floor formula instead of round() because engines
+    disagree on round-half tie-breaking. Emits the int8 codes, the
+    scale, and the dequantization fidelity (cosine between original and
+    dequantized vector). All JVM array HOFs: this is a pure map stage,
+    no shuffle, 4× smaller vectors for downstream ANN.
+    """
+    v = _as_double(vec_col)
+    absmax = F.aggregate(
+        F.transform(v, lambda x: F.abs(x)),
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, x),
+    )
+    scale = absmax / F.lit(127.0)
+    q = F.when(absmax > 0, F.transform(
+        v,
+        lambda x: (
+            F.signum(x) * F.floor(F.abs(x) / scale + F.lit(0.5))
+        ).cast("int"),
+    )).otherwise(F.transform(v, lambda x: F.lit(0)))
+    out = df.select(
+        F.col(id_col),
+        scale.alias("scale"),
+        q.alias("quantized"),
+        v.alias("_orig"),
+    )
+    deq = F.transform(
+        F.col("quantized"), lambda y: y.cast("double") * F.col("scale")
+    )
+    return out.withColumn(
+        "dequant_cosine",
+        F.when(F.col("scale") > 0, cosine(F.col("_orig"), deq)).otherwise(
+            F.lit(None)
+        ),
+    ).drop("_orig")
+
+
 def embedding_near_dup(
     vectors: DataFrame,
     threshold: float = 0.95,

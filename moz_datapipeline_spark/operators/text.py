@@ -312,6 +312,60 @@ def chunk_documents(
     )
 
 
+def pack_documents(
+    df: DataFrame,
+    max_tokens: int = 512,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Concat-and-cut sample packing: assign every document a span in
+    the virtual token stream formed by concatenating all documents in
+    ``id_col`` order, then cut the stream into ``max_tokens`` bins.
+
+    The LLM-pretraining packing strategy (documents straddle bin
+    boundaries; no padding waste). Output: one row per (document × bin
+    it touches) with the half-open token span of the overlap —
+    (id, n_tokens, bin, bin_start, bin_end), where bin_start/bin_end
+    index into the DOCUMENT's own tokens.
+
+    Plan shape: one global cumulative-sum window (ordered by id) for
+    the stream offsets — a single-partition window over |docs| rows of
+    two longs, the classic prefix-sum bottleneck, acceptable because
+    the windowed data is rows of scalars, not text; at extreme corpus
+    sizes swap in a two-phase per-partition prefix sum. Bin fan-out is
+    a ``sequence``+``explode``, shuffle-free.
+    """
+    toks = token_count(text_col)
+    with_n = df.select(F.col(id_col), toks.alias("n_tokens"))
+    w = Window.orderBy(id_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    spans = with_n.withColumn(
+        "_end", F.sum("n_tokens").over(w).cast("long")
+    ).withColumn("_start", (F.col("_end") - F.col("n_tokens")).cast("long"))
+    # bins this document touches: floor(start/max) .. floor((end-1)/max)
+    first_bin = (F.col("_start") / max_tokens).cast("long")
+    last_bin = ((F.col("_end") - 1) / max_tokens).cast("long")
+    exploded = spans.filter(F.col("n_tokens") > 0).select(
+        id_col,
+        "n_tokens",
+        "_start",
+        "_end",
+        F.explode(F.sequence(first_bin, last_bin)).alias("bin"),
+    )
+    bin_lo = F.col("bin") * max_tokens
+    bin_hi = bin_lo + max_tokens
+    return exploded.select(
+        id_col,
+        "n_tokens",
+        "bin",
+        (F.greatest(F.col("_start"), bin_lo) - F.col("_start")).alias(
+            "bin_start"
+        ),
+        (F.least(F.col("_end"), bin_hi) - F.col("_start")).alias("bin_end"),
+    )
+
+
 def fingerprint(text: Column | str) -> Column:
     """64-bit content fingerprint of whitespace-normalized, lowercased text."""
     t = F.col(text) if isinstance(text, str) else text

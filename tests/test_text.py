@@ -137,3 +137,62 @@ def test_chunk_documents_windows(spark):
     assert d0.iloc[1]["chunk_text"] == "w3 w4 w5 w6"
     assert (out.doc_id != 1).all()          # empty doc yields no chunks
     assert list(out[out.doc_id == 2]["chunk_text"]) == ["solo"]
+
+
+def test_pack_documents_tiles_the_stream(spark):
+    from moz_datapipeline_spark.operators.text import pack_documents
+
+    rows = [(i, " ".join(f"t{j}" for j in range(7 + (i * 13) % 40)))
+            for i in range(50)] + [(50, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pack_documents(df, max_tokens=64).toPandas()
+    # empty docs contribute no spans
+    assert (out.doc_id != 50).all()
+    # per-document: spans cover [0, n_tokens) without gaps or overlap
+    for did, g in out.groupby("doc_id"):
+        g = g.sort_values("bin")
+        assert g.iloc[0]["bin_start"] == 0
+        assert g.iloc[-1]["bin_end"] == g.iloc[0]["n_tokens"]
+        for a, b in zip(g["bin_end"], g["bin_start"].iloc[1:]):
+            assert a == b
+    # per-bin: total tokens == 64 for every bin except possibly the last
+    sizes = (out.groupby("bin")
+                .apply(lambda g: (g.bin_end - g.bin_start).sum(),
+                       include_groups=False)
+                .sort_index())
+    assert (sizes.iloc[:-1] == 64).all()
+    total = sum(7 + (i * 13) % 40 for i in range(50))
+    assert sizes.sum() == total
+
+
+def test_chunk_concat_reconstructs_text(spark):
+    """Non-overlapping chunks concatenated in order == normalized text."""
+    from moz_datapipeline_spark.operators.text import chunk_documents
+
+    rows = [(i, " ".join(f"w{i}_{j}" for j in range(1 + (i * 7) % 23)))
+            for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(df, max_tokens=5).toPandas()
+    rebuilt = (
+        out.sort_values(["doc_id", "chunk_idx"])
+        .groupby("doc_id")["chunk_text"]
+        .apply(" ".join)
+    )
+    for i, text in rows:
+        assert rebuilt[i] == text
+
+
+def test_quantize_embeddings_fidelity(spark):
+    from moz_datapipeline_spark.operators.similarity import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [(0, [1.0, -0.5, 0.25, 0.0]), (1, [0.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+    assert out[0]["quantized"] == [127, -64, 32, 0]
+    assert abs(out[0]["scale"] - 1.0 / 127.0) < 1e-12
+    assert out[0]["dequant_cosine"] > 0.9999
+    # zero vector: zero codes, no cosine
+    assert out[1]["quantized"] == [0, 0, 0, 0]
+    assert out[1]["dequant_cosine"] is None
