@@ -305,12 +305,15 @@ def embedding_near_dup(
     per-table candidates, deduplicated before scoring) at ~n_tables×
     the candidate volume — same shuffle key (table, bucket)."""
     tables = _plane_tables(dim, n_planes, n_tables)
+    # cache before the self-join: alias-only branches defeat exchange
+    # reuse, so without it both sides recompute every plane dot product
+    # (same rationale as minhash_lsh_candidates)
     v = _bucketed(
         vectors.select(F.col(id_col), _as_double(vec_col).alias("_v")),
         id_col,
         "_v",
         tables,
-    )
+    ).cache()
     a, b = v.alias("a"), v.alias("b")
     cand = a.join(
         b,
