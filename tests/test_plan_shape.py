@@ -146,3 +146,38 @@ def test_conditional_agg_partial(spark, sf_dir):
     plan = _plan(entry_mod.q_conditional_agg_priority(spark, sf_dir))
     assert "HashAggregate" in plan
     assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2
+
+
+def test_bucketed_tables_join_without_shuffle(spark, sf_dir, tmp_path):
+    """Bucketing both join sides on the key eliminates the join shuffle
+    entirely — the strategy for repeated big-big joins at 100 TB (pay
+    one shuffle at write time, join shuffle-free forever after)."""
+    import re
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    for name, df, key in (("li_b", li, "l_orderkey"), ("o_b", o, "o_orderkey")):
+        df.write.bucketBy(8, key).sortBy(key).mode("overwrite").format(
+            "parquet"
+        ).option("path", str(tmp_path / name)).saveAsTable(name)
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("li_b").join(
+            spark.table("o_b"),
+            spark.table("li_b")["l_orderkey"]
+            == spark.table("o_b")["o_orderkey"],
+        )
+        plan = _plan(joined)
+        # a sort-merge join fed directly by the bucketed scans
+        assert "SortMergeJoin" in plan
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0, plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        for t in ("li_b", "o_b"):
+            spark.sql(f"DROP TABLE {t}")
