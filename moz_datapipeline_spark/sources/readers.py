@@ -183,39 +183,79 @@ def read_shapefile(
     return paths.mapInPandas(kernel, schema=SHAPEFILE_SCHEMA)
 
 
+OSM_WAYS_SCHEMA = (
+    "osm_id string, NAME string, nodes array<string>, ROAD_CLASS string, "
+    "SURF_TYPE string, AVG_COND string, RUC double, length double"
+)
+
+
 def read_osm_ways(spark: SparkSession, path: str) -> DataFrame:
     """S6: OSM XML → ways rows (NAME, nodes array, tags as columns).
 
     The reference streams way elements out of OSM XML
-    (scripts/utils/extract-ways.js:56-63). Road-network OSM files are
-    small (the graph is per-country); parse driver-side with the stdlib
-    and parallelize — the distributed path for huge OSM extracts would
-    be spark-xml, which this environment doesn't ship.
+    (scripts/utils/extract-ways.js:56-63). Distributed shape mirrors the
+    shapefile reader: the driver only LISTS files (``path`` may be a
+    glob — regional extracts parallelize per file); each executor task
+    stream-parses its own files with the stdlib incremental parser
+    (``iterparse`` + element eviction, so memory stays at one <way>
+    regardless of file size). One country-scale file is a single task —
+    an unsplittable-format limitation shared with the reference's
+    stream parser.
     """
-    import xml.etree.ElementTree as ET
+    import glob as _glob
 
-    root = ET.parse(path).getroot()
-    rows = []
-    for way in root.iter("way"):
-        tags = {t.get("k"): t.get("v") for t in way.iter("tag")}
-        nodes = [nd.get("ref") for nd in way.iter("nd")]
-        rows.append(
-            (
-                way.get("id"),
-                tags.get("NAME"),
-                nodes,
-                tags.get("ROAD_CLASS"),
-                tags.get("SURF_TYPE"),
-                tags.get("AVG_COND"),
-                float(tags["RUC"]) if "RUC" in tags else None,
-                float(tags["length"]) if "length" in tags else None,
-            )
-        )
-    return spark.createDataFrame(
-        rows,
-        "osm_id string, NAME string, nodes array<string>, ROAD_CLASS string, "
-        "SURF_TYPE string, AVG_COND string, RUC double, length double",
-    )
+    files = sorted(_glob.glob(path)) if any(c in path for c in "*?[") else [path]
+    if not files:
+        raise FileNotFoundError(f"no OSM files match {path}")
+    paths = spark.createDataFrame(
+        [(f,) for f in files], "path string"
+    ).repartition(len(files))
+
+    def kernel(batches):
+        import xml.etree.ElementTree as ET
+
+        for pdf in batches:
+            for p in pdf["path"]:
+                rows = []
+                for _, elem in ET.iterparse(p):
+                    # end events fire children before parents: a way's
+                    # <nd>/<tag> children are intact here, and clearing
+                    # processed ways + node/relation elements keeps
+                    # memory at O(one element)
+                    if elem.tag == "way":
+                        tags = {
+                            t.get("k"): t.get("v") for t in elem.iter("tag")
+                        }
+                        rows.append(
+                            {
+                                "osm_id": elem.get("id"),
+                                "NAME": tags.get("NAME"),
+                                "nodes": [
+                                    nd.get("ref") for nd in elem.iter("nd")
+                                ],
+                                "ROAD_CLASS": tags.get("ROAD_CLASS"),
+                                "SURF_TYPE": tags.get("SURF_TYPE"),
+                                "AVG_COND": tags.get("AVG_COND"),
+                                "RUC": float(tags["RUC"])
+                                if "RUC" in tags
+                                else None,
+                                "length": float(tags["length"])
+                                if "length" in tags
+                                else None,
+                            }
+                        )
+                        elem.clear()
+                    elif elem.tag in ("node", "relation"):
+                        elem.clear()
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "osm_id", "NAME", "nodes", "ROAD_CLASS",
+                        "SURF_TYPE", "AVG_COND", "RUC", "length",
+                    ],
+                )
+
+    return paths.mapInPandas(kernel, schema=OSM_WAYS_SCHEMA)
 
 
 def read_wide_matrix(spark: SparkSession, path: str) -> DataFrame:
