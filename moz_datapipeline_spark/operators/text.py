@@ -328,21 +328,50 @@ def pack_documents(
     (id, n_tokens, bin, bin_start, bin_end), where bin_start/bin_end
     index into the DOCUMENT's own tokens.
 
-    Plan shape: one global cumulative-sum window (ordered by id) for
-    the stream offsets — a single-partition window over |docs| rows of
-    two longs, the classic prefix-sum bottleneck, acceptable because
-    the windowed data is rows of scalars, not text; at extreme corpus
-    sizes swap in a two-phase per-partition prefix sum. Bin fan-out is
-    a ``sequence``+``explode``, shuffle-free.
+    Plan shape — a TWO-PHASE distributed prefix sum, never a
+    single-partition global window: range-partition by id, local
+    cumulative sums inside each range partition, then each partition's
+    exclusive base offset (one scalar per partition, computed from a
+    |partitions|-row aggregate on the driver) is broadcast-joined back.
+    The driver holds one long per partition regardless of corpus size.
+    Bin fan-out is a ``sequence``+``explode``, shuffle-free.
     """
     toks = token_count(text_col)
     with_n = df.select(F.col(id_col), toks.alias("n_tokens"))
-    w = Window.orderBy(id_col).rowsBetween(
+    ranged = with_n.repartitionByRange(F.col(id_col)).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    lw = Window.partitionBy("_pid").orderBy(id_col).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    spans = with_n.withColumn(
-        "_end", F.sum("n_tokens").over(w).cast("long")
-    ).withColumn("_start", (F.col("_end") - F.col("n_tokens")).cast("long"))
+    # cache: both the per-partition totals and the final join read this
+    # frame, and the two branches must see the SAME range partitioning
+    # (repartitionByRange samples boundaries; a recompute could re-deal
+    # rows and mismatch _pid against the broadcast bases)
+    local = ranged.withColumn(
+        "_local_end", F.sum("n_tokens").over(lw).cast("long")
+    ).cache()
+    part_totals = (
+        local.groupBy("_pid")
+        .agg(F.max("_local_end").alias("_ptotal"))
+        .withColumn(
+            "_base",
+            F.coalesce(
+                F.sum("_ptotal").over(
+                    Window.orderBy("_pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ).cast("long"),
+        )
+        .select("_pid", "_base")
+    )
+    spans = (
+        local.join(F.broadcast(part_totals), "_pid")
+        .withColumn("_end", F.col("_base") + F.col("_local_end"))
+        .withColumn("_start", (F.col("_end") - F.col("n_tokens")).cast("long"))
+    )
     # bins this document touches: floor(start/max) .. floor((end-1)/max)
     first_bin = (F.col("_start") / max_tokens).cast("long")
     last_bin = ((F.col("_end") - 1) / max_tokens).cast("long")
