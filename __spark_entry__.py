@@ -991,6 +991,246 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", F.md5(norm).alias("fingerprint"))
 
 
+# ---------------------------------------------------------------------------
+# corpus hygiene (repetition filters, domain caps, vocab, decontamination)
+# ---------------------------------------------------------------------------
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition features: duplicate-token / top-token /
+    duplicate-bigram fractions per document (boilerplate detection)."""
+    from moz_datapipeline_spark.operators.corpus import repetition_stats
+
+    d = _t(spark, sf_dir, "documents")
+    return repetition_stats(d).select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct_tokens",
+        "dup_token_frac",
+        "top_token_frac",
+        "dup_2gram_frac",
+    )
+
+
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap: keep ≤10 docs per source, selected by
+    content-addressed hash so membership is engine- and rerun-stable."""
+    from moz_datapipeline_spark.operators.corpus import cap_per_group
+
+    d = _t(spark, sf_dir, "documents")
+    return cap_per_group(d, "source", 10).select(
+        "doc_id", "source", "sample_rank"
+    )
+
+
+def q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global vocabulary heavy hitters: top-100 tokens by term frequency
+    with document frequency (two-phase distinct aggregate, heap top-k)."""
+    from moz_datapipeline_spark.operators.corpus import vocab_stats
+
+    d = _t(spark, sf_dir, "documents")
+    return vocab_stats(d, top_n=100)
+
+
+def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 tf-idf terms per document; idf from the same single-scan
+    (doc, token) aggregate, corpus size broadcast as a 1-row join."""
+    from moz_datapipeline_spark.operators.corpus import tfidf_top_terms
+
+    d = _t(spark, sf_dir, "documents")
+    return tfidf_top_terms(d, k=5)
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag candidate docs sharing ≥5 % of
+    their distinct word 8-grams with the benchmark slice
+    (doc_id % 97 == 0 stands in for the eval set)."""
+    from moz_datapipeline_spark.operators.corpus import decontaminate
+
+    d = _t(spark, sf_dir, "documents")
+    return decontaminate(d, F.col("doc_id") % 97 == 0)
+
+
+# ---------------------------------------------------------------------------
+# additional relational shapes (TPC-H Q4/Q7/Q13/Q14/Q15/Q17/Q19/Q22)
+# ---------------------------------------------------------------------------
+
+def q_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 shape: EXISTS rewritten as a left-semi join with an
+    inequality residual (shipdate > orderdate + 60 days)."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    cond = (o["o_orderkey"] == li["l_orderkey"]) & (
+        li["l_shipdate"] > o["o_orderdate"] + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 shape: outer join preserved through a two-level aggregation —
+    distribution of per-customer order counts, zero-order customers kept."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 shape: conditional ratio aggregate over one shipdate month;
+    the filter reaches the lineitem scan before the part join."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-02-01")
+    )
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                6,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 shape: correlated per-part average rewritten as a hash
+    aggregate joined back (no window sort); quantities are integral so
+    the 0.5·avg boundary is engine-exact."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#13")
+    li = _t(spark, sf_dir, "lineitem")
+    joined = li.join(p, F.col("l_partkey") == F.col("p_partkey")).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    half_avg = joined.groupBy("l_partkey").agg(
+        (F.lit(0.5) * F.avg("l_quantity")).alias("half_avg")
+    )
+    return (
+        joined.join(half_avg, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("half_avg"))
+        .agg((F.sum("l_extendedprice") / 7.0).alias("avg_yearly"))
+    )
+
+
+def q_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 shape: OR-of-ANDs join residual; Catalyst derives the
+    per-side disjunct envelopes (brand set, quantity range) and pushes
+    them below the join."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+    clause1 = (
+        (F.col("p_brand") == "Brand#13")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 20)
+    )
+    clause2 = (
+        (F.col("p_brand") == "Brand#20")
+        & F.col("p_size").between(10, 25)
+        & F.col("l_quantity").between(5, 30)
+    )
+    return j.filter(clause1 | clause2).agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        F.count("*").alias("n_lineitems"),
+    )
+
+
+def q_inactive_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 shape: scalar-subquery threshold (avg positive balance) as a
+    broadcast 1-row join, then an anti join against orders."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_pos_bal")
+    )
+    rich = c.join(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("avg_pos_bal")
+    )
+    inactive = rich.join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+    return inactive.groupBy("c_nationkey").agg(
+        F.count("*").alias("numcust"),
+        F.sum("c_acctbal").alias("totacctbal"),
+    )
+
+
+def q_bilateral_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 shape: two-nation trade volume by ship year — the nation
+    dimension broadcasts to both the supplier and the customer side."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    n1 = F.broadcast(
+        n.select(
+            F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    n2 = F.broadcast(
+        n.select(
+            F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+        )
+    )
+    j = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(n1, F.col("s_nationkey") == F.col("s_nkey"))
+        .join(n2, F.col("c_nationkey") == F.col("c_nkey"))
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+    )
+    return j.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+    ).agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume")
+    )
+
+
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 shape: quarterly revenue view + scalar-max selection,
+    expressed as a deterministic top-1 TakeOrdered (suppkey tiebreak)
+    so no float-equality self-join is needed."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "total_revenue"
+            )
+        )
+    )
+    top = rev.orderBy(F.desc("total_revenue"), "l_suppkey").limit(1)
+    return top.join(s, F.col("l_suppkey") == F.col("s_suppkey")).select(
+        "s_suppkey", "s_name", "total_revenue"
+    )
+
+
 def q_bridge_snap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J5 full geometric form: point→segment distance argmin join
     (prep-bridge.js:86-112). Bridges = supplier-derived points; road
@@ -1263,6 +1503,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
         "stable_sample": q_stable_sample,
+        "repetition_stats": q_repetition_stats,
+        "domain_cap": q_domain_cap,
+        "vocab_stats": q_vocab_stats,
+        "tfidf_terms": q_tfidf_terms,
+        "decontaminate": q_decontaminate,
+        "late_shipment_priority": q_late_shipment_priority,
+        "customer_order_distribution": q_customer_order_distribution,
+        "promo_revenue": q_promo_revenue,
+        "small_qty_revenue": q_small_qty_revenue,
+        "disjunctive_filter": q_disjunctive_filter,
+        "inactive_customer_balance": q_inactive_customer_balance,
+        "bilateral_volume": q_bilateral_volume,
+        "top_supplier": q_top_supplier,
         "criticality": q_criticality,
         "eaul": q_eaul,
         "bridge_snap": q_bridge_snap,
@@ -1452,6 +1705,213 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dup": _embedding_near_dup_oracle(),
         "dedup_minhash_lsh": _minhash_oracle(),
         "dedup_simhash": _simhash_oracle(),
+        "repetition_stats": """
+            WITH tok AS (
+              SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+              FROM documents
+            ), tc AS (
+              SELECT doc_id, tok, count(*) AS cnt
+              FROM (SELECT doc_id, unnest(toks) AS tok FROM tok)
+              GROUP BY doc_id, tok
+            ), ts AS (
+              SELECT doc_id,
+                     CAST(sum(cnt) AS BIGINT) AS n_tokens,
+                     count(*) AS n_distinct_tokens,
+                     max(cnt) AS top_cnt
+              FROM tc GROUP BY doc_id
+            ), bg AS (
+              SELECT doc_id,
+                     CASE WHEN len(toks) >= 2
+                          THEN list_transform(generate_series(1, len(toks) - 1),
+                                              i -> toks[i] || ' ' || toks[i + 1])
+                          ELSE CAST([] AS VARCHAR[]) END AS bigrams
+              FROM tok
+            )
+            SELECT ts.doc_id, ts.n_tokens, ts.n_distinct_tokens,
+                   1.0 - ts.n_distinct_tokens / CAST(ts.n_tokens AS DOUBLE)
+                       AS dup_token_frac,
+                   ts.top_cnt / CAST(ts.n_tokens AS DOUBLE) AS top_token_frac,
+                   CASE WHEN len(bg.bigrams) > 0
+                        THEN 1.0 - len(list_distinct(bg.bigrams))
+                                 / CAST(len(bg.bigrams) AS DOUBLE)
+                        ELSE 0.0 END AS dup_2gram_frac
+            FROM ts JOIN bg ON ts.doc_id = bg.doc_id
+        """,
+        "domain_cap": """
+            SELECT doc_id, source, sample_rank FROM (
+              SELECT doc_id, source,
+                     CAST(row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                     ) AS INTEGER) AS sample_rank
+              FROM documents
+            ) WHERE sample_rank <= 10
+        """,
+        "vocab_stats": """
+            SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+            FROM (
+              SELECT doc_id,
+                     unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+              FROM documents
+            )
+            GROUP BY token
+            ORDER BY tf DESC, token
+            LIMIT 100
+        """,
+        "tfidf_terms": """
+            WITH tf AS (
+              SELECT doc_id, token, count(*) AS tf
+              FROM (
+                SELECT doc_id,
+                       unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+                FROM documents
+              )
+              GROUP BY doc_id, token
+            ), dfreq AS (
+              SELECT token, count(*) AS df FROM tf GROUP BY token
+            ), nd AS (
+              SELECT count(*) AS n_docs FROM documents
+            )
+            SELECT doc_id, token, tf, df,
+                   round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf,
+                   term_rank
+            FROM (
+              SELECT tf.doc_id, tf.token, tf.tf, dfreq.df, nd.n_docs,
+                     CAST(row_number() OVER (
+                       PARTITION BY tf.doc_id
+                       ORDER BY tf.tf * ln(CAST(nd.n_docs AS DOUBLE) / dfreq.df) DESC,
+                                tf.token
+                     ) AS INTEGER) AS term_rank
+              FROM tf JOIN dfreq USING (token) CROSS JOIN nd
+            )
+            WHERE term_rank <= 5
+        """,
+        "decontaminate": """
+            WITH tok AS (
+              SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+              FROM documents
+            ), ng AS (
+              SELECT doc_id,
+                     CASE WHEN len(toks) >= 8
+                          THEN list_transform(generate_series(1, len(toks) - 7),
+                                              i -> array_to_string(toks[i:i+7], ' '))
+                          ELSE CAST([] AS VARCHAR[]) END AS ngrams
+              FROM tok
+            ), bench AS (
+              SELECT DISTINCT g FROM (
+                SELECT unnest(ngrams) AS g FROM ng WHERE doc_id % 97 = 0
+              )
+            ), cand AS (
+              SELECT DISTINCT doc_id, g FROM (
+                SELECT doc_id, unnest(ngrams) AS g FROM ng WHERE doc_id % 97 <> 0
+              )
+            ), per AS (
+              SELECT c.doc_id, count(*) AS n_ngrams, count(b.g) AS n_contaminated
+              FROM cand c LEFT JOIN bench b USING (g)
+              GROUP BY c.doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(per.n_ngrams, 0) AS n_ngrams,
+                   coalesce(per.n_contaminated, 0) AS n_contaminated,
+                   CASE WHEN coalesce(per.n_ngrams, 0) > 0
+                        THEN per.n_contaminated / CAST(per.n_ngrams AS DOUBLE)
+                        ELSE 0.0 END AS contam_frac,
+                   (coalesce(per.n_contaminated, 0) * 20 >= coalesce(per.n_ngrams, 0)
+                    AND coalesce(per.n_ngrams, 0) > 0) AS contaminated
+            FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+            LEFT JOIN per ON d.doc_id = per.doc_id
+        """,
+        "late_shipment_priority": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders o
+            WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate < TIMESTAMP '1996-04-01'
+              AND EXISTS (
+                SELECT 1 FROM lineitem l
+                WHERE l.l_orderkey = o.o_orderkey
+                  AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+              )
+            GROUP BY o_orderpriority
+        """,
+        "customer_order_distribution": """
+            SELECT c_count, count(*) AS custdist FROM (
+              SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+              FROM customer c
+              LEFT JOIN orders o
+                ON c.c_custkey = o.o_custkey
+               AND o.o_orderpriority <> '1-URGENT'
+              GROUP BY c.c_custkey
+            ) GROUP BY c_count
+        """,
+        "promo_revenue": """
+            SELECT round(
+                     100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                      THEN l_extendedprice * (1 - l_discount)
+                                      ELSE 0.0 END)
+                     / sum(l_extendedprice * (1 - l_discount)), 6
+                   ) AS promo_revenue_pct
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1996-02-01'
+        """,
+        "small_qty_revenue": """
+            WITH j AS (
+              SELECT l_partkey, l_quantity, l_extendedprice
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE p_brand = 'Brand#13'
+            ), half AS (
+              SELECT l_partkey, 0.5 * avg(l_quantity) AS half_avg
+              FROM j GROUP BY l_partkey
+            )
+            SELECT sum(j.l_extendedprice) / 7.0 AS avg_yearly
+            FROM j JOIN half USING (l_partkey)
+            WHERE j.l_quantity < half.half_avg
+        """,
+        "disjunctive_filter": """
+            SELECT sum(l_extendedprice * (1 - l_discount)) AS revenue,
+                   count(*) AS n_lineitems
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 1 AND 20)
+               OR (p_brand = 'Brand#20' AND p_size BETWEEN 10 AND 25
+                   AND l_quantity BETWEEN 5 AND 30)
+        """,
+        "inactive_customer_balance": """
+            SELECT c_nationkey, count(*) AS numcust, sum(c_acctbal) AS totacctbal
+            FROM customer c
+            WHERE c.c_acctbal > (
+                    SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0
+                  )
+              AND NOT EXISTS (
+                    SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  )
+            GROUP BY c_nationkey
+        """,
+        "bilateral_volume": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS INTEGER) AS l_year,
+                   sum(l_extendedprice * (1 - l_discount)) AS volume
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+               OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+            GROUP BY 1, 2, 3
+        """,
+        "top_supplier": """
+            SELECT s_suppkey, s_name, total_revenue FROM (
+              SELECT l_suppkey, sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate < TIMESTAMP '1996-04-01'
+              GROUP BY l_suppkey
+              ORDER BY total_revenue DESC, l_suppkey
+              LIMIT 1
+            ) JOIN supplier ON l_suppkey = s_suppkey
+        """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    sum(l_quantity) AS sum_qty,

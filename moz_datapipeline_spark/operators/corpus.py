@@ -1,0 +1,263 @@
+"""Corpus-hygiene operators for large-scale training-data preparation.
+
+The reference pipeline cleans one feature table at a time
+(``scripts/merge-indicators.js``, ``scripts/utils/*``); a pre-training
+corpus needs the same hygiene pass at corpus granularity: repetition
+filters (Gopher-style), per-domain caps, vocabulary statistics, tf-idf
+term weighting, and benchmark decontamination.  Everything here is
+expressed as declarative DataFrame plans — exploded-token aggregations
+with map-side partial combine, broadcast joins against the (small)
+benchmark n-gram set, and no driver-side collection — so each operator
+scales with cluster width.
+
+Design notes per operator are in the docstrings; all follow the same
+scale rules as ``operators/text.py``: JVM-side column expressions and
+higher-order functions only, no Python row UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def tokens(text_col: Column | str) -> Column:
+    """Whitespace tokens with empties dropped (JVM-side)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.filter(F.split(c, " "), lambda t: t != "")
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition features per document.
+
+    Emits, per document: token counts, distinct-token counts, the
+    duplicate-token fraction, the most-frequent-token share, and the
+    duplicate-bigram fraction.  Documents whose text is dominated by a
+    few repeated tokens or bigrams are boilerplate/spam candidates
+    (Rae et al. 2021 §A1.1 uses the same family of thresholds).
+
+    Plan shape: bigram stats are pure per-row higher-order functions
+    (zero shuffle); token frequencies explode once and aggregate by
+    ``(doc, token)`` with map-side partial combine, then fold to one row
+    per document — two narrow hash aggregations on the same key prefix,
+    then a join back on ``id_col``.  Work is proportional to corpus
+    token count; no per-document state exceeds its own vocabulary.
+    """
+    toks = tokens(text_col)
+    # bigrams per row: [t0 t1, t1 t2, ...]; empty when fewer than 2 tokens
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+    row_stats = df.select(
+        id_col,
+        F.size(bigrams).alias("n_2grams"),
+        F.size(F.array_distinct(bigrams)).alias("n_distinct_2grams"),
+    )
+
+    tok_stats = (
+        df.select(id_col, F.explode(toks).alias("tok"))
+        .groupBy(id_col, "tok")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            F.count("*").alias("n_distinct_tokens"),
+            F.max("cnt").alias("top_cnt"),
+        )
+    )
+
+    nt = F.col("n_tokens").cast("double")
+    return (
+        tok_stats.join(row_stats, id_col)
+        .select(
+            id_col,
+            "n_tokens",
+            "n_distinct_tokens",
+            (F.lit(1.0) - F.col("n_distinct_tokens") / nt).alias("dup_token_frac"),
+            (F.col("top_cnt") / nt).alias("top_token_frac"),
+            F.when(
+                F.col("n_2grams") > 0,
+                F.lit(1.0) - F.col("n_distinct_2grams") / F.col("n_2grams").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_2gram_frac"),
+        )
+    )
+
+
+def cap_per_group(
+    df: DataFrame, group_col: str, k: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep at most ``k`` rows per group, chosen by content-addressed hash.
+
+    The web-corpus use: cap documents per domain so no single host
+    dominates the training mix.  Selection order is
+    ``md5(id)`` (then id as total-order tiebreak), so membership is
+    deterministic across engines, partitionings, and reruns — the same
+    property as ``text.stable_sample``.
+
+    Plan shape: one shuffle on ``group_col`` plus a per-group sort of
+    rank width only.  At 100 TB a mega-domain makes that sort wide; the
+    mitigation is a pre-filter pass — drop rows whose hash prefix ranks
+    beyond ~4k by an approximate per-group count — before the exact
+    rank.  The exact rank here is the correctness contract.
+    """
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+    )
+
+
+def vocab_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_n: int = 100,
+) -> DataFrame:
+    """Global vocabulary heavy hitters: term frequency + document frequency.
+
+    Plan shape: explode once; ``(token, doc)`` pairs aggregate with
+    map-side partials into per-token ``(tf, df)`` in two hash
+    aggregations (the distinct-doc count rewrites to a two-phase
+    aggregate, no separate ``distinct()`` pass); the top-``n`` is a
+    ``TakeOrderedAndProject`` — per-partition heaps, no global sort.
+    Deterministic tiebreak: count desc, then token asc.
+    """
+    toks = tokens(text_col)
+    return (
+        df.select(id_col, F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(
+            F.count("*").alias("tf"),
+            F.countDistinct(id_col).alias("df"),
+        )
+        .orderBy(F.desc("tf"), "token")
+        .limit(top_n)
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Top-``k`` tf-idf terms per document (idf = ln(N/df)).
+
+    Plan shape: one explode feeding a ``(doc, token)`` count; document
+    frequency folds from that same aggregate (no second scan of the
+    corpus); the corpus size joins in as a broadcast single-row
+    aggregate so the whole computation stays one job.  The final
+    per-document top-``k`` is a rank window partitioned by document —
+    sort width is a single document's vocabulary.  Ties break on token
+    text, so results are deterministic.
+    """
+    toks = tokens(text_col)
+    tf = (
+        df.select(id_col, F.explode(toks).alias("token"))
+        .groupBy(id_col, "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n_docs = df.select(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "token")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), "token")
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= k)
+        .select(id_col, "token", "tf", "df", F.round("tfidf", 6).alias("tfidf"), "term_rank")
+    )
+
+
+def decontaminate(
+    df: DataFrame,
+    benchmark_pred: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    threshold_num: int = 1,
+    threshold_den: int = 20,
+) -> DataFrame:
+    """Benchmark decontamination by ``n``-gram overlap.
+
+    Splits the corpus into a benchmark slice (``benchmark_pred`` true —
+    in production, the eval sets) and candidates; flags a candidate
+    contaminated when at least ``threshold_num/threshold_den`` of its
+    distinct word ``n``-grams appear anywhere in the benchmark slice
+    (the PaLM/GPT-3 style 8-gram collision rule).
+
+    Plan shape: n-grams are built per row with higher-order functions
+    (no shuffle), deduplicated per document, and probed against the
+    benchmark's distinct n-gram set via a **broadcast** left join — the
+    benchmark side is an eval-set-sized distinct projection, small by
+    construction even when the candidate corpus is 100 TB.  The
+    contamination test uses integer cross-multiplication, not float
+    division, so the flag is engine-exact.
+    """
+    toks = tokens(text_col)
+    ngrams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+    with_ngrams = df.select(id_col, ngrams.alias("ngrams"))
+    bench = (
+        with_ngrams.filter(benchmark_pred)
+        .select(F.explode("ngrams").alias("g"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    cand = with_ngrams.filter(~benchmark_pred)
+    cand_ngrams = (
+        cand.select(id_col, F.explode("ngrams").alias("g")).distinct()
+    )
+    per_doc = (
+        cand_ngrams.join(F.broadcast(bench), "g", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_ngrams"),
+            F.count("hit").alias("n_contaminated"),
+        )
+    )
+    return (
+        cand.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_ngrams", F.lit(0)).alias("n_ngrams"),
+            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+            F.when(
+                F.coalesce("n_ngrams", F.lit(0)) > 0,
+                F.col("n_contaminated").cast("double") / F.col("n_ngrams"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("contam_frac"),
+            (
+                (F.coalesce("n_contaminated", F.lit(0)) * threshold_den
+                 >= F.coalesce("n_ngrams", F.lit(0)) * threshold_num)
+                & (F.coalesce("n_ngrams", F.lit(0)) > 0)
+            ).alias("contaminated"),
+        )
+    )

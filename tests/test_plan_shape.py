@@ -181,3 +181,40 @@ def test_bucketed_tables_join_without_shuffle(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
         for t in ("li_b", "o_b"):
             spark.sql(f"DROP TABLE {t}")
+
+
+def test_disjunctive_filter_pushes_or_envelopes(spark, sf_dir):
+    """Q19 shape: Catalyst must derive the per-side disjunct envelopes
+    (brand+size on part, quantity range on lineitem) and push both to
+    the parquet scans — the join must not see unfiltered rows."""
+    plan = _plan(entry_mod.q_disjunctive_filter(spark, sf_dir))
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("l_quantity" in l and "Or(" in l for l in pushed), plan
+    assert any("p_brand" in l and "Or(" in l for l in pushed), plan
+
+
+def test_late_shipment_is_broadcast_semi_join(spark, sf_dir):
+    """Q4 shape: the EXISTS rewrites to a semi join; the quarter filter
+    must reach the orders scan."""
+    plan = _plan(entry_mod.q_late_shipment_priority(spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert any(
+        "o_orderdate" in l for l in plan.splitlines() if "PushedFilters" in l
+    ), plan
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark, sf_dir):
+    """The benchmark n-gram set is eval-set-sized; the probe must be a
+    broadcast join, never a shuffle of the 100 TB candidate side."""
+    plan = _plan(entry_mod.q_decontaminate(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_vocab_stats_is_partial_agg_topk(spark, sf_dir):
+    """Heavy hitters: map-side partial aggregation plus a heap top-k
+    (TakeOrderedAndProject), never a global sort."""
+    plan = _plan(entry_mod.q_vocab_stats(spark, sf_dir))
+    assert "HashAggregate" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan
