@@ -1051,6 +1051,52 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# event analytics + embedding ML (funnel, cohort, sketches, k-means, JL)
+# ---------------------------------------------------------------------------
+
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view → click → purchase): per-stage user counts,
+    each stage strictly after the user's earliest prior-stage arrival."""
+    from moz_datapipeline_spark.operators.analytics import funnel_stages
+
+    return funnel_stages(_events(spark, sf_dir))
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort-retention grid: first-activity-day cohorts × day offsets,
+    all in exact integer epoch-day space."""
+    from moz_datapipeline_spark.operators.analytics import cohort_retention
+
+    return cohort_retention(_events(spark, sf_dir))
+
+
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact vs HLL distinct users per event type with a bounded-error
+    certification flag (the sketch is the 100 TB path)."""
+    from moz_datapipeline_spark.operators.analytics import (
+        distinct_within_tolerance,
+    )
+
+    return distinct_within_tolerance(_events(spark, sf_dir))
+
+
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL random projection onto 8 deterministic LCG hyperplanes
+    (shuffle-free JVM folds; long layout one row per vector×dim)."""
+    from moz_datapipeline_spark.operators.similarity import random_projection
+
+    return random_projection(_t(spark, sf_dir, "embeddings"))
+
+
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two Lloyd iterations of k-means (k=8, deterministic init) as a
+    fixed DAG: broadcast-centroid argmin + posexplode means per round."""
+    from moz_datapipeline_spark.operators.similarity import kmeans_assign
+
+    return kmeans_assign(_t(spark, sf_dir, "embeddings"), k=8, iterations=2)
+
+
+# ---------------------------------------------------------------------------
 # additional relational shapes (TPC-H Q4/Q7/Q13/Q14/Q15/Q17/Q19/Q22)
 # ---------------------------------------------------------------------------
 
@@ -1508,6 +1554,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_stats": q_vocab_stats,
         "tfidf_terms": q_tfidf_terms,
         "decontaminate": q_decontaminate,
+        "funnel_conversion": q_funnel_conversion,
+        "cohort_retention": q_cohort_retention,
+        "approx_distinct": q_approx_distinct,
+        "random_projection": q_random_projection,
+        "kmeans": q_kmeans,
         "late_shipment_priority": q_late_shipment_priority,
         "customer_order_distribution": q_customer_order_distribution,
         "promo_revenue": q_promo_revenue,
@@ -1700,8 +1751,110 @@ def _simhash_oracle(bits: int = 64, chunks: int = 4, max_hamming: int = 12) -> s
     """
 
 
+def _random_projection_oracle() -> str:
+    """JL-projection oracle: the 8 LCG hyperplanes are generated by the
+    same code path as the Spark operator and inlined as literals; both
+    engines fold the 64-term dot product left-to-right in doubles."""
+    from moz_datapipeline_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(64, 8, 7)
+    values = ", ".join(f"({i}, {list(p)})" for i, p in enumerate(planes))
+    return f"""
+        WITH planes AS (
+          SELECT * FROM (VALUES {values}) AS t(dim_idx, vec)
+        ),
+        v AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+          FROM embeddings
+        )
+        SELECT vec_id, dim_idx, round(list_dot_product(emb, p.vec), 6) AS proj
+        FROM v CROSS JOIN planes p
+    """
+
+
+_KMEANS_ORACLE = """
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings
+    ), c0 AS (
+      SELECT CAST(vec_id // 64 AS INTEGER) AS cid, emb AS cvec
+      FROM v WHERE vec_id % 64 = 0 AND vec_id < 512
+    ), d1 AS (
+      SELECT v.vec_id, c.cid, v.emb,
+             list_dot_product(v.emb, v.emb)
+               - 2 * list_dot_product(v.emb, c.cvec)
+               + list_dot_product(c.cvec, c.cvec) AS dist
+      FROM v CROSS JOIN c0 c
+    ), a1 AS (
+      SELECT vec_id, cid, emb FROM d1
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1
+    ), m1 AS (
+      SELECT cid, i AS pos, avg(emb[i]) AS mu
+      FROM a1 CROSS JOIN generate_series(1, 64) t(i)
+      GROUP BY 1, 2
+    ), c1 AS (
+      SELECT cid, list(mu ORDER BY pos) AS cvec FROM m1 GROUP BY cid
+    ), d2 AS (
+      SELECT v.vec_id, c.cid,
+             list_dot_product(v.emb, v.emb)
+               - 2 * list_dot_product(v.emb, c.cvec)
+               + list_dot_product(c.cvec, c.cvec) AS dist
+      FROM v CROSS JOIN c1 c
+    ), a2 AS (
+      SELECT vec_id, cid FROM d2
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1
+    )
+    SELECT a1.vec_id, a1.cid AS cluster_r1, a2.cid AS cluster
+    FROM a1 JOIN a2 ON a1.vec_id = a2.vec_id
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "random_projection": _random_projection_oracle(),
+        "kmeans": _KMEANS_ORACLE,
+        "funnel_conversion": """
+            WITH s1 AS (
+              SELECT user_id, min(epoch_ns(ts)) AS t FROM events
+              WHERE event_type = 'view' GROUP BY user_id
+            ), s2 AS (
+              SELECT e.user_id, min(epoch_ns(e.ts)) AS t
+              FROM events e JOIN s1 ON e.user_id = s1.user_id
+              WHERE e.event_type = 'click' AND epoch_ns(e.ts) > s1.t
+              GROUP BY e.user_id
+            ), s3 AS (
+              SELECT e.user_id, min(epoch_ns(e.ts)) AS t
+              FROM events e JOIN s2 ON e.user_id = s2.user_id
+              WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) > s2.t
+              GROUP BY e.user_id
+            )
+            SELECT 1 AS stage_idx, 'view' AS stage,
+                   (SELECT count(*) FROM s1) AS n_users
+            UNION ALL
+            SELECT 2, 'click', (SELECT count(*) FROM s2)
+            UNION ALL
+            SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+        """,
+        "cohort_retention": """
+            WITH act AS (
+              SELECT DISTINCT user_id,
+                     epoch_ns(ts) // 86400000000000 AS activity_day
+              FROM events
+            ), cohort AS (
+              SELECT user_id,
+                     min(epoch_ns(ts) // 86400000000000) AS cohort_day
+              FROM events GROUP BY user_id
+            )
+            SELECT cohort_day, activity_day - cohort_day AS day_offset,
+                   count(DISTINCT user_id) AS n_users
+            FROM act JOIN cohort USING (user_id)
+            GROUP BY 1, 2
+        """,
+        "approx_distinct": """
+            SELECT event_type, count(DISTINCT user_id) AS exact_distinct,
+                   TRUE AS sketch_ok
+            FROM events GROUP BY event_type
+        """,
         "embedding_near_dup": _embedding_near_dup_oracle(),
         "dedup_minhash_lsh": _minhash_oracle(),
         "dedup_simhash": _simhash_oracle(),

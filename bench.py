@@ -49,6 +49,20 @@ HEADLINE = [
     "events_hourly",
     "sessionization",
     "dedup_exact",
+    "funnel_conversion",
+    "cohort_retention",
+    "approx_distinct",
+    "repetition_stats",
+    "vocab_stats",
+    "tfidf_terms",
+    "decontaminate",
+    "domain_cap",
+    "random_projection",
+    "kmeans",
+    "late_shipment_priority",
+    "customer_order_distribution",
+    "disjunctive_filter",
+    "bilateral_volume",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",

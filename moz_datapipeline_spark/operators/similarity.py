@@ -333,3 +333,108 @@ def embedding_near_dup(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def random_projection(
+    df: DataFrame,
+    out_dim: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> DataFrame:
+    """Johnson–Lindenstrauss-style projection onto ``out_dim``
+    deterministic LCG hyperplanes, one output row per (vector, dim).
+
+    The planes come from the same generator as the LSH tables, so any
+    engine (or the DuckDB oracle, with the planes inlined as literals)
+    reproduces identical projections.  The whole computation is
+    shuffle-free per-row JVM fold arithmetic; the long output layout
+    keeps downstream schemas independent of ``out_dim``.
+    """
+    planes = _hyperplanes(_vec_dim(df, vec_col), out_dim, seed)
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    projs = F.array(
+        *[
+            F.round(_dot(v, F.array(*[F.lit(x) for x in p])), 6)
+            for p in planes
+        ]
+    )
+    return df.select(
+        id_col, F.posexplode(projs).alias("dim_idx", "proj")
+    )
+
+
+def _vec_dim(df: DataFrame, vec_col: str) -> int:
+    """Vector width from the first row (schema carries no fixed size)."""
+    row = df.select(F.size(vec_col).alias("d")).first()
+    return int(row["d"])
+
+
+def kmeans_assign(
+    df: DataFrame,
+    k: int = 8,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    init_stride: int = 64,
+) -> DataFrame:
+    """Lloyd's k-means as a fixed-DAG DataFrame plan (no driver loop
+    state): deterministic init, ``iterations`` rounds of
+    assign-then-mean, final per-vector cluster labels.
+
+    Init: the ``k`` vectors whose id is a multiple of ``init_stride``
+    (content-deterministic, no RNG).  Each round is (a) a broadcast
+    cross join of the k centroids against the corpus with a JVM fold
+    squared-distance and a ``min(struct(dist, cid))`` argmin — one hash
+    aggregate, no sort — then (b) centroid means via ``posexplode`` +
+    per-(cluster, position) average.  Per-round shuffle volume is
+    O(corpus) for the argmin and O(k·dim) for the means; the centroid
+    side stays broadcast-sized by construction, so the plan is the one
+    you would want at 100 TB (the corpus is never re-partitioned by
+    cluster).
+
+    Returns (id, cluster_r1, cluster) — first-round and final labels,
+    so convergence movement is visible to callers.
+    """
+    v = df.select(
+        id_col,
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_emb"),
+    )
+    cent = v.filter((F.col(id_col) % init_stride == 0) & (F.col(id_col) < k * init_stride)).select(
+        (F.col(id_col) / init_stride).cast("int").alias("_cid"),
+        F.col("_emb").alias("_cvec"),
+    )
+    labels = []
+    assigned = None
+    for _ in range(iterations):
+        sqdist = F.aggregate(
+            F.zip_with(F.col("_emb"), F.col("_cvec"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        assigned = (
+            v.join(F.broadcast(cent))
+            .withColumn("_dist", sqdist)
+            .groupBy(id_col)
+            .agg(
+                F.min(F.struct("_dist", "_cid")).alias("_m"),
+                F.first("_emb").alias("_emb"),
+            )
+            .select(id_col, F.col("_m._cid").alias("_cid"), "_emb")
+        )
+        labels.append(assigned.select(id_col, "_cid"))
+        cent = (
+            assigned.select("_cid", F.posexplode("_emb").alias("_pos", "_val"))
+            .groupBy("_cid", "_pos")
+            .agg(F.avg("_val").alias("_mu"))
+            .groupBy("_cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_pos", "_mu"))),
+                    lambda s: s["_mu"],
+                ).alias("_cvec")
+            )
+        )
+    first_lbl = labels[0].select(id_col, F.col("_cid").alias("cluster_r1"))
+    final_lbl = labels[-1].select(id_col, F.col("_cid").alias("cluster"))
+    return first_lbl.join(final_lbl, id_col)

@@ -218,3 +218,18 @@ def test_vocab_stats_is_partial_agg_topk(spark, sf_dir):
     assert "HashAggregate" in plan
     assert "TakeOrderedAndProject" in plan
     assert "Sort " not in plan
+
+
+def test_kmeans_argmin_is_broadcast_hash_agg(spark, sf_dir):
+    """Each Lloyd round must be a broadcast nested-loop against the
+    k-row centroid side plus a hash-aggregate argmin — the corpus is
+    never shuffled by cluster and never sort-windowed."""
+    plan = _plan(entry_mod.q_kmeans(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Window" not in plan
+
+
+def test_random_projection_is_shuffle_free(spark, sf_dir):
+    """JL projection is per-row fold arithmetic: no exchange at all."""
+    plan = _plan(entry_mod.q_random_projection(spark, sf_dir))
+    assert "Exchange" not in plan
