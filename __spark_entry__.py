@@ -1050,6 +1050,14 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(d, F.col("doc_id") % 97 == 0)
 
 
+def q_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative quality-filter survival counts (C4/Gopher-style chain)
+    in one corpus scan; thresholds via integer cross-multiplication."""
+    from moz_datapipeline_spark.operators.corpus import quality_filter_funnel
+
+    return quality_filter_funnel(_t(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # event analytics + embedding ML (funnel, cohort, sketches, k-means, JL)
 # ---------------------------------------------------------------------------
@@ -1078,6 +1086,19 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return distinct_within_tolerance(_events(spark, sf_dir))
+
+
+def q_view_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: latest same-user view within 15 min of
+    each click (batch twin of the watermarked stream-stream join).
+
+    Timestamps canonicalize to µs BEFORE the window math — DuckDB reads
+    the ns parquet as µs TIMESTAMP, so ns-side comparisons would flip
+    boundary pairs (same diagnosis as the round-1 asof_join red cell)."""
+    from moz_datapipeline_spark.operators.analytics import attribute_clicks
+
+    e = _events(spark, sf_dir).withColumn("ts", F.expr("ts div 1000"))
+    return attribute_clicks(e, window_ns=900_000_000)
 
 
 def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1554,9 +1575,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_stats": q_vocab_stats,
         "tfidf_terms": q_tfidf_terms,
         "decontaminate": q_decontaminate,
+        "quality_funnel": q_quality_funnel,
         "funnel_conversion": q_funnel_conversion,
         "cohort_retention": q_cohort_retention,
         "approx_distinct": q_approx_distinct,
+        "view_click_attribution": q_view_click_attribution,
         "random_projection": q_random_projection,
         "kmeans": q_kmeans,
         "late_shipment_priority": q_late_shipment_priority,
@@ -1813,6 +1836,28 @@ def oracle_sql() -> dict[str, str]:
     return {
         "random_projection": _random_projection_oracle(),
         "kmeans": _KMEANS_ORACLE,
+        "quality_funnel": """
+            WITH st AS (
+              SELECT lang,
+                     len(list_filter(string_split(text, ' '), t -> t <> '')) AS nt,
+                     len(list_distinct(list_filter(string_split(text, ' '),
+                                                   t -> t <> ''))) AS nd
+              FROM documents
+            ), agg AS (
+              SELECT count(*) AS n_all,
+                     CAST(sum(CASE WHEN nt >= 30 THEN 1 ELSE 0 END) AS BIGINT) AS n_len,
+                     CAST(sum(CASE WHEN nt >= 30 AND nd * 20 >= nt * 7
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_rep,
+                     CAST(sum(CASE WHEN nt >= 30 AND nd * 20 >= nt * 7
+                                    AND lang = 'en'
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_lng
+              FROM st
+            )
+            SELECT 1 AS stage_idx, 'corpus' AS stage, n_all AS n_docs FROM agg
+            UNION ALL SELECT 2, 'min_length', n_len FROM agg
+            UNION ALL SELECT 3, 'distinct_ratio', n_rep FROM agg
+            UNION ALL SELECT 4, 'lang_en', n_lng FROM agg
+        """,
         "funnel_conversion": """
             WITH s1 AS (
               SELECT user_id, min(epoch_ns(ts)) AS t FROM events
@@ -1849,6 +1894,23 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT user_id) AS n_users
             FROM act JOIN cohort USING (user_id)
             GROUP BY 1, 2
+        """,
+        "view_click_attribution": """
+            WITH v AS (
+              SELECT user_id AS vu, epoch_us(ts) AS view_ts
+              FROM events WHERE event_type = 'view'
+            ), c AS (
+              SELECT event_id, user_id, epoch_us(ts) AS ts
+              FROM events WHERE event_type = 'click'
+            )
+            SELECT c.event_id, c.user_id,
+                   max(v.view_ts) AS attributed_view_ts,
+                   count(*) AS n_candidate_views
+            FROM c JOIN v
+              ON c.user_id = v.vu
+             AND v.view_ts <= c.ts
+             AND c.ts - v.view_ts <= 900000000
+            GROUP BY c.event_id, c.user_id
         """,
         "approx_distinct": """
             SELECT event_type, count(DISTINCT user_id) AS exact_distinct,

@@ -50,6 +50,8 @@ HEADLINE = [
     "sessionization",
     "dedup_exact",
     "funnel_conversion",
+    "quality_funnel",
+    "view_click_attribution",
     "cohort_retention",
     "approx_distinct",
     "repetition_stats",

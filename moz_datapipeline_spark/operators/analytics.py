@@ -126,3 +126,44 @@ def distinct_within_tolerance(
             ).alias("sketch_ok"),
         )
     )
+
+
+def attribute_clicks(
+    events: DataFrame,
+    view_type: str = "view",
+    click_type: str = "click",
+    window_ns: int = 900_000_000_000,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Last-touch attribution: for each click, the latest view by the
+    same user within the preceding ``window_ns`` nanoseconds, plus the
+    number of candidate views.
+
+    Batch twin of ``streaming.events.stream_stream_attribution`` —
+    the same equi-join on the user key with a two-sided time residual,
+    so the shuffle is on ``user_col`` (a skewed power user is bounded
+    by the window horizon, and AQE skew-split covers the batch side).
+    All time math is integer nanoseconds.
+    """
+    v = events.filter(F.col(type_col) == view_type).select(
+        F.col(user_col).alias("_vu"), F.col(ts_col).alias("view_ts")
+    )
+    c = events.filter(F.col(type_col) == click_type).select(
+        id_col, user_col, ts_col
+    )
+    pairs = c.join(
+        v,
+        (c[user_col] == v["_vu"])
+        & (v["view_ts"] <= c[ts_col])
+        & (c[ts_col] - v["view_ts"] <= window_ns),
+    )
+    return (
+        pairs.groupBy(id_col, user_col)
+        .agg(
+            F.max("view_ts").alias("attributed_view_ts"),
+            F.count("*").alias("n_candidate_views"),
+        )
+    )

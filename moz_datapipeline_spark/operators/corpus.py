@@ -274,3 +274,47 @@ def decontaminate(
             & (F.col("n_ngrams") > 0)
         ).alias("contaminated"),
     )
+
+
+def quality_filter_funnel(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    min_tokens: int = 30,
+    distinct_num: int = 7,
+    distinct_den: int = 20,
+    keep_lang: str = "en",
+) -> DataFrame:
+    """Survivor counts through a cumulative quality-filter chain:
+    corpus → length floor → distinct-token-ratio floor → language.
+
+    The C4/Gopher-style cleaning stack, folded into ONE aggregation:
+    each filter is a boolean column, cumulative survival is a
+    conditional sum, and the stage rows come from an unpivot of the
+    single result row — one corpus scan, one map-side-combined
+    aggregate, zero joins.  The distinct-ratio test uses integer
+    cross-multiplication (``den·distinct ≥ num·total``), so stage
+    membership is engine-exact.
+    """
+    stats = df.select(
+        F.col(lang_col).alias("_lang"),
+        F.size(tokens(text_col)).alias("_nt"),
+        F.size(F.array_distinct(tokens(text_col))).alias("_nd"),
+    )
+    f1 = F.col("_nt") >= min_tokens
+    f2 = f1 & (F.col("_nd") * distinct_den >= F.col("_nt") * distinct_num)
+    f3 = f2 & (F.col("_lang") == keep_lang)
+    one = stats.agg(
+        F.count("*").alias("_all"),
+        F.sum(f1.cast("long")).alias("_len"),
+        F.sum(f2.cast("long")).alias("_rep"),
+        F.sum(f3.cast("long")).alias("_lng"),
+    )
+    return one.selectExpr(
+        "stack(4, "
+        "1, 'corpus', _all, "
+        "2, 'min_length', _len, "
+        "3, 'distinct_ratio', _rep, "
+        f"4, 'lang_{keep_lang}', _lng) AS (stage_idx, stage, n_docs)"
+    )

@@ -78,3 +78,34 @@ def sessionize_batch(
         "session_id",
         F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
     ).drop("_prev", "_new")
+
+
+def stream_stream_attribution(
+    views: DataFrame,
+    clicks: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    max_delay: str = "15 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: each click joins the
+    views of the same user in ``[click.ts - max_delay, click.ts]``.
+
+    Both sides carry a watermark and the join condition bounds the
+    event-time distance in BOTH directions, so Spark can prove state
+    eviction: view rows are dropped once the click watermark passes
+    ``view_ts + max_delay``, keeping state O(active window), not
+    O(stream).  Works identically on batch DataFrames (the same plan
+    minus the state store).
+    """
+    v = views.select(
+        F.col(user_col).alias("_v_user"),
+        F.col(ts_col).alias("view_ts"),
+    ).withWatermark("view_ts", watermark)
+    c = clicks.withWatermark(ts_col, watermark)
+    cond = (
+        (c[user_col] == v["_v_user"])
+        & (v["view_ts"] <= c[ts_col])
+        & (c[ts_col] <= v["view_ts"] + F.expr(f"INTERVAL {max_delay}"))
+    )
+    return c.join(v, cond).drop("_v_user")

@@ -216,3 +216,73 @@ def test_dedup_batch_twin(spark):
     )
     out = dedup_batch(df).toPandas()
     assert len(out) == 3
+
+
+def test_stream_stream_attribution_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream interval join under readStream: clicks
+    join same-user views within 15 minutes; the emitted pair set must
+    equal the identical plan run in batch over the same rows."""
+    import json
+
+    from moz_datapipeline_spark.streaming.events import stream_stream_attribution
+
+    vdir, cdir = tmp_path / "views", tmp_path / "clicks"
+    vdir.mkdir()
+    cdir.mkdir()
+    chk = str(tmp_path / "ssj_chk")
+
+    views = [
+        {"user_id": 1, "ts": "2024-01-01 00:00:00"},
+        {"user_id": 1, "ts": "2024-01-01 00:10:00"},
+        {"user_id": 2, "ts": "2024-01-01 00:00:00"},
+        {"user_id": 3, "ts": "2024-01-01 00:30:00"},
+    ]
+    clicks = [
+        {"user_id": 1, "click_id": 100, "ts": "2024-01-01 00:12:00"},
+        {"user_id": 2, "click_id": 200, "ts": "2024-01-01 00:20:00"},
+        # outside the 15-min horizon of user 3's view
+        {"user_id": 3, "click_id": 300, "ts": "2024-01-01 01:00:00"},
+    ]
+    with open(vdir / "v.json", "w") as fh:
+        for r in views:
+            fh.write(json.dumps(r) + "\n")
+    with open(cdir / "c.json", "w") as fh:
+        for r in clicks:
+            fh.write(json.dumps(r) + "\n")
+
+    def load(path, schema, stream):
+        reader = (
+            spark.readStream.schema(schema).json(str(path))
+            if stream
+            else spark.read.schema(schema).json(str(path))
+        )
+        return reader.withColumn("ts", F.to_timestamp("ts"))
+
+    vschema = "user_id long, ts string"
+    cschema = "user_id long, click_id long, ts string"
+    out = stream_stream_attribution(
+        load(vdir, vschema, True), load(cdir, cschema, True)
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ssj_out")
+        .outputMode("append")
+        .option("checkpointLocation", chk)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.click_id, str(r.view_ts))
+        for r in spark.table("ssj_out").collect()
+    }
+    batch = stream_stream_attribution(
+        load(vdir, vschema, False), load(cdir, cschema, False)
+    )
+    want = {(r.click_id, str(r.view_ts)) for r in batch.collect()}
+    assert got == want
+    # expected joins: click 100 ← both user-1 views; click 200 ← user-2
+    # view is 20 min stale (outside); click 300 outside horizon
+    assert {c for c, _ in got} == {100}
