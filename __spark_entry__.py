@@ -753,6 +753,20 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _portable_hash_mode() -> bool:
+    """Hash family for the dedup headline queries.
+
+    Default PORTABLE (md5) so the driver's DuckDB oracle replays bucket
+    assignments bit-for-bit; ``bench.py`` exports
+    ``SPARK_GRAFT_PORTABLE_HASH=0`` so benchmarks measure the xxhash64
+    production fast path (the library default —
+    ``operators/dedup._token_hash``). ``tests/test_dedup_fastpath.py``
+    pins that both modes produce identical verified outputs on a
+    planted corpus, so the benched plan and the oracle-checked plan
+    differ only in hash CPU, not semantics."""
+    return os.environ.get("SPARK_GRAFT_PORTABLE_HASH", "1") != "0"
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates (no SQL oracle: rows-only check)."""
     from moz_datapipeline_spark.operators.dedup import (
@@ -760,9 +774,10 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_signatures,
     )
 
+    portable = _portable_hash_mode()
     d = _t(spark, sf_dir, "documents")
-    sigs = minhash_signatures(d, num_hashes=32)
-    return minhash_lsh_candidates(sigs, bands=8)
+    sigs = minhash_signatures(d, num_hashes=32, portable_hash=portable)
+    return minhash_lsh_candidates(sigs, bands=8, portable_hash=portable)
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -770,7 +785,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from moz_datapipeline_spark.operators.dedup import simhash, simhash_candidates
 
     d = _t(spark, sf_dir, "documents")
-    sigs = simhash(d)
+    sigs = simhash(d, portable_hash=_portable_hash_mode())
     return simhash_candidates(sigs).filter(F.col("hamming") <= 12)
 
 
@@ -1106,7 +1121,7 @@ def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     (shuffle-free JVM folds; long layout one row per vector×dim)."""
     from moz_datapipeline_spark.operators.similarity import random_projection
 
-    return random_projection(_t(spark, sf_dir, "embeddings"))
+    return random_projection(_t(spark, sf_dir, "embeddings"), dim=64)
 
 
 def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -22,6 +22,12 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# Benchmarks measure the PRODUCTION hash path (xxhash64); the driver's
+# correctness gate runs the same queries without this flag and gets the
+# md5 portable mode its DuckDB oracle replays. test_dedup_fastpath pins
+# that the two modes agree on verified outputs.
+os.environ.setdefault("SPARK_GRAFT_PORTABLE_HASH", "0")
+
 import __spark_entry__ as entry_mod
 from moz_datapipeline_spark.session import get_spark
 

@@ -184,9 +184,14 @@ def polygon_clipped_pairs(
     Plan: polygon bboxes derived from the rings, bbox join (polygon side
     broadcast — admin/zone tables are small), then an Arrow-batched
     numpy kernel (`mapInPandas`) computes the clipped length per pair,
-    vectorized across all segments of each polygon in the batch. Rings
-    ride along join rows, so keep polygon vertex counts modest (simplify
-    upstream) — the kernel cost is O(pairs × edges).
+    vectorized across all segments of each polygon in the batch.
+
+    The rings themselves NEVER ride the join rows: only ``area_id``
+    does, and the kernel resolves ``area_id → rings`` from an
+    ``sc.broadcast`` dict (torrent-distributed once per executor).
+    Candidate-pair width is therefore O(1) per row instead of
+    O(vertices) — a 10k-vertex district overlapping 5k segments would
+    otherwise ship 50M ring floats through the Arrow batches.
     """
     from pyspark.sql.types import StructField, StructType, DoubleType
     import numpy as np
@@ -204,30 +209,42 @@ def polygon_clipped_pairs(
         .withColumn("pminy", F.array_min(F.flatten("rings_y")))
         .withColumn("pmaxy", F.array_max(F.flatten("rings_y")))
     )
-    pairs = bbox_join(segs, polys).drop(
+    # Ring geometry goes to executors once via sc.broadcast; the join
+    # side keeps only area_id + bbox + indicator (narrow rows).
+    rings_map = {
+        r["area_id"]: (
+            [list(x) for x in r["rings_x"]],
+            [list(y) for y in r["rings_y"]],
+        )
+        for r in polys.select("area_id", "rings_x", "rings_y").collect()
+    }
+    bcast = way_segments.sparkSession.sparkContext.broadcast(rings_map)
+
+    pairs = bbox_join(segs, polys.drop("rings_x", "rings_y")).drop(
         "minx", "maxx", "miny", "maxy", "pminx", "pmaxx", "pminy", "pmaxy"
     )
     out_schema = StructType(
-        [f for f in pairs.schema.fields if f.name not in ("rings_x", "rings_y")]
-        + [StructField("overlap_len", DoubleType())]
+        list(pairs.schema.fields) + [StructField("overlap_len", DoubleType())]
     )
     out_cols = [f.name for f in out_schema.fields]
 
     def kernel(batches):
+        rings = bcast.value
         for pdf in batches:
             if len(pdf) == 0:
                 yield pdf.assign(overlap_len=0.0)[out_cols]
                 continue
             overlap = np.zeros(len(pdf))
-            for _, ilocs in pdf.groupby("area_id", sort=False).indices.items():
+            for area_id, ilocs in pdf.groupby("area_id", sort=False).indices.items():
                 rows = pdf.iloc[ilocs]
+                rings_x, rings_y = rings[area_id]
                 overlap[ilocs] = _polygon_clip_lengths(
                     rows["ax"].to_numpy(np.float64),
                     rows["ay"].to_numpy(np.float64),
                     rows["bx"].to_numpy(np.float64),
                     rows["by"].to_numpy(np.float64),
-                    list(rows["rings_x"].iloc[0]),
-                    list(rows["rings_y"].iloc[0]),
+                    rings_x,
+                    rings_y,
                 )
             yield pdf.assign(overlap_len=overlap)[out_cols]
 

@@ -36,11 +36,13 @@ def _portable_hash(col: Column) -> Column:
 
 
 def _token_hash(col: Column, portable: bool) -> Column:
-    """Token hash: portable md5 (oracle-replayable) or xxhash64 (the
-    production fast path — ~2× less hash CPU, JVM-native, not
-    replayable outside Spark). Both feed the same mod-p pipeline, so
-    flipping the flag changes WHICH pairs become candidates, never the
-    downstream verification semantics."""
+    """Token hash: xxhash64 (the DEFAULT production fast path — ~2×
+    less hash CPU, JVM-native) or portable md5 (oracle-replayable on
+    any engine; opt in with ``portable_hash=True`` when a non-Spark
+    engine must reproduce bucket assignments bit-for-bit). Both feed
+    the same mod-p pipeline, so flipping the flag changes WHICH pairs
+    become candidates, never the downstream verification semantics
+    (``test_dedup_fastpath`` pins that verified outputs agree)."""
     if portable:
         return _portable_hash(col)
     return F.xxhash64(col)
@@ -90,7 +92,7 @@ def minhash_signatures(
     id_col: str = "doc_id",
     num_hashes: int = 32,
     shingle_k: int = 3,
-    portable_hash: bool = True,
+    portable_hash: bool = False,
 ) -> DataFrame:
     """(id, signature array<long>) — min over shingles of (a·h+b) mod p per hash.
 
@@ -142,7 +144,7 @@ def minhash_lsh_candidates(
     sigs: DataFrame,
     bands: int = 8,
     id_col: str = "doc_id",
-    portable_hash: bool = True,
+    portable_hash: bool = False,
 ) -> DataFrame:
     """Band the signature, hash each band, bucket-join → candidate pairs.
 
@@ -225,7 +227,7 @@ def simhash(
     text_col: str = "text",
     id_col: str = "doc_id",
     bits: int = 64,
-    portable_hash: bool = True,
+    portable_hash: bool = False,
 ) -> DataFrame:
     """64-bit simhash: per-token hash bit-votes folded in array space.
 

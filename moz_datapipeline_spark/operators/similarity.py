@@ -341,6 +341,7 @@ def random_projection(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 7,
+    dim: int | None = None,
 ) -> DataFrame:
     """Johnson–Lindenstrauss-style projection onto ``out_dim``
     deterministic LCG hyperplanes, one output row per (vector, dim).
@@ -350,8 +351,15 @@ def random_projection(
     reproduces identical projections.  The whole computation is
     shuffle-free per-row JVM fold arithmetic; the long output layout
     keeps downstream schemas independent of ``out_dim``.
+
+    ``dim`` is the input vector width; callers that know it (they
+    always do — the corpus schema is theirs) should pass it so plan
+    construction launches no Spark job.  ``None`` falls back to a
+    one-row probe.
     """
-    planes = _hyperplanes(_vec_dim(df, vec_col), out_dim, seed)
+    planes = _hyperplanes(
+        dim if dim is not None else _vec_dim(df, vec_col), out_dim, seed
+    )
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     projs = F.array(
         *[

@@ -233,3 +233,17 @@ def test_random_projection_is_shuffle_free(spark, sf_dir):
     """JL projection is per-row fold arithmetic: no exchange at all."""
     plan = _plan(entry_mod.q_random_projection(spark, sf_dir))
     assert "Exchange" not in plan
+
+
+def test_polygon_rings_stay_out_of_the_pair_rows(spark, sf_dir):
+    """A5 arbitrary-polygon kernel: ring arrays travel once per executor
+    via sc.broadcast, never on the candidate (segment × polygon) rows —
+    the MapInPandas input must carry area_id but no ring columns."""
+    import re
+
+    plan = _plan(entry_mod.q_polygon_indicator(spark, sf_dir))
+    blocks = re.split(r"\n\(\d+\) ", plan)
+    map_blocks = [b for b in blocks if b.startswith("MapInPandas")]
+    assert map_blocks, plan
+    for b in map_blocks:
+        assert "rings_x" not in b and "rings_y" not in b, b
