@@ -587,10 +587,29 @@ def q_dissolve_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores ns-precision timestamps; read them as long
-    nanos (runtime conf) and keep all time math in exact integer space."""
+    """events.parquet with ``ts`` normalized to LONG epoch-nanoseconds.
+
+    The generator has shipped two physical layouts across rounds: int64
+    nanos (read via the ``nanosAsLong`` legacy conf) and a standard
+    parquet TIMESTAMP (µs, isAdjustedToUTC=false → TIMESTAMP_NTZ in
+    Spark, naive TIMESTAMP in DuckDB). Downstream operators and every
+    oracle (``epoch_ns(ts)``) do exact integer math in ns, so both
+    layouts converge here. The NTZ→ns conversion uses ``timestampdiff``
+    against an NTZ epoch literal — tz-independent, unlike
+    ``unix_micros(cast(ts as timestamp))`` which shifts with the
+    session timezone."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(f"{sf_dir}/events.parquet")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ts_type = df.schema["ts"].dataType.typeName()
+    if ts_type.startswith("timestamp"):
+        df = df.withColumn(
+            "ts",
+            F.expr(
+                "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00',"
+                " cast(ts as timestamp_ntz)) * 1000"
+            ),
+        )
+    return df
 
 
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
