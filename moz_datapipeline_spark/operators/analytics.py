@@ -30,38 +30,65 @@ def funnel_stages(
     """Ordered-funnel user counts: users reaching stage *i* had a stage
     *i* event strictly after their earliest stage *i-1* arrival.
 
-    Plan shape: one filtered aggregation per stage plus an equi-join on
-    the user key — every shuffle is on ``user_col``, so AQE reuses the
-    partitioning across stages instead of re-shuffling.  The per-stage
-    state is one timestamp per user (the earliest qualifying arrival),
-    never the event history, so memory is O(users) regardless of event
-    volume.  Counts are exact integers; no float crosses the boundary.
+    One-pass plan: the event table is scanned ONCE and shuffled ONCE
+    (on ``user_col``).  A single ``groupBy(user)`` collects one sorted
+    timestamp array per stage (map-side partial ``collect_list``, so
+    the shuffle carries per-user slices, not the raw table), then a
+    higher-order-function fold walks the stages left to right —
+    ``t_i = array_min(filter(a_i, x -> x > t_{i-1}))`` — entirely in
+    JVM codegen.  Per-user state is that user's own event timestamps
+    for the funnel's stages only, never global history.  The final
+    per-stage counts reduce the per-user booleans in one tiny
+    single-row aggregate, then explode to the (stage_idx, stage,
+    n_users) grid.  Counts are exact integers; no float crosses the
+    boundary.
     """
-    reached = (
-        events.filter(F.col(type_col) == stages[0])
+    per_user = (
+        events.filter(F.col(type_col).isin(*stages))
         .groupBy(user_col)
-        .agg(F.min(ts_col).alias("_t"))
+        .agg(
+            *[
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col(type_col) == s, F.col(ts_col))
+                    )
+                ).alias(f"_a{i}")
+                for i, s in enumerate(stages)
+            ]
+        )
     )
-    counts = [reached.select(F.count("*").alias("n_users"))]
-    for stage in stages[1:]:
-        nxt = (
-            events.filter(F.col(type_col) == stage)
-            .join(reached, user_col)
-            .filter(F.col(ts_col) > F.col("_t"))
-            .groupBy(user_col)
-            .agg(F.min(ts_col).alias("_t"))
-        )
-        counts.append(nxt.select(F.count("*").alias("n_users")))
-        reached = nxt
-    out = None
-    for idx, (stage, cnt) in enumerate(zip(stages, counts)):
-        row = cnt.select(
-            F.lit(idx + 1).alias("stage_idx"),
-            F.lit(stage).alias("stage"),
-            "n_users",
-        )
-        out = row if out is None else out.unionAll(row)
-    return out
+    reach_cols = []
+    prev = None
+    for i in range(len(stages)):
+        arr = F.col(f"_a{i}")
+        if prev is None:
+            cur = F.array_min(arr)
+        else:
+            # closure factory: PySpark HOF lambdas take positional
+            # Columns only, so bind the threshold via an outer scope
+            def _after(t):
+                return lambda x: x > t
+
+            cur = F.array_min(F.filter(arr, _after(prev)))
+        reach_cols.append(cur.alias(f"_t{i}"))
+        prev = cur
+    reached = per_user.select(*reach_cols)
+    one = reached.agg(
+        *[F.count(f"_t{i}").alias(f"_n{i}") for i in range(len(stages))]
+    )
+    grid = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).alias("stage_idx"),
+                F.lit(s).alias("stage"),
+                F.col(f"_n{i}").alias("n_users"),
+            )
+            for i, s in enumerate(stages)
+        ]
+    )
+    return one.select(F.explode(grid).alias("_s")).select(
+        "_s.stage_idx", "_s.stage", "_s.n_users"
+    )
 
 
 def cohort_retention(

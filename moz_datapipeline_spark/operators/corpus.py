@@ -101,7 +101,8 @@ def repetition_stats(
 
 
 def cap_per_group(
-    df: DataFrame, group_col: str, k: int, id_col: str = "doc_id"
+    df: DataFrame, group_col: str, k: int, id_col: str = "doc_id",
+    prune_factor: int = 8,
 ) -> DataFrame:
     """Keep at most ``k`` rows per group, chosen by content-addressed hash.
 
@@ -111,19 +112,66 @@ def cap_per_group(
     deterministic across engines, partitionings, and reruns — the same
     property as ``text.stable_sample``.
 
-    Plan shape: one shuffle on ``group_col`` plus a per-group sort of
-    rank width only.  At 100 TB a mega-domain makes that sort wide; the
-    mitigation is a pre-filter pass — drop rows whose hash prefix ranks
-    beyond ~4k by an approximate per-group count — before the exact
-    rank.  The exact rank here is the correctness contract.
+    Skew-safe two-phase plan: a mega-domain would make the exact
+    ``row_number`` sort as wide as the domain, so rows are pre-pruned
+    by hash prefix first.  Phase 1 counts rows per group (map-side
+    combined, narrow shuffle) and keeps only groups above
+    ``prune_factor * k``; that heavy-hitter list left-joins back (AQE
+    broadcasts it when small, which it is by construction — at most
+    ``n / (prune_factor * k)`` groups qualify).  For a heavy group of
+    ``cnt`` rows, only rows whose 16-bit hash prefix falls below
+    ``ceil(65536 * prune_factor * k / cnt)`` survive — about
+    ``prune_factor * k`` in expectation, so the exact per-group sort
+    in phase 2 is O(prune_factor * k) wide regardless of domain size.
+
+    The prune is exact, not approximate: the kept set is a prefix of
+    the selection order (hash prefix is the leading bits of the sort
+    key), so whenever >= k rows survive they contain the true top-k.
+    The rare deficit case (a heavy group where fewer than k rows land
+    under the cutoff — Chernoff-exponentially unlikely at
+    ``prune_factor`` >= 8) is detected by a survivor recount and those
+    groups are rescued un-pruned, so the result is bit-identical to
+    the naive single-window form for every input.
     """
-    w = Window.partitionBy(group_col).orderBy(
-        F.md5(F.col(id_col).cast("string")), F.col(id_col)
-    )
+    candidates = _cap_candidates(df, group_col, k, id_col, prune_factor)
+    w = Window.partitionBy(group_col).orderBy(F.col("_cap_h"), F.col(id_col))
     return (
-        df.withColumn("sample_rank", F.row_number().over(w))
+        candidates.withColumn("sample_rank", F.row_number().over(w))
         .filter(F.col("sample_rank") <= k)
+        .drop("_cap_h", "_cap_p", "_cap_cnt")
     )
+
+
+def _cap_candidates(
+    df: DataFrame, group_col: str, k: int, id_col: str, prune_factor: int
+) -> DataFrame:
+    """The pre-pruned candidate set feeding ``cap_per_group``'s exact
+    rank: all rows of light groups, ~``prune_factor * k`` hash-prefix
+    survivors of heavy groups (plus whole rescued groups on prefix
+    deficit).  Exposed separately so tests can pin the prune bound."""
+    hash_col = F.md5(F.col(id_col).cast("string"))
+    pre = df.withColumn("_cap_h", hash_col).withColumn(
+        "_cap_p", F.conv(F.substring("_cap_h", 1, 4), 16, 10).cast("long")
+    )
+    heavy = (
+        pre.groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("_cap_cnt"))
+        .filter(F.col("_cap_cnt") > prune_factor * k)
+    )
+    joined = pre.join(heavy, group_col, "left")
+    cutoff = F.ceil(F.lit(65536.0 * prune_factor * k) / F.col("_cap_cnt"))
+    keep = F.col("_cap_cnt").isNull() | (F.col("_cap_p") < cutoff)
+    surv = joined.filter(keep)
+    deficient = (
+        surv.groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("_cap_s"))
+        .filter(F.col("_cap_s") < k)
+        .select(group_col)
+    )
+    rescued = joined.join(
+        F.broadcast(deficient), group_col, "left_semi"
+    ).filter(~keep)
+    return surv.unionByName(rescued)
 
 
 def vocab_stats(

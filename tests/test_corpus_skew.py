@@ -1,0 +1,134 @@
+"""Skew-safety tests: cap_per_group's hash-prefix pre-filter and the
+one-pass funnel rewrite stay exact while bounding per-task width."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry_mod
+from moz_datapipeline_spark.operators.analytics import funnel_stages
+from moz_datapipeline_spark.operators.corpus import (
+    _cap_candidates,
+    cap_per_group,
+)
+
+
+def _skewed(spark, heavy_n=20_000, light_n=30, n_light_groups=8):
+    rows = [(i, "mega.example") for i in range(heavy_n)]
+    nid = heavy_n
+    for g in range(n_light_groups):
+        for _ in range(light_n):
+            rows.append((nid, f"host{g}.example"))
+            nid += 1
+    return spark.createDataFrame(rows, "doc_id long, domain string")
+
+
+def _naive(df, k):
+    w = Window.partitionBy("domain").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+    )
+
+
+def test_cap_per_group_matches_naive_on_skew(spark):
+    df = _skewed(spark)
+    got = {
+        tuple(r)
+        for r in cap_per_group(df, "domain", 5).select(
+            "doc_id", "domain", "sample_rank"
+        ).collect()
+    }
+    want = {
+        tuple(r)
+        for r in _naive(df, 5).select(
+            "doc_id", "domain", "sample_rank"
+        ).collect()
+    }
+    assert got == want
+    assert len(got) == 5 + 8 * 5
+
+
+def test_cap_prefilter_bounds_heavy_group_width(spark):
+    """The candidate set entering the exact rank must carry a bounded
+    slice of the mega-group — not its full 100x-median width."""
+    df = _skewed(spark)
+    cand = _cap_candidates(df, "domain", 5, "doc_id", 8)
+    per_group = {
+        r["domain"]: r["n"]
+        for r in cand.groupBy("domain").agg(F.count("*").alias("n")).collect()
+    }
+    # light groups (30 rows < prune_factor*k = 40) pass through whole;
+    # the heavy group is pruned to ~prune_factor*k = 40 expected
+    # survivors (3x slack for hash noise)
+    assert per_group["host0.example"] == 30
+    assert per_group["mega.example"] <= 3 * 8 * 5
+    assert per_group["mega.example"] >= 5
+
+
+def test_cap_deficit_rescue_is_exact(spark):
+    """Force the deficit path (prune_factor=0 => cutoff keeps ~nothing)
+    and check the rescue restores the exact top-k."""
+    df = _skewed(spark, heavy_n=2_000, light_n=50, n_light_groups=2)
+    got = {
+        tuple(r)
+        for r in cap_per_group(df, "domain", 7, prune_factor=1).select(
+            "doc_id", "domain", "sample_rank"
+        ).collect()
+    }
+    want = {
+        tuple(r)
+        for r in _naive(df, 7).select(
+            "doc_id", "domain", "sample_rank"
+        ).collect()
+    }
+    assert got == want
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_funnel_one_pass_semantics(spark):
+    # user 1: full ordered funnel; user 2: click before view (stops at
+    # view); user 3: view only; user 4: click/purchase but no view
+    rows = [
+        (1, 10, "view"), (1, 20, "click"), (1, 30, "purchase"),
+        (2, 50, "click"), (2, 60, "view"), (2, 55, "purchase"),
+        (3, 70, "view"),
+        (4, 80, "click"), (4, 90, "purchase"),
+        # user 5: simultaneous view+click (strictly-after => click at
+        # the same ts does NOT count), later click does
+        (5, 100, "view"), (5, 100, "click"), (5, 110, "click"),
+    ]
+    e = spark.createDataFrame(rows, "user_id long, ts long, event_type string")
+    got = {
+        (r["stage_idx"], r["stage"]): r["n_users"]
+        for r in funnel_stages(e).collect()
+    }
+    assert got == {
+        (1, "view"): 4,    # users 1,2,3,5
+        (2, "click"): 2,   # users 1 (20>10), 5 (110>100)
+        (3, "purchase"): 1,  # user 1 (30>20)
+    }
+
+
+def test_funnel_single_scan_single_wide_exchange(spark, sf_dir):
+    import re
+
+    plan = _plan(entry_mod.q_funnel_conversion(spark, sf_dir))
+    # formatted explain lists each node in the tree AND a details
+    # section — count detail headers, which appear exactly once per node
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    # one wide shuffle (on user_id); the only other Exchange is the
+    # single-row final count
+    assert plan.count("Arguments: hashpartitioning") == 1
