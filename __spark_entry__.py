@@ -1151,6 +1151,58 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_assign(_t(spark, sf_dir, "embeddings"), k=8, iterations=2)
 
 
+_OD_SHAPEFILE = "/root/reference/source/od-pairs/OD_all_MZ_v1.shp"
+
+
+def q_shapefile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 end-to-end on the reference's real OD shapefile: the pure
+    stdlib+numpy .shp/.dbf/.prj parser (sources/shapefile.py) run as a
+    distributed mapInPandas scan, with the parsed POINT geometry
+    cross-checked against the .dbf's own LATITUDE/LONGITUDE attribute
+    columns — two independent sections of the binary file must agree.
+
+    No oracle_sql twin: the driver's DuckDB sandbox sees only the
+    parquet tables and (offline) cannot load the spatial extension, so
+    this registers as a rows-only check; the geometry↔attribute
+    agreement below plus tests/test_shapefile.py (synthetic round-trips
+    written with independent struct code, Snyder's published Albers
+    example, .shx record-count cross-checks) carry the correctness
+    argument instead.
+    """
+    from moz_datapipeline_spark.sources.readers import read_shapefile
+
+    feats = read_shapefile(spark, _OD_SHAPEFILE)
+    pt = F.from_json(
+        F.col("geometry_json"), "struct<type:string,coordinates:array<double>>"
+    )
+    return (
+        feats.select(
+            F.col("properties")["INDEX_OD"].cast("int").alias("od_id"),
+            F.col("properties")["OD_type"].alias("od_type"),
+            F.col("properties")["Name"].alias("name"),
+            pt["coordinates"][0].alias("lon"),
+            pt["coordinates"][1].alias("lat"),
+            (
+                (
+                    F.abs(
+                        pt["coordinates"][0]
+                        - F.col("properties")["LONGITUDE"].cast("double")
+                    )
+                    < 1e-4
+                )
+                & (
+                    F.abs(
+                        pt["coordinates"][1]
+                        - F.col("properties")["LATITUDE"].cast("double")
+                    )
+                    < 1e-4
+                )
+            ).alias("geom_matches_attrs"),
+        )
+        .orderBy("od_id", "name")
+    )
+
+
 # ---------------------------------------------------------------------------
 # additional relational shapes (TPC-H Q4/Q7/Q13/Q14/Q15/Q17/Q19/Q22)
 # ---------------------------------------------------------------------------
@@ -1616,6 +1668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "view_click_attribution": q_view_click_attribution,
         "random_projection": q_random_projection,
         "kmeans": q_kmeans,
+        "shapefile_scan": q_shapefile_scan,
         "late_shipment_priority": q_late_shipment_priority,
         "customer_order_distribution": q_customer_order_distribution,
         "promo_revenue": q_promo_revenue,

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import json
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -112,9 +113,10 @@ def read_shapefile(
     """S1: Shapefile scan + reprojection (ogr2ogr -t_srs equivalent,
     scripts/base-network.sh:98-99).
 
-    Requires geopandas (not installed in this environment — the
-    GeoJSON path covers the same row contract); availability is checked
-    at plan time so the error is raised on the driver.
+    Dependency-free: geometry, attributes, and CRS come from the pure
+    stdlib+numpy parsers in ``sources.shapefile`` (.shp records, .dbf
+    dBase table, .prj WKT with an ellipsoidal Albers inverse — the only
+    projection the reference's datasets use).  No GDAL/geopandas.
 
     Distributed shape: ``path`` may be one ``.shp`` or a glob; the
     driver only LISTS the files, and each executor task opens + parses
@@ -125,16 +127,10 @@ def read_shapefile(
     surface in the engine's LINESTRING_COORDS convention; every
     geometry also carries its full GeoJSON for polygon consumers.
     """
-    try:
-        import geopandas  # noqa: F401
-    except ImportError as exc:
-        raise NotImplementedError(
-            "read_shapefile needs geopandas; convert to GeoJSON and use "
-            "read_geojson_features, or install geopandas"
-        ) from exc
     import glob as _glob
-    import json as _json
 
+    if target_crs not in ("EPSG:4326", "epsg:4326"):
+        raise NotImplementedError("only EPSG:4326 output is supported")
     files = sorted(_glob.glob(path)) if any(c in path for c in "*?[") else [path]
     if not files:
         raise FileNotFoundError(f"no shapefiles match {path}")
@@ -143,33 +139,56 @@ def read_shapefile(
     ).repartition(len(files))
 
     def kernel(batches):
-        import geopandas as gpd
+        import json as _json
+        import os as _os
+
+        from moz_datapipeline_spark.sources import shapefile as shp
 
         for pdf in batches:
             for p in pdf["path"]:
-                gdf = gpd.read_file(p).to_crs(target_crs)
+                stem = p[:-4] if p.lower().endswith(".shp") else p
+                shapes = shp.read_shp(open(p, "rb").read())
+                encoding = "latin-1"
+                if _os.path.exists(stem + ".cpg"):
+                    cpg = open(stem + ".cpg").read().strip()
+                    encoding = {"UTF-8": "utf-8", "UTF8": "utf-8"}.get(
+                        cpg.upper(), cpg or "latin-1"
+                    )
+                attrs: list[dict] = []
+                for dbf_ext in (".dbf", ".DBF"):
+                    if _os.path.exists(stem + dbf_ext):
+                        attrs = shp.read_dbf(
+                            open(stem + dbf_ext, "rb").read(), encoding
+                        )
+                        break
+                prj_wkt = None
+                for prj_ext in (".prj", ".PRJ"):
+                    if _os.path.exists(stem + prj_ext):
+                        prj_wkt = open(stem + prj_ext).read()
+                        break
+                transform = shp.make_transform(prj_wkt)
                 out = []
-                for _, row in gdf.iterrows():
-                    geom = row.geometry
-                    is_line = geom is not None and geom.geom_type == "LineString"
+                for i, (kind, parts) in enumerate(shapes):
+                    parts = [
+                        np.column_stack(transform(part[:, 0], part[:, 1]))
+                        for part in parts
+                    ]
+                    geo = shp.shape_geojson(kind, parts)
+                    is_line = geo is not None and geo["type"] == "LineString"
                     out.append(
                         {
                             "source_file": p,
-                            "properties": {
-                                k: None if row[k] is None else str(row[k])
-                                for k in gdf.columns
-                                if k != "geometry"
-                            },
-                            "geom_type": None if geom is None else geom.geom_type,
+                            "properties": attrs[i] if i < len(attrs) else {},
+                            "geom_type": None if geo is None else geo["type"],
                             "coordinates": [
                                 {"lon": float(x), "lat": float(y)}
-                                for x, y in geom.coords
+                                for x, y in geo["coordinates"]
                             ]
                             if is_line
                             else None,
                             "geometry_json": None
-                            if geom is None
-                            else _json.dumps(geom.__geo_interface__),
+                            if geo is None
+                            else _json.dumps(geo),
                         }
                     )
                 yield pd.DataFrame(

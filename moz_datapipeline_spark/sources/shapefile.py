@@ -1,0 +1,335 @@
+"""Dependency-free ESRI shapefile parsing: .shp geometry, .dbf
+attributes, .prj-driven reprojection — pure stdlib ``struct`` + numpy.
+
+This de-gates S1 (the reference ingests every dataset through
+``ogr2ogr`` shapefile scans — scripts/base-network.sh:98-99,
+scripts/preparation.sh:130-131) without a geopandas/GDAL dependency:
+the format is a simple public binary layout (ESRI Shapefile Technical
+Description, 1998) and the only reprojection the reference performs is
+Albers Equal-Area Conic → WGS84 lon/lat, whose closed-form ellipsoidal
+inverse is public math (Snyder, *Map Projections — A Working Manual*,
+USGS PP 1395, eqs. 14-1..14-11 and 3-16).
+
+Everything here runs executor-side inside ``readers.read_shapefile``'s
+``mapInPandas`` kernel — the driver never sees feature rows.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# .prj — WKT coordinate systems (GEOGCS passthrough, Albers inverse)
+# ---------------------------------------------------------------------------
+
+
+def _wkt_params(wkt: str) -> dict[str, float]:
+    """PARAMETER["name", value] pairs from an ESRI WKT string."""
+    out: dict[str, float] = {}
+    rest = wkt
+    while 'PARAMETER["' in rest:
+        rest = rest.split('PARAMETER["', 1)[1]
+        name, rest = rest.split('"', 1)
+        val = rest.split(",", 1)[1].split("]", 1)[0]
+        out[name.lower()] = float(val)
+    return out
+
+
+def _wkt_spheroid(wkt: str) -> tuple[float, float]:
+    """(semi-major axis a, eccentricity-squared e2) from SPHEROID[...]."""
+    body = wkt.split('SPHEROID["', 1)[1].split("]", 1)[0]
+    _, a_s, invf_s = body.rsplit(",", 2)
+    a = float(a_s)
+    inv_f = float(invf_s)
+    f = 0.0 if inv_f == 0 else 1.0 / inv_f
+    e2 = f * (2.0 - f)
+    return a, e2
+
+
+def make_transform(prj_wkt: str | None):
+    """WKT → vectorized (x, y) -> (lon, lat) degrees transform.
+
+    GEOGCS (already geographic) → identity.  PROJCS with
+    PROJECTION["Albers"] → ellipsoidal inverse.  Anything else raises —
+    fail loudly rather than silently mis-locate geometry.
+    """
+    if prj_wkt is None or prj_wkt.lstrip().startswith("GEOGCS"):
+        return lambda x, y: (x, y)
+    if not prj_wkt.lstrip().startswith("PROJCS"):
+        raise NotImplementedError(f"unsupported CRS WKT: {prj_wkt[:60]}...")
+    proj = prj_wkt.split('PROJECTION["', 1)[1].split('"', 1)[0].lower()
+    if proj != "albers":
+        raise NotImplementedError(f"unsupported projection: {proj}")
+    p = _wkt_params(prj_wkt)
+    a, e2 = _wkt_spheroid(prj_wkt)
+    return _albers_inverse(
+        a,
+        e2,
+        lat1=p["standard_parallel_1"],
+        lat2=p["standard_parallel_2"],
+        lat0=p["latitude_of_origin"],
+        lon0=p["central_meridian"],
+        fe=p.get("false_easting", 0.0),
+        fn=p.get("false_northing", 0.0),
+    )
+
+
+def _q_of(sin_phi, e, e2):
+    """Snyder eq. 3-12: authalic q."""
+    esp = e * sin_phi
+    return (1.0 - e2) * (
+        sin_phi / (1.0 - e2 * sin_phi * sin_phi)
+        - (1.0 / (2.0 * e)) * np.log((1.0 - esp) / (1.0 + esp))
+    )
+
+
+def _albers_inverse(a, e2, lat1, lat2, lat0, lon0, fe, fn):
+    """Ellipsoidal Albers equal-area conic inverse (Snyder 14-1..14-11).
+
+    The latitude series uses Newton iteration of eq. 3-16; three rounds
+    converge below 1e-12 rad for any |lat| < 89.5°.
+    """
+    e = math.sqrt(e2)
+    d2r = math.pi / 180.0
+    phi1, phi2, phi0 = lat1 * d2r, lat2 * d2r, lat0 * d2r
+
+    def m_of(phi):
+        s = math.sin(phi)
+        return math.cos(phi) / math.sqrt(1.0 - e2 * s * s)
+
+    m1, m2 = m_of(phi1), m_of(phi2)
+    q0 = float(_q_of(np.float64(math.sin(phi0)), e, e2))
+    q1 = float(_q_of(np.float64(math.sin(phi1)), e, e2))
+    q2 = float(_q_of(np.float64(math.sin(phi2)), e, e2))
+    n = (m1 * m1 - m2 * m2) / (q2 - q1) if phi1 != phi2 else math.sin(phi1)
+    C = m1 * m1 + n * q1
+    rho0 = a * math.sqrt(C - n * q0) / n
+
+    def inverse(x, y):
+        x = np.asarray(x, dtype=np.float64) - fe
+        y = np.asarray(y, dtype=np.float64) - fn
+        sgn = -1.0 if n < 0 else 1.0
+        rho = np.hypot(sgn * x, sgn * (rho0 - y))
+        theta = np.arctan2(sgn * x, sgn * (rho0 - y))
+        q = (C - (rho * n / a) ** 2) / n
+        # start value (spherical approximation, Snyder 14-6 footnote)
+        phi = np.arcsin(np.clip(q / 2.0, -1.0, 1.0))
+        for _ in range(4):
+            s = np.sin(phi)
+            one = 1.0 - e2 * s * s
+            phi = phi + (one * one / (2.0 * np.cos(phi))) * (
+                q / (1.0 - e2)
+                - s / one
+                + (1.0 / (2.0 * e)) * np.log((1.0 - e * s) / (1.0 + e * s))
+            )
+        lon = lon0 + theta / n / d2r
+        return lon, phi / d2r
+
+    return inverse
+
+
+# ---------------------------------------------------------------------------
+# .dbf — dBase III attribute table
+# ---------------------------------------------------------------------------
+
+
+def read_dbf(buf: bytes, encoding: str = "latin-1") -> list[dict[str, str]]:
+    """All records as {field: string-or-None} dicts, positionally
+    aligned with .shp records (deleted-flag rows are kept to preserve
+    the pairing; their fields parse normally).
+
+    Values are canonical strings: C stripped, N/F rendered by Python
+    ``int``/``float`` (so "001.50" → "1.5"), L → "True"/"False",
+    D kept as the raw YYYYMMDD digits.  Empty fields → None.
+    """
+    n_rec, hdr_size, rec_size = struct.unpack_from("<IHH", buf, 4)
+    fields = []
+    off = 32
+    while buf[off] != 0x0D:
+        name = buf[off : off + 11].split(b"\x00", 1)[0].decode("ascii")
+        ftype = chr(buf[off + 11])
+        flen = buf[off + 16]
+        fdec = buf[off + 17]
+        fields.append((name, ftype, flen, fdec))
+        off += 32
+    rows = []
+    pos = hdr_size
+    for _ in range(n_rec):
+        rec = buf[pos : pos + rec_size]
+        pos += rec_size
+        if len(rec) < rec_size:
+            break
+        row: dict[str, str | None] = {}
+        foff = 1  # skip deletion flag
+        for name, ftype, flen, _fdec in fields:
+            raw = rec[foff : foff + flen]
+            foff += flen
+            txt = raw.decode(encoding, errors="replace").strip()
+            if not txt or txt == "*" * len(txt):
+                row[name] = None
+            elif ftype in ("N", "F"):
+                try:
+                    row[name] = (
+                        str(int(txt))
+                        if ("." not in txt and "e" not in txt.lower())
+                        else str(float(txt))
+                    )
+                except ValueError:
+                    row[name] = txt
+            elif ftype == "L":
+                row[name] = (
+                    "True" if txt in "YyTt" else
+                    "False" if txt in "NnFf" else None
+                )
+            else:
+                row[name] = txt
+        rows.append(row)
+    return rows
+
+
+# ---------------------------------------------------------------------------
+# .shp — geometry records
+# ---------------------------------------------------------------------------
+
+#: shape-type code → base 2D kind (Z/M variants share record layout
+#: with extra coordinate blocks AFTER the XY section, so XY parsing is
+#: identical)
+_KIND = {
+    0: "null",
+    1: "point", 11: "point", 21: "point",
+    3: "polyline", 13: "polyline", 23: "polyline",
+    5: "polygon", 15: "polygon", 25: "polygon",
+    8: "multipoint", 18: "multipoint", 28: "multipoint",
+}
+
+
+def read_shp(buf: bytes) -> list[tuple[str, list[np.ndarray]]]:
+    """.shp bytes → [(kind, [part arrays of shape (n, 2)])] per record.
+
+    Null shapes yield ("null", []).  Points yield one (1, 2) part.
+    Parsing is sequential over records (variable length) but each
+    part's coordinates decode as one numpy frombuffer view — no
+    per-vertex Python.
+    """
+    (file_len_16,) = struct.unpack_from(">i", buf, 24)
+    end = min(len(buf), file_len_16 * 2)
+    out = []
+    pos = 100
+    while pos + 8 <= end:
+        (_recno, content_len) = struct.unpack_from(">ii", buf, pos)
+        pos += 8
+        rec_end = pos + content_len * 2
+        (stype,) = struct.unpack_from("<i", buf, pos)
+        kind = _KIND.get(stype)
+        if kind is None:
+            raise ValueError(f"unsupported shape type {stype}")
+        if kind == "null":
+            out.append(("null", []))
+        elif kind == "point":
+            x, y = struct.unpack_from("<2d", buf, pos + 4)
+            out.append(("point", [np.array([[x, y]])]))
+        elif kind == "multipoint":
+            (n_pts,) = struct.unpack_from("<i", buf, pos + 36)
+            pts = np.frombuffer(
+                buf, dtype="<f8", count=n_pts * 2, offset=pos + 40
+            ).reshape(-1, 2)
+            out.append(("multipoint", [pts.copy()]))
+        else:  # polyline / polygon
+            n_parts, n_pts = struct.unpack_from("<2i", buf, pos + 36)
+            parts_idx = np.frombuffer(
+                buf, dtype="<i4", count=n_parts, offset=pos + 44
+            )
+            pts = np.frombuffer(
+                buf, dtype="<f8", count=n_pts * 2, offset=pos + 44 + 4 * n_parts
+            ).reshape(-1, 2)
+            bounds = np.append(parts_idx, n_pts)
+            parts = [
+                pts[bounds[i] : bounds[i + 1]].copy()
+                for i in range(n_parts)
+            ]
+            out.append((kind, parts))
+        pos = rec_end
+    return out
+
+
+def _ring_signed_area(ring: np.ndarray) -> float:
+    x, y = ring[:, 0], ring[:, 1]
+    return 0.5 * float(
+        np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y)
+    )
+
+
+def _point_in_ring(pt: np.ndarray, ring: np.ndarray) -> bool:
+    """Even-odd rule; used only to attach holes to outer rings."""
+    x, y = pt
+    xs, ys = ring[:, 0], ring[:, 1]
+    xj, yj = np.roll(xs, 1), np.roll(ys, 1)
+    cross = (ys > y) != (yj > y)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xint = xj + (y - yj) / (ys - yj) * (xs - xj)
+    return bool(np.count_nonzero(cross & (x < xint)) % 2)
+
+
+def polygon_geojson(parts: list[np.ndarray]) -> dict:
+    """Shapefile polygon rings → GeoJSON Polygon/MultiPolygon.
+
+    Shapefile outer rings wind clockwise (negative shoelace area in
+    XY), holes counter-clockwise; vertex order is preserved.  Holes
+    attach to the outer ring containing their first vertex (bbox
+    pre-filter, even-odd point test) — matching GDAL's organization of
+    multi-ring records.
+    """
+    outers: list[list[np.ndarray]] = []
+    holes: list[np.ndarray] = []
+    for ring in parts:
+        if _ring_signed_area(ring) <= 0:
+            outers.append([ring])
+        else:
+            holes.append(ring)
+    if not outers:  # degenerate: treat every ring as an outer shell
+        outers = [[r] for r in holes]
+        holes = []
+    for hole in holes:
+        placed = False
+        pt = hole[0]
+        for shells in outers:
+            shell = shells[0]
+            if (
+                shell[:, 0].min() <= pt[0] <= shell[:, 0].max()
+                and shell[:, 1].min() <= pt[1] <= shell[:, 1].max()
+                and _point_in_ring(pt, shell)
+            ):
+                shells.append(hole)
+                placed = True
+                break
+        if not placed:
+            outers[0].append(hole)
+    polys = [
+        [[[float(x), float(y)] for x, y in ring] for ring in shells]
+        for shells in outers
+    ]
+    if len(polys) == 1:
+        return {"type": "Polygon", "coordinates": polys[0]}
+    return {"type": "MultiPolygon", "coordinates": polys}
+
+
+def shape_geojson(kind: str, parts: list[np.ndarray]) -> dict | None:
+    if kind == "null" or not parts:
+        return None
+    if kind == "point":
+        x, y = parts[0][0]
+        return {"type": "Point", "coordinates": [float(x), float(y)]}
+    if kind == "multipoint":
+        return {
+            "type": "MultiPoint",
+            "coordinates": [[float(x), float(y)] for x, y in parts[0]],
+        }
+    if kind == "polyline":
+        lines = [[[float(x), float(y)] for x, y in p] for p in parts]
+        if len(lines) == 1:
+            return {"type": "LineString", "coordinates": lines[0]}
+        return {"type": "MultiLineString", "coordinates": lines}
+    return polygon_geojson(parts)

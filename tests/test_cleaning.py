@@ -53,8 +53,8 @@ def test_camel_case():
     assert camel_case("a_b_c") == "aBC"
 
 
-def test_shapefile_reader_gated(spark):
+def test_shapefile_reader_rejects_non_wgs84_target(spark):
     from moz_datapipeline_spark.sources.readers import read_shapefile
 
-    with pytest.raises(NotImplementedError, match="geopandas"):
-        read_shapefile(spark, "/nonexistent.shp")
+    with pytest.raises(NotImplementedError, match="EPSG:4326"):
+        read_shapefile(spark, "/nonexistent.shp", target_crs="EPSG:3857")

@@ -1,0 +1,308 @@
+"""S1 shapefile scan, un-gated: the pure stdlib+numpy parser against
+hand-built synthetic files (written with independent struct code in
+this test, not the library under test) and the reference's real .shp
+fixtures, plus the Albers inverse against Snyder's published example."""
+
+from __future__ import annotations
+
+import json
+import math
+import struct
+
+import numpy as np
+import pytest
+
+from moz_datapipeline_spark.sources import shapefile as shp
+from moz_datapipeline_spark.sources.readers import read_shapefile
+
+OD_SHP = "/root/reference/source/od-pairs/OD_all_MZ_v1.shp"
+AG_SHP = (
+    "/root/reference/source/agriculture/spam2005v2r0_production_barl_maiz_"
+    "pmil_rice_smil_sorg_whea_ocer_ofib_sugc_MOZ.shp"
+)
+
+
+# ---------------------------------------------------------------------------
+# independent writers (deliberately NOT using the library)
+# ---------------------------------------------------------------------------
+
+
+def _write_shp(path, shapes, global_type):
+    recs = b""
+    for i, (stype, parts) in enumerate(shapes, 1):
+        if stype == 0:
+            content = struct.pack("<i", 0)
+        elif stype == 1:
+            content = struct.pack("<i2d", 1, *parts[0][0])
+        else:  # 3 polyline / 5 polygon
+            pts = np.vstack(parts)
+            offs, o = [], 0
+            for p in parts:
+                offs.append(o)
+                o += len(p)
+            content = struct.pack(
+                "<i4d2i",
+                stype,
+                pts[:, 0].min(), pts[:, 1].min(),
+                pts[:, 0].max(), pts[:, 1].max(),
+                len(parts), len(pts),
+            )
+            content += struct.pack(f"<{len(parts)}i", *offs)
+            content += pts.astype("<f8").tobytes()
+        recs += struct.pack(">2i", i, len(content) // 2) + content
+    header = (
+        struct.pack(">6i", 9994, 0, 0, 0, 0, 0)
+        + struct.pack(">i", (100 + len(recs)) // 2)
+        + struct.pack("<2i", 1000, global_type)
+        + struct.pack("<8d", 0, 0, 0, 0, 0, 0, 0, 0)
+    )
+    with open(path, "wb") as fh:
+        fh.write(header + recs)
+
+
+def _write_dbf(path, fields, rows):
+    hdr_size = 32 + 32 * len(fields) + 1
+    rec_size = 1 + sum(f[2] for f in fields)
+    head = struct.pack("<4B I 2H 20x", 3, 95, 7, 26, len(rows), hdr_size, rec_size)
+    for name, ftype, flen, fdec in fields:
+        head += (
+            name.encode().ljust(11, b"\x00")
+            + ftype.encode()
+            + b"\x00" * 4
+            + bytes([flen, fdec])
+            + b"\x00" * 14
+        )
+    head += b"\x0d"
+    body = b""
+    for row in rows:
+        body += b" "
+        for (name, ftype, flen, fdec), v in zip(fields, row):
+            s = "" if v is None else str(v)
+            body += (s.rjust(flen) if ftype == "N" else s.ljust(flen)).encode(
+                "latin-1"
+            )[:flen]
+    with open(path, "wb") as fh:
+        fh.write(head + body + b"\x1a")
+
+
+def _albers_forward(lon, lat, a, e2, lat1, lat2, lat0, lon0):
+    """Snyder 14-1..14-4 forward, written independently of the library's
+    inverse so errors cannot cancel."""
+    e = math.sqrt(e2)
+    d2r = math.pi / 180.0
+
+    def m(phi):
+        s = math.sin(phi)
+        return math.cos(phi) / math.sqrt(1 - e2 * s * s)
+
+    def q(phi):
+        s = math.sin(phi)
+        return (1 - e2) * (
+            s / (1 - e2 * s * s)
+            - (1 / (2 * e)) * math.log((1 - e * s) / (1 + e * s))
+        )
+
+    p1, p2, p0 = lat1 * d2r, lat2 * d2r, lat0 * d2r
+    n = (m(p1) ** 2 - m(p2) ** 2) / (q(p2) - q(p1))
+    C = m(p1) ** 2 + n * q(p1)
+    rho0 = a * math.sqrt(C - n * q(p0)) / n
+    theta = n * (lon - lon0) * d2r
+    rho = a * math.sqrt(C - n * q(lat * d2r)) / n
+    return rho * math.sin(theta), rho0 - rho * math.cos(theta)
+
+
+ALBERS_MOZ_WKT = (
+    'PROJCS["Africa_Albers_Equal_Area_Conic",GEOGCS["GCS_WGS_1984",'
+    'DATUM["D_WGS_1984",SPHEROID["WGS_1984",6378137.0,298.257223563]],'
+    'PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433]],'
+    'PROJECTION["Albers"],PARAMETER["False_Easting",0.0],'
+    'PARAMETER["False_Northing",0.0],PARAMETER["Central_Meridian",25.0],'
+    'PARAMETER["Standard_Parallel_1",20.0],'
+    'PARAMETER["Standard_Parallel_2",-23.0],'
+    'PARAMETER["Latitude_Of_Origin",0.0],UNIT["Meter",1.0]]'
+)
+
+
+# ---------------------------------------------------------------------------
+# projection math
+# ---------------------------------------------------------------------------
+
+
+def test_albers_inverse_snyder_example():
+    """USGS PP 1395 p. 292: Clarke 1866, SPs 29.5/45.5, origin (23, -96);
+    (x, y) = (1885472.7, 1535925.0) must invert to (35N, 75W)."""
+    inv = shp._albers_inverse(
+        6378206.4, 0.00676866,
+        lat1=29.5, lat2=45.5, lat0=23.0, lon0=-96.0, fe=0.0, fn=0.0,
+    )
+    lon, lat = inv(np.array([1885472.7]), np.array([1535925.0]))
+    assert abs(lon[0] - (-75.0)) < 1e-4
+    assert abs(lat[0] - 35.0) < 1e-4
+
+
+def test_albers_roundtrip_mozambique_grid():
+    """forward (test-local) then inverse (library) over the Mozambique
+    extent of the reference's Africa Albers CRS: sub-micrometre error."""
+    tr = shp.make_transform(ALBERS_MOZ_WKT)
+    lons = np.arange(30.0, 41.0, 1.7)
+    lats = np.arange(-26.0, -10.0, 2.3)
+    for lon in lons:
+        for lat in lats:
+            x, y = _albers_forward(
+                lon, lat, 6378137.0, 0.0066943799901413165,
+                lat1=20.0, lat2=-23.0, lat0=0.0, lon0=25.0,
+            )
+            rlon, rlat = tr(np.array([x]), np.array([y]))
+            assert abs(rlon[0] - lon) < 1e-9
+            assert abs(rlat[0] - lat) < 1e-9
+
+
+def test_geogcs_is_identity():
+    tr = shp.make_transform('GEOGCS["GCS_WGS_1984",...]')
+    x, y = tr(np.array([33.5]), np.array([-19.0]))
+    assert x[0] == 33.5 and y[0] == -19.0
+
+
+def test_unknown_projection_raises():
+    with pytest.raises(NotImplementedError):
+        shp.make_transform(
+            'PROJCS["x",GEOGCS["g",DATUM["d",SPHEROID["s",6378137.0,'
+            '298.257223563]],PRIMEM["Greenwich",0.0],UNIT["Degree",0.017]],'
+            'PROJECTION["Mercator"],UNIT["Meter",1.0]]'
+        )
+
+
+# ---------------------------------------------------------------------------
+# synthetic round-trips (independent writer → library reader)
+# ---------------------------------------------------------------------------
+
+
+def test_polyline_dbf_roundtrip(spark, tmp_path):
+    parts_a = [np.array([[30.0, -15.0], [30.5, -15.5], [31.0, -15.0]])]
+    parts_b = [
+        np.array([[32.0, -16.0], [32.5, -16.5]]),
+        np.array([[33.0, -17.0], [33.5, -17.5]]),
+    ]
+    p = str(tmp_path / "ways.shp")
+    _write_shp(p, [(3, parts_a), (3, parts_b), (0, [])], 3)
+    _write_dbf(
+        str(tmp_path / "ways.dbf"),
+        [("NAME", "C", 10, 0), ("RUC", "N", 8, 2), ("LANES", "N", 4, 0)],
+        [("N1-a", "12.50", "2"), ("Praça", "0.75", "1"), (None, None, None)],
+    )
+    out = (
+        read_shapefile(spark, p)
+        .toPandas()
+        .sort_values("geometry_json", na_position="last")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 3
+    by_name = {
+        (r["properties"] or {}).get("NAME"): r for _, r in out.iterrows()
+    }
+    a = by_name["N1-a"]
+    assert a["geom_type"] == "LineString"
+    assert [(c["lon"], c["lat"]) for c in a["coordinates"]] == [
+        (30.0, -15.0), (30.5, -15.5), (31.0, -15.0)
+    ]
+    assert a["properties"]["RUC"] == "12.5"  # N-with-decimals canonicalized
+    assert a["properties"]["LANES"] == "2"
+    b = by_name["Praça"]  # latin-1 default decode
+    assert b["geom_type"] == "MultiLineString"
+    gj = json.loads(b["geometry_json"])
+    assert gj["coordinates"] == [
+        [[32.0, -16.0], [32.5, -16.5]], [[33.0, -17.0], [33.5, -17.5]]
+    ]
+    assert b["coordinates"] is None  # only single LineStrings surface coords
+    null_row = by_name[None]
+    assert null_row["geom_type"] is None and null_row["geometry_json"] is None
+
+
+def test_polygon_hole_assignment(spark, tmp_path):
+    # outer ring clockwise (shapefile convention), hole counter-clockwise
+    outer = np.array(
+        [[0.0, 0.0], [0.0, 10.0], [10.0, 10.0], [10.0, 0.0], [0.0, 0.0]]
+    )
+    hole = np.array(
+        [[2.0, 2.0], [4.0, 2.0], [4.0, 4.0], [2.0, 4.0], [2.0, 2.0]]
+    )
+    island = np.array(
+        [[20.0, 0.0], [20.0, 5.0], [25.0, 5.0], [25.0, 0.0], [20.0, 0.0]]
+    )
+    p = str(tmp_path / "poly.shp")
+    _write_shp(p, [(5, [outer, hole, island])], 5)
+    out = read_shapefile(spark, p).toPandas()
+    gj = json.loads(out.iloc[0]["geometry_json"])
+    assert gj["type"] == "MultiPolygon"
+    assert len(gj["coordinates"]) == 2  # two shells
+    shells_with_holes = [len(poly) for poly in gj["coordinates"]]
+    assert sorted(shells_with_holes) == [1, 2]  # hole attached to big shell
+    big = next(poly for poly in gj["coordinates"] if len(poly) == 2)
+    assert big[1][0] == [2.0, 2.0]
+
+
+def test_reprojection_through_prj_sidecar(spark, tmp_path):
+    wgs = [(31.0, -18.0), (31.2, -18.1), (31.4, -18.3)]
+    proj = [
+        _albers_forward(
+            lon, lat, 6378137.0, 0.0066943799901413165,
+            lat1=20.0, lat2=-23.0, lat0=0.0, lon0=25.0,
+        )
+        for lon, lat in wgs
+    ]
+    p = str(tmp_path / "road.shp")
+    _write_shp(p, [(3, [np.array(proj)])], 3)
+    (tmp_path / "road.prj").write_text(ALBERS_MOZ_WKT)
+    out = read_shapefile(spark, p).toPandas()
+    got = [(c["lon"], c["lat"]) for c in out.iloc[0]["coordinates"]]
+    for (glon, glat), (wlon, wlat) in zip(got, wgs):
+        assert abs(glon - wlon) < 1e-9
+        assert abs(glat - wlat) < 1e-9
+
+
+def test_plan_is_distributed_map_in_pandas(spark, tmp_path):
+    p = str(tmp_path / "one.shp")
+    _write_shp(p, [(1, [np.array([[30.0, -15.0]])])], 1)
+    df = read_shapefile(spark, p)
+    assert "MapInPandas" in df._jdf.queryExecution().toString()
+
+
+# ---------------------------------------------------------------------------
+# the reference's real files
+# ---------------------------------------------------------------------------
+
+
+def _shx_record_count(shp_path: str) -> int:
+    """Record count read INDEPENDENTLY from the .shx index sidecar
+    (header file length minus 100-byte header, 8 bytes per record)."""
+    with open(shp_path[:-4] + ".shx", "rb") as fh:
+        head = fh.read(28)
+    (file_len_16,) = struct.unpack(">i", head[24:28])
+    return (file_len_16 * 2 - 100) // 8
+
+
+def test_reference_od_points(spark):
+    out = read_shapefile(spark, OD_SHP).toPandas()
+    assert len(out) == _shx_record_count(OD_SHP)
+    assert set(out["geom_type"]) == {"Point"}
+    pts = np.array(
+        [json.loads(g)["coordinates"] for g in out["geometry_json"]]
+    )
+    # GEOGCS file: coordinates must already be Mozambique lon/lat
+    assert pts[:, 0].min() > 29 and pts[:, 0].max() < 42
+    assert pts[:, 1].min() > -28 and pts[:, 1].max() < -9
+    # .dbf attributes present and aligned on every row
+    assert all(isinstance(p, dict) and p for p in out["properties"])
+
+
+def test_reference_agriculture_polygons(spark):
+    out = read_shapefile(spark, AG_SHP).toPandas()
+    assert len(out) == _shx_record_count(AG_SHP)
+    assert set(out["geom_type"]) <= {"Polygon", "MultiPolygon"}
+    ring0 = json.loads(out.iloc[0]["geometry_json"])
+    first = (
+        ring0["coordinates"][0][0]
+        if ring0["type"] == "Polygon"
+        else ring0["coordinates"][0][0][0]
+    )
+    assert 29 < first[0] < 42 and -28 < first[1] < -9

@@ -92,26 +92,5 @@ def test_merge_eaul_flatten(spark):
     assert out.loc["3", "eaul-upgrade-rehab-asphalt"] != out.loc["3", "eaul-upgrade-rehab-asphalt"]
 
 
-def test_shapefile_distributed_parse(spark, tmp_path):
-    """Runs only where geopandas is installed: parsing must happen on
-    executors (mapInPandas over file paths) and surface the fixed
-    SHAPEFILE_SCHEMA row contract."""
-    gpd = pytest.importorskip("geopandas")
-    from shapely.geometry import LineString
-
-    from moz_datapipeline_spark.sources.readers import read_shapefile
-
-    gdf = gpd.GeoDataFrame(
-        {"NAME": ["a", "b"]},
-        geometry=[LineString([(0, 0), (1, 1)]), LineString([(1, 1), (2, 0)])],
-        crs="EPSG:4326",
-    )
-    p = str(tmp_path / "ways.shp")
-    gdf.to_file(p)
-    out = read_shapefile(spark, p).toPandas()
-    assert len(out) == 2
-    assert set(out["geom_type"]) == {"LineString"}
-    assert out.iloc[0]["properties"]["NAME"] in ("a", "b")
-    assert out.iloc[0]["coordinates"][0]["lon"] is not None
-    # plan must be a mapInPandas over paths, not a driver-side createDataFrame of features
-    assert "MapInPandas" in read_shapefile(spark, p)._jdf.queryExecution().toString()
+# shapefile scan coverage lives in tests/test_shapefile.py — the pure
+# stdlib+numpy parser needs no geopandas gate
