@@ -6,13 +6,14 @@ Reference: scripts/imgstats/img-stats.py — rasterstats ``zonal_stats``
 reprojection (img-stats.py:60-105).
 
 Architecture here: a ``mapInPandas`` kernel over the ways table; each
-task opens the (broadcast-pathed) rasters with rasterio and reads only
-the window under each geometry. rasterio is NOT installed in this
-container, so ``use_real_backend=True`` raises ``RasterUnavailable``
-at plan time here, and a deterministic fake sampler keeps the plumbing
-(schema, batching, partitioning) real and tested — in deployment the
-same call with rasterio present runs the real window-read kernel below
-(``_real_way_stats``), no code change needed.
+task opens the (broadcast-pathed) rasters and reads only the window
+under each geometry.  Two real backends: rasterio when installed, else
+the dependency-free GeoTIFF reader in ``sources.geotiff`` (classic
+TIFF, strips/tiles, deflate, WGS84) — so ``use_real_backend=True``
+works in this container too.  ``RasterUnavailable`` now only fires for
+rasters the pure reader cannot parse when rasterio is also absent.
+The deterministic fake sampler remains the default for the oracle
+queries (no raster inputs ship with the test data).
 """
 
 from __future__ import annotations
@@ -40,6 +41,15 @@ REAL_OUT_SCHEMA = (
     "way_id string, return_period int, count long, mean double, "
     "min double, max double, pct_flooded double"
 )
+
+
+def _have_rasterio() -> bool:
+    try:
+        import rasterio  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
 
 
 def _require_rasterio():
@@ -107,21 +117,47 @@ def _real_way_stats(
                 vals = np.array([], dtype="float64")  # no overlap
         if i == 0:
             total_count = float(np.sum(vals != -1.0))
-        flood = vals[vals != 999.0]
-        count = int(np.sum(vals != -9999.0))
-        rows.append(
-            {
-                "way_id": way_id,
-                "return_period": period,
-                "count": count,
-                "mean": float(flood.mean()) if flood.size else float("nan"),
-                "min": float(flood.min()) if flood.size else float("nan"),
-                "max": float(flood.max()) if flood.size else float("nan"),
-                "pct_flooded": (
-                    count / total_count * 100.0 if total_count else 0.0
-                ),
-            }
-        )
+        rows.append(_sentinel_stats(way_id, period, vals, total_count))
+    return rows
+
+
+def _sentinel_stats(
+    way_id: str, period: int, vals: np.ndarray, total_count: float | None
+) -> dict:
+    """img-stats.py:99-105 sentinel rules shared by both real backends."""
+    flood = vals[vals != 999.0]
+    count = int(np.sum(vals != -9999.0))
+    return {
+        "way_id": way_id,
+        "return_period": period,
+        "count": count,
+        "mean": float(flood.mean()) if flood.size else float("nan"),
+        "min": float(flood.min()) if flood.size else float("nan"),
+        "max": float(flood.max()) if flood.size else float("nan"),
+        "pct_flooded": (
+            count / total_count * 100.0 if total_count else 0.0
+        ),
+    }
+
+
+def _pure_way_stats(
+    way_id: str, geom: dict, raster_files: list[tuple[int, str]]
+) -> list[dict]:
+    """``_real_way_stats`` semantics on the dependency-free GeoTIFF
+    reader (``sources.geotiff``): WGS84 rasters only — the reader
+    refuses projected files, so there is no silent CRS drift relative
+    to the rasterio path's transform_geom."""
+    from moz_datapipeline_spark.sources.geotiff import GeoTIFF, zonal_values
+
+    rows: list[dict] = []
+    total_count: float | None = None
+    for i, (period, path) in enumerate(raster_files):
+        with open(path, "rb") as fh:
+            tif = GeoTIFF(fh.read())
+        vals = zonal_values(tif, geom)
+        if i == 0:
+            total_count = float(np.sum(vals != -1.0))
+        rows.append(_sentinel_stats(way_id, period, vals, total_count))
     return rows
 
 
@@ -139,8 +175,10 @@ def zonal_flood_stats(
     period → GeoTIFF path (file paths must resolve on executors — a
     shared mount or pre-distributed cache); output schema is
     ``REAL_OUT_SCHEMA`` for parity with the reference's stats dict.
-    Availability is checked at plan time so a missing rasterio fails
-    fast on the driver, not per-task.
+    Backend selection: rasterio when importable, else the pure
+    ``sources.geotiff`` reader; in the pure case the first raster is
+    opened at plan time so unsupported files fail fast on the driver,
+    not per-task.
 
     Partitioning note: each task handles a batch of way geometries and
     reads raster windows for just their bboxes — at 100 TB of ways the
@@ -148,18 +186,32 @@ def zonal_flood_stats(
     the scan parallelism follows the ways table, not the rasters.
     """
     if use_real_backend:
-        _require_rasterio()
         if raster_paths is None:
             raise ValueError("raster_paths is required with use_real_backend")
         files = sorted(raster_paths.items())
         cols = ways.select(way_id, geometry_col)
+        with_rasterio = _have_rasterio()
+        if not with_rasterio:
+            # fail fast on the driver if the pure reader can't parse the
+            # first raster (unsupported compression / projected CRS)
+            from moz_datapipeline_spark.sources.geotiff import GeoTIFF
+
+            try:
+                with open(files[0][1], "rb") as fh:
+                    GeoTIFF(fh.read())
+            except NotImplementedError as e:
+                raise RasterUnavailable(
+                    f"no rasterio and pure GeoTIFF reader refused "
+                    f"{files[0][1]}: {e}"
+                ) from e
 
         def kernel_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            stats = _real_way_stats if with_rasterio else _pure_way_stats
             for pdf in batches:
                 out: list[dict] = []
                 for w, gj in zip(pdf[way_id], pdf[geometry_col]):
                     geom = gj if isinstance(gj, dict) else json.loads(gj)
-                    out.extend(_real_way_stats(str(w), geom, files))
+                    out.extend(stats(str(w), geom, files))
                 yield pd.DataFrame(
                     out,
                     columns=[

@@ -239,7 +239,11 @@ def test_pipeline_runner(spark, tmp_path):
     assert res2["sum"].first()["s"] == 20
 
 
-def test_raster_real_backend_unavailable_raises_at_plan_time(spark):
+def test_raster_real_backend_refuses_unsupported_tiff(spark, tmp_path):
+    """Without rasterio, the pure reader must fail fast at plan time on
+    a raster it cannot parse (LZW compression) — never mis-read it."""
+    import struct as _struct
+
     from moz_datapipeline_spark.operators.raster import (
         RasterUnavailable,
         zonal_flood_stats,
@@ -248,12 +252,26 @@ def test_raster_real_backend_unavailable_raises_at_plan_time(spark):
     try:
         import rasterio  # noqa: F401
 
-        pytest.skip("rasterio present — gate test not applicable")
+        pytest.skip("rasterio present — pure-reader gate not applicable")
     except ImportError:
         pass
+    # minimal classic TIFF claiming LZW (compression=5)
+    ifd = b""
+    for tag, typ, cnt, val in [
+        (256, 3, 1, 4), (257, 3, 1, 4), (258, 3, 1, 64), (259, 3, 1, 5),
+        (273, 4, 1, 8), (279, 4, 1, 128), (339, 3, 1, 3),
+    ]:
+        ifd += _struct.pack("<HHI4s", tag, typ, cnt,
+                            _struct.pack("<I", val))
+    buf = _struct.pack("<2sHI", b"II", 42, 16) + b"\x00" * 8
+    buf += _struct.pack("<H", 7) + ifd + _struct.pack("<I", 0)
+    p = tmp_path / "lzw.tif"
+    p.write_bytes(buf)
     ways = spark.createDataFrame([("w1", "{}")], "NAME string, geometry string")
-    with pytest.raises(RasterUnavailable):
-        zonal_flood_stats(ways, use_real_backend=True, raster_paths={10: "/x.tif"})
+    with pytest.raises(RasterUnavailable, match="compression"):
+        zonal_flood_stats(
+            ways, use_real_backend=True, raster_paths={10: str(p)}
+        )
 
 
 def test_raster_real_backend_window_read(spark, tmp_path):
