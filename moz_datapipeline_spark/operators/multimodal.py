@@ -2,10 +2,13 @@
 
 Media payloads are opaque ``binary`` columns with a typed metadata
 struct; decode/resize/frame-sample run as Arrow-batched pandas UDFs via
-``mapInPandas``. The decode step itself is STUBBED (no image/audio libs
-in this container — see ``DecodeUnavailable``); the Spark-side contract
-(schema, batch shape, partitioning) is real and tested with a
-deterministic fake decoder.
+``mapInPandas``.  Real decode is available WITHOUT external codec
+libraries for PNG images and WAV audio via the pure stdlib+numpy
+decoders in ``sources.media``; PIL is used instead when importable
+(broader format support).  Formats neither path covers (JPEG, video)
+raise ``DecodeUnavailable``.  A deterministic fake decoder remains the
+default so the plumbing (schema, batch shape, partitioning) is
+testable independent of payload contents.
 
 Schema convention:
 
@@ -59,6 +62,39 @@ def _fake_decode_image(payload: bytes, width: int, height: int) -> list[float]:
     ]
 
 
+def _real_decode_image(payload: bytes) -> list[float]:
+    """Real decode → ``sources.media.image_features`` statistics.
+
+    PIL when importable; else the pure PNG decoder.  Raises
+    ``DecodeUnavailable`` for formats neither path can parse.
+    """
+    import numpy as np
+
+    from moz_datapipeline_spark.sources.media import (
+        PNG_MAGIC,
+        decode_png,
+        image_features,
+    )
+
+    try:
+        import io
+
+        from PIL import Image  # noqa: F401
+
+        arr = np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
+        return image_features(arr)
+    except ImportError:
+        pass
+    if payload[:8] == PNG_MAGIC:
+        img = decode_png(payload)
+        if img.dtype != np.uint8:
+            img = (img // 257).astype("u1")  # 16-bit → 8-bit stats space
+        return image_features(img)
+    raise DecodeUnavailable(
+        "payload is not PNG and no image codec library is installed"
+    )
+
+
 def extract_image_features(
     df: DataFrame,
     media_col: str = "media",
@@ -71,23 +107,29 @@ def extract_image_features(
     Python and returns (id, features array<double>). Partition count is
     preserved — at 100 TB, repartition upstream so each task holds
     ~128 MB of payloads.
+
+    ``use_real_decoder=True`` decodes actual pixels (PIL, or the pure
+    PNG decoder when PIL is absent) and emits the
+    ``sources.media.image_features`` statistics contract.
     """
     out_schema = f"{id_col} long, features array<double>"
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if use_real_decoder:
-                raise DecodeUnavailable(
-                    "image codec libraries are not installed in this environment"
-                )
-            feats = [
-                _fake_decode_image(
-                    row[f"{media_col}_payload"],
-                    row[f"{media_col}_width"],
-                    row[f"{media_col}_height"],
-                )
-                for _, row in pdf.iterrows()
-            ]
+                feats = [
+                    _real_decode_image(bytes(p))
+                    for p in pdf[f"{media_col}_payload"]
+                ]
+            else:
+                feats = [
+                    _fake_decode_image(
+                        row[f"{media_col}_payload"],
+                        row[f"{media_col}_width"],
+                        row[f"{media_col}_height"],
+                    )
+                    for _, row in pdf.iterrows()
+                ]
             yield pd.DataFrame({id_col: pdf[id_col], "features": feats})
 
     flat = df.select(
@@ -95,6 +137,41 @@ def extract_image_features(
         F.col(f"{media_col}.payload").alias(f"{media_col}_payload"),
         F.col(f"{media_col}.width").alias(f"{media_col}_width"),
         F.col(f"{media_col}.height").alias(f"{media_col}_height"),
+    )
+    return flat.mapInPandas(kernel, schema=out_schema)
+
+
+def extract_audio_features(
+    df: DataFrame,
+    media_col: str = "media",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """binary WAV column → 8-stat feature vector per row
+    (``sources.media.audio_features``): sample_rate, channels,
+    n_samples, duration_ms, rms, peak, zero-crossing rate, DC offset.
+
+    Same Arrow-batched ``mapInPandas`` shape as the image path; WAV
+    decodes with the pure stdlib parser, so this path has no codec
+    gate at all.
+    """
+    from moz_datapipeline_spark.sources.media import (
+        audio_features,
+        decode_wav,
+    )
+
+    out_schema = f"{id_col} long, features array<double>"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for p in pdf[f"{media_col}_payload"]:
+                x, rate = decode_wav(bytes(p))
+                feats.append(audio_features(x, rate))
+            yield pd.DataFrame({id_col: pdf[id_col], "features": feats})
+
+    flat = df.select(
+        F.col(id_col),
+        F.col(f"{media_col}.payload").alias(f"{media_col}_payload"),
     )
     return flat.mapInPandas(kernel, schema=out_schema)
 
