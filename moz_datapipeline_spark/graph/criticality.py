@@ -113,6 +113,7 @@ def criticality_scores(
     edges: pd.DataFrame,
     od_nodes_by_id: list[str],
     n_partitions: int | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Distributed criticality over all ways.
 
@@ -120,6 +121,11 @@ def criticality_scores(
     graph, broadcast to every task. ``od_nodes_by_id``: node ids of the
     OD points (pre-snapped). Returns (way_id, score, max_time, ...,
     unroutable_pairs, impacted_pairs).
+
+    ``checkpoint_dir`` enables cross-run resume of the per-way Dijkstra
+    stats (the expensive fan-out): finished ways are skipped on rerun
+    via ``graph.resume.resumable_apply``.  Pruned zero-rows and the
+    scoring pass (cheap, need ALL stats) recompute every run.
     """
     g = build_graph(edges)
     node_index = {n: i for i, n in enumerate(g.node_ids)}
@@ -163,7 +169,15 @@ def criticality_scores(
             list(pdf["way_id"]), bg, bod, bbench, biu, bju, btrees
         )
 
-    stats = scenarios.groupBy("way_id").applyInPandas(kernel, _STATS_SCHEMA)
+    from moz_datapipeline_spark.graph.resume import resumable_apply
+
+    stats = resumable_apply(
+        spark,
+        scenarios,
+        ("way_id",),
+        lambda sc: sc.groupBy("way_id").applyInPandas(kernel, _STATS_SCHEMA),
+        checkpoint_dir,
+    )
     if pruned:
         zero_rows = spark.createDataFrame(
             [(w, 0.0, 0.0, 0.0, base_unroutable, 0) for w in pruned],

@@ -342,6 +342,7 @@ def eaul_scores(
     od_node_ids: list[str],
     traffic_yearly: dict[tuple[int, int], float],
     upgrades: list[dict] | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Two-phase distributed EAUL.
 
@@ -349,6 +350,12 @@ def eaul_scores(
     set. Phase 2 (cluster): ways × upgrades scenario DataFrame through
     ``applyInPandas``. Output rows: (way_id, upgrade_id, eaul) with a
     ('__baseline__', 'baseline') row first.
+
+    ``checkpoint_dir`` enables cross-run resume (G8 parity with the
+    reference's per-way S3 restart, script-eaul/README.md:63-97):
+    scenario results append there and finished (way, upgrade) pairs are
+    skipped on rerun — see ``graph.resume.resumable_apply``.  The
+    baseline phase (benchmark-once) reruns; only the fan-out resumes.
     """
     ups = upgrades or ROAD_UPGRADES
     ctx = EaulContext(edges, way_props, od_node_ids, traffic_yearly)
@@ -380,8 +387,16 @@ def eaul_scores(
             )
         return pd.DataFrame(rows)
 
-    result = scenarios.groupBy("way_id", "upgrade_id").applyInPandas(
-        kernel, _EAUL_SCHEMA
+    from moz_datapipeline_spark.graph.resume import resumable_apply
+
+    result = resumable_apply(
+        spark,
+        scenarios,
+        ("way_id", "upgrade_id"),
+        lambda sc: sc.groupBy("way_id", "upgrade_id").applyInPandas(
+            kernel, _EAUL_SCHEMA
+        ),
+        checkpoint_dir,
     )
     baseline_df = spark.createDataFrame(
         [("__baseline__", "baseline", float(baseline_eaul))], schema=_EAUL_SCHEMA

@@ -1,0 +1,54 @@
+"""Cross-run resume for the scenario fan-out engines (G8 parity).
+
+The reference's EAUL runner restarts from per-way results already in
+S3 (script-eaul/README.md:63-97 — results upload per way; a rerun
+skips ways whose output object exists).  The Spark-native equivalent:
+scenario results append to a parquet checkpoint directory, and a rerun
+anti-joins the scenario list against the keys already present, so only
+unfinished scenarios recompute.
+
+Atomicity note: a parquet append commits through Spark's staging
+(`_temporary`) protocol — a run killed mid-write publishes nothing,
+so the directory only ever contains complete scenario rows from fully
+committed batches.  Resume granularity is therefore the invocation,
+matching the reference's per-upload granularity when callers shard
+long fan-outs into multiple calls.
+
+The caller owns the directory lifecycle: results are keyed only by the
+scenario columns, so reusing a checkpoint across different input
+graphs/traffic would serve stale rows — delete the directory when
+inputs change.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def resumable_apply(
+    spark: SparkSession,
+    scenarios: DataFrame,
+    keys: Sequence[str],
+    compute: Callable[[DataFrame], DataFrame],
+    checkpoint_dir: str | None,
+) -> DataFrame:
+    """Run ``compute`` over ``scenarios``, skipping rows whose ``keys``
+    already have results in ``checkpoint_dir``; return ALL results.
+
+    With ``checkpoint_dir=None`` this is just ``compute(scenarios)``.
+    """
+    if checkpoint_dir is None:
+        return compute(scenarios)
+    from pyspark.errors import AnalysisException
+
+    try:
+        existing = spark.read.parquet(checkpoint_dir)
+        todo = scenarios.join(
+            existing.select(*keys).distinct(), list(keys), "left_anti"
+        )
+    except AnalysisException:  # first run: no checkpoint directory yet
+        todo = scenarios
+    compute(todo).write.mode("append").parquet(checkpoint_dir)
+    return spark.read.parquet(checkpoint_dir)
