@@ -200,6 +200,101 @@ def routing_scale_check(spark) -> dict:
     }
 
 
+def hygiene_scale_check(spark, docs) -> dict:
+    """Corpus-hygiene operators at 500k-row scale: the skew-pruned
+    domain cap, the one-pass funnel, and decontamination — plus the A5
+    ring-broadcast fix's shuffle-width delta, computed from the actual
+    candidate-pair and ring sizes of the sf0.1 polygon workload."""
+    from moz_datapipeline_spark.operators.analytics import funnel_stages
+    from moz_datapipeline_spark.operators.corpus import (
+        _cap_candidates,
+        cap_per_group,
+        decontaminate,
+    )
+
+    n = 500_000
+    # 40% of rows in one mega-domain, the rest across 10k hosts
+    rows = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 5 < 2, "mega.example")
+        .otherwise(F.concat(F.lit("host"), (F.col("id") % 10_000).cast("string")))
+        .alias("domain"),
+    )
+    t0 = time.perf_counter()
+    n_capped = cap_per_group(rows, "domain", 50).count()
+    t_cap = time.perf_counter() - t0
+    mega_cands = (
+        _cap_candidates(rows, "domain", 50, "doc_id", 8)
+        .filter(F.col("domain") == "mega.example")
+        .count()
+    )
+
+    # 10 events per user in increasing ts: 6 views, then 3 clicks, then
+    # a purchase — every user converts through all three stages
+    events = spark.range(n).select(
+        (F.col("id") % 50_000).alias("user_id"),
+        F.col("id").alias("ts"),
+        F.when((F.col("id") / 50_000).cast("long") % 10 < 6, "view")
+        .when((F.col("id") / 50_000).cast("long") % 10 < 9, "click")
+        .otherwise("purchase")
+        .alias("event_type"),
+    )
+    t0 = time.perf_counter()
+    funnel = {
+        r["stage"]: r["n_users"] for r in funnel_stages(events).collect()
+    }
+    t_funnel = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    n_clean = decontaminate(docs, F.col("doc_id") % 97 == 0).count()
+    t_decon = time.perf_counter() - t0
+
+    # A5 ring-broadcast delta on the sf0.1 polygon workload: before the
+    # fix every candidate (segment x polygon) row carried the polygon's
+    # ring arrays through the Arrow batches; now it carries area_id only.
+    c = spark.read.parquet("/root/testdata/sf0.1/customer.parquet")
+    nat = spark.read.parquet("/root/testdata/sf0.1/nation.parquet")
+    n_segs = c.count()
+    n_polys = nat.count()
+    # diamond zones: 4 ring vertices x 2 coord arrays x 8 bytes
+    ring_bytes_per_pair = 4 * 2 * 8
+    # bbox join selectivity measured exactly (same predicate as A5)
+    n_pairs = (
+        c.selectExpr(
+            "double(c_custkey % 20) ax",
+            "double(c_custkey % 20 + 3 + c_custkey % 5) bx",
+            "double(c_custkey * 3 % 19 + 0.5) ay",
+        )
+        .crossJoin(
+            nat.selectExpr(
+                "double(n_nationkey % 5 * 4 + 2) cx",
+                "double(floor(n_nationkey / 5) * 4 + 2) cy",
+                "double(2 + n_nationkey % 3) r",
+            )
+        )
+        .filter(
+            "ax <= cx + r and bx >= cx - r and ay <= cy + r and ay >= cy - r"
+        )
+        .count()
+    )
+    return {
+        "cap_rows": n,
+        "cap_kept": n_capped,
+        "cap_mega_candidates": mega_cands,
+        "cap_sec": round(t_cap, 2),
+        "funnel_events": n,
+        "funnel_stage_users": funnel,
+        "funnel_sec": round(t_funnel, 2),
+        "decontaminate_kept": n_clean,
+        "decontaminate_sec": round(t_decon, 2),
+        "a5_candidate_pairs": n_pairs,
+        "a5_shuffle_bytes_before_ring_fix": n_pairs * ring_bytes_per_pair,
+        "a5_shuffle_bytes_after_ring_fix": n_pairs * 8,
+        "a5_segments": n_segs,
+        "a5_polygons": n_polys,
+    }
+
+
 def main() -> None:
     spark = get_spark(app_name="dedup_scale_check")
     docs = amplified_corpus(spark, "/root/testdata/sf0.1/documents.parquet")
@@ -225,6 +320,7 @@ def main() -> None:
     t_cluster = time.perf_counter() - t0
 
     recall, n_truth = lsh_recall(docs, n_origins, cands)
+    hygiene = hygiene_scale_check(spark, docs)
     routing = routing_scale_check(spark)
 
     print(
@@ -241,6 +337,7 @@ def main() -> None:
                 "t_lsh_sec": round(t_lsh, 2),
                 "t_verify_sec": round(t_verify, 2),
                 "t_cluster_sec": round(t_cluster, 2),
+                **hygiene,
                 **routing,
             }
         )

@@ -122,6 +122,18 @@ def test_funnel_one_pass_semantics(spark):
     }
 
 
+def test_cap_plan_broadcasts_heavy_list_and_group_limits(spark):
+    """Plan pins: the heavy-hitter count list must BROADCAST into the
+    left join (never shuffle the corpus for it), and Spark's rank-limit
+    pushdown (WindowGroupLimit partial) must stay adjacent to the final
+    window — together with the hash-prefix prune these bound the
+    mega-group sort width at any partition count."""
+    df = _skewed(spark)
+    plan = _plan(cap_per_group(df, "domain", 5))
+    assert "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan
+
+
 def test_funnel_single_scan_single_wide_exchange(spark, sf_dir):
     import re
 
