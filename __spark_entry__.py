@@ -1384,6 +1384,221 @@ def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape: correlated-min subquery rewritten as one hash aggregate
+    with a struct-min argmin (price, then suppkey tiebreak) — no window
+    sort, no float-equality self-join.  Region filter broadcasts down
+    the supplier dimension chain."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    p = _t(spark, sf_dir, "part")
+    eu = (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(r.filter(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name")
+    )
+    offers = (
+        li.join(eu, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(p.filter(F.col("p_size") < 10)),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("l_partkey", "s_suppkey", "s_name")
+        .agg(F.sum("l_extendedprice").alias("supply_value"))
+    )
+    best = offers.groupBy("l_partkey").agg(
+        F.min(F.struct("supply_value", "s_suppkey", "s_name")).alias("_b")
+    )
+    return best.select(
+        F.col("l_partkey").alias("p_partkey"),
+        F.col("_b.s_suppkey").alias("s_suppkey"),
+        F.col("_b.s_name").alias("s_name"),
+        F.expr("floor(_b.supply_value * 100 + 0.5) / 100").alias("supply_value"),
+    )
+
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 shape: two-level conditional ratio — a target nation's share
+    of regional import revenue per order year; one scan, one agg, the
+    share computed from two conditional sums in the same pass."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    cust_region = (
+        c.join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(r.filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("c_custkey")
+    )
+    supp_nation = s.join(
+        F.broadcast(n.select(F.col("n_nationkey").alias("_snk"), F.col("n_name"))),
+        F.col("s_nationkey") == F.col("_snk"),
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust_region, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp_nation, F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    return (
+        j.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.expr(
+                "floor(sum(CASE WHEN supp_nation = 'NATION_3' THEN "
+                "l_extendedprice * (1 - l_discount) ELSE 0.0 END) / "
+                "sum(l_extendedprice * (1 - l_discount)) * 1e6 + 0.5) / 1e6"
+            ).alias("mkt_share"),
+            F.sum(rev).alias("total_revenue"),
+        )
+    )
+
+
+def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 shape: profit by supplier nation x ship year for a part-name
+    pattern; the LIKE filter prunes the part side before its broadcast
+    join, and the wide fact join feeds a narrow two-key aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    p = _t(spark, sf_dir, "part")
+    j = (
+        li.join(
+            F.broadcast(p.filter(F.col("p_name").like("%gear%"))),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        j.groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("profit")
+        )
+    )
+
+
+def q_returned_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 shape: returned-item revenue per customer over one quarter,
+    wide group-by keys, deterministic top-20 (TakeOrderedAndProject)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-07-01")
+    )
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    j = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        j.groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+def q_part_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape: HAVING against a scalar fraction of the GLOBAL total —
+    the one-row global aggregate broadcasts into the per-part filter
+    instead of re-windowing the whole table through one task."""
+    li = _t(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("value")
+    )
+    total = per_part.agg(F.sum("value").alias("_total"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("value") > F.col("_total") * 0.001)
+        .select(
+            "l_partkey",
+            F.expr("floor(value * 100 + 0.5) / 100").alias("value"),
+        )
+    )
+
+
+def q_excess_supply_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 shape: nested semi-join chain — suppliers who shipped more
+    than a threshold quantity of any part matching a name prefix; the
+    grouped HAVING set drives a left-semi join into the supplier dim."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    s = _t(spark, sf_dir, "supplier")
+    heavy = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 300)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(heavy, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+def q_waiting_orders_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 shape: EXISTS + NOT EXISTS over the same fact — suppliers
+    whose returned lines sit in multi-supplier orders where NO other
+    supplier returned; both subqueries become one equi-join each with an
+    inequality residual (semi then anti), never a cartesian."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    ret = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    all_sup = li.select(
+        F.col("l_orderkey").alias("_ok"), F.col("l_suppkey").alias("_sk")
+    ).distinct()
+    multi = ret.join(
+        all_sup,
+        (F.col("l_orderkey") == F.col("_ok"))
+        & (F.col("l_suppkey") != F.col("_sk")),
+        "left_semi",
+    )
+    other_ret = ret.select(
+        F.col("l_orderkey").alias("_rok"), F.col("l_suppkey").alias("_rsk")
+    )
+    sole = multi.join(
+        other_ret,
+        (F.col("l_orderkey") == F.col("_rok"))
+        & (F.col("l_suppkey") != F.col("_rsk")),
+        "left_anti",
+    )
+    return (
+        sole.groupBy("l_suppkey")
+        .agg(F.count("*").alias("numwait"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "numwait")
+        .orderBy(F.desc("numwait"), F.asc("s_suppkey"))
+        .limit(20)
+    )
+
+
 def q_bridge_snap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J5 full geometric form: point→segment distance argmin join
     (prep-bridge.js:86-112). Bridges = supplier-derived points; road
@@ -1676,6 +1891,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "disjunctive_filter": q_disjunctive_filter,
         "inactive_customer_balance": q_inactive_customer_balance,
         "bilateral_volume": q_bilateral_volume,
+        "cheapest_supplier_per_part": q_cheapest_supplier_per_part,
+        "market_share": q_market_share,
+        "product_profit": q_product_profit,
+        "returned_revenue_topk": q_returned_revenue_topk,
+        "part_value_concentration": q_part_value_concentration,
+        "excess_supply_candidates": q_excess_supply_candidates,
+        "waiting_orders_suppliers": q_waiting_orders_suppliers,
         "top_supplier": q_top_supplier,
         "criticality": q_criticality,
         "eaul": q_eaul,
@@ -2202,6 +2424,112 @@ def oracle_sql() -> dict[str, str]:
             WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
                OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
             GROUP BY 1, 2, 3
+        """,
+        "cheapest_supplier_per_part": """
+            WITH offers AS (
+              SELECT l_partkey, s_suppkey, s_name,
+                     sum(l_extendedprice) AS supply_value
+              FROM lineitem
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation   ON s_nationkey = n_nationkey
+              JOIN region   ON n_regionkey = r_regionkey
+              JOIN part     ON l_partkey = p_partkey
+              WHERE r_name = 'EUROPE' AND p_size < 10
+              GROUP BY 1, 2, 3
+            ), ranked AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY l_partkey
+                ORDER BY supply_value, s_suppkey, s_name) AS rn
+              FROM offers
+            )
+            SELECT l_partkey AS p_partkey, s_suppkey, s_name,
+                   floor(supply_value * 100 + 0.5) / 100 AS supply_value
+            FROM ranked WHERE rn = 1
+        """,
+        "market_share": """
+            SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+                   floor(sum(CASE WHEN n1.n_name = 'NATION_3'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0.0 END)
+                         / sum(l_extendedprice * (1 - l_discount))
+                         * 1e6 + 0.5) / 1e6 AS mkt_share,
+                   sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+            FROM lineitem
+            JOIN orders    ON l_orderkey = o_orderkey
+            JOIN customer  ON o_custkey = c_custkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            JOIN region    ON n2.n_regionkey = r_regionkey
+            JOIN supplier  ON l_suppkey = s_suppkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            WHERE r_name = 'ASIA'
+            GROUP BY 1
+        """,
+        "product_profit": """
+            SELECT n_name AS nation,
+                   CAST(year(l_shipdate) AS INTEGER) AS l_year,
+                   sum(l_extendedprice * (1 - l_discount)) AS profit
+            FROM lineitem
+            JOIN part     ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            WHERE p_name LIKE '%gear%'
+            GROUP BY 1, 2
+        """,
+        "returned_revenue_topk": """
+            SELECT c_custkey, c_name, c_acctbal, n_name,
+                   sum(l_extendedprice * (1 - l_discount)) AS revenue
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1996-07-01'
+            GROUP BY 1, 2, 3, 4
+            ORDER BY revenue DESC, c_custkey ASC
+            LIMIT 20
+        """,
+        "part_value_concentration": """
+            WITH per_part AS (
+              SELECT l_partkey, sum(l_extendedprice * l_quantity) AS value
+              FROM lineitem GROUP BY l_partkey
+            )
+            SELECT l_partkey, floor(value * 100 + 0.5) / 100 AS value
+            FROM per_part
+            WHERE value > (SELECT sum(value) FROM per_part) * 0.001
+        """,
+        "excess_supply_candidates": """
+            SELECT s_suppkey, s_name FROM supplier
+            WHERE s_suppkey IN (
+              SELECT l_suppkey FROM lineitem
+              JOIN part ON l_partkey = p_partkey
+              WHERE p_name LIKE 'small%'
+              GROUP BY l_suppkey, l_partkey
+              HAVING sum(l_quantity) > 300
+            )
+            ORDER BY s_suppkey
+        """,
+        "waiting_orders_suppliers": """
+            WITH ret AS (
+              SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+              WHERE l_returnflag = 'R'
+            ), all_sup AS (
+              SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+            )
+            SELECT s_suppkey, s_name, numwait FROM (
+              SELECT r.l_suppkey, count(*)::BIGINT AS numwait
+              FROM ret r
+              WHERE EXISTS (SELECT 1 FROM all_sup a
+                            WHERE a.l_orderkey = r.l_orderkey
+                              AND a.l_suppkey <> r.l_suppkey)
+                AND NOT EXISTS (SELECT 1 FROM ret r2
+                                WHERE r2.l_orderkey = r.l_orderkey
+                                  AND r2.l_suppkey <> r.l_suppkey)
+              GROUP BY r.l_suppkey
+            )
+            JOIN supplier ON l_suppkey = s_suppkey
+            ORDER BY numwait DESC, s_suppkey ASC
+            LIMIT 20
         """,
         "top_supplier": """
             SELECT s_suppkey, s_name, total_revenue FROM (
