@@ -108,6 +108,11 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
+        # drop cached blocks leaked by earlier queries (the dedup/ANN
+        # operators persist signature tables inside their plans) so each
+        # query is timed against a clean storage pool, not the previous
+        # 50 queries' evicting caches
+        spark.catalog.clearCache()
         runs = []
         for _ in range(repeats):
             t0 = time.perf_counter()

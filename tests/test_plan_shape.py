@@ -247,3 +247,35 @@ def test_polygon_rings_stay_out_of_the_pair_rows(spark, sf_dir):
     assert map_blocks, plan
     for b in map_blocks:
         assert "rings_x" not in b and "rings_y" not in b, b
+
+
+def test_cheapest_supplier_argmin_no_window(spark, sf_dir):
+    """Q2 shape: the correlated min must be a struct-min hash aggregate
+    (map-side partials), never a row_number window sort."""
+    plan = _plan(entry_mod.q_cheapest_supplier_per_part(spark, sf_dir))
+    assert "Window" not in plan
+    assert "partial_min" in plan
+
+
+def test_part_value_concentration_broadcasts_total(spark, sf_dir):
+    """Q11 shape: the global total is a one-row broadcast into the
+    HAVING filter — no window over the full per-part table."""
+    plan = _plan(entry_mod.q_part_value_concentration(spark, sf_dir))
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_waiting_orders_residual_hash_joins(spark, sf_dir):
+    """Q21 shape: EXISTS/NOT EXISTS compile to equi hash joins with
+    inequality residuals — never a cartesian or nested loop."""
+    plan = _plan(entry_mod.q_waiting_orders_suppliers(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_product_profit_part_filter_pushdown(spark, sf_dir):
+    """Q9 shape: the p_name LIKE filter must reach the part scan before
+    its broadcast join."""
+    plan = _plan(entry_mod.q_product_profit(spark, sf_dir))
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("p_name" in l for l in pushed), plan
