@@ -1084,6 +1084,29 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(d, F.col("doc_id") % 97 == 0)
 
 
+def q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate-line removal (CCNet-style): documents
+    get a synthetic 3-line structure with a shared footer injected into
+    every third doc; lines repeating across >= 10 distinct docs are
+    stripped, original line order preserved."""
+    from moz_datapipeline_spark.operators.corpus import (
+        remove_boilerplate_lines,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.substring("text", 1, 60),
+            F.when(
+                F.col("doc_id") % 3 == 0, F.lit("FOLLOW US ON SOCIAL MEDIA")
+            ).otherwise(F.substring("text", 61, 60)),
+            F.substring("text", 121, 40),
+        ).alias("text"),
+    )
+    return remove_boilerplate_lines(d, min_docs=10)
+
+
 def q_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cumulative quality-filter survival counts (C4/Gopher-style chain)
     in one corpus scan; thresholds via integer cross-multiplication."""
@@ -1877,6 +1900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_terms": q_tfidf_terms,
         "decontaminate": q_decontaminate,
         "quality_funnel": q_quality_funnel,
+        "boilerplate_lines": q_boilerplate_lines,
         "funnel_conversion": q_funnel_conversion,
         "cohort_retention": q_cohort_retention,
         "approx_distinct": q_approx_distinct,
@@ -2166,6 +2190,40 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 2, 'min_length', n_len FROM agg
             UNION ALL SELECT 3, 'distinct_ratio', n_rep FROM agg
             UNION ALL SELECT 4, 'lang_en', n_lng FROM agg
+        """,
+        "boilerplate_lines": """
+            WITH docs AS (
+              SELECT doc_id,
+                     substr(text, 1, 60) || chr(10) ||
+                     CASE WHEN doc_id % 3 = 0
+                          THEN 'FOLLOW US ON SOCIAL MEDIA'
+                          ELSE substr(text, 61, 60) END || chr(10) ||
+                     substr(text, 121, 40) AS text
+              FROM documents
+            ), lines AS (
+              SELECT doc_id, u.pos, u.line FROM (
+                SELECT doc_id,
+                       unnest(list_transform(
+                         string_split(text, chr(10)),
+                         (x, i) -> struct_pack(pos := i, line := x))) AS u
+                FROM docs)
+            ), boiler AS (
+              SELECT line FROM lines
+              GROUP BY line HAVING count(DISTINCT doc_id) >= 10
+            ), kept AS (
+              SELECT * FROM lines
+              WHERE line NOT IN (SELECT line FROM boiler)
+            ), rebuilt AS (
+              SELECT doc_id,
+                     string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+                     count(*)::BIGINT AS n_lines_kept
+              FROM kept GROUP BY doc_id
+            )
+            SELECT d.doc_id, coalesce(r.clean_text, '') AS clean_text,
+                   coalesce(r.n_lines_kept, 0)::BIGINT AS n_lines_kept,
+                   (3 - coalesce(r.n_lines_kept, 0))::BIGINT
+                     AS n_lines_removed
+            FROM docs d LEFT JOIN rebuilt r USING (doc_id)
         """,
         "funnel_conversion": """
             WITH s1 AS (

@@ -366,3 +366,62 @@ def quality_filter_funnel(
         "3, 'distinct_ratio', _rep, "
         f"4, 'lang_{keep_lang}', _lng) AS (stage_idx, stage, n_docs)"
     )
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 10,
+) -> DataFrame:
+    """Strip lines that repeat across >= ``min_docs`` DISTINCT documents
+    (CCNet/RefinedWeb-style boilerplate removal: nav bars, cookie
+    banners, "follow us" footers dominate web corpora line-frequency
+    tables).
+
+    Plan shape: one posexplode pass over lines; the cross-document
+    frequency table aggregates with map-side partials on the line text;
+    only lines at or above the threshold survive the filter, and that
+    boilerplate set is <= total_lines / min_docs rows BY CONSTRUCTION —
+    small enough to BROADCAST into a left-anti join against the
+    exploded lines (same heavy-hitter bound as ``cap_per_group``'s
+    prune).  Reassembly restores original line order via a sorted
+    struct collect, one shuffle on the document key.  No all-pairs
+    comparison, no full-table window.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    boiler = (
+        lines.groupBy("line")
+        .agg(F.countDistinct(id_col).alias("_docs"))
+        .filter(F.col("_docs") >= min_docs)
+        .select("line")
+    )
+    kept = lines.join(F.broadcast(boiler), "line", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+        ).alias("clean_text"),
+        F.count("*").alias("n_lines_kept"),
+    )
+    totals = df.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), "\n")).alias("_n_lines"),
+    )
+    return (
+        totals.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_lines_kept", F.lit(0)).alias("n_lines_kept"),
+            (F.col("_n_lines") - F.coalesce("n_lines_kept", F.lit(0))).alias(
+                "n_lines_removed"
+            ),
+        )
+    )

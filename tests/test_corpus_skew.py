@@ -144,3 +144,25 @@ def test_funnel_single_scan_single_wide_exchange(spark, sf_dir):
     # one wide shuffle (on user_id); the only other Exchange is the
     # single-row final count
     assert plan.count("Arguments: hashpartitioning") == 1
+
+
+def test_remove_boilerplate_lines_order_and_counts(spark):
+    from moz_datapipeline_spark.operators.corpus import (
+        remove_boilerplate_lines,
+    )
+
+    footer = "SUBSCRIBE NOW"
+    rows = [(i, f"intro {i}\n{footer}\nbody {i}") for i in range(12)]
+    rows.append((99, footer))  # doc that is ONLY boilerplate
+    rows.append((100, "unique one\nunique two"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in remove_boilerplate_lines(df, min_docs=10).collect()
+    }
+    assert out[3]["clean_text"] == "intro 3\nbody 3"  # order preserved
+    assert out[3]["n_lines_kept"] == 2 and out[3]["n_lines_removed"] == 1
+    assert out[99]["clean_text"] == "" and out[99]["n_lines_removed"] == 1
+    assert out[100]["clean_text"] == "unique one\nunique two"
+    assert out[100]["n_lines_removed"] == 0
+    assert len(out) == 14  # every doc survives as a row
