@@ -73,3 +73,76 @@ def dedup_batch(events: DataFrame, key_col: str = "source") -> DataFrame:
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+FUNNEL_OUT_SCHEMA = "user_id long, stages_completed int, last_ts long"
+FUNNEL_STATE_SCHEMA = "stage_idx int, t long"
+
+
+def _funnel_fn(stages: tuple[str, ...]):
+    """Closure factory: per-user ordered-funnel progression.
+
+    State = (number of stages completed, timestamp of the event that
+    completed the latest stage).  Each batch's events replay in
+    event-time order; an event advances the funnel when it matches the
+    NEXT stage and is strictly after the current stage's timestamp —
+    the greedy earliest-advance walk, which on in-order data equals the
+    batch ``funnel_stages`` min-ts fold exactly.
+    """
+
+    def fn(
+        key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            idx, t = state.get
+            idx = int(idx)
+            t = None if t is None or t < 0 else int(t)
+        else:
+            idx, t = 0, None
+        events: list[tuple[int, str]] = []
+        for pdf in batches:
+            events.extend(
+                (int(ts), et) for ts, et in zip(pdf["ts"], pdf["event_type"])
+            )
+        for ts, et in sorted(events):
+            if idx >= len(stages):
+                break
+            if et == stages[idx] and (t is None or ts > t):
+                t = ts
+                idx += 1
+        state.update((idx, -1 if t is None else t))
+        yield pd.DataFrame(
+            [{"user_id": key[0], "stages_completed": idx, "last_ts": t}]
+        )
+
+    return fn
+
+
+def funnel_stream(
+    events: DataFrame,
+    stages: tuple[str, ...] = ("view", "click", "purchase"),
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Streaming ordered funnel: per-user stage progression maintained
+    across micro-batches in keyed state (update mode — each batch emits
+    the user's current progression row).
+
+    Exact under per-user in-order delivery; with out-of-order arrival
+    the walk is greedy within each batch, so events later than a
+    stage's recorded timestamp still advance the funnel but earlier
+    late stragglers cannot rewind it — the standard streaming-funnel
+    approximation.  The batch twin ``analytics.funnel_stages`` is the
+    exact replay semantics (``test_skew_and_stateful`` pins equality on
+    in-order data).
+    """
+    return (
+        events.selectExpr(f"{user_col} as user_id", "ts", "event_type")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _funnel_fn(stages),
+            outputStructType=FUNNEL_OUT_SCHEMA,
+            stateStructType=FUNNEL_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

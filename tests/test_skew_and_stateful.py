@@ -286,3 +286,79 @@ def test_stream_stream_attribution_matches_batch(spark, tmp_path):
     # expected joins: click 100 ← both user-1 views; click 200 ← user-2
     # view is 20 min stale (outside); click 300 outside horizon
     assert {c for c, _ in got} == {100}
+
+
+def test_streaming_funnel_state_across_batches(spark, tmp_path):
+    """Ordered funnel via applyInPandasWithState: stage progression
+    carries across micro-batches, and on in-order data the final state
+    matches the batch funnel_stages fold."""
+    import json
+
+    from moz_datapipeline_spark.operators.analytics import funnel_stages
+    from moz_datapipeline_spark.streaming.stateful import funnel_stream
+
+    src = tmp_path / "funnel_in"
+    src.mkdir()
+    chk = str(tmp_path / "funnel_chk")
+
+    def write_batch(name, rows):
+        with open(src / name, "w") as fh:
+            for r in rows:
+                fh.write(json.dumps(r) + "\n")
+
+    batch1 = [
+        {"user_id": 1, "ts": 10, "event_type": "view"},
+        {"user_id": 1, "ts": 20, "event_type": "click"},
+        {"user_id": 2, "ts": 10, "event_type": "click"},  # click first: stuck
+        {"user_id": 2, "ts": 20, "event_type": "view"},
+    ]
+    write_batch("b1.json", batch1)
+    stream = (
+        spark.readStream.schema("user_id long, ts long, event_type string")
+        .json(str(src))
+    )
+    q = (
+        funnel_stream(stream)
+        .writeStream.format("memory")
+        .queryName("funnel_out")
+        .outputMode("update")
+        .option("checkpointLocation", chk)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        s1 = (
+            spark.sql("SELECT * FROM funnel_out")
+            .toPandas()
+            .set_index("user_id")
+        )
+        assert s1.loc[1, "stages_completed"] == 2  # view+click
+        assert s1.loc[2, "stages_completed"] == 1  # view at 20; no later click
+
+        # batch 2: user 1 purchases (advances via STATE from batch 1);
+        # user 2 clicks after their view
+        batch2 = [
+            {"user_id": 1, "ts": 30, "event_type": "purchase"},
+            {"user_id": 2, "ts": 30, "event_type": "click"},
+        ]
+        write_batch("b2.json", batch2)
+        q.processAllAvailable()
+        out = spark.sql(
+            "SELECT user_id, max(stages_completed) AS sc FROM funnel_out "
+            "GROUP BY user_id"
+        ).toPandas().set_index("user_id")
+        assert out.loc[1, "sc"] == 3
+        assert out.loc[2, "sc"] == 2
+    finally:
+        q.stop()
+
+    # batch twin equality on the full in-order replay
+    all_events = spark.createDataFrame(
+        [(r["user_id"], r["ts"], r["event_type"]) for r in batch1 + batch2],
+        "user_id long, ts long, event_type string",
+    )
+    batch_counts = {
+        r["stage_idx"]: r["n_users"] for r in funnel_stages(all_events).collect()
+    }
+    # streaming end-state: user1 completed 3 stages, user2 completed 2
+    assert batch_counts == {1: 2, 2: 2, 3: 1}
