@@ -1166,6 +1166,17 @@ def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return random_projection(_t(spark, sf_dir, "embeddings"), dim=64)
 
 
+def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population covariance of the embedding column as (i, j, cov)
+    rows: per-partition partial Gram matrices folded in one tiny
+    aggregation — shuffle is O(partitions x d^2), row-count free."""
+    from moz_datapipeline_spark.operators.similarity import (
+        embedding_covariance,
+    )
+
+    return embedding_covariance(_t(spark, sf_dir, "embeddings"))
+
+
 def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two Lloyd iterations of k-means (k=8, deterministic init) as a
     fixed DAG: broadcast-centroid argmin + posexplode means per round."""
@@ -1907,6 +1918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "view_click_attribution": q_view_click_attribution,
         "random_projection": q_random_projection,
         "kmeans": q_kmeans,
+        "embedding_covariance": q_embedding_covariance,
         "shapefile_scan": q_shapefile_scan,
         "late_shipment_priority": q_late_shipment_priority,
         "customer_order_distribution": q_customer_order_distribution,
@@ -2190,6 +2202,22 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 2, 'min_length', n_len FROM agg
             UNION ALL SELECT 3, 'distinct_ratio', n_rep FROM agg
             UNION ALL SELECT 4, 'lang_en', n_lng FROM agg
+        """,
+        "embedding_covariance": """
+            WITH xi AS (
+              SELECT vec_id, u.pos, u.val FROM (
+                SELECT vec_id,
+                       unnest(list_transform(
+                         embedding,
+                         (x, k) -> struct_pack(pos := k,
+                                               val := CAST(x AS DOUBLE))))
+                         AS u
+                FROM embeddings)
+            )
+            SELECT a.pos - 1 AS i, b.pos - 1 AS j,
+                   floor(covar_pop(a.val, b.val) * 1e6 + 0.5) / 1e6 AS cov
+            FROM xi a JOIN xi b USING (vec_id)
+            GROUP BY 1, 2
         """,
         "boilerplate_lines": """
             WITH docs AS (

@@ -446,3 +446,136 @@ def kmeans_assign(
     first_lbl = labels[0].select(id_col, F.col("_cid").alias("cluster_r1"))
     final_lbl = labels[-1].select(id_col, F.col("_cid").alias("cluster"))
     return first_lbl.join(final_lbl, id_col)
+
+
+def embedding_covariance(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Population covariance matrix of the embedding column as (i, j,
+    cov) rows — the input to PCA/whitening at corpus scale.
+
+    Plan shape: each task folds its partition into ONE partial-Gram row
+    (count, sum vector, upper-triangle of X^T X) inside an Arrow-batched
+    ``mapInPandas`` kernel — numpy ``einsum`` per batch, no per-row
+    Python.  Partials flatten to (idx, val) rows (d*(d+3)/2 + 1 per
+    task, ~2.1k for d=64) and combine in one tiny hash aggregation, so
+    the shuffle is O(partitions * d^2) REGARDLESS of row count — the
+    pattern that survives 100 TB where a (row x row) self-join or a
+    d^2-column aggregate would not.  Final covariance assembly is plain
+    column math on the combined sums: cov = E[xy] - E[x]E[y].
+    """
+    import numpy as np
+    import pandas as pd
+
+    n_sum = dim * (dim + 1) // 2
+    iu = np.triu_indices(dim)
+
+    def kernel(batches):
+        cnt = 0
+        s = np.zeros(dim)
+        g = np.zeros((dim, dim))
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.array(pdf[vec_col].tolist(), dtype="f8")
+            cnt += x.shape[0]
+            s += x.sum(axis=0)
+            g += x.T @ x
+        idx = np.arange(1 + dim + n_sum, dtype="i8")
+        val = np.concatenate([[float(cnt)], s, g[iu]])
+        yield pd.DataFrame({"idx": idx, "val": val})
+
+    partials = df.select(vec_col).mapInPandas(kernel, schema="idx long, val double")
+    combined = partials.groupBy("idx").agg(F.sum("val").alias("val"))
+
+    # assemble (i, j, cov) relationally: join the three sum kinds by
+    # position — all inputs are <= ~2.1k rows, every join broadcasts
+    spark = df.sparkSession
+    pos = spark.createDataFrame(
+        [(int(i), int(j), int(1 + dim + k)) for k, (i, j) in
+         enumerate(zip(iu[0].tolist(), iu[1].tolist()))],
+        "i int, j int, gram_idx int",
+    )
+    n_row = combined.filter(F.col("idx") == 0).select(
+        F.col("val").alias("_n")
+    )
+    means = combined.filter(
+        (F.col("idx") >= 1) & (F.col("idx") <= dim)
+    ).select((F.col("idx") - 1).cast("int").alias("_mi"), F.col("val").alias("_s"))
+    grams = combined.filter(F.col("idx") > dim).select(
+        F.col("idx").cast("int").alias("gram_idx"), F.col("val").alias("_xy")
+    )
+    mi = means.select(F.col("_mi").alias("i"), F.col("_s").alias("_si"))
+    mj = means.select(F.col("_mi").alias("j"), F.col("_s").alias("_sj"))
+    full = (
+        pos.join(F.broadcast(grams), "gram_idx")
+        .join(F.broadcast(mi), "i")
+        .join(F.broadcast(mj), "j")
+        .join(F.broadcast(n_row))
+    )
+    cov = (F.col("_xy") / F.col("_n")) - (
+        F.col("_si") / F.col("_n")
+    ) * (F.col("_sj") / F.col("_n"))
+    scale = 10 ** round_digits
+    out = full.select(
+        "i", "j",
+        (F.floor(cov * scale + F.lit(0.5)) / scale).alias("cov"),
+    )
+    # upper triangle computed once; mirror for the full symmetric matrix
+    lower = out.filter(F.col("i") != F.col("j")).select(
+        F.col("j").alias("i"), F.col("i").alias("j"), "cov"
+    )
+    return out.unionByName(lower)
+
+
+def pca_project(
+    df: DataFrame,
+    k: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+) -> DataFrame:
+    """Project embeddings onto their top-``k`` principal components.
+
+    The covariance matrix is tiny (d x d) no matter the corpus size, so
+    its eigendecomposition runs on the driver (numpy, deterministic
+    sign: each component's largest-|coefficient| entry is made
+    positive); the component matrix broadcasts back and the projection
+    is a JVM ``zip_with``/``aggregate`` dot product per row — the
+    driver never sees corpus rows, only the d x d summary.
+    """
+    import numpy as np
+
+    cov_rows = embedding_covariance(
+        df, vec_col=vec_col, id_col=id_col, dim=dim, round_digits=12
+    ).collect()
+    cov = np.zeros((dim, dim))
+    for r in cov_rows:
+        cov[r["i"], r["j"]] = r["cov"]
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:k]
+    comps = v[:, order].T  # (k, dim)
+    for c in range(comps.shape[0]):
+        lead = np.argmax(np.abs(comps[c]))
+        if comps[c, lead] < 0:
+            comps[c] = -comps[c]
+    comp_lit = F.array(
+        *[
+            F.array(*[F.lit(float(x)) for x in comps[c]])
+            for c in range(comps.shape[0])
+        ]
+    )
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    proj = F.transform(
+        comp_lit,
+        lambda comp: F.aggregate(
+            F.zip_with(vec, comp, lambda x, c: x * c),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    return df.select(F.col(id_col), proj.alias("pca"))

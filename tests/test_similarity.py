@@ -113,3 +113,37 @@ def test_ivf_full_probe_equals_bruteforce(spark, planted):
     f = full.sort_values(key).reset_index(drop=True)
     assert (e["corpus_id"] == f["corpus_id"]).all()
     assert (abs(e["cosine"] - f["cosine"]) < 1e-9).all()
+
+
+def test_pca_project_matches_numpy(spark):
+    import numpy as np
+
+    from moz_datapipeline_spark.operators.similarity import pca_project
+
+    rng = np.random.default_rng(11)
+    # anisotropic data: variance concentrated along a few directions
+    basis = rng.normal(size=(6, 6))
+    scales = np.array([10.0, 5.0, 2.0, 0.5, 0.1, 0.01])
+    x = rng.normal(size=(300, 6)) * scales @ basis
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+        "vec_id long, embedding array<double>",
+    )
+    out = pca_project(df, k=3, dim=6).collect()
+    got = np.array(
+        [r["pca"] for r in sorted(out, key=lambda r: r["vec_id"])]
+    )
+
+    cov = np.cov(x.T, bias=True)
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:3]
+    comps = v[:, order].T
+    for c in range(3):
+        lead = np.argmax(np.abs(comps[c]))
+        if comps[c, lead] < 0:
+            comps[c] = -comps[c]
+    want = x @ comps.T
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+    # projected variance must decrease component to component
+    var = got.var(axis=0)
+    assert var[0] > var[1] > var[2]
