@@ -1145,6 +1145,16 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return distinct_within_tolerance(_events(spark, sf_dir))
 
 
+def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact vs sketch p95 per return flag with a bounded-error
+    certification flag (the fixed-memory sketch is the 100 TB path)."""
+    from moz_datapipeline_spark.operators.analytics import (
+        percentile_within_tolerance,
+    )
+
+    return percentile_within_tolerance(_t(spark, sf_dir, "lineitem"))
+
+
 def q_view_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Last-touch attribution: latest same-user view within 15 min of
     each click (batch twin of the watermarked stream-stream join).
@@ -1915,6 +1925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_conversion": q_funnel_conversion,
         "cohort_retention": q_cohort_retention,
         "approx_distinct": q_approx_distinct,
+        "approx_percentile": q_approx_percentile,
         "view_click_attribution": q_view_click_attribution,
         "random_projection": q_random_projection,
         "kmeans": q_kmeans,
@@ -2311,6 +2322,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, count(DISTINCT user_id) AS exact_distinct,
                    TRUE AS sketch_ok
             FROM events GROUP BY event_type
+        """,
+        "approx_percentile": """
+            SELECT l_returnflag,
+                   floor(quantile_cont(l_extendedprice, 0.95) * 100 + 0.5)
+                     / 100 AS exact_p,
+                   TRUE AS sketch_ok
+            FROM lineitem GROUP BY l_returnflag
         """,
         "embedding_near_dup": _embedding_near_dup_oracle(),
         "dedup_minhash_lsh": _minhash_oracle(),

@@ -93,6 +93,8 @@ HEADLINE = [
     "asof_join",
     "range_join_bucketed",
     "multi_resolution_rollup",
+    "boilerplate_lines",
+    "embedding_covariance",
 ]
 
 

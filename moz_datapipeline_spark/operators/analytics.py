@@ -155,6 +155,42 @@ def distinct_within_tolerance(
     )
 
 
+def percentile_within_tolerance(
+    df: DataFrame,
+    group_col: str = "l_returnflag",
+    value_col: str = "l_extendedprice",
+    p: float = 0.95,
+    accuracy: int = 1000,
+    tolerance_pct: int = 1,
+) -> DataFrame:
+    """Exact vs sketch percentile with a bounded-error flag — the
+    quantile twin of ``distinct_within_tolerance``.
+
+    At 100 TB an exact percentile sorts every group; the
+    ``approx_percentile`` KLL-style sketch aggregates in fixed memory
+    with map-side partial merge.  This computes both and emits
+    ``sketch_ok`` (sketch within ``tolerance_pct`` per cent of truth)
+    so callers can certify the cheap path per group before switching.
+    """
+    return (
+        df.groupBy(group_col)
+        .agg(
+            F.expr(f"percentile({value_col}, {p})").alias("exact_p"),
+            F.expr(
+                f"approx_percentile({value_col}, {p}, {accuracy})"
+            ).alias("_approx"),
+        )
+        .select(
+            group_col,
+            F.expr("floor(exact_p * 100 + 0.5) / 100").alias("exact_p"),
+            (
+                F.abs(F.col("_approx") - F.col("exact_p")) * 100
+                <= F.col("exact_p") * tolerance_pct
+            ).alias("sketch_ok"),
+        )
+    )
+
+
 def attribute_clicks(
     events: DataFrame,
     view_type: str = "view",
