@@ -1187,6 +1187,23 @@ def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_covariance(_t(spark, sf_dir, "embeddings"))
 
 
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codes (m=4 subspaces, k=16 codes,
+    deterministic init, one Lloyd round): each embedding compresses to
+    4 small codes — the m-bytes-per-vector layout of billion-scale ANN.
+    Codes join to a dash-joined string so the hash compare is
+    array-representation-agnostic."""
+    from moz_datapipeline_spark.operators.similarity import pq_encode
+
+    codes, _ = pq_encode(
+        _t(spark, sf_dir, "embeddings"),
+        m=4, k=16, iterations=1, dim=64, init_stride=16,
+    )
+    return codes.select(
+        "vec_id", F.array_join("codes", "-").alias("codes")
+    )
+
+
 def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two Lloyd iterations of k-means (k=8, deterministic init) as a
     fixed DAG: broadcast-centroid argmin + posexplode means per round."""
@@ -1930,6 +1947,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_projection": q_random_projection,
         "kmeans": q_kmeans,
         "embedding_covariance": q_embedding_covariance,
+        "pq_codes": q_pq_codes,
         "shapefile_scan": q_shapefile_scan,
         "late_shipment_priority": q_late_shipment_priority,
         "customer_order_distribution": q_customer_order_distribution,
@@ -2213,6 +2231,35 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 2, 'min_length', n_len FROM agg
             UNION ALL SELECT 3, 'distinct_ratio', n_rep FROM agg
             UNION ALL SELECT 4, 'lang_en', n_lng FROM agg
+        """,
+        "pq_codes": """
+            WITH v AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+              FROM embeddings
+            ), subs AS (
+              SELECT vec_id, s.sub_id,
+                     list_slice(e, s.sub_id*16+1, s.sub_id*16+16) AS sv
+              FROM v, (SELECT unnest(range(4)) AS sub_id) s
+            ), cents AS (
+              SELECT sub_id, CAST(vec_id // 16 AS INT) AS cid, sv AS cv
+              FROM subs WHERE vec_id % 16 = 0 AND vec_id < 256
+            ), dists AS (
+              SELECT subs.vec_id, subs.sub_id, cents.cid,
+                     list_aggregate(
+                       list_transform(list_zip(subs.sv, cents.cv),
+                         p -> (p[1] - p[2]) * (p[1] - p[2])),
+                       'sum') AS d
+              FROM subs JOIN cents USING (sub_id)
+            ), best AS (
+              SELECT vec_id, sub_id, cid,
+                     row_number() OVER (PARTITION BY vec_id, sub_id
+                                        ORDER BY d, cid) AS rn
+              FROM dists
+            )
+            SELECT vec_id,
+                   array_to_string(list(cid ORDER BY sub_id), '-') AS codes
+            FROM best WHERE rn = 1 GROUP BY vec_id
         """,
         "embedding_covariance": """
             WITH xi AS (

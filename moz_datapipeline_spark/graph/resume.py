@@ -43,6 +43,7 @@ def resumable_apply(
         return compute(scenarios)
     from pyspark.errors import AnalysisException
 
+    existing = None
     try:
         existing = spark.read.parquet(checkpoint_dir)
         todo = scenarios.join(
@@ -50,5 +51,15 @@ def resumable_apply(
         )
     except AnalysisException:  # first run: no checkpoint directory yet
         todo = scenarios
-    compute(todo).write.mode("append").parquet(checkpoint_dir)
+    result = compute(todo)
+    if existing is not None and set(existing.columns) != set(result.columns):
+        # a drifted checkpoint must fail HERE, deterministically —
+        # otherwise parquet schema inference picks whichever file it
+        # lists first and the mismatch surfaces (or not) at random
+        raise ValueError(
+            f"checkpoint {checkpoint_dir} columns {sorted(existing.columns)} "
+            f"do not match result columns {sorted(result.columns)}; delete "
+            "the directory or fix the writer that produced it"
+        )
+    result.write.mode("append").parquet(checkpoint_dir)
     return spark.read.parquet(checkpoint_dir)

@@ -579,3 +579,164 @@ def pca_project(
         ),
     )
     return df.select(F.col(id_col), proj.alias("pca"))
+
+
+def pq_encode(
+    df: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    iterations: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    init_stride: int = 16,
+) -> tuple[DataFrame, DataFrame]:
+    """Product quantization: train per-subspace codebooks and encode
+    every vector as ``m`` small codes (the memory layout that makes
+    billion-vector ANN affordable: ``m`` bytes per vector instead of
+    ``dim * 4``).
+
+    The vector splits into ``m`` contiguous subvectors; ALL subspaces
+    train in one fixed-DAG Lloyd pass by carrying ``sub_id`` as an
+    extra key — same plan shape as ``kmeans_assign`` (broadcast
+    centroids, ``min(struct)`` argmin, posexplode means), so the corpus
+    never re-partitions by cluster and the per-round shuffle stays
+    O(corpus x m + m*k*dim/m).  Init is content-deterministic (vectors
+    whose id is a multiple of ``init_stride``), no RNG.
+
+    Returns ``(codes, codebooks)``: codes = (id, codes array<int> in
+    subspace order); codebooks = (sub_id, code, centroid array<double>).
+    """
+    sub_d = dim // m
+    subs = df.select(
+        id_col,
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice(
+                        F.transform(F.col(vec_col), lambda x: x.cast("double")),
+                        s * sub_d + 1,
+                        sub_d,
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("sub_id", "_sv"),
+    )
+    cent = subs.filter(
+        (F.col(id_col) % init_stride == 0) & (F.col(id_col) < k * init_stride)
+    ).select(
+        "sub_id",
+        (F.col(id_col) / init_stride).cast("int").alias("_cid"),
+        F.col("_sv").alias("_cv"),
+    )
+    assigned = None
+    for _ in range(iterations):
+        sqdist = F.aggregate(
+            F.zip_with(F.col("_sv"), F.col("_cv"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        assigned = (
+            subs.join(F.broadcast(cent), "sub_id")
+            .withColumn("_dist", sqdist)
+            .groupBy(id_col, "sub_id")
+            .agg(
+                F.min(F.struct("_dist", "_cid")).alias("_m"),
+                F.first("_sv").alias("_sv"),
+            )
+            .select(id_col, "sub_id", F.col("_m._cid").alias("_cid"), "_sv")
+        )
+        cent = (
+            assigned.select(
+                "sub_id", "_cid", F.posexplode("_sv").alias("_pos", "_val")
+            )
+            .groupBy("sub_id", "_cid", "_pos")
+            .agg(F.avg("_val").alias("_mu"))
+            .groupBy("sub_id", "_cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_pos", "_mu"))),
+                    lambda s: s["_mu"],
+                ).alias("_cv")
+            )
+        )
+    codes = (
+        assigned.groupBy(id_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sub_id", "_cid"))),
+                lambda s: s["_cid"],
+            ).alias("codes")
+        )
+    )
+    codebooks = cent.select(
+        "sub_id", F.col("_cid").alias("code"), F.col("_cv").alias("centroid")
+    )
+    return codes, codebooks
+
+
+def pq_topk(
+    codes: DataFrame,
+    codebooks: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes.
+
+    Per query the distance to EVERY codebook centroid is a tiny
+    (m x k_codes) lookup table — computed as one broadcast join of the
+    query subvectors against the codebooks, then the corpus scan scores
+    each vector by summing ``m`` table lookups (an equi-join of the
+    exploded codes on (query, sub_id, code) with map-side combine into
+    per-(query, vector) sums).  The corpus side touches only the codes
+    column — ``m`` ints per vector — never the original embeddings:
+    that is the entire point of PQ at 100 TB.
+    """
+    sub_d = dim // m
+    qsubs = queries.select(
+        F.col(id_col).alias(query_id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice(
+                        F.transform(F.col(vec_col), lambda x: x.cast("double")),
+                        s * sub_d + 1,
+                        sub_d,
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("sub_id", "_qv"),
+    )
+    table = qsubs.join(F.broadcast(codebooks), "sub_id").select(
+        query_id_col,
+        "sub_id",
+        "code",
+        F.aggregate(
+            F.zip_with(F.col("_qv"), F.col("centroid"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("_pd"),
+    )
+    exploded = codes.select(
+        F.col(id_col).alias("corpus_id"),
+        F.posexplode("codes").alias("sub_id", "code"),
+    )
+    scored = (
+        exploded.join(F.broadcast(table), ["sub_id", "code"])
+        .groupBy(query_id_col, "corpus_id")
+        .agg(F.sum("_pd").alias("adc_dist"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("adc_dist").asc(), F.col("corpus_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -78,11 +78,12 @@ def test_criticality_resume_skips_finished_ways(spark, tmp_path):
     assert active, "fixture must have at least one active way"
     seed_way = active[0]
 
-    # pre-seed one finished way with sentinel stats
+    # pre-seed one finished way with sentinel stats (schema MUST match
+    # _STATS_SCHEMA exactly — resumable_apply rejects drifted seeds)
     spark.createDataFrame(
         [(seed_way, SENTINEL, SENTINEL, SENTINEL, 0, 0)],
-        "way_id string, max_time double, total_time double, "
-        "avg_time_nonzero double, unroutable_pairs int, impacted_pairs int",
+        "way_id string, max_time double, avg_time double, "
+        "avg_time_nonzero double, unroutable_pairs long, impacted_pairs long",
     ).write.parquet(ckpt)
 
     out = criticality_scores(
@@ -96,4 +97,19 @@ def test_criticality_resume_skips_finished_ways(spark, tmp_path):
     for w in others:
         assert keyed.loc[w, "max_time"] == pytest.approx(
             full.set_index("way_id").loc[w, "max_time"]
+        )
+
+
+def test_resume_rejects_drifted_checkpoint_schema(spark, tmp_path):
+    """A checkpoint whose schema does not match the engine's output
+    must raise deterministically, never silently schema-merge."""
+    ckpt = str(tmp_path / "bad_ckpt")
+    spark.createDataFrame(
+        [("2", "upgrade-rehab-asphalt", 1.0, "EXTRA")],
+        "way_id string, upgrade_id string, eaul double, stray string",
+    ).write.parquet(ckpt)
+    with pytest.raises(ValueError, match="do not match result columns"):
+        eaul_scores(
+            spark, edges_pdf(), way_props_pdf(), OD_NODES, TRAFFIC,
+            checkpoint_dir=ckpt,
         )

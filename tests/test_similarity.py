@@ -147,3 +147,96 @@ def test_pca_project_matches_numpy(spark):
     # projected variance must decrease component to component
     var = got.var(axis=0)
     assert var[0] > var[1] > var[2]
+
+
+def test_pq_encode_matches_numpy_replica(spark):
+    import numpy as np
+
+    from moz_datapipeline_spark.operators.similarity import pq_encode
+
+    rng = np.random.default_rng(5)
+    n, dim, m, k, stride = 200, 16, 4, 8, 4
+    x = rng.normal(size=(n, dim))
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+        "vec_id long, embedding array<double>",
+    )
+    codes_df, books_df = pq_encode(
+        df, m=m, k=k, iterations=1, dim=dim, init_stride=stride
+    )
+    got = {
+        r["vec_id"]: list(r["codes"]) for r in codes_df.collect()
+    }
+
+    sub_d = dim // m
+    for s in range(m):
+        xs = x[:, s * sub_d: (s + 1) * sub_d]
+        cent = xs[[c * stride for c in range(k)]]
+        d = ((xs[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        for i in range(n):
+            assert got[i][s] == assign[i], (i, s)
+
+    # codebooks = per-(sub, code) means of the iteration-1 assignment
+    books = {
+        (r["sub_id"], r["code"]): np.array(r["centroid"])
+        for r in books_df.collect()
+    }
+    s0 = x[:, 0:sub_d]
+    cent0 = s0[[c * stride for c in range(k)]]
+    a0 = ((s0[:, None, :] - cent0[None, :, :]) ** 2).sum(-1).argmin(1)
+    for c in range(k):
+        if (a0 == c).any():
+            np.testing.assert_allclose(
+                books[(0, c)], s0[a0 == c].mean(0), rtol=1e-9
+            )
+
+
+def test_pq_topk_is_exact_adc(spark):
+    import numpy as np
+
+    from moz_datapipeline_spark.operators.similarity import (
+        pq_encode,
+        pq_topk,
+    )
+
+    rng = np.random.default_rng(9)
+    n, dim, m, k_codes = 150, 16, 4, 8
+    x = rng.normal(size=(n, dim))
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+        "vec_id long, embedding array<double>",
+    )
+    codes_df, books_df = pq_encode(
+        df, m=m, k=k_codes, iterations=1, dim=dim, init_stride=4
+    )
+    queries = df.filter(F.col("vec_id") < 3)
+    out = pq_topk(
+        codes_df, books_df, queries, k=5, m=m, dim=dim
+    ).collect()
+
+    codes = {r["vec_id"]: list(r["codes"]) for r in codes_df.collect()}
+    books = {
+        (r["sub_id"], r["code"]): np.array(r["centroid"])
+        for r in books_df.collect()
+    }
+    sub_d = dim // m
+    for q in range(3):
+        dists = {}
+        for cid, cs in codes.items():
+            d = 0.0
+            for s in range(m):
+                qv = x[q, s * sub_d: (s + 1) * sub_d]
+                d += float(((qv - books[(s, cs[s])]) ** 2).sum())
+            dists[cid] = d
+        want = sorted(dists, key=lambda c: (dists[c], c))[:5]
+        got = [
+            r["corpus_id"]
+            for r in sorted(
+                (r for r in out if r["query_id"] == q),
+                key=lambda r: r["rank"],
+            )
+        ]
+        assert got == want
+        # the query itself must be its own nearest code under ADC
+        assert got[0] == q or dists[got[0]] <= dists[q] + 1e-12
