@@ -1445,6 +1445,27 @@ def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 shape: scan-only conditional aggregate — every predicate
+    (date range, discount band, quantity cap) pushes to the parquet
+    scan; the agg is one map-side-combined sum, zero joins."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & F.col("l_discount").between(0.02, 0.04)
+            & (F.col("l_quantity") < 25)
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice") * F.col("l_discount")).alias(
+                "forecast_revenue"
+            ),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
 def q_cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q2 shape: correlated-min subquery rewritten as one hash aggregate
     with a struct-min argmin (price, then suppkey tiebreak) — no window
@@ -1956,6 +1977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "disjunctive_filter": q_disjunctive_filter,
         "inactive_customer_balance": q_inactive_customer_balance,
         "bilateral_volume": q_bilateral_volume,
+        "forecast_revenue": q_forecast_revenue,
         "cheapest_supplier_per_part": q_cheapest_supplier_per_part,
         "market_share": q_market_share,
         "product_profit": q_product_profit,
@@ -2575,6 +2597,15 @@ def oracle_sql() -> dict[str, str]:
             WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
                OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
             GROUP BY 1, 2, 3
+        """,
+        "forecast_revenue": """
+            SELECT sum(l_extendedprice * l_discount) AS forecast_revenue,
+                   count(*)::BIGINT AS n_lines
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-01-01'
+              AND l_discount BETWEEN 0.02 AND 0.04
+              AND l_quantity < 25
         """,
         "cheapest_supplier_per_part": """
             WITH offers AS (
