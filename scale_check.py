@@ -295,6 +295,71 @@ def hygiene_scale_check(spark, docs) -> dict:
     }
 
 
+def pq_recall_check(spark) -> dict:
+    """ADC recall of product-quantized search vs exact L2 top-10 over
+    the sf0.1 embeddings (m=8 subspaces, k=128 codes, 2 Lloyd rounds).
+
+    The synthetic embeddings are high-entropy (wide Gaussian noise), so
+    this is a WORST-CASE recall floor for 8-codes-per-vector
+    compression — measured, not promised; the codebook size is the
+    recall/memory knob (16→128 codes measured 0.24→0.43 here)."""
+    from pyspark.sql import Window
+
+    from moz_datapipeline_spark.operators.similarity import (
+        pq_encode,
+        pq_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    n_q = 20
+    queries = emb.filter(F.col("vec_id") < n_q)
+    t0 = time.perf_counter()
+    codes, books = pq_encode(
+        emb, m=8, k=128, iterations=2, dim=64, init_stride=8
+    )
+    codes = codes.cache()
+    codes.count()
+    t_encode = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    approx = pq_topk(codes, books, queries, k=10, m=8, dim=64).collect()
+    t_adc = time.perf_counter() - t0
+
+    q = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("_q")
+    )
+    l2 = F.aggregate(
+        F.zip_with(F.col("embedding"), F.col("_q"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("_d").asc(), F.col("vec_id").asc())
+    exact = (
+        emb.crossJoin(F.broadcast(q))
+        .withColumn("_d", l2)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 10)
+        .select("query_id", "vec_id")
+        .collect()
+    )
+    truth: dict[int, set] = {}
+    for r in exact:
+        truth.setdefault(r["query_id"], set()).add(r["vec_id"])
+    hits = sum(
+        1 for r in approx if r["corpus_id"] in truth.get(r["query_id"], set())
+    )
+    codes.unpersist()
+    return {
+        "pq_vectors": emb.count(),
+        "pq_queries": n_q,
+        "pq_recall_at_10": round(hits / (10 * n_q), 4),
+        "pq_encode_sec": round(t_encode, 2),
+        "pq_adc_topk_sec": round(t_adc, 2),
+    }
+
+
 def main() -> None:
     spark = get_spark(app_name="dedup_scale_check")
     docs = amplified_corpus(spark, "/root/testdata/sf0.1/documents.parquet")
@@ -321,6 +386,7 @@ def main() -> None:
 
     recall, n_truth = lsh_recall(docs, n_origins, cands)
     hygiene = hygiene_scale_check(spark, docs)
+    pq = pq_recall_check(spark)
     routing = routing_scale_check(spark)
 
     print(
@@ -338,6 +404,7 @@ def main() -> None:
                 "t_verify_sec": round(t_verify, 2),
                 "t_cluster_sec": round(t_cluster, 2),
                 **hygiene,
+                **pq,
                 **routing,
             }
         )
