@@ -1204,6 +1204,30 @@ def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance PQ search, fully oracle-replayed: encode
+    (m=4, k=16, one deterministic Lloyd round), build per-query lookup
+    tables against the trained codebooks, score the corpus by code
+    lookups only, exact top-5 with id tiebreak."""
+    from moz_datapipeline_spark.operators.similarity import (
+        pq_encode,
+        pq_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    codes, books = pq_encode(
+        emb, m=4, k=16, iterations=1, dim=64, init_stride=16
+    )
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = pq_topk(codes, books, queries, k=5, m=4, dim=64)
+    return out.select(
+        "query_id",
+        "corpus_id",
+        F.expr("floor(adc_dist * 1e6 + 0.5) / 1e6").alias("adc_dist"),
+        "rank",
+    )
+
+
 def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two Lloyd iterations of k-means (k=8, deterministic init) as a
     fixed DAG: broadcast-centroid argmin + posexplode means per round."""
@@ -1969,6 +1993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans": q_kmeans,
         "embedding_covariance": q_embedding_covariance,
         "pq_codes": q_pq_codes,
+        "pq_adc": q_pq_adc,
         "shapefile_scan": q_shapefile_scan,
         "late_shipment_priority": q_late_shipment_priority,
         "customer_order_distribution": q_customer_order_distribution,
@@ -2282,6 +2307,68 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id,
                    array_to_string(list(cid ORDER BY sub_id), '-') AS codes
             FROM best WHERE rn = 1 GROUP BY vec_id
+        """,
+        "pq_adc": """
+            WITH v AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+              FROM embeddings
+            ), subs AS (
+              SELECT vec_id, s.sub_id,
+                     list_slice(e, s.sub_id*16+1, s.sub_id*16+16) AS sv
+              FROM v, (SELECT unnest(range(4)) AS sub_id) s
+            ), cents AS (
+              SELECT sub_id, CAST(vec_id // 16 AS INT) AS cid, sv AS cv
+              FROM subs WHERE vec_id % 16 = 0 AND vec_id < 256
+            ), dists AS (
+              SELECT subs.vec_id, subs.sub_id, cents.cid,
+                     list_aggregate(
+                       list_transform(list_zip(subs.sv, cents.cv),
+                         p -> (p[1] - p[2]) * (p[1] - p[2])),
+                       'sum') AS d
+              FROM subs JOIN cents USING (sub_id)
+            ), best AS (
+              SELECT vec_id, sub_id, cid FROM (
+                SELECT vec_id, sub_id, cid,
+                       row_number() OVER (PARTITION BY vec_id, sub_id
+                                          ORDER BY d, cid) AS rn
+                FROM dists) WHERE rn = 1
+            ), books_pos AS (
+              SELECT sub_id, code, u.pos, avg(u.val) AS mu FROM (
+                SELECT b.sub_id, b.cid AS code,
+                       unnest(list_transform(s.sv,
+                         (x, i) -> struct_pack(pos := i, val := x))) AS u
+                FROM best b
+                JOIN subs s ON b.vec_id = s.vec_id AND b.sub_id = s.sub_id
+              ) GROUP BY 1, 2, 3
+            ), qq AS (
+              SELECT vec_id AS query_id, sub_id, u.pos, u.val FROM (
+                SELECT s.vec_id, s.sub_id,
+                       unnest(list_transform(s.sv,
+                         (x, i) -> struct_pack(pos := i, val := x))) AS u
+                FROM subs s WHERE s.vec_id < 5
+              )
+            ), tbl AS (
+              SELECT qq.query_id, qq.sub_id, bp.code,
+                     sum((qq.val - bp.mu) * (qq.val - bp.mu)) AS pd
+              FROM qq JOIN books_pos bp
+                ON bp.sub_id = qq.sub_id AND bp.pos = qq.pos
+              GROUP BY 1, 2, 3
+            ), scores AS (
+              SELECT t.query_id, b.vec_id AS corpus_id,
+                     sum(t.pd) AS adc_dist
+              FROM best b
+              JOIN tbl t ON t.sub_id = b.sub_id AND t.code = b.cid
+              GROUP BY 1, 2
+            )
+            SELECT query_id, corpus_id,
+                   floor(adc_dist * 1e6 + 0.5) / 1e6 AS adc_dist,
+                   CAST(rank AS INTEGER) AS rank
+            FROM (SELECT *, row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY adc_dist, corpus_id) AS rank
+                  FROM scores)
+            WHERE rank <= 5
         """,
         "embedding_covariance": """
             WITH xi AS (
