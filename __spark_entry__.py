@@ -1189,9 +1189,10 @@ def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization codes (m=4 subspaces, k=16 codes,
-    deterministic init, one Lloyd round): each embedding compresses to
-    4 small codes — the m-bytes-per-vector layout of billion-scale ANN.
-    Codes join to a dash-joined string so the hash compare is
+    deterministic init, one Lloyd round + final re-assign so codes are
+    consistent with the returned codebooks): each embedding compresses
+    to 4 small codes — the m-bytes-per-vector layout of billion-scale
+    ANN.  Codes join to a dash-joined string so the hash compare is
     array-representation-agnostic."""
     from moz_datapipeline_spark.operators.similarity import pq_encode
 
@@ -1206,9 +1207,9 @@ def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric-distance PQ search, fully oracle-replayed: encode
-    (m=4, k=16, one deterministic Lloyd round), build per-query lookup
-    tables against the trained codebooks, score the corpus by code
-    lookups only, exact top-5 with id tiebreak."""
+    (m=4, k=16, one deterministic Lloyd round + final re-assign), build
+    per-query lookup tables against the trained codebooks, score the
+    corpus by code lookups only, exact top-5 with id tiebreak."""
     from moz_datapipeline_spark.operators.similarity import (
         pq_encode,
         pq_topk,
@@ -1224,6 +1225,33 @@ def q_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id",
         "corpus_id",
         F.expr("floor(adc_dist * 1e6 + 0.5) / 1e6").alias("adc_dist"),
+        "rank",
+    )
+
+
+def q_pq_adc_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC search with the standard exact-rerank tail (IVFADC+rerank
+    design): the top-50 ADC candidates per query — found entirely over
+    m-int codes — are rescored against the EXACT embedding vectors and
+    the exact-ranked top-5 is returned.  Turns PQ's lossy recall floor
+    into ≈1 while still reading only ~50 full vectors per query."""
+    from moz_datapipeline_spark.operators.similarity import (
+        pq_encode,
+        pq_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    codes, books = pq_encode(
+        emb, m=4, k=16, iterations=1, dim=64, init_stride=16
+    )
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = pq_topk(
+        codes, books, queries, k=5, m=4, dim=64, rerank=50, corpus=emb
+    )
+    return out.select(
+        "query_id",
+        "corpus_id",
+        F.expr("floor(l2_dist * 1e6 + 0.5) / 1e6").alias("l2_dist"),
         "rank",
     )
 
@@ -1994,6 +2022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_covariance": q_embedding_covariance,
         "pq_codes": q_pq_codes,
         "pq_adc": q_pq_adc,
+        "pq_adc_rerank": q_pq_adc_rerank,
         "shapefile_scan": q_shapefile_scan,
         "late_shipment_priority": q_late_shipment_priority,
         "customer_order_distribution": q_customer_order_distribution,
@@ -2253,6 +2282,80 @@ _KMEANS_ORACLE = """
 """
 
 
+_PQ_ADC_REPLAY = """
+            WITH v AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+              FROM embeddings
+            ), subs AS (
+              SELECT vec_id, s.sub_id,
+                     list_slice(e, s.sub_id*16+1, s.sub_id*16+16) AS sv
+              FROM v, (SELECT unnest(range(4)) AS sub_id) s
+            ), cents AS (
+              SELECT sub_id, CAST(vec_id // 16 AS INT) AS cid, sv AS cv
+              FROM subs WHERE vec_id % 16 = 0 AND vec_id < 256
+            ), dists AS (
+              SELECT subs.vec_id, subs.sub_id, cents.cid,
+                     list_aggregate(
+                       list_transform(list_zip(subs.sv, cents.cv),
+                         p -> (p[1] - p[2]) * (p[1] - p[2])),
+                       'sum') AS d
+              FROM subs JOIN cents USING (sub_id)
+            ), best AS (
+              SELECT vec_id, sub_id, cid FROM (
+                SELECT vec_id, sub_id, cid,
+                       row_number() OVER (PARTITION BY vec_id, sub_id
+                                          ORDER BY d, cid) AS rn
+                FROM dists) WHERE rn = 1
+            ), books_pos AS (
+              SELECT sub_id, code, u.pos, avg(u.val) AS mu FROM (
+                SELECT b.sub_id, b.cid AS code,
+                       unnest(list_transform(s.sv,
+                         (x, i) -> struct_pack(pos := i, val := x))) AS u
+                FROM best b
+                JOIN subs s ON b.vec_id = s.vec_id AND b.sub_id = s.sub_id
+              ) GROUP BY 1, 2, 3
+            ), spos AS (
+              SELECT vec_id, sub_id, u.pos, u.val FROM (
+                SELECT vec_id, sub_id,
+                       unnest(list_transform(sv,
+                         (x, i) -> struct_pack(pos := i, val := x))) AS u
+                FROM subs)
+            ), dists2 AS (
+              SELECT spos.vec_id, spos.sub_id, bp.code AS cid,
+                     sum((spos.val - bp.mu) * (spos.val - bp.mu)) AS d
+              FROM spos JOIN books_pos bp
+                ON bp.sub_id = spos.sub_id AND bp.pos = spos.pos
+              GROUP BY 1, 2, 3
+            ), best2 AS (
+              SELECT vec_id, sub_id, cid FROM (
+                SELECT vec_id, sub_id, cid,
+                       row_number() OVER (PARTITION BY vec_id, sub_id
+                                          ORDER BY d, cid) AS rn
+                FROM dists2) WHERE rn = 1
+            ), qq AS (
+              SELECT vec_id AS query_id, sub_id, u.pos, u.val FROM (
+                SELECT s.vec_id, s.sub_id,
+                       unnest(list_transform(s.sv,
+                         (x, i) -> struct_pack(pos := i, val := x))) AS u
+                FROM subs s WHERE s.vec_id < 5
+              )
+            ), tbl AS (
+              SELECT qq.query_id, qq.sub_id, bp.code,
+                     sum((qq.val - bp.mu) * (qq.val - bp.mu)) AS pd
+              FROM qq JOIN books_pos bp
+                ON bp.sub_id = qq.sub_id AND bp.pos = qq.pos
+              GROUP BY 1, 2, 3
+            ), scores AS (
+              SELECT t.query_id, b.vec_id AS corpus_id,
+                     sum(t.pd) AS adc_dist
+              FROM best2 b
+              JOIN tbl t ON t.sub_id = b.sub_id AND t.code = b.cid
+              GROUP BY 1, 2
+            )
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "random_projection": _random_projection_oracle(),
@@ -2299,35 +2402,6 @@ def oracle_sql() -> dict[str, str]:
                        'sum') AS d
               FROM subs JOIN cents USING (sub_id)
             ), best AS (
-              SELECT vec_id, sub_id, cid,
-                     row_number() OVER (PARTITION BY vec_id, sub_id
-                                        ORDER BY d, cid) AS rn
-              FROM dists
-            )
-            SELECT vec_id,
-                   array_to_string(list(cid ORDER BY sub_id), '-') AS codes
-            FROM best WHERE rn = 1 GROUP BY vec_id
-        """,
-        "pq_adc": """
-            WITH v AS (
-              SELECT vec_id,
-                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-              FROM embeddings
-            ), subs AS (
-              SELECT vec_id, s.sub_id,
-                     list_slice(e, s.sub_id*16+1, s.sub_id*16+16) AS sv
-              FROM v, (SELECT unnest(range(4)) AS sub_id) s
-            ), cents AS (
-              SELECT sub_id, CAST(vec_id // 16 AS INT) AS cid, sv AS cv
-              FROM subs WHERE vec_id % 16 = 0 AND vec_id < 256
-            ), dists AS (
-              SELECT subs.vec_id, subs.sub_id, cents.cid,
-                     list_aggregate(
-                       list_transform(list_zip(subs.sv, cents.cv),
-                         p -> (p[1] - p[2]) * (p[1] - p[2])),
-                       'sum') AS d
-              FROM subs JOIN cents USING (sub_id)
-            ), best AS (
               SELECT vec_id, sub_id, cid FROM (
                 SELECT vec_id, sub_id, cid,
                        row_number() OVER (PARTITION BY vec_id, sub_id
@@ -2341,26 +2415,30 @@ def oracle_sql() -> dict[str, str]:
                 FROM best b
                 JOIN subs s ON b.vec_id = s.vec_id AND b.sub_id = s.sub_id
               ) GROUP BY 1, 2, 3
-            ), qq AS (
-              SELECT vec_id AS query_id, sub_id, u.pos, u.val FROM (
-                SELECT s.vec_id, s.sub_id,
-                       unnest(list_transform(s.sv,
+            ), spos AS (
+              SELECT vec_id, sub_id, u.pos, u.val FROM (
+                SELECT vec_id, sub_id,
+                       unnest(list_transform(sv,
                          (x, i) -> struct_pack(pos := i, val := x))) AS u
-                FROM subs s WHERE s.vec_id < 5
-              )
-            ), tbl AS (
-              SELECT qq.query_id, qq.sub_id, bp.code,
-                     sum((qq.val - bp.mu) * (qq.val - bp.mu)) AS pd
-              FROM qq JOIN books_pos bp
-                ON bp.sub_id = qq.sub_id AND bp.pos = qq.pos
+                FROM subs)
+            ), dists2 AS (
+              SELECT spos.vec_id, spos.sub_id, bp.code AS cid,
+                     sum((spos.val - bp.mu) * (spos.val - bp.mu)) AS d
+              FROM spos JOIN books_pos bp
+                ON bp.sub_id = spos.sub_id AND bp.pos = spos.pos
               GROUP BY 1, 2, 3
-            ), scores AS (
-              SELECT t.query_id, b.vec_id AS corpus_id,
-                     sum(t.pd) AS adc_dist
-              FROM best b
-              JOIN tbl t ON t.sub_id = b.sub_id AND t.code = b.cid
-              GROUP BY 1, 2
+            ), best2 AS (
+              SELECT vec_id, sub_id, cid FROM (
+                SELECT vec_id, sub_id, cid,
+                       row_number() OVER (PARTITION BY vec_id, sub_id
+                                          ORDER BY d, cid) AS rn
+                FROM dists2) WHERE rn = 1
             )
+            SELECT vec_id,
+                   array_to_string(list(cid ORDER BY sub_id), '-') AS codes
+            FROM best2 GROUP BY vec_id
+        """,
+        "pq_adc": _PQ_ADC_REPLAY + """
             SELECT query_id, corpus_id,
                    floor(adc_dist * 1e6 + 0.5) / 1e6 AS adc_dist,
                    CAST(rank AS INTEGER) AS rank
@@ -2370,6 +2448,34 @@ def oracle_sql() -> dict[str, str]:
                   FROM scores)
             WHERE rank <= 5
         """,
+        "pq_adc_rerank": _PQ_ADC_REPLAY + """
+            , cand AS (
+              SELECT query_id, corpus_id FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY adc_dist, corpus_id) AS rn
+                FROM scores)
+              WHERE rn <= 50
+            ), exact AS (
+              SELECT c.query_id, c.corpus_id,
+                     list_aggregate(
+                       list_transform(list_zip(q.e, t.e),
+                         p -> (p[1] - p[2]) * (p[1] - p[2])),
+                       'sum') AS l2_dist
+              FROM cand c
+              JOIN v q ON q.vec_id = c.query_id
+              JOIN v t ON t.vec_id = c.corpus_id
+            )
+            SELECT query_id, corpus_id,
+                   floor(l2_dist * 1e6 + 0.5) / 1e6 AS l2_dist,
+                   CAST(rank AS INTEGER) AS rank
+            FROM (SELECT *, row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY l2_dist, corpus_id) AS rank
+                  FROM exact)
+            WHERE rank <= 5
+        """,
+        
         "embedding_covariance": """
             WITH xi AS (
               SELECT vec_id, u.pos, u.val FROM (

@@ -52,14 +52,37 @@ def resumable_apply(
     except AnalysisException:  # first run: no checkpoint directory yet
         todo = scenarios
     result = compute(todo)
-    if existing is not None and set(existing.columns) != set(result.columns):
+    if existing is not None:
         # a drifted checkpoint must fail HERE, deterministically —
         # otherwise parquet schema inference picks whichever file it
-        # lists first and the mismatch surfaces (or not) at random
-        raise ValueError(
-            f"checkpoint {checkpoint_dir} columns {sorted(existing.columns)} "
-            f"do not match result columns {sorted(result.columns)}; delete "
-            "the directory or fix the writer that produced it"
-        )
+        # lists first and the mismatch surfaces (or not) at random.
+        # Compare (name, type) pairs, not just names: a same-named
+        # column written as a different type creates a mixed-schema
+        # directory whose read-back fails nondeterministically too.
+        have = sorted((f.name, f.dataType.simpleString()) for f in existing.schema)
+        want = sorted((f.name, f.dataType.simpleString()) for f in result.schema)
+        if have != want:
+            raise ValueError(
+                f"checkpoint {checkpoint_dir} schema {have} does not match "
+                f"result schema {want}; delete the directory or fix the "
+                "writer that produced it"
+            )
+    prior_files = set(existing.inputFiles()) if existing is not None else set()
     result.write.mode("append").parquet(checkpoint_dir)
-    return spark.read.parquet(checkpoint_dir)
+    if existing is None:
+        # cold start: the directory holds exactly this run's rows
+        return spark.read.parquet(checkpoint_dir)
+    # warm resume: existing ∪ just-appended files only — a directory
+    # LISTING (metadata) finds the new part files, but the data rescan
+    # is O(new rows) instead of O(all results) per resume cycle.
+    # ``existing``'s FileIndex was fixed at its read, so re-executing it
+    # never double-counts the appended files.
+    new_files = [
+        f
+        for f in spark.read.parquet(checkpoint_dir).inputFiles()
+        if f not in prior_files
+    ]
+    if not new_files:
+        return existing
+    fresh = spark.read.schema(existing.schema).parquet(*new_files)
+    return existing.unionByName(fresh)

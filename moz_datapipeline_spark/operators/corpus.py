@@ -162,10 +162,15 @@ def _cap_candidates(
     cutoff = F.ceil(F.lit(65536.0 * prune_factor * k) / F.col("_cap_cnt"))
     keep = F.col("_cap_cnt").isNull() | (F.col("_cap_p") < cutoff)
     surv = joined.filter(keep)
+    # deficit detection must start from the HEAVY list, not survivor
+    # counts: a heavy group whose rows all miss the hash-prefix cutoff
+    # has zero survivors and would never show up in a surv-side groupBy
+    surv_counts = surv.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("_cap_s")
+    )
     deficient = (
-        surv.groupBy(group_col)
-        .agg(F.count(F.lit(1)).alias("_cap_s"))
-        .filter(F.col("_cap_s") < k)
+        heavy.join(surv_counts, group_col, "left")
+        .filter(F.coalesce(F.col("_cap_s"), F.lit(0)) < k)
         .select(group_col)
     )
     rescued = joined.join(

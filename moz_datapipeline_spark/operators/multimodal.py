@@ -77,14 +77,20 @@ def _real_decode_image(payload: bytes) -> list[float]:
     )
 
     try:
+        from PIL import Image  # noqa: F401
+    except ImportError:
+        Image = None
+    if Image is not None:
         import io
 
-        from PIL import Image  # noqa: F401
-
-        arr = np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
-        return image_features(arr)
-    except ImportError:
-        pass
+        try:
+            arr = np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
+            return image_features(arr)
+        except Exception:
+            # corrupt/unsupported payload with PIL present: fall through
+            # to the pure decoders so the DecodeUnavailable contract
+            # holds instead of leaking UnidentifiedImageError
+            pass
     if payload[:8] == PNG_MAGIC:
         img = decode_png(payload)
         if img.dtype != np.uint8:

@@ -279,3 +279,33 @@ def test_product_profit_part_filter_pushdown(spark, sf_dir):
     plan = _plan(entry_mod.q_product_profit(spark, sf_dir))
     pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
     assert any("p_name" in l for l in pushed), plan
+
+
+def test_pq_adc_scoring_is_mapside_rank_shuffle_bounded(spark, sf_dir):
+    """ADC scoring must be shuffle-free (codes scan × broadcast query
+    tables) and the only wide exchange — the global rank — must be fed
+    by the map-side partial top-k, so it carries ≤ k rows per
+    (partition, query) instead of every scored candidate."""
+    plan = _plan(entry_mod.q_pq_adc(spark, sf_dir))
+    assert "MapInPandas" in plan
+    assert "SortMergeJoin" not in plan
+    # partial top-k sits upstream (deeper in the tree) of the window rank
+    assert plan.index("Window") < plan.index("MapInPandas")
+
+
+def test_bruteforce_topk_rank_shuffle_bounded(spark, sf_dir):
+    """Brute-force cosine: score map-side against broadcast queries,
+    then the partial top-k bounds the rank exchange."""
+    plan = _plan(entry_mod.queries()["similarity_topk"](spark, sf_dir))
+    assert "MapInPandas" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.index("Window") < plan.index("MapInPandas")
+
+
+def test_pq_rerank_broadcasts_candidates_into_corpus_scan(spark, sf_dir):
+    """The exact-rerank tail reads full vectors ONLY for the ≈N·|q|
+    ADC candidates: both the candidate ids and the query vectors reach
+    the corpus scan as broadcasts, never a shuffle of the embeddings."""
+    plan = _plan(entry_mod.q_pq_adc_rerank(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan

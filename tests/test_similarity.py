@@ -174,8 +174,14 @@ def test_pq_encode_matches_numpy_replica(spark):
         cent = xs[[c * stride for c in range(k)]]
         d = ((xs[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
         assign = d.argmin(1)
+        # pq_encode re-assigns once against the POST-update centroids so
+        # (codes, codebooks) are consistent — replay that final step
+        kept = [c for c in range(k) if (assign == c).any()]
+        cent2 = np.stack([xs[assign == c].mean(0) for c in kept])
+        d2 = ((xs[:, None, :] - cent2[None, :, :]) ** 2).sum(-1)
+        assign2 = np.array([kept[j] for j in d2.argmin(1)])
         for i in range(n):
-            assert got[i][s] == assign[i], (i, s)
+            assert got[i][s] == assign2[i], (i, s)
 
     # codebooks = per-(sub, code) means of the iteration-1 assignment
     books = {
@@ -240,3 +246,53 @@ def test_pq_topk_is_exact_adc(spark):
         assert got == want
         # the query itself must be its own nearest code under ADC
         assert got[0] == q or dists[got[0]] <= dists[q] + 1e-12
+
+
+def test_pq_rerank_with_full_candidate_set_is_exact_l2(spark):
+    """rerank=N with N covering the whole corpus must return the exact
+    squared-L2 top-k regardless of how lossy the ADC stage is."""
+    import numpy as np
+
+    from moz_datapipeline_spark.operators.similarity import (
+        pq_encode,
+        pq_topk,
+    )
+
+    rng = np.random.default_rng(11)
+    n, dim, m, k_codes = 120, 16, 4, 8
+    x = rng.normal(size=(n, dim))
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+        "vec_id long, embedding array<double>",
+    )
+    codes_df, books_df = pq_encode(
+        df, m=m, k=k_codes, iterations=1, dim=dim, init_stride=4
+    )
+    queries = df.filter(F.col("vec_id") < 3)
+    out = pq_topk(
+        codes_df, books_df, queries, k=5, m=m, dim=dim, rerank=n, corpus=df
+    ).collect()
+    for q in range(3):
+        d = ((x - x[q]) ** 2).sum(1)
+        want = sorted(range(n), key=lambda i: (d[i], i))[:5]
+        got = [
+            r["corpus_id"]
+            for r in sorted(
+                (r for r in out if r["query_id"] == q),
+                key=lambda r: r["rank"],
+            )
+        ]
+        assert got == want
+
+
+def test_pq_encode_rejects_sparse_id_space(spark):
+    import pytest
+
+    from moz_datapipeline_spark.operators.similarity import pq_encode
+
+    df = spark.createDataFrame(
+        [(i * 7 + 3, [float(i)] * 8) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="seed vectors"):
+        pq_encode(df, m=2, k=8, iterations=1, dim=8, init_stride=4)
