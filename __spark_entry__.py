@@ -1265,6 +1265,90 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _OD_SHAPEFILE = "/root/reference/source/od-pairs/OD_all_MZ_v1.shp"
+_SHAPEFILE_TWIN = "/tmp/spark_graft_oracle_twins/shapefile_scan.parquet"
+_shapefile_twin_ready = False
+
+
+def _write_shapefile_twin() -> bool:
+    """Driver-side, Spark-free parse of the OD shapefile into a parquet
+    twin DuckDB can read, so ``shapefile_scan`` gets a VALUE oracle
+    (DuckDB itself cannot open .shp offline).  The twin exercises the
+    same pure parsers but through a completely separate single-process
+    path — no mapInPandas, no JSON round-trip, pandas→parquet — so the
+    hash compare pins the distributed scan against an independent
+    evaluation, the same style as the deterministic-replay oracles.
+    Returns False (oracle falls back to rows-only) if generation fails.
+    """
+    global _shapefile_twin_ready
+    import os
+
+    if _shapefile_twin_ready and os.path.exists(_SHAPEFILE_TWIN):
+        return True
+    try:
+        import math
+
+        import numpy as np
+        import pandas as pd
+
+        from moz_datapipeline_spark.sources import shapefile as shp
+
+        stem = _OD_SHAPEFILE[:-4]
+        shapes = shp.read_shp(open(_OD_SHAPEFILE, "rb").read())
+        encoding = "latin-1"
+        if os.path.exists(stem + ".cpg"):
+            cpg = open(stem + ".cpg").read().strip()
+            encoding = {"UTF-8": "utf-8", "UTF8": "utf-8"}.get(
+                cpg.upper(), cpg or "latin-1"
+            )
+        attrs = shp.read_dbf(open(stem + ".dbf", "rb").read(), encoding)
+        prj = (
+            open(stem + ".prj").read()
+            if os.path.exists(stem + ".prj")
+            else None
+        )
+        transform = shp.make_transform(prj)
+
+        def r6(x: float) -> float:
+            return math.floor(x * 1e6 + 0.5) / 1e6
+
+        rows = []
+        for i, (kind, parts) in enumerate(shapes):
+            parts = [
+                np.column_stack(transform(p[:, 0], p[:, 1])) for p in parts
+            ]
+            geo = shp.shape_geojson(kind, parts)
+            a = attrs[i] if i < len(attrs) else {}
+            lon = float(geo["coordinates"][0])
+            lat = float(geo["coordinates"][1])
+            try:
+                od_id = int(str(a.get("INDEX_OD", "")).strip())
+            except ValueError:
+                od_id = None
+            try:
+                match = bool(
+                    abs(lon - float(a.get("LONGITUDE"))) < 1e-4
+                    and abs(lat - float(a.get("LATITUDE"))) < 1e-4
+                )
+            except (TypeError, ValueError):
+                match = None
+            rows.append(
+                {
+                    "od_id": od_id,
+                    "od_type": a.get("OD_type"),
+                    "name": a.get("Name"),
+                    "lon": r6(lon),
+                    "lat": r6(lat),
+                    "geom_matches_attrs": match,
+                }
+            )
+        os.makedirs(os.path.dirname(_SHAPEFILE_TWIN), exist_ok=True)
+        pd.DataFrame(rows).astype({"od_id": "int64"}).to_parquet(
+            _SHAPEFILE_TWIN, index=False
+        )
+        _shapefile_twin_ready = True
+        return True
+    except Exception:
+        return False
 
 
 def q_shapefile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1274,13 +1358,14 @@ def q_shapefile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-checked against the .dbf's own LATITUDE/LONGITUDE attribute
     columns — two independent sections of the binary file must agree.
 
-    No oracle_sql twin: the driver's DuckDB sandbox sees only the
-    parquet tables and (offline) cannot load the spatial extension, so
-    this registers as a rows-only check; the geometry↔attribute
-    agreement below plus tests/test_shapefile.py (synthetic round-trips
-    written with independent struct code, Snyder's published Albers
-    example, .shx record-count cross-checks) carry the correctness
-    argument instead.
+    Value oracle: DuckDB cannot open .shp offline, so
+    ``_write_shapefile_twin`` re-parses the file driver-side through a
+    separate single-process path (no mapInPandas, no JSON round-trip)
+    into a parquet twin the oracle reads back — a hash-checked compare
+    of two independent evaluations, on top of the geometry↔attribute
+    agreement below and tests/test_shapefile.py (synthetic round-trips,
+    Snyder's published Albers example, .shx record-count checks).
+    Lon/lat round half-up at 1e-6 on both sides for the hash.
     """
     from moz_datapipeline_spark.sources.readers import read_shapefile
 
@@ -1290,11 +1375,11 @@ def q_shapefile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         feats.select(
-            F.col("properties")["INDEX_OD"].cast("int").alias("od_id"),
+            F.col("properties")["INDEX_OD"].cast("bigint").alias("od_id"),
             F.col("properties")["OD_type"].alias("od_type"),
             F.col("properties")["Name"].alias("name"),
-            pt["coordinates"][0].alias("lon"),
-            pt["coordinates"][1].alias("lat"),
+            (F.floor(pt["coordinates"][0] * 1e6 + 0.5) / 1e6).alias("lon"),
+            (F.floor(pt["coordinates"][1] * 1e6 + 0.5) / 1e6).alias("lat"),
             (
                 (
                     F.abs(
@@ -2357,7 +2442,7 @@ _PQ_ADC_REPLAY = """
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    sql = {
         "random_projection": _random_projection_oracle(),
         "kmeans": _KMEANS_ORACLE,
         "quality_funnel": """
@@ -3921,3 +4006,9 @@ QUALIFY rank <= 3
             FROM stats, maxima
         """,
     }
+    if _write_shapefile_twin():
+        sql["shapefile_scan"] = (
+            "SELECT od_id, od_type, name, lon, lat, geom_matches_attrs "
+            f"FROM read_parquet('{_SHAPEFILE_TWIN}')"
+        )
+    return sql

@@ -170,6 +170,13 @@ def _polygon_clip_lengths(ax, ay, bx, by, rings_x, rings_y):
     return np.sum(np.where(inside, fracs, 0.0), axis=1) * seg_len
 
 
+# Driver-side ring broadcast caps: admin/zone polygon sides are a few
+# thousand rows; these bounds are ~100x that with room for dense rings,
+# and turn the silent driver OOM of an oversized side into a clear error.
+MAX_BROADCAST_POLYGONS = 500_000
+MAX_BROADCAST_RING_BYTES = 256 * 1024 * 1024
+
+
 def polygon_clipped_pairs(
     way_segments: DataFrame,
     polygons: DataFrame,
@@ -210,7 +217,25 @@ def polygon_clipped_pairs(
         .withColumn("pmaxy", F.array_max(F.flatten("rings_y")))
     )
     # Ring geometry goes to executors once via sc.broadcast; the join
-    # side keeps only area_id + bbox + indicator (narrow rows).
+    # side keeps only area_id + bbox + indicator (narrow rows).  Guard
+    # the driver collect first: one tiny agg over the (small) polygon
+    # side bounds both row count and estimated ring bytes BEFORE any
+    # rings reach the driver, so an oversized side fails loudly instead
+    # of OOMing the driver mid-collect.
+    stats = polys.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.size(F.flatten("rings_x"))).alias("verts"),
+    ).collect()[0]
+    est_bytes = (stats["verts"] or 0) * 16  # x + y doubles per vertex
+    if stats["n"] > MAX_BROADCAST_POLYGONS or est_bytes > MAX_BROADCAST_RING_BYTES:
+        raise ValueError(
+            f"polygon side too large to broadcast rings to the driver: "
+            f"{stats['n']} polygons, ~{est_bytes >> 20} MiB of ring "
+            f"vertices (caps: {MAX_BROADCAST_POLYGONS} rows, "
+            f"{MAX_BROADCAST_RING_BYTES >> 20} MiB). Pre-aggregate or "
+            "tile the polygon side, or join rings through the pair rows "
+            "for a corpus-scale polygon set"
+        )
     rings_map = {
         r["area_id"]: (
             [list(x) for x in r["rings_x"]],

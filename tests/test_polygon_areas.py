@@ -206,3 +206,20 @@ def test_pairs_bbox_prefilter_broadcasts(spark):
     segs = _segs(spark, [(1, -1.0, 3.0, 5.0, 3.0, 6.0)])
     plan = polygon_clipped_pairs(segs, polys)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_oversized_polygon_side_raises_before_collect(spark, monkeypatch):
+    """The ring broadcast must refuse an over-cap polygon side with a
+    clear error instead of silently collecting it into the driver."""
+    from moz_datapipeline_spark.operators import areas
+
+    lx, ly = _ring_cols(L_SHAPE)
+    polys = _polys(spark, [("L", lx, ly, 1.0), ("M", lx, ly, 1.0)])
+    segs = _segs(spark, [(1, -1.0, 3.0, 5.0, 3.0, 6.0)])
+    monkeypatch.setattr(areas, "MAX_BROADCAST_POLYGONS", 1)
+    with pytest.raises(ValueError, match="too large to broadcast"):
+        areas.polygon_clipped_pairs(segs, polys)
+    monkeypatch.setattr(areas, "MAX_BROADCAST_POLYGONS", 500_000)
+    monkeypatch.setattr(areas, "MAX_BROADCAST_RING_BYTES", 8)
+    with pytest.raises(ValueError, match="too large to broadcast"):
+        areas.polygon_clipped_pairs(segs, polys)

@@ -108,7 +108,23 @@ def test_resume_rejects_drifted_checkpoint_schema(spark, tmp_path):
         [("2", "upgrade-rehab-asphalt", 1.0, "EXTRA")],
         "way_id string, upgrade_id string, eaul double, stray string",
     ).write.parquet(ckpt)
-    with pytest.raises(ValueError, match="do not match result columns"):
+    with pytest.raises(ValueError, match="does not match result schema"):
+        eaul_scores(
+            spark, edges_pdf(), way_props_pdf(), OD_NODES, TRAFFIC,
+            checkpoint_dir=ckpt,
+        )
+
+
+def test_resume_rejects_type_drifted_checkpoint(spark, tmp_path):
+    """Matching column NAMES with a drifted TYPE (eaul written as
+    string) must also raise — a name-only check would let the append
+    create a mixed-schema directory."""
+    ckpt = str(tmp_path / "type_drift_ckpt")
+    spark.createDataFrame(
+        [("2", "upgrade-rehab-asphalt", "not-a-double")],
+        "way_id string, upgrade_id string, eaul string",
+    ).write.parquet(ckpt)
+    with pytest.raises(ValueError, match="does not match result schema"):
         eaul_scores(
             spark, edges_pdf(), way_props_pdf(), OD_NODES, TRAFFIC,
             checkpoint_dir=ckpt,
