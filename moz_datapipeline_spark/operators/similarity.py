@@ -749,43 +749,21 @@ def pq_encode(
     return codes, codebooks
 
 
-def pq_topk(
+def adc_scores(
     codes: DataFrame,
     codebooks: DataFrame,
     queries: DataFrame,
-    k: int = 5,
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
     vec_col: str = "embedding",
     m: int = 4,
     dim: int = 64,
-    rerank: int | None = None,
-    corpus: DataFrame | None = None,
 ) -> DataFrame:
-    """Asymmetric-distance (ADC) top-k over PQ codes, with an optional
-    exact-rerank stage (the standard ADC+rerank design).
-
-    Per query the distance to EVERY codebook centroid is a tiny
-    (m × k_codes) lookup table.  The tables for all queries fold into
-    ONE broadcast value — an array (by ``sub_id``) of ``code → dist``
-    maps per query — so the corpus scan scores each vector entirely
-    map-side by zipping its ``m``-int codes against the maps: no
-    shuffle touches the scoring at all, and the corpus side never
-    reads the original embeddings (the entire point of PQ at 100 TB).
-    A per-partition partial top-k then bounds the single exchange to
-    ≤ k rows per (partition, query) before the exact global rank.
-
-    ``rerank=N`` (with ``corpus=`` the embeddings DataFrame) rescores
-    the top-``N`` ADC candidates per query against the EXACT vectors:
-    the ≈N·|queries| candidate ids broadcast back into a corpus scan,
-    exact squared-L2 replaces the quantized distance, and the final
-    top-``k`` is exact-ranked.  ADC recall at small ``m`` is lossy by
-    construction (measured 0.425 at m=8,k=128 on synthetic vectors);
-    rescoring N≈50·k candidates lifts it to ≈1 for k·N extra vector
-    reads — the scan-codes → rerank-few shape every production PQ
-    system uses, and the same prefilter-then-exact idiom as the
-    reference's bridge snap (scripts/prep-bridge/prep-bridge.js:91-106).
-    Output: (query_id, corpus_id, l2_dist, rank) exact-ranked.
+    """The shuffle-free ADC scoring stage of ``pq_topk``: every
+    (query, corpus) pair scored map-side by zipping the corpus codes
+    against one broadcast array-of-maps lookup table per query.
+    Exposed separately so rehearsals can measure the exchange bound the
+    partial top-k buys; ``pq_topk`` is this + partial top-k + rank.
     """
     sub_d = dim // m
     qsubs = queries.select(
@@ -838,8 +816,7 @@ def pq_topk(
             ).alias("_tbl"),
         )
     )
-    n_first = rerank if rerank is not None else k
-    scored = (
+    return (
         codes.select(F.col(id_col).alias("corpus_id"), "codes")
         .crossJoin(F.broadcast(tables))
         .select(
@@ -856,6 +833,50 @@ def pq_topk(
             ).alias("adc_dist"),
         )
     )
+
+
+def pq_topk(
+    codes: DataFrame,
+    codebooks: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    dim: int = 64,
+    rerank: int | None = None,
+    corpus: DataFrame | None = None,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes, with an optional
+    exact-rerank stage (the standard ADC+rerank design).
+
+    Per query the distance to EVERY codebook centroid is a tiny
+    (m × k_codes) lookup table.  The tables for all queries fold into
+    ONE broadcast value — an array (by ``sub_id``) of ``code → dist``
+    maps per query — so the corpus scan scores each vector entirely
+    map-side by zipping its ``m``-int codes against the maps: no
+    shuffle touches the scoring at all, and the corpus side never
+    reads the original embeddings (the entire point of PQ at 100 TB).
+    A per-partition partial top-k then bounds the single exchange to
+    ≤ k rows per (partition, query) before the exact global rank.
+
+    ``rerank=N`` (with ``corpus=`` the embeddings DataFrame) rescores
+    the top-``N`` ADC candidates per query against the EXACT vectors:
+    the ≈N·|queries| candidate ids broadcast back into a corpus scan,
+    exact squared-L2 replaces the quantized distance, and the final
+    top-``k`` is exact-ranked.  ADC recall at small ``m`` is lossy by
+    construction (measured 0.425 at m=8,k=128 on synthetic vectors);
+    rescoring N≈50·k candidates lifts it to ≈1 for k·N extra vector
+    reads — the scan-codes → rerank-few shape every production PQ
+    system uses, and the same prefilter-then-exact idiom as the
+    reference's bridge snap (scripts/prep-bridge/prep-bridge.js:91-106).
+    Output: (query_id, corpus_id, l2_dist, rank) exact-ranked.
+    """
+    scored = adc_scores(
+        codes, codebooks, queries, id_col, query_id_col, vec_col, m, dim
+    )
+    n_first = rerank if rerank is not None else k
     scored = _partition_topk(
         scored, [query_id_col], "adc_dist", "corpus_id", n_first
     )

@@ -326,6 +326,11 @@ def pq_recall_check(spark) -> dict:
     t0 = time.perf_counter()
     approx = pq_topk(codes, books, queries, k=10, m=8, dim=64).collect()
     t_adc = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    reranked = pq_topk(
+        codes, books, queries, k=10, m=8, dim=64, rerank=500, corpus=emb
+    ).collect()
+    t_rr = time.perf_counter() - t0
 
     q = queries.select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("_q")
@@ -350,13 +355,140 @@ def pq_recall_check(spark) -> dict:
     hits = sum(
         1 for r in approx if r["corpus_id"] in truth.get(r["query_id"], set())
     )
+    rr_hits = sum(
+        1 for r in reranked if r["corpus_id"] in truth.get(r["query_id"], set())
+    )
     codes.unpersist()
     return {
         "pq_vectors": emb.count(),
         "pq_queries": n_q,
         "pq_recall_at_10": round(hits / (10 * n_q), 4),
+        "pq_reranked_recall_at_10": round(rr_hits / (10 * n_q), 4),
         "pq_encode_sec": round(t_encode, 2),
         "pq_adc_topk_sec": round(t_adc, 2),
+        "pq_rerank_topk_sec": round(t_rr, 2),
+    }
+
+
+def pq_rerank_scale_check(spark) -> dict:
+    """The rank-bounded ANN path at 500k vectors: ADC-only vs
+    exact-reranked recall@10, plus the MEASURED shuffle-row delta the
+    map-side partial top-k buys for the rank exchange.
+
+    Corpus = sf0.1 embeddings amplified with shifted near-clones
+    (copy c adds +0.05c to every dim), so the true top-10 mixes fine-
+    grained clone distances — a stress test for quantized ranking.
+    ``rank_rows_unbounded`` is what the pre-bound plan shuffled for the
+    rank (every scored candidate, |corpus|x|queries|);
+    ``rank_rows_bounded`` is the actual row count leaving the partial
+    top-k (≤ rerank_n x partitions x queries). Both are counted from
+    the same scoring DataFrame, not estimated.
+    """
+    from moz_datapipeline_spark.operators.similarity import (
+        _partition_topk,
+        adc_scores,
+        pq_encode,
+        pq_topk,
+    )
+
+    target, n_q, rerank_n = 500_000, 20, 1000
+    base = spark.read.parquet(
+        "/root/testdata/sf0.1/embeddings.parquet"
+    ).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    n_base = base.count()
+    copies = max(1, -(-target // n_base))
+    parts = []
+    for c in range(copies):
+        shift = 0.05 * c
+        part = base.select(
+            (F.col("vec_id") + F.lit(c * n_base)).alias("vec_id"),
+            F.transform("embedding", lambda x: x + F.lit(shift)).alias(
+                "embedding"
+            ),
+        )
+        parts.append(part)
+    amp = parts[0]
+    for p in parts[1:]:
+        amp = amp.unionByName(p)
+    amp = amp.repartition(32).cache()
+    n_vec = amp.count()
+    queries = amp.filter(F.col("vec_id") < n_q)
+
+    t0 = time.perf_counter()
+    codes, books = pq_encode(
+        amp, m=8, k=64, iterations=1, dim=64, init_stride=8
+    )
+    codes = codes.cache()
+    codes.count()
+    t_encode = time.perf_counter() - t0
+
+    # measured exchange bound: same scoring plan, with and without the
+    # partial top-k in front of the rank
+    scored = adc_scores(codes, books, queries, m=8, dim=64)
+    rows_unbounded = scored.count()
+    rows_bounded = _partition_topk(
+        scored, ["query_id"], "adc_dist", "corpus_id", rerank_n
+    ).count()
+
+    t0 = time.perf_counter()
+    adc_only = pq_topk(codes, books, queries, k=10, m=8, dim=64).collect()
+    t_adc = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    reranked = pq_topk(
+        codes, books, queries, k=10, m=8, dim=64, rerank=rerank_n, corpus=amp
+    ).collect()
+    t_rerank = time.perf_counter() - t0
+
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("_q")
+    )
+    l2 = F.aggregate(
+        F.zip_with(F.col("embedding"), F.col("_q"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_d").asc(), F.col("vec_id").asc()
+    )
+    exact_scored = (
+        amp.crossJoin(F.broadcast(q))
+        .select("query_id", "vec_id", l2.alias("_d"))
+    )
+    exact = (
+        _partition_topk(exact_scored, ["query_id"], "_d", "vec_id", 10)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 10)
+        .select("query_id", "vec_id")
+        .collect()
+    )
+    truth: dict[int, set] = {}
+    for r in exact:
+        truth.setdefault(r["query_id"], set()).add(r["vec_id"])
+    adc_hits = sum(
+        1 for r in adc_only if r["corpus_id"] in truth.get(r["query_id"], set())
+    )
+    rr_hits = sum(
+        1 for r in reranked if r["corpus_id"] in truth.get(r["query_id"], set())
+    )
+    codes.unpersist()
+    amp.unpersist()
+    return {
+        "rerank_vectors": n_vec,
+        "rerank_queries": n_q,
+        "rerank_n": rerank_n,
+        "adc_only_recall_at_10": round(adc_hits / (10 * n_q), 4),
+        "reranked_recall_at_10": round(rr_hits / (10 * n_q), 4),
+        "rank_rows_unbounded": rows_unbounded,
+        "rank_rows_bounded": rows_bounded,
+        "rank_shuffle_reduction": round(rows_unbounded / max(1, rows_bounded), 1),
+        "rerank_encode_sec": round(t_encode, 2),
+        "rerank_adc_sec": round(t_adc, 2),
+        "rerank_full_sec": round(t_rerank, 2),
     }
 
 
@@ -387,6 +519,7 @@ def main() -> None:
     recall, n_truth = lsh_recall(docs, n_origins, cands)
     hygiene = hygiene_scale_check(spark, docs)
     pq = pq_recall_check(spark)
+    pq_rerank = pq_rerank_scale_check(spark)
     routing = routing_scale_check(spark)
 
     print(
@@ -405,6 +538,7 @@ def main() -> None:
                 "t_cluster_sec": round(t_cluster, 2),
                 **hygiene,
                 **pq,
+                **pq_rerank,
                 **routing,
             }
         )

@@ -309,3 +309,34 @@ def test_pq_rerank_broadcasts_candidates_into_corpus_scan(spark, sf_dir):
     plan = _plan(entry_mod.q_pq_adc_rerank(spark, sf_dir))
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan
+
+
+def test_shipping_priority_canonical_q3_plan(spark, sf_dir):
+    """Pin the Q3 shape after the r2→r4 bench delta proved to be VM
+    noise (quiet medians: 0.90 s vs r2's 0.948 s): filters pushed to
+    both scans, hash joins only, partial aggregation, and a group-limit
+    top-10 — never a global sort of every group."""
+    plan = _plan(entry_mod.q_shipping_priority(spark, sf_dir))
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("c_mktsegment" in l for l in pushed), plan
+    assert any("o_orderdate" in l for l in pushed), plan
+    assert any("l_shipdate" in l for l in pushed), plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert "TakeOrderedAndProject" in plan  # top-10 heap, no full sort
+
+
+def test_json_props_single_agg_no_shuffle_blowup(spark, sf_dir):
+    """Pin the json_props shape (same r2→r4 noise finding, 0.386 s vs
+    r2's 0.348 s): one scan, JVM json path, one partial+final agg —
+    no Python UDF, no join, no window."""
+    plan = _plan(entry_mod.q_json_props(spark, sf_dir))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert plan.count("HashAggregate") >= 2
+    # exactly one physical Exchange node (formatted explain prints each
+    # node twice: once in the tree, once in the detail section)
+    assert plan.count("+- Exchange") == 1
