@@ -65,8 +65,9 @@ def _fake_decode_image(payload: bytes, width: int, height: int) -> list[float]:
 def _real_decode_image(payload: bytes) -> list[float]:
     """Real decode → ``sources.media.image_features`` statistics.
 
-    PIL when importable; else the pure PNG decoder.  Raises
-    ``DecodeUnavailable`` for formats neither path can parse.
+    PIL when importable; else the pure PNG decoder, then the pure JPEG
+    decoder (baseline + progressive, ``sources.jpeg``).  Raises
+    ``DecodeUnavailable`` for formats no path can parse.
     """
     import numpy as np
 
@@ -96,8 +97,18 @@ def _real_decode_image(payload: bytes) -> list[float]:
         if img.dtype != np.uint8:
             img = (img // 257).astype("u1")  # 16-bit → 8-bit stats space
         return image_features(img)
+    if payload[:2] == b"\xff\xd8":
+        from moz_datapipeline_spark.sources.jpeg import (
+            JpegUnsupported,
+            decode_jpeg,
+        )
+
+        try:
+            return image_features(decode_jpeg(payload))
+        except JpegUnsupported as e:
+            raise DecodeUnavailable(f"JPEG coding process not covered: {e}")
     raise DecodeUnavailable(
-        "payload is not PNG and no image codec library is installed"
+        "payload is not PNG/JPEG and no image codec library is installed"
     )
 
 

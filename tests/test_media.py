@@ -169,12 +169,21 @@ def test_extract_image_features_rejects_non_png(spark):
     except ImportError:
         pass
     df = spark.createDataFrame(
+        [(1, (b"GIF89a not-a-raster-we-parse", "image/gif", 1, 1, None, None, None))],
+        "doc_id long, media struct<payload:binary,mime:string,width:int,"
+        "height:int,sample_rate:int,channels:int,duration_ms:long>",
+    )
+    with pytest.raises(Exception, match="not PNG/JPEG"):
+        extract_image_features(df, use_real_decoder=True).collect()
+    # corrupt-but-JPEG-magic payloads surface the parse error loudly
+    # (a data problem, not a capability boundary)
+    bad = spark.createDataFrame(
         [(1, (b"\xff\xd8\xff jpeg-ish", "image/jpeg", 1, 1, None, None, None))],
         "doc_id long, media struct<payload:binary,mime:string,width:int,"
         "height:int,sample_rate:int,channels:int,duration_ms:long>",
     )
-    with pytest.raises(Exception, match="not PNG"):
-        extract_image_features(df, use_real_decoder=True).collect()
+    with pytest.raises(Exception, match="marker|JPEG|frame"):
+        extract_image_features(bad, use_real_decoder=True).collect()
 
 
 def test_extract_audio_features_distributed(spark):
