@@ -1256,6 +1256,28 @@ def q_pq_adc_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivfadc_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full production ANN shape — IVF coarse lists + ADC over PQ
+    codes in the nprobe probed lists + exact rerank of the top-50 —
+    fully oracle-replayed: hash-sampled centroids, cosine list argmin,
+    the PQ deterministic-replay chain, probed-list restriction, and the
+    exact-L2 tail all recompute in DuckDB."""
+    from moz_datapipeline_spark.operators.similarity import ivfadc_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = ivfadc_topk(
+        emb, queries, n_lists=16, nprobe=4, k=5, m=4, dim=64,
+        pq_k=16, iterations=1, init_stride=16, rerank=50,
+    )
+    return out.select(
+        "query_id",
+        "corpus_id",
+        F.expr("floor(l2_dist * 1e6 + 0.5) / 1e6").alias("l2_dist"),
+        "rank",
+    )
+
+
 def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two Lloyd iterations of k-means (k=8, deterministic init) as a
     fixed DAG: broadcast-centroid argmin + posexplode means per round."""
@@ -2108,6 +2130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_codes": q_pq_codes,
         "pq_adc": q_pq_adc,
         "pq_adc_rerank": q_pq_adc_rerank,
+        "ivfadc_rerank": q_ivfadc_rerank,
         "shapefile_scan": q_shapefile_scan,
         "late_shipment_priority": q_late_shipment_priority,
         "customer_order_distribution": q_customer_order_distribution,
@@ -2531,6 +2554,59 @@ def oracle_sql() -> dict[str, str]:
                     PARTITION BY query_id
                     ORDER BY adc_dist, corpus_id) AS rank
                   FROM scores)
+            WHERE rank <= 5
+        """,
+        "ivfadc_rerank": _PQ_ADC_REPLAY + """
+            , cent2 AS (
+              SELECT vec_id AS centroid_id, e AS ce
+              FROM v
+              ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC
+              LIMIT 16
+            ), assigned2 AS (
+              SELECT c.vec_id AS corpus_id, centroid_id AS list_id
+              FROM v c CROSS JOIN cent2
+              QUALIFY row_number() OVER (
+                PARTITION BY c.vec_id
+                ORDER BY list_cosine_similarity(c.e, ce) DESC,
+                         centroid_id ASC) = 1
+            ), probed2 AS (
+              SELECT q.vec_id AS query_id, centroid_id AS list_id
+              FROM v q CROSS JOIN cent2
+              WHERE q.vec_id < 5
+              QUALIFY row_number() OVER (
+                PARTITION BY q.vec_id
+                ORDER BY list_cosine_similarity(q.e, ce) DESC,
+                         centroid_id ASC) <= 4
+            ), ivf_scores AS (
+              SELECT s.query_id, s.corpus_id, s.adc_dist
+              FROM scores s
+              JOIN assigned2 a ON a.corpus_id = s.corpus_id
+              JOIN probed2 p ON p.query_id = s.query_id
+                            AND p.list_id = a.list_id
+            ), cand2 AS (
+              SELECT query_id, corpus_id FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY adc_dist, corpus_id) AS rn
+                FROM ivf_scores)
+              WHERE rn <= 50
+            ), exact2 AS (
+              SELECT c.query_id, c.corpus_id,
+                     list_aggregate(
+                       list_transform(list_zip(q.e, t.e),
+                         p -> (p[1] - p[2]) * (p[1] - p[2])),
+                       'sum') AS l2_dist
+              FROM cand2 c
+              JOIN v q ON q.vec_id = c.query_id
+              JOIN v t ON t.vec_id = c.corpus_id
+            )
+            SELECT query_id, corpus_id,
+                   floor(l2_dist * 1e6 + 0.5) / 1e6 AS l2_dist,
+                   CAST(rank AS INTEGER) AS rank
+            FROM (SELECT *, row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY l2_dist, corpus_id) AS rank
+                  FROM exact2)
             WHERE rank <= 5
         """,
         "pq_adc_rerank": _PQ_ADC_REPLAY + """

@@ -95,6 +95,8 @@ HEADLINE = [
     "multi_resolution_rollup",
     "boilerplate_lines",
     "embedding_covariance",
+    "pq_adc_rerank",
+    "ivfadc_rerank",
 ]
 
 

@@ -217,7 +217,16 @@ def lsh_bucket_topk(
     )
     if n_tables > 1:
         cand = cand.dropDuplicates(["query_id", "corpus_id"])
-    scored = cand.withColumn("cosine", cosine(F.col("_qv"), F.col("_cv")))
+    scored = cand.select(
+        "query_id",
+        "corpus_id",
+        cosine(F.col("_qv"), F.col("_cv")).alias("cosine"),
+    )
+    # bound the rank exchange: ≤ k rows per (partition, query), same
+    # total order as the window, so the exact rank is unchanged
+    scored = _partition_topk(
+        scored, ["query_id"], "cosine", "corpus_id", k, ascending=False
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("corpus_id").asc()
     )
@@ -272,7 +281,26 @@ def ivf_topk(
         scored = df.crossJoin(F.broadcast(cent)).withColumn(
             "_sim", cosine(F.col(vec), F.col("_ce"))
         )
-        w = Window.partitionBy(df.columns[0]).orderBy(
+        key = df.columns[0]
+        if n == 1:
+            # corpus assignment: argmin as a partial-aggregating groupBy
+            # (min over struct, cosine desc ≡ min(-sim) with centroid-id
+            # tiebreak) — the exchange carries one row per vector, never
+            # the corpus × centroids cross product a window would shuffle
+            others = [c for c in df.columns if c != key]
+            m = F.min(
+                F.struct(
+                    (-F.col("_sim")).alias("_ns"),
+                    F.col("centroid_id").alias("_cid"),
+                    *[F.col(c).alias(c) for c in others],
+                )
+            ).alias("_m")
+            return scored.groupBy(key).agg(m).select(
+                key,
+                *[F.col(f"_m.{c}").alias(c) for c in others],
+                F.col("_m._cid").alias(out),
+            )
+        w = Window.partitionBy(key).orderBy(
             F.col("_sim").desc(), F.col("centroid_id").asc()
         )
         return (
@@ -290,7 +318,14 @@ def ivf_topk(
     scored = (
         assigned.join(probed, "list_id")
         .filter(F.col("corpus_id") != F.col("query_id"))
-        .withColumn("cosine", cosine(F.col("_qv"), F.col("_cv")))
+        .select(
+            "query_id",
+            "corpus_id",
+            cosine(F.col("_qv"), F.col("_cv")).alias("cosine"),
+        )
+    )
+    scored = _partition_topk(
+        scored, ["query_id"], "cosine", "corpus_id", k, ascending=False
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("corpus_id").asc()
@@ -749,22 +784,18 @@ def pq_encode(
     return codes, codebooks
 
 
-def adc_scores(
-    codes: DataFrame,
+def _adc_tables(
     codebooks: DataFrame,
     queries: DataFrame,
-    id_col: str = "vec_id",
-    query_id_col: str = "query_id",
-    vec_col: str = "embedding",
-    m: int = 4,
-    dim: int = 64,
+    id_col: str,
+    query_id_col: str,
+    vec_col: str,
+    m: int,
+    dim: int,
 ) -> DataFrame:
-    """The shuffle-free ADC scoring stage of ``pq_topk``: every
-    (query, corpus) pair scored map-side by zipping the corpus codes
-    against one broadcast array-of-maps lookup table per query.
-    Exposed separately so rehearsals can measure the exchange bound the
-    partial top-k buys; ``pq_topk`` is this + partial top-k + rank.
-    """
+    """Per-query ADC lookup tables as ONE broadcastable DataFrame:
+    (query_id, _tbl) where ``_tbl`` is an array (ordered by sub_id) of
+    ``code → partial-distance`` maps."""
     sub_d = dim // m
     qsubs = queries.select(
         F.col(id_col).alias(query_id_col),
@@ -793,7 +824,7 @@ def adc_scores(
     )
     # |queries| × m × k_codes doubles — broadcast-size by the same
     # assumption that makes the query side broadcastable at all
-    tables = (
+    return (
         table.groupBy(query_id_col, "sub_id")
         .agg(
             F.map_from_entries(
@@ -816,21 +847,47 @@ def adc_scores(
             ).alias("_tbl"),
         )
     )
+
+
+def _adc_dist(codes_col: str = "codes", tbl_col: str = "_tbl"):
+    """ADC distance of one codes array against one lookup-table array."""
+    return F.aggregate(
+        F.zip_with(
+            F.col(codes_col),
+            F.col(tbl_col),
+            lambda code, mp: F.element_at(mp, code),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def adc_scores(
+    codes: DataFrame,
+    codebooks: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """The shuffle-free ADC scoring stage of ``pq_topk``: every
+    (query, corpus) pair scored map-side by zipping the corpus codes
+    against one broadcast array-of-maps lookup table per query.
+    Exposed separately so rehearsals can measure the exchange bound the
+    partial top-k buys; ``pq_topk`` is this + partial top-k + rank.
+    """
+    tables = _adc_tables(
+        codebooks, queries, id_col, query_id_col, vec_col, m, dim
+    )
     return (
         codes.select(F.col(id_col).alias("corpus_id"), "codes")
         .crossJoin(F.broadcast(tables))
         .select(
             query_id_col,
             "corpus_id",
-            F.aggregate(
-                F.zip_with(
-                    F.col("codes"),
-                    F.col("_tbl"),
-                    lambda code, mp: F.element_at(mp, code),
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ).alias("adc_dist"),
+            _adc_dist().alias("adc_dist"),
         )
     )
 
@@ -894,7 +951,24 @@ def pq_topk(
             "pq_topk(rerank=N) rescores exact vectors: pass corpus= the "
             "embeddings DataFrame the codes were trained from"
         )
-    cand = adc.select(query_id_col, "corpus_id")
+    return _exact_rerank(
+        adc, corpus, queries, k, id_col, query_id_col, vec_col
+    )
+
+
+def _exact_rerank(
+    cand: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str,
+    query_id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Exact-rescore tail shared by ``pq_topk`` and ``ivfadc_topk``:
+    the (small) candidate ids and query vectors broadcast into a corpus
+    scan, exact squared-L2 replaces the quantized distance, map-side
+    partial top-k bounds the final rank exchange."""
     cvec = corpus.select(
         F.col(id_col).alias("corpus_id"), _as_double(vec_col).alias("_cv")
     )
@@ -902,7 +976,7 @@ def pq_topk(
         F.col(id_col).alias(query_id_col), _as_double(vec_col).alias("_qv")
     )
     exact = (
-        cvec.join(F.broadcast(cand), "corpus_id")
+        cvec.join(F.broadcast(cand.select(query_id_col, "corpus_id")), "corpus_id")
         .join(F.broadcast(qvec), query_id_col)
         .select(
             query_id_col,
@@ -924,3 +998,105 @@ def pq_topk(
         exact.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= k)
     )
+
+
+def ivfadc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_lists: int = 16,
+    nprobe: int = 4,
+    k: int = 5,
+    m: int = 4,
+    dim: int = 64,
+    pq_k: int = 16,
+    iterations: int = 1,
+    init_stride: int = 16,
+    rerank: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF + ADC (+ optional exact rerank): the full production shape
+    for billion-vector ANN, assembled from this module's pieces.
+
+    - **coarse**: deterministic hash-sampled centroids (the same fixed-
+      DAG sample as ``ivf_topk``); the corpus assigns to its nearest
+      list by cosine argmin through a partial-aggregating ``groupBy``
+      (one row per vector into the exchange, never corpus × lists).
+    - **fine**: full-vector PQ codes (``pq_encode``).  NON-residual,
+      unlike Jégou et al.'s IVFADC: residual coding couples codes to
+      their list and would break the compositional DuckDB replay; the
+      recall knob here is the codebook size plus the rerank stage.
+    - **search**: per-query lookup tables join the probed list ids into
+      one broadcast; only codes in probed lists are scored, map-side;
+      the partial top-k bounds the single rank exchange.  At 100 TB the
+      scan touches ``m`` ints per vector for ~nprobe/n_lists of the
+      corpus, and full vectors only for the ≈N·|queries| reranked rows.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"), _as_double(vec_col).alias("_cv")
+    )
+    cent = (
+        corpus.select(
+            F.col(id_col).alias("centroid_id"),
+            _as_double(vec_col).alias("_ce"),
+        )
+        .orderBy(
+            F.md5(F.col("centroid_id").cast("string")).asc(),
+            F.col("centroid_id").asc(),
+        )
+        .limit(n_lists)
+    )
+    assigned = (
+        c.crossJoin(F.broadcast(cent))
+        .withColumn("_sim", cosine(F.col("_cv"), F.col("_ce")))
+        .groupBy("corpus_id")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("_sim")).alias("_ns"),
+                    F.col("centroid_id").alias("_cid"),
+                )
+            ).alias("_m")
+        )
+        .select("corpus_id", F.col("_m._cid").alias("list_id"))
+    )
+    codes, books = pq_encode(
+        corpus, m=m, k=pq_k, iterations=iterations,
+        id_col=id_col, vec_col=vec_col, dim=dim, init_stride=init_stride,
+    )
+    coded = codes.select(F.col(id_col).alias("corpus_id"), "codes").join(
+        assigned, "corpus_id"
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("_qv")
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("_sim").desc(), F.col("centroid_id").asc()
+    )
+    probed = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("_sim", cosine(F.col("_qv"), F.col("_ce")))
+        .withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= nprobe)
+        .select("query_id", F.col("centroid_id").alias("list_id"))
+    )
+    tables = _adc_tables(books, queries, id_col, "query_id", vec_col, m, dim)
+    probe_tables = probed.join(tables, "query_id")
+    scored = (
+        coded.join(F.broadcast(probe_tables), "list_id")
+        .select("query_id", "corpus_id", _adc_dist().alias("adc_dist"))
+    )
+    n_first = rerank if rerank is not None else k
+    scored = _partition_topk(
+        scored, ["query_id"], "adc_dist", "corpus_id", n_first
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("corpus_id").asc()
+    )
+    adc = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= n_first)
+    )
+    if rerank is None:
+        return adc
+    return _exact_rerank(adc, corpus, queries, k, id_col, "query_id", vec_col)

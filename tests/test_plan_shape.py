@@ -340,3 +340,13 @@ def test_json_props_single_agg_no_shuffle_blowup(spark, sf_dir):
     # exactly one physical Exchange node (formatted explain prints each
     # node twice: once in the tree, once in the detail section)
     assert plan.count("+- Exchange") == 1
+
+
+def test_ivfadc_probed_scoring_stays_broadcast(spark, sf_dir):
+    """IVFADC: probed-list scoring joins the broadcast probe tables
+    into the coded-corpus scan — no sort-merge join anywhere, and the
+    rank exchange is fed by the partial top-k."""
+    plan = _plan(entry_mod.q_ivfadc_rerank(spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "MapInPandas" in plan
+    assert plan.index("Window") < plan.index("MapInPandas")

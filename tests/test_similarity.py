@@ -296,3 +296,77 @@ def test_pq_encode_rejects_sparse_id_space(spark):
     )
     with pytest.raises(ValueError, match="seed vectors"):
         pq_encode(df, m=2, k=8, iterations=1, dim=8, init_stride=4)
+
+
+def test_ivfadc_full_probe_full_rerank_is_exact_l2(spark):
+    """nprobe == n_lists probes every list and rerank == |corpus|
+    rescores everything — the composition must equal exact L2 top-k."""
+    import numpy as np
+
+    from moz_datapipeline_spark.operators.similarity import ivfadc_topk
+
+    rng = np.random.default_rng(21)
+    n, dim = 160, 16
+    x = rng.normal(size=(n, dim))
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = df.filter(F.col("vec_id") < 3)
+    out = ivfadc_topk(
+        df, queries, n_lists=8, nprobe=8, k=5, m=4, dim=dim,
+        pq_k=8, init_stride=4, rerank=n,
+    ).collect()
+    for q in range(3):
+        d = ((x - x[q]) ** 2).sum(1)
+        want = sorted(range(n), key=lambda i: (d[i], i))[:5]
+        got = [
+            r["corpus_id"]
+            for r in sorted(
+                (r for r in out if r["query_id"] == q),
+                key=lambda r: r["rank"],
+            )
+        ]
+        assert got == want
+
+
+def test_ivfadc_partial_probe_restricts_candidates(spark):
+    """With nprobe < n_lists, every returned candidate must live in one
+    of the query's probed lists."""
+    import numpy as np
+
+    from moz_datapipeline_spark.operators.similarity import (
+        cosine,
+        ivfadc_topk,
+    )
+
+    rng = np.random.default_rng(22)
+    n, dim = 160, 16
+    x = rng.normal(size=(n, dim))
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = df.filter(F.col("vec_id") < 3)
+    out = ivfadc_topk(
+        df, queries, n_lists=8, nprobe=2, k=5, m=4, dim=dim,
+        pq_k=8, init_stride=4,
+    ).toPandas()
+    assert set(out["query_id"]) == {0, 1, 2}
+    assert (out.groupby("query_id").size() <= 5).all()
+
+    # replicate the deterministic hash-sampled centroids + assignment
+    import hashlib
+
+    order = sorted(range(n), key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+    cents = order[:8]
+    cv = x / np.linalg.norm(x, axis=1, keepdims=True)
+
+    def nearest_lists(vec, topn):
+        sims = cv[cents] @ (vec / np.linalg.norm(vec))
+        return [cents[j] for j in sorted(range(8), key=lambda j: (-sims[j], cents[j]))[:topn]]
+
+    assign = {i: nearest_lists(x[i], 1)[0] for i in range(n)}
+    for _, r in out.iterrows():
+        probed = set(nearest_lists(x[int(r["query_id"])], 2))
+        assert assign[int(r["corpus_id"])] in probed
