@@ -382,7 +382,9 @@ def pq_rerank_scale_check(spark) -> dict:
     rank (every scored candidate, |corpus|x|queries|);
     ``rank_rows_bounded`` is the actual row count leaving the partial
     top-k (≤ rerank_n x partitions x queries). Both are counted from
-    the same scoring DataFrame, not estimated.
+    the same scoring DataFrame, not estimated.  Encoding runs BOTH
+    trainer kernels back-to-back so the JVM-HOF vs Arrow-matmul
+    speedup is a measured line, not a claim.
     """
     from moz_datapipeline_spark.operators.similarity import (
         _partition_topk,
@@ -418,8 +420,14 @@ def pq_rerank_scale_check(spark) -> dict:
     queries = amp.filter(F.col("vec_id") < n_q)
 
     t0 = time.perf_counter()
+    codes_sql, _ = pq_encode(
+        amp, m=8, k=64, iterations=1, dim=64, init_stride=8, kernel="sql"
+    )
+    codes_sql.count()
+    t_encode_sql = time.perf_counter() - t0
+    t0 = time.perf_counter()
     codes, books = pq_encode(
-        amp, m=8, k=64, iterations=1, dim=64, init_stride=8
+        amp, m=8, k=64, iterations=1, dim=64, init_stride=8, kernel="pandas"
     )
     codes = codes.cache()
     codes.count()
@@ -487,6 +495,7 @@ def pq_rerank_scale_check(spark) -> dict:
         "rank_rows_bounded": rows_bounded,
         "rank_shuffle_reduction": round(rows_unbounded / max(1, rows_bounded), 1),
         "rerank_encode_sec": round(t_encode, 2),
+        "rerank_encode_sql_sec": round(t_encode_sql, 2),
         "rerank_adc_sec": round(t_adc, 2),
         "rerank_full_sec": round(t_rerank, 2),
     }

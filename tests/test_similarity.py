@@ -370,3 +370,33 @@ def test_ivfadc_partial_probe_restricts_candidates(spark):
     for _, r in out.iterrows():
         probed = set(nearest_lists(x[int(r["query_id"])], 2))
         assert assign[int(r["corpus_id"])] in probed
+
+
+def test_pq_encode_pandas_kernel_matches_sql_kernel(spark):
+    """The Arrow-matmul trainer must produce the same codes and
+    (numerically equal) codebooks as the oracle-exact SQL path."""
+    import numpy as np
+
+    from moz_datapipeline_spark.operators.similarity import pq_encode
+
+    rng = np.random.default_rng(31)
+    n, dim, m, k = 300, 16, 4, 8
+    x = rng.normal(size=(n, dim))
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+        "vec_id long, embedding array<double>",
+    ).repartition(7)
+    a_codes, a_books = pq_encode(
+        df, m=m, k=k, iterations=2, dim=dim, init_stride=4, kernel="sql"
+    )
+    b_codes, b_books = pq_encode(
+        df, m=m, k=k, iterations=2, dim=dim, init_stride=4, kernel="pandas"
+    )
+    ca = {r["vec_id"]: list(r["codes"]) for r in a_codes.collect()}
+    cb = {r["vec_id"]: list(r["codes"]) for r in b_codes.collect()}
+    assert ca == cb
+    ba = {(r["sub_id"], r["code"]): r["centroid"] for r in a_books.collect()}
+    bb = {(r["sub_id"], r["code"]): r["centroid"] for r in b_books.collect()}
+    assert set(ba) == set(bb)
+    for key in ba:
+        np.testing.assert_allclose(ba[key], bb[key], rtol=1e-12, atol=1e-12)
