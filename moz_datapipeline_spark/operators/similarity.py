@@ -1148,38 +1148,21 @@ def _exact_rerank(
     )
 
 
-def ivfadc_topk(
+def _ivf_lists(
     corpus: DataFrame,
     queries: DataFrame,
-    n_lists: int = 16,
-    nprobe: int = 4,
-    k: int = 5,
-    m: int = 4,
-    dim: int = 64,
-    pq_k: int = 16,
-    iterations: int = 1,
-    init_stride: int = 16,
-    rerank: int | None = None,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """IVF + ADC (+ optional exact rerank): the full production shape
-    for billion-vector ANN, assembled from this module's pieces.
-
-    - **coarse**: deterministic hash-sampled centroids (the same fixed-
-      DAG sample as ``ivf_topk``); the corpus assigns to its nearest
-      list by cosine argmin through a partial-aggregating ``groupBy``
-      (one row per vector into the exchange, never corpus × lists).
-    - **fine**: full-vector PQ codes (``pq_encode``).  NON-residual,
-      unlike Jégou et al.'s IVFADC: residual coding couples codes to
-      their list and would break the compositional DuckDB replay; the
-      recall knob here is the codebook size plus the rerank stage.
-    - **search**: per-query lookup tables join the probed list ids into
-      one broadcast; only codes in probed lists are scored, map-side;
-      the partial top-k bounds the single rank exchange.  At 100 TB the
-      scan touches ``m`` ints per vector for ~nprobe/n_lists of the
-      corpus, and full vectors only for the ≈N·|queries| reranked rows.
-    """
+    n_lists: int,
+    nprobe: int,
+    id_col: str,
+    vec_col: str,
+) -> tuple[DataFrame, DataFrame]:
+    """The coarse stage of ``ivfadc_topk``: deterministic hash-sampled
+    centroids, corpus→list cosine argmin through a partial-aggregating
+    groupBy (one row per vector into the exchange), queries→nprobe
+    probed lists.  Returns ``(assigned(corpus_id, list_id),
+    probed(query_id, list_id))``; exposed so rehearsals can count the
+    candidate set the probe restriction buys without re-implementing
+    the plan."""
     c = corpus.select(
         F.col(id_col).alias("corpus_id"), _as_double(vec_col).alias("_cv")
     )
@@ -1208,13 +1191,6 @@ def ivfadc_topk(
         )
         .select("corpus_id", F.col("_m._cid").alias("list_id"))
     )
-    codes, books = pq_encode(
-        corpus, m=m, k=pq_k, iterations=iterations,
-        id_col=id_col, vec_col=vec_col, dim=dim, init_stride=init_stride,
-    )
-    coded = codes.select(F.col(id_col).alias("corpus_id"), "codes").join(
-        assigned, "corpus_id"
-    )
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(vec_col).alias("_qv")
     )
@@ -1227,6 +1203,53 @@ def ivfadc_topk(
         .withColumn("_rn", F.row_number().over(wq))
         .filter(F.col("_rn") <= nprobe)
         .select("query_id", F.col("centroid_id").alias("list_id"))
+    )
+    return assigned, probed
+
+
+def ivfadc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_lists: int = 16,
+    nprobe: int = 4,
+    k: int = 5,
+    m: int = 4,
+    dim: int = 64,
+    pq_k: int = 16,
+    iterations: int = 1,
+    init_stride: int = 16,
+    rerank: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    encode_kernel: str = "sql",
+) -> DataFrame:
+    """IVF + ADC (+ optional exact rerank): the full production shape
+    for billion-vector ANN, assembled from this module's pieces.
+
+    - **coarse**: deterministic hash-sampled centroids (the same fixed-
+      DAG sample as ``ivf_topk``); the corpus assigns to its nearest
+      list by cosine argmin through a partial-aggregating ``groupBy``
+      (one row per vector into the exchange, never corpus × lists).
+    - **fine**: full-vector PQ codes (``pq_encode``).  NON-residual,
+      unlike Jégou et al.'s IVFADC: residual coding couples codes to
+      their list and would break the compositional DuckDB replay; the
+      recall knob here is the codebook size plus the rerank stage.
+    - **search**: per-query lookup tables join the probed list ids into
+      one broadcast; only codes in probed lists are scored, map-side;
+      the partial top-k bounds the single rank exchange.  At 100 TB the
+      scan touches ``m`` ints per vector for ~nprobe/n_lists of the
+      corpus, and full vectors only for the ≈N·|queries| reranked rows.
+    """
+    assigned, probed = _ivf_lists(
+        corpus, queries, n_lists, nprobe, id_col, vec_col
+    )
+    codes, books = pq_encode(
+        corpus, m=m, k=pq_k, iterations=iterations,
+        id_col=id_col, vec_col=vec_col, dim=dim, init_stride=init_stride,
+        kernel=encode_kernel,
+    )
+    coded = codes.select(F.col(id_col).alias("corpus_id"), "codes").join(
+        assigned, "corpus_id"
     )
     tables = _adc_tables(books, queries, id_col, "query_id", vec_col, m, dim)
     probe_tables = probed.join(tables, "query_id")

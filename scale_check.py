@@ -387,8 +387,10 @@ def pq_rerank_scale_check(spark) -> dict:
     speedup is a measured line, not a claim.
     """
     from moz_datapipeline_spark.operators.similarity import (
+        _ivf_lists,
         _partition_topk,
         adc_scores,
+        ivfadc_topk,
         pq_encode,
         pq_topk,
     )
@@ -483,6 +485,22 @@ def pq_rerank_scale_check(spark) -> dict:
     rr_hits = sum(
         1 for r in reranked if r["corpus_id"] in truth.get(r["query_id"], set())
     )
+
+    # IVFADC at the same scale: probe 8 of 64 lists, ADC within lists,
+    # exact rerank — plus the MEASURED candidate-set size the probe
+    # restriction buys (same _ivf_lists plan the operator runs)
+    t0 = time.perf_counter()
+    ivf_out = ivfadc_topk(
+        amp, queries, n_lists=64, nprobe=8, k=10, m=8, dim=64,
+        pq_k=64, init_stride=8, rerank=rerank_n, encode_kernel="pandas",
+    ).collect()
+    t_ivfadc = time.perf_counter() - t0
+    ivf_hits = sum(
+        1 for r in ivf_out if r["corpus_id"] in truth.get(r["query_id"], set())
+    )
+    assigned, probed = _ivf_lists(amp, queries, 64, 8, "vec_id", "embedding")
+    ivf_candidates = assigned.join(probed, "list_id").count()
+
     codes.unpersist()
     amp.unpersist()
     return {
@@ -498,6 +516,12 @@ def pq_rerank_scale_check(spark) -> dict:
         "rerank_encode_sql_sec": round(t_encode_sql, 2),
         "rerank_adc_sec": round(t_adc, 2),
         "rerank_full_sec": round(t_rerank, 2),
+        "ivfadc_recall_at_10": round(ivf_hits / (10 * n_q), 4),
+        "ivfadc_candidate_rows": ivf_candidates,
+        "ivfadc_candidate_fraction": round(
+            ivf_candidates / rows_unbounded, 4
+        ),
+        "ivfadc_total_sec": round(t_ivfadc, 2),
     }
 
 
