@@ -1155,14 +1155,25 @@ def _ivf_lists(
     nprobe: int,
     id_col: str,
     vec_col: str,
+    assign_kernel: str = "sql",
 ) -> tuple[DataFrame, DataFrame]:
     """The coarse stage of ``ivfadc_topk``: deterministic hash-sampled
-    centroids, corpus→list cosine argmin through a partial-aggregating
-    groupBy (one row per vector into the exchange), queries→nprobe
-    probed lists.  Returns ``(assigned(corpus_id, list_id),
-    probed(query_id, list_id))``; exposed so rehearsals can count the
-    candidate set the probe restriction buys without re-implementing
-    the plan."""
+    centroids, corpus→list cosine argmin, queries→nprobe probed lists.
+    Returns ``(assigned(corpus_id, list_id), probed(query_id,
+    list_id))``; exposed so rehearsals can count the candidate set the
+    probe restriction buys without re-implementing the plan.
+
+    ``assign_kernel="sql"`` (default, oracle-replayed arithmetic) runs
+    the corpus argmin as a partial-aggregating groupBy over the
+    broadcast-centroid cross join — one row per vector into the
+    exchange.  ``"pandas"`` collects the (bounded, ``n_lists``-row)
+    centroid sample and does the argmax as one Arrow-batched normalized
+    matmul per batch — shuffle-free, same (−cosine, centroid_id)
+    tie-break, equal up to float summation order.  The query probe side
+    is always tiny and stays SQL.
+    """
+    if assign_kernel not in ("sql", "pandas"):
+        raise ValueError(f"unknown assign_kernel {assign_kernel!r}")
     c = corpus.select(
         F.col(id_col).alias("corpus_id"), _as_double(vec_col).alias("_cv")
     )
@@ -1177,20 +1188,48 @@ def _ivf_lists(
         )
         .limit(n_lists)
     )
-    assigned = (
-        c.crossJoin(F.broadcast(cent))
-        .withColumn("_sim", cosine(F.col("_cv"), F.col("_ce")))
-        .groupBy("corpus_id")
-        .agg(
-            F.min(
-                F.struct(
-                    (-F.col("_sim")).alias("_ns"),
-                    F.col("centroid_id").alias("_cid"),
+    if assign_kernel == "pandas":
+        import numpy as np
+        import pandas as pd
+
+        cent_rows = sorted(cent.collect(), key=lambda r: r["centroid_id"])
+        cids = np.array([r["centroid_id"] for r in cent_rows], dtype=np.int64)
+        cmat = np.array([r["_ce"] for r in cent_rows], dtype=np.float64)
+        cmat = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+
+        def kernel(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                x = np.stack(pdf["_cv"].to_numpy()).astype(np.float64)
+                xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+                sims = xn @ cmat.T
+                # argmax, ties to the smallest centroid_id: columns are
+                # cid-ascending and np.argmax returns the first maximum
+                best = cids[np.argmax(sims, axis=1)]
+                yield pd.DataFrame(
+                    {
+                        "corpus_id": pdf["corpus_id"].to_numpy(),
+                        "list_id": best,
+                    }
                 )
-            ).alias("_m")
+
+        assigned = c.mapInPandas(kernel, "corpus_id long, list_id long")
+    else:
+        assigned = (
+            c.crossJoin(F.broadcast(cent))
+            .withColumn("_sim", cosine(F.col("_cv"), F.col("_ce")))
+            .groupBy("corpus_id")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("_sim")).alias("_ns"),
+                        F.col("centroid_id").alias("_cid"),
+                    )
+                ).alias("_m")
+            )
+            .select("corpus_id", F.col("_m._cid").alias("list_id"))
         )
-        .select("corpus_id", F.col("_m._cid").alias("list_id"))
-    )
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(vec_col).alias("_qv")
     )
@@ -1222,6 +1261,7 @@ def ivfadc_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     encode_kernel: str = "sql",
+    assign_kernel: str = "sql",
 ) -> DataFrame:
     """IVF + ADC (+ optional exact rerank): the full production shape
     for billion-vector ANN, assembled from this module's pieces.
@@ -1241,7 +1281,8 @@ def ivfadc_topk(
       corpus, and full vectors only for the ≈N·|queries| reranked rows.
     """
     assigned, probed = _ivf_lists(
-        corpus, queries, n_lists, nprobe, id_col, vec_col
+        corpus, queries, n_lists, nprobe, id_col, vec_col,
+        assign_kernel=assign_kernel,
     )
     codes, books = pq_encode(
         corpus, m=m, k=pq_k, iterations=iterations,

@@ -492,13 +492,16 @@ def pq_rerank_scale_check(spark) -> dict:
     t0 = time.perf_counter()
     ivf_out = ivfadc_topk(
         amp, queries, n_lists=64, nprobe=8, k=10, m=8, dim=64,
-        pq_k=64, init_stride=8, rerank=rerank_n, encode_kernel="pandas",
+        pq_k=64, init_stride=8, rerank=rerank_n,
+        encode_kernel="pandas", assign_kernel="pandas",
     ).collect()
     t_ivfadc = time.perf_counter() - t0
     ivf_hits = sum(
         1 for r in ivf_out if r["corpus_id"] in truth.get(r["query_id"], set())
     )
-    assigned, probed = _ivf_lists(amp, queries, 64, 8, "vec_id", "embedding")
+    assigned, probed = _ivf_lists(
+        amp, queries, 64, 8, "vec_id", "embedding", assign_kernel="pandas"
+    )
     ivf_candidates = assigned.join(probed, "list_id").count()
 
     codes.unpersist()

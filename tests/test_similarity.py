@@ -400,3 +400,25 @@ def test_pq_encode_pandas_kernel_matches_sql_kernel(spark):
     assert set(ba) == set(bb)
     for key in ba:
         np.testing.assert_allclose(ba[key], bb[key], rtol=1e-12, atol=1e-12)
+
+
+def test_ivf_assign_pandas_kernel_matches_sql(spark):
+    """The matmul coarse-assignment kernel must agree with the SQL
+    argmin on every vector."""
+    import numpy as np
+
+    from moz_datapipeline_spark.operators.similarity import _ivf_lists
+
+    rng = np.random.default_rng(41)
+    n, dim = 400, 16
+    x = rng.normal(size=(n, dim))
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+        "vec_id long, embedding array<double>",
+    ).repartition(5)
+    q = df.filter(F.col("vec_id") < 3)
+    a_sql, _ = _ivf_lists(df, q, 8, 2, "vec_id", "embedding", "sql")
+    a_pd, _ = _ivf_lists(df, q, 8, 2, "vec_id", "embedding", "pandas")
+    sa = {r["corpus_id"]: r["list_id"] for r in a_sql.collect()}
+    sp = {r["corpus_id"]: r["list_id"] for r in a_pd.collect()}
+    assert sa == sp
