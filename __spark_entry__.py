@@ -1205,6 +1205,23 @@ def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pq_codes_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Arrow-matmul trainer kernel under the SAME replay oracle as
+    ``pq_codes``: codes are integers and the two kernels share the
+    exact (distance, code) tie-break, so the hash must match the SQL
+    path unless a genuine argmin tie flips — which the cross-kernel
+    test (tests/test_similarity.py) pins never happens on this data."""
+    from moz_datapipeline_spark.operators.similarity import pq_encode
+
+    codes, _ = pq_encode(
+        _t(spark, sf_dir, "embeddings"),
+        m=4, k=16, iterations=1, dim=64, init_stride=16, kernel="pandas",
+    )
+    return codes.select(
+        "vec_id", F.array_join("codes", "-").alias("codes")
+    )
+
+
 def q_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric-distance PQ search, fully oracle-replayed: encode
     (m=4, k=16, one deterministic Lloyd round + final re-assign), build
@@ -2128,6 +2145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans": q_kmeans,
         "embedding_covariance": q_embedding_covariance,
         "pq_codes": q_pq_codes,
+        "pq_codes_fast": q_pq_codes_fast,
         "pq_adc": q_pq_adc,
         "pq_adc_rerank": q_pq_adc_rerank,
         "ivfadc_rerank": q_ivfadc_rerank,
@@ -4082,6 +4100,8 @@ QUALIFY rank <= 3
             FROM stats, maxima
         """,
     }
+    # the fast-kernel trainer answers to the same deterministic replay
+    sql["pq_codes_fast"] = sql["pq_codes"]
     if _write_shapefile_twin():
         sql["shapefile_scan"] = (
             "SELECT od_id, od_type, name, lon, lat, geom_matches_attrs "

@@ -492,6 +492,11 @@ def kmeans_assign(
 
     Returns (id, cluster_r1, cluster) — first-round and final labels,
     so convergence movement is visible to callers.
+
+    For training-throughput-bound corpora the same Arrow-matmul argmin
+    pattern as ``pq_encode(kernel="pandas")`` applies; this operator
+    keeps the single fixed-DAG JVM path because its oracle replays two
+    full rounds and the per-round labels are part of the contract.
     """
     v = df.select(
         id_col,
@@ -708,8 +713,9 @@ def pq_encode(
     per-iteration exchange shrinks to m·k partial-sum rows per
     partition collected driver-side (bounded by construction); same
     (distance, code) tie-break, distances equal up to float summation
-    order.  Use it when training throughput matters: measured 8.9× on
-    the 500k-vector rehearsal (6.6 s vs 59.2 s per Lloyd round).
+    order.  Use it when training throughput matters: measured 6–9× on
+    the 500k-vector rehearsal (≈7 s vs ≈58 s per Lloyd round across
+    runs; both numbers re-measured in every rehearsal line).
     """
     if kernel not in ("sql", "pandas"):
         raise ValueError(f"unknown pq_encode kernel {kernel!r}")
