@@ -3,9 +3,10 @@
 Media payloads are opaque ``binary`` columns with a typed metadata
 struct; decode/resize/frame-sample run as Arrow-batched pandas UDFs via
 ``mapInPandas``.  Real decode is available WITHOUT external codec
-libraries for PNG images and WAV audio via the pure stdlib+numpy
-decoders in ``sources.media``; PIL is used instead when importable
-(broader format support).  Formats neither path covers (JPEG, video)
+libraries for PNG and baseline/progressive JPEG images
+(``sources.media`` / ``sources.jpeg``), WAV audio, and MJPEG-in-AVI
+video (``sources.avi``); PIL is used instead when importable (broader
+format support).  Formats no path covers (e.g. H.264 video, MP3)
 raise ``DecodeUnavailable``.  A deterministic fake decoder remains the
 default so the plumbing (schema, batch shape, partitioning) is
 testable independent of payload contents.
@@ -199,12 +200,13 @@ def sample_frames(
     media_col: str = "media",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Video frame-sampling plan: one output row per sampled timestamp.
+    """Video frame-sampling PLAN: one output row per sampled timestamp.
 
-    Timestamps are derived columnar-side (sequence over duration); the
-    actual frame decode is the stubbed kernel above. This keeps the
-    expensive fan-out (rows × frames) inside Catalyst where AQE can
-    rebalance it.
+    Timestamps are derived columnar-side (sequence over the metadata
+    ``duration_ms``), keeping the rows×frames fan-out inside Catalyst
+    where AQE can rebalance it — use this when a later stage decodes.
+    For decode-now sampling use ``extract_video_frames``, which fans
+    out inside the kernel instead (payload shipped once per row).
     """
     ts = F.explode(
         F.sequence(
@@ -214,3 +216,189 @@ def sample_frames(
         )
     ).alias("frame_ms")
     return df.select(F.col(id_col), F.col(media_col), ts)
+
+
+def resize_images(
+    df: DataFrame,
+    out_w: int,
+    out_h: int,
+    media_col: str = "media",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Decode → bilinear-resize → re-emit each image as raw RGB bytes.
+
+    Output: ``(id, media struct)`` with ``payload`` = row-major uint8
+    RGB of the resized image, ``mime`` = ``image/raw-rgb``, and
+    ``width``/``height`` = the target size, so downstream kernels
+    (feature extraction, re-encode, tiling) consume it without a second
+    decode.  Decode uses the real path (PIL → pure PNG → pure JPEG);
+    resize is ``sources.media.resize_bilinear`` (half-pixel centers,
+    platform-stable rounding).  Same Arrow-batched ``mapInPandas``
+    shape as the other media kernels — partition count preserved, so
+    repartition upstream for ~128 MB of payloads per task at scale.
+    """
+    import numpy as np
+
+    from moz_datapipeline_spark.sources.media import (
+        PNG_MAGIC,
+        decode_png,
+        resize_bilinear,
+    )
+
+    out_schema = f"{id_col} long, media struct<{MEDIA_SCHEMA}>"
+
+    def decode_pixels(payload: bytes) -> "np.ndarray":
+        try:
+            from PIL import Image
+            import io
+
+            try:
+                return np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
+            except Exception:
+                pass  # fall through to the pure decoders
+        except ImportError:
+            pass
+        if payload[:8] == PNG_MAGIC:
+            img = decode_png(payload)
+            if img.dtype != np.uint8:
+                img = (img // 257).astype("u1")
+            return img
+        if payload[:2] == b"\xff\xd8":
+            from moz_datapipeline_spark.sources.jpeg import (
+                JpegUnsupported,
+                decode_jpeg,
+            )
+
+            try:
+                return decode_jpeg(payload)
+            except JpegUnsupported as e:
+                raise DecodeUnavailable(f"JPEG coding process not covered: {e}")
+        raise DecodeUnavailable(
+            "payload is not PNG/JPEG and no image codec library is installed"
+        )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for p in pdf[f"{media_col}_payload"]:
+                img = decode_pixels(bytes(p))
+                if img.ndim == 2:
+                    img = img[..., None]
+                if img.shape[2] == 1:
+                    img = np.repeat(img, 3, axis=2)
+                small = resize_bilinear(img[..., :3], out_w, out_h)
+                out.append(
+                    {
+                        "payload": small.tobytes(),
+                        "mime": "image/raw-rgb",
+                        "width": out_w,
+                        "height": out_h,
+                        "sample_rate": None,
+                        "channels": 3,
+                        "duration_ms": None,
+                    }
+                )
+            yield pd.DataFrame({id_col: pdf[id_col], "media": out})
+
+    flat = df.select(
+        F.col(id_col),
+        F.col(f"{media_col}.payload").alias(f"{media_col}_payload"),
+    )
+    return flat.mapInPandas(kernel, schema=out_schema)
+
+
+def extract_video_frames(
+    df: DataFrame,
+    every_ms: int = 1000,
+    media_col: str = "media",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """REAL video frame sampling: AVI/MJPEG container → per-frame
+    image features, no codec library required.
+
+    Each payload is parsed with the pure RIFF walker
+    (``sources.avi.decode_avi``); sample timestamps are laid out every
+    ``every_ms`` over the container's own timing header; the covering
+    frame (floor sampling, the convention of ffmpeg's ``-vf fps``) is
+    decoded with the pure JPEG decoder and summarized with the
+    ``image_features`` contract.  Output: one row per (id, frame_ms).
+
+    A frame needed by several timestamps is decoded once per payload
+    (memoized within the row), so cost is O(distinct sampled frames),
+    not O(timestamps).  The fan-out happens inside the kernel rather
+    than via explode-then-decode: shipping the payload once per row
+    beats duplicating multi-MB binaries across frame rows in the
+    exchange — at 100 TB the explode-first plan would multiply scan
+    output by the frame count.
+    """
+    import numpy as np
+
+    from moz_datapipeline_spark.sources.avi import decode_avi, frame_at
+    from moz_datapipeline_spark.sources.jpeg import decode_jpeg
+    from moz_datapipeline_spark.sources.media import image_features
+
+    out_schema = f"{id_col} long, frame_ms long, features array<double>"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ts_out, feats = [], [], []
+            for rid, p in zip(pdf[id_col], pdf[f"{media_col}_payload"]):
+                frames, meta = decode_avi(bytes(p))
+                if not frames:
+                    continue
+                usec = int(meta["usec_per_frame"])
+                dur_ms = max(1, (len(frames) * usec) // 1000)
+                cache: dict[int, list[float]] = {}
+                for ms in range(0, dur_ms, every_ms):
+                    fi = frame_at(frames, usec, ms)
+                    if fi not in cache:
+                        cache[fi] = image_features(
+                            np.atleast_3d(decode_jpeg(frames[fi]))
+                        )
+                    ids.append(rid)
+                    ts_out.append(ms)
+                    feats.append(cache[fi])
+            yield pd.DataFrame(
+                {id_col: ids, "frame_ms": ts_out, "features": feats}
+            )
+
+    flat = df.select(
+        F.col(id_col),
+        F.col(f"{media_col}.payload").alias(f"{media_col}_payload"),
+    )
+    return flat.mapInPandas(kernel, schema=out_schema)
+
+
+def video_summary(
+    df: DataFrame,
+    media_col: str = "media",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Whole-video statistics per row: ``[n_frames, motion, mean, std]``
+    (``sources.avi.video_features``) — the cheap shot-detection /
+    quality-filter signal a training pipeline gates video clips on.
+    Decodes EVERY frame, so it is the expensive sibling of
+    ``extract_video_frames``; same kernel shape.
+    """
+    import numpy as np
+
+    from moz_datapipeline_spark.sources.avi import decode_avi, video_features
+    from moz_datapipeline_spark.sources.jpeg import decode_jpeg
+
+    out_schema = f"{id_col} long, features array<double>"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, feats = [], []
+            for rid, p in zip(pdf[id_col], pdf[f"{media_col}_payload"]):
+                frames, _meta = decode_avi(bytes(p))
+                pix = [np.atleast_3d(decode_jpeg(fr)) for fr in frames]
+                ids.append(rid)
+                feats.append(video_features(pix))
+            yield pd.DataFrame({id_col: ids, "features": feats})
+
+    flat = df.select(
+        F.col(id_col),
+        F.col(f"{media_col}.payload").alias(f"{media_col}_payload"),
+    )
+    return flat.mapInPandas(kernel, schema=out_schema)

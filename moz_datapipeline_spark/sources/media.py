@@ -202,3 +202,32 @@ def audio_features(x: np.ndarray, rate: int) -> list[float]:
         zc,
         float(mono.mean()) if n else 0.0,
     ]
+
+
+def resize_bilinear(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Deterministic bilinear resize of an (H, W, C) uint8 image.
+
+    Half-pixel-center sampling (the OpenCV/PIL convention:
+    src = (dst + 0.5) * scale - 0.5, clamped to the border), separable
+    gather with numpy fancy indexing — no Python pixel loops, so it is
+    fast enough to sit inside an Arrow batch kernel.  Rounding is
+    floor(x + 0.5) so ties break identically on every platform.
+    """
+    if img.ndim == 2:
+        img = img[..., None]
+    h, w, _ = img.shape
+    if out_w <= 0 or out_h <= 0:
+        raise ValueError(f"non-positive output size {out_w}x{out_h}")
+    sx = (np.arange(out_w) + 0.5) * (w / out_w) - 0.5
+    sy = (np.arange(out_h) + 0.5) * (h / out_h) - 0.5
+    x0 = np.clip(np.floor(sx).astype(np.int64), 0, w - 1)
+    y0 = np.clip(np.floor(sy).astype(np.int64), 0, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    fx = np.clip(sx - x0, 0.0, 1.0)[None, :, None]
+    fy = np.clip(sy - y0, 0.0, 1.0)[:, None, None]
+    f = img.astype("f8")
+    top = f[y0[:, None], x0[None, :]] * (1 - fx) + f[y0[:, None], x1[None, :]] * fx
+    bot = f[y1[:, None], x0[None, :]] * (1 - fx) + f[y1[:, None], x1[None, :]] * fx
+    out = top * (1 - fy) + bot * fy
+    return np.floor(out + 0.5).clip(0, 255).astype("u1")
