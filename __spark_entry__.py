@@ -1994,6 +1994,227 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# real video + resize paths (training-data extension surface; value oracles
+# via driver-side deterministic-replay parquet twins, same style as
+# shapefile_scan — distributed mapInPandas vs single-process replay)
+# ---------------------------------------------------------------------------
+
+_VIDEO_TWIN = "/tmp/spark_graft_oracle_twins/video_frames.parquet"
+_RESIZE_TWIN = "/tmp/spark_graft_oracle_twins/image_resize.parquet"
+_VIDEO_DOCS = 24          # doc_id < 24 exists at every shipped sf
+_VIDEO_EVERY_MS = 300
+_RESIZE_DOCS = 40
+
+
+def _video_n_frames(doc_id: int) -> int:
+    return 2 + doc_id % 3  # 2..4 frames at 5 fps → 400..800 ms clips
+
+
+def _r6(x: float) -> float:
+    import math
+
+    return math.floor(x * 1e6 + 0.5) / 1e6
+
+
+def _write_video_twin() -> bool:
+    """Single-process replay of q_video_frames: synthesize the same
+    MJPEG-AVI payloads, decode with the same pure parsers, sample the
+    same timestamps — but driver-side, no Spark, pandas→parquet.  The
+    hash compare pins the distributed kernel against this independent
+    evaluation.  Returns False → oracle falls back to rows-only."""
+    import os
+
+    try:
+        import numpy as np
+        import pandas as pd
+
+        from moz_datapipeline_spark.sources.avi import (
+            decode_avi,
+            frame_at,
+            synthetic_mjpeg,
+        )
+        from moz_datapipeline_spark.sources.jpeg import decode_jpeg
+        from moz_datapipeline_spark.sources.media import image_features
+
+        rows = []
+        for doc_id in range(_VIDEO_DOCS):
+            frames, meta = decode_avi(
+                synthetic_mjpeg(doc_id, _video_n_frames(doc_id))
+            )
+            usec = int(meta["usec_per_frame"])
+            dur_ms = max(1, (len(frames) * usec) // 1000)
+            cache: dict = {}
+            for ms in range(0, dur_ms, _VIDEO_EVERY_MS):
+                fi = frame_at(frames, usec, ms)
+                if fi not in cache:
+                    cache[fi] = image_features(
+                        np.atleast_3d(decode_jpeg(frames[fi]))
+                    )
+                f = cache[fi]
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "frame_ms": ms,
+                        "px_mean": _r6(f[3]),
+                        "luma_mean": _r6(f[7]),
+                    }
+                )
+        os.makedirs(os.path.dirname(_VIDEO_TWIN), exist_ok=True)
+        pd.DataFrame(rows).to_parquet(_VIDEO_TWIN, index=False)
+        return True
+    except Exception:
+        return False
+
+
+def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real video decode end-to-end: deterministic MJPEG-AVI clips keyed
+    by doc_id (synthesized executor-side — the container here stands in
+    for a payload column read from parquet), frame-sampled every 300 ms
+    through the pure RIFF walker + JPEG decoder
+    (operators/multimodal.py extract_video_frames).  Value oracle: the
+    driver-side replay twin (_write_video_twin)."""
+    import pandas as pd
+
+    from moz_datapipeline_spark.operators.multimodal import (
+        extract_video_frames,
+    )
+
+    ids = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _VIDEO_DOCS)
+        .select("doc_id")
+        .distinct()
+    )
+
+    def synth(batches):
+        from moz_datapipeline_spark.sources.avi import synthetic_mjpeg
+
+        for pdf in batches:
+            payloads = [
+                {
+                    "payload": synthetic_mjpeg(int(d), _video_n_frames(int(d))),
+                    "mime": "video/x-msvideo",
+                    "width": 24,
+                    "height": 16,
+                    "sample_rate": None,
+                    "channels": None,
+                    "duration_ms": None,
+                }
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": payloads})
+
+    from moz_datapipeline_spark.operators.multimodal import MEDIA_SCHEMA
+
+    media = ids.mapInPandas(
+        synth, schema=f"doc_id long, media struct<{MEDIA_SCHEMA}>"
+    )
+    out = extract_video_frames(media, every_ms=_VIDEO_EVERY_MS)
+    r6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return out.select(
+        "doc_id",
+        "frame_ms",
+        r6(F.col("features").getItem(3)).alias("px_mean"),
+        r6(F.col("features").getItem(7)).alias("luma_mean"),
+    )
+
+
+def _write_resize_twin() -> bool:
+    """Single-process replay of q_image_resize: same gradient JPEG →
+    pure decode → bilinear resize → md5 of the raw RGB bytes."""
+    import hashlib
+    import os
+
+    try:
+        import numpy as np
+        import pandas as pd
+
+        from moz_datapipeline_spark.sources.avi import gradient_frame
+        from moz_datapipeline_spark.sources.jpeg import (
+            decode_jpeg,
+            encode_jpeg_baseline,
+        )
+        from moz_datapipeline_spark.sources.media import resize_bilinear
+
+        rows = []
+        for doc_id in range(_RESIZE_DOCS):
+            jpeg = encode_jpeg_baseline(
+                gradient_frame(doc_id, 12, 18), quality=90
+            )
+            small = resize_bilinear(
+                np.atleast_3d(decode_jpeg(jpeg)), 5, 3
+            ).tobytes()
+            rows.append(
+                {
+                    "doc_id": doc_id,
+                    "rgb_md5": hashlib.md5(small).hexdigest(),
+                    "out_w": 5,
+                    "out_h": 3,
+                    "n_bytes": len(small),
+                }
+            )
+        os.makedirs(os.path.dirname(_RESIZE_TWIN), exist_ok=True)
+        pd.DataFrame(rows).to_parquet(_RESIZE_TWIN, index=False)
+        return True
+    except Exception:
+        return False
+
+
+def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real decode→resize end-to-end: deterministic gradient JPEGs keyed
+    by doc_id, decoded and bilinear-resized to 5×3 raw RGB by
+    operators/multimodal.py resize_images; the md5 of the resized bytes
+    (computed JVM-side) pins every pixel.  Value oracle: the driver-side
+    replay twin (_write_resize_twin)."""
+    import pandas as pd
+
+    from moz_datapipeline_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        resize_images,
+    )
+
+    ids = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _RESIZE_DOCS)
+        .select("doc_id")
+        .distinct()
+    )
+
+    def synth(batches):
+        from moz_datapipeline_spark.sources.avi import gradient_frame
+        from moz_datapipeline_spark.sources.jpeg import encode_jpeg_baseline
+
+        for pdf in batches:
+            payloads = [
+                {
+                    "payload": encode_jpeg_baseline(
+                        gradient_frame(int(d), 12, 18), quality=90
+                    ),
+                    "mime": "image/jpeg",
+                    "width": 18,
+                    "height": 12,
+                    "sample_rate": None,
+                    "channels": None,
+                    "duration_ms": None,
+                }
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": payloads})
+
+    media = ids.mapInPandas(
+        synth, schema=f"doc_id long, media struct<{MEDIA_SCHEMA}>"
+    )
+    out = resize_images(media, out_w=5, out_h=3)
+    return out.select(
+        "doc_id",
+        F.md5(F.col("media.payload")).alias("rgb_md5"),
+        F.col("media.width").cast("long").alias("out_w"),
+        F.col("media.height").cast("long").alias("out_h"),
+        F.length(F.col("media.payload")).cast("long").alias("n_bytes"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # routing kernel (SURVEY §2.8 — non-SQL-expressible, rows-only checks)
 # ---------------------------------------------------------------------------
 
@@ -2174,6 +2395,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_props": q_json_props,
         "raster_stats": q_raster_stats,
         "multimodal_features": q_multimodal_features,
+        "video_frames": q_video_frames,
+        "image_resize": q_image_resize,
     }
 
 
@@ -4106,5 +4329,17 @@ QUALIFY rank <= 3
         sql["shapefile_scan"] = (
             "SELECT od_id, od_type, name, lon, lat, geom_matches_attrs "
             f"FROM read_parquet('{_SHAPEFILE_TWIN}')"
+        )
+    if _write_video_twin():
+        sql["video_frames"] = (
+            "SELECT doc_id, frame_ms, px_mean, luma_mean "
+            f"FROM read_parquet('{_VIDEO_TWIN}') "
+            f"WHERE doc_id IN (SELECT doc_id FROM documents WHERE doc_id < {_VIDEO_DOCS})"
+        )
+    if _write_resize_twin():
+        sql["image_resize"] = (
+            "SELECT doc_id, rgb_md5, out_w, out_h, n_bytes "
+            f"FROM read_parquet('{_RESIZE_TWIN}') "
+            f"WHERE doc_id IN (SELECT doc_id FROM documents WHERE doc_id < {_RESIZE_DOCS})"
         )
     return sql

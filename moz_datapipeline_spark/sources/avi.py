@@ -198,3 +198,28 @@ def video_features(frames: list[np.ndarray]) -> list[float]:
         float(stack.mean()),
         float(stack.std()),
     ]
+
+
+def gradient_frame(seed: int, h: int = 16, w: int = 24) -> np.ndarray:
+    """Deterministic RGB test pattern: three phase-shifted ramps keyed
+    by ``seed``.  Shared by the query fixtures and their driver-side
+    oracle twins so both paths synthesize bit-identical payloads."""
+    y, x = np.mgrid[0:h, 0:w]
+    r = (x * 7 + seed * 31) % 256
+    g = (y * 11 + seed * 17) % 256
+    b = (x + y + seed) % 256
+    return np.stack([r, g, b], axis=-1).astype("u1")
+
+
+def synthetic_mjpeg(
+    seed: int, n_frames: int, fps: float = 5.0, w: int = 24, h: int = 16
+) -> bytes:
+    """Deterministic MJPEG-AVI payload: ``n_frames`` gradient frames
+    (seeded ``seed + i``) baseline-JPEG-encoded at quality 90."""
+    from moz_datapipeline_spark.sources.jpeg import encode_jpeg_baseline
+
+    jpegs = [
+        encode_jpeg_baseline(gradient_frame(seed + i, h, w), quality=90)
+        for i in range(n_frames)
+    ]
+    return encode_avi_mjpeg(jpegs, w, h, fps=fps)
