@@ -97,6 +97,8 @@ HEADLINE = [
     "embedding_covariance",
     "pq_adc_rerank",
     "ivfadc_rerank",
+    "video_frames",
+    "image_resize",
 ]
 
 

@@ -528,6 +528,92 @@ def pq_rerank_scale_check(spark) -> dict:
     }
 
 
+def media_scale_check(spark) -> dict:
+    """Throughput rehearsal for the pure-Python media kernels: 600
+    MJPEG-AVI clips (2-4 frames, 24x16) frame-sampled and 2000 JPEGs
+    decoded+resized, all executor-side.  The interesting number is
+    frames (or images) per second per core — the pure decoders are the
+    bottleneck, not Spark plumbing, and the numbers scale linearly with
+    executor count because every kernel is embarrassingly parallel
+    (payloads ship once, no exchange between decode stages)."""
+    import pandas as pd
+
+    from moz_datapipeline_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_video_frames,
+        resize_images,
+    )
+
+    n_clips, n_imgs = 600, 2000
+
+    def synth_avi(batches):
+        from moz_datapipeline_spark.sources.avi import synthetic_mjpeg
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["id"],
+                    "media": [
+                        {
+                            "payload": synthetic_mjpeg(int(i), 2 + int(i) % 3),
+                            "mime": "video/x-msvideo",
+                            "width": 24,
+                            "height": 16,
+                            "sample_rate": None,
+                            "channels": None,
+                            "duration_ms": None,
+                        }
+                        for i in pdf["id"]
+                    ],
+                }
+            )
+
+    def synth_jpeg(batches):
+        from moz_datapipeline_spark.sources.avi import gradient_frame
+        from moz_datapipeline_spark.sources.jpeg import encode_jpeg_baseline
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["id"],
+                    "media": [
+                        {
+                            "payload": encode_jpeg_baseline(
+                                gradient_frame(int(i), 16, 24), quality=90
+                            ),
+                            "mime": "image/jpeg",
+                            "width": 24,
+                            "height": 16,
+                            "sample_rate": None,
+                            "channels": None,
+                            "duration_ms": None,
+                        }
+                        for i in pdf["id"]
+                    ],
+                }
+            )
+
+    schema = f"doc_id long, media struct<{MEDIA_SCHEMA}>"
+    clips = spark.range(n_clips).repartition(32).mapInPandas(synth_avi, schema)
+    t0 = time.perf_counter()
+    n_frames = extract_video_frames(clips, every_ms=200).count()
+    t_video = time.perf_counter() - t0
+
+    imgs = spark.range(n_imgs).repartition(32).mapInPandas(synth_jpeg, schema)
+    t0 = time.perf_counter()
+    n_resized = resize_images(imgs, 8, 8).count()
+    t_resize = time.perf_counter() - t0
+    return {
+        "media_clips": n_clips,
+        "media_frames_sampled": n_frames,
+        "t_video_decode_sec": round(t_video, 2),
+        "video_frames_per_sec": round(n_frames / t_video, 1),
+        "media_images_resized": n_resized,
+        "t_resize_sec": round(t_resize, 2),
+        "images_resized_per_sec": round(n_resized / t_resize, 1),
+    }
+
+
 def main() -> None:
     spark = get_spark(app_name="dedup_scale_check")
     docs = amplified_corpus(spark, "/root/testdata/sf0.1/documents.parquet")
@@ -556,6 +642,7 @@ def main() -> None:
     hygiene = hygiene_scale_check(spark, docs)
     pq = pq_recall_check(spark)
     pq_rerank = pq_rerank_scale_check(spark)
+    media = media_scale_check(spark)
     routing = routing_scale_check(spark)
 
     print(
@@ -575,6 +662,7 @@ def main() -> None:
                 **hygiene,
                 **pq,
                 **pq_rerank,
+                **media,
                 **routing,
             }
         )
