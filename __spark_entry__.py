@@ -1257,9 +1257,14 @@ def q_pq_adc_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq_topk,
     )
 
+    # same contract as the dedup hash switch: oracle mode replays the
+    # SQL-arithmetic trainer; bench mode (PORTABLE_HASH=0) measures the
+    # Arrow-matmul production kernel, pinned output-identical by
+    # tests/test_similarity.py's cross-kernel checks
+    kern = "sql" if _portable_hash_mode() else "pandas"
     emb = _t(spark, sf_dir, "embeddings")
     codes, books = pq_encode(
-        emb, m=4, k=16, iterations=1, dim=64, init_stride=16
+        emb, m=4, k=16, iterations=1, dim=64, init_stride=16, kernel=kern
     )
     queries = emb.filter(F.col("vec_id") < 5)
     out = pq_topk(
@@ -1281,11 +1286,13 @@ def q_ivfadc_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-L2 tail all recompute in DuckDB."""
     from moz_datapipeline_spark.operators.similarity import ivfadc_topk
 
+    kern = "sql" if _portable_hash_mode() else "pandas"
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     out = ivfadc_topk(
         emb, queries, n_lists=16, nprobe=4, k=5, m=4, dim=64,
         pq_k=16, iterations=1, init_stride=16, rerank=50,
+        encode_kernel=kern, assign_kernel=kern,
     )
     return out.select(
         "query_id",
