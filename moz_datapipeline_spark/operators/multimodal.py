@@ -63,41 +63,41 @@ def _fake_decode_image(payload: bytes, width: int, height: int) -> list[float]:
     ]
 
 
-def _real_decode_image(payload: bytes) -> list[float]:
-    """Real decode → ``sources.media.image_features`` statistics.
-
-    PIL when importable; else the pure PNG decoder, then the pure JPEG
-    decoder (baseline + progressive, ``sources.jpeg``).  Raises
-    ``DecodeUnavailable`` for formats no path can parse.
+def _decode_pixels(payload: bytes) -> "object":
+    """Shared decode dispatch: PIL when importable (broad formats),
+    else the pure PNG decoder, then the pure JPEG decoder (baseline +
+    progressive, ``sources.jpeg``).  Returns a uint8 (H, W, C) array;
+    raises ``DecodeUnavailable`` for payloads no path can parse, with
+    the PIL failure (if any) named so data problems never masquerade
+    as missing-codec capability boundaries.
     """
     import numpy as np
 
-    from moz_datapipeline_spark.sources.media import (
-        PNG_MAGIC,
-        decode_png,
-        image_features,
-    )
+    from moz_datapipeline_spark.sources.media import PNG_MAGIC, decode_png
 
+    pil_err: str | None = None
     try:
-        from PIL import Image  # noqa: F401
+        from PIL import Image, UnidentifiedImageError
     except ImportError:
         Image = None
     if Image is not None:
         import io
 
         try:
-            arr = np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
-            return image_features(arr)
-        except Exception:
-            # corrupt/unsupported payload with PIL present: fall through
-            # to the pure decoders so the DecodeUnavailable contract
-            # holds instead of leaking UnidentifiedImageError
-            pass
+            return np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
+        except (UnidentifiedImageError, OSError, ValueError) as e:
+            # corrupt/unsupported payload with PIL present: record the
+            # failure and fall through to the pure decoders so the
+            # DecodeUnavailable contract holds instead of leaking
+            # UnidentifiedImageError (anything else — MemoryError,
+            # decompression bombs — propagates: those are resource
+            # errors, not capability boundaries)
+            pil_err = f"{type(e).__name__}: {e}"
     if payload[:8] == PNG_MAGIC:
         img = decode_png(payload)
         if img.dtype != np.uint8:
             img = (img // 257).astype("u1")  # 16-bit → 8-bit stats space
-        return image_features(img)
+        return np.atleast_3d(img)
     if payload[:2] == b"\xff\xd8":
         from moz_datapipeline_spark.sources.jpeg import (
             JpegUnsupported,
@@ -105,12 +105,21 @@ def _real_decode_image(payload: bytes) -> list[float]:
         )
 
         try:
-            return image_features(decode_jpeg(payload))
+            return np.atleast_3d(decode_jpeg(payload))
         except JpegUnsupported as e:
             raise DecodeUnavailable(f"JPEG coding process not covered: {e}")
     raise DecodeUnavailable(
-        "payload is not PNG/JPEG and no image codec library is installed"
+        "payload is not PNG/JPEG and no other decode path succeeded"
+        + (f" (PIL tried and failed: {pil_err})" if pil_err else
+           " (no image codec library installed)")
     )
+
+
+def _real_decode_image(payload: bytes) -> list[float]:
+    """Real decode → ``sources.media.image_features`` statistics."""
+    from moz_datapipeline_spark.sources.media import image_features
+
+    return image_features(_decode_pixels(payload))
 
 
 def extract_image_features(
@@ -239,51 +248,15 @@ def resize_images(
     """
     import numpy as np
 
-    from moz_datapipeline_spark.sources.media import (
-        PNG_MAGIC,
-        decode_png,
-        resize_bilinear,
-    )
+    from moz_datapipeline_spark.sources.media import resize_bilinear
 
     out_schema = f"{id_col} long, media struct<{MEDIA_SCHEMA}>"
-
-    def decode_pixels(payload: bytes) -> "np.ndarray":
-        try:
-            from PIL import Image
-            import io
-
-            try:
-                return np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
-            except Exception:
-                pass  # fall through to the pure decoders
-        except ImportError:
-            pass
-        if payload[:8] == PNG_MAGIC:
-            img = decode_png(payload)
-            if img.dtype != np.uint8:
-                img = (img // 257).astype("u1")
-            return img
-        if payload[:2] == b"\xff\xd8":
-            from moz_datapipeline_spark.sources.jpeg import (
-                JpegUnsupported,
-                decode_jpeg,
-            )
-
-            try:
-                return decode_jpeg(payload)
-            except JpegUnsupported as e:
-                raise DecodeUnavailable(f"JPEG coding process not covered: {e}")
-        raise DecodeUnavailable(
-            "payload is not PNG/JPEG and no image codec library is installed"
-        )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for p in pdf[f"{media_col}_payload"]:
-                img = decode_pixels(bytes(p))
-                if img.ndim == 2:
-                    img = img[..., None]
+                img = _decode_pixels(bytes(p))
                 if img.shape[2] == 1:
                     img = np.repeat(img, 3, axis=2)
                 small = resize_bilinear(img[..., :3], out_w, out_h)

@@ -79,10 +79,20 @@ def _partition_topk(
                 if best is not None
                 else pdf
             )
+            # Spark's total order puts NaN ABOVE every number, so it
+            # lands last under asc and FIRST under desc; pandas defaults
+            # to NaN-last either way, which would let a partition that
+            # is rich in real scores drop a NaN row the global window
+            # ranks first (partition-dependent results).  Match Spark
+            # exactly.  (Null scores are indistinguishable from NaN in
+            # a pandas float column; score expressions are arithmetic
+            # over non-null inputs, so none of the callers produce
+            # SQL NULL here.)
             cur = cur.sort_values(
                 [order_col, tiebreak_col],
                 ascending=[ascending, True],
                 kind="mergesort",
+                na_position="last" if ascending else "first",
             )
             best = cur.groupby(key_cols, sort=False).head(k)
         if best is not None and len(best):
@@ -720,9 +730,19 @@ def pq_encode(
     if kernel not in ("sql", "pandas"):
         raise ValueError(f"unknown pq_encode kernel {kernel!r}")
     sub_d = dim // m
-    n_seed = df.filter(
-        (F.col(id_col) % init_stride == 0) & (F.col(id_col) < k * init_stride)
-    ).count()
+    # loud sparse-id-space guard; limit(k+1) instead of count() so the
+    # validation job short-circuits (CollectLimit) rather than scanning
+    # the full corpus before training even starts — at most k seed ids
+    # can match the filter, so seeing k+1 also catches duplicate ids
+    n_seed = len(
+        df.filter(
+            (F.col(id_col) % init_stride == 0)
+            & (F.col(id_col) < k * init_stride)
+        )
+        .select(id_col)
+        .limit(k + 1)
+        .collect()
+    )
     if n_seed != k:
         raise ValueError(
             f"pq_encode deterministic init found {n_seed} seed vectors "
@@ -1087,6 +1107,31 @@ def pq_topk(
     scored = adc_scores(
         codes, codebooks, queries, id_col, query_id_col, vec_col, m, dim
     )
+    if rerank is not None and corpus is None:
+        raise ValueError(
+            "pq_topk(rerank=N) rescores exact vectors: pass corpus= the "
+            "embeddings DataFrame the codes were trained from"
+        )
+    return _rank_adc_then_rerank(
+        scored, k, rerank, corpus, queries, id_col, query_id_col, vec_col
+    )
+
+
+def _rank_adc_then_rerank(
+    scored: DataFrame,
+    k: int,
+    rerank: int | None,
+    corpus: DataFrame | None,
+    queries: DataFrame,
+    id_col: str,
+    query_id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Shared ranking tail of ``pq_topk`` and ``ivfadc_topk``: bound the
+    exchange with a map-side partial top-k, exact-rank the ADC
+    distances, then optionally hand the top-``rerank`` candidates to
+    ``_exact_rerank``.  One implementation so a tie-break or NaN-order
+    fix can never make the two ANN paths diverge."""
     n_first = rerank if rerank is not None else k
     scored = _partition_topk(
         scored, [query_id_col], "adc_dist", "corpus_id", n_first
@@ -1100,11 +1145,6 @@ def pq_topk(
     )
     if rerank is None:
         return adc
-    if corpus is None:
-        raise ValueError(
-            "pq_topk(rerank=N) rescores exact vectors: pass corpus= the "
-            "embeddings DataFrame the codes were trained from"
-        )
     return _exact_rerank(
         adc, corpus, queries, k, id_col, query_id_col, vec_col
     )
@@ -1304,17 +1344,6 @@ def ivfadc_topk(
         coded.join(F.broadcast(probe_tables), "list_id")
         .select("query_id", "corpus_id", _adc_dist().alias("adc_dist"))
     )
-    n_first = rerank if rerank is not None else k
-    scored = _partition_topk(
-        scored, ["query_id"], "adc_dist", "corpus_id", n_first
+    return _rank_adc_then_rerank(
+        scored, k, rerank, corpus, queries, id_col, "query_id", vec_col
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("adc_dist").asc(), F.col("corpus_id").asc()
-    )
-    adc = (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= n_first)
-    )
-    if rerank is None:
-        return adc
-    return _exact_rerank(adc, corpus, queries, k, id_col, "query_id", vec_col)

@@ -78,6 +78,8 @@ def decode_avi(payload: bytes) -> tuple[list[bytes], dict]:
 
     meta: dict = {"handler": None}
     frames: list[bytes] = []
+    stream_counter = [0]  # strh order defines stream ids per the spec
+    vid_prefix = [None]  # b"00", b"01", ... of the FIRST vids stream
 
     def walk(pos: int, stop: int, in_movi: bool) -> None:
         for fourcc, body, size in _chunks(payload, pos, stop):
@@ -97,14 +99,20 @@ def decode_avi(payload: bytes) -> tuple[list[bytes], dict]:
                     meta["width"],
                     meta["height"],
                 ) = struct.unpack_from("<10I", payload, body)
-            elif fourcc == b"strh" and meta["handler"] is None:
+            elif fourcc == b"strh":
                 fcc_type = payload[body : body + 4]
-                if fcc_type == b"vids":
+                if fcc_type == b"vids" and vid_prefix[0] is None:
                     meta["handler"] = payload[body + 4 : body + 8].decode(
                         "ascii", "replace"
                     )
+                    # movi chunk ids are '%02d'-encoded stream indices —
+                    # the video stream is NOT always stream 0 (an
+                    # audio-first AVI declares 'auds' strh first and its
+                    # video chunks are '01dc')
+                    vid_prefix[0] = b"%02d" % stream_counter[0]
+                stream_counter[0] += 1
             elif in_movi and fourcc[2:4] in (b"dc", b"db"):
-                if fourcc[:2] == b"00":  # stream 0 = the video stream
+                if fourcc[:2] == vid_prefix[0]:
                     frames.append(payload[body : body + size])
 
     walk(12, end, False)
@@ -188,6 +196,12 @@ def video_features(frames: list[np.ndarray]) -> list[float]:
     """
     if not frames:
         return [0.0, 0.0, 0.0, 0.0]
+    shapes = {f.shape for f in frames}
+    if len(shapes) > 1:
+        raise AviError(
+            f"frames disagree on shape ({sorted(shapes)}); mid-stream "
+            "resolution changes are outside the MJPEG subset"
+        )
     stack = np.stack([f.astype("f8") for f in frames])
     motion = (
         float(np.mean(np.abs(np.diff(stack, axis=0)))) if len(frames) > 1 else 0.0

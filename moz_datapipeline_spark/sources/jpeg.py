@@ -77,12 +77,15 @@ class _BitReader:
             self.marker = 0xD9
             return None
         b = self.d[self.p]
-        if b == 0xFF:
+        while b == 0xFF:
             nxt = self.d[self.p + 1] if self.p + 1 < len(self.d) else 0xD9
             if nxt == 0x00:
                 self.p += 2
                 return 0xFF
-            self.marker = nxt  # leave p at the 0xFF
+            if nxt == 0xFF:  # T.81 B.1.1.2: fill byte before a marker
+                self.p += 1
+                continue
+            self.marker = nxt  # leave p at the (last) 0xFF
             return None
         self.p += 1
         return b
@@ -389,6 +392,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         if payload[p] != 0xFF:
             raise JpegError(f"marker expected at offset {p}")
         m = payload[p + 1]
+        if m == 0xFF:  # T.81 B.1.1.2: fill byte preceding a marker
+            p += 1
+            continue
         if m == 0xD9:  # EOI
             break
         if m in (0x01,) or 0xD0 <= m <= 0xD8:  # TEM / RSTn / stray SOI

@@ -422,3 +422,50 @@ def test_ivf_assign_pandas_kernel_matches_sql(spark):
     sa = {r["corpus_id"]: r["list_id"] for r in a_sql.collect()}
     sp = {r["corpus_id"]: r["list_id"] for r in a_pd.collect()}
     assert sa == sp
+
+
+def test_partition_topk_nan_scores_match_global_window(spark):
+    """A NaN score (zero-norm embedding → 0/0 cosine) sorts ABOVE every
+    number in Spark's total order; the map-side partial top-k must keep
+    it under desc ordering or results become partition-dependent."""
+    from pyspark.sql import Window
+
+    from moz_datapipeline_spark.operators.similarity import _partition_topk
+
+    rows = [(1, 10, float("nan")), (1, 11, 0.9), (1, 12, 0.8), (1, 13, 0.7)]
+    # one partition rich in real scores (would previously drop the NaN)
+    df = spark.createDataFrame(
+        rows, "query_id long, corpus_id long, cosine double"
+    ).repartition(1)
+    part = _partition_topk(df, ["query_id"], "cosine", "corpus_id", 2,
+                           ascending=False)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("corpus_id").asc()
+    )
+    got = sorted(
+        r.corpus_id
+        for r in part.withColumn("rank", F.row_number().over(w))
+        .filter("rank <= 2")
+        .collect()
+    )
+    want = sorted(
+        r.corpus_id
+        for r in df.withColumn("rank", F.row_number().over(w))
+        .filter("rank <= 2")
+        .collect()
+    )
+    assert got == want == [10, 11]  # NaN row ranks FIRST under desc
+
+    # ascending keeps NaN last — partial and global agree there too
+    part_asc = _partition_topk(df, ["query_id"], "cosine", "corpus_id", 2,
+                               ascending=True)
+    w_asc = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").asc(), F.col("corpus_id").asc()
+    )
+    got_asc = sorted(
+        r.corpus_id
+        for r in part_asc.withColumn("rank", F.row_number().over(w_asc))
+        .filter("rank <= 2")
+        .collect()
+    )
+    assert got_asc == [12, 13]

@@ -214,3 +214,85 @@ class TestOperators:
         )
         with pytest.raises((PythonException, Py4JJavaError, DecodeUnavailable)):
             resize_images(df, 2, 2).collect()
+
+
+class TestReviewRegressions:
+    def test_audio_first_avi_video_stream_one(self):
+        """Video chunks of an audio-first AVI are '01dc'; the decoder
+        must key frames off the vids strh position, not stream 0."""
+        import struct as _s
+
+        jpegs, avi = _fixture_avi(n_frames=3)
+        # rebuild the container with an auds strl before the vids strl
+        # and 01dc movi chunks (independent construction, not the encoder)
+        def chunk(fourcc, body):
+            pad = b"\x00" if len(body) & 1 else b""
+            return fourcc + _s.pack("<I", len(body)) + body + pad
+
+        def lst(t, body):
+            return chunk(b"LIST", t + body)
+
+        avih = _s.pack("<14I", 250000, 0, 0, 0, 3, 0, 2, 0, 24, 16, 0, 0, 0, 0)
+        auds_strh = b"auds" + b"\x00" * 52
+        vids_strh = b"vids" + b"MJPG" + b"\x00" * 48
+        hdrl = lst(
+            b"hdrl",
+            chunk(b"avih", avih)
+            + lst(b"strl", chunk(b"strh", auds_strh))
+            + lst(b"strl", chunk(b"strh", vids_strh)),
+        )
+        movi = lst(b"movi", b"".join(chunk(b"01dc", f) for f in jpegs))
+        body = b"AVI " + hdrl + movi
+        payload = b"RIFF" + _s.pack("<I", len(body)) + body
+        frames, meta = decode_avi(payload)
+        assert frames == jpegs
+        assert meta["handler"] == "MJPG"
+
+    def test_jpeg_fill_bytes_before_markers(self):
+        """T.81 B.1.1.2 fill bytes (extra 0xFF before a marker) must be
+        consumed, both in the marker loop and before RSTn."""
+        img = _gradient_frame(5)
+        plain = encode_jpeg_baseline(img, quality=90)
+        want = decode_jpeg(plain)
+        # fill byte before the EOI marker and before the first DQT
+        soi, rest = plain[:2], plain[2:]
+        padded = soi + b"\xff" + rest[:-2] + b"\xff" + rest[-2:]
+        got = decode_jpeg(padded)
+        assert (got == want).all()
+        # fill byte ahead of every RST marker in a restart-interval scan
+        ri = encode_jpeg_baseline(img, quality=90, restart_interval=1)
+        want_ri = decode_jpeg(ri)
+        out = bytearray()
+        i = 0
+        while i < len(ri):
+            if ri[i] == 0xFF and i + 1 < len(ri) and 0xD0 <= ri[i + 1] <= 0xD7:
+                out += b"\xff"  # fill byte directly before FF Dn
+            out.append(ri[i])
+            i += 1
+        got_ri = decode_jpeg(bytes(out))
+        assert (got_ri == want_ri).all()
+
+    def test_decode_unavailable_names_pil_failure_when_present(self):
+        from moz_datapipeline_spark.operators.multimodal import (
+            DecodeUnavailable,
+            _decode_pixels,
+        )
+
+        try:
+            import PIL  # noqa: F401
+
+            has_pil = True
+        except ImportError:
+            has_pil = False
+        with pytest.raises(DecodeUnavailable) as ei:
+            _decode_pixels(b"GIF89a but truncated garbage")
+        msg = str(ei.value)
+        assert ("PIL tried and failed" in msg) == has_pil
+
+    def test_video_features_mixed_shapes_raise(self):
+        from moz_datapipeline_spark.sources.avi import AviError
+
+        with pytest.raises(AviError):
+            video_features(
+                [np.zeros((4, 4, 3)), np.zeros((8, 4, 3))]
+            )
