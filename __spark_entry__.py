@@ -1018,6 +1018,54 @@ def q_stable_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stable_sample(d, 0.1, "doc_id").select("doc_id", "lang", "n_chars")
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language deterministic rebalance (downsample English to 20%,
+    keep Chinese whole, 50% elsewhere) — one codegen filter on the
+    scan, no join, no shuffle (operators/corpus.stratified_sample)."""
+    from moz_datapipeline_spark.operators.corpus import stratified_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return stratified_sample(
+        d, "lang", {"en": 0.2, "zh": 1.0}, default=0.5
+    ).select("doc_id", "lang", "n_chars")
+
+
+_INCR_STORE = "/tmp/spark_graft_incr_store_q"
+
+
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion: even doc_ids bootstrap the signature
+    store (a trusted prior corpus), odd doc_ids arrive as the new batch
+    and are admitted through ``operators/incremental.incremental_dedup``
+    (store-match drop + within-batch component grouping, MinHash
+    Jaccard-estimate verification).  Returns the surviving new rows.
+
+    VALUE oracle: the whole pipeline — md5 token hashes, rolling
+    shingle combine, the 32-permutation universal hash family, band
+    digests, bucket joins, the estimate threshold, and min-id component
+    grouping (recursive CTE) — replays independently in DuckDB SQL over
+    the same documents table (portable md5 mode end-to-end).
+    """
+    import shutil
+
+    from moz_datapipeline_spark.operators.incremental import (
+        bootstrap_signature_store,
+        incremental_dedup,
+    )
+
+    shutil.rmtree(_INCR_STORE, ignore_errors=True)
+    d = _t(spark, sf_dir, "documents")
+    prior = d.filter(F.col("doc_id") % 2 == 0)
+    batch = d.filter(F.col("doc_id") % 2 == 1)
+    bootstrap_signature_store(
+        spark, prior, _INCR_STORE, portable_hash=True
+    )
+    out = incremental_dedup(
+        spark, batch, _INCR_STORE, threshold=0.7, portable_hash=True
+    )
+    return out.select("doc_id", "lang", "n_chars")
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic content fingerprint (md5 of normalized text)."""
     d = _t(spark, sf_dir, "documents")
@@ -2357,6 +2405,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
         "stable_sample": q_stable_sample,
+        "stratified_sample": q_stratified_sample,
+        "incremental_dedup": q_incremental_dedup,
         "repetition_stats": q_repetition_stats,
         "domain_cap": q_domain_cap,
         "vocab_stats": q_vocab_stats,
@@ -2405,6 +2455,99 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_frames": q_video_frames,
         "image_resize": q_image_resize,
     }
+
+
+def _incremental_dedup_oracle() -> str:
+    """Full independent DuckDB replay of q_incremental_dedup: token
+    md5 hashes mod p, rolling 3-gram combine, the 32-permutation
+    universal hash family (same (a, b) constants injected literally),
+    8-band md5 digests, bucket-join candidates new↔store and new↔new,
+    the ≥0.7 signature-agreement estimate, and min-id components via a
+    recursive CTE.  Nothing is read from the Spark side — DuckDB
+    recomputes every stage from the documents table."""
+    from moz_datapipeline_spark.operators.dedup import (
+        _MERSENNE_P as P,
+        _minhash_params,
+    )
+
+    mins = ", ".join(
+        f"list_min(list_transform(s, x -> (x*{a} + {b}) % {P}))"
+        for a, b in _minhash_params(32)
+    )
+    return f"""
+        WITH RECURSIVE
+        base AS (
+          SELECT doc_id,
+                 string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+          FROM documents
+        ),
+        th AS (
+          SELECT doc_id,
+                 list_transform(t, x -> CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT) % {P}) AS h
+          FROM base
+        ),
+        sh AS (
+          SELECT doc_id,
+                 list_transform(generate_series(1, len(h) - 2),
+                   i -> ((((h[i]*1000003 + h[i+1]) % {P}) * 1000003 + h[i+2]) % {P})) AS s
+          FROM th WHERE len(h) >= 3
+        ),
+        sig AS (SELECT doc_id, [{mins}] AS sg FROM sh),
+        banded AS (
+          SELECT doc_id, bs.b AS band_idx,
+                 md5(array_to_string(
+                   list_transform(sg[bs.b*4+1 : bs.b*4+4], x -> CAST(x AS VARCHAR)),
+                   ',')) AS bh
+          FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS b) bs
+        ),
+        cand_store AS (
+          SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+          FROM banded n JOIN banded o
+            ON n.band_idx = o.band_idx AND n.bh = o.bh
+          WHERE n.doc_id % 2 = 1 AND o.doc_id % 2 = 0
+        ),
+        drop_store AS (
+          SELECT DISTINCT c.new_id
+          FROM cand_store c
+          JOIN sig sn ON sn.doc_id = c.new_id
+          JOIN sig so ON so.doc_id = c.old_id
+          WHERE CAST(list_sum(list_transform(generate_series(1, 32),
+                  j -> CASE WHEN sn.sg[j] = so.sg[j] THEN 1 ELSE 0 END)) AS DOUBLE) / 32
+                >= 0.7
+        ),
+        cand_new AS (
+          SELECT DISTINCT a.doc_id AS id_a, bb.doc_id AS id_b
+          FROM banded a JOIN banded bb
+            ON a.band_idx = bb.band_idx AND a.bh = bb.bh
+          WHERE a.doc_id % 2 = 1 AND bb.doc_id % 2 = 1
+            AND a.doc_id < bb.doc_id
+        ),
+        vpairs AS (
+          SELECT c.id_a, c.id_b
+          FROM cand_new c
+          JOIN sig sa ON sa.doc_id = c.id_a
+          JOIN sig sb ON sb.doc_id = c.id_b
+          WHERE CAST(list_sum(list_transform(generate_series(1, 32),
+                  j -> CASE WHEN sa.sg[j] = sb.sg[j] THEN 1 ELSE 0 END)) AS DOUBLE) / 32
+                >= 0.7
+        ),
+        edges AS (
+          SELECT id_a AS u, id_b AS v FROM vpairs
+          UNION SELECT id_b, id_a FROM vpairs
+        ),
+        reach AS (
+          SELECT u AS id, u AS lab FROM (SELECT DISTINCT u FROM edges) x
+          UNION
+          SELECT e.v AS id, r.lab FROM reach r JOIN edges e ON e.u = r.id
+        ),
+        comp AS (SELECT id, min(lab) AS component FROM reach GROUP BY id),
+        losers AS (SELECT id FROM comp WHERE id <> component)
+        SELECT d.doc_id, d.lang, d.n_chars
+        FROM documents d
+        WHERE d.doc_id % 2 = 1
+          AND d.doc_id NOT IN (SELECT id FROM losers)
+          AND d.doc_id NOT IN (SELECT new_id FROM drop_store)
+    """
 
 
 def _redact_pii_oracle() -> str:
@@ -3920,6 +4063,15 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
                   < {int(0.1 * (1 << 60))}
         """,
+        "stratified_sample": f"""
+            SELECT doc_id, lang, n_chars
+            FROM documents
+            WHERE CAST(('0x' || substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                  < CAST(FLOOR(CAST(CASE lang WHEN 'en' THEN 0.2
+                                              WHEN 'zh' THEN 1.0
+                                              ELSE 0.5 END AS DOUBLE)
+                               * {float(1 << 60)}) AS BIGINT)
+        """,
         "bridge_snap": """
             WITH bridges AS (
               SELECT s_suppkey AS bridge_id, s_nationkey % 10 AS road_key,
@@ -4332,6 +4484,7 @@ QUALIFY rank <= 3
     }
     # the fast-kernel trainer answers to the same deterministic replay
     sql["pq_codes_fast"] = sql["pq_codes"]
+    sql["incremental_dedup"] = _incremental_dedup_oracle()
     if _write_shapefile_twin():
         sql["shapefile_scan"] = (
             "SELECT od_id, od_type, name, lon, lat, geom_matches_attrs "

@@ -99,6 +99,11 @@ HEADLINE = [
     "ivfadc_rerank",
     "video_frames",
     "image_resize",
+    "stratified_sample",
+    # incremental_dedup is oracle-checked but not benched here: a tiny
+    # two-batch ingest is dominated by store round-trips and component
+    # rounds (fixed job overhead, not operator throughput) — its scale
+    # behavior is the dedup rehearsal's job (scale_check.py)
 ]
 
 

@@ -430,3 +430,53 @@ def remove_boilerplate_lines(
             ),
         )
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    group_col: str,
+    fractions: dict[str, float],
+    default: float = 0.0,
+    key_col: str = "doc_id",
+    seed: str = "strat",
+) -> DataFrame:
+    """Deterministic per-group sampling: keep a row iff its
+    content-addressed hash falls under ITS GROUP'S fraction.
+
+    The training-data rebalance primitive (e.g. downsample English to
+    20%, keep low-resource languages whole): same md5 hash family as
+    ``text.stable_sample``, so membership is stable across runs,
+    partitionings, and engines, and a row's fate never flips when the
+    corpus is re-sharded.  The per-group rate rides along as a literal
+    ``map`` lookup — pure codegen Column arithmetic, no join, no
+    shuffle, fully scan-pushed.  ``default`` applies to groups absent
+    from ``fractions`` (0.0 = drop unknown groups loudly visible in
+    counts, 1.0 = pass them through).
+
+    Reference parity: extension operator (the reference has no
+    sampling stage); the hash-threshold idiom follows its deterministic
+    id-keyed filters (scripts/base-network.sh jq id selections).
+    """
+    if not fractions:
+        raise ValueError("stratified_sample needs at least one group fraction")
+    space = float(1 << 60)
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(seed), F.lit(":"), F.col(key_col).cast("string")
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    rate_map = F.create_map(
+        *[F.lit(x) for kv in fractions.items() for x in kv]
+    )
+    rate = F.coalesce(
+        rate_map[F.col(group_col)], F.lit(float(default))
+    )
+    return df.filter(h < (rate * F.lit(space)).cast("long"))

@@ -140,6 +140,39 @@ def minhash_signatures(
     )
 
 
+def band_hashes(
+    sigs: DataFrame,
+    bands: int = 8,
+    id_col: str = "doc_id",
+    portable_hash: bool = False,
+) -> DataFrame:
+    """(id, band_idx, band_hash): the signature split into ``bands``
+    contiguous slices, each digested to one bucket key.  Shared by the
+    batch LSH self-join and the incremental store join so both bucket
+    identically.  Digest: md5 (engine-portable) or xxhash64 (fast)."""
+    return sigs.select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: (F.md5 if portable_hash else F.xxhash64)(
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(
+                                F.col("signature"),
+                                b * (F.size(F.col("signature")) / bands).cast("int") + 1,
+                                (F.size(F.col("signature")) / bands).cast("int"),
+                            ),
+                            lambda x: x.cast("string"),
+                        ),
+                    )
+                ).cast("string"),
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+
+
 def minhash_lsh_candidates(
     sigs: DataFrame,
     bands: int = 8,
@@ -157,28 +190,7 @@ def minhash_lsh_candidates(
     so the cache is cheap even at corpus scale.
     """
     sigs = sigs.cache()
-    banded = sigs.select(
-        id_col,
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                # band digest: md5 (engine-portable) or xxhash64 (fast path)
-                lambda b: (F.md5 if portable_hash else F.xxhash64)(
-                    F.concat_ws(
-                        ",",
-                        F.transform(
-                            F.slice(
-                                F.col("signature"),
-                                b * (F.size(F.col("signature")) / bands).cast("int") + 1,
-                                (F.size(F.col("signature")) / bands).cast("int"),
-                            ),
-                            lambda x: x.cast("string"),
-                        ),
-                    )
-                ).cast("string"),
-            )
-        ).alias("band_idx", "band_hash"),
-    )
+    banded = band_hashes(sigs, bands, id_col, portable_hash)
     a = banded.alias("a")
     b = banded.alias("b")
     return (

@@ -1,0 +1,105 @@
+"""Incremental dedup against the persistent MinHash signature store."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from moz_datapipeline_spark.operators.incremental import incremental_dedup
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden outside"
+)
+OTHER = (
+    "completely different content about distributed query engines and "
+    "columnar storage formats with vectorized execution pipelines here"
+)
+THIRD = (
+    "a third unrelated passage mentioning mountains rivers forests and "
+    "the slow geological processes that shaped them over millions of years"
+)
+
+
+@pytest.fixture()
+def store(tmp_path):
+    d = str(tmp_path / "sigstore")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+class TestWithinBatch:
+    def test_duplicate_group_keeps_smallest_id(self, spark):
+        batch = _docs(
+            spark,
+            [(1, BASE), (2, BASE), (7, BASE + " extra"), (5, OTHER)],
+        )
+        out = incremental_dedup(spark, batch, None, threshold=0.5)
+        assert sorted(r.doc_id for r in out.collect()) == [1, 5]
+
+    def test_disjoint_docs_all_survive(self, spark):
+        batch = _docs(spark, [(1, BASE), (2, OTHER), (3, THIRD)])
+        out = incremental_dedup(spark, batch, None, threshold=0.5)
+        assert out.count() == 3
+
+    def test_empty_text_survives(self, spark):
+        batch = _docs(spark, [(1, BASE), (2, "")])
+        out = incremental_dedup(spark, batch, None, threshold=0.5)
+        assert sorted(r.doc_id for r in out.collect()) == [1, 2]
+
+
+class TestStore:
+    def test_cross_batch_duplicates_dropped(self, spark, store):
+        b1 = _docs(spark, [(1, BASE), (2, OTHER)])
+        s1 = incremental_dedup(spark, b1, store, threshold=0.5)
+        assert s1.count() == 2
+        # batch 2: near-dup of stored doc 1, plus fresh content
+        b2 = _docs(spark, [(10, BASE + " tail"), (11, THIRD)])
+        s2 = incremental_dedup(spark, b2, store, threshold=0.5)
+        assert sorted(r.doc_id for r in s2.collect()) == [11]
+
+    def test_reingest_is_idempotent(self, spark, store):
+        b1 = _docs(spark, [(1, BASE), (2, OTHER)])
+        incremental_dedup(spark, b1, store, threshold=0.5).count()
+        again = incremental_dedup(spark, b1, store, threshold=0.5)
+        assert again.count() == 0  # every doc matches its own stored sig
+
+    def test_only_survivor_signatures_are_stored(self, spark, store):
+        b1 = _docs(spark, [(1, BASE), (2, BASE)])
+        incremental_dedup(spark, b1, store, threshold=0.5).count()
+        stored_ids = [
+            r.doc_id for r in spark.read.parquet(store).select("doc_id").collect()
+        ]
+        assert stored_ids == [1]
+
+    def test_parameter_drift_raises(self, spark, store):
+        b1 = _docs(spark, [(1, BASE)])
+        incremental_dedup(spark, b1, store, num_hashes=32, bands=8).count()
+        with pytest.raises(ValueError, match="parameters"):
+            incremental_dedup(
+                spark, _docs(spark, [(2, OTHER)]), store,
+                num_hashes=16, bands=4,
+            ).count()
+
+    def test_portable_and_fast_hash_agree_on_survivors(self, spark, tmp_path):
+        rows = [(1, BASE), (2, BASE + " x"), (3, OTHER), (4, THIRD)]
+        outs = []
+        for mode in (True, False):
+            d = str(tmp_path / f"store_{mode}")
+            incremental_dedup(
+                spark, _docs(spark, rows[:2]), d,
+                threshold=0.5, portable_hash=mode,
+            ).count()
+            s = incremental_dedup(
+                spark, _docs(spark, rows[2:]), d,
+                threshold=0.5, portable_hash=mode,
+            )
+            outs.append(sorted(r.doc_id for r in s.collect()))
+        assert outs[0] == outs[1] == [3, 4]
