@@ -614,6 +614,44 @@ def media_scale_check(spark) -> dict:
     }
 
 
+def incremental_scale_check(spark, docs) -> dict:
+    """Steady-state ingest rehearsal: admit the same 2.5k-doc batch
+    against a ~47.5k-doc signature store and against a 2.5k-doc store.
+    The claim under test is that batch admission cost is governed by
+    the batch and its matched buckets, NOT the store size — the
+    property that makes signature-store dedup viable at 100 TB (the
+    store side is a signature-only parquet scan + bucketed equi join).
+    Batches overlap the store by construction (amplified mutations), so
+    the match path is exercised, not skipped."""
+    import shutil
+    import tempfile
+
+    from moz_datapipeline_spark.operators.incremental import (
+        bootstrap_signature_store,
+        incremental_dedup,
+    )
+
+    batch = docs.filter(F.col("doc_id") % 20 == 7).cache()
+    n_batch = batch.count()
+    out: dict = {"incr_batch_docs": n_batch}
+    for label, prior_filter in (
+        ("big", F.col("doc_id") % 20 != 7),
+        ("small", F.col("doc_id") % 20 == 3),
+    ):
+        store = tempfile.mkdtemp(prefix="incr_store_") + "/sigs"
+        prior = docs.filter(prior_filter)
+        bootstrap_signature_store(spark, prior, store)
+        t0 = time.perf_counter()
+        survivors = incremental_dedup(spark, batch, store, threshold=0.8)
+        n_kept = survivors.count()
+        dt = time.perf_counter() - t0
+        out[f"incr_store_{label}_docs"] = prior.count()
+        out[f"incr_admit_vs_{label}_sec"] = round(dt, 2)
+        out[f"incr_kept_vs_{label}"] = n_kept
+        shutil.rmtree(store.rsplit("/", 1)[0], ignore_errors=True)
+    return out
+
+
 def main() -> None:
     spark = get_spark(app_name="dedup_scale_check")
     docs = amplified_corpus(spark, "/root/testdata/sf0.1/documents.parquet")
@@ -642,6 +680,7 @@ def main() -> None:
     hygiene = hygiene_scale_check(spark, docs)
     pq = pq_recall_check(spark)
     pq_rerank = pq_rerank_scale_check(spark)
+    incr = incremental_scale_check(spark, docs)
     media = media_scale_check(spark)
     routing = routing_scale_check(spark)
 
@@ -662,6 +701,7 @@ def main() -> None:
                 **hygiene,
                 **pq,
                 **pq_rerank,
+                **incr,
                 **media,
                 **routing,
             }
