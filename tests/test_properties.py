@@ -137,3 +137,93 @@ def test_trapezoid_matches_numpy(spark, damages):
         )
     )
     assert got == pytest.approx(expected, rel=1e-9, abs=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# pure media codecs (no Spark fixture — plain function properties)
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=12, deadline=None)
+@given(
+    h=st.integers(min_value=1, max_value=12),
+    w=st.integers(min_value=1, max_value=12),
+    oh=st.integers(min_value=1, max_value=12),
+    ow=st.integers(min_value=1, max_value=12),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_resize_bounds_and_identity(h, w, oh, ow, seed):
+    """Bilinear output stays inside the input's value range (convex
+    combination + half-up rounding can't escape [min, max]); identity
+    size is exact; constant images stay constant."""
+    from moz_datapipeline_spark.sources.media import resize_bilinear
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w, 3)).astype("u1")
+    out = resize_bilinear(img, ow, oh)
+    assert out.shape == (oh, ow, 3)
+    assert out.min() >= img.min() and out.max() <= img.max()
+    assert (resize_bilinear(img, w, h) == img).all()
+    const = np.full((h, w, 3), 123, dtype="u1")
+    assert (resize_bilinear(const, ow, oh) == 123).all()
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    n_frames=st.integers(min_value=1, max_value=6),
+    fps=st.floats(min_value=0.5, max_value=60.0),
+    sizes=st.lists(st.integers(min_value=1, max_value=64), min_size=1,
+                   max_size=6),
+    data=st.data(),
+)
+def test_avi_round_trip_arbitrary_payloads(n_frames, fps, sizes, data):
+    """Container round trip preserves every frame byte-for-byte for
+    arbitrary (even odd-length) payloads, frame counts, and rates."""
+    from moz_datapipeline_spark.sources.avi import decode_avi, encode_avi_mjpeg
+
+    frames = [
+        bytes(
+            data.draw(
+                st.lists(
+                    st.integers(min_value=0, max_value=255),
+                    min_size=sizes[i % len(sizes)],
+                    max_size=sizes[i % len(sizes)],
+                )
+            )
+        )
+        for i in range(n_frames)
+    ]
+    avi = encode_avi_mjpeg(frames, 8, 8, fps=fps)
+    got, meta = decode_avi(avi)
+    assert got == frames
+    assert meta["n_frames"] == n_frames
+    assert meta["usec_per_frame"] == int(round(1_000_000 / fps))
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    quality=st.integers(min_value=30, max_value=95),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    gray=st.booleans(),
+)
+def test_jpeg_round_trip_error_bounded_on_smooth_images(quality, seed, gray):
+    """Encode→decode of a smooth gradient stays within a loose error
+    bound (lossy, but must not fall apart at any quality/parity)."""
+    from moz_datapipeline_spark.sources.jpeg import (
+        decode_jpeg,
+        encode_jpeg_baseline,
+    )
+
+    rng = np.random.default_rng(seed)
+    h, w = int(rng.integers(8, 33)), int(rng.integers(8, 33))
+    y, x = np.mgrid[0:h, 0:w]
+    base = (x * 3 + y * 5 + int(rng.integers(0, 64))) % 200 + 20
+    img = (
+        base.astype("u1")[..., None]
+        if gray
+        else np.stack([base, 255 - base, base // 2], axis=-1).astype("u1")
+    )
+    out = decode_jpeg(encode_jpeg_baseline(img, quality=quality))
+    assert out.shape[:2] == (h, w)
+    err = np.abs(out.astype(int).reshape(h, w, -1)
+                 - img.astype(int).reshape(h, w, -1)).mean()
+    assert err < 40  # smooth content stays recognizable even at q=30
