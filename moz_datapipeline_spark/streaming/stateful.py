@@ -146,3 +146,51 @@ def funnel_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def ingest_dedup_stream(
+    docs_stream: DataFrame,
+    store_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    portable_hash: bool = False,
+    **dedup_kwargs,
+):
+    """Continuous corpus ingestion: each micro-batch is admitted through
+    ``operators.incremental.incremental_dedup`` against the shared
+    signature store, and survivors append to a parquet corpus sink.
+
+    ``foreachBatch`` is the right Spark idiom here — the store
+    read-then-append inside the admission step is a batch transaction
+    per micro-batch, which plain streaming sinks cannot express.
+    Checkpointing makes ingestion restartable: a replayed micro-batch
+    re-admits documents whose signatures are already stored, each one
+    matches itself, and zero duplicates reach the sink — idempotence
+    comes from the dedup semantics, not sink bookkeeping.
+
+    Returns the started StreamingQuery.
+    """
+    from moz_datapipeline_spark.operators.incremental import incremental_dedup
+
+    def admit(batch_df: DataFrame, _batch_id: int) -> None:
+        survivors = incremental_dedup(
+            batch_df.sparkSession,
+            batch_df,
+            store_dir,
+            text_col=text_col,
+            id_col=id_col,
+            threshold=threshold,
+            portable_hash=portable_hash,
+            **dedup_kwargs,
+        )
+        survivors.write.mode("append").parquet(out_dir)
+
+    return (
+        docs_stream.writeStream.foreachBatch(admit)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -103,3 +103,65 @@ class TestStore:
             )
             outs.append(sorted(r.doc_id for r in s.collect()))
         assert outs[0] == outs[1] == [3, 4]
+
+
+class TestStreamingIngest:
+    def test_stream_batches_dedup_against_store_and_replay_is_idempotent(
+        self, spark, tmp_path
+    ):
+        """Two JSON micro-batch files stream through ingest_dedup_stream;
+        cross-batch near-dups are dropped, and re-running the stream
+        with a FRESH checkpoint (a full replay) adds zero new rows to
+        the sink because every doc matches its own stored signature."""
+        import json as _json
+
+        from moz_datapipeline_spark.streaming.stateful import (
+            ingest_dedup_stream,
+        )
+
+        src = tmp_path / "src"
+        src.mkdir()
+        store = str(tmp_path / "store")
+        out = str(tmp_path / "out")
+        (src / "b1.json").write_text(
+            "\n".join(
+                _json.dumps(d)
+                for d in [
+                    {"doc_id": 1, "text": BASE},
+                    {"doc_id": 2, "text": OTHER},
+                ]
+            )
+        )
+        (src / "b2.json").write_text(
+            "\n".join(
+                _json.dumps(d)
+                for d in [
+                    {"doc_id": 10, "text": BASE + " tail"},  # dup of 1
+                    {"doc_id": 11, "text": THIRD},
+                ]
+            )
+        )
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)  # one micro-batch per file
+            .json(str(src))
+        )
+        q = ingest_dedup_stream(
+            stream, store, out, str(tmp_path / "chk"), threshold=0.5
+        )
+        q.awaitTermination(120)
+        got = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+        assert got == [1, 2, 11]  # 10 dropped against stored 1
+
+        # full replay (fresh checkpoint): nothing new reaches the sink
+        stream2 = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+        q2 = ingest_dedup_stream(
+            stream2, store, out, str(tmp_path / "chk2"), threshold=0.5
+        )
+        q2.awaitTermination(120)
+        again = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+        assert again == [1, 2, 11]
