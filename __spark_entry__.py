@@ -2351,6 +2351,77 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank over the customer↔supplier trade graph
+    (symmetric edges from orders⨝lineitem, suppliers offset by 1M).
+    Three unrolled power iterations, damping 0.85 — one lazy DAG, no
+    driver actions inside the loop (graph/pagerank.py).  VALUE oracle:
+    the same three iterations unrolled as DuckDB CTEs."""
+    from moz_datapipeline_spark.graph.pagerank import pagerank
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    fwd = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + 1000000).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    pr = pagerank(edges, iters=3, damping=0.85, handle_dangling=False)
+    return pr.select(
+        "node", F.round(F.col("rank") * 1000000.0, 6).alias("rank_ppm")
+    )
+
+
+def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered semi join: lineitem rows whose supplier sits
+    in nations 0–3.  The Bloom stage (distributed bitmap build +
+    vectorized membership below the exchange) is semantically
+    invisible — the result is exactly the semi join, which is the
+    oracle (operators/bloom.py)."""
+    from moz_datapipeline_spark.operators.bloom import bloom_semi_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    dim = _t(spark, sf_dir, "supplier").filter(F.col("s_nationkey") < 4)
+    out = bloom_semi_join(
+        li, dim, "l_suppkey", "s_suppkey", num_bits=1 << 16, num_hashes=5
+    )
+    return out.select("l_orderkey", "l_linenumber", "l_suppkey")
+
+
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality gate: train an add-0.1 bigram LM on the
+    English slice in two hash aggregations, score EVERY document's
+    cross-entropy/perplexity against it, band into head/middle/tail
+    (operators/lm.py).  VALUE oracle: the full train+score pipeline
+    replayed in DuckDB (same tokenisation, smoothing, thresholds)."""
+    from moz_datapipeline_spark.operators.lm import lm_score, train_bigram_lm
+
+    d = _t(spark, sf_dir, "documents")
+    bi, ctx, vocab = train_bigram_lm(d.filter(F.col("lang") == "en"))
+    return lm_score(d, bi, ctx, vocab, buckets=(3.38, 3.45))
+
+
+def q_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture resampling: rebalance three sources to 50/25/25
+    target weights, keeping the maximum corpus that matches the mixture
+    without upsampling; membership is the content-addressed md5
+    threshold so the selection is engine- and partitioning-stable
+    (operators/corpus.mixture_resample)."""
+    from moz_datapipeline_spark.operators.corpus import mixture_resample
+
+    d = _t(spark, sf_dir, "documents")
+    out = mixture_resample(
+        d, "source", {"src0": 0.5, "src1": 0.25, "src2": 0.25}
+    )
+    return out.select("doc_id", "source", "lang")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -2454,6 +2525,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "video_frames": q_video_frames,
         "image_resize": q_image_resize,
+        "pagerank": q_pagerank,
+        "bloom_semi_join": q_bloom_semi_join,
+        "lm_score": q_lm_score,
+        "mixture_resample": q_mixture_resample,
     }
 
 
@@ -4480,6 +4555,142 @@ QUALIFY rank <= 3
                                ELSE 0 END * 0.6) * 100, 6) AS score,
                    unroutable_pairs, impacted_pairs
             FROM stats, maxima
+        """,
+        "pagerank": """
+            WITH e AS (
+              SELECT src, dst FROM (
+                SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+                FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+              )
+              UNION
+              SELECT dst AS src, src AS dst FROM (
+                SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+                FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+              )
+            ),
+            nodes AS (
+              SELECT src AS node FROM e UNION SELECT dst FROM e
+            ),
+            nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+            deg AS (
+              SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM e GROUP BY src
+            ),
+            r0 AS (
+              SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn
+            ),
+            c1 AS (
+              SELECT e.dst AS node, sum(r0.rank / deg.deg) AS cin
+              FROM e JOIN r0 ON e.src = r0.node JOIN deg ON e.src = deg.src
+              GROUP BY e.dst
+            ),
+            r1 AS (
+              SELECT nodes.node,
+                     (1.0 - 0.85) / nn.n + 0.85 * coalesce(c1.cin, 0.0) AS rank
+              FROM nodes LEFT JOIN c1 USING (node) CROSS JOIN nn
+            ),
+            c2 AS (
+              SELECT e.dst AS node, sum(r1.rank / deg.deg) AS cin
+              FROM e JOIN r1 ON e.src = r1.node JOIN deg ON e.src = deg.src
+              GROUP BY e.dst
+            ),
+            r2 AS (
+              SELECT nodes.node,
+                     (1.0 - 0.85) / nn.n + 0.85 * coalesce(c2.cin, 0.0) AS rank
+              FROM nodes LEFT JOIN c2 USING (node) CROSS JOIN nn
+            ),
+            c3 AS (
+              SELECT e.dst AS node, sum(r2.rank / deg.deg) AS cin
+              FROM e JOIN r2 ON e.src = r2.node JOIN deg ON e.src = deg.src
+              GROUP BY e.dst
+            ),
+            r3 AS (
+              SELECT nodes.node,
+                     (1.0 - 0.85) / nn.n + 0.85 * coalesce(c3.cin, 0.0) AS rank
+              FROM nodes LEFT JOIN c3 USING (node) CROSS JOIN nn
+            )
+            SELECT node, round(rank * 1000000.0, 6) AS rank_ppm FROM r3
+        """,
+        "bloom_semi_join": """
+            SELECT l_orderkey, l_linenumber, l_suppkey
+            FROM lineitem
+            WHERE l_suppkey IN (
+              SELECT s_suppkey FROM supplier WHERE s_nationkey < 4
+            )
+        """,
+        "lm_score": """
+            WITH ref AS (SELECT text FROM documents WHERE lang = 'en'),
+            rt AS (
+              SELECT list_filter(string_split(text, ' '), t -> t <> '') AS t
+              FROM ref
+            ),
+            rbig AS (
+              SELECT t[u.i] AS w1, t[u.i + 1] AS w2
+              FROM rt, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+            ),
+            bi AS (SELECT w1, w2, count(*) AS c_bi FROM rbig GROUP BY w1, w2),
+            ctx AS (SELECT w1, sum(c_bi) AS c_ctx FROM bi GROUP BY w1),
+            v AS (
+              SELECT CAST(count(DISTINCT w) AS DOUBLE) AS v FROM (
+                SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS w
+                FROM ref
+              )
+            ),
+            dt AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '), t -> t <> '') AS t
+              FROM documents
+            ),
+            dbig AS (
+              SELECT doc_id, t[u.i] AS w1, t[u.i + 1] AS w2
+              FROM dt, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+            ),
+            scored AS (
+              SELECT doc_id, count(*) AS n_bigrams,
+                     -avg(ln(
+                       (coalesce(c_bi, 0) + CAST(0.1 AS DOUBLE))
+                       / (coalesce(c_ctx, 0) + CAST(0.1 AS DOUBLE) * v.v)
+                     )) AS h
+              FROM dbig
+              LEFT JOIN bi USING (w1, w2)
+              LEFT JOIN ctx USING (w1)
+              CROSS JOIN v
+              GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(n_bigrams, 0) AS n_bigrams,
+                   round(h, 6) AS cross_entropy,
+                   round(exp(h), 6) AS perplexity,
+                   CASE WHEN h IS NULL THEN NULL
+                        WHEN h < CAST(3.38 AS DOUBLE) THEN 'head'
+                        WHEN h < CAST(3.45 AS DOUBLE) THEN 'middle'
+                        ELSE 'tail' END AS lm_bucket
+            FROM documents d LEFT JOIN scored USING (doc_id)
+        """,
+        "mixture_resample": f"""
+            WITH w AS (
+              SELECT * FROM (VALUES
+                ('src0', CAST(0.5 AS DOUBLE)),
+                ('src1', CAST(0.25 AS DOUBLE)),
+                ('src2', CAST(0.25 AS DOUBLE))
+              ) AS t(source, wt)
+            ),
+            counts AS (
+              SELECT source, count(*) AS n FROM documents GROUP BY source
+            ),
+            present AS (SELECT * FROM counts JOIN w USING (source)),
+            tt AS (
+              SELECT min(CAST(n AS DOUBLE) / wt) AS t FROM present
+            ),
+            rates AS (
+              SELECT source,
+                     least(CAST(1.0 AS DOUBLE),
+                           wt * tt.t / CAST(n AS DOUBLE)) AS rate
+              FROM present CROSS JOIN tt
+            )
+            SELECT doc_id, source, lang
+            FROM documents JOIN rates USING (source)
+            WHERE CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                  < CAST(FLOOR(rate * {float(1 << 60)}) AS BIGINT)
         """,
     }
     # the fast-kernel trainer answers to the same deterministic replay

@@ -100,6 +100,10 @@ HEADLINE = [
     "video_frames",
     "image_resize",
     "stratified_sample",
+    "pagerank",
+    "bloom_semi_join",
+    "lm_score",
+    "mixture_resample",
     # incremental_dedup is oracle-checked but not benched here: a tiny
     # two-batch ingest is dominated by store round-trips and component
     # rounds (fixed job overhead, not operator throughput) — its scale

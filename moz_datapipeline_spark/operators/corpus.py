@@ -432,6 +432,79 @@ def remove_boilerplate_lines(
     )
 
 
+def mixture_resample(
+    df: DataFrame,
+    group_col: str,
+    targets: dict[str, float],
+    key_col: str = "doc_id",
+    seed: str = "mix",
+) -> DataFrame:
+    """Resample a corpus to a TARGET mixture of groups, keeping as much
+    data as possible.
+
+    ``stratified_sample`` takes per-group rates; this derives them from
+    the data: given relative target weights (the DoReMi/Pile-style
+    domain-mixture spec), compute the largest output corpus whose group
+    proportions match the weights without upsampling — scale
+    ``T = min_g(n_g / w_g)`` over groups present in the data, so the
+    scarcest group relative to its weight is kept whole and every other
+    group downsamples to ``w_g·T`` expected rows.  Groups absent from
+    ``targets`` (or with weight 0) are dropped.
+
+    Membership is the engine's content-addressed md5-threshold family
+    (stable across runs, partitionings, and engines); the realised
+    mixture converges to the target by LLN — the price of keeping the
+    selection a single shuffle-free filter per row instead of a
+    per-group global sort, the right trade at corpus scale.
+
+    Plan shape: one count aggregation over the grouping key, a 1-row
+    min (never collected), a broadcast join of the tiny per-group rate
+    table, then one codegen filter on the scan.
+
+    Reference parity: extension operator; the derive-rates-then-filter
+    shape mirrors the reference's global-max normalisation (compute a
+    corpus statistic, broadcast it back over the rows).
+    """
+    pos = {g: float(w) for g, w in targets.items() if w > 0}
+    if not pos:
+        raise ValueError("mixture_resample needs at least one positive weight")
+    spark = df.sparkSession
+    w_df = spark.createDataFrame(
+        list(pos.items()), schema=f"{group_col} string, _w double"
+    )
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    present = counts.join(F.broadcast(w_df), group_col)
+    t_df = present.agg(
+        F.min(F.col("_n").cast("double") / F.col("_w")).alias("_t")
+    )
+    rates = present.crossJoin(F.broadcast(t_df)).select(
+        group_col,
+        F.least(
+            F.lit(1.0),
+            F.col("_w") * F.col("_t") / F.col("_n").cast("double"),
+        ).alias("_rate"),
+    )
+    space = float(1 << 60)
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(seed), F.lit(":"), F.col(key_col).cast("string")
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .filter(h < F.floor(F.col("_rate") * F.lit(space)))
+        .drop("_rate")
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     group_col: str,

@@ -1,0 +1,139 @@
+"""N-gram language-model perplexity scoring (CCNet-style quality gate).
+
+Production corpus pipelines score every candidate document against a
+language model trained on a trusted reference corpus and keep/weight by
+perplexity bucket (CCNet's KenLM head/middle/tail split).  This is that
+operator with a bigram model the engine can train ON-CLUSTER in two
+hash aggregations — no external model artifact, fully deterministic,
+and every step (tokenise, bigram, count, smooth, score) is expressible
+in ANSI SQL so the whole pipeline carries a value oracle.
+
+Model: add-k smoothed conditional bigrams over whitespace tokens (the
+engine's canonical tokenisation, same as ``corpus.tokens``):
+
+    p(w2 | w1) = (c(w1,w2) + k) / (c_ctx(w1) + k·V)
+
+where ``c_ctx`` sums bigram counts by left token (so the distribution
+is proper by construction) and ``V`` is the training vocabulary size.
+A document's score is the cross-entropy H = -mean log p over its
+bigrams (nats/token) and perplexity e^H; documents shorter than two
+tokens score NULL with ``n_bigrams = 0``.
+
+Plan shape (all JVM-side, zero Python UDFs):
+
+- train: one explode + two hash aggregations over the reference slice;
+  vocabulary is a 1-row aggregate cross-joined in (never collected);
+- score: one explode of evaluation bigrams, a left join to bigram
+  counts on (w1, w2) and to context counts on w1 — both equi-key,
+  AQE-skew-safe, broadcast when the model is small — then one per-doc
+  aggregation with map-side partials, and a left join back to the doc
+  list so short documents survive with NULL scores.
+
+Scale: model size is O(distinct bigrams) — for a 100 TB corpus scored
+against a bounded reference (the CCNet design), the counts tables are
+the small sides and broadcast; the eval side stays one scan + one
+shuffle per join key.
+
+Reference parity: extension surface; the score-then-band idiom mirrors
+the reference's severity banding over EAUL scores
+(scripts/criticality/index.js score→class mapping).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from moz_datapipeline_spark.operators.corpus import tokens
+
+
+def _bigrams(text_col: Column | str) -> Column:
+    """array<struct<w1,w2>> of adjacent token pairs (JVM-side)."""
+    t = tokens(text_col)
+    return F.transform(
+        F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))),
+        lambda w, i: F.struct(
+            w.alias("w1"), F.element_at(t, i + 2).alias("w2")
+        ),
+    )
+
+
+def train_bigram_lm(
+    ref: DataFrame, text_col: str = "text"
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Train on a reference corpus: returns ``(bigram_counts,
+    context_counts, vocab)`` — (w1, w2, c_bi), (w1, c_ctx), and a
+    1-row frame with ``v`` (vocabulary size, never collected)."""
+    bi = (
+        ref.select(F.explode(_bigrams(text_col)).alias("bg"))
+        .groupBy(
+            F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
+        )
+        .agg(F.count(F.lit(1)).alias("c_bi"))
+    )
+    ctx = bi.groupBy("w1").agg(F.sum("c_bi").alias("c_ctx"))
+    vocab = (
+        ref.select(F.explode(tokens(text_col)).alias("w"))
+        .agg(F.count_distinct("w").cast("double").alias("v"))
+    )
+    return bi, ctx, vocab
+
+
+def lm_score(
+    docs: DataFrame,
+    bigram_counts: DataFrame,
+    context_counts: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    add_k: float = 0.1,
+    buckets: tuple[float, float] = (4.5, 6.0),
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """Score documents against a trained bigram LM.
+
+    Returns ``(id, n_bigrams, cross_entropy, perplexity, lm_bucket)``,
+    rounded to 6 dp; ``lm_bucket`` is the CCNet head/middle/tail split
+    at the ``buckets`` cross-entropy thresholds (NULL for docs with no
+    bigrams)."""
+    lo, hi = buckets
+    bi = F.broadcast(bigram_counts) if broadcast_model else bigram_counts
+    ctx = F.broadcast(context_counts) if broadcast_model else context_counts
+
+    exploded = docs.select(
+        F.col(id_col), F.explode(_bigrams(text_col)).alias("bg")
+    ).select(
+        id_col,
+        F.col("bg.w1").alias("w1"),
+        F.col("bg.w2").alias("w2"),
+    )
+    k = float(add_k)
+    logp = F.log(
+        (F.coalesce(F.col("c_bi"), F.lit(0)) + F.lit(k))
+        / (F.coalesce(F.col("c_ctx"), F.lit(0)) + F.lit(k) * F.col("v"))
+    )
+    scored = (
+        exploded.join(bi, ["w1", "w2"], "left")
+        .join(ctx, ["w1"], "left")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (-F.avg(logp)).alias("_h"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(scored, [id_col], "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.round("_h", 6).alias("cross_entropy"),
+            F.round(F.exp("_h"), 6).alias("perplexity"),
+            F.when(F.col("_h").isNull(), F.lit(None).cast("string"))
+            .when(F.col("_h") < lo, F.lit("head"))
+            .when(F.col("_h") < hi, F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("lm_bucket"),
+        )
+    )

@@ -1,0 +1,215 @@
+"""Unit tests for the round-5 extension operators: PageRank, the Bloom
+semi-join prefilter, the bigram-LM quality gate, and mixture resampling."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from moz_datapipeline_spark.graph.pagerank import pagerank
+from moz_datapipeline_spark.operators.bloom import (
+    bloom_semi_join,
+    build_bloom_bitmap,
+)
+from moz_datapipeline_spark.operators.corpus import mixture_resample
+from moz_datapipeline_spark.operators.lm import lm_score, train_bigram_lm
+
+
+def _numpy_pagerank(edges, iters, d=0.85, dangling=True):
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    out = {}
+    for a, _ in edges:
+        out[a] = out.get(a, 0) + 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        nxt = np.full(n, (1.0 - d) / n)
+        dangle = sum(r[idx[v]] for v in nodes if v not in out)
+        for a, b in edges:
+            nxt[idx[b]] += d * r[idx[a]] / out[a]
+        if dangling:
+            nxt += d * dangle / n
+        r = nxt
+    return {v: r[idx[v]] for v in nodes}
+
+
+def test_pagerank_matches_power_iteration(spark):
+    edges = [(1, 2), (1, 3), (2, 3), (3, 1), (4, 3)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(e, iters=4).collect()
+    }
+    want = _numpy_pagerank(edges, 4)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], rel=1e-12)
+    # dangling case: node 3 has no out-edges, its mass redistributes
+    edges2 = [(1, 2), (2, 3)]
+    e2 = spark.createDataFrame(edges2, "src long, dst long")
+    got2 = {
+        r["node"]: r["rank"] for r in pagerank(e2, iters=3).collect()
+    }
+    want2 = _numpy_pagerank(edges2, 3)
+    total = sum(got2.values())
+    assert total == pytest.approx(1.0, rel=1e-12)
+    for v in want2:
+        assert got2[v] == pytest.approx(want2[v], rel=1e-12)
+
+
+def test_pagerank_duplicate_edges_collapse(spark):
+    e = spark.createDataFrame(
+        [(1, 2), (1, 2), (2, 1)], "src long, dst long"
+    )
+    got = {r["node"]: r["rank"] for r in pagerank(e, iters=2).collect()}
+    want = _numpy_pagerank([(1, 2), (2, 1)], 2)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], rel=1e-12)
+
+
+def test_pagerank_rejects_negative_iters(spark):
+    e = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError):
+        pagerank(e, iters=-1)
+
+
+def test_bloom_semi_join_equals_semi_join(spark):
+    fact = spark.range(0, 2000).withColumnRenamed("id", "k")
+    dim = (
+        spark.range(0, 2000)
+        .filter(F.col("id") % 7 == 0)
+        .withColumnRenamed("id", "dk")
+    )
+    got = bloom_semi_join(fact, dim, "k", "dk", num_bits=1 << 12)
+    want = fact.join(
+        dim.select(F.col("dk").alias("k")), "k", "left_semi"
+    )
+    assert sorted(r["k"] for r in got.collect()) == sorted(
+        r["k"] for r in want.collect()
+    )
+
+
+def test_bloom_semi_join_exact_under_heavy_false_positives(spark):
+    # 64 bits for 100 keys: the bitmap saturates, nearly every probe
+    # passes the Bloom stage — the exact join must still thin it.
+    fact = spark.range(0, 500).withColumnRenamed("id", "k")
+    dim = spark.range(0, 500).filter(F.col("id") % 5 == 0).withColumnRenamed(
+        "id", "k"
+    )
+    got = bloom_semi_join(fact, dim, "k", num_bits=64, num_hashes=2)
+    assert sorted(r["k"] for r in got.collect()) == list(range(0, 500, 5))
+
+
+def test_bloom_bitmap_build_is_bounded_and_valid(spark):
+    dim = spark.range(0, 1000).withColumnRenamed("id", "k")
+    bm = build_bloom_bitmap(dim, "k", num_bits=1 << 10, num_hashes=3)
+    assert len(bm) == (1 << 10) // 8
+    with pytest.raises(ValueError):
+        build_bloom_bitmap(dim, "k", num_bits=12)  # not a multiple of 8
+
+
+def test_bloom_plan_filters_below_join(spark):
+    fact = spark.range(0, 100).withColumnRenamed("id", "k")
+    dim = spark.range(0, 10).withColumnRenamed("id", "k")
+    out = bloom_semi_join(fact, dim, "k", num_bits=1 << 10)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the Arrow-batched membership test must sit in the plan (below the
+    # exact join, which remains for correctness)
+    assert "ArrowEvalPython" in plan
+    assert "Join" in plan
+
+
+def test_bigram_lm_hand_example(spark):
+    # train: "a b a b" → bigrams ab, ba, ab → c(a,b)=2, c(b,a)=1
+    # c_ctx(a)=2, c_ctx(b)=1, V=2
+    ref = spark.createDataFrame([("a b a b",)], "text string")
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "z"), (3, "a q")],
+        "doc_id long, text string",
+    )
+    bi, ctx, vocab = train_bigram_lm(ref)
+    out = {
+        r["doc_id"]: r
+        for r in lm_score(
+            docs, bi, ctx, vocab, add_k=0.5, buckets=(0.1, 0.6)
+        ).collect()
+    }
+    # doc 1: p(b|a) = (2+0.5)/(2+0.5*2) = 2.5/3 → H = -ln(2.5/3)
+    h1 = -np.log(2.5 / 3.0)
+    assert out[1]["n_bigrams"] == 1
+    assert out[1]["cross_entropy"] == pytest.approx(round(h1, 6))
+    assert out[1]["lm_bucket"] == "middle"
+    # doc 2: single token → no bigrams, NULL scores
+    assert out[2]["n_bigrams"] == 0
+    assert out[2]["cross_entropy"] is None
+    assert out[2]["lm_bucket"] is None
+    # doc 3: unseen bigram (a,q): p = (0+0.5)/(2+1) = 1/6
+    h3 = -np.log(0.5 / 3.0)
+    assert out[3]["cross_entropy"] == pytest.approx(round(h3, 6))
+    assert out[3]["lm_bucket"] == "tail"
+
+
+def test_lm_scores_rank_in_domain_text_lower(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ref = docs.filter(F.col("lang") == "en")
+    bi, ctx, vocab = train_bigram_lm(ref)
+    out = lm_score(docs, bi, ctx, vocab).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    med = {
+        r["lang"]: r["m"]
+        for r in out.groupBy("lang")
+        .agg(F.expr("percentile(cross_entropy, 0.5)").alias("m"))
+        .collect()
+    }
+    # text from the training domain must score lower than every other
+    assert med["en"] == min(med.values())
+
+
+def test_mixture_resample_hits_target_proportions(spark):
+    rows = (
+        [(i, "a") for i in range(4000)]
+        + [(i + 10000, "b") for i in range(1000)]
+        + [(i + 20000, "c") for i in range(500)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = mixture_resample(df, "source", {"a": 1.0, "b": 1.0})
+    counts = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    # c has no weight → dropped entirely
+    assert "c" not in counts
+    # scarce group b (1000 rows at weight 1.0) is kept whole;
+    # a downsamples toward 1000 (hash-threshold, binomial tolerance)
+    assert counts["b"] == 1000
+    assert abs(counts["a"] - 1000) < 150
+    # membership is deterministic across reruns
+    again = {
+        r["source"]: r["n"]
+        for r in mixture_resample(df, "source", {"a": 1.0, "b": 1.0})
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert again == counts
+
+
+def test_mixture_resample_rejects_empty_targets(spark):
+    df = spark.createDataFrame([(1, "a")], "doc_id long, source string")
+    with pytest.raises(ValueError):
+        mixture_resample(df, "source", {"a": 0.0})
+
+
+def test_mixture_resample_plan_is_filter_only(spark):
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b") for i in range(100)],
+        "doc_id long, source string",
+    )
+    out = mixture_resample(df, "source", {"a": 0.5, "b": 0.5})
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # selection is a broadcast join + filter: no sort, no window
+    assert "Window" not in plan
+    assert "Sort" not in plan.replace("SortMergeJoin", "")
