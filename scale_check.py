@@ -652,6 +652,95 @@ def incremental_scale_check(spark, docs) -> dict:
     return out
 
 
+def graph_lm_scale_check(spark, docs) -> dict:
+    """Round-5 extension rehearsal: PageRank at a few million edges,
+    the Bloom prefilter's measured exchange thinning, and bigram-LM
+    scoring throughput over the amplified corpus.
+
+    - ``pagerank``: a deterministic scale-free-ish multigraph —
+      node i links to i%1k, i%30k, and i+1 over 3M directed edges —
+      4 unrolled iterations; the claim is O(|E|) per round with a flat
+      stage count, checked by wall time and mass conservation.
+    - ``bloom``: fact 5M rows ⨝ 1%-selective dim; the number that
+      matters at 100 TB is ``bloom_pass_rows`` (what the exchange
+      carries after the membership test) vs the 5M a plain shuffle
+      semi join would move.  Equality with the exact semi join is
+      asserted, not assumed.
+    - ``lm``: train on the English slice, score every amplified doc —
+      docs/sec for an all-JVM pipeline (explode + two joins + agg).
+    """
+    from moz_datapipeline_spark.graph.pagerank import pagerank
+    from moz_datapipeline_spark.operators.bloom import (
+        bloom_semi_join,
+        build_bloom_bitmap,
+        _bit_positions,
+    )
+    from moz_datapipeline_spark.operators.lm import lm_score, train_bigram_lm
+
+    out: dict = {}
+
+    n_nodes = 1_000_000
+    base = spark.range(n_nodes).select(F.col("id").alias("src"))
+    edges = (
+        base.select("src", (F.col("src") % 1000).alias("dst"))
+        .unionByName(base.select("src", (F.col("src") % 30000).alias("dst")))
+        .unionByName(
+            base.select("src", ((F.col("src") + 1) % n_nodes).alias("dst"))
+        )
+        .filter(F.col("src") != F.col("dst"))
+    )
+    t0 = time.perf_counter()
+    pr = pagerank(edges, iters=4).cache()
+    mass = pr.agg(F.sum("rank")).collect()[0][0]
+    out["pagerank_edges"] = edges.count()
+    out["pagerank_sec"] = round(time.perf_counter() - t0, 2)
+    out["pagerank_mass"] = round(mass, 9)
+    pr.unpersist()
+
+    fact = spark.range(5_000_000).select((F.col("id") % 100_000).alias("k"))
+    dim = spark.range(1000).select((F.col("id") * 100).alias("k"))
+    bitmap = build_bloom_bitmap(dim, "k", num_bits=1 << 20, num_hashes=5)
+    bc = spark.sparkContext.broadcast(bitmap)
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("boolean")
+    def _mc(*pos):
+        bits = np.frombuffer(bc.value, dtype=np.uint8)
+        ok = np.ones(len(pos[0]), dtype=bool)
+        for p in pos:
+            idx = p.to_numpy()
+            ok &= (bits[idx >> 3] >> (idx & 7) & 1).astype(bool)
+        return pd.Series(ok)
+
+    t0 = time.perf_counter()
+    passed = fact.filter(
+        _mc(*_bit_positions(F.col("k"), 1 << 20, 5))
+    ).count()
+    exact = bloom_semi_join(fact, dim, "k", num_bits=1 << 20).count()
+    want = fact.join(dim, "k", "left_semi").count()
+    out["bloom_fact_rows"] = 5_000_000
+    out["bloom_pass_rows"] = passed
+    out["bloom_exact_rows"] = exact
+    out["bloom_matches_semi_join"] = bool(exact == want)
+    out["bloom_sec"] = round(time.perf_counter() - t0, 2)
+
+    # amplified docs carry only (doc_id, text); train on the raw
+    # corpus's English slice, score every amplified doc against it
+    ref = spark.read.parquet("/root/testdata/sf0.1/documents.parquet").filter(
+        F.col("lang") == "en"
+    )
+    t0 = time.perf_counter()
+    bi, ctx, vocab = train_bigram_lm(ref)
+    scored = lm_score(docs, bi, ctx, vocab)
+    n_scored = scored.count()
+    dt = time.perf_counter() - t0
+    out["lm_docs_scored"] = n_scored
+    out["lm_docs_per_sec"] = round(n_scored / dt, 1)
+    return out
+
+
 def main() -> None:
     spark = get_spark(app_name="dedup_scale_check")
     docs = amplified_corpus(spark, "/root/testdata/sf0.1/documents.parquet")
@@ -683,6 +772,7 @@ def main() -> None:
     incr = incremental_scale_check(spark, docs)
     media = media_scale_check(spark)
     routing = routing_scale_check(spark)
+    graph_lm = graph_lm_scale_check(spark, docs)
 
     print(
         json.dumps(
@@ -704,6 +794,7 @@ def main() -> None:
                 **incr,
                 **media,
                 **routing,
+                **graph_lm,
             }
         )
     )
