@@ -47,14 +47,29 @@ from pyspark.sql import functions as F
 from moz_datapipeline_spark.operators.corpus import tokens
 
 
-def _bigrams(text_col: Column | str) -> Column:
-    """array<struct<w1,w2>> of adjacent token pairs (JVM-side)."""
-    t = tokens(text_col)
+def _bigrams(t: Column) -> Column:
+    """array<struct<w1,w2>> of adjacent token pairs (JVM-side).
+
+    ``t`` MUST be a bound column holding the token array, not the
+    tokenisation expression itself: ``element_at`` inside the lambda
+    evaluates its array argument once per element, so an unbound
+    ``split(...)`` there turns a linear pass into O(len²) per row
+    (measured 2.7 s → 0.5 s at sf0.1 for the scoring explode)."""
     return F.transform(
         F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))),
         lambda w, i: F.struct(
             w.alias("w1"), F.element_at(t, i + 2).alias("w2")
         ),
+    )
+
+
+def _bigram_pairs(df: DataFrame, id_cols: list[str], text_col: str) -> DataFrame:
+    """Explode a document frame to one row per adjacent token pair."""
+    with_t = df.select(*id_cols, tokens(text_col).alias("_t"))
+    return with_t.select(
+        *id_cols, F.explode(_bigrams(F.col("_t"))).alias("bg")
+    ).select(
+        *id_cols, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
     )
 
 
@@ -65,10 +80,8 @@ def train_bigram_lm(
     context_counts, vocab)`` — (w1, w2, c_bi), (w1, c_ctx), and a
     1-row frame with ``v`` (vocabulary size, never collected)."""
     bi = (
-        ref.select(F.explode(_bigrams(text_col)).alias("bg"))
-        .groupBy(
-            F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
-        )
+        _bigram_pairs(ref, [], text_col)
+        .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c_bi"))
     )
     ctx = bi.groupBy("w1").agg(F.sum("c_bi").alias("c_ctx"))
@@ -100,13 +113,7 @@ def lm_score(
     bi = F.broadcast(bigram_counts) if broadcast_model else bigram_counts
     ctx = F.broadcast(context_counts) if broadcast_model else context_counts
 
-    exploded = docs.select(
-        F.col(id_col), F.explode(_bigrams(text_col)).alias("bg")
-    ).select(
-        id_col,
-        F.col("bg.w1").alias("w1"),
-        F.col("bg.w2").alias("w2"),
-    )
+    exploded = _bigram_pairs(docs, [id_col], text_col)
     k = float(add_k)
     logp = F.log(
         (F.coalesce(F.col("c_bi"), F.lit(0)) + F.lit(k))
