@@ -2422,6 +2422,18 @@ def q_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source", "lang")
 
 
+def q_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled language rebalance (α=0.5, the multilingual
+    sampling exponent): shares follow n^α, the scarcest language under
+    the exponent is kept whole, membership is the content-addressed md5
+    threshold (operators/corpus.temperature_resample)."""
+    from moz_datapipeline_spark.operators.corpus import temperature_resample
+
+    d = _t(spark, sf_dir, "documents")
+    out = temperature_resample(d, "lang", 0.5)
+    return out.select("doc_id", "lang", "source")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -2529,6 +2541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_semi_join": q_bloom_semi_join,
         "lm_score": q_lm_score,
         "mixture_resample": q_mixture_resample,
+        "temperature_resample": q_temperature_resample,
     }
 
 
@@ -4690,6 +4703,24 @@ QUALIFY rank <= 3
             SELECT doc_id, source, lang
             FROM documents JOIN rates USING (source)
             WHERE CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                  < CAST(FLOOR(rate * {float(1 << 60)}) AS BIGINT)
+        """,
+        "temperature_resample": f"""
+            WITH counts AS (
+              SELECT lang, count(*) AS n FROM documents GROUP BY lang
+            ),
+            p AS (
+              SELECT lang,
+                     pow(CAST(n AS DOUBLE), CAST(0.5 AS DOUBLE)) AS p
+              FROM counts
+            ),
+            m AS (SELECT min(p) AS mp FROM p),
+            rates AS (
+              SELECT lang, m.mp / p.p AS rate FROM p CROSS JOIN m
+            )
+            SELECT doc_id, lang, source
+            FROM documents JOIN rates USING (lang)
+            WHERE CAST(('0x' || substr(md5('temp:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
                   < CAST(FLOOR(rate * {float(1 << 60)}) AS BIGINT)
         """,
     }

@@ -505,6 +505,61 @@ def mixture_resample(
     )
 
 
+def temperature_resample(
+    df: DataFrame,
+    group_col: str,
+    alpha: float,
+    key_col: str = "doc_id",
+    seed: str = "temp",
+) -> DataFrame:
+    """Temperature-scaled group rebalance: downsample so group shares
+    follow ``n_g^alpha`` instead of ``n_g`` (the multilingual
+    α-sampling scheme — α=1 keeps natural proportions, α→0 flattens
+    toward uniform), keeping as much data as possible: the group
+    smallest under the exponent survives whole and every other group
+    keeps ``(p_min / n_g^(1-α))`` of its rows.
+
+    Same derive-rates-then-hash-filter plan as ``mixture_resample``
+    (one count aggregation, a 1-row min, a broadcast rate join, one
+    codegen filter); the per-group rate is ``min_h(n_h^(1-α)) /
+    n_g^(1-α)``, computed with the identical ``pow`` expression the
+    oracle replays.
+
+    Reference parity: extension operator; same shape as
+    ``mixture_resample`` with data-derived weights ``w_g = n_g^α``.
+    """
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError("temperature_resample: alpha must be in [0, 1]")
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    p = counts.select(
+        group_col,
+        F.pow(F.col("_n").cast("double"), F.lit(1.0 - alpha)).alias("_p"),
+    )
+    m = p.agg(F.min("_p").alias("_mp"))
+    rates = p.crossJoin(F.broadcast(m)).select(
+        group_col, (F.col("_mp") / F.col("_p")).alias("_rate")
+    )
+    space = float(1 << 60)
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(seed), F.lit(":"), F.col(key_col).cast("string")
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .filter(h < F.floor(F.col("_rate") * F.lit(space)))
+        .drop("_rate")
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     group_col: str,

@@ -197,6 +197,30 @@ def test_mixture_resample_hits_target_proportions(spark):
     assert again == counts
 
 
+def test_temperature_resample_flattens_toward_uniform(spark):
+    from moz_datapipeline_spark.operators.corpus import temperature_resample
+
+    rows = [(i, "big") for i in range(9000)] + [
+        (i + 100000, "small") for i in range(1000)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = temperature_resample(df, "source", 0.5)
+    counts = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    # smallest group kept whole; big keeps ~ (1000/9000)^0.5 = 1/3
+    assert counts["small"] == 1000
+    assert abs(counts["big"] - 3000) < 200
+    # alpha=1 keeps natural proportions (everything survives)
+    full = temperature_resample(df, "source", 1.0).count()
+    assert full == 10000
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        temperature_resample(df, "source", 1.5)
+
+
 def test_mixture_resample_rejects_empty_targets(spark):
     df = spark.createDataFrame([(1, "a")], "doc_id long, source string")
     with pytest.raises(ValueError):
