@@ -2434,6 +2434,21 @@ def q_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "source")
 
 
+def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document exact-substring dedup bounded to 10-token spans:
+    any 10-token run shared by >=2 distinct documents is stripped from
+    every occurrence; rebuild is one higher-order filter over the token
+    array (operators/corpus.remove_duplicate_spans).  VALUE oracle: the
+    same explode->heavy-hitter->position-mask pipeline in DuckDB, the
+    literal token window as the join key (collision-free)."""
+    from moz_datapipeline_spark.operators.corpus import remove_duplicate_spans
+
+    d = _t(spark, sf_dir, "documents")
+    return remove_duplicate_spans(
+        d, window=10, min_docs=2, hash_keys=not _portable_hash_mode()
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -2542,6 +2557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_score": q_lm_score,
         "mixture_resample": q_mixture_resample,
         "temperature_resample": q_temperature_resample,
+        "duplicate_spans": q_duplicate_spans,
     }
 
 
@@ -4722,6 +4738,42 @@ QUALIFY rank <= 3
             FROM documents JOIN rates USING (lang)
             WHERE CAST(('0x' || substr(md5('temp:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
                   < CAST(FLOOR(rate * {float(1 << 60)}) AS BIGINT)
+        """,
+        "duplicate_spans": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '), t -> t <> '') AS t
+              FROM documents
+            ),
+            wins AS (
+              SELECT doc_id, u.i AS pos,
+                     array_to_string(t[u.i:u.i+9], ' ') AS key
+              FROM toks, UNNEST(generate_series(1, len(t) - 9)) AS u(i)
+            ),
+            dup AS (
+              SELECT key FROM wins
+              GROUP BY key HAVING count(DISTINCT doc_id) >= 2
+            ),
+            flagged AS (
+              SELECT doc_id, list(pos) AS ss
+              FROM wins JOIN dup USING (key) GROUP BY doc_id
+            ),
+            joined AS (
+              SELECT toks.doc_id, t, coalesce(ss, []) AS ss
+              FROM toks LEFT JOIN flagged USING (doc_id)
+            ),
+            kept AS (
+              SELECT doc_id, t,
+                     list_filter(t, (x, i) ->
+                       len(list_filter(ss, s -> i >= s AND i < s + 10)) = 0
+                     ) AS k
+              FROM joined
+            )
+            SELECT doc_id,
+                   len(t) AS n_tokens,
+                   len(t) - len(k) AS n_removed,
+                   coalesce(array_to_string(k, ' '), '') AS text_clean
+            FROM kept
         """,
     }
     # the fast-kernel trainer answers to the same deterministic replay

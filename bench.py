@@ -104,6 +104,7 @@ HEADLINE = [
     "bloom_semi_join",
     "lm_score",
     "mixture_resample",
+    "duplicate_spans",
     # incremental_dedup is oracle-checked but not benched here: a tiny
     # two-batch ingest is dominated by store round-trips and component
     # rounds (fixed job overhead, not operator throughput) — its scale

@@ -505,6 +505,102 @@ def mixture_resample(
     )
 
 
+def remove_duplicate_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 20,
+    min_docs: int = 2,
+    hash_keys: bool = False,
+) -> DataFrame:
+    """Cross-document exact-substring dedup, bounded to ``window``-token
+    spans: any run of ``window`` consecutive tokens whose exact
+    sequence appears in at least ``min_docs`` DISTINCT documents is
+    removed from every document containing it (the train-set
+    substring-dedup scheme, restricted to a fixed window so the work
+    stays one explode + one aggregation instead of a suffix array).
+
+    ``remove_boilerplate_lines`` is the line-granularity cousin; this
+    catches boilerplate that does not respect line boundaries
+    (licence sleds, navigation chrome, templated sentences).
+
+    Plan shape: explode each document into its rolling windows keyed by
+    the literal token sequence (O(len·window) characters per doc — the
+    window IS the join key, no hash collisions to reason about); count
+    distinct docs per key with map-side partials; join flagged keys
+    back (equi join, AQE decides broadcast vs shuffle from the
+    measured duplicate volume); collect flagged start positions per
+    doc; rebuild the text with one higher-order filter over the token
+    array (a position survives iff no flagged span covers it).  All
+    JVM-side, no Python UDFs.
+
+    Returns ``(id, n_tokens, n_removed, text_clean)``.
+
+    Scale: duplicate-window volume, not corpus size, drives the join's
+    build side; the explode is a linear scan.  ``hash_keys=True`` swaps
+    the literal window string for its xxhash64 (8 bytes instead of
+    ~6·window chars through the aggregation and join exchanges — the
+    production setting at corpus scale); the default keeps the literal
+    key so the oracle is collision-free by construction.
+
+    Reference parity: extension operator; same heavy-hitter anti-join
+    idiom as ``remove_boilerplate_lines``.
+    """
+    if window < 2:
+        raise ValueError("remove_duplicate_spans: window must be >= 2")
+    w = int(window)
+    toks = docs.select(F.col(id_col), tokens(text_col).alias("_t"))
+    starts_range = F.when(
+        F.size("_t") >= w, F.sequence(F.lit(1), F.size("_t") - w + 1)
+    ).otherwise(F.array().cast("array<int>"))
+    def _key(win_str: Column) -> Column:
+        return F.xxhash64(win_str) if hash_keys else win_str
+
+    wins = toks.select(
+        id_col,
+        F.explode(
+            F.transform(
+                starts_range,
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    _key(
+                        F.array_join(F.slice("_t", i, F.lit(w)), " ")
+                    ).alias("key"),
+                ),
+            )
+        ).alias("win"),
+    ).select(id_col, F.col("win.pos").alias("pos"), F.col("win.key").alias("key"))
+    dup = (
+        wins.groupBy("key")
+        .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("key")
+    )
+    flagged = (
+        wins.join(dup, "key")
+        .groupBy(id_col)
+        .agg(F.collect_list("pos").alias("_starts"))
+    )
+    joined = toks.join(flagged, [id_col], "left").select(
+        id_col,
+        "_t",
+        F.coalesce("_starts", F.array().cast("array<int>")).alias("_starts"),
+    )
+    keep = F.filter(
+        F.col("_t"),
+        lambda tok, i: ~F.exists(
+            F.col("_starts"),
+            lambda s: (i + 1 >= s) & (i + 1 < s + w),
+        ),
+    )
+    return joined.select(
+        id_col,
+        F.size("_t").alias("n_tokens"),
+        (F.size("_t") - F.size(keep)).alias("n_removed"),
+        F.array_join(keep, " ").alias("text_clean"),
+    )
+
+
 def temperature_resample(
     df: DataFrame,
     group_col: str,

@@ -197,6 +197,69 @@ def test_mixture_resample_hits_target_proportions(spark):
     assert again == counts
 
 
+def test_remove_duplicate_spans_hand_example(spark):
+    from moz_datapipeline_spark.operators.corpus import remove_duplicate_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "x1 x2 common a b c tail1 tail2"),
+            (2, "y1 common a b c y2 y3 y4"),
+            (3, "unrelated words only here nothing shared"),
+            (4, "tiny"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in remove_duplicate_spans(docs, window=4, min_docs=2).collect()
+    }
+    # the shared 4-token window is "common a b c" — every covered
+    # position in both docs goes away, the rest survives in order
+    assert out[1]["text_clean"] == "x1 x2 tail1 tail2"
+    assert out[1]["n_removed"] == 4
+    assert out[2]["text_clean"] == "y1 y2 y3 y4"
+    # untouched doc passes through byte-identical
+    assert out[3]["n_removed"] == 0
+    assert out[3]["text_clean"] == "unrelated words only here nothing shared"
+    # shorter than the window: no windows, unchanged
+    assert out[4]["n_removed"] == 0
+    assert out[4]["text_clean"] == "tiny"
+
+    with pytest.raises(ValueError):
+        remove_duplicate_spans(docs, window=1)
+
+
+def test_remove_duplicate_spans_overlapping_windows(spark):
+    from moz_datapipeline_spark.operators.corpus import remove_duplicate_spans
+
+    # two docs share a 5-token run; with window=4 the run yields two
+    # overlapping flagged windows whose union covers all 5 positions
+    docs = spark.createDataFrame(
+        [(1, "p q r s t u"), (2, "a p q r s t")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in remove_duplicate_spans(docs, window=4, min_docs=2).collect()
+    }
+    assert out[1]["text_clean"] == "u"
+    assert out[1]["n_removed"] == 5
+    assert out[2]["text_clean"] == "a"
+
+
+def test_remove_duplicate_spans_hash_keys_agree(spark, sf_dir):
+    from moz_datapipeline_spark.operators.corpus import remove_duplicate_spans
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lit = remove_duplicate_spans(docs, window=10).orderBy("doc_id").collect()
+    fast = (
+        remove_duplicate_spans(docs, window=10, hash_keys=True)
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert [r.asDict() for r in lit] == [r.asDict() for r in fast]
+
+
 def test_temperature_resample_flattens_toward_uniform(spark):
     from moz_datapipeline_spark.operators.corpus import temperature_resample
 
