@@ -2449,6 +2449,31 @@ def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over a deterministic tri-partite hub
+    graph derived from customer keys (every customer closes a triangle
+    with its two hash hubs; hubs interconnect).  Degree-ordered
+    orientation bounds the wedge join (graph/triangles.py).  VALUE
+    oracle: the same orient->wedge->close pipeline in DuckDB, all
+    integer arithmetic."""
+    from moz_datapipeline_spark.graph.triangles import triangle_counts
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    h1 = (F.col("c_custkey") % 97 + 2000000).alias("dst")
+    h2 = (F.col("c_custkey") % 31 + 2200000).alias("dst")
+    edges = (
+        c.select(F.col("c_custkey").alias("src"), h1)
+        .unionByName(c.select(F.col("c_custkey").alias("src"), h2))
+        .unionByName(
+            c.select(
+                (F.col("c_custkey") % 97 + 2000000).alias("src"),
+                (F.col("c_custkey") % 31 + 2200000).alias("dst"),
+            )
+        )
+    )
+    return triangle_counts(edges)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -2558,6 +2583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_resample": q_mixture_resample,
         "temperature_resample": q_temperature_resample,
         "duplicate_spans": q_duplicate_spans,
+        "triangle_count": q_triangle_count,
     }
 
 
@@ -4774,6 +4800,53 @@ QUALIFY rank <= 3
                    len(t) - len(k) AS n_removed,
                    coalesce(array_to_string(k, ' '), '') AS text_clean
             FROM kept
+        """,
+        "triangle_count": """
+            WITH raw AS (
+              SELECT c_custkey AS s, 2000000 + c_custkey % 97 AS t FROM customer
+              UNION ALL
+              SELECT c_custkey, 2200000 + c_custkey % 31 FROM customer
+              UNION ALL
+              SELECT 2000000 + c_custkey % 97, 2200000 + c_custkey % 31
+              FROM customer
+            ),
+            und AS (
+              SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b
+              FROM raw WHERE s <> t
+            ),
+            deg AS (
+              SELECT n, count(*) AS d FROM (
+                SELECT a AS n FROM und UNION ALL SELECT b AS n FROM und
+              ) GROUP BY n
+            ),
+            keyed AS (SELECT n, d * 4294967296 + n AS k FROM deg),
+            wk AS (
+              SELECT a, b, ka.k AS ka, kb.k AS kb
+              FROM und
+              JOIN keyed ka ON ka.n = a
+              JOIN keyed kb ON kb.n = b
+            ),
+            ori AS (
+              SELECT CASE WHEN ka < kb THEN a ELSE b END AS u,
+                     CASE WHEN ka < kb THEN b ELSE a END AS v,
+                     greatest(ka, kb) AS kv
+              FROM wk
+            ),
+            wedges AS (
+              SELECT e1.u AS u, e1.v AS x, e2.v AS y
+              FROM ori e1 JOIN ori e2 ON e1.u = e2.u
+              WHERE e1.kv < e2.kv
+            ),
+            closed AS (
+              SELECT w.u, w.x, w.y
+              FROM wedges w JOIN ori o ON o.u = w.x AND o.v = w.y
+            ),
+            corners AS (
+              SELECT u AS node FROM closed
+              UNION ALL SELECT x FROM closed
+              UNION ALL SELECT y FROM closed
+            )
+            SELECT node, count(*) AS triangles FROM corners GROUP BY node
         """,
     }
     # the fast-kernel trainer answers to the same deterministic replay

@@ -75,6 +75,37 @@ def test_pagerank_rejects_negative_iters(spark):
         pagerank(e, iters=-1)
 
 
+def test_triangle_counts_match_bruteforce(spark):
+    from itertools import combinations
+
+    from moz_datapipeline_spark.graph.triangles import triangle_counts
+
+    # deterministic pseudo-random graph on 40 nodes, plus noise:
+    # self loops, duplicates, and reversed duplicates must collapse
+    edges = [((i * 7) % 40, (i * 13 + 3) % 40) for i in range(160)]
+    # guarantee triangle-rich structure: a K5 clique plus a fan
+    edges += list(combinations(range(5), 2))
+    edges += [(20, 21), (21, 22), (20, 22), (20, 23), (22, 23)]
+    noisy = edges + [(b, a) for a, b in edges[:50]] + [(5, 5), (9, 9)]
+    adj = {frozenset(e) for e in edges if e[0] != e[1]}
+    want: dict[int, int] = {}
+    for tri in combinations(range(40), 3):
+        u, v, w = tri
+        if (
+            frozenset((u, v)) in adj
+            and frozenset((v, w)) in adj
+            and frozenset((u, w)) in adj
+        ):
+            for n in tri:
+                want[n] = want.get(n, 0) + 1
+    e = spark.createDataFrame(noisy, "src long, dst long")
+    got = {
+        r["node"]: r["triangles"] for r in triangle_counts(e).collect()
+    }
+    assert got == want
+    assert sum(want.values()) % 3 == 0 and sum(want.values()) > 0
+
+
 def test_bloom_semi_join_equals_semi_join(spark):
     fact = spark.range(0, 2000).withColumnRenamed("id", "k")
     dim = (

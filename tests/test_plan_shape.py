@@ -350,3 +350,31 @@ def test_ivfadc_probed_scoring_stays_broadcast(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     assert "MapInPandas" in plan
     assert plan.index("Window") < plan.index("MapInPandas")
+
+
+def test_lm_score_all_jvm_broadcast_model(spark, sf_dir):
+    """The LM gate: model counts broadcast into the eval explode (no
+    sort-merge join), every aggregation two-phase, zero Python."""
+    plan = _plan(entry_mod.q_lm_score(spark, sf_dir))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_pagerank_persists_loop_invariants(spark, sf_dir):
+    """Each unrolled iteration must read edges/ranks from the cache,
+    not re-derive them — the cached scans are visible in the plan."""
+    plan = _plan(entry_mod.q_pagerank(spark, sf_dir))
+    assert "InMemoryTableScan" in plan
+
+
+def test_duplicate_spans_no_python_two_phase_agg(spark, sf_dir):
+    """Substring dedup: explode + hash aggregations + equi join, all
+    JVM-side; the rebuild filter is a higher-order function, never a
+    Python UDF, and there is no window/sort anywhere."""
+    plan = _plan(entry_mod.q_duplicate_spans(spark, sf_dir))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "Window" not in plan
+    assert plan.count("HashAggregate") >= 2
