@@ -2474,6 +2474,24 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_counts(edges)
 
 
+def q_zorder_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order curve values for a two-dimensional layout key over the
+    part table (sources/layout.zorder_value): interleaved-bit integer
+    arithmetic, the write-path clustering primitive that makes parquet
+    min/max pruning selective on both dimensions.  VALUE oracle: the
+    same bit-interleave fold in DuckDB."""
+    from moz_datapipeline_spark.sources.layout import zorder_value
+
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        (F.col("p_partkey") % 1024).alias("gx"),
+        (F.col("p_partkey") * 7 % 1024).alias("gy"),
+    )
+    return p.select(
+        "p_partkey", "gx", "gy", zorder_value("gx", "gy", bits=10).alias("zvalue")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -2584,6 +2602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_resample": q_temperature_resample,
         "duplicate_spans": q_duplicate_spans,
         "triangle_count": q_triangle_count,
+        "zorder_curve": q_zorder_curve,
     }
 
 
@@ -4847,6 +4866,20 @@ QUALIFY rank <= 3
               UNION ALL SELECT y FROM closed
             )
             SELECT node, count(*) AS triangles FROM corners GROUP BY node
+        """,
+        "zorder_curve": """
+            WITH g AS (
+              SELECT p_partkey,
+                     p_partkey % 1024 AS gx,
+                     p_partkey * 7 % 1024 AS gy
+              FROM part
+            )
+            SELECT p_partkey, gx, gy,
+                   list_sum(list_transform(range(0, 10), k ->
+                     (((CAST(gx AS BIGINT) >> k) & 1) << (2*k))
+                     + (((CAST(gy AS BIGINT) >> k) & 1) << (2*k+1))
+                   ))::BIGINT AS zvalue
+            FROM g
         """,
     }
     # the fast-kernel trainer answers to the same deterministic replay

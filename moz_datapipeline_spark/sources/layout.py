@@ -1,0 +1,84 @@
+"""Physical data layout for scan pruning and shuffle-free joins.
+
+At 100 TB the fastest shuffle is the one the layout already did:
+
+- **Bucketed tables** hash-partition rows into a fixed number of files
+  per partition at WRITE time; two tables bucketed on the same key and
+  count then join with NO exchange on either side — the join becomes a
+  per-bucket merge, the Spark-native equivalent of the co-located join
+  every warehouse engine builds around.  Worth it for fact tables that
+  are joined on the same key by many downstream queries (the reference
+  re-joins its ways table by way_id in nearly every script —
+  scripts/criticality/criticality.sh, scripts/eaul/*).
+- **Z-order clustering** sorts rows along an interleaved-bit
+  space-filling curve over two dimensions, so parquet row-group
+  min/max stats become selective for BOTH columns at once: a range
+  predicate on either dimension prunes most row groups.  The curve
+  value is plain integer arithmetic (bit interleave), computed
+  JVM-side and replayable in ANSI SQL.
+
+Reference parity: extension surface — the reference leans on external
+tooling for layout (tippecanoe tiling, S3 object naming); here layout
+is a first-class operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    num_buckets: int,
+    sort: bool = True,
+) -> None:
+    """Persist ``df`` as a parquet table bucketed (and by default
+    sorted) by ``key``.  Joins between tables bucketed on the same key
+    with the same bucket count skip the exchange on both sides
+    (pinned by ``test_layout``)."""
+    if num_buckets < 1:
+        raise ValueError("write_bucketed: num_buckets must be >= 1")
+    w = df.write.format("parquet").bucketBy(num_buckets, key)
+    if sort:
+        w = w.sortBy(key)
+    w.mode("overwrite").saveAsTable(table)
+
+
+def zorder_value(x: str, y: str, bits: int = 21) -> Column:
+    """Interleaved-bit Z-curve value of two non-negative ints (x in the
+    even bit positions, y in the odd): pure codegen integer arithmetic,
+    identical expression in ANSI SQL for the oracle.  ``bits`` ≤ 31
+    per dimension keeps the result in a signed 64-bit long.
+
+    ``x``/``y`` are column names (or SQL expressions): the variable
+    bit-shift inside the fold exists only in the SQL surface, so the
+    expression is built with ``F.expr`` rather than the Column DSL."""
+    if not 1 <= bits <= 31:
+        raise ValueError("zorder_value: bits must be in [1, 31]")
+    return F.expr(
+        f"aggregate(sequence(0, {bits - 1}), 0L, (acc, k) -> acc"
+        f" + (((CAST({x} AS BIGINT) >> k) & 1) << (2*k))"
+        f" + (((CAST({y} AS BIGINT) >> k) & 1) << (2*k+1)))"
+    )
+
+
+def zorder_layout(
+    df: DataFrame,
+    x: str,
+    y: str,
+    bits: int = 21,
+    num_partitions: int | None = None,
+    z_col: str = "zvalue",
+) -> DataFrame:
+    """Cluster ``df`` along the Z-curve of (x, y): range-partition on
+    the curve value, sort within partitions, keep the curve value in
+    ``z_col`` so writers can drop or persist it.  Row content is
+    unchanged — this is purely physical order."""
+    with_z = df.withColumn(z_col, zorder_value(x, y, bits))
+    parts = [num_partitions] if num_partitions else []
+    return with_z.repartitionByRange(*parts, z_col).sortWithinPartitions(
+        z_col
+    )

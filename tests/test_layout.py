@@ -1,0 +1,94 @@
+"""Physical-layout operators: bucketed tables (exchange-free joins)
+and Z-order clustering."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from moz_datapipeline_spark.sources.layout import (
+    write_bucketed,
+    zorder_layout,
+    zorder_value,
+)
+
+
+def _py_zorder(x: int, y: int, bits: int) -> int:
+    z = 0
+    for k in range(bits):
+        z += ((x >> k) & 1) << (2 * k)
+        z += ((y >> k) & 1) << (2 * k + 1)
+    return z
+
+
+def test_zorder_value_matches_reference(spark):
+    df = spark.createDataFrame(
+        [(x, y) for x in (0, 1, 5, 100, 1023) for y in (0, 3, 7, 512)],
+        "x long, y long",
+    )
+    got = df.select("x", "y", zorder_value("x", "y", bits=10).alias("z")).collect()
+    for r in got:
+        assert r["z"] == _py_zorder(r["x"], r["y"], 10), (r["x"], r["y"])
+
+
+def test_zorder_value_rejects_bad_bits(spark):
+    with pytest.raises(ValueError):
+        zorder_value("x", "y", bits=0)
+    with pytest.raises(ValueError):
+        zorder_value("x", "y", bits=40)
+
+
+def test_zorder_layout_preserves_rows_and_sorts(spark):
+    df = spark.createDataFrame(
+        [((i * 37) % 256, (i * 91) % 256) for i in range(2000)],
+        "x long, y long",
+    )
+    out = zorder_layout(df, "x", "y", bits=8, num_partitions=4)
+    rows = out.select(
+        F.spark_partition_id().alias("pid"), "zvalue", "x", "y"
+    ).collect()
+    assert len(rows) == 2000
+    # content preserved as a multiset
+    assert sorted((r["x"], r["y"]) for r in rows) == sorted(
+        ((i * 37) % 256, (i * 91) % 256) for i in range(2000)
+    )
+    # physically sorted along the curve within every partition
+    by_pid: dict[int, list[int]] = {}
+    for r in rows:
+        by_pid.setdefault(r["pid"], []).append(r["zvalue"])
+    for zs in by_pid.values():
+        assert zs == sorted(zs)
+
+
+def test_bucketed_join_eliminates_exchange(spark, sf_dir):
+    spark.sql("DROP TABLE IF EXISTS bkt_orders")
+    spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
+    )
+    write_bucketed(orders, "bkt_orders", "o_orderkey", 8)
+    write_bucketed(lineitem, "bkt_lineitem", "o_orderkey", 8)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("bkt_orders").join(
+            spark.table("bkt_lineitem"), "o_orderkey"
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        # and it still computes the right thing
+        want = orders.join(lineitem, "o_orderkey").count()
+        assert joined.count() == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS bkt_orders")
+        spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
+
+
+def test_write_bucketed_rejects_bad_count(spark):
+    df = spark.range(1)
+    with pytest.raises(ValueError):
+        write_bucketed(df, "nope", "id", 0)
