@@ -697,6 +697,17 @@ def graph_lm_scale_check(spark, docs) -> dict:
     out["pagerank_mass"] = round(mass, 9)
     pr.unpersist()
 
+    # triangle counting on the same 3M-edge graph: the hub nodes
+    # (i % 1000) have degree ~3k — the degree-ordered orientation must
+    # keep the wedge join bounded anyway
+    from moz_datapipeline_spark.graph.triangles import triangle_counts
+
+    t0 = time.perf_counter()
+    tri = triangle_counts(edges)
+    total_corners = tri.agg(F.sum("triangles")).collect()[0][0]
+    out["triangles_total"] = int(total_corners) // 3
+    out["triangles_sec"] = round(time.perf_counter() - t0, 2)
+
     fact = spark.range(5_000_000).select((F.col("id") % 100_000).alias("k"))
     dim = spark.range(1000).select((F.col("id") * 100).alias("k"))
     bitmap = build_bloom_bitmap(dim, "k", num_bits=1 << 20, num_hashes=5)
