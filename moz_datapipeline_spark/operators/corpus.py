@@ -553,20 +553,18 @@ def remove_duplicate_spans(
     starts_range = F.when(
         F.size("_t") >= w, F.sequence(F.lit(1), F.size("_t") - w + 1)
     ).otherwise(F.array().cast("array<int>"))
-    def _key(win_str: Column) -> Column:
-        return F.xxhash64(win_str) if hash_keys else win_str
+    def _key(i: Column) -> Column:
+        win = F.slice("_t", i, F.lit(w))
+        # hash mode hashes the token array directly (xxhash64 folds
+        # complex types) — no window string is ever materialized
+        return F.xxhash64(win) if hash_keys else F.array_join(win, " ")
 
     wins = toks.select(
         id_col,
         F.explode(
             F.transform(
                 starts_range,
-                lambda i: F.struct(
-                    i.alias("pos"),
-                    _key(
-                        F.array_join(F.slice("_t", i, F.lit(w)), " ")
-                    ).alias("key"),
-                ),
+                lambda i: F.struct(i.alias("pos"), _key(i).alias("key")),
             )
         ).alias("win"),
     ).select(id_col, F.col("win.pos").alias("pos"), F.col("win.key").alias("key"))

@@ -301,3 +301,48 @@ def dict_of_dicts_to_long(
     return spark.createDataFrame(
         rows, schema=f"way_id string, return_period int, {value_name} double"
     )
+
+
+def read_json_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    corrupt_col: str = "_corrupt_record",
+) -> tuple[DataFrame, DataFrame]:
+    """JSONL scan with a dead-letter split: returns ``(good, bad)``.
+
+    A 100 TB ingest always contains malformed records; failing the job
+    (FAILFAST) or silently nulling them (plain PERMISSIVE) both lose
+    information.  This is the standard quarantine pattern: PERMISSIVE
+    mode routes each unparseable line's raw text into ``corrupt_col``,
+    ``good`` carries the parsed rows with the column dropped, ``bad``
+    carries (raw_record) rows for a dead-letter sink.  Both outputs
+    are partitions of ONE scan plan — Catalyst runs the parse once per
+    branch, no driver-side pass.
+
+    The caller's ``schema`` must NOT already contain ``corrupt_col``;
+    it is appended here (Spark requires it declared when a schema is
+    supplied explicitly).
+    """
+    if corrupt_col in {f.name for f in schema.fields}:
+        raise ValueError(
+            f"read_json_quarantine: schema already has {corrupt_col!r}"
+        )
+    full = T.StructType(
+        list(schema.fields) + [T.StructField(corrupt_col, T.StringType(), True)]
+    )
+    raw = (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+    )
+    # Spark refuses to filter on the corrupt column of an un-cached
+    # json scan (SPARK-21610 semantics); caching the parsed frame is
+    # the documented resolution and bounds the double-read anyway.
+    raw = raw.cache()
+    good = raw.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    bad = raw.filter(F.col(corrupt_col).isNotNull()).select(
+        F.col(corrupt_col).alias("raw_record")
+    )
+    return good, bad

@@ -94,3 +94,42 @@ def test_merge_eaul_flatten(spark):
 
 # shapefile scan coverage lives in tests/test_shapefile.py — the pure
 # stdlib+numpy parser needs no geopandas gate
+
+
+def test_read_json_quarantine_splits_good_and_bad(spark, tmp_path):
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    from moz_datapipeline_spark.sources.readers import read_json_quarantine
+
+    p = tmp_path / "mixed.jsonl"
+    lines = [
+        _json.dumps({"id": 1, "name": "ok"}),
+        "{this is not json",
+        _json.dumps({"id": 2, "name": "fine"}),
+        '{"id": "not-an-int-but-parseable", "name": 3}',
+        "",
+    ]
+    p.write_text("\n".join(lines))
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+        ]
+    )
+    good, bad = read_json_quarantine(spark, str(p), schema)
+    good_rows = {r["id"] for r in good.collect()}
+    bad_rows = [r["raw_record"] for r in bad.collect()]
+    assert {1, 2} <= good_rows
+    assert any("this is not json" in b for b in bad_rows)
+    # quarantine keeps the raw text, so nothing is silently dropped
+    assert good.count() + bad.count() >= 4
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        bad_schema = T.StructType(
+            [T.StructField("_corrupt_record", T.StringType())]
+        )
+        read_json_quarantine(spark, str(p), bad_schema)
