@@ -2492,6 +2492,21 @@ def q_zorder_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters over event users, certified
+    against exact counts (operators/analytics.cms_heavy_hitters).
+    Unlike the HLL/KLL certifications, the sketch ESTIMATES themselves
+    are value-checked: the oracle rebuilds the 4x256 bucket table with
+    the same md5 bucket hashes and replays the min-over-rows point
+    queries."""
+    from moz_datapipeline_spark.operators.analytics import cms_heavy_hitters
+
+    ev = _t(spark, sf_dir, "events").select("user_id")
+    return cms_heavy_hitters(
+        ev, depth=4, width=256, k=10, portable=_portable_hash_mode()
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -2603,6 +2618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_spans": q_duplicate_spans,
         "triangle_count": q_triangle_count,
         "zorder_curve": q_zorder_curve,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
     }
 
 
@@ -4880,6 +4896,31 @@ QUALIFY rank <= 3
                      + (((CAST(gy AS BIGINT) >> k) & 1) << (2*k+1))
                    ))::BIGINT AS zvalue
             FROM g
+        """,
+        "cms_heavy_hitters": """
+            WITH depths AS (SELECT unnest(generate_series(0, 3)) AS d),
+            bc AS (
+              SELECT depths.d AS d,
+                     CAST(('0x' || substr(md5('cms' || depths.d || ':' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 256 AS bucket,
+                     count(*) AS c
+              FROM events CROSS JOIN depths
+              GROUP BY 1, 2
+            ),
+            exact AS (
+              SELECT user_id, count(*) AS exact_count
+              FROM events GROUP BY user_id
+              ORDER BY exact_count DESC, user_id ASC LIMIT 10
+            ),
+            est AS (
+              SELECT e.user_id, min(bc.c) AS cms_estimate
+              FROM exact e CROSS JOIN depths
+              JOIN bc ON bc.d = depths.d
+                AND bc.bucket = CAST(('0x' || substr(md5('cms' || depths.d || ':' || CAST(e.user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 256
+              GROUP BY e.user_id
+            )
+            SELECT e.user_id, e.exact_count, est.cms_estimate,
+                   est.cms_estimate >= e.exact_count AS never_underestimates
+            FROM exact e JOIN est USING (user_id)
         """,
     }
     # the fast-kernel trainer answers to the same deterministic replay

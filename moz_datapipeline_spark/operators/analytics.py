@@ -230,3 +230,96 @@ def attribute_clicks(
             F.count("*").alias("n_candidate_views"),
         )
     )
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    key_col: str = "user_id",
+    depth: int = 4,
+    width: int = 256,
+    k: int = 10,
+    portable: bool = True,
+) -> DataFrame:
+    """Count-min-sketch heavy hitters with EXACT certification.
+
+    At 100 TB a per-key frequency table is a full shuffle on the key;
+    the count-min sketch aggregates into ``depth × width`` counters
+    with map-side combine — fixed memory, no key shuffle — and answers
+    point queries with one-sided error (never underestimates, over-
+    estimates by collisions bounded by ~2N/width with probability
+    1-2^-depth).  This operator builds the sketch AS DATAFRAME STATE
+    (the bucket-count table itself, so the construction is the real
+    distributed plan, not a driver-side object), takes the exact
+    top-``k`` keys, and reports exact vs estimated counts plus the
+    ``never_underestimates`` certification column — the cheap path's
+    admission test, same pattern as ``distinct_within_tolerance``.
+
+    The bucket hash is the engine's portable md5 family per depth row
+    (``portable=False`` switches to xxhash64 — cheaper per row, same
+    structure), so the WHOLE sketch — construction, point queries,
+    estimates — replays bit-for-bit in the DuckDB oracle: unlike the
+    HLL/KLL certifications, the approximate values themselves are
+    value-checked, not just flagged.
+    """
+    if depth < 1 or width < 2:
+        raise ValueError("cms_heavy_hitters: need depth >= 1, width >= 2")
+    from moz_datapipeline_spark.operators.dedup import _token_hash
+
+    key = F.col(key_col).cast("string")
+
+    def _bucket(d: int, col: Column) -> Column:
+        return F.pmod(
+            _token_hash(F.concat(F.lit(f"cms{d}:"), col), portable),
+            F.lit(width),
+        )
+
+    rows = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"), _bucket(d, key).alias("bucket")
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("s")
+    ).select("s.d", "s.bucket")
+    sketch = rows.groupBy("d", "bucket").agg(F.count(F.lit(1)).alias("c"))
+
+    exact = (
+        df.groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .orderBy(F.col("exact_count").desc(), F.col(key_col).asc())
+        .limit(k)
+    )
+    probes = exact.select(
+        key_col,
+        "exact_count",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        _bucket(d, F.col(key_col).cast("string")).alias(
+                            "bucket"
+                        ),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("p"),
+    ).select(key_col, "exact_count", "p.d", "p.bucket")
+    return (
+        probes.join(sketch, ["d", "bucket"])
+        .groupBy(key_col, "exact_count")
+        .agg(F.min("c").alias("cms_estimate"))
+        .select(
+            key_col,
+            "exact_count",
+            "cms_estimate",
+            (F.col("cms_estimate") >= F.col("exact_count")).alias(
+                "never_underestimates"
+            ),
+        )
+    )

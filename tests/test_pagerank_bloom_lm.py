@@ -331,3 +331,46 @@ def test_mixture_resample_plan_is_filter_only(spark):
     # selection is a broadcast join + filter: no sort, no window
     assert "Window" not in plan
     assert "Sort" not in plan.replace("SortMergeJoin", "")
+
+
+def test_cms_heavy_hitters_properties(spark):
+    from moz_datapipeline_spark.operators.analytics import cms_heavy_hitters
+
+    # zipf-ish: key 0 appears 500x, key 1 250x, ..., long tail of 1s
+    rows = []
+    for key, n in [(0, 500), (1, 250), (2, 125), (3, 60), (4, 30)]:
+        rows += [(key,)] * n
+    rows += [(100 + i,) for i in range(400)]
+    df = spark.createDataFrame(rows, "user_id long")
+    out = cms_heavy_hitters(df, depth=4, width=64, k=5).collect()
+    got = {r["user_id"]: r for r in out}
+    assert set(got) == {0, 1, 2, 3, 4}
+    for r in out:
+        # one-sided error: the sketch may only overestimate
+        assert r["never_underestimates"]
+        assert r["cms_estimate"] >= r["exact_count"]
+    assert got[0]["exact_count"] == 500
+    # with 1365 increments over 4x64 buckets the top key's estimate
+    # stays within the classic 2N/width bound
+    assert got[0]["cms_estimate"] - 500 <= 2 * 1365 / 64
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        cms_heavy_hitters(df, depth=0)
+
+
+def test_cms_hash_modes_share_structure(spark):
+    from moz_datapipeline_spark.operators.analytics import cms_heavy_hitters
+
+    df = spark.createDataFrame([(i % 7,) for i in range(700)], "user_id long")
+    a = {
+        r["user_id"]: r["exact_count"]
+        for r in cms_heavy_hitters(df, k=7, portable=True).collect()
+    }
+    b = {
+        r["user_id"]: r["exact_count"]
+        for r in cms_heavy_hitters(df, k=7, portable=False).collect()
+    }
+    # exact side identical across hash modes; estimates may differ
+    assert a == b == {i: 100 for i in range(7)}
