@@ -2507,6 +2507,16 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language weighted sample (k=10, probability proportional to
+    n_chars): Efraimidis-Spirakis keys from the content-addressed hash,
+    WindowGroupLimit-bounded rank (operators/corpus.weighted_sample)."""
+    from moz_datapipeline_spark.operators.corpus import weighted_sample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return weighted_sample(d, "n_chars", 10, group_col="lang")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -2619,6 +2629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count": q_triangle_count,
         "zorder_curve": q_zorder_curve,
         "cms_heavy_hitters": q_cms_heavy_hitters,
+        "weighted_sample": q_weighted_sample,
     }
 
 
@@ -4921,6 +4932,21 @@ QUALIFY rank <= 3
             SELECT e.user_id, e.exact_count, est.cms_estimate,
                    est.cms_estimate >= e.exact_count AS never_underestimates
             FROM exact e JOIN est USING (user_id)
+        """,
+        "weighted_sample": f"""
+            WITH keyed AS (
+              SELECT doc_id, lang, n_chars,
+                     ln((CAST(('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                         + CAST(1.0 AS DOUBLE)) / {float(1 << 60)})
+                       / CAST(n_chars AS DOUBLE) AS skey
+              FROM documents
+              WHERE n_chars IS NOT NULL AND n_chars > 0
+            )
+            SELECT doc_id, lang, n_chars, round(skey, 6) AS sample_key
+            FROM keyed
+            QUALIFY row_number() OVER (
+              PARTITION BY lang ORDER BY skey DESC, doc_id ASC
+            ) <= 10
         """,
     }
     # the fast-kernel trainer answers to the same deterministic replay

@@ -702,3 +702,71 @@ def stratified_sample(
         rate_map[F.col(group_col)], F.lit(float(default))
     )
     return df.filter(h < (rate * F.lit(space)).cast("long"))
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    group_col: str | None = None,
+    key_col: str = "doc_id",
+    seed: str = "ws",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (top-``k``
+    per group, probability proportional to weight): the
+    Efraimidis–Spirakis scheme with the engine's content-addressed
+    hash standing in for the uniform draw, so membership is identical
+    across runs, partitionings, and engines.
+
+    Each row gets the sort key ``ln(u) / w`` with
+    ``u = (h + 1) / 2^60`` from the md5 hash family — the one-pass,
+    shuffle-light equivalent of weighted reservoir sampling: taking
+    the ``k`` LARGEST keys per group draws without replacement with
+    inclusion probability proportional to ``w``.  Rows with
+    non-positive or NULL weight are excluded.
+
+    Plan shape: one codegen key computation on the scan, then a
+    per-group rank with CONSTANT ``k`` — Spark's WindowGroupLimit
+    keeps per-partition heaps of ``k`` rows below the exchange, so the
+    shuffle carries ≤ k·partitions rows per group, not the corpus.
+
+    Output adds ``sample_key`` (rounded for the oracle) to the input
+    columns.
+
+    Reference parity: extension operator; same determinism family as
+    ``stable_sample`` (scripts/base-network.sh id-keyed selections).
+    """
+    if k < 1:
+        raise ValueError("weighted_sample: k must be >= 1")
+    space = float(1 << 60)
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(seed), F.lit(":"), F.col(key_col).cast("string")
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h.cast("double") + F.lit(1.0)) / F.lit(space)
+    skey = F.log(u) / F.col(weight_col).cast("double")
+    keyed = df.filter(
+        F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
+    ).withColumn("_skey", skey)
+    part = [group_col] if group_col else [F.lit(1)]
+    rank = F.row_number().over(
+        Window.partitionBy(*part).orderBy(
+            F.col("_skey").desc(), F.col(key_col).asc()
+        )
+    )
+    return (
+        keyed.withColumn("_rk", rank)
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+        .withColumn("sample_key", F.round("_skey", 6))
+        .drop("_skey")
+    )

@@ -374,3 +374,60 @@ def test_cms_hash_modes_share_structure(spark):
     }
     # exact side identical across hash modes; estimates may differ
     assert a == b == {i: 100 for i in range(7)}
+
+
+def test_weighted_sample_favors_heavy_weights(spark):
+    from moz_datapipeline_spark.operators.corpus import weighted_sample
+
+    rows = [(i, 9.0 if i < 10 else 1.0) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    heavy_hits = light_hits = 0
+    for s in range(12):
+        got = {
+            r["doc_id"]
+            for r in weighted_sample(df, "w", 20, seed=f"t{s}").collect()
+        }
+        assert len(got) == 20
+        heavy_hits += sum(1 for i in got if i < 10)
+        light_hits += sum(1 for i in got if i >= 10)
+    # heavy items are 10/100 of the pool but ~9x likelier per draw;
+    # across 12 seeds they must be sampled far above their pool share
+    assert heavy_hits / 12 > 5  # pool share alone would give 2
+    # determinism: same seed, same sample
+    a = sorted(
+        r["doc_id"] for r in weighted_sample(df, "w", 20).collect()
+    )
+    b = sorted(
+        r["doc_id"] for r in weighted_sample(df, "w", 20).collect()
+    )
+    assert a == b
+
+    # non-positive and NULL weights are excluded
+    df2 = spark.createDataFrame(
+        [(1, 1.0), (2, 0.0), (3, -4.0), (4, None)],
+        "doc_id long, w double",
+    )
+    only = weighted_sample(df2, "w", 10).collect()
+    assert [r["doc_id"] for r in only] == [1]
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        weighted_sample(df, "w", 0)
+
+
+def test_weighted_sample_rank_is_group_limited(spark):
+    from moz_datapipeline_spark.operators.corpus import weighted_sample
+
+    df = spark.createDataFrame(
+        [(i, "g" + str(i % 3), 1.0 + i % 5) for i in range(300)],
+        "doc_id long, g string, w double",
+    )
+    out = weighted_sample(df, "w", 5, group_col="g")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    counts = {
+        r["g"]: r["n"]
+        for r in out.groupBy("g").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts == {"g0": 5, "g1": 5, "g2": 5}
