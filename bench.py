@@ -105,6 +105,11 @@ HEADLINE = [
     "lm_score",
     "mixture_resample",
     "duplicate_spans",
+    "temperature_resample",
+    "triangle_count",
+    "zorder_curve",
+    "cms_heavy_hitters",
+    "weighted_sample",
     # incremental_dedup is oracle-checked but not benched here: a tiny
     # two-batch ingest is dominated by store round-trips and component
     # rounds (fixed job overhead, not operator throughput) — its scale
