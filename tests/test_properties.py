@@ -227,3 +227,107 @@ def test_jpeg_round_trip_error_bounded_on_smooth_images(quality, seed, gray):
     err = np.abs(out.astype(int).reshape(h, w, -1)
                  - img.astype(int).reshape(h, w, -1)).mean()
     assert err < 40  # smooth content stays recognizable even at q=30
+
+
+@settings(**SETTINGS)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 25), st.integers(0, 25)).filter(
+            lambda t: t[0] != t[1]
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    iters=st.integers(1, 4),
+)
+def test_pagerank_mass_conserved_and_matches_numpy(spark, edges, iters):
+    """Rank mass sums to 1 for ANY graph (dangling included) and every
+    node matches the dense power iteration."""
+    from moz_datapipeline_spark.graph.pagerank import pagerank
+
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["rank"] for r in pagerank(e, iters=iters).collect()}
+    assert sum(got.values()) == pytest.approx(1.0, rel=1e-9)
+
+    dedup = sorted({tuple(p) for p in edges})
+    nodes = sorted({a for a, _ in dedup} | {b for _, b in dedup})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    out: dict[int, int] = {}
+    for a, _ in dedup:
+        out[a] = out.get(a, 0) + 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        nxt = np.full(n, 0.15 / n)
+        dangle = sum(r[idx[v]] for v in nodes if v not in out)
+        for a, b in dedup:
+            nxt[idx[b]] += 0.85 * r[idx[a]] / out[a]
+        nxt += 0.85 * dangle / n
+        r = nxt
+    for v in nodes:
+        assert got[v] == pytest.approx(r[idx[v]], rel=1e-9)
+
+
+@settings(**SETTINGS)
+@given(
+    xs=st.lists(st.integers(0, (1 << 21) - 1), min_size=1, max_size=40),
+    ys=st.lists(st.integers(0, (1 << 21) - 1), min_size=1, max_size=40),
+)
+def test_zorder_interleave_bit_exact(spark, xs, ys):
+    from moz_datapipeline_spark.sources.layout import zorder_value
+
+    pairs = list(zip(xs, ys))
+    df = spark.createDataFrame(pairs, "x long, y long")
+    got = df.select("x", "y", zorder_value("x", "y").alias("z")).collect()
+    for row in got:
+        z = 0
+        for k in range(21):
+            z |= ((row["x"] >> k) & 1) << (2 * k)
+            z |= ((row["y"] >> k) & 1) << (2 * k + 1)
+        assert row["z"] == z
+
+
+@settings(**SETTINGS)
+@given(
+    words=st.lists(
+        st.sampled_from(["aa", "bb", "cc", "dd", "ee"]),
+        min_size=0,
+        max_size=12,
+    ),
+)
+def test_lm_cross_entropy_matches_dense_reference(spark, words):
+    """Score an arbitrary token sequence against a fixed tiny LM and
+    cross-check the smoothed bigram math in plain Python."""
+    import math
+
+    from moz_datapipeline_spark.operators.lm import lm_score, train_bigram_lm
+
+    ref_text = "aa bb aa cc bb aa"
+    ref = spark.createDataFrame([(ref_text,)], "text string")
+    bi, ctx, vocab = train_bigram_lm(ref)
+    doc = " ".join(words)
+    df = spark.createDataFrame([(1, doc)], "doc_id long, text string")
+    row = lm_score(df, bi, ctx, vocab, add_k=0.25).collect()[0]
+
+    rt = ref_text.split()
+    cb: dict[tuple[str, str], int] = {}
+    for a, b in zip(rt, rt[1:]):
+        cb[(a, b)] = cb.get((a, b), 0) + 1
+    cctx: dict[str, int] = {}
+    for (a, _), c in cb.items():
+        cctx[a] = cctx.get(a, 0) + c
+    v = len(set(rt))
+    toks = [w for w in words if w]
+    if len(toks) < 2:
+        assert row["n_bigrams"] == 0
+        assert row["cross_entropy"] is None
+        return
+    lps = [
+        math.log(
+            (cb.get((a, b), 0) + 0.25) / (cctx.get(a, 0) + 0.25 * v)
+        )
+        for a, b in zip(toks, toks[1:])
+    ]
+    h = -sum(lps) / len(lps)
+    assert row["n_bigrams"] == len(toks) - 1
+    assert row["cross_entropy"] == pytest.approx(round(h, 6), abs=2e-6)
