@@ -82,3 +82,17 @@ def zorder_layout(
     return with_z.repartitionByRange(*parts, z_col).sortWithinPartitions(
         z_col
     )
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str]
+) -> None:
+    """Hive-style directory partitioning: one directory level per
+    partition column.  A filter on a partition column prunes entire
+    directories at PLANNING time (`PartitionFilters` in the scan) —
+    the scan never lists, opens, or reads the excluded partitions,
+    which is the first-order I/O lever for time- or tenant-sliced
+    100 TB datasets."""
+    if not partition_cols:
+        raise ValueError("write_partitioned: need at least one partition column")
+    df.write.partitionBy(*partition_cols).mode("overwrite").parquet(path)

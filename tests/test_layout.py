@@ -92,3 +92,33 @@ def test_write_bucketed_rejects_bad_count(spark):
     df = spark.range(1)
     with pytest.raises(ValueError):
         write_bucketed(df, "nope", "id", 0)
+
+
+def test_partitioned_write_prunes_at_planning_time(spark, tmp_path, sf_dir):
+    import io
+    from contextlib import redirect_stdout
+
+    from moz_datapipeline_spark.sources.layout import write_partitioned
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    out = str(tmp_path / "orders_by_priority")
+    write_partitioned(orders, out, ["o_orderpriority"])
+
+    pruned = spark.read.parquet(out).filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        pruned.explain("formatted")
+    plan = buf.getvalue()
+    # the partition predicate must prune directories at planning time,
+    # not run as a row-level data filter
+    assert "PartitionFilters" in plan
+    assert "1-URGENT" in plan.split("PartitionFilters", 1)[1].split("\n", 1)[0]
+    want = orders.filter(F.col("o_orderpriority") == "1-URGENT").count()
+    assert pruned.count() == want
+
+    with pytest.raises(ValueError):
+        write_partitioned(orders, out, [])
