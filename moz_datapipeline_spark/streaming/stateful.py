@@ -157,11 +157,18 @@ def ingest_dedup_stream(
     id_col: str = "doc_id",
     threshold: float = 0.8,
     portable_hash: bool = False,
+    quality_gate=None,
     **dedup_kwargs,
 ):
     """Continuous corpus ingestion: each micro-batch is admitted through
     ``operators.incremental.incremental_dedup`` against the shared
     signature store, and survivors append to a parquet corpus sink.
+
+    ``quality_gate`` (optional ``DataFrame -> DataFrame``) filters the
+    batch BEFORE admission — the CCNet-style composition: drop
+    low-quality documents first (e.g. an ``lm_score`` bucket filter or
+    a heuristic predicate) so rejected docs never cost signature
+    computation and never enter the store.
 
     ``foreachBatch`` is the right Spark idiom here — the store
     read-then-append inside the admission step is a batch transaction
@@ -176,6 +183,8 @@ def ingest_dedup_stream(
     from moz_datapipeline_spark.operators.incremental import incremental_dedup
 
     def admit(batch_df: DataFrame, _batch_id: int) -> None:
+        if quality_gate is not None:
+            batch_df = quality_gate(batch_df)
         survivors = incremental_dedup(
             batch_df.sparkSession,
             batch_df,

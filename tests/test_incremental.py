@@ -165,3 +165,53 @@ class TestStreamingIngest:
         q2.awaitTermination(120)
         again = sorted(r.doc_id for r in spark.read.parquet(out).collect())
         assert again == [1, 2, 11]
+
+    def test_quality_gate_filters_before_admission(self, spark, tmp_path):
+        """A gated batch never costs signatures: rejected docs neither
+        reach the sink nor enter the signature store."""
+        import json as _json
+
+        from pyspark.sql import functions as F
+
+        from moz_datapipeline_spark.streaming.stateful import (
+            ingest_dedup_stream,
+        )
+
+        src = tmp_path / "src"
+        src.mkdir()
+        store = str(tmp_path / "store")
+        out = str(tmp_path / "out")
+        (src / "b1.json").write_text(
+            "\n".join(
+                _json.dumps(d)
+                for d in [
+                    {"doc_id": 1, "text": BASE},
+                    {"doc_id": 2, "text": "low " + OTHER},  # gated out
+                ]
+            )
+        )
+        (src / "b2.json").write_text(
+            _json.dumps({"doc_id": 20, "text": "low " + OTHER + " x"})
+        )
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+        q = ingest_dedup_stream(
+            stream,
+            store,
+            out,
+            str(tmp_path / "chk"),
+            threshold=0.5,
+            quality_gate=lambda df: df.filter(
+                ~F.col("text").startswith("low ")
+            ),
+        )
+        q.awaitTermination(120)
+        got = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+        # 2 and 20 are both gated out; 20 is NOT dropped as a dup of 2
+        # because 2 never entered the store
+        assert got == [1]
+        stored = spark.read.parquet(store)
+        assert sorted(r.doc_id for r in stored.collect()) == [1]
