@@ -5,10 +5,12 @@ This de-gates S1 (the reference ingests every dataset through
 ``ogr2ogr`` shapefile scans — scripts/base-network.sh:98-99,
 scripts/preparation.sh:130-131) without a geopandas/GDAL dependency:
 the format is a simple public binary layout (ESRI Shapefile Technical
-Description, 1998) and the only reprojection the reference performs is
-Albers Equal-Area Conic → WGS84 lon/lat, whose closed-form ellipsoidal
-inverse is public math (Snyder, *Map Projections — A Working Manual*,
-USGS PP 1395, eqs. 14-1..14-11 and 3-16).
+Description, 1998) and the reprojections are closed-form public math
+(Snyder, *Map Projections — A Working Manual*, USGS PP 1395): the
+reference's own Albers Equal-Area Conic → WGS84 (eqs. 14-1..14-11,
+3-16) plus ellipsoidal Transverse Mercator → WGS84 (eqs. 8-12..8-25,
+3-26) so every UTM zone — the most common projected CRS a user feeds
+``ogr2ogr -t_srs EPSG:4326`` in the reference — works here too.
 
 Everything here runs executor-side inside ``readers.read_shapefile``'s
 ``mapInPandas`` kernel — the driver never sees feature rows.
@@ -53,28 +55,41 @@ def make_transform(prj_wkt: str | None):
     """WKT → vectorized (x, y) -> (lon, lat) degrees transform.
 
     GEOGCS (already geographic) → identity.  PROJCS with
-    PROJECTION["Albers"] → ellipsoidal inverse.  Anything else raises —
-    fail loudly rather than silently mis-locate geometry.
+    PROJECTION["Albers"] → ellipsoidal Albers inverse; PROJCS with
+    PROJECTION["Transverse_Mercator"] (every UTM zone plus national TM
+    grids — the most common projected CRS family) → ellipsoidal TM
+    inverse.  Anything else raises — fail loudly rather than silently
+    mis-locate geometry.
     """
     if prj_wkt is None or prj_wkt.lstrip().startswith("GEOGCS"):
         return lambda x, y: (x, y)
     if not prj_wkt.lstrip().startswith("PROJCS"):
         raise NotImplementedError(f"unsupported CRS WKT: {prj_wkt[:60]}...")
     proj = prj_wkt.split('PROJECTION["', 1)[1].split('"', 1)[0].lower()
-    if proj != "albers":
-        raise NotImplementedError(f"unsupported projection: {proj}")
     p = _wkt_params(prj_wkt)
     a, e2 = _wkt_spheroid(prj_wkt)
-    return _albers_inverse(
-        a,
-        e2,
-        lat1=p["standard_parallel_1"],
-        lat2=p["standard_parallel_2"],
-        lat0=p["latitude_of_origin"],
-        lon0=p["central_meridian"],
-        fe=p.get("false_easting", 0.0),
-        fn=p.get("false_northing", 0.0),
-    )
+    if proj == "albers":
+        return _albers_inverse(
+            a,
+            e2,
+            lat1=p["standard_parallel_1"],
+            lat2=p["standard_parallel_2"],
+            lat0=p["latitude_of_origin"],
+            lon0=p["central_meridian"],
+            fe=p.get("false_easting", 0.0),
+            fn=p.get("false_northing", 0.0),
+        )
+    if proj == "transverse_mercator":
+        return _tmerc_inverse(
+            a,
+            e2,
+            lat0=p.get("latitude_of_origin", 0.0),
+            lon0=p["central_meridian"],
+            k0=p.get("scale_factor", 1.0),
+            fe=p.get("false_easting", 0.0),
+            fn=p.get("false_northing", 0.0),
+        )
+    raise NotImplementedError(f"unsupported projection: {proj}")
 
 
 def _q_of(sin_phi, e, e2):
@@ -127,6 +142,82 @@ def _albers_inverse(a, e2, lat1, lat2, lat0, lon0, fe, fn):
             )
         lon = lon0 + theta / n / d2r
         return lon, phi / d2r
+
+    return inverse
+
+
+def _meridian_arc(phi, a, e2):
+    """Snyder eq. 3-21: meridian distance from the equator to phi."""
+    e4 = e2 * e2
+    e6 = e4 * e2
+    return a * (
+        (1.0 - e2 / 4.0 - 3.0 * e4 / 64.0 - 5.0 * e6 / 256.0) * phi
+        - (3.0 * e2 / 8.0 + 3.0 * e4 / 32.0 + 45.0 * e6 / 1024.0)
+        * np.sin(2.0 * phi)
+        + (15.0 * e4 / 256.0 + 45.0 * e6 / 1024.0) * np.sin(4.0 * phi)
+        - (35.0 * e6 / 3072.0) * np.sin(6.0 * phi)
+    )
+
+
+def _tmerc_inverse(a, e2, lat0, lon0, k0, fe, fn):
+    """Ellipsoidal Transverse Mercator inverse (Snyder 8-12..8-25).
+
+    Latitude comes from the footpoint latitude phi1 via the rectifying
+    series (Snyder eq. 3-26), then the D-power corrections.  Accurate
+    to sub-millimetre within a UTM zone's ±3° extent (the series error
+    grows past ~4° from the central meridian, which no UTM dataset
+    exceeds).
+    """
+    d2r = math.pi / 180.0
+    ep2 = e2 / (1.0 - e2)  # e'^2, Snyder 8-12
+    sqrt1e = math.sqrt(1.0 - e2)
+    e1 = (1.0 - sqrt1e) / (1.0 + sqrt1e)  # Snyder 3-24
+    m0 = float(_meridian_arc(np.float64(lat0 * d2r), a, e2))
+    rect = a * (
+        1.0 - e2 / 4.0 - 3.0 * e2 * e2 / 64.0 - 5.0 * e2 ** 3 / 256.0
+    )
+
+    def inverse(x, y):
+        x = np.asarray(x, dtype=np.float64) - fe
+        y = np.asarray(y, dtype=np.float64) - fn
+        m = m0 + y / k0  # Snyder 8-20
+        mu = m / rect  # Snyder 7-19
+        phi1 = (  # footpoint latitude, Snyder 3-26
+            mu
+            + (3.0 * e1 / 2.0 - 27.0 * e1 ** 3 / 32.0) * np.sin(2.0 * mu)
+            + (21.0 * e1 ** 2 / 16.0 - 55.0 * e1 ** 4 / 32.0)
+            * np.sin(4.0 * mu)
+            + (151.0 * e1 ** 3 / 96.0) * np.sin(6.0 * mu)
+            + (1097.0 * e1 ** 4 / 512.0) * np.sin(8.0 * mu)
+        )
+        s1 = np.sin(phi1)
+        c1 = np.cos(phi1)
+        t1 = (s1 / c1) ** 2  # T1, Snyder 8-22
+        cc1 = ep2 * c1 * c1  # C1, Snyder 8-21
+        n1 = a / np.sqrt(1.0 - e2 * s1 * s1)  # Snyder 8-23
+        r1 = a * (1.0 - e2) / (1.0 - e2 * s1 * s1) ** 1.5  # Snyder 8-24
+        d = x / (n1 * k0)  # Snyder 8-25
+        d2 = d * d
+        phi = phi1 - (n1 * (s1 / c1) / r1) * (  # Snyder 8-17
+            d2 / 2.0
+            - (5.0 + 3.0 * t1 + 10.0 * cc1 - 4.0 * cc1 * cc1 - 9.0 * ep2)
+            * d2 * d2 / 24.0
+            + (
+                61.0 + 90.0 * t1 + 298.0 * cc1 + 45.0 * t1 * t1
+                - 252.0 * ep2 - 3.0 * cc1 * cc1
+            )
+            * d2 * d2 * d2 / 720.0
+        )
+        lam = (  # Snyder 8-18
+            d
+            - (1.0 + 2.0 * t1 + cc1) * d * d2 / 6.0
+            + (
+                5.0 - 2.0 * cc1 + 28.0 * t1 - 3.0 * cc1 * cc1
+                + 8.0 * ep2 + 24.0 * t1 * t1
+            )
+            * d * d2 * d2 / 120.0
+        ) / c1
+        return lon0 + lam / d2r, phi / d2r
 
     return inverse
 

@@ -172,6 +172,99 @@ def test_unknown_projection_raises():
         )
 
 
+def _tmerc_forward(lon, lat, a, e2, lat0, lon0, k0, fe=0.0, fn=0.0):
+    """Snyder 8-9..8-13 forward TM, written independently of the
+    library's inverse so errors cannot cancel."""
+    d2r = math.pi / 180.0
+    ep2 = e2 / (1 - e2)
+    phi = lat * d2r
+
+    def M(p):
+        e4, e6 = e2 * e2, e2 ** 3
+        return a * (
+            (1 - e2 / 4 - 3 * e4 / 64 - 5 * e6 / 256) * p
+            - (3 * e2 / 8 + 3 * e4 / 32 + 45 * e6 / 1024) * math.sin(2 * p)
+            + (15 * e4 / 256 + 45 * e6 / 1024) * math.sin(4 * p)
+            - (35 * e6 / 3072) * math.sin(6 * p)
+        )
+
+    N = a / math.sqrt(1 - e2 * math.sin(phi) ** 2)
+    T = math.tan(phi) ** 2
+    C = ep2 * math.cos(phi) ** 2
+    A = (lon - lon0) * d2r * math.cos(phi)
+    x = k0 * N * (
+        A
+        + (1 - T + C) * A ** 3 / 6
+        + (5 - 18 * T + T * T + 72 * C - 58 * ep2) * A ** 5 / 120
+    ) + fe
+    y = k0 * (
+        M(phi) - M(lat0 * d2r)
+        + N * math.tan(phi) * (
+            A * A / 2
+            + (5 - T + 9 * C + 4 * C * C) * A ** 4 / 24
+            + (61 - 58 * T + T * T + 600 * C - 330 * ep2) * A ** 6 / 720
+        )
+    ) + fn
+    return x, y
+
+
+UTM36S_WKT = (
+    'PROJCS["WGS_1984_UTM_Zone_36S",GEOGCS["GCS_WGS_1984",'
+    'DATUM["D_WGS_1984",SPHEROID["WGS_1984",6378137.0,298.257223563]],'
+    'PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433]],'
+    'PROJECTION["Transverse_Mercator"],PARAMETER["False_Easting",500000.0],'
+    'PARAMETER["False_Northing",10000000.0],'
+    'PARAMETER["Central_Meridian",33.0],PARAMETER["Scale_Factor",0.9996],'
+    'PARAMETER["Latitude_Of_Origin",0.0],UNIT["Meter",1.0]]'
+)
+
+
+def test_tmerc_inverse_snyder_example():
+    """USGS PP 1395 p. 269-270: Clarke 1866, k0=0.9996, origin (0, -75W);
+    (x, y) = (127106.5, 4484124.4) must invert to (40.5N, 73.5W)."""
+    inv = shp._tmerc_inverse(
+        6378206.4, 0.00676866, lat0=0.0, lon0=-75.0, k0=0.9996,
+        fe=0.0, fn=0.0,
+    )
+    lon, lat = inv(np.array([127106.5]), np.array([4484124.4]))
+    assert abs(lon[0] - (-73.5)) < 1e-5
+    assert abs(lat[0] - 40.5) < 1e-5
+
+
+def test_tmerc_roundtrip_utm36s_grid():
+    """forward (test-local) then inverse (library) over UTM zone 36S's
+    Mozambique extent (±3° of the central meridian): both directions
+    are truncated series so they disagree by up to ~2e-9° (0.2 mm) —
+    assert sub-millimetre."""
+    tr = shp.make_transform(UTM36S_WKT)
+    for lon in np.arange(30.1, 36.0, 0.9):
+        for lat in np.arange(-26.0, -10.0, 2.3):
+            x, y = _tmerc_forward(
+                lon, lat, 6378137.0, 0.0066943799901413165,
+                lat0=0.0, lon0=33.0, k0=0.9996, fe=500000.0, fn=1e7,
+            )
+            rlon, rlat = tr(np.array([x]), np.array([y]))
+            assert abs(rlon[0] - lon) < 1e-8
+            assert abs(rlat[0] - lat) < 1e-8
+
+
+def test_tmerc_northern_hemisphere_zone():
+    """UTM north (fn=0) and a non-zero latitude_of_origin both flow
+    through m0 — check a Gauss–Krüger-style grid (k0=1, lat0=38)."""
+    inv = shp._tmerc_inverse(
+        6378137.0, 0.0066943799901413165,
+        lat0=38.0, lon0=127.0, k0=1.0, fe=200000.0, fn=600000.0,
+    )
+    for lon, lat in [(126.2, 36.1), (127.9, 40.0), (127.0, 38.0)]:
+        x, y = _tmerc_forward(
+            lon, lat, 6378137.0, 0.0066943799901413165,
+            lat0=38.0, lon0=127.0, k0=1.0, fe=200000.0, fn=600000.0,
+        )
+        rlon, rlat = inv(np.array([x]), np.array([y]))
+        assert abs(rlon[0] - lon) < 1e-9
+        assert abs(rlat[0] - lat) < 1e-9
+
+
 # ---------------------------------------------------------------------------
 # synthetic round-trips (independent writer → library reader)
 # ---------------------------------------------------------------------------
@@ -253,6 +346,27 @@ def test_reprojection_through_prj_sidecar(spark, tmp_path):
     p = str(tmp_path / "road.shp")
     _write_shp(p, [(3, [np.array(proj)])], 3)
     (tmp_path / "road.prj").write_text(ALBERS_MOZ_WKT)
+    out = read_shapefile(spark, p).toPandas()
+    got = [(c["lon"], c["lat"]) for c in out.iloc[0]["coordinates"]]
+    for (glon, glat), (wlon, wlat) in zip(got, wgs):
+        assert abs(glon - wlon) < 1e-9
+        assert abs(glat - wlat) < 1e-9
+
+
+def test_reprojection_through_utm_prj_sidecar(spark, tmp_path):
+    """A UTM 36S shapefile (the most common projected CRS family) must
+    come back in WGS84 lon/lat through the .prj front door."""
+    wgs = [(31.0, -18.0), (33.0, -19.5), (35.5, -16.2)]
+    proj = [
+        _tmerc_forward(
+            lon, lat, 6378137.0, 0.0066943799901413165,
+            lat0=0.0, lon0=33.0, k0=0.9996, fe=500000.0, fn=1e7,
+        )
+        for lon, lat in wgs
+    ]
+    p = str(tmp_path / "utm_road.shp")
+    _write_shp(p, [(3, [np.array(proj)])], 3)
+    (tmp_path / "utm_road.prj").write_text(UTM36S_WKT)
     out = read_shapefile(spark, p).toPandas()
     got = [(c["lon"], c["lat"]) for c in out.iloc[0]["coordinates"]]
     for (glon, glat), (wlon, wlat) in zip(got, wgs):
