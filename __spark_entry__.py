@@ -845,6 +845,22 @@ def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k: score only pairs sharing a
+    random-hyperplane bucket in either of 2 tables (one equi-join
+    shuffle, never a cross join), exact rank within candidates."""
+    from moz_datapipeline_spark.operators.similarity import lsh_bucket_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = lsh_bucket_topk(
+        emb, emb.filter(F.col("vec_id") < 5),
+        dim=64, k=3, n_planes=8, n_tables=2,
+    )
+    return out.select(
+        "query_id", "corpus_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via LSH buckets.
 
@@ -2378,6 +2394,36 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank on the same trade graph: teleport (uniform
+    over the seed customers present in the graph) replaces 1/N, so rank
+    measures proximity to the seeds (graph/pagerank.py seeds=).  VALUE
+    oracle: the same three unrolled iterations with the seed-indicator
+    teleport vector in DuckDB CTEs."""
+    from moz_datapipeline_spark.graph.pagerank import pagerank
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    fwd = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + 1000000).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    pr = pagerank(
+        edges, iters=3, damping=0.85, handle_dangling=False,
+        seeds=[1, 2, 4, 7],
+    )
+    return pr.select(
+        "node", F.round(F.col("rank") * 1000000.0, 6).alias("rank_ppm")
+    )
+
+
 def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-prefiltered semi join: lineitem rows whose supplier sits
     in nations 0–3.  The Bloom stage (distributed bitmap build +
@@ -2559,6 +2605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_topk": q_similarity_topk,
         "similarity_ivf": q_similarity_ivf,
         "embedding_near_dup": q_embedding_near_dup,
+        "lsh_topk": q_lsh_topk,
         "token_count": q_token_count,
         "redact_pii": q_redact_pii,
         "doc_chunks": q_doc_chunks,
@@ -2621,6 +2668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_frames": q_video_frames,
         "image_resize": q_image_resize,
         "pagerank": q_pagerank,
+        "pagerank_personalized": q_pagerank_personalized,
         "bloom_semi_join": q_bloom_semi_join,
         "lm_score": q_lm_score,
         "mixture_resample": q_mixture_resample,
@@ -2760,6 +2808,58 @@ def _redact_pii_oracle() -> str:
         FROM r2
         """
     )
+
+
+def _lsh_topk_oracle() -> str:
+    """lsh_bucket_topk oracle: the same deterministic hyperplanes (2
+    tables × 8 planes, from the operator's own generator) inlined as
+    literals; DuckDB replays per-table bucket assignment, the
+    (table, bucket) candidate join with cross-table dedup, cosine
+    scoring, and the (cosine DESC, corpus_id ASC) top-3 rank."""
+    from moz_datapipeline_spark.operators.similarity import _plane_tables
+
+    tables = _plane_tables(64, 8, 2)
+    values = ", ".join(
+        f"({t}, {p}, {list(plane)})"
+        for t, planes in enumerate(tables)
+        for p, plane in enumerate(planes)
+    )
+    return f"""
+        WITH planes AS (
+          SELECT * FROM (VALUES {values}) AS t(tbl, pidx, vec)
+        ),
+        v AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+          FROM embeddings
+        ),
+        signs AS (
+          SELECT v.vec_id, p.tbl, p.pidx,
+                 CASE WHEN list_dot_product(v.emb, p.vec) > 0
+                      THEN CAST(1 AS BIGINT) << p.pidx ELSE 0 END AS bit
+          FROM v CROSS JOIN planes p
+        ),
+        buckets AS (
+          SELECT vec_id, tbl, CAST(sum(bit) AS BIGINT) AS bucket
+          FROM signs GROUP BY vec_id, tbl
+        ),
+        cand AS (
+          SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS corpus_id
+          FROM buckets q JOIN buckets c
+            ON q.tbl = c.tbl AND q.bucket = c.bucket
+          WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
+        ),
+        scored AS (
+          SELECT cand.query_id, cand.corpus_id,
+                 list_cosine_similarity(vq.emb, vc.emb) AS cos_raw
+          FROM cand
+          JOIN v vq ON vq.vec_id = cand.query_id
+          JOIN v vc ON vc.vec_id = cand.corpus_id
+        )
+        SELECT query_id, corpus_id, round(cos_raw, 6) AS cosine,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos_raw DESC, corpus_id ASC) AS INTEGER) AS rank
+        FROM scored QUALIFY rank <= 3
+    """
 
 
 def _embedding_near_dup_oracle() -> str:
@@ -3321,6 +3421,7 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem GROUP BY l_returnflag
         """,
         "embedding_near_dup": _embedding_near_dup_oracle(),
+        "lsh_topk": _lsh_topk_oracle(),
         "dedup_minhash_lsh": _minhash_oracle(),
         "dedup_simhash": _simhash_oracle(),
         "repetition_stats": """
@@ -4711,6 +4812,67 @@ QUALIFY rank <= 3
             )
             SELECT node, round(rank * 1000000.0, 6) AS rank_ppm FROM r3
         """,
+        "pagerank_personalized": """
+            WITH e AS (
+              SELECT src, dst FROM (
+                SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+                FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+              )
+              UNION
+              SELECT dst AS src, src AS dst FROM (
+                SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+                FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+              )
+            ),
+            nodes AS (
+              SELECT src AS node FROM e UNION SELECT dst FROM e
+            ),
+            ns AS (
+              SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes
+              WHERE node IN (1, 2, 4, 7)
+            ),
+            pv AS (
+              SELECT node,
+                     CASE WHEN node IN (1, 2, 4, 7)
+                          THEN 1.0 / ns.n ELSE 0.0 END AS p
+              FROM nodes CROSS JOIN ns
+            ),
+            deg AS (
+              SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM e GROUP BY src
+            ),
+            r0 AS (SELECT node, p AS rank FROM pv),
+            c1 AS (
+              SELECT e.dst AS node, sum(r0.rank / deg.deg) AS cin
+              FROM e JOIN r0 ON e.src = r0.node JOIN deg ON e.src = deg.src
+              GROUP BY e.dst
+            ),
+            r1 AS (
+              SELECT pv.node,
+                     (1.0 - 0.85) * pv.p + 0.85 * coalesce(c1.cin, 0.0) AS rank
+              FROM pv LEFT JOIN c1 USING (node)
+            ),
+            c2 AS (
+              SELECT e.dst AS node, sum(r1.rank / deg.deg) AS cin
+              FROM e JOIN r1 ON e.src = r1.node JOIN deg ON e.src = deg.src
+              GROUP BY e.dst
+            ),
+            r2 AS (
+              SELECT pv.node,
+                     (1.0 - 0.85) * pv.p + 0.85 * coalesce(c2.cin, 0.0) AS rank
+              FROM pv LEFT JOIN c2 USING (node)
+            ),
+            c3 AS (
+              SELECT e.dst AS node, sum(r2.rank / deg.deg) AS cin
+              FROM e JOIN r2 ON e.src = r2.node JOIN deg ON e.src = deg.src
+              GROUP BY e.dst
+            ),
+            r3 AS (
+              SELECT pv.node,
+                     (1.0 - 0.85) * pv.p + 0.85 * coalesce(c3.cin, 0.0) AS rank
+              FROM pv LEFT JOIN c3 USING (node)
+            )
+            SELECT node, round(rank * 1000000.0, 6) AS rank_ppm FROM r3
+        """,
         "bloom_semi_join": """
             SELECT l_orderkey, l_linenumber, l_suppkey
             FROM lineitem
@@ -4814,7 +4976,8 @@ QUALIFY rank <= 3
         "duplicate_spans": """
             WITH toks AS (
               SELECT doc_id,
-                     list_filter(string_split(text, ' '), t -> t <> '') AS t
+                     list_filter(string_split(coalesce(text, ''), ' '),
+                                 t -> t <> '') AS t
               FROM documents
             ),
             wins AS (

@@ -110,6 +110,8 @@ HEADLINE = [
     "zorder_curve",
     "cms_heavy_hitters",
     "weighted_sample",
+    "lsh_topk",
+    "pagerank_personalized",
     # incremental_dedup is oracle-checked but not benched here: a tiny
     # two-batch ingest is dominated by store round-trips and component
     # rounds (fixed job overhead, not operator throughput) — its scale
