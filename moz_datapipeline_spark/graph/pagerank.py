@@ -1,4 +1,5 @@
-"""Fixed-iteration PageRank over a directed edge list.
+"""Fixed-iteration (optionally personalized) PageRank over a directed
+edge list.
 
 Web-graph centrality is a standard quality prior in training-data
 pipelines (rank a page's domain before deciding how much of it to keep),
@@ -24,9 +25,19 @@ Design (Spark-first, fixed DAG):
   and a left join back to the node list so zero-in-degree nodes keep
   the teleport term.  Work per iteration is O(|E|), AQE-skew-safe.
 - ``handle_dangling=True`` adds the textbook stochastic-matrix
-  completion (rank on out-degree-0 nodes redistributes uniformly) for
-  one extra 1-row aggregate per iteration; graphs known to have no
-  dangling nodes (e.g. symmetrised edges) can skip it.
+  completion (rank on out-degree-0 nodes redistributes uniformly — to
+  the seed set when personalized) for one extra 1-row aggregate per
+  iteration; graphs known to have no dangling nodes (e.g. symmetrised
+  edges) can skip it.
+- ``seeds`` switches to personalized PageRank: the teleport vector
+  concentrates on the seed nodes (uniform over the seeds present in
+  the graph) instead of 1/N, so rank measures proximity to the seeds.
+- ``eager=False`` (the default) keeps the whole computation one lazy
+  plan; the persisted invariants and per-iteration caches then live
+  until the session evicts them — callers running PageRank repeatedly
+  in one session should pass ``eager=True``, which materializes each
+  iteration and unpersists its predecessor (plus the invariants at the
+  end), bounding the cache footprint to one iteration.
 
 Scale: |E| dominates; the only shuffles are the per-iteration join on
 ``src`` and aggregation on ``dst``.  Pre-partitioning ``edges`` by
@@ -34,6 +45,8 @@ Scale: |E| dominates; the only shuffles are the per-iteration join on
 """
 
 from __future__ import annotations
+
+from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -47,6 +60,8 @@ def pagerank(
     dst: str = "dst",
     handle_dangling: bool = True,
     checkpoint_every: int | None = None,
+    seeds: Sequence | None = None,
+    eager: bool = False,
 ) -> DataFrame:
     """Return ``(node, rank)`` after ``iters`` power iterations.
 
@@ -54,9 +69,17 @@ def pagerank(
     when ``handle_dangling=False`` on a graph that has some).
     Duplicate edges are collapsed first — parallel edges would
     double-count contributions.
+
+    ``seeds``: personalize — teleport (and dangling redistribution)
+    goes uniformly to the listed nodes instead of all nodes; seeds not
+    present in the graph are ignored (the vector renormalizes over the
+    ones that are).  Raises if none match at ``eager=True`` runtime
+    only implicitly (all-zero ranks); callers own seed validity.
     """
     if iters < 0:
         raise ValueError("pagerank: iters must be >= 0")
+    if seeds is not None and len(seeds) == 0:
+        raise ValueError("pagerank: seeds must be non-empty when given")
     d = float(damping)
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
@@ -72,17 +95,29 @@ def pagerank(
     out_deg = e.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).cast("double").alias("_deg")
     )
-    # Static per-node frame: out-degree (NULL = dangling) and 1/N,
-    # built once and reused by every iteration.
-    base = (
-        nodes.join(out_deg, "node", "left")
-        .crossJoin(F.broadcast(n_df))
-        .persist()
-    )
+    # Static per-node frame: out-degree (NULL = dangling) and the
+    # teleport vector, built once and reused by every iteration.
+    base = nodes.join(out_deg, "node", "left").crossJoin(F.broadcast(n_df))
+    if seeds is not None:
+        seed_list = list(seeds)
+        ns_df = (
+            nodes.filter(F.col("node").isin(seed_list))
+            .agg(F.count(F.lit(1)).cast("double").alias("_ns"))
+        )
+        base = base.crossJoin(F.broadcast(ns_df)).withColumn(
+            "_p",
+            F.when(
+                F.col("node").isin(seed_list), F.lit(1.0) / F.col("_ns")
+            ).otherwise(F.lit(0.0)),
+        )
+    base = base.persist()
+    carry = ["node", "_deg", "_n"] + (["_p"] if seeds is not None else [])
 
-    ranks = base.select(
-        "node", "_deg", "_n", (F.lit(1.0) / F.col("_n")).alias("rank")
+    init_rank = (
+        F.col("_p") if seeds is not None else F.lit(1.0) / F.col("_n")
     )
+    ranks = base.select(*carry, init_rank.alias("rank"))
+    prev_cached: DataFrame | None = None
     for i in range(iters):
         contribs = (
             e.join(
@@ -102,9 +137,19 @@ def pagerank(
                 ).alias("_dangle")
             )
             nxt = nxt.crossJoin(F.broadcast(dangling))
-            new_rank = (1.0 - d) / F.col("_n") + d * (
-                F.coalesce(F.col("_in"), F.lit(0.0))
-                + F.col("_dangle") / F.col("_n")
+            if seeds is not None:
+                new_rank = (1.0 - d) * F.col("_p") + d * (
+                    F.coalesce(F.col("_in"), F.lit(0.0))
+                    + F.col("_dangle") * F.col("_p")
+                )
+            else:
+                new_rank = (1.0 - d) / F.col("_n") + d * (
+                    F.coalesce(F.col("_in"), F.lit(0.0))
+                    + F.col("_dangle") / F.col("_n")
+                )
+        elif seeds is not None:
+            new_rank = (1.0 - d) * F.col("_p") + d * F.coalesce(
+                F.col("_in"), F.lit(0.0)
             )
         else:
             new_rank = (1.0 - d) / F.col("_n") + d * F.coalesce(
@@ -112,9 +157,20 @@ def pagerank(
             )
         # the next iteration reads ranks up to twice (dangling mass +
         # contributions); persist to keep the shared prefix single-shot
-        ranks = nxt.select(
-            "node", "_deg", "_n", new_rank.alias("rank")
-        ).persist()
+        ranks = nxt.select(*carry, new_rank.alias("rank")).persist()
+        cached = ranks
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint(eager=False)
+        if eager:
+            # materialize this iteration, then release its predecessor —
+            # keeps the session's cache footprint at one iteration
+            ranks.count()
+            if prev_cached is not None:
+                prev_cached.unpersist()
+            prev_cached = cached
+    if eager and iters > 0:
+        # the last iteration is cached; the invariants are no longer
+        # needed to serve reads of the returned frame
+        e.unpersist()
+        base.unpersist()
     return ranks.select("node", "rank")

@@ -73,6 +73,71 @@ def test_pagerank_rejects_negative_iters(spark):
     e = spark.createDataFrame([(1, 2)], "src long, dst long")
     with pytest.raises(ValueError):
         pagerank(e, iters=-1)
+    with pytest.raises(ValueError):
+        pagerank(e, iters=2, seeds=[])
+
+
+def _numpy_ppr(edges, iters, seeds, d=0.85, dangling=True):
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    idx = {n: i for i, n in enumerate(nodes)}
+    present = [s for s in seeds if s in idx]
+    p = np.zeros(len(nodes))
+    for s in present:
+        p[idx[s]] = 1.0 / len(present)
+    out = {}
+    for a, _ in edges:
+        out[a] = out.get(a, 0) + 1
+    r = p.copy()
+    for _ in range(iters):
+        nxt = (1.0 - d) * p
+        dangle = sum(r[idx[v]] for v in nodes if v not in out)
+        for a, b in edges:
+            nxt[idx[b]] += d * r[idx[a]] / out[a]
+        if dangling:
+            nxt += d * dangle * p
+        r = nxt
+    return {v: r[idx[v]] for v in nodes}
+
+
+def test_personalized_pagerank_matches_power_iteration(spark):
+    edges = [(1, 2), (1, 3), (2, 3), (3, 1), (4, 3), (3, 5)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    # node 5 is dangling; seed 99 is absent and must be ignored
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(e, iters=4, seeds=[1, 4, 99]).collect()
+    }
+    want = _numpy_ppr(edges, 4, [1, 4, 99])
+    assert set(got) == set(want)
+    assert sum(got.values()) == pytest.approx(1.0, rel=1e-12)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], rel=1e-12)
+    # mass concentrates near the seeds, not uniformly
+    assert got[2] > got[5] * 0  # sanity: present
+    uniform = _numpy_pagerank(edges, 4)
+    assert got[1] > uniform[1]
+
+
+def test_pagerank_eager_mode_matches_and_releases_cache(spark):
+    edges = [(1, 2), (2, 3), (3, 1), (1, 3)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    before = {
+        r["node"]: r["rank"] for r in pagerank(e, iters=3).collect()
+    }
+    spark.catalog.clearCache()
+    n_cached_0 = len(
+        [r for r in spark.sparkContext._jsc.sc().getRDDStorageInfo()]
+    )
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(e, iters=3, eager=True).collect()
+    }
+    n_cached_1 = len(
+        [r for r in spark.sparkContext._jsc.sc().getRDDStorageInfo()]
+    )
+    assert got == pytest.approx(before)
+    # eager mode retains at most the final iteration's cache
+    assert n_cached_1 - n_cached_0 <= 1
 
 
 def test_triangle_counts_match_bruteforce(spark):
@@ -120,6 +185,20 @@ def test_bloom_semi_join_equals_semi_join(spark):
     assert sorted(r["k"] for r in got.collect()) == sorted(
         r["k"] for r in want.collect()
     )
+
+
+def test_bloom_semi_join_prebuilt_bitmap_is_plan_only(spark):
+    fact = spark.range(0, 1000).withColumnRenamed("id", "k")
+    dim = spark.range(0, 1000).filter(F.col("id") % 3 == 0).withColumnRenamed(
+        "id", "k"
+    )
+    bm = build_bloom_bitmap(dim, "k", num_bits=1 << 12)
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    got = bloom_semi_join(fact, dim, "k", num_bits=1 << 12, bitmap=bm)
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before  # construction ran zero Spark jobs
+    assert sorted(r["k"] for r in got.collect()) == list(range(0, 1000, 3))
 
 
 def test_bloom_semi_join_exact_under_heavy_false_positives(spark):
@@ -276,6 +355,53 @@ def test_remove_duplicate_spans_overlapping_windows(spark):
     assert out[1]["text_clean"] == "u"
     assert out[1]["n_removed"] == 5
     assert out[2]["text_clean"] == "a"
+
+
+def test_remove_duplicate_spans_null_text_is_empty_doc(spark):
+    from moz_datapipeline_spark.operators.corpus import remove_duplicate_spans
+
+    docs = spark.createDataFrame(
+        [(1, "common a b c pad1"), (2, "common a b c pad2"), (3, None)],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in remove_duplicate_spans(docs, window=4, min_docs=2).collect()
+    }
+    assert out[3]["n_tokens"] == 0
+    assert out[3]["n_removed"] == 0
+    assert out[3]["text_clean"] == ""
+
+
+def test_remove_duplicate_spans_worst_case_is_linear(spark):
+    """A boilerplate sled where EVERY window is flagged: runtime must
+    scale ~linearly in doc length (the rebuild is O(tokens + spans·w)
+    via array_except's hash set, not O(tokens·spans))."""
+    import time
+
+    from moz_datapipeline_spark.operators.corpus import remove_duplicate_spans
+
+    def run(n_tokens: int) -> float:
+        sled = " ".join(f"t{i % 7}" for i in range(n_tokens))
+        docs = spark.createDataFrame(
+            [(1, sled), (2, sled)], "doc_id long, text string"
+        ).coalesce(1)
+        t0 = time.monotonic()
+        out = {
+            r["doc_id"]: r
+            for r in remove_duplicate_spans(
+                docs, window=20, min_docs=2
+            ).collect()
+        }
+        dt = time.monotonic() - t0
+        assert out[1]["n_removed"] == n_tokens  # everything covered
+        assert out[1]["text_clean"] == ""
+        return dt
+
+    run(1000)  # warm the JIT/codegen paths
+    t_small, t_big = run(4000), run(40000)
+    # quadratic would put the 10x doc at ~100x; allow generous noise
+    assert t_big < 25 * t_small, (t_small, t_big)
 
 
 def test_remove_duplicate_spans_hash_keys_agree(spark, sf_dir):
