@@ -530,9 +530,13 @@ def remove_duplicate_spans(
     distinct docs per key with map-side partials; join flagged keys
     back (equi join, AQE decides broadcast vs shuffle from the
     measured duplicate volume); collect flagged start positions per
-    doc; rebuild the text with one higher-order filter over the token
-    array (a position survives iff no flagged span covers it).  All
-    JVM-side, no Python UDFs.
+    doc; rebuild the text by materializing the covered positions once
+    and ``array_except``-ing them from the position range (hash-set
+    membership: O(tokens + spans·window) per doc, NOT O(tokens·spans) —
+    the distinction matters exactly for the boilerplate-sled documents
+    this operator targets, where most windows are flagged).  All
+    JVM-side, no Python UDFs.  NULL text behaves as an empty document
+    (0 tokens, empty ``text_clean``).
 
     Returns ``(id, n_tokens, n_removed, text_clean)``.
 
@@ -549,7 +553,12 @@ def remove_duplicate_spans(
     if window < 2:
         raise ValueError("remove_duplicate_spans: window must be >= 2")
     w = int(window)
-    toks = docs.select(F.col(id_col), tokens(text_col).alias("_t"))
+    toks = docs.select(
+        F.col(id_col),
+        F.coalesce(
+            tokens(text_col), F.array().cast("array<string>")
+        ).alias("_t"),
+    )
     starts_range = F.when(
         F.size("_t") >= w, F.sequence(F.lit(1), F.size("_t") - w + 1)
     ).otherwise(F.array().cast("array<int>"))
@@ -584,12 +593,23 @@ def remove_duplicate_spans(
         "_t",
         F.coalesce("_starts", F.array().cast("array<int>")).alias("_starts"),
     )
-    keep = F.filter(
-        F.col("_t"),
-        lambda tok, i: ~F.exists(
-            F.col("_starts"),
-            lambda s: (i + 1 >= s) & (i + 1 < s + w),
-        ),
+    covered = F.array_distinct(
+        F.flatten(
+            F.transform(F.col("_starts"), lambda s: F.sequence(s, s + w - 1))
+        )
+    )
+    positions = F.when(
+        F.size("_t") >= 1, F.sequence(F.lit(1), F.size("_t"))
+    ).otherwise(F.array().cast("array<int>"))
+    # array_except hashes `covered` once, so membership is O(1) per
+    # position; order of `positions` is preserved.  CaseWhen evaluates
+    # lazily, so the dominant no-flagged-spans case skips the rebuild
+    # machinery entirely
+    keep = F.when(F.size("_starts") == 0, F.col("_t")).otherwise(
+        F.transform(
+            F.array_except(positions, covered),
+            lambda p: F.element_at(F.col("_t"), p),
+        )
     )
     return joined.select(
         id_col,
