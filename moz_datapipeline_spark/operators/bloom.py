@@ -76,12 +76,22 @@ def bloom_semi_join(
     dim_key: str | None = None,
     num_bits: int = 1 << 20,
     num_hashes: int = 5,
+    bitmap: bytes | None = None,
 ) -> DataFrame:
     """``fact SEMI JOIN dim`` with a Bloom prefilter ahead of the
     exchange.  Result equals ``fact.join(dim, key, "left_semi")``
-    exactly; the Bloom stage is invisible to semantics."""
+    exactly; the Bloom stage is invisible to semantics.
+
+    NOT lazy: the bitmap build runs Spark jobs at CALL time (one scan
+    of ``dim`` here, plus a second inside the exact semi join when the
+    result is executed) — unlike the rest of this package, which only
+    constructs plans.  Callers assembling plans speculatively should
+    either call this at execution time or pass ``bitmap=`` with a
+    prebuilt ``build_bloom_bitmap`` result, which makes this function
+    plan-only."""
     dim_key = dim_key or fact_key
-    bitmap = build_bloom_bitmap(dim, dim_key, num_bits, num_hashes)
+    if bitmap is None:
+        bitmap = build_bloom_bitmap(dim, dim_key, num_bits, num_hashes)
     bc = fact.sparkSession.sparkContext.broadcast(bitmap)
 
     @pandas_udf("boolean")

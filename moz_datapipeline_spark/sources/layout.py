@@ -53,15 +53,21 @@ def zorder_value(x: str, y: str, bits: int = 21) -> Column:
     identical expression in ANSI SQL for the oracle.  ``bits`` ≤ 31
     per dimension keeps the result in a signed 64-bit long.
 
-    ``x``/``y`` are column names (or SQL expressions): the variable
+    ``x``/``y`` are column NAMES — they are backtick-quoted before
+    being spliced into the SQL (names with spaces, dots, or dashes
+    resolve as the column, not as an expression).  The variable
     bit-shift inside the fold exists only in the SQL surface, so the
     expression is built with ``F.expr`` rather than the Column DSL."""
     if not 1 <= bits <= 31:
         raise ValueError("zorder_value: bits must be in [1, 31]")
+
+    def _q(name: str) -> str:
+        return "`" + name.replace("`", "``") + "`"
+
     return F.expr(
         f"aggregate(sequence(0, {bits - 1}), 0L, (acc, k) -> acc"
-        f" + (((CAST({x} AS BIGINT) >> k) & 1) << (2*k))"
-        f" + (((CAST({y} AS BIGINT) >> k) & 1) << (2*k+1)))"
+        f" + (((CAST({_q(x)} AS BIGINT) >> k) & 1) << (2*k))"
+        f" + (((CAST({_q(y)} AS BIGINT) >> k) & 1) << (2*k+1)))"
     )
 
 

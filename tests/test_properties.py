@@ -287,6 +287,20 @@ def test_zorder_interleave_bit_exact(spark, xs, ys):
         assert row["z"] == z
 
 
+def test_zorder_quotes_awkward_column_names(spark):
+    from moz_datapipeline_spark.sources.layout import zorder_value
+
+    df = spark.createDataFrame([(3, 5)], ["grid x", "grid-y"])
+    row = df.select(
+        zorder_value("grid x", "grid-y", bits=4).alias("z")
+    ).collect()[0]
+    want = 0
+    for k in range(4):
+        want |= ((3 >> k) & 1) << (2 * k)
+        want |= ((5 >> k) & 1) << (2 * k + 1)
+    assert row["z"] == want
+
+
 @settings(**SETTINGS)
 @given(
     words=st.lists(
