@@ -177,10 +177,32 @@ MAX_BROADCAST_POLYGONS = 500_000
 MAX_BROADCAST_RING_BYTES = 256 * 1024 * 1024
 
 
+def _grid_cells(minx, miny, maxx, maxy, cell_size: float):
+    """All (cx, cy) grid cells a bbox overlaps, as an exploded-ready
+    array<struct<cx,cy>> column (pure codegen)."""
+    cs = F.lit(float(cell_size))
+    xs = F.sequence(
+        F.floor(minx / cs).cast("long"), F.floor(maxx / cs).cast("long")
+    )
+    ys = F.sequence(
+        F.floor(miny / cs).cast("long"), F.floor(maxy / cs).cast("long")
+    )
+    return F.flatten(
+        F.transform(
+            xs,
+            lambda cx: F.transform(
+                ys, lambda cy: F.struct(cx.alias("cx"), cy.alias("cy"))
+            ),
+        )
+    )
+
+
 def polygon_clipped_pairs(
     way_segments: DataFrame,
     polygons: DataFrame,
     indicator: str = "indicator",
+    rings_through_rows: bool = False,
+    cell_size: float = 0.5,
 ) -> DataFrame:
     """Candidate pairs with exact inside-length for ARBITRARY polygons.
 
@@ -199,6 +221,17 @@ def polygon_clipped_pairs(
     Candidate-pair width is therefore O(1) per row instead of
     O(vertices) — a 10k-vertex district overlapping 5k segments would
     otherwise ship 50M ring floats through the Arrow batches.
+
+    ``rings_through_rows=True`` is the corpus-scale fallback for
+    polygon sides ABOVE the broadcast caps: no driver collect, no
+    broadcast at all.  Both sides explode onto a ``cell_size`` grid
+    (each bbox → the cells it overlaps), pairs form by an EQUI join on
+    the cell id (a plain hash shuffle — AQE-skew-splittable, never a
+    nested-loop), a canonical-cell predicate (the cell holding the
+    bbox-intersection's min corner) keeps each pair exactly once with
+    no distinct, and the rings ride the polygon rows into the kernel.
+    Same output, different physical plan; pick ``cell_size`` near the
+    median polygon bbox edge so each bbox explodes to O(1) cells.
     """
     from pyspark.sql.types import StructField, StructType, DoubleType
     import numpy as np
@@ -216,6 +249,80 @@ def polygon_clipped_pairs(
         .withColumn("pminy", F.array_min(F.flatten("rings_y")))
         .withColumn("pmaxy", F.array_max(F.flatten("rings_y")))
     )
+    if rings_through_rows:
+        cs = F.lit(float(cell_size))
+        seg_cells = segs.withColumn(
+            "_cell",
+            F.explode(
+                _grid_cells(
+                    F.col("minx"), F.col("miny"),
+                    F.col("maxx"), F.col("maxy"), cell_size,
+                )
+            ),
+        )
+        poly_cells = polys.withColumn(
+            "_cell",
+            F.explode(
+                _grid_cells(
+                    F.col("pminx"), F.col("pminy"),
+                    F.col("pmaxx"), F.col("pmaxy"), cell_size,
+                )
+            ),
+        )
+        overlap_bbox = (
+            (F.col("minx") <= F.col("pmaxx"))
+            & (F.col("maxx") >= F.col("pminx"))
+            & (F.col("miny") <= F.col("pmaxy"))
+            & (F.col("maxy") >= F.col("pminy"))
+        )
+        # a pair overlaps in possibly many cells; report it only in the
+        # cell holding the bbox-intersection's min corner (both sides
+        # provably generated that cell) — exactly-once with no distinct
+        canonical = (
+            F.col("_cell.cx")
+            == F.floor(F.greatest("minx", "pminx") / cs).cast("long")
+        ) & (
+            F.col("_cell.cy")
+            == F.floor(F.greatest("miny", "pminy") / cs).cast("long")
+        )
+        pairs = (
+            seg_cells.join(poly_cells, ["_cell"])
+            .filter(overlap_bbox & canonical)
+            .drop(
+                "_cell", "minx", "maxx", "miny", "maxy",
+                "pminx", "pmaxx", "pminy", "pmaxy",
+            )
+        )
+        out_schema = StructType(
+            [
+                f
+                for f in pairs.schema.fields
+                if f.name not in ("rings_x", "rings_y")
+            ]
+            + [StructField("overlap_len", DoubleType())]
+        )
+        out_cols = [f.name for f in out_schema.fields]
+
+        def kernel_rows(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    yield pdf.assign(overlap_len=0.0)[out_cols]
+                    continue
+                overlap = np.zeros(len(pdf))
+                grouped = pdf.groupby("area_id", sort=False).indices
+                for _area_id, ilocs in grouped.items():
+                    rows = pdf.iloc[ilocs]
+                    overlap[ilocs] = _polygon_clip_lengths(
+                        rows["ax"].to_numpy(np.float64),
+                        rows["ay"].to_numpy(np.float64),
+                        rows["bx"].to_numpy(np.float64),
+                        rows["by"].to_numpy(np.float64),
+                        rows["rings_x"].iloc[0],
+                        rows["rings_y"].iloc[0],
+                    )
+                yield pdf.assign(overlap_len=overlap)[out_cols]
+
+        return pairs.mapInPandas(kernel_rows, out_schema)
     # Ring geometry goes to executors once via sc.broadcast; the join
     # side keeps only area_id + bbox + indicator (narrow rows).  Guard
     # the driver collect first: one tiny agg over the (small) polygon
@@ -232,9 +339,9 @@ def polygon_clipped_pairs(
             f"polygon side too large to broadcast rings to the driver: "
             f"{stats['n']} polygons, ~{est_bytes >> 20} MiB of ring "
             f"vertices (caps: {MAX_BROADCAST_POLYGONS} rows, "
-            f"{MAX_BROADCAST_RING_BYTES >> 20} MiB). Pre-aggregate or "
-            "tile the polygon side, or join rings through the pair rows "
-            "for a corpus-scale polygon set"
+            f"{MAX_BROADCAST_RING_BYTES >> 20} MiB). Pass "
+            "rings_through_rows=True for the no-broadcast grid-join "
+            "plan, or pre-aggregate/tile the polygon side"
         )
     rings_map = {
         r["area_id"]: (
@@ -280,14 +387,21 @@ def indicator_from_polygon_areas(
     way_segments: DataFrame,
     polygons: DataFrame,
     indicator: str = "indicator",
+    rings_through_rows: bool = False,
+    cell_size: float = 0.5,
 ) -> DataFrame:
     """A5 for arbitrary polygons: bbox join → numpy clip kernel → fold.
 
     Same contract as ``indicator_from_areas`` but zones are true
     polygons, not axis-aligned cells. Route rectangular zones to the
     codegen fast path; everything else comes here.
-    """
-    clipped = polygon_clipped_pairs(way_segments, polygons, indicator)
+    ``rings_through_rows=True`` selects the no-broadcast grid-join plan
+    for polygon sides above the broadcast caps (see
+    ``polygon_clipped_pairs``)."""
+    clipped = polygon_clipped_pairs(
+        way_segments, polygons, indicator,
+        rings_through_rows=rings_through_rows, cell_size=cell_size,
+    )
     clipped = clipped.filter(F.col("overlap_len") > 0)
     return clipped.groupBy("way_id").agg(
         (F.sum(F.col("overlap_len") * F.col(indicator)) / F.first("way_len")).alias(

@@ -208,6 +208,64 @@ def test_pairs_bbox_prefilter_broadcasts(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 
+def test_rings_through_rows_matches_broadcast_path(spark):
+    """The no-broadcast grid-join plan returns the same folds as the
+    ring-broadcast plan, including when bboxes straddle many grid cells
+    (the canonical-cell predicate must keep each pair exactly once)."""
+    lx, ly = _ring_cols(L_SHAPE)
+    hx, hy = _ring_cols(HOLED)
+    hx = [[x + 10.0 for x in r] for r in hx]
+    polys = _polys(
+        spark, [("L", lx, ly, 2.0), ("H", hx, hy, 5.0), ("Z", lx, ly, 0.0)]
+    )
+    segs = _segs(
+        spark,
+        [
+            (1, -1.0, 3.0, 5.0, 3.0, 6.0),
+            (2, 9.0, 3.0, 17.0, 3.0, 8.0),
+            (3, 100.0, 100.0, 101.0, 100.0, 1.0),
+            (4, 0.5, 0.5, 15.5, 4.5, math.hypot(15.0, 4.0)),  # spans both
+        ],
+    )
+    want = {
+        r["way_id"]: r["value"]
+        for r in indicator_from_polygon_areas(segs, polys).collect()
+    }
+    for cell in (0.7, 2.0, 50.0):  # many cells ... one cell
+        got = {
+            r["way_id"]: r["value"]
+            for r in indicator_from_polygon_areas(
+                segs, polys, rings_through_rows=True, cell_size=cell
+            ).collect()
+        }
+        assert set(got) == set(want), cell
+        for k in want:
+            assert got[k] == pytest.approx(want[k], abs=1e-9), (cell, k)
+
+
+def test_rings_through_rows_completes_above_broadcast_cap(spark, monkeypatch):
+    """A polygon side over the cap: the broadcast path refuses, the
+    documented fallback completes with the same answer — and its plan
+    construction runs zero Spark jobs (no driver collect anywhere)."""
+    from moz_datapipeline_spark.operators import areas
+
+    lx, ly = _ring_cols(L_SHAPE)
+    polys = _polys(spark, [("L", lx, ly, 2.0), ("M", lx, ly, 0.5)])
+    segs = _segs(spark, [(1, -1.0, 3.0, 5.0, 3.0, 6.0)])
+    monkeypatch.setattr(areas, "MAX_BROADCAST_POLYGONS", 1)
+    with pytest.raises(ValueError, match="rings_through_rows"):
+        areas.polygon_clipped_pairs(segs, polys)
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    out_df = areas.indicator_from_polygon_areas(
+        segs, polys, rings_through_rows=True, cell_size=2.0
+    )
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before  # plan-only construction
+    out = {r["way_id"]: r["value"] for r in out_df.collect()}
+    assert out[1] == pytest.approx((2.0 * 2.0 + 2.0 * 0.5) / 6.0)
+
+
 def test_oversized_polygon_side_raises_before_collect(spark, monkeypatch):
     """The ring broadcast must refuse an over-cap polygon side with a
     clear error instead of silently collecting it into the driver."""
