@@ -25,6 +25,7 @@ def connected_components(
     a_col: str = "id_a",
     b_col: str = "id_b",
     max_iterations: int = 30,
+    stats: dict | None = None,
 ) -> DataFrame:
     """(id_a, id_b) pair edges → (id, component) with component = min id.
 
@@ -38,6 +39,10 @@ def connected_components(
 
     Raises RuntimeError if ``max_iterations`` rounds still left moving
     labels — never silently returns split components.
+
+    ``stats``: pass a dict to receive ``{"rounds": n}`` — the number of
+    propagate+shortcut rounds actually executed (the O(log d) claim is
+    rehearsed against this in ``scale_check.py``).
     """
     edges = (
         pairs.select(
@@ -55,7 +60,9 @@ def connected_components(
     edges = edges.cache()
 
     converged = False
+    rounds = 0
     for _ in range(max_iterations):
+        rounds += 1
         # propagate: each node adopts min(own, neighbors' labels)
         neighbor_min = (
             edges.join(labels, edges["v"] == labels["id"])
@@ -96,6 +103,8 @@ def connected_components(
             converged = True
             break
     edges.unpersist()
+    if stats is not None:
+        stats["rounds"] = rounds
     if not converged:
         raise RuntimeError(
             f"connected_components: no fixed point after {max_iterations} "

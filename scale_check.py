@@ -153,10 +153,25 @@ def routing_scale_check(spark) -> dict:
         (i, j): 100.0 for i in range(n_od) for j in range(i + 1, n_od)
     }
 
+    import pickle
+
     t0 = time.perf_counter()
     ctx = EaulContext(edges, way_props, od, traffic)
+    # broadcast-payload audit: the scenario fan-out broadcasts
+    # (ctx, excluded) AFTER the baseline phase has populated the SSSP
+    # caches — measure the pickled size cold vs post-baseline so cache
+    # growth never rides the broadcast unnoticed
+    ctx_cold_bytes = len(pickle.dumps(ctx, protocol=pickle.HIGHEST_PROTOCOL))
     _, excluded = ctx.eaul(None, None, 0.7, None, None)
     t_baseline = time.perf_counter() - t0
+    ctx_warm_bytes = len(
+        pickle.dumps((ctx, excluded), protocol=pickle.HIGHEST_PROTOCOL)
+    )
+    # documented bound: the payload is OD-set-bounded (|OD|² cached
+    # cost rows + |OD| SSSP trees over the graph); a few hundred MB is
+    # the national-scale ceiling — fail the rehearsal loudly if the
+    # 138-zone payload ever nears it
+    assert ctx_warm_bytes < 256 * 1024 * 1024, ctx_warm_bytes
 
     # per-scenario: overlay vs the full recompute it replaced (5-way sample)
     sample = way_ids[:: len(way_ids) // 5][:5]
@@ -197,6 +212,8 @@ def routing_scale_check(spark) -> dict:
         "eaul_overlay_speedup": round(t_full / t_overlay, 1),
         "eaul_scenarios": n_scen,
         "eaul_fanout_sec": round(t_fanout, 2),
+        "eaul_ctx_pickle_cold_mb": round(ctx_cold_bytes / 1048576, 2),
+        "eaul_ctx_pickle_warm_mb": round(ctx_warm_bytes / 1048576, 2),
     }
 
 
@@ -752,6 +769,48 @@ def graph_lm_scale_check(spark, docs) -> dict:
     return out
 
 
+def components_scale_check(spark) -> dict:
+    """Connected components at 3M edges with a WORST-CASE long-chain
+    component: a 1.8M-node path (diameter 1.8M) plus 300k 5-node stars.
+    Plain label propagation would need 1.8M rounds; the pointer-doubling
+    shortcut must converge in O(log d) ≈ 21 — the rehearsal records the
+    actual round count against that claim."""
+    from moz_datapipeline_spark.operators.components import (
+        connected_components,
+    )
+
+    chain_n = 1_800_000
+    chain = spark.range(chain_n - 1).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    stars = (
+        spark.range(1_500_000)
+        .select(
+            (F.lit(10_000_000) + F.col("id")).alias("id_a"),
+            (F.lit(10_000_000) + F.col("id") - F.col("id") % 5).alias(
+                "id_b"
+            ),
+        )
+        .filter(F.col("id_a") != F.col("id_b"))
+    )
+    pairs = chain.unionByName(stars)
+    n_edges = pairs.count()
+    stats: dict = {}
+    t0 = time.perf_counter()
+    comp = connected_components(pairs, stats=stats)
+    n_comp = comp.select("component").distinct().count()
+    dt = time.perf_counter() - t0
+    assert n_comp == 1 + 300_000, n_comp
+    assert stats["rounds"] <= 30, stats
+    return {
+        "cc_edges": n_edges,
+        "cc_components": n_comp,
+        "cc_chain_diameter": chain_n - 1,
+        "cc_rounds": stats["rounds"],
+        "cc_sec": round(dt, 2),
+    }
+
+
 def main() -> None:
     spark = get_spark(app_name="dedup_scale_check")
     docs = amplified_corpus(spark, "/root/testdata/sf0.1/documents.parquet")
@@ -784,6 +843,7 @@ def main() -> None:
     media = media_scale_check(spark)
     routing = routing_scale_check(spark)
     graph_lm = graph_lm_scale_check(spark, docs)
+    components = components_scale_check(spark)
 
     print(
         json.dumps(
@@ -806,6 +866,7 @@ def main() -> None:
                 **media,
                 **routing,
                 **graph_lm,
+                **components,
             }
         )
     )
