@@ -772,6 +772,75 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_negative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic contrastive negatives: 4 md5-addressed other-row
+    picks per anchor through the dense position index (two-phase prefix
+    rank + one equi join — operators/corpus.negative_sample).  VALUE
+    oracle: identical hash arithmetic over row_number positions."""
+    from moz_datapipeline_spark.operators.corpus import negative_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return negative_sample(d, k=4)
+
+
+def q_batch_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching (dynamic-batching data prep): bucket by
+    token-count bands, chunk each bucket into batch_size=32 batches in
+    id order via the two-phase distributed prefix rank
+    (operators/text.batch_by_length).  VALUE oracle: row_number per
+    bucket in DuckDB."""
+    from moz_datapipeline_spark.operators.text import batch_by_length
+
+    d = _t(spark, sf_dir, "documents")
+    out = batch_by_length(d, batch_size=32)
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        "len_bucket",
+        "batch_idx",
+    )
+
+
+def q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle containment: |sh(A)∩sh(B)|/|sh(A)| per side —
+    the quote/excerpt detector Jaccard misses.  Candidates bucketed by
+    4-word prefix (same scheme as dedup_ngram_jaccard), then
+    operators/dedup.ngram_containment_pairs verifies exactly.  VALUE
+    oracle: identical shingling + containment in DuckDB."""
+    from moz_datapipeline_spark.operators.dedup import (
+        ngram_containment_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " "
+    )
+    cands = (
+        d.select(
+            "doc_id", F.array_join(F.slice(toks, 1, 4), " ").alias("bucket")
+        )
+        .alias("a")
+        .join(
+            d.select(
+                "doc_id",
+                F.array_join(F.slice(toks, 1, 4), " ").alias("bucket"),
+            ).alias("b"),
+            "bucket",
+        )
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+    )
+    out = ngram_containment_pairs(d, cands, shingle_k=3, threshold=0.5)
+    return out.select(
+        "id_a",
+        "id_b",
+        F.round("containment_a", 6).alias("containment_a"),
+        F.round("containment_b", 6).alias("containment_b"),
+    )
+
+
 def _portable_hash_mode() -> bool:
     """Hash family for the dedup headline queries.
 
@@ -1364,6 +1433,44 @@ def q_ivfadc_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("floor(l2_dist * 1e6 + 0.5) / 1e6").alias("l2_dist"),
         "rank",
     )
+
+
+def q_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe against a PERSISTED index (build-once-probe-many):
+    centroids + Hive-partitioned lists written to parquet, then the
+    probe join dynamic-partition-prunes the scan to the probed lists
+    (operators/similarity.build_ivf_index / ivf_topk_indexed).  Results
+    are byte-identical to ivf_topk, so the oracle is the same replay."""
+    import hashlib
+
+    from moz_datapipeline_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_topk_indexed,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/tmp/spark_graft_ivf_index/{tag}"
+    build_ivf_index(emb, path, n_centroids=16)
+    out = ivf_topk_indexed(
+        spark, path, emb.filter(F.col("vec_id") < 5), nprobe=4, k=3
+    )
+    return out.select(
+        "query_id", "corpus_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: k-means-bucketed semantic near-dup removal — cluster
+    embeddings (the exact kmeans_assign DAG), drop within-cluster
+    vectors whose cosine to a lower-id member exceeds 0.2 (synthetic
+    embeddings carry no true dups; a production 0.95 would be vacuous
+    here).  Pair volume is bounded by cluster width, never corpus².
+    VALUE oracle: the same two Lloyd rounds + drop rule in DuckDB."""
+    from moz_datapipeline_spark.operators.similarity import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, threshold=0.2, k=8, iterations=2)
 
 
 def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2599,6 +2706,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_resolution_rollup": q_multi_resolution_rollup,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "ngram_containment": q_ngram_containment,
+        "batch_by_length": q_batch_by_length,
+        "negative_sample": q_negative_sample,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_clusters": q_dedup_clusters,
@@ -2634,6 +2744,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "view_click_attribution": q_view_click_attribution,
         "random_projection": q_random_projection,
         "kmeans": q_kmeans,
+        "semantic_dedup": q_semantic_dedup,
+        "ivf_indexed": q_ivf_indexed,
         "embedding_covariance": q_embedding_covariance,
         "pq_codes": q_pq_codes,
         "pq_codes_fast": q_pq_codes_fast,
@@ -3020,7 +3132,54 @@ def _random_projection_oracle() -> str:
     """
 
 
-_KMEANS_ORACLE = """
+_IVF_TOPK_ORACLE = """
+WITH cent AS (
+  SELECT vec_id AS centroid_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce
+  FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC
+  LIMIT 16
+),
+corpus AS (
+  SELECT vec_id AS corpus_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+  FROM embeddings
+),
+assigned AS (
+  SELECT corpus_id, cv, centroid_id AS list_id
+  FROM corpus CROSS JOIN cent
+  QUALIFY row_number() OVER (
+    PARTITION BY corpus_id
+    ORDER BY list_cosine_similarity(cv, ce) DESC, centroid_id ASC) = 1
+),
+queries AS (
+  SELECT vec_id AS query_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+  FROM embeddings WHERE vec_id < 5
+),
+probed AS (
+  SELECT query_id, qv, centroid_id AS list_id
+  FROM queries CROSS JOIN cent
+  QUALIFY row_number() OVER (
+    PARTITION BY query_id
+    ORDER BY list_cosine_similarity(qv, ce) DESC, centroid_id ASC) <= 4
+),
+scored AS (
+  SELECT p.query_id, a.corpus_id,
+         list_cosine_similarity(p.qv, a.cv) AS cos_raw
+  FROM assigned a JOIN probed p USING (list_id)
+  WHERE a.corpus_id <> p.query_id
+)
+SELECT query_id, corpus_id, round(cos_raw, 6) AS cosine,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_raw DESC, corpus_id ASC) AS INTEGER) AS rank
+FROM scored
+QUALIFY rank <= 3
+
+"""
+
+
+_KMEANS_CTES = """
     WITH v AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
       FROM embeddings
@@ -3052,8 +3211,26 @@ _KMEANS_ORACLE = """
       SELECT vec_id, cid FROM d2
       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1
     )
+"""
+
+_KMEANS_ORACLE = _KMEANS_CTES + """
     SELECT a1.vec_id, a1.cid AS cluster_r1, a2.cid AS cluster
     FROM a1 JOIN a2 ON a1.vec_id = a2.vec_id
+"""
+
+# SemDeDup replay: the identical two Lloyd rounds, then within-cluster
+# cosine pairs and the lowest-id-survives drop rule
+_SEMANTIC_DEDUP_ORACLE = _KMEANS_CTES + """
+    , drops AS (
+      SELECT DISTINCT b.vec_id AS drop_id
+      FROM a2 a JOIN a2 b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      JOIN v va ON va.vec_id = a.vec_id
+      JOIN v vb ON vb.vec_id = b.vec_id
+      WHERE list_cosine_similarity(va.emb, vb.emb) > 0.2
+    )
+    SELECT v.vec_id, a2.cid AS cluster
+    FROM v JOIN a2 ON v.vec_id = a2.vec_id
+    WHERE v.vec_id NOT IN (SELECT drop_id FROM drops)
 """
 
 
@@ -3135,6 +3312,7 @@ def oracle_sql() -> dict[str, str]:
     sql = {
         "random_projection": _random_projection_oracle(),
         "kmeans": _KMEANS_ORACLE,
+        "semantic_dedup": _SEMANTIC_DEDUP_ORACLE,
         "quality_funnel": """
             WITH st AS (
               SELECT lang,
@@ -4171,6 +4349,82 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
                   / len(list_distinct(list_concat(a.words, b.words))) >= 0.3
         """,
+        "negative_sample": """
+            WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+            idx AS (
+              SELECT doc_id,
+                     CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS pos
+              FROM documents
+            ),
+            slots AS (
+              SELECT i.doc_id AS anchor_id, i.pos AS apos,
+                     CAST(u.slot AS INTEGER) AS slot,
+                     CAST(('0x' || substr(md5(
+                       'neg:' || CAST(i.doc_id AS VARCHAR) || ':'
+                              || CAST(u.slot AS VARCHAR)), 1, 15))
+                       AS BIGINT) % nn.n AS h,
+                     nn.n AS n
+              FROM idx i CROSS JOIN nn
+              CROSS JOIN unnest(generate_series(0, 3)) AS u(slot)
+            ),
+            targeted AS (
+              SELECT anchor_id, slot,
+                     CASE WHEN h = apos THEN (h + 1) % n ELSE h END AS tpos
+              FROM slots
+            )
+            SELECT t.anchor_id, t.slot, i.doc_id AS negative_id
+            FROM targeted t JOIN idx i ON i.pos = t.tpos
+        """,
+        "batch_by_length": """
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(string_split_regex(trim(text), '\\s+')) END AS INTEGER) AS n_tokens
+              FROM documents
+            ),
+            b AS (
+              SELECT doc_id, n_tokens, CAST((n_tokens > 16) AS INT) + CAST((n_tokens > 32) AS INT) + CAST((n_tokens > 64) AS INT) + CAST((n_tokens > 128) AS INT) + CAST((n_tokens > 256) AS INT) + CAST((n_tokens > 512) AS INT) + CAST((n_tokens > 1024) AS INT) AS len_bucket FROM t
+            ),
+            r AS (
+              SELECT doc_id, n_tokens, len_bucket,
+                     row_number() OVER (PARTITION BY len_bucket ORDER BY doc_id) AS rk
+              FROM b
+            )
+            SELECT doc_id, n_tokens, len_bucket,
+                   CAST((rk - 1) // 32 AS BIGINT) AS batch_idx
+            FROM r
+        """,
+        "ngram_containment": """
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+              FROM documents
+            ),
+            sh AS (
+              SELECT doc_id,
+                     array_to_string(t[1:4], ' ') AS bucket,
+                     CASE WHEN len(t) >= 3 THEN
+                       list_distinct(list_transform(
+                         generate_series(1, len(t) - 2),
+                         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                     ELSE [array_to_string(t, ' ')] END AS s
+              FROM toks
+            ),
+            scored AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                       / len(a.s) AS ca,
+                     CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                       / len(b.s) AS cb
+              FROM sh a JOIN sh b
+                ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+            )
+            SELECT id_a, id_b,
+                   round(ca, 6) AS containment_a,
+                   round(cb, 6) AS containment_b
+            FROM scored
+            WHERE ca >= 0.5 OR cb >= 0.5
+        """,
         "similarity_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
                  scored AS (
@@ -4569,51 +4823,8 @@ FROM eaul_calc
         # IVF approximate top-k replicated exactly in SQL: same
         # deterministic md5-ordered centroid sample, assignment,
         # probing, ranking.
-        "similarity_ivf": """
-WITH cent AS (
-  SELECT vec_id AS centroid_id,
-         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce
-  FROM embeddings
-  ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC
-  LIMIT 16
-),
-corpus AS (
-  SELECT vec_id AS corpus_id,
-         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
-  FROM embeddings
-),
-assigned AS (
-  SELECT corpus_id, cv, centroid_id AS list_id
-  FROM corpus CROSS JOIN cent
-  QUALIFY row_number() OVER (
-    PARTITION BY corpus_id
-    ORDER BY list_cosine_similarity(cv, ce) DESC, centroid_id ASC) = 1
-),
-queries AS (
-  SELECT vec_id AS query_id,
-         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
-  FROM embeddings WHERE vec_id < 5
-),
-probed AS (
-  SELECT query_id, qv, centroid_id AS list_id
-  FROM queries CROSS JOIN cent
-  QUALIFY row_number() OVER (
-    PARTITION BY query_id
-    ORDER BY list_cosine_similarity(qv, ce) DESC, centroid_id ASC) <= 4
-),
-scored AS (
-  SELECT p.query_id, a.corpus_id,
-         list_cosine_similarity(p.qv, a.cv) AS cos_raw
-  FROM assigned a JOIN probed p USING (list_id)
-  WHERE a.corpus_id <> p.query_id
-)
-SELECT query_id, corpus_id, round(cos_raw, 6) AS cosine,
-       CAST(row_number() OVER (PARTITION BY query_id
-                               ORDER BY cos_raw DESC, corpus_id ASC) AS INTEGER) AS rank
-FROM scored
-QUALIFY rank <= 3
-
-        """,
+        "similarity_ivf": _IVF_TOPK_ORACLE,
+        "ivf_indexed": _IVF_TOPK_ORACLE,
         "dedup_clusters": """
             WITH RECURSIVE docs AS (
               SELECT doc_id,

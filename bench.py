@@ -112,6 +112,11 @@ HEADLINE = [
     "weighted_sample",
     "lsh_topk",
     "pagerank_personalized",
+    "semantic_dedup",
+    "ngram_containment",
+    "batch_by_length",
+    "negative_sample",
+    "ivf_indexed",
     # incremental_dedup is oracle-checked but not benched here: a tiny
     # two-batch ingest is dominated by store round-trips and component
     # rounds (fixed job overhead, not operator throughput) — its scale

@@ -790,3 +790,99 @@ def weighted_sample(
         .withColumn("sample_key", F.round("_skey", 6))
         .drop("_skey")
     )
+
+
+def negative_sample(
+    df: DataFrame,
+    k: int = 4,
+    id_col: str = "doc_id",
+    seed: str = "neg",
+) -> DataFrame:
+    """Deterministic k-negative sampling for contrastive-training pairs:
+    every row becomes an anchor paired with ``k`` pseudo-random OTHER
+    rows, chosen by hashing (anchor, slot) into the corpus's dense
+    position index — no RNG state, so reruns and the SQL oracle
+    reproduce the identical pairs.
+
+    Plan shape: the dense 0..N-1 position index comes from the same
+    TWO-PHASE distributed prefix rank as ``pack_documents`` (never one
+    global window task); N rides along as a broadcast 1-row frame; each
+    anchor explodes into ``k`` slots whose md5-derived position joins
+    back against the index (one equi-join shuffle).  A hash that lands
+    on the anchor itself shifts to the next position, so negatives are
+    guaranteed ≠ anchor.  Corpora with fewer than 2 rows produce no
+    pairs.
+
+    Returns (anchor_id, slot, negative_id).
+
+    Reference parity: extension operator (contrastive data prep);
+    sampling-family sibling of ``weighted_sample``/``mixture_resample``.
+    """
+    if k < 1:
+        raise ValueError("negative_sample: k must be >= 1")
+    ranged = df.select(F.col(id_col)).repartitionByRange(
+        F.col(id_col)
+    ).withColumn("_pid", F.spark_partition_id())
+    lw = Window.partitionBy("_pid").orderBy(id_col)
+    local = ranged.withColumn(
+        "_lrank", F.row_number().over(lw).cast("long")
+    ).cache()
+    bases = (
+        local.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .withColumn(
+            "_base",
+            F.coalesce(
+                F.sum("_cnt").over(
+                    Window.orderBy("_pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ).cast("long"),
+        )
+        .select("_pid", "_base")
+    )
+    idx = local.join(F.broadcast(bases), "_pid").select(
+        F.col(id_col),
+        (F.col("_base") + F.col("_lrank") - 1).alias("_pos"),
+    )
+    n_df = idx.agg(F.count(F.lit(1)).alias("_n"))
+    anchors = (
+        idx.select(
+            F.col(id_col).alias("anchor_id"), F.col("_pos").alias("_apos")
+        )
+        .crossJoin(F.broadcast(n_df))
+        .filter(F.col("_n") > 1)
+        .select(
+            "anchor_id",
+            "_apos",
+            "_n",
+            F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("slot"),
+        )
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(seed),
+                    F.lit(":"),
+                    F.col("anchor_id").cast("string"),
+                    F.lit(":"),
+                    F.col("slot").cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long") % F.col("_n")
+    tpos = F.when(h == F.col("_apos"), (h + 1) % F.col("_n")).otherwise(h)
+    targeted = anchors.withColumn("_tpos", tpos)
+    return targeted.join(
+        idx.select(
+            F.col(id_col).alias("negative_id"), F.col("_pos").alias("_tpos")
+        ),
+        "_tpos",
+    ).select("anchor_id", "slot", "negative_id")

@@ -234,6 +234,48 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    candidates: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Verify candidate pairs with ASYMMETRIC shingle containment:
+    ``containment(X in Y) = |sh(X) ∩ sh(Y)| / |sh(X)|`` — the
+    quote/excerpt detector Jaccard misses (a paragraph fully quoted
+    inside a much longer page has tiny Jaccard but containment 1.0).
+
+    Keeps pairs where EITHER direction reaches ``threshold`` and
+    reports both directions, so callers can tell excerpt (one-sided)
+    from near-identity (both-sided).  Same candidates→verify shape as
+    ``ngram_jaccard_pairs``: only LSH candidates are scored, never all
+    pairs.
+
+    Reference parity: extension operator; companion to
+    ``ngram_jaccard_pairs`` (dedup.py:210).
+    """
+    sh = df.select(
+        F.col(id_col),
+        F.array_distinct(shingles(text_col, shingle_k)).alias("_sh"),
+    )
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sa"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_sb"))
+    inter = F.size(F.array_intersect("_sa", "_sb")).cast("double")
+    return (
+        candidates.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("containment_a", inter / F.size("_sa"))
+        .withColumn("containment_b", inter / F.size("_sb"))
+        .filter(
+            (F.col("containment_a") >= threshold)
+            | (F.col("containment_b") >= threshold)
+        )
+        .select("id_a", "id_b", "containment_a", "containment_b")
+    )
+
+
 def simhash(
     df: DataFrame,
     text_col: str = "text",

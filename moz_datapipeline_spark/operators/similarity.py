@@ -247,6 +247,60 @@ def lsh_bucket_topk(
     )
 
 
+def _ivf_centroid_sample(
+    corpus: DataFrame, n_centroids: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """Deterministic md5-ordered centroid sample — a distributed
+    partial top-k; the driver never holds more than ``n_centroids``."""
+    return (
+        corpus.select(
+            F.col(id_col).alias("centroid_id"),
+            _as_double(vec_col).alias("_ce"),
+        )
+        .orderBy(
+            F.md5(F.col("centroid_id").cast("string")).asc(),
+            F.col("centroid_id").asc(),
+        )
+        .limit(n_centroids)
+    )
+
+
+def _nearest_lists(
+    df: DataFrame, cent: DataFrame, vec: str, n: int, out: str
+) -> DataFrame:
+    """Attach each row's ``n`` nearest centroid ids as ``out``."""
+    scored = df.crossJoin(F.broadcast(cent)).withColumn(
+        "_sim", cosine(F.col(vec), F.col("_ce"))
+    )
+    key = df.columns[0]
+    if n == 1:
+        # corpus assignment: argmin as a partial-aggregating groupBy
+        # (min over struct, cosine desc ≡ min(-sim) with centroid-id
+        # tiebreak) — the exchange carries one row per vector, never
+        # the corpus × centroids cross product a window would shuffle
+        others = [c for c in df.columns if c != key]
+        m = F.min(
+            F.struct(
+                (-F.col("_sim")).alias("_ns"),
+                F.col("centroid_id").alias("_cid"),
+                *[F.col(c).alias(c) for c in others],
+            )
+        ).alias("_m")
+        return scored.groupBy(key).agg(m).select(
+            key,
+            *[F.col(f"_m.{c}").alias(c) for c in others],
+            F.col("_m._cid").alias(out),
+        )
+    w = Window.partitionBy(key).orderBy(
+        F.col("_sim").desc(), F.col("centroid_id").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n)
+        .select(*df.columns, F.col("centroid_id").alias(out))
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -275,56 +329,98 @@ def ivf_topk(
     c = corpus.select(
         F.col(id_col).alias("corpus_id"), _as_double(vec_col).alias("_cv")
     )
-    cent = (
-        corpus.select(
-            F.col(id_col).alias("centroid_id"),
-            _as_double(vec_col).alias("_ce"),
-        )
-        .orderBy(
-            F.md5(F.col("centroid_id").cast("string")).asc(),
-            F.col("centroid_id").asc(),
-        )
-        .limit(n_centroids)
-    )
-
-    def nearest_lists(df: DataFrame, vec: str, n: int, out: str) -> DataFrame:
-        scored = df.crossJoin(F.broadcast(cent)).withColumn(
-            "_sim", cosine(F.col(vec), F.col("_ce"))
-        )
-        key = df.columns[0]
-        if n == 1:
-            # corpus assignment: argmin as a partial-aggregating groupBy
-            # (min over struct, cosine desc ≡ min(-sim) with centroid-id
-            # tiebreak) — the exchange carries one row per vector, never
-            # the corpus × centroids cross product a window would shuffle
-            others = [c for c in df.columns if c != key]
-            m = F.min(
-                F.struct(
-                    (-F.col("_sim")).alias("_ns"),
-                    F.col("centroid_id").alias("_cid"),
-                    *[F.col(c).alias(c) for c in others],
-                )
-            ).alias("_m")
-            return scored.groupBy(key).agg(m).select(
-                key,
-                *[F.col(f"_m.{c}").alias(c) for c in others],
-                F.col("_m._cid").alias(out),
-            )
-        w = Window.partitionBy(key).orderBy(
-            F.col("_sim").desc(), F.col("centroid_id").asc()
-        )
-        return (
-            scored.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= n)
-            .select(*df.columns, F.col("centroid_id").alias(out))
-        )
-
-    assigned = nearest_lists(c, "_cv", 1, "list_id")
+    cent = _ivf_centroid_sample(corpus, n_centroids, id_col, vec_col)
+    assigned = _nearest_lists(c, cent, "_cv", 1, "list_id")
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(vec_col).alias("_qv")
     )
-    probed = nearest_lists(q, "_qv", nprobe, "list_id")
+    probed = _nearest_lists(q, cent, "_qv", nprobe, "list_id")
 
+    scored = (
+        assigned.join(probed, "list_id")
+        .filter(F.col("corpus_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "corpus_id",
+            cosine(F.col("_qv"), F.col("_cv")).alias("cosine"),
+        )
+    )
+    scored = _partition_topk(
+        scored, ["query_id"], "cosine", "corpus_id", k, ascending=False
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("corpus_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "cosine", "rank")
+    )
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist an IVF index: build once, probe many.
+
+    Writes ``<path>/centroids`` (n_centroids rows) and
+    ``<path>/lists`` — the corpus with its list assignment — Hive
+    PARTITIONED BY ``list_id``, so a probe-time join on ``list_id``
+    dynamic-partition-prunes the parquet scan down to the probed lists:
+    at nprobe/n_centroids selectivity the index read touches that
+    fraction of the files, which is the point of IVF at rest.
+
+    The centroid sample and assignment are byte-identical to
+    ``ivf_topk``'s in-session path, so ``ivf_topk_indexed`` returns
+    exactly what ``ivf_topk`` would for the same parameters.
+    """
+    cent = _ivf_centroid_sample(corpus, n_centroids, id_col, vec_col)
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"), _as_double(vec_col).alias("_cv")
+    )
+    assigned = _nearest_lists(c, cent, "_cv", 1, "list_id")
+    cent.select(
+        "centroid_id", F.col("_ce").alias("centroid_vec")
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    assigned.select(
+        "corpus_id", F.col("_cv").alias("vec"), "list_id"
+    ).write.mode("overwrite").partitionBy("list_id").parquet(
+        f"{path}/lists"
+    )
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    nprobe: int = 4,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k against a persisted ``build_ivf_index`` index.
+
+    Probe plan: queries fan out to their ``nprobe`` nearest stored
+    centroids, then an equi join on ``list_id`` against the partitioned
+    lists table — Spark's dynamic partition pruning turns the (small)
+    probed side into a partition filter on the parquet scan, so only
+    the probed lists' files are read.  Scoring/ranking is identical to
+    ``ivf_topk`` (bounded partial top-k before the rank exchange).
+    """
+    cent = spark.read.parquet(f"{path}/centroids").select(
+        "centroid_id", F.col("centroid_vec").alias("_ce")
+    )
+    assigned = spark.read.parquet(f"{path}/lists").select(
+        "corpus_id", F.col("vec").alias("_cv"), "list_id"
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("_qv")
+    )
+    probed = _nearest_lists(q, cent, "_qv", nprobe, "list_id")
     scored = (
         assigned.join(probed, "list_id")
         .filter(F.col("corpus_id") != F.col("query_id"))
@@ -550,6 +646,58 @@ def kmeans_assign(
     first_lbl = labels[0].select(id_col, F.col("_cid").alias("cluster_r1"))
     final_lbl = labels[-1].select(id_col, F.col("_cid").alias("cluster"))
     return first_lbl.join(final_lbl, id_col)
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.95,
+    k: int = 8,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    init_stride: int = 64,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embeddings, then inside each
+    cluster drop every vector whose cosine to a LOWER-id member exceeds
+    ``threshold`` (the lowest id of each semantic group survives —
+    deterministic, no RNG).
+
+    Plan: the fixed-DAG ``kmeans_assign`` labels every vector (broadcast
+    centroids, no corpus re-partition), then ONE self-equi-join on the
+    cluster id forms candidate pairs — pair volume is Σ|cluster|², never
+    corpus², which is the entire point of clustering first; at corpus
+    scale pick k ≈ √N so clusters stay ~√N wide.  Survivors come back
+    by a left-anti join on the dropped ids.
+
+    Returns (id, cluster) for the surviving rows.
+
+    Reference parity: extension operator (the LLM-pipeline analogue of
+    the reference's dedup stages); candidates→verify shape shared with
+    ``embedding_near_dup``.
+    """
+    labels = kmeans_assign(
+        df, k=k, iterations=iterations, id_col=id_col, vec_col=vec_col,
+        init_stride=init_stride,
+    ).select(id_col, "cluster")
+    v = df.select(F.col(id_col), _as_double(vec_col).alias("_v")).join(
+        labels, id_col
+    )
+    # cache before the self-join: alias-only branches defeat exchange
+    # reuse (both sides would re-run the full Lloyd DAG)
+    v = v.cache()
+    a, b = v.alias("a"), v.alias("b")
+    drops = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .filter(cosine(F.col("a._v"), F.col("b._v")) > threshold)
+        .select(F.col(f"b.{id_col}").alias(id_col))
+        .distinct()
+    )
+    return v.join(drops, id_col, "left_anti").select(id_col, "cluster")
 
 
 def embedding_covariance(

@@ -395,6 +395,80 @@ def pack_documents(
     )
 
 
+def batch_by_length(
+    df: DataFrame,
+    batch_size: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bucket_bounds: tuple[int, ...] = (16, 32, 64, 128, 256, 512, 1024),
+) -> DataFrame:
+    """Length-bucketed batching: assign every document a (length bucket,
+    batch index) so fixed-size training/inference batches hold
+    similar-length sequences and per-batch padding waste is bounded by
+    the bucket width (the dynamic-batching scheme of finetuning and
+    serving data prep; ``pack_documents`` is the padding-free
+    pretraining cousin).
+
+    Bucket = number of bounds strictly below the token count (0 ..
+    len(bounds)); within a bucket, documents in ``id_col`` order chunk
+    into consecutive ``batch_size`` batches.
+
+    Plan shape — the same TWO-PHASE distributed prefix rank as
+    ``pack_documents``, never a per-bucket global window (a handful of
+    buckets would serialize the whole corpus through that few tasks):
+    range-partition by (bucket, id), per-partition local ranks, then
+    broadcast each (partition, bucket)'s exclusive base count back.
+    Deterministic, RNG-free, SQL-replayable.
+
+    Returns (id, n_tokens, len_bucket, batch_idx).
+    """
+    if batch_size < 1:
+        raise ValueError("batch_by_length: batch_size must be >= 1")
+    n = token_count(text_col)
+    bucket = sum(
+        (n > F.lit(b)).cast("int") for b in bucket_bounds
+    )
+    with_n = df.select(
+        F.col(id_col), n.alias("n_tokens"), bucket.alias("len_bucket")
+    )
+    ranged = with_n.repartitionByRange(
+        F.col("len_bucket"), F.col(id_col)
+    ).withColumn("_pid", F.spark_partition_id())
+    lw = Window.partitionBy("_pid", "len_bucket").orderBy(id_col)
+    # cache: the counts branch and the final join must see the SAME
+    # sampled range partitioning (see pack_documents)
+    local = ranged.withColumn(
+        "_lrank", F.row_number().over(lw).cast("long")
+    ).cache()
+    bases = (
+        local.groupBy("_pid", "len_bucket")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .withColumn(
+            "_base",
+            F.coalesce(
+                F.sum("_cnt").over(
+                    Window.partitionBy("len_bucket")
+                    .orderBy("_pid")
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).cast("long"),
+        )
+        .select("_pid", "len_bucket", "_base")
+    )
+    return (
+        local.join(F.broadcast(bases), ["_pid", "len_bucket"])
+        .select(
+            id_col,
+            "n_tokens",
+            "len_bucket",
+            (
+                (F.col("_base") + F.col("_lrank") - 1) / batch_size
+            ).cast("long").alias("batch_idx"),
+        )
+    )
+
+
 def fingerprint(text: Column | str) -> Column:
     """64-bit content fingerprint of whitespace-normalized, lowercased text."""
     t = F.col(text) if isinstance(text, str) else text

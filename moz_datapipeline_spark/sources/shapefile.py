@@ -89,6 +89,22 @@ def make_transform(prj_wkt: str | None):
             fe=p.get("false_easting", 0.0),
             fn=p.get("false_northing", 0.0),
         )
+    if proj == "lambert_conformal_conic":
+        return _lcc_inverse(
+            a,
+            e2,
+            lat1=p["standard_parallel_1"],
+            lat2=p.get("standard_parallel_2", p["standard_parallel_1"]),
+            lat0=p["latitude_of_origin"],
+            lon0=p["central_meridian"],
+            fe=p.get("false_easting", 0.0),
+            fn=p.get("false_northing", 0.0),
+        )
+    if proj == "mercator_auxiliary_sphere":
+        # Web Mercator (EPSG:3857): spherical formulas on the WGS84
+        # semi-major axis regardless of the datum's ellipsoid — that IS
+        # the projection's definition, not an approximation here
+        return _webmerc_inverse(a, lon0=p.get("central_meridian", 0.0))
     raise NotImplementedError(f"unsupported projection: {proj}")
 
 
@@ -142,6 +158,68 @@ def _albers_inverse(a, e2, lat1, lat2, lat0, lon0, fe, fn):
             )
         lon = lon0 + theta / n / d2r
         return lon, phi / d2r
+
+    return inverse
+
+
+def _lcc_inverse(a, e2, lat1, lat2, lat0, lon0, fe, fn):
+    """Ellipsoidal Lambert Conformal Conic inverse (Snyder 15-1..15-11,
+    7-9).  The latitude comes from fixed-point iteration of eq. 7-9
+    (conformal latitude inverse); five rounds converge below 1e-12 rad.
+    """
+    e = math.sqrt(e2)
+    d2r = math.pi / 180.0
+    phi1, phi2, phi0 = lat1 * d2r, lat2 * d2r, lat0 * d2r
+
+    def t_of(phi):
+        es = e * math.sin(phi)
+        return math.tan(math.pi / 4.0 - phi / 2.0) / (
+            ((1.0 - es) / (1.0 + es)) ** (e / 2.0)
+        )
+
+    def m_of(phi):
+        s = math.sin(phi)
+        return math.cos(phi) / math.sqrt(1.0 - e2 * s * s)
+
+    t0_, t1_, t2_ = t_of(phi0), t_of(phi1), t_of(phi2)
+    if phi1 != phi2:
+        n = (math.log(m_of(phi1)) - math.log(m_of(phi2))) / (
+            math.log(t1_) - math.log(t2_)
+        )
+    else:
+        n = math.sin(phi1)
+    big_f = m_of(phi1) / (n * t1_ ** n)
+    rho0 = a * big_f * t0_ ** n
+
+    def inverse(x, y):
+        x = np.asarray(x, dtype=np.float64) - fe
+        y = np.asarray(y, dtype=np.float64) - fn
+        sgn = -1.0 if n < 0 else 1.0
+        rho = sgn * np.hypot(x, rho0 - y)
+        theta = np.arctan2(sgn * x, sgn * (rho0 - y))
+        t = (rho / (a * big_f)) ** (1.0 / n)
+        phi = math.pi / 2.0 - 2.0 * np.arctan(t)
+        for _ in range(5):
+            es = e * np.sin(phi)
+            phi = math.pi / 2.0 - 2.0 * np.arctan(
+                t * ((1.0 - es) / (1.0 + es)) ** (e / 2.0)
+            )
+        return lon0 + theta / n / d2r, phi / d2r
+
+    return inverse
+
+
+def _webmerc_inverse(a, lon0=0.0):
+    """Spherical (Web) Mercator inverse on radius ``a`` (Snyder 7-4/7-5
+    with R = the ellipsoid's semi-major axis — EPSG:3857's definition)."""
+    d2r = math.pi / 180.0
+
+    def inverse(x, y):
+        x = np.asarray(x, dtype=np.float64)
+        y = np.asarray(y, dtype=np.float64)
+        lon = lon0 + x / a / d2r
+        lat = (2.0 * np.arctan(np.exp(y / a)) - math.pi / 2.0) / d2r
+        return lon, lat
 
     return inverse
 

@@ -75,3 +75,46 @@ def test_simhash_fast_path_matches_portable(spark):
     slow, fast = pairs(True), pairs(False)
     assert truth <= slow
     assert truth <= fast
+
+
+def test_ngram_containment_detects_excerpt(spark):
+    """A short quote fully inside a long page: Jaccard is tiny but
+    one-sided containment is 1.0 — the asymmetric detector must flag
+    it, and report near-identity as both-sided."""
+    from moz_datapipeline_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    quote = "the quick brown fox jumps over the lazy dog"
+    page = " ".join(f"w{i}" for i in range(200)) + " " + quote + " " + " ".join(
+        f"z{i}" for i in range(200)
+    )
+    docs = spark.createDataFrame(
+        [(1, page), (2, quote), (3, quote + " extra")],
+        "doc_id long, text string",
+    )
+    cands = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3)], "id_a long, id_b long"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): (r["containment_a"], r["containment_b"])
+        for r in ngram_containment_pairs(
+            docs, cands, shingle_k=3, threshold=0.9
+        ).collect()
+    }
+    # quote (doc 2, the "a" side is id 1=page): containment_b = 1.0
+    assert (1, 2) in got
+    ca, cb = got[(1, 2)]
+    assert cb == 1.0 and ca < 0.1
+    # near-identical docs 2 and 3: both sides high
+    ca23, cb23 = got[(2, 3)]
+    assert ca23 == 1.0 and cb23 >= 0.85
+    # Jaccard at the same threshold misses the excerpt pair
+    jac = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(
+            docs, cands, shingle_k=3, threshold=0.9
+        ).collect()
+    }
+    assert (1, 2) not in jac

@@ -248,6 +248,97 @@ def test_tmerc_roundtrip_utm36s_grid():
             assert abs(rlat[0] - lat) < 1e-8
 
 
+def _lcc_forward(lon, lat, a, e2, lat1, lat2, lat0, lon0, fe=0.0, fn=0.0):
+    """Snyder 15-1..15-7 forward LCC, independent of the library."""
+    e = math.sqrt(e2)
+    d2r = math.pi / 180.0
+
+    def t_of(phi):
+        es = e * math.sin(phi)
+        return math.tan(math.pi / 4 - phi / 2) / (
+            ((1 - es) / (1 + es)) ** (e / 2)
+        )
+
+    def m_of(phi):
+        s = math.sin(phi)
+        return math.cos(phi) / math.sqrt(1 - e2 * s * s)
+
+    p1, p2, p0 = lat1 * d2r, lat2 * d2r, lat0 * d2r
+    if lat1 != lat2:
+        n = (math.log(m_of(p1)) - math.log(m_of(p2))) / (
+            math.log(t_of(p1)) - math.log(t_of(p2))
+        )
+    else:
+        n = math.sin(p1)
+    F = m_of(p1) / (n * t_of(p1) ** n)
+    rho0 = a * F * t_of(p0) ** n
+    rho = a * F * t_of(lat * d2r) ** n
+    theta = n * (lon - lon0) * d2r
+    return rho * math.sin(theta) + fe, rho0 - rho * math.cos(theta) + fn
+
+
+def test_lcc_inverse_snyder_example():
+    """USGS PP 1395 p. 296-297: Clarke 1866, SPs 33/45, origin (23, -96);
+    (x, y) = (1894410.9, 1564649.5) must invert to (35N, 75W)."""
+    inv = shp._lcc_inverse(
+        6378206.4, 0.00676866,
+        lat1=33.0, lat2=45.0, lat0=23.0, lon0=-96.0, fe=0.0, fn=0.0,
+    )
+    lon, lat = inv(np.array([1894410.9]), np.array([1564649.5]))
+    assert abs(lon[0] - (-75.0)) < 1e-5
+    assert abs(lat[0] - 35.0) < 1e-5
+
+
+def test_lcc_roundtrip_conus_grid():
+    wkt = (
+        'PROJCS["NAD_1983_Lambert_Conformal_Conic",GEOGCS["GCS_NAD_1983",'
+        'DATUM["D_NAD_1983",SPHEROID["GRS_1980",6378137.0,298.257222101]],'
+        'PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433]],'
+        'PROJECTION["Lambert_Conformal_Conic"],'
+        'PARAMETER["False_Easting",2000000.0],'
+        'PARAMETER["False_Northing",500000.0],'
+        'PARAMETER["Central_Meridian",-120.0],'
+        'PARAMETER["Standard_Parallel_1",34.0],'
+        'PARAMETER["Standard_Parallel_2",40.5],'
+        'PARAMETER["Latitude_Of_Origin",32.0],UNIT["Meter",1.0]]'
+    )
+    tr = shp.make_transform(wkt)
+    e2 = 0.006694380022900787  # GRS 1980
+    for lon in np.arange(-125.0, -113.0, 2.1):
+        for lat in np.arange(32.0, 42.0, 1.7):
+            x, y = _lcc_forward(
+                lon, lat, 6378137.0, e2,
+                lat1=34.0, lat2=40.5, lat0=32.0, lon0=-120.0,
+                fe=2000000.0, fn=500000.0,
+            )
+            rlon, rlat = tr(np.array([x]), np.array([y]))
+            assert abs(rlon[0] - lon) < 1e-9
+            assert abs(rlat[0] - lat) < 1e-9
+
+
+def test_web_mercator_roundtrip():
+    wkt = (
+        'PROJCS["WGS_1984_Web_Mercator_Auxiliary_Sphere",'
+        'GEOGCS["GCS_WGS_1984",DATUM["D_WGS_1984",'
+        'SPHEROID["WGS_1984",6378137.0,298.257223563]],'
+        'PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433]],'
+        'PROJECTION["Mercator_Auxiliary_Sphere"],'
+        'PARAMETER["False_Easting",0.0],PARAMETER["False_Northing",0.0],'
+        'PARAMETER["Central_Meridian",0.0],'
+        'PARAMETER["Standard_Parallel_1",0.0],'
+        'PARAMETER["Auxiliary_Sphere_Type",0.0],UNIT["Meter",1.0]]'
+    )
+    tr = shp.make_transform(wkt)
+    R = 6378137.0
+    d2r = math.pi / 180.0
+    for lon, lat in [(-73.5, 40.5), (33.0, -18.9), (179.0, 84.0), (0.0, 0.0)]:
+        x = R * lon * d2r
+        y = R * math.log(math.tan(math.pi / 4 + lat * d2r / 2))
+        rlon, rlat = tr(np.array([x]), np.array([y]))
+        assert abs(rlon[0] - lon) < 1e-12
+        assert abs(rlat[0] - lat) < 1e-12
+
+
 def test_tmerc_northern_hemisphere_zone():
     """UTM north (fn=0) and a non-zero latitude_of_origin both flow
     through m0 — check a Gauss–Krüger-style grid (k0=1, lat0=38)."""

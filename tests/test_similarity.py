@@ -469,3 +469,69 @@ def test_partition_topk_nan_scores_match_global_window(spark):
         .collect()
     )
     assert got_asc == [12, 13]
+
+
+def test_semantic_dedup_keeps_lowest_id_per_group(spark):
+    """Planted semantic groups: near-identical vectors must collapse to
+    the lowest id; orthogonal vectors all survive."""
+    import numpy as np
+
+    from moz_datapipeline_spark.operators.similarity import semantic_dedup
+
+    rng = np.random.default_rng(11)
+    dim = 16
+    rows = []
+    # 4 well-separated base directions, ids chosen so kmeans init
+    # (multiples of init_stride=1) still sees every vector
+    bases = []
+    for g in range(4):
+        b = np.zeros(dim)
+        b[g * 4 : g * 4 + 4] = 1.0
+        bases.append(b / np.linalg.norm(b))
+    vid = 0
+    for g, b in enumerate(bases):
+        for _ in range(3):  # 3 near-copies per group (cos > 0.99)
+            v = b + rng.normal(0, 0.001, dim)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(
+        df, threshold=0.9, k=4, iterations=2, init_stride=3
+    ).collect()
+    kept = sorted(r["vec_id"] for r in out)
+    # exactly one survivor per semantic group: the lowest id (0, 3, 6, 9)
+    assert kept == [0, 3, 6, 9]
+
+
+def test_semantic_dedup_high_threshold_is_identity(spark):
+    from moz_datapipeline_spark.operators.similarity import semantic_dedup
+
+    df = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .limit(100)
+    )
+    out = semantic_dedup(df, threshold=0.999999, k=4, iterations=1)
+    assert out.count() == df.count()
+
+
+def test_ivf_index_persist_probe_matches_in_session(spark, tmp_path):
+    """build_ivf_index + ivf_topk_indexed ≡ ivf_topk, and the probe
+    join dynamic-partition-prunes the lists scan."""
+    from moz_datapipeline_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_topk,
+        ivf_topk_indexed,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb, path, n_centroids=8)
+    q = emb.filter(F.col("vec_id") < 4)
+    got_df = ivf_topk_indexed(spark, path, q, nprobe=2, k=3)
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()  # probed lists prune the scan
+    got = sorted(map(tuple, got_df.collect()))
+    want = sorted(
+        map(tuple, ivf_topk(emb, q, n_centroids=8, nprobe=2, k=3).collect())
+    )
+    assert got == want and len(got) > 0
