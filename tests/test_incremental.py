@@ -75,7 +75,10 @@ class TestStore:
         b1 = _docs(spark, [(1, BASE), (2, BASE)])
         incremental_dedup(spark, b1, store, threshold=0.5).count()
         stored_ids = [
-            r.doc_id for r in spark.read.parquet(store).select("doc_id").collect()
+            r.doc_id
+            for r in spark.read.parquet(store + "/sigs")
+            .select("doc_id")
+            .collect()
         ]
         assert stored_ids == [1]
 
@@ -103,6 +106,89 @@ class TestStore:
             )
             outs.append(sorted(r.doc_id for r in s.collect()))
         assert outs[0] == outs[1] == [3, 4]
+
+
+class TestStoreLayout:
+    """The partitioned store: ingest prunes its scans, appends stay
+    small-file-bounded, compaction merges the debris — the three
+    properties that make batch cost independent of store size."""
+
+    def test_ingest_prunes_store_scans(self, spark, store):
+        from moz_datapipeline_spark.operators.incremental import (
+            incremental_dedup as incr,
+        )
+
+        incr(
+            spark, _docs(spark, [(1, BASE), (2, OTHER)]), store, threshold=0.5
+        ).count()
+        dbg = {}
+        out = incr(
+            spark,
+            _docs(spark, [(10, BASE + " tail"), (11, THIRD)]),
+            store,
+            threshold=0.5,
+            debug_scans=dbg,
+        )
+        assert sorted(r.doc_id for r in out.collect()) == [11]
+
+        # bands scan: partition pruning on bb + literal band-hash pushdown
+        plan = (
+            dbg["bands_scan"]._jdf.queryExecution().executedPlan().toString()
+        )
+        pf = plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+        assert "bb" in pf and ("IN" in pf.upper() or "=" in pf)
+        pushed = plan.split("PushedFilters", 1)[1].split("]", 1)[0]
+        assert "band_hash" in pushed
+
+        # sigs scan: pruned to the candidate old-ids' buckets
+        plan2 = (
+            dbg["sigs_scan"]._jdf.queryExecution().executedPlan().toString()
+        )
+        pf2 = plan2.split("PartitionFilters", 1)[1].split("]", 1)[0]
+        assert "sb" in pf2 and ("IN" in pf2.upper() or "=" in pf2)
+
+    def test_append_bound_then_compaction_merges(self, spark, store):
+        from moz_datapipeline_spark.operators.incremental import (
+            compact_signature_store,
+            incremental_dedup as incr,
+            signature_store_file_count,
+        )
+
+        kw = dict(threshold=0.5, band_buckets=8, sig_buckets=4)
+        batches = [
+            _docs(
+                spark,
+                [
+                    (
+                        100 * i + j,
+                        " ".join(f"w{i}x{j}tok{t}" for t in range(12)),
+                    )
+                    for j in range(2)
+                ],
+            )
+            for i in range(4)
+        ]
+        for b in batches:
+            incr(spark, b, store, **kw).count()
+        pre = signature_store_file_count(spark, store)
+        # single-task appends: at most one file per touched partition
+        # value per batch (2 docs x 8 bands = <=16 band files, <=2 sig
+        # files each)
+        assert pre["bands_files"] <= 4 * 16
+        assert pre["sigs_files"] <= 4 * 2
+        post = compact_signature_store(spark, store)
+        # one file per surviving partition value
+        assert post["bands_files"] <= 8
+        assert post["sigs_files"] <= 4
+        assert post["bands_files"] <= pre["bands_files"]
+        # the compacted store still serves ingest: replay batch 0
+        # (idempotent: zero survivors), then a fresh near-dup batch
+        assert incr(spark, batches[0], store, **kw).count() == 0
+        dup_of_b1 = _docs(
+            spark,
+            [(999, " ".join(f"w1x0tok{t}" for t in range(12)) + " pad")],
+        )
+        assert incr(spark, dup_of_b1, store, **kw).count() == 0
 
 
 class TestStreamingIngest:
@@ -213,5 +299,5 @@ class TestStreamingIngest:
         # 2 and 20 are both gated out; 20 is NOT dropped as a dup of 2
         # because 2 never entered the store
         assert got == [1]
-        stored = spark.read.parquet(store)
+        stored = spark.read.parquet(store + "/sigs")
         assert sorted(r.doc_id for r in stored.collect()) == [1]
