@@ -73,8 +73,12 @@ def pagerank(
     ``seeds``: personalize — teleport (and dangling redistribution)
     goes uniformly to the listed nodes instead of all nodes; seeds not
     present in the graph are ignored (the vector renormalizes over the
-    ones that are).  Raises if none match at ``eager=True`` runtime
-    only implicitly (all-zero ranks); callers own seed validity.
+    ones that are).  If NO seed is present, the teleport vector is
+    undefined: ``eager=True`` (a job runs at call time anyway) checks
+    the materialized seed count and raises; on the default lazy path
+    detection would cost a dedicated job, so callers own seed validity
+    — the one-row check is
+    ``nodes.filter(node.isin(seeds)).limit(1).count()``.
     """
     if iters < 0:
         raise ValueError("pagerank: iters must be >= 0")
@@ -110,6 +114,16 @@ def pagerank(
                 F.col("node").isin(seed_list), F.lit(1.0) / F.col("_ns")
             ).otherwise(F.lit(0.0)),
         )
+        if eager:
+            # a job runs at call time anyway in eager mode, so the
+            # no-seed-in-graph failure (all-zero / NaN ranks) is cheap
+            # to catch loudly here instead of silently downstream
+            if ns_df.head()["_ns"] == 0.0:
+                raise ValueError(
+                    "pagerank: none of the given seeds exist in the "
+                    "graph; the personalized teleport vector is "
+                    "undefined — check the seed ids"
+                )
     base = base.persist()
     carry = ["node", "_deg", "_n"] + (["_p"] if seeds is not None else [])
 

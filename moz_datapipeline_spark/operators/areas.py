@@ -177,24 +177,51 @@ MAX_BROADCAST_POLYGONS = 500_000
 MAX_BROADCAST_RING_BYTES = 256 * 1024 * 1024
 
 
-def _grid_cells(minx, miny, maxx, maxy, cell_size: float):
+def _grid_cells(
+    minx, miny, maxx, maxy, cell_size: float, max_cells: int | None = None
+):
     """All (cx, cy) grid cells a bbox overlaps, as an exploded-ready
-    array<struct<cx,cy>> column (pure codegen)."""
+    array<struct<cx,cy>> column (pure codegen).
+
+    ``max_cells`` bounds the per-row explosion IN the plan (no extra
+    job): a bbox spanning more than ``max_cells`` grid cells raises a
+    clear sizing error naming the offending extent instead of letting
+    ``F.sequence`` blow up mid-job with an opaque 'too many elements'
+    — the fix is always a larger ``cell_size``."""
     cs = F.lit(float(cell_size))
-    xs = F.sequence(
-        F.floor(minx / cs).cast("long"), F.floor(maxx / cs).cast("long")
-    )
-    ys = F.sequence(
-        F.floor(miny / cs).cast("long"), F.floor(maxy / cs).cast("long")
-    )
-    return F.flatten(
+    x0 = F.floor(minx / cs).cast("long")
+    x1 = F.floor(maxx / cs).cast("long")
+    y0 = F.floor(miny / cs).cast("long")
+    y1 = F.floor(maxy / cs).cast("long")
+    cells = F.flatten(
         F.transform(
-            xs,
+            F.sequence(x0, x1),
             lambda cx: F.transform(
-                ys, lambda cy: F.struct(cx.alias("cx"), cy.alias("cy"))
+                F.sequence(y0, y1),
+                lambda cy: F.struct(cx.alias("cx"), cy.alias("cy")),
             ),
         )
     )
+    if max_cells is None:
+        return cells
+    n = (x1 - x0 + 1) * (y1 - y0 + 1)
+    return F.when(
+        n > F.lit(int(max_cells)),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "polygon_clipped_pairs: a bbox spans "
+                ),
+                n.cast("string"),
+                F.lit(
+                    f" grid cells (> max_cells_per_bbox={int(max_cells)}) "
+                    f"at cell_size={float(cell_size)}; increase cell_size "
+                    "(or max_cells_per_bbox) so each bbox explodes to "
+                    "O(1) cells"
+                ),
+            )
+        ),
+    ).otherwise(cells)
 
 
 def polygon_clipped_pairs(
@@ -203,6 +230,7 @@ def polygon_clipped_pairs(
     indicator: str = "indicator",
     rings_through_rows: bool = False,
     cell_size: float = 0.5,
+    max_cells_per_bbox: int = 4096,
 ) -> DataFrame:
     """Candidate pairs with exact inside-length for ARBITRARY polygons.
 
@@ -257,6 +285,7 @@ def polygon_clipped_pairs(
                 _grid_cells(
                     F.col("minx"), F.col("miny"),
                     F.col("maxx"), F.col("maxy"), cell_size,
+                    max_cells_per_bbox,
                 )
             ),
         )
@@ -266,6 +295,7 @@ def polygon_clipped_pairs(
                 _grid_cells(
                     F.col("pminx"), F.col("pminy"),
                     F.col("pmaxx"), F.col("pmaxy"), cell_size,
+                    max_cells_per_bbox,
                 )
             ),
         )
@@ -389,6 +419,7 @@ def indicator_from_polygon_areas(
     indicator: str = "indicator",
     rings_through_rows: bool = False,
     cell_size: float = 0.5,
+    max_cells_per_bbox: int = 4096,
 ) -> DataFrame:
     """A5 for arbitrary polygons: bbox join → numpy clip kernel → fold.
 
@@ -401,6 +432,7 @@ def indicator_from_polygon_areas(
     clipped = polygon_clipped_pairs(
         way_segments, polygons, indicator,
         rings_through_rows=rings_through_rows, cell_size=cell_size,
+        max_cells_per_bbox=max_cells_per_bbox,
     )
     clipped = clipped.filter(F.col("overlap_len") > 0)
     return clipped.groupBy("way_id").agg(

@@ -88,10 +88,22 @@ def bloom_semi_join(
     constructs plans.  Callers assembling plans speculatively should
     either call this at execution time or pass ``bitmap=`` with a
     prebuilt ``build_bloom_bitmap`` result, which makes this function
-    plan-only."""
+    plan-only.  A prebuilt bitmap MUST have been built with the same
+    ``num_bits`` AND ``num_hashes`` as this call: probe positions are
+    computed mod ``num_bits``, so a size mismatch would silently turn
+    into false negatives (dropped true matches) — the length is
+    checked here; ``num_hashes`` cannot be recovered from the bytes, so
+    it is on the caller."""
     dim_key = dim_key or fact_key
     if bitmap is None:
         bitmap = build_bloom_bitmap(dim, dim_key, num_bits, num_hashes)
+    elif len(bitmap) * 8 != num_bits:
+        raise ValueError(
+            f"prebuilt bitmap covers {len(bitmap) * 8} bits but the call "
+            f"asked for num_bits={num_bits}; probing mod the wrong size "
+            "produces silent Bloom false negatives — pass the num_bits "
+            "(and num_hashes) the bitmap was built with"
+        )
     bc = fact.sparkSession.sparkContext.broadcast(bitmap)
 
     @pandas_udf("boolean")

@@ -797,6 +797,7 @@ def negative_sample(
     k: int = 4,
     id_col: str = "doc_id",
     seed: str = "neg",
+    eager: bool = False,
 ) -> DataFrame:
     """Deterministic k-negative sampling for contrastive-training pairs:
     every row becomes an anchor paired with ``k`` pseudo-random OTHER
@@ -814,6 +815,12 @@ def negative_sample(
     pairs.
 
     Returns (anchor_id, slot, negative_id).
+
+    ``eager=True`` materializes the result, keeps it as the single
+    cached frame, and releases the intermediate position-index cache
+    (the ``graph.pagerank(eager=True)`` contract); the caller may
+    ``.unpersist()`` the returned frame when done.  The default keeps
+    the lazy plan whose index cache lives for the session.
 
     Reference parity: extension operator (contrastive data prep);
     sampling-family sibling of ``weighted_sample``/``mixture_resample``.
@@ -880,9 +887,14 @@ def negative_sample(
     ).cast("long") % F.col("_n")
     tpos = F.when(h == F.col("_apos"), (h + 1) % F.col("_n")).otherwise(h)
     targeted = anchors.withColumn("_tpos", tpos)
-    return targeted.join(
+    out = targeted.join(
         idx.select(
             F.col(id_col).alias("negative_id"), F.col("_pos").alias("_tpos")
         ),
         "_tpos",
     ).select("anchor_id", "slot", "negative_id")
+    if eager:
+        out = out.persist()
+        out.count()
+        local.unpersist()
+    return out

@@ -178,6 +178,7 @@ def minhash_lsh_candidates(
     bands: int = 8,
     id_col: str = "doc_id",
     portable_hash: bool = False,
+    eager: bool = False,
 ) -> DataFrame:
     """Band the signature, hash each band, bucket-join → candidate pairs.
 
@@ -187,13 +188,17 @@ def minhash_lsh_candidates(
     The signature table is persisted first: both sides of the self-join
     would otherwise recompute the full signature aggregation (alias-only
     branches defeat exchange reuse). Signatures are narrow (id + hashes)
-    so the cache is cheap even at corpus scale.
+    so the cache is cheap even at corpus scale — but by default it lives
+    for the session.  ``eager=True`` materializes the candidate pairs,
+    keeps THEM as the single cached frame, and releases the signature
+    cache (the ``graph.pagerank(eager=True)`` contract); the caller may
+    ``.unpersist()`` the returned frame when done.
     """
     sigs = sigs.cache()
     banded = band_hashes(sigs, bands, id_col, portable_hash)
     a = banded.alias("a")
     b = banded.alias("b")
-    return (
+    out = (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
@@ -205,6 +210,11 @@ def minhash_lsh_candidates(
         )
         .distinct()
     )
+    if eager:
+        out = out.persist()
+        out.count()
+        sigs.unpersist()
+    return out
 
 
 def ngram_jaccard_pairs(

@@ -377,18 +377,36 @@ def build_ivf_index(
     The centroid sample and assignment are byte-identical to
     ``ivf_topk``'s in-session path, so ``ivf_topk_indexed`` returns
     exactly what ``ivf_topk`` would for the same parameters.
+
+    The partition key is ``list_pid`` — a dense 0..m-1 int assigned to
+    each centroid — NOT the raw centroid id: Hive partition-column type
+    inference re-parses directory values, so string ids with numeric
+    shapes ('07' vs '7') would collide into one int partition and
+    mis-join probes.  A dense internal int is inference-proof for any
+    user id type; ``centroids`` carries the id → pid mapping.
     """
     cent = _ivf_centroid_sample(corpus, n_centroids, id_col, vec_col)
+    w = Window.orderBy(
+        F.md5(F.col("centroid_id").cast("string")).asc(),
+        F.col("centroid_id").asc(),
+    )
+    # single-task window is fine: at most n_centroids rows
+    cent = cent.withColumn(
+        "list_pid", (F.row_number().over(w) - 1).cast("int")
+    )
     c = corpus.select(
         F.col(id_col).alias("corpus_id"), _as_double(vec_col).alias("_cv")
     )
-    assigned = _nearest_lists(c, cent, "_cv", 1, "list_id")
+    assigned = _nearest_lists(
+        c, cent.select(F.col("list_pid").alias("centroid_id"), "_ce"),
+        "_cv", 1, "list_pid",
+    )
     cent.select(
-        "centroid_id", F.col("_ce").alias("centroid_vec")
+        "centroid_id", F.col("_ce").alias("centroid_vec"), "list_pid"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
     assigned.select(
-        "corpus_id", F.col("_cv").alias("vec"), "list_id"
-    ).write.mode("overwrite").partitionBy("list_id").parquet(
+        "corpus_id", F.col("_cv").alias("vec"), "list_pid"
+    ).write.mode("overwrite").partitionBy("list_pid").parquet(
         f"{path}/lists"
     )
 
@@ -405,24 +423,41 @@ def ivf_topk_indexed(
     """Approximate top-k against a persisted ``build_ivf_index`` index.
 
     Probe plan: queries fan out to their ``nprobe`` nearest stored
-    centroids, then an equi join on ``list_id`` against the partitioned
-    lists table — Spark's dynamic partition pruning turns the (small)
-    probed side into a partition filter on the parquet scan, so only
-    the probed lists' files are read.  Scoring/ranking is identical to
-    ``ivf_topk`` (bounded partial top-k before the rank exchange).
+    centroids, then an equi join on ``list_pid`` (the index's dense int
+    partition key — see ``build_ivf_index`` for why it is not the raw
+    centroid id) against the partitioned lists table — Spark's dynamic
+    partition pruning turns the (small) probed side into a partition
+    filter on the parquet scan, so only the probed lists' files are
+    read.  Scoring/ranking is identical to ``ivf_topk`` (bounded
+    partial top-k before the rank exchange).
     """
-    cent = spark.read.parquet(f"{path}/centroids").select(
-        "centroid_id", F.col("centroid_vec").alias("_ce")
+    cent_raw = spark.read.parquet(f"{path}/centroids")
+    if "list_pid" not in cent_raw.columns:
+        raise ValueError(
+            f"IVF index at {path} predates the dense list_pid partition "
+            "key; rebuild it with build_ivf_index"
+        )
+    cent = cent_raw.select(
+        F.col("list_pid").alias("centroid_id"),
+        F.col("centroid_vec").alias("_ce"),
     )
     assigned = spark.read.parquet(f"{path}/lists").select(
-        "corpus_id", F.col("vec").alias("_cv"), "list_id"
+        "corpus_id", F.col("vec").alias("_cv"), "list_pid"
     )
+    got = dict(assigned.dtypes)["list_pid"]
+    want = dict(cent_raw.dtypes)["list_pid"]
+    if got != want:
+        raise ValueError(
+            f"IVF index at {path}: lists partition key type {got} does "
+            f"not match centroids list_pid type {want}; the probe join "
+            "would mis-match — rebuild the index"
+        )
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(vec_col).alias("_qv")
     )
-    probed = _nearest_lists(q, cent, "_qv", nprobe, "list_id")
+    probed = _nearest_lists(q, cent, "_qv", nprobe, "list_pid")
     scored = (
-        assigned.join(probed, "list_id")
+        assigned.join(probed, "list_pid")
         .filter(F.col("corpus_id") != F.col("query_id"))
         .select(
             "query_id",
@@ -656,6 +691,9 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     init_stride: int = 64,
+    max_cluster_size: int | None = None,
+    stats: dict | None = None,
+    eager: bool = False,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): k-means-cluster the embeddings, then inside each
@@ -670,6 +708,25 @@ def semantic_dedup(
     scale pick k ≈ √N so clusters stay ~√N wide.  Survivors come back
     by a left-anti join on the dropped ids.
 
+    ``max_cluster_size`` makes the Σ|cluster|² bound a GUARANTEE
+    instead of an expectation: any cluster wider than the cap is
+    deterministically hash-split (xxhash64 of the id) into
+    ceil(size/cap) sub-buckets and pairs form only within a
+    (cluster, sub-bucket) — so a skew-induced mega-cluster can no
+    longer re-open the quadratic path.  The cost is recall: near-dups
+    whose members hash into different sub-buckets of the same split
+    cluster are not compared (the standard SemDeDup shard trade).
+    ``stats``, when a dict, receives ``oversized_clusters``,
+    ``widest_cluster``, and ``split_subbuckets`` (one tiny k-row
+    aggregate job at call time).
+
+    ``eager=True`` materializes the result, keeps it as the single
+    cached frame, and releases the intermediate label cache — the
+    bounded-footprint contract of ``graph.pagerank(eager=True)``; the
+    caller may ``.unpersist()`` the returned frame when done.  The
+    default keeps the classic lazy plan whose label cache lives for
+    the session.
+
     Returns (id, cluster) for the surviving rows.
 
     Reference parity: extension operator (the LLM-pipeline analogue of
@@ -683,6 +740,42 @@ def semantic_dedup(
     v = df.select(F.col(id_col), _as_double(vec_col).alias("_v")).join(
         labels, id_col
     )
+    if max_cluster_size is not None:
+        if max_cluster_size < 1:
+            raise ValueError("max_cluster_size must be >= 1")
+        sizes = v.groupBy("cluster").agg(F.count(F.lit(1)).alias("_csz"))
+        if stats is not None:
+            agg = sizes.agg(
+                F.sum(
+                    (F.col("_csz") > max_cluster_size).cast("int")
+                ).alias("over"),
+                F.max("_csz").alias("widest"),
+                F.sum(
+                    F.when(
+                        F.col("_csz") > max_cluster_size,
+                        F.ceil(F.col("_csz") / max_cluster_size),
+                    ).otherwise(0)
+                ).alias("subs"),
+            ).head()
+            stats["oversized_clusters"] = int(agg["over"] or 0)
+            stats["widest_cluster"] = int(agg["widest"] or 0)
+            stats["split_subbuckets"] = int(agg["subs"] or 0)
+        # sizes has at most k rows — broadcast, never a corpus shuffle
+        v = v.join(F.broadcast(sizes), "cluster").withColumn(
+            "_sub",
+            F.when(
+                F.col("_csz") > max_cluster_size,
+                F.pmod(
+                    F.xxhash64(F.col(id_col).cast("string")),
+                    F.ceil(F.col("_csz") / max_cluster_size),
+                ),
+            ).otherwise(F.lit(0)),
+        ).drop("_csz")
+        pair_key = (F.col("a.cluster") == F.col("b.cluster")) & (
+            F.col("a._sub") == F.col("b._sub")
+        )
+    else:
+        pair_key = F.col("a.cluster") == F.col("b.cluster")
     # cache before the self-join: alias-only branches defeat exchange
     # reuse (both sides would re-run the full Lloyd DAG)
     v = v.cache()
@@ -690,14 +783,18 @@ def semantic_dedup(
     drops = (
         a.join(
             b,
-            (F.col("a.cluster") == F.col("b.cluster"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            pair_key & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .filter(cosine(F.col("a._v"), F.col("b._v")) > threshold)
         .select(F.col(f"b.{id_col}").alias(id_col))
         .distinct()
     )
-    return v.join(drops, id_col, "left_anti").select(id_col, "cluster")
+    out = v.join(drops, id_col, "left_anti").select(id_col, "cluster")
+    if eager:
+        out = out.persist()
+        out.count()
+        v.unpersist()
+    return out
 
 
 def embedding_covariance(

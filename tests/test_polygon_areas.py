@@ -243,6 +243,30 @@ def test_rings_through_rows_matches_broadcast_path(spark):
             assert got[k] == pytest.approx(want[k], abs=1e-9), (cell, k)
 
 
+def test_rings_through_rows_cell_explosion_raises_clearly(spark):
+    """A bbox spanning more grid cells than max_cells_per_bbox must
+    fail with a clear 'increase cell_size' sizing error, not an opaque
+    mid-job sequence overflow."""
+    from moz_datapipeline_spark.operators.areas import polygon_clipped_pairs
+
+    lx, ly = _ring_cols(L_SHAPE)
+    polys = _polys(spark, [("L", lx, ly, 2.0)])
+    # a 60x3 world-spanning segment bbox at cell_size=0.5 → >400 cells
+    segs = _segs(spark, [(1, -30.0, 0.0, 30.0, 3.0, 60.1)])
+    out = polygon_clipped_pairs(
+        segs, polys, rings_through_rows=True, cell_size=0.5,
+        max_cells_per_bbox=100,
+    )
+    with pytest.raises(Exception, match="increase cell_size"):
+        out.collect()
+    # same data, adequate cap: completes
+    ok = polygon_clipped_pairs(
+        segs, polys, rings_through_rows=True, cell_size=0.5,
+        max_cells_per_bbox=4096,
+    )
+    assert ok.count() >= 0
+
+
 def test_rings_through_rows_completes_above_broadcast_cap(spark, monkeypatch):
     """A polygon side over the cap: the broadcast path refuses, the
     documented fallback completes with the same answer — and its plan

@@ -535,3 +535,77 @@ def test_ivf_index_persist_probe_matches_in_session(spark, tmp_path):
         map(tuple, ivf_topk(emb, q, n_centroids=8, nprobe=2, k=3).collect())
     )
     assert got == want and len(got) > 0
+
+
+def test_semantic_dedup_mega_cluster_cap_bounds_pair_volume(spark):
+    """A planted mega-cluster (every vector identical direction → one
+    k-means cluster) must not re-open the quadratic path when
+    max_cluster_size is set: pair volume drops from C(N,2) to
+    Σ_sub C(|sub|,2), and survivors = one per sub-bucket."""
+    from pyspark.sql import functions as SF
+
+    from moz_datapipeline_spark.operators.similarity import semantic_dedup
+
+    n, cap = 400, 20
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    stats = {}
+    out = semantic_dedup(
+        df, threshold=0.9, k=4, iterations=1,
+        max_cluster_size=cap, stats=stats,
+    )
+    got = out.count()
+    # all vectors land in one cluster of width 400 > cap → split
+    assert stats["oversized_clusters"] >= 1
+    assert stats["widest_cluster"] == n
+    n_sub = stats["split_subbuckets"]
+    assert n_sub == -(-n // cap)  # ceil(400/20) = 20
+    # replicate the deterministic split: one survivor (the min id) per
+    # NON-EMPTY sub-bucket
+    sub = df.select(
+        SF.pmod(SF.xxhash64(SF.col("vec_id").cast("string")), SF.lit(n_sub))
+        .alias("s")
+    )
+    assert got == sub.distinct().count()
+    widths = [r["c"] for r in sub.groupBy("s").agg(SF.count("*").alias("c")).collect()]
+    pairs_capped = sum(w * (w - 1) // 2 for w in widths)
+    assert pairs_capped < n * (n - 1) // 2 / 5  # >5x reduction
+    # uncapped control: one survivor total
+    assert semantic_dedup(df, threshold=0.9, k=4, iterations=1).count() == 1
+
+
+def test_ivf_index_string_ids_with_numeric_shapes(spark, tmp_path):
+    """String ids like '07' vs '7' must stay distinct centroids: the
+    index partitions by an internal dense int (list_pid), so Hive
+    partition-type inference can never coerce two distinct ids into
+    one colliding partition value."""
+    import numpy as np
+
+    from moz_datapipeline_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_topk,
+        ivf_topk_indexed,
+    )
+
+    rng = np.random.default_rng(7)
+    ids = ["07", "7", "a1", "b2", "c3", "d4", "e5", "f6"]
+    rows = [(i, rng.normal(size=8).tolist()) for i in ids]
+    emb = spark.createDataFrame(
+        rows, "vec_id string, embedding array<double>"
+    )
+    path = str(tmp_path / "ivf_str")
+    build_ivf_index(emb, path, n_centroids=8)
+    # every id is its own centroid; '07' and '7' keep separate lists
+    lists = spark.read.parquet(path + "/lists")
+    assert lists.select("list_pid").distinct().count() == 8
+    q = emb.filter(F.col("vec_id").isin(["07", "7"]))
+    got = sorted(
+        map(tuple, ivf_topk_indexed(spark, path, q, nprobe=3, k=2).collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            ivf_topk(emb, q, n_centroids=8, nprobe=3, k=2).collect(),
+        )
+    )
+    assert got == want and len(got) > 0
