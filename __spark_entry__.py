@@ -741,24 +741,24 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """N-gram Jaccard near-dup: candidates bucketed by 4-word prefix, exact
-    word-set Jaccard verification."""
+    """N-gram Jaccard near-dup: candidates bucketed by 4-word prefix
+    WITH a hot-bucket width cap (64 — boilerplate-heavy buckets are
+    dropped before the self-join instead of going quadratic,
+    operators/dedup.prefix_bucket_candidates), exact word-set Jaccard
+    verification.  The oracle replays the same cap."""
+    from moz_datapipeline_spark.operators.dedup import (
+        prefix_bucket_candidates,
+    )
+
     d = _t(spark, sf_dir, "documents")
+    cands = prefix_bucket_candidates(d, max_bucket_width=64)
     toks = F.split(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " ")
-    docs = d.select(
-        "doc_id",
-        F.array_distinct(toks).alias("words"),
-        F.array_join(F.slice(toks, 1, 4), " ").alias("bucket"),
-    )
-    a = docs.select(
-        F.col("doc_id").alias("id_a"), F.col("words").alias("_wa"), "bucket"
-    )
-    b = docs.select(
-        F.col("doc_id").alias("id_b"), F.col("words").alias("_wb"), "bucket"
-    )
+    docs = d.select("doc_id", F.array_distinct(toks).alias("words"))
+    a = docs.select(F.col("doc_id").alias("id_a"), F.col("words").alias("_wa"))
+    b = docs.select(F.col("doc_id").alias("id_b"), F.col("words").alias("_wb"))
     return (
-        a.join(b, "bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
+        cands.join(a, "id_a")
+        .join(b, "id_b")
         .withColumn(
             "jaccard",
             F.round(
@@ -804,34 +804,17 @@ def q_batch_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric shingle containment: |sh(A)∩sh(B)|/|sh(A)| per side —
     the quote/excerpt detector Jaccard misses.  Candidates bucketed by
-    4-word prefix (same scheme as dedup_ngram_jaccard), then
-    operators/dedup.ngram_containment_pairs verifies exactly.  VALUE
-    oracle: identical shingling + containment in DuckDB."""
+    4-word prefix with the hot-bucket width cap (64, same scheme as
+    dedup_ngram_jaccard via operators/dedup.prefix_bucket_candidates),
+    then operators/dedup.ngram_containment_pairs verifies exactly.
+    VALUE oracle: identical shingling + containment + cap in DuckDB."""
     from moz_datapipeline_spark.operators.dedup import (
         ngram_containment_pairs,
+        prefix_bucket_candidates,
     )
 
     d = _t(spark, sf_dir, "documents")
-    toks = F.split(
-        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " "
-    )
-    cands = (
-        d.select(
-            "doc_id", F.array_join(F.slice(toks, 1, 4), " ").alias("bucket")
-        )
-        .alias("a")
-        .join(
-            d.select(
-                "doc_id",
-                F.array_join(F.slice(toks, 1, 4), " ").alias("bucket"),
-            ).alias("b"),
-            "bucket",
-        )
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
-        )
-    )
+    cands = prefix_bucket_candidates(d, max_bucket_width=64)
     out = ngram_containment_pairs(d, cands, shingle_k=3, threshold=0.5)
     return out.select(
         "id_a",
@@ -1149,6 +1132,32 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, batch, _INCR_STORE, threshold=0.7, portable_hash=True
     )
     return out.select("doc_id", "lang", "n_chars")
+
+
+def q_embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched embedding generation (operators/embed.embed): the
+    model-agnostic Arrow ``mapInPandas`` encoder kernel, driven here by
+    the deterministic hashing-unigram featurizer (md5 word hash → 16
+    count buckets → L2 normalize) so DuckDB can replay the exact
+    vectors.  In production the same plumbing carries a real model fn;
+    the plan (single pass, no shuffle, fixed encoder batch shape) is
+    identical."""
+    from moz_datapipeline_spark.operators.embed import (
+        embed,
+        hashing_ngram_encoder,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    out = embed(
+        d.select("doc_id", "text"),
+        hashing_ngram_encoder(dim=16),
+        batch_size=64,
+    )
+    # exploded (doc_id, pos, value) rows: the driver's value compare
+    # sorts scalar columns, so vectors ship one component per row
+    return out.select(
+        "doc_id", F.posexplode("embedding").alias("pos", "value")
+    ).withColumn("value", F.round("value", 6))
 
 
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2628,20 +2637,26 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_zorder_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Z-order curve values for a two-dimensional layout key over the
-    part table (sources/layout.zorder_value): interleaved-bit integer
-    arithmetic, the write-path clustering primitive that makes parquet
-    min/max pruning selective on both dimensions.  VALUE oracle: the
-    same bit-interleave fold in DuckDB."""
+    """Z-order curve values over the part table
+    (sources/layout.zorder_value): interleaved-bit integer arithmetic,
+    the write-path clustering primitive that makes parquet min/max
+    pruning selective on every interleaved dimension — both the 2-D
+    and the generalized 3-D curve.  VALUE oracle: the same
+    bit-interleave folds in DuckDB."""
     from moz_datapipeline_spark.sources.layout import zorder_value
 
     p = _t(spark, sf_dir, "part").select(
         "p_partkey",
         (F.col("p_partkey") % 1024).alias("gx"),
         (F.col("p_partkey") * 7 % 1024).alias("gy"),
+        (F.col("p_partkey") * 13 % 1024).alias("gz"),
     )
     return p.select(
-        "p_partkey", "gx", "gy", zorder_value("gx", "gy", bits=10).alias("zvalue")
+        "p_partkey",
+        "gx",
+        "gy",
+        zorder_value("gx", "gy", bits=10).alias("zvalue"),
+        zorder_value("gx", "gy", "gz", bits=10).alias("zvalue3"),
     )
 
 
@@ -2730,6 +2745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stable_sample": q_stable_sample,
         "stratified_sample": q_stratified_sample,
         "incremental_dedup": q_incremental_dedup,
+        "embed_documents": q_embed_documents,
         "repetition_stats": q_repetition_stats,
         "domain_cap": q_domain_cap,
         "vocab_stats": q_vocab_stats,
@@ -4341,11 +4357,18 @@ def oracle_sql() -> dict[str, str]:
                      list_distinct(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS words,
                      array_to_string(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')[1:4], ' ') AS bucket
               FROM documents
+            ),
+            widths AS (
+              SELECT bucket, count(*) AS bw FROM docs GROUP BY bucket
+            ),
+            kept AS (
+              SELECT d.* FROM docs d
+              JOIN widths w ON d.bucket = w.bucket AND w.bw <= 64
             )
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                    round(CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
                          / len(list_distinct(list_concat(a.words, b.words))), 6) AS jaccard
-            FROM docs a JOIN docs b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+            FROM kept a JOIN kept b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
             WHERE CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
                   / len(list_distinct(list_concat(a.words, b.words))) >= 0.3
         """,
@@ -4410,13 +4433,20 @@ def oracle_sql() -> dict[str, str]:
                      ELSE [array_to_string(t, ' ')] END AS s
               FROM toks
             ),
+            widths AS (
+              SELECT bucket, count(*) AS bw FROM sh GROUP BY bucket
+            ),
+            kept AS (
+              SELECT h.* FROM sh h
+              JOIN widths w ON h.bucket = w.bucket AND w.bw <= 64
+            ),
             scored AS (
               SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                      CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
                        / len(a.s) AS ca,
                      CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
                        / len(b.s) AS cb
-              FROM sh a JOIN sh b
+              FROM kept a JOIN kept b
                 ON a.bucket = b.bucket AND a.doc_id < b.doc_id
             )
             SELECT id_a, id_b,
@@ -5272,14 +5302,20 @@ FROM eaul_calc
             WITH g AS (
               SELECT p_partkey,
                      p_partkey % 1024 AS gx,
-                     p_partkey * 7 % 1024 AS gy
+                     p_partkey * 7 % 1024 AS gy,
+                     p_partkey * 13 % 1024 AS gz
               FROM part
             )
             SELECT p_partkey, gx, gy,
                    list_sum(list_transform(range(0, 10), k ->
                      (((CAST(gx AS BIGINT) >> k) & 1) << (2*k))
                      + (((CAST(gy AS BIGINT) >> k) & 1) << (2*k+1))
-                   ))::BIGINT AS zvalue
+                   ))::BIGINT AS zvalue,
+                   list_sum(list_transform(range(0, 10), k ->
+                     (((CAST(gx AS BIGINT) >> k) & 1) << (3*k))
+                     + (((CAST(gy AS BIGINT) >> k) & 1) << (3*k+1))
+                     + (((CAST(gz AS BIGINT) >> k) & 1) << (3*k+2))
+                   ))::BIGINT AS zvalue3
             FROM g
         """,
         "cms_heavy_hitters": """
@@ -5326,6 +5362,40 @@ FROM eaul_calc
     # the fast-kernel trainer answers to the same deterministic replay
     sql["pq_codes_fast"] = sql["pq_codes"]
     sql["incremental_dedup"] = _incremental_dedup_oracle()
+    sql["embed_documents"] = """
+        WITH norm AS (
+          SELECT doc_id,
+                 regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS nt
+          FROM documents
+        ),
+        w AS (
+          SELECT doc_id, unnest(string_split(nt, ' ')) AS w
+          FROM norm WHERE nt <> ''
+        ),
+        bc AS (
+          SELECT doc_id,
+                 CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) % 16 AS b,
+                 CAST(count(*) AS DOUBLE) AS c
+          FROM w GROUP BY doc_id, b
+        ),
+        nrm AS (
+          SELECT doc_id, sqrt(sum(c * c)) AS l2 FROM bc GROUP BY doc_id
+        ),
+        grid AS (
+          SELECT d.doc_id, gs.b
+          FROM (SELECT DISTINCT doc_id FROM documents) d
+          CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS b) gs
+        ),
+        vals AS (
+          SELECT g.doc_id, g.b,
+                 COALESCE(bc.c / nrm.l2, 0.0) AS v
+          FROM grid g
+          LEFT JOIN bc ON bc.doc_id = g.doc_id AND bc.b = g.b
+          LEFT JOIN nrm ON nrm.doc_id = g.doc_id
+        )
+        SELECT doc_id, CAST(b AS INTEGER) AS pos, round(v, 6) AS value
+        FROM vals
+    """
     if _write_shapefile_twin():
         sql["shapefile_scan"] = (
             "SELECT od_id, od_type, name, lon, lat, geom_matches_attrs "

@@ -117,6 +117,7 @@ HEADLINE = [
     "batch_by_length",
     "negative_sample",
     "ivf_indexed",
+    "embed_documents",
     # incremental_dedup is oracle-checked but not benched here: a tiny
     # two-batch ingest is dominated by store round-trips and component
     # rounds (fixed job overhead, not operator throughput) — its scale
@@ -149,18 +150,27 @@ def main() -> None:
         timings[name] = round(statistics.median(runs), 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "repeats": repeats,
-            }
-        )
+    payload = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "repeats": repeats,
+    }
+    line = json.dumps(payload)
+    # the driver captures a bounded TAIL of stdout; with 80+ queries the
+    # one-line object can overrun that window and truncate from the
+    # head, leaving an unparseable fragment.  Persist the full object to
+    # a sibling file (the durable artifact), then print the full line
+    # LAST so any head-truncation cuts earlier output, not the JSON.
+    out_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_out.json"
     )
+    with open(out_path, "w") as f:
+        f.write(line + "\n")
+    print(f"bench_out: {out_path}")
+    print(line)
 
 
 if __name__ == "__main__":

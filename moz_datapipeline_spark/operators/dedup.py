@@ -217,6 +217,66 @@ def minhash_lsh_candidates(
     return out
 
 
+def prefix_bucket_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    prefix_words: int = 4,
+    max_bucket_width: int = 64,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Candidate pairs bucketed by the first ``prefix_words`` words,
+    with a HOT-BUCKET CAP: buckets wider than ``max_bucket_width`` are
+    dropped entirely before the self-join.
+
+    The prefix scheme is a cheap demo candidate generator (the
+    production path is ``minhash_lsh_candidates``); its failure mode is
+    boilerplate-heavy corpora — a million documents starting
+    "copyright all rights reserved…" share one bucket and the pair
+    volume goes quadratic in its width.  The cap turns that into a
+    bounded, observable recall loss instead of a runaway join: pair
+    volume is ≤ Σ min(width, cap)² over buckets.
+
+    ``stats``, when a dict, receives ``dropped_buckets`` and
+    ``dropped_rows`` (one aggregate job over the bucket widths — the
+    loud count; without it the cap is silent by design, since plan
+    construction runs no jobs).
+
+    Returns (id_a < id_b) pairs.
+    """
+    toks = F.split(
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " "
+    )
+    docs = df.select(
+        F.col(id_col),
+        F.array_join(F.slice(toks, 1, prefix_words), " ").alias("bucket"),
+    )
+    widths = docs.groupBy("bucket").agg(F.count(F.lit(1)).alias("_bw"))
+    if stats is not None:
+        agg = widths.agg(
+            F.sum(
+                (F.col("_bw") > max_bucket_width).cast("long")
+            ).alias("b"),
+            F.sum(
+                F.when(
+                    F.col("_bw") > max_bucket_width, F.col("_bw")
+                ).otherwise(0)
+            ).alias("r"),
+        ).head()
+        stats["dropped_buckets"] = int(agg["b"] or 0)
+        stats["dropped_rows"] = int(agg["r"] or 0)
+    kept = docs.join(
+        widths.filter(F.col("_bw") <= max_bucket_width), "bucket"
+    ).drop("_bw")
+    a = kept.select(F.col(id_col).alias("id_a"), "bucket")
+    b = kept.select(F.col(id_col).alias("id_b"), "bucket")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     candidates: DataFrame,

@@ -1,0 +1,115 @@
+"""Batched embedding generation: the bridge between raw text and every
+similarity/dedup operator that consumes an ``embedding`` column.
+
+A real LLM-data pipeline gets embeddings from a MODEL, not from
+parquet.  ``embed`` is the model-agnostic kernel: an Arrow-batched
+``mapInPandas`` that feeds the encoder fixed-size batches of strings on
+the executors — the one place in this engine where arbitrary Python
+(a torch/onnx/API encoder) is the intended payload, so the plumbing
+(schema, batch shape, partition granularity) is what this module makes
+real and tested.
+
+``encoder_fn`` contract: ``list[str] -> sequence of len(texts) vectors``
+(any of: list of lists, numpy (n, d) array).  It is pickled to the
+executors, called once per ``batch_size`` texts, and must be pure
+(same text → same vector) for restarts/retries to be exact.  Heavy
+model state should be constructed lazily INSIDE the function on first
+call (the standard Spark pattern — e.g. a module-level cache keyed by
+model name), never captured in the closure.
+
+``hashing_ngram_encoder`` is the deterministic, dependency-free default
+— md5-hashed word unigrams folded into ``dim`` count buckets, then
+L2-normalized.  It exists so the full text → embed → semantic-dedup
+path runs (and is ORACLE-CHECKED: the same arithmetic replays in
+DuckDB SQL) without any model runtime in the container; swap in a real
+encoder in production.
+
+Reference parity: extension surface (the reference has no ML stage);
+the batched-UDF shape follows the public pandas-UDF inference pattern
+(SNIPPETS.md [1]-[3], SURVEY.md §7.1).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Callable, Iterable, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def hashing_ngram_encoder(
+    dim: int = 16,
+) -> Callable[[Sequence[str]], "list[list[float]]"]:
+    """Deterministic stub encoder: md5-hash each whitespace word into
+    one of ``dim`` buckets, count, L2-normalize.  Matches the engine's
+    portable-hash convention (first 15 md5 hex digits as a big int) so
+    a SQL oracle can replay it bit-for-bit; empty/whitespace-only text
+    embeds to the zero vector."""
+
+    def encode(texts: Sequence[str]) -> list[list[float]]:
+        out = []
+        for t in texts:
+            counts = [0.0] * dim
+            norm = " ".join((t or "").lower().strip().split())
+            if norm:
+                for w in norm.split(" "):
+                    h = int(hashlib.md5(w.encode()).hexdigest()[:15], 16)
+                    counts[h % dim] += 1.0
+            s = sum(c * c for c in counts) ** 0.5
+            out.append([c / s for c in counts] if s > 0 else counts)
+        return out
+
+    return encode
+
+
+def embed(
+    df: DataFrame,
+    encoder_fn: Callable[[Sequence[str]], Iterable],
+    text_col: str = "text",
+    out_col: str = "embedding",
+    batch_size: int = 256,
+) -> DataFrame:
+    """Append ``out_col: array<double>`` — ``encoder_fn`` applied to
+    ``text_col`` in batches of ``batch_size`` on the executors.
+
+    Plan shape: one ``mapInPandas`` pass, no shuffle — embedding N docs
+    is embarrassingly parallel, so throughput scales with executors and
+    the only tuning knob that matters is ``batch_size`` (big enough to
+    saturate the encoder's vectorization/GPU, small enough that a batch
+    of texts + vectors fits the worker heap).  Arrow record batches are
+    re-chunked to exactly ``batch_size`` texts per encoder call, so the
+    encoder sees fixed batch shapes regardless of
+    ``spark.sql.execution.arrow.maxRecordsPerBatch``.
+
+    All input columns pass through unchanged; NULL text is passed to
+    the encoder as ``""`` (so encoders need not be NULL-aware).
+    """
+    if batch_size < 1:
+        raise ValueError("embed: batch_size must be >= 1")
+    fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    schema = f"{fields}, `{out_col}` array<double>"
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vecs: list[list[float]] = []
+            texts = pdf[text_col].fillna("").tolist()
+            for i in range(0, len(texts), batch_size):
+                got = encoder_fn(texts[i : i + batch_size])
+                vecs.extend(
+                    [list(map(float, v)) for v in got]
+                )
+            if len(vecs) != len(texts):
+                raise ValueError(
+                    f"embed: encoder returned {len(vecs)} vectors for "
+                    f"{len(texts)} texts — encoder_fn must be 1:1"
+                )
+            yield pdf.assign(**{out_col: pd.Series(vecs, index=pdf.index)})
+
+    return df.mapInPandas(kernel, schema)

@@ -47,43 +47,56 @@ def write_bucketed(
     w.mode("overwrite").saveAsTable(table)
 
 
-def zorder_value(x: str, y: str, bits: int = 21) -> Column:
-    """Interleaved-bit Z-curve value of two non-negative ints (x in the
-    even bit positions, y in the odd): pure codegen integer arithmetic,
-    identical expression in ANSI SQL for the oracle.  ``bits`` ≤ 31
-    per dimension keeps the result in a signed 64-bit long.
+def zorder_value(*cols: str, bits: int = 21) -> Column:
+    """Interleaved-bit Z-curve value of n ≥ 2 non-negative int columns
+    (column i occupies bit positions n·k + i): pure codegen integer
+    arithmetic, identical expression in ANSI SQL for the oracle.  The
+    two-column case lands x in the even positions and y in the odd —
+    byte-identical to the historical 2-D form.  ``len(cols) * bits``
+    must stay ≤ 63 to fit a signed 64-bit long (the default 21 bits
+    supports up to 3 columns; pass a smaller ``bits`` for more).
 
-    ``x``/``y`` are column NAMES — they are backtick-quoted before
-    being spliced into the SQL (names with spaces, dots, or dashes
-    resolve as the column, not as an expression).  The variable
-    bit-shift inside the fold exists only in the SQL surface, so the
-    expression is built with ``F.expr`` rather than the Column DSL."""
-    if not 1 <= bits <= 31:
-        raise ValueError("zorder_value: bits must be in [1, 31]")
+    ``cols`` are column NAMES — they are backtick-quoted before being
+    spliced into the SQL (names with spaces, dots, or dashes resolve
+    as the column, not as an expression).  The variable bit-shift
+    inside the fold exists only in the SQL surface, so the expression
+    is built with ``F.expr`` rather than the Column DSL."""
+    n = len(cols)
+    if n < 2:
+        raise ValueError("zorder_value: need at least 2 columns")
+    if bits < 1:
+        raise ValueError("zorder_value: bits must be >= 1")
+    if n * bits > 63:
+        raise ValueError(
+            f"zorder_value: {n} columns x {bits} bits = {n * bits} result "
+            "bits > 63; lower bits (or split the curve) to stay in a "
+            "signed 64-bit long"
+        )
 
     def _q(name: str) -> str:
         return "`" + name.replace("`", "``") + "`"
 
+    terms = "".join(
+        f" + (((CAST({_q(c)} AS BIGINT) >> k) & 1) << ({n}*k+{i}))"
+        for i, c in enumerate(cols)
+    )
     return F.expr(
-        f"aggregate(sequence(0, {bits - 1}), 0L, (acc, k) -> acc"
-        f" + (((CAST({_q(x)} AS BIGINT) >> k) & 1) << (2*k))"
-        f" + (((CAST({_q(y)} AS BIGINT) >> k) & 1) << (2*k+1)))"
+        f"aggregate(sequence(0, {bits - 1}), 0L, (acc, k) -> acc{terms})"
     )
 
 
 def zorder_layout(
     df: DataFrame,
-    x: str,
-    y: str,
+    *cols: str,
     bits: int = 21,
     num_partitions: int | None = None,
     z_col: str = "zvalue",
 ) -> DataFrame:
-    """Cluster ``df`` along the Z-curve of (x, y): range-partition on
+    """Cluster ``df`` along the Z-curve of ``cols``: range-partition on
     the curve value, sort within partitions, keep the curve value in
     ``z_col`` so writers can drop or persist it.  Row content is
     unchanged — this is purely physical order."""
-    with_z = df.withColumn(z_col, zorder_value(x, y, bits))
+    with_z = df.withColumn(z_col, zorder_value(*cols, bits=bits))
     parts = [num_partitions] if num_partitions else []
     return with_z.repartitionByRange(*parts, z_col).sortWithinPartitions(
         z_col

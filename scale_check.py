@@ -669,6 +669,114 @@ def incremental_scale_check(spark, docs) -> dict:
     return out
 
 
+def containment_semdedup_scale_check(spark, docs) -> dict:
+    """Round-7 rehearsal: the two newest heavy queries at 500k scale.
+
+    - ``ngram_containment`` over a 500k-doc corpus (the 50k amplified
+      corpus ×10 with per-copy suffix words, so same-origin docs share
+      their 4-word prefix): candidates come from
+      ``prefix_bucket_candidates`` with the width cap, so pair volume
+      is governed by Σ min(width, cap)² over buckets — recorded along
+      with the dropped-bucket stats to show the cap, not luck, bounds
+      the join.
+    - ``semantic_dedup`` over 500k synthetic 16-d vectors with planted
+      group structure (5k groups × 100 members, unit direction per
+      group + per-id jitter): ``max_cluster_size`` sub-buckets any
+      skew-merged cluster, so candidate volume tracks
+      Σ min(cluster, cap)² — the stats dict reports how often the cap
+      actually fired.
+    """
+    from moz_datapipeline_spark.operators.dedup import (
+        ngram_containment_pairs,
+        prefix_bucket_candidates,
+    )
+    from moz_datapipeline_spark.operators.similarity import semantic_dedup
+
+    out: dict = {}
+
+    n_base = docs.count()
+    big = docs
+    for c in range(1, 10):
+        big = big.unionByName(
+            docs.select(
+                (F.col("doc_id") + c * n_base).alias("doc_id"),
+                F.concat(
+                    F.col("text"), F.lit(f" copyvariant{c}")
+                ).alias("text"),
+                *[c2 for c2 in docs.columns if c2 not in ("doc_id", "text")],
+            )
+        )
+    big = big.select("doc_id", "text")
+    out["containment_docs"] = big.count()
+
+    st: dict = {}
+    t0 = time.perf_counter()
+    cands = prefix_bucket_candidates(big, max_bucket_width=64, stats=st)
+    n_cands = cands.count()
+    out["containment_candidate_pairs"] = n_cands
+    out["containment_dropped_buckets"] = st["dropped_buckets"]
+    out["containment_dropped_rows"] = st["dropped_rows"]
+    verified = ngram_containment_pairs(
+        big, cands, shingle_k=3, threshold=0.5
+    )
+    out["containment_verified_pairs"] = verified.count()
+    out["containment_sec"] = round(time.perf_counter() - t0, 2)
+
+    # --- semantic dedup at 500k vectors
+    n, dim, groups = 500_000, 16, 5_000
+
+    def _u(seed_col, j):
+        # deterministic pseudo-uniform in [-1, 1] from (seed, j)
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(seed_col.cast("string"), F.lit(f":{j}"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("double")
+        return h / F.lit(float(16**15)) * 2.0 - 1.0
+
+    base = spark.range(n).select(
+        F.col("id").alias("vec_id"), (F.col("id") % groups).alias("_g")
+    )
+    vec = F.array(
+        *[
+            (_u(F.col("_g"), j) + _u(F.col("vec_id"), j) * 0.02).alias(
+                f"_c{j}"
+            )
+            for j in range(dim)
+        ]
+    )
+    v = base.select("vec_id", vec.alias("embedding"))
+    st2: dict = {}
+    t0 = time.perf_counter()
+    kept = semantic_dedup(
+        v,
+        threshold=0.98,
+        k=64,
+        iterations=1,
+        max_cluster_size=2_000,
+        stats=st2,
+        eager=True,
+    )
+    out["semdedup_docs"] = n
+    out["semdedup_kept"] = kept.count()
+    out["semdedup_sec"] = round(time.perf_counter() - t0, 2)
+    out["semdedup_widest_cluster"] = st2["widest_cluster"]
+    out["semdedup_oversized_clusters"] = st2["oversized_clusters"]
+    out["semdedup_split_subbuckets"] = st2["split_subbuckets"]
+    # candidate-pair volume under the cap vs what the widest clusters
+    # would have cost unsplit: the scale claim in one number
+    out["semdedup_pair_bound"] = int(
+        min(st2["widest_cluster"], 2_000) ** 2
+        * max(1, st2["split_subbuckets"])
+    )
+    kept.unpersist()
+    return out
+
+
 def graph_lm_scale_check(spark, docs) -> dict:
     """Round-5 extension rehearsal: PageRank at a few million edges,
     the Bloom prefilter's measured exchange thinning, and bigram-LM
@@ -844,6 +952,7 @@ def main() -> None:
     routing = routing_scale_check(spark)
     graph_lm = graph_lm_scale_check(spark, docs)
     components = components_scale_check(spark)
+    heavy_new = containment_semdedup_scale_check(spark, docs)
 
     print(
         json.dumps(
@@ -867,6 +976,7 @@ def main() -> None:
                 **routing,
                 **graph_lm,
                 **components,
+                **heavy_new,
             }
         )
     )

@@ -166,3 +166,37 @@ def test_remove_boilerplate_lines_order_and_counts(spark):
     assert out[100]["clean_text"] == "unique one\nunique two"
     assert out[100]["n_lines_removed"] == 0
     assert len(out) == 14  # every doc survives as a row
+
+
+def test_prefix_bucket_candidates_caps_hot_buckets(spark):
+    """A boilerplate-heavy corpus ('copyright all rights reserved …')
+    shares one 4-word prefix bucket; the width cap drops that bucket
+    with a loud stat instead of letting pair volume go quadratic."""
+    from moz_datapipeline_spark.operators.dedup import (
+        prefix_bucket_candidates,
+    )
+
+    boiler = [
+        (i, f"copyright all rights reserved document {i} body text")
+        for i in range(500)
+    ]
+    normal = [
+        (1000, "genuinely unique preamble words here one"),
+        (1001, "genuinely unique preamble words here two"),
+        (2000, "another distinct opening follows after this"),
+    ]
+    df = spark.createDataFrame(
+        boiler + normal, "doc_id long, text string"
+    )
+    stats = {}
+    pairs = prefix_bucket_candidates(
+        df, max_bucket_width=64, stats=stats
+    ).collect()
+    assert stats["dropped_buckets"] == 1
+    assert stats["dropped_rows"] == 500
+    # only the two 'genuinely unique …' docs still pair up: bounded,
+    # not the 124,750 pairs the mega-bucket would have produced
+    assert sorted((r.id_a, r.id_b) for r in pairs) == [(1000, 1001)]
+    # raising the cap readmits the bucket
+    wide = prefix_bucket_candidates(df, max_bucket_width=1000)
+    assert wide.count() == 500 * 499 // 2 + 1

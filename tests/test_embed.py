@@ -1,0 +1,95 @@
+"""Batched embedding generation: encoder batch shape, NULL handling,
+determinism, and the text → embed → semantic_dedup end-to-end path."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from moz_datapipeline_spark.operators.embed import (
+    embed,
+    hashing_ngram_encoder,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_encoder_sees_fixed_batches_and_result_is_1to1(spark):
+    """The kernel re-chunks Arrow batches so the encoder always gets
+    <= batch_size texts, and every text gets exactly one vector."""
+    seen = []
+
+    def encoder(texts):
+        seen.append(len(texts))
+        return [[float(len(t)), 1.0] for t in texts]
+
+    df = _docs(spark, [(i, "x" * (i % 5)) for i in range(100)]).coalesce(1)
+    out = embed(df, encoder, batch_size=16).collect()
+    assert len(out) == 100
+    got = {r.doc_id: r.embedding for r in out}
+    assert got[3] == [3.0, 1.0]
+    # NOTE: `seen` mutates only in the executor for real clusters; in
+    # local mode the closure round-trips, so assert via a side effect
+    # that survives serialization instead: encode lengths into vectors
+    out2 = embed(
+        df.withColumn("text", F.lit("abc")),
+        lambda ts: [[float(len(ts))]] * len(ts),
+        batch_size=16,
+    ).collect()
+    batch_sizes = {int(r.embedding[0]) for r in out2}
+    assert batch_sizes <= {16, 100 % 16}  # full chunks + one remainder
+
+
+def test_null_text_embeds_as_empty(spark):
+    enc = hashing_ngram_encoder(dim=8)
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "hello world")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.embedding for r in embed(df, enc).collect()}
+    assert got[1] == [0.0] * 8 and got[2] == [0.0] * 8
+    assert abs(sum(v * v for v in got[3]) - 1.0) < 1e-9  # L2-normalized
+
+
+def test_encoder_count_mismatch_raises(spark):
+    df = _docs(spark, [(1, "a"), (2, "b")]).coalesce(1)
+    bad = embed(df, lambda ts: [[1.0]], batch_size=16)
+    with pytest.raises(Exception, match="1:1"):
+        bad.collect()
+
+
+def test_hashing_encoder_is_deterministic_and_passthrough(spark):
+    enc = hashing_ngram_encoder(dim=16)
+    df = _docs(spark, [(i, f"doc number {i} common words") for i in range(20)])
+    a = {r.doc_id: r.embedding for r in embed(df, enc).collect()}
+    b = {r.doc_id: r.embedding for r in embed(df, enc, batch_size=3).collect()}
+    assert a == b  # batch size never changes values
+    # all input columns pass through
+    cols = embed(df.withColumn("extra", F.lit(7)), enc).columns
+    assert cols == ["doc_id", "text", "extra", "embedding"]
+
+
+def test_embed_feeds_semantic_dedup_end_to_end(spark):
+    """The declared north-star path: raw text → batched embedding →
+    SemDeDup, in one lazy plan.  Exact-duplicate texts embed to the
+    identical unit vector (cosine 1), so semantic_dedup keeps exactly
+    one survivor per distinct text."""
+    from moz_datapipeline_spark.operators.similarity import semantic_dedup
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "columnar engines love vectorized execution pipelines",
+        "rivers shape valleys over geological time scales",
+    ]
+    rows = [(i, texts[i % 3]) for i in range(30)]
+    emb = embed(
+        _docs(spark, rows), hashing_ngram_encoder(dim=16), batch_size=8
+    )
+    out = semantic_dedup(
+        emb, threshold=0.999, k=2, iterations=1,
+        id_col="doc_id", vec_col="embedding",
+    )
+    survivors = sorted(r.doc_id for r in out.collect())
+    assert survivors == [0, 1, 2]  # lowest id per distinct text

@@ -36,6 +36,48 @@ def test_zorder_value_rejects_bad_bits(spark):
         zorder_value("x", "y", bits=0)
     with pytest.raises(ValueError):
         zorder_value("x", "y", bits=40)
+    with pytest.raises(ValueError, match="64-bit"):
+        zorder_value("x", "y", "z", "w", bits=16)  # 64 result bits
+    with pytest.raises(ValueError, match="2 columns"):
+        zorder_value("x")
+
+
+def _py_zorder_n(vals: tuple, bits: int) -> int:
+    n = len(vals)
+    z = 0
+    for k in range(bits):
+        for i, v in enumerate(vals):
+            z += ((v >> k) & 1) << (n * k + i)
+    return z
+
+
+def test_zorder_value_n_dimensional(spark):
+    """The generalized interleave: 3-D matches the reference bit model,
+    2-D stays byte-identical to the historical form, and zorder_layout
+    over 3 columns preserves the row multiset."""
+    df = spark.createDataFrame(
+        [
+            (x, y, z)
+            for x in (0, 1, 5, 100)
+            for y in (0, 3, 512)
+            for z in (0, 7, 1023)
+        ],
+        "x long, y long, z long",
+    )
+    got = df.select(
+        "x", "y", "z",
+        zorder_value("x", "y", bits=10).alias("z2"),
+        zorder_value("x", "y", "z", bits=10).alias("z3"),
+    ).collect()
+    for r in got:
+        assert r["z2"] == _py_zorder(r["x"], r["y"], 10)
+        assert r["z2"] == _py_zorder_n((r["x"], r["y"]), 10)
+        assert r["z3"] == _py_zorder_n((r["x"], r["y"], r["z"]), 10)
+
+    out = zorder_layout(df, "x", "y", "z", bits=10, num_partitions=3)
+    before = sorted(map(tuple, df.collect()))
+    after = sorted((r["x"], r["y"], r["z"]) for r in out.collect())
+    assert after == before  # multiset preserved, order-only transform
 
 
 def test_zorder_layout_preserves_rows_and_sorts(spark):
