@@ -392,11 +392,18 @@ def simhash(
     return voted.select(F.col(id_col), sig.alias("simhash"))
 
 
-def simhash_candidates(sig_df: DataFrame, id_col: str = "doc_id", chunks: int = 4) -> DataFrame:
+def simhash_candidates(
+    sig_df: DataFrame,
+    id_col: str = "doc_id",
+    chunks: int = 4,
+    eager: bool = False,
+) -> DataFrame:
     """Bucket simhashes by 16-bit chunks; pairs sharing any chunk are candidates.
 
     Persists the signature table — see ``minhash_lsh_candidates`` on why
-    the self-join needs it.
+    the self-join needs it; ``eager=True`` applies the same
+    release-the-intermediate contract (result becomes the single cached
+    frame).
     """
     sig_df = sig_df.cache()
     width = 64 // chunks
@@ -430,4 +437,9 @@ def simhash_candidates(sig_df: DataFrame, id_col: str = "doc_id", chunks: int = 
         .distinct()
     )
     hamming = F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb")))
-    return pairs.withColumn("hamming", hamming).drop("_sa", "_sb")
+    out = pairs.withColumn("hamming", hamming).drop("_sa", "_sb")
+    if eager:
+        out = out.persist()
+        out.count()
+        sig_df.unpersist()
+    return out

@@ -528,12 +528,17 @@ def embedding_near_dup(
     n_tables: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    eager: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH candidate buckets.
 
     ``n_tables`` independent hyperplane sets raise recall (union of
     per-table candidates, deduplicated before scoring) at ~n_tables×
-    the candidate volume — same shuffle key (table, bucket)."""
+    the candidate volume — same shuffle key (table, bucket).
+    ``eager=True`` materializes the result as the single cached frame
+    and releases the bucketed-vector cache (the
+    ``graph.pagerank(eager=True)`` contract); caller may unpersist the
+    returned frame when done."""
     tables = _plane_tables(dim, n_planes, n_tables)
     # cache before the self-join: alias-only branches defeat exchange
     # reuse, so without it both sides recompute every plane dot product
@@ -558,11 +563,16 @@ def embedding_near_dup(
     )
     if n_tables > 1:
         cand = cand.dropDuplicates(["id_a", "id_b"])
-    return (
+    out = (
         cand.withColumn("cosine", cosine(F.col("_va"), F.col("_vb")))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+    if eager:
+        out = out.persist()
+        out.count()
+        v.unpersist()
+    return out
 
 
 def random_projection(

@@ -10,7 +10,10 @@ Description, 1998) and the reprojections are closed-form public math
 reference's own Albers Equal-Area Conic → WGS84 (eqs. 14-1..14-11,
 3-16) plus ellipsoidal Transverse Mercator → WGS84 (eqs. 8-12..8-25,
 3-26) so every UTM zone — the most common projected CRS a user feeds
-``ogr2ogr -t_srs EPSG:4326`` in the reference — works here too.
+``ogr2ogr -t_srs EPSG:4326`` in the reference — works here too; plus
+Lambert Conformal Conic (15-1..15-11), Web Mercator, Polar
+Stereographic both aspects/variants (21-30..21-40), and Sinusoidal
+(30-6..30-11, the MODIS grid).
 
 Everything here runs executor-side inside ``readers.read_shapefile``'s
 ``mapInPandas`` kernel — the driver never sees feature rows.
@@ -54,11 +57,13 @@ def _wkt_spheroid(wkt: str) -> tuple[float, float]:
 def make_transform(prj_wkt: str | None):
     """WKT → vectorized (x, y) -> (lon, lat) degrees transform.
 
-    GEOGCS (already geographic) → identity.  PROJCS with
-    PROJECTION["Albers"] → ellipsoidal Albers inverse; PROJCS with
-    PROJECTION["Transverse_Mercator"] (every UTM zone plus national TM
-    grids — the most common projected CRS family) → ellipsoidal TM
-    inverse.  Anything else raises — fail loudly rather than silently
+    GEOGCS (already geographic) → identity.  PROJCS coverage:
+    Albers, Transverse Mercator (every UTM zone plus national TM
+    grids), Lambert Conformal Conic, Web Mercator, Polar
+    Stereographic (ESRI ``Stereographic_*_Pole``, pole-origin
+    variant A, and EPSG variant B via ``Polar_Stereographic``), and
+    Sinusoidal — each an ellipsoidal Snyder closed-form inverse.
+    Anything else raises — fail loudly rather than silently
     mis-locate geometry.
     """
     if prj_wkt is None or prj_wkt.lstrip().startswith("GEOGCS"):
@@ -105,6 +110,48 @@ def make_transform(prj_wkt: str | None):
         # semi-major axis regardless of the datum's ellipsoid — that IS
         # the projection's definition, not an approximation here
         return _webmerc_inverse(a, lon0=p.get("central_meridian", 0.0))
+    if proj in (
+        "stereographic",
+        "polar_stereographic",
+        "stereographic_north_pole",
+        "stereographic_south_pole",
+    ):
+        lon0 = p.get("central_meridian", p.get("longitude_of_origin", 0.0))
+        fe = p.get("false_easting", 0.0)
+        fn = p.get("false_northing", 0.0)
+        lat0 = p.get("latitude_of_origin", 0.0)
+        if proj.endswith("_pole"):
+            # ESRI polar forms: pole from the name, scale from the
+            # standard parallel
+            south = proj.endswith("south_pole")
+            lat_ts = p.get("standard_parallel_1", lat0)
+            return _polar_stereo_inverse(
+                a, e2, south, lon0, lat_ts=lat_ts, fe=fe, fn=fn
+            )
+        if abs(abs(lat0) - 90.0) < 1e-9:
+            # pole origin: variant A (scale factor at the pole)
+            return _polar_stereo_inverse(
+                a, e2, lat0 < 0, lon0,
+                k0=p.get("scale_factor", 1.0), fe=fe, fn=fn,
+            )
+        if proj == "polar_stereographic" and abs(lat0) > 1e-9:
+            # EPSG variant B: latitude_of_origin IS the standard parallel
+            return _polar_stereo_inverse(
+                a, e2, lat0 < 0, lon0, lat_ts=lat0, fe=fe, fn=fn
+            )
+        raise NotImplementedError(
+            "oblique/equatorial Stereographic is not supported (only the "
+            "polar aspects); reproject the source or add the oblique "
+            "inverse"
+        )
+    if proj == "sinusoidal":
+        return _sinusoidal_inverse(
+            a,
+            e2,
+            lon0=p.get("central_meridian", p.get("longitude_of_center", 0.0)),
+            fe=p.get("false_easting", 0.0),
+            fn=p.get("false_northing", 0.0),
+        )
     raise NotImplementedError(f"unsupported projection: {proj}")
 
 
@@ -295,6 +342,99 @@ def _tmerc_inverse(a, e2, lat0, lon0, k0, fe, fn):
             )
             * d * d2 * d2 / 120.0
         ) / c1
+        return lon0 + lam / d2r, phi / d2r
+
+    return inverse
+
+
+def _polar_stereo_inverse(a, e2, south, lon0, k0=None, lat_ts=None,
+                          fe=0.0, fn=0.0):
+    """Ellipsoidal Polar Stereographic inverse (Snyder 21-15..21-40,
+    p. 161-162).  Scale is fixed either by ``k0`` at the pole
+    (variant A, Snyder 21-33) or by a standard parallel ``lat_ts``
+    (variant B, Snyder 21-34: rho = a * m_c * t / t_c).  Latitude comes
+    from fixed-point iteration of Snyder 7-9 (same conformal-latitude
+    inverse the LCC path uses); six rounds converge below 1e-12 rad.
+    """
+    e = math.sqrt(e2)
+    d2r = math.pi / 180.0
+
+    def t_of(phi):
+        s = math.sin(phi)
+        return math.tan(math.pi / 4.0 - phi / 2.0) / (
+            (1.0 - e * s) / (1.0 + e * s)
+        ) ** (e / 2.0)
+
+    if lat_ts is not None:
+        phic = abs(lat_ts) * d2r
+        s = math.sin(phic)
+        mc = math.cos(phic) / math.sqrt(1.0 - e2 * s * s)
+        rho_factor = a * mc / t_of(phic)  # Snyder 21-34
+    else:
+        rho_factor = (
+            2.0 * a * (k0 if k0 is not None else 1.0)
+            / math.sqrt((1.0 + e) ** (1.0 + e) * (1.0 - e) ** (1.0 - e))
+        )  # Snyder 21-33 (k0 defined at the pole)
+
+    def inverse(x, y):
+        x = np.asarray(x, dtype=np.float64) - fe
+        y = np.asarray(y, dtype=np.float64) - fn
+        rho = np.hypot(x, y)
+        t = rho / rho_factor  # Snyder 21-39/21-40
+        phi = math.pi / 2.0 - 2.0 * np.arctan(t)  # spherical start
+        for _ in range(6):  # Snyder 7-9
+            es = e * np.sin(phi)
+            phi = math.pi / 2.0 - 2.0 * np.arctan(
+                t * ((1.0 - es) / (1.0 + es)) ** (e / 2.0)
+            )
+        if south:
+            lam = np.arctan2(x, y)  # Snyder 20-17 (south aspect)
+            lat = -phi / d2r
+        else:
+            lam = np.arctan2(x, -y)  # Snyder 20-16 (north aspect)
+            lat = phi / d2r
+        # the azimuth around the pole can put lon0 + lam outside
+        # (-180, 180] (e.g. lon0=-100, lam=-110) — wrap once
+        lon = np.mod(lon0 + lam / d2r + 180.0, 360.0) - 180.0
+        return lon, lat
+
+    return inverse
+
+
+def _sinusoidal_inverse(a, e2, lon0, fe=0.0, fn=0.0):
+    """Ellipsoidal Sinusoidal (equal-area, pseudocylindrical) inverse
+    (Snyder 30-6..30-11, p. 247-248): latitude from the rectifying
+    series (Snyder 3-26) applied to y as a meridian distance, then
+    longitude from eq. 30-11.  The series truncates at the e^8 term:
+    ~1e-8 degrees (about a millimetre) on any geodetic ellipsoid."""
+    d2r = math.pi / 180.0
+    sqrt1e = math.sqrt(1.0 - e2)
+    e1 = (1.0 - sqrt1e) / (1.0 + sqrt1e)  # Snyder 3-24
+    rect = a * (
+        1.0 - e2 / 4.0 - 3.0 * e2 * e2 / 64.0 - 5.0 * e2 ** 3 / 256.0
+    )
+
+    def inverse(x, y):
+        x = np.asarray(x, dtype=np.float64) - fe
+        y = np.asarray(y, dtype=np.float64) - fn
+        mu = y / rect  # Snyder 7-19
+        phi = (  # Snyder 3-26
+            mu
+            + (3.0 * e1 / 2.0 - 27.0 * e1 ** 3 / 32.0) * np.sin(2.0 * mu)
+            + (21.0 * e1 ** 2 / 16.0 - 55.0 * e1 ** 4 / 32.0)
+            * np.sin(4.0 * mu)
+            + (151.0 * e1 ** 3 / 96.0) * np.sin(6.0 * mu)
+            + (1097.0 * e1 ** 4 / 512.0) * np.sin(8.0 * mu)
+        )
+        s = np.sin(phi)
+        c = np.cos(phi)
+        # Snyder 30-11; at the poles (cos phi → 0) longitude is
+        # indeterminate — define it as lon0, never divide by ~0
+        lam = np.where(
+            np.abs(c) < 1e-12,
+            0.0,
+            x * np.sqrt(1.0 - e2 * s * s) / (a * np.where(c == 0, 1.0, c)),
+        )
         return lon0 + lam / d2r, phi / d2r
 
     return inverse

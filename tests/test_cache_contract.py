@@ -31,6 +31,12 @@ def _embs(spark, n=60):
     return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
 
 
+def _simhash_sigs(spark, n=60):
+    from moz_datapipeline_spark.operators.dedup import simhash
+
+    return simhash(_docs(spark, n))
+
+
 class TestEagerReleasesIntermediates:
     def test_minhash_lsh_candidates(self, spark):
         from moz_datapipeline_spark.operators.dedup import (
@@ -62,6 +68,33 @@ class TestEagerReleasesIntermediates:
         base = _cached_rdd_count(spark)
         out = negative_sample(_docs(spark), k=2, eager=True)
         assert out.count() == 60 * 2
+        assert _cached_rdd_count(spark) <= base + 1
+        out.unpersist(blocking=True)
+        assert _cached_rdd_count(spark) <= base
+
+    def test_embedding_near_dup(self, spark):
+        from moz_datapipeline_spark.operators.similarity import (
+            embedding_near_dup,
+        )
+
+        base = _cached_rdd_count(spark)
+        out = embedding_near_dup(
+            _embs(spark), threshold=0.99, dim=8, eager=True
+        )
+        out.count()
+        assert _cached_rdd_count(spark) <= base + 1
+        out.unpersist(blocking=True)
+        assert _cached_rdd_count(spark) <= base
+
+    def test_simhash_candidates(self, spark):
+        from moz_datapipeline_spark.operators.dedup import (
+            simhash,
+            simhash_candidates,
+        )
+
+        base = _cached_rdd_count(spark)
+        out = simhash_candidates(_simhash_sigs(spark), eager=True)
+        out.count()
         assert _cached_rdd_count(spark) <= base + 1
         out.unpersist(blocking=True)
         assert _cached_rdd_count(spark) <= base

@@ -511,3 +511,149 @@ def test_reference_agriculture_polygons(spark):
         else ring0["coordinates"][0][0][0]
     )
     assert 29 < first[0] < 42 and -28 < first[1] < -9
+
+
+# --------------------------------------------------------------------------
+# polar stereographic + sinusoidal (round 7 CRS additions)
+# --------------------------------------------------------------------------
+
+def _polar_stereo_forward(lon, lat, a, e2, south, lon0, lat_ts):
+    """Snyder 21-30..21-34 forward (variant B), independent of the
+    library: x = rho sin(lam), y = ±rho cos(lam)."""
+    e = math.sqrt(e2)
+
+    def t_of(phi):
+        s = math.sin(phi)
+        return math.tan(math.pi / 4.0 - phi / 2.0) / (
+            (1.0 - e * s) / (1.0 + e * s)
+        ) ** (e / 2.0)
+
+    d2r = math.pi / 180.0
+    phic = abs(lat_ts) * d2r
+    s = math.sin(phic)
+    mc = math.cos(phic) / math.sqrt(1.0 - e2 * s * s)
+    phi = (-lat if south else lat) * d2r
+    lam = (lon - lon0) * d2r
+    if south:
+        lam = -lam  # the south aspect mirrors the azimuth sense
+    rho = a * mc * t_of(phi) / t_of(phic)
+    x = rho * math.sin(lam)
+    y = -rho * math.cos(lam)
+    if south:
+        x, y = -x, -y
+    return x, y
+
+
+def test_polar_stereographic_snyder_example():
+    """USGS PP 1395 p. 315: International 1924, std parallel 71S,
+    lon0 = -100; (x, y) = (-1540033.6, -560526.4) must invert to
+    (75S, 150E)."""
+    inv = shp._polar_stereo_inverse(
+        6378388.0, 0.00672267, south=True, lon0=-100.0, lat_ts=-71.0
+    )
+    lon, lat = inv(np.array([-1540033.6]), np.array([-560526.4]))
+    assert abs(lat[0] - (-75.0)) < 1e-6
+    assert abs(lon[0] - 150.0) < 1e-5
+
+
+def test_polar_stereographic_roundtrip_both_poles():
+    """forward (test-local, Snyder 21-30..34) then inverse (library)
+    over Antarctic (EPSG:3031-style) and Arctic grids."""
+    a, e2 = 6378137.0, 0.0066943799901413165
+    for south, lat_ts, lon0, lats in (
+        (True, -71.0, 0.0, np.arange(-88.0, -60.0, 3.7)),
+        (False, 70.0, -45.0, np.arange(62.0, 89.0, 3.3)),
+    ):
+        inv = shp._polar_stereo_inverse(
+            a, e2, south=south, lon0=lon0, lat_ts=lat_ts
+        )
+        for lon in np.arange(-170.0, 180.0, 47.0):
+            for lat in lats:
+                x, y = _polar_stereo_forward(
+                    lon, lat, a, e2, south, lon0, lat_ts
+                )
+                rlon, rlat = inv(np.array([x]), np.array([y]))
+                assert abs(rlat[0] - lat) < 1e-9, (south, lon, lat)
+                assert abs(rlon[0] - lon) < 1e-9, (south, lon, lat)
+
+
+def test_polar_stereographic_axis_conventions():
+    """EPSG:3031 (south, lon0=0): grid +y points toward Greenwich,
+    +x toward 90E.  EPSG-style north aspect: +y points AWAY from
+    lon0's meridian."""
+    a, e2 = 6378137.0, 0.0066943799901413165
+    inv_s = shp._polar_stereo_inverse(a, e2, south=True, lon0=0.0,
+                                      lat_ts=-71.0)
+    lon, lat = inv_s(np.array([0.0]), np.array([2_000_000.0]))
+    assert abs(lon[0]) < 1e-9 and -90 < lat[0] < -60
+    lon, lat = inv_s(np.array([2_000_000.0]), np.array([0.0]))
+    assert abs(lon[0] - 90.0) < 1e-9
+    inv_n = shp._polar_stereo_inverse(a, e2, south=False, lon0=0.0,
+                                      lat_ts=70.0)
+    lon, lat = inv_n(np.array([0.0]), np.array([-2_000_000.0]))
+    assert abs(lon[0]) < 1e-9 and 60 < lat[0] < 90
+
+
+def _sinusoidal_forward(lon, lat, a, e2, lon0):
+    """Snyder 30-8/30-9 forward, independent series for M(phi)."""
+    d2r = math.pi / 180.0
+    phi = lat * d2r
+    e4, e6 = e2 * e2, e2 * e2 * e2
+    m = a * (
+        (1 - e2 / 4 - 3 * e4 / 64 - 5 * e6 / 256) * phi
+        - (3 * e2 / 8 + 3 * e4 / 32 + 45 * e6 / 1024) * math.sin(2 * phi)
+        + (15 * e4 / 256 + 45 * e6 / 1024) * math.sin(4 * phi)
+        - (35 * e6 / 3072) * math.sin(6 * phi)
+    )
+    s = math.sin(phi)
+    x = a * (lon - lon0) * d2r * math.cos(phi) / math.sqrt(1 - e2 * s * s)
+    return x, m
+
+
+def test_sinusoidal_roundtrip_grid():
+    """MODIS-style sinusoidal (WGS84, lon0=0): forward (test-local)
+    then inverse (library) across four hemisphere quadrants."""
+    a, e2 = 6378137.0, 0.0066943799901413165
+    inv = shp._sinusoidal_inverse(a, e2, lon0=0.0)
+    for lon in np.arange(-160.0, 180.0, 38.5):
+        for lat in np.arange(-80.0, 85.0, 16.3):
+            x, y = _sinusoidal_forward(lon, lat, a, e2, 0.0)
+            rlon, rlat = inv(np.array([x]), np.array([y]))
+            # the rectifying series truncates at e^8: ~1e-8 deg (~1 mm)
+            assert abs(rlat[0] - lat) < 1e-7, (lon, lat)
+            assert abs(rlon[0] - lon) < 1e-7, (lon, lat)
+
+
+def test_polar_and_sinusoidal_wkt_dispatch():
+    """make_transform routes the new WKT projection names."""
+    gcs = (
+        'GEOGCS["GCS_WGS_1984",DATUM["D_WGS_1984",SPHEROID["WGS_1984",'
+        "6378137.0,298.257223563]],PRIMEM[\"Greenwich\",0.0],"
+        'UNIT["Degree",0.0174532925199433]]'
+    )
+    wkt_s = (
+        f'PROJCS["antarctic",{gcs},PROJECTION["Stereographic_South_Pole"],'
+        'PARAMETER["False_Easting",0.0],PARAMETER["False_Northing",0.0],'
+        'PARAMETER["Central_Meridian",0.0],'
+        'PARAMETER["Standard_Parallel_1",-71.0],UNIT["Meter",1.0]]'
+    )
+    tr = shp.make_transform(wkt_s)
+    lon, lat = tr(np.array([0.0]), np.array([2_000_000.0]))
+    assert abs(lon[0]) < 1e-9 and -90 < lat[0] < -60
+    wkt_sin = (
+        f'PROJCS["modis",{gcs},PROJECTION["Sinusoidal"],'
+        'PARAMETER["False_Easting",0.0],PARAMETER["False_Northing",0.0],'
+        'PARAMETER["Central_Meridian",0.0],UNIT["Meter",1.0]]'
+    )
+    tr2 = shp.make_transform(wkt_sin)
+    x, y = _sinusoidal_forward(33.5, -19.0, 6378137.0,
+                               0.0066943799901413165, 0.0)
+    lon, lat = tr2(np.array([x]), np.array([y]))
+    assert abs(lon[0] - 33.5) < 1e-8 and abs(lat[0] - (-19.0)) < 1e-9
+    with pytest.raises(NotImplementedError, match="oblique"):
+        shp.make_transform(
+            f'PROJCS["obl",{gcs},PROJECTION["Stereographic"],'
+            'PARAMETER["Central_Meridian",10.0],'
+            'PARAMETER["Latitude_Of_Origin",45.0],'
+            'PARAMETER["Scale_Factor",1.0],UNIT["Meter",1.0]]'
+        )
