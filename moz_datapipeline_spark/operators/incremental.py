@@ -245,19 +245,40 @@ def compact_signature_store(
         (_BANDS, "bb", "band_hash"),
     ):
         path = f"{store_dir}/{sub}"
-        df = spark.read.parquet(path)
-        sort_key = key if key is not None else df.columns[0]
-        tmp = f"{store_dir}/_compacting_{sub}"
-        (
-            df.repartition(F.col(bucket_col))
-            .sortWithinPartitions(bucket_col, sort_key)
-            .write.mode("overwrite")
-            .partitionBy(bucket_col)
-            .parquet(tmp)
+        counts[f"{sub}_files"] = compact_partitioned_dir(
+            spark, path, bucket_col, key
         )
-        _swap_dirs(spark, tmp, path)
-        counts[f"{sub}_files"] = _count_data_files(spark, path)
     return counts
+
+
+def compact_partitioned_dir(
+    spark: SparkSession,
+    path: str,
+    bucket_col: str,
+    sort_key: str | None = None,
+    transform=None,
+) -> int:
+    """Rewrite a Hive-partitioned parquet dir to ONE sorted file per
+    partition value, swapping in via the Hadoop FS rename.  Shared by
+    the signature store, the IVF lists, and any other
+    append-accumulating partitioned dataset.  ``transform`` (optional
+    ``DataFrame -> DataFrame``) filters/edits rows during the rewrite —
+    the hook retention and forget-pruning ride on.  Returns the
+    post-compaction data-file count."""
+    df = spark.read.parquet(path)
+    if transform is not None:
+        df = transform(df)
+    key = sort_key if sort_key is not None else df.columns[0]
+    tmp = f"{path}_compacting"
+    (
+        df.repartition(F.col(bucket_col))
+        .sortWithinPartitions(bucket_col, key)
+        .write.mode("overwrite")
+        .partitionBy(bucket_col)
+        .parquet(tmp)
+    )
+    _swap_dirs(spark, tmp, path)
+    return _count_data_files(spark, path)
 
 
 def _hadoop_fs(spark: SparkSession, path_str: str):
@@ -286,6 +307,52 @@ def _count_data_files(spark: SparkSession, path_str: str) -> int:
         if not name.startswith("_") and not name.startswith("."):
             n += 1
     return n
+
+
+def prune_signature_store(
+    spark: SparkSession,
+    store_dir: str,
+    remove_ids: DataFrame,
+    id_col: str = "doc_id",
+) -> dict:
+    """Forget documents: rewrite ``sigs/`` and ``bands/`` without the
+    given ids (right-to-be-forgotten / corpus re-curation — after this,
+    a future near-dup of a removed document is ADMITTED again).
+
+    This is a compaction-class BATCH operation — one O(store) rewrite
+    per prune run, so collect forget requests and apply them in bulk,
+    never per request.  The rewrite doubles as a compaction (one sorted
+    file per partition).  Pruning every remaining document is refused:
+    an empty partitioned dir cannot be re-read — drop the store dir and
+    re-bootstrap instead.
+
+    Returns ``{"removed": n, "sigs_files": ..., "bands_files": ...}``.
+    """
+    ids = remove_ids.select(F.col(id_col)).distinct().persist()
+    sigs_path = f"{store_dir}/{_SIGS}"
+    before = spark.read.parquet(sigs_path)
+    n_before = before.count()
+    n_removed = before.join(ids, id_col, "left_semi").count()
+    if n_removed == n_before and n_before > 0:
+        ids.unpersist()
+        raise ValueError(
+            "prune_signature_store: the prune set covers every stored "
+            "document; an empty partitioned store cannot be re-read — "
+            "delete the store directory and re-bootstrap instead"
+        )
+
+    def drop(df: DataFrame) -> DataFrame:
+        return df.join(ids, id_col, "left_anti")
+
+    out = {"removed": n_removed}
+    out["sigs_files"] = compact_partitioned_dir(
+        spark, sigs_path, "sb", None, transform=drop
+    )
+    out["bands_files"] = compact_partitioned_dir(
+        spark, f"{store_dir}/{_BANDS}", "bb", "band_hash", transform=drop
+    )
+    ids.unpersist()
+    return out
 
 
 def signature_store_file_count(spark: SparkSession, store_dir: str) -> dict:

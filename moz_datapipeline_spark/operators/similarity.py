@@ -411,6 +411,70 @@ def build_ivf_index(
     )
 
 
+def append_ivf_index(
+    spark,
+    path: str,
+    new_corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    write_partitions: int = 1,
+) -> None:
+    """Grow a persisted IVF index: assign ``new_corpus`` to the
+    EXISTING centroids and append to the partitioned lists — the
+    standard incremental-IVF trade (centroids stay fixed, so old lists
+    never rewrite and probes stay valid; rebuild when drift makes the
+    partition sizes skew).  Appends are single-task
+    (``write_partitions``) sorted writes — at most one file per touched
+    list per batch; ``compact_ivf_index`` merges the debris.
+
+    Vector ids are NOT deduplicated against the existing lists (that
+    would scan the index per batch); callers own id uniqueness, same as
+    ``build_ivf_index``.
+    """
+    cent_raw = spark.read.parquet(f"{path}/centroids")
+    if "list_pid" not in cent_raw.columns:
+        raise ValueError(
+            f"IVF index at {path} predates the dense list_pid partition "
+            "key; rebuild it with build_ivf_index"
+        )
+    cent = cent_raw.select(
+        F.col("list_pid").alias("centroid_id"),
+        F.col("centroid_vec").alias("_ce"),
+    )
+    c = new_corpus.select(
+        F.col(id_col).alias("corpus_id"), _as_double(vec_col).alias("_cv")
+    )
+    assigned = _nearest_lists(c, cent, "_cv", 1, "list_pid")
+    to_write = assigned.select(
+        "corpus_id", F.col("_cv").alias("vec"), "list_pid"
+    ).persist()
+    # empty partitioned appends drop a bare file at the table root and
+    # corrupt the Hive layout — skip them (same guard as the signature
+    # store); the persist also feeds the write from cache
+    if to_write.count() > 0:
+        (
+            to_write.coalesce(write_partitions)
+            .sortWithinPartitions("list_pid", "corpus_id")
+            .write.mode("append")
+            .partitionBy("list_pid")
+            .parquet(f"{path}/lists")
+        )
+    to_write.unpersist()
+
+
+def compact_ivf_index(spark, path: str) -> int:
+    """Merge append debris in the lists table: one sorted file per
+    list partition (same swap mechanics as the signature store).
+    Returns the post-compaction data-file count."""
+    from moz_datapipeline_spark.operators.incremental import (
+        compact_partitioned_dir,
+    )
+
+    return compact_partitioned_dir(
+        spark, f"{path}/lists", "list_pid", "corpus_id"
+    )
+
+
 def ivf_topk_indexed(
     spark,
     path: str,

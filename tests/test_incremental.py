@@ -191,6 +191,42 @@ class TestStoreLayout:
         assert incr(spark, dup_of_b1, store, **kw).count() == 0
 
 
+class TestPrune:
+    def test_pruned_doc_no_longer_blocks_admission(self, spark, store):
+        from moz_datapipeline_spark.operators.incremental import (
+            incremental_dedup as incr,
+            prune_signature_store,
+        )
+
+        incr(
+            spark, _docs(spark, [(1, BASE), (2, OTHER)]), store, threshold=0.5
+        ).count()
+        # near-dup of stored doc 1 is dropped while 1 is remembered
+        dup = _docs(spark, [(10, BASE + " tail")])
+        assert incr(spark, dup, store, threshold=0.5).count() == 0
+        out = prune_signature_store(
+            spark, store, spark.createDataFrame([(1,)], "doc_id long")
+        )
+        assert out["removed"] == 1
+        stored = spark.read.parquet(store + "/sigs")
+        assert sorted(r.doc_id for r in stored.collect()) == [2]
+        # the forgotten document's near-dups are admitted again
+        dup2 = _docs(spark, [(11, BASE + " tail two")])
+        assert incr(spark, dup2, store, threshold=0.5).count() == 1
+
+    def test_prune_everything_refused(self, spark, store):
+        from moz_datapipeline_spark.operators.incremental import (
+            incremental_dedup as incr,
+            prune_signature_store,
+        )
+
+        incr(spark, _docs(spark, [(1, BASE)]), store, threshold=0.5).count()
+        with pytest.raises(ValueError, match="re-bootstrap"):
+            prune_signature_store(
+                spark, store, spark.createDataFrame([(1,)], "doc_id long")
+            )
+
+
 class TestStreamingIngest:
     def test_stream_batches_dedup_against_store_and_replay_is_idempotent(
         self, spark, tmp_path

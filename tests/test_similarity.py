@@ -574,6 +574,53 @@ def test_semantic_dedup_mega_cluster_cap_bounds_pair_volume(spark):
     assert semantic_dedup(df, threshold=0.9, k=4, iterations=1).count() == 1
 
 
+def test_ivf_index_append_and_compact(spark, tmp_path):
+    """Incremental IVF: appended vectors are assigned to the FIXED
+    existing centroids, become probe-visible, and compaction merges
+    append debris without changing results."""
+    from moz_datapipeline_spark.operators.incremental import (
+        _count_data_files,
+    )
+    from moz_datapipeline_spark.operators.similarity import (
+        append_ivf_index,
+        build_ivf_index,
+        compact_ivf_index,
+        ivf_topk_indexed,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = emb.filter(F.col("vec_id") % 2 == 0)
+    b = emb.filter(F.col("vec_id") % 2 == 1)
+    path = str(tmp_path / "ivf_grow")
+    build_ivf_index(a, path, n_centroids=8)
+    n_a = spark.read.parquet(path + "/lists").count()
+    append_ivf_index(spark, path, b)
+    append_ivf_index(spark, path, b.limit(0))  # empty append is a no-op
+    lists = spark.read.parquet(path + "/lists")
+    assert lists.count() == n_a + b.count()
+
+    # an appended vector is found by a probe for its own direction
+    target = b.orderBy("vec_id").first()
+    q = spark.createDataFrame(
+        [(999999, list(target.embedding))],
+        "vec_id long, embedding array<double>",
+    )
+    got = ivf_topk_indexed(spark, path, q, nprobe=1, k=1).collect()
+    assert len(got) == 1 and got[0].corpus_id == target.vec_id
+    assert got[0].cosine == pytest.approx(1.0, abs=1e-9)
+
+    pre_files = _count_data_files(spark, path + "/lists")
+    before = sorted(
+        map(tuple, ivf_topk_indexed(spark, path, q, nprobe=3, k=5).collect())
+    )
+    post_files = compact_ivf_index(spark, path)
+    assert post_files <= pre_files and post_files <= 8
+    after = sorted(
+        map(tuple, ivf_topk_indexed(spark, path, q, nprobe=3, k=5).collect())
+    )
+    assert after == before
+
+
 def test_ivf_index_string_ids_with_numeric_shapes(spark, tmp_path):
     """String ids like '07' vs '7' must stay distinct centroids: the
     index partitions by an internal dense int (list_pid), so Hive
