@@ -1160,6 +1160,36 @@ def q_embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("value", F.round("value", 6))
 
 
+_PROBE_W = [((j * 7) % 5 - 2.0) / 2.0 for j in range(16)]
+_PROBE_B = -0.25
+
+
+def q_quality_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-probe quality gate over generated embeddings: the full
+    text → hashed-unigram embedding → sigmoid(w·v+b) path
+    (operators/embed.embed + linear_probe_score), all JVM column
+    expressions past the encoder kernel.  VALUE oracle: the embedding
+    replay joined against a literal weight table in DuckDB."""
+    from moz_datapipeline_spark.operators.embed import (
+        embed,
+        hashing_ngram_encoder,
+        linear_probe_score,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    emb = embed(
+        d.select("doc_id", "text"),
+        hashing_ngram_encoder(dim=16),
+        batch_size=64,
+    )
+    out = linear_probe_score(emb, _PROBE_W, bias=_PROBE_B)
+    return out.select(
+        "doc_id",
+        F.round("probe_score", 6).alias("probe_score"),
+        (F.col("probe_score") >= 0.5).alias("keep"),
+    )
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic content fingerprint (md5 of normalized text)."""
     d = _t(spark, sf_dir, "documents")
@@ -2746,6 +2776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "incremental_dedup": q_incremental_dedup,
         "embed_documents": q_embed_documents,
+        "quality_probe": q_quality_probe,
         "repetition_stats": q_repetition_stats,
         "domain_cap": q_domain_cap,
         "vocab_stats": q_vocab_stats,
@@ -5395,6 +5426,50 @@ FROM eaul_calc
         )
         SELECT doc_id, CAST(b AS INTEGER) AS pos, round(v, 6) AS value
         FROM vals
+    """
+    w_rows = ", ".join(
+        f"({j}, {((j * 7) % 5 - 2.0) / 2.0})" for j in range(16)
+    )
+    sql["quality_probe"] = f"""
+        WITH norm AS (
+          SELECT doc_id,
+                 regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS nt
+          FROM documents
+        ),
+        w AS (
+          SELECT doc_id, unnest(string_split(nt, ' ')) AS w
+          FROM norm WHERE nt <> ''
+        ),
+        bc AS (
+          SELECT doc_id,
+                 CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) % 16 AS b,
+                 CAST(count(*) AS DOUBLE) AS c
+          FROM w GROUP BY doc_id, b
+        ),
+        nrm AS (
+          SELECT doc_id, sqrt(sum(c * c)) AS l2 FROM bc GROUP BY doc_id
+        ),
+        grid AS (
+          SELECT d.doc_id, gs.b
+          FROM (SELECT DISTINCT doc_id FROM documents) d
+          CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS b) gs
+        ),
+        vals AS (
+          SELECT g.doc_id, g.b, COALESCE(bc.c / nrm.l2, 0.0) AS v
+          FROM grid g
+          LEFT JOIN bc ON bc.doc_id = g.doc_id AND bc.b = g.b
+          LEFT JOIN nrm ON nrm.doc_id = g.doc_id
+        ),
+        wt(b, wt) AS (VALUES {w_rows}),
+        dots AS (
+          SELECT v.doc_id, sum(v.v * wt.wt) AS dot
+          FROM vals v JOIN wt ON wt.b = v.b
+          GROUP BY v.doc_id
+        )
+        SELECT doc_id,
+               round(1.0 / (1.0 + exp(-(dot + (-0.25)))), 6) AS probe_score,
+               (1.0 / (1.0 + exp(-(dot + (-0.25)))) >= 0.5) AS keep
+        FROM dots
     """
     if _write_shapefile_twin():
         sql["shapefile_scan"] = (

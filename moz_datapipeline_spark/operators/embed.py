@@ -63,6 +63,36 @@ def hashing_ngram_encoder(
     return encode
 
 
+def linear_probe_score(
+    df: DataFrame,
+    weights: Sequence[float],
+    bias: float = 0.0,
+    vec_col: str = "embedding",
+    out_col: str = "probe_score",
+) -> DataFrame:
+    """Quality-classifier scoring: ``sigmoid(w·v + b)`` over an
+    embedding column, as a pure column expression (zero UDF — the
+    weights are literals folded into codegen, so scoring a 100 TB
+    corpus is one narrow map stage).
+
+    This is the standard linear-probe / fastText-style corpus gate: a
+    tiny logistic head trained offline on labeled quality examples,
+    applied at scale over ``embed``'s output (or any precomputed
+    embedding column).  Training the head is out of scope — it is a
+    few thousand labels in sklearn; serving it is the 100 TB problem
+    and lives here.
+    """
+    w = F.array(*[F.lit(float(x)) for x in weights])
+    dot = F.aggregate(
+        F.zip_with(F.col(vec_col), w, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return df.withColumn(
+        out_col, F.lit(1.0) / (F.lit(1.0) + F.exp(-(dot + F.lit(float(bias)))))
+    )
+
+
 def embed(
     df: DataFrame,
     encoder_fn: Callable[[Sequence[str]], Iterable],

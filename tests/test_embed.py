@@ -71,6 +71,68 @@ def test_hashing_encoder_is_deterministic_and_passthrough(spark):
     assert cols == ["doc_id", "text", "extra", "embedding"]
 
 
+def test_linear_probe_score_matches_numpy(spark):
+    import numpy as np
+
+    from moz_datapipeline_spark.operators.embed import linear_probe_score
+
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(25, 6))
+    w = rng.normal(size=6)
+    b = 0.4
+    df = spark.createDataFrame(
+        [(i, vecs[i].tolist()) for i in range(25)],
+        "doc_id long, embedding array<double>",
+    )
+    got = {
+        r.doc_id: r.probe_score
+        for r in linear_probe_score(df, w.tolist(), bias=b).collect()
+    }
+    want = 1.0 / (1.0 + np.exp(-(vecs @ w + b)))
+    for i in range(25):
+        assert got[i] == pytest.approx(want[i], abs=1e-12)
+    # plan stays UDF-free: pure column expressions past the input scan
+    plan = (
+        linear_probe_score(df, w.tolist(), bias=b)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_embed_composes_with_structured_streaming(spark, tmp_path):
+    """embed() is a mapInPandas transform, so the same kernel runs
+    unchanged inside a streaming query — corpus ingestion can embed
+    on the way in."""
+    import json as _json
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "b1.json").write_text(
+        "\n".join(
+            _json.dumps({"doc_id": i, "text": f"streaming doc {i}"})
+            for i in range(6)
+        )
+    )
+    stream = spark.readStream.schema("doc_id long, text string").json(
+        str(src)
+    )
+    out_dir, chk = str(tmp_path / "out"), str(tmp_path / "chk")
+    emb = embed(stream, hashing_ngram_encoder(dim=8), batch_size=4)
+    q = (
+        emb.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_dir).collect()
+    assert len(got) == 6
+    assert all(len(r.embedding) == 8 for r in got)
+
+
 def test_embed_feeds_semantic_dedup_end_to_end(spark):
     """The declared north-star path: raw text → batched embedding →
     SemDeDup, in one lazy plan.  Exact-duplicate texts embed to the
