@@ -277,6 +277,21 @@ def prefix_bucket_candidates(
     )
 
 
+def _candidate_shingles(df, candidates, text_col, id_col, shingle_k):
+    """Distinct-shingle arrays for ONLY the docs named by a candidate
+    pair: one union+distinct over the (small) candidate ids, one
+    left-semi join, then the shingle transform on the survivors."""
+    ids = (
+        candidates.select(F.col("id_a").alias(id_col))
+        .unionByName(candidates.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    return df.join(ids, id_col, "left_semi").select(
+        F.col(id_col),
+        F.array_distinct(shingles(text_col, shingle_k)).alias("_sh"),
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     candidates: DataFrame,
@@ -285,10 +300,13 @@ def ngram_jaccard_pairs(
     shingle_k: int = 3,
     threshold: float = 0.8,
 ) -> DataFrame:
-    """Verify candidate pairs with exact shingle Jaccard; keep >= threshold."""
-    sh = df.select(
-        F.col(id_col), F.array_distinct(shingles(text_col, shingle_k)).alias("_sh")
-    )
+    """Verify candidate pairs with exact shingle Jaccard; keep >= threshold.
+
+    Shingle sets are computed ONLY for documents that appear in a
+    candidate pair (semi-join pushdown before the shingle transform):
+    candidates are a vanishing fraction of a deduped 100 TB corpus, so
+    the expensive array build must not run over the other 99%."""
+    sh = _candidate_shingles(df, candidates, text_col, id_col, shingle_k)
     a = sh.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sa"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_sb"))
     return (
@@ -323,13 +341,13 @@ def ngram_containment_pairs(
     ``ngram_jaccard_pairs``: only LSH candidates are scored, never all
     pairs.
 
+    Shingle sets are computed only for candidate-participating
+    documents — see ``ngram_jaccard_pairs``.
+
     Reference parity: extension operator; companion to
     ``ngram_jaccard_pairs`` (dedup.py:210).
     """
-    sh = df.select(
-        F.col(id_col),
-        F.array_distinct(shingles(text_col, shingle_k)).alias("_sh"),
-    )
+    sh = _candidate_shingles(df, candidates, text_col, id_col, shingle_k)
     a = sh.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sa"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_sb"))
     inter = F.size(F.array_intersect("_sa", "_sb")).cast("double")
