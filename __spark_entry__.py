@@ -1160,6 +1160,19 @@ def q_embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("value", F.round("value", 6))
 
 
+def q_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + shard for training order
+    (operators/corpus.shard_corpus): md5 shard assignment, independent
+    md5 within-shard order, dense shard_rank via one per-shard window
+    (never a global sort through one task).  VALUE oracle: identical
+    hash arithmetic + row_number in DuckDB."""
+    from moz_datapipeline_spark.operators.corpus import shard_corpus
+
+    d = _t(spark, sf_dir, "documents")
+    out = shard_corpus(d.select("doc_id"), n_shards=8, seed="epoch0")
+    return out.select("doc_id", "shard", "shard_rank")
+
+
 _PROBE_W = [((j * 7) % 5 - 2.0) / 2.0 for j in range(16)]
 _PROBE_B = -0.25
 
@@ -2777,6 +2790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": q_incremental_dedup,
         "embed_documents": q_embed_documents,
         "quality_probe": q_quality_probe,
+        "shard_assignment": q_shard_assignment,
         "repetition_stats": q_repetition_stats,
         "domain_cap": q_domain_cap,
         "vocab_stats": q_vocab_stats,
@@ -5426,6 +5440,17 @@ FROM eaul_calc
         )
         SELECT doc_id, CAST(b AS INTEGER) AS pos, round(v, 6) AS value
         FROM vals
+    """
+    sql["shard_assignment"] = """
+        WITH h AS (
+          SELECT doc_id,
+                 CAST(CAST(('0x' || substr(md5('epoch0:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 8 AS INTEGER) AS shard,
+                 md5('epoch0:order:' || CAST(doc_id AS VARCHAR)) AS ok
+          FROM documents
+        )
+        SELECT doc_id, shard,
+               CAST(row_number() OVER (PARTITION BY shard ORDER BY ok, doc_id) - 1 AS BIGINT) AS shard_rank
+        FROM h
     """
     w_rows = ", ".join(
         f"({j}, {((j * 7) % 5 - 2.0) / 2.0})" for j in range(16)

@@ -898,3 +898,65 @@ def negative_sample(
         out.count()
         local.unpersist()
     return out
+
+
+def shard_corpus(
+    df: DataFrame,
+    n_shards: int,
+    seed: str = "shard",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic training-order randomization: assign every row a
+    pseudo-random ``shard`` (md5 of (seed, id) mod ``n_shards``) and a
+    dense ``shard_rank`` (the row's position within its shard under an
+    independent md5 order) — the global-shuffle + shard step that turns
+    a curated corpus into training-ready input files.
+
+    Properties a trainer needs, all by construction:
+    - reproducible: same (seed, ids) → identical shards and order, on
+      any cluster size (no RNG state, no partition dependence);
+    - balanced in expectation: shards are a uniform hash split;
+    - a different ``seed`` is a fresh epoch-level reshuffle.
+
+    Plan shape: one hash projection plus ONE window partitioned by
+    ``shard`` — each window partition holds ~N/n_shards rows, so no
+    single task ever sees the global order (the classic
+    global-``orderBy``-then-zipWithIndex shuffle-to-one-task trap).
+    Write with ``write_partitioned(out, path, ["shard"])`` and the
+    files land pre-grouped per shard, sorted by ``shard_rank`` via
+    ``sortWithinPartitions``.
+
+    Reference parity: extension operator (training prep); sibling of
+    ``stable_sample``'s content-addressed determinism.
+    """
+    if n_shards < 1:
+        raise ValueError("shard_corpus: n_shards must be >= 1")
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(seed), F.lit(":"), F.col(id_col).cast("string")
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    order_key = F.md5(
+        F.concat(
+            F.lit(seed), F.lit(":order:"), F.col(id_col).cast("string")
+        )
+    )
+    w = Window.partitionBy("shard").orderBy(
+        F.col("_ok").asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("shard", (h % n_shards).cast("int"))
+        .withColumn("_ok", order_key)
+        .withColumn(
+            "shard_rank", (F.row_number().over(w) - 1).cast("long")
+        )
+        .drop("_ok")
+    )

@@ -722,6 +722,30 @@ def containment_semdedup_scale_check(spark, docs) -> dict:
     out["containment_verified_pairs"] = verified.count()
     out["containment_sec"] = round(time.perf_counter() - t0, 2)
 
+    # --- batched embedding + linear-probe gate over the same 500k docs:
+    # the encoder kernel is embarrassingly parallel (one mapInPandas
+    # pass, no shuffle), so docs/sec is the whole story
+    from moz_datapipeline_spark.operators.embed import (
+        embed,
+        hashing_ngram_encoder,
+        linear_probe_score,
+    )
+
+    t0 = time.perf_counter()
+    emb = embed(
+        big, hashing_ngram_encoder(dim=16), batch_size=512
+    )
+    scored = linear_probe_score(
+        emb, [((j * 7) % 5 - 2.0) / 2.0 for j in range(16)], bias=-0.25
+    )
+    out["embed_probe_kept"] = scored.filter(
+        F.col("probe_score") >= 0.5
+    ).count()
+    dt = time.perf_counter() - t0
+    out["embed_docs"] = out["containment_docs"]
+    out["embed_probe_sec"] = round(dt, 2)
+    out["embed_docs_per_sec"] = round(out["containment_docs"] / dt, 1)
+
     # --- semantic dedup at 500k vectors
     n, dim, groups = 500_000, 16, 5_000
 

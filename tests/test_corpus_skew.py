@@ -200,3 +200,31 @@ def test_prefix_bucket_candidates_caps_hot_buckets(spark):
     # raising the cap readmits the bucket
     wide = prefix_bucket_candidates(df, max_bucket_width=1000)
     assert wide.count() == 500 * 499 // 2 + 1
+
+
+def test_shard_corpus_partitions_and_orders_deterministically(spark):
+    from moz_datapipeline_spark.operators.corpus import shard_corpus
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(500)], "doc_id long, text string"
+    )
+    out = shard_corpus(df, n_shards=8, seed="e0").collect()
+    # every row kept exactly once, shards in range, ranks dense per shard
+    assert sorted(r.doc_id for r in out) == list(range(500))
+    by_shard = {}
+    for r in out:
+        assert 0 <= r.shard < 8
+        by_shard.setdefault(r.shard, []).append(r.shard_rank)
+    for ranks in by_shard.values():
+        assert sorted(ranks) == list(range(len(ranks)))
+    # balanced in expectation: no shard is pathologically empty/full
+    sizes = [len(v) for v in by_shard.values()]
+    assert len(sizes) == 8 and min(sizes) > 20
+    # deterministic across reruns and partitionings
+    again = shard_corpus(df.repartition(13), n_shards=8, seed="e0").collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+    # a new seed is a genuine reshuffle
+    e1 = {r.doc_id: (r.shard, r.shard_rank)
+          for r in shard_corpus(df, 8, seed="e1").collect()}
+    e0 = {r.doc_id: (r.shard, r.shard_rank) for r in out}
+    assert sum(1 for i in e0 if e0[i] != e1[i]) > 400
