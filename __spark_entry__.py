@@ -1173,6 +1173,47 @@ def q_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "shard", "shard_rank")
 
 
+def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-archive ingestion end-to-end (sources/warc.py): documents
+    → distributed WARC sink (one CommonCrawl-layout ``.warc.gz`` per
+    partition, per-record gzip members, HTTP response envelopes) →
+    distributed WARC scan (per-file tasks, executor-side type filter,
+    envelope strip in the same pass) → (doc_id, body_len, text_md5).
+    The driver touches only file paths; payload bytes never leave the
+    executors.  VALUE oracle: the archive stores exactly the UTF-8
+    text, so DuckDB recomputes byte length + md5 from ``documents``."""
+    import hashlib
+    import shutil
+
+    from moz_datapipeline_spark.sources.warc import read_warc, write_warc
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("urn:doc:"), F.col("doc_id").cast("string")).alias(
+            "uri"
+        ),
+        F.coalesce(F.col("text"), F.lit("")).alias("payload"),
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out_dir = f"/tmp/spark_graft_warc/{tag}"
+    shutil.rmtree(out_dir, ignore_errors=True)  # drop stale part files
+    write_warc(
+        docs.repartition(8), out_dir, http_envelope=True, compress=True
+    ).collect()  # manifest is 8 tiny rows; the action runs the sink
+    recs = read_warc(
+        spark,
+        out_dir + "/*.warc.gz",
+        record_types=("response",),
+        strip_http=True,
+    )
+    return recs.select(
+        F.regexp_extract("target_uri", r"urn:doc:(\d+)", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("content_length").alias("body_len"),
+        F.md5("payload").alias("text_md5"),
+    )
+
+
 _PROBE_W = [((j * 7) % 5 - 2.0) / 2.0 for j in range(16)]
 _PROBE_B = -0.25
 
@@ -2791,6 +2832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_documents": q_embed_documents,
         "quality_probe": q_quality_probe,
         "shard_assignment": q_shard_assignment,
+        "warc_roundtrip": q_warc_roundtrip,
         "repetition_stats": q_repetition_stats,
         "domain_cap": q_domain_cap,
         "vocab_stats": q_vocab_stats,
@@ -5451,6 +5493,13 @@ FROM eaul_calc
         SELECT doc_id, shard,
                CAST(row_number() OVER (PARTITION BY shard ORDER BY ok, doc_id) - 1 AS BIGINT) AS shard_rank
         FROM h
+    """
+    sql["warc_roundtrip"] = """
+        SELECT doc_id,
+               CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT)
+                 AS body_len,
+               md5(coalesce(text, '')) AS text_md5
+        FROM documents
     """
     w_rows = ", ".join(
         f"({j}, {((j * 7) % 5 - 2.0) / 2.0})" for j in range(16)
