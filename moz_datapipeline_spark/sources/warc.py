@@ -298,6 +298,7 @@ def write_warc(
     record_type: str = "resource",
     content_type: str = "text/plain",
     compress: bool = True,
+    compresslevel: int = 6,
     http_envelope: bool = False,
 ) -> DataFrame:
     """Distributed WARC sink: each partition writes ONE
@@ -353,7 +354,11 @@ def write_warc(
                             else content_type
                         ),
                     )
-                    fh.write(gzip.compress(rec) if compress else rec)
+                    fh.write(
+                        gzip.compress(rec, compresslevel)
+                        if compress
+                        else rec
+                    )
                     n += 1
         os.replace(tmp, path)  # atomic publish, idempotent on retry
         yield pd.DataFrame([{"path": path, "n_records": n}])

@@ -801,6 +801,57 @@ def containment_semdedup_scale_check(spark, docs) -> dict:
     return out
 
 
+def warc_scale_check(spark, docs) -> dict:
+    """Crawl-archive I/O rehearsal: 500k docs → 32 CommonCrawl-layout
+    ``.warc.gz`` files (per-record gzip members, HTTP envelopes) →
+    scanned back with executor-side envelope strip.  Both directions
+    are embarrassingly parallel (no shuffle anywhere — the sink is one
+    file per partition, the scan one task per file), so docs/sec is
+    the whole story; at 100 TB the same plan is just more files."""
+    import shutil
+    import tempfile
+
+    from moz_datapipeline_spark.sources.warc import read_warc, write_warc
+
+    out_dir = tempfile.mkdtemp(prefix="warc_scale_") + "/archive"
+    payload = docs.select(
+        F.concat(F.lit("urn:doc:"), F.col("doc_id").cast("string")).alias(
+            "uri"
+        ),
+        F.coalesce(F.col("text"), F.lit("")).alias("payload"),
+    ).repartition(32)
+    t0 = time.perf_counter()
+    manifest = write_warc(
+        payload, out_dir, http_envelope=True, compress=True
+    ).collect()
+    t_write = time.perf_counter() - t0
+    n_written = sum(m.n_records for m in manifest)
+
+    t0 = time.perf_counter()
+    n_read = (
+        read_warc(
+            spark,
+            out_dir + "/*.warc.gz",
+            record_types=("response",),
+            strip_http=True,
+        )
+        .filter(F.col("content_length") >= 0)
+        .count()
+    )
+    t_read = time.perf_counter() - t0
+    assert n_read == n_written, (n_read, n_written)
+    res = {
+        "warc_docs": n_written,
+        "warc_files": len(manifest),
+        "warc_write_sec": round(t_write, 2),
+        "warc_write_docs_per_sec": round(n_written / t_write, 1),
+        "warc_read_sec": round(t_read, 2),
+        "warc_read_docs_per_sec": round(n_read / t_read, 1),
+    }
+    shutil.rmtree(out_dir.rsplit("/", 1)[0], ignore_errors=True)
+    return res
+
+
 def graph_lm_scale_check(spark, docs) -> dict:
     """Round-5 extension rehearsal: PageRank at a few million edges,
     the Bloom prefilter's measured exchange thinning, and bigram-LM
@@ -977,6 +1028,7 @@ def main() -> None:
     graph_lm = graph_lm_scale_check(spark, docs)
     components = components_scale_check(spark)
     heavy_new = containment_semdedup_scale_check(spark, docs)
+    warc = warc_scale_check(spark, docs)
 
     print(
         json.dumps(
@@ -1001,6 +1053,7 @@ def main() -> None:
                 **graph_lm,
                 **components,
                 **heavy_new,
+                **warc,
             }
         )
     )
