@@ -1214,6 +1214,20 @@ def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full corpus-curation chain as ONE plan
+    (plans/corpus_pipeline.curate_corpus): quality gate → exact dedup
+    → benchmark decontamination → per-domain cap → deterministic
+    shards, every stage an existing operator, composed through the
+    named-stage Pipeline runner.  Four shuffles total, none corpus²,
+    all selections content-addressed — so the WHOLE chain replays as
+    one DuckDB CTE pipeline (the VALUE oracle below)."""
+    from moz_datapipeline_spark.plans.corpus_pipeline import curate_corpus
+
+    d = _t(spark, sf_dir, "documents")
+    return curate_corpus(spark, d, max_per_domain=50, n_shards=4)
+
+
 _PROBE_W = [((j * 7) % 5 - 2.0) / 2.0 for j in range(16)]
 _PROBE_B = -0.25
 
@@ -2833,6 +2847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_probe": q_quality_probe,
         "shard_assignment": q_shard_assignment,
         "warc_roundtrip": q_warc_roundtrip,
+        "curation_pipeline": q_curation_pipeline,
         "repetition_stats": q_repetition_stats,
         "domain_cap": q_domain_cap,
         "vocab_stats": q_vocab_stats,
@@ -5493,6 +5508,62 @@ FROM eaul_calc
         SELECT doc_id, shard,
                CAST(row_number() OVER (PARTITION BY shard ORDER BY ok, doc_id) - 1 AS BIGINT) AS shard_rank
         FROM h
+    """
+    sql["curation_pipeline"] = """
+        WITH tok AS (
+          SELECT doc_id, source, lang, text,
+                 list_filter(string_split(text, ' '), t -> t <> '') AS toks
+          FROM documents
+        ), q AS (
+          SELECT * FROM tok
+          WHERE len(toks) >= 30
+            AND len(list_distinct(toks)) * 20 >= len(toks) * 7
+            AND lang = 'en'
+        ), ded AS (
+          SELECT doc_id, source, toks FROM (
+            SELECT *, min(doc_id) OVER (
+              PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+            ) AS keep_id
+            FROM q
+          ) WHERE doc_id = keep_id
+        ), ng AS (
+          SELECT doc_id, source,
+                 list_distinct(list_transform(
+                   generate_series(1, len(toks) - 7),
+                   i -> array_to_string(toks[i:i+7], ' '))) AS ngrams
+          FROM ded
+        ), bench AS (
+          SELECT DISTINCT g FROM (
+            SELECT unnest(ngrams) AS g FROM ng WHERE doc_id % 97 = 0
+          )
+        ), per AS (
+          SELECT c.doc_id, max(c.n_ngrams) AS n_ngrams, count(b.g) AS n_cont
+          FROM (
+            SELECT doc_id, len(ngrams) AS n_ngrams, unnest(ngrams) AS g
+            FROM ng WHERE doc_id % 97 <> 0
+          ) c LEFT JOIN bench b USING (g)
+          GROUP BY c.doc_id
+        ), clean AS (
+          SELECT ng.doc_id, ng.source
+          FROM ng JOIN per ON ng.doc_id = per.doc_id
+          WHERE NOT (per.n_cont * 20 >= per.n_ngrams AND per.n_ngrams > 0)
+        ), capd AS (
+          SELECT doc_id, source FROM (
+            SELECT doc_id, source,
+                   row_number() OVER (
+                     PARTITION BY source
+                     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ) AS rnk
+            FROM clean
+          ) WHERE rnk <= 50
+        )
+        SELECT doc_id, source,
+               CAST(CAST(('0x' || substr(md5('curate:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 4 AS INTEGER) AS shard,
+               CAST(row_number() OVER (
+                 PARTITION BY CAST(('0x' || substr(md5('curate:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 4
+                 ORDER BY md5('curate:order:' || CAST(doc_id AS VARCHAR)), doc_id
+               ) - 1 AS BIGINT) AS shard_rank
+        FROM capd
     """
     sql["warc_roundtrip"] = """
         SELECT doc_id,

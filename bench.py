@@ -121,6 +121,7 @@ HEADLINE = [
     "quality_probe",
     "shard_assignment",
     "warc_roundtrip",
+    "curation_pipeline",
     # incremental_dedup is oracle-checked but not benched here: a tiny
     # two-batch ingest is dominated by store round-trips and component
     # rounds (fixed job overhead, not operator throughput) — its scale
