@@ -1228,6 +1228,42 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curate_corpus(spark, d, max_per_domain=50, n_shards=4)
 
 
+def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (operators/urls.py): deterministic raw-URL
+    variants synthesized per doc (scheme/host case, default ports,
+    www, trailing slash, fragments, tracker params, param order, a
+    schemeless passthrough) → canonical form + host, all pure JVM
+    regex/array expressions.  VALUE oracle: the identical rule chain
+    replayed step-by-step in DuckDB."""
+    from moz_datapipeline_spark.operators.urls import (
+        canonicalize_url,
+        url_host,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("string")
+    c = F.col("doc_id") % 6
+    raw = (
+        F.when(c == 0, F.concat(F.lit("HTTP://Example.COM:80/path/"), i,
+                                F.lit("?b=2&a=1&utm_source=x#frag")))
+        .when(c == 1, F.concat(F.lit("https://WWW.Example.com:443/path/"),
+                               i, F.lit("/")))
+        .when(c == 2, F.concat(F.lit("http://example.com/p"), i,
+                               F.lit("?utm_campaign=c&ref=home&z=1")))
+        .when(c == 3, F.concat(F.lit("https://example.com/Path/"), i,
+                               F.lit("?z=9&y=8")))
+        .when(c == 4, F.concat(F.lit("http://sub.example.org:8080/"), i,
+                               F.lit("?a=1&a=0")))
+        .otherwise(F.concat(F.lit("no-scheme/"), i))
+    )
+    urls = d.select("doc_id", raw.alias("raw_url"))
+    return urls.select(
+        "doc_id",
+        canonicalize_url("raw_url").alias("canonical_url"),
+        url_host("raw_url").alias("host"),
+    )
+
+
 _PROBE_W = [((j * 7) % 5 - 2.0) / 2.0 for j in range(16)]
 _PROBE_B = -0.25
 
@@ -2848,6 +2884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_assignment": q_shard_assignment,
         "warc_roundtrip": q_warc_roundtrip,
         "curation_pipeline": q_curation_pipeline,
+        "url_canonical": q_url_canonical,
         "repetition_stats": q_repetition_stats,
         "domain_cap": q_domain_cap,
         "vocab_stats": q_vocab_stats,
@@ -5508,6 +5545,63 @@ FROM eaul_calc
         SELECT doc_id, shard,
                CAST(row_number() OVER (PARTITION BY shard ORDER BY ok, doc_id) - 1 AS BIGINT) AS shard_rank
         FROM h
+    """
+    sql["url_canonical"] = r"""
+        WITH raw AS (
+          SELECT doc_id,
+            CASE CAST(doc_id % 6 AS INTEGER)
+              WHEN 0 THEN 'HTTP://Example.COM:80/path/' || CAST(doc_id AS VARCHAR) || '?b=2&a=1&utm_source=x#frag'
+              WHEN 1 THEN 'https://WWW.Example.com:443/path/' || CAST(doc_id AS VARCHAR) || '/'
+              WHEN 2 THEN 'http://example.com/p' || CAST(doc_id AS VARCHAR) || '?utm_campaign=c&ref=home&z=1'
+              WHEN 3 THEN 'https://example.com/Path/' || CAST(doc_id AS VARCHAR) || '?z=9&y=8'
+              WHEN 4 THEN 'http://sub.example.org:8080/' || CAST(doc_id AS VARCHAR) || '?a=1&a=0'
+              ELSE 'no-scheme/' || CAST(doc_id AS VARCHAR)
+            END AS raw_url
+          FROM documents
+        ), s2 AS (
+          SELECT doc_id, raw_url,
+                 regexp_replace(trim(raw_url), '#.*$', '') AS u
+          FROM raw
+        ), s3 AS (
+          SELECT *,
+            lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+            regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+          FROM s2
+        ), s4 AS (
+          SELECT *,
+            regexp_replace(
+              CASE WHEN scheme = 'http'
+                   THEN regexp_replace(lower(regexp_extract(rest, '^([^/?]*)', 1)), ':80$', '')
+                   WHEN scheme = 'https'
+                   THEN regexp_replace(lower(regexp_extract(rest, '^([^/?]*)', 1)), ':443$', '')
+                   ELSE lower(regexp_extract(rest, '^([^/?]*)', 1)) END,
+              '^www\.', '') AS host,
+            regexp_replace(rest, '^[^/?]*', '') AS pathq
+          FROM s3
+        ), s5 AS (
+          SELECT *,
+            CASE WHEN regexp_extract(pathq, '^([^?]*)', 1) = '' THEN '/'
+                 ELSE regexp_replace(regexp_extract(pathq, '^([^?]*)', 1), '(.)/$', '\1')
+            END AS path,
+            list_sort(list_filter(
+              string_split(regexp_extract(pathq, '\?(.*)$', 1), '&'),
+              p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid|msclkid|ref|ref_src)=')
+            )) AS params
+          FROM s4
+        )
+        SELECT doc_id,
+          CASE WHEN scheme = '' THEN trim(raw_url)
+               ELSE scheme || '://' || host || path ||
+                    CASE WHEN len(params) > 0
+                         THEN '?' || array_to_string(params, '&')
+                         ELSE '' END
+          END AS canonical_url,
+          CASE WHEN scheme = '' THEN ''
+               ELSE regexp_replace(
+                 lower(regexp_extract(rest, '^([^/?:]*)', 1)),
+                 '^www\.', '')
+          END AS host
+        FROM s5
     """
     sql["curation_pipeline"] = """
         WITH tok AS (

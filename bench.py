@@ -122,6 +122,7 @@ HEADLINE = [
     "shard_assignment",
     "warc_roundtrip",
     "curation_pipeline",
+    "url_canonical",
     # incremental_dedup is oracle-checked but not benched here: a tiny
     # two-batch ingest is dominated by store round-trips and component
     # rounds (fixed job overhead, not operator throughput) — its scale
