@@ -1264,6 +1264,27 @@ def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space benchmark decontamination
+    (operators/similarity.semantic_decontaminate): every candidate's
+    max cosine against a broadcast eval slice (vec_id % 50 == 0),
+    map-side-combined max fold, flag at 0.9.  VALUE oracle: the same
+    cross-score + max in DuckDB (flag computed on the unrounded max)."""
+    from moz_datapipeline_spark.operators.similarity import (
+        semantic_decontaminate,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = semantic_decontaminate(
+        emb, F.col("vec_id") % 50 == 0, threshold=0.9
+    )
+    return out.select(
+        "vec_id",
+        F.round("max_bench_cosine", 6).alias("max_bench_cosine"),
+        "contaminated",
+    )
+
+
 _PROBE_W = [((j * 7) % 5 - 2.0) / 2.0 for j in range(16)]
 _PROBE_B = -0.25
 
@@ -2885,6 +2906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_roundtrip": q_warc_roundtrip,
         "curation_pipeline": q_curation_pipeline,
         "url_canonical": q_url_canonical,
+        "semantic_decontaminate": q_semantic_decontaminate,
         "repetition_stats": q_repetition_stats,
         "domain_cap": q_domain_cap,
         "vocab_stats": q_vocab_stats,
@@ -5545,6 +5567,25 @@ FROM eaul_calc
         SELECT doc_id, shard,
                CAST(row_number() OVER (PARTITION BY shard ORDER BY ok, doc_id) - 1 AS BIGINT) AS shard_rank
         FROM h
+    """
+    sql["semantic_decontaminate"] = """
+        WITH v AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+          FROM embeddings
+        ), bench AS (
+          SELECT emb FROM v WHERE vec_id % 50 = 0
+        ), per AS (
+          SELECT c.vec_id,
+                 coalesce(max(list_cosine_similarity(c.emb, b.emb)), 0.0)
+                   AS mx
+          FROM (SELECT * FROM v WHERE vec_id % 50 <> 0) c
+          LEFT JOIN bench b ON TRUE
+          GROUP BY c.vec_id
+        )
+        SELECT vec_id, round(mx, 6) AS max_bench_cosine,
+               mx >= 0.9 AS contaminated
+        FROM per
     """
     sql["url_canonical"] = r"""
         WITH raw AS (

@@ -1666,3 +1666,52 @@ def ivfadc_topk(
     return _rank_adc_then_rerank(
         scored, k, rerank, corpus, queries, id_col, "query_id", vec_col
     )
+
+
+def semantic_decontaminate(
+    df: DataFrame,
+    benchmark_pred: Column,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-space benchmark decontamination: flag every candidate
+    whose cosine to ANY benchmark vector reaches ``threshold`` — the
+    semantic sibling of ``corpus.decontaminate`` (n-gram overlap
+    misses paraphrased eval leakage; embedding cosine catches it).
+
+    Returns one row per candidate (benchmark rows are excluded — they
+    are eval data): ``(id, max_bench_cosine, contaminated)``.
+
+    Plan shape: the benchmark slice is eval-set-sized by construction,
+    so it BROADCASTS; each candidate scores against it map-side (JVM
+    higher-order-function dots, no UDF) and a map-side-combined
+    ``max`` folds |bench| scores to one row per candidate before the
+    only shuffle.  A left join (not a cross join) keeps candidates
+    alive when the benchmark slice is empty — max cosine 0.0, nothing
+    flagged.  Compute is |cand|·|bench| dot products, inherent to the
+    exact guarantee; for a benchmark too big to broadcast, pre-bucket
+    both sides with ``embedding_near_dup``'s LSH tables and apply the
+    same max fold per bucket.
+
+    Reference parity: extension operator; composes with ``embed.embed``
+    for the text → embedding → decontaminate path.
+    """
+    bench = df.filter(benchmark_pred).select(
+        _as_double(vec_col).alias("_bv")
+    )
+    cand = df.filter(~benchmark_pred).select(
+        F.col(id_col), _as_double(vec_col).alias("_cv")
+    )
+    scored = cand.join(F.broadcast(bench), F.lit(True), "left")
+    cos = F.when(
+        F.col("_bv").isNotNull(), cosine(F.col("_cv"), F.col("_bv"))
+    )
+    per = scored.groupBy(id_col).agg(
+        F.coalesce(F.max(cos), F.lit(0.0)).alias("max_bench_cosine")
+    )
+    return per.select(
+        id_col,
+        "max_bench_cosine",
+        (F.col("max_bench_cosine") >= threshold).alias("contaminated"),
+    )

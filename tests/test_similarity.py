@@ -656,3 +656,53 @@ def test_ivf_index_string_ids_with_numeric_shapes(spark, tmp_path):
         )
     )
     assert got == want and len(got) > 0
+
+
+def test_semantic_decontaminate_flags_and_empty_bench(spark):
+    from pyspark.sql import functions as F
+
+    from moz_datapipeline_spark.operators.similarity import (
+        semantic_decontaminate,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),     # benchmark
+        (1, [1.0, 0.0, 0.0]),     # identical -> cosine 1.0, flagged
+        (2, [0.9, 0.1, 0.0]),     # close -> high cosine, flagged
+        (3, [0.0, 0.0, 1.0]),     # orthogonal -> clean
+        (4, [-1.0, 0.0, 0.0]),    # opposite -> clean
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    out = {
+        r.vec_id: r
+        for r in semantic_decontaminate(
+            df, F.col("vec_id") == 0, threshold=0.95
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3, 4}  # benchmark row excluded
+    assert out[1].contaminated and abs(out[1].max_bench_cosine - 1.0) < 1e-9
+    assert out[2].contaminated
+    assert not out[3].contaminated and not out[4].contaminated
+
+    # empty benchmark: every candidate survives with max cosine 0.0
+    empty = {
+        r.vec_id: r
+        for r in semantic_decontaminate(
+            df, F.lit(False), threshold=0.95
+        ).collect()
+    }
+    assert set(empty) == {0, 1, 2, 3, 4}
+    assert all(
+        not r.contaminated and r.max_bench_cosine == 0.0
+        for r in empty.values()
+    )
+
+    # plan: bench broadcast, no Python UDFs
+    plan = (
+        semantic_decontaminate(df, F.col("vec_id") == 0)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
