@@ -124,6 +124,7 @@ HEADLINE = [
     "curation_pipeline",
     "url_canonical",
     "semantic_decontaminate",
+    "bpe_merges",
     # incremental_dedup is oracle-checked but not benched here: a tiny
     # two-batch ingest is dominated by store round-trips and component
     # rounds (fixed job overhead, not operator throughput) — its scale
