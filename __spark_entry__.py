@@ -1285,6 +1285,23 @@ def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split
+    (operators/corpus.split_corpus): md5 of (seed, id) reduced to a
+    60-bit integer against integer thresholds — no float arithmetic on
+    the data path, zero shuffles.  VALUE oracle: the identical hash +
+    integer-threshold arithmetic in DuckDB."""
+    from moz_datapipeline_spark.operators.corpus import split_corpus
+
+    d = _t(spark, sf_dir, "documents")
+    out = split_corpus(
+        d.select("doc_id"),
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        seed="epoch0",
+    )
+    return out.select("doc_id", "split")
+
+
 _BPE_ROUNDS = 6
 
 
@@ -3002,6 +3019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical": q_url_canonical,
         "semantic_decontaminate": q_semantic_decontaminate,
         "bpe_merges": q_bpe_merges,
+        "corpus_split": q_corpus_split,
         "repetition_stats": q_repetition_stats,
         "domain_cap": q_domain_cap,
         "vocab_stats": q_vocab_stats,
@@ -5662,6 +5680,17 @@ FROM eaul_calc
         SELECT doc_id, shard,
                CAST(row_number() OVER (PARTITION BY shard ORDER BY ok, doc_id) - 1 AS BIGINT) AS shard_rank
         FROM h
+    """
+    sql["corpus_split"] = """
+        SELECT doc_id,
+               CASE WHEN h < 922337203685477632 THEN 'train'
+                    WHEN h < 1037629354146162304 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (
+          SELECT doc_id,
+                 CAST(('0x' || substr(md5('epoch0:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+          FROM documents
+        )
     """
     sql["bpe_merges"] = _bpe_merges_oracle()
     sql["semantic_decontaminate"] = """

@@ -125,6 +125,7 @@ HEADLINE = [
     "url_canonical",
     "semantic_decontaminate",
     "bpe_merges",
+    "corpus_split",
     # incremental_dedup is oracle-checked but not benched here: a tiny
     # two-batch ingest is dominated by store round-trips and component
     # rounds (fixed job overhead, not operator throughput) — its scale

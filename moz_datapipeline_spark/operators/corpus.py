@@ -960,3 +960,63 @@ def shard_corpus(
         )
         .drop("_ok")
     )
+
+
+def split_corpus(
+    df: DataFrame,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    by_col: str | None = None,
+    seed: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test split: adds a ``split`` column
+    assigning each row to one of ``fractions``'s keys (insertion
+    order) with the given proportions in expectation.
+
+    ``by_col`` makes the split GROUP-level: every row sharing that
+    key (a domain, a near-dup cluster id, a URL host) lands in the
+    same split — the leakage guard that per-row splitting cannot give
+    (near-duplicates straddling train and test silently inflate
+    eval).  Chain after ``dedup_clusters``/``cap_per_group`` keys for
+    cluster-safe evaluation sets.
+
+    Engine-exact by construction: the md5 of (seed, key) is reduced to
+    a 60-bit integer and compared against INTEGER thresholds
+    (``round(cum_fraction · 2⁶⁰)`` computed once on the driver) — no
+    float arithmetic on the data path, so any engine replaying the
+    hash reproduces membership bit-for-bit.  A different ``seed`` is
+    an independent re-split; same seed is stable across cluster sizes
+    and reruns (the ``stable_sample``/``shard_corpus`` family
+    contract).  One narrow projection, zero shuffles.
+
+    Reference parity: extension operator (training prep).
+    """
+    if not fractions:
+        raise ValueError("split_corpus: fractions must be non-empty")
+    total = float(sum(fractions.values()))
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(
+            f"split_corpus: fractions must sum to 1, got {total}"
+        )
+    key = F.col(by_col if by_col is not None else id_col).cast("string")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(seed), F.lit(":"), key)), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    names = list(fractions)
+    cum = 0.0
+    expr = None
+    for name in names[:-1]:
+        cum += fractions[name]
+        thr = round(cum * (1 << 60))
+        cond = h < F.lit(thr)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(
+            cond, F.lit(name)
+        )
+    expr = (
+        F.lit(names[0]) if expr is None else expr.otherwise(F.lit(names[-1]))
+    )
+    return df.withColumn("split", expr)

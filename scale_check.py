@@ -852,6 +852,34 @@ def warc_scale_check(spark, docs) -> dict:
     return res
 
 
+def bpe_scale_check(spark, docs) -> dict:
+    """BPE induction rehearsal: the claim under test is that after the
+    ONE corpus-wide pass builds the weighted vocabulary, merge rounds
+    cost vocabulary-time, not corpus-time.  Recorded: vocab rows vs
+    corpus rows, the single corpus pass, and per-round wall time over
+    4 merges (each round = bigram explode + sum over the vocab table
+    + a one-row argmax)."""
+    from moz_datapipeline_spark.operators.bpe import bpe_train, bpe_word_table
+
+    n_docs = docs.count()
+    t0 = time.perf_counter()
+    vocab = bpe_word_table(docs)
+    n_vocab = vocab.count()
+    t_vocab = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    merges = bpe_train(docs, n_merges=4)
+    t_train = time.perf_counter() - t0
+    return {
+        "bpe_docs": n_docs,
+        "bpe_vocab_words": n_vocab,
+        "bpe_vocab_pass_sec": round(t_vocab, 2),
+        "bpe_merges": len(merges),
+        "bpe_train_sec": round(t_train, 2),
+        "bpe_sec_per_round": round((t_train - t_vocab) / max(len(merges), 1), 2),
+    }
+
+
 def graph_lm_scale_check(spark, docs) -> dict:
     """Round-5 extension rehearsal: PageRank at a few million edges,
     the Bloom prefilter's measured exchange thinning, and bigram-LM
@@ -1029,6 +1057,7 @@ def main() -> None:
     components = components_scale_check(spark)
     heavy_new = containment_semdedup_scale_check(spark, docs)
     warc = warc_scale_check(spark, docs)
+    bpe = bpe_scale_check(spark, docs)
 
     print(
         json.dumps(
@@ -1054,6 +1083,7 @@ def main() -> None:
                 **components,
                 **heavy_new,
                 **warc,
+                **bpe,
             }
         )
     )

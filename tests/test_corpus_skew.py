@@ -228,3 +228,38 @@ def test_shard_corpus_partitions_and_orders_deterministically(spark):
           for r in shard_corpus(df, 8, seed="e1").collect()}
     e0 = {r.doc_id: (r.shard, r.shard_rank) for r in out}
     assert sum(1 for i in e0 if e0[i] != e1[i]) > 400
+
+
+def test_split_corpus_group_level_and_deterministic(spark):
+    from moz_datapipeline_spark.operators.corpus import split_corpus
+
+    df = spark.createDataFrame(
+        [(i, f"d{i % 40}") for i in range(2000)],
+        "doc_id long, source string",
+    )
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = split_corpus(df, fr).collect()
+    counts = {}
+    for r in out:
+        counts[r.split] = counts.get(r.split, 0) + 1
+    assert set(counts) <= {"train", "val", "test"}
+    assert counts["train"] > 1400 and counts["train"] < 1800
+
+    # group-level: every doc of a source lands in ONE split
+    grouped = split_corpus(df, fr, by_col="source").collect()
+    per_source = {}
+    for r in grouped:
+        per_source.setdefault(r.source, set()).add(r.split)
+    assert all(len(s) == 1 for s in per_source.values())
+
+    # deterministic across partitionings; new seed re-splits
+    again = split_corpus(df.repartition(17), fr).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+    reseeded = split_corpus(df, fr, seed="other").collect()
+    assert sorted(map(tuple, reseeded)) != sorted(map(tuple, out))
+
+    # invalid fractions fail loudly
+    import pytest
+
+    with pytest.raises(ValueError, match="sum to 1"):
+        split_corpus(df, {"a": 0.5})
