@@ -2613,6 +2613,123 @@ def _write_resize_twin() -> bool:
         return False
 
 
+_DHASH_TWIN = "/tmp/spark_graft_oracle_twins/image_dhash_pairs.parquet"
+_DHASH_DOCS = 32
+_DHASH_MAXH = 6
+
+
+def _dhash_jpeg(doc_id: int) -> bytes:
+    """Deterministic JPEG for the dhash queries: 4 STRUCTURALLY
+    distinct bases (identity / inverted / mirrored / half-rolled — a
+    smooth gradient alone gives every image the same monotone dhash),
+    with a per-id one-pixel tweak for ids >= 4: same base →
+    near-identical 9×8 pooled hash (small Hamming), different base →
+    far."""
+    import numpy as np
+
+    from moz_datapipeline_spark.sources.avi import gradient_frame
+    from moz_datapipeline_spark.sources.jpeg import encode_jpeg_baseline
+
+    frame = np.array(gradient_frame(0, 12, 18))
+    b = doc_id % 4
+    if b == 1:
+        frame = 255 - frame
+    elif b == 2:
+        frame = frame[:, ::-1]
+    elif b == 3:
+        frame = np.roll(frame, 9, axis=1)
+    frame = np.ascontiguousarray(frame)
+    if doc_id >= 4:
+        frame[doc_id % 12, doc_id % 18, 0] ^= 3
+    return encode_jpeg_baseline(frame, quality=90)
+
+
+def _write_dhash_twin() -> bool:
+    """Single-process replay of q_image_near_dup: same JPEGs → pure
+    decode → dhash64 → the same 16-bit-chunk bucketing + Hamming
+    filter, enumerated directly."""
+    import os
+
+    try:
+        import pandas as pd
+
+        from moz_datapipeline_spark.operators.multimodal import (
+            _decode_pixels,
+            dhash64,
+        )
+
+        sigs = {
+            d: dhash64(_decode_pixels(_dhash_jpeg(d)))
+            for d in range(_DHASH_DOCS)
+        }
+        rows = []
+        for a in range(_DHASH_DOCS):
+            for b in range(a + 1, _DHASH_DOCS):
+                xa, xb = sigs[a] & (2**64 - 1), sigs[b] & (2**64 - 1)
+                shares = any(
+                    (xa >> (16 * i)) & 0xFFFF == (xb >> (16 * i)) & 0xFFFF
+                    for i in range(4)
+                )
+                ham = bin(xa ^ xb).count("1")
+                if shares and ham <= _DHASH_MAXH:
+                    rows.append(
+                        {"id_a": a, "id_b": b, "hamming": ham}
+                    )
+        os.makedirs(os.path.dirname(_DHASH_TWIN), exist_ok=True)
+        pd.DataFrame(
+            rows, columns=["id_a", "id_b", "hamming"]
+        ).to_parquet(_DHASH_TWIN, index=False)
+        return True
+    except Exception:
+        return False
+
+
+def q_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup end-to-end: deterministic JPEGs (4 base
+    gradients × one-pixel tweaks) → pure decode → dHash
+    (operators/multimodal.dhash64) → the TEXT pipeline's
+    simhash_candidates chunk-bucket join → Hamming ≤ 6 pairs.  One
+    candidate machinery across modalities.  Value oracle: the
+    driver-side replay twin (_write_dhash_twin)."""
+    import pandas as pd
+
+    from moz_datapipeline_spark.operators.multimodal import image_near_dup
+
+    ids = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _DHASH_DOCS)
+        .select("doc_id")
+        .distinct()
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                rows.append(
+                    {
+                        "doc_id": int(d),
+                        "media": {
+                            "payload": _dhash_jpeg(int(d)),
+                            "mime": "image/jpeg",
+                            "width": 18,
+                            "height": 12,
+                            "sample_rate": None,
+                            "channels": None,
+                            "duration_ms": None,
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "media"])
+
+    from moz_datapipeline_spark.operators.multimodal import MEDIA_SCHEMA
+
+    media = ids.mapInPandas(
+        synth, schema=f"doc_id long, media struct<{MEDIA_SCHEMA}>"
+    )
+    return image_near_dup(media, max_hamming=_DHASH_MAXH)
+
+
 def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real decode→resize end-to-end: deterministic gradient JPEGs keyed
     by doc_id, decoded and bilinear-resized to 5×3 raw RGB by
@@ -3069,6 +3186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "video_frames": q_video_frames,
         "image_resize": q_image_resize,
+        "image_near_dup": q_image_near_dup,
         "pagerank": q_pagerank,
         "pagerank_personalized": q_pagerank_personalized,
         "bloom_semi_join": q_bloom_semi_join,
@@ -5886,6 +6004,12 @@ FROM eaul_calc
             "SELECT doc_id, frame_ms, px_mean, luma_mean "
             f"FROM read_parquet('{_VIDEO_TWIN}') "
             f"WHERE doc_id IN (SELECT doc_id FROM documents WHERE doc_id < {_VIDEO_DOCS})"
+        )
+    if _write_dhash_twin():
+        sql["image_near_dup"] = (
+            "SELECT id_a, id_b, hamming "
+            f"FROM read_parquet('{_DHASH_TWIN}') "
+            f"WHERE id_a IN (SELECT doc_id FROM documents WHERE doc_id < {_DHASH_DOCS})"
         )
     if _write_resize_twin():
         sql["image_resize"] = (

@@ -375,3 +375,82 @@ def video_summary(
         F.col(f"{media_col}.payload").alias(f"{media_col}_payload"),
     )
     return flat.mapInPandas(kernel, schema=out_schema)
+
+
+def dhash64(pixels) -> int:
+    """Perceptual difference hash of a decoded (H, W, C) uint8 image:
+    grayscale (BT.601 luma), bilinear resize to 9×8, one bit per
+    horizontally-adjacent gradient (``g[r,c] > g[r,c+1]``), packed
+    row-major into a SIGNED 64-bit int (two's complement, so the value
+    round-trips through a Spark ``long`` column).
+
+    Pure and dependency-free beyond numpy — shared verbatim by the
+    distributed kernel and the single-process oracle twin, the same
+    split as ``sources.media.resize_bilinear``.  Near-duplicate images
+    (recompression, small edits, light crops survive the 9×8 pooling)
+    differ in few bits; Hamming distance is the similarity.
+    """
+    import numpy as np
+
+    from ..sources.media import resize_bilinear
+
+    px = np.atleast_3d(pixels)
+    if px.shape[2] >= 3:
+        gray = (
+            px[:, :, 0] * 0.299
+            + px[:, :, 1] * 0.587
+            + px[:, :, 2] * 0.114
+        )
+    else:
+        gray = px[:, :, 0].astype("f8")
+    g8 = np.clip(np.floor(gray + 0.5), 0, 255).astype("u1")
+    g = resize_bilinear(g8[:, :, None], 9, 8)[:, :, 0].astype("i4")
+    v = 0
+    for r in range(8):
+        for c in range(8):
+            if g[r, c] > g[r, c + 1]:
+                v |= 1 << (r * 8 + c)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def image_dhash(
+    df: DataFrame, media_col: str = "media", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, simhash) — perceptual dHash per image via the Arrow-batched
+    decode kernel.  The output column is named ``simhash`` ON PURPOSE:
+    it is a 64-bit Hamming-space signature, so the text pipeline's
+    ``dedup.simhash_candidates`` (16-bit chunk bucketing, never
+    all-pairs) consumes it unchanged — one candidate machinery for
+    both modalities."""
+    import pandas as pd
+
+    def kernel(batches):
+        for pdf in batches:
+            ids, sigs = [], []
+            for i, m in zip(pdf[id_col], pdf[media_col]):
+                ids.append(i)
+                sigs.append(dhash64(_decode_pixels(bytes(m["payload"]))))
+            yield pd.DataFrame(
+                {id_col: ids, "simhash": pd.array(sigs, dtype="int64")}
+            )
+
+    return df.mapInPandas(kernel, schema=f"{id_col} long, simhash long")
+
+
+def image_near_dup(
+    df: DataFrame,
+    max_hamming: int = 6,
+    media_col: str = "media",
+    id_col: str = "doc_id",
+    eager: bool = False,
+) -> DataFrame:
+    """Image near-duplicate pairs: dHash signatures → 16-bit-chunk
+    bucket join (Hamming ≤ 3 guaranteed candidate recall, ≤ 6 high in
+    practice) → exact Hamming filter.  Identical plan shape to text
+    SimHash dedup — pair volume is governed by bucket widths, never
+    image-count²."""
+    from .dedup import simhash_candidates
+
+    sigs = image_dhash(df, media_col=media_col, id_col=id_col)
+    cands = simhash_candidates(sigs, id_col=id_col, eager=eager)
+    return cands.filter(F.col("hamming") <= max_hamming)

@@ -204,3 +204,51 @@ def test_extract_audio_features_distributed(spark):
     assert f[0] == 16000.0 and f[1] == 1.0 and f[2] == 1600.0
     assert f[3] == pytest.approx(100.0)
     assert f[4] == pytest.approx(np.sqrt(0.5), rel=1e-2)  # sine RMS
+
+
+def test_dhash_and_image_near_dup(spark):
+    import numpy as np
+
+    from moz_datapipeline_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        dhash64,
+        image_near_dup,
+    )
+    from moz_datapipeline_spark.sources.avi import gradient_frame
+    from moz_datapipeline_spark.sources.jpeg import encode_jpeg_baseline
+
+    base = np.array(gradient_frame(0, 12, 18))
+    tweaked = base.copy()
+    tweaked[3, 5, 0] ^= 3                 # near-dup: one-pixel change
+    inverted = np.ascontiguousarray(255 - base)  # far: every bit flips
+
+    # pure-function pins: determinism, signed-long range, inversion
+    h_base = dhash64(base)
+    assert h_base == dhash64(base)
+    assert -(1 << 63) <= h_base < (1 << 63)
+    xa = h_base & (2**64 - 1)
+    xb = dhash64(inverted) & (2**64 - 1)
+    assert bin(xa ^ xb).count("1") > 32
+
+    def media_row(i, frame):
+        return (
+            i,
+            {
+                "payload": encode_jpeg_baseline(frame, quality=90),
+                "mime": "image/jpeg",
+                "width": 18,
+                "height": 12,
+                "sample_rate": None,
+                "channels": None,
+                "duration_ms": None,
+            },
+        )
+
+    df = spark.createDataFrame(
+        [media_row(0, base), media_row(1, tweaked), media_row(2, inverted)],
+        f"doc_id long, media struct<{MEDIA_SCHEMA}>",
+    )
+    pairs = {(r.id_a, r.id_b): r.hamming
+             for r in image_near_dup(df, max_hamming=6).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] <= 6
+    assert (0, 2) not in pairs and (1, 2) not in pairs
