@@ -1214,6 +1214,66 @@ def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_warc_cdx_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX index + random-access serving (sources/warc.cdx_index /
+    fetch_warc_record): documents → per-record-gzip archive → byte-span
+    index (one row per record with exact (path, offset, length)) →
+    every record re-read by SEEKING to its span, never scanning the
+    file — the CommonCrawl access pattern.  VALUE oracle: the fetched
+    bodies must reproduce the documents table (byte length + md5),
+    so the oracle recomputes both from ``documents``."""
+    import hashlib
+    import shutil
+
+    from moz_datapipeline_spark.sources.warc import (
+        cdx_index,
+        fetch_warc_record,
+        http_response_body,
+        write_warc,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("urn:doc:"), F.col("doc_id").cast("string")).alias(
+            "uri"
+        ),
+        F.coalesce(F.col("text"), F.lit("")).alias("payload"),
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out_dir = f"/tmp/spark_graft_warc_cdx/{tag}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    write_warc(
+        docs.repartition(8), out_dir, http_envelope=True, compress=True
+    ).collect()
+    idx = cdx_index(spark, out_dir + "/*.warc.gz")
+
+    def fetch(batches):
+        import hashlib as _h
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for uri, p, off, ln in zip(
+                pdf["target_uri"], pdf["path"], pdf["offset"], pdf["length"]
+            ):
+                _, payload = fetch_warc_record(p, int(off), int(ln))
+                body = http_response_body(payload)
+                rows.append(
+                    {
+                        "doc_id": int(str(uri).rsplit(":", 1)[1]),
+                        "body_len": len(body),
+                        "text_md5": _h.md5(body).hexdigest(),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "body_len", "text_md5"]
+            )
+
+    return idx.mapInPandas(
+        fetch, schema="doc_id long, body_len long, text_md5 string"
+    )
+
+
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full corpus-curation chain as ONE plan
     (plans/corpus_pipeline.curate_corpus): quality gate → exact dedup
@@ -3187,6 +3247,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_frames": q_video_frames,
         "image_resize": q_image_resize,
         "image_near_dup": q_image_near_dup,
+        "warc_cdx_fetch": q_warc_cdx_fetch,
         "pagerank": q_pagerank,
         "pagerank_personalized": q_pagerank_personalized,
         "bloom_semi_join": q_bloom_semi_join,
@@ -5942,6 +6003,13 @@ FROM eaul_calc
                  ORDER BY md5('curate:order:' || CAST(doc_id AS VARCHAR)), doc_id
                ) - 1 AS BIGINT) AS shard_rank
         FROM capd
+    """
+    sql["warc_cdx_fetch"] = """
+        SELECT doc_id,
+               CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT)
+                 AS body_len,
+               md5(coalesce(text, '')) AS text_md5
+        FROM documents
     """
     sql["warc_roundtrip"] = """
         SELECT doc_id,

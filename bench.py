@@ -127,6 +127,7 @@ HEADLINE = [
     "bpe_merges",
     "corpus_split",
     "image_near_dup",
+    "warc_cdx_fetch",
     # incremental_dedup is oracle-checked but not benched here: a tiny
     # two-batch ingest is dominated by store round-trips and component
     # rounds (fixed job overhead, not operator throughput) — its scale

@@ -366,3 +366,126 @@ def write_warc(
     return df.select(uri_col, payload_col).mapInPandas(
         kernel, schema="path string, n_records long"
     )
+
+
+def iter_gzip_members(fh, chunk_size: int = 1 << 20):
+    """Stream (offset, length, inflated_bytes) per gzip member of a
+    multi-member file — the byte geometry a CDX index records.  Chunked
+    zlib so memory stays O(one member + one chunk) regardless of file
+    size; member boundaries come from ``decompressobj.unused_data``
+    (the suffix of the fed input that belongs to the NEXT member)."""
+    import zlib
+
+    offset = 0
+    buf = b""
+    eof = False
+    while True:
+        if not buf:
+            if eof:
+                return
+            nxt = fh.read(chunk_size)
+            if not nxt:
+                return
+            buf = nxt
+        d = zlib.decompressobj(wbits=31)
+        member_start = offset
+        out = bytearray()
+        while True:
+            out += d.decompress(buf)
+            if d.eof:
+                rem = d.unused_data
+                offset += len(buf) - len(rem)
+                buf = rem
+                yield member_start, offset - member_start, bytes(out)
+                break
+            offset += len(buf)
+            buf = fh.read(chunk_size)
+            if not buf:
+                eof = True
+                raise WarcFormatError(
+                    f"truncated gzip member at offset {member_start}"
+                )
+
+
+CDX_SCHEMA = (
+    "target_uri string, path string, offset long, length long, "
+    "record_type string, record_id string"
+)
+
+
+def cdx_index(spark: SparkSession, path: str) -> DataFrame:
+    """CDX-style lookup index over per-record-gzip WARC archives: one
+    row per record with its exact (path, offset, length) byte span —
+    the CommonCrawl access pattern, where consumers range-read one
+    member instead of scanning the segment.  Distributed per file like
+    :func:`read_warc`; requires the per-record-member ``.warc.gz``
+    layout (``write_warc(compress=True)`` or CommonCrawl itself —
+    a plain ``.warc`` has no member geometry to index)."""
+    files = (
+        sorted(_glob.glob(path))
+        if any(c in path for c in "*?[")
+        else [path]
+    )
+    if not files:
+        raise FileNotFoundError(f"no WARC files match {path}")
+    bad = [f for f in files if not f.endswith(".gz")]
+    if bad:
+        raise ValueError(
+            f"cdx_index needs per-record-gzip .warc.gz files, got {bad[:3]}"
+        )
+    paths = spark.createDataFrame(
+        [(f,) for f in files], "path string"
+    ).repartition(len(files))
+
+    def kernel(batches):
+        for pdf in batches:
+            for p in pdf["path"]:
+                rows = []
+                with open(p, "rb") as fh:
+                    for off, ln, blob in iter_gzip_members(fh):
+                        recs = list(
+                            iter_warc_records(io.BytesIO(blob))
+                        )
+                        for headers, _ in recs:
+                            rows.append(
+                                {
+                                    "target_uri": headers.get(
+                                        "WARC-Target-URI"
+                                    ),
+                                    "path": p,
+                                    "offset": off,
+                                    "length": ln,
+                                    "record_type": headers.get(
+                                        "WARC-Type", ""
+                                    ),
+                                    "record_id": headers.get(
+                                        "WARC-Record-ID", ""
+                                    ),
+                                }
+                            )
+                        if len(rows) >= 256:
+                            yield pd.DataFrame(rows)
+                            rows = []
+                if rows:
+                    yield pd.DataFrame(rows)
+
+    return paths.mapInPandas(kernel, schema=CDX_SCHEMA)
+
+
+def fetch_warc_record(
+    path: str, offset: int, length: int
+) -> tuple[dict, bytes]:
+    """Random-access read of ONE record by its CDX byte span: seek,
+    read ``length`` bytes, inflate the member, parse.  This is the
+    serving-side half of :func:`cdx_index` — O(record), never
+    O(file)."""
+    with open(path, "rb") as fh:
+        fh.seek(offset)
+        blob = fh.read(length)
+    recs = list(iter_warc_records(io.BytesIO(gzip.decompress(blob))))
+    if len(recs) != 1:
+        raise WarcFormatError(
+            f"byte span [{offset}, {offset + length}) holds "
+            f"{len(recs)} records, expected 1"
+        )
+    return recs[0]

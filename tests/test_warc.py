@@ -165,3 +165,76 @@ def test_write_warc_read_warc_roundtrip(spark, tmp_path):
         r.target_uri: bytes(r.payload).decode() for r in back.collect()
     }
     assert texts == {f"urn:doc:{i}": f"text {i}" for i in range(20)}
+
+
+def test_gzip_member_geometry_and_random_access(spark, tmp_path):
+    import gzip as _gz
+
+    from moz_datapipeline_spark.sources.warc import (
+        cdx_index,
+        fetch_warc_record,
+        iter_gzip_members,
+    )
+
+    recs = [
+        build_warc_record(
+            "resource", f"payload {i}".encode() * (i + 1),
+            target_uri=f"u:{i}",
+        )
+        for i in range(7)
+    ]
+    f = tmp_path / "seg.warc.gz"
+    f.write_bytes(b"".join(_gz.compress(r) for r in recs))
+
+    # member geometry: spans tile the file exactly, inflate to records
+    with open(f, "rb") as fh:
+        members = list(iter_gzip_members(fh))
+    assert len(members) == 7
+    assert members[0][0] == 0
+    for (o1, l1, _), (o2, _, _) in zip(members, members[1:]):
+        assert o1 + l1 == o2
+    assert members[-1][0] + members[-1][1] == f.stat().st_size
+    assert members[3][2] == recs[3]
+
+    # distributed index + seek-read round trip
+    idx = {r.target_uri: r for r in cdx_index(spark, str(f)).collect()}
+    assert set(idx) == {f"u:{i}" for i in range(7)}
+    h, payload = fetch_warc_record(
+        str(f), idx["u:5"].offset, idx["u:5"].length
+    )
+    assert h["WARC-Target-URI"] == "u:5"
+    assert payload == b"payload 5" * 6
+
+    # a mid-file span holding two members is rejected loudly
+    import pytest
+
+    two = idx["u:0"].length + idx["u:1"].length
+    with pytest.raises(WarcFormatError, match="2 records"):
+        fetch_warc_record(str(f), 0, two)
+
+
+def test_cdx_index_rejects_plain_warc(spark, tmp_path):
+    import pytest
+
+    from moz_datapipeline_spark.sources.warc import cdx_index
+
+    f = tmp_path / "plain.warc"
+    f.write_bytes(build_warc_record("resource", b"x", target_uri="u"))
+    with pytest.raises(ValueError, match="per-record-gzip"):
+        cdx_index(spark, str(f))
+
+
+def test_truncated_gzip_member_raises(tmp_path):
+    import gzip as _gz
+
+    import pytest
+
+    from moz_datapipeline_spark.sources.warc import iter_gzip_members
+
+    blob = _gz.compress(build_warc_record("resource", b"x" * 5000,
+                                          target_uri="u"))
+    f = tmp_path / "trunc.warc.gz"
+    f.write_bytes(blob[:-20])
+    with open(f, "rb") as fh:
+        with pytest.raises(WarcFormatError, match="truncated gzip"):
+            list(iter_gzip_members(fh))
