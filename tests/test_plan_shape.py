@@ -378,3 +378,46 @@ def test_duplicate_spans_no_python_two_phase_agg(spark, sf_dir):
     assert "ArrowEvalPython" not in plan
     assert "Window" not in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_split_corpus_is_shuffle_free(spark):
+    """The train/val/test split is ONE narrow projection: no exchange,
+    no aggregation, no Python anywhere in the plan."""
+    from moz_datapipeline_spark.operators.corpus import split_corpus
+
+    df = spark.createDataFrame([(i,) for i in range(100)], "doc_id long")
+    plan = _plan(split_corpus(df, {"train": 0.9, "val": 0.1}))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_shard_corpus_single_exchange(spark):
+    """Sharding pays exactly one hash exchange (the per-shard window);
+    there is never a global single-partition sort."""
+    from moz_datapipeline_spark.operators.corpus import shard_corpus
+
+    df = spark.createDataFrame([(i,) for i in range(100)], "doc_id long")
+    plan = _plan(shard_corpus(df, n_shards=8))
+    # formatted explain prints each node twice (tree + detail section)
+    assert plan.count("+- Exchange") == 1
+    assert "SinglePartition" not in plan
+
+
+def test_bpe_segment_is_narrow_jvm_projection(spark):
+    """Serving learned merges: a chain of substring replaces inside
+    higher-order functions — no shuffle, no Python."""
+    from moz_datapipeline_spark.operators.bpe import bpe_segment
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    merges = [(0, "a", "b", 2), (1, "ab", "c", 2)]
+    plan = _plan(bpe_segment(df, merges))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_curation_pipeline_no_python_and_broadcast_decontam(spark, sf_dir):
+    """The five-stage curation chain stays JVM-side end to end and the
+    benchmark n-gram probe reaches the candidates as a broadcast."""
+    plan = _plan(entry_mod.q_curation_pipeline(spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
