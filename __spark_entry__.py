@@ -1274,6 +1274,38 @@ def q_warc_cdx_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-style disjunctive-predicate revenue: three
+    (brand, size-range, quantity-range) OR-arms over lineitem ⨝ part.
+    The optimizer exercise no other query covers: Catalyst must keep
+    the cross-side OR intact while still pushing the part-side
+    conjunction hull to the scan and broadcasting the dimension."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    arm1 = (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 20)
+    )
+    arm2 = (
+        (F.col("p_brand") == "Brand#4")
+        & F.col("p_size").between(1, 25)
+        & F.col("l_quantity").between(10, 30)
+    )
+    arm3 = (
+        (F.col("p_brand") == "Brand#19")
+        & F.col("p_size").between(1, 35)
+        & F.col("l_quantity").between(20, 40)
+    )
+    return j.filter(arm1 | arm2 | arm3).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+        ).alias("disjunctive_revenue"),
+        F.count("*").alias("n_lines"),
+    )
+
+
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full corpus-curation chain as ONE plan
     (plans/corpus_pipeline.curate_corpus): quality gate → exact dedup
@@ -3248,6 +3280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_resize": q_image_resize,
         "image_near_dup": q_image_near_dup,
         "warc_cdx_fetch": q_warc_cdx_fetch,
+        "disjunctive_revenue": q_disjunctive_revenue,
         "pagerank": q_pagerank,
         "pagerank_personalized": q_pagerank_personalized,
         "bloom_semi_join": q_bloom_semi_join,
@@ -6003,6 +6036,18 @@ FROM eaul_calc
                  ORDER BY md5('curate:order:' || CAST(doc_id AS VARCHAR)), doc_id
                ) - 1 AS BIGINT) AS shard_rank
         FROM capd
+    """
+    sql["disjunctive_revenue"] = """
+        SELECT round(sum(l_extendedprice * (1 - l_discount)), 6)
+                 AS disjunctive_revenue,
+               count(*) AS n_lines
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 1 AND 20)
+           OR (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 25
+               AND l_quantity BETWEEN 10 AND 30)
+           OR (p_brand = 'Brand#19' AND p_size BETWEEN 1 AND 35
+               AND l_quantity BETWEEN 20 AND 40)
     """
     sql["warc_cdx_fetch"] = """
         SELECT doc_id,

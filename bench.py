@@ -128,6 +128,7 @@ HEADLINE = [
     "corpus_split",
     "image_near_dup",
     "warc_cdx_fetch",
+    "disjunctive_revenue",
     # incremental_dedup is oracle-checked but not benched here: a tiny
     # two-batch ingest is dominated by store round-trips and component
     # rounds (fixed job overhead, not operator throughput) — its scale
