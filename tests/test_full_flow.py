@@ -107,3 +107,48 @@ def test_reference_flow_end_to_end(spark):
     assert out.loc["2", "eaul-upgrade-rehab-asphalt"] > 14000  # above baseline
     # every way made it through the whole flow
     assert len(out) == 10
+
+
+def test_llm_corpus_flow_end_to_end(spark, tmp_path):
+    """The LLM-pipeline analogue of the reference flow: raw docs →
+    curation (quality/dedup/decontam/cap/shards) → per-shard WARC
+    archives → CDX index → random-access fetch reproduces every
+    curated document byte-for-byte."""
+    from moz_datapipeline_spark.plans.corpus_pipeline import curate_corpus
+    from moz_datapipeline_spark.sources.warc import (
+        cdx_index,
+        fetch_warc_record,
+        http_response_body,
+        write_warc,
+    )
+
+    long_text = lambda i: " ".join(f"w{i}t{j}" for j in range(40))
+    docs = spark.createDataFrame(
+        [(i, long_text(i), "en", f"d{i % 3}") for i in range(1, 60)],
+        "doc_id long, text string, lang string, source string",
+    )
+    curated = curate_corpus(spark, docs, max_per_domain=100, n_shards=2)
+    kept = {r.doc_id: r.shard for r in curated.collect()}
+    assert kept  # something survived
+
+    # shard-partitioned archive: one WARC file per shard partition
+    payload = (
+        curated.join(docs, "doc_id")
+        .select(
+            F.concat(F.lit("urn:doc:"), F.col("doc_id")).alias("uri"),
+            F.col("text").alias("payload"),
+            "shard",
+        )
+        .repartition(2, "shard")
+    )
+    out = str(tmp_path / "archive")
+    manifest = write_warc(payload, out, http_envelope=True).collect()
+    assert sum(m.n_records for m in manifest) == len(kept)
+
+    idx = cdx_index(spark, out + "/*.warc.gz").collect()
+    assert len(idx) == len(kept)
+    # random-access spot check: fetch three records by byte span
+    for row in idx[:3]:
+        _, raw = fetch_warc_record(row.path, row.offset, row.length)
+        doc_id = int(row.target_uri.rsplit(":", 1)[1])
+        assert http_response_body(raw).decode() == long_text(doc_id)
