@@ -861,14 +861,32 @@ def bpe_scale_check(spark, docs) -> dict:
     + a one-row argmax)."""
     from moz_datapipeline_spark.operators.bpe import bpe_train, bpe_word_table
 
-    n_docs = docs.count()
+    # the parquet corpus reuses ~30 distinct words — useless for a
+    # vocabulary-scaling rehearsal.  Synthesize a web-shaped vocab:
+    # 100k docs × 10 words drawn from ~300k distinct 8-hex-char words
+    # (16-symbol alphabet → real pair mass for the merge rounds).
+    docs_syn = spark.range(100_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            *[
+                F.substring(
+                    F.md5(((F.col("id") * 10 + j) % 300_000).cast("string")),
+                    1,
+                    8,
+                )
+                for j in range(10)
+            ],
+        ).alias("text"),
+    )
+    n_docs = docs_syn.count()
     t0 = time.perf_counter()
-    vocab = bpe_word_table(docs)
+    vocab = bpe_word_table(docs_syn)
     n_vocab = vocab.count()
     t_vocab = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    merges = bpe_train(docs, n_merges=4)
+    merges = bpe_train(docs_syn, n_merges=4)
     t_train = time.perf_counter() - t0
     return {
         "bpe_docs": n_docs,
