@@ -2822,6 +2822,122 @@ def q_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_near_dup(media, max_hamming=_DHASH_MAXH)
 
 
+_AHASH_TWIN = "/tmp/spark_graft_oracle_twins/audio_ahash_pairs.parquet"
+_AHASH_DOCS = 32
+_AHASH_MAXH = 6
+
+
+def _ahash_wav(doc_id: int) -> bytes:
+    """Deterministic WAV for the audio-hash queries: 4 envelope
+    families (rising / falling / two-hump / three-hump) over a 440 Hz
+    carrier, with per-id low-level noise for ids >= 4 — same family →
+    near-identical energy envelope (small Hamming), different family
+    → far."""
+    import numpy as np
+
+    from moz_datapipeline_spark.sources.media import encode_wav_pcm16
+
+    t = np.arange(4000) / 8000.0
+    u = t / t[-1]
+    b = doc_id % 4
+    if b == 0:
+        env = u
+    elif b == 1:
+        env = 1.0 - u
+    elif b == 2:
+        env = np.abs(np.sin(2 * np.pi * u))
+    else:
+        env = np.abs(np.sin(3 * np.pi * u))
+    sig = 0.8 * env * np.sin(2 * np.pi * 440.0 * t)
+    if doc_id >= 4:
+        rng = np.random.default_rng(doc_id)
+        sig = sig + rng.normal(0.0, 1e-3, sig.shape)
+    return encode_wav_pcm16(np.clip(sig, -1, 1)[:, None], 8000)
+
+
+def _write_ahash_twin() -> bool:
+    """Single-process replay of q_audio_near_dup: same WAVs → decode →
+    ahash64 → the same chunk bucketing + Hamming filter."""
+    import os
+
+    try:
+        import pandas as pd
+
+        from moz_datapipeline_spark.operators.multimodal import ahash64
+        from moz_datapipeline_spark.sources.media import decode_wav
+
+        sigs = {}
+        for d in range(_AHASH_DOCS):
+            samples, _ = decode_wav(_ahash_wav(d))
+            sigs[d] = ahash64(samples)
+        rows = []
+        for a in range(_AHASH_DOCS):
+            for b in range(a + 1, _AHASH_DOCS):
+                xa, xb = sigs[a] & (2**64 - 1), sigs[b] & (2**64 - 1)
+                shares = any(
+                    (xa >> (16 * i)) & 0xFFFF == (xb >> (16 * i)) & 0xFFFF
+                    for i in range(4)
+                )
+                ham = bin(xa ^ xb).count("1")
+                if shares and ham <= _AHASH_MAXH:
+                    rows.append({"id_a": a, "id_b": b, "hamming": ham})
+        os.makedirs(os.path.dirname(_AHASH_TWIN), exist_ok=True)
+        pd.DataFrame(
+            rows, columns=["id_a", "id_b", "hamming"]
+        ).to_parquet(_AHASH_TWIN, index=False)
+        return True
+    except Exception:
+        return False
+
+
+def q_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup end-to-end: deterministic WAVs (4 envelope
+    families × low-level per-id noise) → pure RIFF decode → envelope
+    hash (operators/multimodal.ahash64) → simhash_candidates chunk
+    buckets → Hamming ≤ 6 pairs.  The third modality on the one
+    candidate machinery.  Value oracle: driver-side replay twin."""
+    import pandas as pd
+
+    from moz_datapipeline_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        audio_near_dup,
+    )
+
+    ids = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _AHASH_DOCS)
+        .select("doc_id")
+        .distinct()
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                rows.append(
+                    {
+                        "doc_id": int(d),
+                        "media": {
+                            "payload": _ahash_wav(int(d)),
+                            "mime": "audio/wav",
+                            "width": None,
+                            "height": None,
+                            "sample_rate": 8000,
+                            "channels": 1,
+                            "duration_ms": 500,
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "media"])
+
+    from moz_datapipeline_spark.operators.multimodal import MEDIA_SCHEMA
+
+    media = ids.mapInPandas(
+        synth, schema=f"doc_id long, media struct<{MEDIA_SCHEMA}>"
+    )
+    return audio_near_dup(media, max_hamming=_AHASH_MAXH)
+
+
 def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real decode→resize end-to-end: deterministic gradient JPEGs keyed
     by doc_id, decoded and bilinear-resized to 5×3 raw RGB by
@@ -3281,6 +3397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_near_dup": q_image_near_dup,
         "warc_cdx_fetch": q_warc_cdx_fetch,
         "disjunctive_revenue": q_disjunctive_revenue,
+        "audio_near_dup": q_audio_near_dup,
         "pagerank": q_pagerank,
         "pagerank_personalized": q_pagerank_personalized,
         "bloom_semi_join": q_bloom_semi_join,
@@ -6117,6 +6234,12 @@ FROM eaul_calc
             "SELECT doc_id, frame_ms, px_mean, luma_mean "
             f"FROM read_parquet('{_VIDEO_TWIN}') "
             f"WHERE doc_id IN (SELECT doc_id FROM documents WHERE doc_id < {_VIDEO_DOCS})"
+        )
+    if _write_ahash_twin():
+        sql["audio_near_dup"] = (
+            "SELECT id_a, id_b, hamming "
+            f"FROM read_parquet('{_AHASH_TWIN}') "
+            f"WHERE id_a IN (SELECT doc_id FROM documents WHERE doc_id < {_AHASH_DOCS})"
         )
     if _write_dhash_twin():
         sql["image_near_dup"] = (

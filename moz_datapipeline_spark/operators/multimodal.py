@@ -454,3 +454,74 @@ def image_near_dup(
     sigs = image_dhash(df, media_col=media_col, id_col=id_col)
     cands = simhash_candidates(sigs, id_col=id_col, eager=eager)
     return cands.filter(F.col("hamming") <= max_hamming)
+
+
+def ahash64(samples, channels_last: bool = True) -> int:
+    """Perceptual audio hash: mono mix → 65 equal time windows → RMS
+    energy envelope → one bit per adjacent-window gradient, packed
+    into a signed 64-bit int — ``dhash64``'s construction rotated
+    into the time domain.  Robust to gain changes being monotone
+    (gradient signs survive uniform scaling) and to small noise;
+    recompression/resampling that preserves the envelope preserves
+    the hash.  Requires ≥ 65 samples (shorter clips have no stable
+    envelope to hash — raise, don't guess)."""
+    import numpy as np
+
+    x = np.asarray(samples, dtype="f8")
+    mono = x.mean(axis=1) if x.ndim == 2 else x
+    n = mono.shape[0]
+    if n < 65:
+        raise ValueError(f"ahash64 needs >= 65 samples, got {n}")
+    bounds = [(i * n) // 65 for i in range(66)]
+    rms = np.array(
+        [
+            float(np.sqrt(np.mean(mono[bounds[i]:bounds[i + 1]] ** 2)))
+            for i in range(65)
+        ]
+    )
+    v = 0
+    for i in range(64):
+        if rms[i] > rms[i + 1]:
+            v |= 1 << i
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def audio_ahash(
+    df: DataFrame, media_col: str = "media", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, simhash) — envelope hash per WAV payload via the Arrow
+    decode kernel; column named ``simhash`` so
+    ``dedup.simhash_candidates`` consumes audio signatures unchanged
+    (the third modality on the one candidate machinery)."""
+    import pandas as pd
+
+    from ..sources.media import decode_wav
+
+    def kernel(batches):
+        for pdf in batches:
+            ids, sigs = [], []
+            for i, m in zip(pdf[id_col], pdf[media_col]):
+                samples, _rate = decode_wav(bytes(m["payload"]))
+                ids.append(i)
+                sigs.append(ahash64(samples))
+            yield pd.DataFrame(
+                {id_col: ids, "simhash": pd.array(sigs, dtype="int64")}
+            )
+
+    return df.mapInPandas(kernel, schema=f"{id_col} long, simhash long")
+
+
+def audio_near_dup(
+    df: DataFrame,
+    max_hamming: int = 6,
+    media_col: str = "media",
+    id_col: str = "doc_id",
+    eager: bool = False,
+) -> DataFrame:
+    """Audio near-duplicate pairs: envelope hashes → the text
+    pipeline's 16-bit-chunk bucket join → exact Hamming filter."""
+    from .dedup import simhash_candidates
+
+    sigs = audio_ahash(df, media_col=media_col, id_col=id_col)
+    cands = simhash_candidates(sigs, id_col=id_col, eager=eager)
+    return cands.filter(F.col("hamming") <= max_hamming)

@@ -231,3 +231,18 @@ def resize_bilinear(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     bot = f[y1[:, None], x0[None, :]] * (1 - fx) + f[y1[:, None], x1[None, :]] * fx
     out = top * (1 - fy) + bot * fy
     return np.floor(out + 0.5).clip(0, 255).astype("u1")
+
+
+def encode_wav_pcm16(x: np.ndarray, rate: int) -> bytes:
+    """Minimal PCM int16 WAV encoder (the inverse of ``decode_wav``'s
+    common case): (n_samples, channels) float in [-1, 1] → RIFF bytes.
+    Deterministic — query fixtures and oracle twins synthesize
+    identical payloads from it on any host."""
+    import struct
+
+    pcm = np.clip(x * 32768.0, -32768, 32767).astype("<i2").tobytes()
+    ch = x.shape[1]
+    fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * ch * 2, ch * 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(pcm)) + pcm
+    return b"RIFF" + struct.pack("<I", len(body)) + body

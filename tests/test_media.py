@@ -252,3 +252,54 @@ def test_dhash_and_image_near_dup(spark):
              for r in image_near_dup(df, max_hamming=6).collect()}
     assert (0, 1) in pairs and pairs[(0, 1)] <= 6
     assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_ahash_and_audio_near_dup(spark):
+    import numpy as np
+    import pytest
+
+    from moz_datapipeline_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        ahash64,
+        audio_near_dup,
+    )
+    from moz_datapipeline_spark.sources.media import encode_wav_pcm16
+
+    t = np.arange(4000) / 8000.0
+    u = t / t[-1]
+    rising = 0.8 * u * np.sin(2 * np.pi * 440 * t)
+    noisy = rising + np.random.default_rng(1).normal(0, 1e-3, t.shape)
+    falling = 0.8 * (1 - u) * np.sin(2 * np.pi * 440 * t)
+
+    # pure pins: determinism, gain invariance, rising vs falling far
+    h = ahash64(rising)
+    assert h == ahash64(rising) == ahash64(rising * 0.5)
+    far = (h & (2**64 - 1)) ^ (ahash64(falling) & (2**64 - 1))
+    assert bin(far).count("1") > 32
+    with pytest.raises(ValueError, match=">= 65 samples"):
+        ahash64(np.ones(10))
+
+    def row(i, sig):
+        return (
+            i,
+            {
+                "payload": encode_wav_pcm16(
+                    np.clip(sig, -1, 1)[:, None], 8000
+                ),
+                "mime": "audio/wav",
+                "width": None,
+                "height": None,
+                "sample_rate": 8000,
+                "channels": 1,
+                "duration_ms": 500,
+            },
+        )
+
+    df = spark.createDataFrame(
+        [row(0, rising), row(1, noisy), row(2, falling)],
+        f"doc_id long, media struct<{MEDIA_SCHEMA}>",
+    )
+    pairs = {(r.id_a, r.id_b): r.hamming
+             for r in audio_near_dup(df, max_hamming=6).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] <= 6
+    assert (0, 2) not in pairs and (1, 2) not in pairs
