@@ -1394,6 +1394,38 @@ def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "split")
 
 
+#: exact binary fractions summing to exactly 1.0 — normalization is a
+#: no-op in BOTH engines, so the oracle can use the literals verbatim
+_BUDGET_W = {
+    "src0": 0.25, "src1": 0.25, "src2": 0.125, "src3": 0.125,
+    "src4": 0.125, "src5": 0.0625, "src6": 0.03125, "src7": 0.03125,
+}
+_BUDGET = 40000.0
+
+
+def q_budget_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget water-filling (operators/corpus.budget_resample):
+    resample 8 weighted domains to a hard 40k-char budget — groups
+    whose mass can't fill their share are kept whole, their surplus
+    redistributes via the exact water level λ, the rest downsample to
+    λ·w/T.  The solve is relational over the k-row group-stats table;
+    membership is the md5-threshold family.  VALUE oracle: identical
+    sorted-prefix λ solve + hash thresholds in DuckDB."""
+    from moz_datapipeline_spark.operators.corpus import budget_resample
+
+    d = _t(spark, sf_dir, "documents")
+    out = budget_resample(
+        d.select("doc_id", "source", "n_chars"),
+        "source",
+        _BUDGET_W,
+        _BUDGET,
+        token_col="n_chars",
+    )
+    return out.select(
+        "doc_id", "source", F.round("sample_rate", 6).alias("sample_rate")
+    )
+
+
 _BPE_ROUNDS = 6
 
 
@@ -3398,6 +3430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_cdx_fetch": q_warc_cdx_fetch,
         "disjunctive_revenue": q_disjunctive_revenue,
         "audio_near_dup": q_audio_near_dup,
+        "budget_resample": q_budget_resample,
         "pagerank": q_pagerank,
         "pagerank_personalized": q_pagerank_personalized,
         "bloom_semi_join": q_bloom_semi_join,
@@ -6009,6 +6042,44 @@ FROM eaul_calc
         SELECT doc_id, shard,
                CAST(row_number() OVER (PARTITION BY shard ORDER BY ok, doc_id) - 1 AS BIGINT) AS shard_rank
         FROM h
+    """
+    w_vals = ", ".join(f"('{g}', {w})" for g, w in _BUDGET_W.items())
+    sql["budget_resample"] = f"""
+        WITH w(source, wt) AS (VALUES {w_vals}),
+        st AS MATERIALIZED (
+          SELECT d.source, CAST(sum(d.n_chars) AS DOUBLE) AS T, any_value(w.wt) AS wt
+          FROM documents d JOIN w ON d.source = w.source
+          GROUP BY d.source
+        ),
+        r AS MATERIALIZED (
+          SELECT source, T, wt,
+                 row_number() OVER ord AS pos,
+                 ({_BUDGET} - coalesce(sum(T) OVER (
+                    ORDER BY T / wt, source
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0))
+                 / (sum(wt) OVER (
+                    ORDER BY T / wt, source
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) AS lam
+          FROM st
+          WINDOW ord AS (ORDER BY T / wt, source)
+        ),
+        ls AS MATERIALIZED (
+          SELECT lam AS lam_star FROM r WHERE T > lam * wt
+          ORDER BY pos LIMIT 1
+        ),
+        rates AS MATERIALIZED (
+          SELECT source,
+                 CASE WHEN (SELECT lam_star FROM ls) IS NULL
+                        OR T <= (SELECT lam_star FROM ls) * wt
+                      THEN 1.0
+                      ELSE (SELECT lam_star FROM ls) * wt / T
+                 END AS sample_rate
+          FROM r
+        )
+        SELECT d.doc_id, d.source, round(rates.sample_rate, 6) AS sample_rate
+        FROM documents d JOIN rates ON d.source = rates.source
+        WHERE CAST(('0x' || substr(md5('budget:' || CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+              / 1152921504606846976.0 < rates.sample_rate
     """
     sql["corpus_split"] = """
         SELECT doc_id,

@@ -1020,3 +1020,112 @@ def split_corpus(
         F.lit(names[0]) if expr is None else expr.otherwise(F.lit(names[-1]))
     )
     return df.withColumn("split", expr)
+
+
+def budget_resample(
+    df: DataFrame,
+    group_col: str,
+    weights: dict[str, float],
+    token_budget: float,
+    token_col: str,
+    id_col: str = "doc_id",
+    seed: str = "budget",
+) -> DataFrame:
+    """Resample to a hard TOKEN budget with target mixture weights —
+    exact water-filling, the budgeted complement of
+    ``mixture_resample`` (which maximizes size at a ratio but cannot
+    hit a budget).
+
+    Semantics: find the water level λ with ``Σ_g min(T_g, λ·w_g) =
+    budget`` (T_g = group token mass); groups with ``T_g ≤ λ·w_g`` are
+    kept whole (they cannot fill their share — their surplus
+    redistributes to the rest, which is what per-group
+    ``min(1, B·w_g/T_g)`` rates get wrong), the rest downsample to
+    rate ``λ·w_g/T_g``.  A budget ≥ total mass keeps everything.
+
+    The solve is the classic sorted-prefix scan expressed RELATIONALLY
+    (ordered by T/w, prefix token sums, suffix weight sums, λ from the
+    first unsaturated row) over the per-group stats table — k rows for
+    k domains, so the single-partition window is a few-row driver-side
+    triviality by construction, exactly like a global max.  Membership
+    is then the md5-threshold family: ``u_row < rate_g`` with
+    ``u = 60-bit md5 / 2⁶⁰`` — deterministic across engines,
+    partitionings, and reruns; realised token mass converges to the
+    budget by LLN (documented sampling noise, the same contract as
+    ``mixture_resample``).
+
+    Returns the kept rows with their group's ``sample_rate`` attached.
+
+    Reference parity: extension operator (DoReMi/Pile-style budgeted
+    domain mixing); public algorithm: water-filling.
+    """
+    pos = {g: float(w) for g, w in weights.items() if w > 0}
+    if not pos:
+        raise ValueError("budget_resample needs a positive weight")
+    if token_budget <= 0:
+        raise ValueError("budget_resample needs a positive token_budget")
+    tot_w = sum(pos.values())
+    spark = df.sparkSession
+    w_df = spark.createDataFrame(
+        [(g, w / tot_w) for g, w in pos.items()],
+        schema=f"{group_col} string, _w double",
+    )
+    stats = (
+        df.groupBy(group_col)
+        .agg(F.sum(F.col(token_col).cast("double")).alias("_T"))
+        .join(w_df, group_col)  # groups without weight drop here
+    )
+    order = Window.orderBy(
+        (F.col("_T") / F.col("_w")).asc(), F.col(group_col).asc()
+    )
+    cum_prev = F.coalesce(
+        F.sum("_T").over(
+            order.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0.0),
+    )
+    rem_w = F.sum("_w").over(
+        order.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    lam = (F.lit(float(token_budget)) - cum_prev) / rem_w
+    ranked = stats.select(
+        group_col, "_T", "_w",
+        F.row_number().over(order).alias("_pos"),
+        lam.alias("_lam"),
+    )
+    # λ* = the first row (in T/w order) its own share cannot saturate;
+    # NULL when the budget swallows every group whole
+    lam_star = ranked.filter(
+        F.col("_T") > F.col("_lam") * F.col("_w")
+    ).agg(F.min_by("_lam", "_pos").alias("_lam_star"))
+    rates = ranked.crossJoin(F.broadcast(lam_star)).select(
+        group_col,
+        F.when(
+            F.col("_lam_star").isNull()
+            | (F.col("_T") <= F.col("_lam_star") * F.col("_w")),
+            F.lit(1.0),
+        )
+        .otherwise(F.col("_lam_star") * F.col("_w") / F.col("_T"))
+        .alias("sample_rate"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(seed), F.lit(":"),
+                        F.col(id_col).cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(1 << 60))
+    )
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .filter(u < F.col("sample_rate"))
+    )

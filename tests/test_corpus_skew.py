@@ -263,3 +263,45 @@ def test_split_corpus_group_level_and_deterministic(spark):
 
     with pytest.raises(ValueError, match="sum to 1"):
         split_corpus(df, {"a": 0.5})
+
+
+def test_budget_resample_water_filling_exact(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from moz_datapipeline_spark.operators.corpus import budget_resample
+
+    rows, i = [], 0
+    for g, n in (("a", 100), ("b", 1000), ("c", 10)):
+        for _ in range(n):
+            rows.append((i, g, 10)); i += 1
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tok long")
+    w = {"a": 1 / 3, "b": 1 / 3, "c": 1 / 3}
+
+    out = budget_resample(df, "source", w, 3000, "n_tok")
+    rates = {r.source: r.r for r in out.groupBy("source").agg(
+        F.first("sample_rate").alias("r")).collect()}
+    # a (1000 tok) and c (100 tok) can't fill their 1000-token share →
+    # kept whole; λ solves 1100 + λ/3 = 3000 → λ = 5700, b = 0.19
+    assert rates["a"] == 1.0 and rates["c"] == 1.0
+    assert abs(rates["b"] - 0.19) < 1e-12
+    kept = out.agg(F.sum("n_tok")).first()[0]
+    assert abs(kept - 3000) < 300  # LLN sampling noise
+
+    # budget >= total mass keeps everything at rate 1
+    full = budget_resample(df, "source", w, 10**9, "n_tok")
+    assert full.count() == 1110
+    assert full.select("sample_rate").distinct().collect()[0][0] == 1.0
+
+    # unweighted groups drop; invalid inputs raise
+    only_a = budget_resample(df, "source", {"a": 1.0}, 500, "n_tok")
+    assert only_a.select("source").distinct().collect()[0][0] == "a"
+    with pytest.raises(ValueError, match="positive weight"):
+        budget_resample(df, "source", {"a": 0.0}, 10, "n_tok")
+    with pytest.raises(ValueError, match="token_budget"):
+        budget_resample(df, "source", w, 0, "n_tok")
+
+    # deterministic across partitionings
+    again = budget_resample(df.repartition(13), "source", w, 3000, "n_tok")
+    assert sorted(map(tuple, again.collect())) == sorted(
+        map(tuple, out.collect()))
