@@ -1520,6 +1520,67 @@ def _bpe_merges_oracle(rounds: int = _BPE_ROUNDS) -> str:
     return "".join(parts)
 
 
+def _bpe_segment_oracle(rounds: int = _BPE_ROUNDS) -> str:
+    """Serving-path replay: re-derive the merges (the same round CTEs
+    as _bpe_merges_oracle), collect the learned pairs into ONE row of
+    pattern columns, then apply the replace chain to every word of
+    every document inside a list_transform lambda (DuckDB lambdas may
+    reference outer row columns — that is what makes the nested
+    replace chain expressible)."""
+    base = _bpe_merges_oracle(rounds)
+    # keep only the WITH chain (drop the final merge-table SELECT)
+    with_chain = base[: base.rindex("\n        SELECT * FROM (")]
+    pat_cols = ", ".join(
+        f"(SELECT a FROM b{r}) AS a{r}, (SELECT b FROM b{r}) AS c{r}"
+        for r in range(rounds)
+    )
+    expr = "regexp_replace(w, '(.)', '||\\1', 'g') || '||'"
+    for r in range(rounds):
+        expr = (
+            f"replace({expr}, '|' || a{r} || '||' || c{r} || '|', "
+            f"'|' || a{r} || c{r} || '|')"
+        )
+    return (
+        with_chain
+        + f""", pats AS MATERIALIZED (SELECT {pat_cols})
+        SELECT doc_id,
+               CAST(len(toks) AS INTEGER) AS n_bpe_tokens,
+               md5(array_to_string(toks, chr(31))) AS tokens_md5
+        FROM (
+          SELECT d.doc_id,
+                 flatten(list_transform(
+                   list_filter(string_split(coalesce(d.text, ''), ' '),
+                               t -> t <> ''),
+                   w -> list_filter(string_split({expr}, '||'),
+                                    t -> t <> ''))) AS toks
+          FROM documents d CROSS JOIN pats
+        )
+    """
+    )
+
+
+def q_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer SERVING oracle-pinned end-to-end: learn the 6 merges
+    (operators/bpe.bpe_train), apply them to every document
+    (bpe_segment — a chain of narrow JVM replaces, no shuffle), emit
+    per-doc token count + md5 of the token stream.  VALUE oracle:
+    DuckDB re-derives the merges AND replays the apply chain inside a
+    list_transform lambda (_bpe_segment_oracle)."""
+    from moz_datapipeline_spark.operators.bpe import bpe_segment, bpe_train
+
+    d = _t(spark, sf_dir, "documents")
+    merges = bpe_train(d, n_merges=_BPE_ROUNDS)
+    seg = bpe_segment(
+        d.select("doc_id", F.coalesce("text", F.lit("")).alias("text")),
+        merges,
+    )
+    return seg.select(
+        "doc_id",
+        F.size("bpe_tokens").alias("n_bpe_tokens"),
+        F.md5(F.concat_ws("\x1f", "bpe_tokens")).alias("tokens_md5"),
+    )
+
+
 _PROBE_W = [((j * 7) % 5 - 2.0) / 2.0 for j in range(16)]
 _PROBE_B = -0.25
 
@@ -3431,6 +3492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "disjunctive_revenue": q_disjunctive_revenue,
         "audio_near_dup": q_audio_near_dup,
         "budget_resample": q_budget_resample,
+        "bpe_segment": q_bpe_segment,
         "pagerank": q_pagerank,
         "pagerank_personalized": q_pagerank_personalized,
         "bloom_semi_join": q_bloom_semi_join,
@@ -6093,6 +6155,7 @@ FROM eaul_calc
         )
     """
     sql["bpe_merges"] = _bpe_merges_oracle()
+    sql["bpe_segment"] = _bpe_segment_oracle()
     sql["semantic_decontaminate"] = """
         WITH v AS (
           SELECT vec_id,
