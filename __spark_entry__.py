@@ -1581,6 +1581,69 @@ def q_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KCORE_K = 10
+_KCORE_ROUNDS = 4
+
+
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-bounded k-core peel (graph/kcore.py) over the symmetric
+    customer↔supplier trade graph (the PageRank graph): 4 peels at
+    k=10 composed as one lazy DAG — each round a degree hash-agg plus
+    two semi joins on the shrinking edge set.  VALUE oracle: the same
+    4 rounds unrolled as MATERIALIZED DuckDB CTEs."""
+    from moz_datapipeline_spark.graph.kcore import kcore
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    fwd = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.col("o_custkey").cast("long").alias("src"),
+            (F.col("l_suppkey") + 1000000).cast("long").alias("dst"),
+        )
+        .distinct()
+    )
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return kcore(edges, k=_KCORE_K, rounds=_KCORE_ROUNDS)
+
+
+def _kcore_oracle(k: int = _KCORE_K, rounds: int = _KCORE_ROUNDS) -> str:
+    parts = [
+        """
+        WITH fwd AS MATERIALIZED (
+          SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
+                          CAST(l_suppkey + 1000000 AS BIGINT) AS dst
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        ), e0 AS MATERIALIZED (
+          SELECT src, dst FROM fwd
+          UNION
+          SELECT dst AS src, src AS dst FROM fwd
+        )"""
+    ]
+    for r in range(rounds):
+        parts.append(
+            f""", n{r} AS MATERIALIZED (
+          SELECT src FROM (
+            SELECT src, count(*) AS c FROM e{r} GROUP BY src
+          ) WHERE c >= {k}
+        ), e{r + 1} AS MATERIALIZED (
+          SELECT e.src, e.dst
+          FROM e{r} e
+          JOIN n{r} a ON e.src = a.src
+          JOIN n{r} b ON e.dst = b.src
+        )"""
+        )
+    parts.append(
+        f"""
+        SELECT src AS node, CAST(count(*) AS BIGINT) AS degree
+        FROM e{rounds} GROUP BY src
+    """
+    )
+    return "".join(parts)
+
+
 _PROBE_W = [((j * 7) % 5 - 2.0) / 2.0 for j in range(16)]
 _PROBE_B = -0.25
 
@@ -3493,6 +3556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_near_dup": q_audio_near_dup,
         "budget_resample": q_budget_resample,
         "bpe_segment": q_bpe_segment,
+        "kcore": q_kcore,
         "pagerank": q_pagerank,
         "pagerank_personalized": q_pagerank_personalized,
         "bloom_semi_join": q_bloom_semi_join,
@@ -6156,6 +6220,7 @@ FROM eaul_calc
     """
     sql["bpe_merges"] = _bpe_merges_oracle()
     sql["bpe_segment"] = _bpe_segment_oracle()
+    sql["kcore"] = _kcore_oracle()
     sql["semantic_decontaminate"] = """
         WITH v AS (
           SELECT vec_id,

@@ -132,6 +132,7 @@ HEADLINE = [
     "audio_near_dup",
     "budget_resample",
     "bpe_segment",
+    "kcore",
     # incremental_dedup is oracle-checked but not benched here: a tiny
     # two-batch ingest is dominated by store round-trips and component
     # rounds (fixed job overhead, not operator throughput) — its scale
