@@ -998,6 +998,55 @@ def graph_lm_scale_check(spark, docs) -> dict:
     return out
 
 
+def kcore_scale_check(spark) -> dict:
+    """k-core peel at 3M edges with a deep cascade: 1M-node chain
+    (each round strips only its endpoints under k=2 — worst case for
+    peel depth) plus a dense 2000-clique-ish hub block that must
+    SURVIVE.  Records wall time for the lazy 6-round form and the
+    early-stop fixpoint form, plus the surviving-core size."""
+    from moz_datapipeline_spark.graph.kcore import kcore
+
+    chain = spark.range(1_000_000 - 1).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    # hub block: 2000 nodes, each linked to 50 neighbours (mod ring) —
+    # min degree 50, survives any k <= 50 peel
+    hub = (
+        spark.range(2000 * 50)
+        .select(
+            (F.lit(5_000_000) + F.col("id") % 2000).alias("src"),
+            (
+                F.lit(5_000_000)
+                + (F.col("id") % 2000 + F.col("id") / 2000 + 1).cast("long")
+                % 2000
+            ).alias("dst"),
+        )
+    )
+    fwd = chain.unionByName(hub)
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+    t0 = time.perf_counter()
+    n_lazy = kcore(edges, k=3, rounds=6).count()
+    t_lazy = time.perf_counter() - t0
+
+    stats: dict = {}
+    t0 = time.perf_counter()
+    core = kcore(edges, k=3, rounds=50, early_stop=True, stats=stats)
+    n_core = core.count()
+    t_fix = time.perf_counter() - t0
+    core.unpersist()
+    return {
+        "kcore_edges": edges.count(),
+        "kcore_rounds6_nodes": n_lazy,
+        "kcore_rounds6_sec": round(t_lazy, 2),
+        "kcore_fixpoint_nodes": n_core,
+        "kcore_fixpoint_rounds": stats["rounds_executed"],
+        "kcore_fixpoint_sec": round(t_fix, 2),
+    }
+
+
 def components_scale_check(spark) -> dict:
     """Connected components at 3M edges with a WORST-CASE long-chain
     component: a 1.8M-node path (diameter 1.8M) plus 300k 5-node stars.
@@ -1076,6 +1125,7 @@ def main() -> None:
     heavy_new = containment_semdedup_scale_check(spark, docs)
     warc = warc_scale_check(spark, docs)
     bpe = bpe_scale_check(spark, docs)
+    kc = kcore_scale_check(spark)
 
     print(
         json.dumps(
@@ -1102,6 +1152,7 @@ def main() -> None:
                 **heavy_new,
                 **warc,
                 **bpe,
+                **kc,
             }
         )
     )

