@@ -1581,6 +1581,32 @@ def q_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-versioning diff (operators/corpus.diff_corpus): the
+    documents table against a synthetic next release (every 13th doc
+    dropped, every 7th doc's text edited, 1-in-11 cloned under a new
+    id) → (doc_id, added|removed|changed), formatting-only churn
+    excluded by the normalized-content digest.  One full outer join on
+    the id; only 16-byte digests cross the wire.  VALUE oracle: the
+    same digest + full-outer-join CASE in DuckDB."""
+    from moz_datapipeline_spark.operators.corpus import diff_corpus
+
+    old = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    kept = old.filter(F.col("doc_id") % 13 != 0)
+    edited = kept.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.coalesce("text", F.lit("")), F.lit(" [v2]")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    clones = old.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    new = edited.unionByName(clones)
+    return diff_corpus(old, new)
+
+
 _KCORE_K = 10
 _KCORE_ROUNDS = 4
 
@@ -3557,6 +3583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "budget_resample": q_budget_resample,
         "bpe_segment": q_bpe_segment,
         "kcore": q_kcore,
+        "corpus_diff": q_corpus_diff,
         "pagerank": q_pagerank,
         "pagerank_personalized": q_pagerank_personalized,
         "bloom_semi_join": q_bloom_semi_join,
@@ -6221,6 +6248,36 @@ FROM eaul_calc
     sql["bpe_merges"] = _bpe_merges_oracle()
     sql["bpe_segment"] = _bpe_segment_oracle()
     sql["kcore"] = _kcore_oracle()
+    sql["corpus_diff"] = r"""
+        WITH o AS (
+          SELECT doc_id,
+                 md5(regexp_replace(lower(trim(coalesce(text, ''))), '\s+', ' ', 'g')) AS ho
+          FROM documents
+        ), base AS (
+          SELECT doc_id, text FROM documents WHERE doc_id % 13 <> 0
+        ), edited AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 7 = 0
+                      THEN coalesce(text, '') || ' [v2]'
+                      ELSE text END AS text
+          FROM base
+        ), clones AS (
+          SELECT doc_id + 1000000 AS doc_id, text
+          FROM documents WHERE doc_id % 11 = 0
+        ), n AS (
+          SELECT doc_id,
+                 md5(regexp_replace(lower(trim(coalesce(text, ''))), '\s+', ' ', 'g')) AS hn
+          FROM (SELECT * FROM edited UNION ALL SELECT * FROM clones)
+        )
+        SELECT doc_id,
+               CASE WHEN ho IS NULL THEN 'added'
+                    WHEN hn IS NULL THEN 'removed'
+                    WHEN ho <> hn THEN 'changed' END AS status
+        FROM o FULL OUTER JOIN n USING (doc_id)
+        WHERE CASE WHEN ho IS NULL THEN 'added'
+                   WHEN hn IS NULL THEN 'removed'
+                   WHEN ho <> hn THEN 'changed' END IS NOT NULL
+    """
     sql["semantic_decontaminate"] = """
         WITH v AS (
           SELECT vec_id,

@@ -133,6 +133,7 @@ HEADLINE = [
     "budget_resample",
     "bpe_segment",
     "kcore",
+    "corpus_diff",
     # incremental_dedup is oracle-checked but not benched here: a tiny
     # two-batch ingest is dominated by store round-trips and component
     # rounds (fixed job overhead, not operator throughput) — its scale

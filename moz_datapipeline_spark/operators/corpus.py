@@ -1129,3 +1129,45 @@ def budget_resample(
         df.join(F.broadcast(rates), group_col)
         .filter(u < F.col("sample_rate"))
     )
+
+
+def diff_corpus(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Release-to-release corpus diff: one row per document whose
+    membership or content changed — ``status`` ∈ {'added', 'removed',
+    'changed'} (unchanged documents are omitted; at 100 TB the diff is
+    the small output, the corpora are the big inputs).
+
+    Content identity is the engine's normalized-text md5 (the
+    ``exact_dedup`` key: trim, lower, collapse whitespace), so
+    formatting-only churn does not report as 'changed'.  Plan shape:
+    two narrow hash projections and ONE full outer join on the id —
+    no content ever crosses the wire, only 16-byte digests.
+
+    Reference parity: extension operator (dataset versioning for
+    training-corpus releases).
+    """
+    from .dedup import _normalized
+
+    def h(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col),
+            F.md5(
+                _normalized(F.coalesce(F.col(text_col), F.lit("")))
+            ).alias("_h"),
+        )
+
+    o = h(old).withColumnRenamed("_h", "_ho")
+    n = h(new).withColumnRenamed("_h", "_hn")
+    j = o.join(n, id_col, "full_outer")
+    return j.select(
+        id_col,
+        F.when(F.col("_ho").isNull(), F.lit("added"))
+        .when(F.col("_hn").isNull(), F.lit("removed"))
+        .when(F.col("_ho") != F.col("_hn"), F.lit("changed"))
+        .alias("status"),
+    ).filter(F.col("status").isNotNull())

@@ -305,3 +305,21 @@ def test_budget_resample_water_filling_exact(spark):
     again = budget_resample(df.repartition(13), "source", w, 3000, "n_tok")
     assert sorted(map(tuple, again.collect())) == sorted(
         map(tuple, out.collect()))
+
+
+def test_diff_corpus_statuses_and_normalization(spark):
+    from moz_datapipeline_spark.operators.corpus import diff_corpus
+
+    old = spark.createDataFrame(
+        [(1, "same text"), (2, "will change"), (3, "will be removed"),
+         (4, "  Formatting   ONLY  "), (5, None)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "same text"), (2, "changed now"),
+         (4, "formatting only"), (5, None), (6, "brand new")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.status for r in diff_corpus(old, new).collect()}
+    # formatting-only churn (4) and NULL-stable (5) are NOT reported
+    assert got == {2: "changed", 3: "removed", 6: "added"}
