@@ -1614,8 +1614,11 @@ _KCORE_ROUNDS = 4
 def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-bounded k-core peel (graph/kcore.py) over the symmetric
     customer↔supplier trade graph (the PageRank graph): 4 peels at
-    k=10 composed as one lazy DAG — each round a degree hash-agg plus
-    two semi joins on the shrinking edge set.  VALUE oracle: the same
+    k=10 — each round a degree hash-agg plus two semi joins on the
+    shrinking (checkpointed) edge set.  ``early_stop`` exits at the
+    fixpoint; parity with the fixed-round oracle holds in every case:
+    converged ≤ 4 rounds → the oracle's extra rounds are no-ops,
+    not converged → both sides run exactly 4.  VALUE oracle: the same
     4 rounds unrolled as MATERIALIZED DuckDB CTEs."""
     from moz_datapipeline_spark.graph.kcore import kcore
 
@@ -1632,7 +1635,9 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = fwd.unionByName(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    return kcore(edges, k=_KCORE_K, rounds=_KCORE_ROUNDS)
+    return kcore(
+        edges, k=_KCORE_K, rounds=_KCORE_ROUNDS, early_stop=True
+    )
 
 
 def _kcore_oracle(k: int = _KCORE_K, rounds: int = _KCORE_ROUNDS) -> str:
