@@ -1581,6 +1581,96 @@ def q_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FUZZY_DF_CAP = 50
+
+
+def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance record linkage (operators/fuzzy.fuzzy_join):
+    supplier names vs a perturbed registry (per-key one-char edits) —
+    q-gram candidate equi join with a stop-gram df cap (the shared
+    'supplier#00…' prefix grams die there, digit-tail grams
+    discriminate), length pre-filter, JVM levenshtein verify.  VALUE
+    oracle: identical gram/cap/filter/levenshtein chain in DuckDB."""
+    from moz_datapipeline_spark.operators.fuzzy import fuzzy_join
+
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    k = F.col("s_suppkey")
+    nm = F.col("s_name")
+    perturbed = s.select(
+        (k + 100000).alias("r_key"),
+        F.when(
+            k % 3 == 0,
+            F.concat(F.substring(nm, 1, 3), F.lit("x"),
+                     F.substring(nm, 5, 100)),
+        )
+        .when(
+            k % 3 == 1,
+            F.concat(F.substring(nm, 1, 6), F.substring(nm, 8, 100)),
+        )
+        .otherwise(nm)
+        .alias("r_name"),
+    )
+    out = fuzzy_join(
+        s, perturbed, "s_name", "r_name", "s_suppkey", "r_key",
+        max_distance=2, max_gram_df=_FUZZY_DF_CAP,
+    )
+    return out.select("left_id", "right_id", "left_val", "right_val",
+                      "distance")
+
+
+def _fuzzy_join_oracle() -> str:
+    return f"""
+        WITH l AS MATERIALIZED (
+          SELECT s_suppkey AS id,
+                 regexp_replace(lower(trim(s_name)), '\\s+', ' ', 'g') AS val
+          FROM supplier
+        ), r0 AS (
+          SELECT s_suppkey + 100000 AS id,
+                 CASE WHEN s_suppkey % 3 = 0
+                      THEN substr(s_name, 1, 3) || 'x' || substr(s_name, 5, 100)
+                      WHEN s_suppkey % 3 = 1
+                      THEN substr(s_name, 1, 6) || substr(s_name, 8, 100)
+                      ELSE s_name END AS name
+          FROM supplier
+        ), r AS MATERIALIZED (
+          SELECT id,
+                 regexp_replace(lower(trim(name)), '\\s+', ' ', 'g') AS val
+          FROM r0
+        ), lg AS MATERIALIZED (
+          SELECT id, val, unnest(CASE WHEN len(val) >= 3
+            THEN list_distinct(list_transform(
+                   generate_series(1, len(val) - 2),
+                   i -> substr(val, i, 3)))
+            ELSE [val] END) AS g
+          FROM l
+        ), rg AS MATERIALIZED (
+          SELECT id, val, unnest(CASE WHEN len(val) >= 3
+            THEN list_distinct(list_transform(
+                   generate_series(1, len(val) - 2),
+                   i -> substr(val, i, 3)))
+            ELSE [val] END) AS g
+          FROM r
+        ), stop AS MATERIALIZED (
+          SELECT g FROM (
+            SELECT g, count(*) AS df FROM (
+              SELECT g FROM lg UNION ALL SELECT g FROM rg
+            ) GROUP BY g
+          ) WHERE df > {_FUZZY_DF_CAP}
+        ), pairs AS (
+          SELECT DISTINCT lg.id AS left_id, rg.id AS right_id,
+                          lg.val AS left_val, rg.val AS right_val
+          FROM (SELECT * FROM lg WHERE g NOT IN (SELECT g FROM stop)) lg
+          JOIN (SELECT * FROM rg WHERE g NOT IN (SELECT g FROM stop)) rg
+            ON lg.g = rg.g
+          WHERE abs(len(lg.val) - len(rg.val)) <= 2
+        )
+        SELECT left_id, right_id, left_val, right_val,
+               CAST(levenshtein(left_val, right_val) AS INTEGER) AS distance
+        FROM pairs
+        WHERE levenshtein(left_val, right_val) <= 2
+    """
+
+
 def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dataset-versioning diff (operators/corpus.diff_corpus): the
     documents table against a synthetic next release (every 13th doc
@@ -3589,6 +3679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_segment": q_bpe_segment,
         "kcore": q_kcore,
         "corpus_diff": q_corpus_diff,
+        "fuzzy_join": q_fuzzy_join,
         "pagerank": q_pagerank,
         "pagerank_personalized": q_pagerank_personalized,
         "bloom_semi_join": q_bloom_semi_join,
@@ -6253,6 +6344,7 @@ FROM eaul_calc
     sql["bpe_merges"] = _bpe_merges_oracle()
     sql["bpe_segment"] = _bpe_segment_oracle()
     sql["kcore"] = _kcore_oracle()
+    sql["fuzzy_join"] = _fuzzy_join_oracle()
     sql["corpus_diff"] = r"""
         WITH o AS (
           SELECT doc_id,

@@ -134,6 +134,7 @@ HEADLINE = [
     "bpe_segment",
     "kcore",
     "corpus_diff",
+    "fuzzy_join",
     # incremental_dedup is oracle-checked but not benched here: a tiny
     # two-batch ingest is dominated by store round-trips and component
     # rounds (fixed job overhead, not operator throughput) — its scale

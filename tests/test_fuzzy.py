@@ -1,0 +1,64 @@
+"""Fuzzy join: match semantics, normalization, stop-gram cap, plan."""
+
+import pytest
+
+from moz_datapipeline_spark.operators.fuzzy import fuzzy_join
+
+
+def test_fuzzy_join_matches_and_misses(spark):
+    L = spark.createDataFrame(
+        [(1, "Acme Corporation"), (2, "Globex  LLC"), (3, "Initech")],
+        "id long, name string",
+    )
+    R = spark.createDataFrame(
+        [(10, "acme corporatien"),   # 1 substitution + case/space noise
+         (11, "Globex LLC"),         # whitespace-only difference
+         (12, "Umbrella Co"),        # unrelated
+         (13, "Initach"),            # 1 substitution
+         (14, "Initech Industries")],  # shares grams, far by length
+        "rid long, rname string",
+    )
+    out = {(r.left_id, r.right_id): r.distance
+           for r in fuzzy_join(L, R, "name", "rname", "id", "rid",
+                               max_distance=2).collect()}
+    assert out == {(1, 10): 1, (2, 11): 0, (3, 13): 1}
+
+
+def test_fuzzy_join_stop_gram_cap_drops_hot_buckets(spark):
+    # 60 left × 60 right all share the 'common prefix ' grams; with a
+    # low df cap those grams die and only the discriminating tails pair
+    L = spark.createDataFrame(
+        [(i, f"common prefix item{i:03d}") for i in range(60)],
+        "id long, name string",
+    )
+    R = spark.createDataFrame(
+        [(1000 + i, f"common prefix item{i:03d}x") for i in range(60)],
+        "rid long, rname string",
+    )
+    out = fuzzy_join(L, R, "name", "rname", "id", "rid",
+                     max_distance=1, max_gram_df=30)
+    got = {(r.left_id, r.right_id) for r in out.collect()}
+    assert got == {(i, 1000 + i) for i in range(60)}
+
+
+def test_fuzzy_join_short_string_fallback_and_guards(spark):
+    L = spark.createDataFrame([(1, "ab")], "id long, name string")
+    R = spark.createDataFrame([(2, "ab"), (3, "zz")],
+                              "rid long, rname string")
+    out = {(r.left_id, r.right_id)
+           for r in fuzzy_join(L, R, "name", "rname", "id", "rid",
+                               max_distance=0).collect()}
+    assert out == {(1, 2)}  # exact short strings survive the fallback
+    with pytest.raises(ValueError, match="max_distance"):
+        fuzzy_join(L, R, "name", "rname", "id", "rid", max_distance=-1)
+    with pytest.raises(ValueError, match="gram"):
+        fuzzy_join(L, R, "name", "rname", "id", "rid", gram=1)
+
+
+def test_fuzzy_join_is_udf_free(spark):
+    L = spark.createDataFrame([(1, "abcdef")], "id long, name string")
+    plan = (
+        fuzzy_join(L, L, "name", "name", "id", "id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
