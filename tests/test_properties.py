@@ -345,3 +345,82 @@ def test_lm_cross_entropy_matches_dense_reference(spark, words):
     h = -sum(lps) / len(lps)
     assert row["n_bigrams"] == len(toks) - 1
     assert row["cross_entropy"] == pytest.approx(round(h, 6), abs=2e-6)
+
+
+@settings(**SETTINGS)
+@given(
+    urls=st.lists(
+        st.from_regex(
+            r"(https?|HTTPS?)://(www\.)?[A-Za-z0-9.]{1,12}(:\d{1,4})?"
+            r"(/[A-Za-z0-9./]{0,12})?(\?[a-z]=\d(&[a-z]=\d){0,3})?(#[a-z]{0,4})?",
+            fullmatch=True,
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_canonicalize_url_is_idempotent(spark, urls):
+    """canon(canon(u)) == canon(u): the canonical form is a fixpoint
+    for every URL the grammar can produce."""
+    from moz_datapipeline_spark.operators.urls import canonicalize_url
+
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], "i long, url string"
+    )
+    once = df.select("i", canonicalize_url("url").alias("c1"))
+    twice = once.select(
+        "i", "c1", canonicalize_url("c1").alias("c2")
+    ).collect()
+    for r in twice:
+        assert r.c2 == r.c1, (r.c1, r.c2)
+
+
+@settings(**SETTINGS)
+@given(
+    words=st.lists(
+        st.text(
+            alphabet=st.characters(
+                whitelist_categories=("Ll", "Lu", "Nd")
+            ),
+            min_size=1,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=15,
+    ),
+    n_merges=st.integers(min_value=1, max_value=5),
+)
+def test_bpe_segment_is_lossless(spark, words, n_merges):
+    """Concatenating a document's BPE tokens reproduces its characters
+    for ANY corpus and any number of learned merges."""
+    from moz_datapipeline_spark.operators.bpe import bpe_segment, bpe_train
+
+    text = " ".join(words)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    merges = bpe_train(df, n_merges)
+    toks = bpe_segment(df, merges).first().bpe_tokens
+    assert "".join(toks) == text.replace(" ", "")
+
+
+@settings(**SETTINGS)
+@given(
+    n=st.integers(min_value=1, max_value=200),
+    fracs=st.lists(
+        st.floats(min_value=0.05, max_value=1.0), min_size=1, max_size=4
+    ),
+)
+def test_split_corpus_is_a_partition(spark, n, fracs):
+    """Every row lands in exactly one split, for any fraction vector
+    (normalized) and any corpus size."""
+    from moz_datapipeline_spark.operators.corpus import split_corpus
+
+    tot = sum(fracs)
+    fr = {f"s{i}": f / tot for i, f in enumerate(fracs)}
+    # force exact sum-to-1 on the last bucket to dodge float residue
+    fr[f"s{len(fracs) - 1}"] = 1.0 - sum(
+        v for k, v in fr.items() if k != f"s{len(fracs) - 1}"
+    )
+    df = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    out = split_corpus(df, fr).collect()
+    assert len(out) == n
+    assert all(r.split in fr for r in out)
