@@ -1047,6 +1047,61 @@ def kcore_scale_check(spark) -> dict:
     }
 
 
+def fuzzy_scale_check(spark) -> dict:
+    """Record-linkage rehearsal: 200k × 200k names, half the right
+    side planted as 1-edit clones.  q-gram candidates (gram=4 for the
+    hex-dense synthetic alphabet) + levenshtein verify must recover
+    every planted pair without an all-pairs join — recorded: wall
+    time, output pairs, planted recall."""
+    from moz_datapipeline_spark.operators.fuzzy import fuzzy_join
+
+    n = 200_000
+    left = spark.range(n).select(
+        F.col("id"),
+        F.concat(
+            F.lit("item-"),
+            F.substring(F.md5(F.col("id").cast("string")), 1, 12),
+        ).alias("name"),
+    )
+    right = spark.range(n).select(
+        (F.col("id") + 10_000_000).alias("rid"),
+        F.when(
+            F.col("id") % 2 == 0,
+            F.concat(
+                F.lit("item-"), F.lit("z"),
+                F.substring(F.md5(F.col("id").cast("string")), 2, 11),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("item-"),
+                F.substring(
+                    F.md5((F.col("id") + 77777777).cast("string")), 1, 12
+                ),
+            )
+        )
+        .alias("rname"),
+    )
+    t0 = time.perf_counter()
+    out = fuzzy_join(
+        left, right, "name", "rname", "id", "rid",
+        max_distance=2, gram=4, max_gram_df=2000,
+    ).cache()
+    n_pairs = out.count()
+    dt = time.perf_counter() - t0
+    hits = out.filter(
+        F.col("right_id") - F.col("left_id") == 10_000_000
+    ).count()
+    out.unpersist()
+    return {
+        "fuzzy_left": n,
+        "fuzzy_right": n,
+        "fuzzy_pairs": n_pairs,
+        "fuzzy_planted_recall": round(hits / (n // 2), 4),
+        "fuzzy_sec": round(dt, 2),
+    }
+
+
 def components_scale_check(spark) -> dict:
     """Connected components at 3M edges with a WORST-CASE long-chain
     component: a 1.8M-node path (diameter 1.8M) plus 300k 5-node stars.
@@ -1126,6 +1181,7 @@ def main() -> None:
     warc = warc_scale_check(spark, docs)
     bpe = bpe_scale_check(spark, docs)
     kc = kcore_scale_check(spark)
+    fz = fuzzy_scale_check(spark)
 
     print(
         json.dumps(
@@ -1153,6 +1209,7 @@ def main() -> None:
                 **warc,
                 **bpe,
                 **kc,
+                **fz,
             }
         )
     )
