@@ -1581,6 +1581,17 @@ def q_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-card summary (operators/corpus.corpus_report): the release
+    headline numbers in one corpus scan + a tiny modal-language agg,
+    emitted as tall (metric, value) rows — all integer or
+    exactly-derived arithmetic.  VALUE oracle: the same aggregation +
+    stack in DuckDB."""
+    from moz_datapipeline_spark.operators.corpus import corpus_report
+
+    return corpus_report(_t(spark, sf_dir, "documents"))
+
+
 _FUZZY_DF_CAP = 50
 
 
@@ -3680,6 +3691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore": q_kcore,
         "corpus_diff": q_corpus_diff,
         "fuzzy_join": q_fuzzy_join,
+        "corpus_report": q_corpus_report,
         "pagerank": q_pagerank,
         "pagerank_personalized": q_pagerank_personalized,
         "bloom_semi_join": q_bloom_semi_join,
@@ -6345,6 +6357,34 @@ FROM eaul_calc
     sql["bpe_segment"] = _bpe_segment_oracle()
     sql["kcore"] = _kcore_oracle()
     sql["fuzzy_join"] = _fuzzy_join_oracle()
+    sql["corpus_report"] = """
+        WITH base AS (
+          SELECT lang,
+                 CASE WHEN text IS NULL THEN 1 ELSE 0 END AS is_null,
+                 CASE WHEN text IS NULL THEN 0
+                      ELSE len(list_filter(string_split(text, ' '),
+                                           t -> t <> '')) END AS nt,
+                 CASE WHEN text IS NULL THEN 0 ELSE len(text) END AS nc
+          FROM documents
+        ), one AS (
+          SELECT count(*) AS n_all,
+                 CAST(sum(is_null) AS BIGINT) AS n_nulls,
+                 CAST(sum(nt) AS BIGINT) AS toks,
+                 CAST(sum(nc) AS BIGINT) AS chars,
+                 count(DISTINCT lang) AS langs
+          FROM base
+        ), top AS (
+          SELECT count(*) AS top_n FROM base
+          GROUP BY lang ORDER BY count(*) DESC, lang ASC LIMIT 1
+        )
+        SELECT 'n_docs' AS metric, CAST(n_all AS DOUBLE) AS value FROM one
+        UNION ALL SELECT 'n_null_text', CAST(n_nulls AS DOUBLE) FROM one
+        UNION ALL SELECT 'total_tokens', CAST(toks AS DOUBLE) FROM one
+        UNION ALL SELECT 'avg_tokens', round(toks / CAST(n_all AS DOUBLE), 6) FROM one
+        UNION ALL SELECT 'total_chars', CAST(chars AS DOUBLE) FROM one
+        UNION ALL SELECT 'distinct_langs', CAST(langs AS DOUBLE) FROM one
+        UNION ALL SELECT 'top_lang_share', round((SELECT top_n FROM top) / CAST(n_all AS DOUBLE), 6) FROM one
+    """
     sql["corpus_diff"] = r"""
         WITH o AS (
           SELECT doc_id,

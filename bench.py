@@ -135,6 +135,7 @@ HEADLINE = [
     "kcore",
     "corpus_diff",
     "fuzzy_join",
+    "corpus_report",
     # incremental_dedup is oracle-checked but not benched here: a tiny
     # two-batch ingest is dominated by store round-trips and component
     # rounds (fixed job overhead, not operator throughput) — its scale

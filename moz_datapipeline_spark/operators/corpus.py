@@ -1171,3 +1171,59 @@ def diff_corpus(
         .when(F.col("_ho") != F.col("_hn"), F.lit("changed"))
         .alias("status"),
     ).filter(F.col("status").isNotNull())
+
+
+def corpus_report(
+    df: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Data-card summary as a tall (metric, value) frame — the
+    numbers every corpus release note leads with, computed in ONE
+    corpus scan (single map-side-combined aggregation; the stage rows
+    come from ``stack`` over the one result row, the
+    ``quality_filter_funnel`` idiom) plus one tiny aggregation for the
+    modal language.
+
+    Metrics: n_docs, n_null_text, total_tokens, avg_tokens,
+    total_chars, distinct_langs, top_lang_share.  All integer or
+    exactly-derived arithmetic (the share rounds at output), so the
+    report is engine-exact and oracle-replayable.
+
+    Reference parity: extension operator (corpus release reporting).
+    """
+    nt = F.size(tokens(text_col))
+    base = df.select(
+        F.col(lang_col).alias("_lang"),
+        F.when(F.col(text_col).isNull(), 1).otherwise(0).alias("_isnull"),
+        F.when(F.col(text_col).isNull(), 0).otherwise(nt).alias("_nt"),
+        F.when(F.col(text_col).isNull(), 0)
+        .otherwise(F.length(text_col))
+        .alias("_nc"),
+    )
+    one = base.agg(
+        F.count(F.lit(1)).alias("_all"),
+        F.sum("_isnull").alias("_nulls"),
+        F.sum("_nt").alias("_toks"),
+        F.sum("_nc").alias("_chars"),
+        F.countDistinct("_lang").alias("_langs"),
+    )
+    top = (
+        base.groupBy("_lang")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .orderBy(F.col("_n").desc(), F.col("_lang").asc())
+        .limit(1)
+        .select(F.col("_n").alias("_top_n"))
+    )
+    joined = one.crossJoin(F.broadcast(top))
+    return joined.selectExpr(
+        "stack(7, "
+        "'n_docs', CAST(_all AS DOUBLE), "
+        "'n_null_text', CAST(_nulls AS DOUBLE), "
+        "'total_tokens', CAST(_toks AS DOUBLE), "
+        "'avg_tokens', ROUND(_toks / CAST(_all AS DOUBLE), 6), "
+        "'total_chars', CAST(_chars AS DOUBLE), "
+        "'distinct_langs', CAST(_langs AS DOUBLE), "
+        "'top_lang_share', ROUND(_top_n / CAST(_all AS DOUBLE), 6)"
+        ") AS (metric, value)"
+    )
