@@ -323,3 +323,20 @@ def test_diff_corpus_statuses_and_normalization(spark):
     got = {r.doc_id: r.status for r in diff_corpus(old, new).collect()}
     # formatting-only churn (4) and NULL-stable (5) are NOT reported
     assert got == {2: "changed", 3: "removed", 6: "added"}
+
+
+def test_corpus_report_nulls_and_modal_tiebreak(spark):
+    from moz_datapipeline_spark.operators.corpus import corpus_report
+
+    df = spark.createDataFrame(
+        [(1, "a b c", "en"), (2, None, "pt"), (3, "d e", "pt"),
+         (4, "f", "en")],
+        "doc_id long, text string, lang string",
+    )
+    got = {r.metric: r.value for r in corpus_report(df).collect()}
+    assert got["n_docs"] == 4 and got["n_null_text"] == 1
+    assert got["total_tokens"] == 6 and got["total_chars"] == 8
+    assert got["distinct_langs"] == 2
+    # en and pt tie at 2 docs; lexicographic tiebreak picks en -> 0.5
+    assert got["top_lang_share"] == 0.5
+    assert got["avg_tokens"] == 1.5
