@@ -335,7 +335,7 @@ def test_corpus_report_nulls_and_modal_tiebreak(spark):
     )
     got = {r.metric: r.value for r in corpus_report(df).collect()}
     assert got["n_docs"] == 4 and got["n_null_text"] == 1
-    assert got["total_tokens"] == 6 and got["total_chars"] == 8
+    assert got["total_tokens"] == 6 and got["total_chars"] == 9
     assert got["distinct_langs"] == 2
     # en and pt tie at 2 docs; lexicographic tiebreak picks en -> 0.5
     assert got["top_lang_share"] == 0.5
