@@ -3564,6 +3564,195 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample(d, "n_chars", 10, group_col="lang")
 
 
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 for the query {spark, window, merge}
+    (operators/retrieval.bm25_topk): tokens filtered to the query's
+    terms BEFORE any shuffle, per-term df + 1-row corpus stats
+    broadcast back, TakeOrderedAndProject top-k.  VALUE oracle: the
+    full Robertson/Lucene formula replayed in DuckDB."""
+    from moz_datapipeline_spark.operators.retrieval import bm25_topk
+
+    d = _t(spark, sf_dir, "documents")
+    return bm25_topk(d, ["spark", "window", "merge"], k=10)
+
+
+def q_conjunctive_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index conjunctive (AND) search: docs containing ALL of
+    {spark, window, merge} (operators/retrieval.conjunctive_search) —
+    explode filtered to the query terms, distinct-term count per doc,
+    HAVING count = |terms|."""
+    from moz_datapipeline_spark.operators.retrieval import conjunctive_search
+
+    d = _t(spark, sf_dir, "documents")
+    return conjunctive_search(d, ["spark", "window", "merge"])
+
+
+def q_posting_store_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build-once-probe-many retrieval: persist the inverted index
+    Hive-partitioned by term-hash bucket, then look up two terms with
+    a partition-pruned scan (operators/retrieval.build_posting_store /
+    search_posting_store).  VALUE oracle: posting rows recomputed
+    directly from documents."""
+    import hashlib
+
+    from moz_datapipeline_spark.operators.retrieval import (
+        build_posting_store,
+        search_posting_store,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/tmp/spark_graft_posting_store/{tag}"
+    build_posting_store(d, path, num_buckets=16)
+    return search_posting_store(spark, path, ["merge", "stream"], num_buckets=16)
+
+
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HyperLogLog distinct users per event type
+    (operators/sketches.hll_distinct): register rows as DataFrame
+    state, portable md5 bucket/rho pipeline, integer-exact harmonic
+    sum.  VALUE oracle: the ESTIMATE itself replays bit-for-bit in
+    DuckDB (not just a tolerance flag) — same register table, same
+    linear-counting correction."""
+    from moz_datapipeline_spark.operators.sketches import hll_distinct
+
+    ev = _t(spark, sf_dir, "events")
+    return hll_distinct(ev, "user_id", ["event_type"], p=10)
+
+
+def q_validate_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style declarative quality gate over orders: eight
+    constraints (not_null / complete / unique / min / max /
+    non_negative / matches / in_set) evaluated in ONE aggregate pass
+    (operators/validation.validate)."""
+    from moz_datapipeline_spark.operators.validation import Check, validate
+
+    o = _t(spark, sf_dir, "orders")
+    checks = [
+        Check("not_null", "o_orderkey"),
+        Check("unique", "o_orderkey"),
+        Check("complete", "o_custkey", threshold=0.95),
+        Check("min", "o_totalprice", threshold=0.0),
+        Check("max", "o_totalprice", threshold=10_000_000.0),
+        Check("non_negative", "o_totalprice"),
+        Check("matches", "o_orderpriority", threshold=0.99, pattern=r"^[1-5]-"),
+        Check("in_set", "o_orderstatus", allowed=("O", "F", "P")),
+    ]
+    return validate(o, checks)
+
+
+def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profiler over documents (completeness, distinct
+    count, min/max as strings, mean for numerics) — the discovery twin
+    of the constraint gate (operators/validation.profile_columns)."""
+    from moz_datapipeline_spark.operators.validation import profile_columns
+
+    d = _t(spark, sf_dir, "documents")
+    return profile_columns(d, ["doc_id", "text", "lang", "source", "n_chars"])
+
+
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width 10-bin histogram of l_extendedprice: 1-row min/max
+    broadcast back via cross join, pure-arithmetic bucketing, hash
+    aggregate (operators/validation.equi_width_histogram)."""
+    from moz_datapipeline_spark.operators.validation import (
+        equi_width_histogram,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    return equi_width_histogram(li, "l_extendedprice", nbins=10)
+
+
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character Shannon entropy in bits, computed INSIDE
+    each row with array higher-order functions — zero shuffle, zero
+    UDF (operators/text.char_entropy).  Low entropy = mash/template
+    residue, the Gopher-style quality screen's direct signal."""
+    from moz_datapipeline_spark.operators.text import char_entropy
+
+    d = _t(spark, sf_dir, "documents")
+    return char_entropy(d)
+
+
+def q_normalize_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode hygiene ahead of dedup/BPE: NFC-compose (Arrow pandas
+    UDF — no JVM builtin), strip control chars, collapse space runs
+    (operators/text.normalize_unicode).  Decomposed accents + a tab
+    are INJECTED (the corpus is ASCII) so composition is exercised;
+    output is md5 of the normalized text so the DuckDB oracle
+    (nfc_normalize) compares byte-for-byte."""
+    from moz_datapipeline_spark.operators.text import normalize_unicode
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" cafe\u0301\tx")
+        ).alias("text"),
+    )
+    out = normalize_unicode(d)
+    return out.select("doc_id", F.md5("text_norm").alias("norm_md5"))
+
+
+def q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-to-doc "more like this": tf-idf cosine top-5 for three query
+    docs, candidates through the inverted-index term join
+    (operators/retrieval.tfidf_cosine_topk).  Pair volume here is
+    bounded by the 3-doc query side (|q|·avg_df), so the stopword df
+    cap is lifted (max_df_ratio=1.0) — the synthetic corpus's 31-word
+    vocabulary is ALL high-df, which would otherwise empty the index;
+    production corpora keep the default 0.25 cap."""
+    from moz_datapipeline_spark.operators.retrieval import tfidf_cosine_topk
+
+    d = _t(spark, sf_dir, "documents")
+    return tfidf_cosine_topk(d, [0, 1, 2], k=5, max_df_ratio=1.0)
+
+
+def q_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-count (quantile) histogram of l_extendedprice, 8 bins:
+    exact percentile boundaries (1-row aggregate, broadcast), then
+    strictly-greater fold bucketing — no global sort of the data
+    (operators/validation.equi_depth_histogram)."""
+    from moz_datapipeline_spark.operators.validation import (
+        equi_depth_histogram,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    return equi_depth_histogram(li, "l_extendedprice", nbins=8)
+
+
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: distinct word-5-gram Jaccard
+    for every source pair (operators/corpus.source_overlap_matrix) —
+    gram-level equi join, pair fan-out bounded by |sources|² per gram,
+    never a doc-level pair join."""
+    from moz_datapipeline_spark.operators.corpus import source_overlap_matrix
+
+    d = _t(spark, sf_dir, "documents")
+    return source_overlap_matrix(d, n=5)
+
+
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly flags over hourly event-value rollups
+    (operators/temporal.rolling_zscore_anomalies): the window sort
+    runs on the SMALL rollup, never the raw events; z vs the trailing
+    24 hours, |z| > 3 flags."""
+    from moz_datapipeline_spark.operators.temporal import (
+        rolling_zscore_anomalies,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    out = rolling_zscore_anomalies(ev, window=24, threshold=3.0)
+    return out.select(
+        "event_type",
+        (F.unix_timestamp("bucket_ts")).alias("hour_epoch"),
+        "metric",
+        "mean_prev",
+        "std_prev",
+        "zscore",
+        "is_anomaly",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -3703,6 +3892,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_curve": q_zorder_curve,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "weighted_sample": q_weighted_sample,
+        "bm25_topk": q_bm25_topk,
+        "conjunctive_search": q_conjunctive_search,
+        "posting_store_search": q_posting_store_search,
+        "hll_distinct": q_hll_distinct,
+        "validate_constraints": q_validate_constraints,
+        "profile_columns": q_profile_columns,
+        "value_histogram": q_value_histogram,
+        "char_entropy": q_char_entropy,
+        "normalize_unicode": q_normalize_unicode,
+        "anomaly_zscore": q_anomaly_zscore,
+        "more_like_this": q_more_like_this,
+        "depth_histogram": q_depth_histogram,
+        "source_overlap": q_source_overlap,
     }
 
 
@@ -4219,6 +4421,59 @@ _PQ_ADC_REPLAY = """
               GROUP BY 1, 2
             )
 """
+
+
+def _hll_distinct_oracle() -> str:
+    """Full DuckDB replay of q_hll_distinct: the portable md5 hash →
+    bucket/ρ register pipeline, the integer-exact harmonic sum
+    (Σ 2^(61−ρ) as HUGEINT), α_m bias constant, and the
+    linear-counting small-range correction — the ESTIMATE itself is
+    value-checked, not a tolerance flag."""
+    from moz_datapipeline_spark.operators.sketches import _RHO_CAP, _alpha
+
+    p = 10
+    m = 1 << p
+    cap = _RHO_CAP
+    alpha = _alpha(m)
+
+    def dbl(x: float) -> str:
+        return f"CAST({x!r} AS DOUBLE)"
+
+    return f"""
+        WITH h AS (
+          SELECT event_type,
+                 CAST(('0x' || substr(md5('hll:' || CAST(user_id AS VARCHAR)), 1, 15))
+                      AS BIGINT) AS hv
+          FROM events
+        ), br AS (
+          SELECT event_type, CAST(hv % {m} AS INTEGER) AS bucket,
+                 CASE WHEN hv // {m} = 0 THEN {cap}
+                      ELSE length(bin(hv // {m}))
+                           - length(rtrim(bin(hv // {m}), '0')) + 1
+                 END AS rho
+          FROM h
+        ), reg AS (
+          SELECT event_type, bucket, max(rho) AS max_rho
+          FROM br GROUP BY 1, 2
+        ), agg AS (
+          SELECT event_type, CAST(count(*) AS BIGINT) AS n_filled,
+                 sum(CAST(CAST(1 AS BIGINT) << ({cap} - max_rho) AS HUGEINT)) AS st
+          FROM reg GROUP BY 1
+        ), est AS (
+          SELECT event_type, n_filled,
+                 {dbl(alpha)} * {dbl(float(m * m))}
+                   / (CAST(st AS DOUBLE) / {dbl(float(1 << cap))}
+                      + ({m} - n_filled)) AS e_raw,
+                 {m} - n_filled AS v
+          FROM agg
+        )
+        SELECT event_type, n_filled,
+               round(CASE WHEN e_raw <= {dbl(2.5 * m)} AND v > 0
+                     THEN {dbl(float(m))}
+                          * ln({dbl(float(m))} / CAST(v AS DOUBLE))
+                     ELSE e_raw END, 3) AS est_distinct
+        FROM est
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -6646,4 +6901,339 @@ FROM eaul_calc
             f"FROM read_parquet('{_RESIZE_TWIN}') "
             f"WHERE doc_id IN (SELECT doc_id FROM documents WHERE doc_id < {_RESIZE_DOCS})"
         )
+
+    sql["bm25_topk"] = """
+        WITH docs AS (
+          SELECT doc_id,
+                 len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                 t -> t <> '')) AS doc_len,
+                 list_filter(string_split_regex(lower(text), '\\s+'),
+                             t -> t <> '') AS toks
+          FROM documents
+          WHERE text IS NOT NULL
+        ), stats AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(doc_len) AS avgdl
+          FROM docs
+        ), tf AS (
+          SELECT doc_id, doc_len, term, CAST(count(*) AS BIGINT) AS tf
+          FROM (SELECT doc_id, doc_len, unnest(toks) AS term FROM docs)
+          WHERE term IN ('merge', 'spark', 'window')
+          GROUP BY 1, 2, 3
+        ), dfreq AS (
+          SELECT term, CAST(count(*) AS BIGINT) AS df_count FROM tf GROUP BY 1
+        ), scored AS (
+          SELECT tf.doc_id,
+                 round(sum(
+                   ln(CAST(1.0 AS DOUBLE)
+                      + (s.n_docs - d.df_count + CAST(0.5 AS DOUBLE))
+                        / (d.df_count + CAST(0.5 AS DOUBLE)))
+                   * (tf.tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+                   / (tf.tf + CAST(1.2 AS DOUBLE)
+                      * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+                         + CAST(0.75 AS DOUBLE) * tf.doc_len / s.avgdl))
+                 ), 6) AS score,
+                 CAST(count(*) AS BIGINT) AS n_terms_matched
+          FROM tf JOIN dfreq d USING (term) CROSS JOIN stats s
+          GROUP BY tf.doc_id
+        )
+        SELECT doc_id, score, n_terms_matched
+        FROM scored
+        ORDER BY score DESC, doc_id ASC
+        LIMIT 10
+    """
+
+    sql["conjunctive_search"] = """
+        SELECT doc_id, CAST(count(DISTINCT term) AS BIGINT) AS n_matched
+        FROM (
+          SELECT doc_id,
+                 unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                    t -> t <> '')) AS term
+          FROM documents
+        )
+        WHERE term IN ('merge', 'spark', 'window')
+        GROUP BY doc_id
+        HAVING count(DISTINCT term) = 3
+    """
+
+    sql["posting_store_search"] = """
+        WITH docs AS (
+          SELECT doc_id,
+                 CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                      t -> t <> '')) AS BIGINT) AS doc_len,
+                 list_filter(string_split_regex(lower(text), '\\s+'),
+                             t -> t <> '') AS toks
+          FROM documents
+        )
+        SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf,
+               any_value(doc_len) AS doc_len
+        FROM (SELECT doc_id, doc_len, unnest(toks) AS term FROM docs)
+        WHERE term IN ('merge', 'stream')
+        GROUP BY term, doc_id
+    """
+
+    sql["hll_distinct"] = _hll_distinct_oracle()
+
+    sql["validate_constraints"] = """
+        WITH a AS (
+          SELECT CAST(count(*) AS DOUBLE) AS n,
+            CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS DOUBLE) AS m0,
+            CAST(count(DISTINCT o_orderkey) AS DOUBLE) AS m1,
+            CAST(sum(CASE WHEN o_custkey IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) AS m2,
+            CAST(min(o_totalprice) AS DOUBLE) AS m3,
+            CAST(max(o_totalprice) AS DOUBLE) AS m4,
+            CAST(sum(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS DOUBLE) AS m5,
+            CAST(sum(CASE WHEN o_orderpriority IS NOT NULL
+                          AND regexp_matches(o_orderpriority, '^[1-5]-')
+                     THEN 1 ELSE 0 END) AS DOUBLE) AS m6,
+            CAST(sum(CASE WHEN o_orderpriority IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) AS nn6,
+            CAST(sum(CASE WHEN o_orderstatus IN ('O', 'F', 'P') THEN 1 ELSE 0 END) AS DOUBLE) AS m7
+          FROM orders
+        )
+        SELECT CAST(0 AS INTEGER) AS check_id, 'not_null' AS kind,
+               'o_orderkey' AS "column", round(m0, 6) AS metric,
+               CAST(NULL AS DOUBLE) AS threshold, m0 = 0 AS passed FROM a
+        UNION ALL
+        SELECT 1, 'unique', 'o_orderkey', round(m1 / n, 6),
+               CAST(NULL AS DOUBLE), m1 / n = 1.0 FROM a
+        UNION ALL
+        SELECT 2, 'complete', 'o_custkey', round(m2 / n, 6),
+               CAST(0.95 AS DOUBLE), m2 / n >= CAST(0.95 AS DOUBLE) FROM a
+        UNION ALL
+        SELECT 3, 'min', 'o_totalprice', round(m3, 6),
+               CAST(0.0 AS DOUBLE), m3 >= CAST(0.0 AS DOUBLE) FROM a
+        UNION ALL
+        SELECT 4, 'max', 'o_totalprice', round(m4, 6),
+               CAST(10000000.0 AS DOUBLE), m4 <= CAST(10000000.0 AS DOUBLE) FROM a
+        UNION ALL
+        SELECT 5, 'non_negative', 'o_totalprice', round(m5, 6),
+               CAST(NULL AS DOUBLE), m5 = 0 FROM a
+        UNION ALL
+        SELECT 6, 'matches', 'o_orderpriority',
+               round(CASE WHEN nn6 > 0 THEN m6 / nn6 ELSE 1.0 END, 6),
+               CAST(0.99 AS DOUBLE),
+               CASE WHEN nn6 > 0 THEN m6 / nn6 ELSE 1.0 END >= CAST(0.99 AS DOUBLE) FROM a
+        UNION ALL
+        SELECT 7, 'in_set', 'o_orderstatus', round(m7 / n, 6),
+               CAST(NULL AS DOUBLE), m7 / n = 1.0 FROM a
+    """
+
+    sql["profile_columns"] = """
+        WITH a AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_doc_id,
+            CAST(count(DISTINCT doc_id) AS BIGINT) AS dist_doc_id,
+            CAST(min(doc_id) AS VARCHAR) AS min_doc_id,
+            CAST(max(doc_id) AS VARCHAR) AS max_doc_id,
+            round(avg(CAST(doc_id AS DOUBLE)), 6) AS mean_doc_id,
+            CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_text,
+            CAST(count(DISTINCT text) AS BIGINT) AS dist_text,
+            min(text) AS min_text, max(text) AS max_text,
+            CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_lang,
+            CAST(count(DISTINCT lang) AS BIGINT) AS dist_lang,
+            min(lang) AS min_lang, max(lang) AS max_lang,
+            CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_source,
+            CAST(count(DISTINCT source) AS BIGINT) AS dist_source,
+            min(source) AS min_source, max(source) AS max_source,
+            CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_n_chars,
+            CAST(count(DISTINCT n_chars) AS BIGINT) AS dist_n_chars,
+            CAST(min(n_chars) AS VARCHAR) AS min_n_chars,
+            CAST(max(n_chars) AS VARCHAR) AS max_n_chars,
+            round(avg(CAST(n_chars AS DOUBLE)), 6) AS mean_n_chars
+          FROM documents
+        )
+        SELECT 'doc_id' AS "column", n AS n_rows, null_doc_id AS n_nulls,
+               dist_doc_id AS n_distinct, min_doc_id AS min_val,
+               max_doc_id AS max_val, mean_doc_id AS mean_val FROM a
+        UNION ALL
+        SELECT 'text', n, null_text, dist_text, min_text, max_text,
+               CAST(NULL AS DOUBLE) FROM a
+        UNION ALL
+        SELECT 'lang', n, null_lang, dist_lang, min_lang, max_lang,
+               CAST(NULL AS DOUBLE) FROM a
+        UNION ALL
+        SELECT 'source', n, null_source, dist_source, min_source,
+               max_source, CAST(NULL AS DOUBLE) FROM a
+        UNION ALL
+        SELECT 'n_chars', n, null_n_chars, dist_n_chars, min_n_chars,
+               max_n_chars, mean_n_chars FROM a
+    """
+
+    sql["value_histogram"] = """
+        WITH b AS (
+          SELECT CAST(min(l_extendedprice) AS DOUBLE) AS lo,
+                 CAST(max(l_extendedprice) AS DOUBLE) AS hi
+          FROM lineitem
+        ), binned AS (
+          SELECT CASE WHEN b.hi = b.lo THEN 0
+                      ELSE least(CAST(floor((CAST(l_extendedprice AS DOUBLE) - b.lo)
+                                            / ((b.hi - b.lo) / 10)) AS INTEGER), 9)
+                 END AS bin_id,
+                 b.lo AS blo, b.hi AS bhi
+          FROM lineitem CROSS JOIN b
+          WHERE l_extendedprice IS NOT NULL
+        )
+        SELECT bin_id,
+               round(blo + bin_id * ((bhi - blo) / 10), 6) AS lo,
+               round(blo + (bin_id + 1) * ((bhi - blo) / 10), 6) AS hi,
+               CAST(count(*) AS BIGINT) AS n
+        FROM binned
+        GROUP BY 1, 2, 3
+    """
+
+    sql["char_entropy"] = """
+        WITH c AS (
+          SELECT doc_id, ch FROM (
+            SELECT doc_id, unnest(string_split(text, '')) AS ch
+            FROM documents
+          ) WHERE ch <> ''
+        ), g AS (
+          SELECT doc_id, ch, count(*) AS n FROM c GROUP BY 1, 2
+        ), a AS (
+          SELECT doc_id, sum(n * log2(n)) AS t,
+                 CAST(sum(n) AS BIGINT) AS L
+          FROM g GROUP BY 1
+        )
+        SELECT d.doc_id,
+               coalesce(a.L, 0) AS n_chars_total,
+               coalesce(round(log2(a.L) - a.t / a.L, 6), CAST(0.0 AS DOUBLE))
+                 AS char_entropy
+        FROM documents d LEFT JOIN a USING (doc_id)
+    """
+
+    sql["normalize_unicode"] = """
+        SELECT doc_id,
+               md5(trim(regexp_replace(regexp_replace(
+                 nfc_normalize(text || ' cafe' || chr(769) || chr(9) || 'x'),
+                 '[\\x00-\\x08\\x0b-\\x1f\\x7f\\x80-\\x9f]', '', 'g'),
+                 '[ \\t]+', ' ', 'g'))) AS norm_md5
+        FROM documents
+    """
+
+    sql["depth_histogram"] = """
+        WITH bs AS (
+          SELECT quantile_cont(l_extendedprice,
+                   [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS b
+          FROM lineitem
+        ), binned AS (
+          SELECT len(list_filter(bs.b,
+                   x -> CAST(l_extendedprice AS DOUBLE) > x)) AS bin_id,
+                 CAST(l_extendedprice AS DOUBLE) AS x
+          FROM lineitem CROSS JOIN bs
+          WHERE l_extendedprice IS NOT NULL
+        )
+        SELECT CAST(bin_id AS INTEGER) AS bin_id,
+               round(min(x), 6) AS bin_lo,
+               round(max(x), 6) AS bin_hi,
+               CAST(count(*) AS BIGINT) AS n
+        FROM binned GROUP BY 1
+    """
+
+    sql["source_overlap"] = """
+        WITH toks AS (
+          SELECT source AS src,
+                 list_filter(string_split(text, ' '), t -> t <> '') AS t
+          FROM documents WHERE text IS NOT NULL
+        ), grams AS (
+          SELECT DISTINCT src,
+                 array_to_string(t[i:i+4], ' ') AS gram
+          FROM (
+            SELECT src, t,
+                   unnest(range(1, greatest(len(t) - 5 + 2, 1))) AS i
+            FROM toks
+          )
+          WHERE len(t) >= 5
+        ), sizes AS (
+          SELECT src, CAST(count(*) AS BIGINT) AS n_grams
+          FROM grams GROUP BY 1
+        ), shared AS (
+          SELECT a.src AS source_a, b.src AS source_b,
+                 CAST(count(*) AS BIGINT) AS shared
+          FROM grams a JOIN grams b USING (gram)
+          WHERE a.src < b.src
+          GROUP BY 1, 2
+        )
+        SELECT s.source_a, s.source_b,
+               sa.n_grams AS grams_a, sb.n_grams AS grams_b, s.shared,
+               round(s.shared / (sa.n_grams + sb.n_grams - s.shared), 6)
+                 AS jaccard
+        FROM shared s
+        JOIN sizes sa ON sa.src = s.source_a
+        JOIN sizes sb ON sb.src = s.source_b
+    """
+
+    sql["more_like_this"] = """
+        WITH docs AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\\s+'),
+                             t -> t <> '') AS toks
+          FROM documents WHERE text IS NOT NULL
+        ), nn AS (
+          SELECT CAST(count(*) AS BIGINT) AS c FROM docs
+        ), tf AS (
+          SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+          FROM (SELECT doc_id, unnest(toks) AS term FROM docs)
+          GROUP BY 1, 2
+        ), dfreq AS (
+          SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+        ), w AS (
+          SELECT tf.doc_id, tf.term,
+                 tf.tf * ln(CAST(nn.c AS DOUBLE) / dfreq.df) AS w
+          FROM tf JOIN dfreq USING (term) CROSS JOIN nn
+          WHERE dfreq.df <= nn.c
+        ), norms AS (
+          SELECT doc_id, sqrt(sum(w * w)) AS norm FROM w GROUP BY 1
+        ), qw AS (
+          SELECT doc_id AS query_id, term, w AS wq
+          FROM w WHERE doc_id IN (0, 1, 2)
+        ), dots AS (
+          SELECT qw.query_id, w.doc_id AS corpus_id,
+                 sum(qw.wq * w.w) AS dot
+          FROM qw JOIN w USING (term)
+          WHERE w.doc_id <> qw.query_id
+          GROUP BY 1, 2
+        ), scored AS (
+          SELECT d.query_id, d.corpus_id,
+                 round(d.dot / (qn.norm * cn.norm), 6) AS cosine
+          FROM dots d
+          JOIN norms qn ON qn.doc_id = d.query_id
+          JOIN norms cn ON cn.doc_id = d.corpus_id
+        )
+        SELECT query_id, corpus_id, cosine, rank FROM (
+          SELECT query_id, corpus_id, cosine,
+                 CAST(row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY cosine DESC, corpus_id ASC
+                 ) AS INTEGER) AS rank
+          FROM scored
+        ) WHERE rank <= 5
+    """
+
+    sql["anomaly_zscore"] = """
+        WITH rollup AS (
+          SELECT event_type,
+                 date_trunc('hour', ts) AS bucket_ts,
+                 sum(value) AS metric
+          FROM events
+          GROUP BY 1, 2
+        ), w AS (
+          SELECT event_type, bucket_ts, metric,
+                 avg(metric) OVER tw AS mean_prev,
+                 stddev_samp(metric) OVER tw AS std_prev,
+                 count(metric) OVER tw AS n_prev
+          FROM rollup
+          WINDOW tw AS (PARTITION BY event_type ORDER BY bucket_ts
+                        ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+        )
+        SELECT event_type,
+               CAST(epoch(bucket_ts) AS BIGINT) AS hour_epoch,
+               round(metric, 6) AS metric,
+               round(mean_prev, 6) AS mean_prev,
+               round(std_prev, 6) AS std_prev,
+               round(CASE WHEN n_prev >= 2 AND std_prev > 0
+                     THEN (metric - mean_prev) / std_prev END, 6) AS zscore,
+               coalesce(abs(CASE WHEN n_prev >= 2 AND std_prev > 0
+                            THEN (metric - mean_prev) / std_prev END)
+                        > CAST(3.0 AS DOUBLE), FALSE) AS is_anomaly
+        FROM w
+    """
     return sql

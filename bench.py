@@ -136,6 +136,19 @@ HEADLINE = [
     "corpus_diff",
     "fuzzy_join",
     "corpus_report",
+    "bm25_topk",
+    "conjunctive_search",
+    "posting_store_search",
+    "hll_distinct",
+    "validate_constraints",
+    "profile_columns",
+    "value_histogram",
+    "char_entropy",
+    "normalize_unicode",
+    "anomaly_zscore",
+    "more_like_this",
+    "depth_histogram",
+    "source_overlap",
     # incremental_dedup is oracle-checked but not benched here: a tiny
     # two-batch ingest is dominated by store round-trips and component
     # rounds (fixed job overhead, not operator throughput) — its scale

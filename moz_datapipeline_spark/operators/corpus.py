@@ -1227,3 +1227,77 @@ def corpus_report(
         "'top_lang_share', ROUND(_top_n / CAST(_all AS DOUBLE), 6)"
         ") AS (metric, value)"
     )
+
+
+def source_overlap_matrix(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Cross-source contamination matrix: distinct word-``n``-gram
+    Jaccard overlap for every source pair — ``(source_a, source_b,
+    grams_a, grams_b, shared, jaccard)`` with ``source_a < source_b``.
+
+    The release-diff / decontamination question at corpus granularity:
+    which ingest feeds are actually the same crawl twice?
+
+    Plan: distinct (source, gram) rows (one hash aggregate — map-side
+    combine collapses within-source repeats), per-source gram counts
+    (|sources| rows, broadcast), then a self-join ON GRAM: per gram
+    the pair fan-out is (#sources containing it)² ≤ |sources|², and
+    |sources| is small by definition of the question — never a
+    doc-level pair join.  Jaccard = shared / (|A| + |B| − shared).
+    """
+    grams = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(source_col).alias("src"),
+            F.explode(
+                F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        F.greatest(
+                            F.size(tokens(text_col)) - n, F.lit(0)
+                        ),
+                    ),
+                    lambda i: F.array_join(
+                        F.slice(tokens(text_col), i + 1, n), " "
+                    ),
+                )
+            ).alias("gram"),
+        )
+        .filter(F.size(F.split(F.col("gram"), " ")) == n)
+        .distinct()
+    )
+    sizes = grams.groupBy("src").agg(F.count("*").alias("n_grams"))
+    a = grams.select(F.col("src").alias("source_a"), "gram")
+    b = grams.select(F.col("src").alias("source_b"), "gram")
+    shared = (
+        a.join(b, "gram")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("shared"))
+    )
+    sa = sizes.select(
+        F.col("src").alias("source_a"), F.col("n_grams").alias("grams_a")
+    )
+    sb = sizes.select(
+        F.col("src").alias("source_b"), F.col("n_grams").alias("grams_b")
+    )
+    return (
+        shared.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "grams_a",
+            "grams_b",
+            "shared",
+            F.round(
+                F.col("shared")
+                / (F.col("grams_a") + F.col("grams_b") - F.col("shared")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

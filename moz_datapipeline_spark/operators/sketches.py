@@ -1,0 +1,148 @@
+"""Mergeable cardinality sketches as DataFrame state.
+
+``analytics.distinct_within_tolerance`` certifies Spark's built-in
+``approx_count_distinct`` against truth, but the built-in sketch is
+opaque driver-side state: it cannot be persisted per shard, merged
+across days, or replayed by another engine.  This module implements
+HyperLogLog with the REGISTERS THEMSELVES as rows
+``(group, bucket, max_rho)`` so the sketch
+
+- builds with one hash aggregate (map-side partial combine — at
+  100 TB the shuffle carries ≤ |groups|·m register rows, never the
+  key column);
+- merges across shards/epochs with a ``groupBy(...).agg(max)`` —
+  the lattice join HLL is famous for, here literally a DataFrame
+  union + aggregate (``hll_merge``);
+- persists as plain parquet (a sketch store costs |groups|·m rows);
+- replays BIT-FOR-BIT in the DuckDB oracle: the bucket/rho pipeline
+  uses the engine's portable md5 hash family
+  (``dedup._portable_hash``) and the estimator sums registers in
+  EXACT integer arithmetic (Σ 2^(61−rho) as DECIMAL) so no
+  float-addition-order nondeterminism leaks into the estimate.
+
+Estimator: standard HLL (Flajolet et al. 2007) with the
+linear-counting small-range correction; α_m = 0.7213/(1+1.079/m)
+(valid for m ≥ 128, the enforced minimum).  The 60-bit hash makes the
+large-range correction irrelevant at any realistic cardinality.
+
+ρ here is trailing-zeros+1 of the bucket quotient (the
+Flajolet–Martin lsb variant — identical guarantees, and exactly
+replayable in SQL via ``rtrim(bin(q), '0')``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from moz_datapipeline_spark.operators.dedup import _portable_hash
+
+#: ρ cap: the portable hash is 60 bits, so the quotient has < 61
+#: trailing zeros; q == 0 gets the cap.
+_RHO_CAP = 61
+
+
+def _alpha(m: int) -> float:
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_registers(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str] | None = None,
+    p: int = 10,
+) -> DataFrame:
+    """HLL register rows ``(*group_cols, bucket, max_rho)`` for the
+    distinct count of ``key_col`` per group; ``m = 2**p`` buckets.
+
+    One projection + one hash aggregate.  Absent (bucket) rows mean an
+    untouched register (ρ = 0) — the estimator accounts for them
+    arithmetically, so the state stays sparse when cardinality ≪ m.
+    """
+    if p < 7:
+        raise ValueError("hll_registers: need p >= 7 (alpha approximation)")
+    group_cols = group_cols or []
+    m = 1 << p
+    h = _portable_hash(F.concat(F.lit("hll:"), F.col(key_col).cast("string")))
+    bucket = F.pmod(h, F.lit(m)).cast("int")
+    q = F.floor(h / F.lit(m)).cast("long")
+    qbin = F.bin(q)
+    trailing = F.length(qbin) - F.length(
+        F.regexp_replace(qbin, "0+$", "")
+    )
+    rho = F.when(q == 0, F.lit(_RHO_CAP)).otherwise(trailing + 1)
+    return (
+        df.select(*group_cols, bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def hll_merge(a: DataFrame, b: DataFrame, group_cols: list[str] | None = None) -> DataFrame:
+    """Merge two register tables built with the SAME ``p``: union +
+    per-bucket max.  Associative/commutative/idempotent — shard
+    sketches merge in any order, re-merging is a no-op."""
+    group_cols = group_cols or []
+    return (
+        a.unionByName(b)
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("max_rho").alias("max_rho"))
+    )
+
+
+def hll_estimate(
+    registers: DataFrame,
+    group_cols: list[str] | None = None,
+    p: int = 10,
+) -> DataFrame:
+    """Cardinality estimate per group from register rows:
+    ``(*group_cols, n_filled, est_distinct)``.
+
+    The harmonic-mean denominator is computed EXACTLY: each register
+    contributes 2^(61−ρ) as an integer, summed as DECIMAL(38,0) (no
+    float addition order-dependence across partitions), and untouched
+    registers contribute 2^61 each via ``(m − n_filled)``
+    arithmetically — so the same registers give the same estimate on
+    any engine, which is what lets the DuckDB oracle value-check the
+    approximation itself, not just flag it.
+    """
+    group_cols = group_cols or []
+    m = 1 << p
+    alpha = _alpha(m)
+    term = F.pow(F.lit(2.0), F.lit(_RHO_CAP) - F.col("max_rho")).cast(
+        "decimal(38,0)"
+    )
+    agg = registers.groupBy(*group_cols).agg(
+        F.count("*").alias("n_filled"),
+        F.sum(term).alias("_sum_terms"),
+    )
+    # S = Σ_filled 2^-rho + (m - n_filled) · 1, scaled by 2^61
+    scale = float(1 << _RHO_CAP)
+    s = (
+        F.col("_sum_terms").cast("double") / F.lit(scale)
+        + (F.lit(m) - F.col("n_filled")).cast("double")
+    )
+    e_raw = F.lit(alpha) * F.lit(float(m) * float(m)) / s
+    v = F.lit(m) - F.col("n_filled")  # untouched registers
+    linear = F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double"))
+    est = F.when((e_raw <= 2.5 * m) & (v > 0), linear).otherwise(e_raw)
+    return agg.select(
+        *group_cols,
+        "n_filled",
+        F.round(est, 3).alias("est_distinct"),
+    )
+
+
+def hll_distinct(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str] | None = None,
+    p: int = 10,
+) -> DataFrame:
+    """Build + estimate in one call: ``(*group_cols, n_filled,
+    est_distinct)``.  Sugar over ``hll_registers`` → ``hll_estimate``;
+    long-lived pipelines should keep the register table and merge
+    increments instead."""
+    return hll_estimate(
+        hll_registers(df, key_col, group_cols, p), group_cols, p
+    )

@@ -86,3 +86,56 @@ def asof_join(
         *lcols,
         *[F.col(f"_r.{c}").alias(c) for c in out_carried],
     )
+
+
+def rolling_zscore_anomalies(
+    events: DataFrame,
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+    value_col: str = "value",
+    bucket: str = "hour",
+    window: int = 24,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Time-series anomaly flags: bucket events per group into
+    ``bucket``-sized intervals, then z-score each bucket's metric
+    against the TRAILING ``window`` buckets (exclusive of itself).
+
+    Returns ``(group, bucket_ts, metric, mean_prev, std_prev, zscore,
+    is_anomaly)``; buckets with fewer than 2 trailing observations get
+    ``zscore = NULL, is_anomaly = false`` (no basis to judge).
+
+    Scale: one hash aggregate events→buckets (map-side combine crushes
+    the volume to |groups|·|buckets| rows), then one window over that
+    SMALL rollup — the expensive sort never touches raw events, so the
+    plan holds at 100 TB of events as long as the rollup fits the
+    cluster, which it does by construction.  Std uses the sample
+    formula (Welford-equivalent via sum/sum²) to match
+    ``stddev_samp``; z = (x − mean_prev)/std_prev.
+    """
+    b = F.date_trunc(bucket, F.col(ts_col))
+    rollup = (
+        events.groupBy(F.col(group_col).alias("grp"), b.alias("bucket_ts"))
+        .agg(F.sum(value_col).alias("metric"))
+    )
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("bucket_ts")
+        .rowsBetween(-window, -1)
+    )
+    mean_prev = F.avg("metric").over(w)
+    std_prev = F.stddev_samp("metric").over(w)
+    n_prev = F.count("metric").over(w)
+    z = F.when(
+        (n_prev >= 2) & (std_prev > 0),
+        (F.col("metric") - mean_prev) / std_prev,
+    )
+    return rollup.select(
+        F.col("grp").alias(group_col),
+        "bucket_ts",
+        F.round("metric", 6).alias("metric"),
+        F.round(mean_prev, 6).alias("mean_prev"),
+        F.round(std_prev, 6).alias("std_prev"),
+        F.round(z, 6).alias("zscore"),
+        F.coalesce(F.abs(z) > threshold, F.lit(False)).alias("is_anomaly"),
+    )

@@ -474,3 +474,123 @@ def fingerprint(text: Column | str) -> Column:
     t = F.col(text) if isinstance(text, str) else text
     norm = F.regexp_replace(F.lower(F.trim(t)), r"\s+", " ")
     return F.xxhash64(norm)
+
+
+def char_entropy(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document character-level Shannon entropy (bits):
+    ``(doc_id, n_chars_total, char_entropy)``.
+
+    A low-entropy document is keyboard mash, padding, or template
+    residue (the Gopher/C4 quality rules keep an entropy-adjacent
+    repetition screen); this is the direct signal.
+
+    Scale design: the naive plan (explode one row PER CHARACTER, then
+    groupBy) shuffles the entire corpus byte volume.  Here the whole
+    histogram is computed INSIDE each row: sort the char array, then
+    ONE ``aggregate`` pass whose lambda folds run lengths into
+    Σ n·log2 n as runs end — zero shuffle, zero UDF, O(L log L) per
+    doc.  H = log2(L) − (Σ n·log2 n)/L.  NULL/empty text → 0.0 by
+    convention (no information, not missing).
+
+    The fold must reference ONLY the accumulator and the element: an
+    earlier formulation indexed back into the sorted array from a
+    positions lambda (``F.get(s, i)``), and because Catalyst inlines
+    (does not CSE) the array expression into every lambda element
+    evaluation, the row cost went quadratic — 720 s for the sf0.1
+    corpus vs ~1 s for this run-fold.
+    """
+    t = F.col(text_col)
+    s = F.array_sort(F.filter(F.split(t, ""), lambda x: x != ""))
+    L = F.size(s)
+
+    def _step(acc: Column, c: Column) -> Column:
+        r = acc["run"].cast("double")
+        return (
+            F.when(
+                acc["run"] == 0,
+                F.struct(
+                    c.alias("prev"), F.lit(1).alias("run"),
+                    F.lit(0.0).alias("t"),
+                ),
+            )
+            .when(
+                c == acc["prev"],
+                F.struct(
+                    c.alias("prev"), (acc["run"] + 1).alias("run"),
+                    acc["t"].alias("t"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    c.alias("prev"), F.lit(1).alias("run"),
+                    (acc["t"] + r * F.log2(r)).alias("t"),
+                )
+            )
+        )
+
+    T = F.aggregate(
+        s,
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"),
+            F.lit(0.0).alias("t"),
+        ),
+        _step,
+        lambda acc: F.when(
+            acc["run"] > 0,
+            acc["t"]
+            + acc["run"].cast("double") * F.log2(acc["run"].cast("double")),
+        ).otherwise(F.lit(0.0)),
+    )
+    h = F.when(
+        L > 0, F.log2(L.cast("double")) - T / L.cast("double")
+    ).otherwise(F.lit(0.0))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.coalesce(L, F.lit(0)).cast("long").alias("n_chars_total"),
+        F.round(h, 6).alias("char_entropy"),
+    )
+
+
+def normalize_unicode(
+    df: DataFrame, text_col: str = "text", out_col: str = "text_norm"
+) -> DataFrame:
+    """Unicode hygiene: NFC-compose, strip C0/C1 control characters
+    (keeping \\n and \\t), collapse runs of spaces/tabs, trim.
+
+    Web-scraped corpora mix composed and decomposed accents ("café"
+    as 4 or 5 codepoints) — exact dedup and tokenizers treat them as
+    different documents unless normalized first, so this runs before
+    ``exact_dedup``/BPE in the curation flow.
+
+    NFC has no JVM builtin in Spark SQL, so composition uses an
+    Arrow-batched pandas UDF (``unicodedata.normalize`` — linear per
+    string, no shuffle: still a pure projection); the control-char
+    strip and whitespace collapse stay JVM-side regexps.  The DuckDB
+    oracle replays byte-for-byte via ``nfc_normalize``.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _nfc_fn(col: "pd.Series") -> "pd.Series":
+        import unicodedata
+
+        return col.map(
+            lambda s: unicodedata.normalize("NFC", s)
+            if s is not None
+            else None
+        )
+
+    # annotate with the real class (not string hints) so the UDF
+    # signature resolves regardless of import scope
+    _nfc_fn.__annotations__ = {"col": pd.Series, "return": pd.Series}
+    _nfc = pandas_udf(_nfc_fn, "string")
+
+    cleaned = F.regexp_replace(
+        _nfc(F.col(text_col)),
+        "[\\x00-\\x08\\x0b-\\x1f\\x7f\\x80-\\x9f]",
+        "",
+    )
+    collapsed = F.trim(F.regexp_replace(cleaned, "[ \\t]+", " "))
+    return df.withColumn(out_col, collapsed)

@@ -1,0 +1,287 @@
+"""Declarative data-quality validation and column profiling
+(Deequ-style) — the admission gate a 100 TB ingest runs before data
+enters the corpus.
+
+The reference pipeline validates implicitly (``scripts/merge-
+indicators.js`` warns on ways missing an indicator value; the
+anti-join miss report in ``operators/indicators.py`` re-expresses
+that); this module generalizes the idea to a declarative constraint
+suite evaluated in ONE aggregate pass:
+
+- every metric a constraint needs (null count, distinct count, min /
+  max / mean, regex-match count, set-membership count) is ONE
+  aggregate expression, so N constraints over M columns compile into
+  a single hash-aggregate job — one corpus scan regardless of suite
+  size, all map-side partial combine;
+- results come back long-form ``(constraint, column, metric, value,
+  threshold, passed)`` so a gate is ``.filter(~passed).count() == 0``
+  and the report itself is small enough to store per ingest batch.
+
+``profile_columns`` is the suite's discovery twin (what SHOULD the
+constraints be?): per-column completeness/distinct/min/max/mean/stddev
+in the same one-pass shape.  ``equi_width_histogram`` adds a
+two-pass (min-max, then bucket counts) fixed-width histogram — the
+second pass buckets with pure arithmetic against the broadcast 1-row
+bounds, never a per-row UDF.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Check:
+    """One constraint: ``kind`` ∈ {not_null, unique, min, max,
+    complete, matches, in_set, non_negative}; ``threshold`` is the
+    bound (ratio for complete/matches, numeric for min/max)."""
+
+    kind: str
+    column: str
+    threshold: float | None = None
+    pattern: str | None = None
+    allowed: tuple | None = None
+
+
+def _metric_exprs(c: Check, i: int) -> list[Column]:
+    col = F.col(c.column)
+    tag = f"_m{i}"
+    if c.kind == "not_null":
+        return [F.sum(F.when(col.isNull(), 1).otherwise(0)).alias(tag)]
+    if c.kind == "complete":
+        return [F.sum(F.when(col.isNotNull(), 1).otherwise(0)).alias(tag)]
+    if c.kind == "unique":
+        return [F.countDistinct(col).alias(tag)]
+    if c.kind == "min":
+        return [F.min(col).cast("double").alias(tag)]
+    if c.kind == "max":
+        return [F.max(col).cast("double").alias(tag)]
+    if c.kind == "non_negative":
+        return [F.sum(F.when(col < 0, 1).otherwise(0)).alias(tag)]
+    if c.kind == "matches":
+        return [
+            F.sum(
+                F.when(col.isNotNull() & col.rlike(c.pattern), 1).otherwise(0)
+            ).alias(tag)
+        ]
+    if c.kind == "in_set":
+        return [
+            F.sum(
+                F.when(col.isin(list(c.allowed)), 1).otherwise(0)
+            ).alias(tag)
+        ]
+    raise ValueError(f"validate: unknown check kind {c.kind!r}")
+
+
+def validate(df: DataFrame, checks: Sequence[Check]) -> DataFrame:
+    """Evaluate ``checks`` in one aggregate pass.
+
+    Returns ``(check_id, kind, column, metric, threshold, passed)``
+    ordered by ``check_id`` (the position in ``checks`` — stable,
+    report-diffable).  Semantics per kind:
+
+    - ``not_null``      metric = null count,          pass = 0 nulls
+    - ``complete``      metric = non-null ratio,      pass ≥ threshold
+    - ``unique``        metric = distinct/total,      pass = 1.0
+    - ``min``/``max``   metric = observed bound,      pass vs threshold
+    - ``non_negative``  metric = negative count,      pass = 0
+    - ``matches``       metric = match ratio (of non-null), pass ≥ threshold
+    - ``in_set``        metric = member ratio,        pass = 1.0
+    """
+    if not checks:
+        raise ValueError("validate: checks must be non-empty")
+    exprs: list[Column] = [F.count("*").alias("_n")]
+    for i, c in enumerate(checks):
+        exprs.extend(_metric_exprs(c, i))
+    nn_tags = {
+        i: f"_nn{i}" for i, c in enumerate(checks) if c.kind == "matches"
+    }
+    for i in nn_tags:
+        exprs.append(
+            F.sum(
+                F.when(F.col(checks[i].column).isNotNull(), 1).otherwise(0)
+            ).alias(nn_tags[i])
+        )
+    row = df.agg(*exprs)
+
+    reports = []
+    for i, c in enumerate(checks):
+        m = F.col(f"_m{i}").cast("double")
+        n = F.col("_n").cast("double")
+        if c.kind == "not_null":
+            metric, passed = m, m == 0
+        elif c.kind == "complete":
+            metric = F.when(n > 0, m / n).otherwise(1.0)
+            passed = metric >= float(c.threshold)
+        elif c.kind == "unique":
+            metric = F.when(n > 0, m / n).otherwise(1.0)
+            passed = metric == 1.0
+        elif c.kind == "min":
+            metric, passed = m, m >= float(c.threshold)
+        elif c.kind == "max":
+            metric, passed = m, m <= float(c.threshold)
+        elif c.kind == "non_negative":
+            metric, passed = m, m == 0
+        elif c.kind == "matches":
+            nn = F.col(nn_tags[i]).cast("double")
+            metric = F.when(nn > 0, m / nn).otherwise(1.0)
+            passed = metric >= float(c.threshold)
+        else:  # in_set
+            metric = F.when(n > 0, m / n).otherwise(1.0)
+            passed = metric == 1.0
+        reports.append(
+            row.select(
+                F.lit(i).alias("check_id"),
+                F.lit(c.kind).alias("kind"),
+                F.lit(c.column).alias("column"),
+                F.round(metric, 6).alias("metric"),
+                F.lit(
+                    float(c.threshold) if c.threshold is not None else None
+                ).cast("double").alias("threshold"),
+                passed.alias("passed"),
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def profile_columns(df: DataFrame, columns: Sequence[str]) -> DataFrame:
+    """One-pass per-column profile: ``(column, n_rows, n_nulls,
+    n_distinct, min_val, max_val, mean_val)`` — numeric stats as
+    doubles (NULL for non-numeric columns), min/max as strings so one
+    schema fits every column type.  All metrics for all columns are a
+    single aggregate job."""
+    if not columns:
+        raise ValueError("profile_columns: columns must be non-empty")
+    numeric = {
+        f.name
+        for f in df.schema.fields
+        if f.dataType.typeName()
+        in ("integer", "long", "double", "float", "short", "decimal")
+    }
+    exprs: list[Column] = [F.count("*").alias("_n")]
+    for c in columns:
+        col = F.col(c)
+        exprs.append(
+            F.sum(F.when(col.isNull(), 1).otherwise(0)).alias(f"_null_{c}")
+        )
+        exprs.append(F.countDistinct(col).alias(f"_dist_{c}"))
+        exprs.append(F.min(col).cast("string").alias(f"_min_{c}"))
+        exprs.append(F.max(col).cast("string").alias(f"_max_{c}"))
+        if c in numeric:
+            exprs.append(F.avg(col.cast("double")).alias(f"_mean_{c}"))
+    row = df.agg(*exprs)
+    parts = []
+    for c in columns:
+        mean = (
+            F.round(F.col(f"_mean_{c}"), 6)
+            if c in numeric
+            else F.lit(None).cast("double")
+        )
+        parts.append(
+            row.select(
+                F.lit(c).alias("column"),
+                F.col("_n").alias("n_rows"),
+                F.col(f"_null_{c}").alias("n_nulls"),
+                F.col(f"_dist_{c}").alias("n_distinct"),
+                F.col(f"_min_{c}").alias("min_val"),
+                F.col(f"_max_{c}").alias("max_val"),
+                mean.alias("mean_val"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def equi_width_histogram(
+    df: DataFrame, column: str, nbins: int = 10
+) -> DataFrame:
+    """Fixed-width histogram: ``(bin_id, lo, hi, n)`` with ``nbins``
+    equal-width bins spanning [min, max]; the max value lands in the
+    last bin (closed upper edge).
+
+    Two passes over ONE column: a 1-row min/max aggregate broadcast
+    back via cross join, then pure-arithmetic bucketing + hash
+    aggregate — the standard distributed histogram; no sort, no UDF.
+    Degenerate case min == max → all rows in bin 0.
+    """
+    if nbins < 1:
+        raise ValueError("equi_width_histogram: need nbins >= 1")
+    col = F.col(column).cast("double")
+    bounds = df.agg(
+        F.min(col).alias("_lo"), F.max(col).alias("_hi")
+    )
+    width = (F.col("_hi") - F.col("_lo")) / nbins
+    bin_id = F.when(
+        (F.col("_hi") == F.col("_lo")) | col.isNull(), F.lit(0)
+    ).otherwise(
+        F.least(
+            F.floor((col - F.col("_lo")) / width).cast("int"),
+            F.lit(nbins - 1),
+        )
+    )
+    return (
+        df.filter(col.isNotNull())
+        .join(F.broadcast(bounds))
+        .select(
+            bin_id.alias("bin_id"),
+            F.round(F.col("_lo") + bin_id * width, 6).alias("lo"),
+            F.round(F.col("_lo") + (bin_id + 1) * width, 6).alias("hi"),
+        )
+        .groupBy("bin_id", "lo", "hi")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def equi_depth_histogram(
+    df: DataFrame, column: str, nbins: int = 10
+) -> DataFrame:
+    """Equal-count (quantile) histogram: ``(bin_id, bin_lo, bin_hi,
+    n)`` where ``bin_lo/bin_hi`` are the observed min/max inside each
+    bin and boundaries are the exact 1/n..(n-1)/n percentiles
+    (linear interpolation, SQL ``percentile`` semantics).
+
+    Row x lands in bin ``Σ_i [x > b_i]`` (strictly-greater fold over
+    the broadcast boundary array) — deterministic under ties, no
+    global sort of the data: one exact-percentile aggregate for the
+    boundaries (1 row), then arithmetic bucketing + hash aggregate.
+
+    Scale note: Spark's exact ``percentile`` buffers the column per
+    group — fine to ~1e8 rows on one aggregate; beyond that swap the
+    boundary computation for ``approx_percentile`` (same downstream
+    plan, sketch-accurate boundaries) — the bucketing pass is
+    unchanged and never sorts.
+    """
+    if nbins < 2:
+        raise ValueError("equi_depth_histogram: need nbins >= 2")
+    col = F.col(column).cast("double")
+    probs = [i / nbins for i in range(1, nbins)]
+    bounds = df.agg(
+        F.expr(
+            f"percentile({column}, array({', '.join(repr(p) for p in probs)}))"
+        ).alias("_bs")
+    )
+    bin_id = F.aggregate(
+        F.col("_bs"),
+        F.lit(0),
+        lambda acc, b: acc + F.when(col > b, 1).otherwise(0),
+    )
+    return (
+        df.filter(col.isNotNull())
+        .join(F.broadcast(bounds))
+        .select(bin_id.alias("bin_id"), col.alias("_x"))
+        .groupBy("bin_id")
+        .agg(
+            F.round(F.min("_x"), 6).alias("bin_lo"),
+            F.round(F.max("_x"), 6).alias("bin_hi"),
+            F.count("*").alias("n"),
+        )
+    )

@@ -1144,6 +1144,48 @@ def components_scale_check(spark) -> dict:
     }
 
 
+def retrieval_hll_scale_check(spark, docs) -> dict:
+    """BM25 + HLL at rehearsal scale.
+
+    - ``bm25_topk`` over the amplified ~600k-doc corpus: confirms the
+      candidate set (docs containing ≥1 query term) — not N — bounds
+      the aggregate, and measures end-to-end wall time.
+    - ``hll_distinct`` over 5M synthetic keys with known cardinality:
+      the register shuffle is ≤ m rows regardless of input size;
+      checks the estimate lands within 3σ (σ ≈ 1.04/√m).
+    """
+    from moz_datapipeline_spark.operators.retrieval import bm25_topk
+    from moz_datapipeline_spark.operators.sketches import hll_distinct
+
+    t0 = time.perf_counter()
+    top = bm25_topk(docs, ["spark", "window", "merge"], k=10).collect()
+    t_bm25 = time.perf_counter() - t0
+
+    n_keys = 5_000_000
+    true_card = 1_000_000  # 5 copies of each key
+    keys = spark.range(n_keys).select(
+        (F.col("id") % true_card).alias("k")
+    )
+    t0 = time.perf_counter()
+    est = hll_distinct(keys, "k", p=12).collect()[0].est_distinct
+    t_hll = time.perf_counter() - t0
+    m = 1 << 12
+    rel_err = abs(est - true_card) / true_card
+    assert rel_err < 3 * 1.04 / (m ** 0.5), (
+        f"HLL estimate {est} off by {rel_err:.4f} (beyond 3 sigma)"
+    )
+    return {
+        "bm25_docs": docs.count(),
+        "bm25_topk_sec": round(t_bm25, 2),
+        "bm25_top_score": round(top[0].score, 3) if top else None,
+        "hll_keys": n_keys,
+        "hll_true_card": true_card,
+        "hll_est": est,
+        "hll_rel_err": round(rel_err, 4),
+        "hll_sec": round(t_hll, 2),
+    }
+
+
 def main() -> None:
     spark = get_spark(app_name="dedup_scale_check")
     docs = amplified_corpus(spark, "/root/testdata/sf0.1/documents.parquet")
@@ -1182,6 +1224,7 @@ def main() -> None:
     bpe = bpe_scale_check(spark, docs)
     kc = kcore_scale_check(spark)
     fz = fuzzy_scale_check(spark)
+    rh = retrieval_hll_scale_check(spark, docs)
 
     print(
         json.dumps(
@@ -1210,6 +1253,7 @@ def main() -> None:
                 **bpe,
                 **kc,
                 **fz,
+                **rh,
             }
         )
     )

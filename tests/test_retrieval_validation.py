@@ -1,0 +1,362 @@
+"""Retrieval (inverted index / BM25), HLL sketches, validation suite,
+profiling, entropy, unicode normalization, and anomaly detection."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from moz_datapipeline_spark.operators.retrieval import (
+    bm25_topk,
+    build_posting_store,
+    conjunctive_search,
+    posting_rows,
+    search_posting_store,
+)
+from moz_datapipeline_spark.operators.sketches import (
+    hll_distinct,
+    hll_estimate,
+    hll_merge,
+    hll_registers,
+)
+from moz_datapipeline_spark.operators.validation import (
+    Check,
+    equi_width_histogram,
+    profile_columns,
+    validate,
+)
+
+
+# ---------------------------------------------------------------- retrieval
+
+DOCS = [
+    (1, "the cat sat on the mat"),
+    (2, "the dog sat"),
+    (3, "cat cat cat"),
+    (4, "nothing relevant here"),
+    (5, None),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_posting_rows_tf_and_len(docs):
+    rows = {
+        (r.term, r.doc_id): (r.tf, r.doc_len)
+        for r in posting_rows(docs).collect()
+    }
+    assert rows[("the", 1)] == (2, 6)
+    assert rows[("cat", 3)] == (3, 3)
+    assert ("the", 4) not in rows
+    # null text contributes nothing
+    assert not any(d == 5 for (_, d) in rows)
+
+
+def test_conjunctive_search_requires_all_terms(docs):
+    got = {r.doc_id for r in conjunctive_search(docs, ["cat", "sat"]).collect()}
+    assert got == {1}
+    # single term
+    got1 = {r.doc_id for r in conjunctive_search(docs, ["cat"]).collect()}
+    assert got1 == {1, 3}
+    with pytest.raises(ValueError):
+        conjunctive_search(docs, [])
+
+
+def _bm25_reference(corpus, query, k1=1.2, b=0.75):
+    """Plain-python BM25 for the tiny fixture."""
+    toks = {d: t.lower().split() for d, t in corpus if t is not None}
+    n = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    scores = {}
+    for term in set(query):
+        df = sum(1 for t in toks.values() if term in t)
+        if df == 0:
+            continue
+        idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+        for d, t in toks.items():
+            tf = t.count(term)
+            if tf:
+                w = idf * tf * (k1 + 1) / (
+                    tf + k1 * (1 - b + b * len(t) / avgdl)
+                )
+                scores[d] = scores.get(d, 0.0) + w
+    return scores
+
+
+def test_bm25_matches_reference_formula(docs):
+    got = {
+        r.doc_id: r.score for r in bm25_topk(docs, ["cat", "sat"], k=10).collect()
+    }
+    want = _bm25_reference(DOCS, ["cat", "sat"])
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d] == pytest.approx(want[d], abs=1e-6)
+
+
+def test_bm25_repeated_query_terms_dedup(docs):
+    once = bm25_topk(docs, ["cat"], k=10).collect()
+    twice = bm25_topk(docs, ["cat", "cat"], k=10).collect()
+    assert sorted((r.doc_id, r.score) for r in once) == sorted(
+        (r.doc_id, r.score) for r in twice
+    )
+
+
+def test_posting_store_prunes_partitions(spark, docs, tmp_path):
+    path = str(tmp_path / "pstore")
+    build_posting_store(docs, path, num_buckets=8)
+    out = search_posting_store(spark, path, ["cat"], num_buckets=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    # the tb filter must actually appear in the partition filters
+    pf_line = plan.split("PartitionFilters", 1)[1].split("\n", 1)[0]
+    assert "tb" in pf_line
+    got = {(r.term, r.doc_id): r.tf for r in out.collect()}
+    assert got == {("cat", 1): 1, ("cat", 3): 3}
+
+
+# ---------------------------------------------------------------- HLL
+
+def test_hll_estimate_accuracy(spark):
+    n = 5000
+    df = spark.range(n).select(F.col("id").alias("k"))
+    est = hll_distinct(df, "k", p=10).collect()[0].est_distinct
+    # standard error ~1.04/sqrt(1024) ≈ 3.3%; allow 10%
+    assert abs(est - n) / n < 0.10
+
+
+def test_hll_merge_is_union_semantics(spark):
+    a = spark.range(0, 1000).select(F.col("id").alias("k"))
+    b = spark.range(500, 1500).select(F.col("id").alias("k"))
+    ra, rb = hll_registers(a, "k"), hll_registers(b, "k")
+    merged = hll_estimate(hll_merge(ra, rb))
+    direct = hll_distinct(
+        a.unionByName(b), "k"
+    )
+    assert merged.collect()[0].est_distinct == direct.collect()[0].est_distinct
+    # idempotent: merging a sketch with itself changes nothing
+    again = hll_estimate(hll_merge(ra, ra))
+    solo = hll_estimate(ra)
+    assert again.collect()[0].est_distinct == solo.collect()[0].est_distinct
+
+
+def test_hll_rejects_small_p(spark):
+    df = spark.range(10).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError):
+        hll_registers(df, "k", p=4)
+
+
+# ---------------------------------------------------------------- validation
+
+def test_validate_pass_and_fail(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 5.0), (2, "b", -1.0), (3, None, 2.0), (3, "c", 0.0)],
+        "id long, name string, v double",
+    )
+    out = {
+        (r.kind, r.column): (r.metric, r.passed)
+        for r in validate(
+            df,
+            [
+                Check("not_null", "name"),
+                Check("unique", "id"),
+                Check("complete", "name", threshold=0.5),
+                Check("min", "v", threshold=0.0),
+                Check("max", "v", threshold=10.0),
+                Check("non_negative", "v"),
+                Check("in_set", "name", allowed=("a", "b", "c")),
+            ],
+        ).collect()
+    }
+    assert out[("not_null", "name")] == (1.0, False)
+    assert out[("unique", "id")] == (0.75, False)
+    assert out[("complete", "name")] == (0.75, True)
+    assert out[("min", "v")] == (-1.0, False)
+    assert out[("max", "v")] == (5.0, True)
+    assert out[("non_negative", "v")] == (1.0, False)
+    # in_set counts NULL as non-member
+    assert out[("in_set", "name")][1] is False
+
+    with pytest.raises(ValueError):
+        validate(df, [])
+    with pytest.raises(ValueError):
+        validate(df, [Check("bogus", "id")])
+
+
+def test_validate_matches_ratio_over_non_null(spark):
+    df = spark.createDataFrame(
+        [("1-A",), ("2-B",), (None,), ("bad",)], "p string"
+    )
+    r = validate(df, [Check("matches", "p", threshold=0.6, pattern=r"^\d-")])
+    row = r.collect()[0]
+    # 2 of 3 non-null match
+    assert row.metric == pytest.approx(2 / 3, abs=1e-6)
+    assert row.passed
+
+
+def test_profile_columns_shape(spark):
+    df = spark.createDataFrame(
+        [(1, "x", 2.5), (2, None, 1.5), (2, "y", None)],
+        "id long, s string, v double",
+    )
+    prof = {r.column: r for r in profile_columns(df, ["id", "s", "v"]).collect()}
+    assert prof["id"].n_distinct == 2 and prof["id"].n_nulls == 0
+    assert prof["s"].n_nulls == 1 and prof["s"].min_val == "x"
+    assert prof["v"].mean_val == pytest.approx(2.0)
+    assert prof["s"].mean_val is None
+
+
+def test_histogram_bins_and_degenerate(spark):
+    df = spark.createDataFrame([(float(i),) for i in range(100)], "x double")
+    bins = {r.bin_id: r.n for r in equi_width_histogram(df, "x", 10).collect()}
+    assert sum(bins.values()) == 100
+    # max value closed into last bin
+    assert bins[9] == 10 and bins[0] == 10
+    # degenerate: all equal
+    same = spark.createDataFrame([(1.0,), (1.0,)], "x double")
+    d = equi_width_histogram(same, "x", 5).collect()
+    assert len(d) == 1 and d[0].bin_id == 0 and d[0].n == 2
+
+
+# ---------------------------------------------------------------- text extras
+
+def test_char_entropy_known_values(spark):
+    from moz_datapipeline_spark.operators.text import char_entropy
+
+    df = spark.createDataFrame(
+        [(1, "abca"), (2, "aaaa"), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.n_chars_total, r.char_entropy) for r in char_entropy(df).collect()}
+    assert got[1] == (4, 1.5)
+    assert got[2] == (4, 0.0)  # -0.0 normalized by round
+    assert got[3] == (0, 0.0)
+    assert got[4] == (0, 0.0)
+
+
+def test_normalize_unicode_composes_and_strips(spark):
+    from moz_datapipeline_spark.operators.text import normalize_unicode
+
+    df = spark.createDataFrame(
+        [(1, "café  x\tz"), (2, "a\x00b\x07c"), (3, None)],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.text_norm for r in normalize_unicode(df).collect()}
+    assert got[1] == "café x z"
+    assert got[2] == "abc"
+    assert got[3] is None
+
+
+# ---------------------------------------------------------------- anomaly
+
+def test_rolling_zscore_flags_planted_spike(spark):
+    from datetime import datetime, timedelta
+
+    from moz_datapipeline_spark.operators.temporal import (
+        rolling_zscore_anomalies,
+    )
+
+    base = datetime(2024, 1, 1)
+    rows = []
+    for h in range(48):
+        # steady signal with mild noise, one massive spike at h=40
+        v = 100.0 + (h % 3) + (10_000.0 if h == 40 else 0.0)
+        rows.append((h, base + timedelta(hours=h, minutes=5), "load", v))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    out = rolling_zscore_anomalies(df, window=24, threshold=3.0)
+    flagged = [r for r in out.collect() if r.is_anomaly]
+    assert len(flagged) == 1
+    assert flagged[0].bucket_ts.hour == 16  # h=40 → day 2, 16:00
+    # early buckets with <2 trailing points: no judgement
+    early = [r for r in out.collect() if r.zscore is None]
+    assert len(early) >= 1
+
+
+# ------------------------------------------------------- more-like-this
+
+def test_tfidf_cosine_topk_excludes_self_and_ranks(spark):
+    from moz_datapipeline_spark.operators.retrieval import tfidf_cosine_topk
+
+    df = spark.createDataFrame(
+        [
+            (1, "apple banana cherry"),
+            (2, "apple banana cherry"),     # exact twin of 1
+            (3, "apple banana distinct"),   # 2/3 overlap
+            (4, "zebra yak xylophone"),     # disjoint
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_cosine_topk(df, [1], k=3, max_df_ratio=1.0).collect()
+    assert all(r.query_id == 1 and r.corpus_id != 1 for r in out)
+    by_rank = sorted(out, key=lambda r: r.rank)
+    assert by_rank[0].corpus_id == 2 and by_rank[0].cosine == pytest.approx(1.0)
+    # disjoint doc shares no terms -> absent entirely
+    assert all(r.corpus_id != 4 for r in out)
+
+
+def test_tfidf_cosine_df_cap_drops_stopwords(spark):
+    from moz_datapipeline_spark.operators.retrieval import tfidf_cosine_topk
+
+    df = spark.createDataFrame(
+        [
+            (1, "the unique1 word1"),
+            (2, "the unique1 word2"),
+            (3, "the other thing"),
+            (4, "the more stuff"),
+        ],
+        "doc_id long, text string",
+    )
+    # 'the' appears in 4/4 docs; cap 0.5 drops it, so doc 3/4 share
+    # nothing with doc 1
+    out = tfidf_cosine_topk(df, [1], k=4, max_df_ratio=0.5).collect()
+    assert {r.corpus_id for r in out} == {2}
+
+
+# --------------------------------------------------- equi-depth histogram
+
+def test_equi_depth_histogram_balanced(spark):
+    from moz_datapipeline_spark.operators.validation import (
+        equi_depth_histogram,
+    )
+
+    df = spark.createDataFrame([(float(i),) for i in range(80)], "x double")
+    bins = {r.bin_id: r for r in equi_depth_histogram(df, "x", 8).collect()}
+    assert len(bins) == 8
+    # perfectly divisible input -> 10 rows per bin
+    assert all(bins[b].n == 10 for b in range(8))
+    # bins tile the range in order
+    assert bins[0].bin_lo == 0.0 and bins[7].bin_hi == 79.0
+    with pytest.raises(ValueError):
+        equi_depth_histogram(df, "x", 1)
+
+
+# --------------------------------------------------- source overlap matrix
+
+def test_source_overlap_matrix_jaccard(spark):
+    from moz_datapipeline_spark.operators.corpus import source_overlap_matrix
+
+    text_a = "one two three four five six"      # grams: 1-5, 2-6
+    text_b = "one two three four five seven"    # grams: 1-5', 2-6'
+    df = spark.createDataFrame(
+        [
+            (1, "A", text_a),
+            (2, "B", text_a),                    # B identical to A
+            (3, "C", text_b),                    # C shares gram "one..five"
+            (4, "D", "short text"),              # no 5-grams
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = {
+        (r.source_a, r.source_b): r
+        for r in source_overlap_matrix(df, n=5).collect()
+    }
+    assert out[("A", "B")].jaccard == pytest.approx(1.0)
+    ac = out[("A", "C")]
+    assert ac.shared == 1 and ac.jaccard == pytest.approx(1 / 3, abs=1e-6)
+    assert not any("D" in k for k in out)
