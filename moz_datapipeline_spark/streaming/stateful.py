@@ -203,3 +203,85 @@ def ingest_dedup_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def hll_ingest_stream(
+    events_stream: DataFrame,
+    store_dir: str,
+    checkpoint_dir: str,
+    key_col: str,
+    group_cols: list[str] | None = None,
+    p: int = 10,
+):
+    """Continuous cardinality tracking: each micro-batch's HLL
+    registers (``operators.sketches.hll_registers``) APPEND to a
+    parquet register store; estimates merge-on-read.
+
+    Why append-only works: HLL merge is max-per-bucket — associative,
+    commutative, IDEMPOTENT — so a micro-batch replayed after a crash
+    appends duplicate register rows that change nothing once
+    ``hll_store_estimate`` folds the store with ``max``.  Exactly-once
+    accounting comes from the sketch algebra, not sink bookkeeping
+    (the same argument as ``ingest_dedup_stream``'s self-match
+    idempotence).  Per batch the append is ≤ |groups|·2^p rows — the
+    store grows with batch COUNT, not data volume; run
+    ``compact_hll_store`` periodically to fold history back to one
+    register row per (group, bucket).
+
+    Returns the started StreamingQuery.
+    """
+    from moz_datapipeline_spark.operators.sketches import hll_registers
+
+    def upd(batch_df: DataFrame, _batch_id: int) -> None:
+        regs = hll_registers(batch_df, key_col, group_cols, p)
+        regs.coalesce(1).write.mode("append").parquet(store_dir)
+
+    return (
+        events_stream.writeStream.foreachBatch(upd)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def hll_store_estimate(
+    spark,
+    store_dir: str,
+    group_cols: list[str] | None = None,
+    p: int = 10,
+) -> DataFrame:
+    """Merge-on-read estimate over an ``hll_ingest_stream`` store:
+    fold appended register rows with per-bucket max, then the standard
+    estimator.  One scan of the (small) register store."""
+    from moz_datapipeline_spark.operators.sketches import hll_estimate
+
+    gc = group_cols or []
+    regs = (
+        spark.read.parquet(store_dir)
+        .groupBy(*gc, "bucket")
+        .agg(F.max("max_rho").alias("max_rho"))
+    )
+    return hll_estimate(regs, gc, p)
+
+
+def compact_hll_store(
+    spark,
+    store_dir: str,
+    group_cols: list[str] | None = None,
+) -> None:
+    """Fold append debris to one register row per (group, bucket) and
+    rewrite the store.  NOT transactional (same caveat as
+    ``incremental.compact_signature_store``): run while no ingest is
+    active.  Estimates before and after are identical — max-folding is
+    exactly what the reader does anyway."""
+    from moz_datapipeline_spark.operators.incremental import _swap_dirs
+
+    gc = group_cols or []
+    merged = (
+        spark.read.parquet(store_dir)
+        .groupBy(*gc, "bucket")
+        .agg(F.max("max_rho").alias("max_rho"))
+    )
+    tmp = f"{store_dir}_compacting"
+    merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+    _swap_dirs(spark, tmp, store_dir)

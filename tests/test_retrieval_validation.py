@@ -360,3 +360,49 @@ def test_source_overlap_matrix_jaccard(spark):
     ac = out[("A", "C")]
     assert ac.shared == 1 and ac.jaccard == pytest.approx(1 / 3, abs=1e-6)
     assert not any("D" in k for k in out)
+
+
+# --------------------------------------------------------- streaming HLL
+
+def test_hll_ingest_stream_idempotent_restart(spark, tmp_path):
+    """Streamed register appends + merge-on-read estimate; a replayed
+    run with the same checkpoint adds nothing; compaction preserves
+    the estimate while folding files."""
+    import json as _json
+
+    from moz_datapipeline_spark.streaming.stateful import (
+        compact_hll_store,
+        hll_ingest_stream,
+        hll_store_estimate,
+    )
+    from moz_datapipeline_spark.operators.sketches import hll_distinct
+
+    src = tmp_path / "in"
+    src.mkdir()
+    for b in range(3):
+        with open(src / f"b{b}.json", "w") as f:
+            for i in range(400):
+                f.write(_json.dumps({"k": (b * 250 + i) % 900}) + "\n")
+
+    stream = spark.readStream.schema("k long").json(str(src))
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    q = hll_ingest_stream(stream, store, ckpt, "k", p=10)
+    q.awaitTermination(120)
+
+    est = hll_store_estimate(spark, store, p=10).collect()[0].est_distinct
+    batch = spark.read.json(str(src), schema="k long")
+    want = hll_distinct(batch, "k", p=10).collect()[0].est_distinct
+    assert est == want  # merge-on-read == one-shot sketch, exactly
+
+    # restart with same checkpoint: availableNow sees no new files
+    q2 = hll_ingest_stream(
+        spark.readStream.schema("k long").json(str(src)), store, ckpt, "k", p=10
+    )
+    q2.awaitTermination(120)
+    est2 = hll_store_estimate(spark, store, p=10).collect()[0].est_distinct
+    assert est2 == est
+
+    compact_hll_store(spark, store)
+    est3 = hll_store_estimate(spark, store, p=10).collect()[0].est_distinct
+    assert est3 == est
