@@ -3731,6 +3731,38 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_overlap_matrix(d, n=5)
 
 
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorize l_extendedprice at the exact 1st/99th percentiles:
+    1-row bounds aggregate broadcast back, pure-projection clip
+    (operators/validation.winsorize)."""
+    from moz_datapipeline_spark.operators.validation import winsorize
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = winsorize(li, "l_extendedprice", 0.01, 0.99)
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_extendedprice_wins",
+        "was_clipped",
+    )
+
+
+def q_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/IQR standardization of l_extendedprice per return flag
+    (operators/validation.robust_scale): per-group exact percentiles
+    broadcast back, projection-only scaling."""
+    from moz_datapipeline_spark.operators.validation import robust_scale
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = robust_scale(li, "l_extendedprice", group_col="l_returnflag")
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        "l_extendedprice_scaled",
+    )
+
+
 def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling z-score anomaly flags over hourly event-value rollups
     (operators/temporal.rolling_zscore_anomalies): the window sort
@@ -3905,6 +3937,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "more_like_this": q_more_like_this,
         "depth_histogram": q_depth_histogram,
         "source_overlap": q_source_overlap,
+        "winsorize": q_winsorize,
+        "robust_scale": q_robust_scale,
     }
 
 
@@ -7206,6 +7240,39 @@ FROM eaul_calc
                  ) AS INTEGER) AS rank
           FROM scored
         ) WHERE rank <= 5
+    """
+
+    sql["winsorize"] = """
+        WITH b AS (
+          SELECT quantile_cont(l_extendedprice, 0.01) AS wlo,
+                 quantile_cont(l_extendedprice, 0.99) AS whi
+          FROM lineitem
+        )
+        SELECT l_orderkey, l_linenumber,
+               round(least(greatest(CAST(l_extendedprice AS DOUBLE), b.wlo),
+                           b.whi), 6) AS l_extendedprice_wins,
+               l_extendedprice IS NOT NULL
+                 AND (CAST(l_extendedprice AS DOUBLE) < b.wlo
+                      OR CAST(l_extendedprice AS DOUBLE) > b.whi)
+                 AS was_clipped
+        FROM lineitem CROSS JOIN b
+    """
+
+    sql["robust_scale"] = """
+        WITH s AS (
+          SELECT l_returnflag,
+                 quantile_cont(l_extendedprice, 0.5) AS med,
+                 quantile_cont(l_extendedprice, 0.25) AS p25,
+                 quantile_cont(l_extendedprice, 0.75) AS p75
+          FROM lineitem GROUP BY 1
+        )
+        SELECT li.l_orderkey, li.l_linenumber, li.l_returnflag,
+               round(CASE WHEN s.p75 - s.p25 > 0
+                     THEN (CAST(li.l_extendedprice AS DOUBLE) - s.med)
+                          / (s.p75 - s.p25)
+                     ELSE CAST(0.0 AS DOUBLE) END, 6)
+                 AS l_extendedprice_scaled
+        FROM lineitem li JOIN s USING (l_returnflag)
     """
 
     sql["anomaly_zscore"] = """

@@ -149,6 +149,8 @@ HEADLINE = [
     "more_like_this",
     "depth_histogram",
     "source_overlap",
+    "winsorize",
+    "robust_scale",
     # incremental_dedup is oracle-checked but not benched here: a tiny
     # two-batch ingest is dominated by store round-trips and component
     # rounds (fixed job overhead, not operator throughput) — its scale

@@ -285,3 +285,76 @@ def equi_depth_histogram(
             F.count("*").alias("n"),
         )
     )
+
+
+def winsorize(
+    df: DataFrame,
+    column: str,
+    lower: float = 0.01,
+    upper: float = 0.99,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Clip ``column`` to its exact [``lower``, ``upper``] percentiles
+    (outlier capping before scaling/training).
+
+    One exact-percentile aggregate produces the two clip bounds (1 row,
+    broadcast back via cross join); the clip itself is a pure
+    projection.  Same scale posture as ``equi_depth_histogram``: swap
+    ``percentile`` for ``approx_percentile`` past ~1e8 rows per
+    aggregate, downstream unchanged.  Adds ``out_col`` (default
+    ``<column>_wins``) plus a ``was_clipped`` flag.
+    """
+    if not (0.0 <= lower < upper <= 1.0):
+        raise ValueError("winsorize: need 0 <= lower < upper <= 1")
+    col = F.col(column).cast("double")
+    out_col = out_col or f"{column}_wins"
+    bounds = df.agg(
+        F.expr(f"percentile({column}, {lower!r})").alias("_wlo"),
+        F.expr(f"percentile({column}, {upper!r})").alias("_whi"),
+    )
+    clipped = F.least(F.greatest(col, F.col("_wlo")), F.col("_whi"))
+    return (
+        df.join(F.broadcast(bounds))
+        .withColumn(out_col, F.round(clipped, 6))
+        .withColumn(
+            "was_clipped",
+            col.isNotNull() & ((col < F.col("_wlo")) | (col > F.col("_whi"))),
+        )
+        .drop("_wlo", "_whi")
+    )
+
+
+def robust_scale(
+    df: DataFrame,
+    column: str,
+    group_col: str | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Median/IQR standardization: ``(x − median) / (p75 − p25)`` —
+    the outlier-insensitive cousin of z-scoring, per group when
+    ``group_col`` is given.
+
+    One exact-percentile aggregate per group (|groups| rows, broadcast
+    joined back), then a pure projection.  Zero-IQR groups (constant
+    values) scale to 0.0 by convention rather than NULL-propagating.
+    """
+    col = F.col(column).cast("double")
+    out_col = out_col or f"{column}_scaled"
+    gb = df.groupBy(group_col) if group_col else df.groupBy()
+    stats = gb.agg(
+        F.expr(f"percentile({column}, 0.5)").alias("_med"),
+        F.expr(f"percentile({column}, 0.25)").alias("_p25"),
+        F.expr(f"percentile({column}, 0.75)").alias("_p75"),
+    )
+    joined = (
+        df.join(F.broadcast(stats), on=group_col)
+        if group_col
+        else df.join(F.broadcast(stats))
+    )
+    iqr = F.col("_p75") - F.col("_p25")
+    scaled = F.when(iqr > 0, (col - F.col("_med")) / iqr).otherwise(
+        F.lit(0.0)
+    )
+    return joined.withColumn(out_col, F.round(scaled, 6)).drop(
+        "_med", "_p25", "_p75"
+    )

@@ -406,3 +406,38 @@ def test_hll_ingest_stream_idempotent_restart(spark, tmp_path):
     compact_hll_store(spark, store)
     est3 = hll_store_estimate(spark, store, p=10).collect()[0].est_distinct
     assert est3 == est
+
+
+# ------------------------------------------------------ winsorize / robust
+
+def test_winsorize_clips_tails(spark):
+    from moz_datapipeline_spark.operators.validation import winsorize
+
+    df = spark.createDataFrame(
+        [(float(i),) for i in range(1, 100)] + [(10_000.0,)], "x double"
+    )
+    out = winsorize(df, "x", 0.05, 0.95)
+    rows = out.collect()
+    clipped = [r for r in rows if r.was_clipped]
+    assert any(r.x == 10_000.0 for r in clipped)
+    hi = max(r.x_wins for r in rows)
+    lo = min(r.x_wins for r in rows)
+    assert hi < 10_000.0 and lo > 1.0
+    with pytest.raises(ValueError):
+        winsorize(df, "x", 0.9, 0.1)
+
+
+def test_robust_scale_median_zero_and_constant_group(spark):
+    from moz_datapipeline_spark.operators.validation import robust_scale
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0), ("a", 5.0),
+         ("b", 7.0), ("b", 7.0)],
+        "g string, x double",
+    )
+    out = {(r.g, r.x): r.x_scaled for r in robust_scale(df, "x", "g").collect()}
+    # group a: median 3, IQR = 4 - 2 = 2
+    assert out[("a", 3.0)] == 0.0
+    assert out[("a", 5.0)] == pytest.approx(1.0)
+    # constant group: IQR 0 -> 0.0 by convention
+    assert out[("b", 7.0)] == 0.0
