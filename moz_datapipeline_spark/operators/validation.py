@@ -134,7 +134,7 @@ def validate(df: DataFrame, checks: Sequence[Check]) -> DataFrame:
             metric = F.when(n > 0, m / n).otherwise(1.0)
             passed = metric == 1.0
         reports.append(
-            row.select(
+            F.struct(
                 F.lit(i).alias("check_id"),
                 F.lit(c.kind).alias("kind"),
                 F.lit(c.column).alias("column"),
@@ -145,10 +145,13 @@ def validate(df: DataFrame, checks: Sequence[Check]) -> DataFrame:
                 passed.alias("passed"),
             )
         )
-    out = reports[0]
-    for r in reports[1:]:
-        out = out.unionByName(r)
-    return out
+    # ONE aggregated row exploded into the report — a per-check
+    # select+union would re-execute the aggregate (and rescan the
+    # input) once per branch; plan-asserted single scan in
+    # test_plan_shape.
+    return row.select(
+        F.explode(F.array(*reports)).alias("_r")
+    ).select("_r.*")
 
 
 def profile_columns(df: DataFrame, columns: Sequence[str]) -> DataFrame:
@@ -185,7 +188,7 @@ def profile_columns(df: DataFrame, columns: Sequence[str]) -> DataFrame:
             else F.lit(None).cast("double")
         )
         parts.append(
-            row.select(
+            F.struct(
                 F.lit(c).alias("column"),
                 F.col("_n").alias("n_rows"),
                 F.col(f"_null_{c}").alias("n_nulls"),
@@ -195,10 +198,11 @@ def profile_columns(df: DataFrame, columns: Sequence[str]) -> DataFrame:
                 mean.alias("mean_val"),
             )
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    # same single-scan explode as validate(): one aggregate row fans
+    # out to one report row per column with no plan duplication
+    return row.select(
+        F.explode(F.array(*parts)).alias("_r")
+    ).select("_r.*")
 
 
 def equi_width_histogram(

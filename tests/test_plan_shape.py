@@ -421,3 +421,65 @@ def test_curation_pipeline_no_python_and_broadcast_decontam(spark, sf_dir):
     plan = _plan(entry_mod.q_curation_pipeline(spark, sf_dir))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_bm25_broadcasts_stats_and_df(spark, sf_dir):
+    plan = _plan(entry_mod.q_bm25_topk(spark, sf_dir))
+    # df table + 1-row corpus stats both broadcast; top-k is
+    # TakeOrderedAndProject (partial per-partition top-k), never a
+    # global Sort
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "BroadcastNestedLoopJoin" in plan or plan.count("BroadcastHashJoin") >= 2
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_char_entropy_is_pure_projection(spark, sf_dir):
+    plan = _plan(entry_mod.q_char_entropy(spark, sf_dir))
+    # per-row HOF fold: no exchange, no Python, no aggregate
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+    assert "HashAggregate" not in plan and "SortAggregate" not in plan
+
+
+def test_validate_is_single_aggregate_pass(spark, sf_dir):
+    plan = _plan(entry_mod.q_validate_constraints(spark, sf_dir))
+    # the 8-constraint suite compiles to ONE scan of orders: the
+    # report fans out (Generate/explode) from a single aggregated row
+    # ("Location:" appears once per distinct scan in formatted plans)
+    assert plan.count("Location:") == 1
+    assert "Generate" in plan
+
+
+def test_histograms_bucket_with_broadcast_bounds(spark, sf_dir):
+    for q in (entry_mod.q_value_histogram, entry_mod.q_depth_histogram):
+        plan = _plan(q(spark, sf_dir))
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+        assert "SortMergeJoin" not in plan
+
+
+def test_winsorize_broadcasts_bounds_no_python(spark, sf_dir):
+    plan = _plan(entry_mod.q_winsorize(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "Python" not in plan
+
+
+def test_anomaly_window_runs_over_rollup_not_raw(spark, sf_dir):
+    plan = _plan(entry_mod.q_anomaly_zscore(spark, sf_dir))
+    # the window sort consumes the hourly aggregate, so a partial
+    # (map-side) aggregation must appear below the Window
+    assert "Window" in plan
+    assert "partial" in plan.lower()
+
+
+def test_posting_store_probe_prunes_partitions(spark, sf_dir):
+    df = entry_mod.q_posting_store_search(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "tb" in plan.split("PartitionFilters", 1)[1].split("\n", 1)[0]
+
+
+def test_profile_is_single_aggregate_pass(spark, sf_dir):
+    plan = _plan(entry_mod.q_profile_columns(spark, sf_dir))
+    assert plan.count("Location:") == 1
+    assert "Generate" in plan
