@@ -3448,6 +3448,23 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_score(d, bi, ctx, vocab, buckets=(3.38, 3.45))
 
 
+def q_lm_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jelinek–Mercer interpolated trigram LM (operators/lm.py
+    lm_score_trigram): three hash-agg count tables trained on the
+    English slice, scored with four broadcast left joins + one
+    per-doc aggregation.  VALUE oracle: the full train+score replay
+    in DuckDB (same tokenisation, same λ=0.6/0.3/0.1, add-0.1
+    unigram floor)."""
+    from moz_datapipeline_spark.operators.lm import (
+        lm_score_trigram,
+        train_trigram_lm,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    tri, bi, uni, totals = train_trigram_lm(d.filter(F.col("lang") == "en"))
+    return lm_score_trigram(d, tri, bi, uni, totals)
+
+
 def q_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-mixture resampling: rebalance three sources to 50/25/25
     target weights, keeping the maximum corpus that matches the mixture
@@ -3939,6 +3956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap": q_source_overlap,
         "winsorize": q_winsorize,
         "robust_scale": q_robust_scale,
+        "lm_trigram": q_lm_trigram,
     }
 
 
@@ -7240,6 +7258,71 @@ FROM eaul_calc
                  ) AS INTEGER) AS rank
           FROM scored
         ) WHERE rank <= 5
+    """
+
+    sql["lm_trigram"] = """
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split(text, ' '), t -> t <> '') AS t
+          FROM documents
+        ), ref AS (
+          SELECT t.t FROM toks t
+          JOIN documents d USING (doc_id) WHERE d.lang = 'en'
+        ), tri AS (
+          SELECT t[i] AS w1, t[i+1] AS w2, t[i+2] AS w3,
+                 CAST(count(*) AS BIGINT) AS c3
+          FROM (SELECT t, unnest(range(1, greatest(len(t) - 1, 1))) AS i
+                FROM ref)
+          WHERE i + 2 <= len(t)
+          GROUP BY 1, 2, 3
+        ), bi AS (
+          SELECT t[i] AS w1, t[i+1] AS w2,
+                 CAST(count(*) AS BIGINT) AS c2
+          FROM (SELECT t, unnest(range(1, greatest(len(t), 1))) AS i
+                FROM ref)
+          WHERE i + 1 <= len(t)
+          GROUP BY 1, 2
+        ), uni AS (
+          SELECT w, CAST(count(*) AS BIGINT) AS c1
+          FROM (SELECT unnest(t) AS w FROM ref) GROUP BY 1
+        ), tot AS (
+          SELECT CAST(sum(c1) AS DOUBLE) AS n_tokens,
+                 CAST(count(*) AS DOUBLE) AS v
+          FROM uni
+        ), ev AS (
+          SELECT doc_id, t[i] AS w1, t[i+1] AS w2, t[i+2] AS w3
+          FROM (SELECT doc_id, t,
+                       unnest(range(1, greatest(len(t) - 1, 1))) AS i
+                FROM toks)
+          WHERE i + 2 <= len(t)
+        ), scored AS (
+          SELECT ev.doc_id,
+                 -ln(
+                   CAST(0.6 AS DOUBLE)
+                     * coalesce(CAST(tri.c3 AS DOUBLE) / b12.c2, CAST(0.0 AS DOUBLE))
+                   + CAST(0.3 AS DOUBLE)
+                     * coalesce(CAST(b23.c2 AS DOUBLE) / u2.c1, CAST(0.0 AS DOUBLE))
+                   + CAST(0.1 AS DOUBLE)
+                     * (coalesce(u3.c1, 0) + CAST(0.1 AS DOUBLE))
+                     / (tot.n_tokens + CAST(0.1 AS DOUBLE) * tot.v)
+                 ) AS nll
+          FROM ev
+          LEFT JOIN tri ON tri.w1 = ev.w1 AND tri.w2 = ev.w2 AND tri.w3 = ev.w3
+          LEFT JOIN bi b12 ON b12.w1 = ev.w1 AND b12.w2 = ev.w2
+          LEFT JOIN bi b23 ON b23.w1 = ev.w2 AND b23.w2 = ev.w3
+          LEFT JOIN uni u2 ON u2.w = ev.w2
+          LEFT JOIN uni u3 ON u3.w = ev.w3
+          CROSS JOIN tot
+        ), per_doc AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+                 avg(nll) AS h
+          FROM scored GROUP BY 1
+        )
+        SELECT d.doc_id,
+               coalesce(p.n_trigrams, 0) AS n_trigrams,
+               round(p.h, 6) AS cross_entropy,
+               round(exp(p.h), 6) AS perplexity
+        FROM documents d LEFT JOIN per_doc p USING (doc_id)
     """
 
     sql["winsorize"] = """

@@ -151,6 +151,7 @@ HEADLINE = [
     "source_overlap",
     "winsorize",
     "robust_scale",
+    "lm_trigram",
     # incremental_dedup is oracle-checked but not benched here: a tiny
     # two-batch ingest is dominated by store round-trips and component
     # rounds (fixed job overhead, not operator throughput) — its scale

@@ -144,3 +144,152 @@ def lm_score(
             .alias("lm_bucket"),
         )
     )
+
+
+def _trigram_rows(df: DataFrame, id_cols: list[str], text_col: str) -> DataFrame:
+    """One row per adjacent token triple (JVM-side; bound-array rule
+    as in ``_bigrams`` — element_at lambdas must reference a bound
+    column or the pass goes quadratic)."""
+    with_t = df.select(*id_cols, tokens(text_col).alias("_t"))
+    t = F.col("_t")
+    tris = F.transform(
+        F.slice(t, 1, F.greatest(F.size(t) - 2, F.lit(0))),
+        lambda w, i: F.struct(
+            w.alias("w1"),
+            F.element_at(t, i + 2).alias("w2"),
+            F.element_at(t, i + 3).alias("w3"),
+        ),
+    )
+    return with_t.select(
+        *id_cols, F.explode(tris).alias("tg")
+    ).select(
+        *id_cols,
+        F.col("tg.w1").alias("w1"),
+        F.col("tg.w2").alias("w2"),
+        F.col("tg.w3").alias("w3"),
+    )
+
+
+def train_trigram_lm(
+    ref: DataFrame, text_col: str = "text"
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """Interpolated-trigram model state: ``(tri_counts(w1,w2,w3,c3),
+    bigram_counts(w1,w2,c2), unigram_counts(w,c1), totals(n_tokens,
+    v))`` — three hash aggregations plus a 1-row totals frame, all
+    map-side-combined, nothing collected.  Model size is O(distinct
+    n-grams) of the (bounded, CCNet-style) reference corpus — the
+    broadcast small side at scoring time."""
+    tri = (
+        _trigram_rows(ref, [], text_col)
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).alias("c3"))
+    )
+    bi = (
+        _bigram_pairs(ref, [], text_col)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    uni = (
+        ref.select(F.explode(tokens(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    totals = uni.agg(
+        F.sum("c1").cast("double").alias("n_tokens"),
+        F.count(F.lit(1)).cast("double").alias("v"),
+    )
+    return tri, bi, uni, totals
+
+
+def lm_score_trigram(
+    docs: DataFrame,
+    tri_counts: DataFrame,
+    bigram_counts: DataFrame,
+    unigram_counts: DataFrame,
+    totals: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lambdas: tuple[float, float, float] = (0.6, 0.3, 0.1),
+    add_k: float = 0.1,
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """Jelinek–Mercer interpolated trigram cross-entropy:
+
+        p(w3|w1,w2) = λ3·c(w1w2w3)/c(w1w2)
+                    + λ2·c(w2w3)/c(w2)
+                    + λ1·(c(w3)+k)/(N+kV)
+
+    Unseen higher-order contexts contribute 0 to their term (the
+    interpolation backbone); the add-k unigram floor keeps p > 0 for
+    out-of-vocabulary tokens, so log p is always finite.  Returns
+    ``(id, n_trigrams, cross_entropy, perplexity)`` with docs shorter
+    than 3 tokens surviving as NULL scores.
+
+    Plan: one explode of evaluation trigrams, four broadcast left
+    equi joins against the model tables + the 1-row totals, one
+    per-doc aggregation — same shape as the bigram ``lm_score``, one
+    extra join.
+    """
+    l3, l2, l1 = (float(x) for x in lambdas)
+    k = float(add_k)
+    maybe_b = F.broadcast if broadcast_model else (lambda d: d)
+    tri = maybe_b(tri_counts)
+    bi2 = maybe_b(bigram_counts)
+    uni = maybe_b(unigram_counts)
+
+    ev = _trigram_rows(docs, [id_col], text_col)
+    joined = (
+        ev.join(tri, ["w1", "w2", "w3"], "left")
+        .join(bi2.withColumnRenamed("c2", "_c_ctx2"), ["w1", "w2"], "left")
+        .join(
+            bi2.select(
+                F.col("w1").alias("w2"),
+                F.col("w2").alias("w3"),
+                F.col("c2").alias("_c_bi23"),
+            ),
+            ["w2", "w3"],
+            "left",
+        )
+        .join(
+            uni.select(F.col("w").alias("w2"), F.col("c1").alias("_c_w2")),
+            ["w2"],
+            "left",
+        )
+        .join(
+            uni.select(F.col("w").alias("w3"), F.col("c1").alias("_c_w3")),
+            ["w3"],
+            "left",
+        )
+        .join(F.broadcast(totals))
+    )
+    p = (
+        F.lit(l3)
+        * F.coalesce(
+            F.col("c3").cast("double") / F.col("_c_ctx2"), F.lit(0.0)
+        )
+        + F.lit(l2)
+        * F.coalesce(
+            F.col("_c_bi23").cast("double") / F.col("_c_w2"), F.lit(0.0)
+        )
+        + F.lit(l1)
+        * (F.coalesce(F.col("_c_w3"), F.lit(0)).cast("double") + F.lit(k))
+        / (F.col("n_tokens") + F.lit(k) * F.col("v"))
+    )
+    per_doc = (
+        joined.select(id_col, (-F.log(p)).alias("_nll"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.avg("_nll").alias("_h"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(per_doc, [id_col], "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_trigrams"), F.lit(0)).alias("n_trigrams"),
+            F.round(F.col("_h"), 6).alias("cross_entropy"),
+            F.round(F.exp(F.col("_h")), 6).alias("perplexity"),
+        )
+    )

@@ -441,3 +441,54 @@ def test_robust_scale_median_zero_and_constant_group(spark):
     assert out[("a", 5.0)] == pytest.approx(1.0)
     # constant group: IQR 0 -> 0.0 by convention
     assert out[("b", 7.0)] == 0.0
+
+
+# ------------------------------------------------------- trigram LM
+
+def test_lm_trigram_matches_python_reference(spark):
+    import math
+
+    from moz_datapipeline_spark.operators.lm import (
+        lm_score_trigram,
+        train_trigram_lm,
+    )
+
+    ref_texts = ["a b c a b c", "a b d"]
+    eval_texts = [(1, "a b c"), (2, "a b x"), (3, "zz"), (4, None)]
+    ref = spark.createDataFrame([(t,) for t in ref_texts], "text string")
+    docs = spark.createDataFrame(eval_texts, "doc_id long, text string")
+    tri, bi, uni, tot = train_trigram_lm(ref)
+    got = {r.doc_id: r for r in lm_score_trigram(docs, tri, bi, uni, tot).collect()}
+
+    # python reference
+    def toks(s):
+        return [w for w in s.split(" ") if w]
+
+    tri_c, bi_c, uni_c = {}, {}, {}
+    for t in ref_texts:
+        ws = toks(t)
+        for i in range(len(ws) - 2):
+            tri_c[tuple(ws[i:i+3])] = tri_c.get(tuple(ws[i:i+3]), 0) + 1
+        for i in range(len(ws) - 1):
+            bi_c[tuple(ws[i:i+2])] = bi_c.get(tuple(ws[i:i+2]), 0) + 1
+        for w in ws:
+            uni_c[w] = uni_c.get(w, 0) + 1
+    n_tok, v = sum(uni_c.values()), len(uni_c)
+
+    def p(w1, w2, w3):
+        t3 = tri_c.get((w1, w2, w3), 0) / bi_c[(w1, w2)] if (w1, w2) in bi_c else 0.0
+        t2 = bi_c.get((w2, w3), 0) / uni_c[w2] if w2 in uni_c else 0.0
+        t1 = (uni_c.get(w3, 0) + 0.1) / (n_tok + 0.1 * v)
+        return 0.6 * t3 + 0.3 * t2 + 0.1 * t1
+
+    # doc 1: "a b c" -> one trigram seen in training
+    want_h1 = -math.log(p("a", "b", "c"))
+    assert got[1].n_trigrams == 1
+    assert got[1].cross_entropy == pytest.approx(want_h1, abs=1e-6)
+    # doc 2 ends with OOV token x: unigram floor keeps p finite
+    want_h2 = -math.log(p("a", "b", "x"))
+    assert got[2].cross_entropy == pytest.approx(want_h2, abs=1e-6)
+    assert got[2].cross_entropy > got[1].cross_entropy
+    # short and NULL docs survive with NULL scores
+    assert got[3].n_trigrams == 0 and got[3].cross_entropy is None
+    assert got[4].n_trigrams == 0 and got[4].cross_entropy is None
