@@ -3465,6 +3465,24 @@ def q_lm_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_score_trigram(d, tri, bi, uni, totals)
 
 
+def q_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact global rank + percent-rank (CDF) of every lineitem by
+    extended price — two-phase distributed prefix rank, never a
+    single-partition global window (operators/ranges.global_rank)."""
+    from moz_datapipeline_spark.operators.ranges import global_rank
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    out = global_rank(
+        li, "l_extendedprice", ["l_orderkey", "l_linenumber"]
+    )
+    return out.select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "rank",
+        "percent_rank",
+    )
+
+
 def q_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-mixture resampling: rebalance three sources to 50/25/25
     target weights, keeping the maximum corpus that matches the mixture
@@ -3957,6 +3975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorize": q_winsorize,
         "robust_scale": q_robust_scale,
         "lm_trigram": q_lm_trigram,
+        "global_rank": q_global_rank,
     }
 
 
@@ -7258,6 +7277,24 @@ FROM eaul_calc
                  ) AS INTEGER) AS rank
           FROM scored
         ) WHERE rank <= 5
+    """
+
+    sql["global_rank"] = """
+        WITH ranked AS (
+          SELECT l_orderkey, l_linenumber, l_extendedprice,
+                 CAST(row_number() OVER (
+                   ORDER BY l_extendedprice ASC, l_orderkey ASC,
+                            l_linenumber ASC
+                 ) AS BIGINT) AS rank,
+                 CAST(count(*) OVER () AS BIGINT) AS n
+          FROM lineitem
+        )
+        SELECT l_orderkey, l_linenumber, l_extendedprice, rank,
+               CASE WHEN n > 1
+                    THEN round(CAST(rank - 1 AS DOUBLE)
+                               / CAST(n - 1 AS DOUBLE), 6)
+                    ELSE CAST(0.0 AS DOUBLE) END AS percent_rank
+        FROM ranked
     """
 
     sql["lm_trigram"] = """

@@ -37,3 +37,37 @@ def test_bucketed_range_join_boundaries(spark):
     intervals = spark.createDataFrame([(1, 10.0, 20.0)], "iid int, lo double, hi double")
     out = bucketed_range_join(points, intervals, "p", "lo", "hi", 10.0).toPandas()
     assert sorted(out["pid"]) == [1, 3]  # 20.0 excluded (hi), 10.0 included (lo)
+
+
+def test_global_rank_matches_sorted_order(spark):
+    from moz_datapipeline_spark.operators.ranges import global_rank
+
+    rows = [(i, float((i * 37) % 100)) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, x double").repartition(13)
+    out = global_rank(df, "x", ["id"]).collect()
+    want = sorted(rows, key=lambda r: (r[1], r[0]))
+    got = sorted(out, key=lambda r: r.rank)
+    assert [(r.id, r.x) for r in got] == want
+    assert [r.rank for r in got] == list(range(1, 501))
+    # exact CDF endpoints
+    assert got[0].percent_rank == 0.0 and got[-1].percent_rank == 1.0
+    # ranks are partitioning-invariant
+    out2 = global_rank(df.repartition(3), "x", ["id"]).collect()
+    assert sorted((r.id, r.rank) for r in out2) == sorted(
+        (r.id, r.rank) for r in out
+    )
+
+
+def test_global_rank_descending_and_single_row(spark):
+    import pytest as _pytest
+
+    from moz_datapipeline_spark.operators.ranges import global_rank
+
+    df = spark.createDataFrame([(1, 5.0), (2, 9.0)], "id long, x double")
+    out = {r.id: r.rank for r in global_rank(df, "x", ["id"], ascending=False).collect()}
+    assert out == {2: 1, 1: 2}
+    one = spark.createDataFrame([(1, 5.0)], "id long, x double")
+    r = global_rank(one, "x", ["id"]).collect()[0]
+    assert r.rank == 1 and r.percent_rank == 0.0
+    with _pytest.raises(ValueError):
+        global_rank(df, "x", [])
