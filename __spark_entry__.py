@@ -3465,6 +3465,16 @@ def q_lm_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_score_trigram(d, tri, bi, uni, totals)
 
 
+def q_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source trigram diversity (distinct/total ngram ratio) —
+    the feed-level self-repetition metric
+    (operators/corpus.ngram_diversity)."""
+    from moz_datapipeline_spark.operators.corpus import ngram_diversity
+
+    d = _t(spark, sf_dir, "documents")
+    return ngram_diversity(d, n=3)
+
+
 def q_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact global rank + percent-rank (CDF) of every lineitem by
     extended price — two-phase distributed prefix rank, never a
@@ -3976,6 +3986,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robust_scale": q_robust_scale,
         "lm_trigram": q_lm_trigram,
         "global_rank": q_global_rank,
+        "ngram_diversity": q_ngram_diversity,
     }
 
 
@@ -7277,6 +7288,28 @@ FROM eaul_calc
                  ) AS INTEGER) AS rank
           FROM scored
         ) WHERE rank <= 5
+    """
+
+    sql["ngram_diversity"] = """
+        WITH toks AS (
+          SELECT source,
+                 list_filter(string_split(text, ' '), t -> t <> '') AS t
+          FROM documents WHERE text IS NOT NULL
+        ), grams AS (
+          SELECT source, array_to_string(t[i:i+2], ' ') AS gram
+          FROM (SELECT source, t,
+                       unnest(range(1, greatest(len(t) - 3 + 2, 1))) AS i
+                FROM toks)
+          WHERE len(t) >= 3
+        ), counts AS (
+          SELECT source, gram, count(*) AS c FROM grams GROUP BY 1, 2
+        )
+        SELECT source,
+               CAST(sum(c) AS BIGINT) AS total_ngrams,
+               CAST(count(*) AS BIGINT) AS distinct_ngrams,
+               round(CAST(count(*) AS BIGINT) / CAST(sum(c) AS BIGINT), 6)
+                 AS diversity
+        FROM counts GROUP BY 1
     """
 
     sql["global_rank"] = """

@@ -153,6 +153,7 @@ HEADLINE = [
     "robust_scale",
     "lm_trigram",
     "global_rank",
+    "ngram_diversity",
     # incremental_dedup is oracle-checked but not benched here: a tiny
     # two-batch ingest is dominated by store round-trips and component
     # rounds (fixed job overhead, not operator throughput) — its scale

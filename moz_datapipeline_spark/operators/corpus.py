@@ -1301,3 +1301,53 @@ def source_overlap_matrix(
             ).alias("jaccard"),
         )
     )
+
+
+def ngram_diversity(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Corpus-level n-gram diversity per group: ``(group, total_ngrams,
+    distinct_ngrams, diversity)`` with diversity = distinct/total —
+    the self-repetition metric (1.0 = never repeats an n-gram; low
+    values = template/boilerplate-heavy feeds).  Complements
+    ``repetition_stats`` (within-document) at feed granularity.
+
+    One explode + one two-level hash aggregate: (group, gram) counts
+    collapse map-side, then |groups| rows of totals.  No pair joins,
+    no distinct over raw grams (the count table IS the distinct set).
+    """
+    toks = tokens(text_col)
+    grams = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(group_col).alias("grp"),
+            F.explode(
+                F.transform(
+                    F.sequence(
+                        F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))
+                    ),
+                    lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+                )
+            ).alias("gram"),
+        )
+        .filter(F.size(F.split(F.col("gram"), " ")) == n)
+    )
+    counts = grams.groupBy("grp", "gram").agg(F.count("*").alias("c"))
+    return (
+        counts.groupBy("grp")
+        .agg(
+            F.sum("c").alias("total_ngrams"),
+            F.count("*").alias("distinct_ngrams"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "total_ngrams",
+            "distinct_ngrams",
+            F.round(
+                F.col("distinct_ngrams") / F.col("total_ngrams"), 6
+            ).alias("diversity"),
+        )
+    )

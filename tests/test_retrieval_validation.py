@@ -492,3 +492,22 @@ def test_lm_trigram_matches_python_reference(spark):
     # short and NULL docs survive with NULL scores
     assert got[3].n_trigrams == 0 and got[3].cross_entropy is None
     assert got[4].n_trigrams == 0 and got[4].cross_entropy is None
+
+
+def test_ngram_diversity_known_ratio(spark):
+    from moz_datapipeline_spark.operators.corpus import ngram_diversity
+
+    df = spark.createDataFrame(
+        [
+            (1, "A", "a b c a b c a b c"),  # trigram "a b c" repeats
+            (2, "B", "p q r s t"),          # all distinct
+            (3, "C", "xy"),                 # too short: no trigrams
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = {r.source: r for r in ngram_diversity(df, n=3).collect()}
+    a = out["A"]
+    assert a.total_ngrams == 7 and a.distinct_ngrams == 3
+    assert a.diversity == pytest.approx(3 / 7, abs=1e-6)
+    assert out["B"].diversity == 1.0
+    assert "C" not in out
