@@ -3475,6 +3475,25 @@ def q_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_diversity(d, n=3)
 
 
+def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA baseline per event type over hourly rollups
+    (operators/temporal.ewma_smooth): recursive scan via a pandas
+    kernel on the SMALL rollup — one of the few legitimate
+    Python-kernel operators (no window/HOF expresses a running fold).
+    VALUE oracle: DuckDB replays the recursion with list_reduce over
+    ordered prefixes."""
+    from moz_datapipeline_spark.operators.temporal import ewma_smooth
+
+    ev = _t(spark, sf_dir, "events")
+    out = ewma_smooth(ev, alpha=0.3)
+    return out.select(
+        "event_type",
+        F.unix_timestamp("bucket_ts").alias("hour_epoch"),
+        "metric",
+        "ewma",
+    )
+
+
 def q_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact global rank + percent-rank (CDF) of every lineitem by
     extended price — two-phase distributed prefix rank, never a
@@ -3987,6 +4006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_trigram": q_lm_trigram,
         "global_rank": q_global_rank,
         "ngram_diversity": q_ngram_diversity,
+        "ewma_smooth": q_ewma_smooth,
     }
 
 
@@ -7288,6 +7308,32 @@ FROM eaul_calc
                  ) AS INTEGER) AS rank
           FROM scored
         ) WHERE rank <= 5
+    """
+
+    sql["ewma_smooth"] = """
+        WITH rollup AS (
+          SELECT event_type AS grp,
+                 date_trunc('hour', ts) AS bucket_ts,
+                 sum(value) AS metric
+          FROM events GROUP BY 1, 2
+        ), g AS (
+          SELECT grp,
+                 list(CAST(metric AS DOUBLE) ORDER BY bucket_ts) AS xs,
+                 list(bucket_ts ORDER BY bucket_ts) AS tss
+          FROM rollup GROUP BY 1
+        ), sm AS (
+          SELECT grp, tss, xs,
+                 list_transform(generate_series(1, len(xs)), i ->
+                   list_reduce(xs[1:i], (acc, x) ->
+                     acc * CAST(0.7 AS DOUBLE) + x * CAST(0.3 AS DOUBLE))
+                 ) AS es
+          FROM g
+        )
+        SELECT grp AS event_type,
+               CAST(epoch(unnest(tss)) AS BIGINT) AS hour_epoch,
+               round(unnest(xs), 6) AS metric,
+               round(unnest(es), 6) AS ewma
+        FROM sm
     """
 
     sql["ngram_diversity"] = """

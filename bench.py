@@ -154,6 +154,7 @@ HEADLINE = [
     "lm_trigram",
     "global_rank",
     "ngram_diversity",
+    "ewma_smooth",
     # incremental_dedup is oracle-checked but not benched here: a tiny
     # two-batch ingest is dominated by store round-trips and component
     # rounds (fixed job overhead, not operator throughput) — its scale

@@ -139,3 +139,55 @@ def rolling_zscore_anomalies(
         F.round(z, 6).alias("zscore"),
         F.coalesce(F.abs(z) > threshold, F.lit(False)).alias("is_anomaly"),
     )
+
+
+def ewma_smooth(
+    events: DataFrame,
+    alpha: float = 0.3,
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+    value_col: str = "value",
+    bucket: str = "hour",
+) -> DataFrame:
+    """Exponentially-weighted moving average per group over bucketed
+    rollups: ``s_t = α·x_t + (1−α)·s_{t−1}`` (``s_1 = x_1``), the
+    standard smoother for dashboards/alerting baselines.  Returns
+    ``(group, bucket_ts, metric, ewma)``.
+
+    Design note: EWMA is a RECURSIVE scan — no Spark window or array
+    HOF expresses a running fold with per-element output — so this is
+    one of the few legitimate Pandas-kernel operators
+    (``applyInPandas`` per group, ``pandas .ewm(adjust=False)``, which
+    computes exactly that recursion in float64).  The kernel runs on
+    the ROLLUP (|groups|·|buckets| rows, built first with a map-side-
+    combined hash aggregate), never raw events, so the Python surface
+    is tiny at any corpus size; parallelism = |groups|, acceptable
+    because the rollup is small by construction.
+    """
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError("ewma_smooth: need 0 < alpha <= 1")
+    rollup = (
+        events.groupBy(
+            F.col(group_col).alias("grp"),
+            F.date_trunc(bucket, F.col(ts_col)).alias("bucket_ts"),
+        )
+        .agg(F.sum(value_col).alias("metric"))
+    )
+
+    a = float(alpha)
+
+    def kernel(pdf):
+        pdf = pdf.sort_values("bucket_ts").reset_index(drop=True)
+        pdf["ewma"] = (
+            pdf["metric"].ewm(alpha=a, adjust=False).mean().round(6)
+        )
+        pdf["metric"] = pdf["metric"].round(6)
+        return pdf
+
+    schema = (
+        "grp string, bucket_ts timestamp, metric double, ewma double"
+    )
+    out = rollup.groupBy("grp").applyInPandas(kernel, schema)
+    return out.select(
+        F.col("grp").alias(group_col), "bucket_ts", "metric", "ewma"
+    )

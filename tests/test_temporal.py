@@ -133,3 +133,25 @@ def test_asof_keys_isolated(spark):
     rows = {r["id"]: r["v_right"] for r in out.collect()}
     assert rows[1] == 5.0
     assert rows[2] is None  # other key never sees a's rows
+
+
+def test_ewma_smooth_matches_recursion(spark):
+    from datetime import datetime, timedelta
+
+    import pytest as _pytest
+
+    from moz_datapipeline_spark.operators.temporal import ewma_smooth
+
+    base = datetime(2024, 3, 1)
+    rows = [
+        (i, base + timedelta(hours=i), "m", float(v))
+        for i, v in enumerate([10.0, 20.0, 30.0, 40.0])
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    out = sorted(ewma_smooth(df, alpha=0.5).collect(), key=lambda r: r.bucket_ts)
+    # s: 10, 15, 22.5, 31.25
+    assert [r.ewma for r in out] == [10.0, 15.0, 22.5, 31.25]
+    with _pytest.raises(ValueError):
+        ewma_smooth(df, alpha=0.0)
