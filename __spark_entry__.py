@@ -3484,14 +3484,35 @@ def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordered prefixes."""
     from moz_datapipeline_spark.operators.temporal import ewma_smooth
 
-    ev = _t(spark, sf_dir, "events")
+    ev = _events(spark, sf_dir)
     out = ewma_smooth(ev, alpha=0.3)
     return out.select(
         "event_type",
-        F.unix_timestamp("bucket_ts").alias("hour_epoch"),
+        F.col("bucket_epoch").alias("hour_epoch"),
         "metric",
         "ewma",
     )
+
+
+def q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 within-session event sequences (operators/analytics.
+    top_event_paths): sessionize -> per-session sort_array collect ->
+    path-count hash aggregate -> TakeOrderedAndProject."""
+    from moz_datapipeline_spark.operators.analytics import top_event_paths
+
+    ev = _events(spark, sf_dir)
+    return top_event_paths(ev, k=20)
+
+
+def q_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining: top-20 co-purchased part pairs by
+    lift (operators/analytics.copurchase_lift) — equi self-join on the
+    basket key (fan-out bounded by basket width, never catalog²),
+    broadcast marginals."""
+    from moz_datapipeline_spark.operators.analytics import copurchase_lift
+
+    li = _t(spark, sf_dir, "lineitem")
+    return copurchase_lift(li, min_pair_count=2, k=20)
 
 
 def q_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3836,11 +3857,11 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         rolling_zscore_anomalies,
     )
 
-    ev = _t(spark, sf_dir, "events")
+    ev = _events(spark, sf_dir)
     out = rolling_zscore_anomalies(ev, window=24, threshold=3.0)
     return out.select(
         "event_type",
-        (F.unix_timestamp("bucket_ts")).alias("hour_epoch"),
+        F.col("bucket_epoch").alias("hour_epoch"),
         "metric",
         "mean_prev",
         "std_prev",
@@ -4007,6 +4028,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "global_rank": q_global_rank,
         "ngram_diversity": q_ngram_diversity,
         "ewma_smooth": q_ewma_smooth,
+        "event_paths": q_event_paths,
+        "copurchase_lift": q_copurchase_lift,
     }
 
 
@@ -7310,16 +7333,76 @@ FROM eaul_calc
         ) WHERE rank <= 5
     """
 
+    sql["event_paths"] = """
+        WITH gaps AS (
+          SELECT user_id, ts, event_id, event_type,
+                 lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+          FROM events
+        ), flagged AS (
+          SELECT user_id, ts, event_id, event_type,
+                 CASE WHEN prev_ts IS NULL
+                           OR epoch_ns(ts) - epoch_ns(prev_ts) > 1800000000000
+                      THEN 1 ELSE 0 END AS new_session
+          FROM gaps
+        ), sess AS (
+          SELECT user_id, ts, event_id, event_type,
+                 sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS session_id
+          FROM flagged
+        ), paths AS (
+          SELECT string_agg(event_type, ' > ' ORDER BY ts, event_id)
+                   AS path
+          FROM sess GROUP BY user_id, session_id
+        )
+        SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+        FROM paths GROUP BY 1
+        ORDER BY n_sessions DESC, path ASC
+        LIMIT 20
+    """
+
+    sql["copurchase_lift"] = """
+        WITH baskets AS (
+          SELECT DISTINCT l_orderkey AS oid, l_partkey AS item
+          FROM lineitem
+        ), n AS (
+          SELECT CAST(count(DISTINCT oid) AS BIGINT) AS n_orders
+          FROM baskets
+        ), marg AS (
+          SELECT item, CAST(count(*) AS BIGINT) AS n_item
+          FROM baskets GROUP BY 1
+        ), pairs AS (
+          SELECT a.item AS item_a, b.item AS item_b,
+                 CAST(count(*) AS BIGINT) AS n_pairs
+          FROM baskets a JOIN baskets b USING (oid)
+          WHERE a.item < b.item
+          GROUP BY 1, 2
+          HAVING count(*) >= 2
+        )
+        SELECT p.item_a, p.item_b, p.n_pairs,
+               ma.n_item AS n_a, mb.n_item AS n_b,
+               round(CAST(p.n_pairs AS DOUBLE) * CAST(n.n_orders AS DOUBLE)
+                     / (CAST(ma.n_item AS DOUBLE) * CAST(mb.n_item AS DOUBLE)),
+                     6) AS lift
+        FROM pairs p
+        JOIN marg ma ON ma.item = p.item_a
+        JOIN marg mb ON mb.item = p.item_b
+        CROSS JOIN n
+        ORDER BY lift DESC, item_a ASC, item_b ASC
+        LIMIT 20
+    """
+
     sql["ewma_smooth"] = """
         WITH rollup AS (
           SELECT event_type AS grp,
-                 date_trunc('hour', ts) AS bucket_ts,
+                 epoch_ns(ts) // 3600000000000 * 3600 AS hour_epoch,
                  sum(value) AS metric
           FROM events GROUP BY 1, 2
         ), g AS (
           SELECT grp,
-                 list(CAST(metric AS DOUBLE) ORDER BY bucket_ts) AS xs,
-                 list(bucket_ts ORDER BY bucket_ts) AS tss
+                 list(CAST(metric AS DOUBLE) ORDER BY hour_epoch) AS xs,
+                 list(hour_epoch ORDER BY hour_epoch) AS tss
           FROM rollup GROUP BY 1
         ), sm AS (
           SELECT grp, tss, xs,
@@ -7330,7 +7413,7 @@ FROM eaul_calc
           FROM g
         )
         SELECT grp AS event_type,
-               CAST(epoch(unnest(tss)) AS BIGINT) AS hour_epoch,
+               CAST(unnest(tss) AS BIGINT) AS hour_epoch,
                round(unnest(xs), 6) AS metric,
                round(unnest(es), 6) AS ewma
         FROM sm
@@ -7477,21 +7560,21 @@ FROM eaul_calc
     sql["anomaly_zscore"] = """
         WITH rollup AS (
           SELECT event_type,
-                 date_trunc('hour', ts) AS bucket_ts,
+                 epoch_ns(ts) // 3600000000000 * 3600 AS hour_epoch,
                  sum(value) AS metric
           FROM events
           GROUP BY 1, 2
         ), w AS (
-          SELECT event_type, bucket_ts, metric,
+          SELECT event_type, hour_epoch, metric,
                  avg(metric) OVER tw AS mean_prev,
                  stddev_samp(metric) OVER tw AS std_prev,
                  count(metric) OVER tw AS n_prev
           FROM rollup
-          WINDOW tw AS (PARTITION BY event_type ORDER BY bucket_ts
+          WINDOW tw AS (PARTITION BY event_type ORDER BY hour_epoch
                         ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
         )
         SELECT event_type,
-               CAST(epoch(bucket_ts) AS BIGINT) AS hour_epoch,
+               CAST(hour_epoch AS BIGINT) AS hour_epoch,
                round(metric, 6) AS metric,
                round(mean_prev, 6) AS mean_prev,
                round(std_prev, 6) AS std_prev,

@@ -155,6 +155,8 @@ HEADLINE = [
     "global_rank",
     "ngram_diversity",
     "ewma_smooth",
+    "event_paths",
+    "copurchase_lift",
     # incremental_dedup is oracle-checked but not benched here: a tiny
     # two-batch ingest is dominated by store round-trips and component
     # rounds (fixed job overhead, not operator throughput) — its scale

@@ -323,3 +323,123 @@ def cms_heavy_hitters(
             ),
         )
     )
+
+
+def top_event_paths(
+    events: DataFrame,
+    k: int = 20,
+    gap_seconds: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Top-``k`` most common within-session event sequences:
+    ``(path, n_sessions)`` with ``path`` like ``"view > click >
+    purchase"``, ranked by count desc then path asc.
+
+    Funnel analysis's exploratory twin: funnels check a HYPOTHESIZED
+    order, paths discover which orders actually happen.
+
+    Plan: sessionize (lag + running sum per user — one shuffle on the
+    user key), per-session ordered collect via ``sort_array`` of
+    (ts, id, type) structs (the session's own events only — bounded by
+    session length, never a global sort), hash-aggregate path counts
+    with map-side combine, TakeOrderedAndProject top-k.  Tiebreak
+    ``id_col`` makes the within-session order total, so paths are
+    partitioning-stable.
+    """
+    from moz_datapipeline_spark.streaming.events import sessionize_batch
+
+    # dual time layout (the _events() contract): a LONG ts column is
+    # epoch-nanoseconds, so the gap threshold scales to ns; timestamps
+    # pass through in seconds
+    gap = gap_seconds
+    if events.schema[ts_col].dataType.typeName() in ("long", "bigint"):
+        gap = gap_seconds * 1_000_000_000
+    sess = sessionize_batch(
+        events, gap_seconds=gap, user_col=user_col, ts_col=ts_col
+    )
+    per_session = (
+        sess.groupBy(user_col, "session_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col(ts_col).alias("ts"),
+                        F.col(id_col).alias("eid"),
+                        F.col(type_col).alias("tp"),
+                    )
+                )
+            ).alias("_evs")
+        )
+        .select(
+            F.array_join(
+                F.transform(F.col("_evs"), lambda e: e["tp"]), " > "
+            ).alias("path")
+        )
+    )
+    return (
+        per_session.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(k)
+    )
+
+
+def copurchase_lift(
+    lineitem: DataFrame,
+    min_pair_count: int = 2,
+    k: int = 20,
+    order_col: str = "l_orderkey",
+    item_col: str = "l_partkey",
+) -> DataFrame:
+    """Market-basket pair mining: top-``k`` co-purchased item pairs by
+    lift — ``(item_a, item_b, n_pairs, n_a, n_b, lift)`` with
+    ``lift = P(ab)/(P(a)·P(b)) = n_pairs·N / (n_a·n_b)`` over N
+    baskets, ``item_a < item_b``.
+
+    Pair volume is Σ C(basket_size, 2) — bounded by the square of the
+    LARGEST BASKET, not the catalog: the self-join is an equi join on
+    the basket key, so a 100 TB order history fans out per order, never
+    across orders.  Item marginals are a |catalog|-row aggregate,
+    broadcast twice.  ``min_pair_count`` prunes noise pairs before the
+    rank exchange; top-k is TakeOrderedAndProject (lift desc, pair asc).
+    """
+    baskets = lineitem.select(
+        F.col(order_col).alias("oid"), F.col(item_col).alias("item")
+    ).distinct()
+    n_orders = baskets.select("oid").distinct().count()
+    marg = baskets.groupBy("item").agg(F.count(F.lit(1)).alias("n_item"))
+    a = baskets.select("oid", F.col("item").alias("item_a"))
+    b = baskets.select("oid", F.col("item").alias("item_b"))
+    pairs = (
+        a.join(b, "oid")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .filter(F.col("n_pairs") >= int(min_pair_count))
+    )
+    scored = (
+        pairs.join(
+            F.broadcast(marg.select(F.col("item").alias("item_a"),
+                                    F.col("n_item").alias("n_a"))),
+            "item_a",
+        )
+        .join(
+            F.broadcast(marg.select(F.col("item").alias("item_b"),
+                                    F.col("n_item").alias("n_b"))),
+            "item_b",
+        )
+        .select(
+            "item_a", "item_b", "n_pairs", "n_a", "n_b",
+            F.round(
+                F.col("n_pairs").cast("double") * F.lit(float(n_orders))
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("lift"), F.asc("item_a"), F.asc("item_b")
+    ).limit(k)

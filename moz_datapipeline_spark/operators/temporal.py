@@ -88,6 +88,34 @@ def asof_join(
     )
 
 
+_BUCKET_NS = {
+    "hour": 3_600_000_000_000,
+    "day": 86_400_000_000_000,
+}
+
+
+def _bucket_epoch(df: DataFrame, ts_col: str, bucket: str):
+    """Bucket start as LONG epoch-seconds, accepting either time
+    layout the events table has shipped: long epoch-nanoseconds (the
+    engine's normalized contract) or a parquet TIMESTAMP.  Exact
+    integer math in ns — tz-independent, and robust to the layout
+    changing under the driver (the ``_events()`` gotcha)."""
+    if bucket not in _BUCKET_NS:
+        raise ValueError(f"unsupported bucket {bucket!r}; use hour/day")
+    step = _BUCKET_NS[bucket]
+    dtype = df.schema[ts_col].dataType.typeName()
+    if dtype.startswith("timestamp"):
+        ns = F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00',"
+            f" cast({ts_col} as timestamp_ntz)) * 1000"
+        )
+    else:
+        ns = F.col(ts_col).cast("long")
+    return (F.floor(ns / F.lit(step)) * F.lit(step // 1_000_000_000)).cast(
+        "long"
+    )
+
+
 def rolling_zscore_anomalies(
     events: DataFrame,
     ts_col: str = "ts",
@@ -101,7 +129,7 @@ def rolling_zscore_anomalies(
     ``bucket``-sized intervals, then z-score each bucket's metric
     against the TRAILING ``window`` buckets (exclusive of itself).
 
-    Returns ``(group, bucket_ts, metric, mean_prev, std_prev, zscore,
+    Returns ``(group, bucket_epoch, metric, mean_prev, std_prev, zscore,
     is_anomaly)``; buckets with fewer than 2 trailing observations get
     ``zscore = NULL, is_anomaly = false`` (no basis to judge).
 
@@ -113,14 +141,14 @@ def rolling_zscore_anomalies(
     formula (Welford-equivalent via sum/sum²) to match
     ``stddev_samp``; z = (x − mean_prev)/std_prev.
     """
-    b = F.date_trunc(bucket, F.col(ts_col))
+    b = _bucket_epoch(events, ts_col, bucket)
     rollup = (
-        events.groupBy(F.col(group_col).alias("grp"), b.alias("bucket_ts"))
+        events.groupBy(F.col(group_col).alias("grp"), b.alias("bucket_epoch"))
         .agg(F.sum(value_col).alias("metric"))
     )
     w = (
         Window.partitionBy("grp")
-        .orderBy("bucket_ts")
+        .orderBy("bucket_epoch")
         .rowsBetween(-window, -1)
     )
     mean_prev = F.avg("metric").over(w)
@@ -132,7 +160,7 @@ def rolling_zscore_anomalies(
     )
     return rollup.select(
         F.col("grp").alias(group_col),
-        "bucket_ts",
+        "bucket_epoch",
         F.round("metric", 6).alias("metric"),
         F.round(mean_prev, 6).alias("mean_prev"),
         F.round(std_prev, 6).alias("std_prev"),
@@ -152,7 +180,8 @@ def ewma_smooth(
     """Exponentially-weighted moving average per group over bucketed
     rollups: ``s_t = α·x_t + (1−α)·s_{t−1}`` (``s_1 = x_1``), the
     standard smoother for dashboards/alerting baselines.  Returns
-    ``(group, bucket_ts, metric, ewma)``.
+    ``(group, bucket_epoch, metric, ewma)`` — bucket starts as LONG
+    epoch-seconds (layout-robust, see ``_bucket_epoch``).
 
     Design note: EWMA is a RECURSIVE scan — no Spark window or array
     HOF expresses a running fold with per-element output — so this is
@@ -169,7 +198,7 @@ def ewma_smooth(
     rollup = (
         events.groupBy(
             F.col(group_col).alias("grp"),
-            F.date_trunc(bucket, F.col(ts_col)).alias("bucket_ts"),
+            _bucket_epoch(events, ts_col, bucket).alias("bucket_epoch"),
         )
         .agg(F.sum(value_col).alias("metric"))
     )
@@ -177,7 +206,7 @@ def ewma_smooth(
     a = float(alpha)
 
     def kernel(pdf):
-        pdf = pdf.sort_values("bucket_ts").reset_index(drop=True)
+        pdf = pdf.sort_values("bucket_epoch").reset_index(drop=True)
         pdf["ewma"] = (
             pdf["metric"].ewm(alpha=a, adjust=False).mean().round(6)
         )
@@ -185,9 +214,9 @@ def ewma_smooth(
         return pdf
 
     schema = (
-        "grp string, bucket_ts timestamp, metric double, ewma double"
+        "grp string, bucket_epoch long, metric double, ewma double"
     )
     out = rollup.groupBy("grp").applyInPandas(kernel, schema)
     return out.select(
-        F.col("grp").alias(group_col), "bucket_ts", "metric", "ewma"
+        F.col("grp").alias(group_col), "bucket_epoch", "metric", "ewma"
     )

@@ -272,7 +272,7 @@ def test_rolling_zscore_flags_planted_spike(spark):
     out = rolling_zscore_anomalies(df, window=24, threshold=3.0)
     flagged = [r for r in out.collect() if r.is_anomaly]
     assert len(flagged) == 1
-    assert flagged[0].bucket_ts.hour == 16  # h=40 → day 2, 16:00
+    assert (flagged[0].bucket_epoch % 86400) // 3600 == 16  # h=40 -> day 2, 16:00
     # early buckets with <2 trailing points: no judgement
     early = [r for r in out.collect() if r.zscore is None]
     assert len(early) >= 1
@@ -511,3 +511,44 @@ def test_ngram_diversity_known_ratio(spark):
     assert a.diversity == pytest.approx(3 / 7, abs=1e-6)
     assert out["B"].diversity == 1.0
     assert "C" not in out
+
+
+# --------------------------------------------------- paths / market basket
+
+def test_top_event_paths_orders_within_session(spark):
+    from datetime import datetime, timedelta
+
+    from moz_datapipeline_spark.operators.analytics import top_event_paths
+
+    base = datetime(2024, 1, 1)
+    rows = []
+    # user 1: view->click->purchase twice (separate sessions); user 2: view only
+    for s in range(2):
+        day = base + timedelta(days=s)
+        rows += [
+            (s * 10 + 1, day, 1, "view"),
+            (s * 10 + 2, day + timedelta(minutes=5), 1, "click"),
+            (s * 10 + 3, day + timedelta(minutes=10), 1, "purchase"),
+        ]
+    rows.append((99, base, 2, "view"))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    out = {r.path: r.n_sessions for r in top_event_paths(df, k=10).collect()}
+    assert out == {"view > click > purchase": 2, "view": 1}
+
+
+def test_copurchase_lift_values(spark):
+    from moz_datapipeline_spark.operators.analytics import copurchase_lift
+
+    # 4 baskets: {a,b} x3, {c} alone once -> pair (a,b) n=3, lift = 3*4/(3*3)
+    rows = []
+    for o in range(3):
+        rows += [(o, 100), (o, 200)]
+    rows.append((3, 300))
+    df = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    out = copurchase_lift(df, min_pair_count=2, k=5).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.item_a, r.item_b, r.n_pairs) == (100, 200, 3)
+    assert r.lift == pytest.approx(3 * 4 / 9, abs=1e-6)

@@ -150,7 +150,7 @@ def test_ewma_smooth_matches_recursion(spark):
     df = spark.createDataFrame(
         rows, "event_id long, ts timestamp, event_type string, value double"
     )
-    out = sorted(ewma_smooth(df, alpha=0.5).collect(), key=lambda r: r.bucket_ts)
+    out = sorted(ewma_smooth(df, alpha=0.5).collect(), key=lambda r: r.bucket_epoch)
     # s: 10, 15, 22.5, 31.25
     assert [r.ewma for r in out] == [10.0, 15.0, 22.5, 31.25]
     with _pytest.raises(ValueError):
