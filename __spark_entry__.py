@@ -3494,6 +3494,22 @@ def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct sketch per event type (k=64 — small
+    enough that the (k−1)/h_k estimator path is exercised, not just
+    the exact small-set mode).  Deterministic content-addressed
+    hashes: the whole sketch replays exactly in DuckDB
+    (operators/sketches.kmv_registers / kmv_distinct)."""
+    from moz_datapipeline_spark.operators.sketches import (
+        kmv_distinct,
+        kmv_registers,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    regs = kmv_registers(ev, "user_id", ["event_type"], k=64)
+    return kmv_distinct(regs, ["event_type"], k=64)
+
+
 def q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 within-session event sequences (operators/analytics.
     top_event_paths): sessionize -> per-session sort_array collect ->
@@ -4030,6 +4046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma_smooth": q_ewma_smooth,
         "event_paths": q_event_paths,
         "copurchase_lift": q_copurchase_lift,
+        "kmv_distinct": q_kmv_distinct,
     }
 
 
@@ -7331,6 +7348,29 @@ FROM eaul_calc
                  ) AS INTEGER) AS rank
           FROM scored
         ) WHERE rank <= 5
+    """
+
+    sql["kmv_distinct"] = """
+        WITH h AS (
+          SELECT DISTINCT event_type,
+                 CAST(CAST(('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 15))
+                           AS BIGINT) AS DOUBLE)
+                   / CAST(1152921504606846976 AS DOUBLE) AS h
+          FROM events
+        ), rk AS (
+          SELECT event_type, h,
+                 row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+          FROM h
+        ), reg AS (
+          SELECT event_type,
+                 CAST(count(*) AS BIGINT) AS n_retained,
+                 max(CASE WHEN rn = 64 THEN h END) AS hk
+          FROM rk WHERE rn <= 64 GROUP BY 1
+        )
+        SELECT event_type, CAST(n_retained AS INTEGER) AS n_retained,
+               round(CASE WHEN n_retained < 64 THEN CAST(n_retained AS DOUBLE)
+                     ELSE CAST(63 AS DOUBLE) / hk END, 3) AS est_distinct
+        FROM reg
     """
 
     sql["event_paths"] = """

@@ -157,6 +157,7 @@ HEADLINE = [
     "ewma_smooth",
     "event_paths",
     "copurchase_lift",
+    "kmv_distinct",
     # incremental_dedup is oracle-checked but not benched here: a tiny
     # two-batch ingest is dominated by store round-trips and component
     # rounds (fixed job overhead, not operator throughput) — its scale

@@ -146,3 +146,107 @@ def hll_distinct(
     return hll_estimate(
         hll_registers(df, key_col, group_cols, p), group_cols, p
     )
+
+
+def kmv_registers(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str] | None = None,
+    k: int = 256,
+) -> DataFrame:
+    """K-minimum-values sketch as DataFrame state: per group the ``k``
+    smallest DISTINCT normalized portable hashes of ``key_col`` —
+    ``(*group_cols, hs array<double> sorted asc)``.
+
+    The KMV/bottom-k sketch is the other classic mergeable distinct
+    estimator (Bar-Yossef et al. 2002): D ≈ (k−1)/h_k.  Where HLL
+    wins on size, KMV wins on composability — bottom-k unions give
+    set-operation estimates (intersection via inclusion–exclusion on
+    the merged sketch), and the retained hashes double as a uniform
+    sample of the key space (quantile estimation over any attached
+    value).  Deterministic by construction (content-addressed md5
+    hash, no RNG), so the whole sketch — construction, merge,
+    estimate — replays exactly in the DuckDB oracle.
+
+    Plan: distinct (group, hash) rows via hash aggregate, bounded
+    bottom-k per group with the map-side partial top-k kernel (at
+    most k rows per group per partition reach the exchange), final
+    per-group sorted array.
+    """
+    if k < 2:
+        raise ValueError("kmv_registers: need k >= 2")
+    group_cols = group_cols or []
+    h = (
+        _portable_hash(
+            F.concat(F.lit("kmv:"), F.col(key_col).cast("string"))
+        ).cast("double")
+        / F.lit(float(1 << 60))
+    )
+    distinct = (
+        df.select(*group_cols, h.alias("h"))
+        .groupBy(*group_cols, "h")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .select(*group_cols, "h")
+    )
+    if group_cols:
+        from moz_datapipeline_spark.operators.similarity import (
+            _partition_topk,
+        )
+
+        pruned = _partition_topk(
+            distinct, list(group_cols), "h", "h", k, ascending=True
+        )
+    else:
+        pruned = distinct.withColumn("_g", F.lit(1))
+        from moz_datapipeline_spark.operators.similarity import (
+            _partition_topk,
+        )
+
+        pruned = _partition_topk(
+            pruned, ["_g"], "h", "h", k, ascending=True
+        ).drop("_g")
+    return (
+        pruned.groupBy(*group_cols)
+        .agg(
+            F.slice(F.array_sort(F.collect_list("h")), 1, k).alias("hs")
+        )
+    )
+
+
+def kmv_merge(
+    a: DataFrame, b: DataFrame, group_cols: list[str] | None = None, k: int = 256
+) -> DataFrame:
+    """Merge two KMV sketches built with the same hash family: union
+    the retained hashes, dedup, keep the k smallest.  Associative,
+    commutative, idempotent — same lattice-join contract as
+    ``hll_merge``."""
+    group_cols = group_cols or []
+    both = a.unionByName(b)
+    return (
+        both.select(*group_cols, F.explode("hs").alias("h"))
+        .groupBy(*group_cols, "h")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy(*group_cols)
+        .agg(F.slice(F.array_sort(F.collect_list("h")), 1, k).alias("hs"))
+    )
+
+
+def kmv_distinct(
+    registers: DataFrame,
+    group_cols: list[str] | None = None,
+    k: int = 256,
+) -> DataFrame:
+    """Distinct-count estimate from KMV state: ``(*group_cols,
+    n_retained, est_distinct)``.  Exact (= n_retained) while the
+    sketch holds fewer than k hashes; (k−1)/h_k once full."""
+    group_cols = group_cols or []
+    n = F.size("hs")
+    hk = F.element_at("hs", k)
+    est = F.when(n < k, n.cast("double")).otherwise(
+        F.lit(float(k - 1)) / hk
+    )
+    return registers.select(
+        *group_cols,
+        n.alias("n_retained"),
+        F.round(est, 3).alias("est_distinct"),
+    )

@@ -552,3 +552,43 @@ def test_copurchase_lift_values(spark):
     r = out[0]
     assert (r.item_a, r.item_b, r.n_pairs) == (100, 200, 3)
     assert r.lift == pytest.approx(3 * 4 / 9, abs=1e-6)
+
+
+# ------------------------------------------------------------- KMV sketch
+
+def test_kmv_exact_small_and_estimator_modes(spark):
+    from moz_datapipeline_spark.operators.sketches import (
+        kmv_distinct,
+        kmv_registers,
+    )
+
+    small = spark.range(50).select(F.col("id").alias("u"))
+    regs = kmv_registers(small, "u", k=64)
+    r = kmv_distinct(regs, k=64).collect()[0]
+    assert r.n_retained == 50 and r.est_distinct == 50.0  # exact mode
+
+    big = spark.range(5000).select(F.col("id").alias("u"))
+    r2 = kmv_distinct(kmv_registers(big, "u", k=256), k=256).collect()[0]
+    assert r2.n_retained == 256
+    # standard error ~1/sqrt(k) ≈ 6%; allow 20%
+    assert abs(r2.est_distinct - 5000) / 5000 < 0.20
+
+
+def test_kmv_merge_union_and_idempotent(spark):
+    from moz_datapipeline_spark.operators.sketches import (
+        kmv_distinct,
+        kmv_merge,
+        kmv_registers,
+    )
+
+    a = spark.range(0, 3000).select(F.col("id").alias("u"))
+    b = spark.range(1500, 4500).select(F.col("id").alias("u"))
+    ra, rb = kmv_registers(a, "u", k=128), kmv_registers(b, "u", k=128)
+    merged = kmv_distinct(kmv_merge(ra, rb, k=128), k=128).collect()[0]
+    direct = kmv_distinct(
+        kmv_registers(a.unionByName(b), "u", k=128), k=128
+    ).collect()[0]
+    assert merged.est_distinct == direct.est_distinct  # exactly equal
+    again = kmv_distinct(kmv_merge(ra, ra, k=128), k=128).collect()[0]
+    solo = kmv_distinct(ra, k=128).collect()[0]
+    assert again.est_distinct == solo.est_distinct
