@@ -3494,6 +3494,36 @@ def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 merge (operators/scd.scd2_apply): customers as the
+    versioned dimension (one open row each), per-(customer, orderdate)
+    totals as the CDC batch; open rows close at each key's first
+    update, updates chain into effective-dated versions.  History is
+    never rewritten — cost scales with batch + open rows."""
+    from moz_datapipeline_spark.operators.scd import scd2_apply
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_acctbal").alias("acctbal"),
+        F.lit(0).cast("long").alias("eff_start"),
+        F.lit(None).cast("long").alias("eff_end"),
+    )
+    upd = (
+        _t(spark, sf_dir, "orders")
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            F.expr(
+                "timestampdiff(SECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00',"
+                " cast(o_orderdate as timestamp_ntz))"
+            ).cast("long").alias("ts"),
+            "o_totalprice",
+        )
+        .groupBy("c_custkey", "ts")
+        .agg(F.max("o_totalprice").alias("acctbal"))
+    )
+    return scd2_apply(cust, upd, "c_custkey", ["acctbal"])
+
+
 def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-minimum-values distinct sketch per event type (k=64 — small
     enough that the (k−1)/h_k estimator path is exercised, not just
@@ -4047,6 +4077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_paths": q_event_paths,
         "copurchase_lift": q_copurchase_lift,
         "kmv_distinct": q_kmv_distinct,
+        "scd2_merge": q_scd2_merge,
     }
 
 
@@ -7348,6 +7379,31 @@ FROM eaul_calc
                  ) AS INTEGER) AS rank
           FROM scored
         ) WHERE rank <= 5
+    """
+
+    sql["scd2_merge"] = """
+        WITH upd AS (
+          SELECT o_custkey AS c_custkey,
+                 CAST(epoch(o_orderdate) AS BIGINT) AS ts,
+                 max(o_totalprice) AS acctbal
+          FROM orders GROUP BY 1, 2
+        ), chains AS (
+          SELECT c_custkey, acctbal, ts AS eff_start,
+                 lead(ts) OVER (PARTITION BY c_custkey ORDER BY ts)
+                   AS eff_end
+          FROM upd
+        ), firsts AS (
+          SELECT c_custkey, min(ts) AS fts FROM upd GROUP BY 1
+        )
+        SELECT c.c_custkey, c.c_acctbal AS acctbal,
+               CAST(0 AS BIGINT) AS eff_start, f.fts AS eff_end
+        FROM customer c JOIN firsts f USING (c_custkey)
+        UNION ALL
+        SELECT c.c_custkey, c.c_acctbal AS acctbal,
+               CAST(0 AS BIGINT), CAST(NULL AS BIGINT)
+        FROM customer c ANTI JOIN firsts f USING (c_custkey)
+        UNION ALL
+        SELECT c_custkey, acctbal, eff_start, eff_end FROM chains
     """
 
     sql["kmv_distinct"] = """

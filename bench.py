@@ -158,6 +158,7 @@ HEADLINE = [
     "event_paths",
     "copurchase_lift",
     "kmv_distinct",
+    "scd2_merge",
     # incremental_dedup is oracle-checked but not benched here: a tiny
     # two-batch ingest is dominated by store round-trips and component
     # rounds (fixed job overhead, not operator throughput) — its scale

@@ -592,3 +592,58 @@ def test_kmv_merge_union_and_idempotent(spark):
     again = kmv_distinct(kmv_merge(ra, ra, k=128), k=128).collect()[0]
     solo = kmv_distinct(ra, k=128).collect()[0]
     assert again.est_distinct == solo.est_distinct
+
+
+# ------------------------------------------------------------- SCD2 merge
+
+def test_scd2_apply_versions_and_snapshots(spark):
+    from pyspark.sql import functions as F2
+    from moz_datapipeline_spark.operators.scd import (
+        scd2_apply,
+        scd2_as_of,
+        scd2_current,
+    )
+
+    current = spark.createDataFrame(
+        [(1, "gold", 0, None), (2, "silver", 0, None),
+         (3, "bronze", 0, 50), (3, "silver", 50, None)],
+        "k long, tier string, eff_start long, eff_end long",
+    )
+    updates = spark.createDataFrame(
+        [(1, 100, "platinum"), (1, 200, "diamond"), (3, 150, "gold")],
+        "k long, ts long, tier string",
+    )
+    dim = scd2_apply(current, updates, "k", ["tier"], ts_col="ts")
+    rows = {(r.k, r.eff_start): (r.tier, r.eff_end) for r in dim.collect()}
+    # key 1: open row closed at 100, then 100->200 platinum, open diamond
+    assert rows[(1, 0)] == ("gold", 100)
+    assert rows[(1, 100)] == ("platinum", 200)
+    assert rows[(1, 200)] == ("diamond", None)
+    # key 2 untouched
+    assert rows[(2, 0)] == ("silver", None)
+    # key 3: closed history passes through; open silver closes at 150
+    assert rows[(3, 0)] == ("bronze", 50)
+    assert rows[(3, 50)] == ("silver", 150)
+    assert rows[(3, 150)] == ("gold", None)
+    # exactly one open row per key
+    opens = scd2_current(dim).groupBy("k").count().collect()
+    assert all(r["count"] == 1 for r in opens)
+    # time travel: at ts=120, key 1 is platinum
+    snap = {r.k: r.tier for r in scd2_as_of(dim, 120).collect()}
+    assert snap == {1: "platinum", 2: "silver", 3: "silver"}
+
+
+def test_scd2_apply_rejects_duplicate_key_ts(spark):
+    import pytest as _pytest
+
+    from moz_datapipeline_spark.operators.scd import scd2_apply
+
+    current = spark.createDataFrame(
+        [(1, "a", 0, None)], "k long, v string, eff_start long, eff_end long"
+    )
+    dup = spark.createDataFrame(
+        [(1, 10, "x"), (1, 10, "y")], "k long, ts long, v string"
+    )
+    out = scd2_apply(current, dup, "k", ["v"], ts_col="ts")
+    with _pytest.raises(Exception, match="duplicate"):
+        out.collect()
