@@ -3494,6 +3494,23 @@ def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line peak concurrency per event type: each event holds a
+    30-minute interval [ts, ts+30m); the global running sum of
+    +1/−1 boundary events uses the two-phase distributed prefix scan
+    (operators/ranges.peak_concurrency) — never a single-partition
+    window."""
+    from moz_datapipeline_spark.operators.ranges import peak_concurrency
+
+    ev = _events(spark, sf_dir)
+    iv = ev.select(
+        "event_type",
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.lit(1_800_000_000_000)).alias("end"),
+    )
+    return peak_concurrency(iv, group_cols=["event_type"])
+
+
 def q_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD Type-2 merge (operators/scd.scd2_apply): customers as the
     versioned dimension (one open row each), per-(customer, orderdate)
@@ -4078,6 +4095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copurchase_lift": q_copurchase_lift,
         "kmv_distinct": q_kmv_distinct,
         "scd2_merge": q_scd2_merge,
+        "peak_concurrency": q_peak_concurrency,
     }
 
 
@@ -7379,6 +7397,32 @@ FROM eaul_calc
                  ) AS INTEGER) AS rank
           FROM scored
         ) WHERE rank <= 5
+    """
+
+    sql["peak_concurrency"] = """
+        WITH ev AS (
+          SELECT event_type, epoch_ns(ts) AS t, 1 AS d FROM events
+          UNION ALL
+          SELECT event_type, epoch_ns(ts) + 1800000000000, -1 FROM events
+        ), running AS (
+          SELECT event_type, t, d,
+                 sum(d) OVER (PARTITION BY event_type
+                              ORDER BY t ASC, d ASC
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS conc
+          FROM ev
+        ), starts AS (
+          SELECT event_type, t, conc FROM running WHERE d = 1
+        ), peaks AS (
+          SELECT event_type, CAST(max(conc) AS BIGINT) AS peak_concurrency
+          FROM starts GROUP BY 1
+        )
+        SELECT p.event_type, p.peak_concurrency,
+               CAST(min(s.t) AS BIGINT) AS peak_at
+        FROM peaks p
+        JOIN starts s ON s.event_type = p.event_type
+                     AND s.conc = p.peak_concurrency
+        GROUP BY 1, 2
     """
 
     sql["scd2_merge"] = """

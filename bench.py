@@ -159,6 +159,7 @@ HEADLINE = [
     "copurchase_lift",
     "kmv_distinct",
     "scd2_merge",
+    "peak_concurrency",
     # incremental_dedup is oracle-checked but not benched here: a tiny
     # two-batch ingest is dominated by store round-trips and component
     # rounds (fixed job overhead, not operator throughput) — its scale

@@ -125,3 +125,89 @@ def global_rank(
             ).otherwise(F.lit(0.0)),
         )
     return out.drop("_pid", "_lrank", "_base", "_n")
+
+
+def peak_concurrency(
+    intervals: DataFrame,
+    start_col: str = "start",
+    end_col: str = "end",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Maximum number of simultaneously-open ``[start, end)`` intervals
+    (per group when ``group_cols`` given): ``(*group_cols,
+    peak_concurrency, peak_at)`` with ``peak_at`` the earliest instant
+    the peak is reached.
+
+    The sweep line: every interval contributes (+1 at start, −1 at
+    end); concurrency at an instant is the running sum of deltas in
+    time order.  The running sum is a GLOBAL prefix scan — the same
+    single-partition trap as global rank — so it reuses the two-phase
+    technique: range-partition boundary events by (time, delta),
+    per-partition local cumulative sums, broadcast per-partition
+    totals back as exclusive base offsets.  Ends sort BEFORE starts at
+    the same instant (delta asc), so touching intervals
+    ``[a,b),[b,c)`` never double-count.
+
+    One explode (2 rows per interval), one range exchange, one window
+    over |partitions| rows.  Holds at any interval count.
+    """
+    group_cols = group_cols or []
+    ev = intervals.select(
+        *group_cols,
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col(start_col).alias("t"), F.lit(1).alias("d")
+                ),
+                F.struct(F.col(end_col).alias("t"), F.lit(-1).alias("d")),
+            )
+        ).alias("_e"),
+    ).select(*group_cols, F.col("_e.t").alias("t"), F.col("_e.d").alias("d"))
+
+    from pyspark.sql import Window
+
+    ranged = ev.repartitionByRange(
+        *[F.col(c) for c in group_cols], F.col("t").asc(), F.col("d").asc()
+    ).withColumn("_pid", F.spark_partition_id())
+    lw = Window.partitionBy("_pid", *group_cols).orderBy(
+        F.col("t").asc(), F.col("d").asc()
+    )
+    local = ranged.withColumn(
+        "_lsum",
+        F.sum("d").over(lw.rowsBetween(Window.unboundedPreceding, 0)),
+    ).cache()
+    bases = (
+        local.groupBy("_pid", *group_cols)
+        .agg(F.sum("d").alias("_tot"))
+        .withColumn(
+            "_base",
+            F.coalesce(
+                F.sum("_tot").over(
+                    Window.partitionBy(*group_cols)
+                    .orderBy("_pid")
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("_pid", *group_cols, "_base")
+    )
+    running = local.join(F.broadcast(bases), ["_pid", *group_cols]).select(
+        *group_cols,
+        "t",
+        "d",
+        (F.col("_base") + F.col("_lsum")).alias("conc"),
+    )
+    # peak = max running concurrency; peak_at = earliest t attaining it
+    # (only +1 events can attain a maximum, making peak_at well-defined)
+    starts = running.filter(F.col("d") == 1)
+    peaks = starts.groupBy(*group_cols).agg(
+        F.max("conc").cast("long").alias("peak_concurrency")
+    )
+    firsts = (
+        starts.groupBy(*group_cols, "conc")
+        .agg(F.min("t").alias("peak_at"))
+        .withColumn("peak_concurrency", F.col("conc").cast("long"))
+        .drop("conc")
+    )
+    return peaks.join(firsts, [*group_cols, "peak_concurrency"])

@@ -71,3 +71,25 @@ def test_global_rank_descending_and_single_row(spark):
     assert r.rank == 1 and r.percent_rank == 0.0
     with _pytest.raises(ValueError):
         global_rank(df, "x", [])
+
+
+def test_peak_concurrency_sweep(spark):
+    from moz_datapipeline_spark.operators.ranges import peak_concurrency
+
+    iv = spark.createDataFrame(
+        [
+            ("a", 0, 10), ("a", 5, 15), ("a", 9, 12),   # peak 3 at t=9
+            ("a", 20, 30), ("a", 30, 40),               # touching: never 2
+            ("b", 0, 100),
+        ],
+        "g string, start long, end long",
+    )
+    out = {r.g: (r.peak_concurrency, r.peak_at)
+           for r in peak_concurrency(iv, group_cols=["g"]).collect()}
+    assert out["a"] == (3, 9)
+    assert out["b"] == (1, 0)
+    # partitioning invariance
+    out2 = {r.g: (r.peak_concurrency, r.peak_at)
+            for r in peak_concurrency(
+                iv.repartition(7), group_cols=["g"]).collect()}
+    assert out2 == out
