@@ -1186,6 +1186,67 @@ def retrieval_hll_scale_check(spark, docs) -> dict:
     }
 
 
+def rank_retrieval2_scale_check(spark, docs) -> dict:
+    """Second-wave retrieval/ordering rehearsals at ~600k-row scale.
+
+    - ``global_rank`` over 5M rows: two-phase prefix rank; asserts the
+      endpoints (rank 1 / rank N) and measures wall time — the
+      single-partition global window this replaces would serialize all
+      5M rows through one task.
+    - ``peak_concurrency`` over 2M synthetic intervals with a planted
+      everywhere-overlapping block.
+    - ``tfidf_cosine_topk`` (more-like-this) with 5 query docs over
+      the amplified 50k-doc corpus.
+    """
+    from moz_datapipeline_spark.operators.ranges import (
+        global_rank,
+        peak_concurrency,
+    )
+    from moz_datapipeline_spark.operators.retrieval import tfidf_cosine_topk
+
+    n = 5_000_000
+    base = spark.range(n).select(
+        F.col("id"),
+        (F.xxhash64("id") % 1_000_000).cast("double").alias("x"),
+    )
+    t0 = time.perf_counter()
+    ranked = global_rank(base, "x", ["id"], with_percent=True)
+    ends = ranked.filter(
+        (F.col("rank") == 1) | (F.col("rank") == n)
+    ).collect()
+    t_rank = time.perf_counter() - t0
+    assert len(ends) == 2
+    assert {r.percent_rank for r in ends} == {0.0, 1.0}
+
+    m = 2_000_000
+    iv = spark.range(m).select(
+        (F.col("id") * 10).alias("start"),
+        (F.col("id") * 10 + 25).alias("end"),
+    )
+    t0 = time.perf_counter()
+    pk = peak_concurrency(iv).collect()[0]
+    t_peak = time.perf_counter() - t0
+    # width 25 over stride 10 -> 3 overlapping almost everywhere
+    assert pk.peak_concurrency == 3
+
+    t0 = time.perf_counter()
+    mlt = tfidf_cosine_topk(
+        docs, [0, 1, 2, 3, 4], k=10, max_df_ratio=1.0
+    ).count()
+    t_mlt = time.perf_counter() - t0
+
+    return {
+        "rank_rows": n,
+        "rank_sec": round(t_rank, 2),
+        "sweep_intervals": m,
+        "sweep_peak": int(pk.peak_concurrency),
+        "sweep_sec": round(t_peak, 2),
+        "mlt_docs": docs.count(),
+        "mlt_results": mlt,
+        "mlt_sec": round(t_mlt, 2),
+    }
+
+
 def main() -> None:
     spark = get_spark(app_name="dedup_scale_check")
     docs = amplified_corpus(spark, "/root/testdata/sf0.1/documents.parquet")
@@ -1225,6 +1286,7 @@ def main() -> None:
     kc = kcore_scale_check(spark)
     fz = fuzzy_scale_check(spark)
     rh = retrieval_hll_scale_check(spark, docs)
+    rr2 = rank_retrieval2_scale_check(spark, docs)
 
     print(
         json.dumps(
@@ -1254,6 +1316,7 @@ def main() -> None:
                 **kc,
                 **fz,
                 **rh,
+                **rr2,
             }
         )
     )
