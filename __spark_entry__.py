@@ -1776,6 +1776,66 @@ def _kcore_oracle(k: int = _KCORE_K, rounds: int = _KCORE_ROUNDS) -> str:
     return "".join(parts)
 
 
+_LPA_ROUNDS = 3
+
+
+def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label-propagation communities (graph/lpa.py) over
+    the symmetric customer↔supplier trade graph: 3 unrolled rounds,
+    most-frequent neighbor label with smallest-label tie-break — one
+    O(|E|) join + hash-agg per round, the PageRank cost envelope.
+    VALUE oracle: the same 3 rounds unrolled as DuckDB CTEs (window
+    max per node + min-label tie-break)."""
+    from moz_datapipeline_spark.graph.lpa import label_propagation
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    fwd = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.col("o_custkey").cast("long").alias("src"),
+            (F.col("l_suppkey") + 1000000).cast("long").alias("dst"),
+        )
+        .distinct()
+    )
+    return label_propagation(fwd, rounds=_LPA_ROUNDS)
+
+
+def _lpa_oracle(rounds: int = _LPA_ROUNDS) -> str:
+    parts = [
+        """
+        WITH fwd AS MATERIALIZED (
+          SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
+                          CAST(l_suppkey + 1000000 AS BIGINT) AS dst
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        ), e AS MATERIALIZED (
+          SELECT src, dst FROM fwd
+          UNION
+          SELECT dst AS src, src AS dst FROM fwd
+        ), r0 AS MATERIALIZED (
+          SELECT DISTINCT src AS node, src AS label FROM e
+        )"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""", v{i} AS MATERIALIZED (
+          SELECT e.dst AS node, r.label AS label, count(*) AS cnt
+          FROM e JOIN r{i - 1} r ON e.src = r.node
+          GROUP BY e.dst, r.label
+        ), r{i} AS MATERIALIZED (
+          SELECT node, min(label) AS label FROM (
+            SELECT node, label, cnt,
+                   max(cnt) OVER (PARTITION BY node) AS mx
+            FROM v{i}
+          ) WHERE cnt = mx GROUP BY node
+        )"""
+        )
+    parts.append(f"""
+        SELECT node, label FROM r{rounds}
+    """)
+    return "".join(parts)
+
+
 _PROBE_W = [((j * 7) % 5 - 2.0) / 2.0 for j in range(16)]
 _PROBE_B = -0.25
 
@@ -3475,6 +3535,21 @@ def q_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_diversity(d, n=3)
 
 
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocation mining over adjacent word pairs
+    (operators/corpus.pmi_collocations): two explode+hash-agg scans,
+    min-count filter BEFORE the unigram-count joins, totals as
+    broadcast 1-row frames.  VALUE oracle: the identical counts and
+    ln-ratio replayed in DuckDB."""
+    from moz_datapipeline_spark.operators.corpus import pmi_collocations
+
+    d = _t(spark, sf_dir, "documents")
+    out = pmi_collocations(d, min_count=5)
+    return out.select(
+        "w1", "w2", "pair_count", F.round("pmi", 6).alias("pmi")
+    )
+
+
 def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EWMA baseline per event type over hourly rollups
     (operators/temporal.ewma_smooth): recursive scan via a pandas
@@ -4058,6 +4133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "budget_resample": q_budget_resample,
         "bpe_segment": q_bpe_segment,
         "kcore": q_kcore,
+        "lpa_communities": q_lpa_communities,
         "corpus_diff": q_corpus_diff,
         "fuzzy_join": q_fuzzy_join,
         "corpus_report": q_corpus_report,
@@ -4090,6 +4166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_trigram": q_lm_trigram,
         "global_rank": q_global_rank,
         "ngram_diversity": q_ngram_diversity,
+        "pmi_collocations": q_pmi_collocations,
         "ewma_smooth": q_ewma_smooth,
         "event_paths": q_event_paths,
         "copurchase_lift": q_copurchase_lift,
@@ -6802,6 +6879,7 @@ FROM eaul_calc
     sql["bpe_merges"] = _bpe_merges_oracle()
     sql["bpe_segment"] = _bpe_segment_oracle()
     sql["kcore"] = _kcore_oracle()
+    sql["lpa_communities"] = _lpa_oracle()
     sql["fuzzy_join"] = _fuzzy_join_oracle()
     sql["corpus_report"] = """
         WITH base AS (
@@ -7579,6 +7657,34 @@ FROM eaul_calc
                round(CAST(count(*) AS BIGINT) / CAST(sum(c) AS BIGINT), 6)
                  AS diversity
         FROM counts GROUP BY 1
+    """
+
+    sql["pmi_collocations"] = """
+        WITH toks AS (
+          SELECT list_filter(string_split(lower(text), ' '), t -> t <> '')
+                 AS t
+          FROM documents WHERE text IS NOT NULL
+        ), uni AS (
+          SELECT w, count(*) AS c
+          FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w
+        ), nu AS (
+          SELECT CAST(sum(c) AS DOUBLE) AS nu FROM uni
+        ), pairs AS (
+          SELECT t[i] AS w1, t[i+1] AS w2, count(*) AS pair_count
+          FROM (SELECT t, unnest(range(1, len(t))) AS i
+                FROM toks WHERE len(t) >= 2)
+          GROUP BY 1, 2
+        ), nb AS (
+          SELECT CAST(sum(pair_count) AS DOUBLE) AS nb FROM pairs
+        )
+        SELECT w1, w2, CAST(pair_count AS BIGINT) AS pair_count,
+               round(ln((pair_count / nb.nb)
+                        / ((u1.c / nu.nu) * (u2.c / nu.nu))), 6) AS pmi
+        FROM pairs
+        JOIN uni u1 ON pairs.w1 = u1.w
+        JOIN uni u2 ON pairs.w2 = u2.w
+        CROSS JOIN nb CROSS JOIN nu
+        WHERE pair_count >= 5
     """
 
     sql["global_rank"] = """

@@ -1351,3 +1351,86 @@ def ngram_diversity(
             ).alias("diversity"),
         )
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Pointwise-mutual-information collocation mining over adjacent
+    word pairs: ``(w1, w2, pair_count, pmi)`` for every bigram seen at
+    least ``min_count`` times, with
+
+        pmi = ln( (c_ab / N_b) / ((c_a / N_u) * (c_b / N_u)) )
+
+    where ``N_u``/``N_b`` are the corpus-wide unigram/bigram totals.
+    High-PMI pairs are multiword expressions ("hong kong", "et al") —
+    the standard signal for tokenizer vocab seeding and for template
+    detection in corpus curation.
+
+    Plan: two scans of the text column — one exploding unigrams, one
+    exploding adjacent pairs — each collapsing into a hash aggregate
+    with map-side partials.  The pair table is filtered to
+    ``min_count`` BEFORE the two unigram-count joins, so the joins see
+    only surviving collocations; totals ride along as broadcast 1-row
+    frames.  No caching: at corpus scale, re-scanning a pruned parquet
+    column twice beats materializing the token explosion (which is
+    ~10x the text itself).
+    """
+    c = F.col(text_col)
+    if lowercase:
+        c = F.lower(c)
+    toks = tokens(c)
+    base = df.filter(F.col(text_col).isNotNull())
+
+    uni = (
+        base.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_u = uni.agg(F.sum("c").cast("double").alias("_nu"))
+
+    t = toks
+    pairs = (
+        base.filter(F.size(t) >= 2)
+        .select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice(t, 1, F.size(t) - 1).alias("w1"),
+                    F.slice(t, 2, F.size(t) - 1).alias("w2"),
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+    )
+    n_b = pairs.agg(F.sum("pair_count").cast("double").alias("_nb"))
+
+    survivors = pairs.filter(F.col("pair_count") >= min_count)
+    return (
+        survivors.join(
+            uni.select(F.col("w").alias("w1"), F.col("c").alias("_c1")),
+            "w1",
+        )
+        .join(
+            uni.select(F.col("w").alias("w2"), F.col("c").alias("_c2")),
+            "w2",
+        )
+        .crossJoin(F.broadcast(n_b))
+        .crossJoin(F.broadcast(n_u))
+        .select(
+            "w1",
+            "w2",
+            "pair_count",
+            F.log(
+                (F.col("pair_count") / F.col("_nb"))
+                / (
+                    (F.col("_c1") / F.col("_nu"))
+                    * (F.col("_c2") / F.col("_nu"))
+                )
+            ).alias("pmi"),
+        )
+    )
