@@ -3550,6 +3550,81 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PSI_COLS = ["l_quantity", "l_extendedprice", "l_discount"]
+_PSI_BINS = 10
+
+
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift between the pre-1998 lineitem
+    slice (reference) and the rest (current), three numeric columns,
+    10 reference-edged equal-width bins (operators/validation.
+    psi_drift): two unpivoted scans + a tiny per-bin fold.  VALUE
+    oracle: the identical binning and ln-fold replayed per column in
+    DuckDB."""
+    from moz_datapipeline_spark.operators.validation import psi_drift
+
+    li = _t(spark, sf_dir, "lineitem")
+    ref = li.filter(F.col("l_shipdate") < F.lit("1998-01-01"))
+    cur = li.filter(F.col("l_shipdate") >= F.lit("1998-01-01"))
+    out = psi_drift(ref, cur, _PSI_COLS, nbins=_PSI_BINS)
+    return out.select("column", F.round("psi", 6).alias("psi"))
+
+
+def _psi_oracle(cols=None, nbins: int = _PSI_BINS) -> str:
+    cols = cols or _PSI_COLS
+    parts = [
+        """
+        WITH ref AS MATERIALIZED (
+          SELECT * FROM lineitem WHERE l_shipdate < DATE '1998-01-01'
+        ), cur AS MATERIALIZED (
+          SELECT * FROM lineitem WHERE l_shipdate >= DATE '1998-01-01'
+        )"""
+    ]
+    sel = []
+    for c in cols:
+        parts.append(
+            f""", b_{c} AS (
+          SELECT min(CAST({c} AS DOUBLE)) AS lo,
+                 max(CAST({c} AS DOUBLE)) AS hi
+          FROM ref
+        ), rn_{c} AS (
+          SELECT bin, count(*) AS n FROM (
+            SELECT CASE WHEN hi = lo THEN 0 ELSE
+              greatest(least(CAST(floor((CAST({c} AS DOUBLE) - lo)
+                / ((hi - lo) / {nbins})) AS INT), {nbins - 1}), 0)
+            END AS bin
+            FROM ref CROSS JOIN b_{c} WHERE {c} IS NOT NULL
+          ) GROUP BY bin
+        ), cn_{c} AS (
+          SELECT bin, count(*) AS n FROM (
+            SELECT CASE WHEN hi = lo THEN 0 ELSE
+              greatest(least(CAST(floor((CAST({c} AS DOUBLE) - lo)
+                / ((hi - lo) / {nbins})) AS INT), {nbins - 1}), 0)
+            END AS bin
+            FROM cur CROSS JOIN b_{c} WHERE {c} IS NOT NULL
+          ) GROUP BY bin
+        ), psi_{c} AS (
+          SELECT '{c}' AS "column", round(sum(
+            (pc - pr) * ln(pc / pr)
+          ), 6) AS psi FROM (
+            SELECT
+              greatest(coalesce(r.n, 0) / tr.t, 1e-06) AS pr,
+              greatest(coalesce(u.n, 0) / tc.t, 1e-06) AS pc
+            FROM range(0, {nbins}) g(bin)
+            LEFT JOIN rn_{c} r ON r.bin = g.bin
+            LEFT JOIN cn_{c} u ON u.bin = g.bin
+            CROSS JOIN (SELECT CAST(sum(n) AS DOUBLE) AS t
+                        FROM rn_{c}) tr
+            CROSS JOIN (SELECT CAST(sum(n) AS DOUBLE) AS t
+                        FROM cn_{c}) tc
+          )
+        )"""
+        )
+        sel.append(f'SELECT "column", psi FROM psi_{c}')
+    parts.append("\n" + "\nUNION ALL\n".join(sel))
+    return "".join(parts)
+
+
 def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EWMA baseline per event type over hourly rollups
     (operators/temporal.ewma_smooth): recursive scan via a pandas
@@ -4167,6 +4242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "global_rank": q_global_rank,
         "ngram_diversity": q_ngram_diversity,
         "pmi_collocations": q_pmi_collocations,
+        "psi_drift": q_psi_drift,
         "ewma_smooth": q_ewma_smooth,
         "event_paths": q_event_paths,
         "copurchase_lift": q_copurchase_lift,
@@ -6880,6 +6956,7 @@ FROM eaul_calc
     sql["bpe_segment"] = _bpe_segment_oracle()
     sql["kcore"] = _kcore_oracle()
     sql["lpa_communities"] = _lpa_oracle()
+    sql["psi_drift"] = _psi_oracle()
     sql["fuzzy_join"] = _fuzzy_join_oracle()
     sql["corpus_report"] = """
         WITH base AS (

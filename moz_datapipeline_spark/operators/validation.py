@@ -362,3 +362,122 @@ def robust_scale(
     return joined.withColumn(out_col, F.round(scaled, 6)).drop(
         "_med", "_p25", "_p75"
     )
+
+
+def psi_drift(
+    reference: DataFrame,
+    current: DataFrame,
+    columns: Sequence[str],
+    nbins: int = 10,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population-stability-index drift between a REFERENCE snapshot
+    and a CURRENT snapshot, per numeric column: ``(column, psi)`` with
+
+        psi = sum_bins (p_cur - p_ref) * ln(p_cur / p_ref)
+
+    over ``nbins`` equal-width bins whose edges come from the
+    REFERENCE min/max (the standard scorecard-monitoring convention:
+    the reference defines the binning, current values outside its
+    range clamp into the edge bins).  Probabilities are floored at
+    ``eps`` so empty bins never produce ln(0).  Rule of thumb:
+    psi < 0.1 stable, 0.1–0.2 drifting, > 0.2 action.
+
+    Plan — TWO data scans total regardless of column count:
+
+    1. one 1-row aggregate over the reference collects every column's
+       min/max (broadcast back);
+    2. each side unpivots ``(column_name, bin_id)`` via ``stack`` in a
+       single projection and collapses into one (column, bin) hash
+       aggregate — map-side partials, no per-column jobs;
+    3. the PSI fold is a |columns|·nbins-row join + aggregate,
+       driver-negligible.
+
+    NULLs are excluded per column (they don't enter either histogram);
+    a column whose reference min == max puts every value in bin 0.
+    """
+    if nbins < 1:
+        raise ValueError("psi_drift: need nbins >= 1")
+    cols = list(columns)
+    if not cols:
+        raise ValueError("psi_drift: need at least one column")
+    bounds = reference.agg(
+        *[
+            a
+            for i, c in enumerate(cols)
+            for a in (
+                F.min(F.col(c).cast("double")).alias(f"_lo_{i}"),
+                F.max(F.col(c).cast("double")).alias(f"_hi_{i}"),
+            )
+        ]
+    )
+
+    def _binned(df: DataFrame) -> DataFrame:
+        pairs = []
+        for i, c in enumerate(cols):
+            v = F.col(c).cast("double")
+            lo, hi = F.col(f"_lo_{i}"), F.col(f"_hi_{i}")
+            width = (hi - lo) / nbins
+            raw = F.floor((v - lo) / width).cast("int")
+            bin_id = F.when(
+                v.isNull(), F.lit(None).cast("int")
+            ).otherwise(
+                F.when(hi == lo, F.lit(0)).otherwise(
+                    F.greatest(
+                        F.least(raw, F.lit(nbins - 1)), F.lit(0)
+                    )
+                )
+            )
+            pairs.append((F.lit(c), bin_id))
+        exploded = df.join(F.broadcast(bounds)).select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            name.alias("column"), b.alias("bin_id")
+                        )
+                        for name, b in pairs
+                    ]
+                )
+            ).alias("_e")
+        )
+        return (
+            exploded.select("_e.column", "_e.bin_id")
+            .filter(F.col("bin_id").isNotNull())
+            .groupBy("column", "bin_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    spark = reference.sparkSession
+    grid = spark.createDataFrame(
+        [(c, b) for c in cols for b in range(nbins)],
+        "column string, bin_id int",
+    )
+    ref_n = _binned(reference)
+    cur_n = _binned(current)
+    per_bin = (
+        grid.join(ref_n, ["column", "bin_id"], "left")
+        .withColumnRenamed("n", "n_ref")
+        .join(cur_n, ["column", "bin_id"], "left")
+        .withColumnRenamed("n", "n_cur")
+        .fillna(0, subset=["n_ref", "n_cur"])
+    )
+    tot = per_bin.groupBy("column").agg(
+        F.sum("n_ref").cast("double").alias("_tr"),
+        F.sum("n_cur").cast("double").alias("_tc"),
+    )
+    p_ref = F.greatest(F.col("n_ref") / F.col("_tr"), F.lit(eps))
+    p_cur = F.greatest(F.col("n_cur") / F.col("_tc"), F.lit(eps))
+    # a side with zero non-null rows for a column has no distribution:
+    # psi is NULL for that column (guarded here so ANSI mode doesn't
+    # kill the whole job with an opaque divide-by-zero mid-stage)
+    term = F.when(
+        (F.col("_tr") > 0) & (F.col("_tc") > 0),
+        (p_cur - p_ref) * F.log(p_cur / p_ref),
+    )
+    return (
+        per_bin.join(tot, "column")
+        .select("column", term.alias("_term"))
+        .groupBy("column")
+        .agg(F.sum("_term").alias("psi"))
+    )

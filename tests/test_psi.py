@@ -1,0 +1,84 @@
+"""PSI drift detection (operators/validation.psi_drift)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from moz_datapipeline_spark.operators.validation import psi_drift
+
+
+def _ref_psi(ref_vals, cur_vals, nbins=10, eps=1e-6):
+    ref_vals = [v for v in ref_vals if v is not None]
+    cur_vals = [v for v in cur_vals if v is not None]
+    lo, hi = min(ref_vals), max(ref_vals)
+    width = (hi - lo) / nbins
+
+    def bin_of(v):
+        if hi == lo:
+            return 0
+        return max(min(int(math.floor((v - lo) / width)), nbins - 1), 0)
+
+    rn = [0] * nbins
+    cn = [0] * nbins
+    for v in ref_vals:
+        rn[bin_of(v)] += 1
+    for v in cur_vals:
+        cn[bin_of(v)] += 1
+    tr, tc = float(sum(rn)), float(sum(cn))
+    psi = 0.0
+    for b in range(nbins):
+        pr = max(rn[b] / tr, eps)
+        pc = max(cn[b] / tc, eps)
+        psi += (pc - pr) * math.log(pc / pr)
+    return psi
+
+
+def test_psi_identical_distribution_is_zero(spark):
+    vals = [float(i % 10) for i in range(200)]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = psi_drift(df, df, ["x"], nbins=10).collect()
+    assert len(got) == 1 and abs(got[0].psi) < 1e-12
+
+
+def test_psi_matches_reference_and_detects_shift(spark):
+    ref_vals = [float(i % 100) for i in range(500)]
+    cur_vals = [float(i % 100) * 0.3 + 70.0 for i in range(400)]
+    ref = spark.createDataFrame([(v,) for v in ref_vals], "x double")
+    cur = spark.createDataFrame([(v,) for v in cur_vals], "x double")
+    got = psi_drift(ref, cur, ["x"]).collect()[0].psi
+    want = _ref_psi(ref_vals, cur_vals)
+    assert abs(got - want) < 1e-9
+    assert got > 0.2  # a hard shift must trip the action threshold
+
+
+def test_psi_clamps_out_of_range_and_ignores_nulls(spark):
+    ref = spark.createDataFrame(
+        [(float(v),) for v in range(10)] + [(None,)], "x double"
+    )
+    cur = spark.createDataFrame(
+        [(-5.0,), (99.0,), (None,)], "x double"
+    )
+    got = psi_drift(ref, cur, ["x"], nbins=5).collect()[0].psi
+    want = _ref_psi(
+        [float(v) for v in range(10)], [-5.0, 99.0], nbins=5
+    )
+    assert abs(got - want) < 1e-9
+
+
+def test_psi_empty_side_yields_null(spark):
+    ref = spark.createDataFrame([(1.0,), (2.0,)], "x double")
+    cur = spark.createDataFrame([], "x double")
+    row = psi_drift(ref, cur, ["x"]).collect()[0]
+    assert row.psi is None
+
+
+def test_psi_multi_column_one_row_each(spark):
+    df = spark.createDataFrame(
+        [(1.0, 10.0), (2.0, 20.0), (3.0, 30.0)], "a double, b double"
+    )
+    rows = psi_drift(df, df, ["a", "b"]).collect()
+    assert sorted(r.column for r in rows) == ["a", "b"]
+    with pytest.raises(ValueError, match="column"):
+        psi_drift(df, df, [])
