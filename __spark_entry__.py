@@ -3625,6 +3625,29 @@ def _psi_oracle(cols=None, nbins: int = _PSI_BINS) -> str:
     return "".join(parts)
 
 
+def q_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided tabular CUSUM change statistics per event type over
+    hourly rollups (operators/temporal.cusum_changepoints): the
+    max(0, ·) recursion runs in a pandas kernel on the SMALL rollup
+    (same legitimate-Python-kernel class as ewma_smooth).  VALUE
+    oracle: DuckDB replays the recursion with a pair-carrying
+    list_reduce over ordered prefixes."""
+    from moz_datapipeline_spark.operators.temporal import (
+        cusum_changepoints,
+    )
+
+    ev = _events(spark, sf_dir)
+    out = cusum_changepoints(ev, k_sigmas=0.5, h_sigmas=4.0)
+    return out.select(
+        "event_type",
+        F.col("bucket_epoch").alias("hour_epoch"),
+        "metric",
+        "s_pos",
+        "s_neg",
+        "is_change",
+    )
+
+
 def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EWMA baseline per event type over hourly rollups
     (operators/temporal.ewma_smooth): recursive scan via a pandas
@@ -4243,6 +4266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_diversity": q_ngram_diversity,
         "pmi_collocations": q_pmi_collocations,
         "psi_drift": q_psi_drift,
+        "cusum_changepoints": q_cusum_changepoints,
         "ewma_smooth": q_ewma_smooth,
         "event_paths": q_event_paths,
         "copurchase_lift": q_copurchase_lift,
@@ -7712,6 +7736,48 @@ FROM eaul_calc
                round(unnest(xs), 6) AS metric,
                round(unnest(es), 6) AS ewma
         FROM sm
+    """
+
+    sql["cusum_changepoints"] = """
+        WITH rollup AS (
+          SELECT event_type AS grp,
+                 epoch_ns(ts) // 3600000000000 * 3600 AS hour_epoch,
+                 sum(value) AS metric
+          FROM events GROUP BY 1, 2
+        ), g AS (
+          SELECT grp,
+                 list(CAST(metric AS DOUBLE) ORDER BY hour_epoch) AS xs,
+                 list(hour_epoch ORDER BY hour_epoch) AS tss
+          FROM rollup GROUP BY 1
+        ), stats AS (
+          SELECT grp, avg(CAST(metric AS DOUBLE)) AS mu,
+                 coalesce(stddev_samp(CAST(metric AS DOUBLE)), 0.0) AS sd
+          FROM rollup GROUP BY 1
+        ), cs AS (
+          SELECT grp, tss, xs,
+                 CASE WHEN sd > 0.0 THEN
+                   list_transform(generate_series(1, len(xs)), i ->
+                     list_reduce(
+                       [[CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)]] ||
+                       list_transform(xs[1:i], x ->
+                         [x - mu - 0.5 * sd, mu - x - 0.5 * sd]),
+                       (acc, e) -> [greatest(0.0, acc[1] + e[1]),
+                                    greatest(0.0, acc[2] + e[2])]))
+                 ELSE
+                   list_transform(xs, x ->
+                     [CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)])
+                 END AS ss,
+                 4.0 * sd AS h
+          FROM g JOIN stats USING (grp)
+        )
+        SELECT grp AS event_type,
+               CAST(unnest(tss) AS BIGINT) AS hour_epoch,
+               round(unnest(xs), 6) AS metric,
+               round(unnest(list_transform(ss, s -> s[1])), 6) AS s_pos,
+               round(unnest(list_transform(ss, s -> s[2])), 6) AS s_neg,
+               unnest(list_transform(ss,
+                 s -> s[1] > h OR s[2] > h)) AS is_change
+        FROM cs
     """
 
     sql["ngram_diversity"] = """

@@ -220,3 +220,83 @@ def ewma_smooth(
     return out.select(
         F.col("grp").alias(group_col), "bucket_epoch", "metric", "ewma"
     )
+
+
+def cusum_changepoints(
+    events: DataFrame,
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+    value_col: str = "value",
+    bucket: str = "hour",
+    k_sigmas: float = 0.5,
+    h_sigmas: float = 4.0,
+) -> DataFrame:
+    """Tabular CUSUM change-point statistics per group over bucketed
+    rollups: the classic two-sided recursion
+
+        s_pos_t = max(0, s_pos_{t-1} + (x_t - mu - k))
+        s_neg_t = max(0, s_neg_{t-1} + (mu - x_t - k))
+
+    with mu/sigma the group's retrospective series mean / sample
+    stddev, slack ``k = k_sigmas * sigma`` and decision interval
+    ``h = h_sigmas * sigma``.  Returns ``(group, bucket_epoch, metric,
+    s_pos, s_neg, is_change)`` — ``is_change`` marks every bucket
+    whose statistic exceeds ``h`` (no post-detection reset: the
+    statistic is reported, the reset policy is the caller's).
+    Groups with fewer than 2 buckets or zero variance have no scale
+    for ``k``/``h``: their statistics are 0 and never flag.
+
+    Like ``ewma_smooth``, the recursion's running max(0, ·) fold has
+    per-element output no Spark window or array HOF expresses, so the
+    kernel is ``applyInPandas`` — but only over the |groups|·|buckets|
+    ROLLUP built first by a map-side-combined hash aggregate, never
+    raw events, so the Python surface stays tiny at any corpus size.
+    """
+    rollup = (
+        events.groupBy(
+            F.col(group_col).alias("grp"),
+            _bucket_epoch(events, ts_col, bucket).alias("bucket_epoch"),
+        )
+        .agg(F.sum(value_col).alias("metric"))
+    )
+    ks, hs = float(k_sigmas), float(h_sigmas)
+
+    def kernel(pdf):
+        import numpy as np
+
+        pdf = pdf.sort_values("bucket_epoch").reset_index(drop=True)
+        x = pdf["metric"].astype("float64").to_numpy()
+        n = len(x)
+        sp = np.zeros(n)
+        sn = np.zeros(n)
+        flag = np.zeros(n, dtype=bool)
+        sd = float(pdf["metric"].std(ddof=1)) if n >= 2 else 0.0
+        if sd > 0.0:
+            mu = float(pdf["metric"].mean())
+            k = ks * sd
+            h = hs * sd
+            ap, an = 0.0, 0.0
+            for i in range(n):
+                ap = max(0.0, ap + (x[i] - mu - k))
+                an = max(0.0, an + (mu - x[i] - k))
+                sp[i], sn[i] = ap, an
+                flag[i] = ap > h or an > h
+        pdf["s_pos"] = np.round(sp, 6)
+        pdf["s_neg"] = np.round(sn, 6)
+        pdf["is_change"] = flag
+        pdf["metric"] = pdf["metric"].round(6)
+        return pdf
+
+    schema = (
+        "grp string, bucket_epoch long, metric double, "
+        "s_pos double, s_neg double, is_change boolean"
+    )
+    out = rollup.groupBy("grp").applyInPandas(kernel, schema)
+    return out.select(
+        F.col("grp").alias(group_col),
+        "bucket_epoch",
+        "metric",
+        "s_pos",
+        "s_neg",
+        "is_change",
+    )

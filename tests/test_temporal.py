@@ -155,3 +155,60 @@ def test_ewma_smooth_matches_recursion(spark):
     assert [r.ewma for r in out] == [10.0, 15.0, 22.5, 31.25]
     with _pytest.raises(ValueError):
         ewma_smooth(df, alpha=0.0)
+
+
+def test_cusum_detects_level_shift(spark):
+    from moz_datapipeline_spark.operators.temporal import (
+        cusum_changepoints,
+    )
+
+    # hourly series: 30 buckets at 10, then 30 at 14 — a level shift
+    rows = []
+    for i in range(60):
+        val = 10.0 if i < 30 else 14.0
+        rows.append(("a", i * 3600 * 1_000_000_000, val))
+    ev = spark.createDataFrame(rows, "event_type string, ts long, value double")
+    out = (
+        cusum_changepoints(ev, k_sigmas=0.5, h_sigmas=4.0)
+        .orderBy("bucket_epoch")
+        .collect()
+    )
+    assert len(out) == 60
+    # reference recursion in plain python
+    import statistics
+
+    xs = [10.0] * 30 + [14.0] * 30
+    mu = statistics.fmean(xs)
+    sd = statistics.stdev(xs)
+    k, h = 0.5 * sd, 4.0 * sd
+    ap = an = 0.0
+    first_flag = None
+    for i, x in enumerate(xs):
+        ap = max(0.0, ap + (x - mu - k))
+        an = max(0.0, an + (mu - x - k))
+        assert abs(out[i].s_pos - ap) < 1e-5
+        assert abs(out[i].s_neg - an) < 1e-5
+        if (ap > h or an > h) and first_flag is None:
+            first_flag = i
+        assert out[i].is_change == (ap > h or an > h)
+    # retrospective CUSUM: both regimes sit k-sigma off the GLOBAL
+    # mean, so the low regime trips s_neg early and the high regime
+    # trips s_pos after the shift — both must flag
+    assert first_flag is not None
+    assert any(r.is_change and r.s_pos > r.s_neg for r in out[31:])
+    assert any(r.is_change and r.s_neg > r.s_pos for r in out[:30])
+
+
+def test_cusum_constant_series_never_flags(spark):
+    from moz_datapipeline_spark.operators.temporal import (
+        cusum_changepoints,
+    )
+
+    ev = spark.createDataFrame(
+        [("a", i * 3600 * 1_000_000_000, 5.0) for i in range(10)]
+        + [("b", 0, 1.0)],
+        "event_type string, ts long, value double",
+    )
+    rows = cusum_changepoints(ev).collect()
+    assert all(r.s_pos == 0.0 and r.s_neg == 0.0 for r in rows)
+    assert not any(r.is_change for r in rows)
