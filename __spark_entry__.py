@@ -3625,6 +3625,26 @@ def _psi_oracle(cols=None, nbins: int = _PSI_BINS) -> str:
     return "".join(parts)
 
 
+def q_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational division (operators/relational.relational_division):
+    customers whose orders span EVERY order priority present in the
+    table — count-matching form, 2 shuffles + 1 broadcast, no double
+    anti-join.  VALUE oracle: GROUP BY + HAVING count(DISTINCT) =
+    divisor count."""
+    from moz_datapipeline_spark.operators.relational import (
+        relational_division,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    out = relational_division(
+        o,
+        ["o_custkey"],
+        ["o_orderpriority"],
+        o.select("o_orderpriority"),
+    )
+    return out.select(F.col("o_custkey").cast("long").alias("custkey"))
+
+
 def q_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sided tabular CUSUM change statistics per event type over
     hourly rollups (operators/temporal.cusum_changepoints): the
@@ -4267,6 +4287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_collocations": q_pmi_collocations,
         "psi_drift": q_psi_drift,
         "cusum_changepoints": q_cusum_changepoints,
+        "relational_division": q_relational_division,
         "ewma_smooth": q_ewma_smooth,
         "event_paths": q_event_paths,
         "copurchase_lift": q_copurchase_lift,
@@ -7736,6 +7757,15 @@ FROM eaul_calc
                round(unnest(xs), 6) AS metric,
                round(unnest(es), 6) AS ewma
         FROM sm
+    """
+
+    sql["relational_division"] = """
+        SELECT CAST(o_custkey AS BIGINT) AS custkey
+        FROM (SELECT DISTINCT o_custkey, o_orderpriority FROM orders)
+        GROUP BY o_custkey
+        HAVING count(*) = (
+          SELECT count(DISTINCT o_orderpriority) FROM orders
+        )
     """
 
     sql["cusum_changepoints"] = """
