@@ -3645,6 +3645,20 @@ def q_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("o_custkey").cast("long").alias("custkey"))
 
 
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition per event type over hourly
+    rollups (operators/temporal.seasonal_decompose): centered ±12-row
+    moving-average trend, zero-centred 24-phase seasonal means,
+    residual — all JVM window/group means over the SMALL rollup.
+    VALUE oracle: the identical windows replayed in DuckDB."""
+    from moz_datapipeline_spark.operators.temporal import (
+        seasonal_decompose,
+    )
+
+    ev = _events(spark, sf_dir)
+    return seasonal_decompose(ev, period=24, trend_window=12)
+
+
 def q_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sided tabular CUSUM change statistics per event type over
     hourly rollups (operators/temporal.cusum_changepoints): the
@@ -4288,6 +4302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_drift": q_psi_drift,
         "cusum_changepoints": q_cusum_changepoints,
         "relational_division": q_relational_division,
+        "seasonal_decompose": q_seasonal_decompose,
         "ewma_smooth": q_ewma_smooth,
         "event_paths": q_event_paths,
         "copurchase_lift": q_copurchase_lift,
@@ -7757,6 +7772,40 @@ FROM eaul_calc
                round(unnest(xs), 6) AS metric,
                round(unnest(es), 6) AS ewma
         FROM sm
+    """
+
+    sql["seasonal_decompose"] = """
+        WITH rollup AS (
+          SELECT event_type AS grp,
+                 epoch_ns(ts) // 3600000000000 * 3600 AS bucket_epoch,
+                 sum(value) AS metric
+          FROM events GROUP BY 1, 2
+        ), wt AS (
+          SELECT grp, bucket_epoch,
+                 CAST(metric AS DOUBLE) AS metric,
+                 CAST((bucket_epoch // 3600) % 24 AS INT) AS phase,
+                 avg(CAST(metric AS DOUBLE)) OVER (
+                   PARTITION BY grp ORDER BY bucket_epoch
+                   ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING
+                 ) AS trend
+          FROM rollup
+        ), pm AS (
+          SELECT grp, phase, avg(metric - trend) AS s_raw
+          FROM wt GROUP BY 1, 2
+        ), gm AS (
+          SELECT grp, avg(s_raw) AS s_bar FROM pm GROUP BY 1
+        ), se AS (
+          SELECT grp, phase, s_raw - s_bar AS seasonal
+          FROM pm JOIN gm USING (grp)
+        )
+        SELECT wt.grp AS event_type,
+               CAST(bucket_epoch AS BIGINT) AS bucket_epoch,
+               wt.phase,
+               round(metric, 6) AS metric,
+               round(trend, 6) AS trend,
+               round(seasonal, 6) AS seasonal,
+               round(metric - trend - seasonal, 6) AS residual
+        FROM wt JOIN se ON wt.grp = se.grp AND wt.phase = se.phase
     """
 
     sql["relational_division"] = """
