@@ -1086,6 +1086,19 @@ def q_stable_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stable_sample(d, 0.1, "doc_id").select("doc_id", "lang", "n_chars")
 
 
+def q_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic exact-5-per-language document sample
+    (operators/text.group_sample): rank-by-content-hash window, small
+    groups kept whole.  VALUE oracle: ROW_NUMBER over the identical
+    md5 ordering in DuckDB."""
+    from moz_datapipeline_spark.operators.text import group_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return group_sample(d, "lang", 5, "doc_id").select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language deterministic rebalance (downsample English to 20%,
     keep Chinese whole, 50% elsewhere) — one codegen filter on the
@@ -4303,6 +4316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum_changepoints": q_cusum_changepoints,
         "relational_division": q_relational_division,
         "seasonal_decompose": q_seasonal_decompose,
+        "group_sample": q_group_sample,
         "ewma_smooth": q_ewma_smooth,
         "event_paths": q_event_paths,
         "copurchase_lift": q_copurchase_lift,
@@ -6179,6 +6193,18 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE CAST(('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
                   < {int(0.1 * (1 << 60))}
+        """,
+        "group_sample": """
+            SELECT doc_id, lang, n_chars FROM (
+              SELECT doc_id, lang, n_chars,
+                     row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY CAST(('0x' || substr(md5('gsample:'
+                         || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                         ASC, doc_id ASC
+                     ) AS rn
+              FROM documents
+            ) WHERE rn <= 5
         """,
         "stratified_sample": f"""
             SELECT doc_id, lang, n_chars

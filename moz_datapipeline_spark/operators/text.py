@@ -594,3 +594,53 @@ def normalize_unicode(
     )
     collapsed = F.trim(F.regexp_replace(cleaned, "[ \\t]+", " "))
     return df.withColumn(out_col, collapsed)
+
+
+def group_sample(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    key_col: str,
+    seed: str = "gsample",
+) -> DataFrame:
+    """Deterministic exact-k sample PER GROUP: for every group keep
+    the ``k`` rows whose content-addressed hash (same md5 scheme as
+    ``stable_sample``) ranks lowest, ties broken by the key itself.
+    Groups smaller than ``k`` keep all their rows.
+
+    This is the per-group twin of ``stable_sample``: membership is a
+    pure function of (seed, key), so re-sharding, re-running, or
+    re-ordering the corpus never changes which rows a group
+    contributes — and unlike a fraction-based sampler, small groups
+    are never emptied and large groups never over-represented (the
+    fixed-k-per-group balance domain-capped corpora want).
+
+    Plan: one hash-partitioned window (rank within group by hash) —
+    the standard exact-top-k-per-key shape.  Skew caveat: a mega
+    group sorts on one partition; when groups can be pathologically
+    hot, cap their width upstream (``domain_cap``) or accept the
+    AQE-split sort.  No driver action, no join.
+    """
+    if k < 1:
+        raise ValueError("group_sample: need k >= 1")
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(seed), F.lit(":"), F.col(key_col).cast("string")
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = Window.partitionBy(group_col).orderBy(
+        h.asc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

@@ -196,3 +196,29 @@ def test_quantize_embeddings_fidelity(spark):
     # zero vector: zero codes, no cosine
     assert out[1]["quantized"] == [0, 0, 0, 0]
     assert out[1]["dequant_cosine"] is None
+
+
+def test_group_sample_exact_k_and_deterministic(spark):
+    from moz_datapipeline_spark.operators.text import group_sample
+
+    rows = [(f"d{i}", "big") for i in range(50)] + [
+        ("s1", "small"), ("s2", "small")
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, lang string")
+    out1 = group_sample(df, "lang", 5, "doc_id").collect()
+    out2 = group_sample(
+        df.repartition(7), "lang", 5, "doc_id"
+    ).collect()
+    ids1 = sorted((r.lang, r.doc_id) for r in out1)
+    ids2 = sorted((r.lang, r.doc_id) for r in out2)
+    assert ids1 == ids2  # partition-layout independent
+    by_lang = {}
+    for lang, d in ids1:
+        by_lang.setdefault(lang, []).append(d)
+    assert len(by_lang["big"]) == 5
+    assert sorted(by_lang["small"]) == ["s1", "s2"]  # kept whole
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k >= 1"):
+        group_sample(df, "lang", 0, "doc_id")
