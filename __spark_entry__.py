@@ -3658,6 +3658,26 @@ def q_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("o_custkey").cast("long").alias("custkey"))
 
 
+def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 2-D Pareto frontier over parts, minimizing (retail
+    price, size) — operators/ranges.pareto_frontier_2d: dominance
+    factorized into two prefix tests over the distinct-x group table,
+    two-phase strict prefix min instead of a global window or the
+    quadratic self-join.  VALUE oracle: the textbook NOT EXISTS
+    dominance query (fine at oracle scale)."""
+    from moz_datapipeline_spark.operators.ranges import (
+        pareto_frontier_2d,
+    )
+
+    p = _t(spark, sf_dir, "part")
+    out = pareto_frontier_2d(p, "p_retailprice", "p_size")
+    return out.select(
+        F.col("p_partkey").cast("long").alias("partkey"),
+        F.col("p_retailprice").cast("double").alias("retailprice"),
+        F.col("p_size").cast("int").alias("size"),
+    )
+
+
 def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Additive seasonal decomposition per event type over hourly
     rollups (operators/temporal.seasonal_decompose): centered ±12-row
@@ -4317,6 +4337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "relational_division": q_relational_division,
         "seasonal_decompose": q_seasonal_decompose,
         "group_sample": q_group_sample,
+        "pareto_frontier": q_pareto_frontier,
         "ewma_smooth": q_ewma_smooth,
         "event_paths": q_event_paths,
         "copurchase_lift": q_copurchase_lift,
@@ -7798,6 +7819,21 @@ FROM eaul_calc
                round(unnest(xs), 6) AS metric,
                round(unnest(es), 6) AS ewma
         FROM sm
+    """
+
+    sql["pareto_frontier"] = """
+        SELECT CAST(r.p_partkey AS BIGINT) AS partkey,
+               CAST(r.p_retailprice AS DOUBLE) AS retailprice,
+               CAST(r.p_size AS INT) AS size
+        FROM part r
+        WHERE r.p_retailprice IS NOT NULL AND r.p_size IS NOT NULL
+          AND NOT EXISTS (
+            SELECT 1 FROM part s
+            WHERE s.p_retailprice <= r.p_retailprice
+              AND s.p_size <= r.p_size
+              AND (s.p_retailprice < r.p_retailprice
+                   OR s.p_size < r.p_size)
+          )
     """
 
     sql["seasonal_decompose"] = """

@@ -211,3 +211,76 @@ def peak_concurrency(
         .drop("conc")
     )
     return peaks.join(firsts, [*group_cols, "peak_concurrency"])
+
+
+def pareto_frontier_2d(
+    df: DataFrame, x_col: str, y_col: str
+) -> DataFrame:
+    """Exact 2-D Pareto frontier (skyline), minimizing BOTH columns:
+    keep every row no other row strictly dominates (``s.x <= r.x``,
+    ``s.y <= r.y``, at least one strict).  Rows with identical
+    ``(x, y)`` do not dominate each other — all are kept.  NULL in
+    either column excludes the row (no dominance order for it).
+
+    The quadratic NOT-EXISTS encoding dies at scale; in 2-D dominance
+    factorizes into two prefix tests over the DISTINCT-x group table
+    (min y per x — usually orders of magnitude smaller than the
+    input):
+
+    - SAME-x domination: ``y > min_y(x)``;
+    - STRICTLY-SMALLER-x domination: ``strict_prefix_min_y(x) <= y``,
+      where the strict prefix min over the x order is computed on the
+      group table WITHOUT a single-partition global window, via the
+      two-phase scheme ``global_rank`` uses — range-partition by x
+      (each x occurs once, so no boundary ties), per-partition
+      ``rowsBetween(unbounded, -1)`` running min, then the broadcast
+      exclusive running min of predecessor partitions.
+
+    One hash aggregate + one range exchange over the group table +
+    one equi join back: holds at any scale, unlike the textbook
+    self-join.
+    """
+    from pyspark.sql import Window
+
+    x, y = F.col(x_col).cast("double"), F.col(y_col).cast("double")
+    base = df.filter(x.isNotNull() & y.isNotNull())
+
+    gx = base.groupBy(x.alias("_x")).agg(F.min(y).alias("_eq_min"))
+    ranged = gx.repartitionByRange(F.col("_x").asc()).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    lw = (
+        Window.partitionBy("_pid")
+        .orderBy("_x")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # cache: the bases branch and the join must observe the SAME
+    # sampled range partitioning (the global_rank rule)
+    local = ranged.withColumn(
+        "_lmin", F.min("_eq_min").over(lw)
+    ).cache()
+    bases = (
+        local.groupBy("_pid")
+        .agg(F.min("_eq_min").alias("_pmin"))
+        .withColumn(
+            "_base",
+            F.min("_pmin").over(
+                Window.orderBy("_pid").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+        )
+        .select("_pid", "_base")
+    )
+    inf = F.lit(float("inf"))
+    strict = F.least(
+        F.coalesce(F.col("_lmin"), inf), F.coalesce(F.col("_base"), inf)
+    )
+    marks = local.join(F.broadcast(bases), "_pid").select(
+        "_x", "_eq_min", strict.alias("_strict_min")
+    )
+    return (
+        base.join(marks, x == F.col("_x"))
+        .filter(~(y > F.col("_eq_min")) & ~(F.col("_strict_min") <= y))
+        .drop("_x", "_eq_min", "_strict_min")
+    )

@@ -93,3 +93,59 @@ def test_peak_concurrency_sweep(spark):
             for r in peak_concurrency(
                 iv.repartition(7), group_cols=["g"]).collect()}
     assert out2 == out
+
+
+def test_pareto_frontier_matches_bruteforce(spark):
+    import random
+
+    from moz_datapipeline_spark.operators.ranges import (
+        pareto_frontier_2d,
+    )
+
+    random.seed(7)
+    pts = [
+        (i, float(random.randint(0, 30)), float(random.randint(0, 30)))
+        for i in range(500)
+    ]
+    pts += [(1000, 0.0, 0.0), (1001, 0.0, 0.0)]  # identical dupes kept
+    pts += [(1002, None, 1.0), (1003, 2.0, None)]  # NULLs excluded
+    df = spark.createDataFrame(pts, "id long, x double, y double")
+
+    vals = [(i, x, y) for i, x, y in pts if x is not None and y is not None]
+    want = sorted(
+        i
+        for i, x, y in vals
+        if not any(
+            sx <= x and sy <= y and (sx < x or sy < y)
+            for _, sx, sy in vals
+        )
+    )
+    got = sorted(r.id for r in pareto_frontier_2d(df, "x", "y").collect())
+    assert got == want
+    assert {1000, 1001} <= set(got) and 1002 not in got
+    # partition-layout independence
+    got2 = sorted(
+        r.id
+        for r in pareto_frontier_2d(df.repartition(13), "x", "y").collect()
+    )
+    assert got2 == want
+
+
+def test_pareto_frontier_single_chain(spark):
+    from moz_datapipeline_spark.operators.ranges import (
+        pareto_frontier_2d,
+    )
+
+    # strictly decreasing trade-off: every point is on the frontier
+    df = spark.createDataFrame(
+        [(i, float(i), float(100 - i)) for i in range(50)],
+        "id long, x double, y double",
+    )
+    assert pareto_frontier_2d(df, "x", "y").count() == 50
+    # strictly dominated chain: only the minimum survives
+    df2 = spark.createDataFrame(
+        [(i, float(i), float(i)) for i in range(50)],
+        "id long, x double, y double",
+    )
+    rows = pareto_frontier_2d(df2, "x", "y").collect()
+    assert [(r.id, r.x, r.y) for r in rows] == [(0, 0.0, 0.0)]
