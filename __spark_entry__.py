@@ -3658,6 +3658,34 @@ def q_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("o_custkey").cast("long").alias("custkey"))
 
 
+def q_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe supervised-learning feature frame per event type
+    (operators/temporal.lag_features): lag-1/2/3 plus a trailing
+    6-row mean EXCLUDING the current row, all plain windows over the
+    small hourly rollup.  VALUE oracle: SQL LAG/AVG windows."""
+    from moz_datapipeline_spark.operators.temporal import lag_features
+
+    ev = _events(spark, sf_dir)
+    return lag_features(ev, lags=(1, 2, 3), rolling_window=6)
+
+
+def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned mutual information between lineitem quantity and
+    extended price (operators/validation.mutual_information): one
+    bounds aggregate + ONE joint-count pass, marginals derived from
+    the nbins^2 joint table.  VALUE oracle: the identical grid and
+    ln-fold in DuckDB."""
+    from moz_datapipeline_spark.operators.validation import (
+        mutual_information,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = mutual_information(li, "l_quantity", "l_extendedprice", nbins=10)
+    return out.select(
+        "x_col", "y_col", F.round("mi", 6).alias("mi"), "n_rows"
+    )
+
+
 def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 2-D Pareto frontier over parts, minimizing (retail
     price, size) — operators/ranges.pareto_frontier_2d: dominance
@@ -4338,6 +4366,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_decompose": q_seasonal_decompose,
         "group_sample": q_group_sample,
         "pareto_frontier": q_pareto_frontier,
+        "lag_features": q_lag_features,
+        "mutual_information": q_mutual_information,
         "ewma_smooth": q_ewma_smooth,
         "event_paths": q_event_paths,
         "copurchase_lift": q_copurchase_lift,
@@ -7819,6 +7849,67 @@ FROM eaul_calc
                round(unnest(xs), 6) AS metric,
                round(unnest(es), 6) AS ewma
         FROM sm
+    """
+
+    sql["lag_features"] = """
+        WITH rollup AS (
+          SELECT event_type AS grp,
+                 epoch_ns(ts) // 3600000000000 * 3600 AS bucket_epoch,
+                 sum(value) AS metric
+          FROM events GROUP BY 1, 2
+        )
+        SELECT grp AS event_type,
+               CAST(bucket_epoch AS BIGINT) AS bucket_epoch,
+               round(CAST(metric AS DOUBLE), 6) AS metric,
+               round(lag(CAST(metric AS DOUBLE), 1) OVER w, 6) AS lag_1,
+               round(lag(CAST(metric AS DOUBLE), 2) OVER w, 6) AS lag_2,
+               round(lag(CAST(metric AS DOUBLE), 3) OVER w, 6) AS lag_3,
+               round(avg(CAST(metric AS DOUBLE)) OVER (
+                 PARTITION BY grp ORDER BY bucket_epoch
+                 ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING
+               ), 6) AS rolling_mean,
+               CAST(count(metric) OVER (
+                 PARTITION BY grp ORDER BY bucket_epoch
+                 ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING
+               ) AS INT) AS rolling_n
+        FROM rollup
+        WINDOW w AS (PARTITION BY grp ORDER BY bucket_epoch)
+    """
+
+    sql["mutual_information"] = """
+        WITH base AS (
+          SELECT CAST(l_quantity AS DOUBLE) AS x,
+                 CAST(l_extendedprice AS DOUBLE) AS y
+          FROM lineitem
+          WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        ), b AS (
+          SELECT min(x) AS lx, max(x) AS hx,
+                 min(y) AS ly, max(y) AS hy
+          FROM base
+        ), j AS (
+          SELECT bx, by, CAST(count(*) AS BIGINT) AS n FROM (
+            SELECT
+              CASE WHEN hx = lx THEN 0 ELSE
+                least(CAST(floor((x - lx) / ((hx - lx) / 10)) AS INT), 9)
+              END AS bx,
+              CASE WHEN hy = ly THEN 0 ELSE
+                least(CAST(floor((y - ly) / ((hy - ly) / 10)) AS INT), 9)
+              END AS by
+            FROM base CROSS JOIN b
+          ) GROUP BY 1, 2
+        ), mx AS (
+          SELECT bx, CAST(sum(n) AS BIGINT) AS nx FROM j GROUP BY 1
+        ), my AS (
+          SELECT by, CAST(sum(n) AS BIGINT) AS ny FROM j GROUP BY 1
+        ), t AS (
+          SELECT CAST(sum(n) AS DOUBLE) AS t FROM j
+        )
+        SELECT 'l_quantity' AS x_col,
+               'l_extendedprice' AS y_col,
+               round(sum((n / t.t) * ln((n * t.t) / (nx * ny))), 6) AS mi,
+               CAST(sum(n) AS BIGINT) AS n_rows
+        FROM j JOIN mx USING (bx) JOIN my USING (by) CROSS JOIN t
+        GROUP BY t.t
     """
 
     sql["pareto_frontier"] = """

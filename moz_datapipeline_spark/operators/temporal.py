@@ -19,6 +19,8 @@ latest row holds a NULL).
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -387,3 +389,60 @@ def seasonal_decompose(
             ).alias("residual"),
         )
     )
+
+
+def lag_features(
+    events: DataFrame,
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+    value_col: str = "value",
+    bucket: str = "hour",
+    lags: Sequence[int] = (1, 2, 3),
+    rolling_window: int = 6,
+) -> DataFrame:
+    """Supervised-learning feature builder over bucketed rollups: per
+    group and bucket emit the metric, its ``lag_k`` values (k buckets
+    earlier in the SERIES order — gaps are not filled: a lag skips
+    over missing buckets, the rollup's row order is the contract),
+    and the trailing ``rolling_window``-row mean EXCLUDING the current
+    row (no target leakage — the feature at time t sees only t-1 and
+    earlier).
+
+    Returns ``(group, bucket_epoch, metric, lag_1.., rolling_mean,
+    rolling_n)`` — ``rolling_n`` counts the rows behind the mean so a
+    training pipeline can gate on warm-up length.
+
+    Scale: the expensive part is the events→rollup hash aggregate
+    (map-side combined); the window runs per group over the SMALL
+    rollup, hash-partitioned on the group — never a global sort.
+    """
+    lag_list = sorted(set(int(v) for v in lags))
+    if not lag_list or lag_list[0] < 1:
+        raise ValueError("lag_features: lags must be >= 1")
+    if rolling_window < 1:
+        raise ValueError("lag_features: rolling_window must be >= 1")
+    rollup = (
+        events.groupBy(
+            F.col(group_col).alias("grp"),
+            _bucket_epoch(events, ts_col, bucket).alias("bucket_epoch"),
+        )
+        .agg(F.sum(value_col).alias("metric"))
+    )
+    order = Window.partitionBy("grp").orderBy("bucket_epoch")
+    trail = order.rowsBetween(-rolling_window, -1)
+    cols = [
+        F.col("grp").alias(group_col),
+        "bucket_epoch",
+        F.round("metric", 6).alias("metric"),
+    ]
+    for k in lag_list:
+        cols.append(
+            F.round(F.lag("metric", k).over(order), 6).alias(f"lag_{k}")
+        )
+    cols.append(
+        F.round(F.avg("metric").over(trail), 6).alias("rolling_mean")
+    )
+    cols.append(
+        F.count("metric").over(trail).cast("int").alias("rolling_n")
+    )
+    return rollup.select(*cols)

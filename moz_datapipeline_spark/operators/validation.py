@@ -481,3 +481,88 @@ def psi_drift(
         .groupBy("column")
         .agg(F.sum("_term").alias("psi"))
     )
+
+
+def mutual_information(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    nbins: int = 10,
+) -> DataFrame:
+    """Binned mutual information between two numeric columns:
+    ``MI = sum_xy p_xy * ln(p_xy / (p_x * p_y))`` over an
+    ``nbins`` x ``nbins`` equal-width grid (each column binned against
+    its OWN min/max), nats.  Returns one row ``(x_col, y_col, mi,
+    n_rows)`` — MI = 0 means the binned columns are independent;
+    higher values flag redundant features / leaky joins in a feature
+    audit.  Rows where either column is NULL are excluded; a constant
+    column (min == max) carries no information — MI is exactly 0.
+
+    Plan: one 1-row min/max aggregate over both columns (broadcast
+    back), then ONE pass binning both columns and hash-aggregating
+    joint counts (at most nbins² groups, map-side combined).
+    Marginals derive from the joint table — never a second data scan.
+    Empty-bin terms vanish (0·ln 0 = 0 by convention), so no epsilon
+    flooring is needed, unlike ``psi_drift`` where the DIFFERENCE
+    weight keeps empty bins in play.
+    """
+    if nbins < 1:
+        raise ValueError("mutual_information: need nbins >= 1")
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    base = df.filter(x.isNotNull() & y.isNotNull())
+    bounds = base.agg(
+        F.min(x).alias("_lx"),
+        F.max(x).alias("_hx"),
+        F.min(y).alias("_ly"),
+        F.max(y).alias("_hy"),
+    )
+
+    def _bin(v, lo, hi):
+        width = (F.col(hi) - F.col(lo)) / nbins
+        return F.when(F.col(hi) == F.col(lo), F.lit(0)).otherwise(
+            F.least(
+                F.floor((v - F.col(lo)) / width).cast("int"),
+                F.lit(nbins - 1),
+            )
+        )
+
+    joint = (
+        base.join(F.broadcast(bounds))
+        .select(
+            _bin(x, "_lx", "_hx").alias("bx"),
+            _bin(y, "_ly", "_hy").alias("by"),
+        )
+        .groupBy("bx", "by")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    mx = joint.groupBy("bx").agg(F.sum("n").alias("nx"))
+    my = joint.groupBy("by").agg(F.sum("n").alias("ny"))
+    tot = joint.agg(F.sum("n").cast("double").alias("_t"))
+    mi = (
+        joint.join(mx, "bx")
+        .join(my, "by")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            (
+                (F.col("n") / F.col("_t"))
+                * F.log(
+                    (F.col("n") * F.col("_t"))
+                    / (F.col("nx") * F.col("ny"))
+                )
+            ).alias("_term")
+        )
+        .agg(F.coalesce(F.sum("_term"), F.lit(0.0)).alias("mi"))
+    )
+    n_rows = joint.agg(
+        F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_rows")
+    )
+    return (
+        mi.crossJoin(F.broadcast(n_rows))
+        .select(
+            F.lit(x_col).alias("x_col"),
+            F.lit(y_col).alias("y_col"),
+            F.col("mi"),
+            F.col("n_rows"),
+        )
+    )

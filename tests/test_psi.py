@@ -82,3 +82,30 @@ def test_psi_multi_column_one_row_each(spark):
     assert sorted(r.column for r in rows) == ["a", "b"]
     with pytest.raises(ValueError, match="column"):
         psi_drift(df, df, [])
+
+
+def test_mutual_information_independent_vs_dependent(spark):
+    import math
+
+    from moz_datapipeline_spark.operators.validation import (
+        mutual_information,
+    )
+
+    # perfectly dependent: y = x over a uniform grid -> MI = ln(nbins)
+    rows = [(float(i % 100), float(i % 100)) for i in range(1000)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    r = mutual_information(df, "x", "y", nbins=10).collect()[0]
+    assert abs(r.mi - math.log(10)) < 1e-9
+    assert r.n_rows == 1000
+
+    # independent: y cycles at a coprime stride -> MI ~ 0
+    rows2 = [(float(i % 10), float((i * 7) % 9)) for i in range(900)]
+    df2 = spark.createDataFrame(rows2, "x double, y double")
+    r2 = mutual_information(df2, "x", "y", nbins=3).collect()[0]
+    assert abs(r2.mi) < 0.02
+
+    # constant column carries no information
+    rows3 = [(1.0, float(i)) for i in range(50)]
+    df3 = spark.createDataFrame(rows3, "x double, y double")
+    r3 = mutual_information(df3, "x", "y").collect()[0]
+    assert abs(r3.mi) < 1e-12

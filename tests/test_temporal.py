@@ -264,3 +264,38 @@ def test_seasonal_decompose_rejects_bad_period(spark):
     )
     with _pytest.raises(ValueError, match="period"):
         seasonal_decompose(ev, period=1)
+
+
+def test_lag_features_no_leakage(spark):
+    from moz_datapipeline_spark.operators.temporal import lag_features
+
+    rows = [
+        ("a", i * 3600 * 1_000_000_000, float(i + 1)) for i in range(8)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_type string, ts long, value double"
+    )
+    out = sorted(
+        lag_features(ev, lags=(1, 2), rolling_window=3).collect(),
+        key=lambda r: r.bucket_epoch,
+    )
+    xs = [float(i + 1) for i in range(8)]
+    for i, r in enumerate(out):
+        assert r.metric == xs[i]
+        assert r.lag_1 == (xs[i - 1] if i >= 1 else None)
+        assert r.lag_2 == (xs[i - 2] if i >= 2 else None)
+        lo = max(0, i - 3)
+        prev = xs[lo:i]
+        assert r.rolling_n == len(prev)
+        if prev:
+            assert abs(r.rolling_mean - sum(prev) / len(prev)) < 1e-9
+        else:
+            assert r.rolling_mean is None
+        # leakage check: no feature may equal the current metric by
+        # construction of this strictly increasing series
+        assert r.lag_1 != r.metric and r.rolling_mean != r.metric
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        lag_features(ev, lags=(0,))
