@@ -1247,6 +1247,92 @@ def rank_retrieval2_scale_check(spark, docs) -> dict:
     }
 
 
+def round7_ops_scale_check(spark, docs) -> dict:
+    """Rehearsals for the round-7 additions at rehearsal scale.
+
+    - ``pareto_frontier_2d`` over 5M random points: the two-phase
+      strict-prefix-min path (never a global window); asserts the
+      frontier is mutually non-dominated and contains the global
+      minima of each axis.
+    - ``label_propagation`` on a 1M-edge path-of-two-chains graph:
+      3 synchronous rounds — measures the per-round O(|E|) cost
+      envelope (on a path, labels travel one hop per round, so this
+      is a cost rehearsal, not a convergence claim).
+    - ``pmi_collocations`` over the amplified 50k-doc corpus with
+      min_count=50.
+    - ``psi_drift`` between two 2.5M-row halves of a 5M-row frame
+      across 3 columns (two unpivoted scans, one bounds broadcast).
+    """
+    from moz_datapipeline_spark.graph.lpa import label_propagation
+    from moz_datapipeline_spark.operators.corpus import pmi_collocations
+    from moz_datapipeline_spark.operators.ranges import pareto_frontier_2d
+    from moz_datapipeline_spark.operators.validation import psi_drift
+
+    n = 5_000_000
+    pts = spark.range(n).select(
+        "id",
+        (F.xxhash64("id") % 100_000).cast("double").alias("x"),
+        (F.xxhash64("id", F.lit(1)) % 100_000).cast("double").alias("y"),
+    ).withColumn("x", F.abs("x")).withColumn("y", F.abs("y"))
+    t0 = time.perf_counter()
+    front = pareto_frontier_2d(pts, "x", "y").collect()
+    t_pareto = time.perf_counter() - t0
+    fs = [(r.x, r.y) for r in front]
+    assert all(
+        not (sx <= x and sy <= y and (sx < x or sy < y))
+        for (x, y) in fs
+        for (sx, sy) in fs
+    )
+    min_x = min(p[0] for p in fs)
+    assert any(p[0] == min_x for p in fs)
+
+    # two 500k-node communities joined by one bridge edge
+    half = 500_000
+    intra = spark.range(half - 1).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    comm_b = intra.select(
+        (F.col("src") + half).alias("src"), (F.col("dst") + half).alias("dst")
+    )
+    bridge = spark.createDataFrame([(half - 1, half)], "src long, dst long")
+    edges = intra.unionByName(comm_b).unionByName(bridge)
+    t0 = time.perf_counter()
+    labs = label_propagation(edges, rounds=3, eager=True)
+    n_labels = labs.select("label").distinct().count()
+    t_lpa = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    n_colloc = pmi_collocations(docs, min_count=50).count()
+    t_pmi = time.perf_counter() - t0
+
+    wide = spark.range(n).select(
+        "id",
+        (F.xxhash64("id", F.lit(2)) % 1000).cast("double").alias("a"),
+        (F.xxhash64("id", F.lit(3)) % 1000).cast("double").alias("b"),
+        (F.xxhash64("id", F.lit(4)) % 1000).cast("double").alias("c"),
+    )
+    ref = wide.filter(F.col("id") % 2 == 0)
+    cur = wide.filter(F.col("id") % 2 == 1)
+    t0 = time.perf_counter()
+    psi_rows = psi_drift(ref, cur, ["a", "b", "c"]).collect()
+    t_psi = time.perf_counter() - t0
+    assert len(psi_rows) == 3
+    assert all(r.psi is not None and r.psi < 0.01 for r in psi_rows)
+
+    return {
+        "pareto_rows": n,
+        "pareto_frontier_size": len(fs),
+        "pareto_sec": round(t_pareto, 2),
+        "lpa_edges": 2 * (half - 1) + 1,
+        "lpa_labels_after_3_rounds": n_labels,
+        "lpa_sec": round(t_lpa, 2),
+        "pmi_collocations_min50": n_colloc,
+        "pmi_sec": round(t_pmi, 2),
+        "psi_rows": n,
+        "psi_sec": round(t_psi, 2),
+    }
+
+
 def main() -> None:
     spark = get_spark(app_name="dedup_scale_check")
     docs = amplified_corpus(spark, "/root/testdata/sf0.1/documents.parquet")
@@ -1287,6 +1373,7 @@ def main() -> None:
     fz = fuzzy_scale_check(spark)
     rh = retrieval_hll_scale_check(spark, docs)
     rr2 = rank_retrieval2_scale_check(spark, docs)
+    r7 = round7_ops_scale_check(spark, docs)
 
     print(
         json.dumps(
@@ -1317,6 +1404,7 @@ def main() -> None:
                 **fz,
                 **rh,
                 **rr2,
+                **r7,
             }
         )
     )
