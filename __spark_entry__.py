@@ -3658,6 +3658,35 @@ def q_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("o_custkey").cast("long").alias("custkey"))
 
 
+def q_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship merge per customer over their order history
+    (operators/fuzzy.golden_record): latest status (newest non-null
+    by order date, value tie-break), modal priority (count tie →
+    smallest), earliest date, largest total — one hash aggregate plus
+    one small count-table argmax join.  VALUE oracle: row_number /
+    window-max replay in DuckDB."""
+    from moz_datapipeline_spark.operators.fuzzy import golden_record
+
+    o = _t(spark, sf_dir, "orders")
+    out = golden_record(
+        o,
+        "o_custkey",
+        ts_col="o_orderdate",
+        latest=["o_orderstatus"],
+        mode=["o_orderpriority"],
+        min_of=["o_orderdate"],
+        max_of=["o_totalprice"],
+    )
+    return out.select(
+        F.col("cluster").cast("long").alias("cluster"),
+        "n_members",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("first_date"),
+        F.round("o_totalprice", 2).alias("max_total"),
+        F.col("o_orderstatus").alias("latest_status"),
+        F.col("o_orderpriority").alias("modal_priority"),
+    )
+
+
 def q_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe supervised-learning feature frame per event type
     (operators/temporal.lag_features): lag-1/2/3 plus a trailing
@@ -4367,6 +4396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_sample": q_group_sample,
         "pareto_frontier": q_pareto_frontier,
         "lag_features": q_lag_features,
+        "golden_record": q_golden_record,
         "mutual_information": q_mutual_information,
         "ewma_smooth": q_ewma_smooth,
         "event_paths": q_event_paths,
@@ -7849,6 +7879,41 @@ FROM eaul_calc
                round(unnest(xs), 6) AS metric,
                round(unnest(es), 6) AS ewma
         FROM sm
+    """
+
+    sql["golden_record"] = """
+        WITH agg AS (
+          SELECT o_custkey AS cluster,
+                 CAST(count(*) AS BIGINT) AS n_members,
+                 strftime(min(o_orderdate), '%Y-%m-%d') AS first_date,
+                 round(max(o_totalprice), 2) AS max_total
+          FROM orders GROUP BY 1
+        ), latest AS (
+          SELECT cluster, o_orderstatus AS latest_status FROM (
+            SELECT o_custkey AS cluster, o_orderstatus,
+                   row_number() OVER (
+                     PARTITION BY o_custkey
+                     ORDER BY o_orderdate DESC, o_orderstatus DESC
+                   ) AS rn
+            FROM orders WHERE o_orderstatus IS NOT NULL
+          ) WHERE rn = 1
+        ), m AS (
+          SELECT o_custkey AS cluster, o_orderpriority,
+                 count(*) AS c
+          FROM orders WHERE o_orderpriority IS NOT NULL GROUP BY 1, 2
+        ), mb AS (
+          SELECT cluster, min(o_orderpriority) AS modal_priority
+          FROM (
+            SELECT cluster, o_orderpriority, c,
+                   max(c) OVER (PARTITION BY cluster) AS mx
+            FROM m
+          ) WHERE c = mx GROUP BY cluster
+        )
+        SELECT CAST(agg.cluster AS BIGINT) AS cluster, n_members,
+               first_date, max_total, latest_status, modal_priority
+        FROM agg
+        LEFT JOIN latest USING (cluster)
+        LEFT JOIN mb USING (cluster)
     """
 
     sql["lag_features"] = """

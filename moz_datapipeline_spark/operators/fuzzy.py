@@ -30,7 +30,9 @@ q-gram filtering for string similarity joins (Gravano et al., VLDB
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["fuzzy_join"]
@@ -105,3 +107,80 @@ def fuzzy_join(
     return pairs.withColumn(
         "distance", F.levenshtein("left_val", "right_val")
     ).filter(F.col("distance") <= max_distance)
+
+
+def golden_record(
+    df: DataFrame,
+    cluster_col: str,
+    ts_col: str | None = None,
+    latest: Sequence[str] = (),
+    mode: Sequence[str] = (),
+    min_of: Sequence[str] = (),
+    max_of: Sequence[str] = (),
+) -> DataFrame:
+    """Survivorship merge: collapse each duplicate cluster (the output
+    of ``fuzzy_join`` + ``connected_components``, or any cluster id)
+    into ONE golden record, field by field:
+
+    - ``latest``: the field value from the most recent row WHERE THAT
+      FIELD IS NON-NULL (ties on ``ts_col`` break by the larger
+      value — deterministic under any partitioning).  Requires
+      ``ts_col``.
+    - ``mode``: the most frequent non-null value; count ties break by
+      the SMALLEST value.
+    - ``min_of`` / ``max_of``: plain extrema (null-skipping).
+
+    Returns one row per cluster: ``(cluster, n_members, <fields...>)``
+    with each surviving field under its original name.  Clusters whose
+    every value for a field is NULL yield NULL for it.
+
+    Plan: extrema/latest fold into ONE hash aggregate over the input
+    (``latest`` rides a max over a (ts, value) struct — null fields
+    drop out via a CASE, so the max picks the newest non-null
+    occurrence); each ``mode`` field needs its own (cluster, value)
+    count + per-cluster argmax — a window over the SMALL count table,
+    joined back.  All shuffles hash on the cluster id; no collect, no
+    Python.
+    """
+    if latest and ts_col is None:
+        raise ValueError("golden_record: latest fields require ts_col")
+    seen: set[str] = set()
+    for group in (latest, mode, min_of, max_of):
+        for c in group:
+            if c in seen:
+                raise ValueError(
+                    f"golden_record: field {c!r} assigned twice"
+                )
+            seen.add(c)
+
+    aggs = [F.count(F.lit(1)).alias("n_members")]
+    for c in min_of:
+        aggs.append(F.min(c).alias(c))
+    for c in max_of:
+        aggs.append(F.max(c).alias(c))
+    for c in latest:
+        aggs.append(
+            F.max(
+                F.when(
+                    F.col(c).isNotNull(),
+                    F.struct(F.col(ts_col).alias("_ts"), F.col(c).alias("_v")),
+                )
+            )["_v"].alias(c)
+        )
+    out = df.groupBy(F.col(cluster_col).alias("cluster")).agg(*aggs)
+
+    for c in mode:
+        counts = (
+            df.filter(F.col(c).isNotNull())
+            .groupBy(F.col(cluster_col).alias("cluster"), F.col(c))
+            .agg(F.count(F.lit(1)).alias("_cnt"))
+        )
+        w = Window.partitionBy("cluster")
+        best = (
+            counts.withColumn("_mx", F.max("_cnt").over(w))
+            .filter(F.col("_cnt") == F.col("_mx"))
+            .groupBy("cluster")
+            .agg(F.min(c).alias(c))
+        )
+        out = out.join(best, "cluster", "left")
+    return out

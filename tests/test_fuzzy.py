@@ -62,3 +62,68 @@ def test_fuzzy_join_is_udf_free(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_golden_record_survivorship_rules(spark):
+    import pytest as _pytest
+
+    from moz_datapipeline_spark.operators.fuzzy import golden_record
+
+    rows = [
+        # cluster 1: latest non-null name at ts=3 is None -> falls
+        # back to ts=2's "Acme Corp"; mode city ties NYC/SF -> NYC
+        (1, 1, "ACME", "NYC", 10.0),
+        (1, 2, "Acme Corp", "SF", 20.0),
+        (1, 3, None, "NYC", 5.0),
+        (1, 3, None, "SF", None),
+        # cluster 2: single row
+        (2, 9, "Solo", "LA", 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "cid int, ts int, name string, city string, amount double"
+    )
+    out = {
+        r.cluster: r
+        for r in golden_record(
+            df,
+            "cid",
+            ts_col="ts",
+            latest=["name"],
+            mode=["city"],
+            min_of=["amount"],
+            max_of=["ts"],
+        ).collect()
+    }
+    g1 = out[1]
+    assert g1.n_members == 4
+    assert g1.name == "Acme Corp"  # newest NON-NULL, not ts=3's null
+    assert g1.city == "NYC"  # 2-2 tie -> smallest value
+    assert g1.amount == 5.0
+    assert g1.ts == 3
+    g2 = out[2]
+    assert (g2.name, g2.city, g2.amount, g2.n_members) == (
+        "Solo", "LA", 1.0, 1
+    )
+
+    with _pytest.raises(ValueError, match="ts_col"):
+        golden_record(df, "cid", latest=["name"])
+    with _pytest.raises(ValueError, match="twice"):
+        golden_record(
+            df, "cid", ts_col="ts", min_of=["amount"], max_of=["amount"]
+        )
+
+
+def test_golden_record_latest_ties_break_by_value(spark):
+    from moz_datapipeline_spark.operators.fuzzy import golden_record
+
+    df = spark.createDataFrame(
+        [(1, 5, "a"), (1, 5, "z"), (1, 4, "m")],
+        "cid int, ts int, v string",
+    )
+    rows = set()
+    for _ in range(3):
+        r = golden_record(
+            df.repartition(6), "cid", ts_col="ts", latest=["v"]
+        ).collect()[0]
+        rows.add(r.v)
+    assert rows == {"z"}  # same ts -> larger value, every run
