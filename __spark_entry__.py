@@ -3658,6 +3658,37 @@ def q_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("o_custkey").cast("long").alias("custkey"))
 
 
+def q_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged-interval union length per supplier — days with at least
+    one shipment in transit, [ship, ship+transit) intervals merged
+    (operators/ranges.interval_coverage): per-group window prefix
+    max + prefix sum, hash-partitioned on the supplier, never a
+    global sort.  VALUE oracle: the identical two-window sweep in
+    DuckDB (row_number-pinned tie order on both sides)."""
+    from moz_datapipeline_spark.operators.ranges import interval_coverage
+
+    li = _t(spark, sf_dir, "lineitem")
+    epoch = F.to_date(F.lit("1970-01-01"))
+    s_days = F.datediff(F.col("l_shipdate").cast("date"), epoch)
+    # this generation of the synthetic lineitem has no receiptdate;
+    # derive a deterministic transit window from the quantity
+    transit = (F.col("l_quantity").cast("int") % 14) + 1
+    iv = li.filter(
+        F.col("l_shipdate").isNotNull() & F.col("l_quantity").isNotNull()
+    ).select(
+        F.col("l_suppkey").cast("long").alias("suppkey"),
+        s_days.alias("s"),
+        (s_days + transit).alias("e"),
+    )
+    out = interval_coverage(iv, "suppkey", "s", "e")
+    return out.select(
+        "suppkey",
+        "n_intervals",
+        "n_segments",
+        F.col("covered").cast("long").alias("covered_days"),
+    )
+
+
 def q_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Survivorship merge per customer over their order history
     (operators/fuzzy.golden_record): latest status (newest non-null
@@ -4397,6 +4428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pareto_frontier": q_pareto_frontier,
         "lag_features": q_lag_features,
         "golden_record": q_golden_record,
+        "interval_coverage": q_interval_coverage,
         "mutual_information": q_mutual_information,
         "ewma_smooth": q_ewma_smooth,
         "event_paths": q_event_paths,
@@ -7879,6 +7911,50 @@ FROM eaul_calc
                round(unnest(xs), 6) AS metric,
                round(unnest(es), 6) AS ewma
         FROM sm
+    """
+
+    sql["interval_coverage"] = """
+        WITH base AS (
+          SELECT CAST(l_suppkey AS BIGINT) AS grp,
+                 datediff('day', DATE '1970-01-01',
+                          CAST(l_shipdate AS DATE)) AS s,
+                 datediff('day', DATE '1970-01-01',
+                          CAST(l_shipdate AS DATE))
+                   + CAST(l_quantity AS INT) % 14 + 1 AS e,
+                 row_number() OVER (
+                   PARTITION BY l_suppkey
+                   ORDER BY l_shipdate, CAST(l_quantity AS INT)
+                 ) AS rid
+          FROM lineitem
+          WHERE l_shipdate IS NOT NULL AND l_quantity IS NOT NULL
+        ), flagged AS (
+          SELECT grp, s, e, rid,
+                 CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END
+                   AS nw
+          FROM (
+            SELECT grp, s, e, rid,
+                   max(e) OVER (
+                     PARTITION BY grp ORDER BY s, e, rid
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ) AS pme
+            FROM base
+          )
+        ), segged AS (
+          SELECT grp, s, e,
+                 sum(nw) OVER (
+                   PARTITION BY grp ORDER BY s, e, rid
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS seg
+          FROM flagged
+        ), per_seg AS (
+          SELECT grp, seg, count(*) AS n, min(s) AS lo, max(e) AS hi
+          FROM segged GROUP BY 1, 2
+        )
+        SELECT grp AS suppkey,
+               CAST(sum(n) AS BIGINT) AS n_intervals,
+               CAST(count(*) AS BIGINT) AS n_segments,
+               CAST(sum(greatest(hi - lo, 0)) AS BIGINT) AS covered_days
+        FROM per_seg GROUP BY grp
     """
 
     sql["golden_record"] = """

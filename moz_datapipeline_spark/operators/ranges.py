@@ -284,3 +284,77 @@ def pareto_frontier_2d(
         .filter(~(y > F.col("_eq_min")) & ~(F.col("_strict_min") <= y))
         .drop("_x", "_eq_min", "_strict_min")
     )
+
+
+def interval_coverage(
+    intervals: DataFrame,
+    group_col: str,
+    start_col: str = "start",
+    end_col: str = "end",
+) -> DataFrame:
+    """Union length of possibly-overlapping ``[start, end)`` intervals
+    per group: ``(group, n_intervals, n_segments, covered)`` where
+    ``covered`` is the total measure of the merged union and
+    ``n_segments`` the number of disjoint runs after merging —
+    "machine-busy seconds", "supplier days with stock in transit",
+    "sessionized uptime", all in one shape.
+
+    The classic stack-merge sweep is a per-group prefix scan: order a
+    group's intervals by (start, end); an interval OPENS a new segment
+    iff its start exceeds the running max end of every earlier
+    interval.  That running max is one window (hash-partitioned on the
+    group — never global), the segment id is a prefix sum of the open
+    flags, and per-segment extent is a hash aggregate.  Degenerate
+    ``end <= start`` rows contribute zero length and never bridge
+    segments (the strict ``>`` test).
+
+    Two shuffles: the group-window sort and the (group, segment)
+    aggregate (which reuses the group hashing).  Per-group cost is the
+    group's interval count — skew follows the group distribution, the
+    same contract as ``sessionization``.
+    """
+    from pyspark.sql import Window
+
+    # a stable per-row id makes the (start, end) order TOTAL, so the
+    # two window passes below see the identical sequence — without it,
+    # duplicate intervals could flip order between passes and attach a
+    # segment-opening flag to the wrong prefix position
+    base = intervals.select(
+        F.col(group_col).alias("grp"),
+        F.col(start_col).alias("_s"),
+        F.col(end_col).alias("_e"),
+    ).withColumn("_rid", F.monotonically_increasing_id())
+    order = Window.partitionBy("grp").orderBy(
+        F.col("_s").asc(), F.col("_e").asc(), F.col("_rid").asc()
+    )
+    prev = order.rowsBetween(Window.unboundedPreceding, -1)
+    prev_max_end = F.max("_e").over(prev)
+    is_new = F.when(
+        prev_max_end.isNull() | (F.col("_s") > prev_max_end), F.lit(1)
+    ).otherwise(F.lit(0))
+    # two selects: a window expression (the running max) cannot nest
+    # inside another window aggregate in one projection
+    flagged = base.select("grp", "_s", "_e", "_rid", is_new.alias("_new"))
+    order2 = Window.partitionBy("grp").orderBy(
+        F.col("_s").asc(), F.col("_e").asc(), F.col("_rid").asc()
+    )
+    segged = flagged.select(
+        "grp",
+        "_s",
+        "_e",
+        F.sum("_new")
+        .over(order2.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("_seg"),
+    )
+    per_seg = segged.groupBy("grp", "_seg").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.min("_s").alias("_lo"),
+        F.max("_e").alias("_hi"),
+    )
+    return per_seg.groupBy("grp").agg(
+        F.sum("_n").cast("long").alias("n_intervals"),
+        F.count(F.lit(1)).cast("long").alias("n_segments"),
+        F.sum(
+            F.greatest(F.col("_hi") - F.col("_lo"), F.lit(0))
+        ).alias("covered"),
+    ).withColumnRenamed("grp", group_col)

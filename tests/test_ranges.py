@@ -149,3 +149,49 @@ def test_pareto_frontier_single_chain(spark):
     )
     rows = pareto_frontier_2d(df2, "x", "y").collect()
     assert [(r.id, r.x, r.y) for r in rows] == [(0, 0.0, 0.0)]
+
+
+def test_interval_coverage_matches_stack_merge(spark):
+    import collections
+    import random
+
+    from moz_datapipeline_spark.operators.ranges import interval_coverage
+
+    random.seed(3)
+    rows = []
+    for g in ("a", "b"):
+        for _ in range(300):
+            s0 = random.randint(0, 1000)
+            rows.append((g, s0, s0 + random.randint(0, 50)))
+    # touching intervals merge; empty intervals add zero but never
+    # bridge; exact duplicates are layout-safe
+    rows += [("c", 5, 5), ("c", 5, 10), ("c", 10, 12), ("c", 20, 20)]
+    rows += [("d", 0, 2), ("d", 5, 9), ("d", 5, 9)]
+    df = spark.createDataFrame(rows, "g string, s long, e long")
+
+    by = collections.defaultdict(list)
+    for g, s, e in rows:
+        by[g].append((s, e))
+    want = {}
+    for g, iv in by.items():
+        iv.sort()
+        segs = []
+        for s, e in iv:
+            if segs and s <= segs[-1][1]:
+                segs[-1][1] = max(segs[-1][1], e)
+            else:
+                segs.append([s, e])
+        want[g] = (
+            len(iv),
+            len(segs),
+            sum(max(0, b - a) for a, b in segs),
+        )
+
+    for frame in (df, df.repartition(9)):
+        got = {
+            r.g: (r.n_intervals, r.n_segments, r.covered)
+            for r in interval_coverage(frame, "g", "s", "e").collect()
+        }
+        assert got == want
+    assert want["c"] == (4, 2, 7)
+    assert want["d"] == (3, 2, 6)
