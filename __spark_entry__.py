@@ -3658,6 +3658,52 @@ def q_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("o_custkey").cast("long").alias("custkey"))
 
 
+def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit forensic audit of lineitem extended prices
+    (operators/validation.benford_audit): decimal-string digit
+    extraction (log10-free, engine-portable), one 9-group hash
+    aggregate, chi-squared over the 9 cells.  VALUE oracle: identical
+    extraction and fold in DuckDB."""
+    from moz_datapipeline_spark.operators.validation import benford_audit
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = benford_audit(li, "l_extendedprice")
+    return out.select(
+        "digit",
+        "n",
+        F.round("observed_p", 6).alias("observed_p"),
+        F.round("expected_p", 6).alias("expected_p"),
+        F.round("chi2", 6).alias("chi2"),
+    )
+
+
+def q_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type autocorrelation at lags 1-3 over hourly rollups
+    (operators/temporal.autocorrelation): one window pass building
+    the lag columns, one |groups|-row corr aggregate.  VALUE oracle:
+    SQL LAG + corr in DuckDB."""
+    from moz_datapipeline_spark.operators.temporal import autocorrelation
+
+    ev = _events(spark, sf_dir)
+    return autocorrelation(ev, max_lag=3)
+
+
+def q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood record-linkage candidates over supplier
+    names (operators/fuzzy.sorted_neighborhood_pairs): exact two-phase
+    global rank, then a rank→rank+delta equi join — exactly `window`
+    candidates per row, linear under any key skew.  VALUE oracle:
+    row_number self-join in DuckDB."""
+    from moz_datapipeline_spark.operators.fuzzy import (
+        sorted_neighborhood_pairs,
+    )
+
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("long").alias("id"), "s_name"
+    )
+    return sorted_neighborhood_pairs(s, "s_name", "id", window=3)
+
+
 def q_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merged-interval union length per supplier — days with at least
     one shipment in transit, [ship, ship+transit) intervals merged
@@ -4429,6 +4475,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lag_features": q_lag_features,
         "golden_record": q_golden_record,
         "interval_coverage": q_interval_coverage,
+        "sorted_neighborhood": q_sorted_neighborhood,
+        "benford_audit": q_benford_audit,
+        "autocorrelation": q_autocorrelation,
         "mutual_information": q_mutual_information,
         "ewma_smooth": q_ewma_smooth,
         "event_paths": q_event_paths,
@@ -7911,6 +7960,68 @@ FROM eaul_calc
                round(unnest(xs), 6) AS metric,
                round(unnest(es), 6) AS ewma
         FROM sm
+    """
+
+    sql["benford_audit"] = """
+        WITH counted AS (
+          SELECT CAST(d AS INT) AS digit, count(*) AS n FROM (
+            SELECT regexp_extract(
+              CAST(CAST(l_extendedprice AS DECIMAL(38,6)) AS VARCHAR),
+              '[1-9]', 0) AS d
+            FROM lineitem WHERE l_extendedprice IS NOT NULL
+          ) WHERE d <> '' GROUP BY 1
+        ), expected AS (
+          SELECT CAST(d AS INT) AS digit,
+                 log10(1.0 + 1.0 / d) AS expected_p
+          FROM (SELECT unnest(range(1, 10)) AS d)
+        ), fullt AS (
+          SELECT digit, expected_p,
+                 CAST(coalesce(n, 0) AS BIGINT) AS n
+          FROM expected LEFT JOIN counted USING (digit)
+        ), tot AS (
+          SELECT CAST(sum(n) AS DOUBLE) AS t FROM fullt
+        )
+        SELECT digit, n,
+               round(n / t.t, 6) AS observed_p,
+               round(expected_p, 6) AS expected_p,
+               round(sum(power(n - expected_p * t.t, 2)
+                         / (expected_p * t.t)) OVER (), 6) AS chi2
+        FROM fullt CROSS JOIN tot t
+    """
+
+    sql["autocorrelation"] = """
+        WITH rollup AS (
+          SELECT event_type AS grp,
+                 epoch_ns(ts) // 3600000000000 * 3600 AS bucket_epoch,
+                 CAST(sum(value) AS DOUBLE) AS metric
+          FROM events GROUP BY 1, 2
+        ), lagged AS (
+          SELECT grp, metric,
+                 lag(metric, 1) OVER w AS l1,
+                 lag(metric, 2) OVER w AS l2,
+                 lag(metric, 3) OVER w AS l3
+          FROM rollup
+          WINDOW w AS (PARTITION BY grp ORDER BY bucket_epoch)
+        )
+        SELECT grp AS event_type,
+               CAST(count(*) AS BIGINT) AS n_buckets,
+               round(corr(metric, l1), 6) AS acf_1,
+               round(corr(metric, l2), 6) AS acf_2,
+               round(corr(metric, l3), 6) AS acf_3
+        FROM lagged GROUP BY grp
+    """
+
+    sql["sorted_neighborhood"] = """
+        WITH ranked AS (
+          SELECT CAST(s_suppkey AS BIGINT) AS id,
+                 CAST(row_number() OVER (ORDER BY s_name, s_suppkey)
+                      AS BIGINT) AS rank
+          FROM supplier
+        )
+        SELECT a.id AS id_a, b.id AS id_b,
+               a.rank AS rank_a, b.rank AS rank_b
+        FROM ranked a
+        JOIN ranked b ON b.rank > a.rank AND b.rank <= a.rank + 3
     """
 
     sql["interval_coverage"] = """

@@ -35,7 +35,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["fuzzy_join"]
+__all__ = ["fuzzy_join", "golden_record", "sorted_neighborhood_pairs"]
 
 
 def _norm(c):
@@ -184,3 +184,51 @@ def golden_record(
         )
         out = out.join(best, "cluster", "left")
     return out
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    sort_col: str,
+    id_col: str,
+    window: int = 3,
+) -> DataFrame:
+    """Sorted-neighborhood blocking: candidate pairs are rows within
+    ``window`` positions of each other under the ``sort_col`` order
+    (ties broken by ``id_col`` — total, so the pair set is
+    deterministic).  The OTHER classic record-linkage candidate
+    generator next to q-gram blocking (``fuzzy_join``): sorting
+    bunches near-identical keys together regardless of which
+    characters differ, catching prefix-heavy typos q-grams can miss.
+    Emits ``(id_a, id_b, rank_a, rank_b)`` with ``rank_a < rank_b``;
+    pair volume is EXACTLY ``window`` per row (edges truncated) —
+    linear, never quadratic, whatever the key skew.
+
+    Plan: one exact global rank (the two-phase distributed prefix
+    rank — no single-partition window), an explode of the ``window``
+    forward offsets, and one equi join rank→rank+δ.  Verification
+    (edit distance, field compare) is the caller's next stage, as in
+    ``fuzzy_join``.
+    """
+    if window < 1:
+        raise ValueError("sorted_neighborhood_pairs: window must be >= 1")
+    from moz_datapipeline_spark.operators.ranges import global_rank
+
+    ranked = global_rank(
+        df.select(F.col(id_col), F.col(sort_col)),
+        sort_col,
+        [id_col],
+        with_percent=False,
+    ).select(F.col(id_col), F.col("rank"))
+    probes = ranked.select(
+        F.col(id_col).alias("id_a"),
+        F.col("rank").alias("rank_a"),
+        F.explode(
+            F.sequence(F.col("rank") + 1, F.col("rank") + window)
+        ).alias("rank_b"),
+    )
+    return probes.join(
+        ranked.select(
+            F.col(id_col).alias("id_b"), F.col("rank").alias("rank_b")
+        ),
+        "rank_b",
+    ).select("id_a", "id_b", "rank_a", "rank_b")

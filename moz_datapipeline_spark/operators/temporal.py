@@ -446,3 +446,64 @@ def lag_features(
         F.count("metric").over(trail).cast("int").alias("rolling_n")
     )
     return rollup.select(*cols)
+
+
+def autocorrelation(
+    events: DataFrame,
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+    value_col: str = "value",
+    bucket: str = "hour",
+    max_lag: int = 3,
+) -> DataFrame:
+    """Autocorrelation function per group over bucketed rollups:
+    ``(group, n_buckets, acf_1 .. acf_max_lag)`` where ``acf_k`` is
+    the sample Pearson correlation between the series and itself
+    shifted k SERIES positions (gaps are not filled — the rollup's
+    bucket order is the contract, as in ``lag_features``).  The quick
+    seasonality / memory diagnostic a pipeline runs before choosing
+    ``ewma_smooth`` vs ``seasonal_decompose``.  Groups too short (or
+    constant over the overlap) yield NULL for that lag.
+
+    One rollup hash aggregate, one per-group window building all the
+    lag columns in a single pass, one |groups|-row aggregate of
+    ``corr`` expressions.  Never touches raw events after the rollup.
+    """
+    if max_lag < 1:
+        raise ValueError("autocorrelation: max_lag must be >= 1")
+    rollup = (
+        events.groupBy(
+            F.col(group_col).alias("grp"),
+            _bucket_epoch(events, ts_col, bucket).alias("bucket_epoch"),
+        )
+        .agg(F.sum(value_col).cast("double").alias("metric"))
+    )
+    order = Window.partitionBy("grp").orderBy("bucket_epoch")
+    lagged = rollup.select(
+        "grp",
+        "metric",
+        *[
+            F.lag("metric", k).over(order).alias(f"_lag_{k}")
+            for k in range(1, max_lag + 1)
+        ],
+    )
+    def _acf(k: int):
+        # NOT F.corr: under ANSI mode its final division throws on a
+        # zero-variance group instead of yielding NULL; the explicit
+        # guarded ratio is the same Pearson value (the sample/population
+        # normalization cancels) and returns NULL where undefined
+        x, y = F.col("metric"), F.col(f"_lag_{k}")
+        sx, sy = F.stddev_samp(
+            F.when(y.isNotNull(), x)
+        ), F.stddev_samp(F.when(x.isNotNull(), y))
+        return F.round(
+            F.when(
+                (sx > 0) & (sy > 0), F.covar_samp(x, y) / (sx * sy)
+            ),
+            6,
+        ).alias(f"acf_{k}")
+
+    return lagged.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        *[_acf(k) for k in range(1, max_lag + 1)],
+    ).withColumnRenamed("grp", group_col)

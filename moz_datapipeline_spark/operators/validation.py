@@ -30,7 +30,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -565,4 +565,67 @@ def mutual_information(
             F.col("mi"),
             F.col("n_rows"),
         )
+    )
+
+
+#: Benford expected share of first significant digit d: log10(1 + 1/d)
+_BENFORD_P = {d: __import__("math").log10(1.0 + 1.0 / d) for d in range(1, 10)}
+
+
+def benford_audit(df: DataFrame, column: str) -> DataFrame:
+    """First-significant-digit distribution of a numeric column vs
+    Benford's law: ``(digit, n, observed_p, expected_p, chi2)`` for
+    digits 1–9 (zero-count digits included), ``chi2`` the
+    Pearson statistic over all nine cells repeated on every row.
+    Naturally-occurring multiplicative quantities (amounts, populations)
+    follow Benford closely; strong deviation flags fabricated or
+    truncated data — a forensic complement to ``psi_drift``.
+
+    The first digit is extracted from the DECIMAL string rendering
+    (first ``[1-9]`` character), NOT via ``floor(log10(x))`` — libm
+    log10 of exact powers of ten lands a hair below the integer on
+    some platforms, misclassifying 1000 as digit 10; the string path
+    is exact and engine-portable.  Zero and NULL values drop out
+    (they have no first significant digit); negatives audit by
+    magnitude.
+
+    One projection + one 9-group hash aggregate; the Benford expected
+    table is a broadcast literal frame.
+    """
+    digit_s = F.regexp_extract(
+        F.col(column).cast("decimal(38,6)").cast("string"), "[1-9]", 0
+    )
+    counted = (
+        df.filter(F.col(column).isNotNull())
+        .select(digit_s.alias("_d"))
+        .filter(F.col("_d") != "")
+        .groupBy(F.col("_d").cast("int").alias("digit"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    spark = df.sparkSession
+    expected = spark.createDataFrame(
+        [(d, _BENFORD_P[d]) for d in range(1, 10)],
+        "digit int, expected_p double",
+    )
+    full = (
+        expected.join(counted, "digit", "left")
+        .fillna(0, subset=["n"])
+    )
+    w_all = Window.partitionBy()
+    tot = F.sum("n").over(w_all).cast("double")
+    obs_p = F.col("n") / tot
+    term = (
+        (F.col("n") - F.col("expected_p") * tot) ** 2
+        / (F.col("expected_p") * tot)
+    )
+    return (
+        full.select(
+            "digit",
+            F.col("n").cast("long").alias("n"),
+            obs_p.alias("observed_p"),
+            "expected_p",
+            term.alias("_term"),
+        )
+        .withColumn("chi2", F.sum("_term").over(w_all))
+        .drop("_term")
     )

@@ -127,3 +127,26 @@ def test_golden_record_latest_ties_break_by_value(spark):
         ).collect()[0]
         rows.add(r.v)
     assert rows == {"z"}  # same ts -> larger value, every run
+
+
+def test_sorted_neighborhood_window_semantics(spark):
+    import pytest as _pytest
+
+    from moz_datapipeline_spark.operators.fuzzy import (
+        sorted_neighborhood_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(["ann", "anna", "bob", "bobby", "carl"])],
+        "id long, name string",
+    )
+    out = sorted_neighborhood_pairs(df, "name", "id", window=2).collect()
+    pairs = sorted((r.id_a, r.id_b) for r in out)
+    # sorted order: ann(0) anna(1) bob(2) bobby(3) carl(4)
+    assert pairs == [
+        (0, 1), (0, 2), (1, 2), (1, 3), (2, 3), (2, 4), (3, 4)
+    ]
+    assert all(r.rank_a < r.rank_b for r in out)
+    # exactly window pairs per row except the tail
+    with _pytest.raises(ValueError):
+        sorted_neighborhood_pairs(df, "name", "id", window=0)

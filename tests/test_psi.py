@@ -109,3 +109,26 @@ def test_mutual_information_independent_vs_dependent(spark):
     df3 = spark.createDataFrame(rows3, "x double, y double")
     r3 = mutual_information(df3, "x", "y").collect()[0]
     assert abs(r3.mi) < 1e-12
+
+
+def test_benford_audit_digits_and_chi2(spark):
+    import math
+
+    from moz_datapipeline_spark.operators.validation import benford_audit
+
+    # crafted values: digit of 1000.0 must be 1 (the log10 trap), 0.04
+    # -> 4, negatives by magnitude, zero and NULL dropped
+    vals = [1000.0, 0.04, -230.5, 1.0, 19.5, 0.0, None, 999.99]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    rows = {r.digit: r for r in benford_audit(df, "x").collect()}
+    assert set(rows) == set(range(1, 10))
+    counts = {d: rows[d].n for d in rows if rows[d].n > 0}
+    assert counts == {1: 3, 2: 1, 4: 1, 9: 1}
+    total = 6.0
+    chi2 = sum(
+        (rows[d].n - total * math.log10(1 + 1 / d)) ** 2
+        / (total * math.log10(1 + 1 / d))
+        for d in range(1, 10)
+    )
+    assert abs(rows[1].chi2 - chi2) < 1e-6
+    assert abs(sum(r.observed_p for r in rows.values()) - 1.0) < 1e-9

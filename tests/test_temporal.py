@@ -299,3 +299,23 @@ def test_lag_features_no_leakage(spark):
 
     with _pytest.raises(ValueError):
         lag_features(ev, lags=(0,))
+
+
+def test_autocorrelation_alternating_and_constant(spark):
+    from moz_datapipeline_spark.operators.temporal import autocorrelation
+
+    rows = [
+        ("alt", i * 3600 * 1_000_000_000, 1.0 if i % 2 else -1.0)
+        for i in range(40)
+    ] + [("const", i * 3600 * 1_000_000_000, 5.0) for i in range(10)]
+    ev = spark.createDataFrame(
+        rows, "event_type string, ts long, value double"
+    )
+    out = {r.event_type: r for r in autocorrelation(ev, max_lag=2).collect()}
+    alt = out["alt"]
+    # a perfect alternating series: acf_1 = -1, acf_2 = +1
+    assert abs(alt.acf_1 + 1.0) < 1e-9
+    assert abs(alt.acf_2 - 1.0) < 1e-9
+    assert alt.n_buckets == 40
+    # constant series has zero variance: corr undefined -> NULL
+    assert out["const"].acf_1 is None
