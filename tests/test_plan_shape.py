@@ -483,3 +483,53 @@ def test_profile_is_single_aggregate_pass(spark, sf_dir):
     plan = _plan(entry_mod.q_profile_columns(spark, sf_dir))
     assert plan.count("Location:") == 1
     assert "Generate" in plan
+
+
+def test_pareto_frontier_no_global_window(spark, sf_dir):
+    plan = _plan(entry_mod.q_pareto_frontier(spark, sf_dir))
+    # the strict prefix min must ride the two-phase scheme: a range
+    # exchange over the group table, never a whole-table
+    # single-partition sort (SinglePartition feeds only the tiny
+    # |partitions|-row bases window), and never a quadratic join
+    assert "rangepartitioning" in plan.lower()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_group_sample_single_window_no_join(spark, sf_dir):
+    plan = _plan(entry_mod.q_group_sample(spark, sf_dir))
+    # one rank window, zero joins (the formatted dump names each node
+    # several times, so assert presence + absence, not a count)
+    assert "Window" in plan
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+        assert j not in plan
+
+
+def test_interval_coverage_group_windows_only(spark, sf_dir):
+    plan = _plan(entry_mod.q_interval_coverage(spark, sf_dir))
+    # both window passes hash-partition on the group — no global sort,
+    # no SinglePartition exchange anywhere
+    assert "Window" in plan
+    assert "singlepartition" not in plan.lower()
+    assert "CartesianProduct" not in plan
+
+
+def test_relational_division_no_double_anti_join(spark, sf_dir):
+    plan = _plan(entry_mod.q_relational_division(spark, sf_dir))
+    # count-matching form: a semi join + aggregate, never the
+    # double-NOT-EXISTS anti joins; the only nested-loop joins are the
+    # broadcast 1-row divisor-count cross joins (benign by size)
+    assert "LeftAnti" not in plan
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pmi_min_count_filters_before_count_joins(spark, sf_dir):
+    plan = _plan(entry_mod.q_pmi_collocations(spark, sf_dir))
+    # the pair table is pruned by min_count before joining the unigram
+    # counts: the filter on pair_count must sit below the joins
+    assert "pair_count" in plan
+    joins = plan.lower().count("sortmergejoin") + plan.lower().count(
+        "shuffledhashjoin"
+    ) + plan.lower().count("broadcasthashjoin")
+    assert joins >= 2  # two unigram joins survive
