@@ -160,6 +160,21 @@ HEADLINE = [
     "kmv_distinct",
     "scd2_merge",
     "peak_concurrency",
+    "lpa_communities",
+    "pmi_collocations",
+    "psi_drift",
+    "cusum_changepoints",
+    "relational_division",
+    "seasonal_decompose",
+    "group_sample",
+    "pareto_frontier",
+    "lag_features",
+    "mutual_information",
+    "golden_record",
+    "interval_coverage",
+    "sorted_neighborhood",
+    "benford_audit",
+    "autocorrelation",
     # incremental_dedup is oracle-checked but not benched here: a tiny
     # two-batch ingest is dominated by store round-trips and component
     # rounds (fixed job overhead, not operator throughput) — its scale
