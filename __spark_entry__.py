@@ -3658,6 +3658,28 @@ def q_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("o_custkey").cast("long").alias("custkey"))
 
 
+def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared independence test between order priority and order
+    status (operators/validation.chi_square_independence): one joint-
+    count hash aggregate; absent grid cells folded in closed form
+    (sum of expected = n).  VALUE oracle: the identical fold in
+    DuckDB."""
+    from moz_datapipeline_spark.operators.validation import (
+        chi_square_independence,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    out = chi_square_independence(o, "o_orderpriority", "o_orderstatus")
+    return out.select(
+        "x_col",
+        "y_col",
+        F.round("chi2", 6).alias("chi2"),
+        "dof",
+        "n_rows",
+        F.round("cramers_v", 6).alias("cramers_v"),
+    )
+
+
 def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benford first-digit forensic audit of lineitem extended prices
     (operators/validation.benford_audit): decimal-string digit
@@ -4477,6 +4499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_coverage": q_interval_coverage,
         "sorted_neighborhood": q_sorted_neighborhood,
         "benford_audit": q_benford_audit,
+        "chi_square": q_chi_square,
         "autocorrelation": q_autocorrelation,
         "mutual_information": q_mutual_information,
         "ewma_smooth": q_ewma_smooth,
@@ -7960,6 +7983,43 @@ FROM eaul_calc
                round(unnest(xs), 6) AS metric,
                round(unnest(es), 6) AS ewma
         FROM sm
+    """
+
+    sql["chi_square"] = """
+        WITH joint AS (
+          SELECT o_orderpriority AS x, o_orderstatus AS y,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM orders
+          WHERE o_orderpriority IS NOT NULL
+            AND o_orderstatus IS NOT NULL
+          GROUP BY 1, 2
+        ), mx AS (
+          SELECT x, CAST(sum(n) AS BIGINT) AS nx FROM joint GROUP BY 1
+        ), my AS (
+          SELECT y, CAST(sum(n) AS BIGINT) AS ny FROM joint GROUP BY 1
+        ), tot AS (
+          SELECT CAST(sum(n) AS DOUBLE) AS t,
+                 CAST(count(DISTINCT x) AS BIGINT) AS r,
+                 CAST(count(DISTINCT y) AS BIGINT) AS c
+          FROM joint
+        ), part AS (
+          SELECT coalesce(sum(
+                   power(n - nx * ny / tt.t, 2) / (nx * ny / tt.t)
+                   - nx * ny / tt.t
+                 ), 0.0) AS p
+          FROM joint JOIN mx USING (x) JOIN my USING (y)
+          CROSS JOIN tot tt
+        )
+        SELECT 'o_orderpriority' AS x_col,
+               'o_orderstatus' AS y_col,
+               round(CASE WHEN (r - 1) * (c - 1) > 0
+                          THEN p + t ELSE 0.0 END, 6) AS chi2,
+               CAST((r - 1) * (c - 1) AS BIGINT) AS dof,
+               CAST(t AS BIGINT) AS n_rows,
+               round(CASE WHEN (r - 1) * (c - 1) > 0
+                          THEN sqrt((p + t) / (t * least(r - 1, c - 1)))
+                     END, 6) AS cramers_v
+        FROM part CROSS JOIN tot
     """
 
     sql["benford_audit"] = """

@@ -629,3 +629,78 @@ def benford_audit(df: DataFrame, column: str) -> DataFrame:
         .withColumn("chi2", F.sum("_term").over(w_all))
         .drop("_term")
     )
+
+
+def chi_square_independence(
+    df: DataFrame, x_col: str, y_col: str
+) -> DataFrame:
+    """Pearson chi-squared test of independence between two
+    CATEGORICAL columns: one row ``(x_col, y_col, chi2, dof, n_rows,
+    cramers_v)`` — the categorical twin of ``mutual_information``
+    (use that for binned numerics).  ``cramers_v`` normalizes chi² to
+    [0, 1] (``sqrt(chi2 / (n * min(r-1, c-1)))``) so effect sizes
+    compare across tables; a 1×k or k×1 table has no freedom —
+    ``dof = 0, chi2 = 0, cramers_v = NULL``.  NULL in either column
+    excludes the row.
+
+    Plan: ONE joint-count hash aggregate over the data (map-side
+    combined, at most |x-levels|·|y-levels| groups); marginals,
+    expected counts, and the fold all derive from that small table —
+    never a second data scan.  Levels are data-derived, so the
+    operator never needs a vocabulary argument.
+    """
+    x, y = F.col(x_col), F.col(y_col)
+    joint = (
+        df.filter(x.isNotNull() & y.isNotNull())
+        .groupBy(x.alias("_x"), y.alias("_y"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    mx = joint.groupBy("_x").agg(F.sum("n").alias("nx"))
+    my = joint.groupBy("_y").agg(F.sum("n").alias("ny"))
+    tot = joint.agg(
+        F.sum("n").cast("double").alias("_t"),
+        F.countDistinct("_x").cast("long").alias("_r"),
+        F.countDistinct("_y").cast("long").alias("_c"),
+    )
+    # expected cell counts exist for the FULL r x c grid; absent joint
+    # cells still contribute (0 - e)^2/e = e, so chi2 folds as
+    # sum_present((n - e)^2/e - e) + sum_full(e), and sum_full(e) = t
+    present = (
+        joint.join(mx, "_x")
+        .join(my, "_y")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            (
+                (F.col("n") - F.col("nx") * F.col("ny") / F.col("_t"))
+                ** 2
+                / (F.col("nx") * F.col("ny") / F.col("_t"))
+                - F.col("nx") * F.col("ny") / F.col("_t")
+            ).alias("_term")
+        )
+        .agg(F.coalesce(F.sum("_term"), F.lit(0.0)).alias("_partial"))
+    )
+    dof = (F.col("_r") - 1) * (F.col("_c") - 1)
+    chi2 = F.when(dof > 0, F.col("_partial") + F.col("_t")).otherwise(
+        F.lit(0.0)
+    )
+    v = F.when(
+        dof > 0,
+        F.sqrt(
+            chi2
+            / (
+                F.col("_t")
+                * F.least(F.col("_r") - 1, F.col("_c") - 1)
+            )
+        ),
+    )
+    return (
+        present.crossJoin(F.broadcast(tot))
+        .select(
+            F.lit(x_col).alias("x_col"),
+            F.lit(y_col).alias("y_col"),
+            chi2.alias("chi2"),
+            dof.cast("long").alias("dof"),
+            F.col("_t").cast("long").alias("n_rows"),
+            v.alias("cramers_v"),
+        )
+    )

@@ -132,3 +132,53 @@ def test_benford_audit_digits_and_chi2(spark):
     )
     assert abs(rows[1].chi2 - chi2) < 1e-6
     assert abs(sum(r.observed_p for r in rows.values()) - 1.0) < 1e-9
+
+
+def test_chi_square_matches_scipy_style_reference(spark):
+    from moz_datapipeline_spark.operators.validation import (
+        chi_square_independence,
+    )
+
+    # 2x2 with a known dependent structure + an absent cell
+    rows = (
+        [("a", "x")] * 30 + [("a", "y")] * 10 + [("b", "y")] * 25
+    )
+    df = spark.createDataFrame(rows, "u string, v string")
+    r = chi_square_independence(df, "u", "v").collect()[0]
+
+    def ref(table):
+        import itertools
+
+        xs = sorted({x for x, _ in table})
+        ys = sorted({y for _, y in table})
+        n = {
+            (x, y): sum(1 for a, b in table if (a, b) == (x, y))
+            for x, y in itertools.product(xs, ys)
+        }
+        t = float(len(table))
+        nx = {x: sum(n[(x, y)] for y in ys) for x in xs}
+        ny = {y: sum(n[(x, y)] for x in xs) for y in ys}
+        chi2 = sum(
+            (n[(x, y)] - nx[x] * ny[y] / t) ** 2 / (nx[x] * ny[y] / t)
+            for x in xs
+            for y in ys
+        )
+        return chi2, (len(xs) - 1) * (len(ys) - 1), t
+
+    chi2, dof, t = ref(rows)
+    assert abs(r.chi2 - chi2) < 1e-9
+    assert r.dof == dof and r.n_rows == int(t)
+    assert abs(r.cramers_v - (chi2 / (t * 1)) ** 0.5) < 1e-9
+
+    # independent table -> chi2 ~ 0; single-level column -> dof 0
+    ind = spark.createDataFrame(
+        [(x, y) for x in "ab" for y in "xy" for _ in range(10)],
+        "u string, v string",
+    )
+    r2 = chi_square_independence(ind, "u", "v").collect()[0]
+    assert abs(r2.chi2) < 1e-9 and r2.cramers_v is not None
+    one = spark.createDataFrame(
+        [("a", "x"), ("a", "y")], "u string, v string"
+    )
+    r3 = chi_square_independence(one, "u", "v").collect()[0]
+    assert r3.dof == 0 and r3.chi2 == 0.0 and r3.cramers_v is None
