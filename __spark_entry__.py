@@ -3658,6 +3658,61 @@ def q_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("o_custkey").cast("long").alias("custkey"))
 
 
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-normalize every lineitem price onto the pre-1998
+    slice's CDF (functions/scaling.quantile_normalize): one exact-
+    percentile boundary row broadcast, pure array-HOF interpolation —
+    no join on data, no window.  VALUE oracle: quantile_cont
+    boundaries + the identical list_filter interpolation in DuckDB."""
+    from moz_datapipeline_spark.operators.validation import (  # noqa: F401
+        psi_drift,
+    )
+    from moz_datapipeline_spark.functions.scaling import (
+        quantile_normalize,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    ref = li.filter(F.col("l_shipdate") < F.lit("1998-01-01"))
+    out = quantile_normalize(li, "l_extendedprice", reference=ref, q=100)
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice_qnorm", 6).alias("qnorm"),
+    )
+
+
+def _qnorm_oracle(q: int = 100) -> str:
+    probs = "[" + ", ".join(repr(i / q) for i in range(q + 1)) + "]"
+    return f"""
+        WITH b AS (
+          SELECT quantile_cont(CAST(l_extendedprice AS DOUBLE), {probs})
+                 AS qb
+          FROM lineitem WHERE l_shipdate < DATE '1998-01-01'
+        ), m AS (
+          SELECT l_orderkey, l_linenumber,
+                 CAST(l_extendedprice AS DOUBLE) AS x,
+                 len(list_filter(qb, e -> e <= CAST(l_extendedprice
+                     AS DOUBLE))) AS idx,
+                 qb
+          FROM lineitem CROSS JOIN b
+        )
+        SELECT l_orderkey, l_linenumber,
+               round(CASE
+                 WHEN x IS NULL THEN NULL
+                 WHEN idx = 0 THEN 0.0
+                 WHEN idx >= {q + 1} THEN 1.0
+                 ELSE ((idx - 1) + CASE WHEN qb[CAST(idx AS INT) + 1]
+                                             = qb[CAST(idx AS INT)]
+                                        THEN 1.0
+                                        ELSE (x - qb[CAST(idx AS INT)])
+                                          / (qb[CAST(idx AS INT) + 1]
+                                             - qb[CAST(idx AS INT)])
+                                   END) / {q}
+               END, 6) AS qnorm
+        FROM m
+    """
+
+
 def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chi-squared independence test between order priority and order
     status (operators/validation.chi_square_independence): one joint-
@@ -4500,6 +4555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sorted_neighborhood": q_sorted_neighborhood,
         "benford_audit": q_benford_audit,
         "chi_square": q_chi_square,
+        "quantile_normalize": q_quantile_normalize,
         "autocorrelation": q_autocorrelation,
         "mutual_information": q_mutual_information,
         "ewma_smooth": q_ewma_smooth,
@@ -7228,6 +7284,7 @@ FROM eaul_calc
     sql["kcore"] = _kcore_oracle()
     sql["lpa_communities"] = _lpa_oracle()
     sql["psi_drift"] = _psi_oracle()
+    sql["quantile_normalize"] = _qnorm_oracle()
     sql["fuzzy_join"] = _fuzzy_join_oracle()
     sql["corpus_report"] = """
         WITH base AS (

@@ -20,3 +20,52 @@ def linear_rescale(col: Column | str, slope: float, intercept: float) -> Column:
 def round_half_up(col: Column | str, scale: int = 2) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return F.round(c, scale)
+
+
+def quantile_normalize(
+    df,
+    column: str,
+    reference=None,
+    q: int = 100,
+    out_col: str | None = None,
+):
+    """Map each value to its position on a REFERENCE distribution's
+    CDF: ``0.0`` at/below the reference minimum, ``1.0`` at/above its
+    maximum, linear interpolation between the reference's ``q+1``
+    exact percentile boundaries elsewhere.  The standard harmonizer
+    when scores from different model versions / corpus snapshots must
+    be comparable (``reference=None`` normalizes against the frame
+    itself — a smooth exact-CDF transform).
+
+    Plan: ONE exact-percentile aggregate over the reference produces
+    the boundary array (a single broadcast row); the mapping is a pure
+    JVM array-HOF projection (count-of-boundaries-≤-x + interpolate) —
+    no join on data, no window, no Python.  Runs of EQUAL boundaries
+    (heavily-tied data) resolve to the run's right edge (fraction 1),
+    keeping the map monotone.  Scale note: same trade as
+    ``equi_depth_histogram`` — swap ``percentile`` for
+    ``approx_percentile`` past ~1e8 reference rows.
+    """
+    from pyspark.sql import DataFrame  # noqa: F401
+
+    if q < 1:
+        raise ValueError("quantile_normalize: need q >= 1")
+    out_col = out_col or f"{column}_qnorm"
+    ref = reference if reference is not None else df
+    probs = ", ".join(repr(i / q) for i in range(q + 1))
+    bounds = ref.agg(
+        F.expr(f"percentile({column}, array({probs}))").alias("_qb")
+    )
+    x = F.col(column).cast("double")
+    b = F.col("_qb")
+    idx = F.size(F.filter(b, lambda e: e <= x))
+    lo = F.element_at(b, idx)
+    hi = F.element_at(b, idx + 1)
+    frac = F.when(hi == lo, F.lit(1.0)).otherwise((x - lo) / (hi - lo))
+    pos = F.when(x.isNull(), F.lit(None).cast("double")) \
+        .when(idx == 0, F.lit(0.0)) \
+        .when(idx >= q + 1, F.lit(1.0)) \
+        .otherwise(((idx - 1) + frac) / q)
+    return df.join(F.broadcast(bounds)).withColumn(out_col, pos).drop(
+        "_qb"
+    )

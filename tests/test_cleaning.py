@@ -58,3 +58,49 @@ def test_shapefile_reader_rejects_non_wgs84_target(spark):
 
     with pytest.raises(NotImplementedError, match="EPSG:4326"):
         read_shapefile(spark, "/nonexistent.shp", target_crs="EPSG:3857")
+
+
+def test_quantile_normalize_cdf_properties(spark):
+    import pytest as _pytest
+
+    from moz_datapipeline_spark.functions.scaling import quantile_normalize
+
+    # self-normalizing a uniform ramp recovers the uniform CDF
+    vals = [float(i) for i in range(101)]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    rows = {
+        r.x: r.x_qnorm
+        for r in quantile_normalize(df, "x", q=100).collect()
+    }
+    for v in vals:
+        assert abs(rows[v] - v / 100.0) < 1e-9
+
+    # out-of-range values clamp against a shifted reference; NULL stays
+    ref = spark.createDataFrame(
+        [(float(i),) for i in range(50, 151)], "x double"
+    )
+    cur = spark.createDataFrame(
+        [(0.0,), (100.0,), (999.0,), (None,)], "x double"
+    )
+    got = {
+        r.x: r.x_qnorm
+        for r in quantile_normalize(cur, "x", reference=ref).collect()
+    }
+    assert got[0.0] == 0.0 and got[999.0] == 1.0
+    assert abs(got[100.0] - 0.5) < 1e-9
+    assert got[None] is None
+
+    # monotone under heavy ties in the reference
+    tied = spark.createDataFrame(
+        [(1.0,)] * 90 + [(2.0,)] * 10, "x double"
+    )
+    pairs = sorted(
+        (r.x, r.x_qnorm)
+        for r in quantile_normalize(
+            tied.distinct(), "x", reference=tied, q=10
+        ).collect()
+    )
+    assert pairs[0][1] <= pairs[1][1]
+
+    with _pytest.raises(ValueError):
+        quantile_normalize(df, "x", q=0)
