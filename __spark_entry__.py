@@ -3658,6 +3658,25 @@ def q_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("o_custkey").cast("long").alias("custkey"))
 
 
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median price per return flag
+    (operators/indicators.weighted_median): RANGE-frame cumulative
+    weight per group (tie-safe), min-filter aggregate — the weighted
+    twin of the reference's length-weighted average.  VALUE oracle:
+    identical RANGE windows in DuckDB."""
+    from moz_datapipeline_spark.operators.indicators import (
+        weighted_median,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = weighted_median(li, "l_returnflag", "l_extendedprice", "l_quantity")
+    return out.select(
+        "l_returnflag",
+        F.round("weighted_median", 2).alias("wmedian_price"),
+        F.round("total_weight", 2).alias("total_qty"),
+    )
+
+
 def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantile-normalize every lineitem price onto the pre-1998
     slice's CDF (functions/scaling.quantile_normalize): one exact-
@@ -4556,6 +4575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford_audit": q_benford_audit,
         "chi_square": q_chi_square,
         "quantile_normalize": q_quantile_normalize,
+        "weighted_median": q_weighted_median,
         "autocorrelation": q_autocorrelation,
         "mutual_information": q_mutual_information,
         "ewma_smooth": q_ewma_smooth,
@@ -8040,6 +8060,29 @@ FROM eaul_calc
                round(unnest(xs), 6) AS metric,
                round(unnest(es), 6) AS ewma
         FROM sm
+    """
+
+    sql["weighted_median"] = """
+        WITH base AS (
+          SELECT l_returnflag AS grp,
+                 CAST(l_extendedprice AS DOUBLE) AS v,
+                 CAST(l_quantity AS DOUBLE) AS w
+          FROM lineitem
+          WHERE l_extendedprice IS NOT NULL
+            AND l_quantity IS NOT NULL AND l_quantity > 0
+        ), marked AS (
+          SELECT grp, v,
+                 sum(w) OVER (
+                   PARTITION BY grp ORDER BY v
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS cw,
+                 sum(w) OVER (PARTITION BY grp) AS tw
+          FROM base
+        )
+        SELECT grp AS l_returnflag,
+               round(min(v), 2) AS wmedian_price,
+               round(min(tw), 2) AS total_qty
+        FROM marked WHERE cw >= tw / 2.0 GROUP BY grp
     """
 
     sql["chi_square"] = """

@@ -175,6 +175,9 @@ HEADLINE = [
     "sorted_neighborhood",
     "benford_audit",
     "autocorrelation",
+    "chi_square",
+    "quantile_normalize",
+    "weighted_median",
     # incremental_dedup is oracle-checked but not benched here: a tiny
     # two-batch ingest is dominated by store round-trips and component
     # rounds (fixed job overhead, not operator throughput) — its scale

@@ -181,3 +181,52 @@ def missing_indicator_report(
         for n in indicator_names
     ]
     return merged.agg(*aggs)
+
+
+def weighted_median(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    weight_col: str,
+) -> DataFrame:
+    """Weighted median per group: the smallest value whose cumulative
+    weight reaches half the group's total — ``(group, weighted_median,
+    total_weight)``.  The weighted twin of the reference's
+    length-weighted AVERAGE (A5): a median is what you want when the
+    indicator distribution has heavy tails (a few very long ways must
+    not drag the headline number).  Rows with NULL or non-positive
+    weight are excluded; a group with no surviving rows disappears.
+
+    Plan: one per-group window with a RANGE frame on the value (the
+    cumulative weight of every row with value <= current — tie-safe by
+    construction: equal values share one cumulative count, so the
+    answer never depends on their internal order), then a min-filter
+    aggregate.  All shuffles hash on the group; no global sort, no
+    Python.
+    """
+    v = F.col(value_col).cast("double")
+    w = F.col(weight_col).cast("double")
+    base = df.filter(
+        v.isNotNull() & w.isNotNull() & (w > 0)
+    ).select(F.col(group_col).alias("grp"), v.alias("_v"), w.alias("_w"))
+    cum = (
+        Window.partitionBy("grp")
+        .orderBy("_v")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = Window.partitionBy("grp")
+    marked = base.select(
+        "grp",
+        "_v",
+        F.sum("_w").over(cum).alias("_cw"),
+        F.sum("_w").over(tot).alias("_tw"),
+    )
+    return (
+        marked.filter(F.col("_cw") >= F.col("_tw") / 2.0)
+        .groupBy("grp")
+        .agg(
+            F.min("_v").alias("weighted_median"),
+            F.first("_tw").alias("total_weight"),
+        )
+        .withColumnRenamed("grp", group_col)
+    )

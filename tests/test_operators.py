@@ -314,3 +314,33 @@ def test_raster_real_backend_window_read(spark, tmp_path):
     assert r["mean"] == pytest.approx(0.0)
     # denominator: pixels != -1 → 3; pct = 4/3*100
     assert r["pct_flooded"] == pytest.approx(4 / 3 * 100.0)
+
+
+def test_weighted_median_reference_and_edges(spark):
+    from moz_datapipeline_spark.operators.indicators import weighted_median
+
+    rows = [
+        # group a: values 1..4 with weights 1,1,1,7 -> half of 10 is 5,
+        # cum hits 5 only at value 4
+        ("a", 1.0, 1.0), ("a", 2.0, 1.0), ("a", 3.0, 1.0), ("a", 4.0, 7.0),
+        # group b: uniform weights, even count -> lower-middle value
+        # (cum at 2.0 reaches exactly half -> smallest such value)
+        ("b", 1.0, 1.0), ("b", 2.0, 1.0), ("b", 3.0, 1.0), ("b", 4.0, 1.0),
+        # group c: ties at the crossing + zero/NULL weights excluded
+        ("c", 5.0, 2.0), ("c", 5.0, 2.0), ("c", 9.0, 1.0),
+        ("c", 0.5, 0.0), ("c", 0.5, None),
+    ]
+    df = spark.createDataFrame(rows, "g string, v double, w double")
+    out = {
+        r.g: (r.weighted_median, r.total_weight)
+        for r in weighted_median(df, "g", "v", "w").collect()
+    }
+    assert out["a"] == (4.0, 10.0)
+    assert out["b"] == (2.0, 4.0)
+    assert out["c"] == (5.0, 5.0)
+    # partition-layout independence
+    out2 = {
+        r.g: (r.weighted_median, r.total_weight)
+        for r in weighted_median(df.repartition(7), "g", "v", "w").collect()
+    }
+    assert out2 == out
