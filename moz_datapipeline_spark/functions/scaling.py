@@ -58,14 +58,37 @@ def quantile_normalize(
     )
     x = F.col(column).cast("double")
     b = F.col("_qb")
-    idx = F.size(F.filter(b, lambda e: e <= x))
-    lo = F.element_at(b, idx)
-    hi = F.element_at(b, idx + 1)
-    frac = F.when(hi == lo, F.lit(1.0)).otherwise((x - lo) / (hi - lo))
-    pos = F.when(x.isNull(), F.lit(None).cast("double")) \
-        .when(idx == 0, F.lit(0.0)) \
-        .when(idx >= q + 1, F.lit(1.0)) \
-        .otherwise(((idx - 1) + frac) / q)
-    return df.join(F.broadcast(bounds)).withColumn(out_col, pos).drop(
-        "_qb"
+    # STAGED projections, not one expression tree: the boundary-count
+    # filter and the element_at lookups each appear once as a non-cheap
+    # multi-use alias, which CollapseProject refuses to inline — in a
+    # single tree the 101-element filter is re-evaluated per USE (ANSI's
+    # lazy CASE also blocks codegen subexpression elimination), which
+    # measured ~2.5x slower end to end
+    step = (
+        df.join(F.broadcast(bounds))
+        .withColumn("_qi", F.size(F.filter(b, lambda e: e <= x)))
+        .withColumn(
+            "_qlo",
+            F.when(
+                (F.col("_qi") >= 1) & (F.col("_qi") <= q),
+                F.element_at(b, F.col("_qi")),
+            ),
+        )
+        .withColumn(
+            "_qhi",
+            F.when(
+                (F.col("_qi") >= 1) & (F.col("_qi") <= q),
+                F.element_at(b, F.col("_qi") + 1),
+            ),
+        )
     )
+    frac = F.when(F.col("_qhi") == F.col("_qlo"), F.lit(1.0)).otherwise(
+        (x - F.col("_qlo")) / (F.col("_qhi") - F.col("_qlo"))
+    )
+    pos = (
+        F.when(x.isNull(), F.lit(None).cast("double"))
+        .when(F.col("_qi") == 0, F.lit(0.0))
+        .when(F.col("_qi") >= q + 1, F.lit(1.0))
+        .otherwise(((F.col("_qi") - 1) + frac) / q)
+    )
+    return step.withColumn(out_col, pos).drop("_qb", "_qi", "_qlo", "_qhi")
