@@ -3756,7 +3756,7 @@ def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benford first-digit forensic audit of lineitem extended prices
-    (operators/validation.benford_audit): decimal-string digit
+    (operators/validation.benford_audit): double-string digit
     extraction (log10-free, engine-portable), one 9-group hash
     aggregate, chi-squared over the 9 cells.  VALUE oracle: identical
     extraction and fold in DuckDB."""
@@ -4064,6 +4064,40 @@ def q_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_linenumber", "l_extendedprice", "rank",
         "percent_rank",
     )
+
+
+def q_grouped_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag OLS fit of extended price against quantity
+    (operators/analytics.grouped_ols): the five power sums + count in
+    ONE map-side-combined hash aggregate, closed-form slope/intercept/
+    r2 with explicit degenerate-group guards.  VALUE oracle: the
+    identical raw-sums fold in DuckDB."""
+    from moz_datapipeline_spark.operators.analytics import grouped_ols
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = grouped_ols(
+        li.withColumnRenamed("l_returnflag", "rflag"),
+        ["rflag"],
+        "l_quantity",
+        "l_extendedprice",
+    )
+    return out.select("rflag", "n", "slope", "intercept", "r2")
+
+
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift test between early
+    (pre-1998) and late lineitem price distributions
+    (operators/validation.ks_test): per-distinct-value side counts in
+    one hash aggregate, the sup over CDF differences via the two-phase
+    distributed prefix scan — never a single-partition window — and
+    the asymptotic Kolmogorov p-value series.  VALUE oracle: identical
+    cumulative fold + 100-term series in DuckDB."""
+    from moz_datapipeline_spark.operators.validation import ks_test
+
+    li = _t(spark, sf_dir, "lineitem")
+    early = li.filter(F.col("l_shipdate") < F.lit("1998-01-01"))
+    late = li.filter(F.col("l_shipdate") >= F.lit("1998-01-01"))
+    return ks_test(early, late, "l_extendedprice")
 
 
 def q_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4584,6 +4618,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct": q_kmv_distinct,
         "scd2_merge": q_scd2_merge,
         "peak_concurrency": q_peak_concurrency,
+        "grouped_ols": q_grouped_ols,
+        "ks_drift": q_ks_drift,
     }
 
 
@@ -8126,7 +8162,7 @@ FROM eaul_calc
         WITH counted AS (
           SELECT CAST(d AS INT) AS digit, count(*) AS n FROM (
             SELECT regexp_extract(
-              CAST(CAST(l_extendedprice AS DECIMAL(38,6)) AS VARCHAR),
+              CAST(CAST(l_extendedprice AS DOUBLE) AS VARCHAR),
               '[1-9]', 0) AS d
             FROM lineitem WHERE l_extendedprice IS NOT NULL
           ) WHERE d <> '' GROUP BY 1
@@ -8617,5 +8653,83 @@ FROM eaul_calc
                             THEN (metric - mean_prev) / std_prev END)
                         > CAST(3.0 AS DOUBLE), FALSE) AS is_anomaly
         FROM w
+    """
+
+    sql["grouped_ols"] = """
+        WITH s AS (
+          SELECT l_returnflag AS rflag,
+                 CAST(count(*) AS DOUBLE) AS n,
+                 sum(CAST(l_quantity AS DOUBLE)) AS sx,
+                 sum(CAST(l_extendedprice AS DOUBLE)) AS sy,
+                 sum(CAST(l_quantity AS DOUBLE)
+                     * CAST(l_quantity AS DOUBLE)) AS sxx,
+                 sum(CAST(l_extendedprice AS DOUBLE)
+                     * CAST(l_extendedprice AS DOUBLE)) AS syy,
+                 sum(CAST(l_quantity AS DOUBLE)
+                     * CAST(l_extendedprice AS DOUBLE)) AS sxy
+          FROM lineitem
+          WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+          GROUP BY 1
+        )
+        SELECT rflag,
+               CAST(n AS BIGINT) AS n,
+               round(CASE WHEN n*sxx - sx*sx > 0
+                     THEN (n*sxy - sx*sy) / (n*sxx - sx*sx) END,
+                     6) AS slope,
+               round(CASE WHEN n*sxx - sx*sx > 0
+                     THEN (sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx)
+                          / n END, 6) AS intercept,
+               round(CASE WHEN n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+                     THEN (n*sxy - sx*sy) * (n*sxy - sx*sy)
+                          / ((n*sxx - sx*sx) * (n*syy - sy*sy)) END,
+                     6) AS r2
+        FROM s
+    """
+
+    sql["ks_drift"] = """
+        WITH a AS (
+          SELECT CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem
+          WHERE l_shipdate < DATE '1998-01-01'
+                AND l_extendedprice IS NOT NULL
+        ), b AS (
+          SELECT CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem
+          WHERE l_shipdate >= DATE '1998-01-01'
+                AND l_extendedprice IS NOT NULL
+        ), perv AS (
+          SELECT v, sum(ia)::BIGINT AS ca, sum(ib)::BIGINT AS cb FROM (
+            SELECT v, 1 AS ia, 0 AS ib FROM a
+            UNION ALL
+            SELECT v, 0 AS ia, 1 AS ib FROM b
+          ) GROUP BY v
+        ), tot AS (
+          SELECT (SELECT count(*) FROM a) AS na,
+                 (SELECT count(*) FROM b) AS nb
+        ), cum AS (
+          SELECT sum(ca) OVER (ORDER BY v) AS fa,
+                 sum(cb) OVER (ORDER BY v) AS fb
+          FROM perv
+        ), dd AS (
+          SELECT max(abs(CAST(fa AS DOUBLE) / na
+                         - CAST(fb AS DOUBLE) / nb)) AS d
+          FROM cum CROSS JOIN tot
+        ), lamt AS (
+          SELECT d,
+                 (sqrt(na * nb / CAST(na + nb AS DOUBLE)) + 0.12
+                  + 0.11 / sqrt(na * nb / CAST(na + nb AS DOUBLE))) * d
+                 AS lam,
+                 na, nb
+          FROM dd CROSS JOIN tot
+        )
+        SELECT round(d, 6) AS ks_stat,
+               round(CASE WHEN lam < 1e-8 THEN 1.0
+                     ELSE least(greatest(2.0 * list_sum(
+                       list_transform(range(1, 101),
+                         k -> CAST((-1.0) ** (k - 1)
+                              * exp(-2.0 * k * k * lam * lam)
+                              AS DOUBLE))), 0.0), 1.0)
+                     END, 6) AS p_value,
+               CAST(na AS BIGINT) AS n_a,
+               CAST(nb AS BIGINT) AS n_b
+        FROM lamt
     """
     return sql

@@ -75,14 +75,31 @@ def label_propagation(
         e = e.unionByName(
             e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
-    e = e.filter(F.col("src") != F.col("dst")).distinct().persist()
+    e = e.filter(F.col("src") != F.col("dst")).distinct()
+    if eager:
+        # eager mode follows the pagerank contract: invariants persist
+        # for the duration of the call and are released before return
+        e = e.persist()
 
-    labels = (
+    nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
-        .withColumn("label", F.col("node"))
     )
+    # Vote-less nodes are a STATIC set — a node with no in-edge never
+    # receives a vote in any round, so its label stays its init value
+    # (= node id) forever.  Computing that set once lets each round
+    # consume the previous labels frame exactly ONCE (winners cover
+    # precisely the distinct-dst set), which keeps the lazy plan linear
+    # in ``rounds`` with NO persist — lazy mode no longer pins
+    # rounds+1 frames for the application lifetime.
+    voteless = nodes.join(
+        e.select(F.col("dst").alias("node")).distinct(), "node", "anti"
+    ).withColumn("label", F.col("node"))
+    if eager:
+        voteless = voteless.persist()
+
+    labels = nodes.withColumn("label", F.col("node"))
     w = Window.partitionBy("node")
     prev_cached: DataFrame | None = None
     for _ in range(rounds):
@@ -95,24 +112,16 @@ def label_propagation(
             votes.withColumn("_mx", F.max("_cnt").over(w))
             .filter(F.col("_cnt") == F.col("_mx"))
             .groupBy("node")
-            .agg(F.min("label").alias("_new"))
+            .agg(F.min("label").alias("label"))
         )
-        # left join back so vote-less nodes (possible only with
-        # symmetrize=False on a directed list: sources with no in-edge)
-        # keep their current label instead of vanishing
-        labels = (
-            labels.join(winners, "node", "left")
-            .select(
-                "node",
-                F.coalesce(F.col("_new"), F.col("label")).alias("label"),
-            )
-            .persist()
-        )
+        labels = winners.unionByName(voteless)
         if eager:
+            labels = labels.persist()
             labels.count()
             if prev_cached is not None:
                 prev_cached.unpersist()
             prev_cached = labels
-    if eager and rounds > 0:
+    if eager:
         e.unpersist()
+        voteless.unpersist()
     return labels.select("node", "label")

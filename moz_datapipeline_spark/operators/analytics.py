@@ -387,6 +387,61 @@ def top_event_paths(
     )
 
 
+def grouped_ols(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group ordinary-least-squares fit ``y = slope·x + intercept``:
+    ``(*group_cols, n, slope, intercept, r2)`` — the one-pass trend
+    summary behind "is this source's quality score drifting over
+    time?" / "does document length predict perplexity per domain?"
+    audits (fan-in shape: A3's per-way stats fold generalized to a
+    regression).
+
+    Everything derives from the five raw power sums (Σx, Σy, Σx²,
+    Σy², Σxy) plus the count, so the whole fit is ONE map-side-combined
+    hash aggregate regardless of group count — no second scan, no
+    window, no per-group collect.  Degenerate groups are explicit:
+    constant x (zero variance) has no defined slope → ``slope``,
+    ``intercept``, ``r2`` all NULL; constant y fits perfectly but
+    explains no variance → ``r2`` NULL (0/0), slope 0.  Rows with a
+    NULL in either column are excluded (pairwise deletion).  All
+    guards are ``when()`` branches, never double-division NaNs, so the
+    output hashes identically across engines under ANSI mode.
+    """
+    if not group_cols:
+        raise ValueError("grouped_ols: need at least one group column")
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    base = df.filter(x.isNotNull() & y.isNotNull())
+    sums = base.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.sum(x).alias("_sx"),
+        F.sum(y).alias("_sy"),
+        F.sum(x * x).alias("_sxx"),
+        F.sum(y * y).alias("_syy"),
+        F.sum(x * y).alias("_sxy"),
+    )
+    n = F.col("_n")
+    dx = n * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    dy = n * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    cv = n * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    slope = F.when(dx > 0, cv / dx)
+    intercept = F.when(
+        dx > 0, (F.col("_sy") - (cv / dx) * F.col("_sx")) / n
+    )
+    r2 = F.when((dx > 0) & (dy > 0), (cv * cv) / (dx * dy))
+    return sums.select(
+        *group_cols,
+        n.cast("long").alias("n"),
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+        F.round(r2, 6).alias("r2"),
+    )
+
+
 def copurchase_lift(
     lineitem: DataFrame,
     min_pair_count: int = 2,

@@ -58,6 +58,7 @@ def global_rank(
     tiebreak_cols: list[str],
     ascending: bool = True,
     with_percent: bool = True,
+    eager: bool = False,
 ) -> DataFrame:
     """Exact global rank (1-based ``row_number`` under the total order
     ``(order_col, *tiebreak_cols)`` asc) plus the exact CDF
@@ -76,6 +77,15 @@ def global_rank(
 
     ``tiebreak_cols`` must make the order total (unique) — ranks are
     otherwise partitioning-dependent for tied rows.
+
+    Cache contract: the range-partitioned dataset must stay pinned so
+    the counts branch and the final join observe the SAME sampled
+    partitioning.  ``eager=False`` (default) leaves that cache live
+    for the returned frame's lifetime; long-running drivers should
+    pass ``eager=True``, which materializes the (persisted) result,
+    releases the intermediate, and leaves AT MOST the returned frame
+    cached — unpersist it when done (the ``graph.pagerank`` /
+    ``graph.lpa`` contract, pinned by ``tests/test_cache_contract``).
     """
     from pyspark.sql import Window
 
@@ -124,7 +134,12 @@ def global_rank(
                 ),
             ).otherwise(F.lit(0.0)),
         )
-    return out.drop("_pid", "_lrank", "_base", "_n")
+    result = out.drop("_pid", "_lrank", "_base", "_n")
+    if eager:
+        result = result.persist()
+        result.count()
+        local.unpersist()
+    return result
 
 
 def peak_concurrency(
@@ -132,6 +147,7 @@ def peak_concurrency(
     start_col: str = "start",
     end_col: str = "end",
     group_cols: list[str] | None = None,
+    eager: bool = False,
 ) -> DataFrame:
     """Maximum number of simultaneously-open ``[start, end)`` intervals
     (per group when ``group_cols`` given): ``(*group_cols,
@@ -150,6 +166,10 @@ def peak_concurrency(
 
     One explode (2 rows per interval), one range exchange, one window
     over |partitions| rows.  Holds at any interval count.
+
+    Cache contract: same as ``global_rank`` — the pinned range
+    partitioning is released under ``eager=True`` once the (persisted)
+    result materializes; unpersist the returned frame when done.
     """
     group_cols = group_cols or []
     ev = intervals.select(
@@ -210,11 +230,16 @@ def peak_concurrency(
         .withColumn("peak_concurrency", F.col("conc").cast("long"))
         .drop("conc")
     )
-    return peaks.join(firsts, [*group_cols, "peak_concurrency"])
+    result = peaks.join(firsts, [*group_cols, "peak_concurrency"])
+    if eager:
+        result = result.persist()
+        result.count()
+        local.unpersist()
+    return result
 
 
 def pareto_frontier_2d(
-    df: DataFrame, x_col: str, y_col: str
+    df: DataFrame, x_col: str, y_col: str, eager: bool = False
 ) -> DataFrame:
     """Exact 2-D Pareto frontier (skyline), minimizing BOTH columns:
     keep every row no other row strictly dominates (``s.x <= r.x``,
@@ -239,6 +264,11 @@ def pareto_frontier_2d(
     One hash aggregate + one range exchange over the group table +
     one equi join back: holds at any scale, unlike the textbook
     self-join.
+
+    Cache contract: same as ``global_rank`` — the pinned group-table
+    range partitioning is released under ``eager=True`` once the
+    (persisted) result materializes; unpersist the returned frame
+    when done.
     """
     from pyspark.sql import Window
 
@@ -279,11 +309,16 @@ def pareto_frontier_2d(
     marks = local.join(F.broadcast(bases), "_pid").select(
         "_x", "_eq_min", strict.alias("_strict_min")
     )
-    return (
+    result = (
         base.join(marks, x == F.col("_x"))
         .filter(~(y > F.col("_eq_min")) & ~(F.col("_strict_min") <= y))
         .drop("_x", "_eq_min", "_strict_min")
     )
+    if eager:
+        result = result.persist()
+        result.count()
+        local.unpersist()
+    return result
 
 
 def interval_coverage(

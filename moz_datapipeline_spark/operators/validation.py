@@ -94,6 +94,37 @@ def validate(df: DataFrame, checks: Sequence[Check]) -> DataFrame:
     """
     if not checks:
         raise ValueError("validate: checks must be non-empty")
+    # fail fast with the check kind + missing field named — without
+    # this, Check('min', 'c') with no threshold dies later in
+    # float(None) with a bare TypeError, and a pattern-less `matches`
+    # fails obscurely inside rlike at executor time
+    _KNOWN = (
+        "not_null", "unique", "min", "max",
+        "complete", "matches", "in_set", "non_negative",
+    )
+    for i, c in enumerate(checks):
+        if c.kind not in _KNOWN:
+            raise ValueError(
+                f"validate: check #{i} has unknown kind {c.kind!r} "
+                f"(expected one of {_KNOWN})"
+            )
+        if c.kind in ("min", "max", "complete", "matches") and (
+            c.threshold is None
+        ):
+            raise ValueError(
+                f"validate: check #{i} ({c.kind!r} on {c.column!r}) "
+                "requires a numeric `threshold`"
+            )
+        if c.kind == "matches" and not c.pattern:
+            raise ValueError(
+                f"validate: check #{i} ('matches' on {c.column!r}) "
+                "requires a regex `pattern`"
+            )
+        if c.kind == "in_set" and not c.allowed:
+            raise ValueError(
+                f"validate: check #{i} ('in_set' on {c.column!r}) "
+                "requires a non-empty `allowed` tuple"
+            )
     exprs: list[Column] = [F.count("*").alias("_n")]
     for i, c in enumerate(checks):
         exprs.extend(_metric_exprs(c, i))
@@ -418,16 +449,19 @@ def psi_drift(
             v = F.col(c).cast("double")
             lo, hi = F.col(f"_lo_{i}"), F.col(f"_hi_{i}")
             width = (hi - lo) / nbins
-            raw = F.floor((v - lo) / width).cast("int")
+            # clamp the RATIO (double) before floor/cast: a current
+            # value far outside the reference range — the exact event
+            # PSI exists to detect — would otherwise overflow the int
+            # cast and, under ANSI mode, kill the whole job instead of
+            # landing in the edge bin
+            ratio = F.greatest(
+                F.least((v - lo) / width, F.lit(float(nbins - 1))),
+                F.lit(0.0),
+            )
+            raw = F.floor(ratio).cast("int")
             bin_id = F.when(
                 v.isNull(), F.lit(None).cast("int")
-            ).otherwise(
-                F.when(hi == lo, F.lit(0)).otherwise(
-                    F.greatest(
-                        F.least(raw, F.lit(nbins - 1)), F.lit(0)
-                    )
-                )
-            )
+            ).otherwise(F.when(hi == lo, F.lit(0)).otherwise(raw))
             pairs.append((F.lit(c), bin_id))
         exploded = df.join(F.broadcast(bounds)).select(
             F.explode(
@@ -581,19 +615,23 @@ def benford_audit(df: DataFrame, column: str) -> DataFrame:
     follow Benford closely; strong deviation flags fabricated or
     truncated data — a forensic complement to ``psi_drift``.
 
-    The first digit is extracted from the DECIMAL string rendering
+    The first digit is extracted from the DOUBLE string rendering
     (first ``[1-9]`` character), NOT via ``floor(log10(x))`` — libm
     log10 of exact powers of ten lands a hair below the integer on
-    some platforms, misclassifying 1000 as digit 10; the string path
-    is exact and engine-portable.  Zero and NULL values drop out
-    (they have no first significant digit); negatives audit by
-    magnitude.
+    some platforms, misclassifying 1000 as digit 10.  Shortest-
+    round-trip double rendering (Java/Ryu; DuckDB prints the same
+    leading digits) switches to scientific notation for extreme
+    magnitudes, so tiny values (|x| < 1e-6) keep their true first
+    digit instead of rounding into a fixed decimal scale, and huge
+    values (|x| >= 1e32) never overflow a decimal cast under ANSI
+    mode.  Zero and NULL values drop out (they have no first
+    significant digit); negatives audit by magnitude.
 
     One projection + one 9-group hash aggregate; the Benford expected
     table is a broadcast literal frame.
     """
     digit_s = F.regexp_extract(
-        F.col(column).cast("decimal(38,6)").cast("string"), "[1-9]", 0
+        F.col(column).cast("double").cast("string"), "[1-9]", 0
     )
     counted = (
         df.filter(F.col(column).isNotNull())
@@ -703,4 +741,134 @@ def chi_square_independence(
             F.col("_t").cast("long").alias("n_rows"),
             v.alias("cramers_v"),
         )
+    )
+
+
+def ks_test(
+    a: DataFrame,
+    b: DataFrame,
+    column: str,
+    n_terms: int = 100,
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov test: one row ``(ks_stat, p_value,
+    n_a, n_b)`` where ``ks_stat = sup_x |F_a(x) − F_b(x)|`` over the
+    empirical CDFs and ``p_value`` is the asymptotic Kolmogorov Q
+    series (``2·Σ_{k≥1} (−1)^{k−1} e^{−2k²λ²}``, ``λ = D·(√n_eff +
+    0.12 + 0.11/√n_eff)``, truncated at ``n_terms`` — the standard
+    Numerical-Recipes approximation).  The distribution-free complement
+    to ``psi_drift``: PSI needs a bin count, KS does not, so it is the
+    right first look at "did this column's distribution move between
+    snapshots?".  NULLs are excluded per side; an empty side has no
+    CDF → all-NULL stats with the counts reported.
+
+    Plan — the CDF difference only changes at data points, so the sup
+    is a max over the DISTINCT-value table (usually ≪ the input):
+
+    1. one union + hash aggregate: per distinct value, counts from
+       each side (map-side combined);
+    2. the running totals are a global prefix scan over the value
+       order → the ``global_rank`` two-phase scheme (range exchange,
+       per-partition local cumsums, broadcast per-partition totals as
+       exclusive bases) — never a single-partition window;
+    3. the 1-row result materializes eagerly and the pinned
+       intermediate is released before returning (the returned frame
+       is a driver-side literal — nothing stays cached).
+    """
+    va = a.select(F.col(column).cast("double").alias("v")).filter(
+        F.col("v").isNotNull()
+    )
+    vb = b.select(F.col(column).cast("double").alias("v")).filter(
+        F.col("v").isNotNull()
+    )
+    tagged = va.select(
+        "v", F.lit(1).alias("_ia"), F.lit(0).alias("_ib")
+    ).unionByName(
+        vb.select("v", F.lit(0).alias("_ia"), F.lit(1).alias("_ib"))
+    )
+    per_v = tagged.groupBy("v").agg(
+        F.sum("_ia").cast("long").alias("_ca"),
+        F.sum("_ib").cast("long").alias("_cb"),
+    )
+    ranged = per_v.repartitionByRange(F.col("v").asc()).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    lw = (
+        Window.partitionBy("_pid")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = ranged.withColumn("_la", F.sum("_ca").over(lw)).withColumn(
+        "_lb", F.sum("_cb").over(lw)
+    ).cache()
+    pw = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    bases = (
+        local.groupBy("_pid")
+        .agg(F.sum("_ca").alias("_ta"), F.sum("_cb").alias("_tb"))
+        .withColumn("_ba", F.coalesce(F.sum("_ta").over(pw), F.lit(0)))
+        .withColumn("_bb", F.coalesce(F.sum("_tb").over(pw), F.lit(0)))
+        .select("_pid", "_ba", "_bb")
+    )
+    totals = local.agg(
+        F.coalesce(F.sum("_ca"), F.lit(0)).alias("_na"),
+        F.coalesce(F.sum("_cb"), F.lit(0)).alias("_nb"),
+    )
+    diffs = (
+        local.join(F.broadcast(bases), "_pid")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            # ANSI guard: an empty side (count 0) must yield NULL, not
+            # a divide-by-zero job kill
+            F.when(
+                (F.col("_na") > 0) & (F.col("_nb") > 0),
+                F.abs(
+                    (F.col("_ba") + F.col("_la")).cast("double")
+                    / F.col("_na").cast("double")
+                    - (F.col("_bb") + F.col("_lb")).cast("double")
+                    / F.col("_nb").cast("double")
+                ),
+            ).alias("_d"),
+            "_na",
+            "_nb",
+        )
+    )
+    row = diffs.agg(
+        F.max("_d").alias("d"),
+        F.max("_na").alias("na"),
+        F.max("_nb").alias("nb"),
+    ).collect()[0]
+    # counts must be exact even when one side is empty (the diffs frame
+    # is then empty and the aggregate row is all-NULL)
+    n_a = int(row.na) if row.na is not None else int(va.count())
+    n_b = int(row.nb) if row.nb is not None else int(vb.count())
+    local.unpersist()
+
+    d = float(row.d) if row.d is not None else None
+    p = None
+    if d is not None and n_a > 0 and n_b > 0:
+        import math
+
+        ne = math.sqrt(n_a * n_b / float(n_a + n_b))
+        lam = (ne + 0.12 + 0.11 / ne) * d
+        if lam < 1e-8:
+            # the alternating series does not converge at lambda ~ 0;
+            # the limit is exactly 1 (identical distributions)
+            p = 1.0
+        else:
+            acc = 0.0
+            for k in range(1, n_terms + 1):
+                acc += (-1.0) ** (k - 1) * math.exp(
+                    -2.0 * k * k * lam * lam
+                )
+            p = min(max(2.0 * acc, 0.0), 1.0)
+    spark = a.sparkSession
+    return spark.createDataFrame(
+        [
+            (
+                round(d, 6) if d is not None else None,
+                round(p, 6) if p is not None else None,
+                n_a,
+                n_b,
+            )
+        ],
+        "ks_stat double, p_value double, n_a long, n_b long",
     )

@@ -119,3 +119,98 @@ class TestEagerReleasesIntermediates:
         eager_ns = negative_sample(d, k=2, eager=True)
         assert sorted(map(tuple, eager_ns.collect())) == lazy_ns
         eager_ns.unpersist(blocking=True)
+
+
+class TestRangeOpsEagerRelease:
+    """ADVICE r7: global_rank / peak_concurrency / pareto_frontier_2d
+    pinned their range-partitioned intermediates for the app lifetime.
+    eager=True must release them, leaving at most the returned frame."""
+
+    def _nums(self, spark, n=500):
+        return spark.createDataFrame(
+            [(i, float((i * 37) % 101)) for i in range(n)],
+            "id long, x double",
+        )
+
+    def test_global_rank(self, spark):
+        from moz_datapipeline_spark.operators.ranges import global_rank
+
+        base = _cached_rdd_count(spark)
+        out = global_rank(self._nums(spark), "x", ["id"], eager=True)
+        out.count()
+        assert _cached_rdd_count(spark) <= base + 1
+        out.unpersist(blocking=True)
+        assert _cached_rdd_count(spark) <= base
+
+    def test_peak_concurrency(self, spark):
+        from moz_datapipeline_spark.operators.ranges import peak_concurrency
+
+        iv = spark.createDataFrame(
+            [(i % 5, float(i), float(i + 3)) for i in range(200)],
+            "g int, start double, end double",
+        )
+        base = _cached_rdd_count(spark)
+        out = peak_concurrency(
+            iv, "start", "end", group_cols=["g"], eager=True
+        )
+        out.count()
+        assert _cached_rdd_count(spark) <= base + 1
+        out.unpersist(blocking=True)
+        assert _cached_rdd_count(spark) <= base
+
+    def test_pareto_frontier(self, spark):
+        from moz_datapipeline_spark.operators.ranges import (
+            pareto_frontier_2d,
+        )
+
+        df = spark.createDataFrame(
+            [(float(i % 20), float((i * 13) % 17)) for i in range(300)],
+            "x double, y double",
+        )
+        base = _cached_rdd_count(spark)
+        out = pareto_frontier_2d(df, "x", "y", eager=True)
+        out.count()
+        assert _cached_rdd_count(spark) <= base + 1
+        out.unpersist(blocking=True)
+        assert _cached_rdd_count(spark) <= base
+
+    def test_eager_matches_lazy(self, spark):
+        from moz_datapipeline_spark.operators.ranges import global_rank
+
+        d = self._nums(spark, 200)
+        lazy = sorted(map(tuple, global_rank(d, "x", ["id"]).collect()))
+        eager = global_rank(d, "x", ["id"], eager=True)
+        assert sorted(map(tuple, eager.collect())) == lazy
+        eager.unpersist(blocking=True)
+
+
+class TestLpaLazyNeverPersists:
+    """ADVICE r7: lazy-mode label_propagation persisted edges plus every
+    round's labels and never released any of them.  Lazy mode must now
+    leave the storage registry untouched (the restructured plan consumes
+    each round's labels exactly once, so no pin is needed)."""
+
+    def test_lazy_leaves_registry_clean(self, spark):
+        from moz_datapipeline_spark.graph.lpa import label_propagation
+
+        e = spark.createDataFrame(
+            [(i, (i + 1) % 30) for i in range(30)] + [(2, 17), (5, 23)],
+            "src long, dst long",
+        )
+        base = _cached_rdd_count(spark)
+        out = label_propagation(e, rounds=3)
+        out.count()
+        assert _cached_rdd_count(spark) == base
+
+    def test_eager_releases_everything(self, spark):
+        from moz_datapipeline_spark.graph.lpa import label_propagation
+
+        e = spark.createDataFrame(
+            [(i, (i + 1) % 30) for i in range(30)], "src long, dst long"
+        )
+        base = _cached_rdd_count(spark)
+        out = label_propagation(e, rounds=2, eager=True)
+        out.count()
+        assert _cached_rdd_count(spark) <= base + 1
+        out.unpersist(blocking=True)
+        assert _cached_rdd_count(spark) <= base

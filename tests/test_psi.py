@@ -182,3 +182,32 @@ def test_chi_square_matches_scipy_style_reference(spark):
     )
     r3 = chi_square_independence(one, "u", "v").collect()[0]
     assert r3.dof == 0 and r3.chi2 == 0.0 and r3.cramers_v is None
+
+
+def test_psi_survives_astronomical_out_of_range_value(spark):
+    """ADVICE r7: a current value far outside the reference range — the
+    exact event PSI monitors — must clamp into the edge bin, not
+    overflow the int cast and kill the job under ANSI mode."""
+    ref = spark.createDataFrame(
+        [(float(v),) for v in range(10)], "x double"
+    )
+    cur = spark.createDataFrame(
+        [(1e300,), (-1e300,), (5.0,)], "x double"
+    )
+    got = psi_drift(ref, cur, ["x"], nbins=5).collect()[0].psi
+    want = _ref_psi(
+        [float(v) for v in range(10)], [1e300, -1e300, 5.0], nbins=5
+    )
+    assert abs(got - want) < 1e-9
+
+
+def test_benford_extreme_magnitudes(spark):
+    """ADVICE r7: |x| < 1e-6 must keep its true first digit (not round
+    into a decimal(38,6) scale) and |x| >= 1e32 must not overflow."""
+    from moz_datapipeline_spark.operators.validation import benford_audit
+
+    vals = [6e-7, 4e-7, 1e33, -2.5e40, 9.99e-20, 1000.0, 0.0, None]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    rows = {r.digit: r for r in benford_audit(df, "x").collect()}
+    counts = {d: rows[d].n for d in rows if rows[d].n > 0}
+    assert counts == {6: 1, 4: 1, 1: 2, 2: 1, 9: 1}

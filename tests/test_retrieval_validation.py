@@ -647,3 +647,22 @@ def test_scd2_apply_rejects_duplicate_key_ts(spark):
     out = scd2_apply(current, dup, "k", ["v"], ts_col="ts")
     with _pytest.raises(Exception, match="duplicate"):
         out.collect()
+
+
+def test_validate_missing_fields_raise_descriptive_errors(spark):
+    """ADVICE r7: absent threshold/pattern/allowed must fail fast with
+    the check kind and missing field named, not a bare TypeError from
+    float(None) or an opaque rlike failure."""
+    import pytest
+
+    from moz_datapipeline_spark.operators.validation import Check, validate
+
+    df = spark.createDataFrame([(1,)], "c int")
+    with pytest.raises(ValueError, match="'min' on 'c'.*threshold"):
+        validate(df, [Check("min", "c")])
+    with pytest.raises(ValueError, match="'matches' on 'c'.*pattern"):
+        validate(df, [Check("matches", "c", threshold=0.5)])
+    with pytest.raises(ValueError, match="'in_set' on 'c'.*allowed"):
+        validate(df, [Check("in_set", "c")])
+    with pytest.raises(ValueError, match="unknown kind 'bogus'"):
+        validate(df, [Check("bogus", "c")])
