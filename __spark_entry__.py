@@ -4100,6 +4100,91 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ks_test(early, late, "l_extendedprice")
 
 
+def q_set_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT 3-shingle-set Jaccard self-join over documents at t=0.7
+    via AllPairs prefix filtering (operators/dedup.set_similarity_join):
+    global-frequency-ordered shingle arrays, lossless prefix explode +
+    equi join + size filter for candidates, array_intersect verify —
+    never all-pairs, hot shingles sort out of every prefix.  VALUE
+    oracle: an INDEPENDENT DuckDB ground truth via the shared-element
+    join (a different, brute-er candidate scheme), so the prefix
+    filter's losslessness is itself under test."""
+    from moz_datapipeline_spark.operators.dedup import set_similarity_join
+
+    docs = _t(spark, sf_dir, "documents")
+    out = set_similarity_join(docs, 0.7, shingle_k=3)
+    return out.select(
+        "id_a", "id_b", "intersection", "union_size", "jaccard"
+    )
+
+
+def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-prediction scores (common-neighbors / Jaccard /
+    Adamic–Adar / preferential-attachment) over the part↔supplier
+    bipartite graph, wedge centers capped at degree 30 — the hub-skew
+    guard with degrees still exact from the full graph
+    (graph/linkpred.link_prediction_scores).  One wedge self-join on
+    the center, never |V|² pairs.  VALUE oracle: the identical wedge
+    fold in DuckDB."""
+    from moz_datapipeline_spark.graph.linkpred import (
+        link_prediction_scores,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    e = li.select(
+        F.col("l_partkey").alias("src"),
+        (F.col("l_suppkey") + 1000000).alias("dst"),
+    )
+    out = link_prediction_scores(e, max_wedge_degree=30)
+    return out.select(
+        "node_a",
+        "node_b",
+        "common_neighbors",
+        "jaccard",
+        "adamic_adar",
+        "preferential_attachment",
+    )
+
+
+def q_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling: the 100 documents whose hashed-
+    token profile best matches the English slice, Gumbel-top-k on the
+    smoothed target/raw log-ratio (operators/corpus.
+    importance_resample).  Two B-row bucket aggregates, one broadcast
+    log-ratio join, TakeOrderedAndProject — deterministic md5 hash
+    family end to end.  VALUE oracle: the identical bucket fold +
+    Gumbel draw in DuckDB."""
+    from moz_datapipeline_spark.operators.corpus import (
+        importance_resample,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    return importance_resample(
+        docs, target, k=100, n_buckets=256
+    )
+
+
+def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-base overlap between the pre-1997 and 1997+ order
+    periods, estimated ENTIRELY from two k=128 KMV sketches
+    (operators/sketches.kmv_set_ops): theta-sketch sample → union /
+    intersection / Jaccard / containments with no second data pass.
+    Deterministic md5 hashes — VALUE oracle replays sketch build and
+    set-op arithmetic in DuckDB."""
+    from moz_datapipeline_spark.operators.sketches import (
+        kmv_registers,
+        kmv_set_ops,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    early = o.filter(F.col("o_orderdate") < F.lit("1997-01-01"))
+    late = o.filter(F.col("o_orderdate") >= F.lit("1997-01-01"))
+    ra = kmv_registers(early, "o_custkey", k=128)
+    rb = kmv_registers(late, "o_custkey", k=128)
+    return kmv_set_ops(ra, rb, k=128)
+
+
 def q_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-mixture resampling: rebalance three sources to 50/25/25
     target weights, keeping the maximum corpus that matches the mixture
@@ -4620,6 +4705,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "peak_concurrency": q_peak_concurrency,
         "grouped_ols": q_grouped_ols,
         "ks_drift": q_ks_drift,
+        "set_similarity": q_set_similarity,
+        "link_prediction": q_link_prediction,
+        "importance_resample": q_importance_resample,
+        "kmv_overlap": q_kmv_overlap,
     }
 
 
@@ -8684,6 +8773,200 @@ FROM eaul_calc
                           / ((n*sxx - sx*sx) * (n*syy - sy*sy)) END,
                      6) AS r2
         FROM s
+    """
+
+    sql["set_similarity"] = r"""
+        WITH base AS (
+          SELECT doc_id,
+                 string_split(regexp_replace(lower(trim(text)),
+                                             '\s+', ' ', 'g'), ' ') AS t
+          FROM documents
+        ), sh AS (
+          SELECT doc_id AS id,
+                 CASE WHEN len(t) >= 3
+                      THEN list_transform(
+                             generate_series(1, len(t) - 2),
+                             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                      ELSE [array_to_string(t, ' ')] END AS els
+          FROM base
+        ), toks AS (
+          SELECT DISTINCT id, e AS tok
+          FROM (SELECT id, unnest(els) AS e FROM sh) WHERE e <> ''
+        ), sz AS (
+          SELECT id, count(*) AS s FROM toks GROUP BY id
+        ), pairs AS (
+          SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+          FROM toks a JOIN toks b ON a.tok = b.tok AND a.id < b.id
+          GROUP BY 1, 2
+        ), j AS (
+          SELECT id_a, id_b, inter, sa.s + sb.s - inter AS uni
+          FROM pairs
+          JOIN sz sa ON sa.id = pairs.id_a
+          JOIN sz sb ON sb.id = pairs.id_b
+        )
+        SELECT id_a, id_b,
+               CAST(inter AS BIGINT) AS intersection,
+               CAST(uni AS BIGINT) AS union_size,
+               round(CAST(inter AS DOUBLE) / uni, 6) AS jaccard
+        FROM j
+        WHERE CAST(inter AS DOUBLE) >= 0.7 * CAST(uni AS DOUBLE)
+    """
+
+    sql["link_prediction"] = """
+        WITH e0 AS (
+          SELECT DISTINCT l_partkey AS s, l_suppkey + 1000000 AS d
+          FROM lineitem
+        ), e AS (
+          SELECT s, d FROM e0 UNION SELECT d, s FROM e0
+        ), deg AS (
+          SELECT s AS node, count(*) AS dg FROM e GROUP BY 1
+        ), ctr AS (
+          SELECT e.s AS z, e.d AS nbr, deg.dg AS dz
+          FROM e JOIN deg ON deg.node = e.s
+          WHERE deg.dg BETWEEN 2 AND 30
+        ), w AS (
+          SELECT a.nbr AS na, b.nbr AS nb,
+                 count(*) AS cn,
+                 sum(1.0 / ln(a.dz)) AS aa
+          FROM ctr a JOIN ctr b ON a.z = b.z AND a.nbr < b.nbr
+          GROUP BY 1, 2
+        ), cand AS (
+          SELECT w.na, w.nb, w.cn, w.aa
+          FROM w LEFT JOIN (
+            SELECT s AS na, d AS nb FROM e WHERE s < d
+          ) adj ON w.na = adj.na AND w.nb = adj.nb
+          WHERE adj.na IS NULL
+        )
+        SELECT cand.na AS node_a, cand.nb AS node_b,
+               CAST(cn AS BIGINT) AS common_neighbors,
+               round(CAST(cn AS DOUBLE) / (da.dg + db.dg - cn), 6)
+                 AS jaccard,
+               round(aa, 6) AS adamic_adar,
+               CAST(da.dg * db.dg AS BIGINT) AS preferential_attachment
+        FROM cand
+        JOIN deg da ON da.node = cand.na
+        JOIN deg db ON db.node = cand.nb
+    """
+
+    sql["importance_resample"] = r"""
+        WITH rtok AS (
+          SELECT doc_id,
+                 unnest(string_split(regexp_replace(lower(trim(text)),
+                                     '\s+', ' ', 'g'), ' ')) AS tok
+          FROM documents
+        ), rt AS (
+          SELECT doc_id, tok,
+                 CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT)
+                   % 256 AS b
+          FROM rtok WHERE tok <> ''
+        ), ttok AS (
+          SELECT doc_id,
+                 unnest(string_split(regexp_replace(lower(trim(text)),
+                                     '\s+', ' ', 'g'), ' ')) AS tok
+          FROM documents WHERE lang = 'en'
+        ), tt AS (
+          SELECT doc_id, tok,
+                 CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT)
+                   % 256 AS b
+          FROM ttok WHERE tok <> ''
+        ), grid AS (
+          SELECT unnest(range(0, 256)) AS b
+        ), counts AS (
+          SELECT grid.b,
+                 coalesce(rc.c, 0) AS cr,
+                 coalesce(tc.c, 0) AS ct
+          FROM grid
+          LEFT JOIN (SELECT b, count(*) AS c FROM rt GROUP BY 1) rc
+                 ON rc.b = grid.b
+          LEFT JOIN (SELECT b, count(*) AS c FROM tt GROUP BY 1) tc
+                 ON tc.b = grid.b
+        ), tot AS (
+          SELECT sum(cr) AS nr, sum(ct) AS nt FROM counts
+        ), lr AS (
+          SELECT b,
+                 ln((ct + 1.0) / (nt + 256.0))
+                 - ln((cr + 1.0) / (nr + 256.0)) AS lrv
+          FROM counts CROSS JOIN tot
+        ), w AS (
+          SELECT rt.doc_id,
+                 count(*)::BIGINT AS n_tokens,
+                 sum(lr.lrv) AS lw
+          FROM rt JOIN lr ON lr.b = rt.b
+          GROUP BY 1
+        ), scored AS (
+          SELECT doc_id, n_tokens, lw,
+                 lw - ln(-ln(
+                   (CAST(('0x' || substr(md5('dsir:'
+                        || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                    + 1.0) / 1152921504606846976.0
+                 )) AS score
+          FROM w
+        )
+        SELECT doc_id, n_tokens,
+               round(lw, 6) AS log_weight,
+               round(score, 6) AS score
+        FROM scored
+        ORDER BY score DESC, doc_id
+        LIMIT 100
+    """
+
+    sql["kmv_overlap"] = """
+        WITH ha0 AS (
+          SELECT DISTINCT
+                 CAST(CAST(('0x' || substr(md5('kmv:'
+                      || CAST(o_custkey AS VARCHAR)), 1, 15)) AS BIGINT)
+                      AS DOUBLE)
+                   / CAST(1152921504606846976 AS DOUBLE) AS h
+          FROM orders WHERE o_orderdate < DATE '1997-01-01'
+        ), hb0 AS (
+          SELECT DISTINCT
+                 CAST(CAST(('0x' || substr(md5('kmv:'
+                      || CAST(o_custkey AS VARCHAR)), 1, 15)) AS BIGINT)
+                      AS DOUBLE)
+                   / CAST(1152921504606846976 AS DOUBLE) AS h
+          FROM orders WHERE o_orderdate >= DATE '1997-01-01'
+        ), la AS (
+          SELECT (list_sort(list(h)))[:128] AS ha FROM ha0
+        ), lb AS (
+          SELECT (list_sort(list(h)))[:128] AS hb FROM hb0
+        ), m AS (
+          SELECT ha, hb,
+                 list_sort(list_distinct(list_concat(ha, hb))) AS mg
+          FROM la CROSS JOIN lb
+        ), calc AS (
+          SELECT ha, hb,
+                 len(mg) >= 128 AS isfull,
+                 CASE WHEN len(mg) >= 128 THEN mg[128]
+                      ELSE 1.0 END AS theta,
+                 CASE WHEN len(mg) >= 128 THEN mg[:127]
+                      ELSE mg END AS s
+          FROM m
+        ), c2 AS (
+          SELECT len(s) AS ns,
+                 len(list_intersect(s, list_intersect(ha, hb))) AS ni,
+                 CASE WHEN isfull THEN 127.0 / theta
+                      ELSE CAST(len(s) AS DOUBLE) END AS eu,
+                 CASE WHEN len(ha) < 128 THEN CAST(len(ha) AS DOUBLE)
+                      ELSE 127.0 / ha[128] END AS ea,
+                 CASE WHEN len(hb) < 128 THEN CAST(len(hb) AS DOUBLE)
+                      ELSE 127.0 / hb[128] END AS eb
+          FROM calc
+        ), c3 AS (
+          SELECT ea, eb, eu,
+                 CASE WHEN ns > 0
+                      THEN CAST(ni AS DOUBLE) / ns ELSE 0.0 END AS jac
+          FROM c2
+        )
+        SELECT round(ea, 3) AS est_a,
+               round(eb, 3) AS est_b,
+               round(eu, 3) AS est_union,
+               round(jac * eu, 3) AS est_intersection,
+               round(jac, 6) AS jaccard,
+               round(CASE WHEN ea > 0 THEN jac * eu / ea END, 6)
+                 AS containment_a,
+               round(CASE WHEN eb > 0 THEN jac * eu / eb END, 6)
+                 AS containment_b
+        FROM c3
     """
 
     sql["ks_drift"] = """

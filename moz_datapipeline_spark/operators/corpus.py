@@ -1434,3 +1434,132 @@ def pmi_collocations(
             ).alias("pmi"),
         )
     )
+
+
+def importance_resample(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+    alpha: float = 1.0,
+    seed: str = "dsir",
+) -> DataFrame:
+    """Data Selection with Importance Resampling (DSIR, Xie et al.
+    2023): pick the ``k`` raw documents whose hashed-token profile
+    looks most like the TARGET corpus, via Gumbel-top-k on the
+    importance log-weight.  The standard "select pretraining data
+    that matches a trusted domain" primitive.
+
+    Model: both corpora are bag-of-hashed-tokens distributions over
+    ``n_buckets`` buckets (md5-portable hash — every stage replays
+    bit-for-bit on any engine).  A document's importance weight is
+
+        log w(doc) = Σ_tokens  ln p_target(b(tok)) − ln p_raw(b(tok))
+
+    with Laplace-``alpha`` smoothing on both distributions.  Sampling
+    without replacement ∝ w is Gumbel-top-k: ``score = log w +
+    g(id)`` with ``g = −ln(−ln u)`` and ``u`` the engine's
+    content-addressed md5 uniform (the ``weighted_sample`` family),
+    so the selection is deterministic across runs, partitionings, and
+    engines.
+
+    Plan: two bucket-count hash aggregates (one per corpus — B-row
+    results), a full-outer bucket join + 1-row totals to build the
+    broadcast log-ratio table, one token explode + broadcast join +
+    per-doc sum for the weights, and a TakeOrderedAndProject top-k —
+    no shuffle ever carries more than tokens×1 rows, and the
+    log-ratio table is ``n_buckets`` rows regardless of corpus size.
+    Documents with no tokens after normalization drop out (their
+    profile is undefined).
+
+    Returns ``(id_col, n_tokens, log_weight, score)``, the ``k``
+    highest scores (ties broken by id).
+    """
+    from .dedup import _normalized
+
+    if k < 1:
+        raise ValueError("importance_resample: k must be >= 1")
+    if n_buckets < 2:
+        raise ValueError("importance_resample: n_buckets must be >= 2")
+
+    def _buckets(df: DataFrame) -> DataFrame:
+        return (
+            df.select(
+                F.col(id_col).alias("_id"),
+                F.explode(
+                    F.split(_normalized(F.col(text_col)), " ")
+                ).alias("_tok"),
+            )
+            .filter(F.col("_tok") != "")
+            .withColumn(
+                "_b",
+                (
+                    F.conv(
+                        F.substring(F.md5(F.col("_tok")), 1, 15), 16, 10
+                    ).cast("long")
+                    % n_buckets
+                ).cast("int"),
+            )
+        )
+
+    rt = _buckets(raw)
+    tt = _buckets(target)
+    rc = rt.groupBy("_b").agg(F.count(F.lit(1)).alias("_cr"))
+    tc = tt.groupBy("_b").agg(F.count(F.lit(1)).alias("_ct"))
+    grid = raw.sparkSession.range(n_buckets).select(
+        F.col("id").cast("int").alias("_b")
+    )
+    counts = (
+        grid.join(rc, "_b", "left")
+        .join(tc, "_b", "left")
+        .fillna(0, subset=["_cr", "_ct"])
+    )
+    tot = counts.agg(
+        F.sum("_cr").alias("_nr"), F.sum("_ct").alias("_nt")
+    )
+    a = F.lit(float(alpha))
+    ab = F.lit(float(alpha) * n_buckets)
+    lr = counts.crossJoin(F.broadcast(tot)).select(
+        "_b",
+        (
+            F.log((F.col("_ct") + a) / (F.col("_nt") + ab))
+            - F.log((F.col("_cr") + a) / (F.col("_nr") + ab))
+        ).alias("_lr"),
+    )
+    weights = (
+        rt.join(F.broadcast(lr), "_b")
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("_lr").alias("_lw"),
+        )
+    )
+    space = float(1 << 60)
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(seed), F.lit(":"), F.col("_id").cast("string")
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h.cast("double") + F.lit(1.0)) / F.lit(space)
+    gumbel = -F.log(-F.log(u))
+    scored = weights.withColumn("_score", F.col("_lw") + gumbel)
+    return (
+        scored.orderBy(F.col("_score").desc(), F.col("_id").asc())
+        .limit(int(k))
+        .select(
+            F.col("_id").alias(id_col),
+            "n_tokens",
+            F.round("_lw", 6).alias("log_weight"),
+            F.round("_score", 6).alias("score"),
+        )
+    )

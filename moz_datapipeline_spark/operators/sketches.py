@@ -250,3 +250,91 @@ def kmv_distinct(
         n.alias("n_retained"),
         F.round(est, 3).alias("est_distinct"),
     )
+
+
+def kmv_set_ops(
+    a: DataFrame,
+    b: DataFrame,
+    group_cols: list[str] | None = None,
+    k: int = 256,
+) -> DataFrame:
+    """Set-operation estimates from two KMV sketches (theta-sketch
+    style): ``(*group_cols, est_a, est_b, est_union, est_intersection,
+    jaccard, containment_a, containment_b)``.
+
+    This is the reason KMV exists alongside HLL: HLL only unions,
+    KMV's retained hashes are a UNIFORM SAMPLE of the merged key
+    space, so intersections (corpus overlap, "how much of snapshot A
+    survived into B", decontamination estimates) come from the same
+    state with no second pass over data.
+
+    Estimator: merge the two hash lists, take ``theta`` = the k-th
+    smallest (1.0 when underfull — then everything is exact); the
+    sample S is every merged hash < theta.  ``jaccard`` = fraction of
+    S present in BOTH sketches, ``est_intersection = jaccard ·
+    est_union``, containments divide by the per-side estimates.
+    Pure array expressions over two ≤ k-element lists per group —
+    driver-free, broadcast-join-sized, replays exactly in the DuckDB
+    oracle (content-addressed hashes, no RNG).
+
+    Groups present in only one input are dropped (inner join): an
+    absent sketch is "no data", not an empty set.
+    """
+    group_cols = group_cols or []
+    if k < 2:
+        raise ValueError("kmv_set_ops: need k >= 2")
+    aa = a.select(*group_cols, F.col("hs").alias("_ha"))
+    bb = b.select(*group_cols, F.col("hs").alias("_hb"))
+    if group_cols:
+        j = aa.join(bb, list(group_cols))
+    else:
+        j = aa.crossJoin(bb)
+
+    merged = F.array_sort(
+        F.array_distinct(F.concat(F.col("_ha"), F.col("_hb")))
+    )
+    j = j.withColumn("_m", merged)
+    full = F.size("_m") >= k
+    theta = F.when(full, F.element_at("_m", k)).otherwise(F.lit(1.0))
+    j = j.withColumn("_theta", theta)
+    sample = F.when(
+        full, F.slice("_m", 1, k - 1)
+    ).otherwise(F.col("_m"))
+    j = j.withColumn("_s", sample)
+    inter_ab = F.array_intersect("_ha", "_hb")
+    ni = F.size(F.array_intersect("_s", inter_ab))
+    ns = F.size("_s")
+    est_union = F.when(full, F.lit(float(k - 1)) / F.col("_theta")).otherwise(
+        ns.cast("double")
+    )
+
+    def _side_est(col: str):
+        n = F.size(col)
+        return F.when(n < k, n.cast("double")).otherwise(
+            F.lit(float(k - 1)) / F.element_at(col, k)
+        )
+
+    jac = F.when(ns > 0, ni.cast("double") / ns.cast("double")).otherwise(
+        F.lit(0.0)
+    )
+    j = (
+        j.withColumn("_ea", _side_est("_ha"))
+        .withColumn("_eb", _side_est("_hb"))
+        .withColumn("_eu", est_union)
+        .withColumn("_jac", jac)
+        .withColumn("_ei", F.col("_jac") * F.col("_eu"))
+    )
+    return j.select(
+        *group_cols,
+        F.round("_ea", 3).alias("est_a"),
+        F.round("_eb", 3).alias("est_b"),
+        F.round("_eu", 3).alias("est_union"),
+        F.round("_ei", 3).alias("est_intersection"),
+        F.round("_jac", 6).alias("jaccard"),
+        F.round(
+            F.when(F.col("_ea") > 0, F.col("_ei") / F.col("_ea")), 6
+        ).alias("containment_a"),
+        F.round(
+            F.when(F.col("_eb") > 0, F.col("_ei") / F.col("_eb")), 6
+        ).alias("containment_b"),
+    )

@@ -507,3 +507,101 @@ def autocorrelation(
         F.count(F.lit(1)).cast("long").alias("n_buckets"),
         *[_acf(k) for k in range(1, max_lag + 1)],
     ).withColumnRenamed("grp", group_col)
+
+
+def mann_kendall(
+    df: DataFrame,
+    group_col: str,
+    time_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Mann–Kendall trend test + Sen's slope per group:
+    ``(group, n, s, var_s, z, trend, sen_slope)`` — the
+    distribution-free "is this metric monotonically drifting?" test
+    (no linearity assumption, unlike ``grouped_ols``; no bin choice,
+    unlike ``psi_drift``).
+
+    - ``s`` = Σ_{i<j} sign(v_j − v_i) over the time order;
+    - ``var_s`` = [n(n−1)(2n+5) − Σ_ties t(t−1)(2t+5)] / 18 (tie-
+      corrected);
+    - ``z`` = (s∓1)/√var_s (continuity-corrected; NULL when var_s = 0
+      — constant series or n < 2);
+    - ``trend`` ∈ {increasing, decreasing, no_trend} at |z| > 1.96;
+    - ``sen_slope`` = median over pairs of (v_j − v_i)/(t_j − t_i),
+      the robust rate estimate (NULL when no pairs).
+
+    INPUT CONTRACT: ``df`` is a per-group time SERIES — one row per
+    (group, time), the shape every rollup here produces
+    (``_bucket_epoch`` family).  The pair join is within-group
+    O(n_g²): correct and cheap for rollup-sized groups (a year of
+    hourly buckets = 8.8k rows → 38M pairs across ALL groups only if
+    every group is that long; the join is an equi join on the group
+    key, so cost follows the group histogram, never the corpus).
+    Duplicate timestamps within a group are excluded from pairs (the
+    strict ``<``) — roll up first.  NULL values drop out.
+    """
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(time_col).cast("double").alias("t"),
+        F.col(value_col).cast("double").alias("v"),
+    ).filter(F.col("v").isNotNull() & F.col("t").isNotNull())
+    a = base.select(
+        "grp", F.col("t").alias("ta"), F.col("v").alias("va")
+    )
+    b = base.select(
+        "grp", F.col("t").alias("tb"), F.col("v").alias("vb")
+    )
+    pairs = a.join(b, "grp").filter(F.col("ta") < F.col("tb"))
+    folded = pairs.groupBy("grp").agg(
+        F.sum(F.signum(F.col("vb") - F.col("va")))
+        .cast("long")
+        .alias("s"),
+        F.expr(
+            "percentile((vb - va) / (tb - ta), 0.5)"
+        ).alias("_sen"),
+    )
+    counts = base.groupBy("grp").agg(F.count(F.lit(1)).alias("n"))
+    ties = (
+        base.groupBy("grp", "v")
+        .agg(F.count(F.lit(1)).alias("_t"))
+        .groupBy("grp")
+        .agg(
+            F.sum(
+                F.col("_t") * (F.col("_t") - 1) * (2 * F.col("_t") + 5)
+            ).alias("_tie")
+        )
+    )
+    n = F.col("n").cast("double")
+    var_s = (
+        n * (n - 1) * (2 * n + 5) - F.col("_tie").cast("double")
+    ) / F.lit(18.0)
+    out = (
+        counts.join(folded, "grp", "left")
+        .join(ties, "grp")
+        .withColumn("var_s", var_s)
+        .withColumn("s", F.coalesce(F.col("s"), F.lit(0)))
+    )
+    sq = F.sqrt(F.col("var_s"))
+    z = F.when(
+        (F.col("var_s") > 0) & (F.col("s") > 0),
+        (F.col("s") - 1).cast("double") / sq,
+    ).when(
+        (F.col("var_s") > 0) & (F.col("s") < 0),
+        (F.col("s") + 1).cast("double") / sq,
+    ).when(F.col("var_s") > 0, F.lit(0.0))
+    out = out.withColumn("z", z)
+    trend = (
+        F.when(F.col("z").isNull(), F.lit("no_trend"))
+        .when(F.col("z") > 1.96, F.lit("increasing"))
+        .when(F.col("z") < -1.96, F.lit("decreasing"))
+        .otherwise(F.lit("no_trend"))
+    )
+    return out.select(
+        F.col("grp").alias(group_col),
+        F.col("n").cast("long").alias("n"),
+        "s",
+        F.round("var_s", 6).alias("var_s"),
+        F.round("z", 6).alias("z"),
+        trend.alias("trend"),
+        F.round("_sen", 6).alias("sen_slope"),
+    )

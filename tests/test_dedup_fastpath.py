@@ -118,3 +118,113 @@ def test_ngram_containment_detects_excerpt(spark):
         ).collect()
     }
     assert (1, 2) not in jac
+
+
+class TestSetSimilarityJoin:
+    """Exact AllPairs/prefix-filter Jaccard join (dedup.set_similarity_join)."""
+
+    def _brute(self, rows, t):
+        import itertools
+        import re
+
+        sets = {
+            i: set(re.sub(r"\s+", " ", s.lower().strip()).split(" ")) - {""}
+            for i, s in rows
+        }
+        out = {}
+        for a, b in itertools.combinations(sorted(sets), 2):
+            sa, sb = sets[a], sets[b]
+            if not sa or not sb:
+                continue
+            inter = len(sa & sb)
+            uni = len(sa | sb)
+            if inter >= t * uni:
+                out[(a, b)] = (inter, uni)
+        return out
+
+    def test_matches_bruteforce(self, spark):
+        from moz_datapipeline_spark.operators.dedup import set_similarity_join
+
+        words = [f"w{i}" for i in range(30)]
+        rows = []
+        for i in range(60):
+            base = [words[(i * 7 + j) % 30] for j in range(8)]
+            rows.append((i, " ".join(base)))
+        # planted near-dups: doc 100+i shares 7 of 8 tokens with doc i
+        for i in range(10):
+            base = [words[(i * 7 + j) % 30] for j in range(7)] + ["extra"]
+            rows.append((100 + i, " ".join(base)))
+        rows.append((500, ""))          # empty doc drops out
+        rows.append((501, "   "))       # whitespace-only too
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+
+        for t in (0.5, 0.7, 0.9, 1.0):
+            got = {
+                (r.id_a, r.id_b): (r.intersection, r.union_size)
+                for r in set_similarity_join(df, t).collect()
+            }
+            assert got == self._brute(rows, t), f"threshold {t}"
+
+    def test_exact_duplicates_at_threshold_one(self, spark):
+        from moz_datapipeline_spark.operators.dedup import set_similarity_join
+
+        df = spark.createDataFrame(
+            [(1, "a b c"), (2, "c  B a".lower()), (3, "a b d")],
+            "doc_id long, text string",
+        )
+        got = set_similarity_join(df, 1.0).collect()
+        assert [(r.id_a, r.id_b, r.jaccard) for r in got] == [(1, 2, 1.0)]
+
+    def test_rejects_bad_threshold(self, spark):
+        import pytest
+
+        from moz_datapipeline_spark.operators.dedup import set_similarity_join
+
+        df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="threshold"):
+            set_similarity_join(df, 0.0)
+        with pytest.raises(ValueError, match="threshold"):
+            set_similarity_join(df, 1.5)
+
+    def test_shingle_mode_matches_bruteforce(self, spark):
+        import itertools
+        import re
+
+        from moz_datapipeline_spark.operators.dedup import set_similarity_join
+
+        words = [f"w{i}" for i in range(12)]
+        rows = []
+        for i in range(25):
+            toks = [words[(i * 5 + j) % 12] for j in range(9)]
+            rows.append((i, " ".join(toks)))
+        for i in range(6):  # near-dup with one word swapped
+            toks = [words[(i * 5 + j) % 12] for j in range(9)]
+            toks[4] = "swapped"
+            rows.append((200 + i, " ".join(toks)))
+        rows.append((300, "a b"))  # shorter than k -> single-shingle doc
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+
+        def sets_of(s, k=3):
+            t = re.sub(r"\s+", " ", s.lower().strip()).split(" ")
+            if len(t) >= k:
+                els = {" ".join(t[i : i + k]) for i in range(len(t) - k + 1)}
+            else:
+                els = {" ".join(t)}
+            return els - {""}
+
+        t = 0.6
+        sets = {i: sets_of(s) for i, s in rows}
+        want = {}
+        for a, b in itertools.combinations(sorted(sets), 2):
+            sa, sb = sets[a], sets[b]
+            if not sa or not sb:
+                continue
+            inter = len(sa & sb)
+            uni = len(sa | sb)
+            if inter >= t * uni:
+                want[(a, b)] = (inter, uni)
+        got = {
+            (r.id_a, r.id_b): (r.intersection, r.union_size)
+            for r in set_similarity_join(df, t, shingle_k=3).collect()
+        }
+        assert got == want

@@ -666,3 +666,58 @@ def test_validate_missing_fields_raise_descriptive_errors(spark):
         validate(df, [Check("in_set", "c")])
     with pytest.raises(ValueError, match="unknown kind 'bogus'"):
         validate(df, [Check("bogus", "c")])
+
+
+def test_kmv_set_ops_accuracy_and_exact_underfull(spark):
+    from moz_datapipeline_spark.operators.sketches import (
+        kmv_registers,
+        kmv_set_ops,
+    )
+
+    # exact mode: underfull sketches -> every estimate is exact
+    a = spark.createDataFrame([(i,) for i in range(60)], "key int")
+    b = spark.createDataFrame([(i,) for i in range(40, 100)], "key int")
+    ra = kmv_registers(a, "key", k=256)
+    rb = kmv_registers(b, "key", k=256)
+    r = kmv_set_ops(ra, rb, k=256).collect()[0]
+    assert (r.est_a, r.est_b, r.est_union, r.est_intersection) == (
+        60.0, 60.0, 100.0, 20.0,
+    )
+    assert abs(r.jaccard - 0.2) < 1e-9
+    assert abs(r.containment_a - 20.0 / 60.0) < 1e-6
+
+    # estimator mode: 5000 vs 5000 with 2500 shared, k=512
+    big_a = spark.createDataFrame([(i,) for i in range(5000)], "key int")
+    big_b = spark.createDataFrame(
+        [(i,) for i in range(2500, 7500)], "key int"
+    )
+    ra = kmv_registers(big_a, "key", k=512)
+    rb = kmv_registers(big_b, "key", k=512)
+    r = kmv_set_ops(ra, rb, k=512).collect()[0]
+    assert abs(r.est_union - 7500) / 7500 < 0.15
+    assert abs(r.est_intersection - 2500) / 2500 < 0.25
+    assert abs(r.jaccard - 1 / 3) < 0.1
+
+
+def test_kmv_set_ops_grouped_and_disjoint(spark):
+    from moz_datapipeline_spark.operators.sketches import (
+        kmv_registers,
+        kmv_set_ops,
+    )
+
+    a = spark.createDataFrame(
+        [("g1", i) for i in range(30)] + [("g2", i) for i in range(10)],
+        "g string, key int",
+    )
+    b = spark.createDataFrame(
+        [("g1", i + 1000) for i in range(30)]  # disjoint from a's g1
+        + [("g3", i) for i in range(5)],       # group absent in a
+        "g string, key int",
+    )
+    ra = kmv_registers(a, "key", group_cols=["g"], k=64)
+    rb = kmv_registers(b, "key", group_cols=["g"], k=64)
+    rows = {r.g: r for r in kmv_set_ops(ra, rb, ["g"], k=64).collect()}
+    assert set(rows) == {"g1"}  # inner join drops g2/g3
+    assert rows["g1"].est_intersection == 0.0
+    assert rows["g1"].jaccard == 0.0
+    assert rows["g1"].est_union == 60.0

@@ -135,3 +135,167 @@ def test_ks_leaves_registry_clean(spark):
     b = spark.createDataFrame([(float(i) + 0.5,) for i in range(80)], "x double")
     ks_test(a, b, "x").collect()
     assert len(spark.sparkContext._jsc.sc().getRDDStorageInfo()) == base
+
+
+def test_importance_resample_matches_python_reference(spark):
+    """DSIR selection replays bit-for-bit from the md5 hash family."""
+    import hashlib
+
+    from moz_datapipeline_spark.operators.corpus import importance_resample
+
+    lang_a = [f"alpha{i}" for i in range(8)]
+    lang_b = [f"beta{i}" for i in range(8)]
+    target_rows = [
+        (1000 + i, " ".join(lang_a[(i + j) % 8] for j in range(6)))
+        for i in range(20)
+    ]
+    raw_rows = [
+        (i, " ".join(lang_a[(i + j) % 8] for j in range(6)))
+        for i in range(15)
+    ] + [
+        (100 + i, " ".join(lang_b[(i + j) % 8] for j in range(6)))
+        for i in range(15)
+    ] + [(500, "   ")]
+    raw = spark.createDataFrame(raw_rows, "doc_id long, text string")
+    tgt = spark.createDataFrame(target_rows, "doc_id long, text string")
+
+    B, alpha, k = 64, 1.0, 10
+    got = importance_resample(raw, tgt, k=k, n_buckets=B).collect()
+
+    import math
+    import re
+
+    def toks(s):
+        return [t for t in re.sub(r"\s+", " ", s.lower().strip()).split(" ") if t]
+
+    def bucket(t):
+        return int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % B
+
+    cr, ct = [0] * B, [0] * B
+    for _, s in raw_rows:
+        for t in toks(s):
+            cr[bucket(t)] += 1
+    for _, s in target_rows:
+        for t in toks(s):
+            ct[bucket(t)] += 1
+    nr, nt = sum(cr), sum(ct)
+    lr = [
+        math.log((ct[b] + alpha) / (nt + alpha * B))
+        - math.log((cr[b] + alpha) / (nr + alpha * B))
+        for b in range(B)
+    ]
+    want = []
+    for i, s in raw_rows:
+        ts = toks(s)
+        if not ts:
+            continue
+        lw = sum(lr[bucket(t)] for t in ts)
+        h = int(
+            hashlib.md5(f"dsir:{i}".encode()).hexdigest()[:15], 16
+        )
+        u = (h + 1) / float(1 << 60)
+        score = lw - math.log(-math.log(u))
+        want.append((i, len(ts), lw, score))
+    want.sort(key=lambda r: (-r[3], r[0]))
+    want = want[:k]
+
+    assert [(r.doc_id, r.n_tokens) for r in got] == [
+        (w[0], w[1]) for w in want
+    ]
+    for r, w in zip(got, want):
+        assert abs(r.log_weight - w[2]) < 1e-6
+        assert abs(r.score - w[3]) < 1e-6
+    # the target-like half must dominate the selection
+    assert sum(1 for r in got if r.doc_id < 100) >= 8
+
+
+def test_importance_resample_validates_args(spark):
+    from moz_datapipeline_spark.operators.corpus import importance_resample
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="k must"):
+        importance_resample(df, df, k=0)
+    with pytest.raises(ValueError, match="n_buckets"):
+        importance_resample(df, df, k=1, n_buckets=1)
+
+
+def _mk_ref(series):
+    """(t, v) list -> (s, var_s, z, sen) reference."""
+    import itertools
+
+    pts = sorted(series)
+    n = len(pts)
+    s = 0
+    slopes = []
+    for (ta, va), (tb, vb) in itertools.combinations(pts, 2):
+        d = vb - va
+        s += (d > 0) - (d < 0)
+        if tb != ta:
+            slopes.append(d / (tb - ta))
+    from collections import Counter
+
+    tie = sum(
+        t * (t - 1) * (2 * t + 5)
+        for t in Counter(v for _, v in pts).values()
+    )
+    var_s = (n * (n - 1) * (2 * n + 5) - tie) / 18.0
+    if var_s > 0:
+        z = (s - 1) / math.sqrt(var_s) if s > 0 else (
+            (s + 1) / math.sqrt(var_s) if s < 0 else 0.0
+        )
+    else:
+        z = None
+    slopes.sort()
+    if slopes:
+        # linear-interpolated median (Spark percentile / quantile_cont)
+        m = (len(slopes) - 1) / 2
+        lo, hi = slopes[int(m)], slopes[int(m + 0.5)]
+        sen = (lo + hi) / 2
+    else:
+        sen = None
+    return s, var_s, z, sen
+
+
+def test_mann_kendall_matches_reference(spark):
+    from moz_datapipeline_spark.operators.temporal import mann_kendall
+
+    up = [(float(i), 2.0 * i + ((i * 3) % 7)) for i in range(30)]
+    down = [(float(i), 100.0 - 3.0 * i + ((i * 5) % 4)) for i in range(25)]
+    flat = [(float(i), float((i * 11) % 13)) for i in range(40)]
+    rows = (
+        [("up", t, v) for t, v in up]
+        + [("down", t, v) for t, v in down]
+        + [("flat", t, v) for t, v in flat]
+    )
+    df = spark.createDataFrame(rows, "g string, t double, v double")
+    got = {r.g: r for r in mann_kendall(df, "g", "t", "v").collect()}
+
+    for g, series in (("up", up), ("down", down), ("flat", flat)):
+        s, var_s, z, sen = _mk_ref(series)
+        assert got[g].n == len(series)
+        assert got[g].s == s
+        assert abs(got[g].var_s - var_s) < 1e-6
+        assert abs(got[g].z - z) < 1e-6
+        assert abs(got[g].sen_slope - sen) < 1e-6
+    assert got["up"].trend == "increasing"
+    assert got["down"].trend == "decreasing"
+    assert got["flat"].trend == "no_trend"
+
+
+def test_mann_kendall_degenerate_groups(spark):
+    from moz_datapipeline_spark.operators.temporal import mann_kendall
+
+    rows = (
+        [("const", float(i), 5.0) for i in range(10)]
+        + [("single", 0.0, 1.0)]
+        + [("nulls", 0.0, None), ("nulls", 1.0, 2.0)]
+    )
+    df = spark.createDataFrame(rows, "g string, t double, v double")
+    got = {r.g: r for r in mann_kendall(df, "g", "t", "v").collect()}
+    # constant series: every sign is 0 and the tie correction zeroes var
+    assert got["const"].s == 0 and got["const"].var_s == 0.0
+    assert got["const"].z is None and got["const"].trend == "no_trend"
+    assert got["const"].sen_slope == 0.0
+    # one point: no pairs at all
+    assert got["single"].s == 0 and got["single"].sen_slope is None
+    assert got["nulls"].n == 1  # NULL value dropped
