@@ -4185,6 +4185,162 @@ def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_set_ops(ra, rb, k=128)
 
 
+def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities over the DIRECTED customer→supplier
+    trade graph, 2 full rounds, end-only L1 normalization — linear
+    lazy plan, zero persists (graph/hits.hits).  Customers score as
+    hubs, suppliers as authorities (bipartite direction).  VALUE
+    oracle: the identical 2 rounds unrolled as DuckDB CTEs."""
+    from moz_datapipeline_spark.graph.hits import hits
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    e = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + 1000000).alias("dst"),
+        )
+    )
+    out = hits(e, iters=2)
+    return out.select(
+        "node",
+        F.round("hub", 6).alias("hub"),
+        F.round("authority", 6).alias("authority"),
+    )
+
+
+def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall monotonic-trend test + Sen slope per event type
+    over hourly rollups (operators/temporal.mann_kendall): within-
+    group pair join over the SMALL rollup (never raw events), tie-
+    corrected variance, continuity-corrected z.  VALUE oracle: the
+    identical pair fold + quantile_cont median in DuckDB."""
+    from moz_datapipeline_spark.operators.temporal import (
+        _bucket_epoch,
+        mann_kendall,
+    )
+
+    ev = _events(spark, sf_dir)
+    rollup = ev.groupBy(
+        F.col("event_type").alias("grp"),
+        _bucket_epoch(ev, "ts", "hour").alias("t"),
+    ).agg(F.sum("value").cast("double").alias("v"))
+    out = mann_kendall(rollup, "grp", "t", "v")
+    return out.select(
+        F.col("grp").alias("event_type"),
+        "n",
+        "s",
+        "var_s",
+        "z",
+        "trend",
+        "sen_slope",
+    )
+
+
+def q_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All pairwise Pearson correlations of four lineitem numerics in
+    ONE hash-aggregate pass (operators/validation.correlation_matrix):
+    shared power sums, guarded closed form — no ANSI corr crash, no
+    per-pair rescans.  VALUE oracle: the identical fold in DuckDB."""
+    from moz_datapipeline_spark.operators.validation import (
+        correlation_matrix,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    return correlation_matrix(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
+
+
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of a BM25 ranking with a length-prior
+    ranking for the query {spark, window, merge}
+    (operators/retrieval.rrf_fuse): score-free 1/(60+rank) fold, one
+    union + hash aggregate over two top-20 lists, top-10 cut.  VALUE
+    oracle: both rankings and the fusion replayed in DuckDB."""
+    from moz_datapipeline_spark.operators.dedup import _normalized
+    from moz_datapipeline_spark.operators.retrieval import (
+        bm25_topk,
+        rrf_fuse,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    terms = ["spark", "window", "merge"]
+    bm = bm25_topk(d, terms, k=20)
+    w1 = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    r1 = bm.select(
+        "doc_id", F.row_number().over(w1).cast("long").alias("rank")
+    )
+    cand = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.split(_normalized(F.col("text")), " ")
+            ).alias("_t"),
+        )
+        .filter(F.col("_t").isin(terms))
+        .select("doc_id")
+        .distinct()
+    )
+    w2 = Window.orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+    r2 = (
+        d.join(cand, "doc_id")
+        .select(
+            "doc_id", F.row_number().over(w2).cast("long").alias("rank")
+        )
+        .filter(F.col("rank") <= 20)
+    )
+    return rrf_fuse([r1, r2], k=60, topk=10)
+
+
+def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled harmonic centrality from 3 customer pivots over the
+    symmetric trade graph, 3 BFS hops (graph/centrality.
+    harmonic_centrality): one frontier frame carries all sources,
+    each hop is an equi join + anti join, hops materialize and
+    release (the eager contract).  VALUE oracle: 3 unrolled BFS
+    rounds as DuckDB CTEs."""
+    from moz_datapipeline_spark.graph.centrality import (
+        harmonic_centrality,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    e = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + 1000000).alias("dst"),
+        )
+    )
+    out = harmonic_centrality(e, sources=[1, 2, 3], max_hops=3)
+    return out
+
+
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense-grid regularization of a SPARSE hourly rollup (high-value
+    events only) with linear interpolation
+    (operators/temporal.gap_fill): arithmetic sequence grid per group,
+    one left join, two ignore-nulls window passes — all
+    hash-partitioned on the group.  VALUE oracle: generate_series +
+    IGNORE NULLS windows in DuckDB."""
+    from moz_datapipeline_spark.operators.temporal import (
+        _bucket_epoch,
+        gap_fill,
+    )
+
+    ev = _events(spark, sf_dir).filter(F.col("value") > 400)
+    rollup = ev.groupBy(
+        F.col("event_type").alias("grp"),
+        _bucket_epoch(ev, "ts", "hour").alias("t"),
+    ).agg(F.sum("value").cast("double").alias("v"))
+    out = gap_fill(rollup, "grp", "t", "v", step=3600, method="linear")
+    return out.select(
+        F.col("grp").alias("event_type"), "t", "value", "is_filled"
+    )
+
+
 def q_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-mixture resampling: rebalance three sources to 50/25/25
     target weights, keeping the maximum corpus that matches the mixture
@@ -4709,6 +4865,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_prediction": q_link_prediction,
         "importance_resample": q_importance_resample,
         "kmv_overlap": q_kmv_overlap,
+        "hits_scores": q_hits_scores,
+        "mann_kendall": q_mann_kendall,
+        "correlation_matrix": q_correlation_matrix,
+        "rrf_fusion": q_rrf_fusion,
+        "harmonic_centrality": q_harmonic_centrality,
+        "gap_fill": q_gap_fill,
     }
 
 
@@ -8967,6 +9129,299 @@ FROM eaul_calc
                round(CASE WHEN eb > 0 THEN jac * eu / eb END, 6)
                  AS containment_b
         FROM c3
+    """
+
+    sql["hits_scores"] = """
+        WITH e AS (
+          SELECT DISTINCT o_custkey AS s, l_suppkey + 1000000 AS d
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        ), nodes AS (
+          SELECT s AS node FROM e UNION SELECT d FROM e
+        ), h0 AS (
+          SELECT node, 1.0 AS sc FROM nodes
+        ), a1 AS (
+          SELECT e.d AS node, sum(h0.sc) AS sc
+          FROM e JOIN h0 ON h0.node = e.s GROUP BY 1
+        ), h1 AS (
+          SELECT e.s AS node, sum(a1.sc) AS sc
+          FROM e JOIN a1 ON a1.node = e.d GROUP BY 1
+        ), a2 AS (
+          SELECT e.d AS node, sum(h1.sc) AS sc
+          FROM e JOIN h1 ON h1.node = e.s GROUP BY 1
+        ), h2 AS (
+          SELECT e.s AS node, sum(a2.sc) AS sc
+          FROM e JOIN a2 ON a2.node = e.d GROUP BY 1
+        ), hf AS (
+          SELECT nodes.node, coalesce(h2.sc, 0.0) AS h
+          FROM nodes LEFT JOIN h2 ON h2.node = nodes.node
+        ), af AS (
+          SELECT nodes.node, coalesce(a2.sc, 0.0) AS a
+          FROM nodes LEFT JOIN a2 ON a2.node = nodes.node
+        ), tot AS (
+          SELECT (SELECT sum(h) FROM hf) AS th,
+                 (SELECT sum(a) FROM af) AS ta
+        )
+        SELECT hf.node,
+               round(CASE WHEN th > 0 THEN hf.h / th ELSE 0.0 END, 6)
+                 AS hub,
+               round(CASE WHEN ta > 0 THEN af.a / ta ELSE 0.0 END, 6)
+                 AS authority
+        FROM hf JOIN af ON af.node = hf.node CROSS JOIN tot
+    """
+
+    sql["mann_kendall"] = """
+        WITH rollup AS (
+          SELECT event_type AS grp,
+                 epoch_ns(ts) // 3600000000000 * 3600 AS t,
+                 CAST(sum(value) AS DOUBLE) AS v
+          FROM events GROUP BY 1, 2
+        ), pairs AS (
+          SELECT a.grp,
+                 sign(b.v - a.v) AS sg,
+                 (b.v - a.v) / (b.t - a.t) AS slope
+          FROM rollup a JOIN rollup b
+            ON a.grp = b.grp AND a.t < b.t
+        ), folded AS (
+          SELECT grp, CAST(sum(sg) AS BIGINT) AS s,
+                 quantile_cont(slope, 0.5) AS sen
+          FROM pairs GROUP BY 1
+        ), counts AS (
+          SELECT grp, count(*) AS n FROM rollup GROUP BY 1
+        ), ties AS (
+          SELECT grp,
+                 sum(tt * (tt - 1) * (2 * tt + 5)) AS tie
+          FROM (SELECT grp, v, count(*) AS tt FROM rollup GROUP BY 1, 2)
+          GROUP BY 1
+        ), j AS (
+          SELECT c.grp, c.n,
+                 coalesce(f.s, 0) AS s, f.sen,
+                 (CAST(c.n AS DOUBLE) * (c.n - 1) * (2 * c.n + 5)
+                  - ties.tie) / 18.0 AS var_s
+          FROM counts c
+          LEFT JOIN folded f ON f.grp = c.grp
+          JOIN ties ON ties.grp = c.grp
+        ), z AS (
+          SELECT grp, n, s, sen, var_s,
+                 CASE WHEN var_s > 0 AND s > 0
+                        THEN (s - 1) / sqrt(var_s)
+                      WHEN var_s > 0 AND s < 0
+                        THEN (s + 1) / sqrt(var_s)
+                      WHEN var_s > 0 THEN 0.0 END AS zv
+          FROM j
+        )
+        SELECT grp AS event_type,
+               CAST(n AS BIGINT) AS n, s,
+               round(var_s, 6) AS var_s,
+               round(zv, 6) AS z,
+               CASE WHEN zv IS NULL THEN 'no_trend'
+                    WHEN zv > 1.96 THEN 'increasing'
+                    WHEN zv < -1.96 THEN 'decreasing'
+                    ELSE 'no_trend' END AS trend,
+               round(sen, 6) AS sen_slope
+        FROM z
+    """
+
+    sql["correlation_matrix"] = """
+        WITH base AS (
+          SELECT CAST(l_quantity AS DOUBLE) AS a,
+                 CAST(l_extendedprice AS DOUBLE) AS b,
+                 CAST(l_discount AS DOUBLE) AS c,
+                 CAST(l_tax AS DOUBLE) AS d
+          FROM lineitem
+          WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+            AND l_discount IS NOT NULL AND l_tax IS NOT NULL
+        ), s AS (
+          SELECT CAST(count(*) AS DOUBLE) AS n,
+                 sum(a) AS sa, sum(b) AS sb, sum(c) AS sc_, sum(d) AS sd,
+                 sum(a*a) AS qa, sum(b*b) AS qb, sum(c*c) AS qc,
+                 sum(d*d) AS qd,
+                 sum(a*b) AS xab, sum(a*c) AS xac, sum(a*d) AS xad,
+                 sum(b*c) AS xbc, sum(b*d) AS xbd, sum(c*d) AS xcd
+          FROM base
+        ), pairs AS (
+          SELECT 'l_quantity' AS col_x, 'l_extendedprice' AS col_y,
+                 n*qa - sa*sa AS dx, n*qb - sb*sb AS dy,
+                 n*xab - sa*sb AS cv, n FROM s
+          UNION ALL
+          SELECT 'l_quantity', 'l_discount',
+                 n*qa - sa*sa, n*qc - sc_*sc_, n*xac - sa*sc_, n FROM s
+          UNION ALL
+          SELECT 'l_quantity', 'l_tax',
+                 n*qa - sa*sa, n*qd - sd*sd, n*xad - sa*sd, n FROM s
+          UNION ALL
+          SELECT 'l_extendedprice', 'l_discount',
+                 n*qb - sb*sb, n*qc - sc_*sc_, n*xbc - sb*sc_, n FROM s
+          UNION ALL
+          SELECT 'l_extendedprice', 'l_tax',
+                 n*qb - sb*sb, n*qd - sd*sd, n*xbd - sb*sd, n FROM s
+          UNION ALL
+          SELECT 'l_discount', 'l_tax',
+                 n*qc - sc_*sc_, n*qd - sd*sd, n*xcd - sc_*sd, n FROM s
+        )
+        SELECT col_x, col_y,
+               round(CASE WHEN dx > 0 AND dy > 0
+                     THEN cv / sqrt(dx * dy) END, 6) AS corr,
+               CAST(n AS BIGINT) AS n_rows
+        FROM pairs
+    """
+
+    sql["rrf_fusion"] = r"""
+        WITH docs AS (
+          SELECT doc_id,
+                 len(list_filter(string_split_regex(lower(text), '\s+'),
+                                 t -> t <> '')) AS doc_len,
+                 list_filter(string_split_regex(lower(text), '\s+'),
+                             t -> t <> '') AS toks
+          FROM documents
+          WHERE text IS NOT NULL
+        ), stats AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(doc_len) AS avgdl
+          FROM docs
+        ), tf AS (
+          SELECT doc_id, doc_len, term, CAST(count(*) AS BIGINT) AS tf
+          FROM (SELECT doc_id, doc_len, unnest(toks) AS term FROM docs)
+          WHERE term IN ('merge', 'spark', 'window')
+          GROUP BY 1, 2, 3
+        ), dfreq AS (
+          SELECT term, CAST(count(*) AS BIGINT) AS df_count
+          FROM tf GROUP BY 1
+        ), scored AS (
+          SELECT tf.doc_id,
+                 round(sum(
+                   ln(CAST(1.0 AS DOUBLE)
+                      + (s.n_docs - d.df_count + CAST(0.5 AS DOUBLE))
+                        / (d.df_count + CAST(0.5 AS DOUBLE)))
+                   * (tf.tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+                   / (tf.tf + CAST(1.2 AS DOUBLE)
+                      * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+                         + CAST(0.75 AS DOUBLE) * tf.doc_len / s.avgdl))
+                 ), 6) AS score
+          FROM tf JOIN dfreq d USING (term) CROSS JOIN stats s
+          GROUP BY tf.doc_id
+        ), bm20 AS (
+          SELECT doc_id, score,
+                 row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+          FROM scored
+          ORDER BY score DESC, doc_id LIMIT 20
+        ), r1 AS (
+          SELECT doc_id,
+                 row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+          FROM bm20
+        ), cand AS (
+          SELECT DISTINCT doc_id FROM tf
+        ), r2 AS (
+          SELECT d.doc_id,
+                 row_number() OVER (ORDER BY d.n_chars DESC, d.doc_id)
+                   AS rnk
+          FROM documents d JOIN cand USING (doc_id)
+          QUALIFY rnk <= 20
+        ), u AS (
+          SELECT doc_id, rnk FROM r1
+          UNION ALL
+          SELECT doc_id, rnk FROM r2
+        ), fused AS (
+          SELECT doc_id,
+                 round(sum(1.0 / (60 + rnk)), 6) AS rrf_score,
+                 CAST(count(*) AS BIGINT) AS n_rankings
+          FROM u GROUP BY 1
+        )
+        SELECT doc_id, rrf_score, n_rankings
+        FROM fused
+        QUALIFY row_number()
+                OVER (ORDER BY rrf_score DESC, doc_id) <= 10
+    """
+
+    sql["harmonic_centrality"] = """
+        WITH e0 AS (
+          SELECT DISTINCT o_custkey AS s, l_suppkey + 1000000 AS d
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        ), e AS (
+          SELECT s, d FROM e0 UNION SELECT d, s FROM e0
+        ), src AS (
+          SELECT unnest([1, 2, 3]) AS source
+        ), v0 AS (
+          SELECT source, CAST(source AS BIGINT) AS node, 0 AS dist
+          FROM src
+        ), n1 AS (
+          SELECT source, node, 1 AS dist FROM (
+            SELECT DISTINCT v0.source, e.d AS node
+            FROM v0 JOIN e ON e.s = v0.node
+            EXCEPT SELECT source, node FROM v0
+          )
+        ), v1 AS (
+          SELECT * FROM v0 UNION ALL SELECT * FROM n1
+        ), n2 AS (
+          SELECT source, node, 2 AS dist FROM (
+            SELECT DISTINCT n1.source, e.d AS node
+            FROM n1 JOIN e ON e.s = n1.node
+            EXCEPT SELECT source, node FROM v1
+          )
+        ), v2 AS (
+          SELECT * FROM v1 UNION ALL SELECT * FROM n2
+        ), n3 AS (
+          SELECT source, node, 3 AS dist FROM (
+            SELECT DISTINCT n2.source, e.d AS node
+            FROM n2 JOIN e ON e.s = n2.node
+            EXCEPT SELECT source, node FROM v2
+          )
+        ), v3 AS (
+          SELECT * FROM v2 UNION ALL SELECT * FROM n3
+        ), nodes AS (
+          SELECT s AS node FROM e UNION SELECT d FROM e
+        ), scores AS (
+          SELECT node, sum(1.0 / dist) AS h,
+                 CAST(count(*) AS BIGINT) AS r
+          FROM v3 WHERE dist > 0 GROUP BY 1
+        )
+        SELECT nodes.node,
+               round(coalesce(scores.h, 0.0), 6) AS harmonic,
+               CAST(coalesce(scores.r, 0) AS BIGINT) AS n_reached
+        FROM nodes LEFT JOIN scores ON scores.node = nodes.node
+    """
+
+    sql["gap_fill"] = """
+        WITH rollup AS (
+          SELECT event_type AS grp,
+                 epoch_ns(ts) // 3600000000000 * 3600 AS t,
+                 CAST(sum(value) AS DOUBLE) AS v
+          FROM events WHERE value > 400 GROUP BY 1, 2
+        ), bounds AS (
+          SELECT grp, min(t) AS lo, max(t) AS hi FROM rollup GROUP BY 1
+        ), grid AS (
+          SELECT grp, unnest(range(lo, hi + 3600, 3600)) AS t
+          FROM bounds
+        ), j AS (
+          SELECT grid.grp, grid.t, rollup.v
+          FROM grid LEFT JOIN rollup
+            ON rollup.grp = grid.grp AND rollup.t = grid.t
+        ), w AS (
+          SELECT grp, t, v,
+                 last_value(v IGNORE NULLS) OVER
+                   (PARTITION BY grp ORDER BY t
+                    ROWS UNBOUNDED PRECEDING) AS pv,
+                 last_value(CASE WHEN v IS NOT NULL THEN t END
+                            IGNORE NULLS) OVER
+                   (PARTITION BY grp ORDER BY t
+                    ROWS UNBOUNDED PRECEDING) AS pt,
+                 first_value(v IGNORE NULLS) OVER
+                   (PARTITION BY grp ORDER BY t
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                   AS nv,
+                 first_value(CASE WHEN v IS NOT NULL THEN t END
+                             IGNORE NULLS) OVER
+                   (PARTITION BY grp ORDER BY t
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                   AS nt
+          FROM j
+        )
+        SELECT grp AS event_type,
+               CAST(t AS BIGINT) AS t,
+               round(CASE WHEN v IS NOT NULL THEN v
+                     WHEN pv IS NOT NULL AND nv IS NOT NULL
+                     THEN pv + (nv - pv) * (t - pt)
+                          / CAST(nt - pt AS DOUBLE) END, 6) AS value,
+               (v IS NULL) AS is_filled
+        FROM w
     """
 
     sql["ks_drift"] = """

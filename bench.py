@@ -178,6 +178,18 @@ HEADLINE = [
     "chi_square",
     "quantile_normalize",
     "weighted_median",
+    "grouped_ols",
+    "ks_drift",
+    "set_similarity",
+    "link_prediction",
+    "importance_resample",
+    "kmv_overlap",
+    "hits_scores",
+    "mann_kendall",
+    "correlation_matrix",
+    "rrf_fusion",
+    "harmonic_centrality",
+    "gap_fill",
     # incremental_dedup is oracle-checked but not benched here: a tiny
     # two-batch ingest is dominated by store round-trips and component
     # rounds (fixed job overhead, not operator throughput) — its scale

@@ -345,3 +345,72 @@ def tfidf_cosine_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "corpus_id", "cosine", "rank")
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+    group_cols: list[str] | None = None,
+    k: int = 60,
+    topk: int | None = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of N rankings:
+    ``score(d) = Σ_r 1/(k + rank_r(d))`` over the rankings that
+    contain ``d`` — the standard score-free way to combine lexical
+    (BM25) and semantic (ANN) retrieval, or any ranking with a prior.
+    Returns ``(*group_cols, doc_col, rrf_score, n_rankings)`` ordered
+    within group by score desc (ties by doc id).
+
+    Rank is taken from ``rank_col`` AS GIVEN (1-based); RRF is
+    deliberately blind to the underlying scores, which is what makes
+    it robust to incomparable score scales.  ``group_cols`` fuses per
+    query when the rankings carry a query key.
+
+    Plan: one union + one hash aggregate over lists that are already
+    top-k sized — the fusion itself can never be the scale problem;
+    ``topk`` adds a WindowGroupLimit rank prune (heap of ``topk`` per
+    partition below the exchange) for the per-group cut.
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse: need at least one ranking")
+    if k < 1:
+        raise ValueError("rrf_fuse: k must be >= 1")
+    group_cols = group_cols or []
+    parts = [
+        r.select(
+            *group_cols,
+            F.col(doc_col).alias("_doc"),
+            F.col(rank_col).cast("long").alias("_rk"),
+        )
+        for r in rankings
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    fused = (
+        u.groupBy(*group_cols, "_doc")
+        .agg(
+            F.round(
+                F.sum(
+                    F.lit(1.0) / (F.lit(float(k)) + F.col("_rk"))
+                ),
+                6,
+            ).alias("rrf_score"),
+            F.count(F.lit(1)).cast("long").alias("n_rankings"),
+        )
+        .withColumnRenamed("_doc", doc_col)
+    )
+    if topk is not None:
+        from pyspark.sql import Window
+
+        part = group_cols if group_cols else [F.lit(1)]
+        win = Window.partitionBy(*part).orderBy(
+            F.col("rrf_score").desc(), F.col(doc_col).asc()
+        )
+        fused = (
+            fused.withColumn("_r", F.row_number().over(win))
+            .filter(F.col("_r") <= int(topk))
+            .drop("_r")
+        )
+    return fused

@@ -605,3 +605,131 @@ def mann_kendall(
         trend.alias("trend"),
         F.round("_sen", 6).alias("sen_slope"),
     )
+
+
+def gap_fill(
+    df: DataFrame,
+    group_col: str,
+    time_col: str,
+    value_col: str,
+    step: int,
+    method: str = "locf",
+) -> DataFrame:
+    """Regularize a per-group time series onto a dense ``step`` grid:
+    one row per bucket from each group's min to max time, observed
+    values passed through, holes filled — ``(group, time, value,
+    is_filled)``.  Every rollup consumer here (``ewma_smooth``,
+    ``autocorrelation``, ``seasonal_decompose``, ``lag_features``)
+    treats ROW ORDER as the series; gap_fill is the missing first
+    step that makes that contract honest when buckets are sparse.
+
+    ``method``:
+    - ``locf``  — last observation carried forward (leading holes
+      stay NULL: no value has been observed yet);
+    - ``linear`` — interpolate between the previous and next observed
+      points (time-weighted); holes before the first / after the last
+      observation stay NULL (no extrapolation);
+    - ``zero``  — absent means zero (count-like series).
+
+    Plan: one per-group (min, max) hash aggregate, one ``sequence``
+    explode building the grid arithmetically (row count = span/step,
+    never a driver loop), a left join of observations onto the grid
+    (hash on the group — reuses the aggregate's partitioning), and
+    for locf/linear two ignore-nulls window passes per direction —
+    all hash-partitioned by group, never global.  Input times are
+    snapped DOWN to the grid (``floor((t - min)/step)``); duplicate
+    rows landing on one bucket fail loud rather than silently
+    averaging (use a rollup upstream).
+    """
+    if method not in ("locf", "linear", "zero"):
+        raise ValueError(
+            f"gap_fill: unknown method {method!r} "
+            "(expected locf | linear | zero)"
+        )
+    if step < 1:
+        raise ValueError("gap_fill: step must be >= 1")
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(time_col).cast("long").alias("t"),
+        F.col(value_col).cast("double").alias("v"),
+    ).filter(F.col("t").isNotNull())
+    snapped = base.withColumn(
+        "t", (F.floor(F.col("t") / step) * step).cast("long")
+    )
+    # loud duplicate-bucket guard, evaluated in-plan (no extra job):
+    # raise_error fires only on offending rows
+    per_bucket = snapped.groupBy("grp", "t").agg(
+        F.count(F.lit(1)).alias("_c"), F.max("v").alias("v")
+    )
+    guarded = per_bucket.withColumn(
+        "v",
+        F.when(
+            F.col("_c") > 1,
+            F.raise_error(
+                F.concat(
+                    F.lit("gap_fill: multiple rows in one bucket for "
+                          "group "),
+                    F.col("grp").cast("string"),
+                    F.lit(" at t="),
+                    F.col("t").cast("string"),
+                    F.lit(" — roll up first"),
+                )
+            ).cast("double"),
+        ).otherwise(F.col("v")),
+    ).drop("_c")
+    bounds = guarded.groupBy("grp").agg(
+        F.min("t").alias("_lo"), F.max("t").alias("_hi")
+    )
+    grid = bounds.select(
+        "grp",
+        F.explode(
+            F.sequence(
+                F.col("_lo"), F.col("_hi"), F.lit(int(step))
+            )
+        ).alias("t"),
+    )
+    joined = grid.join(guarded, ["grp", "t"], "left").withColumn(
+        "is_filled", F.col("v").isNull()
+    )
+    if method == "zero":
+        filled = joined.withColumn(
+            "value", F.coalesce(F.col("v"), F.lit(0.0))
+        )
+    else:
+        prev_w = (
+            Window.partitionBy("grp")
+            .orderBy("t")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        pv = F.last("v", ignorenulls=True).over(prev_w)
+        if method == "locf":
+            filled = joined.withColumn("value", pv)
+        else:  # linear
+            pt = F.last(
+                F.when(F.col("v").isNotNull(), F.col("t")),
+                ignorenulls=True,
+            ).over(prev_w)
+            next_w = (
+                Window.partitionBy("grp")
+                .orderBy("t")
+                .rowsBetween(0, Window.unboundedFollowing)
+            )
+            nv = F.first("v", ignorenulls=True).over(next_w)
+            nt = F.first(
+                F.when(F.col("v").isNotNull(), F.col("t")),
+                ignorenulls=True,
+            ).over(next_w)
+            interp = F.when(F.col("v").isNotNull(), F.col("v")).when(
+                pv.isNotNull() & nv.isNotNull(),
+                pv
+                + (nv - pv)
+                * (F.col("t") - pt).cast("double")
+                / (nt - pt).cast("double"),
+            )
+            filled = joined.withColumn("value", interp)
+    return filled.select(
+        F.col("grp").alias(group_col),
+        F.col("t").alias(time_col),
+        F.round("value", 6).alias("value"),
+        "is_filled",
+    )

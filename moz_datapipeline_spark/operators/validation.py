@@ -872,3 +872,67 @@ def ks_test(
         ],
         "ks_stat double, p_value double, n_a long, n_b long",
     )
+
+
+def correlation_matrix(
+    df: DataFrame,
+    columns: Sequence[str],
+) -> DataFrame:
+    """All pairwise Pearson correlations of ``columns`` in ONE
+    aggregate pass: long-form ``(col_x, col_y, corr, n_rows)`` for
+    every unordered pair (x < y by position), the feature-redundancy
+    screen run before training-data export.
+
+    Every pair's correlation derives from the shared power sums —
+    k columns need k sums, k squares, and k(k−1)/2 cross-products,
+    ALL collected in a single map-side-combined hash aggregate (one
+    corpus scan for any k, same contract as ``validate``/
+    ``profile_columns``).  The fold is the guarded closed form from
+    ``grouped_ols``: a zero-variance column yields NULL against
+    everything (never the ANSI divide-by-zero crash that makes
+    ``F.corr`` unusable here), and the result hashes identically
+    across engines.
+
+    NULL handling is LISTWISE deletion (a row with NULL in ANY of the
+    columns is excluded everywhere) so all pairs share one n and the
+    matrix stays positive semi-definite; use ``mutual_information``
+    or per-pair ``grouped_ols`` when pairwise deletion is wanted.
+    """
+    cols = list(columns)
+    if len(cols) < 2:
+        raise ValueError("correlation_matrix: need at least two columns")
+    vals = [F.col(c).cast("double") for c in cols]
+    cond = vals[0].isNotNull()
+    for v in vals[1:]:
+        cond = cond & v.isNotNull()
+    base = df.filter(cond)
+    exprs = [F.count(F.lit(1)).cast("double").alias("_n")]
+    for i, v in enumerate(vals):
+        exprs.append(F.sum(v).alias(f"_s{i}"))
+        exprs.append(F.sum(v * v).alias(f"_q{i}"))
+    for i in range(len(cols)):
+        for j in range(i + 1, len(cols)):
+            exprs.append(F.sum(vals[i] * vals[j]).alias(f"_x{i}_{j}"))
+    row = base.agg(*exprs)
+
+    n = F.col("_n")
+    parts = []
+    for i in range(len(cols)):
+        for j in range(i + 1, len(cols)):
+            dx = n * F.col(f"_q{i}") - F.col(f"_s{i}") * F.col(f"_s{i}")
+            dy = n * F.col(f"_q{j}") - F.col(f"_s{j}") * F.col(f"_s{j}")
+            cv = n * F.col(f"_x{i}_{j}") - F.col(f"_s{i}") * F.col(f"_s{j}")
+            corr = F.when(
+                (dx > 0) & (dy > 0), cv / F.sqrt(dx * dy)
+            )
+            parts.append(
+                F.struct(
+                    F.lit(cols[i]).alias("col_x"),
+                    F.lit(cols[j]).alias("col_y"),
+                    F.round(corr, 6).alias("corr"),
+                    n.cast("long").alias("n_rows"),
+                )
+            )
+    return row.select(F.explode(F.array(*parts)).alias("_r")).select(
+        "_r.*"
+    )

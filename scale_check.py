@@ -1406,7 +1406,41 @@ def round8_ops_scale_check(spark, docs) -> dict:
     assert abs(ov.est_union - 7_000_000) / 7_000_000 < 0.15
     assert abs(ov.est_intersection - 3_000_000) / 3_000_000 < 0.15
 
+    # HITS on the 1M-edge two-community chain graph (reuses the LPA
+    # rehearsal's shape); 3 iterations, end-only normalization
+    from moz_datapipeline_spark.graph.hits import hits as _hits
+
+    half = 500_000
+    intra = spark.range(half - 1).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    comm_b = intra.select(
+        (F.col("src") + half).alias("src"),
+        (F.col("dst") + half).alias("dst"),
+    )
+    hedges = intra.unionByName(comm_b)
+    t0 = time.perf_counter()
+    n_hits = _hits(hedges, iters=3).count()
+    t_hits = time.perf_counter() - t0
+
+    # harmonic centrality: 4 pivots, 3 hops over the 2M-edge bipartite
+    from moz_datapipeline_spark.graph.centrality import (
+        harmonic_centrality,
+    )
+
+    t0 = time.perf_counter()
+    hc = harmonic_centrality(
+        e, sources=[0, 1, 2, 3], max_hops=3
+    )
+    n_hc = hc.count()
+    t_hc = time.perf_counter() - t0
+    hc.unpersist()
+
     return {
+        "hits_nodes": n_hits,
+        "hits_sec": round(t_hits, 2),
+        "harmonic_nodes": n_hc,
+        "harmonic_sec": round(t_hc, 2),
         "ssj_docs": n_docs,
         "ssj_pairs_t08": n_ssj,
         "ssj_sec": round(t_ssj, 2),

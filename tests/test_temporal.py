@@ -319,3 +319,74 @@ def test_autocorrelation_alternating_and_constant(spark):
     assert alt.n_buckets == 40
     # constant series has zero variance: corr undefined -> NULL
     assert out["const"].acf_1 is None
+
+
+class TestGapFill:
+    def _df(self, spark):
+        rows = [
+            ("a", 0, 10.0), ("a", 30, 40.0), ("a", 40, 50.0),
+            ("b", 100, 1.0), ("b", 120, 5.0),
+        ]
+        return spark.createDataFrame(rows, "g string, t long, v double")
+
+    def test_locf_and_grid(self, spark):
+        from moz_datapipeline_spark.operators.temporal import gap_fill
+
+        out = gap_fill(self._df(spark), "g", "t", "v", step=10, method="locf")
+        got = {(r.g, r.t): (r.value, r.is_filled) for r in out.collect()}
+        assert got[("a", 0)] == (10.0, False)
+        assert got[("a", 10)] == (10.0, True)
+        assert got[("a", 20)] == (10.0, True)
+        assert got[("a", 30)] == (40.0, False)
+        assert got[("a", 40)] == (50.0, False)
+        assert got[("b", 110)] == (1.0, True)
+        assert len([k for k in got if k[0] == "a"]) == 5
+        assert len([k for k in got if k[0] == "b"]) == 3
+
+    def test_linear_interpolation(self, spark):
+        from moz_datapipeline_spark.operators.temporal import gap_fill
+
+        out = gap_fill(
+            self._df(spark), "g", "t", "v", step=10, method="linear"
+        )
+        got = {(r.g, r.t): r.value for r in out.collect()}
+        assert got[("a", 10)] == 20.0  # 10 + (40-10)*(10-0)/(30-0)
+        assert got[("a", 20)] == 30.0
+        assert got[("b", 110)] == 3.0
+
+    def test_zero_fill_and_snapping(self, spark):
+        from moz_datapipeline_spark.operators.temporal import gap_fill
+
+        df = spark.createDataFrame(
+            [("a", 3, 7.0), ("a", 27, 9.0)], "g string, t long, v double"
+        )
+        out = gap_fill(df, "g", "t", "v", step=10, method="zero")
+        got = {r.t: (r.value, r.is_filled) for r in out.collect()}
+        # 3 -> bucket 0, 27 -> bucket 20
+        assert got[0] == (7.0, False)
+        assert got[10] == (0.0, True)
+        assert got[20] == (9.0, False)
+
+    def test_duplicate_bucket_fails_loud(self, spark):
+        import pytest
+        from py4j.protocol import Py4JJavaError
+        from pyspark.errors import PySparkException
+
+        from moz_datapipeline_spark.operators.temporal import gap_fill
+
+        df = spark.createDataFrame(
+            [("a", 1, 1.0), ("a", 2, 2.0)], "g string, t long, v double"
+        )
+        with pytest.raises((Py4JJavaError, PySparkException), match="roll up first"):
+            gap_fill(df, "g", "t", "v", step=10).collect()
+
+    def test_validation(self, spark):
+        import pytest
+
+        from moz_datapipeline_spark.operators.temporal import gap_fill
+
+        df = self._df(spark)
+        with pytest.raises(ValueError, match="method"):
+            gap_fill(df, "g", "t", "v", step=10, method="spline")
+        with pytest.raises(ValueError, match="step"):
+            gap_fill(df, "g", "t", "v", step=0)
