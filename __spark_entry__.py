@@ -4341,6 +4341,54 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ab_test_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED-adjusted two-sample experiment readout over events
+    (operators/analytics.ab_test): pooled theta from raw power sums,
+    per-arm moments in one hash aggregate, Welch z + A-S erf
+    polynomial p-value — a 2-row fold after one scan.  VALUE oracle:
+    identical sums, var_samp, and polynomial in DuckDB."""
+    from moz_datapipeline_spark.operators.analytics import ab_test
+
+    ev = _events(spark, sf_dir).withColumn(
+        "x", (F.col("user_id") % 100).cast("double")
+    )
+    return ab_test(
+        ev,
+        "event_type",
+        "value",
+        control="view",
+        treatment="click",
+        covariate_col="x",
+    )
+
+
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap 95% CI for mean extended price per return
+    flag, 32 deterministic md5-seeded replicates in ONE hash
+    aggregate — no explode, no data duplication
+    (operators/analytics.bootstrap_ci).  VALUE oracle: identical
+    weight ladder, sums, and array-quantile interpolation in
+    DuckDB."""
+    from moz_datapipeline_spark.operators.analytics import bootstrap_ci
+
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "rid",
+        F.concat_ws(
+            "-",
+            F.col("l_orderkey").cast("string"),
+            F.col("l_linenumber").cast("string"),
+        ),
+    )
+    out = bootstrap_ci(
+        li.withColumnRenamed("l_returnflag", "rflag"),
+        "l_extendedprice",
+        "rid",
+        group_cols=["rflag"],
+        replicates=32,
+    )
+    return out
+
+
 def q_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-mixture resampling: rebalance three sources to 50/25/25
     target weights, keeping the maximum corpus that matches the mixture
@@ -4871,7 +4919,75 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rrf_fusion": q_rrf_fusion,
         "harmonic_centrality": q_harmonic_centrality,
         "gap_fill": q_gap_fill,
+        "ab_test_cuped": q_ab_test_cuped,
+        "bootstrap_ci": q_bootstrap_ci,
     }
+
+
+def _bootstrap_ci_oracle(B: int = 32, lo: float = 0.025, hi: float = 0.975) -> str:
+    """Full DuckDB replay of q_bootstrap_ci: the md5-uniform draw,
+    the constant Poisson(1) CDF ladder, all 2B weighted sums in one
+    aggregate, and the sorted-array linear-interpolation quantiles —
+    nothing read from the Spark side."""
+    from moz_datapipeline_spark.operators.analytics import _POIS1_CDF
+
+    def w_expr(b: int) -> str:
+        u = (
+            f"((CAST(('0x' || substr(md5('boot:{b}:' || rid), 1, 15)) "
+            "AS BIGINT) + 1.0) / 1152921504606846976.0)"
+        )
+        cas = "CASE "
+        for k, c in enumerate(_POIS1_CDF):
+            cas += f"WHEN {u} < {c!r} THEN {k} "
+        cas += "ELSE 9 END"
+        return cas
+
+    sums = ",\n".join(
+        f"sum(({w_expr(b)}) * y) AS wy{b}, "
+        f"sum({w_expr(b)}) AS w{b}"
+        for b in range(B)
+    )
+    mean_items = ", ".join(
+        f"CASE WHEN w{b} > 0 THEN wy{b} / w{b} END" for b in range(B)
+    )
+
+    def quant(p: float) -> str:
+        return (
+            f"sm[CAST(floor(1 + (len(sm) - 1) * {p!r}) AS INT)]"
+            f" + (sm[CAST(ceil(1 + (len(sm) - 1) * {p!r}) AS INT)]"
+            f"    - sm[CAST(floor(1 + (len(sm) - 1) * {p!r}) AS INT)])"
+            f"   * ((1 + (len(sm) - 1) * {p!r})"
+            f"      - floor(1 + (len(sm) - 1) * {p!r}))"
+        )
+
+    return f"""
+        WITH base AS (
+          SELECT l_returnflag AS rflag,
+                 CAST(l_extendedprice AS DOUBLE) AS y,
+                 CAST(l_orderkey AS VARCHAR) || '-'
+                   || CAST(l_linenumber AS VARCHAR) AS rid
+          FROM lineitem WHERE l_extendedprice IS NOT NULL
+        ), agg AS (
+          SELECT rflag,
+                 CAST(count(*) AS BIGINT) AS n,
+                 avg(y) AS mean,
+                 {sums}
+          FROM base GROUP BY 1
+        ), arr AS (
+          SELECT rflag, n, mean,
+                 list_sort(list_filter([{mean_items}],
+                                       x -> x IS NOT NULL)) AS sm
+          FROM agg
+        )
+        SELECT rflag, n,
+               round(mean, 6) AS mean,
+               round(CASE WHEN len(sm) > 0 THEN {quant(lo)} END, 6)
+                 AS ci_lo,
+               round(CASE WHEN len(sm) > 0 THEN {quant(hi)} END, 6)
+                 AS ci_hi,
+               {B} AS n_replicates
+        FROM arr
+    """
 
 
 def _incremental_dedup_oracle() -> str:
@@ -9423,6 +9539,72 @@ FROM eaul_calc
                (v IS NULL) AS is_filled
         FROM w
     """
+
+    sql["ab_test_cuped"] = """
+        WITH base AS (
+          SELECT event_type AS v,
+                 CAST(value AS DOUBLE) AS y,
+                 CAST(user_id % 100 AS DOUBLE) AS x
+          FROM events
+          WHERE event_type IN ('view', 'click')
+            AND value IS NOT NULL AND user_id IS NOT NULL
+        ), pooled AS (
+          SELECT CAST(count(*) AS DOUBLE) AS pn,
+                 sum(x) AS sx, sum(x*x) AS sxx,
+                 sum(y) AS sy, sum(x*y) AS sxy
+          FROM base
+        ), th AS (
+          SELECT CASE WHEN pn*sxx - sx*sx > 0
+                 THEN (pn*sxy - sx*sy) / (pn*sxx - sx*sx)
+                 ELSE 0.0 END AS theta,
+                 sx / pn AS xbar
+          FROM pooled
+        ), adj AS (
+          SELECT v, y - theta * (x - xbar) AS ya, y, theta
+          FROM base CROSS JOIN th
+        ), per AS (
+          SELECT v, CAST(count(*) AS DOUBLE) AS n,
+                 avg(ya) AS m, var_samp(ya) AS va,
+                 var_samp(y) AS vr, max(theta) AS th
+          FROM adj GROUP BY 1
+        ), a AS (SELECT * FROM per WHERE v = 'view'),
+        b AS (SELECT * FROM per WHERE v = 'click'),
+        j AS (
+          SELECT a.n AS na, b.n AS nb, a.m AS ma, b.m AS mb,
+                 a.va AS va, b.va AS vb, a.vr AS vra, b.vr AS vrb,
+                 a.th AS theta,
+                 a.va / a.n + b.va / b.n AS se2
+          FROM a CROSS JOIN b
+        ), zc AS (
+          SELECT *,
+                 CASE WHEN na >= 2 AND nb >= 2 AND se2 > 0
+                 THEN (mb - ma) / sqrt(se2) END AS z
+          FROM j
+        ), pc AS (
+          SELECT *,
+                 abs(z) / sqrt(2.0) AS az,
+                 1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))) AS t
+          FROM zc
+        )
+        SELECT CAST(na AS BIGINT) AS n_control,
+               CAST(nb AS BIGINT) AS n_treatment,
+               round(ma, 6) AS mean_control,
+               round(mb, 6) AS mean_treatment,
+               round(mb - ma, 6) AS diff,
+               round(z, 6) AS z,
+               round(CASE WHEN z IS NOT NULL THEN
+                 1.0 - (1.0 - (0.254829592*t - 0.284496736*t*t
+                    + 1.421413741*t*t*t - 1.453152027*t*t*t*t
+                    + 1.061405429*t*t*t*t*t) * exp(-az*az))
+               END, 6) AS p_value,
+               round(theta, 6) AS theta,
+               round(CASE WHEN vra + vrb > 0
+                     THEN 1.0 - (va + vb) / (vra + vrb) END, 6)
+                 AS var_reduction
+        FROM pc
+    """
+
+    sql["bootstrap_ci"] = _bootstrap_ci_oracle()
 
     sql["ks_drift"] = """
         WITH a AS (

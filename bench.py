@@ -190,6 +190,8 @@ HEADLINE = [
     "rrf_fusion",
     "harmonic_centrality",
     "gap_fill",
+    "ab_test_cuped",
+    "bootstrap_ci",
     # incremental_dedup is oracle-checked but not benched here: a tiny
     # two-batch ingest is dominated by store round-trips and component
     # rounds (fixed job overhead, not operator throughput) — its scale

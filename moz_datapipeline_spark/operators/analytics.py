@@ -498,3 +498,273 @@ def copurchase_lift(
     return scored.orderBy(
         F.desc("lift"), F.asc("item_a"), F.asc("item_b")
     ).limit(k)
+
+
+def ab_test(
+    df: DataFrame,
+    variant_col: str,
+    metric_col: str,
+    control: str,
+    treatment: str,
+    covariate_col: str | None = None,
+) -> DataFrame:
+    """Two-sample experiment readout in ONE aggregate pass: a single
+    row ``(n_control, n_treatment, mean_control, mean_treatment,
+    diff, z, p_value[, theta, var_reduction])`` — Welch z-test on the
+    mean difference, with optional CUPED variance reduction
+    (Deng et al. 2013) when a pre-experiment ``covariate_col`` is
+    supplied.
+
+    CUPED: ``y' = y − θ·(x − x̄_pooled)`` with ``θ = cov(y, x) /
+    var(x)`` POOLED across both arms (the covariate predates
+    assignment, so pooling is unbiased); the test then runs on the
+    adjusted metric, whose variance shrinks by the squared
+    metric–covariate correlation (reported as ``var_reduction``).
+
+    Every moment either arm needs — counts, Σy, Σy², Σx, Σx², Σxy per
+    variant — is one map-side-combined hash aggregate; the fold to z
+    happens on a 2-row frame.  ``p_value`` is the two-sided normal
+    tail via the Abramowitz–Stegun 7.1.26 erf polynomial (|err| <
+    1.5e-7) — a closed form both engines evaluate identically, unlike
+    an erf builtin Spark lacks.  Rows with NULL metric (or NULL
+    covariate in CUPED mode) are excluded; a degenerate arm (n < 2 or
+    zero variance) yields NULL z/p rather than an ANSI crash.
+    """
+    y = F.col(metric_col).cast("double")
+    base = df.filter(
+        F.col(variant_col).isin([control, treatment]) & y.isNotNull()
+    )
+    if covariate_col is not None:
+        x = F.col(covariate_col).cast("double")
+        base = base.filter(x.isNotNull())
+        pooled = base.agg(
+            F.count(F.lit(1)).cast("double").alias("_pn"),
+            F.sum(x).alias("_psx"),
+            F.sum(x * x).alias("_psxx"),
+            F.sum(y).alias("_psy"),
+            F.sum(x * y).alias("_psxy"),
+        )
+        pn = F.col("_pn")
+        varx = pn * F.col("_psxx") - F.col("_psx") * F.col("_psx")
+        covyx = pn * F.col("_psxy") - F.col("_psx") * F.col("_psy")
+        theta = F.when(varx > 0, covyx / varx).otherwise(F.lit(0.0))
+        xbar = F.col("_psx") / pn
+        pooled = pooled.select(
+            theta.alias("_theta"), xbar.alias("_xbar")
+        )
+        base = base.crossJoin(F.broadcast(pooled))
+        y_adj = y - F.col("_theta") * (x - F.col("_xbar"))
+        per = base.groupBy(
+            F.col(variant_col).alias("_v")
+        ).agg(
+            F.count(F.lit(1)).cast("double").alias("_n"),
+            F.avg(y_adj).alias("_m"),
+            F.var_samp(y_adj).alias("_var"),
+            F.var_samp(y).alias("_var_raw"),
+            F.max("_theta").alias("_th"),
+        )
+    else:
+        per = base.groupBy(
+            F.col(variant_col).alias("_v")
+        ).agg(
+            F.count(F.lit(1)).cast("double").alias("_n"),
+            F.avg(y).alias("_m"),
+            F.var_samp(y).alias("_var"),
+        )
+
+    a = per.filter(F.col("_v") == control).select(
+        F.col("_n").alias("_na"),
+        F.col("_m").alias("_ma"),
+        F.col("_var").alias("_va"),
+        *(
+            [F.col("_var_raw").alias("_vra")]
+            if covariate_col is not None
+            else []
+        ),
+        *([F.col("_th").alias("_tha")] if covariate_col is not None else []),
+    )
+    b = per.filter(F.col("_v") == treatment).select(
+        F.col("_n").alias("_nb"),
+        F.col("_m").alias("_mb"),
+        F.col("_var").alias("_vb"),
+        *(
+            [F.col("_var_raw").alias("_vrb")]
+            if covariate_col is not None
+            else []
+        ),
+    )
+    j = a.crossJoin(b)
+    se2 = F.col("_va") / F.col("_na") + F.col("_vb") / F.col("_nb")
+    ok = (
+        (F.col("_na") >= 2) & (F.col("_nb") >= 2) & (se2 > 0)
+    )
+    z = F.when(ok, (F.col("_mb") - F.col("_ma")) / F.sqrt(se2))
+    # two-sided p via Abramowitz-Stegun 7.1.26: Phi(|z|) from erf
+    az = F.abs(z) / F.sqrt(F.lit(2.0))
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(0.3275911) * az)
+    poly = (
+        F.lit(0.254829592) * t
+        - F.lit(0.284496736) * (t ** 2)
+        + F.lit(1.421413741) * (t ** 3)
+        - F.lit(1.453152027) * (t ** 4)
+        + F.lit(1.061405429) * (t ** 5)
+    )
+    erf_az = F.lit(1.0) - poly * F.exp(-az * az)
+    p = F.when(z.isNotNull(), F.lit(1.0) - erf_az)
+    out_cols = [
+        F.col("_na").cast("long").alias("n_control"),
+        F.col("_nb").cast("long").alias("n_treatment"),
+        F.round("_ma", 6).alias("mean_control"),
+        F.round("_mb", 6).alias("mean_treatment"),
+        F.round(F.col("_mb") - F.col("_ma"), 6).alias("diff"),
+        F.round(z, 6).alias("z"),
+        F.round(p, 6).alias("p_value"),
+    ]
+    if covariate_col is not None:
+        vr = F.when(
+            (F.col("_vra") + F.col("_vrb")) > 0,
+            F.lit(1.0)
+            - (F.col("_va") + F.col("_vb"))
+            / (F.col("_vra") + F.col("_vrb")),
+        )
+        out_cols.append(F.round(F.col("_tha"), 6).alias("theta"))
+        out_cols.append(F.round(vr, 6).alias("var_reduction"))
+    return j.select(*out_cols)
+
+
+#: cumulative Poisson(1) thresholds: P(X <= k) for k = 0..8; the tail
+#: beyond 8 (~1e-6) collapses into weight 9 — bias far below any CI
+#: resolution at realistic row counts
+_POIS1_CDF = [
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.9999167588507119,
+    0.9999897508033253,
+    0.9999988747974148,
+]
+
+
+def _poisson1_weight(u: Column) -> Column:
+    """Inverse-CDF Poisson(1) draw from a uniform — a literal CASE
+    ladder over constant thresholds, identical in any engine."""
+    expr = F.lit(9)
+    for k in range(len(_POIS1_CDF) - 1, -1, -1):
+        expr = F.when(u < F.lit(_POIS1_CDF[k]), F.lit(k)).otherwise(expr)
+    return expr
+
+
+def bootstrap_ci(
+    df: DataFrame,
+    metric_col: str,
+    key_col: str,
+    group_cols: list[str] | None = None,
+    replicates: int = 64,
+    lo: float = 0.025,
+    hi: float = 0.975,
+    seed: str = "boot",
+) -> DataFrame:
+    """Poisson-bootstrap confidence interval for the MEAN of
+    ``metric_col`` (per group): ``(*group_cols, n, mean, ci_lo,
+    ci_hi, n_replicates)``.
+
+    The Poisson bootstrap is the one-pass distributed bootstrap: a
+    classical resample needs n draws WITH replacement — a global
+    operation — but for large n the multinomial row counts converge
+    to independent Poisson(1) weights, so every row can draw its own
+    weight per replicate locally.  Here the uniforms come from the
+    engine's content-addressed md5 family (``seed:replicate:key``),
+    making every replicate deterministic across runs, partitionings,
+    and engines — the same contract as ``weighted_sample``.
+
+    Plan: ONE hash aggregate computes all ``2·replicates + 2``
+    moments (Σwy and Σw per replicate, plus n and Σy) in a single
+    scan — no explode, no data duplication, map-side partial combine;
+    the replicate means then live in one row per group and the CI is
+    a ``percentile`` over that B-element array (array HOF, no second
+    job).  An empty replicate (all weights 0 — vanishing probability
+    past tiny n) contributes NULL and is skipped by the percentile.
+
+    Rows with NULL metric are excluded.  The interval is the
+    percentile bootstrap (no BCa correction — document the bias
+    trade rather than hiding a driver-side loop).
+    """
+    if replicates < 2:
+        raise ValueError("bootstrap_ci: replicates must be >= 2")
+    if not (0.0 <= lo < hi <= 1.0):
+        raise ValueError("bootstrap_ci: need 0 <= lo < hi <= 1")
+    group_cols = group_cols or []
+    y = F.col(metric_col).cast("double")
+    base = df.filter(y.isNotNull())
+    space = float(1 << 60)
+    exprs = [
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.avg(y).alias("_mean"),
+    ]
+    for b in range(replicates):
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(f"{seed}:{b}:"),
+                        F.col(key_col).cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        u = (h.cast("double") + F.lit(1.0)) / F.lit(space)
+        w = _poisson1_weight(u).cast("double")
+        exprs.append(F.sum(w * y).alias(f"_wy{b}"))
+        exprs.append(F.sum(w).alias(f"_w{b}"))
+    agg = base.groupBy(*group_cols).agg(*exprs)
+    means = F.array(
+        *[
+            F.when(
+                F.col(f"_w{b}") > 0, F.col(f"_wy{b}") / F.col(f"_w{b}")
+            )
+            for b in range(replicates)
+        ]
+    )
+    # percentile over the B-element array: sort (NULLs drop) and
+    # linearly interpolate — the quantile_cont convention, as an
+    # array expression (no second aggregate job)
+    sorted_means = F.array_sort(
+        F.filter(means, lambda m: m.isNotNull())
+    )
+    staged = agg.withColumn("_sm", sorted_means).withColumn(
+        "_nb", F.size("_sm")
+    )
+
+    def _quantile(p: float):
+        pos = F.lit(1.0) + (F.col("_nb") - 1).cast("double") * F.lit(
+            float(p)
+        )
+        i_lo = F.floor(pos).cast("int")
+        i_hi = F.ceil(pos).cast("int")
+        frac = pos - i_lo.cast("double")
+        return F.when(
+            F.col("_nb") > 0,
+            F.element_at("_sm", i_lo)
+            + (
+                F.element_at("_sm", i_hi) - F.element_at("_sm", i_lo)
+            )
+            * frac,
+        )
+
+    return staged.select(
+        *group_cols,
+        F.col("_n").alias("n"),
+        F.round("_mean", 6).alias("mean"),
+        F.round(_quantile(lo), 6).alias("ci_lo"),
+        F.round(_quantile(hi), 6).alias("ci_hi"),
+        F.lit(replicates).alias("n_replicates"),
+    )
+
+

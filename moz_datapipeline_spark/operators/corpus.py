@@ -1249,6 +1249,9 @@ def source_overlap_matrix(
     |sources| is small by definition of the question — never a
     doc-level pair join.  Jaccard = shared / (|A| + |B| − shared).
     """
+    from .spread import spread_small_scan
+
+    df = spread_small_scan(df, text_col)
     grams = (
         df.filter(F.col(text_col).isNotNull())
         .select(
@@ -1319,6 +1322,9 @@ def ngram_diversity(
     collapse map-side, then |groups| rows of totals.  No pair joins,
     no distinct over raw grams (the count table IS the distinct set).
     """
+    from .spread import spread_small_scan
+
+    df = spread_small_scan(df, text_col)
     toks = tokens(text_col)
     grams = (
         df.filter(F.col(text_col).isNotNull())

@@ -106,6 +106,9 @@ def minhash_signatures(
     Docs whose text produces no shingles (empty text) are absent from
     the output.
     """
+    from .spread import spread_small_scan
+
+    df = spread_small_scan(df, id_col)
     # Shingle hashes WITHOUT building shingle strings: hash each token
     # once (O(n)), then combine k consecutive token hashes with a rolling
     # polynomial via zip_with (O(n) total). The string formulation
@@ -506,6 +509,9 @@ def set_similarity_join(
         raise ValueError("set_similarity_join: threshold must be in (0, 1]")
     if shingle_k < 1:
         raise ValueError("set_similarity_join: shingle_k must be >= 1")
+    from .spread import spread_small_scan
+
+    df = spread_small_scan(df, id_col)
     if shingle_k == 1:
         elems = F.split(_normalized(F.col(text_col)), " ")
     else:

@@ -58,6 +58,9 @@ def posting_rows(
     ``doc_len`` (the document's total term count) rides along from the
     tokenizing projection so BM25 needs no second corpus scan.
     """
+    from .spread import spread_small_scan
+
+    df = spread_small_scan(df, id_col)
     toks = _terms(text_col)
     return (
         df.select(

@@ -299,3 +299,156 @@ def test_mann_kendall_degenerate_groups(spark):
     # one point: no pairs at all
     assert got["single"].s == 0 and got["single"].sen_slope is None
     assert got["nulls"].n == 1  # NULL value dropped
+
+
+def _phi_tail_two_sided(z):
+    """Two-sided normal p via the same A-S 7.1.26 polynomial."""
+    az = abs(z) / math.sqrt(2.0)
+    t = 1.0 / (1.0 + 0.3275911 * az)
+    poly = (
+        0.254829592 * t
+        - 0.284496736 * t**2
+        + 1.421413741 * t**3
+        - 1.453152027 * t**4
+        + 1.061405429 * t**5
+    )
+    return 1.0 - (1.0 - poly * math.exp(-az * az))
+
+
+def test_ab_test_welch_z_matches_reference(spark):
+    from moz_datapipeline_spark.operators.analytics import ab_test
+
+    ctrl = [10.0 + (i % 7) for i in range(200)]
+    trt = [11.5 + (i % 5) for i in range(150)]
+    rows = [("c", v, None) for v in ctrl] + [("t", v, None) for v in trt]
+    rows.append(("other", 99.0, None))  # unrelated arm must be ignored
+    rows.append(("c", None, None))      # NULL metric dropped
+    df = spark.createDataFrame(rows, "v string, y double, x double")
+    r = ab_test(df, "v", "y", control="c", treatment="t").collect()[0]
+
+    import statistics as st
+
+    ma, mb = st.mean(ctrl), st.mean(trt)
+    va, vb = st.variance(ctrl), st.variance(trt)
+    se = math.sqrt(va / len(ctrl) + vb / len(trt))
+    z = (mb - ma) / se
+    assert r.n_control == 200 and r.n_treatment == 150
+    assert abs(r.mean_control - ma) < 1e-6
+    assert abs(r.diff - (mb - ma)) < 1e-6
+    assert abs(r.z - z) < 1e-5
+    assert abs(r.p_value - _phi_tail_two_sided(z)) < 1e-5
+
+
+def test_ab_test_cuped_reduces_variance(spark):
+    from moz_datapipeline_spark.operators.analytics import ab_test
+
+    # metric strongly predicted by a pre-period covariate
+    rows = []
+    for i in range(400):
+        x = float(i % 50)
+        noise = float((i * 7) % 3) - 1.0
+        rows.append(("c", 2.0 * x + noise, x))
+    for i in range(400):
+        x = float(i % 50)
+        noise = float((i * 11) % 3) - 1.0
+        rows.append(("t", 2.0 * x + 1.0 + noise, x))
+    df = spark.createDataFrame(rows, "v string, y double, x double")
+    plain = ab_test(df, "v", "y", "c", "t").collect()[0]
+    cuped = ab_test(df, "v", "y", "c", "t", covariate_col="x").collect()[0]
+    # CUPED must slash variance (metric is ~pure covariate) and
+    # sharpen the same true effect (diff ~ 1.0)
+    assert cuped.var_reduction > 0.95
+    assert abs(cuped.diff - plain.diff) < 0.2
+    assert abs(cuped.theta - 2.0) < 0.1
+    assert abs(cuped.z) > abs(plain.z)
+
+
+def test_ab_test_degenerate_arm(spark):
+    from moz_datapipeline_spark.operators.analytics import ab_test
+
+    df = spark.createDataFrame(
+        [("c", 1.0), ("c", 1.0), ("t", 2.0)], "v string, y double"
+    )
+    r = ab_test(df, "v", "y", "c", "t").collect()[0]
+    assert r.z is None and r.p_value is None  # n_t < 2
+
+
+def _boot_ref(rows, key_fn, B=64, lo=0.025, hi=0.975, seed="boot"):
+    """Python replay of the deterministic Poisson bootstrap."""
+    import hashlib
+
+    CDF = [
+        0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+        0.9810118431238462, 0.9963401531726563, 0.9994058151824183,
+        0.9999167588507119, 0.9999897508033253, 0.9999988747974148,
+    ]
+
+    def w_of(u):
+        for k, c in enumerate(CDF):
+            if u < c:
+                return k
+        return 9
+
+    means = []
+    for b in range(B):
+        swy = sw = 0.0
+        for key, y in rows:
+            h = int(
+                hashlib.md5(f"{seed}:{b}:{key_fn(key)}".encode())
+                .hexdigest()[:15],
+                16,
+            )
+            u = (h + 1) / float(1 << 60)
+            w = w_of(u)
+            swy += w * y
+            sw += w
+        if sw > 0:
+            means.append(swy / sw)
+    means.sort()
+    n = len(means)
+
+    def q(p):
+        pos = 1 + (n - 1) * p
+        ilo, ihi = int(math.floor(pos)), int(math.ceil(pos))
+        frac = pos - ilo
+        return means[ilo - 1] + (means[ihi - 1] - means[ilo - 1]) * frac
+
+    return q(lo), q(hi)
+
+
+def test_bootstrap_ci_matches_python_replay(spark):
+    from moz_datapipeline_spark.operators.analytics import bootstrap_ci
+
+    rows = [(i, 10.0 + (i * 13) % 21) for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, y double")
+    r = bootstrap_ci(df, "y", "id", replicates=32).collect()[0]
+    want_lo, want_hi = _boot_ref(rows, key_fn=str, B=32)
+    assert r.n == 300
+    assert abs(r.ci_lo - round(want_lo, 6)) < 1e-9
+    assert abs(r.ci_hi - round(want_hi, 6)) < 1e-9
+    true_mean = sum(y for _, y in rows) / 300
+    assert r.ci_lo < true_mean < r.ci_hi
+    # interval width shrinks like 1/sqrt(n): sanity bound
+    assert (r.ci_hi - r.ci_lo) < 2.0
+
+
+def test_bootstrap_ci_grouped_and_validation(spark):
+    from moz_datapipeline_spark.operators.analytics import bootstrap_ci
+
+    rows = [("a", i, 5.0) for i in range(50)] + [
+        ("b", i, float(i % 10)) for i in range(80)
+    ]
+    df = spark.createDataFrame(rows, "g string, id long, y double")
+    got = {
+        r.g: r
+        for r in bootstrap_ci(
+            df, "y", "id", group_cols=["g"], replicates=16
+        ).collect()
+    }
+    # constant metric: every replicate mean is exactly 5
+    assert got["a"].ci_lo == 5.0 and got["a"].ci_hi == 5.0
+    assert got["b"].ci_lo <= got["b"].ci_hi
+    with pytest.raises(ValueError, match="replicates"):
+        bootstrap_ci(df, "y", "id", replicates=1)
+    with pytest.raises(ValueError, match="lo"):
+        bootstrap_ci(df, "y", "id", lo=0.9, hi=0.1)
