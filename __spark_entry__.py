@@ -4389,6 +4389,78 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser–Ney trigram perplexity gate: train on the
+    English slice, score every document (operators/lm.
+    train_kneser_ney / lm_score_kneser_ney).  All five continuation
+    tables derive from ONE distinct-trigram aggregate; scoring is
+    five broadcast left joins + one per-doc fold.  VALUE oracle: the
+    full train + continuation-count + backoff-score replay in
+    DuckDB."""
+    from moz_datapipeline_spark.operators.lm import (
+        lm_score_kneser_ney,
+        train_kneser_ney,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    model = train_kneser_ney(docs.filter(F.col("lang") == "en"))
+    return lm_score_kneser_ney(docs, model)
+
+
+def q_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP totals over (returnflag, linestatus):
+    per-combination revenue plus per-flag and grand totals in ONE
+    pass — Catalyst's native GROUPING SETS expansion (map-side
+    partials for every grouping simultaneously), no per-level
+    rescans.  grouping() flags disambiguate NULL-as-total from
+    NULL-as-value.  VALUE oracle: the identical ROLLUP in DuckDB."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.sum(
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    )
+    out = (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            # grouping() is only resolvable INSIDE the grouping-sets
+            # aggregate, not in a later projection
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+            F.round(rev, 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "g_flag",
+            "g_status",
+            "revenue",
+            "n_rows",
+        )
+    )
+    return out
+
+
+def q_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chance-corrected agreement between two document 'judges' (a
+    char-length rater vs a token-count rater) — Cohen's kappa from
+    ONE contingency hash aggregate
+    (operators/validation.cohen_kappa).  The LLM-judge-vs-heuristic
+    QA readout.  VALUE oracle: identical table + fold in DuckDB."""
+    from moz_datapipeline_spark.operators.corpus import tokens
+    from moz_datapipeline_spark.operators.validation import cohen_kappa
+
+    d = _t(spark, sf_dir, "documents")
+    rated = d.select(
+        F.when(F.col("n_chars") > 300, F.lit("long"))
+        .otherwise(F.lit("short"))
+        .alias("rater_a"),
+        F.when(F.size(tokens(F.col("text"))) > 50, F.lit("long"))
+        .otherwise(F.lit("short"))
+        .alias("rater_b"),
+    )
+    return cohen_kappa(rated, "rater_a", "rater_b")
+
+
 def q_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-mixture resampling: rebalance three sources to 50/25/25
     target weights, keeping the maximum corpus that matches the mixture
@@ -4921,6 +4993,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gap_fill": q_gap_fill,
         "ab_test_cuped": q_ab_test_cuped,
         "bootstrap_ci": q_bootstrap_ci,
+        "kneser_ney": q_kneser_ney,
+        "rollup_cube": q_rollup_cube,
+        "cohen_kappa": q_cohen_kappa,
     }
 
 
@@ -9605,6 +9680,136 @@ FROM eaul_calc
     """
 
     sql["bootstrap_ci"] = _bootstrap_ci_oracle()
+
+    sql["cohen_kappa"] = """
+        WITH rated AS (
+          SELECT CASE WHEN n_chars > 300 THEN 'long' ELSE 'short' END
+                   AS a,
+                 CASE WHEN len(list_filter(string_split(text, ' '),
+                                           t -> t <> '')) > 50
+                      THEN 'long' ELSE 'short' END AS b
+          FROM documents
+        ), joint AS (
+          SELECT a, b, CAST(count(*) AS BIGINT) AS c
+          FROM rated WHERE a IS NOT NULL AND b IS NOT NULL
+          GROUP BY 1, 2
+        ), tot AS (
+          SELECT CAST(sum(c) AS DOUBLE) AS n FROM joint
+        ), po AS (
+          SELECT CAST(coalesce(sum(c), 0) AS DOUBLE) AS ag
+          FROM joint WHERE a = b
+        ), pe AS (
+          SELECT coalesce(sum(ma.ca * mb.cb / (tot.n * tot.n)), 0.0)
+                   AS pe
+          FROM (SELECT a, CAST(sum(c) AS DOUBLE) AS ca
+                FROM joint GROUP BY 1) ma
+          JOIN (SELECT b, CAST(sum(c) AS DOUBLE) AS cb
+                FROM joint GROUP BY 1) mb ON ma.a = mb.b
+          CROSS JOIN tot
+        )
+        SELECT CAST(n AS BIGINT) AS n,
+               round(CASE WHEN n > 0 THEN ag / n END, 6)
+                 AS observed_agreement,
+               round(pe, 6) AS expected_agreement,
+               round(CASE WHEN pe < 1.0 AND n > 0
+                     THEN (ag / n - pe) / (1.0 - pe) END, 6) AS kappa
+        FROM tot CROSS JOIN po CROSS JOIN pe
+    """
+
+    sql["rollup_cube"] = """
+        SELECT l_returnflag, l_linestatus,
+               CAST(CASE WHEN GROUPING(l_returnflag) THEN 1 ELSE 0 END
+                    AS INT) AS g_flag,
+               CAST(CASE WHEN GROUPING(l_linestatus) THEN 1 ELSE 0 END
+                    AS INT) AS g_status,
+               round(sum(l_extendedprice * (1 - l_discount)), 2)
+                 AS revenue,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """
+
+    sql["kneser_ney"] = """
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split(text, ' '), t -> t <> '') AS t
+          FROM documents
+        ), ref AS (
+          SELECT t.t FROM toks t
+          JOIN documents d USING (doc_id) WHERE d.lang = 'en'
+        ), tri AS (
+          SELECT t[i] AS w1, t[i+1] AS w2, t[i+2] AS w3,
+                 CAST(count(*) AS BIGINT) AS c3
+          FROM (SELECT t, unnest(range(1, greatest(len(t) - 1, 1))) AS i
+                FROM ref)
+          WHERE i + 2 <= len(t)
+          GROUP BY 1, 2, 3
+        ), ctx AS (
+          SELECT w1, w2, sum(c3) AS c_ctx, count(*) AS t12
+          FROM tri GROUP BY 1, 2
+        ), cont23 AS (
+          SELECT w2, w3, count(DISTINCT w1) AS n1p
+          FROM tri GROUP BY 1, 2
+        ), mid AS (
+          SELECT w2, count(*) AS mid2, count(DISTINCT w3) AS t2
+          FROM tri GROUP BY 1
+        ), cont3 AS (
+          SELECT w3, count(*) AS n1p3 FROM cont23 GROUP BY 1
+        ), tot AS (
+          SELECT (SELECT CAST(count(*) AS DOUBLE) FROM cont23) AS b,
+                 (SELECT CAST(count(DISTINCT w) AS DOUBLE)
+                  FROM (SELECT unnest(t) AS w FROM ref)) AS v
+        ), ev AS (
+          SELECT doc_id, t[i] AS w1, t[i+1] AS w2, t[i+2] AS w3
+          FROM (SELECT doc_id, t,
+                       unnest(range(1, greatest(len(t) - 1, 1))) AS i
+                FROM toks)
+          WHERE i + 2 <= len(t)
+        ), scored AS (
+          SELECT ev.doc_id,
+                 -ln(
+                   CASE WHEN ctx.c_ctx IS NOT NULL THEN
+                     greatest(coalesce(tri.c3, 0) - 0.75, 0.0)
+                       / ctx.c_ctx
+                     + 0.75 * ctx.t12 / ctx.c_ctx *
+                       (CASE WHEN mid.mid2 IS NOT NULL THEN
+                          greatest(coalesce(cont23.n1p, 0) - 0.75, 0.0)
+                            / mid.mid2
+                          + 0.75 * mid.t2 / mid.mid2 *
+                            ((coalesce(cont3.n1p3, 0) + 0.1)
+                             / (tot.b + 0.1 * (tot.v + 1.0)))
+                        ELSE (coalesce(cont3.n1p3, 0) + 0.1)
+                             / (tot.b + 0.1 * (tot.v + 1.0)) END)
+                   ELSE
+                     CASE WHEN mid.mid2 IS NOT NULL THEN
+                       greatest(coalesce(cont23.n1p, 0) - 0.75, 0.0)
+                         / mid.mid2
+                       + 0.75 * mid.t2 / mid.mid2 *
+                         ((coalesce(cont3.n1p3, 0) + 0.1)
+                          / (tot.b + 0.1 * (tot.v + 1.0)))
+                     ELSE (coalesce(cont3.n1p3, 0) + 0.1)
+                          / (tot.b + 0.1 * (tot.v + 1.0)) END
+                   END
+                 ) AS nll
+          FROM ev
+          LEFT JOIN tri ON tri.w1 = ev.w1 AND tri.w2 = ev.w2
+                        AND tri.w3 = ev.w3
+          LEFT JOIN ctx ON ctx.w1 = ev.w1 AND ctx.w2 = ev.w2
+          LEFT JOIN cont23 ON cont23.w2 = ev.w2 AND cont23.w3 = ev.w3
+          LEFT JOIN mid ON mid.w2 = ev.w2
+          LEFT JOIN cont3 ON cont3.w3 = ev.w3
+          CROSS JOIN tot
+        ), per AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+                 avg(nll) AS h
+          FROM scored GROUP BY 1
+        )
+        SELECT d.doc_id,
+               coalesce(per.n_trigrams, 0) AS n_trigrams,
+               round(per.h, 6) AS cross_entropy,
+               round(exp(per.h), 6) AS perplexity
+        FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+    """
 
     sql["ks_drift"] = """
         WITH a AS (

@@ -192,6 +192,9 @@ HEADLINE = [
     "gap_fill",
     "ab_test_cuped",
     "bootstrap_ci",
+    "kneser_ney",
+    "rollup_cube",
+    "cohen_kappa",
     # incremental_dedup is oracle-checked but not benched here: a tiny
     # two-batch ingest is dominated by store round-trips and component
     # rounds (fixed job overhead, not operator throughput) — its scale

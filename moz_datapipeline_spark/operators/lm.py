@@ -293,3 +293,146 @@ def lm_score_trigram(
             F.round(F.exp(F.col("_h")), 6).alias("perplexity"),
         )
     )
+
+
+def train_kneser_ney(
+    ref: DataFrame, text_col: str = "text"
+) -> dict[str, DataFrame]:
+    """Interpolated Kneser–Ney trigram state, ALL derived from one
+    distinct-trigram count table (Chen & Goodman 1999 — the smoothing
+    that wins every n-gram shootout, and the reason KenLM exists):
+
+    - ``tri``   (w1, w2, w3, c3) — trigram counts;
+    - ``ctx``   (w1, w2, c_ctx, t12) — context mass Σ_w3 c3 and the
+      distinct-continuation count N1+(w1w2•) that funds the discount;
+    - ``cont23``(w2, w3, n1p) — continuation counts N1+(•w2w3): HOW
+      MANY contexts a bigram completes, not how often (the KN
+      insight: "San Francisco" makes "Francisco" frequent but it only
+      ever follows "San");
+    - ``mid``   (w2, mid2, t2) — N1+(•w2•) and N1+(w2•);
+    - ``cont3`` (w3, n1p3) — N1+(•w3);
+    - ``totals`` 1-row (b = N1+(••) distinct bigrams, v = vocabulary).
+
+    Five hash aggregations off one trigram explode — map-side
+    combined, nothing collected; every table is O(distinct n-grams)
+    of the bounded reference corpus (broadcast small sides at
+    scoring).  Context mass uses Σ_w3 c3 (interior bigrams), the
+    standard self-consistent simplification: the model's discounted
+    mass and its backoff weight then refer to the same denominator.
+    """
+    tri = (
+        _trigram_rows(ref, [], text_col)
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).alias("c3"))
+    )
+    ctx = tri.groupBy("w1", "w2").agg(
+        F.sum("c3").alias("c_ctx"),
+        F.count(F.lit(1)).alias("t12"),
+    )
+    cont23 = tri.groupBy("w2", "w3").agg(
+        F.countDistinct("w1").alias("n1p")
+    )
+    mid = tri.groupBy("w2").agg(
+        F.count(F.lit(1)).alias("mid2"),
+        F.countDistinct("w3").alias("t2"),
+    )
+    cont3 = cont23.groupBy("w3").agg(
+        F.count(F.lit(1)).alias("n1p3")
+    )
+    uni = ref.select(F.explode(tokens(text_col)).alias("w")).distinct()
+    totals = cont23.agg(
+        F.count(F.lit(1)).cast("double").alias("b")
+    ).crossJoin(uni.agg(F.count(F.lit(1)).cast("double").alias("v")))
+    return {
+        "tri": tri,
+        "ctx": ctx,
+        "cont23": cont23,
+        "mid": mid,
+        "cont3": cont3,
+        "totals": totals,
+    }
+
+
+def lm_score_kneser_ney(
+    docs: DataFrame,
+    model: dict[str, DataFrame],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    discount: float = 0.75,
+    add_k: float = 0.1,
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """Interpolated Kneser–Ney cross-entropy per document:
+
+        p(w3|w1w2) = max(c3 − D, 0)/c_ctx + D·t12/c_ctx · p(w3|w2)
+        p(w3|w2)   = max(N1+(•w2w3) − D, 0)/N1+(•w2•)
+                     + D·N1+(w2•)/N1+(•w2•) · p(w3)
+        p(w3)      = (N1+(•w3) + k) / (N1+(••) + k·(V + 1))
+
+    Unseen trigram context → clean backoff to the bigram level;
+    unseen w2 → unigram level; unseen w3 → the add-``k`` continuation
+    floor keeps log p finite (the +1 in the denominator reserves the
+    OOV slot).  Returns ``(id, n_trigrams, cross_entropy,
+    perplexity)``; docs under 3 tokens survive with NULL scores.
+
+    Plan: one evaluation-trigram explode, five broadcast left equi
+    joins + the 1-row totals, one per-doc aggregation — the
+    ``lm_score_trigram`` shape with continuation tables instead of
+    raw lower-order counts.
+    """
+    D = float(discount)
+    if not (0.0 < D < 1.0):
+        raise ValueError("lm_score_kneser_ney: discount must be in (0,1)")
+    k = float(add_k)
+    maybe_b = F.broadcast if broadcast_model else (lambda d: d)
+
+    ev = _trigram_rows(docs, [id_col], text_col)
+    joined = (
+        ev.join(maybe_b(model["tri"]), ["w1", "w2", "w3"], "left")
+        .join(maybe_b(model["ctx"]), ["w1", "w2"], "left")
+        .join(maybe_b(model["cont23"]), ["w2", "w3"], "left")
+        .join(maybe_b(model["mid"]), ["w2"], "left")
+        .join(maybe_b(model["cont3"]), ["w3"], "left")
+        .join(F.broadcast(model["totals"]))
+    )
+    p_uni = (
+        F.coalesce(F.col("n1p3"), F.lit(0)).cast("double") + F.lit(k)
+    ) / (F.col("b") + F.lit(k) * (F.col("v") + F.lit(1.0)))
+    mid2 = F.col("mid2").cast("double")
+    p_bi = F.when(
+        mid2.isNotNull(),
+        F.greatest(
+            F.coalesce(F.col("n1p"), F.lit(0)).cast("double") - F.lit(D),
+            F.lit(0.0),
+        )
+        / mid2
+        + F.lit(D) * F.col("t2").cast("double") / mid2 * p_uni,
+    ).otherwise(p_uni)
+    cctx = F.col("c_ctx").cast("double")
+    p_tri = F.when(
+        cctx.isNotNull(),
+        F.greatest(
+            F.coalesce(F.col("c3"), F.lit(0)).cast("double") - F.lit(D),
+            F.lit(0.0),
+        )
+        / cctx
+        + F.lit(D) * F.col("t12").cast("double") / cctx * p_bi,
+    ).otherwise(p_bi)
+    per_doc = (
+        joined.select(id_col, (-F.log(p_tri)).alias("_nll"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.avg("_nll").alias("_h"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(per_doc, [id_col], "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_trigrams"), F.lit(0)).alias("n_trigrams"),
+            F.round(F.col("_h"), 6).alias("cross_entropy"),
+            F.round(F.exp(F.col("_h")), 6).alias("perplexity"),
+        )
+    )

@@ -936,3 +936,74 @@ def correlation_matrix(
     return row.select(F.explode(F.array(*parts)).alias("_r")).select(
         "_r.*"
     )
+
+
+def cohen_kappa(
+    df: DataFrame,
+    rater_a_col: str,
+    rater_b_col: str,
+) -> DataFrame:
+    """Cohen's kappa inter-rater agreement: one row ``(n, observed_agreement,
+    expected_agreement, kappa)`` — chance-corrected agreement between
+    two categorical labelings of the same items.  The standard QA
+    metric when two annotators (or two LLM judges, or judge-vs-human)
+    label the same sample: raw agreement flatters skewed label
+    distributions; kappa subtracts the agreement two independent
+    raters would reach by luck (``κ = (p_o − p_e)/(1 − p_e)``).
+
+    Plan: ONE joint-count hash aggregate over (label_a, label_b) —
+    the contingency table, at most |labels|² rows — then marginals
+    and the fold on that small table, never a second data scan (the
+    ``chi_square_independence`` shape).  Rows with NULL in either
+    column are excluded.  Perfect chance-agreement (p_e = 1: both
+    raters constant and equal) leaves kappa undefined → NULL.
+    """
+    a = F.col(rater_a_col)
+    b = F.col(rater_b_col)
+    joint = (
+        df.filter(a.isNotNull() & b.isNotNull())
+        .groupBy(a.alias("_a"), b.alias("_b"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    tot = joint.agg(F.sum("_c").cast("double").alias("_n"))
+    po = (
+        joint.filter(F.col("_a") == F.col("_b"))
+        .agg(F.coalesce(F.sum("_c"), F.lit(0)).cast("double").alias("_ag"))
+    )
+    ma = joint.groupBy("_a").agg(F.sum("_c").alias("_ca"))
+    mb = joint.groupBy("_b").agg(F.sum("_c").alias("_cb"))
+    pe = (
+        ma.join(mb, ma["_a"] == mb["_b"])
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("_ca").cast("double")
+                    * F.col("_cb").cast("double")
+                    / (F.col("_n") * F.col("_n"))
+                ),
+                F.lit(0.0),
+            ).alias("_pe")
+        )
+    )
+    out = (
+        tot.crossJoin(F.broadcast(po))
+        .crossJoin(F.broadcast(pe))
+        .select(
+            F.col("_n").cast("long").alias("n"),
+            F.when(F.col("_n") > 0, F.col("_ag") / F.col("_n")).alias(
+                "_po"
+            ),
+            F.col("_pe"),
+        )
+    )
+    kappa = F.when(
+        (F.col("_pe") < 1.0) & F.col("_po").isNotNull(),
+        (F.col("_po") - F.col("_pe")) / (F.lit(1.0) - F.col("_pe")),
+    )
+    return out.select(
+        "n",
+        F.round("_po", 6).alias("observed_agreement"),
+        F.round("_pe", 6).alias("expected_agreement"),
+        F.round(kappa, 6).alias("kappa"),
+    )

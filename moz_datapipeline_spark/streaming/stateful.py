@@ -285,3 +285,148 @@ def compact_hll_store(
     tmp = f"{store_dir}_compacting"
     merged.coalesce(1).write.mode("overwrite").parquet(tmp)
     _swap_dirs(spark, tmp, store_dir)
+
+
+def _cms_batch_sketch(
+    batch_df: DataFrame, key_col: str, depth: int, width: int
+) -> DataFrame:
+    """One micro-batch's count-min rows ``(d, bucket, c)`` — the same
+    portable-md5 bucket family as ``analytics.cms_heavy_hitters`` so
+    batch and streaming sketches are interchangeable state."""
+    from moz_datapipeline_spark.operators.dedup import _token_hash
+
+    key = F.col(key_col).cast("string")
+    rows = batch_df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        F.pmod(
+                            _token_hash(
+                                F.concat(F.lit(f"cms{d}:"), key), True
+                            ),
+                            F.lit(width),
+                        ).alias("bucket"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("s")
+    ).select("s.d", "s.bucket")
+    return rows.groupBy("d", "bucket").agg(F.count(F.lit(1)).alias("c"))
+
+
+def cms_ingest_stream(
+    events_stream: DataFrame,
+    store_dir: str,
+    checkpoint_dir: str,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+):
+    """Continuous frequency tracking: each micro-batch's count-min
+    rows APPEND to a parquet store, TAGGED with the batch id.
+
+    CMS merge is cell-wise SUM — associative and commutative but NOT
+    idempotent, so the HLL store's "replay changes nothing under max"
+    argument does not transfer.  Exactly-once here comes from the
+    batch-id key instead: a batch's sketch rows are a deterministic
+    function of its input, so a crash-replayed batch appends
+    byte-identical ``(batch_id, d, bucket, c)`` rows, and the reader
+    folds ``max`` WITHIN (batch_id, d, bucket) — collapsing replays —
+    before summing ACROSS batch ids.  Per batch the append is
+    ≤ depth·width rows; the store grows with batch count, not data
+    volume (``compact_cms_store`` merges the files; rows keep their
+    batch ids so the replay algebra survives compaction).
+
+    Returns the started StreamingQuery.
+    """
+
+    def upd(batch_df: DataFrame, batch_id: int) -> None:
+        sk = _cms_batch_sketch(batch_df, key_col, depth, width)
+        sk.withColumn("batch_id", F.lit(int(batch_id))).coalesce(
+            1
+        ).write.mode("append").parquet(store_dir)
+
+    return (
+        events_stream.writeStream.foreachBatch(upd)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def cms_store_estimate(
+    spark,
+    store_dir: str,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Point-query frequency estimates over a ``cms_ingest_stream``
+    store: ``(key_col, cms_estimate)`` for every row of ``keys``.
+
+    Merge-on-read in two folds: max within (batch_id, d, bucket) —
+    the replay dedup — then sum across batches per cell; the estimate
+    is the classic min over depth rows.  One scan of the (small)
+    sketch store, one broadcast-sized join against the probes.
+    """
+    from moz_datapipeline_spark.operators.dedup import _token_hash
+
+    cells = (
+        spark.read.parquet(store_dir)
+        .groupBy("batch_id", "d", "bucket")
+        .agg(F.max("c").alias("c"))
+        .groupBy("d", "bucket")
+        .agg(F.sum("c").alias("c"))
+    )
+    key = F.col(key_col).cast("string")
+    probes = keys.select(
+        key_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        F.pmod(
+                            _token_hash(
+                                F.concat(F.lit(f"cms{d}:"), key), True
+                            ),
+                            F.lit(width),
+                        ).alias("bucket"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("p"),
+    ).select(key_col, "p.d", "p.bucket")
+    return (
+        probes.join(cells, ["d", "bucket"], "left")
+        .groupBy(key_col)
+        .agg(
+            F.coalesce(F.min("c"), F.lit(0)).cast("long").alias(
+                "cms_estimate"
+            )
+        )
+    )
+
+
+def compact_cms_store(spark, store_dir: str) -> None:
+    """Merge append debris into one file per store.  Rows are folded
+    max-within-(batch_id, cell) — the same dedup the reader applies,
+    so estimates before and after are identical — but batch ids are
+    PRESERVED: folding across batches would break the replay-dedup
+    algebra if the last checkpointed batch ever re-appends.  NOT
+    transactional; run while no ingest is active."""
+    from moz_datapipeline_spark.operators.incremental import _swap_dirs
+
+    merged = (
+        spark.read.parquet(store_dir)
+        .groupBy("batch_id", "d", "bucket")
+        .agg(F.max("c").alias("c"))
+    )
+    tmp = f"{store_dir}_compacting"
+    merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+    _swap_dirs(spark, tmp, store_dir)

@@ -721,3 +721,87 @@ def test_kmv_set_ops_grouped_and_disjoint(spark):
     assert rows["g1"].est_intersection == 0.0
     assert rows["g1"].jaccard == 0.0
     assert rows["g1"].est_union == 60.0
+
+
+def test_cms_ingest_stream_idempotent_restart(spark, tmp_path):
+    """Streamed CMS appends + merge-on-read point queries; the batch-id
+    max-fold makes a checkpoint replay a no-op even though CMS merge
+    itself (sum) is not idempotent; compaction preserves estimates."""
+    import json as _json
+
+    from moz_datapipeline_spark.streaming.stateful import (
+        cms_ingest_stream,
+        cms_store_estimate,
+        compact_cms_store,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    # key frequency: key k appears (k+1) times per file, 3 files
+    for b in range(3):
+        with open(src / f"b{b}.json", "w") as f:
+            for k in range(20):
+                for _ in range(k + 1):
+                    f.write(_json.dumps({"k": k}) + "\n")
+
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    q = cms_ingest_stream(
+        spark.readStream.schema("k long").json(str(src)),
+        store, ckpt, "k", depth=4, width=128,
+    )
+    q.awaitTermination(120)
+
+    keys = spark.createDataFrame([(k,) for k in range(20)], "k long")
+    est = {
+        r.k: r.cms_estimate
+        for r in cms_store_estimate(
+            spark, store, keys, "k", depth=4, width=128
+        ).collect()
+    }
+    # CMS never underestimates; with 20 keys in 128 buckets it is
+    # almost surely exact, but only the one-sided bound is guaranteed
+    for k in range(20):
+        assert est[k] >= 3 * (k + 1)
+
+    # restart with the same checkpoint: no new files -> nothing appends
+    q2 = cms_ingest_stream(
+        spark.readStream.schema("k long").json(str(src)),
+        store, ckpt, "k", depth=4, width=128,
+    )
+    q2.awaitTermination(120)
+    est2 = {
+        r.k: r.cms_estimate
+        for r in cms_store_estimate(
+            spark, store, keys, "k", depth=4, width=128
+        ).collect()
+    }
+    assert est2 == est
+
+    # a simulated crash-replay of batch 0 appends byte-identical rows;
+    # the (batch_id, cell) max-fold must swallow them
+    b0 = spark.read.parquet(store).filter("batch_id = 0")
+    b0.write.mode("append").parquet(store)
+    est3 = {
+        r.k: r.cms_estimate
+        for r in cms_store_estimate(
+            spark, store, keys, "k", depth=4, width=128
+        ).collect()
+    }
+    assert est3 == est
+
+    compact_cms_store(spark, store)
+    est4 = {
+        r.k: r.cms_estimate
+        for r in cms_store_estimate(
+            spark, store, keys, "k", depth=4, width=128
+        ).collect()
+    }
+    assert est4 == est
+    # unqueried key probes to 0 only if its buckets are empty; with a
+    # loaded sketch the guarantee is just the one-sided bound
+    ghost = cms_store_estimate(
+        spark, store,
+        spark.createDataFrame([(999,)], "k long"), "k", 4, 128,
+    ).collect()[0]
+    assert ghost.cms_estimate >= 0

@@ -452,3 +452,142 @@ def test_bootstrap_ci_grouped_and_validation(spark):
         bootstrap_ci(df, "y", "id", replicates=1)
     with pytest.raises(ValueError, match="lo"):
         bootstrap_ci(df, "y", "id", lo=0.9, hi=0.1)
+
+
+def _kn_ref(ref_texts, doc_tokens, D=0.75, k=0.1):
+    """Python replay of the interpolated Kneser-Ney scorer."""
+    from collections import Counter, defaultdict
+
+    tris = Counter()
+    for s in ref_texts:
+        t = [w for w in s.split(" ") if w]
+        for i in range(len(t) - 2):
+            tris[(t[i], t[i + 1], t[i + 2])] += 1
+    ctx_c = Counter()
+    ctx_t = Counter()
+    cont23 = defaultdict(set)
+    mid2 = Counter()
+    t2 = defaultdict(set)
+    for (w1, w2, w3), c in tris.items():
+        ctx_c[(w1, w2)] += c
+        ctx_t[(w1, w2)] += 1
+        cont23[(w2, w3)].add(w1)
+        mid2[w2] += 1
+        t2[w2].add(w3)
+    cont3 = Counter()
+    for (w2, w3) in cont23:
+        cont3[w3] += 1
+    B = len(cont23)
+    vocab = {w for s in ref_texts for w in s.split(" ") if w}
+    V = len(vocab)
+
+    def p(w1, w2, w3):
+        pu = (cont3.get(w3, 0) + k) / (B + k * (V + 1))
+        if w2 in mid2:
+            m = mid2[w2]
+            pb = max(len(cont23.get((w2, w3), ())) - D, 0) / m \
+                + D * len(t2[w2]) / m * pu
+        else:
+            pb = pu
+        if (w1, w2) in ctx_c:
+            cc = ctx_c[(w1, w2)]
+            return max(tris.get((w1, w2, w3), 0) - D, 0) / cc \
+                + D * ctx_t[(w1, w2)] / cc * pb
+        return pb
+
+    import math as _m
+
+    nll = [
+        -_m.log(p(doc_tokens[i], doc_tokens[i + 1], doc_tokens[i + 2]))
+        for i in range(len(doc_tokens) - 2)
+    ]
+    return sum(nll) / len(nll)
+
+
+def test_kneser_ney_matches_python_reference(spark):
+    from moz_datapipeline_spark.operators.lm import (
+        lm_score_kneser_ney,
+        train_kneser_ney,
+    )
+
+    ref_texts = [
+        "the cat sat on the mat",
+        "the dog sat on the rug",
+        "a cat and a dog ran",
+        "san francisco is a city",
+        "the city of san francisco",
+    ]
+    ref = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(ref_texts)], "doc_id long, text string"
+    )
+    model = train_kneser_ney(ref)
+
+    eval_rows = [
+        (100, "the cat sat on the rug"),           # all in-vocab
+        (101, "san francisco is the city"),
+        (102, "zz unseen trigram context here"),   # OOV mix
+        (103, "too short"),                        # < 3 tokens -> NULL
+    ]
+    docs = spark.createDataFrame(eval_rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r
+        for r in lm_score_kneser_ney(docs, model).collect()
+    }
+    for did, text in eval_rows[:3]:
+        toks = text.split(" ")
+        want = _kn_ref(ref_texts, toks)
+        assert abs(got[did].cross_entropy - want) < 1e-6, did
+        assert got[did].n_trigrams == len(toks) - 2
+    assert got[103].n_trigrams == 0 and got[103].cross_entropy is None
+    # "san francisco" is the KN showcase: "francisco" only ever follows
+    # "san", so its continuation probability is low even though the
+    # token is frequent — the in-domain doc must score better than OOV
+    assert got[100].perplexity < got[102].perplexity
+
+
+def test_kneser_ney_rejects_bad_discount(spark):
+    from moz_datapipeline_spark.operators.lm import (
+        lm_score_kneser_ney,
+        train_kneser_ney,
+    )
+
+    ref = spark.createDataFrame([(0, "a b c d")], "doc_id long, text string")
+    model = train_kneser_ney(ref)
+    with pytest.raises(ValueError, match="discount"):
+        lm_score_kneser_ney(ref, model, discount=1.5)
+
+
+def test_cohen_kappa_known_values(spark):
+    from moz_datapipeline_spark.operators.validation import cohen_kappa
+
+    # classic textbook table: 20 yes/yes, 5 yes/no, 10 no/yes, 15 no/no
+    rows = (
+        [("y", "y")] * 20 + [("y", "n")] * 5
+        + [("n", "y")] * 10 + [("n", "n")] * 15
+    )
+    rows += [(None, "y"), ("y", None)]  # NULLs excluded
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = cohen_kappa(df, "a", "b").collect()[0]
+    n = 50.0
+    po = 35 / n
+    pe = (25 / n) * (30 / n) + (25 / n) * (20 / n)
+    want = (po - pe) / (1 - pe)
+    assert r.n == 50
+    assert abs(r.observed_agreement - po) < 1e-9
+    assert abs(r.expected_agreement - pe) < 1e-9
+    assert abs(r.kappa - round(want, 6)) < 1e-9
+
+
+def test_cohen_kappa_edge_cases(spark):
+    from moz_datapipeline_spark.operators.validation import cohen_kappa
+
+    # both raters constant and equal -> pe = 1 -> kappa undefined
+    df = spark.createDataFrame([("x", "x")] * 10, "a string, b string")
+    r = cohen_kappa(df, "a", "b").collect()[0]
+    assert r.observed_agreement == 1.0 and r.kappa is None
+
+    # perfect disagreement on balanced labels -> kappa = -1
+    rows = [("y", "n")] * 10 + [("n", "y")] * 10
+    df2 = spark.createDataFrame(rows, "a string, b string")
+    r2 = cohen_kappa(df2, "a", "b").collect()[0]
+    assert r2.kappa == -1.0
