@@ -4461,6 +4461,71 @@ def q_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cohen_kappa(rated, "rater_a", "rater_b")
 
 
+def q_profile_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Release-over-release profile drift between the pre-1997 and
+    1997+ order snapshots (operators/validation.profile_diff): one
+    profile aggregate per side, |columns|-row join, Welch mean-shift
+    z and completeness/cardinality flags.  VALUE oracle: identical
+    two-scan profile + flag fold in DuckDB."""
+    from moz_datapipeline_spark.operators.validation import profile_diff
+
+    o = _t(spark, sf_dir, "orders")
+    before = o.filter(F.col("o_orderdate") < F.lit("1997-01-01"))
+    after = o.filter(F.col("o_orderdate") >= F.lit("1997-01-01"))
+    return profile_diff(
+        before, after, ["o_totalprice", "o_orderstatus", "o_custkey"]
+    )
+
+
+def q_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based nearest-pair mining between the even- and
+    odd-label embedding sides (operators/similarity.
+    margin_mine_pairs): Artetxe–Schwenk ratio margin — cosine over
+    mean local k-NN density — with bounded partial-top-k passes and
+    one argmax window.  VALUE oracle: both k-NN passes, densities,
+    and the margin fold replayed with list_cosine_similarity in
+    DuckDB."""
+    from moz_datapipeline_spark.operators.similarity import (
+        margin_mine_pairs,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.filter(F.col("label") % 2 == 0)
+    b = emb.filter(F.col("label") % 2 == 1)
+    return margin_mine_pairs(a, b, k=4, threshold=1.0)
+
+
+def q_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 suppliers per nation by revenue KEEPING TIES — rank()
+    instead of row_number(), so equal-revenue suppliers all survive
+    (the analytically-correct leaderboard cut).  Spark pushes the
+    rank filter below the exchange as WindowGroupLimit: per-partition
+    heaps bound the shuffle exactly as in the row_number case.
+    Revenue rounds to cents BEFORE ranking so the tie semantics are
+    engine-exact.  VALUE oracle: identical rank() cut in DuckDB."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    rev = (
+        li.join(s, li["l_suppkey"] == s["s_suppkey"])
+        .groupBy(
+            F.col("s_nationkey").alias("nationkey"),
+            F.col("s_suppkey").alias("suppkey"),
+        )
+        .agg(
+            F.expr(
+                "floor(sum(l_extendedprice * (1 - l_discount)) * 100"
+                " + 0.5) / 100"
+            ).alias("revenue")
+        )
+    )
+    w = Window.partitionBy("nationkey").orderBy(F.col("revenue").desc())
+    return (
+        rev.withColumn("rnk", F.rank().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("nationkey", "suppkey", "revenue", "rnk")
+    )
+
+
 def q_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-mixture resampling: rebalance three sources to 50/25/25
     target weights, keeping the maximum corpus that matches the mixture
@@ -4681,9 +4746,15 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     each row with array higher-order functions — zero shuffle, zero
     UDF (operators/text.char_entropy).  Low entropy = mash/template
     residue, the Gopher-style quality screen's direct signal."""
+    from moz_datapipeline_spark.operators.spread import (
+        spread_small_scan,
+    )
     from moz_datapipeline_spark.operators.text import char_entropy
 
-    d = _t(spark, sf_dir, "documents")
+    # the operator ITSELF is contractually zero-shuffle (a projection
+    # — plan-asserted); parallelism for this single-file demo input is
+    # the caller's choice, so the conditional spread lives here
+    d = spread_small_scan(_t(spark, sf_dir, "documents"), "doc_id")
     return char_entropy(d)
 
 
@@ -4996,6 +5067,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kneser_ney": q_kneser_ney,
         "rollup_cube": q_rollup_cube,
         "cohen_kappa": q_cohen_kappa,
+        "profile_diff": q_profile_diff,
+        "margin_mining": q_margin_mining,
+        "topk_with_ties": q_topk_with_ties,
     }
 
 
@@ -9680,6 +9754,183 @@ FROM eaul_calc
     """
 
     sql["bootstrap_ci"] = _bootstrap_ci_oracle()
+
+    sql["topk_with_ties"] = """
+        WITH rev AS (
+          SELECT s.s_nationkey AS nationkey,
+                 s.s_suppkey AS suppkey,
+                 floor(sum(l_extendedprice * (1 - l_discount)) * 100
+                       + 0.5) / 100 AS revenue
+          FROM lineitem JOIN supplier s ON l_suppkey = s.s_suppkey
+          GROUP BY 1, 2
+        )
+        SELECT nationkey, suppkey, revenue,
+               CAST(rnk AS INT) AS rnk
+        FROM (
+          SELECT *,
+                 rank() OVER (PARTITION BY nationkey
+                              ORDER BY revenue DESC) AS rnk
+          FROM rev
+        ) WHERE rnk <= 3
+    """
+
+    sql["margin_mining"] = """
+        WITH a AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+          FROM embeddings WHERE label % 2 = 0
+        ), b AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+          FROM embeddings WHERE label % 2 = 1
+        ), ab AS (
+          SELECT a.vec_id AS qa, b.vec_id AS cb,
+                 list_cosine_similarity(a.emb, b.emb) AS cos
+          FROM a CROSS JOIN b WHERE a.vec_id <> b.vec_id
+        ), ba AS (
+          SELECT b.vec_id AS qb, a.vec_id AS ca,
+                 list_cosine_similarity(b.emb, a.emb) AS cos
+          FROM b CROSS JOIN a WHERE b.vec_id <> a.vec_id
+        ), nn_ab AS (
+          SELECT qa, cb, cos
+          FROM ab
+          QUALIFY row_number()
+                  OVER (PARTITION BY qa ORDER BY cos DESC, cb) <= 4
+        ), nn_ba AS (
+          SELECT qb, ca, cos
+          FROM ba
+          QUALIFY row_number()
+                  OVER (PARTITION BY qb ORDER BY cos DESC, ca) <= 4
+        ), da AS (
+          SELECT qa, avg(cos) AS d FROM nn_ab GROUP BY 1
+        ), db AS (
+          SELECT qb, avg(cos) AS d FROM nn_ba GROUP BY 1
+        ), cand AS (
+          SELECT nn_ab.qa, nn_ab.cb, nn_ab.cos,
+                 CASE WHEN da.d + db.d > 0
+                 THEN nn_ab.cos / ((da.d + db.d) / 2.0) END AS margin
+          FROM nn_ab
+          JOIN da ON da.qa = nn_ab.qa
+          JOIN db ON db.qb = nn_ab.cb
+        ), best AS (
+          SELECT qa, cb, cos, margin
+          FROM cand
+          QUALIFY row_number()
+                  OVER (PARTITION BY qa
+                        ORDER BY margin DESC NULLS LAST, cb) = 1
+        )
+        SELECT qa AS id_a, cb AS id_b,
+               round(cos, 6) AS cosine,
+               round(margin, 6) AS margin
+        FROM best WHERE margin >= 1.0
+    """
+
+    sql["profile_diff"] = """
+        WITH bsrc AS (
+          SELECT * FROM orders WHERE o_orderdate < DATE '1997-01-01'
+        ), asrc AS (
+          SELECT * FROM orders WHERE o_orderdate >= DATE '1997-01-01'
+        ), bp AS (
+          SELECT col, n_before, nulls_before, distinct_before,
+                 mean_before, var_before
+          FROM (
+            SELECT 'o_totalprice' AS col,
+                   CAST(count(*) AS BIGINT) AS n_before,
+                   CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1
+                            ELSE 0 END) AS BIGINT) AS nulls_before,
+                   CAST(count(DISTINCT o_totalprice) AS BIGINT)
+                     AS distinct_before,
+                   avg(CAST(o_totalprice AS DOUBLE)) AS mean_before,
+                   var_samp(CAST(o_totalprice AS DOUBLE)) AS var_before
+            FROM bsrc
+            UNION ALL
+            SELECT 'o_orderstatus',
+                   CAST(count(*) AS BIGINT),
+                   CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1
+                            ELSE 0 END) AS BIGINT),
+                   CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+                   NULL, NULL
+            FROM bsrc
+            UNION ALL
+            SELECT 'o_custkey',
+                   CAST(count(*) AS BIGINT),
+                   CAST(sum(CASE WHEN o_custkey IS NULL THEN 1
+                            ELSE 0 END) AS BIGINT),
+                   CAST(count(DISTINCT o_custkey) AS BIGINT),
+                   avg(CAST(o_custkey AS DOUBLE)),
+                   var_samp(CAST(o_custkey AS DOUBLE))
+            FROM bsrc
+          )
+        ), ap AS (
+          SELECT col, n_after, nulls_after, distinct_after,
+                 mean_after, var_after
+          FROM (
+            SELECT 'o_totalprice' AS col,
+                   CAST(count(*) AS BIGINT) AS n_after,
+                   CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1
+                            ELSE 0 END) AS BIGINT) AS nulls_after,
+                   CAST(count(DISTINCT o_totalprice) AS BIGINT)
+                     AS distinct_after,
+                   avg(CAST(o_totalprice AS DOUBLE)) AS mean_after,
+                   var_samp(CAST(o_totalprice AS DOUBLE)) AS var_after
+            FROM asrc
+            UNION ALL
+            SELECT 'o_orderstatus',
+                   CAST(count(*) AS BIGINT),
+                   CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1
+                            ELSE 0 END) AS BIGINT),
+                   CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+                   NULL, NULL
+            FROM asrc
+            UNION ALL
+            SELECT 'o_custkey',
+                   CAST(count(*) AS BIGINT),
+                   CAST(sum(CASE WHEN o_custkey IS NULL THEN 1
+                            ELSE 0 END) AS BIGINT),
+                   CAST(count(DISTINCT o_custkey) AS BIGINT),
+                   avg(CAST(o_custkey AS DOUBLE)),
+                   var_samp(CAST(o_custkey AS DOUBLE))
+            FROM asrc
+          )
+        ), j AS (
+          SELECT bp.col AS column_, n_before, n_after,
+                 CASE WHEN n_before > 0
+                   THEN CAST(nulls_before AS DOUBLE) / n_before END
+                   AS nrb,
+                 CASE WHEN n_after > 0
+                   THEN CAST(nulls_after AS DOUBLE) / n_after END
+                   AS nra,
+                 distinct_before, distinct_after,
+                 mean_before, mean_after,
+                 var_before / n_before + var_after / n_after AS se2
+          FROM bp JOIN ap ON ap.col = bp.col
+        ), z AS (
+          SELECT *,
+                 CASE WHEN mean_before IS NOT NULL
+                       AND mean_after IS NOT NULL AND se2 > 0
+                 THEN (mean_after - mean_before) / sqrt(se2) END AS mz
+          FROM j
+        )
+        SELECT column_ AS "column", n_before, n_after,
+               round(nrb, 6) AS null_ratio_before,
+               round(nra, 6) AS null_ratio_after,
+               distinct_before, distinct_after,
+               round(mean_before, 6) AS mean_before,
+               round(mean_after, 6) AS mean_after,
+               round(mz, 6) AS mean_z,
+               concat_ws(',',
+                 CASE WHEN abs(coalesce(nra, 0.0) - coalesce(nrb, 0.0))
+                           > 0.05 THEN 'completeness' END,
+                 CASE WHEN (CASE WHEN distinct_before > 0
+                            THEN abs(CAST(distinct_after AS DOUBLE)
+                                     - distinct_before)
+                                 / distinct_before > 0.5
+                            ELSE distinct_after > 0 END)
+                      THEN 'cardinality' END,
+                 CASE WHEN coalesce(abs(mz) > 3.0, FALSE)
+                      THEN 'mean_shift' END) AS flags
+        FROM z
+    """
 
     sql["cohen_kappa"] = """
         WITH rated AS (

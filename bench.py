@@ -195,6 +195,9 @@ HEADLINE = [
     "kneser_ney",
     "rollup_cube",
     "cohen_kappa",
+    "profile_diff",
+    "margin_mining",
+    "topk_with_ties",
     # incremental_dedup is oracle-checked but not benched here: a tiny
     # two-batch ingest is dominated by store round-trips and component
     # rounds (fixed job overhead, not operator throughput) — its scale

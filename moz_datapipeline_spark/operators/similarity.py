@@ -1715,3 +1715,82 @@ def semantic_decontaminate(
         "max_bench_cosine",
         (F.col("max_bench_cosine") >= threshold).alias("contaminated"),
     )
+
+
+def margin_mine_pairs(
+    side_a: DataFrame,
+    side_b: DataFrame,
+    k: int = 4,
+    threshold: float = 1.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Margin-based nearest-pair mining between two embedding sets
+    (Artetxe & Schwenk 2019 "ratio" margin — the standard bitext /
+    cross-snapshot alignment miner):
+
+        margin(x, y) = cos(x, y) /
+            ( (mean cos of x's k-NN in B + mean cos of y's k-NN in A) / 2 )
+
+    Absolute cosine is a poor pair score in high dimensions (hubness:
+    some vectors are close to EVERYTHING); dividing by the two local
+    neighborhood densities promotes pairs that are mutually special.
+    Returns each A-side row's best B-side candidate with
+    ``margin >= threshold``: ``(id_a, id_b, cosine, margin)``.
+
+    Plan: two bounded ``cosine_topk_bruteforce`` passes (broadcast
+    queries, map-side partial top-k bounding every rank exchange —
+    O(|A|·|B|) compute but never an unbounded shuffle), two k-row
+    mean folds, one equi join of the forward candidates against both
+    density tables, one per-query argmax window.  Swap the brute
+    passes for ``lsh_bucket_topk``/``ivf_topk`` above ~1e6 rows per
+    side — the margin fold is candidate-source-agnostic.
+    """
+    if k < 1:
+        raise ValueError("margin_mine_pairs: k must be >= 1")
+    nn_ab = cosine_topk_bruteforce(
+        side_b, side_a, k=k, id_col=id_col, vec_col=vec_col
+    )
+    nn_ba = cosine_topk_bruteforce(
+        side_a, side_b, k=k, id_col=id_col, vec_col=vec_col
+    )
+    dens_a = nn_ab.groupBy("query_id").agg(
+        F.avg("cosine").alias("_da")
+    )
+    dens_b = nn_ba.groupBy("query_id").agg(
+        F.avg("cosine").alias("_db")
+    )
+    cand = (
+        nn_ab.join(dens_a, "query_id")
+        .join(
+            dens_b.withColumnRenamed("query_id", "corpus_id"),
+            "corpus_id",
+        )
+        .withColumn(
+            # ANSI guard + semantics: margin is only meaningful with a
+            # positive neighborhood density (all-negative cosines mean
+            # the sides share no direction at all) — NULL drops the row
+            "margin",
+            F.when(
+                (F.col("_da") + F.col("_db")) > 0,
+                F.col("cosine")
+                / ((F.col("_da") + F.col("_db")) / F.lit(2.0)),
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("margin").desc(), F.col("corpus_id").asc()
+    )
+    return (
+        cand.withColumn("_r", F.row_number().over(w))
+        .filter(
+            (F.col("_r") == 1)
+            & (F.col("margin") >= F.lit(float(threshold)))
+        )
+        .select(
+            F.col("query_id").alias("id_a"),
+            F.col("corpus_id").alias("id_b"),
+            F.round("cosine", 6).alias("cosine"),
+            F.round("margin", 6).alias("margin"),
+        )
+    )

@@ -501,9 +501,6 @@ def char_entropy(
     evaluation, the row cost went quadratic — 720 s for the sf0.1
     corpus vs ~1 s for this run-fold.
     """
-    from .spread import spread_small_scan
-
-    df = spread_small_scan(df, id_col)
     t = F.col(text_col)
     s = F.array_sort(F.filter(F.split(t, ""), lambda x: x != ""))
     L = F.size(s)

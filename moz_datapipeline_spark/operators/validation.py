@@ -1007,3 +1007,139 @@ def cohen_kappa(
         F.round("_pe", 6).alias("expected_agreement"),
         F.round(kappa, 6).alias("kappa"),
     )
+
+
+def profile_diff(
+    before: DataFrame,
+    after: DataFrame,
+    columns: Sequence[str],
+    completeness_tol: float = 0.05,
+    distinct_ratio_tol: float = 0.5,
+    mean_shift_sigmas: float = 3.0,
+) -> DataFrame:
+    """Release-over-release profile drift report: per column,
+    ``(column, n_before, n_after, null_ratio_before/after,
+    distinct_before/after, mean_before/after, mean_z, flags)`` where
+    ``flags`` names every tripped alarm:
+
+    - ``completeness``  — null ratio moved more than ``completeness_tol``
+      (absolute);
+    - ``cardinality``   — distinct count changed by more than
+      ``distinct_ratio_tol`` relative to before;
+    - ``mean_shift``    — the mean moved more than
+      ``mean_shift_sigmas`` standard errors (Welch denominator);
+      numeric columns only.
+
+    The "did the new export break something?" gate a pipeline runs on
+    every snapshot BEFORE the expensive distributional tests
+    (``psi_drift`` / ``ks_test`` dig into columns this report flags).
+    One ``profile_columns``-shaped aggregate pass PER SIDE — two data
+    scans total for any column count — plus a |columns|-row join.
+    """
+    cols = list(columns)
+    if not cols:
+        raise ValueError("profile_diff: columns must be non-empty")
+
+    def _side(df: DataFrame, tag: str) -> DataFrame:
+        numeric = {
+            f.name
+            for f in df.schema.fields
+            if f.dataType.typeName()
+            in ("integer", "long", "double", "float", "short", "decimal")
+        }
+        exprs: list[Column] = [F.count("*").alias("_n")]
+        for c in cols:
+            col = F.col(c)
+            exprs.append(
+                F.sum(F.when(col.isNull(), 1).otherwise(0)).alias(
+                    f"_null_{c}"
+                )
+            )
+            exprs.append(F.countDistinct(col).alias(f"_dist_{c}"))
+            if c in numeric:
+                exprs.append(
+                    F.avg(col.cast("double")).alias(f"_mean_{c}")
+                )
+                exprs.append(
+                    F.var_samp(col.cast("double")).alias(f"_var_{c}")
+                )
+        row = df.agg(*exprs)
+        parts = []
+        for c in cols:
+            mean = (
+                F.col(f"_mean_{c}")
+                if c in numeric
+                else F.lit(None).cast("double")
+            )
+            var = (
+                F.col(f"_var_{c}")
+                if c in numeric
+                else F.lit(None).cast("double")
+            )
+            parts.append(
+                F.struct(
+                    F.lit(c).alias("column"),
+                    F.col("_n").cast("long").alias(f"n_{tag}"),
+                    F.col(f"_null_{c}").cast("long").alias(
+                        f"nulls_{tag}"
+                    ),
+                    F.col(f"_dist_{c}").cast("long").alias(
+                        f"distinct_{tag}"
+                    ),
+                    mean.alias(f"mean_{tag}"),
+                    var.alias(f"var_{tag}"),
+                )
+            )
+        return row.select(
+            F.explode(F.array(*parts)).alias("_r")
+        ).select("_r.*")
+
+    b = _side(before, "before")
+    a = _side(after, "after")
+    j = b.join(a, "column")
+    nb = F.col("n_before").cast("double")
+    na = F.col("n_after").cast("double")
+    null_rb = F.when(nb > 0, F.col("nulls_before") / nb)
+    null_ra = F.when(na > 0, F.col("nulls_after") / na)
+    comp_flag = (
+        F.abs(F.coalesce(null_ra, F.lit(0.0)) - F.coalesce(null_rb, F.lit(0.0)))
+        > F.lit(float(completeness_tol))
+    )
+    card_flag = F.when(
+        F.col("distinct_before") > 0,
+        F.abs(
+            F.col("distinct_after").cast("double")
+            - F.col("distinct_before").cast("double")
+        )
+        / F.col("distinct_before").cast("double")
+        > F.lit(float(distinct_ratio_tol)),
+    ).otherwise(F.col("distinct_after") > 0)
+    se2 = F.col("var_before") / nb + F.col("var_after") / na
+    mean_z = F.when(
+        F.col("mean_before").isNotNull()
+        & F.col("mean_after").isNotNull()
+        & (se2 > 0),
+        (F.col("mean_after") - F.col("mean_before")) / F.sqrt(se2),
+    )
+    mean_flag = F.coalesce(
+        F.abs(mean_z) > F.lit(float(mean_shift_sigmas)), F.lit(False)
+    )
+    flags = F.concat_ws(
+        ",",
+        F.when(comp_flag, F.lit("completeness")),
+        F.when(card_flag, F.lit("cardinality")),
+        F.when(mean_flag, F.lit("mean_shift")),
+    )
+    return j.select(
+        "column",
+        "n_before",
+        "n_after",
+        F.round(null_rb, 6).alias("null_ratio_before"),
+        F.round(null_ra, 6).alias("null_ratio_after"),
+        "distinct_before",
+        "distinct_after",
+        F.round("mean_before", 6).alias("mean_before"),
+        F.round("mean_after", 6).alias("mean_after"),
+        F.round(mean_z, 6).alias("mean_z"),
+        flags.alias("flags"),
+    )

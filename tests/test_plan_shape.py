@@ -435,7 +435,13 @@ def test_bm25_broadcasts_stats_and_df(spark, sf_dir):
 
 
 def test_char_entropy_is_pure_projection(spark, sf_dir):
-    plan = _plan(entry_mod.q_char_entropy(spark, sf_dir))
+    # pin the OPERATOR's contract (zero shuffle), not the demo query's
+    # — q_char_entropy adds a conditional spread_small_scan exchange
+    # for the single-file bench input, which is the caller's choice
+    from moz_datapipeline_spark.operators.text import char_entropy
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(char_entropy(docs))
     # per-row HOF fold: no exchange, no Python, no aggregate
     assert "Exchange" not in plan
     assert "Python" not in plan

@@ -591,3 +591,109 @@ def test_cohen_kappa_edge_cases(spark):
     df2 = spark.createDataFrame(rows, "a string, b string")
     r2 = cohen_kappa(df2, "a", "b").collect()[0]
     assert r2.kappa == -1.0
+
+
+def test_profile_diff_flags(spark):
+    from moz_datapipeline_spark.operators.validation import profile_diff
+
+    before = spark.createDataFrame(
+        [(float(i % 50), f"u{i}", float(i % 7)) for i in range(200)],
+        "x double, s string, y double",
+    )
+    # after: x mean shifted hard, s cardinality collapsed, y now 20% NULL
+    rows = []
+    for i in range(200):
+        rows.append(
+            (
+                float(i % 50) + 100.0,
+                f"u{i % 5}",
+                None if i % 5 == 0 else float(i % 7),
+            )
+        )
+    after = spark.createDataFrame(rows, "x double, s string, y double")
+    got = {
+        r.column: r
+        for r in profile_diff(before, after, ["x", "s", "y"]).collect()
+    }
+    assert "mean_shift" in got["x"].flags
+    assert "cardinality" in got["s"].flags
+    assert "completeness" in got["y"].flags
+    assert got["x"].n_before == 200 and got["x"].n_after == 200
+    # string column has no mean machinery
+    assert got["s"].mean_before is None and got["s"].mean_z is None
+    # stable column raises nothing
+    same = profile_diff(before, before, ["x"]).collect()[0]
+    assert same.flags == ""
+    with pytest.raises(ValueError, match="columns"):
+        profile_diff(before, after, [])
+
+
+def test_margin_mine_pairs_matches_reference(spark):
+    from moz_datapipeline_spark.operators.similarity import (
+        margin_mine_pairs,
+    )
+
+    import itertools
+
+    import hashlib as _hl
+
+    def vec(seed, dim=8):
+        # md5-mixed signed coordinates: genuinely independent
+        # directions (arithmetic/multiplicative constructions make
+        # every vector a shifted progression and cosines collapse)
+        return [
+            (int(_hl.md5(f"{seed}:{j}".encode()).hexdigest()[:8], 16)
+             % 1000) / 500.0 - 1.0 + 0.001
+            for j in range(dim)
+        ]
+
+    # planted translations: b-vector 1000+i is a near-copy of a-vector i
+    a_rows = [(i, vec(i)) for i in range(12)]
+    b_rows = [
+        (1000 + i, [v + 0.01 * ((i + j) % 3) for j, v in enumerate(vec(i))])
+        for i in range(12)
+    ] + [(2000 + i, vec(100 + i)) for i in range(8)]  # distractors
+    a = spark.createDataFrame(a_rows, "vec_id long, embedding array<double>")
+    b = spark.createDataFrame(b_rows, "vec_id long, embedding array<double>")
+
+    k = 3
+    got = {
+        r.id_a: r for r in margin_mine_pairs(a, b, k=k, threshold=1.0).collect()
+    }
+
+    import math
+
+    def cos(x, y):
+        d = sum(p * q for p, q in zip(x, y))
+        nx = math.sqrt(sum(p * p for p in x))
+        ny = math.sqrt(sum(q * q for q in y))
+        return d / (nx * ny)
+
+    av = dict(a_rows)
+    bv = dict(b_rows)
+    da = {
+        i: sum(sorted((cos(av[i], y) for y in bv.values()), reverse=True)[:k]) / k
+        for i in av
+    }
+    db = {
+        j: sum(sorted((cos(bv[j], x) for x in av.values()), reverse=True)[:k]) / k
+        for j in bv
+    }
+    want = {}
+    for i in av:
+        cands = sorted(
+            ((cos(av[i], bv[j]), j) for j in bv), reverse=True
+        )[:k]
+        best = max(
+            cands,
+            key=lambda cj: (cj[0] / ((da[i] + db[cj[1]]) / 2), -cj[1]),
+        )
+        m = best[0] / ((da[i] + db[best[1]]) / 2)
+        if m >= 1.0:
+            want[i] = (best[1], round(m, 6))
+    assert {i: (r.id_b, r.margin) for i, r in got.items()} == want
+    # most planted translations surface as the best pair (the modular
+    # test vectors occasionally collide in direction — the exact-match
+    # assert above is the real contract, this is the smoke signal)
+    hits = sum(1 for i in range(12) if i in got and got[i].id_b == 1000 + i)
+    assert hits >= 9, hits
