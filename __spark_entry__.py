@@ -4385,6 +4385,7 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rid",
         group_cols=["rflag"],
         replicates=32,
+        portable=_portable_hash_mode(),
     )
     return out
 
@@ -5081,8 +5082,10 @@ def _bootstrap_ci_oracle(B: int = 32, lo: float = 0.025, hi: float = 0.975) -> s
     from moz_datapipeline_spark.operators.analytics import _POIS1_CDF
 
     def w_expr(b: int) -> str:
+        off = 1 if b % 2 == 0 else 17
         u = (
-            f"((CAST(('0x' || substr(md5('boot:{b}:' || rid), 1, 15)) "
+            f"((CAST(('0x' || substr(md5('boot:{b // 2}:' || rid), "
+            f"{off}, 15)) "
             "AS BIGINT) + 1.0) / 1152921504606846976.0)"
         )
         cas = "CASE "

@@ -1738,21 +1738,72 @@ def margin_mine_pairs(
     Returns each A-side row's best B-side candidate with
     ``margin >= threshold``: ``(id_a, id_b, cosine, margin)``.
 
-    Plan: two bounded ``cosine_topk_bruteforce`` passes (broadcast
-    queries, map-side partial top-k bounding every rank exchange —
-    O(|A|·|B|) compute but never an unbounded shuffle), two k-row
-    mean folds, one equi join of the forward candidates against both
-    density tables, one per-query argmax window.  Swap the brute
-    passes for ``lsh_bucket_topk``/``ivf_topk`` above ~1e6 rows per
+    Plan: the A×B grid is scored ONCE (cosine is symmetric; a
+    two-pass formulation doubles the dominant cost) with B broadcast
+    and A spread across the cluster; each direction's top-k derives
+    from that one scored frame via map-side partial top-k bounding
+    the rank exchange; then two k-row mean folds, one equi join of
+    the forward candidates against both density tables, one
+    per-query argmax window.  Swap the brute grid for
+    ``lsh_bucket_topk``/``ivf_topk`` candidates above ~1e6 rows per
     side — the margin fold is candidate-source-agnostic.
     """
     if k < 1:
         raise ValueError("margin_mine_pairs: k must be >= 1")
-    nn_ab = cosine_topk_bruteforce(
-        side_b, side_a, k=k, id_col=id_col, vec_col=vec_col
+    from moz_datapipeline_spark.operators.spread import spread_small_scan
+
+    # cosine is symmetric: score the A×B grid ONCE and derive both
+    # directions' top-k from it (the two-bruteforce-pass formulation
+    # doubles the dominant cost for nothing).  A is the partitioned
+    # side — spread it if it arrived as one small file — and B
+    # broadcasts, the cosine_topk_bruteforce convention.
+    a = spread_small_scan(
+        side_a.select(
+            F.col(id_col).alias("_ida"), _as_double(vec_col).alias("_va")
+        ),
+        "_ida",
     )
-    nn_ba = cosine_topk_bruteforce(
-        side_a, side_b, k=k, id_col=id_col, vec_col=vec_col
+    b = side_b.select(
+        F.col(id_col).alias("_idb"), _as_double(vec_col).alias("_vb")
+    )
+    scored = (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("_ida") != F.col("_idb"))
+        .select(
+            "_ida",
+            "_idb",
+            cosine(F.col("_va"), F.col("_vb")).alias("cosine"),
+        )
+    )
+    pruned_ab = _partition_topk(
+        scored, ["_ida"], "cosine", "_idb", k, ascending=False
+    )
+    wa = Window.partitionBy("_ida").orderBy(
+        F.col("cosine").desc(), F.col("_idb").asc()
+    )
+    nn_ab = (
+        pruned_ab.withColumn("rank", F.row_number().over(wa))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("_ida").alias("query_id"),
+            F.col("_idb").alias("corpus_id"),
+            "cosine",
+        )
+    )
+    pruned_ba = _partition_topk(
+        scored, ["_idb"], "cosine", "_ida", k, ascending=False
+    )
+    wb = Window.partitionBy("_idb").orderBy(
+        F.col("cosine").desc(), F.col("_ida").asc()
+    )
+    nn_ba = (
+        pruned_ba.withColumn("rank", F.row_number().over(wb))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("_idb").alias("query_id"),
+            F.col("_ida").alias("corpus_id"),
+            "cosine",
+        )
     )
     dens_a = nn_ab.groupBy("query_id").agg(
         F.avg("cosine").alias("_da")

@@ -393,11 +393,11 @@ def _boot_ref(rows, key_fn, B=64, lo=0.025, hi=0.975, seed="boot"):
     for b in range(B):
         swy = sw = 0.0
         for key, y in rows:
-            h = int(
-                hashlib.md5(f"{seed}:{b}:{key_fn(key)}".encode())
-                .hexdigest()[:15],
-                16,
-            )
+            hx = hashlib.md5(
+                f"{seed}:{b // 2}:{key_fn(key)}".encode()
+            ).hexdigest()
+            sl = hx[0:15] if b % 2 == 0 else hx[16:31]
+            h = int(sl, 16)
             u = (h + 1) / float(1 << 60)
             w = w_of(u)
             swy += w * y
@@ -697,3 +697,21 @@ def test_margin_mine_pairs_matches_reference(spark):
     # assert above is the real contract, this is the smoke signal)
     hits = sum(1 for i in range(12) if i in got and got[i].id_b == 1000 + i)
     assert hits >= 9, hits
+
+
+def test_bootstrap_ci_fast_mode_statistically_agrees(spark):
+    """xxhash64 mode draws DIFFERENT replicates but the same
+    inferential answer: identical n/mean, overlapping CIs around the
+    true mean (the dedup dual-mode contract)."""
+    from moz_datapipeline_spark.operators.analytics import bootstrap_ci
+
+    rows = [(i, 10.0 + (i * 13) % 21) for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, y double")
+    a = bootstrap_ci(df, "y", "id", replicates=32).collect()[0]
+    b = bootstrap_ci(
+        df, "y", "id", replicates=32, portable=False
+    ).collect()[0]
+    assert (a.n, a.mean) == (b.n, b.mean)
+    true_mean = sum(y for _, y in rows) / 400
+    for r in (a, b):
+        assert r.ci_lo < true_mean < r.ci_hi
