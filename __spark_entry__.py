@@ -1811,7 +1811,11 @@ def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    return label_propagation(fwd, rounds=_LPA_ROUNDS)
+    # eager: materialize each round and release its predecessor —
+    # lazy mode persists NOTHING by design (the r7 cache-leak fix),
+    # so a multi-round lazy plan over an EXPENSIVE edge build would
+    # re-derive the orders⨝lineitem join once per appearance
+    return label_propagation(fwd, rounds=_LPA_ROUNDS, eager=True)
 
 
 def _lpa_oracle(rounds: int = _LPA_ROUNDS) -> str:

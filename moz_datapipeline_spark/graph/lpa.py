@@ -67,6 +67,21 @@ def label_propagation(
     Isolated nodes cannot appear (the node set derives from the edge
     list); callers tracking singletons should union them back with
     ``label = node`` afterwards.
+
+    Cache contract (the r7 leak fix, revised after measuring): the
+    restructured rounds consume the previous labels frame exactly
+    ONCE (vote-less nodes are a static precomputed set), so the
+    per-round frames never need pinning in EITHER mode; only the two
+    STATIC frames — the deduped edge list and the vote-less set,
+    each referenced every round — persist for the duration of the
+    call.  ``eager=True`` materializes the (persisted) result,
+    releases both statics, and returns a frame the caller unpersists
+    when done — at most ONE cached frame survives the call (pinned by
+    ``tests/test_cache_contract``).  ``eager=False`` stays a fully
+    lazy single-job plan: the statics remain pinned for the returned
+    frame's lifetime (re-deriving an expensive edge build once per
+    round per appearance measured ~9× slower), documented here
+    instead of leaked silently.
     """
     if rounds < 0:
         raise ValueError("label_propagation: rounds must be >= 0")
@@ -75,11 +90,7 @@ def label_propagation(
         e = e.unionByName(
             e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
-    e = e.filter(F.col("src") != F.col("dst")).distinct()
-    if eager:
-        # eager mode follows the pagerank contract: invariants persist
-        # for the duration of the call and are released before return
-        e = e.persist()
+    e = e.filter(F.col("src") != F.col("dst")).distinct().persist()
 
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -90,38 +101,37 @@ def label_propagation(
     # receives a vote in any round, so its label stays its init value
     # (= node id) forever.  Computing that set once lets each round
     # consume the previous labels frame exactly ONCE (winners cover
-    # precisely the distinct-dst set), which keeps the lazy plan linear
-    # in ``rounds`` with NO persist — lazy mode no longer pins
-    # rounds+1 frames for the application lifetime.
+    # precisely the distinct-dst set), keeping the plan linear in
+    # ``rounds`` with no per-round pinning.
     voteless = nodes.join(
         e.select(F.col("dst").alias("node")).distinct(), "node", "anti"
-    ).withColumn("label", F.col("node"))
-    if eager:
-        voteless = voteless.persist()
+    ).withColumn("label", F.col("node")).persist()
 
     labels = nodes.withColumn("label", F.col("node"))
-    w = Window.partitionBy("node")
-    prev_cached: DataFrame | None = None
     for _ in range(rounds):
         votes = (
             e.join(labels, e["src"] == labels["node"])
             .groupBy(F.col("dst").alias("node"), F.col("label"))
             .agg(F.count(F.lit(1)).alias("_cnt"))
         )
-        winners = (
-            votes.withColumn("_mx", F.max("_cnt").over(w))
-            .filter(F.col("_cnt") == F.col("_mx"))
-            .groupBy("node")
-            .agg(F.min("label").alias("label"))
-        )
+        # argmax by (count desc, label asc) as ONE hash aggregate:
+        # min over struct(-count, label) orders lexicographically —
+        # the negated COUNT (always ≥ 1, no overflow edge) gives
+        # count-descending, the raw label breaks ties ascending.
+        # Saves the window sort + second aggregate per round.
+        winners = votes.groupBy("node").agg(
+            F.min(
+                F.struct(
+                    (-F.col("_cnt")).alias("nc"),
+                    F.col("label").alias("l"),
+                )
+            ).alias("_w")
+        ).select("node", F.col("_w.l").alias("label"))
         labels = winners.unionByName(voteless)
-        if eager:
-            labels = labels.persist()
-            labels.count()
-            if prev_cached is not None:
-                prev_cached.unpersist()
-            prev_cached = labels
+    result = labels.select("node", "label")
     if eager:
+        result = result.persist()
+        result.count()
         e.unpersist()
         voteless.unpersist()
-    return labels.select("node", "label")
+    return result
