@@ -4531,6 +4531,70 @@ def q_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fdr_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drift battery + Benjamini–Hochberg step-up: per nation, a
+    Welch z / A-S-polynomial p-value for the early-vs-late order
+    value shift, then FDR correction over the 25-test battery
+    (operators/validation.fdr_correct) — the honest multiple-testing
+    end of the validation suite.  VALUE oracle: identical battery +
+    BH fold in DuckDB."""
+    from moz_datapipeline_spark.operators.validation import fdr_correct
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    j = o.join(c, o["o_custkey"] == c["c_custkey"]).select(
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("o_totalprice").cast("double").alias("v"),
+        (F.col("o_orderdate") < F.lit("1997-01-01")).alias("early"),
+    )
+    per = j.groupBy("nationkey").agg(
+        F.count(F.when(F.col("early"), 1)).cast("double").alias("na"),
+        F.avg(F.when(F.col("early"), F.col("v"))).alias("ma"),
+        F.var_samp(F.when(F.col("early"), F.col("v"))).alias("va"),
+        F.count(F.when(~F.col("early"), 1)).cast("double").alias("nb"),
+        F.avg(F.when(~F.col("early"), F.col("v"))).alias("mb"),
+        F.var_samp(F.when(~F.col("early"), F.col("v"))).alias("vb"),
+    )
+    se2 = F.col("va") / F.col("na") + F.col("vb") / F.col("nb")
+    z = F.when(
+        (F.col("na") >= 2) & (F.col("nb") >= 2) & (se2 > 0),
+        (F.col("mb") - F.col("ma")) / F.sqrt(se2),
+    )
+    az = F.abs(z) / F.sqrt(F.lit(2.0))
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(0.3275911) * az)
+    poly = (
+        F.lit(0.254829592) * t
+        - F.lit(0.284496736) * (t ** 2)
+        + F.lit(1.421413741) * (t ** 3)
+        - F.lit(1.453152027) * (t ** 4)
+        + F.lit(1.061405429) * (t ** 5)
+    )
+    p = F.when(z.isNotNull(), poly * F.exp(-az * az))
+    battery = per.select(
+        "nationkey", F.round(p, 9).alias("p")
+    )
+    out = fdr_correct(battery, "p", alpha=0.05, id_cols=["nationkey"])
+    return out.select(
+        "nationkey", "p", "rank", "bh_threshold", "discovery"
+    )
+
+
+def q_dataset_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent dataset fingerprint of a 3-column lineitem
+    projection (operators/validation.dataset_fingerprint): 60-bit md5
+    row hashes folded with XOR and decimal SUM — one hash aggregate,
+    partitioning/row-order invariant by algebra.  VALUE oracle:
+    identical rendering + bit_xor/sum fold in DuckDB."""
+    from moz_datapipeline_spark.operators.validation import (
+        dataset_fingerprint,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    return dataset_fingerprint(
+        li, ["l_orderkey", "l_linenumber", "l_suppkey"]
+    )
+
+
 def q_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-mixture resampling: rebalance three sources to 50/25/25
     target weights, keeping the maximum corpus that matches the mixture
@@ -5075,6 +5139,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_diff": q_profile_diff,
         "margin_mining": q_margin_mining,
         "topk_with_ties": q_topk_with_ties,
+        "fdr_battery": q_fdr_battery,
+        "dataset_fingerprint": q_dataset_fingerprint,
     }
 
 
@@ -9761,6 +9827,85 @@ FROM eaul_calc
     """
 
     sql["bootstrap_ci"] = _bootstrap_ci_oracle()
+
+    sql["fdr_battery"] = """
+        WITH j AS (
+          SELECT c.c_nationkey AS nationkey,
+                 CAST(o_totalprice AS DOUBLE) AS v,
+                 o_orderdate < DATE '1997-01-01' AS early
+          FROM orders JOIN customer c ON o_custkey = c.c_custkey
+        ), per AS (
+          SELECT nationkey,
+                 CAST(count(*) FILTER (early) AS DOUBLE) AS na,
+                 avg(v) FILTER (early) AS ma,
+                 var_samp(v) FILTER (early) AS va,
+                 CAST(count(*) FILTER (NOT early) AS DOUBLE) AS nb,
+                 avg(v) FILTER (NOT early) AS mb,
+                 var_samp(v) FILTER (NOT early) AS vb
+          FROM j GROUP BY 1
+        ), zc AS (
+          SELECT nationkey,
+                 CASE WHEN na >= 2 AND nb >= 2
+                       AND va / na + vb / nb > 0
+                 THEN (mb - ma) / sqrt(va / na + vb / nb) END AS z
+          FROM per
+        ), pc AS (
+          SELECT nationkey, z,
+                 abs(z) / sqrt(2.0) AS az,
+                 1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))) AS t
+          FROM zc
+        ), battery AS (
+          SELECT nationkey,
+                 round(CASE WHEN z IS NOT NULL THEN
+                   (0.254829592*t - 0.284496736*t*t
+                    + 1.421413741*t*t*t - 1.453152027*t*t*t*t
+                    + 1.061405429*t*t*t*t*t) * exp(-az*az)
+                 END, 9) AS p
+          FROM pc
+        ), m AS (
+          SELECT CAST(count(*) AS DOUBLE) AS m
+          FROM battery WHERE p IS NOT NULL
+        ), ranked AS (
+          SELECT nationkey, p,
+                 CAST(row_number() OVER (ORDER BY p, nationkey)
+                      AS BIGINT) AS rank
+          FROM battery WHERE p IS NOT NULL
+        ), thr AS (
+          SELECT nationkey, p, rank,
+                 round(rank / m.m * 0.05, 9) AS bh_threshold
+          FROM ranked CROSS JOIN m
+        ), km AS (
+          SELECT coalesce(max(CASE WHEN p <= bh_threshold
+                           THEN rank END), 0) AS kmax
+          FROM thr
+        )
+        SELECT thr.nationkey, thr.p, thr.rank, thr.bh_threshold,
+               thr.rank <= km.kmax AS discovery
+        FROM thr CROSS JOIN km
+        UNION ALL
+        SELECT nationkey, p,
+               CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), FALSE
+        FROM battery WHERE p IS NULL
+    """
+
+    sql["dataset_fingerprint"] = """
+        WITH h AS (
+          SELECT CAST(('0x' || substr(md5(
+                   coalesce(CAST(l_orderkey AS VARCHAR), '\\N')
+                   || chr(31)
+                   || coalesce(CAST(l_linenumber AS VARCHAR), '\\N')
+                   || chr(31)
+                   || coalesce(CAST(l_suppkey AS VARCHAR), '\\N')
+                 ), 1, 15)) AS BIGINT) AS hv
+          FROM lineitem
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(coalesce(bit_xor(hv), 0) AS BIGINT)
+                 AS xor_fingerprint,
+               CAST(coalesce(sum(CAST(hv AS HUGEINT)), 0)
+                    % 1099511627776 AS BIGINT) AS sum_fingerprint
+        FROM h
+    """
 
     sql["topk_with_ties"] = """
         WITH rev AS (

