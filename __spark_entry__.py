@@ -4368,8 +4368,9 @@ def q_ab_test_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Poisson-bootstrap 95% CI for mean extended price per return
-    flag, 32 deterministic md5-seeded replicates in ONE hash
-    aggregate — no explode, no data duplication
+    flag, 32 deterministic md5-seeded replicates: the replicate axis
+    is exploded (one md5 funds two replicates) and ONE hash aggregate
+    computes two plain codegen'd sums per (group, replicate)
     (operators/analytics.bootstrap_ci).  VALUE oracle: identical
     weight ladder, sums, and array-quantile interpolation in
     DuckDB."""

@@ -3,13 +3,31 @@
 
 Prints ONE JSON line:
     {"metric": "...", "value": <total sec>, "unit": "sec",
-     "queries": {"<name>": sec, ...}, "sf": <sf>}
+     "queries": {"<name>": sec, ...}, "queries_cold": {...}, "sf": <sf>}
 
-Each query is fully materialized via the noop writer (no driver collect,
-no result-size bias) after a warm-up of the session. Per query the
-MEDIAN of $SPARK_GRAFT_BENCH_REPEATS runs (default 3) is reported —
-single runs on a shared VM swing ±40%, and the first execution pays
-one-off plan compilation that a resident engine would not.
+The headline set is the ENTIRE query registry minus a documented
+exclusion list (`EXCLUDED`, reason per key) — nothing slow can hide
+off-bench.  Each query is fully materialized via the noop writer (no
+driver collect, no result-size bias).
+
+Two numbers per query:
+
+- ``queries`` (the headline metric, continuous with earlier rounds):
+  the MEDIAN of $SPARK_GRAFT_BENCH_REPEATS runs (default 3) after one
+  untimed-for-this-metric first execution — single runs on a shared VM
+  swing ±40%, and the first execution pays one-off plan compilation a
+  resident engine would not.
+- ``queries_cold``: that FIRST execution, taken immediately after
+  `spark.catalog.clearCache()` with an asserted-empty storage registry
+  — no cacheManager plan-fragment reuse from sibling repeats, so
+  operators that persist() internally are not flattered.  It includes
+  one-off plan compilation; treat it as an upper bound.
+
+``--cold`` (or SPARK_GRAFT_BENCH_COLD=1) makes EVERY repeat cold
+(clearCache + registry assert between runs) and reports the cold
+median as the headline metric with ``"mode": "cold"`` — the
+apples-to-apples protocol when chasing a regression on an operator
+that caches internally.
 """
 
 from __future__ import annotations
@@ -33,182 +51,27 @@ from moz_datapipeline_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-#: headline queries — one per operator family, heavy ones included
-HEADLINE = [
-    "pricing_summary",
-    "proj_filter",
-    "global_max_normalize",
-    "percentile_filter",
-    "multiway_join",
-    "shipping_priority",
-    "local_supplier_volume",
-    "conditional_agg_priority",
-    "distinct_supplier_variety",
-    "merge_indicators",
-    "argmin_join",
-    "reverse_pair_fold",
-    "unpivot",
-    "trapezoid_integration",
-    "weighted_average",
-    "haversine_length",
-    "spatial_bbox_join",
-    "events_hourly",
-    "sessionization",
-    "dedup_exact",
-    "funnel_conversion",
-    "quality_funnel",
-    "view_click_attribution",
-    "cohort_retention",
-    "approx_distinct",
-    "repetition_stats",
-    "vocab_stats",
-    "tfidf_terms",
-    "decontaminate",
-    "domain_cap",
-    "random_projection",
-    "kmeans",
-    "late_shipment_priority",
-    "customer_order_distribution",
-    "disjunctive_filter",
-    "bilateral_volume",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_clusters",
-    "similarity_topk",
-    "embedding_near_dup",
-    "token_count",
-    "quality_score",
-    "lang_id",
-    "redact_pii",
-    "doc_chunks",
-    "pack_documents",
-    "quantize_embeddings",
-    "bridge_snap",
-    "flood_ead",
-    "json_props",
-    "criticality",
-    "eaul",
-    "raster_stats",
-    "asof_join",
-    "range_join_bucketed",
-    "multi_resolution_rollup",
-    "boilerplate_lines",
-    "embedding_covariance",
-    "pq_adc_rerank",
-    "ivfadc_rerank",
-    "video_frames",
-    "image_resize",
-    "stratified_sample",
-    "pagerank",
-    "bloom_semi_join",
-    "lm_score",
-    "mixture_resample",
-    "duplicate_spans",
-    "temperature_resample",
-    "triangle_count",
-    "zorder_curve",
-    "cms_heavy_hitters",
-    "weighted_sample",
-    "lsh_topk",
-    "pagerank_personalized",
-    "semantic_dedup",
-    "ngram_containment",
-    "batch_by_length",
-    "negative_sample",
-    "ivf_indexed",
-    "embed_documents",
-    "quality_probe",
-    "shard_assignment",
-    "warc_roundtrip",
-    "curation_pipeline",
-    "url_canonical",
-    "semantic_decontaminate",
-    "bpe_merges",
-    "corpus_split",
-    "image_near_dup",
-    "warc_cdx_fetch",
-    "disjunctive_revenue",
-    "audio_near_dup",
-    "budget_resample",
-    "bpe_segment",
-    "kcore",
-    "corpus_diff",
-    "fuzzy_join",
-    "corpus_report",
-    "bm25_topk",
-    "conjunctive_search",
-    "posting_store_search",
-    "hll_distinct",
-    "validate_constraints",
-    "profile_columns",
-    "value_histogram",
-    "char_entropy",
-    "normalize_unicode",
-    "anomaly_zscore",
-    "more_like_this",
-    "depth_histogram",
-    "source_overlap",
-    "winsorize",
-    "robust_scale",
-    "lm_trigram",
-    "global_rank",
-    "ngram_diversity",
-    "ewma_smooth",
-    "event_paths",
-    "copurchase_lift",
-    "kmv_distinct",
-    "scd2_merge",
-    "peak_concurrency",
-    "lpa_communities",
-    "pmi_collocations",
-    "psi_drift",
-    "cusum_changepoints",
-    "relational_division",
-    "seasonal_decompose",
-    "group_sample",
-    "pareto_frontier",
-    "lag_features",
-    "mutual_information",
-    "golden_record",
-    "interval_coverage",
-    "sorted_neighborhood",
-    "benford_audit",
-    "autocorrelation",
-    "chi_square",
-    "quantile_normalize",
-    "weighted_median",
-    "grouped_ols",
-    "ks_drift",
-    "set_similarity",
-    "link_prediction",
-    "importance_resample",
-    "kmv_overlap",
-    "hits_scores",
-    "mann_kendall",
-    "correlation_matrix",
-    "rrf_fusion",
-    "harmonic_centrality",
-    "gap_fill",
-    "ab_test_cuped",
-    "bootstrap_ci",
-    "kneser_ney",
-    "rollup_cube",
-    "cohen_kappa",
-    "profile_diff",
-    "margin_mining",
-    "topk_with_ties",
-    "fdr_battery",
-    "dataset_fingerprint",
-    # incremental_dedup is oracle-checked but not benched here: a tiny
-    # two-batch ingest is dominated by store round-trips and component
-    # rounds (fixed job overhead, not operator throughput) — its scale
-    # behavior is the dedup rehearsal's job (scale_check.py)
-]
+#: registry keys NOT benched, each with the reason it is excluded —
+#: everything else in `queries()` is benched automatically, so a new
+#: query joins the bench the moment it is registered.
+EXCLUDED = {
+    # a tiny two-batch ingest is dominated by store round-trips and
+    # component rounds (fixed job overhead, not operator throughput) —
+    # its scale behavior is the dedup rehearsal's job (scale_check.py)
+    "incremental_dedup": "store round-trip dominated; see scale_check",
+}
+
+
+def _storage_registry_empty(spark) -> bool:
+    infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    return len(infos) == 0
 
 
 def main() -> None:
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else -1.0
+    cold_mode = "--cold" in sys.argv[1:] or os.environ.get(
+        "SPARK_GRAFT_BENCH_COLD", "0"
+    ) == "1"
     spark = get_spark(app_name="moz_datapipeline_spark_bench")
 
     # warm up the JVM + parquet footers once, outside the timed region
@@ -216,19 +79,38 @@ def main() -> None:
 
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
     qs = entry_mod.queries()
+    for k in EXCLUDED:
+        assert k in qs, f"EXCLUDED key {k!r} is not in the registry"
+    headline = [k for k in qs if k not in EXCLUDED]
+
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    cold: dict[str, float] = {}
+    for name in headline:
         fn = qs[name]
-        # drop cached blocks leaked by earlier queries (the dedup/ANN
-        # operators persist signature tables inside their plans) so each
-        # query is timed against a clean storage pool, not the previous
-        # 50 queries' evicting caches
-        spark.catalog.clearCache()
-        runs = []
-        for _ in range(repeats):
+
+        def _one_run() -> float:
             t0 = time.perf_counter()
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            runs.append(time.perf_counter() - t0)
+            return time.perf_counter() - t0
+
+        def _clear() -> None:
+            # drop cached blocks so this run is timed against a clean
+            # storage pool; the cache contract (test_cache_contract)
+            # says operators release their own persists — assert it,
+            # because a leak here silently flatters every later query
+            spark.catalog.clearCache()
+            assert _storage_registry_empty(spark), (
+                f"persisted RDDs leaked into the bench before {name!r}: "
+                "an operator is not releasing its cache"
+            )
+
+        _clear()
+        cold[name] = round(_one_run(), 3)
+        runs = []
+        for _ in range(repeats):
+            if cold_mode:
+                _clear()
+            runs.append(_one_run())
         timings[name] = round(statistics.median(runs), 3)
 
     total = round(sum(timings.values()), 3)
@@ -237,11 +119,15 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_cold": cold,
+        "cold_total": round(sum(cold.values()), 3),
+        "mode": "cold" if cold_mode else "warm",
+        "excluded": EXCLUDED,
         "sf": sf,
         "repeats": repeats,
     }
     line = json.dumps(payload)
-    # the driver captures a bounded TAIL of stdout; with 80+ queries the
+    # the driver captures a bounded TAIL of stdout; with 200 queries the
     # one-line object can overrun that window and truncate from the
     # head, leaving an unparseable fragment.  Persist the full object to
     # a sibling file (the durable artifact), then print the full line

@@ -39,8 +39,9 @@ def quantile_normalize(
 
     Plan: ONE exact-percentile aggregate over the reference produces
     the boundary array (a single broadcast row); the mapping is a pure
-    JVM array-HOF projection (count-of-boundaries-≤-x + interpolate) —
-    no join on data, no window, no Python.  Runs of EQUAL boundaries
+    JVM array-HOF projection (O(log q) bisection for
+    count-of-boundaries-≤-x + interpolate) — no join on data, no
+    window, no Python.  Runs of EQUAL boundaries
     (heavily-tied data) resolve to the run's right edge (fraction 1),
     keeping the map monotone.  Scale note: same trade as
     ``equi_depth_histogram`` — swap ``percentile`` for
@@ -56,17 +57,44 @@ def quantile_normalize(
     bounds = ref.agg(
         F.expr(f"percentile({column}, array({probs}))").alias("_qb")
     )
+    import math
+
     x = F.col(column).cast("double")
     b = F.col("_qb")
-    # STAGED projections, not one expression tree: the boundary-count
-    # filter and the element_at lookups each appear once as a non-cheap
+    # boundary lookup is a BISECTION, not a linear array-filter: the
+    # boundaries are sorted, so count-of-boundaries-≤-x is bisect_right
+    # — ceil(log2(q+2)) fixed iterations of an aggregate() fold over a
+    # constant sequence (7 comparisons at q=100 vs 101), identical
+    # result including ties (rightmost index of a run) and NaN
+    # (sorts above every double → count q+1 → position 1.0)
+    n_b = q + 1
+    bis_steps = max(1, math.ceil(math.log2(n_b + 1)))
+    bisect = (
+        f"aggregate(sequence(1, {bis_steps}), "
+        f"named_struct('lo', 0, 'hi', {n_b}), "
+        "(acc, i) -> IF(acc.lo >= acc.hi, acc, "
+        "IF(element_at(_qb, CAST((acc.lo + acc.hi + 1) / 2 AS INT)) <= _qx, "
+        "named_struct('lo', CAST((acc.lo + acc.hi + 1) / 2 AS INT), "
+        "'hi', acc.hi), "
+        "named_struct('lo', acc.lo, "
+        "'hi', CAST((acc.lo + acc.hi + 1) / 2 AS INT) - 1))), "
+        "acc -> acc.lo)"
+    )
+    # STAGED projections, not one expression tree: the boundary count
+    # and the element_at lookups each appear once as a non-cheap
     # multi-use alias, which CollapseProject refuses to inline — in a
-    # single tree the 101-element filter is re-evaluated per USE (ANSI's
-    # lazy CASE also blocks codegen subexpression elimination), which
-    # measured ~2.5x slower end to end
+    # single tree the lookup is re-evaluated per USE (ANSI's lazy CASE
+    # also blocks codegen subexpression elimination), which measured
+    # ~2.5x slower end to end
     step = (
         df.join(F.broadcast(bounds))
-        .withColumn("_qi", F.size(F.filter(b, lambda e: e <= x)))
+        .withColumn("_qx", x)
+        .withColumn(
+            "_qi",
+            F.when(
+                b.isNotNull() & F.col("_qx").isNotNull(), F.expr(bisect)
+            ),
+        )
         .withColumn(
             "_qlo",
             F.when(
@@ -91,4 +119,6 @@ def quantile_normalize(
         .when(F.col("_qi") >= q + 1, F.lit(1.0))
         .otherwise(((F.col("_qi") - 1) + frac) / q)
     )
-    return step.withColumn(out_col, pos).drop("_qb", "_qi", "_qlo", "_qhi")
+    return step.withColumn(out_col, pos).drop(
+        "_qb", "_qx", "_qi", "_qlo", "_qhi"
+    )

@@ -33,7 +33,7 @@ def link_prediction_scores(
     src: str = "src",
     dst: str = "dst",
     symmetrize: bool = True,
-    max_wedge_degree: int | None = None,
+    max_wedge_degree: int | None = 1000,
     stats: dict | None = None,
 ) -> DataFrame:
     """Score every non-adjacent 2-hop pair: ``(node_a < node_b,
@@ -53,6 +53,14 @@ def link_prediction_scores(
     hazard.  ``stats``, when a dict, receives ``dropped_centers``
     (nodes over ``max_wedge_degree`` — one tiny aggregate job; omit
     ``stats`` and plan construction stays job-free).
+
+    ``max_wedge_degree`` DEFAULTS to 1000: one uncapped hub of degree
+    d emits d² wedge rows (a 10⁶-degree hub → 10¹² rows), so the
+    quadratic path must be an explicit choice — pass ``None`` to
+    disable the cap on graphs known to be hub-free.  Capped centers
+    lower-bound ``common_neighbors``/``adamic_adar`` for pairs routed
+    through them; degrees (hence ``jaccard`` denominators and
+    ``preferential_attachment``) are always exact.
     """
     e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
     if symmetrize:

@@ -527,8 +527,10 @@ def ab_test(
     tail via the Abramowitz–Stegun 7.1.26 erf polynomial (|err| <
     1.5e-7) — a closed form both engines evaluate identically, unlike
     an erf builtin Spark lacks.  Rows with NULL metric (or NULL
-    covariate in CUPED mode) are excluded; a degenerate arm (n < 2 or
-    zero variance) yields NULL z/p rather than an ANSI crash.
+    covariate in CUPED mode) are excluded; a degenerate arm (n < 2,
+    zero variance, or EMPTY — the fold is anchored on a constant
+    1-row frame, so a missing arm NULLs its stats instead of
+    vanishing the row) yields NULL z/p rather than an ANSI crash.
     """
     y = F.col(metric_col).cast("double")
     base = df.filter(
@@ -593,7 +595,16 @@ def ab_test(
             else []
         ),
     )
-    j = a.crossJoin(b)
+    # anchor on a literal 1-row frame: each arm frame holds ≤ 1 row
+    # (filtered per-variant aggregate), and a crossJoin of an EMPTY
+    # arm would vanish the output row — the left joins instead leave
+    # that arm's stats NULL, honoring the degenerate-arm contract
+    anchor = df.sparkSession.range(1).select(F.lit(1).alias("_one"))
+    j = (
+        anchor.join(a.withColumn("_one", F.lit(1)), "_one", "left")
+        .join(b.withColumn("_one", F.lit(1)), "_one", "left")
+        .drop("_one")
+    )
     se2 = F.col("_va") / F.col("_na") + F.col("_vb") / F.col("_nb")
     ok = (
         (F.col("_na") >= 2) & (F.col("_nb") >= 2) & (se2 > 0)
@@ -681,12 +692,16 @@ def bootstrap_ci(
     making every replicate deterministic across runs, partitionings,
     and engines — the same contract as ``weighted_sample``.
 
-    Plan: ONE hash aggregate computes all ``2·replicates + 2``
-    moments (Σwy and Σw per replicate, plus n and Σy) in a single
-    scan — no explode, no data duplication, map-side partial combine;
-    the replicate means then live in one row per group and the CI is
-    a ``percentile`` over that B-element array (array HOF, no second
-    job).  An empty replicate (all weights 0 — vanishing probability
+    Plan: the replicate axis is EXPLODED (replicates/2 struct rows
+    per input row — one md5 funds two replicates via its hi/lo 60-bit
+    halves) and a single hash aggregate over (group, replicate)
+    computes two plain sums (Σwy, Σw) with map-side partial combine;
+    a second tiny aggregate folds the B replicate means into the CI
+    ``percentile``.  The explode is deliberate: the alternative
+    2·B-expression single-row aggregate silently falls out of
+    whole-stage codegen past ~128 expressions and ran ~10× slower
+    interpreted — duplicating the row axis keeps every sum inside
+    codegen and the exchange still carries only |groups|·B partials.  An empty replicate (all weights 0 — vanishing probability
     past tiny n) contributes NULL and is skipped by the percentile.
 
     Rows with NULL metric are excluded.  The interval is the

@@ -1668,12 +1668,60 @@ def ivfadc_topk(
     )
 
 
+def lsh_candidate_pairs(
+    side_a: DataFrame,
+    side_b: DataFrame,
+    dim: int,
+    n_planes: int = 8,
+    n_tables: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """DISTINCT cross-set LSH candidate pairs ``(id_a, id_b)`` — the
+    scale-path candidate source for ``margin_mine_pairs`` and
+    ``semantic_decontaminate`` when neither side broadcasts.
+
+    Same random-hyperplane tables as ``lsh_bucket_topk`` (deterministic
+    LCG planes, so results replay across runs and engines); one
+    equi-join shuffle on (table, bucket) instead of an A×B grid.  A
+    pair at angle θ survives with probability
+    1 − (1 − (1−θ/π)^n_planes)^n_tables — raise ``n_tables`` for
+    recall, ``n_planes`` for precision.  Pairs found by several tables
+    dedupe BEFORE being returned, so downstream scoring touches each
+    pair once.  Output carries ids only (no vectors): the consumer
+    re-joins vectors itself, keeping this exchange as narrow as the id
+    type.
+    """
+    tables = _plane_tables(dim, n_planes, n_tables)
+    a = _bucketed(
+        side_a.select(
+            F.col(id_col).alias("id_a"), _as_double(vec_col).alias("_av")
+        ),
+        "id_a",
+        "_av",
+        tables,
+    )
+    b = _bucketed(
+        side_b.select(
+            F.col(id_col).alias("id_b"), _as_double(vec_col).alias("_bv")
+        ),
+        "id_b",
+        "_bv",
+        tables,
+    )
+    cand = a.join(b, ["_tbl", "bucket"]).select("id_a", "id_b")
+    if n_tables > 1:
+        cand = cand.dropDuplicates(["id_a", "id_b"])
+    return cand
+
+
 def semantic_decontaminate(
     df: DataFrame,
     benchmark_pred: Column,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Embedding-space benchmark decontamination: flag every candidate
     whose cosine to ANY benchmark vector reaches ``threshold`` — the
@@ -1690,20 +1738,39 @@ def semantic_decontaminate(
     only shuffle.  A left join (not a cross join) keeps candidates
     alive when the benchmark slice is empty — max cosine 0.0, nothing
     flagged.  Compute is |cand|·|bench| dot products, inherent to the
-    exact guarantee; for a benchmark too big to broadcast, pre-bucket
-    both sides with ``embedding_near_dup``'s LSH tables and apply the
-    same max fold per bucket.
+    exact guarantee.
+
+    For a benchmark too big to broadcast, pass ``candidates``: a frame
+    of DISTINCT pairs ``(id_a = candidate id, id_b = benchmark id)``
+    (e.g. from ``lsh_candidate_pairs``).  Only those pairs are scored
+    — two shuffle equi-joins ship each vector once per pair, nothing
+    broadcasts — and the fold LEFT-anchors on the full candidate set,
+    so a candidate with no surviving pair still gets its row
+    (``max_bench_cosine`` 0.0, unflagged).  The guarantee weakens from
+    exact to the candidate source's recall: a missed pair above
+    ``threshold`` goes unflagged, the standard ANN trade.
 
     Reference parity: extension operator; composes with ``embed.embed``
     for the text → embedding → decontaminate path.
     """
-    bench = df.filter(benchmark_pred).select(
-        _as_double(vec_col).alias("_bv")
-    )
     cand = df.filter(~benchmark_pred).select(
         F.col(id_col), _as_double(vec_col).alias("_cv")
     )
-    scored = cand.join(F.broadcast(bench), F.lit(True), "left")
+    if candidates is None:
+        bench = df.filter(benchmark_pred).select(
+            _as_double(vec_col).alias("_bv")
+        )
+        scored = cand.join(F.broadcast(bench), F.lit(True), "left")
+    else:
+        pairs = candidates.select(
+            F.col("id_a").alias(id_col), F.col("id_b").alias("_bid")
+        )
+        bench_kv = df.filter(benchmark_pred).select(
+            F.col(id_col).alias("_bid"), _as_double(vec_col).alias("_bv")
+        )
+        scored = cand.join(pairs, id_col, "left").join(
+            bench_kv, "_bid", "left"
+        )
     cos = F.when(
         F.col("_bv").isNotNull(), cosine(F.col("_cv"), F.col("_bv"))
     )
@@ -1724,6 +1791,8 @@ def margin_mine_pairs(
     threshold: float = 1.0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    candidates: DataFrame | None = None,
+    exclude_same_id: bool = False,
 ) -> DataFrame:
     """Margin-based nearest-pair mining between two embedding sets
     (Artetxe & Schwenk 2019 "ratio" margin — the standard bitext /
@@ -1738,42 +1807,64 @@ def margin_mine_pairs(
     Returns each A-side row's best B-side candidate with
     ``margin >= threshold``: ``(id_a, id_b, cosine, margin)``.
 
-    Plan: the A×B grid is scored ONCE (cosine is symmetric; a
-    two-pass formulation doubles the dominant cost) with B broadcast
-    and A spread across the cluster; each direction's top-k derives
-    from that one scored frame via map-side partial top-k bounding
-    the rank exchange; then two k-row mean folds, one equi join of
-    the forward candidates against both density tables, one
-    per-query argmax window.  Swap the brute grid for
-    ``lsh_bucket_topk``/``ivf_topk`` candidates above ~1e6 rows per
-    side — the margin fold is candidate-source-agnostic.
+    Plan: the candidate set is scored ONCE (cosine is symmetric; a
+    two-pass formulation doubles the dominant cost); each direction's
+    top-k derives from that one scored frame via map-side partial
+    top-k bounding the rank exchange; then two k-row mean folds, one
+    equi join of the forward candidates against both density tables,
+    one per-query argmax window.
+
+    ``candidates=None`` (default) scores the exact A×B grid with B
+    broadcast and A spread across the cluster — right up to ~1e6 rows
+    on the broadcast side.  Above that, pass ``candidates``: a frame
+    of DISTINCT pairs ``(id_a, id_b)`` (e.g. from
+    ``lsh_candidate_pairs`` or an ``ivf_topk_indexed`` probe) — only
+    those pairs are scored, via two shuffle equi-joins, nothing
+    broadcasts, and the SAME margin fold runs downstream (it is
+    candidate-source-agnostic).  The k-NN densities are then means
+    over each id's candidate neighbors, which equals the exact margin
+    whenever the candidate source covers each side's true top-k; below
+    that recall, margins skew high (sparser neighborhoods look more
+    special) — the standard ANN trade, tunable via n_tables.
+
+    A and B are distinct sets by contract, so same-id pairs are
+    legitimate candidates (in bitext / cross-snapshot alignment the
+    aligned row usually IS the best pair).  Set
+    ``exclude_same_id=True`` only when self-mining one corpus against
+    itself, where the identity pair is a degenerate cosine-1 match.
     """
     if k < 1:
         raise ValueError("margin_mine_pairs: k must be >= 1")
     from moz_datapipeline_spark.operators.spread import spread_small_scan
 
-    # cosine is symmetric: score the A×B grid ONCE and derive both
-    # directions' top-k from it (the two-bruteforce-pass formulation
-    # doubles the dominant cost for nothing).  A is the partitioned
-    # side — spread it if it arrived as one small file — and B
-    # broadcasts, the cosine_topk_bruteforce convention.
-    a = spread_small_scan(
-        side_a.select(
-            F.col(id_col).alias("_ida"), _as_double(vec_col).alias("_va")
-        ),
-        "_ida",
+    a = side_a.select(
+        F.col(id_col).alias("_ida"), _as_double(vec_col).alias("_va")
     )
     b = side_b.select(
         F.col(id_col).alias("_idb"), _as_double(vec_col).alias("_vb")
     )
-    scored = (
-        a.crossJoin(F.broadcast(b))
-        .filter(F.col("_ida") != F.col("_idb"))
-        .select(
-            "_ida",
-            "_idb",
-            cosine(F.col("_va"), F.col("_vb")).alias("cosine"),
+    if candidates is None:
+        # cosine is symmetric: score the A×B grid ONCE and derive both
+        # directions' top-k from it (the two-bruteforce-pass
+        # formulation doubles the dominant cost for nothing).  A is
+        # the partitioned side — spread it if it arrived as one small
+        # file — and B broadcasts, the cosine_topk_bruteforce
+        # convention.
+        grid = spread_small_scan(a, "_ida").crossJoin(F.broadcast(b))
+    else:
+        grid = (
+            candidates.select(
+                F.col("id_a").alias("_ida"), F.col("id_b").alias("_idb")
+            )
+            .join(a, "_ida")
+            .join(b, "_idb")
         )
+    if exclude_same_id:
+        grid = grid.filter(F.col("_ida") != F.col("_idb"))
+    scored = grid.select(
+        "_ida",
+        "_idb",
+        cosine(F.col("_va"), F.col("_vb")).alias("cosine"),
     )
     pruned_ab = _partition_topk(
         scored, ["_ida"], "cosine", "_idb", k, ascending=False

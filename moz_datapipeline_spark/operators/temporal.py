@@ -637,7 +637,9 @@ def gap_fill(
     (hash on the group — reuses the aggregate's partitioning), and
     for locf/linear two ignore-nulls window passes per direction —
     all hash-partitioned by group, never global.  Input times are
-    snapped DOWN to the grid (``floor((t - min)/step)``); duplicate
+    snapped DOWN to the ABSOLUTE grid (``floor(t/step)*step`` — epoch
+    multiples of ``step``, not anchored at the group min, so bucket
+    edges agree across groups and across incremental runs); duplicate
     rows landing on one bucket fail loud rather than silently
     averaging (use a rollup upstream).
     """

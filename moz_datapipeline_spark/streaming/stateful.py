@@ -402,13 +402,17 @@ def cms_store_estimate(
             )
         ).alias("p"),
     ).select(key_col, "p.d", "p.bucket")
+    # a never-written cell is a 0 counter, not a missing observation:
+    # coalesce PER CELL before the min, else F.min's NULL-skipping
+    # would take the min over only the colliding cells and inflate
+    # estimates for absent keys (CMS is min over ALL depth rows)
     return (
         probes.join(cells, ["d", "bucket"], "left")
         .groupBy(key_col)
         .agg(
-            F.coalesce(F.min("c"), F.lit(0)).cast("long").alias(
-                "cms_estimate"
-            )
+            F.min(F.coalesce(F.col("c"), F.lit(0)))
+            .cast("long")
+            .alias("cms_estimate")
         )
     )
 

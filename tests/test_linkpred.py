@@ -96,3 +96,26 @@ def test_existing_edges_excluded(spark):
         [(0, 1), (1, 2), (2, 0)], "src long, dst long"
     )
     assert link_prediction_scores(e).count() == 0
+
+
+def test_default_cap_drops_mega_hub(spark):
+    """The DEFAULT max_wedge_degree=1000 must drop a planted mega-hub
+    without being asked: one degree-d hub emits d^2 wedge rows, so the
+    quadratic path has to be an explicit opt-in (max_wedge_degree=None),
+    never the silent default."""
+    from moz_datapipeline_spark.graph.linkpred import link_prediction_scores
+
+    hub = [(10_000, i) for i in range(1100)]  # degree 1100 > default 1000
+    ring = [(i, (i + 1) % 8) for i in range(8)]
+    e = spark.createDataFrame(hub + ring, "src long, dst long")
+    stats: dict = {}
+    got = {
+        (r.node_a, r.node_b): r.common_neighbors
+        for r in link_prediction_scores(e, stats=stats).collect()
+    }
+    assert stats["dropped_centers"] == 1  # the hub — by DEFAULT
+    # a pair whose ONLY common neighbor is the hub never materializes,
+    # so the wedge volume is bounded by the ring (8 centers of deg <= 3)
+    assert (500, 700) not in got
+    want = _ref_scores(hub + ring, cap=1000)
+    assert got == {k: v[0] for k, v in want.items()}

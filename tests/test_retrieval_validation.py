@@ -805,3 +805,22 @@ def test_cms_ingest_stream_idempotent_restart(spark, tmp_path):
         spark.createDataFrame([(999,)], "k long"), "k", 4, 128,
     ).collect()[0]
     assert ghost.cms_estimate >= 0
+
+
+def test_cms_estimate_empty_cell_is_zero(spark, tmp_path):
+    """A never-written cell is a ZERO counter, not a missing
+    observation: the estimate is min over ALL depth rows, so a probe
+    key with even one empty cell must return 0 regardless of what its
+    other cells collide with (per-cell coalesce before the min)."""
+    from moz_datapipeline_spark.streaming.stateful import cms_store_estimate
+
+    store = str(tmp_path / "store")
+    # every bucket of row d=0 is loaded; rows d=1..3 are never written
+    spark.createDataFrame(
+        [(0, 0, b, 100) for b in range(16)],
+        "batch_id long, d int, bucket bigint, c long",
+    ).write.parquet(store)
+    keys = spark.createDataFrame([(1,), (2,), (3,)], "k long")
+    est = cms_store_estimate(spark, store, keys, "k", depth=4, width=16)
+    got = {r.k: r.cms_estimate for r in est.collect()}
+    assert got == {1: 0, 2: 0, 3: 0}

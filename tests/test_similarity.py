@@ -706,3 +706,71 @@ def test_semantic_decontaminate_flags_and_empty_bench(spark):
     )
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_semantic_decontaminate_candidates_path(spark):
+    """candidates= swaps the broadcast brute grid for pair-scoped
+    equi-joins: the full candidate grid reproduces the brute result
+    exactly, a partial grid left-anchors unmatched candidates at 0.0,
+    and lsh_candidate_pairs slots in as the scale-path source."""
+    from pyspark.sql import functions as F
+
+    from moz_datapipeline_spark.operators.similarity import (
+        lsh_candidate_pairs,
+        semantic_decontaminate,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),     # benchmark
+        (5, [0.0, 1.0, 0.0]),     # benchmark
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]),
+        (3, [0.0, 0.0, 1.0]),
+        (4, [-1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pred = F.col("vec_id").isin([0, 5])
+    brute = {
+        r.vec_id: (r.max_bench_cosine, r.contaminated)
+        for r in semantic_decontaminate(df, pred, threshold=0.95).collect()
+    }
+
+    # full grid of (candidate, benchmark) pairs == brute, exactly
+    grid = (
+        df.filter(~pred).select(F.col("vec_id").alias("id_a"))
+        .crossJoin(df.filter(pred).select(F.col("vec_id").alias("id_b")))
+    )
+    full = {
+        r.vec_id: (r.max_bench_cosine, r.contaminated)
+        for r in semantic_decontaminate(
+            df, pred, threshold=0.95, candidates=grid
+        ).collect()
+    }
+    assert full == brute
+
+    # partial grid: candidate 3 has NO pair -> still present, 0.0
+    part = {
+        r.vec_id: (r.max_bench_cosine, r.contaminated)
+        for r in semantic_decontaminate(
+            df, pred, threshold=0.95,
+            candidates=grid.filter(F.col("id_a") != 3),
+        ).collect()
+    }
+    assert set(part) == {1, 2, 3, 4}
+    assert part[3] == (0.0, False)
+    assert part[1] == brute[1]
+
+    # LSH source with broad tables: flags the same contaminated set
+    cand = lsh_candidate_pairs(
+        df.filter(~pred), df.filter(pred), dim=3, n_planes=1, n_tables=8
+    )
+    lsh = {
+        r.vec_id: r.contaminated
+        for r in semantic_decontaminate(
+            df, pred, threshold=0.95, candidates=cand
+        ).collect()
+    }
+    assert set(lsh) == {1, 2, 3, 4}
+    assert {i for i, c in lsh.items() if c} == {
+        i for i, (_, c) in brute.items() if c
+    }

@@ -6,6 +6,7 @@ from __future__ import annotations
 import math
 
 import pytest
+from pyspark.sql import functions as F
 
 from moz_datapipeline_spark.operators.analytics import grouped_ols
 from moz_datapipeline_spark.operators.validation import ks_test
@@ -784,3 +785,136 @@ def test_dataset_fingerprint_order_invariant_and_sensitive(spark):
     # empty frame fingerprints to zeros
     f0 = dataset_fingerprint(df1.filter("id > 99")).collect()[0]
     assert (f0.n_rows, f0.xor_fingerprint, f0.sum_fingerprint) == (0, 0, 0)
+
+
+def test_ab_test_empty_arm_keeps_row(spark):
+    """A missing arm must still produce the single readout row with
+    NULL stats (left joins onto a constant anchor), not an empty
+    frame — callers expecting exactly one row get one."""
+    from moz_datapipeline_spark.operators.analytics import ab_test
+
+    df = spark.createDataFrame(
+        [("c", 1.0), ("c", 2.0)], "v string, y double"
+    )
+    rows = ab_test(df, "v", "y", "c", "t").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.n_control == 2
+    assert r.n_treatment is None
+    assert r.z is None and r.p_value is None
+
+    # BOTH arms empty: still exactly one all-NULL readout row
+    rows2 = ab_test(
+        df.filter("v = 'zzz'"), "v", "y", "c", "t"
+    ).collect()
+    assert len(rows2) == 1 and rows2[0].z is None
+
+    # CUPED mode with a missing treatment arm
+    df2 = spark.createDataFrame(
+        [("c", 1.0, 0.5), ("c", 2.0, 1.5)],
+        "v string, y double, x double",
+    )
+    rows3 = ab_test(df2, "v", "y", "c", "t", covariate_col="x").collect()
+    assert len(rows3) == 1 and rows3[0].p_value is None
+
+
+def _planted_sides(spark):
+    """Small planted bitext corpus shared by the candidate-path tests:
+    b-vector 1000+i is a near-copy of a-vector i, plus distractors."""
+    import hashlib as _hl
+
+    def vec(seed, dim=8):
+        return [
+            (int(_hl.md5(f"{seed}:{j}".encode()).hexdigest()[:8], 16)
+             % 1000) / 500.0 - 1.0 + 0.001
+            for j in range(dim)
+        ]
+
+    a_rows = [(i, vec(i)) for i in range(12)]
+    b_rows = [
+        (1000 + i, [v + 0.01 * ((i + j) % 3) for j, v in enumerate(vec(i))])
+        for i in range(12)
+    ] + [(2000 + i, vec(100 + i)) for i in range(8)]
+    a = spark.createDataFrame(a_rows, "vec_id long, embedding array<double>")
+    b = spark.createDataFrame(b_rows, "vec_id long, embedding array<double>")
+    return a, b
+
+
+def test_margin_mine_pairs_candidates_full_grid_equals_brute(spark):
+    """The candidates= path is plan plumbing, not new math: feeding the
+    FULL id grid as the candidate frame must reproduce the broadcast
+    brute path exactly (same pairs, same cosines, same margins)."""
+    from moz_datapipeline_spark.operators.similarity import margin_mine_pairs
+
+    a, b = _planted_sides(spark)
+    brute = {
+        (r.id_a, r.id_b): (r.cosine, r.margin)
+        for r in margin_mine_pairs(a, b, k=3, threshold=1.0).collect()
+    }
+    grid = a.select(F.col("vec_id").alias("id_a")).crossJoin(
+        b.select(F.col("vec_id").alias("id_b"))
+    )
+    via_cand = {
+        (r.id_a, r.id_b): (r.cosine, r.margin)
+        for r in margin_mine_pairs(
+            a, b, k=3, threshold=1.0, candidates=grid
+        ).collect()
+    }
+    assert via_cand == brute and len(brute) > 0
+
+
+def test_margin_mine_pairs_lsh_candidates_equal_at_threshold(spark):
+    """ANN-fed margin mining: lsh_candidate_pairs with broad tables
+    (recall ~1 on this planted corpus) must select the same pairs at
+    threshold as the exact brute grid — the round-9 scale path."""
+    from moz_datapipeline_spark.operators.similarity import (
+        lsh_candidate_pairs,
+        margin_mine_pairs,
+    )
+
+    a, b = _planted_sides(spark)
+    brute = {
+        (r.id_a, r.id_b)
+        for r in margin_mine_pairs(a, b, k=3, threshold=1.0).collect()
+    }
+    cand = lsh_candidate_pairs(
+        a, b, dim=8, n_planes=2, n_tables=8
+    )
+    # broad tables on a 20x12 corpus: the candidate set must cover the
+    # true neighborhoods, making the ANN margins exact
+    got = {
+        (r.id_a, r.id_b)
+        for r in margin_mine_pairs(
+            a, b, k=3, threshold=1.0, candidates=cand
+        ).collect()
+    }
+    assert got == brute and len(got) > 0
+
+
+def test_margin_mine_pairs_same_id_kept_by_default(spark):
+    """A and B are distinct sets by contract: when they share an id
+    scheme (bitext alignment), the same-id pair is usually the BEST
+    pair and must not be silently dropped; exclude_same_id=True is the
+    explicit self-mining opt-in."""
+    from moz_datapipeline_spark.operators.similarity import margin_mine_pairs
+
+    a, _ = _planted_sides(spark)
+    # b = same ids, near-copies: the aligned (i, i) pair dominates
+    b = a.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda v: v + F.lit(0.001)
+        ).alias("embedding"),
+    )
+    got = {
+        r.id_a: r.id_b
+        for r in margin_mine_pairs(a, b, k=3, threshold=1.0).collect()
+    }
+    assert sum(1 for i, j in got.items() if i == j) >= 10
+    excl = {
+        r.id_a: r.id_b
+        for r in margin_mine_pairs(
+            a, b, k=3, threshold=1.0, exclude_same_id=True
+        ).collect()
+    }
+    assert all(i != j for i, j in excl.items())
