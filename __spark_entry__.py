@@ -4501,6 +4501,54 @@ def q_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     return margin_mine_pairs(a, b, k=4, threshold=1.0)
 
 
+def q_margin_mining_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN-fed margin mining — the 100 TB path for
+    operators/similarity.margin_mine_pairs: candidate pairs come from
+    lsh_candidate_pairs (2 tables × 4 random hyperplanes, one
+    (table, bucket) equi-join shuffle, cross-table dedup) instead of
+    the broadcast brute grid, and the SAME candidate-source-agnostic
+    margin fold runs downstream (both k-NN density means, one argmax
+    window).  VALUE oracle: DuckDB replays the deterministic planes,
+    bucket assignment, candidate dedup, and margin fold exactly."""
+    from moz_datapipeline_spark.operators.similarity import (
+        lsh_candidate_pairs,
+        margin_mine_pairs,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.filter(F.col("label") % 2 == 0)
+    b = emb.filter(F.col("label") % 2 == 1)
+    cand = lsh_candidate_pairs(a, b, dim=64, n_planes=4, n_tables=2)
+    return margin_mine_pairs(a, b, k=4, threshold=1.0, candidates=cand)
+
+
+def q_semantic_decontaminate_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN-fed benchmark decontamination — semantic_decontaminate with
+    an lsh_candidate_pairs candidate frame instead of broadcasting the
+    eval slice: only bucket-sharing (candidate, benchmark) pairs are
+    scored, the max fold LEFT-anchors on the full candidate set (no
+    pair → 0.0, unflagged).  Recall is the LSH tables' — the 0.9-flag
+    set may differ from the exact query's; the oracle replays the SAME
+    candidate set, so the check is exact.  VALUE oracle: plane replay +
+    left-anchored max fold in DuckDB."""
+    from moz_datapipeline_spark.operators.similarity import (
+        lsh_candidate_pairs,
+        semantic_decontaminate,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pred = F.col("vec_id") % 50 == 0
+    cand = lsh_candidate_pairs(
+        emb.filter(~pred), emb.filter(pred), dim=64, n_planes=4, n_tables=2
+    )
+    out = semantic_decontaminate(emb, pred, threshold=0.9, candidates=cand)
+    return out.select(
+        "vec_id",
+        F.round("max_bench_cosine", 6).alias("max_bench_cosine"),
+        "contaminated",
+    )
+
+
 def q_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 suppliers per nation by revenue KEEPING TIES — rank()
     instead of row_number(), so equal-revenue suppliers all survive
@@ -5139,6 +5187,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohen_kappa": q_cohen_kappa,
         "profile_diff": q_profile_diff,
         "margin_mining": q_margin_mining,
+        "margin_mining_lsh": q_margin_mining_lsh,
+        "semantic_decontaminate_lsh": q_semantic_decontaminate_lsh,
         "topk_with_ties": q_topk_with_ties,
         "fdr_battery": q_fdr_battery,
         "dataset_fingerprint": q_dataset_fingerprint,
@@ -5391,6 +5441,146 @@ def _lsh_topk_oracle() -> str:
                CAST(row_number() OVER (PARTITION BY query_id
                     ORDER BY cos_raw DESC, corpus_id ASC) AS INTEGER) AS rank
         FROM scored QUALIFY rank <= 3
+    """
+
+
+def _lsh_planes_values(dim: int, n_planes: int, n_tables: int) -> str:
+    """The operator's own deterministic hyperplanes inlined as a DuckDB
+    VALUES list ``(tbl, pidx, vec)`` — the shared plane-replay core of
+    every LSH oracle."""
+    from moz_datapipeline_spark.operators.similarity import _plane_tables
+
+    tables = _plane_tables(dim, n_planes, n_tables)
+    return ", ".join(
+        f"({t}, {p}, {list(plane)})"
+        for t, planes in enumerate(tables)
+        for p, plane in enumerate(planes)
+    )
+
+
+def _margin_mining_lsh_oracle() -> str:
+    """ANN-fed margin mining oracle: DuckDB replays the 2×4 hyperplane
+    bucket assignment, the cross-table-deduped candidate join, and the
+    margin fold (both per-side k-NN density means over the CANDIDATE
+    set, argmax, threshold) — byte-identical to the Spark plan."""
+    values = _lsh_planes_values(64, 4, 2)
+    return f"""
+        WITH planes AS (
+          SELECT * FROM (VALUES {values}) AS t(tbl, pidx, vec)
+        ),
+        v AS (
+          SELECT vec_id, label,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+          FROM embeddings
+        ),
+        av AS (SELECT vec_id, emb FROM v WHERE label % 2 = 0),
+        bv AS (SELECT vec_id, emb FROM v WHERE label % 2 = 1),
+        abuckets AS (
+          SELECT av.vec_id, p.tbl,
+                 CAST(sum(CASE WHEN list_dot_product(av.emb, p.vec) > 0
+                          THEN CAST(1 AS BIGINT) << p.pidx ELSE 0 END)
+                      AS BIGINT) AS bucket
+          FROM av CROSS JOIN planes p GROUP BY av.vec_id, p.tbl
+        ),
+        bbuckets AS (
+          SELECT bv.vec_id, p.tbl,
+                 CAST(sum(CASE WHEN list_dot_product(bv.emb, p.vec) > 0
+                          THEN CAST(1 AS BIGINT) << p.pidx ELSE 0 END)
+                      AS BIGINT) AS bucket
+          FROM bv CROSS JOIN planes p GROUP BY bv.vec_id, p.tbl
+        ),
+        cand AS (
+          SELECT DISTINCT q.vec_id AS ia, c.vec_id AS ib
+          FROM abuckets q JOIN bbuckets c
+            ON q.tbl = c.tbl AND q.bucket = c.bucket
+        ),
+        scored AS (
+          SELECT ia, ib, list_cosine_similarity(va.emb, vb.emb) AS cos
+          FROM cand
+          JOIN av va ON va.vec_id = cand.ia
+          JOIN bv vb ON vb.vec_id = cand.ib
+        ),
+        nn_ab AS (
+          SELECT ia, ib, cos FROM scored
+          QUALIFY row_number()
+                  OVER (PARTITION BY ia ORDER BY cos DESC, ib) <= 4
+        ),
+        nn_ba AS (
+          SELECT ia, ib, cos FROM scored
+          QUALIFY row_number()
+                  OVER (PARTITION BY ib ORDER BY cos DESC, ia) <= 4
+        ),
+        da AS (SELECT ia, avg(cos) AS d FROM nn_ab GROUP BY 1),
+        db AS (SELECT ib, avg(cos) AS d FROM nn_ba GROUP BY 1),
+        cand2 AS (
+          SELECT nn_ab.ia, nn_ab.ib, nn_ab.cos,
+                 CASE WHEN da.d + db.d > 0
+                 THEN nn_ab.cos / ((da.d + db.d) / 2.0) END AS margin
+          FROM nn_ab
+          JOIN da ON da.ia = nn_ab.ia
+          JOIN db ON db.ib = nn_ab.ib
+        ),
+        best AS (
+          SELECT ia, ib, cos, margin FROM cand2
+          QUALIFY row_number()
+                  OVER (PARTITION BY ia
+                        ORDER BY margin DESC NULLS LAST, ib) = 1
+        )
+        SELECT ia AS id_a, ib AS id_b,
+               round(cos, 6) AS cosine,
+               round(margin, 6) AS margin
+        FROM best WHERE margin >= 1.0
+    """
+
+
+def _semantic_decontaminate_lsh_oracle() -> str:
+    """ANN-fed decontamination oracle: plane replay → deduped
+    (candidate, benchmark) bucket pairs → LEFT-anchored max-cosine fold
+    (a candidate with no pair keeps its row at 0.0) → 0.9 flag on the
+    unrounded max, matching the brute query's convention."""
+    values = _lsh_planes_values(64, 4, 2)
+    return f"""
+        WITH planes AS (
+          SELECT * FROM (VALUES {values}) AS t(tbl, pidx, vec)
+        ),
+        v AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+          FROM embeddings
+        ),
+        cv AS (SELECT vec_id, emb FROM v WHERE vec_id % 50 <> 0),
+        bv AS (SELECT vec_id, emb FROM v WHERE vec_id % 50 = 0),
+        cbuckets AS (
+          SELECT cv.vec_id, p.tbl,
+                 CAST(sum(CASE WHEN list_dot_product(cv.emb, p.vec) > 0
+                          THEN CAST(1 AS BIGINT) << p.pidx ELSE 0 END)
+                      AS BIGINT) AS bucket
+          FROM cv CROSS JOIN planes p GROUP BY cv.vec_id, p.tbl
+        ),
+        bbuckets AS (
+          SELECT bv.vec_id, p.tbl,
+                 CAST(sum(CASE WHEN list_dot_product(bv.emb, p.vec) > 0
+                          THEN CAST(1 AS BIGINT) << p.pidx ELSE 0 END)
+                      AS BIGINT) AS bucket
+          FROM bv CROSS JOIN planes p GROUP BY bv.vec_id, p.tbl
+        ),
+        cand AS (
+          SELECT DISTINCT q.vec_id AS ia, c.vec_id AS ib
+          FROM cbuckets q JOIN bbuckets c
+            ON q.tbl = c.tbl AND q.bucket = c.bucket
+        ),
+        per AS (
+          SELECT cv.vec_id,
+                 coalesce(max(list_cosine_similarity(cv.emb, b.emb)), 0.0)
+                   AS mbc
+          FROM cv
+          LEFT JOIN cand ON cand.ia = cv.vec_id
+          LEFT JOIN bv b ON b.vec_id = cand.ib
+          GROUP BY cv.vec_id
+        )
+        SELECT vec_id, round(mbc, 6) AS max_bench_cosine,
+               mbc >= 0.9 AS contaminated
+        FROM per
     """
 
 
@@ -6073,6 +6263,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "embedding_near_dup": _embedding_near_dup_oracle(),
         "lsh_topk": _lsh_topk_oracle(),
+        "margin_mining_lsh": _margin_mining_lsh_oracle(),
+        "semantic_decontaminate_lsh": _semantic_decontaminate_lsh_oracle(),
         "dedup_minhash_lsh": _minhash_oracle(),
         "dedup_simhash": _simhash_oracle(),
         "repetition_stats": """

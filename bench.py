@@ -95,10 +95,16 @@ def main() -> None:
 
         def _clear() -> None:
             # drop cached blocks so this run is timed against a clean
-            # storage pool; the cache contract (test_cache_contract)
-            # says operators release their own persists — assert it,
-            # because a leak here silently flatters every later query
+            # storage pool.  clearCache() handles catalog-cached plans;
+            # localCheckpoint blocks from iterative operators
+            # (components/LPA) legitimately outlive the query that made
+            # them (the result plan reads them) and are only reclaimed
+            # by the ContextCleaner on GC — unpersist them explicitly,
+            # then assert the registry is EMPTY so a genuinely leaked
+            # persist() fails the bench instead of flattering it
             spark.catalog.clearCache()
+            for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+                rdd.unpersist(True)
             assert _storage_registry_empty(spark), (
                 f"persisted RDDs leaked into the bench before {name!r}: "
                 "an operator is not releasing its cache"

@@ -514,6 +514,7 @@ def mann_kendall(
     group_col: str,
     time_col: str,
     value_col: str,
+    max_group_rows: int | None = None,
 ) -> DataFrame:
     """Mann–Kendall trend test + Sen's slope per group:
     ``(group, n, s, var_s, z, trend, sen_slope)`` — the
@@ -539,12 +540,37 @@ def mann_kendall(
     key, so cost follows the group histogram, never the corpus).
     Duplicate timestamps within a group are excluded from pairs (the
     strict ``<``) — roll up first.  NULL values drop out.
+
+    MEMORY BOUND: ``sen_slope`` is an exact ``percentile`` over the
+    per-group pair deltas, and that aggregation BUFFERS the group's
+    ~n_g²/2 pair values in one buffer — a 10k-row series is ~50M
+    doubles (~400 MB), past any executor's comfort.  Pass
+    ``max_group_rows`` to fail loudly instead of OOMing: one tiny
+    count aggregate names the longest offending group; thin or
+    re-bucket series longer than that before calling.
     """
     base = df.select(
         F.col(group_col).alias("grp"),
         F.col(time_col).cast("double").alias("t"),
         F.col(value_col).cast("double").alias("v"),
     ).filter(F.col("v").isNotNull() & F.col("t").isNotNull())
+    if max_group_rows is not None:
+        over = (
+            base.groupBy("grp")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > int(max_group_rows))
+            .orderBy(F.desc("_n"))
+            .limit(1)
+            .collect()
+        )
+        if over:
+            raise ValueError(
+                f"mann_kendall: group {over[0]['grp']!r} has "
+                f"{over[0]['_n']} rows (> max_group_rows="
+                f"{max_group_rows}); sen_slope's exact percentile "
+                "buffers ~n^2/2 pair deltas per group — re-bucket or "
+                "thin the series, or raise max_group_rows deliberately"
+            )
     a = base.select(
         "grp", F.col("t").alias("ta"), F.col("v").alias("va")
     )

@@ -1459,6 +1459,133 @@ def round8_ops_scale_check(spark, docs) -> dict:
     }
 
 
+def round9_ops_scale_check(spark) -> dict:
+    """Rehearsals for the round-9 additions and the round-8 statistics
+    battery at scale.
+
+    - ``margin_mine_pairs`` with LSH candidates at **1M × 1M vectors**
+      (dim 16) — a grid the brute broadcast path cannot run (10¹²
+      pairs): ``lsh_candidate_pairs`` (18 planes × 2 tables) bounds the
+      scored set to a few million pairs, and ≥ half of the 2k planted
+      translations must be mined back.
+    - ``bootstrap_ci`` at 5M rows × 32 replicates (production xxhash
+      path) — the explode+two-sum plan is linear in rows·B/2.
+    - ``mann_kendall`` over a SKEWED group histogram (2k×200-row
+      groups + one 2k-row group): the recorded pair count proves cost
+      follows Σ n_g²/2, never |rows|²; planted-trend groups must read
+      ``increasing``.
+    """
+    from moz_datapipeline_spark.operators.analytics import bootstrap_ci
+    from moz_datapipeline_spark.operators.similarity import (
+        lsh_candidate_pairs,
+        margin_mine_pairs,
+    )
+    from moz_datapipeline_spark.operators.temporal import mann_kendall
+
+    # dim 32: random-pair cosines concentrate as 1/sqrt(dim), and LSH
+    # bucket purity rides on that concentration — at dim 16 the cosine
+    # spread fattens the collision tail ~30x (measured 116M candidates
+    # at 18 planes); at dim 32 x 20 planes the candidate set lands in
+    # the tens of millions, 4-5 orders below the 1e12 grid
+    def vec(prefix: str, extra: str = "") -> str:
+        return (
+            "transform(sequence(1, 32), j -> "
+            f"pmod(xxhash64(concat('{prefix}', CAST(id AS STRING), ':', "
+            "CAST(j AS STRING))), 1000) / 500.0 - 1.0"
+            f"{extra})"
+        )
+
+    n_side = 1_000_000
+    n_plant = 2_000
+    a = spark.range(n_side).select(
+        F.col("id").alias("vec_id"), F.expr(vec("va:")).alias("embedding")
+    )
+    planted = spark.range(n_plant).select(
+        (F.col("id") + 10_000_000).alias("vec_id"),
+        F.expr(vec("va:", " + 0.002 * j")).alias("embedding"),
+    )
+    b = planted.unionByName(
+        spark.range(n_plant, n_side).select(
+            (F.col("id") + 10_000_000).alias("vec_id"),
+            F.expr(vec("vb:")).alias("embedding"),
+        )
+    )
+    t0 = time.perf_counter()
+    cand = lsh_candidate_pairs(a, b, dim=32, n_planes=20, n_tables=2)
+    n_cand = cand.count()
+    t_cand = time.perf_counter() - t0
+    # the whole point: candidates are MILLIONS, the brute grid is 1e12
+    assert 0 < n_cand < 200_000_000, n_cand
+    t0 = time.perf_counter()
+    mined = margin_mine_pairs(
+        a, b, k=4, threshold=1.02, candidates=cand
+    )
+    hits = mined.filter(
+        F.col("id_b") == F.col("id_a") + 10_000_000
+    ).count()
+    t_margin = time.perf_counter() - t0
+    assert hits >= n_plant // 2, hits
+
+    big = spark.range(5_000_000).select(
+        F.concat(F.lit("r"), F.col("id").cast("string")).alias("rid"),
+        (F.col("id") % 4).alias("g"),
+        (F.abs(F.xxhash64("id")) % 1_000_000).cast("double").alias("y"),
+    )
+    t0 = time.perf_counter()
+    ci = bootstrap_ci(
+        big, "y", "rid", group_cols=["g"], replicates=32, portable=False
+    ).collect()
+    t_boot = time.perf_counter() - t0
+    assert len(ci) == 4 and all(r.ci_lo < r.ci_hi for r in ci)
+
+    n_small, len_small, len_big = 2_000, 200, 2_000
+    small = spark.range(n_small * len_small).select(
+        F.concat(F.lit("g"), (F.col("id") % n_small).cast("string")).alias(
+            "g"
+        ),
+        (F.col("id") / n_small).cast("double").alias("t"),
+        (
+            F.when(
+                F.col("id") % n_small < n_small // 2, F.col("id") / n_small
+            )
+            .otherwise(F.lit(0.0))
+            + (F.abs(F.xxhash64("id")) % 100).cast("double") / 10.0
+        ).alias("v"),
+    )
+    skew = spark.range(len_big).select(
+        F.lit("whale").alias("g"),
+        F.col("id").cast("double").alias("t"),
+        (F.abs(F.xxhash64("id")) % 100).cast("double").alias("v"),
+    )
+    series = small.unionByName(skew)
+    n_pairs = n_small * (len_small * (len_small - 1) // 2) + (
+        len_big * (len_big - 1) // 2
+    )
+    t0 = time.perf_counter()
+    mk = mann_kendall(series, "g", "t", "v", max_group_rows=10_000)
+    inc = mk.filter(F.col("trend") == "increasing").count()
+    t_mk = time.perf_counter() - t0
+    # the 1k planted-trend groups (index < n_small/2: v grows with t)
+    # must read increasing; noise groups stay near the 2.5% false rate
+    assert inc >= n_small // 2 - 50, inc
+
+    return {
+        "margin_side_rows": n_side,
+        "margin_lsh_candidates": n_cand,
+        "margin_cand_sec": round(t_cand, 2),
+        "margin_planted": n_plant,
+        "margin_planted_mined": hits,
+        "margin_mine_sec": round(t_margin, 2),
+        "bootstrap_rows": 5_000_000,
+        "bootstrap_replicates": 32,
+        "bootstrap_sec": round(t_boot, 2),
+        "mk_rows": n_small * len_small + len_big,
+        "mk_pairs": n_pairs,
+        "mk_increasing": inc,
+        "mk_sec": round(t_mk, 2),
+    }
+
+
 def main() -> None:
     spark = get_spark(app_name="dedup_scale_check")
     docs = amplified_corpus(spark, "/root/testdata/sf0.1/documents.parquet")
@@ -1501,6 +1628,7 @@ def main() -> None:
     rr2 = rank_retrieval2_scale_check(spark, docs)
     r7 = round7_ops_scale_check(spark, docs)
     r8 = round8_ops_scale_check(spark, docs)
+    r9 = round9_ops_scale_check(spark)
 
     print(
         json.dumps(
@@ -1533,6 +1661,7 @@ def main() -> None:
                 **rr2,
                 **r7,
                 **r8,
+                **r9,
             }
         )
     )

@@ -918,3 +918,25 @@ def test_margin_mine_pairs_same_id_kept_by_default(spark):
         ).collect()
     }
     assert all(i != j for i, j in excl.items())
+
+
+def test_mann_kendall_long_series_guard(spark):
+    """max_group_rows= fails LOUDLY (naming the offending group) before
+    the sen-slope percentile buffers a quadratic pair list."""
+    import pytest as _pytest
+
+    from moz_datapipeline_spark.operators.temporal import mann_kendall
+
+    long_rows = [("big", float(t), float(t % 7)) for t in range(500)]
+    short_rows = [("ok", float(t), float(t)) for t in range(10)]
+    df = spark.createDataFrame(
+        long_rows + short_rows, "g string, t double, v double"
+    )
+    with _pytest.raises(ValueError, match="'big'.*500 rows"):
+        mann_kendall(df, "g", "t", "v", max_group_rows=100)
+    # under the bound: runs, and the guard does not change results
+    ok = mann_kendall(df, "g", "t", "v", max_group_rows=1000).collect()
+    plain = mann_kendall(df, "g", "t", "v").collect()
+    assert sorted(map(tuple, ok), key=lambda x: x[0]) == sorted(
+        map(tuple, plain), key=lambda x: x[0]
+    )
