@@ -4549,6 +4549,233 @@ def q_semantic_decontaminate_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 analog (order-priority checking): orders from 1996Q1
+    with AT LEAST ONE line item shipped more than 60 days after the
+    order date, counted per priority — the EXISTS decorrelated to a
+    LEFT SEMI join (this testdata carries no l_commitdate/
+    l_receiptdate, so late SHIPMENT stands in for late delivery).
+    The semi join short-circuits per order and ships no lineitem
+    payload columns.  VALUE oracle: the literal EXISTS form in
+    DuckDB."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    late = o.join(
+        li,
+        (o["o_orderkey"] == li["l_orderkey"])
+        & (
+            li["l_shipdate"]
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        ),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 analog (parts/supplier relationship): distinct
+    suppliers per (brand, size) for non-PROMO parts, EXCLUDING
+    deadbeat suppliers (negative account balance) via a broadcast
+    ANTI join — the NOT IN subquery decorrelated.  Both dimension
+    sides broadcast; the only exchange is the final grouped
+    count-distinct.  VALUE oracle: NOT IN + count(DISTINCT) in
+    DuckDB."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(
+        ~F.col("p_type").like("PROMO%")
+    )
+    bad = _t(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(
+            F.broadcast(bad),
+            li["l_suppkey"] == bad["s_suppkey"],
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.desc("supplier_cnt"), F.asc("p_brand"), F.asc("p_size")
+        )
+    )
+
+
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (operators/analytics.rfm_segments):
+    quartile Recency/Frequency/Monetary scores via the two-phase
+    distributed rank (never a global ntile window) + exact NTILE
+    arithmetic on (rank, n).  VALUE oracle: row_number + the same
+    integer tile formula in DuckDB."""
+    from moz_datapipeline_spark.operators.analytics import rfm_segments
+
+    o = _t(spark, sf_dir, "orders")
+    return rfm_segments(o, n_tiles=4)
+
+
+def q_cume_dist_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report + cumulative distribution per nation: each
+    supplier's revenue share of its nation and its exact CDF position
+    among the nation's suppliers (cume_dist — ties share a value).
+    Revenue floors to cents BEFORE the windows so tie semantics are
+    engine-exact (the topk_with_ties convention); windows are
+    nation-partitioned — never the global-sort trap.  VALUE oracle:
+    identical windows in DuckDB."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    rev = (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .groupBy(
+            F.col("s_nationkey").alias("nationkey"),
+            F.col("s_suppkey").alias("suppkey"),
+        )
+        .agg(
+            F.expr(
+                "floor(sum(l_extendedprice * (1 - l_discount)) * 100"
+                " + 0.5) / 100"
+            ).alias("revenue")
+        )
+    )
+    wsum = Window.partitionBy("nationkey")
+    wcd = Window.partitionBy("nationkey").orderBy(F.col("revenue").asc())
+    total = F.sum("revenue").over(wsum)
+    return rev.select(
+        "nationkey",
+        "suppkey",
+        "revenue",
+        F.round(
+            F.when(total > 0, F.col("revenue") / total), 6
+        ).alias("nation_share"),
+        F.round(F.cume_dist().over(wcd), 6).alias("cume_dist"),
+    )
+
+
+def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars per event type (operators/temporal.ohlc_bars):
+    open/close as min/max-struct argmin folds in ONE map-side-combined
+    hash aggregate — never a window sort over raw events.  VALUE
+    oracle: first/last(value ORDER BY t, value) aggregates in
+    DuckDB."""
+    from moz_datapipeline_spark.operators.temporal import ohlc_bars
+
+    e = _events(spark, sf_dir)
+    out = ohlc_bars(
+        e, "event_type", "ts", "value", step=3_600_000_000_000
+    )
+    return out.select(
+        "event_type",
+        "bucket_start",
+        F.round("open", 6).alias("open"),
+        F.round("high", 6).alias("high"),
+        F.round("low", 6).alias("low"),
+        F.round("close", 6).alias("close"),
+        "n",
+    )
+
+
+def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly time-weighted average value per event type
+    (operators/temporal.twap): each observation holds until the next
+    one in its group (clipped at the bucket edge), ONE group-
+    partitioned lead window + one hash aggregate.  VALUE oracle:
+    identical lead/clip/fold in DuckDB over epoch-ns integers."""
+    from moz_datapipeline_spark.operators.temporal import twap
+
+    e = _events(spark, sf_dir)
+    return twap(e, "event_type", "ts", "value", step=3_600_000_000_000)
+
+
+def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive backtest over the hourly event-count series
+    (operators/temporal.seasonal_naive_backtest): forecast(t) =
+    count(t − 24 buckets), MAPE/sMAPE/bias per event type — the
+    baseline every real forecast must beat.  VALUE oracle: identical
+    rollup + lag(24) + folds in DuckDB."""
+    from moz_datapipeline_spark.operators.temporal import (
+        seasonal_naive_backtest,
+    )
+
+    e = _events(spark, sf_dir)
+    hourly = e.groupBy(
+        "event_type",
+        F.expr("ts div 3600000000000").alias("hour_idx"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("n_events"))
+    return seasonal_naive_backtest(
+        hourly, "event_type", "hour_idx", "n_events", season_lag=24
+    )
+
+
+def q_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation + robust-z outlier counts per return
+    flag (operators/analytics.mad_outliers): two exact-percentile
+    passes + one conditional-sum pass, |groups|-row exchanges only —
+    the 50%-breakdown alternative to anomaly_zscore's moment-based
+    flags.  VALUE oracle: quantile_cont medians + the same conditional
+    sum in DuckDB."""
+    from moz_datapipeline_spark.operators.analytics import mad_outliers
+
+    li = _t(spark, sf_dir, "lineitem")
+    return mad_outliers(
+        li, "l_extendedprice", group_cols=["l_returnflag"], k=3.0
+    ).orderBy("l_returnflag")
+
+
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-style readability per document
+    (operators/text.readability_scores): whitespace words, [.!?]-run
+    sentences, vowel-group syllables — pure JVM regex-split HOFs, one
+    pass, no shuffle.  VALUE oracle: the same split/filter counting in
+    DuckDB."""
+    from moz_datapipeline_spark.operators.text import readability_scores
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return readability_scores(d).select(
+        "doc_id", "n_words", "n_sentences", "n_syllables", "flesch"
+    )
+
+
+def q_query_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirichlet-smoothed query-likelihood top-10 for {spark, window,
+    merge} (operators/retrieval.dirichlet_lm_topk) — the probabilistic
+    twin of bm25_topk, same bounded plan shape (explode filtered to
+    query terms, broadcast corpus stats, TakeOrderedAndProject).
+    VALUE oracle: the full Zhai-Lafferty formula replayed in DuckDB."""
+    from moz_datapipeline_spark.operators.retrieval import dirichlet_lm_topk
+
+    d = _t(spark, sf_dir, "documents")
+    return dirichlet_lm_topk(
+        d, ["spark", "window", "merge"], k=10, mu=2000.0
+    )
+
+
+def q_embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension z-score standardization of the embedding column
+    (functions/scaling.standardize_embeddings): posexplode → per-dim
+    hash aggregate (map-side combine folds each partition to ≤ dim
+    rows) → 1-row broadcast of the mean/std arrays → pure JVM zip_with
+    projection; no data-sized second shuffle.  VALUE oracle: the same
+    per-ordinal stats + guarded z in DuckDB."""
+    from moz_datapipeline_spark.functions.scaling import (
+        standardize_embeddings,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = standardize_embeddings(emb)
+    # one row per (vector, dimension): the driver's value hash cannot
+    # fold array cells, and per-cell rows get float-tolerant compare
+    return out.select(
+        "vec_id", F.posexplode("standardized").alias("dim", "z")
+    )
+
+
 def q_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 suppliers per nation by revenue KEEPING TIES — rank()
     instead of row_number(), so equal-revenue suppliers all survive
@@ -5192,6 +5419,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_with_ties": q_topk_with_ties,
         "fdr_battery": q_fdr_battery,
         "dataset_fingerprint": q_dataset_fingerprint,
+        "order_priority_check": q_order_priority_check,
+        "supplier_part_variety": q_supplier_part_variety,
+        "rfm_segments": q_rfm_segments,
+        "cume_dist_ratio": q_cume_dist_ratio,
+        "ohlc_bars": q_ohlc_bars,
+        "twap": q_twap,
+        "forecast_backtest": q_forecast_backtest,
+        "mad_robust": q_mad_robust,
+        "readability": q_readability,
+        "query_likelihood": q_query_likelihood,
+        "embedding_standardize": q_embedding_standardize,
     }
 
 
@@ -10168,6 +10406,283 @@ FROM eaul_calc
                round(cos, 6) AS cosine,
                round(margin, 6) AS margin
         FROM best WHERE margin >= 1.0
+    """
+
+    sql["order_priority_check"] = """
+        SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders o
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1996-04-01'
+          AND EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey
+              AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+          )
+        GROUP BY 1 ORDER BY 1
+    """
+
+    sql["supplier_part_variety"] = """
+        SELECT p_brand, p_size,
+               CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE p_type NOT LIKE 'PROMO%'
+          AND l_suppkey NOT IN (
+            SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+          )
+        GROUP BY 1, 2
+        ORDER BY supplier_cnt DESC, p_brand ASC, p_size ASC
+    """
+
+    sql["rfm_segments"] = """
+        WITH per AS (
+          SELECT o_custkey AS customer,
+                 date_diff('day', CAST(max(o_orderdate) AS DATE),
+                   (SELECT CAST(max(o_orderdate) AS DATE) FROM orders))
+                   AS recency_days,
+                 CAST(count(*) AS BIGINT) AS frequency,
+                 floor(sum(CAST(o_totalprice AS DOUBLE)) * 100 + 0.5)
+                   / 100 AS monetary
+          FROM orders GROUP BY 1
+        ), nn AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(count(*) // 4 AS BIGINT) AS base,
+                 CAST(count(*) % 4 AS BIGINT) AS rem
+          FROM per
+        ), ranked AS (
+          SELECT per.*,
+                 row_number() OVER (ORDER BY recency_days ASC,
+                                    customer ASC) AS kr,
+                 row_number() OVER (ORDER BY frequency DESC,
+                                    customer ASC) AS kf,
+                 row_number() OVER (ORDER BY monetary DESC,
+                                    customer ASC) AS km,
+                 nn.base, nn.rem
+          FROM per CROSS JOIN nn
+        ), tiled AS (
+          SELECT customer, recency_days, frequency, monetary,
+                 CAST(5 - (CASE WHEN kr <= rem * (base + 1)
+                   THEN CAST(floor((kr + base) / (base + 1.0)) AS BIGINT)
+                   ELSE rem + CAST(floor((kr - rem * (base + 1) + base - 1)
+                                         / (base * 1.0)) AS BIGINT)
+                 END) AS INTEGER) AS r,
+                 CAST(5 - (CASE WHEN kf <= rem * (base + 1)
+                   THEN CAST(floor((kf + base) / (base + 1.0)) AS BIGINT)
+                   ELSE rem + CAST(floor((kf - rem * (base + 1) + base - 1)
+                                         / (base * 1.0)) AS BIGINT)
+                 END) AS INTEGER) AS f,
+                 CAST(5 - (CASE WHEN km <= rem * (base + 1)
+                   THEN CAST(floor((km + base) / (base + 1.0)) AS BIGINT)
+                   ELSE rem + CAST(floor((km - rem * (base + 1) + base - 1)
+                                         / (base * 1.0)) AS BIGINT)
+                 END) AS INTEGER) AS m
+          FROM ranked
+        )
+        SELECT customer, recency_days, frequency, monetary, r, f, m,
+               CAST(r AS VARCHAR) || CAST(f AS VARCHAR)
+                 || CAST(m AS VARCHAR) AS segment
+        FROM tiled
+    """
+
+    sql["cume_dist_ratio"] = """
+        WITH rev AS (
+          SELECT s_nationkey AS nationkey, s_suppkey AS suppkey,
+                 floor(sum(l_extendedprice * (1 - l_discount)) * 100
+                       + 0.5) / 100 AS revenue
+          FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+          GROUP BY 1, 2
+        )
+        SELECT nationkey, suppkey, revenue,
+               round(CASE WHEN sum(revenue)
+                            OVER (PARTITION BY nationkey) > 0
+                     THEN revenue / sum(revenue)
+                            OVER (PARTITION BY nationkey) END,
+                     6) AS nation_share,
+               round(cume_dist() OVER (PARTITION BY nationkey
+                                       ORDER BY revenue ASC),
+                     6) AS cume_dist
+        FROM rev
+    """
+
+    sql["ohlc_bars"] = """
+        WITH e AS (
+          SELECT event_type, epoch_ns(ts) AS t, value AS v
+          FROM events WHERE value IS NOT NULL
+        )
+        SELECT event_type,
+               (t // 3600000000000) * 3600000000000 AS bucket_start,
+               round(first(v ORDER BY t ASC, v ASC), 6) AS open,
+               round(max(v), 6) AS high,
+               round(min(v), 6) AS low,
+               round(last(v ORDER BY t ASC, v ASC), 6) AS close,
+               CAST(count(*) AS BIGINT) AS n
+        FROM e GROUP BY 1, 2
+    """
+
+    sql["twap"] = """
+        WITH e AS (
+          SELECT event_type AS grp, epoch_ns(ts) AS t, value AS v
+          FROM events WHERE value IS NOT NULL
+        ), stepped AS (
+          SELECT grp, t, v,
+                 lead(t) OVER (PARTITION BY grp
+                               ORDER BY t ASC, v ASC) AS tn,
+                 (t // 3600000000000) * 3600000000000 AS bucket_start
+          FROM e
+        ), held AS (
+          SELECT grp, bucket_start, v,
+                 least(coalesce(tn, bucket_start + 3600000000000),
+                       bucket_start + 3600000000000) - t AS hold
+          FROM stepped
+        )
+        SELECT grp AS event_type, bucket_start,
+               round(CASE WHEN sum(CAST(hold AS DOUBLE)) > 0
+                     THEN sum(v * CAST(hold AS DOUBLE))
+                          / sum(CAST(hold AS DOUBLE)) END, 6) AS twap,
+               CAST(count(*) AS BIGINT) AS n
+        FROM held GROUP BY 1, 2
+    """
+
+    sql["forecast_backtest"] = """
+        WITH hourly AS (
+          SELECT event_type, epoch_ns(ts) // 3600000000000 AS hour_idx,
+                 CAST(count(*) AS DOUBLE) AS v
+          FROM events GROUP BY 1, 2
+        ), lagged AS (
+          SELECT event_type, v,
+                 lag(v, 24) OVER (PARTITION BY event_type
+                                  ORDER BY hour_idx ASC) AS f
+          FROM hourly
+        ), scored AS (
+          SELECT event_type, v, f, v - f AS err FROM lagged
+          WHERE f IS NOT NULL
+        )
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_scored,
+               round(avg(CASE WHEN v <> 0
+                         THEN abs(err) / abs(v) END), 6) AS mape,
+               round(avg(CASE WHEN abs(v) + abs(f) > 0
+                         THEN 2.0 * abs(err) / (abs(v) + abs(f))
+                         ELSE 0.0 END), 6) AS smape,
+               round(avg(err), 6) AS bias
+        FROM scored GROUP BY 1
+    """
+
+    sql["mad_robust"] = """
+        WITH base AS (
+          SELECT l_returnflag AS g, CAST(l_extendedprice AS DOUBLE) AS x
+          FROM lineitem WHERE l_extendedprice IS NOT NULL
+        ), med AS (
+          SELECT g, quantile_cont(x, 0.5) AS m FROM base GROUP BY 1
+        ), dev AS (
+          SELECT base.g, x, m, abs(x - m) AS d
+          FROM base JOIN med ON base.g = med.g
+        ), folded AS (
+          SELECT g, CAST(count(*) AS BIGINT) AS n,
+                 max(m) AS median,
+                 quantile_cont(d, 0.5) AS mad
+          FROM dev GROUP BY 1
+        )
+        SELECT dev.g AS l_returnflag,
+               max(folded.n) AS n,
+               round(max(folded.median), 6) AS median,
+               round(max(folded.mad), 6) AS mad,
+               round(max(CASE WHEN folded.mad > 0
+                         THEN 1.4826 * folded.mad END), 6)
+                 AS robust_sigma,
+               CAST(sum(CASE WHEN folded.mad > 0
+                        AND dev.d / (1.4826 * folded.mad) > 3.0
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        FROM dev JOIN folded ON dev.g = folded.g
+        GROUP BY 1 ORDER BY 1
+    """
+
+    sql["readability"] = """
+        WITH t AS (
+          SELECT doc_id, lower(text) AS lt FROM documents
+          WHERE text IS NOT NULL
+        ), counted AS (
+          SELECT doc_id,
+                 CAST(len(list_filter(string_split_regex(lt, '\\s+'),
+                                      x -> x <> '')) AS BIGINT) AS n_words,
+                 CAST(len(list_filter(string_split_regex(lt, '[.!?]+'),
+                                      p -> regexp_matches(p, '[a-z0-9]')))
+                      AS BIGINT) AS n_sentences,
+                 CAST(len(list_filter(string_split_regex(lt, '[^aeiouy]+'),
+                                      x -> x <> '')) AS BIGINT)
+                   AS n_syllables
+          FROM t
+        )
+        SELECT doc_id, n_words, n_sentences, n_syllables,
+               CASE WHEN n_words > 0 AND n_sentences > 0 THEN
+                 round(206.835
+                       - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+                       - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words),
+                       6)
+               END AS flesch
+        FROM counted
+    """
+
+    sql["query_likelihood"] = """
+        WITH docs AS (
+          SELECT doc_id,
+                 len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                 t -> t <> '')) AS doc_len,
+                 list_filter(string_split_regex(lower(text), '\\s+'),
+                             t -> t <> '') AS toks
+          FROM documents WHERE text IS NOT NULL
+        ), stats AS (
+          SELECT CAST(sum(doc_len) AS DOUBLE) AS c_len FROM docs
+        ), hits AS (
+          SELECT doc_id, doc_len, term
+          FROM (SELECT doc_id, doc_len, unnest(toks) AS term FROM docs)
+          WHERE term IN ('merge', 'spark', 'window')
+        ), tf AS (
+          SELECT doc_id, doc_len, term,
+                 CAST(count(*) AS BIGINT) AS tf
+          FROM hits GROUP BY 1, 2, 3
+        ), cf AS (
+          SELECT term, CAST(count(*) AS DOUBLE) AS cf
+          FROM hits GROUP BY 1
+        ), qc AS (
+          SELECT sum(ln(2000.0 * cf / c_len)) AS qc,
+                 CAST(count(*) AS DOUBLE) AS nq
+          FROM cf CROSS JOIN stats
+        ), scored AS (
+          SELECT tf.doc_id, tf.doc_len,
+                 sum(ln(tf.tf + 2000.0 * cf.cf / s.c_len)
+                     - ln(2000.0 * cf.cf / s.c_len)) AS g,
+                 CAST(count(*) AS BIGINT) AS n_terms_matched
+          FROM tf JOIN cf USING (term) CROSS JOIN stats s
+          GROUP BY 1, 2
+        )
+        SELECT doc_id,
+               round(g + qc.qc
+                     - qc.nq * ln(CAST(doc_len AS DOUBLE) + 2000.0),
+                     6) AS score,
+               n_terms_matched
+        FROM scored CROSS JOIN qc
+        ORDER BY score DESC, doc_id ASC
+        LIMIT 10
+    """
+
+    sql["embedding_standardize"] = """
+        WITH v AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+          FROM embeddings WHERE embedding IS NOT NULL
+        ), flat AS (
+          SELECT vec_id, i AS ord, emb[i] AS val
+          FROM v CROSS JOIN generate_series(1, 64) AS t(i)
+        ), stats AS (
+          SELECT ord, avg(val) AS m, stddev_samp(val) AS s
+          FROM flat GROUP BY 1
+        )
+        SELECT vec_id, CAST(ord - 1 AS INTEGER) AS dim,
+               CASE WHEN s IS NOT NULL AND s > 0
+                    THEN round((val - m) / s, 6)
+                    ELSE 0.0 END AS z
+        FROM flat JOIN stats USING (ord)
     """
 
     sql["profile_diff"] = """

@@ -122,3 +122,59 @@ def quantile_normalize(
     return step.withColumn(out_col, pos).drop(
         "_qb", "_qx", "_qi", "_qlo", "_qhi"
     )
+
+
+def standardize_embeddings(
+    df,
+    vec_col: str = "embedding",
+    out_col: str = "standardized",
+):
+    """Per-DIMENSION z-score normalization of an embedding column:
+    ``out[j] = (v[j] − mean_j) / std_j`` (sample std; a zero-variance
+    dimension maps to 0.0) — feature standardization before cosine/
+    L2 retrieval or clustering, so no dimension dominates by scale.
+    Elements round to 6 dp (the oracle-hash convention).
+
+    Plan: ONE ``posexplode`` pass feeds a per-dimension hash aggregate
+    — map-side combine folds each partition to ≤ dim partial rows, so
+    the exchange carries |dims|·|partitions| rows no matter the corpus
+    size; the dim-length mean/std ARRAYS assemble in a 1-row reduce
+    and broadcast back; the projection is a pure JVM ``zip_with``
+    chain (no join on data, no second shuffle, no re-assembly
+    ``collect_list`` over N·dim rows — the naive shape that shuffles
+    the whole corpus twice).
+    """
+    from pyspark.sql import DataFrame  # noqa: F401
+
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = df.filter(F.col(vec_col).isNotNull())
+    flat = base.select(
+        F.posexplode(vec).alias("_pos", "_val")
+    )
+    stats = flat.groupBy("_pos").agg(
+        F.avg("_val").alias("_m"),
+        F.stddev_samp("_val").alias("_s"),
+    )
+    srow = stats.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_pos", "_m"))),
+            lambda s: s["_m"],
+        ).alias("_means"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_pos", "_s"))),
+            lambda s: s["_s"],
+        ).alias("_stds"),
+    )
+    centered = F.zip_with(vec, F.col("_means"), lambda v, m: v - m)
+    z = F.zip_with(
+        centered,
+        F.col("_stds"),
+        lambda d, s: F.when(
+            s.isNotNull() & (s > 0), F.round(d / s, 6)
+        ).otherwise(F.lit(0.0)),
+    )
+    return (
+        base.crossJoin(F.broadcast(srow))
+        .withColumn(out_col, z)
+        .drop("_means", "_stds")
+    )

@@ -14,7 +14,7 @@ no timezone or precision drift between engines.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 NS_PER_DAY = 86_400_000_000_000
@@ -834,3 +834,178 @@ def bootstrap_ci(
     )
 
 
+
+
+def mad_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    k: float = 3.0,
+) -> DataFrame:
+    """Robust dispersion readout per group: ``(*group_cols, n, median,
+    mad, robust_sigma, n_outliers)`` — median absolute deviation with
+    the 1.4826 normal-consistency constant, and the count of rows
+    whose robust z-score ``|x − median| / (1.4826·MAD)`` exceeds
+    ``k``.  The mean/stddev z-score (``anomaly_zscore``) breaks down
+    exactly when you need it (outliers inflate the stddev that is
+    supposed to flag them — masking); MAD has a 50% breakdown point.
+
+    Plan: THREE passes over the (filtered, two-column) projection —
+    medians are not algebraic, so each percentile needs its own
+    aggregate, and the outlier count needs the MAD: pass 1 per-group
+    median, broadcast back; pass 2 median of |x − med|; pass 3 the
+    conditional outlier sum against the broadcast (median, mad) row.
+    Every exchange carries |groups| rows; the data-sized scans stay
+    map-side.  Same scale trade as every exact-percentile operator
+    here: swap in ``approx_percentile`` past ~1e8 rows per group
+    (documented, not silent).  A zero-MAD group (over half the values
+    tied) yields NULL robust_sigma and 0 outliers — flagging
+    everything off-mode is noise, not signal.
+    """
+    gcols = list(group_cols or [])
+    x = F.col(value_col).cast("double")
+    base = df.filter(x.isNotNull()).select(*gcols, x.alias("_x"))
+    med = base.groupBy(*gcols).agg(
+        F.expr("percentile(_x, 0.5)").alias("_med")
+    )
+    joined = (
+        base.join(F.broadcast(med), gcols) if gcols
+        else base.crossJoin(F.broadcast(med))
+    )
+    dev = F.abs(F.col("_x") - F.col("_med"))
+    folded = joined.groupBy(*gcols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("_med").alias("median"),
+        F.expr("percentile(abs(_x - _med), 0.5)").alias("mad"),
+    )
+    out = joined.join(F.broadcast(folded), gcols) if gcols else (
+        joined.crossJoin(F.broadcast(folded))
+    )
+    sigma = F.when(F.col("mad") > 0, F.lit(1.4826) * F.col("mad"))
+    is_out = F.when(
+        sigma.isNotNull(),
+        (dev / sigma > F.lit(float(k))).cast("int"),
+    ).otherwise(F.lit(0))
+    return (
+        out.groupBy(*gcols)
+        .agg(
+            F.max("n").alias("n"),
+            F.round(F.max("median"), 6).alias("median"),
+            F.round(F.max("mad"), 6).alias("mad"),
+            F.round(F.max(sigma), 6).alias("robust_sigma"),
+            F.sum(is_out).cast("long").alias("n_outliers"),
+        )
+    )
+
+
+def rfm_segments(
+    orders: DataFrame,
+    customer_col: str = "o_custkey",
+    date_col: str = "o_orderdate",
+    amount_col: str = "o_totalprice",
+    n_tiles: int = 4,
+) -> DataFrame:
+    """RFM customer segmentation: ``(customer, recency_days,
+    frequency, monetary, r, f, m, segment)`` — the classic
+    marketing-analytics cut (Recency / Frequency / Monetary quartile
+    scores, ``n_tiles`` = best), reference point = the dataset's max
+    date (the standard offline convention: "days before the snapshot
+    edge").  ``segment`` is the concatenated "421"-style code.
+
+    Scores are NTILE buckets over ALL customers — but never via the
+    global-window single-partition trap: each metric gets a two-phase
+    distributed rank (``ranges.global_rank`` — range partition, local
+    row_number, broadcast prefix bases) and the tile comes from the
+    exact SQL NTILE arithmetic on (rank, n): base = n div q, the first
+    n mod q buckets take one extra row.  Recency ranks ascending
+    (most recent = rank 1), frequency/monetary descending; every
+    ordering ends in the customer key, so ties are total and the
+    result is partition-layout-independent.  Tile 1 (best) maps to
+    score ``n_tiles``, descending.
+
+    Plan: one per-customer hash aggregate (map-side combined), one
+    1-row max-date broadcast, three range exchanges over the
+    |customers| rollup, one 1-row count broadcast for the tile
+    arithmetic.  Each ``global_rank`` call pins its range-partitioned
+    frame per that operator's cache contract (released when the
+    returned frame is).
+    """
+    from moz_datapipeline_spark.operators.ranges import global_rank
+
+    per = (
+        orders.groupBy(F.col(customer_col).alias("customer"))
+        .agg(
+            F.max(F.col(date_col)).alias("_last"),
+            F.count(F.lit(1)).alias("frequency"),
+            # floor-cents, not round(): monetary is a RANKING key, and
+            # half-up vs half-even tie handling would flip ranks
+            # between engines (the topk_with_ties convention)
+            (
+                F.floor(
+                    F.sum(F.col(amount_col).cast("double")) * 100
+                    + F.lit(0.5)
+                )
+                / 100
+            ).alias("monetary"),
+        )
+    )
+    edge = orders.agg(F.max(F.col(date_col)).alias("_edge"))
+    per = (
+        per.crossJoin(F.broadcast(edge))
+        .withColumn(
+            "recency_days",
+            F.datediff(F.col("_edge"), F.col("_last")).cast("long"),
+        )
+        .drop("_edge", "_last")
+    )
+    n_row = per.agg(F.count(F.lit(1)).alias("_n"))
+
+    s = global_rank(
+        per, "recency_days", ["customer"], ascending=True,
+        with_percent=False,
+    ).withColumnRenamed("rank", "_kr")
+    s = global_rank(
+        s, "frequency", ["customer"], ascending=False, with_percent=False
+    ).withColumnRenamed("rank", "_kf")
+    s = global_rank(
+        s, "monetary", ["customer"], ascending=False, with_percent=False
+    ).withColumnRenamed("rank", "_km")
+    s = s.crossJoin(F.broadcast(n_row))
+
+    q = F.lit(int(n_tiles))
+    base = F.expr("_n div " + str(int(n_tiles)))
+    rem = F.col("_n") % q
+
+    def tile(rank_col: str) -> Column:
+        rn = F.col(rank_col)
+        fat = rem * (base + 1)  # rows living in the size-(base+1) tiles
+        return F.when(
+            rn <= fat, (rn + base) / (base + 1)
+        ).otherwise(
+            rem + ((rn - fat + base - 1) / base)
+        ).cast("long")
+
+    def score(rank_col: str) -> Column:
+        return (F.lit(int(n_tiles) + 1) - F.floor(tile(rank_col))).cast(
+            "int"
+        )
+
+    scored = (
+        s.withColumn("r", score("_kr"))
+        .withColumn("f", score("_kf"))
+        .withColumn("m", score("_km"))
+    )
+    return scored.select(
+        "customer",
+        "recency_days",
+        "frequency",
+        "monetary",
+        "r",
+        "f",
+        "m",
+        F.concat(
+            F.col("r").cast("string"),
+            F.col("f").cast("string"),
+            F.col("m").cast("string"),
+        ).alias("segment"),
+    )

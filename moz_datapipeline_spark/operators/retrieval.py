@@ -417,3 +417,102 @@ def rrf_fuse(
             .drop("_r")
         )
     return fused
+
+
+def dirichlet_lm_topk(
+    df: DataFrame,
+    query: list[str],
+    k: int = 10,
+    mu: float = 2000.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Query-likelihood retrieval with Dirichlet-prior smoothing
+    (Zhai & Lafferty 2001) — the probabilistic counterpart to
+    ``bm25_topk``, and the stronger baseline on short queries:
+
+        score(d) = Σ_t  log( (tf_td + μ·P(t|C)) / (dl_d + μ) )
+
+    with ``P(t|C) = cf_t / |C|`` (corpus term frequency over total
+    corpus tokens).  Returns ``(doc_id, score, n_terms_matched)``
+    ordered by score desc, doc_id asc, rounded to 6 dp (the oracle-
+    hash convention).  Query terms with zero corpus frequency are
+    dropped (their factor would be −∞ for every document alike).
+
+    CANDIDATE SEMANTICS: only documents matching ≥ 1 query term are
+    scored — for unmatched docs every tf is 0 and the score collapses
+    to Σ log(μ·P(t|C)/(dl+μ)), maximized by the SHORTEST document;
+    surfacing those is noise, so the standard practical cut applies
+    (document the choice rather than scan everything).  Matched docs
+    still get the smoothed factor for their MISSING terms — computed
+    from dl alone, no second corpus pass.
+
+    Plan shape mirrors ``bm25_topk``: one scan → explode filtered to
+    query terms → (doc, term) tf aggregate → per-term corpus
+    frequency from a second tiny aggregate over the SAME filtered
+    explode → broadcast (|q| rows + 1-row corpus stats) → per-doc sum
+    with the missing-term correction as arithmetic over dl →
+    TakeOrderedAndProject top-k.
+    """
+    if not query:
+        raise ValueError("dirichlet_lm_topk: query must be non-empty")
+    want = sorted({t.lower() for t in query})
+    toks = _terms(text_col)
+    base = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).alias("doc_len"),
+        toks.alias("_toks"),
+    )
+    stats = base.agg(
+        F.sum("doc_len").cast("double").alias("c_len")
+    )
+    hits = base.select(
+        "doc_id", "doc_len", F.explode("_toks").alias("term")
+    ).filter(F.col("term").isin(want))
+    tf = hits.groupBy("doc_id", "doc_len", "term").agg(
+        F.count("*").alias("tf")
+    )
+    cf = hits.groupBy("term").agg(
+        F.count("*").cast("double").alias("cf")
+    )
+    # matched-term factor MINUS the smoothed-only factor the missing-
+    # term correction will re-add: log(tf + mu*p) - log(mu*p)
+    mu_l = F.lit(float(mu))
+    p_c = F.col("cf") / F.col("c_len")
+    per_term = (
+        tf.join(F.broadcast(cf), "term")
+        .join(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "doc_len",
+            (
+                F.log(F.col("tf") + mu_l * p_c) - F.log(mu_l * p_c)
+            ).alias("_gain"),
+        )
+    )
+    # Σ_t log(mu*p_t) is a query constant; Σ_t -log(dl+mu) is |q| terms
+    q_const = cf.join(F.broadcast(stats)).agg(
+        F.sum(F.log(mu_l * p_c)).alias("_qc"),
+        F.count(F.lit(1)).cast("double").alias("_nq"),
+    )
+    return (
+        per_term.groupBy("doc_id", "doc_len")
+        .agg(
+            F.sum("_gain").alias("_g"),
+            F.count(F.lit(1)).cast("long").alias("n_terms_matched"),
+        )
+        .join(F.broadcast(q_const))
+        .select(
+            "doc_id",
+            F.round(
+                F.col("_g")
+                + F.col("_qc")
+                - F.col("_nq")
+                * F.log(F.col("doc_len").cast("double") + mu_l),
+                6,
+            ).alias("score"),
+            "n_terms_matched",
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )

@@ -761,3 +761,193 @@ def gap_fill(
         F.round("value", 6).alias("value"),
         "is_filled",
     )
+
+
+def ohlc_bars(
+    df: DataFrame,
+    group_col: str,
+    time_col: str,
+    value_col: str,
+    step: int,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Downsample an observation stream into per-group OHLC bars:
+    ``(group, bucket_start, open, high, low, close, n)`` — the standard
+    "compress ticks to bars" rollup (finance candles, metric
+    downsampling, training-telemetry compaction).
+
+    ``open``/``close`` are the first/last values under the total order
+    (time, tiebreak) — the tiebreak (default: the value itself) makes
+    bars deterministic when several observations share a timestamp.
+    Buckets snap to the ABSOLUTE grid (``floor(t/step)*step``), the
+    ``gap_fill`` convention, so bar edges agree across groups and
+    incremental runs.  NULL values drop out (an empty bucket simply
+    does not emit a bar).
+
+    Plan: ONE hash aggregate — open/close are ``min/max(struct(t,
+    tiebreak, v))`` argmin/argmax folds (partial-aggregating, never a
+    window sort), high/low/n plain min/max/count; the only exchange
+    carries one row per (group, bucket).  At 100 TB this is the
+    map-side-combine ideal: reduction factor = bucket width.
+    """
+    tb = F.col(tiebreak_col) if tiebreak_col else F.col(value_col)
+    v = F.col(value_col).cast("double")
+    # integral division for the bucket: epoch-ns values (~1e18) exceed
+    # double's 2^53 exact range, so float division could misplace a
+    # boundary timestamp by one bucket (the cohort_retention rule)
+    base = df.filter(v.isNotNull()).select(
+        F.col(group_col).alias("grp"),
+        (
+            F.expr(f"CAST({time_col} AS BIGINT) div {int(step)}")
+            * F.lit(int(step))
+        )
+        .cast("long")
+        .alias("bucket_start"),
+        F.col(time_col).cast("long").alias("_t"),
+        tb.alias("_tb"),
+        v.alias("_v"),
+    )
+    pick = F.struct(F.col("_t"), F.col("_tb"), F.col("_v"))
+    return (
+        base.groupBy("grp", "bucket_start")
+        .agg(
+            F.min(pick).alias("_first"),
+            F.max(pick).alias("_last"),
+            F.max("_v").alias("high"),
+            F.min("_v").alias("low"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "bucket_start",
+            F.col("_first._v").alias("open"),
+            "high",
+            "low",
+            F.col("_last._v").alias("close"),
+            "n",
+        )
+    )
+
+
+def twap(
+    df: DataFrame,
+    group_col: str,
+    time_col: str,
+    value_col: str,
+    step: int,
+) -> DataFrame:
+    """Time-weighted average value per (group, bucket):
+    ``(group, bucket_start, twap, n)`` — each observation holds until
+    the NEXT observation in its group (or the bucket's right edge for
+    the last one), and the average weights values by that holding
+    time.  The honest summary for irregularly-sampled state (a price,
+    a gauge, a config flag): a plain ``avg`` over-counts bursts of
+    rapid updates; TWAP is burst-invariant.
+
+    Weights come from ONE ``lead(t)`` window per group (hash-
+    partitioned by group, ordered by time with the value as a
+    deterministic tiebreak for duplicate timestamps; a duplicate
+    contributes 0 weight and drops out).  Observations never span
+    buckets: the holding interval is clipped at the bucket edge
+    (values before a bucket's first observation contribute nothing —
+    carry state in upstream with ``gap_fill``'s locf if you need
+    cross-bucket holds).  A bucket whose observations all have zero
+    holding time (all at the right edge) yields NULL.
+
+    Plan: one window (group-partitioned — never the global-sort trap)
+    + one hash aggregate; exchange reuse between the two (same key).
+    """
+    v = F.col(value_col).cast("double")
+    base = df.filter(v.isNotNull()).select(
+        F.col(group_col).alias("grp"),
+        F.col(time_col).cast("long").alias("_t"),
+        v.alias("_v"),
+    )
+    w = Window.partitionBy("grp").orderBy(F.col("_t").asc(), F.col("_v").asc())
+    stepped = (
+        base.withColumn("_tn", F.lead("_t").over(w))
+        .withColumn(
+            # integral division: epoch-ns exceeds double's exact range
+            "bucket_start",
+            (F.expr(f"_t div {int(step)}") * F.lit(int(step))).cast(
+                "long"
+            ),
+        )
+        .withColumn("_edge", F.col("bucket_start") + F.lit(step))
+        .withColumn(
+            "_hold",
+            F.least(F.coalesce(F.col("_tn"), F.col("_edge")), F.col("_edge"))
+            - F.col("_t"),
+        )
+    )
+    num = F.sum(F.col("_v") * F.col("_hold").cast("double"))
+    den = F.sum(F.col("_hold").cast("double"))
+    return (
+        stepped.groupBy("grp", "bucket_start")
+        .agg(
+            F.when(den > 0, num / den).alias("twap"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "bucket_start",
+            F.round("twap", 6).alias("twap"),
+            "n",
+        )
+    )
+
+
+def seasonal_naive_backtest(
+    df: DataFrame,
+    group_col: str,
+    time_col: str,
+    value_col: str,
+    season_lag: int,
+) -> DataFrame:
+    """One-step seasonal-naive forecast backtest per group:
+    ``(group, n_scored, mape, smape, bias)`` — forecast(t) =
+    value(t − season_lag), scored over every bucket whose seasonal
+    ancestor exists.  The canonical forecasting BASELINE: any model
+    that cannot beat this number is noise, so the pipeline publishes
+    it next to every "real" forecast.
+
+    INPUT CONTRACT: one row per (group, time) on a regular grid
+    (``gap_fill`` first if sparse).  ``season_lag`` is in ROWS of that
+    grid (24 for daily seasonality on hourly buckets).  Buckets with
+    zero actuals are excluded from MAPE (undefined) but kept in sMAPE
+    and bias; groups with no scoreable rows emit NULL metrics.
+
+    Plan: one ``lag(value, season_lag)`` window per group + one hash
+    aggregate — group-partitioned, no global sort, no self-join.
+    """
+    v = F.col(value_col).cast("double")
+    base = df.filter(v.isNotNull()).select(
+        F.col(group_col).alias("grp"),
+        F.col(time_col).cast("long").alias("_t"),
+        v.alias("_v"),
+    )
+    w = Window.partitionBy("grp").orderBy(F.col("_t").asc())
+    scored = base.withColumn(
+        "_f", F.lag("_v", season_lag).over(w)
+    ).filter(F.col("_f").isNotNull())
+    err = F.col("_v") - F.col("_f")
+    ape = F.when(
+        F.col("_v") != 0, F.abs(err) / F.abs(F.col("_v"))
+    )
+    sden = F.abs(F.col("_v")) + F.abs(F.col("_f"))
+    sape = F.when(sden > 0, F.lit(2.0) * F.abs(err) / sden).otherwise(
+        F.lit(0.0)
+    )
+    return (
+        scored.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_scored"),
+            F.round(F.avg(ape), 6).alias("mape"),
+            F.round(F.avg(sape), 6).alias("smape"),
+            F.round(F.avg(err), 6).alias("bias"),
+        )
+        .select(
+            F.col("grp").alias(group_col), "n_scored", "mape", "smape",
+            "bias",
+        )
+    )

@@ -644,3 +644,53 @@ def group_sample(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def readability_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Flesch-style readability per document, appended as columns:
+    ``n_words, n_sentences, n_syllables, flesch`` — the standard
+    corpus-quality covariate (curriculum bucketing, easy/hard split,
+    "too simple to train on" filters).
+
+    Counting conventions chosen for ENGINE portability (identical
+    string semantics in Spark and DuckDB, no language model):
+
+    - words      = whitespace tokens (the ``_terms`` tokenizer);
+    - sentences  = runs of ``[.!?]`` acting as terminators — split on
+      the run, count pieces containing at least one alphanumeric (an
+      abbreviation period still splits: a documented approximation);
+    - syllables  = vowel-group count: maximal ``[aeiouy]+`` runs in
+      the lowercased text (the classic one-liner estimator — within
+      ~10% of dictionary syllables on English prose, exact enough for
+      a monotone difficulty score).
+
+    ``flesch`` = 206.835 − 1.015·(words/sentences) −
+    84.6·(syllables/words); NULL when words or sentences are zero
+    (no basis).  Pure JVM projection — regex split + filter HOFs, one
+    pass, no shuffle, no UDF; trivially column-pruned at 100 TB.
+    """
+    t = F.lower(F.col(text_col))
+    words = F.size(F.filter(F.split(t, r"\s+"), lambda x: x != ""))
+    sentences = F.size(
+        F.filter(
+            F.split(t, r"[.!?]+"),
+            lambda p: p.rlike("[a-z0-9]"),
+        )
+    )
+    syllables = F.size(
+        F.filter(F.split(t, r"[^aeiouy]+"), lambda x: x != "")
+    )
+    base = (
+        df.withColumn("n_words", words.cast("long"))
+        .withColumn("n_sentences", sentences.cast("long"))
+        .withColumn("n_syllables", syllables.cast("long"))
+    )
+    flesch = F.when(
+        (F.col("n_words") > 0) & (F.col("n_sentences") > 0),
+        F.lit(206.835)
+        - F.lit(1.015)
+        * (F.col("n_words") / F.col("n_sentences")).cast("double")
+        - F.lit(84.6)
+        * (F.col("n_syllables") / F.col("n_words")).cast("double"),
+    )
+    return base.withColumn("flesch", F.round(flesch, 6))

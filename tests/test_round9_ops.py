@@ -1,0 +1,209 @@
+"""Round-9 operators: OHLC/TWAP/backtest rollups, robust stats, RFM,
+readability, Dirichlet query-likelihood, per-dim standardization."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+
+def test_ohlc_bars_reference(spark):
+    from moz_datapipeline_spark.operators.temporal import ohlc_bars
+
+    rows = [
+        # group, t, v — bucket width 10
+        ("a", 1, 5.0),
+        ("a", 3, 9.0),
+        ("a", 9, 2.0),
+        ("a", 12, 7.0),   # second bucket
+        ("b", 4, 1.0),
+        ("b", 4, 3.0),    # duplicate t: value tiebreak -> open=1.0
+    ]
+    df = spark.createDataFrame(rows, "g string, t long, v double")
+    got = {
+        (r.g, r.bucket_start): (r.open, r.high, r.low, r.close, r.n)
+        for r in ohlc_bars(df, "g", "t", "v", step=10).collect()
+    }
+    assert got == {
+        ("a", 0): (5.0, 9.0, 2.0, 2.0, 3),
+        ("a", 10): (7.0, 7.0, 7.0, 7.0, 1),
+        ("b", 0): (1.0, 3.0, 1.0, 3.0, 2),
+    }
+
+
+def test_twap_reference(spark):
+    from moz_datapipeline_spark.operators.temporal import twap
+
+    # bucket [0,10): v=2 holds t=0..4, v=10 holds t=4..10
+    # twap = (2*4 + 10*6) / 10 = 6.8
+    rows = [("a", 0, 2.0), ("a", 4, 10.0)]
+    df = spark.createDataFrame(rows, "g string, t long, v double")
+    got = {r.bucket_start: r.twap for r in twap(df, "g", "t", "v", 10).collect()}
+    assert got == {0: 6.8}
+
+    # an observation at the bucket's right edge... belongs to the NEXT
+    # bucket and holds there; the prior value is clipped at its edge
+    rows2 = [("a", 0, 2.0), ("a", 10, 4.0)]
+    df2 = spark.createDataFrame(rows2, "g string, t long, v double")
+    got2 = {
+        r.bucket_start: r.twap
+        for r in twap(df2, "g", "t", "v", 10).collect()
+    }
+    assert got2 == {0: 2.0, 10: 4.0}
+
+
+def test_seasonal_naive_backtest_reference(spark):
+    from moz_datapipeline_spark.operators.temporal import (
+        seasonal_naive_backtest,
+    )
+
+    # lag 2: forecasts are v[t-2]; series 1,2,3,4 -> scored at t=2,3
+    rows = [("a", t, float(t + 1)) for t in range(4)]
+    df = spark.createDataFrame(rows, "g string, t long, v double")
+    r = seasonal_naive_backtest(df, "g", "t", "v", season_lag=2).collect()[0]
+    # errors: 3-1=2, 4-2=2 ; mape = (2/3 + 2/4)/2 ; bias = 2
+    assert r.n_scored == 2
+    assert abs(r.mape - round((2 / 3 + 2 / 4) / 2, 6)) < 1e-9
+    assert r.bias == 2.0
+    smape = (2 * 2 / (3 + 1) + 2 * 2 / (4 + 2)) / 2
+    assert abs(r.smape - round(smape, 6)) < 1e-9
+
+
+def test_mad_outliers_reference(spark):
+    from moz_datapipeline_spark.operators.analytics import mad_outliers
+
+    vals = [1.0, 2.0, 3.0, 4.0, 100.0]
+    df = spark.createDataFrame(
+        [("g", v) for v in vals], "g string, x double"
+    )
+    r = mad_outliers(df, "x", group_cols=["g"], k=3.0).collect()[0]
+    assert r.median == 3.0
+    # deviations: 2,1,0,1,97 -> median 1
+    assert r.mad == 1.0
+    assert abs(r.robust_sigma - 1.4826) < 1e-9
+    # robust z of 100 = 97/1.4826 = 65.4 -> 1 outlier; others <= 1.35
+    assert r.n_outliers == 1
+
+    # constant group: MAD 0 -> NULL sigma, zero outliers
+    const = spark.createDataFrame(
+        [("g", 5.0)] * 4, "g string, x double"
+    )
+    rc = mad_outliers(const, "x", group_cols=["g"]).collect()[0]
+    assert rc.mad == 0.0 and rc.robust_sigma is None and rc.n_outliers == 0
+
+
+def test_rfm_segments_reference(spark):
+    import datetime as dt
+
+    from moz_datapipeline_spark.operators.analytics import rfm_segments
+
+    base = dt.datetime(1996, 1, 1)
+    rows = []
+    # customer c has c orders of 100 each, last order day c (c=1..8)
+    for c in range(1, 9):
+        for i in range(c):
+            rows.append((c, base + dt.timedelta(days=c - i), 100.0))
+    df = spark.createDataFrame(
+        rows, "o_custkey long, o_orderdate timestamp, o_totalprice double"
+    )
+    got = {r.customer: r for r in rfm_segments(df, n_tiles=4).collect()}
+    # recency: max date = day 8 (customer 8); recency_days = 8 - c
+    assert got[8].recency_days == 0 and got[1].recency_days == 7
+    # frequency rank desc: c=8 rank 1 -> tile 1 -> f = 4
+    assert got[8].f == 4 and got[7].f == 4
+    assert got[1].f == 1 and got[2].f == 1
+    # monetary = 100*c, same ordering as frequency
+    assert got[8].m == 4 and got[1].m == 1
+    # recency asc: c=8 most recent -> r = 4
+    assert got[8].r == 4 and got[1].r == 1
+    assert got[8].segment == "444" and got[1].segment == "111"
+    # 8 customers, 4 tiles: every tile holds exactly 2
+    from collections import Counter
+
+    assert Counter(r.r for r in got.values()) == {1: 2, 2: 2, 3: 2, 4: 2}
+
+
+def test_readability_reference(spark):
+    from moz_datapipeline_spark.operators.text import readability_scores
+
+    df = spark.createDataFrame(
+        [(1, "The cat sat. The dog ran!"), (2, "!!!")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in readability_scores(df).collect()}
+    r1 = got[1]
+    assert r1.n_words == 6 and r1.n_sentences == 2
+    # vowel groups: e,a,a,e,o,a = 6
+    assert r1.n_syllables == 6
+    expect = 206.835 - 1.015 * (6 / 2) - 84.6 * (6 / 6)
+    assert abs(r1.flesch - round(expect, 6)) < 1e-9
+    # no alphanumerics: zero sentences/words -> NULL flesch
+    r2 = got[2]
+    assert r2.n_words == 1 and r2.n_sentences == 0 and r2.flesch is None
+
+
+def test_dirichlet_lm_reference(spark):
+    from moz_datapipeline_spark.operators.retrieval import dirichlet_lm_topk
+
+    docs = [
+        (1, "apple banana apple"),
+        (2, "banana cherry"),
+        (3, "durian durian durian durian"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    mu = 10.0
+    out = {
+        r.doc_id: (r.score, r.n_terms_matched)
+        for r in dirichlet_lm_topk(
+            df, ["apple", "cherry"], k=10, mu=mu
+        ).collect()
+    }
+    # corpus: 9 tokens; cf(apple)=2, cf(cherry)=1
+    c = 9.0
+    p_a, p_c = 2 / c, 1 / c
+
+    def score(tfs, dl):
+        return sum(
+            math.log((tf + mu * p) / (dl + mu))
+            for tf, p in zip(tfs, [p_a, p_c])
+        )
+
+    assert set(out) == {1, 2}  # doc 3 matches no term -> unscored
+    assert out[1][1] == 1 and out[2][1] == 1
+    assert abs(out[1][0] - round(score([2, 0], 3), 6)) < 1e-9
+    assert abs(out[2][0] - round(score([0, 1], 2), 6)) < 1e-9
+
+
+def test_standardize_embeddings_reference(spark):
+    from moz_datapipeline_spark.functions.scaling import (
+        standardize_embeddings,
+    )
+
+    rows = [(1, [1.0, 5.0]), (2, [3.0, 5.0]), (3, [5.0, 5.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r.vec_id: r.standardized
+        for r in standardize_embeddings(df).collect()
+    }
+    # dim 0: mean 3, sample std 2 -> z = -1, 0, 1 ; dim 1 constant -> 0
+    assert got[1] == [-1.0, 0.0]
+    assert got[2] == [0.0, 0.0]
+    assert got[3] == [1.0, 0.0]
+
+
+def test_round9_plan_shapes(spark):
+    """No Python evaluation and no global (unpartitioned) window sort
+    in the round-9 rollup operators."""
+    from moz_datapipeline_spark.operators.temporal import ohlc_bars, twap
+
+    df = spark.createDataFrame(
+        [("a", 1, 2.0)], "g string, t long, v double"
+    )
+    for out in (
+        ohlc_bars(df, "g", "t", "v", 10),
+        twap(df, "g", "t", "v", 10),
+    ):
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
