@@ -4776,6 +4776,98 @@ def q_embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed mean-target encoding of market segment against order
+    value (operators/features.target_encode): empirical-Bayes
+    shrinkage toward the global mean, one category aggregate + one
+    1-row prior broadcast + one broadcast encode join; summarized per
+    segment for the check.  VALUE oracle: identical shrinkage formula
+    in DuckDB."""
+    from moz_datapipeline_spark.operators.features import target_encode
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    base = o.join(
+        F.broadcast(c), o["o_custkey"] == c["c_custkey"]
+    ).filter(F.col("o_totalprice").isNotNull())
+    enc = target_encode(
+        base, "c_mktsegment", "o_totalprice", smoothing=10.0
+    )
+    return (
+        enc.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.max("c_mktsegment_te"), 6).alias("te"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurization of documents into 32 signed buckets
+    (operators/features.hashed_features): no vocabulary pass, fixed
+    feature space, md5-portable bucket/sign hashes, one map-side-
+    combined aggregate.  VALUE oracle: the same md5 bucket/sign
+    arithmetic in DuckDB."""
+    from moz_datapipeline_spark.operators.features import hashed_features
+
+    d = _t(spark, sf_dir, "documents")
+    return hashed_features(d, n_features=32, portable_hash=True)
+
+
+def q_neighbor_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GNN-style 1-hop neighbor-feature aggregation over the
+    supplier–part bipartite graph from lineitem
+    (graph/aggregate.neighbor_feature_aggregate): per node, the
+    count/mean/min/max of neighbor features (supplier account balance
+    / part retail price) — one |E|-row equi join + one hash
+    aggregate, Σ deg rows, never |V|².  VALUE oracle: identical
+    symmetrized join + fold in DuckDB."""
+    from moz_datapipeline_spark.graph.aggregate import (
+        neighbor_feature_aggregate,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    p = _t(spark, sf_dir, "part")
+    edges = li.select(
+        F.col("l_suppkey").alias("src"),
+        (F.col("l_partkey") + F.lit(1_000_000)).alias("dst"),
+    )
+    # features in integer CENTS: sums of integer-valued doubles are
+    # exact, so the neighbor mean is add-order-independent and the
+    # 6-dp round never straddles an ulp between engines
+    feats = s.select(
+        F.col("s_suppkey").alias("node"),
+        F.expr("floor(s_acctbal * 100 + 0.5)").alias("feature"),
+    ).unionByName(
+        p.select(
+            (F.col("p_partkey") + F.lit(1_000_000)).alias("node"),
+            F.expr("floor(p_retailprice * 100 + 0.5)").alias("feature"),
+        )
+    )
+    out = neighbor_feature_aggregate(edges, feats, hops=1)
+    return out.select(
+        "node",
+        "n_neighbors",
+        F.round(F.col("mean_f") / 100, 6).alias("mean_f"),
+        F.round(F.col("min_f") / 100, 6).alias("min_f"),
+        F.round(F.col("max_f") / 100, 6).alias("max_f"),
+    )
+
+
+def q_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE corpus keyphrases (operators/text.rake_keyphrases):
+    punctuation+stopword-delimited candidate runs, degree/frequency
+    word scores, top-20 phrases — two posexplodes, one running-sum
+    window, vocabulary equi join, TakeOrderedAndProject.  VALUE
+    oracle: the full segmentation + scoring replayed in DuckDB."""
+    from moz_datapipeline_spark.operators.text import rake_keyphrases
+
+    d = _t(spark, sf_dir, "documents")
+    return rake_keyphrases(d, k=20)
+
+
 def q_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 suppliers per nation by revenue KEEPING TIES — rank()
     instead of row_number(), so equal-revenue suppliers all survive
@@ -5430,6 +5522,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "readability": q_readability,
         "query_likelihood": q_query_likelihood,
         "embedding_standardize": q_embedding_standardize,
+        "target_encode": q_target_encode,
+        "feature_hashing": q_feature_hashing,
+        "neighbor_features": q_neighbor_features,
+        "rake_keyphrases": q_rake_keyphrases,
     }
 
 
@@ -10683,6 +10779,119 @@ FROM eaul_calc
                     THEN round((val - m) / s, 6)
                     ELSE 0.0 END AS z
         FROM flat JOIN stats USING (ord)
+    """
+
+    sql["target_encode"] = """
+        WITH base AS (
+          SELECT c_mktsegment AS seg, CAST(o_totalprice AS DOUBLE) AS y
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          WHERE o_totalprice IS NOT NULL
+        ), per AS (
+          SELECT seg, sum(y) AS sy, CAST(count(*) AS BIGINT) AS n
+          FROM base GROUP BY 1
+        ), g AS (
+          SELECT avg(y) AS prior FROM base
+        )
+        SELECT seg AS c_mktsegment, n AS n_rows,
+               round((sy + 10.0 * prior) / (n + 10.0), 6) AS te
+        FROM per CROSS JOIN g ORDER BY 1
+    """
+
+    sql["feature_hashing"] = """
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                    t -> t <> '')) AS tok
+          FROM documents WHERE text IS NOT NULL
+        ), h AS (
+          SELECT doc_id,
+                 CAST(CAST(('0x' || substr(md5('fh:' || tok), 1, 15))
+                           AS BIGINT) % 32 AS INTEGER) AS bucket,
+                 CASE WHEN CAST(('0x' || substr(md5('fs:' || tok), 1, 15))
+                           AS BIGINT) % 2 = 0
+                      THEN 1 ELSE -1 END AS sign
+          FROM toks
+        )
+        SELECT doc_id, bucket, CAST(sum(sign) AS BIGINT) AS weight
+        FROM h GROUP BY 1, 2
+        HAVING sum(sign) <> 0
+    """
+
+    sql["neighbor_features"] = """
+        WITH raw AS (
+          SELECT l_suppkey AS s, l_partkey + 1000000 AS d FROM lineitem
+        ), e AS (
+          SELECT DISTINCT s, d FROM (
+            SELECT s, d FROM raw UNION ALL SELECT d AS s, s AS d FROM raw
+          ) WHERE s <> d
+        ), feats AS (
+          SELECT s_suppkey AS node, floor(s_acctbal * 100 + 0.5) AS f
+          FROM supplier
+          UNION ALL
+          SELECT p_partkey + 1000000 AS node,
+                 floor(p_retailprice * 100 + 0.5) AS f
+          FROM part
+        )
+        SELECT e.s AS node,
+               CAST(count(*) AS BIGINT) AS n_neighbors,
+               round(avg(f) / 100, 6) AS mean_f,
+               round(min(f) / 100, 6) AS min_f,
+               round(max(f) / 100, 6) AS max_f
+        FROM e LEFT JOIN feats ON feats.node = e.d
+        GROUP BY 1
+    """
+
+    sql["rake_keyphrases"] = """
+        WITH docs AS (
+          SELECT doc_id,
+                 string_split_regex(lower(text), '[^a-z0-9\\s]+') AS segs
+          FROM documents WHERE text IS NOT NULL
+        ), segidx AS (
+          SELECT doc_id, segs,
+                 unnest(generate_series(1, len(segs))) AS seg
+          FROM docs
+        ), segrows AS (
+          SELECT doc_id, seg,
+                 list_filter(string_split_regex(segs[seg], '\\s+'),
+                             t -> t <> '') AS ws
+          FROM segidx
+        ), wordidx AS (
+          SELECT doc_id, seg, ws,
+                 unnest(generate_series(1, len(ws))) AS pos
+          FROM segrows
+        ), wordrows AS (
+          SELECT doc_id, seg, pos, ws[pos] AS w,
+                 CASE WHEN ws[pos] IN ('the','a','an','and','or','of','to',
+                   'in','on','for','with','is','are','was','were','be',
+                   'by','at','as','it','this','that','from','but','not')
+                 THEN 1 ELSE 0 END AS is_stop
+          FROM wordidx
+        ), runs AS (
+          SELECT doc_id, seg, pos, w, is_stop,
+                 sum(is_stop) OVER (PARTITION BY doc_id, seg
+                                    ORDER BY pos
+                                    ROWS UNBOUNDED PRECEDING) AS grp
+          FROM wordrows
+        ), pw AS (
+          SELECT doc_id, seg, grp, pos, w,
+                 count(*) OVER (PARTITION BY doc_id, seg, grp) AS plen
+          FROM runs WHERE is_stop = 0
+        ), stats AS (
+          SELECT w, CAST(count(*) AS BIGINT) AS freq,
+                 CAST(sum(plen) AS BIGINT) AS deg
+          FROM pw GROUP BY 1
+        ), phrases AS (
+          SELECT pw.doc_id, pw.seg, pw.grp,
+                 string_agg(pw.w, ' ' ORDER BY pw.pos) AS phrase,
+                 sum(CAST(stats.deg AS DOUBLE) / stats.freq) AS pscore
+          FROM pw JOIN stats USING (w)
+          GROUP BY 1, 2, 3
+        )
+        SELECT phrase, CAST(count(*) AS BIGINT) AS n_occurrences,
+               round(max(pscore), 6) AS score
+        FROM phrases GROUP BY 1
+        ORDER BY score DESC, phrase ASC
+        LIMIT 20
     """
 
     sql["profile_diff"] = """

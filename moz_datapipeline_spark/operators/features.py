@@ -1,0 +1,119 @@
+"""ML featurization operators: target encoding and the hashing trick.
+
+The training-data pipeline's last mile: turning curated rows into model
+features without a driver-side fit step.  Both operators are pure
+DataFrame plans with deterministic, engine-portable arithmetic (the
+dedup family's md5 convention), so feature values replay bit-for-bit
+across runs, partitionings, and engines.
+
+Reference parity: extension surface (the reference has no ML
+featurization); the hash conventions follow ``operators/dedup``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from moz_datapipeline_spark.operators.dedup import _token_hash
+
+
+def target_encode(
+    df: DataFrame,
+    category_col: str,
+    target_col: str,
+    smoothing: float = 10.0,
+    out_col: str | None = None,
+    broadcast_categories: bool = True,
+) -> DataFrame:
+    """Smoothed mean-target encoding (the empirical-Bayes shrinkage
+    form):
+
+        enc(c) = (Σ_c y + m·ȳ_global) / (n_c + m)
+
+    — a rare category shrinks toward the global mean, a frequent one
+    approaches its own mean; ``m`` (``smoothing``) is the pseudo-count
+    where the two weigh equally.  NULL targets are excluded from the
+    statistics; NULL categories encode to the global mean via the
+    same formula over the NULL group (explicitly grouped, not
+    dropped).  Adds ``out_col`` (default ``<category>_te``) plus
+    nothing else; every input row survives.
+
+    LEAKAGE NOTE: this is the fit-on-everything form — fit it on the
+    TRAIN split and join onto val/test, or the target leaks.  The
+    encoding table is returned joined; to materialize the table
+    itself, aggregate the distinct (category, out_col) pairs.
+
+    Plan: one hash aggregate for the category table + one 1-row
+    global-mean aggregate broadcast into it; the encode is a single
+    equi join — broadcast by default (category tables are almost
+    always dimension-sized; pass ``broadcast_categories=False`` for
+    ultra-high-cardinality keys and let AQE pick the strategy).
+    """
+    out_col = out_col or f"{category_col}_te"
+    y = F.col(target_col).cast("double")
+    per = (
+        df.filter(y.isNotNull())
+        .groupBy(F.col(category_col).alias("_cat"))
+        .agg(F.sum(y).alias("_sy"), F.count(F.lit(1)).alias("_n"))
+    )
+    g = df.filter(y.isNotNull()).agg(F.avg(y).alias("_prior"))
+    m = F.lit(float(smoothing))
+    enc = per.crossJoin(F.broadcast(g)).select(
+        "_cat",
+        (
+            (F.col("_sy") + m * F.col("_prior"))
+            / (F.col("_n").cast("double") + m)
+        ).alias(out_col),
+    )
+    if broadcast_categories:
+        enc = F.broadcast(enc)
+    return df.join(
+        enc, df[category_col].eqNullSafe(enc["_cat"]), "left"
+    ).drop("_cat")
+
+
+def hashed_features(
+    df: DataFrame,
+    text_col: str = "text",
+    n_features: int = 64,
+    id_col: str = "doc_id",
+    portable_hash: bool = True,
+) -> DataFrame:
+    """The hashing trick (Weinberger et al. 2009): sparse bag-of-words
+    features in a FIXED ``n_features``-dimensional space with no
+    vocabulary pass — ``(id, bucket, weight)`` rows where ``bucket =
+    h(token) mod n`` and each occurrence contributes ±1 by an
+    independent sign hash (the signed construction keeps collision
+    noise zero-mean).  Zero-weight buckets (signs cancelled) are
+    dropped — the sparse contract.
+
+    This is the scale answer to one-hot/vocab encoders: no global
+    vocabulary shuffle, no OOV handling, memory O(n_features) per doc.
+    Plan: explode → two integer hashes per token (md5-portable by
+    default — the DuckDB oracle replays exactly; ``portable_hash=
+    False`` swaps in xxhash64, the dedup family's fast path) → one
+    map-side-combined hash aggregate on (id, bucket).
+    """
+    if n_features < 1:
+        raise ValueError("hashed_features: n_features must be >= 1")
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+    base = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), F.explode(toks).alias("_tok")
+    )
+    h_b = _token_hash(F.concat(F.lit("fh:"), F.col("_tok")), portable_hash)
+    h_s = _token_hash(F.concat(F.lit("fs:"), F.col("_tok")), portable_hash)
+    signed = base.select(
+        id_col,
+        F.pmod(h_b, F.lit(n_features)).cast("int").alias("bucket"),
+        F.when(F.pmod(h_s, F.lit(2)) == 0, F.lit(1))
+        .otherwise(F.lit(-1))
+        .alias("_sign"),
+    )
+    return (
+        signed.groupBy(id_col, "bucket")
+        .agg(F.sum("_sign").cast("long").alias("weight"))
+        .filter(F.col("weight") != 0)
+    )

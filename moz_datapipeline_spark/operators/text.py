@@ -694,3 +694,100 @@ def readability_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
         * (F.col("n_syllables") / F.col("n_words")).cast("double"),
     )
     return base.withColumn("flesch", F.round(flesch, 6))
+
+
+#: RAKE boundary words: the tokens that terminate a candidate phrase.
+#: A small literal list (not a language pack) so every engine replays
+#: the identical segmentation.
+RAKE_STOPWORDS = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "on", "for",
+    "with", "is", "are", "was", "were", "be", "by", "at", "as", "it",
+    "this", "that", "from", "but", "not",
+)
+
+
+def rake_keyphrases(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 20,
+    stopwords: tuple[str, ...] = RAKE_STOPWORDS,
+) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010), corpus-level:
+    ``(phrase, n_occurrences, score)`` — the top-``k`` phrases by the
+    classic degree/frequency word score.
+
+    - candidate phrases = maximal runs of non-stopword words, broken
+      at stopwords AND at punctuation (text splits into segments on
+      ``[^a-z0-9\\s]+`` first, so "fast, scalable joins" yields two
+      phrases, not one spanning the comma);
+    - word score = deg(w)/freq(w), where freq counts occurrences in
+      phrases and deg sums the LENGTH of each containing phrase
+      (co-occurrence credit: words appearing in long phrases score
+      higher);
+    - phrase score = Σ word scores; identical phrase text scores
+      identically, so the output groups by phrase with an occurrence
+      count.  Corpus-level statistics (the training-data use:
+      "what is this corpus about"), not per-document — document-level
+      RAKE is the same plan with ``id_col`` added to the stats keys.
+
+    Plan: two posexplodes (segments, words), ONE doc-partitioned
+    running-sum window to number the stopword-delimited runs, one
+    window for phrase length, one hash aggregate for the word stats
+    (vocabulary-sized — an equi join back, not a broadcast: at 100 TB
+    the vocabulary outgrows any executor), one phrase fold, one
+    TakeOrderedAndProject.  No Python anywhere.
+    """
+    lt = F.lower(F.col(text_col))
+    segs = F.split(lt, r"[^a-z0-9\s]+")
+    d0 = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("_doc"),
+        F.posexplode(segs).alias("seg", "_segtext"),
+    )
+    d1 = d0.select(
+        "_doc",
+        "seg",
+        F.posexplode(F.split(F.col("_segtext"), r"\s+")).alias(
+            "pos", "w"
+        ),
+    ).filter(F.col("w") != "")
+    d1 = d1.withColumn(
+        "is_stop", F.col("w").isin(*stopwords).cast("int")
+    )
+    wrun = (
+        Window.partitionBy("_doc", "seg")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    d2 = d1.withColumn("grp", F.sum("is_stop").over(wrun)).filter(
+        F.col("is_stop") == 0
+    )
+    wlen = Window.partitionBy("_doc", "seg", "grp")
+    d3 = d2.withColumn("_plen", F.count(F.lit(1)).over(wlen))
+    stats = d3.groupBy("w").agg(
+        F.count(F.lit(1)).alias("_freq"),
+        F.sum("_plen").alias("_deg"),
+    )
+    scored = d3.join(stats, "w").withColumn(
+        "_wscore",
+        F.col("_deg").cast("double") / F.col("_freq").cast("double"),
+    )
+    phrases = scored.groupBy("_doc", "seg", "grp").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                lambda s: s["w"],
+            ),
+            " ",
+        ).alias("phrase"),
+        F.sum("_wscore").alias("_pscore"),
+    )
+    return (
+        phrases.groupBy("phrase")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.round(F.max("_pscore"), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("phrase"))
+        .limit(k)
+    )

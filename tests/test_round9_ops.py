@@ -207,3 +207,93 @@ def test_round9_plan_shapes(spark):
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
+
+
+def test_target_encode_reference(spark):
+    from moz_datapipeline_spark.operators.features import target_encode
+
+    rows = [("a", 10.0), ("a", 20.0), ("b", 100.0), (None, 50.0)]
+    df = spark.createDataFrame(rows, "c string, y double")
+    out = {r.c: r.c_te for r in target_encode(df, "c", "y", smoothing=2.0, out_col="c_te").collect()}
+    prior = (10 + 20 + 100 + 50) / 4  # 45
+    assert abs(out["a"] - (30 + 2 * prior) / 4) < 1e-9
+    assert abs(out["b"] - (100 + 2 * prior) / 3) < 1e-9
+    # NULL category is its own group (null-safe join), not dropped
+    assert abs(out[None] - (50 + 2 * prior) / 3) < 1e-9
+
+
+def test_hashed_features_properties(spark):
+    from moz_datapipeline_spark.operators.features import hashed_features
+
+    df = spark.createDataFrame(
+        [(1, "x y x"), (2, "x")], "doc_id long, text string"
+    )
+    out = hashed_features(df, n_features=8, portable_hash=True).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, {})[r.bucket] = r.weight
+    # same token hashes identically: doc 1's x-bucket weight is 2x doc 2's
+    (xb, xw), = [i for i in by_doc[2].items()]
+    assert abs(by_doc[1][xb]) == 2 * abs(xw)
+    assert all(0 <= r.bucket < 8 for r in out)
+    assert all(r.weight != 0 for r in out)
+
+
+def test_neighbor_feature_aggregate_two_hop(spark):
+    from moz_datapipeline_spark.graph.aggregate import (
+        neighbor_feature_aggregate,
+    )
+
+    # path graph 1-2-3 with features 10, 20, 30
+    e = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    f = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "node long, feature double"
+    )
+    one = {
+        r.node: (r.n_neighbors, r.mean_f)
+        for r in neighbor_feature_aggregate(e, f, hops=1).collect()
+    }
+    assert one == {1: (1, 20.0), 2: (2, 20.0), 3: (1, 20.0)}
+    # hop 2 aggregates the 1-hop means: node 1's neighbor is 2 (mean 20)
+    two = {
+        r.node: r.mean_f
+        for r in neighbor_feature_aggregate(e, f, hops=2).collect()
+    }
+    assert two == {1: 20.0, 2: 20.0, 3: 20.0}
+
+    # missing feature rows aggregate as NULL but still count as neighbors
+    f2 = spark.createDataFrame([(2, 20.0)], "node long, feature double")
+    got = {
+        r.node: (r.n_neighbors, r.mean_f)
+        for r in neighbor_feature_aggregate(e, f2, hops=1).collect()
+    }
+    assert got[2] == (2, None) and got[1] == (1, 20.0)
+
+
+def test_rake_keyphrases_reference(spark):
+    from moz_datapipeline_spark.operators.text import rake_keyphrases
+
+    df = spark.createDataFrame(
+        [
+            (1, "deep learning, and deep learning systems."),
+            (2, "systems of deep learning"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.phrase: r for r in rake_keyphrases(df, k=10).collect()}
+    # "deep learning" occurs twice as its own phrase (comma + 'and'
+    # break the runs), once more inside "deep learning systems"
+    assert "deep learning" in out and "deep learning systems" in out
+    assert out["deep learning"].n_occurrences == 2
+    # freq: deep 3, learning 3, systems 2
+    # deg: deep = 2+2+3, learning = 2+2+3, systems = 3+1
+    ws = {"deep": 7 / 3, "learning": 7 / 3, "systems": 4 / 2}
+    assert abs(
+        out["deep learning"].score - round(ws["deep"] + ws["learning"], 6)
+    ) < 1e-9
+    assert abs(
+        out["deep learning systems"].score
+        - round(ws["deep"] + ws["learning"] + ws["systems"], 6)
+    ) < 1e-9
+    # longer phrase outranks its sub-phrase
+    assert out["deep learning systems"].score > out["deep learning"].score
