@@ -109,3 +109,51 @@ def stream_stream_attribution(
         & (c[ts_col] <= v["view_ts"] + F.expr(f"INTERVAL {max_delay}"))
     )
     return c.join(v, cond).drop("_v_user")
+
+
+def ohlc_rollup(
+    events: DataFrame,
+    keys: tuple[str, ...] = ("event_type",),
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window: str = "1 hour",
+) -> DataFrame:
+    """Tumbling OHLC bars — the streaming twin of
+    ``operators/temporal.ohlc_bars`` (same dual-mode contract as
+    ``hourly_rollup``: under ``readStream`` this compiles to a
+    stateful streaming aggregate; attach a watermark first and run
+    append mode so bars emit exactly once, on window close).
+
+    open/close are min/max STRUCT folds over (event time, value) —
+    algebraic aggregates, so streaming state is O(1) per (key,
+    window): each micro-batch folds into the running min/max structs,
+    nothing buffers rows.  Duplicate timestamps tiebreak on the value
+    (deterministic across micro-batch arrival orders — a
+    first()-style aggregate would be arrival-order-dependent, which
+    streaming forbids).  NULL values drop.
+    """
+    v = F.col(value_col).cast("double")
+    pick = F.struct(F.col(ts_col).alias("_t"), v.alias("_v"))
+    return (
+        events.filter(v.isNotNull())
+        .groupBy(
+            F.window(F.col(ts_col), window).alias("w"),
+            *[F.col(k) for k in keys],
+        )
+        .agg(
+            F.min(pick).alias("_f"),
+            F.max(pick).alias("_l"),
+            F.max(v).alias("high"),
+            F.min(v).alias("low"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            *keys,
+            F.col("_f._v").alias("open"),
+            "high",
+            "low",
+            F.col("_l._v").alias("close"),
+            "n",
+        )
+    )

@@ -362,3 +362,76 @@ def test_streaming_funnel_state_across_batches(spark, tmp_path):
     }
     # streaming end-state: user1 completed 3 stages, user2 completed 2
     assert batch_counts == {1: 2, 2: 2, 3: 1}
+
+
+def test_ohlc_rollup_streaming_matches_batch(spark, tmp_path):
+    """Streaming OHLC bars: closed windows emit once (append mode) and
+    equal the batch twin on the same rows — the dual-mode contract."""
+    import json
+
+    from moz_datapipeline_spark.streaming.events import ohlc_rollup
+
+    src = tmp_path / "ohlc_in"
+    src.mkdir()
+    chk = str(tmp_path / "ohlc_chk")
+
+    rows1 = [
+        {"ts": "2024-01-01 00:05:00", "event_type": "c", "value": 5.0},
+        {"ts": "2024-01-01 00:10:00", "event_type": "c", "value": 9.0},
+        {"ts": "2024-01-01 00:50:00", "event_type": "c", "value": 2.0},
+        {"ts": "2024-01-01 00:20:00", "event_type": "d", "value": 1.0},
+    ]
+    rows2 = [  # advances the watermark past hour 0
+        {"ts": "2024-01-01 05:00:00", "event_type": "c", "value": 7.0},
+    ]
+    with open(src / "b1.json", "w") as fh:
+        for r in rows1:
+            fh.write(json.dumps(r) + "\n")
+
+    stream = (
+        spark.readStream.schema("ts string, event_type string, value double")
+        .json(str(src))
+        .withColumn("ts", F.to_timestamp("ts"))
+        .withWatermark("ts", "1 hour")
+    )
+    q = (
+        ohlc_rollup(stream)
+        .writeStream.format("memory")
+        .queryName("ohlc_out")
+        .outputMode("append")
+        .option("checkpointLocation", chk)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        with open(src / "b2.json", "w") as fh:
+            for r in rows2:
+                fh.write(json.dumps(r) + "\n")
+        q.processAllAvailable()
+        got = {
+            (r.event_type, str(r.window_start)): (
+                r.open, r.high, r.low, r.close, r.n
+            )
+            for r in spark.sql("SELECT * FROM ohlc_out").collect()
+        }
+    finally:
+        q.stop()
+
+    # hour-0 windows closed; the hour-5 window is still open
+    assert got == {
+        ("c", "2024-01-01 00:00:00"): (5.0, 9.0, 2.0, 2.0, 3),
+        ("d", "2024-01-01 00:00:00"): (1.0, 1.0, 1.0, 1.0, 1),
+    }
+
+    # batch twin over the same closed rows
+    batch = spark.createDataFrame(
+        [(r["ts"], r["event_type"], r["value"]) for r in rows1],
+        "ts string, event_type string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    want = {
+        (r.event_type, str(r.window_start)): (
+            r.open, r.high, r.low, r.close, r.n
+        )
+        for r in ohlc_rollup(batch).collect()
+    }
+    assert got == want
