@@ -4868,6 +4868,115 @@ def q_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rake_keyphrases(d, k=20)
 
 
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences (operators/analytics.markov_transitions): one user-
+    partitioned lead window + matrix-sized folds; event_id tiebreak
+    makes duplicate timestamps deterministic.  VALUE oracle:
+    identical lead + row-normalization in DuckDB."""
+    from moz_datapipeline_spark.operators.analytics import (
+        markov_transitions,
+    )
+
+    e = _events(spark, sf_dir)
+    return markov_transitions(e, tiebreak_col="event_id")
+
+
+def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival curve over user activity spans
+    (operators/analytics.kaplan_meier): duration = days between a
+    user's first and last event; users last seen within 3 days of the
+    dataset edge are right-CENSORED (still active).  Product-limit
+    estimate via exp∘Σln windows over the duration rollup.  VALUE
+    oracle: identical risk-set and product windows in DuckDB."""
+    from moz_datapipeline_spark.operators.analytics import kaplan_meier
+
+    e = _events(spark, sf_dir)
+    day = F.expr("ts div 86400000000000")
+    spans = e.groupBy("user_id").agg(
+        F.min(day).alias("_first"), F.max(day).alias("_last")
+    )
+    edge = e.agg(F.max(day).alias("_edge"))
+    subj = spans.crossJoin(F.broadcast(edge)).select(
+        (F.col("_last") - F.col("_first")).alias("duration"),
+        (F.col("_last") < F.col("_edge") - 3).cast("int").alias("event"),
+    )
+    return kaplan_meier(subj, "duration", "event")
+
+
+def q_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orphan counts for every foreign
+    key in the star schema (child rows whose key has no parent) — four
+    ANTI joins, parent sides broadcast where dimension-sized.  The
+    pipeline gate that catches a bad incremental load before it
+    poisons every downstream join.  VALUE oracle: NOT IN counts per
+    relation in DuckDB."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    c = _t(spark, sf_dir, "customer")
+
+    def audit(child, key, parent, pkey, name):
+        n = child.agg(F.count(F.lit(1)).alias("n_child"))
+        orphans = child.join(
+            parent.select(pkey).distinct(),
+            child[key] == F.col(pkey),
+            "left_anti",
+        ).agg(F.count(F.lit(1)).alias("n_orphans"))
+        return n.crossJoin(orphans).select(
+            F.lit(name).alias("relation"), "n_child", "n_orphans"
+        )
+
+    return (
+        audit(li, "l_orderkey", o, "o_orderkey", "lineitem->orders")
+        .unionByName(
+            audit(li, "l_partkey", p, "p_partkey", "lineitem->part")
+        )
+        .unionByName(
+            audit(li, "l_suppkey", s, "s_suppkey", "lineitem->supplier")
+        )
+        .unionByName(
+            audit(o, "o_custkey", c, "c_custkey", "orders->customer")
+        )
+    )
+
+
+def q_period_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth per market segment: monthly
+    floor-cents rollup, one segment-partitioned lag window, guarded
+    ratio — the period-over-period readout every dashboard needs.
+    VALUE oracle: identical rollup + lag in DuckDB."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    monthly = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+            .cast("long")
+            .alias("yearmonth"),
+        )
+        .agg(
+            F.expr(
+                "floor(sum(o_totalprice) * 100 + 0.5) / 100"
+            ).alias("revenue")
+        )
+    )
+    w = Window.partitionBy("segment").orderBy(F.col("yearmonth").asc())
+    prev = F.lag("revenue").over(w)
+    growth = F.when(
+        prev > 0, (F.col("revenue") - prev) / prev
+    )
+    return monthly.select(
+        "segment",
+        "yearmonth",
+        "revenue",
+        F.round(prev, 2).alias("prev_revenue"),
+        F.round(growth, 6).alias("growth"),
+    )
+
+
 def q_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 suppliers per nation by revenue KEEPING TIES — rank()
     instead of row_number(), so equal-revenue suppliers all survive
@@ -5526,6 +5635,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feature_hashing": q_feature_hashing,
         "neighbor_features": q_neighbor_features,
         "rake_keyphrases": q_rake_keyphrases,
+        "markov_transitions": q_markov_transitions,
+        "kaplan_meier": q_kaplan_meier,
+        "fk_integrity": q_fk_integrity,
+        "period_growth": q_period_growth,
     }
 
 
@@ -10892,6 +11005,111 @@ FROM eaul_calc
         FROM phrases GROUP BY 1
         ORDER BY score DESC, phrase ASC
         LIMIT 20
+    """
+
+    sql["markov_transitions"] = """
+        WITH seq AS (
+          SELECT event_type AS from_type,
+                 lead(event_type) OVER (
+                   PARTITION BY user_id
+                   ORDER BY epoch_ns(ts) ASC, event_id ASC
+                 ) AS to_type
+          FROM events
+        ), pairs AS (
+          SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+          FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2
+        )
+        SELECT from_type, to_type, n,
+               round(CAST(n AS DOUBLE)
+                     / sum(n) OVER (PARTITION BY from_type), 6) AS p
+        FROM pairs
+    """
+
+    sql["kaplan_meier"] = """
+        WITH spans AS (
+          SELECT user_id,
+                 min(epoch_ns(ts) // 86400000000000) AS f,
+                 max(epoch_ns(ts) // 86400000000000) AS l
+          FROM events GROUP BY 1
+        ), edge AS (
+          SELECT max(epoch_ns(ts) // 86400000000000) AS e FROM events
+        ), subj AS (
+          SELECT CAST(l - f AS DOUBLE) AS t,
+                 CASE WHEN l < e - 3 THEN 1 ELSE 0 END AS ev
+          FROM spans CROSS JOIN edge
+        ), per AS (
+          SELECT t, CAST(sum(ev) AS BIGINT) AS d,
+                 CAST(count(*) - sum(ev) AS BIGINT) AS c
+          FROM subj GROUP BY 1
+        ), staged AS (
+          SELECT t, d, c,
+                 CAST(sum(d + c) OVER () -
+                      coalesce(sum(d + c) OVER (
+                        ORDER BY t ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS BIGINT) AS n
+          FROM per
+        )
+        SELECT t AS duration, n AS n_at_risk, d AS n_events,
+               c AS n_censored,
+               round(CASE WHEN max(CASE WHEN d = n THEN 1 ELSE 0 END)
+                            OVER (ORDER BY t ASC
+                                  ROWS UNBOUNDED PRECEDING) = 1
+                     THEN 0.0
+                     ELSE exp(sum(CASE WHEN d > 0 AND d < n
+                               THEN ln(1.0 - CAST(d AS DOUBLE) / n)
+                               ELSE 0.0 END)
+                              OVER (ORDER BY t ASC
+                                    ROWS UNBOUNDED PRECEDING))
+                     END, 6) AS survival
+        FROM staged
+    """
+
+    sql["fk_integrity"] = """
+        SELECT 'lineitem->orders' AS relation,
+               (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_child,
+               (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+                WHERE l_orderkey NOT IN
+                      (SELECT o_orderkey FROM orders)) AS n_orphans
+        UNION ALL
+        SELECT 'lineitem->part',
+               (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+               (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+                WHERE l_partkey NOT IN (SELECT p_partkey FROM part))
+        UNION ALL
+        SELECT 'lineitem->supplier',
+               (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+               (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+                WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier))
+        UNION ALL
+        SELECT 'orders->customer',
+               (SELECT CAST(count(*) AS BIGINT) FROM orders),
+               (SELECT CAST(count(*) AS BIGINT) FROM orders
+                WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+    """
+
+    sql["period_growth"] = """
+        WITH monthly AS (
+          SELECT c_mktsegment AS segment,
+                 CAST(year(o_orderdate) * 100 + month(o_orderdate)
+                      AS BIGINT) AS yearmonth,
+                 floor(sum(o_totalprice) * 100 + 0.5) / 100 AS revenue
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          GROUP BY 1, 2
+        )
+        SELECT segment, yearmonth, revenue,
+               round(lag(revenue) OVER (PARTITION BY segment
+                                        ORDER BY yearmonth ASC),
+                     2) AS prev_revenue,
+               round(CASE WHEN lag(revenue) OVER (PARTITION BY segment
+                                                  ORDER BY yearmonth ASC)
+                          > 0
+                     THEN (revenue - lag(revenue) OVER (
+                            PARTITION BY segment ORDER BY yearmonth ASC))
+                          / lag(revenue) OVER (PARTITION BY segment
+                                               ORDER BY yearmonth ASC)
+                     END, 6) AS growth
+        FROM monthly
     """
 
     sql["profile_diff"] = """

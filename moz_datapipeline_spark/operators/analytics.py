@@ -1009,3 +1009,123 @@ def rfm_segments(
             F.col("m").cast("string"),
         ).alias("segment"),
     )
+
+
+def markov_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: ``(from_type, to_type, n, p)`` with ``p`` the
+    row-normalized transition probability — the "what usually happens
+    next" readout behind journey analysis, next-event prediction
+    baselines, and bot detection (improbable chains).
+
+    Sequences order by (ts, tiebreak) within each user — pass an id
+    column as ``tiebreak_col`` when timestamps can tie (default: the
+    type itself), or the matrix is partition-lottery.  A user's last
+    event has no successor and contributes no pair.
+
+    Plan: ONE user-partitioned lead window (hash-partitioned on the
+    user key, never global) + one (from, to) hash aggregate + a
+    from-state sum window over the |types|²-sized matrix.  The data-
+    sized exchange is the window's user shuffle; everything after is
+    matrix-sized.
+    """
+    tb = F.col(tiebreak_col) if tiebreak_col else F.col(type_col)
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col("_tb").asc()
+    )
+    pairs = (
+        events.select(
+            F.col(user_col),
+            F.col(ts_col),
+            tb.alias("_tb"),
+            F.col(type_col).alias("from_type"),
+        )
+        .withColumn("to_type", F.lead("from_type").over(w))
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wf = Window.partitionBy("from_type")
+    total = F.sum("n").over(wf)
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n").cast("double") / total, 6).alias("p"),
+    )
+
+
+def kaplan_meier(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Kaplan–Meier survival curve: ``(*group_cols, duration, n_at_risk,
+    n_events, n_censored, survival)`` — one row per distinct duration,
+    ``survival`` the product-limit estimate Π_{u≤t}(1 − d_u/n_u).
+    The standard time-to-event readout (churn, hardware failure,
+    ticket resolution) under right censoring: ``event_col`` is 1 when
+    the event was OBSERVED at ``duration``, 0 when the subject was
+    censored there (still alive at last sight — removed from the risk
+    set without counting as a failure).
+
+    Plan: one hash aggregate to the |distinct durations| rollup, then
+    two ordered windows over that small frame — an exclusive prefix
+    sum for the risk set (n_at_risk = N − removed-before-t) and a
+    cumulative Σln(1 − d/n) for the product (exp∘Σln keeps the
+    running product associative and engine-portable; the d = n
+    extinction row forces survival 0 through a flag, never ln(0)).
+    Windows partition by ``group_cols`` — per-cohort curves shuffle by
+    cohort; a single global curve runs its windows over the rollup,
+    which is duration-cardinality-sized, not data-sized.
+    """
+    gcols = list(group_cols or [])
+    d = F.col(duration_col).cast("double")
+    ev = F.col(event_col).cast("int")
+    base = df.filter(d.isNotNull()).select(
+        *gcols, d.alias("_t"), ev.alias("_e")
+    )
+    per = base.groupBy(*gcols, "_t").agg(
+        F.sum("_e").alias("_d"),
+        (F.count(F.lit(1)) - F.sum("_e")).alias("_c"),
+    )
+    wtot = Window.partitionBy(*gcols) if gcols else Window.partitionBy()
+    wcum = (
+        (Window.partitionBy(*gcols) if gcols else Window.partitionBy())
+        .orderBy(F.col("_t").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wrun = (
+        (Window.partitionBy(*gcols) if gcols else Window.partitionBy())
+        .orderBy(F.col("_t").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    n_total = F.sum(F.col("_d") + F.col("_c")).over(wtot)
+    removed = F.coalesce(
+        F.sum(F.col("_d") + F.col("_c")).over(wcum), F.lit(0)
+    )
+    staged = per.withColumn("_n", (n_total - removed).cast("long"))
+    frac = F.col("_d").cast("double") / F.col("_n").cast("double")
+    ln_term = F.when(
+        (F.col("_d") > 0) & (F.col("_d") < F.col("_n")),
+        F.log(F.lit(1.0) - frac),
+    ).otherwise(F.lit(0.0))
+    extinct = F.max((F.col("_d") == F.col("_n")).cast("int")).over(wrun)
+    surv = F.when(extinct == 1, F.lit(0.0)).otherwise(
+        F.exp(F.sum(ln_term).over(wrun))
+    )
+    return staged.select(
+        *gcols,
+        F.col("_t").alias("duration"),
+        F.col("_n").alias("n_at_risk"),
+        F.col("_d").cast("long").alias("n_events"),
+        F.col("_c").cast("long").alias("n_censored"),
+        F.round(surv, 6).alias("survival"),
+    )

@@ -297,3 +297,52 @@ def test_rake_keyphrases_reference(spark):
     ) < 1e-9
     # longer phrase outranks its sub-phrase
     assert out["deep learning systems"].score > out["deep learning"].score
+
+
+def test_markov_transitions_reference(spark):
+    from moz_datapipeline_spark.operators.analytics import (
+        markov_transitions,
+    )
+
+    rows = [
+        (1, 1, "a"), (1, 2, "b"), (1, 3, "a"),
+        (2, 1, "a"), (2, 2, "a"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts long, event_type string")
+    got = {
+        (r.from_type, r.to_type): (r.n, r.p)
+        for r in markov_transitions(df).collect()
+    }
+    # from 'a': a->b (u1), a->a (u2) ; from 'b': b->a (u1)
+    assert got == {
+        ("a", "b"): (1, 0.5),
+        ("a", "a"): (1, 0.5),
+        ("b", "a"): (1, 1.0),
+    }
+
+
+def test_kaplan_meier_reference(spark):
+    from moz_datapipeline_spark.operators.analytics import kaplan_meier
+
+    # classic toy: events at t=1 (1 of 5), t=3 (1 of 3); censored at
+    # t=2 (1), t=3 (1), t=4 (1)
+    rows = [(1.0, 1), (2.0, 0), (3.0, 1), (3.0, 0), (4.0, 0)]
+    df = spark.createDataFrame(rows, "t double, e int")
+    got = {
+        r.duration: (r.n_at_risk, r.n_events, r.n_censored, r.survival)
+        for r in kaplan_meier(df, "t", "e").collect()
+    }
+    s1 = 1 - 1 / 5                # 0.8
+    s3 = s1 * (1 - 1 / 3)         # 0.533333
+    assert got[1.0] == (5, 1, 0, round(s1, 6))
+    assert got[2.0] == (4, 0, 1, round(s1, 6))
+    assert got[3.0] == (3, 1, 1, round(s3, 6))
+    assert got[4.0] == (1, 0, 1, round(s3, 6))
+
+    # extinction: everyone fails at t=2 -> survival exactly 0
+    rows2 = [(1.0, 1), (2.0, 1), (2.0, 1)]
+    df2 = spark.createDataFrame(rows2, "t double, e int")
+    got2 = {
+        r.duration: r.survival for r in kaplan_meier(df2, "t", "e").collect()
+    }
+    assert got2[2.0] == 0.0
