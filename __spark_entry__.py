@@ -4977,6 +4977,36 @@ def q_period_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ctfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-based TF-IDF: top-5 distinctive terms per SOURCE
+    (operators/corpus.ctfidf_terms — the BERTopic c-TF-IDF form):
+    one explode + (class, term) aggregate, term totals from the same
+    aggregate, vocabulary-sized equi join, class-partitioned top-k.
+    VALUE oracle: identical fold in DuckDB."""
+    from moz_datapipeline_spark.operators.corpus import ctfidf_terms
+
+    d = _t(spark, sf_dir, "documents")
+    return ctfidf_terms(d, class_col="source", k=5)
+
+
+def q_bipartite_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier co-occurrence graph projected from the supplier–part
+    bipartite edge list (graph/aggregate.bipartite_projection):
+    supplier pairs sharing ≥ 2 distinct parts, shared count + Jaccard
+    over exact left degrees; right-hub cap bounds the self-join at
+    Σ deg(part)².  VALUE oracle: identical dedupe + self join + folds
+    in DuckDB."""
+    from moz_datapipeline_spark.graph.aggregate import (
+        bipartite_projection,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_suppkey").alias("src"), F.col("l_partkey").alias("dst")
+    )
+    return bipartite_projection(edges, min_weight=2)
+
+
 def q_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 suppliers per nation by revenue KEEPING TIES — rank()
     instead of row_number(), so equal-revenue suppliers all survive
@@ -5639,6 +5669,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kaplan_meier": q_kaplan_meier,
         "fk_integrity": q_fk_integrity,
         "period_growth": q_period_growth,
+        "ctfidf_terms": q_ctfidf_terms,
+        "bipartite_projection": q_bipartite_projection,
     }
 
 
@@ -11110,6 +11142,54 @@ FROM eaul_calc
                                                ORDER BY yearmonth ASC)
                      END, 6) AS growth
         FROM monthly
+    """
+
+    sql["ctfidf_terms"] = """
+        WITH tf AS (
+          SELECT cls, term, CAST(count(*) AS BIGINT) AS tf FROM (
+            SELECT source AS cls,
+                   unnest(list_filter(
+                     string_split_regex(lower(text), '\\s+'),
+                     t -> t <> '')) AS term
+            FROM documents WHERE text IS NOT NULL
+          ) GROUP BY 1, 2
+        ), totals AS (
+          SELECT term, CAST(sum(tf) AS BIGINT) AS ft FROM tf GROUP BY 1
+        ), a AS (
+          SELECT avg(ctoks) AS A FROM (
+            SELECT cls, sum(tf) AS ctoks FROM tf GROUP BY 1
+          )
+        ), scored AS (
+          SELECT cls, tf.term, tf.tf,
+                 CAST(tf.tf AS DOUBLE) * ln(1.0 + a.A / totals.ft)
+                   AS score
+          FROM tf JOIN totals USING (term) CROSS JOIN a
+        )
+        SELECT cls AS source, term, tf, round(score, 6) AS score,
+               CAST(row_number() OVER (PARTITION BY cls
+                    ORDER BY score DESC, term ASC) AS INTEGER) AS rank
+        FROM scored QUALIFY rank <= 5
+    """
+
+    sql["bipartite_projection"] = """
+        WITH e AS (
+          SELECT DISTINCT l_suppkey AS l, l_partkey AS r FROM lineitem
+        ), ldeg AS (
+          SELECT l, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1
+        ), rk AS (
+          SELECT r FROM e GROUP BY r HAVING count(*) <= 1000
+        ), pairs AS (
+          SELECT a.l AS na, b.l AS nb, CAST(count(*) AS BIGINT) AS weight
+          FROM e a JOIN e b ON a.r = b.r AND a.l < b.l
+          WHERE a.r IN (SELECT r FROM rk)
+          GROUP BY 1, 2 HAVING count(*) >= 2
+        )
+        SELECT na AS node_a, nb AS node_b, weight,
+               round(CAST(weight AS DOUBLE)
+                     / (da.deg + db.deg - weight), 6) AS jaccard
+        FROM pairs
+        JOIN ldeg da ON da.l = na
+        JOIN ldeg db ON db.l = nb
     """
 
     sql["profile_diff"] = """

@@ -37,26 +37,42 @@ def quantile_normalize(
     be comparable (``reference=None`` normalizes against the frame
     itself — a smooth exact-CDF transform).
 
-    Plan: ONE exact-percentile aggregate over the reference produces
-    the boundary array (a single broadcast row); the mapping is a pure
-    JVM array-HOF projection (O(log q) bisection for
-    count-of-boundaries-≤-x + interpolate) — no join on data, no
-    window, no Python.  Runs of EQUAL boundaries
-    (heavily-tied data) resolve to the run's right edge (fraction 1),
-    keeping the map monotone.  Scale note: same trade as
-    ``equi_depth_histogram`` — swap ``percentile`` for
-    ``approx_percentile`` past ~1e8 reference rows.
+    Plan: the boundary array comes from ``ranges.exact_quantiles`` —
+    the DISTRIBUTED exact multi-quantile (histogram + candidate
+    collect, bit-identical to the ``percentile`` builtin but never its
+    single-task buffer sort; measured 4.3 s → ~0.6 s on 600k reference
+    rows), materialized at plan-construction time and inlined as a
+    LITERAL array, so the mapping is a pure JVM array-HOF projection
+    (O(log q) bisection for count-of-boundaries-≤-x + interpolate) —
+    no join at all, no window, no Python on the data path.  If the
+    reference's value skew trips the candidate cap, the plan falls
+    back to the builtin aggregate + broadcast join (loud trade in
+    ``exact_quantiles``' contract, identical results).  Runs of EQUAL
+    boundaries (heavily-tied data) resolve to the run's right edge
+    (fraction 1), keeping the map monotone.  Scale note: same trade as
+    ``equi_depth_histogram`` — swap in ``approx_percentile`` past ~1e8
+    reference rows.
     """
     from pyspark.sql import DataFrame  # noqa: F401
+
+    from moz_datapipeline_spark.operators.ranges import exact_quantiles
 
     if q < 1:
         raise ValueError("quantile_normalize: need q >= 1")
     out_col = out_col or f"{column}_qnorm"
     ref = reference if reference is not None else df
-    probs = ", ".join(repr(i / q) for i in range(q + 1))
-    bounds = ref.agg(
-        F.expr(f"percentile({column}, array({probs}))").alias("_qb")
-    )
+    vals = exact_quantiles(ref, column, [i / q for i in range(q + 1)])
+    if vals is not None:
+        bounds = None
+        qb_lit = F.array(*[F.lit(float(v)) for v in vals])
+    else:
+        # empty reference (NULL boundaries → NULL output, unchanged
+        # semantics) or a candidate-cap trip: the builtin still works
+        probs = ", ".join(repr(i / q) for i in range(q + 1))
+        bounds = ref.agg(
+            F.expr(f"percentile({column}, array({probs}))").alias("_qb")
+        )
+        qb_lit = None
     import math
 
     x = F.col(column).cast("double")
@@ -86,9 +102,13 @@ def quantile_normalize(
     # single tree the lookup is re-evaluated per USE (ANSI's lazy CASE
     # also blocks codegen subexpression elimination), which measured
     # ~2.5x slower end to end
+    staged = (
+        df.withColumn("_qb", qb_lit)
+        if bounds is None
+        else df.join(F.broadcast(bounds))
+    )
     step = (
-        df.join(F.broadcast(bounds))
-        .withColumn("_qx", x)
+        staged.withColumn("_qx", x)
         .withColumn(
             "_qi",
             F.when(

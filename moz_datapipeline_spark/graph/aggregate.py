@@ -70,3 +70,77 @@ def neighbor_feature_aggregate(
     if hops == 1:
         return first
     return one_hop(first, "mean_f")
+
+
+def bipartite_projection(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_right_degree: int | None = 1000,
+    min_weight: int = 1,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Project a bipartite edge list onto its LEFT side: one row per
+    left-node pair sharing ≥ ``min_weight`` right neighbors —
+    ``(node_a < node_b, weight, jaccard)`` with ``weight`` the shared-
+    neighbor count and ``jaccard`` over the two left degrees.  The
+    standard graph-construction step before community detection /
+    similarity over co-occurrence (users sharing items, suppliers
+    sharing parts, docs sharing shingles).
+
+    Same quadratic hazard and same remedy as ``linkpred``: a right
+    node of degree d emits d² pairs, so ``max_right_degree`` DEFAULTS
+    to 1000 (drop mega-hubs, surface the count via ``stats`` — one
+    tiny aggregate, only when a dict is passed); left degrees stay
+    exact, so ``jaccard`` denominators are unaffected by the cap.
+    Duplicate edges collapse first.
+
+    Plan: dedupe → right-degree cap → self equi join on the right key
+    (Σ deg(r)² bounded rows) → pair hash aggregate → broadcast degree
+    joins.
+    """
+    e = edges.select(F.col(src).alias("_l"), F.col(dst).alias("_r")).distinct()
+    ldeg = e.groupBy(F.col("_l").alias("_node")).agg(
+        F.count(F.lit(1)).alias("_deg")
+    )
+    rdeg = e.groupBy("_r").agg(F.count(F.lit(1)).alias("_rd"))
+    if max_right_degree is not None:
+        if stats is not None:
+            stats["dropped_right_nodes"] = rdeg.filter(
+                F.col("_rd") > int(max_right_degree)
+            ).count()
+        keep = rdeg.filter(F.col("_rd") <= int(max_right_degree)).select(
+            "_r"
+        )
+        e = e.join(keep, "_r")
+    a = e.select(F.col("_r"), F.col("_l").alias("_a"))
+    b = e.select(F.col("_r"), F.col("_l").alias("_b"))
+    pairs = (
+        a.join(b, "_r")
+        .filter(F.col("_a") < F.col("_b"))
+        .groupBy("_a", "_b")
+        .agg(F.count(F.lit(1)).alias("weight"))
+        .filter(F.col("weight") >= int(min_weight))
+    )
+    return (
+        pairs.join(
+            ldeg.select(F.col("_node").alias("_a"), F.col("_deg").alias("_da")),
+            "_a",
+        )
+        .join(
+            ldeg.select(F.col("_node").alias("_b"), F.col("_deg").alias("_db")),
+            "_b",
+        )
+        .select(
+            F.col("_a").alias("node_a"),
+            F.col("_b").alias("node_b"),
+            "weight",
+            F.round(
+                F.col("weight").cast("double")
+                / (F.col("_da") + F.col("_db") - F.col("weight")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+    )

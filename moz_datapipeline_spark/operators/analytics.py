@@ -850,21 +850,76 @@ def mad_outliers(
     exactly when you need it (outliers inflate the stddev that is
     supposed to flag them — masking); MAD has a 50% breakdown point.
 
-    Plan: THREE passes over the (filtered, two-column) projection —
-    medians are not algebraic, so each percentile needs its own
-    aggregate, and the outlier count needs the MAD: pass 1 per-group
-    median, broadcast back; pass 2 median of |x − med|; pass 3 the
-    conditional outlier sum against the broadcast (median, mad) row.
-    Every exchange carries |groups| rows; the data-sized scans stay
-    map-side.  Same scale trade as every exact-percentile operator
-    here: swap in ``approx_percentile`` past ~1e8 rows per group
-    (documented, not silent).  A zero-MAD group (over half the values
-    tied) yields NULL robust_sigma and 0 outliers — flagging
-    everything off-mode is noise, not signal.
+    Plan: both medians come from ``ranges.exact_quantiles[_grouped]``
+    (distributed histogram selection, bit-identical to the builtin,
+    never its per-group value buffers) and inline as LITERALS — the
+    outlier count is then ONE conditional-sum aggregate over the data,
+    no joins at all.  When the quantile helper declines (multi-column
+    grouping, high-cardinality groups, NULL group keys, cap trip) the
+    plan falls back to the builtin: three passes with |groups|-row
+    broadcast joins.  A zero-MAD group (over half the values tied)
+    yields NULL robust_sigma and 0 outliers — flagging everything
+    off-mode is noise, not signal.
     """
+    from moz_datapipeline_spark.operators.ranges import (
+        exact_quantiles,
+        exact_quantiles_grouped,
+    )
+
     gcols = list(group_cols or [])
     x = F.col(value_col).cast("double")
     base = df.filter(x.isNotNull()).select(*gcols, x.alias("_x"))
+
+    med_m = mad_m = None
+    if len(gcols) == 1:
+        med = exact_quantiles_grouped(base, gcols[0], "_x", [0.5])
+        if med is not None and all(kk is not None for kk in med):
+            g = F.col(gcols[0])
+            med_m = F.create_map(
+                *[c for kk, v in med.items() for c in (F.lit(kk), F.lit(v[0]))]
+            )
+            devd = base.withColumn(
+                "_dev", F.abs(F.col("_x") - F.element_at(med_m, g))
+            )
+            mad = exact_quantiles_grouped(devd, gcols[0], "_dev", [0.5])
+            if mad is not None:
+                mad_m = F.create_map(
+                    *[
+                        c
+                        for kk, v in mad.items()
+                        for c in (F.lit(kk), F.lit(v[0]))
+                    ]
+                )
+    elif not gcols:
+        medv = exact_quantiles(base, "_x", [0.5])
+        if medv is not None:
+            med_m = F.lit(medv[0])
+            madv = exact_quantiles(
+                base.withColumn("_dev", F.abs(F.col("_x") - med_m)),
+                "_dev",
+                [0.5],
+            )
+            if madv is not None:
+                mad_m = F.lit(madv[0])
+
+    if mad_m is not None:
+        g = F.col(gcols[0]) if gcols else None
+        med_c = F.element_at(med_m, g) if gcols else med_m
+        mad_c = F.element_at(mad_m, g) if gcols else mad_m
+        dev = F.abs(F.col("_x") - med_c)
+        sigma = F.when(mad_c > 0, F.lit(1.4826) * mad_c)
+        is_out = F.when(
+            sigma.isNotNull(), (dev / sigma > F.lit(float(k))).cast("int")
+        ).otherwise(F.lit(0))
+        return base.groupBy(*gcols).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.max(med_c), 6).alias("median"),
+            F.round(F.max(mad_c), 6).alias("mad"),
+            F.round(F.max(sigma), 6).alias("robust_sigma"),
+            F.sum(is_out).cast("long").alias("n_outliers"),
+        )
+
+    # fallback: builtin percentile passes with broadcast joins
     med = base.groupBy(*gcols).agg(
         F.expr("percentile(_x, 0.5)").alias("_med")
     )

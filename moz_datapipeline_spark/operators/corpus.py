@@ -1569,3 +1569,65 @@ def importance_resample(
             F.round("_score", 6).alias("score"),
         )
     )
+
+
+def ctfidf_terms(
+    df: DataFrame,
+    class_col: str = "source",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Class-based TF-IDF (the BERTopic c-TF-IDF form): the top-``k``
+    DISTINCTIVE terms per class — ``score(t, c) = tf_{t,c} ·
+    ln(1 + A / f_t)`` with ``f_t`` the term's total frequency across
+    ALL classes and ``A`` the average token count per class.  Where
+    ``tfidf_top_terms`` characterizes a document, this characterizes a
+    PARTITION of the corpus (a source, a cluster, a topic): terms
+    common everywhere (high ``f_t``) are damped, terms concentrated in
+    one class surface.  Returns ``(class, term, tf, score, rank)``.
+
+    Plan: one explode → (class, term) hash aggregate (map-side combine
+    folds the corpus to |classes|·|vocab| rows); term totals and the
+    1-row ``A`` fold derive from that SAME aggregate (no second corpus
+    scan); the term-totals join is vocabulary-sized (equi join, not a
+    broadcast — vocabulary outgrows executors at 100 TB); the final
+    top-k window partitions by class over the aggregated frame.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+    tf = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(class_col).alias("_cls"), F.explode(toks).alias("term"))
+        .groupBy("_cls", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    totals = tf.groupBy("term").agg(F.sum("tf").alias("_ft"))
+    a_row = tf.groupBy("_cls").agg(F.sum("tf").alias("_ctoks")).agg(
+        F.avg("_ctoks").alias("_A")
+    )
+    scored = (
+        tf.join(totals, "term")
+        .join(F.broadcast(a_row))
+        .withColumn(
+            "score",
+            F.col("tf").cast("double")
+            * F.log(
+                F.lit(1.0) + F.col("_A") / F.col("_ft").cast("double")
+            ),
+        )
+    )
+    w = Window.partitionBy("_cls").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("_cls").alias(class_col),
+            "term",
+            "tf",
+            F.round("score", 6).alias("score"),
+            "rank",
+        )
+    )

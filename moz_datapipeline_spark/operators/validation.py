@@ -297,22 +297,33 @@ def equi_depth_histogram(
     """
     if nbins < 2:
         raise ValueError("equi_depth_histogram: need nbins >= 2")
+    from moz_datapipeline_spark.operators.ranges import exact_quantiles
+
     col = F.col(column).cast("double")
     probs = [i / nbins for i in range(1, nbins)]
-    bounds = df.agg(
-        F.expr(
-            f"percentile({column}, array({', '.join(repr(p) for p in probs)}))"
-        ).alias("_bs")
-    )
+    # distributed exact boundaries inlined as a literal array (see
+    # exact_quantiles — bit-identical to the builtin); the builtin
+    # aggregate + broadcast join survives as the declined-case fallback
+    vals = exact_quantiles(df, column, probs)
+    if vals is not None:
+        staged = df.filter(col.isNotNull()).withColumn(
+            "_bs", F.array(*[F.lit(float(v)) for v in vals])
+        )
+    else:
+        bounds = df.agg(
+            F.expr(
+                f"percentile({column},"
+                f" array({', '.join(repr(p) for p in probs)}))"
+            ).alias("_bs")
+        )
+        staged = df.filter(col.isNotNull()).join(F.broadcast(bounds))
     bin_id = F.aggregate(
         F.col("_bs"),
         F.lit(0),
         lambda acc, b: acc + F.when(col > b, 1).otherwise(0),
     )
     return (
-        df.filter(col.isNotNull())
-        .join(F.broadcast(bounds))
-        .select(bin_id.alias("bin_id"), col.alias("_x"))
+        staged.select(bin_id.alias("bin_id"), col.alias("_x"))
         .groupBy("bin_id")
         .agg(
             F.round(F.min("_x"), 6).alias("bin_lo"),
@@ -341,16 +352,27 @@ def winsorize(
     """
     if not (0.0 <= lower < upper <= 1.0):
         raise ValueError("winsorize: need 0 <= lower < upper <= 1")
+    from moz_datapipeline_spark.operators.ranges import exact_quantiles
+
     col = F.col(column).cast("double")
     out_col = out_col or f"{column}_wins"
-    bounds = df.agg(
-        F.expr(f"percentile({column}, {lower!r})").alias("_wlo"),
-        F.expr(f"percentile({column}, {upper!r})").alias("_whi"),
-    )
+    # distributed exact quantiles (bit-identical to the builtin, never
+    # its single-task buffer sort) inlined as literals; builtin
+    # aggregate + broadcast join only on an exact_quantiles fallback
+    vals = exact_quantiles(df, column, [lower, upper])
+    if vals is not None:
+        staged = df.withColumn("_wlo", F.lit(vals[0])).withColumn(
+            "_whi", F.lit(vals[1])
+        )
+    else:
+        bounds = df.agg(
+            F.expr(f"percentile({column}, {lower!r})").alias("_wlo"),
+            F.expr(f"percentile({column}, {upper!r})").alias("_whi"),
+        )
+        staged = df.join(F.broadcast(bounds))
     clipped = F.least(F.greatest(col, F.col("_wlo")), F.col("_whi"))
     return (
-        df.join(F.broadcast(bounds))
-        .withColumn(out_col, F.round(clipped, 6))
+        staged.withColumn(out_col, F.round(clipped, 6))
         .withColumn(
             "was_clipped",
             col.isNotNull() & ((col < F.col("_wlo")) | (col > F.col("_whi"))),
@@ -373,19 +395,59 @@ def robust_scale(
     joined back), then a pure projection.  Zero-IQR groups (constant
     values) scale to 0.0 by convention rather than NULL-propagating.
     """
+    from moz_datapipeline_spark.operators.ranges import (
+        exact_quantiles,
+        exact_quantiles_grouped,
+    )
+
     col = F.col(column).cast("double")
     out_col = out_col or f"{column}_scaled"
-    gb = df.groupBy(group_col) if group_col else df.groupBy()
-    stats = gb.agg(
-        F.expr(f"percentile({column}, 0.5)").alias("_med"),
-        F.expr(f"percentile({column}, 0.25)").alias("_p25"),
-        F.expr(f"percentile({column}, 0.75)").alias("_p75"),
-    )
-    joined = (
-        df.join(F.broadcast(stats), on=group_col)
-        if group_col
-        else df.join(F.broadcast(stats))
-    )
+    # distributed exact quantiles as LITERALS (per-group: a literal
+    # map keyed by the group) — bit-identical to the builtin, never
+    # its per-group value buffers; fall back to the builtin aggregate
+    # + broadcast join when exact_quantiles declines (high-cardinality
+    # grouping, candidate-cap trip, NULL group keys, empty input)
+    joined = None
+    if group_col:
+        qs = exact_quantiles_grouped(
+            df, group_col, column, [0.5, 0.25, 0.75]
+        )
+        if qs is not None and all(k is not None for k in qs):
+            med_m = F.create_map(
+                *[c for k, v in qs.items() for c in (F.lit(k), F.lit(v[0]))]
+            )
+            p25_m = F.create_map(
+                *[c for k, v in qs.items() for c in (F.lit(k), F.lit(v[1]))]
+            )
+            p75_m = F.create_map(
+                *[c for k, v in qs.items() for c in (F.lit(k), F.lit(v[2]))]
+            )
+            g = F.col(group_col)
+            joined = (
+                df.withColumn("_med", F.element_at(med_m, g))
+                .withColumn("_p25", F.element_at(p25_m, g))
+                .withColumn("_p75", F.element_at(p75_m, g))
+            )
+    else:
+        vals = exact_quantiles(df, column, [0.5, 0.25, 0.75])
+        if vals is not None:
+            joined = (
+                df.withColumn("_med", F.lit(vals[0]))
+                .withColumn("_p25", F.lit(vals[1]))
+                .withColumn("_p75", F.lit(vals[2]))
+            )
+    if joined is None:
+        gb = df.groupBy(group_col) if group_col else df.groupBy()
+        stats = gb.agg(
+            F.expr(f"percentile({column}, 0.5)").alias("_med"),
+            F.expr(f"percentile({column}, 0.25)").alias("_p25"),
+            F.expr(f"percentile({column}, 0.75)").alias("_p75"),
+        )
+        joined = (
+            df.join(F.broadcast(stats), on=group_col)
+            if group_col
+            else df.join(F.broadcast(stats))
+        )
     iqr = F.col("_p75") - F.col("_p25")
     scaled = F.when(iqr > 0, (col - F.col("_med")) / iqr).otherwise(
         F.lit(0.0)

@@ -579,3 +579,47 @@ def test_ks_drift_no_global_single_partition_window(spark, sf_dir):
     out = ks_test(a, b, "l_extendedprice")
     assert out.count() == 1
     assert len(spark.sparkContext._jsc.sc().getRDDStorageInfo()) == base
+
+
+def test_dirichlet_lm_broadcast_and_topk(spark, sf_dir):
+    plan = _plan(entry_mod.q_query_likelihood(spark, sf_dir))
+    # corpus stats + cf tables broadcast; top-k never a global sort
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_rake_no_python_no_cartesian(spark, sf_dir):
+    plan = _plan(entry_mod.q_rake_keyphrases(spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_ohlc_single_aggregate_no_window(spark, sf_dir):
+    # OHLC is ONE hash aggregate: open/close as struct argmin folds,
+    # never a per-row window sort over the raw events
+    plan = _plan(entry_mod.q_ohlc_bars(spark, sf_dir))
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_target_encode_broadcasts_category_table(spark, sf_dir):
+    plan = _plan(entry_mod.q_target_encode(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_standardize_embeddings_no_second_data_shuffle(spark, sf_dir):
+    # the mean/std arrays broadcast back as ONE row; re-assembly via a
+    # corpus-wide collect_list shuffle would show a second data-sized
+    # exchange keyed by vec_id — there must be none
+    plan = _plan(entry_mod.q_embedding_standardize(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_margin_mining_lsh_no_cartesian(spark, sf_dir):
+    # the ANN-fed path must never fall back to a cross product: the
+    # candidate join is (table, bucket) equi, vectors re-join by id
+    plan = _plan(entry_mod.q_margin_mining_lsh(spark, sf_dir))
+    assert "CartesianProduct" not in plan

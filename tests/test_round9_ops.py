@@ -346,3 +346,139 @@ def test_kaplan_meier_reference(spark):
         r.duration: r.survival for r in kaplan_meier(df2, "t", "e").collect()
     }
     assert got2[2.0] == 0.0
+
+
+def test_ctfidf_reference(spark):
+    import math as _m
+
+    from moz_datapipeline_spark.operators.corpus import ctfidf_terms
+
+    df = spark.createDataFrame(
+        [
+            ("s1", "alpha alpha beta"),
+            ("s2", "beta gamma gamma"),
+        ],
+        "source string, text string",
+    )
+    got = {
+        (r.source, r.term): (r.tf, r.score)
+        for r in ctfidf_terms(df, k=5).collect()
+    }
+    A = 3.0  # both classes have 3 tokens
+    # f: alpha 2, beta 2, gamma 2 -> same damping everywhere
+    s = lambda tf: round(tf * _m.log(1.0 + A / 2), 6)  # noqa: E731
+    assert got[("s1", "alpha")] == (2, s(2))
+    assert got[("s1", "beta")] == (1, s(1))
+    assert got[("s2", "gamma")] == (2, s(2))
+    # distinctive terms outrank shared ones within each class
+    ranks = {
+        (r.source, r.term): r.rank for r in ctfidf_terms(df, k=5).collect()
+    }
+    assert ranks[("s1", "alpha")] == 1 and ranks[("s2", "gamma")] == 1
+
+
+def test_bipartite_projection_reference(spark):
+    from moz_datapipeline_spark.graph.aggregate import bipartite_projection
+
+    # left {1,2,3}, right {10,11,12}: 1-2 share {10,11}, 2-3 share {11}
+    e = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 10), (2, 11), (2, 12), (3, 11), (3, 12),
+         (1, 10)],  # duplicate edge collapses
+        "src long, dst long",
+    )
+    got = {
+        (r.node_a, r.node_b): (r.weight, r.jaccard)
+        for r in bipartite_projection(e, min_weight=1).collect()
+    }
+    # degrees: 1->2, 2->3, 3->2
+    assert got[(1, 2)] == (2, round(2 / (2 + 3 - 2), 6))
+    assert got[(2, 3)] == (2, round(2 / (3 + 2 - 2), 6))
+    assert got[(1, 3)] == (1, round(1 / (2 + 2 - 1), 6))
+    # min_weight prunes
+    got2 = bipartite_projection(e, min_weight=2).collect()
+    assert {(r.node_a, r.node_b) for r in got2} == {(1, 2), (2, 3)}
+
+    # a mega-hub right node is dropped by DEFAULT; stats surfaces it
+    hub = spark.createDataFrame(
+        [(i, 999) for i in range(1200)] + [(1, 10), (2, 10)],
+        "src long, dst long",
+    )
+    stats: dict = {}
+    out = {
+        (r.node_a, r.node_b)
+        for r in bipartite_projection(hub, stats=stats).collect()
+    }
+    assert stats["dropped_right_nodes"] == 1
+    assert out == {(1, 2)}  # only the non-hub co-occurrence survives
+
+
+def test_exact_quantiles_matches_builtin(spark):
+    """exact_quantiles must reproduce the percentile builtin's values
+    BIT-FOR-BIT — same bracketing order statistics, same interpolation
+    form — including ties and tiny inputs."""
+    import random
+
+    from moz_datapipeline_spark.operators.ranges import exact_quantiles
+
+    rng = random.Random(7)
+    vals = [rng.uniform(-1000, 1000) for _ in range(5000)]
+    vals += [vals[0]] * 500  # heavy ties
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    probs = [i / 100 for i in range(101)]
+    got = exact_quantiles(df, "x", probs, bucket_count=256)
+    pstr = ", ".join(repr(p) for p in probs)
+    want = df.agg(
+        F.expr(f"percentile(x, array({pstr}))").alias("b")
+    ).collect()[0]["b"]
+    assert got == list(want)
+
+    # tiny input, exact-rank hits
+    small = spark.createDataFrame([(float(i),) for i in range(5)], "x double")
+    got_s = exact_quantiles(small, "x", [0.0, 0.25, 0.5, 1.0])
+    assert got_s == [0.0, 1.0, 2.0, 4.0]
+
+    # constant column and empty input
+    const = spark.createDataFrame([(3.0,)] * 4, "x double")
+    assert exact_quantiles(const, "x", [0.1, 0.9]) == [3.0, 3.0]
+    assert exact_quantiles(const.filter("x > 99"), "x", [0.5]) is None
+
+    # candidate cap trips loudly -> None (caller falls back)
+    assert (
+        exact_quantiles(df, "x", probs, bucket_count=2, candidate_cap=10)
+        is None
+    )
+
+
+def test_exact_quantiles_grouped_matches_builtin(spark):
+    import random
+
+    from moz_datapipeline_spark.operators.ranges import (
+        exact_quantiles_grouped,
+    )
+
+    rng = random.Random(11)
+    rows = []
+    for g in ["a", "b", "c"]:
+        for _ in range(2000):
+            rows.append((g, rng.uniform(-50, 50)))
+    rows += [("const", 7.0)] * 20
+    rows += [(None, rng.uniform(0, 1)) for _ in range(100)]
+    df = spark.createDataFrame(rows, "g string, x double")
+    probs = [0.0, 0.01, 0.25, 0.5, 0.75, 0.99, 1.0]
+    got = exact_quantiles_grouped(df, "g", "x", probs, bucket_count=128)
+    pstr = ", ".join(repr(p) for p in probs)
+    want = {
+        r["g"]: list(r["b"])
+        for r in df.groupBy("g")
+        .agg(F.expr(f"percentile(x, array({pstr}))").alias("b"))
+        .collect()
+    }
+    assert set(got) == set(want)
+    for g in want:
+        assert got[g] == want[g], g
+
+    # too many groups -> None (loud fallback contract)
+    many = spark.createDataFrame(
+        [(str(i), float(i)) for i in range(500)], "g string, x double"
+    )
+    assert exact_quantiles_grouped(many, "g", "x", [0.5], max_groups=100) is None
