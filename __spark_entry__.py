@@ -5007,6 +5007,47 @@ def q_bipartite_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bipartite_projection(edges, min_weight=2)
 
 
+def q_psi_categorical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical PSI between the pre-/post-1997 order snapshots over
+    order priority (operators/validation.psi_categorical): category
+    proportions, full outer union of categories, eps-floored ln fold —
+    the categorical half of psi_drift.  VALUE oracle: identical fold
+    in DuckDB."""
+    from moz_datapipeline_spark.operators.validation import (
+        psi_categorical,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    ref = o.filter(F.col("o_orderdate") < "1997-01-01")
+    cur = o.filter(F.col("o_orderdate") >= "1997-01-01")
+    return psi_categorical(ref, cur, "o_orderpriority")
+
+
+def q_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user view→purchase conversion latency
+    (operators/analytics.time_to_convert): first view, first purchase
+    strictly after it, one groupBy(user) + JVM HOF — the
+    funnel_stages idiom reduced to two stages.  VALUE oracle: min
+    folds + the same strict-after join in DuckDB."""
+    from moz_datapipeline_spark.operators.analytics import time_to_convert
+
+    e = _events(spark, sf_dir)
+    return time_to_convert(e, "view", "purchase")
+
+
+def q_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Shannon entropy of the event-type mix
+    (operators/analytics.behavior_entropy): two stacked hash
+    aggregates, entropy from the algebraic ln(n) − Σ c·ln(c)/n fold —
+    no per-user lists.  VALUE oracle: identical fold in DuckDB."""
+    from moz_datapipeline_spark.operators.analytics import (
+        behavior_entropy,
+    )
+
+    e = _events(spark, sf_dir)
+    return behavior_entropy(e)
+
+
 def q_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 suppliers per nation by revenue KEEPING TIES — rank()
     instead of row_number(), so equal-revenue suppliers all survive
@@ -5671,6 +5712,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "period_growth": q_period_growth,
         "ctfidf_terms": q_ctfidf_terms,
         "bipartite_projection": q_bipartite_projection,
+        "psi_categorical": q_psi_categorical,
+        "time_to_convert": q_time_to_convert,
+        "behavior_entropy": q_behavior_entropy,
     }
 
 
@@ -11190,6 +11234,62 @@ FROM eaul_calc
         FROM pairs
         JOIN ldeg da ON da.l = na
         JOIN ldeg db ON db.l = nb
+    """
+
+    sql["psi_categorical"] = """
+        WITH r AS (
+          SELECT o_orderpriority AS cat FROM orders
+          WHERE o_orderdate < TIMESTAMP '1997-01-01'
+        ), c AS (
+          SELECT o_orderpriority AS cat FROM orders
+          WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        ), rc AS (
+          SELECT cat, CAST(count(*) AS BIGINT) AS cr FROM r GROUP BY 1
+        ), cc AS (
+          SELECT cat, CAST(count(*) AS BIGINT) AS cu FROM c GROUP BY 1
+        ), tr AS (SELECT CAST(sum(cr) AS DOUBLE) AS t FROM rc),
+           tc AS (SELECT CAST(sum(cu) AS DOUBLE) AS t FROM cc),
+        j AS (
+          SELECT coalesce(rc.cr, 0) AS cr, coalesce(cc.cu, 0) AS cu
+          FROM rc FULL JOIN cc ON rc.cat IS NOT DISTINCT FROM cc.cat
+        )
+        SELECT 'o_orderpriority' AS "column",
+               CAST(count(*) AS BIGINT) AS n_categories,
+               round(sum(
+                 (greatest(cu / tc.t, 1e-06) - greatest(cr / tr.t, 1e-06))
+                 * ln(greatest(cu / tc.t, 1e-06)
+                      / greatest(cr / tr.t, 1e-06))
+               ), 6) AS psi
+        FROM j CROSS JOIN tr CROSS JOIN tc
+    """
+
+    sql["time_to_convert"] = """
+        WITH f AS (
+          SELECT user_id, min(epoch_ns(ts)) AS tf FROM events
+          WHERE event_type = 'view' GROUP BY 1
+        ), t AS (
+          SELECT e.user_id, min(epoch_ns(e.ts)) AS tt
+          FROM events e JOIN f ON f.user_id = e.user_id
+          WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) > f.tf
+          GROUP BY 1
+        )
+        SELECT f.user_id, f.tf AS t_from, t.tt AS t_to,
+               (t.tt - f.tf) // 1000000000 AS delta_seconds
+        FROM f JOIN t USING (user_id)
+    """
+
+    sql["behavior_entropy"] = """
+        WITH pairs AS (
+          SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+          FROM events GROUP BY 1, 2
+        )
+        SELECT user_id,
+               CAST(sum(c) AS BIGINT) AS n_events,
+               CAST(count(*) AS BIGINT) AS n_types,
+               round(ln(CAST(sum(c) AS DOUBLE))
+                     - sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))
+                       / sum(c), 6) AS entropy
+        FROM pairs GROUP BY 1
     """
 
     sql["profile_diff"] = """

@@ -1184,3 +1184,94 @@ def kaplan_meier(
         F.col("_c").cast("long").alias("n_censored"),
         F.round(surv, 6).alias("survival"),
     )
+
+
+def time_to_convert(
+    events: DataFrame,
+    from_type: str = "view",
+    to_type: str = "purchase",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Per-user conversion latency: ``(user, t_from, t_to,
+    delta_seconds)`` — the FIRST ``from_type`` event and the first
+    ``to_type`` event strictly after it; users who never convert are
+    excluded (left-anchor upstream for a conversion-rate readout,
+    ``funnel_stages`` already reports the counts).
+
+    Plan: the ``funnel_stages`` idiom reduced to two stages — ONE
+    ``groupBy(user)`` collecting two sorted timestamp arrays (map-side
+    partial collect, per-user payload only), then JVM HOF
+    ``array_min(filter(to_arr, t > t_from))``.  Timestamps are integer
+    nanoseconds; the delta divides to seconds exactly (integral div).
+    """
+    per = (
+        events.filter(F.col(type_col).isin([from_type, to_type]))
+        .groupBy(F.col(user_col).alias("user"))
+        .agg(
+            F.min(
+                F.when(F.col(type_col) == from_type, F.col(ts_col))
+            ).alias("_tf"),
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col(type_col) == to_type, F.col(ts_col))
+                )
+            ).alias("_tos"),
+        )
+    )
+
+    def _after(t):
+        return lambda x: x > t
+
+    t_to = F.array_min(F.filter(F.col("_tos"), _after(F.col("_tf"))))
+    return (
+        per.withColumn("_tt", t_to)
+        .filter(F.col("_tf").isNotNull() & F.col("_tt").isNotNull())
+        .select(
+            F.col("user").alias(user_col),
+            F.col("_tf").alias("t_from"),
+            F.col("_tt").alias("t_to"),
+            F.expr("(_tt - _tf) div 1000000000").alias("delta_seconds"),
+        )
+    )
+
+
+def behavior_entropy(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Per-user Shannon entropy of the event-type mix: ``(user,
+    n_events, n_types, entropy)`` in nats — the "how varied is this
+    actor" signal (bots and scrapers sit near 0; engaged users near
+    ln(n_types)).  Computed as ``ln(n) − Σ c·ln(c) / n`` from the
+    (user, type) count table — one algebraic fold, no per-user lists.
+
+    Plan: two stacked hash aggregates — (user, type) counts, then the
+    per-user entropy fold — both map-side combined; the second reuses
+    the first's hash partitioning on the user key prefix, so there is
+    ONE data-sized exchange.
+    """
+    pairs = events.groupBy(
+        F.col(user_col).alias("user"), F.col(type_col).alias("_ty")
+    ).agg(F.count(F.lit(1)).alias("_c"))
+    c = F.col("_c").cast("double")
+    return (
+        pairs.groupBy("user")
+        .agg(
+            F.sum("_c").cast("long").alias("n_events"),
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+            F.sum(c * F.log(c)).alias("_clc"),
+        )
+        .select(
+            F.col("user").alias(user_col),
+            "n_events",
+            "n_types",
+            F.round(
+                F.log(F.col("n_events").cast("double"))
+                - F.col("_clc") / F.col("n_events").cast("double"),
+                6,
+            ).alias("entropy"),
+        )
+    )

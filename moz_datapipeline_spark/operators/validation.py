@@ -1323,3 +1323,72 @@ def dataset_fingerprint(
             F.lit(0),
         ).alias("sum_fingerprint"),
     )
+
+
+def psi_categorical(
+    reference: DataFrame,
+    current: DataFrame,
+    column: str,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population-stability index for a CATEGORICAL column — the
+    missing half of ``psi_drift`` (which bins numerics): one row
+    ``(column, n_categories, psi)`` with
+
+        psi = Σ_cat (p_cur − p_ref) · ln(p_cur / p_ref)
+
+    over the UNION of both sides' categories (a category present in
+    only one snapshot is exactly the drift signal, not a join
+    casualty — the full outer join keeps it and the ``eps`` floor
+    keeps its ln finite).  NULL is a category (null-safe grouping);
+    same rule-of-thumb bands as ``psi_drift``.
+
+    Plan: one hash aggregate per side (map-side combined, exchange =
+    |categories| rows), a full outer join on the category, one fold —
+    data-sized work is the two scans, everything after is
+    category-cardinality-sized.
+    """
+    def side(df: DataFrame, name: str) -> DataFrame:
+        per = df.groupBy(F.col(column).alias("_cat")).agg(
+            F.count(F.lit(1)).alias(f"_c_{name}")
+        )
+        tot = per.agg(F.sum(f"_c_{name}").alias(f"_t_{name}"))
+        return per.crossJoin(F.broadcast(tot))
+
+    r = side(reference, "ref")
+    c = side(current, "cur")
+    joined = r.join(c, r["_cat"].eqNullSafe(c["_cat"]), "full").select(
+        F.coalesce(r["_cat"], c["_cat"]).alias("_cat"),
+        F.coalesce(F.col("_c_ref"), F.lit(0)).alias("_cr"),
+        F.coalesce(F.col("_c_cur"), F.lit(0)).alias("_cc"),
+        F.col("_t_ref"),
+        F.col("_t_cur"),
+    )
+    # totals land NULL on outer-joined rows missing that side — carry
+    # them in via a max fold (both totals are constants per frame)
+    tr = F.max("_t_ref")
+    tc = F.max("_t_cur")
+    e = F.lit(float(eps))
+    folded = joined.agg(
+        F.count(F.lit(1)).alias("n_categories"),
+        F.collect_list(F.struct("_cr", "_cc")).alias("_cells"),
+        tr.alias("_tr"),
+        tc.alias("_tc"),
+    )
+    p_ref = lambda s: F.greatest(  # noqa: E731
+        s["_cr"].cast("double") / F.col("_tr").cast("double"), e
+    )
+    p_cur = lambda s: F.greatest(  # noqa: E731
+        s["_cc"].cast("double") / F.col("_tc").cast("double"), e
+    )
+    psi = F.aggregate(
+        F.col("_cells"),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + (p_cur(s) - p_ref(s)) * F.log(p_cur(s) / p_ref(s)),
+    )
+    return folded.select(
+        F.lit(column).alias("column"),
+        F.col("n_categories").cast("long").alias("n_categories"),
+        F.round(psi, 6).alias("psi"),
+    )

@@ -482,3 +482,61 @@ def test_exact_quantiles_grouped_matches_builtin(spark):
         [(str(i), float(i)) for i in range(500)], "g string, x double"
     )
     assert exact_quantiles_grouped(many, "g", "x", [0.5], max_groups=100) is None
+
+
+def test_psi_categorical_reference(spark):
+    import math as _m
+
+    from moz_datapipeline_spark.operators.validation import psi_categorical
+
+    ref = spark.createDataFrame(
+        [("a",)] * 50 + [("b",)] * 50, "c string"
+    )
+    cur = spark.createDataFrame(
+        [("a",)] * 80 + [("b",)] * 10 + [("new",)] * 10, "c string"
+    )
+    r = psi_categorical(ref, cur, "c").collect()[0]
+    assert r.n_categories == 3
+    eps = 1e-6
+    want = 0.0
+    for pr, pc in [(0.5, 0.8), (0.5, 0.1), (eps, 0.1)]:
+        want += (pc - pr) * _m.log(pc / pr)
+    assert abs(r.psi - round(want, 6)) < 1e-9
+    # identical distributions -> psi 0
+    same = psi_categorical(ref, ref, "c").collect()[0]
+    assert same.psi == 0.0
+
+
+def test_time_to_convert_reference(spark):
+    from moz_datapipeline_spark.operators.analytics import time_to_convert
+
+    ns = 1_000_000_000
+    rows = [
+        (1, 10 * ns, "view"), (1, 25 * ns, "purchase"),
+        (2, 40 * ns, "purchase"), (2, 50 * ns, "view"),  # converts never
+        (3, 5 * ns, "view"), (3, 5 * ns, "purchase"),    # same instant: not after
+        (4, 0 * ns, "view"), (4, 3 * ns, "purchase"), (4, 9 * ns, "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts long, event_type string")
+    got = {
+        r.user_id: r.delta_seconds for r in time_to_convert(df).collect()
+    }
+    assert got == {1: 15, 4: 3}
+
+
+def test_behavior_entropy_reference(spark):
+    import math as _m
+
+    from moz_datapipeline_spark.operators.analytics import behavior_entropy
+
+    rows = (
+        [(1, "a")] * 2 + [(1, "b")] * 2        # uniform over 2 -> ln 2
+        + [(2, "a")] * 4                        # single type -> 0
+        + [(3, "a")] * 3 + [(3, "b")]           # skewed
+    )
+    df = spark.createDataFrame(rows, "user_id long, event_type string")
+    got = {r.user_id: r for r in behavior_entropy(df).collect()}
+    assert abs(got[1].entropy - round(_m.log(2), 6)) < 1e-9
+    assert got[2].entropy == 0.0 and got[2].n_types == 1
+    h3 = -(0.75 * _m.log(0.75) + 0.25 * _m.log(0.25))
+    assert abs(got[3].entropy - round(h3, 6)) < 1e-9
