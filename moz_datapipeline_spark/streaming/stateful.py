@@ -434,3 +434,29 @@ def compact_cms_store(spark, store_dir: str) -> None:
     tmp = f"{store_dir}_compacting"
     merged.coalesce(1).write.mode("overwrite").parquet(tmp)
     _swap_dirs(spark, tmp, store_dir)
+
+
+def dedup_stream_watermarked(
+    events: DataFrame,
+    keys: tuple[str, ...] = ("source", "fingerprint"),
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """BOUNDED-state streaming dedup via the native
+    ``dropDuplicatesWithinWatermark``: the first arrival of each key
+    tuple passes, later duplicates arriving within the watermark
+    horizon drop, and the key's state EVICTS once the watermark passes
+    it — the production default ``dedup_stream``'s docstring points
+    to (that operator keeps exact unbounded state per key; this one
+    trades "a duplicate separated by more than the horizon is
+    re-admitted" for state bounded by the horizon's arrival volume).
+
+    The trade is the right one for crawl/event ingest at 100 TB:
+    dedup there exists to kill bursts (retries, double-sends,
+    re-crawls), which are horizon-local by nature; the full-history
+    exact dedup is the batch layer's job (``dedup_exact`` /
+    ``incremental_dedup``).
+    """
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )

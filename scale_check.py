@@ -1569,7 +1569,24 @@ def round9_ops_scale_check(spark) -> dict:
     # must read increasing; noise groups stay near the 2.5% false rate
     assert inc >= n_small // 2 - 50, inc
 
+    # exact multi-quantile at 50M rows: the distributed histogram
+    # selection must stay seconds-scale where the percentile builtin's
+    # single-task buffer merge would dominate; boundaries must be
+    # sorted (the bisection consumers depend on it)
+    from moz_datapipeline_spark.operators.ranges import exact_quantiles
+
+    big_q = spark.range(50_000_000).select(
+        (F.abs(F.xxhash64("id")) % 10_000_000).cast("double").alias("v")
+    )
+    t0 = time.perf_counter()
+    qv = exact_quantiles(big_q, "v", [i / 100 for i in range(101)])
+    t_eq = time.perf_counter() - t0
+    assert qv is not None and len(qv) == 101
+    assert all(a <= b for a, b in zip(qv, qv[1:]))
+
     return {
+        "exact_quantiles_rows": 50_000_000,
+        "exact_quantiles_sec": round(t_eq, 2),
         "margin_side_rows": n_side,
         "margin_lsh_candidates": n_cand,
         "margin_cand_sec": round(t_cand, 2),

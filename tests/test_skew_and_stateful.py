@@ -435,3 +435,62 @@ def test_ohlc_rollup_streaming_matches_batch(spark, tmp_path):
         for r in ohlc_rollup(batch).collect()
     }
     assert got == want
+
+
+def test_dedup_stream_watermarked_bounded_state(spark, tmp_path):
+    """Native watermark dedup: in-horizon duplicates drop, and a
+    duplicate arriving after the watermark passed its key is
+    RE-ADMITTED (state evicted) — the bounded-state trade."""
+    import json
+
+    from moz_datapipeline_spark.streaming.stateful import (
+        dedup_stream_watermarked,
+    )
+
+    src = tmp_path / "wmd_in"
+    src.mkdir()
+    chk = str(tmp_path / "wmd_chk")
+
+    def write_batch(name, rows):
+        with open(src / name, "w") as fh:
+            for r in rows:
+                fh.write(json.dumps(r) + "\n")
+
+    stream = (
+        spark.readStream.schema("ts string, source string, fingerprint long")
+        .json(str(src))
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    q = (
+        dedup_stream_watermarked(stream, watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("wmd_out")
+        .outputMode("append")
+        .option("checkpointLocation", chk)
+        .start()
+    )
+    try:
+        write_batch("b1.json", [
+            {"ts": "2024-01-01 00:00:00", "source": "s", "fingerprint": 1},
+            {"ts": "2024-01-01 00:10:00", "source": "s", "fingerprint": 1},
+            {"ts": "2024-01-01 00:20:00", "source": "s", "fingerprint": 2},
+        ])
+        q.processAllAvailable()
+        # advance the watermark far past fingerprint 1's state
+        write_batch("b2.json", [
+            {"ts": "2024-01-01 09:00:00", "source": "s", "fingerprint": 3},
+        ])
+        q.processAllAvailable()
+        # duplicate of fingerprint 1 AFTER eviction: re-admitted
+        write_batch("b3.json", [
+            {"ts": "2024-01-01 09:30:00", "source": "s", "fingerprint": 1},
+        ])
+        q.processAllAvailable()
+        out = spark.sql(
+            "SELECT fingerprint, count(*) AS n FROM wmd_out GROUP BY 1"
+        ).collect()
+    finally:
+        q.stop()
+    got = {r.fingerprint: r.n for r in out}
+    # fp 1: once from hour 0, once re-admitted after eviction
+    assert got == {1: 2, 2: 1, 3: 1}
