@@ -5048,6 +5048,45 @@ def q_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return behavior_entropy(e)
 
 
+def q_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing over the hourly event-count
+    series (operators/temporal.holt_linear): level+trend recursion in
+    a pandas kernel over the ROLLUP (never raw events), 3-step-ahead
+    forecast.  VALUE oracle: per-prefix pair-carrying list_reduce in
+    DuckDB (the cusum oracle idiom)."""
+    from moz_datapipeline_spark.operators.temporal import holt_linear
+
+    e = _events(spark, sf_dir)
+    hourly = e.groupBy(
+        "event_type",
+        F.expr("ts div 3600000000000").alias("hour_idx"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("n_events"))
+    return holt_linear(
+        hourly, "event_type", "hour_idx", "n_events",
+        alpha=0.3, beta=0.1, horizon=3,
+    )
+
+
+def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of revenue concentration across customers
+    (operators/analytics.gini_concentration): rank formula over the
+    two-phase distributed rank — never a global window sort.
+    Per-customer revenue rounds to cents FIRST so every downstream sum
+    is integer-exact across engines.  VALUE oracle: row_number + the
+    identical rank formula in DuckDB."""
+    from moz_datapipeline_spark.operators.analytics import (
+        gini_concentration,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    per = o.groupBy(F.col("o_custkey").alias("customer")).agg(
+        F.expr("floor(sum(o_totalprice) * 100 + 0.5) / 100").alias(
+            "revenue"
+        )
+    )
+    return gini_concentration(per, "customer", "revenue")
+
+
 def q_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 suppliers per nation by revenue KEEPING TIES — rank()
     instead of row_number(), so equal-revenue suppliers all survive
@@ -5715,6 +5754,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_categorical": q_psi_categorical,
         "time_to_convert": q_time_to_convert,
         "behavior_entropy": q_behavior_entropy,
+        "holt_linear": q_holt_linear,
+        "gini_concentration": q_gini_concentration,
     }
 
 
@@ -11290,6 +11331,68 @@ FROM eaul_calc
                      - sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))
                        / sum(c), 6) AS entropy
         FROM pairs GROUP BY 1
+    """
+
+    sql["holt_linear"] = """
+        WITH rollup AS (
+          SELECT event_type AS grp,
+                 epoch_ns(ts) // 3600000000000 AS t,
+                 CAST(count(*) AS DOUBLE) AS v
+          FROM events GROUP BY 1, 2
+        ), g AS (
+          SELECT grp,
+                 list(v ORDER BY t) AS xs,
+                 list(t ORDER BY t) AS tss
+          FROM rollup GROUP BY 1
+        ), st AS (
+          SELECT grp, tss, xs,
+                 CASE WHEN len(xs) > 1 THEN xs[2] - xs[1]
+                      ELSE 0.0 END AS b1,
+                 list_transform(generate_series(1, len(xs)), i ->
+                   CASE WHEN i = 1 THEN
+                     [xs[1], CASE WHEN len(xs) > 1 THEN xs[2] - xs[1]
+                             ELSE 0.0 END]
+                   ELSE
+                     list_reduce(
+                       [[xs[1], CASE WHEN len(xs) > 1
+                                THEN xs[2] - xs[1] ELSE 0.0 END]]
+                       || list_transform(xs[2:i], x -> [x, 0.0]),
+                       (acc, e) ->
+                         [0.3 * e[1] + (1.0 - 0.3) * (acc[1] + acc[2]),
+                          0.1 * ((0.3 * e[1]
+                                  + (1.0 - 0.3) * (acc[1] + acc[2]))
+                                 - acc[1])
+                          + (1.0 - 0.1) * acc[2]])
+                   END) AS lb
+          FROM g
+        )
+        SELECT grp AS event_type,
+               CAST(unnest(tss) AS BIGINT) AS hour_idx,
+               round(unnest(xs), 6) AS n_events,
+               round(unnest(list_transform(lb, s -> s[1])), 6) AS level,
+               round(unnest(list_transform(lb, s -> s[2])), 6) AS trend,
+               round(unnest(list_transform(lb, s -> s[1] + 3 * s[2])), 6)
+                 AS forecast
+        FROM st
+    """
+
+    sql["gini_concentration"] = """
+        WITH per AS (
+          SELECT o_custkey AS k,
+                 floor(sum(o_totalprice) * 100 + 0.5) / 100 AS x
+          FROM orders GROUP BY 1
+        ), ranked AS (
+          SELECT x, row_number() OVER (ORDER BY x ASC, k ASC) AS r
+          FROM per
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               floor(sum(x) * 100 + 0.5) / 100 AS total,
+               CASE WHEN min(x) >= 0 THEN
+                 round(CASE WHEN count(*) > 0 AND sum(x) > 0
+                       THEN 2.0 * sum(r * x) / (count(*) * sum(x))
+                            - (count(*) + 1.0) / count(*) END, 6)
+               END AS gini
+        FROM ranked
     """
 
     sql["profile_diff"] = """

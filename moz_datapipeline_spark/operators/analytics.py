@@ -1275,3 +1275,53 @@ def behavior_entropy(
             ).alias("entropy"),
         )
     )
+
+
+def gini_concentration(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Gini coefficient of ``value_col`` concentration across keys:
+    one row ``(n, total, gini)`` via the rank formula
+
+        G = (2·Σ_i i·x_(i) ) / (n·Σ x) − (n+1)/n
+
+    over values sorted ascending — the "how much of the corpus comes
+    from how few sources/customers" inequality readout (0 = uniform,
+    →1 = one key holds everything).  Any negative per-key sum yields
+    NULL gini (the coefficient is undefined there); NULLs drop.
+
+    Plan: per-key sums fold first (map-side combined), then the rank
+    comes from the two-phase distributed ``global_rank`` — never a
+    global window sort — and one final 1-row aggregate.  The rank·x
+    sum is exact integer-weighted double math; ties rank by the key,
+    which leaves Σ i·x_(i) unchanged within a tie run (equal x).
+    """
+    from moz_datapipeline_spark.operators.ranges import global_rank
+
+    per = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(F.col(key_col).alias("_k"))
+        .agg(F.sum(F.col(value_col).cast("double")).alias("_x"))
+    )
+    ranked = global_rank(
+        per, "_x", ["_k"], ascending=True, with_percent=False
+    )
+    folded = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_x").alias("total"),
+        F.sum(F.col("rank").cast("double") * F.col("_x")).alias("_rx"),
+        F.min("_x").alias("_minx"),
+    )
+    n = F.col("n").cast("double")
+    gini = F.when(
+        (F.col("n") > 0) & (F.col("total") > 0),
+        (F.lit(2.0) * F.col("_rx")) / (n * F.col("total"))
+        - (n + 1.0) / n,
+    )
+    return folded.select(
+        F.col("n").cast("long").alias("n"),
+        F.expr("floor(total * 100 + 0.5) / 100").alias("total"),
+        F.when(F.col("_minx") >= 0, F.round(gini, 6)).alias("gini"),
+    )

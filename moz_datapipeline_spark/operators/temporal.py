@@ -951,3 +951,80 @@ def seasonal_naive_backtest(
             "bias",
         )
     )
+
+
+def holt_linear(
+    df: DataFrame,
+    group_col: str,
+    time_col: str,
+    value_col: str,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    horizon: int = 1,
+) -> DataFrame:
+    """Holt double-exponential (level + trend) smoothing per group:
+    ``(group, time, value, level, trend, forecast)`` with
+
+        l_t = α·x_t + (1−α)(l_{t−1} + b_{t−1})
+        b_t = β(l_t − l_{t−1}) + (1−β)·b_{t−1}
+        forecast = l_t + horizon·b_t   (the h-step-ahead projection)
+
+    initialized l_1 = x_1, b_1 = x_2 − x_1 (b_1 = 0 on a 1-point
+    series) — the dashboard forecaster one notch above EWMA (which
+    lags any trending series by construction).
+
+    Design note: like ``ewma_smooth``/``cusum_changepoints`` this is a
+    RECURSIVE scan — no window or array HOF yields a per-element
+    running fold — so it is a legitimate pandas kernel
+    (``applyInPandas`` per group).  INPUT CONTRACT: the rollup shape,
+    one row per (group, time); the kernel runs over |group| rows, never
+    raw events.  All recursion in float64, identical in any engine.
+    """
+    if not (0.0 < alpha <= 1.0) or not (0.0 <= beta <= 1.0):
+        raise ValueError("holt_linear: need 0 < alpha <= 1, 0 <= beta <= 1")
+    import pandas as _pd  # noqa: F401
+
+    a, b_, h = float(alpha), float(beta), int(horizon)
+
+    base = df.select(
+        F.col(group_col).cast("string").alias("grp"),
+        F.col(time_col).cast("long").alias("t"),
+        F.col(value_col).cast("double").alias("value"),
+    ).filter(F.col("value").isNotNull())
+
+    def kernel(pdf):
+        pdf = pdf.sort_values("t").reset_index(drop=True)
+        xs = pdf["value"].tolist()
+        lvl = xs[0]
+        trd = (xs[1] - xs[0]) if len(xs) > 1 else 0.0
+        levels, trends = [], []
+        for i, x in enumerate(xs):
+            if i == 0:
+                pass  # l_1 = x_1, b_1 as initialized
+            else:
+                prev_l = lvl
+                lvl = a * x + (1.0 - a) * (lvl + trd)
+                trd = b_ * (lvl - prev_l) + (1.0 - b_) * trd
+            levels.append(lvl)
+            trends.append(trd)
+        pdf["level"] = [round(v, 6) for v in levels]
+        pdf["trend"] = [round(v, 6) for v in trends]
+        pdf["forecast"] = [
+            round(lv + h * tr, 6) for lv, tr in zip(levels, trends)
+        ]
+        pdf["value"] = pdf["value"].round(6)
+        return pdf
+
+    schema = (
+        "grp string, t long, value double, level double, trend double,"
+        " forecast double"
+    )
+    out = base.groupBy("grp").applyInPandas(kernel, schema)
+    return out.select(
+        F.col("grp").alias(group_col),
+        F.col("t").alias(time_col),
+        F.col("value").alias(value_col),
+        "level",
+        "trend",
+        "forecast",
+    )

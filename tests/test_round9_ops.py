@@ -540,3 +540,68 @@ def test_behavior_entropy_reference(spark):
     assert got[2].entropy == 0.0 and got[2].n_types == 1
     h3 = -(0.75 * _m.log(0.75) + 0.25 * _m.log(0.25))
     assert abs(got[3].entropy - round(h3, 6)) < 1e-9
+
+
+def test_holt_linear_reference(spark):
+    from moz_datapipeline_spark.operators.temporal import holt_linear
+
+    xs = [10.0, 12.0, 15.0, 11.0]
+    df = spark.createDataFrame(
+        [("g", t, v) for t, v in enumerate(xs)],
+        "g string, t long, v double",
+    )
+    a, b = 0.3, 0.1
+    lvl, trd = xs[0], xs[1] - xs[0]
+    want = [(round(lvl, 6), round(trd, 6))]
+    for x in xs[1:]:
+        prev = lvl
+        lvl = a * x + (1 - a) * (lvl + trd)
+        trd = b * (lvl - prev) + (1 - b) * trd
+        want.append((round(lvl, 6), round(trd, 6)))
+    got = {
+        r.t: (r.level, r.trend, r.forecast)
+        for r in holt_linear(df, "g", "t", "v", 0.3, 0.1, horizon=2).collect()
+    }
+    for t, (wl, wt) in enumerate(want):
+        gl, gt, gf = got[t]
+        assert abs(gl - wl) < 1e-9 and abs(gt - wt) < 1e-9
+        assert abs(gf - round(wl + 2 * wt, 6)) < 2e-6
+
+    # single-point series: level = x, trend 0
+    one = holt_linear(
+        spark.createDataFrame([("g", 0, 5.0)], "g string, t long, v double"),
+        "g", "t", "v",
+    ).collect()[0]
+    assert one.level == 5.0 and one.trend == 0.0
+
+
+def test_gini_concentration_reference(spark):
+    from moz_datapipeline_spark.operators.analytics import (
+        gini_concentration,
+    )
+
+    # perfectly uniform -> gini 0
+    uni = spark.createDataFrame(
+        [(i, 10.0) for i in range(8)], "k long, x double"
+    )
+    r = gini_concentration(uni, "k", "x").collect()[0]
+    assert r.gini == 0.0 and r.n == 8 and r.total == 80.0
+
+    # one key holds everything: G = (n-1)/n
+    mono = spark.createDataFrame(
+        [(0, 100.0)] + [(i, 0.0) for i in range(1, 5)], "k long, x double"
+    )
+    r2 = gini_concentration(mono, "k", "x").collect()[0]
+    assert abs(r2.gini - round(4 / 5, 6)) < 1e-9
+
+    # textbook: values 1..4 -> G = 2*(1+4+9+16)/(4*10) - 5/4 = 0.25
+    t4 = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 5)], "k long, x double"
+    )
+    assert gini_concentration(t4, "k", "x").collect()[0].gini == 0.25
+
+    # negative values -> NULL (undefined)
+    neg = spark.createDataFrame(
+        [(0, -1.0), (1, 5.0)], "k long, x double"
+    )
+    assert gini_concentration(neg, "k", "x").collect()[0].gini is None
