@@ -454,6 +454,8 @@ def exact_quantiles(
         need.add(min(lo_i + 2, n))
 
     width = (hi - lo) / bucket_count
+    if not (width > 0.0):  # denormal span underflow: decline loudly
+        return None
     bucket = F.least(
         F.floor((F.col("_v") - F.lit(lo)) / F.lit(width)),
         F.lit(bucket_count - 1),
@@ -552,6 +554,8 @@ def exact_quantiles_grouped(
     bucket_exprs = []
     for g, (n, lo, hi) in meta.items():
         width = (hi - lo) / bucket_count if hi > lo else 1.0
+        if not (width > 0.0):  # denormal span underflow
+            return None
         b = F.least(
             F.floor((F.col("_v") - F.lit(lo)) / F.lit(width)),
             F.lit(bucket_count - 1),
