@@ -457,16 +457,23 @@ def test_validate_is_single_aggregate_pass(spark, sf_dir):
     assert "Generate" in plan
 
 
-def test_histograms_bucket_with_broadcast_bounds(spark, sf_dir):
-    for q in (entry_mod.q_value_histogram, entry_mod.q_depth_histogram):
-        plan = _plan(q(spark, sf_dir))
-        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
-        assert "SortMergeJoin" not in plan
-
-
-def test_winsorize_broadcasts_bounds_no_python(spark, sf_dir):
-    plan = _plan(entry_mod.q_winsorize(spark, sf_dir))
+def test_histograms_bucket_with_literal_or_broadcast_bounds(spark, sf_dir):
+    # depth_histogram's boundaries now come from exact_quantiles and
+    # inline as LITERALS — no join in the bucketing plan at all;
+    # value_histogram (equi-width) still broadcasts its 1-row bounds
+    plan = _plan(entry_mod.q_value_histogram(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+    plan = _plan(entry_mod.q_depth_histogram(spark, sf_dir))
+    assert "Join" not in plan  # boundaries are literals, not a join
+    assert "SortMergeJoin" not in plan
+
+
+def test_winsorize_literal_bounds_no_python(spark, sf_dir):
+    # clip bounds inline as literals via exact_quantiles: the winsorize
+    # projection must carry NO join and no Python evaluation
+    plan = _plan(entry_mod.q_winsorize(spark, sf_dir))
+    assert "Join" not in plan
     assert "Python" not in plan
 
 
