@@ -5087,6 +5087,42 @@ def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gini_concentration(per, "customer", "revenue")
 
 
+def q_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC AUC (Mann–Whitney rank-sum with half-credit ties) of
+    order value as a predictor of finished status
+    (operators/analytics.roc_auc): per-distinct-score rollup + the
+    two-phase distributed prefix scan — never a global window over the
+    row-sized rollup.  VALUE oracle: identical rollup + prefix + fold
+    in DuckDB."""
+    from moz_datapipeline_spark.operators.analytics import roc_auc
+
+    o = _t(spark, sf_dir, "orders")
+    scored = o.select(
+        F.col("o_totalprice").alias("score"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("label"),
+    )
+    return roc_auc(scored, "score", "label")
+
+
+def q_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gains/lift table: orders ranked by value into deciles, finished
+    status as the outcome (operators/analytics.decile_lift): two-phase
+    distributed rank + exact NTILE arithmetic (the rfm idiom), per-tile
+    capture and lift.  VALUE oracle: row_number + the same tile formula
+    and folds in DuckDB."""
+    from moz_datapipeline_spark.operators.analytics import decile_lift
+
+    o = _t(spark, sf_dir, "orders")
+    scored = o.select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("score"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("label"),
+    )
+    return decile_lift(
+        scored, "score", "label", tiebreak_cols=["o_orderkey"], n_tiles=10
+    )
+
+
 def q_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 suppliers per nation by revenue KEEPING TIES — rank()
     instead of row_number(), so equal-revenue suppliers all survive
@@ -5756,6 +5792,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "behavior_entropy": q_behavior_entropy,
         "holt_linear": q_holt_linear,
         "gini_concentration": q_gini_concentration,
+        "roc_auc": q_roc_auc,
+        "decile_lift": q_decile_lift,
     }
 
 
@@ -11393,6 +11431,76 @@ FROM eaul_calc
                             - (count(*) + 1.0) / count(*) END, 6)
                END AS gini
         FROM ranked
+    """
+
+    sql["roc_auc"] = """
+        WITH base AS (
+          SELECT CAST(o_totalprice AS DOUBLE) AS s,
+                 CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+          FROM orders WHERE o_totalprice IS NOT NULL
+        ), per AS (
+          SELECT s, CAST(sum(y) AS BIGINT) AS np,
+                 CAST(count(*) - sum(y) AS BIGINT) AS nn
+          FROM base GROUP BY 1
+        ), pre AS (
+          SELECT np, nn,
+                 coalesce(sum(nn) OVER (ORDER BY s ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS below
+          FROM per
+        )
+        SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+               CAST(sum(nn) AS BIGINT) AS n_neg,
+               round(CASE WHEN sum(np) > 0 AND sum(nn) > 0 THEN
+                 sum(CAST(np AS DOUBLE) * below
+                     + CAST(np AS DOUBLE) * nn / 2.0)
+                 / (CAST(sum(np) AS DOUBLE) * sum(nn)) END, 6) AS auc
+        FROM pre
+    """
+
+    sql["decile_lift"] = """
+        WITH base AS (
+          SELECT o_orderkey AS k, CAST(o_totalprice AS DOUBLE) AS s,
+                 CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+          FROM orders WHERE o_totalprice IS NOT NULL
+        ), nn AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(count(*) // 10 AS BIGINT) AS base,
+                 CAST(count(*) % 10 AS BIGINT) AS rem,
+                 CAST(sum(y) AS BIGINT) AS post
+          FROM base
+        ), ranked AS (
+          SELECT y,
+                 row_number() OVER (ORDER BY s DESC, k ASC) AS rn,
+                 nn.base, nn.rem, nn.n AS tot, nn.post
+          FROM base CROSS JOIN nn
+        ), tiled AS (
+          SELECT y, post, tot,
+                 CAST(CASE WHEN rn <= rem * (base + 1)
+                   THEN CAST(floor((rn + base) / (base + 1.0)) AS BIGINT)
+                   ELSE rem + CAST(floor((rn - rem * (base + 1) + base
+                                          - 1) / (base * 1.0)) AS BIGINT)
+                 END AS INTEGER) AS decile
+          FROM ranked
+        ), per AS (
+          SELECT decile, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(y) AS BIGINT) AS n_pos,
+                 max(post) AS post, max(tot) AS nt
+          FROM tiled GROUP BY 1
+        )
+        SELECT decile, n, n_pos,
+               round(CAST(n_pos AS DOUBLE) / n, 6) AS pos_rate,
+               round(CASE WHEN post > 0
+                     THEN CAST(n_pos AS DOUBLE) / post END, 6)
+                 AS capture,
+               round(CASE WHEN post > 0 THEN
+                 CAST(sum(n_pos) OVER (ORDER BY decile ASC
+                   ROWS UNBOUNDED PRECEDING) AS DOUBLE) / post END, 6)
+                 AS cum_capture,
+               round(CASE WHEN post > 0 THEN
+                 (CAST(n_pos AS DOUBLE) / n)
+                 / (CAST(post AS DOUBLE) / nt) END, 6) AS lift
+        FROM per
     """
 
     sql["profile_diff"] = """

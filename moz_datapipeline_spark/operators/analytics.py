@@ -1325,3 +1325,176 @@ def gini_concentration(
         F.expr("floor(total * 100 + 0.5) / 100").alias("total"),
         F.when(F.col("_minx") >= 0, F.round(gini, 6)).alias("gini"),
     )
+
+
+def roc_auc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Exact ROC AUC as the Mann–Whitney rank-sum, one row
+    ``(n_pos, n_neg, auc)``: the probability a random positive
+    outscores a random negative, ties counted half —
+
+        AUC = Σ_s [ np(s)·below_nn(s) + np(s)·nn(s)/2 ] / (NP·NN)
+
+    over the per-DISTINCT-SCORE rollup (np/nn counts), where
+    ``below_nn`` is the prefix sum of negatives at strictly lower
+    scores.  NULL scores/labels drop; a degenerate frame (no
+    positives or no negatives) yields NULL auc.
+
+    Scale shape: the rollup is one map-side-combined hash aggregate;
+    the prefix sum over it is the two-phase distributed scan
+    (``global_rank``/``peak_concurrency`` family — range partition,
+    local prefix, broadcast exclusive bases), never a global window:
+    with continuous scores the rollup is row-sized and a
+    single-partition sort would be the plan that never finishes.
+
+    Cache contract: same as ``global_rank`` — the range partitioning
+    pins one rollup-sized cache for the returned frame's lifetime
+    (the counts branch and the prefix branch must observe the same
+    sampled boundaries).
+    """
+    y = F.col(label_col).cast("int")
+    s = F.col(score_col).cast("double")
+    per = (
+        df.filter(s.isNotNull() & y.isNotNull())
+        .groupBy(s.alias("_s"))
+        .agg(
+            F.sum(y).alias("_np"),
+            (F.count(F.lit(1)) - F.sum(y)).alias("_nn"),
+        )
+    )
+    ranged = per.repartitionByRange(F.col("_s").asc()).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    lw = (
+        Window.partitionBy("_pid")
+        .orderBy(F.col("_s").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = ranged.withColumn(
+        "_below_local", F.coalesce(F.sum("_nn").over(lw), F.lit(0))
+    ).cache()
+    bases = (
+        local.groupBy("_pid")
+        .agg(F.sum("_nn").alias("_tot"))
+        .withColumn(
+            "_base",
+            F.coalesce(
+                F.sum("_tot").over(
+                    Window.orderBy("_pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("_pid", "_base")
+    )
+    staged = local.join(F.broadcast(bases), "_pid").withColumn(
+        "_below", F.col("_below_local") + F.col("_base")
+    )
+    folded = staged.agg(
+        F.sum("_np").cast("long").alias("n_pos"),
+        F.sum("_nn").cast("long").alias("n_neg"),
+        F.sum(
+            F.col("_np").cast("double") * F.col("_below").cast("double")
+            + F.col("_np").cast("double")
+            * F.col("_nn").cast("double")
+            / F.lit(2.0)
+        ).alias("_u"),
+    )
+    auc = F.when(
+        (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+        F.col("_u")
+        / (F.col("n_pos").cast("double") * F.col("n_neg").cast("double")),
+    )
+    return folded.select("n_pos", "n_neg", F.round(auc, 6).alias("auc"))
+
+
+def decile_lift(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    tiebreak_cols: list[str] | None = None,
+    n_tiles: int = 10,
+) -> DataFrame:
+    """Gains/lift table for a binary-outcome score: rank rows by score
+    DESCENDING into ``n_tiles`` equal buckets (1 = highest scores) and
+    report per tile ``(decile, n, n_pos, pos_rate, capture,
+    cum_capture, lift)`` — ``capture`` the tile's share of all
+    positives, ``lift`` its positive rate over the base rate.  The
+    standard "is the model worth deploying" readout: a useful score
+    front-loads capture into decile 1.
+
+    The ranking is the two-phase distributed rank (``global_rank``) +
+    exact NTILE arithmetic on (rank, n) — the ``rfm_segments`` idiom,
+    never a global ntile window.  ``tiebreak_cols`` must make the
+    order total (ties across a tile edge are otherwise
+    partition-lottery); NULL scores/labels drop.
+    """
+    from moz_datapipeline_spark.operators.ranges import global_rank
+
+    if not tiebreak_cols:
+        raise ValueError(
+            "decile_lift: tiebreak_cols must make the order total"
+        )
+    y = F.col(label_col).cast("int")
+    s = F.col(score_col).cast("double")
+    base = df.filter(s.isNotNull() & y.isNotNull()).select(
+        s.alias("_s"), y.alias("_y"), *tiebreak_cols
+    )
+    ranked = global_rank(
+        base, "_s", list(tiebreak_cols), ascending=False,
+        with_percent=False,
+    )
+    n_row = ranked.agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("_y").alias("_pos")
+    )
+    q = int(n_tiles)
+    staged = ranked.crossJoin(F.broadcast(n_row))
+    basesz = F.expr(f"_n div {q}")
+    rem = F.col("_n") % F.lit(q)
+    fat = rem * (basesz + 1)
+    rn = F.col("rank")
+    tile = F.when(
+        rn <= fat, (rn + basesz) / (basesz + 1)
+    ).otherwise(rem + ((rn - fat + basesz - 1) / basesz)).cast("long")
+    per = (
+        staged.withColumn("decile", tile.cast("int"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("_y").cast("long").alias("n_pos"),
+            F.max("_n").alias("_nt"),
+            F.max("_pos").alias("_post"),
+        )
+    )
+    w = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    rate = F.col("n_pos").cast("double") / F.col("n").cast("double")
+    base_rate = F.col("_post").cast("double") / F.col("_nt").cast("double")
+    capture = F.when(
+        F.col("_post") > 0,
+        F.col("n_pos").cast("double") / F.col("_post").cast("double"),
+    )
+    return per.select(
+        "decile",
+        "n",
+        "n_pos",
+        F.round(rate, 6).alias("pos_rate"),
+        F.round(capture, 6).alias("capture"),
+        F.round(
+            F.when(
+                F.col("_post") > 0,
+                F.sum("n_pos").over(w).cast("double")
+                / F.col("_post").cast("double"),
+            ),
+            6,
+        ).alias("cum_capture"),
+        F.round(
+            F.when(base_rate > 0, rate / base_rate), 6
+        ).alias("lift"),
+    )

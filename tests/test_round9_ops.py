@@ -605,3 +605,53 @@ def test_gini_concentration_reference(spark):
         [(0, -1.0), (1, 5.0)], "k long, x double"
     )
     assert gini_concentration(neg, "k", "x").collect()[0].gini is None
+
+
+def test_roc_auc_reference(spark):
+    from moz_datapipeline_spark.operators.analytics import roc_auc
+
+    # perfect separation -> 1.0 ; reversed -> 0.0 ; with a tie -> half
+    rows = [(0.9, 1), (0.8, 1), (0.3, 0), (0.1, 0)]
+    df = spark.createDataFrame(rows, "s double, y int")
+    assert roc_auc(df, "s", "y").collect()[0].auc == 1.0
+    rev = spark.createDataFrame([(s, 1 - y) for s, y in rows], "s double, y int")
+    assert roc_auc(rev, "s", "y").collect()[0].auc == 0.0
+
+    # hand AUC with ties: pairs (pos, neg) comparisons
+    rows2 = [(0.9, 1), (0.5, 1), (0.5, 0), (0.2, 0), (0.2, 1)]
+    df2 = spark.createDataFrame(rows2, "s double, y int")
+    # pos scores [0.9, 0.5, 0.2], neg [0.5, 0.2]
+    # (0.9 vs 0.5)=1 (0.9 vs 0.2)=1 (0.5 vs 0.5)=.5 (0.5 vs 0.2)=1
+    # (0.2 vs 0.5)=0 (0.2 vs 0.2)=.5  -> 4/6
+    r = roc_auc(df2, "s", "y").collect()[0]
+    assert r.n_pos == 3 and r.n_neg == 2
+    assert abs(r.auc - round(4 / 6, 6)) < 1e-9
+
+    # degenerate: no negatives -> NULL
+    pos = spark.createDataFrame([(0.5, 1), (0.4, 1)], "s double, y int")
+    assert roc_auc(pos, "s", "y").collect()[0].auc is None
+
+
+def test_decile_lift_reference(spark):
+    from moz_datapipeline_spark.operators.analytics import decile_lift
+
+    # 20 rows, scores 20..1; positives exactly the top 5 scores
+    rows = [(i, float(21 - i), 1 if i <= 5 else 0) for i in range(1, 21)]
+    df = spark.createDataFrame(rows, "k long, s double, y int")
+    got = {
+        r.decile: r
+        for r in decile_lift(df, "s", "y", ["k"], n_tiles=4).collect()
+    }
+    # tiles of 5: tile 1 = top5 = all positives
+    assert got[1].n == 5 and got[1].n_pos == 5
+    assert got[1].pos_rate == 1.0 and got[1].capture == 1.0
+    assert got[1].cum_capture == 1.0
+    # base rate 5/20 = 0.25 -> lift of tile 1 = 4
+    assert got[1].lift == 4.0
+    assert got[2].n_pos == 0 and got[2].lift == 0.0
+    assert got[4].cum_capture == 1.0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="tiebreak"):
+        decile_lift(df, "s", "y", [])
