@@ -395,6 +395,175 @@ def interval_coverage(
     ).withColumnRenamed("grp", group_col)
 
 
+def _resolve_cells(
+    base: DataFrame,
+    cells: list[dict],
+    candidate_cap: int,
+    bucket_count: int,
+    max_depth: int = 64,
+) -> dict:
+    """Resolve exact order statistics for histogram cells — the shared
+    engine behind ``exact_quantiles`` / ``exact_quantiles_grouped``.
+
+    Each cell is ``{key, pred, start, count, cmin, cmax, ranks}``: a
+    value range of ``base`` (membership decided by the Column ``pred``)
+    known to hold rows of global ranks ``[start, start+count)`` within
+    its key's ordering, whose true min/max are ``cmin``/``cmax``, and
+    from which the order statistics at ``ranks`` are needed.  Returns
+    ``{(key, rank): value}`` for every requested rank.
+
+    Resolution ladder (all bounded, never a single-task sort):
+
+    1. ``cmin == cmax`` — every row ties; the rank's value is known
+       without touching the data (heavy-tie skew, the case that used
+       to trip the candidate cap, costs ZERO extra passes);
+    2. total pending mass ≤ ``candidate_cap`` — one filtered collect,
+       driver-side sort of ≤ cap rows (the original fast path);
+    3. otherwise RECURSE: one combined aggregate pass re-histograms
+       every over-cap cell into ``bucket_count`` sub-cells (equal
+       width over the cell's TRUE min/max, so each pass shrinks the
+       value span ≥ ``bucket_count``×) and keeps only sub-cells a
+       needed rank lands in; a cell whose span underflows double
+       width resolves through a per-value histogram (a denormal-wide
+       span holds ≤ ``bucket_count`` distinct doubles);
+    4. depth exhaustion (pathological dynamic range) — per-cell
+       distributed rank selection via ``global_rank`` (range exchange
+       + per-partition sort), still never one task.
+    """
+    resolved: dict = {}
+    pending = list(cells)
+    depth = 0
+    while True:
+        nxt = []
+        for c in pending:
+            if c["cmin"] == c["cmax"]:
+                for r in c["ranks"]:
+                    resolved[(c["key"], r)] = c["cmin"]
+            else:
+                nxt.append(c)
+        pending = nxt
+        if not pending:
+            return resolved
+        total = sum(c["count"] for c in pending)
+        if total <= candidate_cap:
+            break
+        if depth >= max_depth:
+            for c in pending:
+                sub = base.filter(c["pred"]).withColumn(
+                    "_mid", F.monotonically_increasing_id()
+                )
+                ranked = global_rank(
+                    sub, "_v", ["_mid"], with_percent=False, eager=True
+                )
+                ks = [int(r - c["start"] + 1) for r in c["ranks"]]
+                for row in (
+                    ranked.filter(F.col("rank").isin(ks))
+                    .select("rank", "_v")
+                    .collect()
+                ):
+                    resolved[(c["key"], c["start"] + row["rank"] - 1)] = row[
+                        "_v"
+                    ]
+                ranked.unpersist()
+            return resolved
+        depth += 1
+
+        # split off denormal-span cells: value-histogram resolve
+        narrow = [
+            c
+            for c in pending
+            if not ((c["cmax"] - c["cmin"]) / bucket_count > 0.0)
+        ]
+        pending = [c for c in pending if c not in narrow]
+        for c in narrow:
+            vh = sorted(
+                (r["_v"], r["c"])
+                for r in base.filter(c["pred"])
+                .groupBy("_v")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .collect()
+            )
+            cum = c["start"]
+            for v, cnt in vh:
+                for r in c["ranks"]:
+                    if cum <= r < cum + cnt:
+                        resolved[(c["key"], r)] = v
+                cum += cnt
+        if not pending:
+            return resolved
+
+        # ONE combined re-histogram pass over all over-cap cells
+        def _sub_expr(c):
+            w = (c["cmax"] - c["cmin"]) / bucket_count
+            return F.least(
+                F.floor((F.col("_v") - F.lit(c["cmin"])) / F.lit(w)),
+                F.lit(bucket_count - 1),
+            ).cast("int")
+
+        cexpr = F.lit(-1)
+        sexpr = F.lit(-1)
+        pred_any = F.lit(False)
+        for i, c in enumerate(pending):
+            cexpr = F.when(c["pred"], F.lit(i)).otherwise(cexpr)
+            sexpr = F.when(c["pred"], _sub_expr(c)).otherwise(sexpr)
+            pred_any = pred_any | c["pred"]
+        rows = (
+            base.filter(pred_any)
+            .groupBy(cexpr.alias("_ci"), sexpr.alias("_sb"))
+            .agg(
+                F.count(F.lit(1)).alias("c"),
+                F.min("_v").alias("mn"),
+                F.max("_v").alias("mx"),
+            )
+            .collect()
+        )
+        sub_hist: dict = {}
+        for r in rows:
+            sub_hist.setdefault(r["_ci"], {})[r["_sb"]] = (
+                r["c"],
+                r["mn"],
+                r["mx"],
+            )
+        children = []
+        for i, c in enumerate(pending):
+            h = sub_hist.get(i, {})
+            cum = c["start"]
+            for sb in sorted(h):
+                cnt, mn, mx = h[sb]
+                hit = {r for r in c["ranks"] if cum <= r < cum + cnt}
+                if hit:
+                    children.append(
+                        {
+                            "key": c["key"],
+                            "pred": c["pred"] & (_sub_expr(c) == F.lit(sb)),
+                            "start": cum,
+                            "count": cnt,
+                            "cmin": mn,
+                            "cmax": mx,
+                            "ranks": hit,
+                        }
+                    )
+                cum += cnt
+        pending = children
+
+    # terminal collect: one filtered scan, ≤ candidate_cap rows
+    cexpr = F.lit(-1)
+    pred_any = F.lit(False)
+    for i, c in enumerate(pending):
+        cexpr = F.when(c["pred"], F.lit(i)).otherwise(cexpr)
+        pred_any = pred_any | c["pred"]
+    by_cell: dict = {}
+    for row in (
+        base.filter(pred_any).select(cexpr.alias("_ci"), "_v").collect()
+    ):
+        by_cell.setdefault(row["_ci"], []).append(row["_v"])
+    for i, c in enumerate(pending):
+        vals = sorted(by_cell.get(i, []))
+        for r in c["ranks"]:
+            resolved[(c["key"], r)] = vals[r - c["start"]]
+    return resolved
+
+
 def exact_quantiles(
     df: DataFrame,
     column: str,
@@ -422,13 +591,20 @@ def exact_quantiles(
        pathological skew) and read the order statistics off the
        driver-side sort.
 
-    Heavy ties / extreme skew can concentrate needed buckets: if the
-    candidate mass exceeds ``candidate_cap`` the function returns
-    ``None`` and the caller should fall back to the builtin (loud
-    trade, not a silent slow path).  NaNs and NULLs are excluded like
-    the builtin's null handling (the builtin sorts NaN last — feed it
-    NaN-free data, which every caller here does).  Returns the
-    boundary list, or ``None`` for an empty input or a tripped cap.
+    Heavy ties / extreme skew can concentrate needed buckets past
+    ``candidate_cap``; the function then RECURSES instead of giving
+    up (``_resolve_cells``): all-tied cells resolve from the
+    histogram's per-bucket min==max with zero extra passes, over-cap
+    cells are re-histogrammed into their true min/max span (one
+    combined aggregate per level, span shrinks ≥ bucket_count× per
+    pass, ≤ ~5 levels to isolate any double at fixed exponent), and
+    the pathological-dynamic-range tail falls back to per-cell
+    distributed rank selection — NEVER the builtin's single-task
+    buffer sort.  NaNs and NULLs are excluded like the builtin's null
+    handling (the builtin sorts NaN last — feed it NaN-free data,
+    which every caller here does).  Returns the boundary list, or
+    ``None`` only for an empty input or a degenerate denormal-wide
+    total span.
     """
     x = F.col(column).cast("double")
     base = df.select(x.alias("_v")).filter(
@@ -461,16 +637,20 @@ def exact_quantiles(
         F.lit(bucket_count - 1),
     ).cast("int")
     hist = dict(
-        (r["_b"], r["c"])
+        (r["_b"], (r["c"], r["mn"], r["mx"]))
         for r in base.groupBy(bucket.alias("_b"))
-        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.min("_v").alias("mn"),
+            F.max("_v").alias("mx"),
+        )
         .collect()
     )
     cum = 0
     starts: dict[int, int] = {}  # bucket -> rank of its first row
     for b in sorted(hist):
         starts[b] = cum + 1
-        cum += hist[b]
+        cum += hist[b][0]
     # map each needed rank to its bucket
     needed_buckets: set[int] = set()
     ordered = sorted(hist)
@@ -480,24 +660,23 @@ def exact_quantiles(
     for r in sorted(need):
         i = bisect.bisect_right(keys, r) - 1
         needed_buckets.add(ordered[i])
-    mass = sum(hist[b] for b in needed_buckets)
-    if mass > candidate_cap:
-        return None
-    cand = (
-        base.withColumn("_b", bucket)
-        .filter(F.col("_b").isin([int(b) for b in needed_buckets]))
-        .collect()
-    )
-    by_bucket: dict[int, list[float]] = {}
-    for row in cand:
-        by_bucket.setdefault(row["_b"], []).append(row["_v"])
-    value_at: dict[int, float] = {}
-    for b, vals in by_bucket.items():
-        vals.sort()
+    cells = []
+    for b in sorted(needed_buckets):
+        cnt, mn, mx = hist[b]
         first = starts[b]
-        for r in need:
-            if first <= r < first + len(vals):
-                value_at[r] = vals[r - first]
+        cells.append(
+            {
+                "key": None,
+                "pred": bucket == F.lit(int(b)),
+                "start": first,
+                "count": cnt,
+                "cmin": mn,
+                "cmax": mx,
+                "ranks": {r for r in need if first <= r < first + cnt},
+            }
+        )
+    resolved = _resolve_cells(base, cells, candidate_cap, bucket_count)
+    value_at: dict[int, float] = {r: resolved[(None, r)] for r in need}
     out: list[float] = []
     for pos in positions:
         lo_i = int(pos)
@@ -532,11 +711,14 @@ def exact_quantiles_grouped(
     Built for LOW-cardinality groupings (quality flags, return flags,
     cohorts): the histogram collect is |groups|·bucket_count cells, so
     the function returns ``None`` (caller falls back to the builtin)
-    when the grouping exceeds ``max_groups``, when any group's needed
-    candidate mass exceeds ``candidate_cap``, or when the input is
-    empty.  Groups with a NULL key are included (keyed ``None``),
-    matching GROUP BY.  NaN values are excluded (callers here are
-    NaN-free by contract).
+    when the grouping exceeds ``max_groups``, when the input is empty,
+    or when a group's span underflows double width.  An over-cap
+    candidate mass no longer declines: it recurses through the same
+    ``_resolve_cells`` ladder as the ungrouped path (tied cells free,
+    re-histogram into true min/max, distributed rank selection as the
+    pathological tail).  Groups with a NULL key are included (keyed
+    ``None``), matching GROUP BY.  NaN values are excluded (callers
+    here are NaN-free by contract).
     """
     x = F.col(column).cast("double")
     base = df.select(F.col(group_col).alias("_g"), x.alias("_v")).filter(
@@ -571,16 +753,20 @@ def exact_quantiles_grouped(
     hist_rows = (
         base.withColumn("_b", bexpr)
         .groupBy("_g", "_b")
-        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.min("_v").alias("mn"),
+            F.max("_v").alias("mx"),
+        )
         .collect()
     )
     hist: dict = {}
     for r in hist_rows:
-        hist.setdefault(r["_g"], {})[r["_b"]] = r["c"]
+        hist.setdefault(r["_g"], {})[r["_b"]] = (r["c"], r["mn"], r["mx"])
 
     import bisect
 
-    need_pairs: list = []  # (group, bucket) to collect
+    cells: list = []
     plan: dict = {}
     for g, (n, lo, hi) in meta.items():
         if lo == hi:
@@ -598,47 +784,43 @@ def exact_quantiles_grouped(
         starts = {}
         for bkt in ordered:
             starts[bkt] = cum + 1
-            cum += h[bkt]
+            cum += h[bkt][0]
         keys = [starts[bkt] for bkt in ordered]
         nb: set[int] = set()
         for r in sorted(need):
             nb.add(ordered[bisect.bisect_right(keys, r) - 1])
-        if sum(h[bkt] for bkt in nb) > candidate_cap:
-            return None
-        plan[g] = ("ranks", need, starts, nb, positions, n)
-        need_pairs.extend((g, bkt) for bkt in nb)
-
-    if need_pairs:
-        pair_cond = F.lit(False)
-        for g, bkt in need_pairs:
-            gc = (
-                F.col("_g").isNull()
-                if g is None
-                else (F.col("_g") == F.lit(g))
-            )
-            pair_cond = pair_cond | (gc & (F.col("_b") == F.lit(int(bkt))))
-        cand = (
-            base.withColumn("_b", bexpr).filter(pair_cond).collect()
+        plan[g] = ("ranks", need, positions, n)
+        gc = (
+            F.col("_g").isNull() if g is None else (F.col("_g") == F.lit(g))
         )
-    else:
-        cand = []
-    by_gb: dict = {}
-    for row in cand:
-        by_gb.setdefault((row["_g"], row["_b"]), []).append(row["_v"])
+        for bkt in sorted(nb):
+            cnt, mn, mx = h[bkt]
+            first = starts[bkt]
+            cells.append(
+                {
+                    "key": g,
+                    "pred": gc & (bexpr == F.lit(int(bkt))),
+                    "start": first,
+                    "count": cnt,
+                    "cmin": mn,
+                    "cmax": mx,
+                    "ranks": {
+                        r for r in need if first <= r < first + cnt
+                    },
+                }
+            )
+
+    # same recursion ladder as the ungrouped path: all-tied cells are
+    # free, over-cap cells re-histogram, never a single-task sort
+    resolved = _resolve_cells(base, cells, candidate_cap, bucket_count)
 
     out: dict = {}
     for g, spec in plan.items():
         if spec[0] == "const":
             out[g] = [spec[1] for _ in probs]
             continue
-        _, need, starts, nb, positions, n = spec
-        value_at: dict = {}
-        for bkt in nb:
-            vals = sorted(by_gb.get((g, bkt), []))
-            first = starts[bkt]
-            for r in need:
-                if first <= r < first + len(vals):
-                    value_at[r] = vals[r - first]
+        _, need, positions, n = spec
+        value_at = {r: resolved[(g, r)] for r in need}
         bl = []
         for pos in positions:
             li_ = int(pos)

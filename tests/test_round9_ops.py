@@ -442,11 +442,11 @@ def test_exact_quantiles_matches_builtin(spark):
     assert exact_quantiles(const, "x", [0.1, 0.9]) == [3.0, 3.0]
     assert exact_quantiles(const.filter("x > 99"), "x", [0.5]) is None
 
-    # candidate cap trips loudly -> None (caller falls back)
-    assert (
-        exact_quantiles(df, "x", probs, bucket_count=2, candidate_cap=10)
-        is None
+    # candidate cap trip RECURSES (round 10) — still exact, never None
+    got_capped = exact_quantiles(
+        df, "x", probs, bucket_count=16, candidate_cap=200
     )
+    assert got_capped == list(want)
 
 
 def test_exact_quantiles_grouped_matches_builtin(spark):
