@@ -919,23 +919,36 @@ def mad_outliers(
             F.sum(is_out).cast("long").alias("n_outliers"),
         )
 
-    # fallback: builtin percentile passes with broadcast joins
+    # fallback: builtin percentile passes with broadcast joins.
+    # Joins are NULL-SAFE on the group keys (eqNullSafe) so a NULL
+    # group — which GROUP BY keeps as its own group, and which the
+    # exact-quantiles fast path declines — survives the fold instead
+    # of silently vanishing through an inner equi-join.
+    def _nullsafe_join(left: DataFrame, right: DataFrame) -> DataFrame:
+        if not gcols:
+            return left.crossJoin(F.broadcast(right))
+        r = right.select(
+            *[F.col(c).alias(f"_r_{c}") for c in gcols],
+            *[c for c in right.columns if c not in gcols],
+        )
+        cond = F.lit(True)
+        for c in gcols:
+            cond = cond & F.col(c).eqNullSafe(F.col(f"_r_{c}"))
+        return left.join(F.broadcast(r), cond).drop(
+            *[f"_r_{c}" for c in gcols]
+        )
+
     med = base.groupBy(*gcols).agg(
         F.expr("percentile(_x, 0.5)").alias("_med")
     )
-    joined = (
-        base.join(F.broadcast(med), gcols) if gcols
-        else base.crossJoin(F.broadcast(med))
-    )
+    joined = _nullsafe_join(base, med)
     dev = F.abs(F.col("_x") - F.col("_med"))
     folded = joined.groupBy(*gcols).agg(
         F.count(F.lit(1)).alias("n"),
         F.max("_med").alias("median"),
         F.expr("percentile(abs(_x - _med), 0.5)").alias("mad"),
     )
-    out = joined.join(F.broadcast(folded), gcols) if gcols else (
-        joined.crossJoin(F.broadcast(folded))
-    )
+    out = _nullsafe_join(joined, folded)
     sigma = F.when(F.col("mad") > 0, F.lit(1.4826) * F.col("mad"))
     is_out = F.when(
         sigma.isNotNull(),
@@ -1331,6 +1344,7 @@ def roc_auc(
     df: DataFrame,
     score_col: str,
     label_col: str,
+    eager: bool = False,
 ) -> DataFrame:
     """Exact ROC AUC as the Mann–Whitney rank-sum, one row
     ``(n_pos, n_neg, auc)``: the probability a random positive
@@ -1351,9 +1365,12 @@ def roc_auc(
     single-partition sort would be the plan that never finishes.
 
     Cache contract: same as ``global_rank`` — the range partitioning
-    pins one rollup-sized cache for the returned frame's lifetime
-    (the counts branch and the prefix branch must observe the same
-    sampled boundaries).
+    pins one rollup-sized cache (the counts branch and the prefix
+    branch must observe the same sampled boundaries).  ``eager=False``
+    (default) leaves it live for the returned frame's lifetime;
+    ``eager=True`` materializes the 1-row result, releases the
+    intermediate, and leaves AT MOST the returned frame cached —
+    unpersist it when done (``tests/test_cache_contract``).
     """
     y = F.col(label_col).cast("int")
     s = F.col(score_col).cast("double")
@@ -1410,7 +1427,12 @@ def roc_auc(
         F.col("_u")
         / (F.col("n_pos").cast("double") * F.col("n_neg").cast("double")),
     )
-    return folded.select("n_pos", "n_neg", F.round(auc, 6).alias("auc"))
+    out = folded.select("n_pos", "n_neg", F.round(auc, 6).alias("auc"))
+    if eager:
+        out = out.persist()
+        out.count()
+        local.unpersist()
+    return out
 
 
 def decile_lift(
@@ -1419,6 +1441,7 @@ def decile_lift(
     label_col: str,
     tiebreak_cols: list[str] | None = None,
     n_tiles: int = 10,
+    eager: bool = False,
 ) -> DataFrame:
     """Gains/lift table for a binary-outcome score: rank rows by score
     DESCENDING into ``n_tiles`` equal buckets (1 = highest scores) and
@@ -1433,6 +1456,12 @@ def decile_lift(
     never a global ntile window.  ``tiebreak_cols`` must make the
     order total (ties across a tile edge are otherwise
     partition-lottery); NULL scores/labels drop.
+
+    Cache contract: the inner ``global_rank`` pins one data-sized
+    range-partitioned cache.  ``eager=False`` (default) leaves it live
+    for the returned frame's lifetime; ``eager=True`` materializes the
+    ≤ ``n_tiles``-row result, releases every intermediate, and leaves
+    AT MOST the returned frame cached (``tests/test_cache_contract``).
     """
     from moz_datapipeline_spark.operators.ranges import global_rank
 
@@ -1447,7 +1476,7 @@ def decile_lift(
     )
     ranked = global_rank(
         base, "_s", list(tiebreak_cols), ascending=False,
-        with_percent=False,
+        with_percent=False, eager=eager,
     )
     n_row = ranked.agg(
         F.count(F.lit(1)).alias("_n"), F.sum("_y").alias("_pos")
@@ -1497,4 +1526,332 @@ def decile_lift(
         F.round(
             F.when(base_rate > 0, rate / base_rate), 6
         ).alias("lift"),
+    )
+
+
+def spearman_corr(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Spearman rank correlation, one row ``(n, rho)`` — Pearson over
+    AVERAGE ranks (the tie-correct definition): monotone association
+    without Pearson's linearity assumption, robust to any monotone
+    transform of either axis.
+
+    Rank plan (per column): one hash aggregate to the distinct-value
+    rollup, then the two-phase distributed prefix sum over it
+    (``roc_auc`` family — range partition, local prefix, broadcast
+    exclusive bases; NEVER a data-sized global window): the average
+    rank of a tied value is ``below + (cnt + 1)/2`` where ``below`` is
+    the prefix count of strictly smaller values.  Ranks join back on
+    the value (two shuffle equi-joins), and rho comes from one final
+    sums aggregate.
+
+    Determinism: average ranks are exact half-integers, so every sum
+    (Σr, Σr², Σrxry) is exact in double up to ~2^53 — the fold is
+    order-independent and hash-matches any engine, unlike a
+    moment-based ``corr`` over floats.
+
+    Cache contract: two range partitionings pin one rollup-sized cache
+    each for the returned frame's lifetime (the ``global_rank`` lazy
+    default).
+    """
+
+    def _avg_ranks(base: DataFrame, col: str, out_name: str) -> DataFrame:
+        per = base.groupBy(F.col(col).alias("_val")).agg(
+            F.count(F.lit(1)).alias("_cnt")
+        )
+        ranged = per.repartitionByRange(F.col("_val").asc()).withColumn(
+            "_pid", F.spark_partition_id()
+        )
+        lw = (
+            Window.partitionBy("_pid")
+            .orderBy(F.col("_val").asc())
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        local = ranged.withColumn(
+            "_below_local", F.coalesce(F.sum("_cnt").over(lw), F.lit(0))
+        ).cache()
+        bases = (
+            local.groupBy("_pid")
+            .agg(F.sum("_cnt").alias("_tot"))
+            .withColumn(
+                "_base",
+                F.coalesce(
+                    F.sum("_tot").over(
+                        Window.orderBy("_pid").rowsBetween(
+                            Window.unboundedPreceding, -1
+                        )
+                    ),
+                    F.lit(0),
+                ),
+            )
+            .select("_pid", "_base")
+        )
+        return (
+            local.join(F.broadcast(bases), "_pid")
+            .select(
+                F.col("_val").alias(col),
+                (
+                    (F.col("_below_local") + F.col("_base")).cast("double")
+                    + (F.col("_cnt").cast("double") + 1.0) / 2.0
+                ).alias(out_name),
+            )
+        )
+
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    base = df.filter(x.isNotNull() & y.isNotNull()).select(
+        x.alias("_x"), y.alias("_y")
+    )
+    rx = _avg_ranks(base, "_x", "_rx")
+    ry = _avg_ranks(base, "_y", "_ry")
+    ranked = base.join(rx, "_x").join(ry, "_y")
+    folded = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("_rx").alias("_sx"),
+        F.sum("_ry").alias("_sy"),
+        F.sum(F.col("_rx") * F.col("_rx")).alias("_sxx"),
+        F.sum(F.col("_ry") * F.col("_ry")).alias("_syy"),
+        F.sum(F.col("_rx") * F.col("_ry")).alias("_sxy"),
+    )
+    nn = F.col("n").cast("double")
+    cov = F.col("_sxy") - F.col("_sx") * F.col("_sy") / nn
+    vx = F.col("_sxx") - F.col("_sx") * F.col("_sx") / nn
+    vy = F.col("_syy") - F.col("_sy") * F.col("_sy") / nn
+    rho = F.when(
+        (F.col("n") > 1) & (vx > 0) & (vy > 0),
+        cov / F.sqrt(vx * vy),
+    )
+    return folded.select("n", F.round(rho, 6).alias("rho"))
+
+
+def cramers_v(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """Association strength between two CATEGORICAL columns, one row
+    ``(n, levels_a, levels_b, chi2, v)`` — Pearson chi-square over the
+    contingency table, normalized to Cramér's V = sqrt(χ² / (n·(min(r,
+    c) − 1))) ∈ [0, 1].  The categorical counterpart of correlation:
+    feature redundancy checks, leakage screens, segmentation audits.
+    NULL in either column drops the row (a NULL level is usually a
+    missing-data artifact, not a category).
+
+    Plan: ONE hash aggregate to the |A|×|B| contingency rollup; row
+    and column totals re-aggregate from that rollup (matrix-sized, not
+    data-sized) and broadcast back; expected counts and the χ² fold
+    are arithmetic over the rollup.  Integer counts all the way — the
+    fold is exact and engine-portable.
+    """
+    base = df.filter(
+        F.col(col_a).isNotNull() & F.col(col_b).isNotNull()
+    ).select(F.col(col_a).alias("_a"), F.col(col_b).alias("_b"))
+    cells = base.groupBy("_a", "_b").agg(F.count(F.lit(1)).alias("_o"))
+    row_tot = cells.groupBy("_a").agg(F.sum("_o").alias("_ra"))
+    col_tot = cells.groupBy("_b").agg(F.sum("_o").alias("_cb"))
+    staged = (
+        cells.join(F.broadcast(row_tot), "_a")
+        .join(F.broadcast(col_tot), "_b")
+        .crossJoin(
+            F.broadcast(
+                cells.agg(
+                    F.sum("_o").alias("_n"),
+                    F.count_distinct("_a").alias("_la"),
+                    F.count_distinct("_b").alias("_lb"),
+                )
+            )
+        )
+    )
+    e = (
+        F.col("_ra").cast("double")
+        * F.col("_cb").cast("double")
+        / F.col("_n").cast("double")
+    )
+    # χ² = Σ o²/e − n: algebraically identical to Σ(o−e)²/e over the
+    # FULL r×c grid, but exact when summing only the OBSERVED cells
+    # (a zero cell contributes 0 to Σo²/e; the naive form would need
+    # its missing e term) — so empty cells never need materializing
+    folded = staged.agg(
+        F.max("_n").cast("long").alias("n"),
+        F.max("_la").cast("int").alias("levels_a"),
+        F.max("_lb").cast("int").alias("levels_b"),
+        (
+            F.sum(
+                F.col("_o").cast("double") * F.col("_o").cast("double") / e
+            )
+            - F.max("_n").cast("double")
+        ).alias("_chi2"),
+    )
+    mindim = F.least(F.col("levels_a"), F.col("levels_b")) - F.lit(1)
+    v = F.when(
+        (F.col("n") > 0) & (mindim > 0),
+        F.sqrt(
+            F.col("_chi2") / (F.col("n").cast("double") * mindim.cast("double"))
+        ),
+    )
+    return folded.select(
+        "n",
+        "levels_a",
+        "levels_b",
+        F.round("_chi2", 6).alias("chi2"),
+        F.round(v, 6).alias("v"),
+    )
+
+
+def anova_oneway(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """One-way ANOVA, one row ``(k, n, ss_between, ss_within, f_stat,
+    eta_sq)`` — do the group means differ more than within-group noise
+    explains?  ``eta_sq`` = SSB/SST is the variance-explained effect
+    size (the readout that survives large n, where any F is
+    "significant").
+
+    Plan: ONE per-group hash aggregate ``(n_g, Σx, Σx²)``
+    (map-side-combined), then a k-row fold — SSW = Σ_g(Σx² − (Σx)²/n_g)
+    and SSB from the group sums against the grand mean.  No second
+    data pass, no joins.  Feed integer-valued or fixed-point columns
+    when hash-matching across engines: the two-sum form is exact for
+    exactly-representable inputs.  NULL values and NULL groups drop
+    (GROUP BY keeps NULL, but a NULL treatment arm is a data bug —
+    filter upstream if it is real).  Degenerate inputs (k < 2 or
+    n ≤ k) yield NULL f_stat.
+    """
+    x = F.col(value_col).cast("double")
+    base = df.filter(x.isNotNull() & F.col(group_col).isNotNull()).select(
+        F.col(group_col).alias("_g"), x.alias("_x")
+    )
+    per = base.groupBy("_g").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_x").alias("_s"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_ss"),
+    )
+    folded = per.agg(
+        F.count(F.lit(1)).cast("int").alias("k"),
+        F.sum("_n").cast("long").alias("n"),
+        F.sum("_s").alias("_ts"),
+        F.sum("_ss").alias("_tss"),
+        F.sum(F.col("_s") * F.col("_s") / F.col("_n").cast("double")).alias(
+            "_sgs"
+        ),
+    )
+    nn = F.col("n").cast("double")
+    ssb = F.col("_sgs") - F.col("_ts") * F.col("_ts") / nn
+    ssw = F.col("_tss") - F.col("_sgs")
+    sst = ssb + ssw
+    kk = F.col("k").cast("double")
+    f_stat = F.when(
+        (F.col("k") > 1) & (F.col("n") > F.col("k")) & (ssw > 0),
+        (ssb / (kk - 1.0)) / (ssw / (nn - kk)),
+    )
+    eta = F.when(sst > 0, ssb / sst)
+    return folded.select(
+        "k",
+        "n",
+        F.round(ssb, 6).alias("ss_between"),
+        F.round(ssw, 6).alias("ss_within"),
+        F.round(f_stat, 6).alias("f_stat"),
+        F.round(eta, 6).alias("eta_sq"),
+    )
+
+
+def brown_forsythe(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Brown–Forsythe equal-variance test (Levene's test with the
+    MEDIAN center — robust to non-normal tails), one row ``(k, n,
+    f_stat)``: one-way ANOVA over the per-group absolute deviations
+    ``|x − median_g|``.  The gate before trusting a pooled-variance
+    t-test or ANOVA: heteroscedastic arms break both.
+
+    Medians come from ``ranges.exact_quantiles_grouped`` (distributed
+    histogram selection) and inline as a literal map when the grouping
+    is low-cardinality; the fallback is the builtin per-group
+    percentile with a broadcast join back.  Deviations then ride the
+    same one-aggregate ANOVA fold as ``anova_oneway``.
+    """
+    from moz_datapipeline_spark.operators.ranges import (
+        exact_quantiles_grouped,
+    )
+
+    x = F.col(value_col).cast("double")
+    base = df.filter(x.isNotNull() & F.col(group_col).isNotNull()).select(
+        F.col(group_col).alias("_g"), x.alias("_x")
+    )
+    med = exact_quantiles_grouped(base, "_g", "_x", [0.5])
+    if med is not None and all(k is not None for k in med):
+        med_m = F.create_map(
+            *[c for k, v in med.items() for c in (F.lit(k), F.lit(v[0]))]
+        )
+        devd = base.select(
+            "_g", F.abs(F.col("_x") - F.element_at(med_m, F.col("_g"))).alias("_d")
+        )
+    else:
+        med_df = base.groupBy("_g").agg(
+            F.expr("percentile(_x, 0.5)").alias("_med")
+        )
+        devd = base.join(F.broadcast(med_df), "_g").select(
+            "_g", F.abs(F.col("_x") - F.col("_med")).alias("_d")
+        )
+    out = anova_oneway(devd, "_g", "_d")
+    return out.select("k", "n", "f_stat")
+
+
+def proportion_ztest(
+    df: DataFrame,
+    group_col: str,
+    success_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Two-proportion z-test, one row ``(n_a, n_b, conv_a, conv_b,
+    rate_a, rate_b, z, significant)`` — the conversion-rate A/B
+    readout: pooled-variance z = (p_a − p_b)/sqrt(p(1−p)(1/n_a +
+    1/n_b)), ``significant`` at |z| > 1.96 (two-sided 5%).
+
+    Plan: ONE conditional-sum aggregate over the two arms (rows
+    outside both arms are filtered before the fold).  Integer counts
+    all the way to the final division — exact and engine-portable.
+    A missing or empty arm yields NULL z (the 1-row anchor is the
+    aggregate itself: conditional sums over zero rows are 0/NULL,
+    never a dropped row).
+    """
+    y = F.col(success_col).cast("int")
+    g = F.col(group_col)
+    base = df.filter(g.isin([group_a, group_b]) & y.isNotNull())
+    is_a = (g == F.lit(group_a)).cast("int")
+    is_b = (g == F.lit(group_b)).cast("int")
+    folded = base.agg(
+        F.coalesce(F.sum(is_a), F.lit(0)).cast("long").alias("n_a"),
+        F.coalesce(F.sum(is_b), F.lit(0)).cast("long").alias("n_b"),
+        F.coalesce(F.sum(is_a * y), F.lit(0)).cast("long").alias("conv_a"),
+        F.coalesce(F.sum(is_b * y), F.lit(0)).cast("long").alias("conv_b"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    pa = F.col("conv_a").cast("double") / na
+    pb = F.col("conv_b").cast("double") / nb
+    pool = (F.col("conv_a") + F.col("conv_b")).cast("double") / (na + nb)
+    se = F.sqrt(pool * (1.0 - pool) * (1.0 / na + 1.0 / nb))
+    z = F.when(
+        (F.col("n_a") > 0) & (F.col("n_b") > 0) & (se > 0), (pa - pb) / se
+    )
+    return folded.select(
+        "n_a",
+        "n_b",
+        "conv_a",
+        "conv_b",
+        F.round(F.when(F.col("n_a") > 0, pa), 6).alias("rate_a"),
+        F.round(F.when(F.col("n_b") > 0, pb), 6).alias("rate_b"),
+        F.round(z, 6).alias("z"),
+        F.when(z.isNotNull(), (F.abs(z) > 1.96).cast("int")).alias(
+            "significant"
+        ),
     )

@@ -681,8 +681,13 @@ def gap_fill(
         F.col(time_col).cast("long").alias("t"),
         F.col(value_col).cast("double").alias("v"),
     ).filter(F.col("t").isNotNull())
+    # integral floor snap: t - pmod(t, step) stays exact for epoch-ns
+    # magnitudes (~1e18 exceeds double's 2^53 exact range, so float
+    # division could misplace a boundary timestamp) AND floors toward
+    # -inf for pre-1970 timestamps — the same grid ohlc_bars/twap use
     snapped = base.withColumn(
-        "t", (F.floor(F.col("t") / step) * step).cast("long")
+        "t",
+        (F.col("t") - F.pmod(F.col("t"), F.lit(int(step)))).cast("long"),
     )
     # loud duplicate-bucket guard, evaluated in-plan (no extra job):
     # raise_error fires only on offending rows
@@ -792,14 +797,16 @@ def ohlc_bars(
     """
     tb = F.col(tiebreak_col) if tiebreak_col else F.col(value_col)
     v = F.col(value_col).cast("double")
-    # integral division for the bucket: epoch-ns values (~1e18) exceed
-    # double's 2^53 exact range, so float division could misplace a
-    # boundary timestamp by one bucket (the cohort_retention rule)
+    # integral floor snap: epoch-ns values (~1e18) exceed double's
+    # 2^53 exact range, so float division could misplace a boundary
+    # timestamp by one bucket (the cohort_retention rule); pmod (not
+    # `div`, which truncates toward zero) keeps floor semantics for
+    # pre-1970 timestamps, matching the `//` floor-division oracle
     base = df.filter(v.isNotNull()).select(
         F.col(group_col).alias("grp"),
-        (
-            F.expr(f"CAST({time_col} AS BIGINT) div {int(step)}")
-            * F.lit(int(step))
+        F.expr(
+            f"CAST({time_col} AS BIGINT)"
+            f" - pmod(CAST({time_col} AS BIGINT), {int(step)})"
         )
         .cast("long")
         .alias("bucket_start"),
@@ -867,9 +874,10 @@ def twap(
     stepped = (
         base.withColumn("_tn", F.lead("_t").over(w))
         .withColumn(
-            # integral division: epoch-ns exceeds double's exact range
+            # integral floor snap (epoch-ns exceeds double's exact
+            # range; pmod keeps floor semantics for negative t)
             "bucket_start",
-            (F.expr(f"_t div {int(step)}") * F.lit(int(step))).cast(
+            (F.col("_t") - F.pmod(F.col("_t"), F.lit(int(step)))).cast(
                 "long"
             ),
         )
@@ -961,6 +969,7 @@ def holt_linear(
     alpha: float = 0.3,
     beta: float = 0.1,
     horizon: int = 1,
+    max_group_rows: int = 1_000_000,
 ) -> DataFrame:
     """Holt double-exponential (level + trend) smoothing per group:
     ``(group, time, value, level, trend, forecast)`` with
@@ -979,12 +988,19 @@ def holt_linear(
     (``applyInPandas`` per group).  INPUT CONTRACT: the rollup shape,
     one row per (group, time); the kernel runs over |group| rows, never
     raw events.  All recursion in float64, identical in any engine.
+
+    MEMORY BOUND: the kernel materializes each group as Python lists
+    — a pathological million-row group is an executor stall, not a
+    slowdown.  ``max_group_rows`` (the ``mann_kendall`` guard) fails
+    loudly IN-KERNEL (no extra pre-pass job) naming the offending
+    group; re-bucket the series or raise it deliberately.
     """
     if not (0.0 < alpha <= 1.0) or not (0.0 <= beta <= 1.0):
         raise ValueError("holt_linear: need 0 < alpha <= 1, 0 <= beta <= 1")
     import pandas as _pd  # noqa: F401
 
     a, b_, h = float(alpha), float(beta), int(horizon)
+    cap = int(max_group_rows)
 
     base = df.select(
         F.col(group_col).cast("string").alias("grp"),
@@ -993,6 +1009,14 @@ def holt_linear(
     ).filter(F.col("value").isNotNull())
 
     def kernel(pdf):
+        if len(pdf) > cap:
+            raise ValueError(
+                f"holt_linear: group {pdf['grp'].iloc[0]!r} has "
+                f"{len(pdf)} rows (> max_group_rows={cap}); the "
+                "recursive kernel buffers the whole series per group "
+                "— feed a rollup (one row per group, time bucket) or "
+                "raise max_group_rows deliberately"
+            )
         pdf = pdf.sort_values("t").reset_index(drop=True)
         xs = pdf["value"].tolist()
         lvl = xs[0]

@@ -1,0 +1,555 @@
+"""Round-10 fixes and operators: NULL-group MAD fallback, floor-grid
+bucket snapping for negative timestamps, exact-quantile recursion."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+
+def test_mad_outliers_null_group_kept(spark):
+    """A NULL group key is a group under GROUP BY semantics; the
+    fallback path (exact-quantiles declines on NULL keys) must keep
+    it via null-safe joins, not drop it through an inner equi-join."""
+    from moz_datapipeline_spark.operators.analytics import mad_outliers
+
+    rows = [
+        ("a", 1.0), ("a", 2.0), ("a", 3.0),
+        (None, 10.0), (None, 20.0), (None, 30.0), (None, 1000.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, x double")
+    got = {r.g: r for r in mad_outliers(df, "x", group_cols=["g"]).collect()}
+    assert set(got) == {"a", None}
+    assert got["a"].median == 2.0 and got["a"].mad == 1.0
+    # NULL group: values 10,20,30,1000 -> median 25, deviations
+    # 15,5,5,975 -> mad 10; robust z of 1000 = 975/(1.4826*10) = 65.8
+    assert got[None].n == 4
+    assert got[None].median == 25.0
+    assert got[None].mad == 10.0
+    assert got[None].n_outliers == 1
+
+
+def test_ohlc_twap_gapfill_negative_timestamps(spark):
+    """Bucket snapping floors toward -inf (t - pmod(t, step)), the
+    DuckDB `//` convention — a pre-1970 timestamp lands in the bucket
+    BELOW zero, not one bucket high via truncate-toward-zero."""
+    from moz_datapipeline_spark.operators.temporal import (
+        gap_fill,
+        ohlc_bars,
+        twap,
+    )
+
+    rows = [("a", -3, 5.0), ("a", -13, 1.0), ("a", 2, 7.0)]
+    df = spark.createDataFrame(rows, "g string, t long, v double")
+
+    bars = {r.bucket_start for r in ohlc_bars(df, "g", "t", "v", 10).collect()}
+    assert bars == {-20, -10, 0}
+
+    tw = {r.bucket_start for r in twap(df, "g", "t", "v", 10).collect()}
+    assert tw == {-20, -10, 0}
+
+    gf = gap_fill(df, "g", "t", "v", step=10, method="locf")
+    grid = sorted(r.t for r in gf.collect())
+    assert grid == [-20, -10, 0]
+
+
+def test_holt_linear_group_size_guard(spark):
+    """A pathological long series must fail LOUDLY in-kernel, not
+    stall an executor materializing Python lists (mann_kendall's
+    max_group_rows contract)."""
+    import pytest
+
+    from moz_datapipeline_spark.operators.temporal import holt_linear
+
+    df = spark.range(100).select(
+        F.lit("g").alias("g"),
+        F.col("id").alias("t"),
+        F.col("id").cast("double").alias("v"),
+    )
+    # under the cap: runs fine
+    assert holt_linear(df, "g", "t", "v", max_group_rows=100).count() == 100
+    # over the cap: loud error naming the group
+    with pytest.raises(Exception) as ei:
+        holt_linear(df, "g", "t", "v", max_group_rows=99).count()
+    assert "max_group_rows" in str(ei.value)
+
+
+def test_attribution_multi_microbatch_matches_batch(spark, tmp_path):
+    """Stream-stream attribution with clicks ARRIVING ACROSS
+    MICRO-BATCHES: view state must persist in the state store and join
+    clicks from a later batch; the final emitted set equals the batch
+    twin over the union of all rows (the ohlc_rollup twin-test
+    convention, extended to multi-batch state carry)."""
+    import json
+
+    from moz_datapipeline_spark.streaming.events import (
+        stream_stream_attribution,
+    )
+
+    vdir, cdir = tmp_path / "views", tmp_path / "clicks"
+    vdir.mkdir()
+    cdir.mkdir()
+    chk = str(tmp_path / "attr_chk")
+
+    views = [
+        {"user_id": 1, "ts": "2024-01-01 00:00:00"},
+        {"user_id": 2, "ts": "2024-01-01 00:02:00"},
+    ]
+    clicks_b1 = [
+        {"user_id": 1, "click_id": 100, "ts": "2024-01-01 00:05:00"},
+    ]
+    # batch 2: a click landing within user 2's view window — joins
+    # against state written in batch 1
+    clicks_b2 = [
+        {"user_id": 2, "click_id": 200, "ts": "2024-01-01 00:10:00"},
+        {"user_id": 1, "click_id": 300, "ts": "2024-01-01 01:00:00"},
+    ]
+
+    def dump(path, rows):
+        with open(path, "w") as fh:
+            for r in rows:
+                fh.write(json.dumps(r) + "\n")
+
+    dump(vdir / "v1.json", views)
+    dump(cdir / "c1.json", clicks_b1)
+
+    vschema = "user_id long, ts string"
+    cschema = "user_id long, click_id long, ts string"
+
+    def load(path, schema, stream):
+        reader = (
+            spark.readStream.schema(schema).json(str(path))
+            if stream
+            else spark.read.schema(schema).json(str(path))
+        )
+        return reader.withColumn("ts", F.to_timestamp("ts"))
+
+    out = stream_stream_attribution(
+        load(vdir, vschema, True), load(cdir, cschema, True)
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("attr_mb_out")
+        .outputMode("append")
+        .option("checkpointLocation", chk)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        dump(cdir / "c2.json", clicks_b2)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.click_id, str(r.view_ts))
+        for r in spark.table("attr_mb_out").collect()
+    }
+    batch = stream_stream_attribution(
+        load(vdir, vschema, False),
+        spark.createDataFrame(
+            [
+                (r["user_id"], r["click_id"], r["ts"])
+                for r in clicks_b1 + clicks_b2
+            ],
+            cschema,
+        ).withColumn("ts", F.to_timestamp("ts")),
+    )
+    want = {(r.click_id, str(r.view_ts)) for r in batch.collect()}
+    assert got == want
+    # click 200 joined across micro-batches; click 300 out of window
+    assert {c for c, _ in got} == {100, 200}
+
+
+def test_sessionize_streaming_matches_batch_twin(spark, tmp_path):
+    """session_window (streaming) and the lag+running-sum batch twin
+    must cut identical sessions on the same fixture: same per-user
+    session count and same per-session event counts."""
+    import json
+
+    from moz_datapipeline_spark.streaming.events import (
+        sessionize_batch,
+        sessionize_streaming,
+    )
+
+    src = tmp_path / "sess_twin_in"
+    src.mkdir()
+    chk = str(tmp_path / "sess_twin_chk")
+    rows = [
+        {"ts": "2024-01-01 00:00:00", "user_id": 1},
+        {"ts": "2024-01-01 00:20:00", "user_id": 1},  # same session
+        {"ts": "2024-01-01 01:30:00", "user_id": 1},  # new session
+        {"ts": "2024-01-01 00:05:00", "user_id": 2},
+        {"ts": "2024-01-01 00:50:00", "user_id": 2},  # gap 45m > 30m
+        # watermark driver closes every session above
+        {"ts": "2024-01-01 09:00:00", "user_id": 99},
+    ]
+    with open(src / "b1.json", "w") as fh:
+        for r in rows:
+            fh.write(json.dumps(r) + "\n")
+
+    stream = (
+        spark.readStream.schema("ts string, user_id long")
+        .json(str(src))
+        .withColumn("ts", F.to_timestamp("ts"))
+        .withWatermark("ts", "10 minutes")
+    )
+    q = (
+        sessionize_streaming(stream, gap="30 minutes")
+        .writeStream.format("memory")
+        .queryName("sess_twin_out")
+        .outputMode("append")
+        .option("checkpointLocation", chk)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(
+        (r.user_id, r.n_events)
+        for r in spark.table("sess_twin_out").collect()
+        if r.user_id != 99
+    )
+
+    batch = spark.createDataFrame(
+        [(r["user_id"], r["ts"]) for r in rows if r["user_id"] != 99],
+        "user_id long, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    want = sorted(
+        (r.user_id, r.n_events)
+        for r in sessionize_batch(batch, gap_seconds=1800)
+        .groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .collect()
+    )
+    assert got == want
+
+
+def _builtin_percentiles(spark, df, col, probs):
+    arr = ", ".join(str(p) for p in probs)
+    return list(
+        df.agg(
+            F.expr(f"percentile({col}, array({arr}))").alias("q")
+        ).collect()[0]["q"]
+    )
+
+
+def test_exact_quantiles_heavy_ties_recursive(spark):
+    """Heavy ties used to trip the candidate cap -> None -> builtin
+    single-task sort.  Now the all-tied cell resolves from the
+    histogram min==max with zero extra passes; a cap-tripping mixed
+    cell recurses and still returns the builtin's exact values."""
+    from moz_datapipeline_spark.operators.ranges import exact_quantiles
+
+    # 50k copies of 7.0 + a spread tail; cap of 1000 forces recursion
+    ties = spark.range(50_000).select(F.lit(7.0).alias("x"))
+    tail = spark.range(5_000).select(
+        (F.col("id").cast("double") / 100.0 + 8.0).alias("x")
+    )
+    low = spark.range(3_000).select(
+        (F.col("id").cast("double") / 1000.0).alias("x")
+    )
+    df = ties.unionAll(tail).unionAll(low)
+    probs = [0.01, 0.25, 0.5, 0.75, 0.9, 0.99]
+    got = exact_quantiles(df, "x", probs, candidate_cap=1000)
+    assert got is not None
+    want = _builtin_percentiles(spark, df, "x", probs)
+    assert got == want  # bit-identical, not approx
+
+
+def test_exact_quantiles_skew_recursive(spark):
+    """Continuous but extremely skewed: 99.9% of rows in one histogram
+    bucket.  The needed bucket exceeds the cap; refinement into its
+    true min/max must isolate the order statistics exactly."""
+    from moz_datapipeline_spark.operators.ranges import exact_quantiles
+
+    # values: 100k in [0, 1e-6), one row at 1e9 -> bucket 0 holds all
+    dense = spark.range(100_000).select(
+        (F.col("id").cast("double") * 1e-11).alias("x")
+    )
+    spike = spark.range(1).select(F.lit(1e9).alias("x"))
+    df = dense.unionAll(spike)
+    probs = [0.1, 0.5, 0.9]
+    got = exact_quantiles(df, "x", probs, candidate_cap=500)
+    assert got is not None
+    want = _builtin_percentiles(spark, df, "x", probs)
+    assert got == want
+
+
+def test_exact_quantiles_grouped_capped_recursive(spark):
+    """Grouped variant: an over-cap group no longer declines the whole
+    call; each group's cells recurse independently."""
+    from moz_datapipeline_spark.operators.ranges import (
+        exact_quantiles_grouped,
+    )
+
+    a = spark.range(40_000).select(
+        F.lit("a").alias("g"), F.lit(3.0).alias("x")
+    )
+    b = spark.range(10_000).select(
+        F.lit("b").alias("g"),
+        (F.col("id").cast("double") / 7.0).alias("x"),
+    )
+    n = spark.range(2_000).select(
+        F.lit(None).cast("string").alias("g"),
+        (F.col("id").cast("double")).alias("x"),
+    )
+    df = a.unionAll(b).unionAll(n)
+    probs = [0.25, 0.5, 0.75]
+    got = exact_quantiles_grouped(df, "g", "x", probs, candidate_cap=800)
+    assert got is not None and set(got) == {"a", "b", None}
+    for g in ("a", "b", None):
+        cond = F.col("g").isNull() if g is None else (F.col("g") == g)
+        want = _builtin_percentiles(spark, df.filter(cond), "x", probs)
+        assert got[g] == want, g
+
+
+def test_spearman_corr_reference(spark):
+    from moz_datapipeline_spark.operators.analytics import spearman_corr
+
+    # perfectly monotone (nonlinear): rho = 1
+    rows = [(float(i), float(i * i)) for i in range(1, 11)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    r = spearman_corr(df, "x", "y").collect()[0]
+    assert r.n == 10 and r.rho == 1.0
+
+    # reversed: rho = -1
+    rows2 = [(float(i), float(-i)) for i in range(1, 11)]
+    r2 = spearman_corr(
+        spark.createDataFrame(rows2, "x double, y double"), "x", "y"
+    ).collect()[0]
+    assert r2.rho == -1.0
+
+    # ties: x = [1,2,2,3], y = [1,3,2,4] — average ranks
+    # rx = [1, 2.5, 2.5, 4]; ry = [1, 3, 2, 4]
+    import math
+
+    rx = [1.0, 2.5, 2.5, 4.0]
+    ry = [1.0, 3.0, 2.0, 4.0]
+    n = 4
+    mx = sum(rx) / n
+    my = sum(ry) / n
+    cov = sum(a * b for a, b in zip(rx, ry)) - n * mx * my
+    vx = sum(a * a for a in rx) - n * mx * mx
+    vy = sum(b * b for b in ry) - n * my * my
+    want = round(cov / math.sqrt(vx * vy), 6)
+    df3 = spark.createDataFrame(
+        [(1.0, 1.0), (2.0, 3.0), (2.0, 2.0), (3.0, 4.0)],
+        "x double, y double",
+    )
+    r3 = spearman_corr(df3, "x", "y").collect()[0]
+    assert r3.rho == want
+
+    # constant column: NULL rho
+    dfc = spark.createDataFrame(
+        [(1.0, 5.0), (2.0, 5.0)], "x double, y double"
+    )
+    assert spearman_corr(dfc, "x", "y").collect()[0].rho is None
+
+
+def test_cramers_v_reference(spark):
+    from moz_datapipeline_spark.operators.analytics import cramers_v
+
+    # perfect association: a == b -> v = 1
+    rows = [("x", "x")] * 5 + [("y", "y")] * 5
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = cramers_v(df, "a", "b").collect()[0]
+    assert r.v == 1.0 and r.n == 10
+
+    # independence: uniform 2x2 -> chi2 = 0, v = 0
+    rows2 = [("x", "p"), ("x", "q"), ("y", "p"), ("y", "q")] * 3
+    r2 = cramers_v(
+        spark.createDataFrame(rows2, "a string, b string"), "a", "b"
+    ).collect()[0]
+    assert r2.chi2 == 0.0 and r2.v == 0.0
+
+    # single level: NULL v (min dim - 1 = 0)
+    rows3 = [("x", "p"), ("x", "q")]
+    r3 = cramers_v(
+        spark.createDataFrame(rows3, "a string, b string"), "a", "b"
+    ).collect()[0]
+    assert r3.v is None
+
+
+def test_anova_brown_forsythe_reference(spark):
+    from moz_datapipeline_spark.operators.analytics import (
+        anova_oneway,
+        brown_forsythe,
+    )
+
+    # groups [1,2,3], [4,5,6]: means 2,5; grand 3.5
+    # SSB = 3*(1.5^2)*2 = 13.5; SSW = 2+2 = 4; F = 13.5/(4/4) = 13.5
+    rows = [("a", 1.0), ("a", 2.0), ("a", 3.0),
+            ("b", 4.0), ("b", 5.0), ("b", 6.0)]
+    df = spark.createDataFrame(rows, "g string, x double")
+    r = anova_oneway(df, "g", "x").collect()[0]
+    assert r.k == 2 and r.n == 6
+    assert r.ss_between == 13.5 and r.ss_within == 4.0
+    assert r.f_stat == 13.5
+    assert r.eta_sq == round(13.5 / 17.5, 6)
+
+    # brown-forsythe on equal-spread groups: deviations from medians
+    # are identical -> F = 0
+    bf = brown_forsythe(df, "g", "x").collect()[0]
+    assert bf.f_stat == 0.0
+
+    # unequal spread: [0,10] vs [5,5,5,5] — deviations 5,5 vs 0,0,0,0
+    rows2 = [("a", 0.0), ("a", 10.0)] + [("b", 5.0)] * 4
+    bf2 = brown_forsythe(
+        spark.createDataFrame(rows2, "g string, x double"), "g", "x"
+    ).collect()[0]
+    assert bf2.f_stat is not None and bf2.f_stat > 1e6 or bf2.f_stat is None
+    # deviations: group a = [5,5] (var 0), group b = [0]*4 (var 0)
+    # SSW = 0 -> NULL f (degenerate), which the when() guards
+    assert bf2.f_stat is None
+
+
+def test_proportion_ztest_reference(spark):
+    import math
+
+    from moz_datapipeline_spark.operators.analytics import proportion_ztest
+
+    rows = [("a", 1)] * 30 + [("a", 0)] * 70 + [("b", 1)] * 20 + [
+        ("b", 0)
+    ] * 80
+    df = spark.createDataFrame(rows, "g string, y int")
+    r = proportion_ztest(df, "g", "y", "a", "b").collect()[0]
+    assert (r.n_a, r.n_b, r.conv_a, r.conv_b) == (100, 100, 30, 20)
+    p = 50 / 200
+    se = math.sqrt(p * (1 - p) * (1 / 100 + 1 / 100))
+    assert r.z == round((0.3 - 0.2) / se, 6)
+    assert r.significant == 0  # z ~ 1.63 < 1.96
+
+    # missing arm: NULL z, row still present
+    only_a = spark.createDataFrame([("a", 1)], "g string, y int")
+    r2 = proportion_ztest(only_a, "g", "y", "a", "b").collect()[0]
+    assert r2.n_b == 0 and r2.z is None and r2.rate_b is None
+
+
+def test_classification_report_reference(spark):
+    from moz_datapipeline_spark.operators.mleval import (
+        classification_report,
+    )
+
+    rows = [
+        (0.9, 1), (0.8, 1), (0.7, 0),   # tp tp fp
+        (0.4, 1), (0.2, 0), (0.1, 0),   # fn tn tn
+    ]
+    df = spark.createDataFrame(rows, "s double, y int")
+    r = classification_report(df, "s", "y", threshold=0.5).collect()[0]
+    assert (r.tp, r.fp, r.fn, r.tn) == (2, 1, 1, 2)
+    assert r.precision == round(2 / 3, 6)
+    assert r.recall == round(2 / 3, 6)
+    assert r.f1 == round(2 / 3, 6)
+    assert r.accuracy == round(4 / 6, 6)
+
+    # all-negative predictions: NULL precision, recall 0
+    low = classification_report(df, "s", "y", threshold=2.0).collect()[0]
+    assert low.precision is None and low.recall == 0.0
+
+
+def test_calibration_curve_reference(spark):
+    from moz_datapipeline_spark.operators.mleval import calibration_curve
+
+    # two bins: scores 0.1 (label 0) x4 land on the bin-1 boundary
+    # ([0.1, 0.2)); scores 0.9 (label 1) x3 + 0.95 (label 0) in bin 9
+    # bin 1: rate 0, mean 0.1, gap 0.1
+    # bin 9: mean (0.9*3+0.95)/4 = 0.9125, rate 0.75, gap 0.1625
+    rows = [(0.1, 0)] * 4 + [(0.9, 1)] * 3 + [(0.95, 0)]
+    df = spark.createDataFrame(rows, "s double, y int")
+    got = {r.bin: r for r in calibration_curve(df, "s", "y").collect()}
+    assert set(got) == {1, 9}
+    assert got[1].pos_rate == 0.0 and got[1].abs_gap == 0.1
+    assert got[9].mean_score == 0.9125 and got[9].pos_rate == 0.75
+    ece = (4 * 0.1 + 4 * 0.1625) / 8
+    assert got[1].ece == round(ece, 6) == got[9].ece
+    brier = (4 * 0.1**2 + 3 * 0.1**2 + 0.95**2) / 8
+    # 0.1215625 is an exact rounding tie: Spark rounds half-up,
+    # Python half-even — compare at the tie tolerance
+    assert abs(got[1].brier - brier) < 1e-6
+
+
+def test_retrieval_eval_reference(spark):
+    from moz_datapipeline_spark.operators.mleval import retrieval_eval
+
+    run = spark.createDataFrame(
+        [("q1", "d1", 0.9), ("q1", "d2", 0.8), ("q1", "d3", 0.7),
+         ("q2", "d1", 0.9), ("q2", "d9", 0.5)],
+        "query_id string, doc_id string, score double",
+    )
+    qrels = spark.createDataFrame(
+        [("q1", "d1", 1), ("q1", "d3", 2), ("q1", "d8", 1),
+         ("q2", "d9", 1)],
+        "query_id string, doc_id string, rel int",
+    )
+    import math
+
+    got = {
+        r.query_id: r
+        for r in retrieval_eval(run, qrels, k=3).collect()
+    }
+    # q1: ranks d1(rel1) d2(0) d3(rel2); dcg = 1/log2(2) + 2/log2(4)
+    dcg = 1.0 + 2.0 / 2.0
+    # ideal: d3(2), d1(1), d8(1) -> 2/log2(2)+1/log2(3)+1/log2(4)
+    idcg = 2.0 + 1.0 / math.log2(3.0) + 0.5
+    assert got["q1"].ndcg_k == round(dcg / idcg, 6)
+    assert got["q1"].precision_k == round(2 / 3, 6)
+    assert got["q1"].recall_k == round(2 / 3, 6)
+    assert got["q1"].mrr_k == 1.0
+    assert got["q1"].n_rel == 3
+    # q2: d1(0) rank1, d9(1) rank2 -> mrr 0.5, dcg = 1/log2(3)
+    assert got["q2"].mrr_k == 0.5
+    assert got["q2"].ndcg_k == round((1.0 / math.log2(3.0)) / 1.0, 6)
+
+
+def test_graph_structure_reference(spark):
+    from moz_datapipeline_spark.graph.structure import (
+        degree_assortativity,
+        reciprocity,
+    )
+    from moz_datapipeline_spark.graph.triangles import (
+        clustering_coefficient,
+    )
+
+    # triangle + pendant: 1-2, 2-3, 1-3, 3-4
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "src long, dst long"
+    )
+    cc = {r.node: r for r in clustering_coefficient(edges).collect()}
+    assert cc[1].coefficient == 1.0 and cc[2].coefficient == 1.0
+    # node 3: degree 3, 1 triangle -> 2*1/(3*2) = 1/3
+    assert cc[3].degree == 3 and cc[3].coefficient == round(1 / 3, 6)
+    assert cc[4].coefficient is None and cc[4].triangles == 0
+
+    # star graph: hub degree n, leaves degree 1 -> disassortative
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], "src long, dst long"
+    )
+    r = degree_assortativity(star).collect()[0]
+    assert r.n_edges == 5 and r.assortativity == -1.0
+
+    # reciprocity: 1->2, 2->1, 1->3
+    d = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 3)], "src long, dst long"
+    )
+    rr = reciprocity(d).collect()[0]
+    assert (rr.n_edges, rr.n_reciprocated) == (3, 2)
+    assert rr.reciprocity == round(2 / 3, 6)
+
+
+def test_zipf_fit_reference(spark):
+    import math
+
+    from moz_datapipeline_spark.operators.text import zipf_fit
+
+    # construct exact zipf s=1: term t_r appears round(1200/r) times
+    rows = []
+    for r in range(1, 6):
+        rows += [(f"t{r} " * (1200 // r)).strip(),] * 1
+    df = spark.createDataFrame([(t,) for t in rows], "text string")
+    out = zipf_fit(df, "text", top_n=5).collect()[0]
+    assert out.n_terms == 5
+    # freqs 1200, 600, 400, 300, 240 — exactly 1200/r
+    assert abs(out.exponent - 1.0) < 1e-6
+    assert out.r2 == 1.0
