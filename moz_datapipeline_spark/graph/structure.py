@@ -1,0 +1,108 @@
+"""Whole-graph structure summaries: degree assortativity, reciprocity.
+
+One-row diagnostics a graph pipeline runs before trusting anything
+downstream — assortativity says whether hubs attach to hubs (positive,
+social-like) or to leaves (negative, web/biology-like, and the shape
+that makes hub-removal attacks effective); reciprocity says how
+two-way a directed graph actually is (bot-follow graphs score low,
+conversation graphs high).
+
+Scale shape: both fold through hash aggregates and equi joins only —
+degree tables are node-sized, the edge pass is one shuffle, and every
+final statistic is exact integer arithmetic until a single division
+(engine-portable, hash-stable).
+
+Reference parity: extension operators (the reference's graph stage
+routes; it does not measure structure) — same family as
+``graph.triangles`` / ``graph.aggregate``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def degree_assortativity(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Newman degree assortativity of the UNDIRECTED graph, one row
+    ``(n_edges, assortativity)``: the Pearson correlation of endpoint
+    degrees over the edge list, each undirected edge contributing both
+    orientations (the standard symmetrization — otherwise r depends on
+    which endpoint landed in ``src``).
+
+    Plan: canonicalize to distinct undirected edges (one shuffle), one
+    node-sized degree hash-agg, two joins to attach endpoint degrees,
+    then ONE sums fold — Σx, Σx², Σxy over integer degrees are exact,
+    so r is bit-stable across engines and partitionings.  Self loops
+    drop (they carry no mixing information).
+    """
+    a, b = F.col(src), F.col(dst)
+    und = (
+        edges.filter(a != b)
+        .select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("n"))
+        .unionByName(und.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("double").alias("d"))
+    )
+    both = und.unionByName(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    pairs = (
+        both.join(deg.withColumnsRenamed({"n": "a", "d": "dx"}), "a")
+        .join(deg.withColumnsRenamed({"n": "b", "d": "dy"}), "b")
+    )
+    folded = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("_m2"),
+        F.sum("dx").alias("_sx"),
+        F.sum(F.col("dx") * F.col("dx")).alias("_sxx"),
+        F.sum(F.col("dx") * F.col("dy")).alias("_sxy"),
+    )
+    # symmetrized list: marginals of x and y are identical
+    m = F.col("_m2").cast("double")
+    cov = F.col("_sxy") - F.col("_sx") * F.col("_sx") / m
+    var = F.col("_sxx") - F.col("_sx") * F.col("_sx") / m
+    r = F.when((F.col("_m2") > 0) & (var > 0), cov / var)
+    return folded.select(
+        (F.col("_m2") / 2).cast("long").alias("n_edges"),
+        F.round(r, 6).alias("assortativity"),
+    )
+
+
+def reciprocity(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Directed-graph reciprocity, one row ``(n_edges, n_reciprocated,
+    reciprocity)``: the fraction of distinct directed edges (self
+    loops excluded) whose reverse edge also exists.
+
+    Plan: one distinct pass, then a self semi-join on the swapped key
+    — an equi join on (dst, src), never a cartesian; counts stay
+    integers to the final division.  An empty graph yields NULL.
+    """
+    a, b = F.col(src), F.col(dst)
+    e = (
+        edges.filter(a != b)
+        .select(a.alias("u"), b.alias("v"))
+        .distinct()
+    )
+    rev = e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    recip = e.join(rev, ["u", "v"], "left_semi")
+    folded = e.agg(F.count(F.lit(1)).cast("long").alias("n_edges")).crossJoin(
+        recip.agg(
+            F.count(F.lit(1)).cast("long").alias("n_reciprocated")
+        )
+    )
+    frac = F.when(
+        F.col("n_edges") > 0,
+        F.col("n_reciprocated").cast("double")
+        / F.col("n_edges").cast("double"),
+    )
+    return folded.select(
+        "n_edges", "n_reciprocated", F.round(frac, 6).alias("reciprocity")
+    )

@@ -91,3 +91,49 @@ def triangle_counts(
     return corners.groupBy("node").agg(
         F.count(F.lit(1)).alias("triangles")
     )
+
+
+def clustering_coefficient(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Local clustering coefficient per node: ``(node, degree,
+    triangles, coefficient)`` with ``coefficient = 2·T / (d·(d−1))``
+    — the fraction of a node's neighbour pairs that are themselves
+    connected.  The per-node cohesion readout on top of
+    ``triangle_counts``: link farms score near 0, tight communities
+    near 1.  Degree-1 nodes have no neighbour pair → NULL coefficient
+    (not a fake 0); nodes in no triangle get coefficient 0.
+
+    Plan: the degree hash-agg + the full ``triangle_counts`` pipeline
+    (degree-ordered orientation bounds the wedge join), then one left
+    join of the degree table onto the triangle counts — both
+    node-sized, not edge-sized.  Integer arithmetic until the final
+    division: engine-exact.
+    """
+    a, b = F.col(src), F.col(dst)
+    und = (
+        edges.filter(a != b)
+        .select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    tri = triangle_counts(und, "a", "b")
+    joined = deg.join(tri, "node", "left").withColumn(
+        "triangles", F.coalesce(F.col("triangles"), F.lit(0)).cast("long")
+    )
+    dd = F.col("degree").cast("double")
+    coef = F.when(
+        F.col("degree") > 1,
+        2.0 * F.col("triangles").cast("double") / (dd * (dd - 1.0)),
+    )
+    return joined.select(
+        "node",
+        F.col("degree").cast("long").alias("degree"),
+        "triangles",
+        F.round(coef, 6).alias("coefficient"),
+    )

@@ -1,0 +1,240 @@
+"""Model- and retrieval-evaluation operators.
+
+The training-data engine's read-back instruments: once a model (or a
+retrieval index) is trained on the corpus this engine curated, these
+operators grade it at corpus scale — thresholded classification
+readouts, probability calibration, and ranked-retrieval metrics
+(NDCG / MRR / precision / recall @ k).
+
+Scale posture shared by the family: every metric folds through
+hash aggregates and PER-QUERY (or per-bin) windows — partitioned
+shuffles, never a global sort; the only broadcast frames are 1-row
+totals.  Rank-based global metrics (AUC, lift) live in
+``operators.analytics`` and ride the two-phase distributed rank.
+
+Reference parity: the reference pipeline (developmentseed/
+moz-datapipeline) stops at indicator aggregation; this family extends
+the engine for the LLM-data-pipeline lifecycle the way
+``operators.dedup`` / ``operators.corpus`` do.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def classification_report(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Thresholded binary-classification readout, one row ``(tp, fp,
+    fn, tn, accuracy, precision, recall, f1)`` — predictions are
+    ``score >= threshold``.
+
+    ONE conditional-sum hash aggregate (map-side combined): four
+    integer cell counts, ratios derived in the same row.  Degenerate
+    denominators (no predicted positives, no actual positives) yield
+    NULL precision/recall/f1 rather than a fake 0.  NULL scores or
+    labels drop.
+    """
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("int")
+    base = df.filter(s.isNotNull() & y.isNotNull())
+    pred = (s >= F.lit(float(threshold))).cast("int")
+    folded = base.agg(
+        F.coalesce(F.sum(pred * y), F.lit(0)).cast("long").alias("tp"),
+        F.coalesce(F.sum(pred * (1 - y)), F.lit(0)).cast("long").alias("fp"),
+        F.coalesce(F.sum((1 - pred) * y), F.lit(0)).cast("long").alias("fn"),
+        F.coalesce(F.sum((1 - pred) * (1 - y)), F.lit(0))
+        .cast("long")
+        .alias("tn"),
+    )
+    tp = F.col("tp").cast("double")
+    total = (F.col("tp") + F.col("fp") + F.col("fn") + F.col("tn")).cast(
+        "double"
+    )
+    prec = F.when(F.col("tp") + F.col("fp") > 0, tp / (tp + F.col("fp")))
+    rec = F.when(F.col("tp") + F.col("fn") > 0, tp / (tp + F.col("fn")))
+    f1 = F.when(
+        prec.isNotNull() & rec.isNotNull() & (prec + rec > 0),
+        2.0 * prec * rec / (prec + rec),
+    )
+    acc = F.when(total > 0, (tp + F.col("tn")) / total)
+    return folded.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.round(acc, 6).alias("accuracy"),
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
+    )
+
+
+def calibration_curve(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability curve + expected calibration error: one row per
+    occupied equal-width score bin ``(bin, n, mean_score, pos_rate,
+    abs_gap, ece, brier)`` — ``ece`` and ``brier`` are the SAME value
+    on every row (fold-level constants carried alongside the curve so
+    one frame answers both "where is it miscalibrated" and "how much
+    overall").
+
+    - bins are equal-width over [0, 1] (``floor(score·n_bins)``,
+      clamped so score = 1.0 lands in the last bin) — the standard
+      reliability-diagram convention, deterministic across engines
+      (no quantile estimation inside the metric being validated);
+    - ECE = Σ_b (n_b/N)·|mean_score_b − pos_rate_b|;
+    - Brier = mean (score − label)².
+
+    Plan: one hash aggregate to the ≤ ``n_bins`` rollup, a 1-row
+    totals broadcast, and a window over the bin rollup for the ECE
+    fold — everything after the first aggregate is bins-sized.
+    """
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("int")
+    base = df.filter(s.isNotNull() & y.isNotNull()).select(
+        s.alias("_s"), y.alias("_y")
+    )
+    q = int(n_bins)
+    b = F.least(F.floor(F.col("_s") * q), F.lit(q - 1)).cast("int")
+    per = base.groupBy(b.alias("bin")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_s").alias("_ssum"),
+        F.sum("_y").cast("long").alias("_pos"),
+        F.sum(
+            (F.col("_s") - F.col("_y").cast("double"))
+            * (F.col("_s") - F.col("_y").cast("double"))
+        ).alias("_sqerr"),
+    )
+    tot = per.agg(
+        F.sum("n").alias("_nt"), F.sum("_sqerr").alias("_sqt")
+    )
+    staged = per.crossJoin(F.broadcast(tot))
+    mean_s = F.col("_ssum") / F.col("n").cast("double")
+    rate = F.col("_pos").cast("double") / F.col("n").cast("double")
+    gap = F.abs(mean_s - rate)
+    w = Window.partitionBy()  # ≤ n_bins rows: bins-sized, never data
+    ece = F.sum(gap * F.col("n").cast("double")).over(w) / F.col(
+        "_nt"
+    ).cast("double")
+    brier = F.col("_sqt") / F.col("_nt").cast("double")
+    return staged.select(
+        "bin",
+        "n",
+        F.round(mean_s, 6).alias("mean_score"),
+        F.round(rate, 6).alias("pos_rate"),
+        F.round(gap, 6).alias("abs_gap"),
+        F.round(ece, 6).alias("ece"),
+        F.round(brier, 6).alias("brier"),
+    )
+
+
+def retrieval_eval(
+    run: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    score_col: str = "score",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """Ranked-retrieval metrics per query: ``(query_id, n_rel,
+    n_retrieved, precision_k, recall_k, mrr_k, ndcg_k)`` — the
+    standard eval harness over a RUN (``query, doc, score``) and QRELS
+    (``query, doc, rel``; graded relevance, 0/NULL = irrelevant).
+
+    - rank = row_number per query over (score DESC, doc ASC) — the
+      doc-id tiebreak makes every metric partition-layout-independent;
+    - P@k / R@k count rel > 0 docs in the top k;
+    - MRR@k = 1/rank of the first relevant doc (0 when none);
+    - NDCG@k uses the classic ``rel / log2(rank+1)`` gain against the
+      ideal ordering OF THE QRELS (rel DESC, doc ASC), so a perfect
+      ranking scores exactly 1.
+
+    Plan: a left join of run onto qrels on (query, doc) — hash
+    exchange on the pair key; two per-query windows (rank the run,
+    rank the ideal) — partitioned by query, never global; one
+    per-query fold.  Queries with no relevant documents emit NULL
+    ndcg (0/0) and zero recall denominators are NULL, not fake zeros.
+    """
+    kk = int(k)
+    q = F.col(query_col)
+    d = F.col(doc_col)
+    r = (
+        run.select(
+            q.alias("_q"), d.alias("_d"), F.col(score_col).alias("_s")
+        )
+        .join(
+            qrels.select(
+                q.alias("_q"),
+                d.alias("_d"),
+                F.col(rel_col).cast("double").alias("_rel"),
+            ),
+            ["_q", "_d"],
+            "left",
+        )
+        .withColumn("_rel", F.coalesce(F.col("_rel"), F.lit(0.0)))
+    )
+    wq = Window.partitionBy("_q").orderBy(
+        F.col("_s").desc(), F.col("_d").asc()
+    )
+    topk = r.withColumn("_rank", F.row_number().over(wq)).filter(
+        F.col("_rank") <= kk
+    )
+    gain = F.col("_rel") / F.log2(F.col("_rank").cast("double") + 1.0)
+    hits = (F.col("_rel") > 0).cast("int")
+    per = topk.groupBy(F.col("_q").alias(query_col)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_retrieved"),
+        F.sum(hits).cast("long").alias("_hits"),
+        F.sum(gain).alias("_dcg"),
+        F.min(F.when(F.col("_rel") > 0, F.col("_rank"))).alias("_first"),
+    )
+    wi = Window.partitionBy("_q").orderBy(
+        F.col("_rel").desc(), F.col("_d").asc()
+    )
+    ideal = (
+        qrels.select(
+            q.alias("_q"),
+            d.alias("_d"),
+            F.col(rel_col).cast("double").alias("_rel"),
+        )
+        .filter(F.col("_rel") > 0)
+        .withColumn("_rank", F.row_number().over(wi))
+    )
+    ideal_agg = ideal.groupBy(F.col("_q").alias(query_col)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rel"),
+        F.sum(
+            F.when(
+                F.col("_rank") <= kk,
+                F.col("_rel") / F.log2(F.col("_rank").cast("double") + 1.0),
+            )
+        ).alias("_idcg"),
+    )
+    staged = per.join(ideal_agg, query_col, "left")
+    prec = F.col("_hits").cast("double") / F.lit(float(kk))
+    rec = F.when(
+        F.col("n_rel") > 0,
+        F.col("_hits").cast("double") / F.col("n_rel").cast("double"),
+    )
+    mrr = F.coalesce(
+        1.0 / F.col("_first").cast("double"), F.lit(0.0)
+    )
+    ndcg = F.when(F.col("_idcg") > 0, F.col("_dcg") / F.col("_idcg"))
+    return staged.select(
+        query_col,
+        F.coalesce(F.col("n_rel"), F.lit(0)).cast("long").alias("n_rel"),
+        "n_retrieved",
+        F.round(prec, 6).alias("precision_k"),
+        F.round(rec, 6).alias("recall_k"),
+        F.round(mrr, 6).alias("mrr_k"),
+        F.round(ndcg, 6).alias("ndcg_k"),
+    )

@@ -1673,7 +1673,7 @@ def lsh_candidate_pairs(
     side_b: DataFrame,
     dim: int,
     n_planes: int = 8,
-    n_tables: int = 1,
+    n_tables: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -1691,6 +1691,22 @@ def lsh_candidate_pairs(
     pair once.  Output carries ids only (no vectors): the consumer
     re-joins vectors itself, keeping this exchange as narrow as the id
     type.
+
+    MEASURED RECALL CURVE (planted near-dup pairs, 1M × 1M vectors,
+    dim 32, 20 planes — the ``scale_check`` margin rehearsal, re-run
+    each round as ``margin_recall_by_tables``):
+
+        n_tables   candidates   planted recall   wall
+        2          12.6M        0.892            47 s
+        4          27.1M        0.992            67 s
+        8          54.2M        1.000            146 s
+
+    The default ``n_tables=4`` is the knee: the first setting clearing
+    0.95 recall, at ~2× the candidate mass of 2 tables (candidate
+    count, and therefore mine cost, grows roughly linearly in tables
+    while the recall gap closes geometrically).  Drop to 2 for cheap
+    high-volume mining where ~0.9 recall suffices; 8 buys exactness at
+    double the exchange.
     """
     tables = _plane_tables(dim, n_planes, n_tables)
     a = _bucketed(

@@ -791,3 +791,68 @@ def rake_keyphrases(
         .orderBy(F.desc("score"), F.asc("phrase"))
         .limit(k)
     )
+
+
+def zipf_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    top_n: int = 1000,
+) -> DataFrame:
+    """Zipf's-law fit over the corpus term-frequency distribution, one
+    row ``(n_terms, c0, exponent, r2)`` — the log-log OLS of frequency
+    against rank over the ``top_n`` most frequent terms (Zipf:
+    freq ∝ rank^−s, s ≈ 1 for natural language).  The corpus-health
+    smoke alarm: machine-generated or template-heavy corpora bend the
+    tail (s drifts and r² collapses), and a near-perfect fit with the
+    wrong s flags synthetic text.
+
+    Plan: lowercase whitespace tokenize → one (term, count) hash
+    aggregate (map-side combined) → distributed top-``top_n`` by
+    (count DESC, term ASC) — Spark's TakeOrdered, a per-partition
+    heap + driver merge, never a global sort — → rank and the OLS fold
+    over the ≤ ``top_n``-row frame.  The only data-sized exchange is
+    the term aggregate; everything after is top_n-sized.  Ties order
+    by term so the cut is deterministic.
+    """
+    toks = F.split(
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " "
+    )
+    terms = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.explode(toks).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    top = terms.orderBy(F.col("freq").desc(), F.col("term").asc()).limit(
+        int(top_n)
+    )
+    w = Window.orderBy(F.col("freq").desc(), F.col("term").asc())
+    # window over ≤ top_n rows (post-limit) — bounded, never data-sized
+    ranked = top.withColumn("rank", F.row_number().over(w)).select(
+        F.log(F.col("rank").cast("double")).alias("_lx"),
+        F.log(F.col("freq").cast("double")).alias("_ly"),
+    )
+    folded = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sum("_lx").alias("_sx"),
+        F.sum("_ly").alias("_sy"),
+        F.sum(F.col("_lx") * F.col("_lx")).alias("_sxx"),
+        F.sum(F.col("_ly") * F.col("_ly")).alias("_syy"),
+        F.sum(F.col("_lx") * F.col("_ly")).alias("_sxy"),
+    )
+    n = F.col("n_terms").cast("double")
+    cov = F.col("_sxy") - F.col("_sx") * F.col("_sy") / n
+    vx = F.col("_sxx") - F.col("_sx") * F.col("_sx") / n
+    vy = F.col("_syy") - F.col("_sy") * F.col("_sy") / n
+    slope = F.when((F.col("n_terms") > 1) & (vx > 0), cov / vx)
+    intercept = (F.col("_sy") - slope * F.col("_sx")) / n
+    r2 = F.when(
+        slope.isNotNull() & (vy > 0), cov * cov / (vx * vy)
+    )
+    return folded.select(
+        "n_terms",
+        F.round(F.exp(intercept), 6).alias("c0"),
+        F.round(-slope, 6).alias("exponent"),
+        F.round(r2, 6).alias("r2"),
+    )

@@ -1603,6 +1603,148 @@ def round9_ops_scale_check(spark) -> dict:
     }
 
 
+def round10_ops_scale_check(spark) -> dict:
+    """Round-10 rehearsals.
+
+    - ``margin_recall_by_tables``: planted-pair CANDIDATE recall of
+      ``lsh_candidate_pairs`` at the 1M × 1M grid for n_tables ∈
+      {2, 4, 8} (dim 32, 20 planes) — the documented recall curve the
+      margin-mining default rides on.  Candidate recall upper-bounds
+      mined recall, and the candidate pass is the knob-dependent part
+      (the mine itself is candidate-count-priced), so the curve is
+      measured on candidates and the full mine runs once at the
+      default.
+    - ``exact_quantiles`` on a PATHOLOGICAL column (50M rows, 12
+      distinct values): every needed bucket is an over-cap tie mass —
+      the round-9 code declined here into the builtin single-task
+      sort; the recursion must resolve every rank from per-bucket
+      min==max with zero candidate collection.
+    - Rollup-contract proofs for the recursive pandas kernels:
+      ``holt_linear`` over |groups|·|rollup| rows (20k × 250 = 5M),
+      ``kaplan_meier`` folding 20M raw rows to a |distinct duration|
+      rollup before its windows, ``markov_transitions`` shuffling 10M
+      events by user once (1M users, 20 types → 400-cell matrix).
+    """
+    from moz_datapipeline_spark.operators.analytics import (
+        kaplan_meier,
+        markov_transitions,
+    )
+    from moz_datapipeline_spark.operators.ranges import exact_quantiles
+    from moz_datapipeline_spark.operators.similarity import (
+        lsh_candidate_pairs,
+    )
+    from moz_datapipeline_spark.operators.temporal import holt_linear
+
+    def vec(prefix: str, extra: str = "") -> str:
+        return (
+            "transform(sequence(1, 32), j -> "
+            f"pmod(xxhash64(concat('{prefix}', CAST(id AS STRING), ':', "
+            "CAST(j AS STRING))), 1000) / 500.0 - 1.0"
+            f"{extra})"
+        )
+
+    n_side = 1_000_000
+    n_plant = 2_000
+    a = spark.range(n_side).select(
+        F.col("id").alias("vec_id"), F.expr(vec("va:")).alias("embedding")
+    )
+    planted = spark.range(n_plant).select(
+        (F.col("id") + 10_000_000).alias("vec_id"),
+        F.expr(vec("va:", " + 0.002 * j")).alias("embedding"),
+    )
+    b = planted.unionByName(
+        spark.range(n_plant, n_side).select(
+            (F.col("id") + 10_000_000).alias("vec_id"),
+            F.expr(vec("vb:")).alias("embedding"),
+        )
+    )
+    recall_by_tables: dict = {}
+    for nt in (2, 4, 8):
+        t0 = time.perf_counter()
+        cand = lsh_candidate_pairs(a, b, dim=32, n_planes=20, n_tables=nt)
+        hit = cand.filter(
+            (F.col("id_b") == F.col("id_a") + 10_000_000)
+            & (F.col("id_a") < n_plant)
+        ).count()
+        recall_by_tables[str(nt)] = {
+            "cand_recall": round(hit / n_plant, 4),
+            "sec": round(time.perf_counter() - t0, 1),
+        }
+
+    # pathological few-distinct column: 50M rows, 12 values — every
+    # needed bucket is millions of tied rows (the old cap-trip case)
+    patho = spark.range(50_000_000).select(
+        (F.abs(F.xxhash64("id")) % 12).cast("double").alias("v")
+    )
+    t0 = time.perf_counter()
+    qv = exact_quantiles(patho, "v", [i / 20 for i in range(21)])
+    t_patho = time.perf_counter() - t0
+    assert qv is not None and len(qv) == 21
+    assert all(x <= y for x, y in zip(qv, qv[1:]))
+
+    # holt_linear: 20k groups × 250-bucket rollup = 5M kernel rows
+    n_g, n_t = 20_000, 250
+    roll = spark.range(n_g * n_t).select(
+        (F.col("id") % n_g).cast("string").alias("g"),
+        (F.col("id") / n_g).cast("long").alias("t"),
+        (
+            (F.col("id") / n_g).cast("double")
+            + (F.abs(F.xxhash64("id")) % 100).cast("double") / 25.0
+        ).alias("v"),
+    )
+    t0 = time.perf_counter()
+    n_holt = holt_linear(roll, "g", "t", "v").count()
+    t_holt = time.perf_counter() - t0
+    assert n_holt == n_g * n_t
+
+    # kaplan_meier: 20M raw rows -> |distinct duration| rollup (2k)
+    km_raw = spark.range(20_000_000).select(
+        (F.col("id") % 4).alias("cohort"),
+        (F.abs(F.xxhash64("id")) % 2_000).cast("double").alias("dur"),
+        (F.abs(F.xxhash64("id", F.lit(1))) % 10 < 8).cast("int").alias(
+            "ev"
+        ),
+    )
+    t0 = time.perf_counter()
+    km = kaplan_meier(km_raw, "dur", "ev", group_cols=["cohort"])
+    n_km = km.count()
+    t_km = time.perf_counter() - t0
+    assert n_km <= 4 * 2_000
+
+    # markov: 10M events, 1M users, 20 types -> ≤400-cell matrix
+    mk_raw = spark.range(10_000_000).select(
+        (F.col("id") % 1_000_000).alias("user_id"),
+        (F.col("id") / 1_000_000).cast("long").alias("ts"),
+        F.concat(
+            F.lit("t"), (F.abs(F.xxhash64("id")) % 20).cast("string")
+        ).alias("event_type"),
+        F.col("id").alias("eid"),
+    )
+    t0 = time.perf_counter()
+    mt = markov_transitions(
+        mk_raw, "user_id", "ts", "event_type", tiebreak_col="eid"
+    )
+    n_mt = mt.count()
+    t_mt = time.perf_counter() - t0
+    assert n_mt <= 400
+
+    return {
+        "margin_recall_by_tables": recall_by_tables,
+        "quantiles_patho_rows": 50_000_000,
+        "quantiles_patho_distinct": 12,
+        "quantiles_patho_sec": round(t_patho, 2),
+        "holt_groups": n_g,
+        "holt_rollup_rows": n_g * n_t,
+        "holt_sec": round(t_holt, 2),
+        "km_rows_in": 20_000_000,
+        "km_rollup_rows": n_km,
+        "km_sec": round(t_km, 2),
+        "markov_rows_in": 10_000_000,
+        "markov_matrix_cells": n_mt,
+        "markov_sec": round(t_mt, 2),
+    }
+
+
 def main() -> None:
     spark = get_spark(app_name="dedup_scale_check")
     docs = amplified_corpus(spark, "/root/testdata/sf0.1/documents.parquet")
@@ -1646,6 +1788,7 @@ def main() -> None:
     r7 = round7_ops_scale_check(spark, docs)
     r8 = round8_ops_scale_check(spark, docs)
     r9 = round9_ops_scale_check(spark)
+    r10 = round10_ops_scale_check(spark)
 
     print(
         json.dumps(
@@ -1679,6 +1822,7 @@ def main() -> None:
                 **r7,
                 **r8,
                 **r9,
+                **r10,
             }
         )
     )

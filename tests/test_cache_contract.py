@@ -183,6 +183,45 @@ class TestRangeOpsEagerRelease:
         assert sorted(map(tuple, eager.collect())) == lazy
         eager.unpersist(blocking=True)
 
+    def _scored(self, spark, n=400):
+        return spark.createDataFrame(
+            [
+                (i, float((i * 37) % 101) / 101.0, int((i * 7) % 3 == 0))
+                for i in range(n)
+            ],
+            "id long, score double, label int",
+        )
+
+    def test_roc_auc(self, spark):
+        from moz_datapipeline_spark.operators.analytics import roc_auc
+
+        base = _cached_rdd_count(spark)
+        out = roc_auc(self._scored(spark), "score", "label", eager=True)
+        got = out.collect()
+        assert _cached_rdd_count(spark) <= base + 1
+        out.unpersist(blocking=True)
+        assert _cached_rdd_count(spark) <= base
+        lazy = roc_auc(self._scored(spark), "score", "label").collect()
+        assert got == lazy
+
+    def test_decile_lift(self, spark):
+        from moz_datapipeline_spark.operators.analytics import decile_lift
+
+        base = _cached_rdd_count(spark)
+        out = decile_lift(
+            self._scored(spark), "score", "label", tiebreak_cols=["id"],
+            eager=True,
+        )
+        out.count()
+        assert _cached_rdd_count(spark) <= base + 1
+        lazy = decile_lift(
+            self._scored(spark), "score", "label", tiebreak_cols=["id"]
+        )
+        assert sorted(map(tuple, out.collect())) == sorted(
+            map(tuple, lazy.collect())
+        )
+        out.unpersist(blocking=True)
+
 
 class TestLpaLazyNeverPersists:
     """ADVICE r7 (revised): lazy-mode label_propagation used to pin
