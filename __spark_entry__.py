@@ -5561,6 +5561,230 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# round 10: rank/association statistics, ML-eval, graph structure, zipf
+# ---------------------------------------------------------------------------
+
+def q_spearman_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation of quantity vs extended price over
+    lineitem (operators/analytics.spearman_corr): per-column distinct
+    rollup + two-phase distributed prefix ranks (never a global
+    window), exact half-integer rank sums.  VALUE oracle: DuckDB
+    average-rank windows + the same sums fold."""
+    from moz_datapipeline_spark.operators.analytics import spearman_corr
+
+    li = _t(spark, sf_dir, "lineitem")
+    return spearman_corr(li, "l_quantity", "l_extendedprice")
+
+
+def q_cramers_v_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V between return flag and line status
+    (operators/analytics.cramers_v): one contingency hash aggregate,
+    χ² = Σo²/e − n over observed cells only (zero cells contribute 0
+    to that form — no grid materialization).  VALUE oracle: identical
+    CTE arithmetic in DuckDB."""
+    from moz_datapipeline_spark.operators.analytics import cramers_v
+
+    li = _t(spark, sf_dir, "lineitem")
+    return cramers_v(li, "l_returnflag", "l_linestatus")
+
+
+def q_anova_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of order quantity across return flags
+    (operators/analytics.anova_oneway): one per-group (n, Σx, Σx²)
+    hash aggregate + a k-row fold — integer-valued quantities keep
+    every sum exact across engines.  VALUE oracle: same fold in
+    DuckDB."""
+    from moz_datapipeline_spark.operators.analytics import anova_oneway
+
+    li = _t(spark, sf_dir, "lineitem")
+    return anova_oneway(li, "l_returnflag", "l_quantity")
+
+
+def q_brown_forsythe_var(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown–Forsythe equal-variance test of quantity across return
+    flags (operators/analytics.brown_forsythe): per-group exact
+    medians via the distributed histogram selection
+    (ranges.exact_quantiles_grouped), then the ANOVA fold over
+    |x − median_g|.  VALUE oracle: DuckDB quantile_cont medians + the
+    same fold."""
+    from moz_datapipeline_spark.operators.analytics import brown_forsythe
+
+    li = _t(spark, sf_dir, "lineitem")
+    return brown_forsythe(li, "l_returnflag", "l_quantity")
+
+
+def q_proportion_ztest_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test: do URGENT orders finish at a different
+    rate than LOW-priority ones?  (operators/analytics
+    .proportion_ztest): one conditional-sum aggregate over the two
+    arms, integer counts to the final division.  VALUE oracle: same
+    pooled-z arithmetic in DuckDB."""
+    from moz_datapipeline_spark.operators.analytics import proportion_ztest
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("arm"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("done"),
+    )
+    return proportion_ztest(o, "arm", "done", "1-URGENT", "5-LOW")
+
+
+def q_classification_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thresholded confusion matrix + precision/recall/F1 for order
+    value as a finished-status classifier (operators/mleval
+    .classification_report): one conditional-sum hash aggregate.
+    VALUE oracle: the same four integer cells in DuckDB."""
+    from moz_datapipeline_spark.operators.mleval import (
+        classification_report,
+    )
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("score"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("label"),
+    )
+    return classification_report(o, "score", "label", threshold=150000.0)
+
+
+def q_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability curve + ECE/Brier over a deterministic synthetic
+    score (operators/mleval.calibration_curve): dyadic scores
+    (k/1024 — exactly representable, so cross-engine sums are exact),
+    one ≤10-cell bin rollup, everything after bins-sized.  VALUE
+    oracle: identical bin arithmetic in DuckDB."""
+    from moz_datapipeline_spark.operators.mleval import calibration_curve
+
+    o = _t(spark, sf_dir, "orders").select(
+        ((F.col("o_orderkey") % 1024).cast("double") / 1024.0).alias(
+            "score"
+        ),
+        (
+            (F.col("o_orderkey") % 1024) + 120 * (F.col("o_orderkey") % 5)
+            > 760
+        )
+        .cast("int")
+        .alias("label"),
+    )
+    return calibration_curve(o, "score", "label", n_bins=10)
+
+
+def q_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG/MRR/precision/recall@5 per query over a deterministic
+    arithmetic run + graded qrels on documents (operators/mleval
+    .retrieval_eval): left join on (query, doc), per-query windows —
+    partitioned, never global.  VALUE oracle: the same rank windows
+    and log2 gains in DuckDB."""
+    from moz_datapipeline_spark.operators.mleval import retrieval_eval
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    run = d.select(
+        (F.col("doc_id") % 20).alias("query_id"),
+        F.col("doc_id").alias("doc_id"),
+        ((F.col("doc_id") * 37) % 101).cast("double").alias("score"),
+    )
+    qrels = d.filter(F.col("doc_id") % 6 == 0).select(
+        (F.col("doc_id") % 20).alias("query_id"),
+        F.col("doc_id").alias("doc_id"),
+        (1 + F.col("doc_id") % 3).cast("int").alias("rel"),
+    )
+    out = retrieval_eval(run, qrels, k=5)
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        "n_rel",
+        "n_retrieved",
+        "precision_k",
+        "recall_k",
+        "mrr_k",
+        "ndcg_k",
+    )
+
+
+def q_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient over the tri-partite hub
+    graph (graph/triangles.clustering_coefficient): degree-ordered
+    orientation bounds the wedge join; coefficient = 2T/(d(d−1)),
+    integer until the final division.  VALUE oracle: the orient→wedge→
+    close pipeline + degree join in DuckDB."""
+    from moz_datapipeline_spark.graph.triangles import (
+        clustering_coefficient,
+    )
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    edges = (
+        c.select(
+            F.col("c_custkey").alias("src"),
+            (F.col("c_custkey") % 97 + 2000000).alias("dst"),
+        )
+        .unionByName(
+            c.select(
+                F.col("c_custkey").alias("src"),
+                (F.col("c_custkey") % 31 + 2200000).alias("dst"),
+            )
+        )
+        .unionByName(
+            c.select(
+                (F.col("c_custkey") % 97 + 2000000).alias("src"),
+                (F.col("c_custkey") % 31 + 2200000).alias("dst"),
+            )
+        )
+    )
+    return clustering_coefficient(edges)
+
+
+def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman degree assortativity of the customer↔supplier trade
+    graph (graph/structure.degree_assortativity): node-sized degree
+    aggregate, two joins, one exact integer-sums fold.  VALUE oracle:
+    identical symmetrized fold in DuckDB."""
+    from moz_datapipeline_spark.graph.structure import degree_assortativity
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    edges = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.col("o_custkey").cast("long").alias("src"),
+            (F.col("l_suppkey") + 1000000).cast("long").alias("dst"),
+        )
+        .distinct()
+    )
+    return degree_assortativity(edges)
+
+
+def q_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed-edge reciprocity over a deterministic follow graph
+    derived from customer keys (graph/structure.reciprocity): distinct
+    pass + swapped-key semi join, exact integer counts.  VALUE oracle:
+    the same semi join in DuckDB."""
+    from moz_datapipeline_spark.graph.structure import reciprocity
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    # follow graph: everyone follows (key*7) mod N and (key*3) mod N
+    # over a 1..N ring — reverse edges exist exactly where the maps
+    # collide, giving a non-trivial reciprocity in (0, 1)
+    edges = c.select(
+        F.col("c_custkey").alias("src"),
+        ((F.col("c_custkey") * 7) % 1500 + 1).alias("dst"),
+    ).unionByName(
+        c.select(
+            F.col("c_custkey").alias("src"),
+            ((F.col("c_custkey") * 3) % 1500 + 1).alias("dst"),
+        )
+    )
+    return reciprocity(edges)
+
+
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf exponent + fit quality over the documents corpus
+    (operators/text.zipf_fit): one (term, count) hash aggregate, a
+    distributed top-500 heap cut (TakeOrdered, never a global sort),
+    log-log OLS over the 500-row frame.  VALUE oracle: the same
+    row_number + regression sums in DuckDB."""
+    from moz_datapipeline_spark.operators.text import zipf_fit
+
+    d = _t(spark, sf_dir, "documents")
+    return zipf_fit(d, "text", top_n=500)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -5794,6 +6018,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gini_concentration": q_gini_concentration,
         "roc_auc": q_roc_auc,
         "decile_lift": q_decile_lift,
+        "spearman_correlation": q_spearman_correlation,
+        "cramers_v_assoc": q_cramers_v_assoc,
+        "anova_quantity": q_anova_quantity,
+        "brown_forsythe_var": q_brown_forsythe_var,
+        "proportion_ztest_arms": q_proportion_ztest_arms,
+        "classification_report": q_classification_report,
+        "calibration_curve": q_calibration_curve,
+        "retrieval_metrics": q_retrieval_metrics,
+        "clustering_coefficient": q_clustering_coefficient,
+        "degree_assortativity": q_degree_assortativity,
+        "reciprocity": q_reciprocity,
+        "zipf_fit": q_zipf_fit,
     }
 
 
@@ -11786,4 +12022,419 @@ FROM eaul_calc
                CAST(nb AS BIGINT) AS n_b
         FROM lamt
     """
+    sql["spearman_correlation"] = """
+        WITH base AS (
+          SELECT CAST(l_quantity AS DOUBLE) AS x,
+                 CAST(l_extendedprice AS DOUBLE) AS y
+          FROM lineitem
+          WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        ), rk AS (
+          SELECT rank() OVER (ORDER BY x)
+                   + (count(*) OVER (PARTITION BY x) - 1) / 2.0 AS rx,
+                 rank() OVER (ORDER BY y)
+                   + (count(*) OVER (PARTITION BY y) - 1) / 2.0 AS ry
+          FROM base
+        ), f AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 sum(rx) AS sx, sum(ry) AS sy,
+                 sum(rx*rx) AS sxx, sum(ry*ry) AS syy,
+                 sum(rx*ry) AS sxy
+          FROM rk
+        )
+        SELECT n,
+               round(CASE WHEN n > 1
+                       AND (sxx - sx*sx/n) > 0 AND (syy - sy*sy/n) > 0
+                 THEN (sxy - sx*sy/n)
+                      / sqrt((sxx - sx*sx/n) * (syy - sy*sy/n)) END,
+                 6) AS rho
+        FROM f
+    """
+
+    sql["cramers_v_assoc"] = """
+        WITH base AS (
+          SELECT l_returnflag AS a, l_linestatus AS b FROM lineitem
+          WHERE l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL
+        ), cells AS (
+          SELECT a, b, count(*) AS o FROM base GROUP BY 1, 2
+        ), rt AS (SELECT a, sum(o) AS ra FROM cells GROUP BY 1),
+        ct AS (SELECT b, sum(o) AS cb FROM cells GROUP BY 1),
+        tot AS (
+          SELECT sum(o) AS n, count(DISTINCT a) AS la,
+                 count(DISTINCT b) AS lb
+          FROM cells
+        ), f AS (
+          SELECT max(n) AS n, max(la) AS la, max(lb) AS lb,
+                 sum(CAST(o AS DOUBLE) * o
+                     / (CAST(ra AS DOUBLE) * cb / n))
+                   - max(CAST(n AS DOUBLE)) AS chi2
+          FROM cells JOIN rt USING(a) JOIN ct USING(b) CROSS JOIN tot
+        )
+        SELECT CAST(n AS BIGINT) AS n,
+               CAST(la AS INTEGER) AS levels_a,
+               CAST(lb AS INTEGER) AS levels_b,
+               round(chi2, 6) AS chi2,
+               round(CASE WHEN n > 0 AND least(la, lb) > 1
+                 THEN sqrt(chi2 / (CAST(n AS DOUBLE)
+                                   * (least(la, lb) - 1))) END, 6) AS v
+        FROM f
+    """
+
+    sql["anova_quantity"] = """
+        WITH base AS (
+          SELECT l_returnflag AS g, CAST(l_quantity AS DOUBLE) AS x
+          FROM lineitem
+          WHERE l_quantity IS NOT NULL AND l_returnflag IS NOT NULL
+        ), per AS (
+          SELECT g, count(*) AS n, sum(x) AS s, sum(x*x) AS ss
+          FROM base GROUP BY 1
+        ), f AS (
+          SELECT count(*) AS k, sum(n) AS n, sum(s) AS ts,
+                 sum(ss) AS tss, sum(s*s / n) AS sgs
+          FROM per
+        )
+        SELECT CAST(k AS INTEGER) AS k, CAST(n AS BIGINT) AS n,
+               round(sgs - ts*ts/n, 6) AS ss_between,
+               round(tss - sgs, 6) AS ss_within,
+               round(CASE WHEN k > 1 AND n > k AND (tss - sgs) > 0
+                 THEN ((sgs - ts*ts/n) / (k - 1.0))
+                      / ((tss - sgs) / (n - CAST(k AS DOUBLE))) END,
+                 6) AS f_stat,
+               round(CASE WHEN (sgs - ts*ts/n) + (tss - sgs) > 0
+                 THEN (sgs - ts*ts/n)
+                      / ((sgs - ts*ts/n) + (tss - sgs)) END, 6) AS eta_sq
+        FROM f
+    """
+
+    sql["brown_forsythe_var"] = """
+        WITH base AS (
+          SELECT l_returnflag AS g, CAST(l_quantity AS DOUBLE) AS x
+          FROM lineitem
+          WHERE l_quantity IS NOT NULL AND l_returnflag IS NOT NULL
+        ), med AS (
+          SELECT g, quantile_cont(x, 0.5) AS m FROM base GROUP BY 1
+        ), dev AS (
+          SELECT base.g AS g, abs(x - m) AS d
+          FROM base JOIN med USING(g)
+        ), per AS (
+          SELECT g, count(*) AS n, sum(d) AS s, sum(d*d) AS ss
+          FROM dev GROUP BY 1
+        ), f AS (
+          SELECT count(*) AS k, sum(n) AS n, sum(s) AS ts,
+                 sum(ss) AS tss, sum(s*s / n) AS sgs
+          FROM per
+        )
+        SELECT CAST(k AS INTEGER) AS k, CAST(n AS BIGINT) AS n,
+               round(CASE WHEN k > 1 AND n > k AND (tss - sgs) > 0
+                 THEN ((sgs - ts*ts/n) / (k - 1.0))
+                      / ((tss - sgs) / (n - CAST(k AS DOUBLE))) END,
+                 6) AS f_stat
+        FROM f
+    """
+
+    sql["proportion_ztest_arms"] = """
+        WITH base AS (
+          SELECT o_orderpriority AS arm,
+                 CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+          FROM orders
+          WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+        ), f AS (
+          SELECT CAST(sum(CASE WHEN arm = '1-URGENT' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_a,
+                 CAST(sum(CASE WHEN arm = '5-LOW' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_b,
+                 CAST(sum(CASE WHEN arm = '1-URGENT' THEN y ELSE 0 END)
+                   AS BIGINT) AS conv_a,
+                 CAST(sum(CASE WHEN arm = '5-LOW' THEN y ELSE 0 END)
+                   AS BIGINT) AS conv_b
+          FROM base
+        ), g AS (
+          SELECT *,
+                 CASE WHEN n_a > 0 AND n_b > 0 THEN
+                   (CAST(conv_a AS DOUBLE) / n_a
+                    - CAST(conv_b AS DOUBLE) / n_b)
+                   / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                          * (1.0 - CAST(conv_a + conv_b AS DOUBLE)
+                                   / (n_a + n_b))
+                          * (1.0 / n_a + 1.0 / n_b))
+                 END AS zv
+          FROM f
+        )
+        SELECT n_a, n_b, conv_a, conv_b,
+               round(CASE WHEN n_a > 0
+                 THEN CAST(conv_a AS DOUBLE) / n_a END, 6) AS rate_a,
+               round(CASE WHEN n_b > 0
+                 THEN CAST(conv_b AS DOUBLE) / n_b END, 6) AS rate_b,
+               round(zv, 6) AS z,
+               CASE WHEN zv IS NOT NULL
+                 THEN CAST(abs(zv) > 1.96 AS INTEGER) END AS significant
+        FROM g
+    """
+
+    sql["classification_report"] = """
+        WITH base AS (
+          SELECT CASE WHEN CAST(o_totalprice AS DOUBLE) >= 150000.0
+                   THEN 1 ELSE 0 END AS p,
+                 CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+          FROM orders
+          WHERE o_totalprice IS NOT NULL AND o_orderstatus IS NOT NULL
+        ), f AS (
+          SELECT CAST(sum(p*y) AS BIGINT) AS tp,
+                 CAST(sum(p*(1-y)) AS BIGINT) AS fp,
+                 CAST(sum((1-p)*y) AS BIGINT) AS fn,
+                 CAST(sum((1-p)*(1-y)) AS BIGINT) AS tn
+          FROM base
+        ), g AS (
+          SELECT *,
+                 CASE WHEN tp + fp > 0
+                   THEN CAST(tp AS DOUBLE) / (tp + fp) END AS pr,
+                 CASE WHEN tp + fn > 0
+                   THEN CAST(tp AS DOUBLE) / (tp + fn) END AS rc
+          FROM f
+        )
+        SELECT tp, fp, fn, tn,
+               round(CASE WHEN tp + fp + fn + tn > 0
+                 THEN CAST(tp + tn AS DOUBLE) / (tp + fp + fn + tn)
+                 END, 6) AS accuracy,
+               round(pr, 6) AS "precision",
+               round(rc, 6) AS recall,
+               round(CASE WHEN pr IS NOT NULL AND rc IS NOT NULL
+                          AND pr + rc > 0
+                 THEN 2.0 * pr * rc / (pr + rc) END, 6) AS f1
+        FROM g
+    """
+
+    sql["calibration_curve"] = """
+        WITH base AS (
+          SELECT CAST(o_orderkey % 1024 AS DOUBLE) / 1024.0 AS s,
+                 CASE WHEN (o_orderkey % 1024)
+                           + 120 * (o_orderkey % 5) > 760
+                   THEN 1 ELSE 0 END AS y
+          FROM orders
+        ), per AS (
+          SELECT CAST(least(floor(s * 10), 9) AS INTEGER) AS bin,
+                 CAST(count(*) AS BIGINT) AS n,
+                 sum(s) AS ssum,
+                 CAST(sum(y) AS BIGINT) AS pos,
+                 sum((s - y) * (s - y)) AS sqerr
+          FROM base GROUP BY 1
+        ), tot AS (SELECT sum(n) AS nt, sum(sqerr) AS sqt FROM per)
+        SELECT bin, n,
+               round(ssum / n, 6) AS mean_score,
+               round(CAST(pos AS DOUBLE) / n, 6) AS pos_rate,
+               round(abs(ssum / n - CAST(pos AS DOUBLE) / n), 6)
+                 AS abs_gap,
+               round(sum(abs(ssum / n - CAST(pos AS DOUBLE) / n) * n)
+                       OVER () / CAST(nt AS DOUBLE), 6) AS ece,
+               round(sqt / CAST(nt AS DOUBLE), 6) AS brier
+        FROM per CROSS JOIN tot
+    """
+
+    sql["retrieval_metrics"] = """
+        WITH run AS (
+          SELECT doc_id % 20 AS q, doc_id AS doc,
+                 CAST((doc_id * 37) % 101 AS DOUBLE) AS s
+          FROM documents
+        ), qr AS (
+          SELECT doc_id % 20 AS q, doc_id AS doc,
+                 CAST(1 + doc_id % 3 AS DOUBLE) AS rel
+          FROM documents WHERE doc_id % 6 = 0
+        ), j AS (
+          SELECT run.q, run.doc, run.s, coalesce(qr.rel, 0.0) AS rel
+          FROM run LEFT JOIN qr ON run.q = qr.q AND run.doc = qr.doc
+        ), topk AS (
+          SELECT *, row_number() OVER (
+                      PARTITION BY q ORDER BY s DESC, doc ASC) AS rnk
+          FROM j QUALIFY rnk <= 5
+        ), per AS (
+          SELECT q, CAST(count(*) AS BIGINT) AS n_retrieved,
+                 CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS hits,
+                 sum(rel / log2(rnk + 1.0)) AS dcg,
+                 min(CASE WHEN rel > 0 THEN rnk END) AS first_rel
+          FROM topk GROUP BY 1
+        ), ideal AS (
+          SELECT q, rel, row_number() OVER (
+                   PARTITION BY q ORDER BY rel DESC, doc ASC) AS rnk
+          FROM qr WHERE rel > 0
+        ), ia AS (
+          SELECT q, CAST(count(*) AS BIGINT) AS n_rel,
+                 sum(CASE WHEN rnk <= 5
+                       THEN rel / log2(rnk + 1.0) END) AS idcg
+          FROM ideal GROUP BY 1
+        )
+        SELECT CAST(per.q AS BIGINT) AS query_id,
+               coalesce(ia.n_rel, CAST(0 AS BIGINT)) AS n_rel,
+               n_retrieved,
+               round(CAST(hits AS DOUBLE) / 5.0, 6) AS precision_k,
+               round(CASE WHEN ia.n_rel > 0
+                 THEN CAST(hits AS DOUBLE) / ia.n_rel END, 6)
+                 AS recall_k,
+               round(coalesce(1.0 / first_rel, 0.0), 6) AS mrr_k,
+               round(CASE WHEN idcg > 0 THEN dcg / idcg END, 6)
+                 AS ndcg_k
+        FROM per LEFT JOIN ia ON per.q = ia.q
+    """
+
+    sql["clustering_coefficient"] = """
+        WITH raw AS (
+          SELECT c_custkey AS s, 2000000 + c_custkey % 97 AS t
+          FROM customer
+          UNION ALL
+          SELECT c_custkey, 2200000 + c_custkey % 31 FROM customer
+          UNION ALL
+          SELECT 2000000 + c_custkey % 97, 2200000 + c_custkey % 31
+          FROM customer
+        ),
+        und AS (
+          SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b
+          FROM raw WHERE s <> t
+        ),
+        deg AS (
+          SELECT n, count(*) AS d FROM (
+            SELECT a AS n FROM und UNION ALL SELECT b AS n FROM und
+          ) GROUP BY n
+        ),
+        keyed AS (SELECT n, d * 4294967296 + n AS k FROM deg),
+        wk AS (
+          SELECT a, b, ka.k AS ka, kb.k AS kb
+          FROM und
+          JOIN keyed ka ON ka.n = a
+          JOIN keyed kb ON kb.n = b
+        ),
+        ori AS (
+          SELECT CASE WHEN ka < kb THEN a ELSE b END AS u,
+                 CASE WHEN ka < kb THEN b ELSE a END AS v,
+                 greatest(ka, kb) AS kv
+          FROM wk
+        ),
+        wedges AS (
+          SELECT e1.u AS u, e1.v AS x, e2.v AS y
+          FROM ori e1 JOIN ori e2 ON e1.u = e2.u
+          WHERE e1.kv < e2.kv
+        ),
+        closed AS (
+          SELECT w.u, w.x, w.y
+          FROM wedges w JOIN ori o ON o.u = w.x AND o.v = w.y
+        ),
+        corners AS (
+          SELECT u AS node FROM closed
+          UNION ALL SELECT x FROM closed
+          UNION ALL SELECT y FROM closed
+        ),
+        tri AS (SELECT node, count(*) AS tc FROM corners GROUP BY node)
+        SELECT deg.n AS node, CAST(deg.d AS BIGINT) AS degree,
+               CAST(coalesce(tri.tc, 0) AS BIGINT) AS triangles,
+               round(CASE WHEN deg.d > 1
+                 THEN 2.0 * coalesce(tri.tc, 0)
+                      / (CAST(deg.d AS DOUBLE) * (deg.d - 1.0)) END,
+                 6) AS coefficient
+        FROM deg LEFT JOIN tri ON tri.node = deg.n
+    """
+
+    sql["degree_assortativity"] = """
+        WITH fwd AS (
+          SELECT DISTINCT CAST(o_custkey AS BIGINT) AS s,
+                          CAST(l_suppkey + 1000000 AS BIGINT) AS t
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        ),
+        und AS (
+          SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b
+          FROM fwd WHERE s <> t
+        ),
+        deg AS (
+          SELECT n, CAST(count(*) AS DOUBLE) AS d FROM (
+            SELECT a AS n FROM und UNION ALL SELECT b AS n FROM und
+          ) GROUP BY n
+        ),
+        sym AS (
+          SELECT a, b FROM und
+          UNION ALL SELECT b, a FROM und
+        ),
+        pairs AS (
+          SELECT dx.d AS dx, dy.d AS dy
+          FROM sym
+          JOIN deg dx ON dx.n = a
+          JOIN deg dy ON dy.n = b
+        ),
+        f AS (
+          SELECT CAST(count(*) AS BIGINT) AS m2, sum(dx) AS sx,
+                 sum(dx*dx) AS sxx, sum(dx*dy) AS sxy
+          FROM pairs
+        )
+        SELECT CAST(m2 // 2 AS BIGINT) AS n_edges,
+               round(CASE WHEN m2 > 0 AND (sxx - sx*sx/m2) > 0
+                 THEN (sxy - sx*sx/m2) / (sxx - sx*sx/m2) END, 6)
+                 AS assortativity
+        FROM f
+    """
+
+    sql["reciprocity"] = """
+        WITH e AS (
+          SELECT DISTINCT src, dst FROM (
+            SELECT c_custkey AS src,
+                   (c_custkey * 7) % 1500 + 1 AS dst
+            FROM customer
+            UNION ALL
+            SELECT c_custkey, (c_custkey * 3) % 1500 + 1 FROM customer
+          ) WHERE src <> dst
+        ),
+        r AS (
+          SELECT count(*) AS nr FROM e
+          WHERE EXISTS (SELECT 1 FROM e e2
+                        WHERE e2.src = e.dst AND e2.dst = e.src)
+        ),
+        t AS (SELECT count(*) AS ne FROM e)
+        SELECT CAST(ne AS BIGINT) AS n_edges,
+               CAST(nr AS BIGINT) AS n_reciprocated,
+               round(CASE WHEN ne > 0
+                 THEN CAST(nr AS DOUBLE) / ne END, 6) AS reciprocity
+        FROM t CROSS JOIN r
+    """
+
+    sql["zipf_fit"] = """
+        WITH toks AS (
+          SELECT unnest(string_split(
+                   regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                   ' ')) AS term
+          FROM documents WHERE text IS NOT NULL
+        ),
+        terms AS (
+          SELECT term, count(*) AS freq FROM toks
+          WHERE term <> '' GROUP BY 1
+        ),
+        top AS (
+          SELECT term, freq FROM terms
+          ORDER BY freq DESC, term ASC LIMIT 500
+        ),
+        ranked AS (
+          SELECT ln(CAST(row_number() OVER (
+                   ORDER BY freq DESC, term ASC) AS DOUBLE)) AS lx,
+                 ln(CAST(freq AS DOUBLE)) AS ly
+          FROM top
+        ),
+        f AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_terms,
+                 sum(lx) AS sx, sum(ly) AS sy, sum(lx*lx) AS sxx,
+                 sum(ly*ly) AS syy, sum(lx*ly) AS sxy
+          FROM ranked
+        ),
+        g AS (
+          SELECT *,
+                 CASE WHEN n_terms > 1 AND (sxx - sx*sx/n_terms) > 0
+                   THEN (sxy - sx*sy/n_terms) / (sxx - sx*sx/n_terms)
+                 END AS slope
+          FROM f
+        )
+        SELECT n_terms,
+               round(exp((sy - slope * sx) / n_terms), 6) AS c0,
+               round(-slope, 6) AS exponent,
+               round(CASE WHEN slope IS NOT NULL
+                          AND (syy - sy*sy/n_terms) > 0
+                 THEN (sxy - sx*sy/n_terms) * (sxy - sx*sy/n_terms)
+                      / ((sxx - sx*sx/n_terms) * (syy - sy*sy/n_terms))
+                 END, 6) AS r2
+        FROM g
+    """
+
     return sql
+
