@@ -5785,6 +5785,104 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zipf_fit(d, "text", top_n=500)
 
 
+def q_tukey_hsd_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey–Kramer pairwise contrasts of quantity across return flags
+    (operators/analytics.tukey_hsd): one per-group hash aggregate +
+    a k×k self-join of the K-ROW rollup, never the data.  VALUE
+    oracle: the same MSW fold + pair join in DuckDB."""
+    from moz_datapipeline_spark.operators.analytics import tukey_hsd
+
+    li = _t(spark, sf_dir, "lineitem")
+    return tukey_hsd(li, "l_returnflag", "l_quantity")
+
+
+def q_cohens_d_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d of quantity between open and finished line status
+    (operators/analytics.cohens_d): one conditional-sum pass, pooled
+    sample SD.  VALUE oracle: the same arm sums in DuckDB."""
+    from moz_datapipeline_spark.operators.analytics import cohens_d
+
+    li = _t(spark, sf_dir, "lineitem")
+    return cohens_d(li, "l_linestatus", "l_quantity", "O", "F")
+
+
+def q_moments_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population mean/std/skewness/kurtosis of quantity per return
+    flag (operators/analytics.moments_profile): ONE hash aggregate
+    carrying power sums to x⁴ — integer-valued quantities keep every
+    sum exact.  Raw-sum formulas sidestep the engines' disagreeing
+    sample-correction defaults.  VALUE oracle: the same power sums in
+    DuckDB."""
+    from moz_datapipeline_spark.operators.analytics import moments_profile
+
+    li = _t(spark, sf_dir, "lineitem")
+    return moments_profile(li, "l_returnflag", "l_quantity")
+
+
+def q_pythagorean_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arithmetic/geometric/harmonic mean of quantity per return flag
+    (operators/analytics.pythagorean_means): one aggregate with
+    (Σx, Σln x, Σ1/x).  VALUE oracle: identical fold in DuckDB."""
+    from moz_datapipeline_spark.operators.analytics import (
+        pythagorean_means,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    return pythagorean_means(li, "l_returnflag", "l_quantity")
+
+
+def q_trimmed_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5%-trimmed mean of order value in EXACT CENTS
+    (operators/analytics.trimmed_mean): cut points from the
+    recursion-backed distributed exact quantiles inline as literals,
+    the trim is one conditional-sum aggregate.  Cents (floor(x·100 +
+    0.5)) keep the band sum exact across engines — the float-mean
+    hash-match rule.  VALUE oracle: DuckDB quantile_cont cuts + the
+    same closed-band mean."""
+    from moz_datapipeline_spark.operators.analytics import trimmed_mean
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).alias("cents")
+    )
+    return trimmed_mean(o, "cents", trim=0.05)
+
+
+def q_log_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary cross-entropy of a deterministic dyadic score
+    (operators/mleval.log_loss): clipped ln terms, one aggregate.
+    VALUE oracle: the same clip + fold in DuckDB."""
+    from moz_datapipeline_spark.operators.mleval import log_loss
+
+    o = _t(spark, sf_dir, "orders").select(
+        ((F.col("o_orderkey") % 1024).cast("double") / 1024.0).alias(
+            "score"
+        ),
+        (
+            (F.col("o_orderkey") % 1024) + 120 * (F.col("o_orderkey") % 5)
+            > 760
+        )
+        .cast("int")
+        .alias("label"),
+    )
+    return log_loss(o, "score", "label")
+
+
+def q_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSD / Hellinger / TVD between early and late ship-mode...
+    return-flag mixes (operators/validation.distribution_distance):
+    category rollups + full outer join keeps zero cells finite where
+    PSI's log-ratio blows up.  VALUE oracle: identical folds in
+    DuckDB."""
+    from moz_datapipeline_spark.operators.validation import (
+        distribution_distance,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    early = li.filter(F.year("l_shipdate") <= 1997)
+    late = li.filter(F.year("l_shipdate") >= 1998)
+    return distribution_distance(early, late, "l_returnflag")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -6030,6 +6128,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_assortativity": q_degree_assortativity,
         "reciprocity": q_reciprocity,
         "zipf_fit": q_zipf_fit,
+        "tukey_hsd_pairs": q_tukey_hsd_pairs,
+        "cohens_d_effect": q_cohens_d_effect,
+        "moments_profile": q_moments_profile,
+        "pythagorean_means": q_pythagorean_means,
+        "trimmed_mean_price": q_trimmed_mean_price,
+        "log_loss": q_log_loss,
+        "distribution_drift": q_distribution_drift,
     }
 
 
@@ -12436,5 +12541,183 @@ FROM eaul_calc
         FROM g
     """
 
+    sql["tukey_hsd_pairs"] = """
+        WITH base AS (
+          SELECT l_returnflag AS g, CAST(l_quantity AS DOUBLE) AS x
+          FROM lineitem
+          WHERE l_quantity IS NOT NULL AND l_returnflag IS NOT NULL
+        ), per AS (
+          SELECT g, count(*) AS n, sum(x) AS s, sum(x*x) AS ss
+          FROM base GROUP BY 1
+        ), msw AS (
+          SELECT sum(ss - s*s / n) / CAST(sum(n) - count(*) AS DOUBLE)
+            AS m
+          FROM per
+        )
+        SELECT a.g AS group_a, b.g AS group_b,
+               CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+               round(a.s / a.n - b.s / b.n, 6) AS mean_diff,
+               round(sqrt(m / 2.0 * (1.0 / a.n + 1.0 / b.n)), 6) AS se,
+               round(CASE WHEN m > 0 THEN abs(a.s / a.n - b.s / b.n)
+                 / sqrt(m / 2.0 * (1.0 / a.n + 1.0 / b.n)) END, 6)
+                 AS q_stat
+        FROM per a CROSS JOIN per b CROSS JOIN msw
+        WHERE a.g < b.g
+    """
+
+    sql["cohens_d_effect"] = """
+        WITH base AS (
+          SELECT l_linestatus AS g, CAST(l_quantity AS DOUBLE) AS x
+          FROM lineitem
+          WHERE l_linestatus IN ('O', 'F') AND l_quantity IS NOT NULL
+        ), f AS (
+          SELECT sum(CASE WHEN g = 'O' THEN 1.0 ELSE 0.0 END) AS na,
+                 sum(CASE WHEN g = 'F' THEN 1.0 ELSE 0.0 END) AS nb,
+                 sum(CASE WHEN g = 'O' THEN x ELSE 0.0 END) AS sa,
+                 sum(CASE WHEN g = 'F' THEN x ELSE 0.0 END) AS sb,
+                 sum(CASE WHEN g = 'O' THEN x*x ELSE 0.0 END) AS ssa,
+                 sum(CASE WHEN g = 'F' THEN x*x ELSE 0.0 END) AS ssb
+          FROM base
+        ), g AS (
+          SELECT *,
+                 CASE WHEN na > 0 AND nb > 0 AND na + nb > 2 THEN
+                   sqrt(((ssa - sa*sa/na) + (ssb - sb*sb/nb))
+                        / (na + nb - 2.0)) END AS pooled
+          FROM f
+        )
+        SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+               round(CASE WHEN na > 0 THEN sa / na END, 6) AS mean_a,
+               round(CASE WHEN nb > 0 THEN sb / nb END, 6) AS mean_b,
+               round(pooled, 6) AS pooled_sd,
+               round(CASE WHEN na > 0 AND nb > 0 AND pooled > 0
+                 THEN (sa / na - sb / nb) / pooled END, 6) AS d
+        FROM g
+    """
+
+    sql["moments_profile"] = """
+        WITH base AS (
+          SELECT l_returnflag AS g, CAST(l_quantity AS DOUBLE) AS x
+          FROM lineitem
+          WHERE l_quantity IS NOT NULL AND l_returnflag IS NOT NULL
+        ), per AS (
+          SELECT g, count(*) AS n, sum(x) AS s1,
+                 sum(x*x) AS s2, sum(x*x*x) AS s3,
+                 sum(x*x*x*x) AS s4
+          FROM base GROUP BY 1
+        ), m AS (
+          SELECT g, n, s1 / n AS mu,
+                 s2 / n - (s1/n)*(s1/n) AS m2,
+                 s3 / n - 3.0*(s1/n)*s2/n + 2.0*(s1/n)*(s1/n)*(s1/n)
+                   AS m3,
+                 s4 / n - 4.0*(s1/n)*s3/n
+                   + 6.0*(s1/n)*(s1/n)*s2/n
+                   - 3.0*(s1/n)*(s1/n)*(s1/n)*(s1/n) AS m4
+          FROM per
+        )
+        SELECT g AS l_returnflag, CAST(n AS BIGINT) AS n,
+               round(mu, 6) AS mean,
+               round(CASE WHEN n > 1 AND m2 > 0 THEN sqrt(m2) END, 6)
+                 AS stddev,
+               round(CASE WHEN n > 1 AND m2 > 0
+                 THEN m3 / (sqrt(m2)*sqrt(m2)*sqrt(m2)) END, 6)
+                 AS skewness,
+               round(CASE WHEN n > 1 AND m2 > 0
+                 THEN m4 / (m2*m2) - 3.0 END, 6) AS kurtosis
+        FROM m
+    """
+
+    sql["pythagorean_means"] = """
+        WITH base AS (
+          SELECT l_returnflag AS g, CAST(l_quantity AS DOUBLE) AS x
+          FROM lineitem
+          WHERE l_quantity IS NOT NULL AND l_quantity > 0
+                AND l_returnflag IS NOT NULL
+        ), per AS (
+          SELECT g, count(*) AS n, sum(x) AS s,
+                 sum(ln(x)) AS sl, sum(1.0 / x) AS sr
+          FROM base GROUP BY 1
+        )
+        SELECT g AS l_returnflag, CAST(n AS BIGINT) AS n,
+               round(s / n, 6) AS amean,
+               round(exp(sl / n), 6) AS gmean,
+               round(n / sr, 6) AS hmean
+        FROM per
+    """
+
+    sql["trimmed_mean_price"] = """
+        WITH base AS (
+          SELECT CAST(floor(o_totalprice * 100 + 0.5) AS DOUBLE)
+            AS x
+          FROM orders WHERE o_totalprice IS NOT NULL
+        ), cuts AS (
+          SELECT quantile_cont(x, 0.05) AS lo,
+                 quantile_cont(x, 0.95) AS hi
+          FROM base
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN x >= lo AND x <= hi THEN 1 ELSE 0
+                 END) AS BIGINT) AS n_used,
+               round(max(lo), 6) AS lo_cut,
+               round(max(hi), 6) AS hi_cut,
+               round(sum(CASE WHEN x >= lo AND x <= hi THEN x END)
+                 / sum(CASE WHEN x >= lo AND x <= hi THEN 1 ELSE 0
+                   END), 6) AS trimmed_mean
+        FROM base CROSS JOIN cuts
+    """
+
+    sql["log_loss"] = """
+        WITH base AS (
+          SELECT CAST(o_orderkey % 1024 AS DOUBLE) / 1024.0 AS s,
+                 CASE WHEN (o_orderkey % 1024)
+                           + 120 * (o_orderkey % 5) > 760
+                   THEN 1 ELSE 0 END AS y
+          FROM orders
+        ), c AS (
+          SELECT least(greatest(s, 1e-15), 1.0 - 1e-15) AS p, y
+          FROM base
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               round(-sum(y * ln(p) + (1.0 - y) * ln(1.0 - p))
+                 / count(*), 6) AS log_loss
+        FROM c
+    """
+
+    sql["distribution_drift"] = """
+        WITH ca AS (
+          SELECT l_returnflag AS c, count(*) AS na FROM lineitem
+          WHERE year(l_shipdate) <= 1997
+                AND l_returnflag IS NOT NULL
+          GROUP BY 1
+        ), cb AS (
+          SELECT l_returnflag AS c, count(*) AS nb FROM lineitem
+          WHERE year(l_shipdate) >= 1998
+                AND l_returnflag IS NOT NULL
+          GROUP BY 1
+        ), cells AS (
+          SELECT coalesce(ca.na, 0) AS na, coalesce(cb.nb, 0) AS nb
+          FROM ca FULL OUTER JOIN cb ON ca.c = cb.c
+        ), tot AS (
+          SELECT sum(na) AS ta, sum(nb) AS tb FROM cells
+        ), pq AS (
+          SELECT CAST(na AS DOUBLE) / ta AS p,
+                 CAST(nb AS DOUBLE) / tb AS q
+          FROM cells CROSS JOIN tot
+        )
+        SELECT (SELECT CAST(ta AS BIGINT) FROM tot) AS n_a,
+               (SELECT CAST(tb AS BIGINT) FROM tot) AS n_b,
+               CAST(count(*) AS BIGINT) AS n_categories,
+               round((sum(CASE WHEN p > 0
+                        THEN p * log2(p / ((p + q) / 2.0))
+                        ELSE 0.0 END)
+                      + sum(CASE WHEN q > 0
+                          THEN q * log2(q / ((p + q) / 2.0))
+                          ELSE 0.0 END)) / 2.0, 6) AS jsd,
+               round(sqrt(sum((sqrt(p) - sqrt(q)) * (sqrt(p) - sqrt(q)))
+                 / 2.0), 6) AS hellinger,
+               round(sum(abs(p - q)) / 2.0, 6) AS tvd
+        FROM pq
+    """
+
     return sql
+
 

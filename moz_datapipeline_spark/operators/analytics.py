@@ -1855,3 +1855,273 @@ def proportion_ztest(
             "significant"
         ),
     )
+
+
+def tukey_hsd(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Tukey HSD pairwise contrasts after a one-way ANOVA: one row per
+    unordered group pair ``(group_a, group_b, n_a, n_b, mean_diff, se,
+    q_stat)`` — ``q_stat = |mean_a − mean_b| / sqrt(MSW/2·(1/n_a +
+    1/n_b))``, the studentized-range statistic (Tukey–Kramer form for
+    unequal n).  The follow-up ANOVA demands: WHICH means differ, with
+    the family-wise error controlled by comparing q against the
+    studentized-range critical value for (k, n−k) — quantiles of that
+    distribution are a lookup the caller applies; the statistic is the
+    distributed part.
+
+    Plan: one per-group ``(n, Σx, Σx²)`` hash aggregate, MSW from the
+    k-row fold, then a k×k self-join of the K-ROW rollup (never the
+    data) filtered to the upper triangle.  Pairs are ordered by group
+    key so output is deterministic.
+    """
+    x = F.col(value_col).cast("double")
+    base = df.filter(x.isNotNull() & F.col(group_col).isNotNull()).select(
+        F.col(group_col).alias("_g"), x.alias("_x")
+    )
+    per = base.groupBy("_g").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_x").alias("_s"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_ss"),
+    )
+    msw = per.agg(
+        (
+            F.sum(
+                F.col("_ss") - F.col("_s") * F.col("_s") / F.col("_n").cast("double")
+            )
+            / (F.sum("_n") - F.count(F.lit(1))).cast("double")
+        ).alias("_msw")
+    )
+    a = per.select(
+        F.col("_g").alias("group_a"),
+        F.col("_n").alias("n_a"),
+        (F.col("_s") / F.col("_n").cast("double")).alias("_ma"),
+    )
+    b = per.select(
+        F.col("_g").alias("group_b"),
+        F.col("_n").alias("n_b"),
+        (F.col("_s") / F.col("_n").cast("double")).alias("_mb"),
+    )
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("group_a") < F.col("group_b"))
+        .crossJoin(F.broadcast(msw))
+    )
+    diff = F.col("_ma") - F.col("_mb")
+    se = F.sqrt(
+        F.col("_msw")
+        / 2.0
+        * (
+            1.0 / F.col("n_a").cast("double")
+            + 1.0 / F.col("n_b").cast("double")
+        )
+    )
+    q = F.when((F.col("_msw") > 0), F.abs(diff) / se)
+    return pairs.select(
+        "group_a",
+        "group_b",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round(diff, 6).alias("mean_diff"),
+        F.round(se, 6).alias("se"),
+        F.round(q, 6).alias("q_stat"),
+    )
+
+
+def cohens_d(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Cohen's d effect size between two named arms, one row ``(n_a,
+    n_b, mean_a, mean_b, pooled_sd, d)`` — the standardized mean
+    difference with the pooled SAMPLE standard deviation
+    ``sqrt(((n_a−1)s_a² + (n_b−1)s_b²) / (n_a+n_b−2))``.  The number a
+    significance test refuses to give you: HOW BIG the difference is
+    in noise units (0.2 small / 0.5 medium / 0.8 large by convention).
+
+    Plan: one conditional-sum aggregate over both arms (n, Σx, Σx² per
+    arm in a single pass), everything after is arithmetic on one row.
+    Degenerate arms (n < 2 total per arm, zero pooled variance) yield
+    NULL d.
+    """
+    x = F.col(value_col).cast("double")
+    g = F.col(group_col)
+    base = df.filter(g.isin([group_a, group_b]) & x.isNotNull())
+    ia = (g == F.lit(group_a)).cast("int").cast("double")
+    ib = (g == F.lit(group_b)).cast("int").cast("double")
+    folded = base.agg(
+        F.coalesce(F.sum(ia), F.lit(0.0)).alias("_na"),
+        F.coalesce(F.sum(ib), F.lit(0.0)).alias("_nb"),
+        F.coalesce(F.sum(ia * x), F.lit(0.0)).alias("_sa"),
+        F.coalesce(F.sum(ib * x), F.lit(0.0)).alias("_sb"),
+        F.coalesce(F.sum(ia * x * x), F.lit(0.0)).alias("_ssa"),
+        F.coalesce(F.sum(ib * x * x), F.lit(0.0)).alias("_ssb"),
+    )
+    na, nb = F.col("_na"), F.col("_nb")
+    ma = F.when(na > 0, F.col("_sa") / na)
+    mb = F.when(nb > 0, F.col("_sb") / nb)
+    ssw_a = F.col("_ssa") - F.col("_sa") * F.col("_sa") / na
+    ssw_b = F.col("_ssb") - F.col("_sb") * F.col("_sb") / nb
+    # ANSI guard: the when() must also assert BOTH arms non-empty or
+    # the lazily-branched ssw terms still divide by a zero count
+    pooled = F.when(
+        (na > 0) & (nb > 0) & (na + nb > 2),
+        F.sqrt((ssw_a + ssw_b) / (na + nb - 2.0)),
+    )
+    d = F.when(
+        (na > 0) & (nb > 0) & pooled.isNotNull() & (pooled > 0),
+        (ma - mb) / pooled,
+    )
+    return folded.select(
+        na.cast("long").alias("n_a"),
+        nb.cast("long").alias("n_b"),
+        F.round(ma, 6).alias("mean_a"),
+        F.round(mb, 6).alias("mean_b"),
+        F.round(pooled, 6).alias("pooled_sd"),
+        F.round(d, 6).alias("d"),
+    )
+
+
+def moments_profile(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-group distribution shape: ``(group, n, mean, stddev,
+    skewness, kurtosis)`` — POPULATION moments from raw power sums
+    (m2 = Σx²/n − μ², m3/m2^1.5, m4/m2² − 3 excess kurtosis).  The
+    shape profile behind transform decisions (log it? winsorize it?)
+    and drift monitoring one level deeper than mean/std.
+
+    Plan: ONE per-group hash aggregate carrying (n, Σx, Σx², Σx³, Σx⁴)
+    — map-side combined, no second pass, no windows.  Population (not
+    sample-corrected) formulas, stated here because engines disagree
+    on the default: DuckDB's skewness() is sample-corrected, Spark's
+    skewness() is population — raw sums sidestep both.  Degenerate
+    groups (n < 2 or zero variance) yield NULL shape stats.
+    """
+    x = F.col(value_col).cast("double")
+    base = df.filter(x.isNotNull() & F.col(group_col).isNotNull()).select(
+        F.col(group_col).alias("grp"), x.alias("_x")
+    )
+    per = base.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_x").alias("_s1"),
+        F.sum(F.pow("_x", 2)).alias("_s2"),
+        F.sum(F.pow("_x", 3)).alias("_s3"),
+        F.sum(F.pow("_x", 4)).alias("_s4"),
+    )
+    nn = F.col("n").cast("double")
+    mu = F.col("_s1") / nn
+    m2 = F.col("_s2") / nn - mu * mu
+    m3 = F.col("_s3") / nn - 3.0 * mu * F.col("_s2") / nn + 2.0 * mu * mu * mu
+    m4 = (
+        F.col("_s4") / nn
+        - 4.0 * mu * F.col("_s3") / nn
+        + 6.0 * mu * mu * F.col("_s2") / nn
+        - 3.0 * mu * mu * mu * mu
+    )
+    ok = (F.col("n") > 1) & (m2 > 0)
+    return per.select(
+        F.col("grp").alias(group_col),
+        F.col("n").cast("long").alias("n"),
+        F.round(mu, 6).alias("mean"),
+        F.round(F.when(ok, F.sqrt(m2)), 6).alias("stddev"),
+        F.round(F.when(ok, m3 / F.pow(F.sqrt(m2), 3)), 6).alias("skewness"),
+        F.round(F.when(ok, m4 / (m2 * m2) - 3.0), 6).alias("kurtosis"),
+    )
+
+
+def pythagorean_means(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-group arithmetic / geometric / harmonic means over STRICTLY
+    POSITIVE values: ``(group, n, amean, gmean, hmean)`` — gmean =
+    exp(Σln x / n), hmean = n / Σ(1/x).  The right averages for rates
+    and ratios (a plain mean of rates is the classic aggregation bug:
+    AM ≥ GM ≥ HM, and averaging speeds or price ratios wants HM/GM).
+    Non-positive values are EXCLUDED (ln/reciprocal undefined) — n
+    counts the used rows, so the caller can see how much was dropped.
+
+    Plan: one per-group hash aggregate carrying (n, Σx, Σln x, Σ1/x).
+    """
+    x = F.col(value_col).cast("double")
+    base = df.filter(
+        x.isNotNull() & (x > 0) & F.col(group_col).isNotNull()
+    ).select(F.col(group_col).alias("grp"), x.alias("_x"))
+    per = base.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_x").alias("_s"),
+        F.sum(F.log("_x")).alias("_sl"),
+        F.sum(1.0 / F.col("_x")).alias("_sr"),
+    )
+    nn = F.col("n").cast("double")
+    return per.select(
+        F.col("grp").alias(group_col),
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("_s") / nn, 6).alias("amean"),
+        F.round(F.exp(F.col("_sl") / nn), 6).alias("gmean"),
+        F.round(nn / F.col("_sr"), 6).alias("hmean"),
+    )
+
+
+def trimmed_mean(
+    df: DataFrame,
+    value_col: str,
+    trim: float = 0.05,
+) -> DataFrame:
+    """Symmetric trimmed mean, one row ``(n, n_used, lo_cut, hi_cut,
+    trimmed_mean)`` — the mean of values within the exact [trim,
+    1−trim] quantile band.  The robust location estimate between the
+    mean (breaks on one outlier) and the median (throws away 100% of
+    the magnitude information): standard for latency and spend
+    rollups.
+
+    The cut points come from ``ranges.exact_quantiles`` (distributed
+    histogram selection, recursion-backed — never the builtin's
+    single-task sort) and inline as LITERALS, so the trim itself is
+    ONE conditional-sum aggregate.  Values EQUAL to a cut stay in
+    (closed band), making the result reproducible against the oracle's
+    quantile_cont cuts.
+    """
+    from moz_datapipeline_spark.operators.ranges import exact_quantiles
+
+    if not (0.0 <= trim < 0.5):
+        raise ValueError("trimmed_mean: need 0 <= trim < 0.5")
+    x = F.col(value_col).cast("double")
+    base = df.filter(x.isNotNull()).select(x.alias("_x"))
+    cuts = exact_quantiles(base, "_x", [trim, 1.0 - trim])
+    if cuts is None:
+        cuts_df = base.agg(
+            F.expr(f"percentile(_x, {trim})").alias("_lo"),
+            F.expr(f"percentile(_x, {1.0 - trim})").alias("_hi"),
+        )
+        staged = base.crossJoin(F.broadcast(cuts_df))
+        lo_c, hi_c = F.col("_lo"), F.col("_hi")
+    else:
+        staged = base
+        lo_c, hi_c = F.lit(cuts[0]), F.lit(cuts[1])
+    inband = (F.col("_x") >= lo_c) & (F.col("_x") <= hi_c)
+    folded = staged.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(inband.cast("long")).cast("long").alias("n_used"),
+        F.max(lo_c).alias("_lo_v"),
+        F.max(hi_c).alias("_hi_v"),
+        F.sum(F.when(inband, F.col("_x"))).alias("_s"),
+    )
+    return folded.select(
+        "n",
+        "n_used",
+        F.round(F.col("_lo_v"), 6).alias("lo_cut"),
+        F.round(F.col("_hi_v"), 6).alias("hi_cut"),
+        F.round(
+            F.when(F.col("n_used") > 0, F.col("_s") / F.col("n_used")), 6
+        ).alias("trimmed_mean"),
+    )

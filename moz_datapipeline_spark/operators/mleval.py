@@ -238,3 +238,37 @@ def retrieval_eval(
         F.round(mrr, 6).alias("mrr_k"),
         F.round(ndcg, 6).alias("ndcg_k"),
     )
+
+
+def log_loss(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    eps: float = 1e-15,
+) -> DataFrame:
+    """Binary cross-entropy, one row ``(n, log_loss)`` — the proper
+    scoring rule: −mean(y·ln p + (1−y)·ln(1−p)) with probabilities
+    clipped into [eps, 1−eps] (the sklearn convention, so a confident
+    wrong 0/1 prediction costs ~34.5 nats instead of ∞).
+
+    ONE hash aggregate; clipping is a JVM ``least/greatest`` pair.
+    NULL scores/labels drop.
+    """
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("int")
+    base = df.filter(s.isNotNull() & y.isNotNull())
+    p = F.least(F.greatest(s, F.lit(float(eps))), F.lit(1.0 - float(eps)))
+    term = y.cast("double") * F.log(p) + (1.0 - y.cast("double")) * F.log(
+        1.0 - p
+    )
+    folded = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(term).alias("_t"),
+    )
+    return folded.select(
+        "n",
+        F.round(
+            F.when(F.col("n") > 0, -F.col("_t") / F.col("n").cast("double")),
+            6,
+        ).alias("log_loss"),
+    )

@@ -396,7 +396,7 @@ def interval_coverage(
 
 
 def _resolve_cells(
-    base: DataFrame,
+    tagged: DataFrame,
     cells: list[dict],
     candidate_cap: int,
     bucket_count: int,
@@ -405,31 +405,65 @@ def _resolve_cells(
     """Resolve exact order statistics for histogram cells — the shared
     engine behind ``exact_quantiles`` / ``exact_quantiles_grouped``.
 
-    Each cell is ``{key, pred, start, count, cmin, cmax, ranks}``: a
-    value range of ``base`` (membership decided by the Column ``pred``)
-    known to hold rows of global ranks ``[start, start+count)`` within
-    its key's ordering, whose true min/max are ``cmin``/``cmax``, and
-    from which the order statistics at ``ranks`` are needed.  Returns
-    ``{(key, rank): value}`` for every requested rank.
+    ``tagged`` carries the value as ``_v`` plus two MATERIALIZED tag
+    columns ``_g`` (group key; a constant for the ungrouped path) and
+    ``_b`` (top-level histogram bucket) — cell membership predicates
+    reference only these cheap columns, never re-embedding the nested
+    bucket expression (re-embedding it per cell made Catalyst analyze
+    an O(cells × groups × buckets) expression tree: the measured 2.8 →
+    7.0 s quantile_normalize regression this design reverted).
+
+    Each cell is ``{g, b, start, count, cmin, cmax, ranks, chain}``:
+    rows with tags (g, b) whose value passes every ``chain`` step
+    (a refinement lineage of ``(cmin, width, nb, sb)`` sub-bucket
+    picks), known to hold ranks ``[start, start+count)`` of its
+    group's ordering.  Returns ``{(g, rank): value}``.
 
     Resolution ladder (all bounded, never a single-task sort):
 
     1. ``cmin == cmax`` — every row ties; the rank's value is known
        without touching the data (heavy-tie skew, the case that used
        to trip the candidate cap, costs ZERO extra passes);
-    2. total pending mass ≤ ``candidate_cap`` — one filtered collect,
-       driver-side sort of ≤ cap rows (the original fast path);
+    2. total pending mass ≤ ``candidate_cap`` — ONE filtered collect
+       of ``(_g, _b, _v)``; rows map to cells DRIVER-SIDE by replaying
+       each chain's float arithmetic (bit-identical IEEE doubles), so
+       the executor-side filter stays a flat (g, b) membership test;
     3. otherwise RECURSE: one combined aggregate pass re-histograms
        every over-cap cell into ``bucket_count`` sub-cells (equal
        width over the cell's TRUE min/max, so each pass shrinks the
-       value span ≥ ``bucket_count``×) and keeps only sub-cells a
-       needed rank lands in; a cell whose span underflows double
-       width resolves through a per-value histogram (a denormal-wide
-       span holds ≤ ``bucket_count`` distinct doubles);
+       value span ≥ ``bucket_count``×); a cell whose span underflows
+       double width resolves through a per-value histogram (a
+       denormal-wide span holds ≤ ``bucket_count`` distinct doubles);
     4. depth exhaustion (pathological dynamic range) — per-cell
        distributed rank selection via ``global_rank`` (range exchange
        + per-partition sort), still never one task.
     """
+    import math
+
+    def _gb_pred(c) -> "F.Column":
+        gp = (
+            F.col("_g").isNull()
+            if c["g"] is None
+            else (F.col("_g") == F.lit(c["g"]))
+        )
+        return gp & (F.col("_b") == F.lit(int(c["b"])))
+
+    def _chain_pred(c) -> "F.Column":
+        p = _gb_pred(c)
+        for cmin, width, nb, sb in c["chain"]:
+            sub = F.least(
+                F.floor((F.col("_v") - F.lit(cmin)) / F.lit(width)),
+                F.lit(nb - 1),
+            ).cast("int")
+            p = p & (sub == F.lit(int(sb)))
+        return p
+
+    def _chain_member(c, v: float) -> bool:
+        for cmin, width, nb, sb in c["chain"]:
+            if min(int(math.floor((v - cmin) / width)), nb - 1) != sb:
+                return False
+        return True
+
     resolved: dict = {}
     pending = list(cells)
     depth = 0
@@ -438,7 +472,7 @@ def _resolve_cells(
         for c in pending:
             if c["cmin"] == c["cmax"]:
                 for r in c["ranks"]:
-                    resolved[(c["key"], r)] = c["cmin"]
+                    resolved[(c["g"], r)] = c["cmin"]
             else:
                 nxt.append(c)
         pending = nxt
@@ -449,7 +483,7 @@ def _resolve_cells(
             break
         if depth >= max_depth:
             for c in pending:
-                sub = base.filter(c["pred"]).withColumn(
+                sub = tagged.filter(_chain_pred(c)).withColumn(
                     "_mid", F.monotonically_increasing_id()
                 )
                 ranked = global_rank(
@@ -461,7 +495,7 @@ def _resolve_cells(
                     .select("rank", "_v")
                     .collect()
                 ):
-                    resolved[(c["key"], c["start"] + row["rank"] - 1)] = row[
+                    resolved[(c["g"], c["start"] + row["rank"] - 1)] = row[
                         "_v"
                     ]
                 ranked.unpersist()
@@ -478,7 +512,7 @@ def _resolve_cells(
         for c in narrow:
             vh = sorted(
                 (r["_v"], r["c"])
-                for r in base.filter(c["pred"])
+                for r in tagged.filter(_chain_pred(c))
                 .groupBy("_v")
                 .agg(F.count(F.lit(1)).alias("c"))
                 .collect()
@@ -487,12 +521,13 @@ def _resolve_cells(
             for v, cnt in vh:
                 for r in c["ranks"]:
                     if cum <= r < cum + cnt:
-                        resolved[(c["key"], r)] = v
+                        resolved[(c["g"], r)] = v
                 cum += cnt
         if not pending:
             return resolved
 
-        # ONE combined re-histogram pass over all over-cap cells
+        # ONE combined re-histogram pass over all over-cap cells —
+        # the when-chains here span only the (few) over-cap cells
         def _sub_expr(c):
             w = (c["cmax"] - c["cmin"]) / bucket_count
             return F.least(
@@ -504,11 +539,12 @@ def _resolve_cells(
         sexpr = F.lit(-1)
         pred_any = F.lit(False)
         for i, c in enumerate(pending):
-            cexpr = F.when(c["pred"], F.lit(i)).otherwise(cexpr)
-            sexpr = F.when(c["pred"], _sub_expr(c)).otherwise(sexpr)
-            pred_any = pred_any | c["pred"]
+            p = _chain_pred(c)
+            cexpr = F.when(p, F.lit(i)).otherwise(cexpr)
+            sexpr = F.when(p, _sub_expr(c)).otherwise(sexpr)
+            pred_any = pred_any | p
         rows = (
-            base.filter(pred_any)
+            tagged.filter(pred_any)
             .groupBy(cexpr.alias("_ci"), sexpr.alias("_sb"))
             .agg(
                 F.count(F.lit(1)).alias("c"),
@@ -527,6 +563,7 @@ def _resolve_cells(
         children = []
         for i, c in enumerate(pending):
             h = sub_hist.get(i, {})
+            w = (c["cmax"] - c["cmin"]) / bucket_count
             cum = c["start"]
             for sb in sorted(h):
                 cnt, mn, mx = h[sb]
@@ -534,33 +571,50 @@ def _resolve_cells(
                 if hit:
                     children.append(
                         {
-                            "key": c["key"],
-                            "pred": c["pred"] & (_sub_expr(c) == F.lit(sb)),
+                            "g": c["g"],
+                            "b": c["b"],
                             "start": cum,
                             "count": cnt,
                             "cmin": mn,
                             "cmax": mx,
                             "ranks": hit,
+                            "chain": c["chain"]
+                            + [(c["cmin"], w, bucket_count, int(sb))],
                         }
                     )
                 cum += cnt
         pending = children
 
-    # terminal collect: one filtered scan, ≤ candidate_cap rows
-    cexpr = F.lit(-1)
+    # terminal collect: one flat (g, b)-membership scan, ≤ cap rows;
+    # rows map to cells driver-side (chain replay on IEEE doubles).
+    # Membership compiles to per-group isin SETS (hash lookups), not
+    # an OR-chain of conjunctions — an OR over ~200 bucket equalities
+    # evaluated on every row measured 4× slower than one isin
+    by_root: dict = {}
+    buckets_by_g: dict = {}
+    for c in pending:
+        by_root.setdefault((c["g"], c["b"]), []).append(c)
+        buckets_by_g.setdefault(c["g"], set()).add(int(c["b"]))
     pred_any = F.lit(False)
-    for i, c in enumerate(pending):
-        cexpr = F.when(c["pred"], F.lit(i)).otherwise(cexpr)
-        pred_any = pred_any | c["pred"]
-    by_cell: dict = {}
+    for g, bks in buckets_by_g.items():
+        gp = (
+            F.col("_g").isNull()
+            if g is None
+            else (F.col("_g") == F.lit(g))
+        )
+        pred_any = pred_any | (gp & F.col("_b").isin(sorted(bks)))
+    vals_by_cell: dict = {}
     for row in (
-        base.filter(pred_any).select(cexpr.alias("_ci"), "_v").collect()
+        tagged.filter(pred_any).select("_g", "_b", "_v").collect()
     ):
-        by_cell.setdefault(row["_ci"], []).append(row["_v"])
-    for i, c in enumerate(pending):
-        vals = sorted(by_cell.get(i, []))
+        for idx, c in enumerate(by_root.get((row["_g"], row["_b"]), ())):
+            if _chain_member(c, row["_v"]):
+                vals_by_cell.setdefault(id(c), []).append(row["_v"])
+                break
+    for c in pending:
+        vals = sorted(vals_by_cell.get(id(c), []))
         for r in c["ranks"]:
-            resolved[(c["key"], r)] = vals[r - c["start"]]
+            resolved[(c["g"], r)] = vals[r - c["start"]]
     return resolved
 
 
@@ -666,17 +720,21 @@ def exact_quantiles(
         first = starts[b]
         cells.append(
             {
-                "key": None,
-                "pred": bucket == F.lit(int(b)),
+                "g": 0,
+                "b": int(b),
                 "start": first,
                 "count": cnt,
                 "cmin": mn,
                 "cmax": mx,
                 "ranks": {r for r in need if first <= r < first + cnt},
+                "chain": [],
             }
         )
-    resolved = _resolve_cells(base, cells, candidate_cap, bucket_count)
-    value_at: dict[int, float] = {r: resolved[(None, r)] for r in need}
+    tagged = base.select(
+        F.lit(0).alias("_g"), bucket.alias("_b"), "_v"
+    )
+    resolved = _resolve_cells(tagged, cells, candidate_cap, bucket_count)
+    value_at: dict[int, float] = {r: resolved[(0, r)] for r in need}
     out: list[float] = []
     for pos in positions:
         lo_i = int(pos)
@@ -790,16 +848,13 @@ def exact_quantiles_grouped(
         for r in sorted(need):
             nb.add(ordered[bisect.bisect_right(keys, r) - 1])
         plan[g] = ("ranks", need, positions, n)
-        gc = (
-            F.col("_g").isNull() if g is None else (F.col("_g") == F.lit(g))
-        )
         for bkt in sorted(nb):
             cnt, mn, mx = h[bkt]
             first = starts[bkt]
             cells.append(
                 {
-                    "key": g,
-                    "pred": gc & (bexpr == F.lit(int(bkt))),
+                    "g": g,
+                    "b": int(bkt),
                     "start": first,
                     "count": cnt,
                     "cmin": mn,
@@ -807,12 +862,15 @@ def exact_quantiles_grouped(
                     "ranks": {
                         r for r in need if first <= r < first + cnt
                     },
+                    "chain": [],
                 }
             )
 
     # same recursion ladder as the ungrouped path: all-tied cells are
-    # free, over-cap cells re-histogram, never a single-task sort
-    resolved = _resolve_cells(base, cells, candidate_cap, bucket_count)
+    # free, over-cap cells re-histogram, never a single-task sort.
+    # The bucket tag materializes ONCE (_b); cell predicates stay flat
+    tagged = base.select("_g", bexpr.alias("_b"), "_v")
+    resolved = _resolve_cells(tagged, cells, candidate_cap, bucket_count)
 
     out: dict = {}
     for g, spec in plan.items():

@@ -1392,3 +1392,81 @@ def psi_categorical(
         F.col("n_categories").cast("long").alias("n_categories"),
         F.round(psi, 6).alias("psi"),
     )
+
+
+def distribution_distance(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    category_col: str,
+) -> DataFrame:
+    """Distances between two CATEGORICAL distributions, one row
+    ``(n_a, n_b, n_categories, jsd, hellinger, tvd)`` — the drift
+    triptych ``psi_categorical`` cannot give you when zero cells
+    appear (PSI's log-ratio blows up; all three of these stay finite):
+
+    - JSD: Jensen–Shannon divergence, log base 2 → bounded [0, 1];
+    - Hellinger: sqrt(1 − Σ√(p·q)) / ... computed as
+      sqrt(Σ(√p − √q)²/2), bounded [0, 1];
+    - TVD: total variation Σ|p − q|/2, bounded [0, 1] — the
+      "probability mass you'd have to move".
+
+    Plan: one hash aggregate per side to category rollups (category-
+    sized), a full outer join of the two rollups (zero cells appear as
+    0 on the missing side), a 1-row totals broadcast, one fold.
+    Integer counts → exact probabilities before the only float math.
+    NULL categories drop.
+    """
+    ca = (
+        df_a.filter(F.col(category_col).isNotNull())
+        .groupBy(F.col(category_col).alias("_c"))
+        .agg(F.count(F.lit(1)).alias("_na"))
+    )
+    cb = (
+        df_b.filter(F.col(category_col).isNotNull())
+        .groupBy(F.col(category_col).alias("_c"))
+        .agg(F.count(F.lit(1)).alias("_nb"))
+    )
+    cells = (
+        ca.join(cb, "_c", "full_outer")
+        .withColumn("_na", F.coalesce(F.col("_na"), F.lit(0)))
+        .withColumn("_nb", F.coalesce(F.col("_nb"), F.lit(0)))
+    )
+    tot = cells.agg(
+        F.sum("_na").alias("_ta"), F.sum("_nb").alias("_tb")
+    )
+    staged = cells.crossJoin(F.broadcast(tot))
+    # ANSI guard: an EMPTY side (ta/tb = 0) must yield NULL distances,
+    # not a divide-by-zero — the per-cell ratios are guarded here and
+    # the final select nulls the distances when either side is empty
+    p = F.when(
+        F.col("_ta") > 0,
+        F.col("_na").cast("double") / F.col("_ta").cast("double"),
+    ).otherwise(F.lit(0.0))
+    q = F.when(
+        F.col("_tb") > 0,
+        F.col("_nb").cast("double") / F.col("_tb").cast("double"),
+    ).otherwise(F.lit(0.0))
+    m = (p + q) / 2.0
+    kl_pm = F.when(p > 0, p * F.log2(p / m)).otherwise(F.lit(0.0))
+    kl_qm = F.when(q > 0, q * F.log2(q / m)).otherwise(F.lit(0.0))
+    folded = staged.agg(
+        F.max("_ta").cast("long").alias("n_a"),
+        F.max("_tb").cast("long").alias("n_b"),
+        F.count(F.lit(1)).cast("long").alias("n_categories"),
+        ((F.sum(kl_pm) + F.sum(kl_qm)) / 2.0).alias("_jsd"),
+        F.sum(
+            (F.sqrt(p) - F.sqrt(q)) * (F.sqrt(p) - F.sqrt(q))
+        ).alias("_h2"),
+        (F.sum(F.abs(p - q)) / 2.0).alias("_tvd"),
+    )
+    ok = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    return folded.select(
+        "n_a",
+        "n_b",
+        "n_categories",
+        F.round(F.when(ok, F.col("_jsd")), 6).alias("jsd"),
+        F.round(F.when(ok, F.sqrt(F.col("_h2") / 2.0)), 6).alias(
+            "hellinger"
+        ),
+        F.round(F.when(ok, F.col("_tvd")), 6).alias("tvd"),
+    )

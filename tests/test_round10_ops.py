@@ -553,3 +553,136 @@ def test_zipf_fit_reference(spark):
     # freqs 1200, 600, 400, 300, 240 — exactly 1200/r
     assert abs(out.exponent - 1.0) < 1e-6
     assert out.r2 == 1.0
+
+
+def test_tukey_hsd_reference(spark):
+    import math
+
+    from moz_datapipeline_spark.operators.analytics import tukey_hsd
+
+    rows = [("a", 1.0), ("a", 2.0), ("a", 3.0),
+            ("b", 4.0), ("b", 5.0), ("b", 6.0),
+            ("c", 7.0), ("c", 8.0), ("c", 9.0)]
+    df = spark.createDataFrame(rows, "g string, x double")
+    got = {
+        (r.group_a, r.group_b): r for r in tukey_hsd(df, "g", "x").collect()
+    }
+    assert set(got) == {("a", "b"), ("a", "c"), ("b", "c")}
+    # MSW: each group SS = 2, df = 9 - 3 = 6 -> 6/6 = 1
+    se = math.sqrt(1.0 / 2.0 * (1 / 3 + 1 / 3))
+    r = got[("a", "c")]
+    assert r.mean_diff == -6.0
+    assert r.se == round(se, 6)
+    assert r.q_stat == round(6.0 / se, 6)
+
+
+def test_cohens_d_reference(spark):
+    import math
+
+    from moz_datapipeline_spark.operators.analytics import cohens_d
+
+    rows = [("a", 1.0), ("a", 2.0), ("a", 3.0),
+            ("b", 5.0), ("b", 6.0), ("b", 7.0)]
+    df = spark.createDataFrame(rows, "g string, x double")
+    r = cohens_d(df, "g", "x", "a", "b").collect()[0]
+    # sample vars both 1 -> pooled sd = 1; d = (2 - 6)/1 = -4
+    assert (r.n_a, r.n_b) == (3, 3)
+    assert r.pooled_sd == 1.0 and r.d == -4.0
+
+    # missing arm -> NULL d, row kept
+    r2 = cohens_d(
+        df.filter("g = 'a'"), "g", "x", "a", "b"
+    ).collect()[0]
+    assert r2.n_b == 0 and r2.d is None
+
+
+def test_moments_profile_reference(spark):
+    from moz_datapipeline_spark.operators.analytics import moments_profile
+
+    # symmetric values: skewness 0; uniform-ish kurtosis < 0
+    rows = [("g", v) for v in [1.0, 2.0, 3.0, 4.0, 5.0]]
+    df = spark.createDataFrame(rows, "g string, x double")
+    r = moments_profile(df, "g", "x").collect()[0]
+    assert r.mean == 3.0
+    assert r.stddev == round((2.0) ** 0.5, 6)  # population var = 2
+    assert r.skewness == 0.0
+    # m4 = (16+1+0+1+16)/5 = 6.8; kurt = 6.8/4 - 3 = -1.3
+    assert r.kurtosis == -1.3
+
+    # constant group: NULL shape stats
+    rc = moments_profile(
+        spark.createDataFrame([("g", 2.0)] * 3, "g string, x double"),
+        "g",
+        "x",
+    ).collect()[0]
+    assert rc.stddev is None and rc.skewness is None
+
+
+def test_pythagorean_means_reference(spark):
+    from moz_datapipeline_spark.operators.analytics import (
+        pythagorean_means,
+    )
+
+    rows = [("g", 1.0), ("g", 2.0), ("g", 4.0), ("g", -9.0)]
+    df = spark.createDataFrame(rows, "g string, x double")
+    r = pythagorean_means(df, "g", "x").collect()[0]
+    assert r.n == 3  # negative excluded
+    assert r.amean == round(7 / 3, 6)
+    assert r.gmean == 2.0  # (1*2*4)^(1/3)
+    assert r.hmean == round(3 / (1 + 0.5 + 0.25), 6)
+
+
+def test_trimmed_mean_reference(spark):
+    from moz_datapipeline_spark.operators.analytics import trimmed_mean
+
+    vals = [float(v) for v in range(1, 11)] + [1000.0]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    r = trimmed_mean(df, "x", trim=0.1).collect()[0]
+    # n=11; cuts at p10/p90: pos 0.1*10=1 -> 2.0; pos 0.9*10=9 -> 10.0
+    assert r.n == 11 and r.lo_cut == 2.0 and r.hi_cut == 10.0
+    assert r.n_used == 9
+    assert r.trimmed_mean == round(sum(range(2, 11)) / 9, 6)
+
+
+def test_log_loss_reference(spark):
+    import math
+
+    from moz_datapipeline_spark.operators.mleval import log_loss
+
+    rows = [(0.9, 1), (0.1, 0), (0.8, 0), (1.0, 1)]
+    df = spark.createDataFrame(rows, "s double, y int")
+    r = log_loss(df, "s", "y").collect()[0]
+    eps = 1e-15
+    want = -(
+        math.log(0.9) + math.log(0.9) + math.log(0.2)
+        + math.log(1.0 - eps)
+    ) / 4
+    assert abs(r.log_loss - round(want, 6)) < 1e-9
+
+
+def test_distribution_distance_reference(spark):
+    import math
+
+    from moz_datapipeline_spark.operators.validation import (
+        distribution_distance,
+    )
+
+    a = spark.createDataFrame(
+        [("x",)] * 5 + [("y",)] * 5, "c string"
+    )
+    b = spark.createDataFrame(
+        [("x",)] * 5 + [("z",)] * 5, "c string"
+    )
+    r = distribution_distance(a, b, "c").collect()[0]
+    assert r.n_categories == 3
+    # p = (.5, .5, 0), q = (.5, 0, .5); tvd = (0 + .5 + .5)/2 = 0.5
+    assert r.tvd == 0.5
+    # hellinger = sqrt(((0)^2 + (sqrt.5)^2 + (sqrt.5)^2)/2) = sqrt(.5)
+    assert r.hellinger == round(math.sqrt(0.5), 6)
+    # jsd: x contributes 0; y: .5*log2(.5/.25)/... kl_pm = .5*1,
+    # kl_qm(z) = .5*1 -> jsd = (0.5 + 0.5)/2 = 0.5
+    assert r.jsd == 0.5
+
+    # identical distributions -> all zero
+    r2 = distribution_distance(a, a, "c").collect()[0]
+    assert (r2.jsd, r2.hellinger, r2.tvd) == (0.0, 0.0, 0.0)
