@@ -5883,6 +5883,113 @@ def q_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return distribution_distance(early, late, "l_returnflag")
 
 
+def q_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full precision-recall curve of order value vs finished status
+    (operators/mleval.pr_curve): per-distinct-score rollup + the
+    two-phase distributed DESC prefix sum (roc_auc idiom) — one row
+    per operating point, never a global window.  VALUE oracle: the
+    same rollup + cumulative window in DuckDB."""
+    from moz_datapipeline_spark.operators.mleval import pr_curve
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("score"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("label"),
+    )
+    return pr_curve(o, "score", "label")
+
+
+def q_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-24-bucket rolling feature block over the hourly event
+    COUNT rollup (operators/temporal.rolling_features): one bounded
+    ROWS window per group over the rollup, integer counts keep every
+    windowed sum exact.  VALUE oracle: the same frame in DuckDB."""
+    from moz_datapipeline_spark.operators.temporal import (
+        _bucket_epoch,
+        rolling_features,
+    )
+
+    ev = _events(spark, sf_dir)
+    rollup = ev.groupBy(
+        F.col("event_type").alias("grp"),
+        _bucket_epoch(ev, "ts", "hour").alias("t"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("v"))
+    out = rolling_features(rollup, "grp", "t", "v", window=24)
+    return out.select(
+        F.col("grp").alias("event_type"),
+        F.col("t").alias("hour_epoch"),
+        F.col("v").alias("n_events"),
+        "roll_mean",
+        "roll_std",
+        "roll_min",
+        "roll_max",
+        "roll_n",
+    )
+
+
+def q_pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide pivot: revenue cents by return flag × line status via the
+    native ``groupBy().pivot(values=...)`` (explicit value list — no
+    extra distinct pass; compiles to one hash aggregate with
+    conditional sums).  VALUE oracle: conditional sums in DuckDB."""
+    li = _t(spark, sf_dir, "lineitem")
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+        + F.lit(0.5)
+    )
+    return (
+        li.groupBy(F.col("l_returnflag"))
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(cents).cast("long"))
+        .withColumnsRenamed({"O": "rev_open", "F": "rev_finished"})
+    )
+
+
+def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram + Hill power-law exponent of the trade graph
+    (graph/structure.degree_distribution): node-sized aggregates after
+    one canonical edge pass.  VALUE oracle: identical folds in
+    DuckDB."""
+    from moz_datapipeline_spark.graph.structure import degree_distribution
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    edges = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.col("o_custkey").cast("long").alias("src"),
+            (F.col("l_suppkey") + 1000000).cast("long").alias("dst"),
+        )
+        .distinct()
+    )
+    return degree_distribution(edges)
+
+
+def q_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier counts of order value (cents) per priority
+    (operators/analytics.iqr_outliers): exact grouped quartiles from
+    the recursion-backed distributed histogram selection inline as
+    literals; the count is one conditional-sum aggregate.  VALUE
+    oracle: quantile_cont quartiles + the same fences."""
+    from moz_datapipeline_spark.operators.analytics import iqr_outliers
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).alias("cents"),
+    )
+    return iqr_outliers(o, "cents", group_cols=["priority"])
+
+
+def q_theil_u_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil's U(status | priority) over orders
+    (operators/analytics.theil_u): one contingency rollup, algebraic
+    entropy folds, integer counts until the ln.  VALUE oracle:
+    identical folds in DuckDB."""
+    from moz_datapipeline_spark.operators.analytics import theil_u
+
+    o = _t(spark, sf_dir, "orders")
+    return theil_u(o, "o_orderstatus", "o_orderpriority")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -6135,6 +6242,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trimmed_mean_price": q_trimmed_mean_price,
         "log_loss": q_log_loss,
         "distribution_drift": q_distribution_drift,
+        "pr_curve": q_pr_curve,
+        "rolling_features": q_rolling_features,
+        "pivot_wide": q_pivot_wide,
+        "degree_distribution": q_degree_distribution,
+        "iqr_outliers": q_iqr_outliers,
+        "theil_u_assoc": q_theil_u_assoc,
     }
 
 
@@ -12718,6 +12831,160 @@ FROM eaul_calc
         FROM pq
     """
 
+    sql["pr_curve"] = """
+        WITH base AS (
+          SELECT CAST(o_totalprice AS DOUBLE) AS s,
+                 CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+          FROM orders WHERE o_totalprice IS NOT NULL
+        ), per AS (
+          SELECT s AS score, sum(y) AS np,
+                 count(*) - sum(y) AS nn
+          FROM base GROUP BY 1
+        ), cum AS (
+          SELECT score,
+                 CAST(sum(np) OVER (ORDER BY score DESC
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tp,
+                 CAST(sum(nn) OVER (ORDER BY score DESC
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS fp,
+                 CAST(sum(np) OVER () AS BIGINT) AS pos
+          FROM per
+        )
+        SELECT score, tp, fp,
+               round(CAST(tp AS DOUBLE) / (tp + fp), 6) AS "precision",
+               round(CASE WHEN pos > 0
+                 THEN CAST(tp AS DOUBLE) / pos END, 6) AS recall,
+               round(CASE WHEN pos > 0
+                     AND (CAST(tp AS DOUBLE) / (tp + fp)
+                          + CAST(tp AS DOUBLE) / pos) > 0
+                 THEN 2.0 * (CAST(tp AS DOUBLE) / (tp + fp))
+                      * (CAST(tp AS DOUBLE) / pos)
+                      / (CAST(tp AS DOUBLE) / (tp + fp)
+                         + CAST(tp AS DOUBLE) / pos) END, 6) AS f1
+        FROM cum
+    """
+
+    sql["rolling_features"] = """
+        WITH rollup AS (
+          SELECT event_type AS grp,
+                 (epoch_ns(ts) // 3600000000000) * 3600 AS t,
+                 CAST(count(*) AS DOUBLE) AS v
+          FROM events GROUP BY 1, 2
+        ), w AS (
+          SELECT grp, t, v,
+                 sum(v) OVER fr AS s1,
+                 sum(v*v) OVER fr AS s2,
+                 min(v) OVER fr AS mn,
+                 max(v) OVER fr AS mx,
+                 CAST(count(*) OVER fr AS DOUBLE) AS n
+          FROM rollup
+          WINDOW fr AS (PARTITION BY grp ORDER BY t ASC
+                        ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+        )
+        SELECT grp AS event_type, CAST(t AS BIGINT) AS hour_epoch,
+               v AS n_events,
+               round(s1 / n, 6) AS roll_mean,
+               round(sqrt(greatest(s2 / n - (s1/n)*(s1/n), 0.0)), 6)
+                 AS roll_std,
+               round(mn, 6) AS roll_min,
+               round(mx, 6) AS roll_max,
+               CAST(n AS BIGINT) AS roll_n
+        FROM w
+    """
+
+    sql["pivot_wide"] = """
+        SELECT l_returnflag,
+               CAST(sum(CASE WHEN l_linestatus = 'O' THEN
+                 CAST(floor(l_extendedprice * (1 - l_discount) * 100
+                            + 0.5) AS BIGINT) END) AS BIGINT)
+                 AS rev_open,
+               CAST(sum(CASE WHEN l_linestatus = 'F' THEN
+                 CAST(floor(l_extendedprice * (1 - l_discount) * 100
+                            + 0.5) AS BIGINT) END) AS BIGINT)
+                 AS rev_finished
+        FROM lineitem GROUP BY 1
+    """
+
+    sql["degree_distribution"] = """
+        WITH fwd AS (
+          SELECT DISTINCT CAST(o_custkey AS BIGINT) AS s,
+                          CAST(l_suppkey + 1000000 AS BIGINT) AS t
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        ),
+        und AS (
+          SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b
+          FROM fwd WHERE s <> t
+        ),
+        deg AS (
+          SELECT n, count(*) AS d FROM (
+            SELECT a AS n FROM und UNION ALL SELECT b AS n FROM und
+          ) GROUP BY n
+        ),
+        hist AS (
+          SELECT d AS degree, CAST(count(*) AS BIGINT) AS n_nodes
+          FROM deg GROUP BY 1
+        ),
+        f AS (
+          SELECT count(*) AS nn, sum(ln(CAST(d AS DOUBLE))) AS sl
+          FROM deg
+        )
+        SELECT CAST(degree AS BIGINT) AS degree, n_nodes,
+               round(CASE WHEN sl > 0
+                 THEN 1.0 + CAST(nn AS DOUBLE) / sl END, 6) AS alpha
+        FROM hist CROSS JOIN f
+    """
+
+    sql["iqr_outliers"] = """
+        WITH base AS (
+          SELECT o_orderpriority AS priority,
+                 CAST(floor(o_totalprice * 100 + 0.5) AS DOUBLE) AS x
+          FROM orders WHERE o_totalprice IS NOT NULL
+        ), q AS (
+          SELECT priority, quantile_cont(x, 0.25) AS q1,
+                 quantile_cont(x, 0.75) AS q3
+          FROM base GROUP BY 1
+        )
+        SELECT base.priority AS priority,
+               CAST(count(*) AS BIGINT) AS n,
+               round(max(q1), 6) AS q1,
+               round(max(q3), 6) AS q3,
+               round(max(q3 - q1), 6) AS iqr,
+               round(max(q1 - 1.5 * (q3 - q1)), 6) AS lo_fence,
+               round(max(q3 + 1.5 * (q3 - q1)), 6) AS hi_fence,
+               CAST(sum(CASE WHEN x < q1 - 1.5 * (q3 - q1)
+                          OR x > q3 + 1.5 * (q3 - q1)
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        FROM base JOIN q ON base.priority = q.priority
+        GROUP BY 1
+    """
+
+    sql["theil_u_assoc"] = """
+        WITH base AS (
+          SELECT o_orderstatus AS a, o_orderpriority AS b
+          FROM orders
+          WHERE o_orderstatus IS NOT NULL
+                AND o_orderpriority IS NOT NULL
+        ), cells AS (
+          SELECT a, b, count(*) AS c FROM base GROUP BY 1, 2
+        ), cb AS (SELECT b, sum(c) AS tb FROM cells GROUP BY 1),
+        ca AS (SELECT a, sum(c) AS ra FROM cells GROUP BY 1),
+        f AS (
+          SELECT (SELECT sum(c) FROM cells) AS n,
+                 (SELECT sum(CAST(ra AS DOUBLE)
+                             * ln(CAST(ra AS DOUBLE))) FROM ca) AS sa,
+                 (SELECT sum(CAST(c AS DOUBLE)
+                             * ln(CAST(c AS DOUBLE) / tb))
+                  FROM cells JOIN cb USING(b)) AS sab
+        )
+        SELECT CAST(n AS BIGINT) AS n,
+               round(ln(CAST(n AS DOUBLE)) - sa / n, 6) AS h_a,
+               round(-sab / n, 6) AS h_a_given_b,
+               round(CASE WHEN ln(CAST(n AS DOUBLE)) - sa / n > 0
+                 THEN ((ln(CAST(n AS DOUBLE)) - sa / n) - (-sab / n))
+                      / (ln(CAST(n AS DOUBLE)) - sa / n) END, 6) AS u
+        FROM f
+    """
+
     return sql
+
 
 

@@ -2125,3 +2125,143 @@ def trimmed_mean(
             F.when(F.col("n_used") > 0, F.col("_s") / F.col("n_used")), 6
         ).alias("trimmed_mean"),
     )
+
+
+def iqr_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    k: float = 1.5,
+) -> DataFrame:
+    """Tukey-fence outlier readout per group: ``(*group_cols, n, q1,
+    q3, iqr, lo_fence, hi_fence, n_outliers)`` — the boxplot rule
+    (fences at q1 − k·IQR / q3 + k·IQR, k = 1.5 classic).  The
+    quartile sibling of ``mad_outliers``: IQR reads asymmetry the
+    symmetric MAD folds away, MAD survives >25% contamination IQR
+    does not.
+
+    Quartiles come from ``ranges.exact_quantiles[_grouped]``
+    (recursion-backed distributed histogram selection) and inline as
+    LITERALS, so the outlier count is ONE conditional-sum aggregate.
+    The fallback (high-cardinality or NULL-keyed groupings) is the
+    builtin percentile with a null-safe broadcast join back — the
+    ``mad_outliers`` contract.
+    """
+    from moz_datapipeline_spark.operators.ranges import (
+        exact_quantiles,
+        exact_quantiles_grouped,
+    )
+
+    gcols = list(group_cols or [])
+    x = F.col(value_col).cast("double")
+    base = df.filter(x.isNotNull()).select(*gcols, x.alias("_x"))
+
+    q1_c = q3_c = None
+    if len(gcols) == 1:
+        qs = exact_quantiles_grouped(base, gcols[0], "_x", [0.25, 0.75])
+        if qs is not None and all(kk is not None for kk in qs):
+            g = F.col(gcols[0])
+            q1_c = F.element_at(
+                F.create_map(
+                    *[c for kk, v in qs.items() for c in (F.lit(kk), F.lit(v[0]))]
+                ),
+                g,
+            )
+            q3_c = F.element_at(
+                F.create_map(
+                    *[c for kk, v in qs.items() for c in (F.lit(kk), F.lit(v[1]))]
+                ),
+                g,
+            )
+    elif not gcols:
+        qv = exact_quantiles(base, "_x", [0.25, 0.75])
+        if qv is not None:
+            q1_c, q3_c = F.lit(qv[0]), F.lit(qv[1])
+
+    if q1_c is None:
+        med = base.groupBy(*gcols).agg(
+            F.expr("percentile(_x, 0.25)").alias("_q1"),
+            F.expr("percentile(_x, 0.75)").alias("_q3"),
+        )
+        if gcols:
+            med_r = med.select(
+                *[F.col(c).alias(f"_r_{c}") for c in gcols], "_q1", "_q3"
+            )
+            cond = F.lit(True)
+            for c in gcols:
+                cond = cond & F.col(c).eqNullSafe(F.col(f"_r_{c}"))
+            base = base.join(F.broadcast(med_r), cond).drop(
+                *[f"_r_{c}" for c in gcols]
+            )
+        else:
+            base = base.crossJoin(F.broadcast(med))
+        q1_c, q3_c = F.col("_q1"), F.col("_q3")
+
+    iqr = q3_c - q1_c
+    lo = q1_c - F.lit(float(k)) * iqr
+    hi = q3_c + F.lit(float(k)) * iqr
+    is_out = ((F.col("_x") < lo) | (F.col("_x") > hi)).cast("long")
+    return base.groupBy(*gcols).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.max(q1_c), 6).alias("q1"),
+        F.round(F.max(q3_c), 6).alias("q3"),
+        F.round(F.max(iqr), 6).alias("iqr"),
+        F.round(F.max(lo), 6).alias("lo_fence"),
+        F.round(F.max(hi), 6).alias("hi_fence"),
+        F.sum(is_out).cast("long").alias("n_outliers"),
+    )
+
+
+def theil_u(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """Theil's uncertainty coefficient U(A|B), one row ``(n, h_a,
+    h_a_given_b, u)`` — the ASYMMETRIC categorical association
+    ``(H(A) − H(A|B)) / H(A)`` ∈ [0, 1]: how much of A's entropy B
+    explains.  The question Cramér's V cannot answer: V is symmetric,
+    but "zip code determines store" and "store determines zip code"
+    are different claims.
+
+    Plan: one |A|×|B| contingency hash aggregate; H(A) and H(A|B) are
+    algebraic folds over that rollup (Σ c·ln c forms — no per-group
+    lists), integer counts until the ln.  A constant A (H(A) = 0)
+    yields NULL u.  NULL in either column drops the row.
+    """
+    base = df.filter(
+        F.col(col_a).isNotNull() & F.col(col_b).isNotNull()
+    ).select(F.col(col_a).alias("_a"), F.col(col_b).alias("_b"))
+    cells = base.groupBy("_a", "_b").agg(F.count(F.lit(1)).alias("_c"))
+    ca = cells.groupBy("_a").agg(F.sum("_c").alias("_ra"))
+    cb = cells.groupBy("_b").agg(F.sum("_c").alias("_cb"))
+    nrow = cells.agg(F.sum("_c").alias("_n"))
+    cd = F.col("_c").cast("double")
+    # H(A|B) = -(Σ_cells c·ln(c/col_total)) / n
+    joint = (
+        cells.join(F.broadcast(cb), "_b")
+        .agg(
+            F.sum(
+                cd * F.log(cd / F.col("_cb").cast("double"))
+            ).alias("_sab")
+        )
+    )
+    marg = ca.agg(
+        F.sum(
+            F.col("_ra").cast("double")
+            * F.log(F.col("_ra").cast("double"))
+        ).alias("_sa")
+    )
+    folded = nrow.crossJoin(F.broadcast(marg)).crossJoin(
+        F.broadcast(joint)
+    )
+    nn = F.col("_n").cast("double")
+    h_a = F.log(nn) - F.col("_sa") / nn
+    h_ab = -F.col("_sab") / nn
+    u = F.when(h_a > 0, (h_a - h_ab) / h_a)
+    return folded.select(
+        F.col("_n").cast("long").alias("n"),
+        F.round(h_a, 6).alias("h_a"),
+        F.round(h_ab, 6).alias("h_a_given_b"),
+        F.round(u, 6).alias("u"),
+    )

@@ -272,3 +272,98 @@ def log_loss(
             6,
         ).alias("log_loss"),
     )
+
+
+def pr_curve(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Full precision–recall curve: one row PER DISTINCT SCORE
+    ``(score, tp, fp, precision, recall, f1)`` — the operating points
+    of the classifier ``predict positive when s >= score``, evaluated
+    at every achievable threshold (the curve ``classification_report``
+    samples one point of).
+
+    Scale shape (the ``roc_auc`` idiom): one hash aggregate to the
+    per-distinct-score rollup ``(np, nn)``, then an INCLUSIVE
+    cumulative (tp, fp) in DESCENDING score order via the two-phase
+    distributed prefix sum — range partition, local running sums,
+    broadcast exclusive bases — never a global window over the
+    row-sized rollup.  Integer counts to the final divisions.
+    """
+    y = F.col(label_col).cast("int")
+    s = F.col(score_col).cast("double")
+    per = (
+        df.filter(s.isNotNull() & y.isNotNull())
+        .groupBy(s.alias("score"))
+        .agg(
+            F.sum(y).alias("_np"),
+            (F.count(F.lit(1)) - F.sum(y)).alias("_nn"),
+        )
+    )
+    ranged = per.repartitionByRange(F.col("score").desc()).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    lw = (
+        Window.partitionBy("_pid")
+        .orderBy(F.col("score").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = ranged.withColumn(
+        "_tp_local", F.sum("_np").over(lw)
+    ).withColumn("_fp_local", F.sum("_nn").over(lw)).cache()
+    bases = (
+        local.groupBy("_pid")
+        .agg(
+            F.sum("_np").alias("_tnp"),
+            F.sum("_nn").alias("_tnn"),
+        )
+        .withColumn(
+            "_btp",
+            F.coalesce(
+                F.sum("_tnp").over(
+                    Window.orderBy("_pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .withColumn(
+            "_bfp",
+            F.coalesce(
+                F.sum("_tnn").over(
+                    Window.orderBy("_pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .withColumn("_pos", F.sum("_tnp").over(Window.partitionBy()))
+        .select("_pid", "_btp", "_bfp", "_pos")
+    )
+    staged = local.join(F.broadcast(bases), "_pid").select(
+        "score",
+        (F.col("_tp_local") + F.col("_btp")).cast("long").alias("tp"),
+        (F.col("_fp_local") + F.col("_bfp")).cast("long").alias("fp"),
+        F.col("_pos").cast("long").alias("_p"),
+    )
+    prec = F.col("tp").cast("double") / (F.col("tp") + F.col("fp")).cast(
+        "double"
+    )
+    rec = F.when(
+        F.col("_p") > 0, F.col("tp").cast("double") / F.col("_p").cast("double")
+    )
+    f1 = F.when(
+        rec.isNotNull() & (prec + rec > 0), 2.0 * prec * rec / (prec + rec)
+    )
+    return staged.select(
+        "score",
+        "tp",
+        "fp",
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
+    )

@@ -1052,3 +1052,54 @@ def holt_linear(
         "trend",
         "forecast",
     )
+
+
+def rolling_features(
+    df: DataFrame,
+    group_col: str,
+    time_col: str,
+    value_col: str,
+    window: int = 24,
+) -> DataFrame:
+    """Trailing-window feature block per observation: ``(group, time,
+    value, roll_mean, roll_std, roll_min, roll_max, roll_n)`` over the
+    last ``window`` ROWS (inclusive of the current one) within each
+    group's time order — the standard ML feature-engineering rollup
+    (lag features give points, this gives local context).
+
+    INPUT CONTRACT: one row per (group, time) — the rollup shape
+    (``_bucket_epoch`` family); duplicate timestamps make the order
+    non-total and the features partition-lottery.
+
+    Plan: ONE group-partitioned bounded ROWS window carrying (Σx, Σx²,
+    min, max, n) — hash-partitioned by group, never global; std is the
+    population form from the two sums, floored at 0 before the sqrt
+    (float cancellation can go epsilon-negative on near-constant
+    windows, and NaN poisons downstream folds).
+    """
+    v = F.col(value_col).cast("double")
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(time_col).cast("long").alias("t"),
+        v.alias("value"),
+    ).filter(F.col("value").isNotNull())
+    w = (
+        Window.partitionBy("grp")
+        .orderBy(F.col("t").asc())
+        .rowsBetween(-(int(window) - 1), 0)
+    )
+    n = F.count(F.lit(1)).over(w).cast("double")
+    s1 = F.sum("value").over(w)
+    s2 = F.sum(F.col("value") * F.col("value")).over(w)
+    mean = s1 / n
+    var = F.greatest(s2 / n - mean * mean, F.lit(0.0))
+    return base.select(
+        F.col("grp").alias(group_col),
+        F.col("t").alias(time_col),
+        F.col("value").alias(value_col),
+        F.round(mean, 6).alias("roll_mean"),
+        F.round(F.sqrt(var), 6).alias("roll_std"),
+        F.round(F.min("value").over(w), 6).alias("roll_min"),
+        F.round(F.max("value").over(w), 6).alias("roll_max"),
+        n.cast("long").alias("roll_n"),
+    )

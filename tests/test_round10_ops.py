@@ -686,3 +686,98 @@ def test_distribution_distance_reference(spark):
     # identical distributions -> all zero
     r2 = distribution_distance(a, a, "c").collect()[0]
     assert (r2.jsd, r2.hellinger, r2.tvd) == (0.0, 0.0, 0.0)
+
+
+def test_pr_curve_reference(spark):
+    from moz_datapipeline_spark.operators.mleval import pr_curve
+
+    rows = [(0.9, 1), (0.8, 0), (0.7, 1), (0.6, 0), (0.6, 1)]
+    df = spark.createDataFrame(rows, "s double, y int")
+    got = {r.score: r for r in pr_curve(df, "s", "y").collect()}
+    assert set(got) == {0.9, 0.8, 0.7, 0.6}
+    # s >= 0.9: tp 1 fp 0 -> p 1, r 1/3
+    assert got[0.9].precision == 1.0 and got[0.9].recall == round(1 / 3, 6)
+    # s >= 0.7: tp 2 fp 1
+    assert got[0.7].tp == 2 and got[0.7].fp == 1
+    assert got[0.7].precision == round(2 / 3, 6)
+    # s >= 0.6: tp 3 fp 2 -> recall 1
+    assert got[0.6].recall == 1.0
+    f1 = 2 * (3 / 5) * 1.0 / (3 / 5 + 1.0)
+    assert got[0.6].f1 == round(f1, 6)
+
+
+def test_rolling_features_reference(spark):
+    from moz_datapipeline_spark.operators.temporal import rolling_features
+
+    rows = [("g", t, float(v)) for t, v in enumerate([1, 2, 3, 10])]
+    df = spark.createDataFrame(rows, "g string, t long, v double")
+    got = {r.t: r for r in rolling_features(df, "g", "t", "v", 3).collect()}
+    assert got[0].roll_n == 1 and got[0].roll_mean == 1.0
+    assert got[2].roll_mean == 2.0 and got[2].roll_min == 1.0
+    # t=3: window [2,3,10] -> mean 5, std pop sqrt((4+9+100)/3-25)
+    assert got[3].roll_mean == 5.0 and got[3].roll_max == 10.0
+    var = (4 + 9 + 100) / 3 - 25
+    assert got[3].roll_std == round(var**0.5, 6)
+    assert got[3].roll_n == 3
+
+
+def test_degree_distribution_reference(spark):
+    import math
+
+    from moz_datapipeline_spark.graph.structure import degree_distribution
+
+    # star: hub degree 5, five leaves degree 1
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], "src long, dst long"
+    )
+    got = {r.degree: r for r in degree_distribution(star).collect()}
+    assert got[1].n_nodes == 5 and got[5].n_nodes == 1
+    alpha = 1 + 6 / math.log(5.0)
+    assert got[1].alpha == round(alpha, 6)
+
+
+def test_iqr_outliers_reference(spark):
+    from moz_datapipeline_spark.operators.analytics import iqr_outliers
+
+    vals = [float(v) for v in range(1, 12)] + [100.0]
+    df = spark.createDataFrame([("g", v) for v in vals], "g string, x double")
+    r = iqr_outliers(df, "x", group_cols=["g"]).collect()[0]
+    # n=12: q1 at pos .25*11=2.75 -> 3.75; q3 at 8.25 -> 9.25
+    assert r.q1 == 3.75 and r.q3 == 9.25
+    assert r.iqr == 5.5
+    assert r.lo_fence == 3.75 - 8.25 and r.hi_fence == 9.25 + 8.25
+    assert r.n_outliers == 1  # only 100
+
+    # NULL group key: fallback keeps the group (mad_outliers contract)
+    dfn = spark.createDataFrame(
+        [(None, 1.0), (None, 2.0), (None, 50.0)], "g string, x double"
+    )
+    rn = iqr_outliers(dfn, "x", group_cols=["g"]).collect()
+    assert len(rn) == 1 and rn[0].n == 3
+
+
+def test_theil_u_reference(spark):
+    import math
+
+    from moz_datapipeline_spark.operators.analytics import theil_u
+
+    # A fully determined by B: U = 1
+    rows = [("x", "p")] * 3 + [("y", "q")] * 3
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = theil_u(df, "a", "b").collect()[0]
+    assert r.u == 1.0 and r.h_a == round(math.log(2), 6)
+    assert r.h_a_given_b == 0.0
+
+    # independent: U = 0
+    rows2 = [("x", "p"), ("x", "q"), ("y", "p"), ("y", "q")] * 2
+    r2 = theil_u(
+        spark.createDataFrame(rows2, "a string, b string"), "a", "b"
+    ).collect()[0]
+    assert r2.u == 0.0
+
+    # constant A: NULL u
+    rows3 = [("x", "p"), ("x", "q")]
+    r3 = theil_u(
+        spark.createDataFrame(rows3, "a string, b string"), "a", "b"
+    ).collect()[0]
+    assert r3.u is None
