@@ -5990,6 +5990,54 @@ def q_theil_u_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return theil_u(o, "o_orderstatus", "o_orderpriority")
 
 
+def q_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson–Aalen cumulative hazard over user activity spans — same
+    subjects as the Kaplan–Meier query (operators/analytics
+    .nelson_aalen): duration rollup + running Σ d/n window, additive
+    hazard.  VALUE oracle: identical risk-set and running-sum windows
+    in DuckDB."""
+    from moz_datapipeline_spark.operators.analytics import nelson_aalen
+
+    e = _events(spark, sf_dir)
+    day = F.expr("ts div 86400000000000")
+    spans = e.groupBy("user_id").agg(
+        F.min(day).alias("_first"), F.max(day).alias("_last")
+    )
+    edge = e.agg(F.max(day).alias("_edge"))
+    subj = spans.crossJoin(F.broadcast(edge)).select(
+        (F.col("_last") - F.col("_first")).alias("duration"),
+        (F.col("_last") < F.col("_edge") - 3).cast("int").alias("event"),
+    )
+    return nelson_aalen(subj, "duration", "event")
+
+
+def q_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve of order value in cents, 10 population tiles
+    (operators/analytics.lorenz_curve): two-phase distributed rank +
+    exact NTILE arithmetic, tile-rollup cumulative folds — never a
+    global ntile window.  VALUE oracle: row_number + the same tile
+    formula in DuckDB."""
+    from moz_datapipeline_spark.operators.analytics import lorenz_curve
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).alias("cents")
+    )
+    return lorenz_curve(o, "cents", n_points=10)
+
+
+def q_heatmap_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20×20 joint-density grid of quantity × extended price
+    (operators/analytics.heatmap_bins): one min/max row, one
+    grid-sized hash aggregate.  VALUE oracle: identical bin
+    arithmetic in DuckDB."""
+    from moz_datapipeline_spark.operators.analytics import heatmap_bins
+
+    li = _t(spark, sf_dir, "lineitem")
+    return heatmap_bins(
+        li, "l_quantity", "l_extendedprice", x_bins=20, y_bins=20
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -6248,6 +6296,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_distribution": q_degree_distribution,
         "iqr_outliers": q_iqr_outliers,
         "theil_u_assoc": q_theil_u_assoc,
+        "nelson_aalen": q_nelson_aalen,
+        "lorenz_curve": q_lorenz_curve,
+        "heatmap_bins": q_heatmap_bins,
     }
 
 
@@ -12417,7 +12468,22 @@ FROM eaul_calc
                round(rc, 6) AS recall,
                round(CASE WHEN pr IS NOT NULL AND rc IS NOT NULL
                           AND pr + rc > 0
-                 THEN 2.0 * pr * rc / (pr + rc) END, 6) AS f1
+                 THEN 2.0 * pr * rc / (pr + rc) END, 6) AS f1,
+               round(CASE WHEN rc IS NOT NULL AND tn + fp > 0
+                 THEN (rc + CAST(tn AS DOUBLE) / (tn + fp)) / 2.0
+                 END, 6) AS balanced_accuracy,
+               round(CASE WHEN
+                 sqrt((CAST(tp AS DOUBLE) + fp)
+                      * (CAST(tp AS DOUBLE) + fn)
+                      * (CAST(tn AS DOUBLE) + fp)
+                      * (CAST(tn AS DOUBLE) + fn)) > 0
+                 THEN (CAST(tp AS DOUBLE) * tn
+                       - CAST(fp AS DOUBLE) * fn)
+                      / sqrt((CAST(tp AS DOUBLE) + fp)
+                             * (CAST(tp AS DOUBLE) + fn)
+                             * (CAST(tn AS DOUBLE) + fp)
+                             * (CAST(tn AS DOUBLE) + fn)) END, 6)
+                 AS mcc
         FROM g
     """
 
@@ -12984,7 +13050,100 @@ FROM eaul_calc
         FROM f
     """
 
+    sql["nelson_aalen"] = """
+        WITH spans AS (
+          SELECT user_id,
+                 min(epoch_ns(ts) // 86400000000000) AS f,
+                 max(epoch_ns(ts) // 86400000000000) AS l
+          FROM events GROUP BY 1
+        ), edge AS (
+          SELECT max(epoch_ns(ts) // 86400000000000) AS e FROM events
+        ), subj AS (
+          SELECT CAST(l - f AS DOUBLE) AS t,
+                 CASE WHEN l < e - 3 THEN 1 ELSE 0 END AS ev
+          FROM spans CROSS JOIN edge
+        ), per AS (
+          SELECT t, CAST(sum(ev) AS BIGINT) AS d,
+                 CAST(count(*) - sum(ev) AS BIGINT) AS c
+          FROM subj GROUP BY 1
+        ), staged AS (
+          SELECT t, d,
+                 CAST(sum(d + c) OVER () -
+                      coalesce(sum(d + c) OVER (
+                        ORDER BY t ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS BIGINT) AS n
+          FROM per
+        )
+        SELECT t AS duration, n AS n_at_risk, d AS n_events,
+               round(sum(CAST(d AS DOUBLE) / n) OVER (
+                 ORDER BY t ASC ROWS UNBOUNDED PRECEDING), 6)
+                 AS cum_hazard
+        FROM staged
+    """
+
+    sql["lorenz_curve"] = """
+        WITH base AS (
+          SELECT CAST(floor(o_totalprice * 100 + 0.5) AS DOUBLE) AS x
+          FROM orders WHERE o_totalprice IS NOT NULL
+        ), nn AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(count(*) // 10 AS BIGINT) AS base,
+                 CAST(count(*) % 10 AS BIGINT) AS rem,
+                 sum(x) AS tot
+          FROM base
+        ), ranked AS (
+          SELECT x, row_number() OVER (ORDER BY x ASC) AS rn,
+                 nn.base, nn.rem, nn.n, nn.tot
+          FROM base CROSS JOIN nn
+        ), tiled AS (
+          SELECT x, n, tot,
+                 CAST(CASE WHEN rn <= rem * (base + 1)
+                   THEN CAST(floor((rn + base) / (base + 1.0)) AS BIGINT)
+                   ELSE rem + CAST(floor((rn - rem * (base + 1) + base
+                                          - 1) / (base * 1.0)) AS BIGINT)
+                 END AS INTEGER) AS tile
+          FROM ranked
+        ), per AS (
+          SELECT tile, count(*) AS cnt, sum(x) AS s,
+                 max(n) AS nt, max(tot) AS tt
+          FROM tiled GROUP BY 1
+        )
+        SELECT tile,
+               round(CAST(sum(cnt) OVER (ORDER BY tile ASC
+                 ROWS UNBOUNDED PRECEDING) AS DOUBLE) / nt, 6)
+                 AS cum_pop_share,
+               round(CASE WHEN tt > 0 THEN
+                 sum(s) OVER (ORDER BY tile ASC
+                   ROWS UNBOUNDED PRECEDING) / tt END, 6)
+                 AS cum_value_share
+        FROM per
+    """
+
+    sql["heatmap_bins"] = """
+        WITH base AS (
+          SELECT CAST(l_quantity AS DOUBLE) AS x,
+                 CAST(l_extendedprice AS DOUBLE) AS y
+          FROM lineitem
+          WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        ), mm AS (
+          SELECT min(x) AS xlo, max(x) AS xhi,
+                 min(y) AS ylo, max(y) AS yhi
+          FROM base
+        )
+        SELECT CAST(CASE WHEN (xhi - xlo) / 20 > 0 THEN
+                 least(floor((x - xlo) / ((xhi - xlo) / 20)), 19)
+                 ELSE 0 END AS INTEGER) AS x_bin,
+               CAST(CASE WHEN (yhi - ylo) / 20 > 0 THEN
+                 least(floor((y - ylo) / ((yhi - ylo) / 20)), 19)
+                 ELSE 0 END AS INTEGER) AS y_bin,
+               CAST(count(*) AS BIGINT) AS n
+        FROM base CROSS JOIN mm
+        GROUP BY 1, 2
+    """
+
     return sql
+
 
 
 

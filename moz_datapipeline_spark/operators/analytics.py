@@ -2265,3 +2265,184 @@ def theil_u(
         F.round(h_ab, 6).alias("h_a_given_b"),
         F.round(u, 6).alias("u"),
     )
+
+
+def nelson_aalen(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Nelson–Aalen cumulative hazard: ``(*group_cols, duration,
+    n_at_risk, n_events, cum_hazard)`` — H(t) = Σ_{u≤t} d_u/n_u over
+    distinct durations.  The additive sibling of ``kaplan_meier``'s
+    product-limit curve: hazards of disjoint groups ADD, so it is the
+    right estimator for competing-risk decomposition, and ln(KM) ≈
+    −H(t) is the standard cross-check between the two.
+
+    Same plan shape as ``kaplan_meier``: one hash aggregate to the
+    |distinct durations| rollup, an exclusive prefix sum for the risk
+    set, one running sum of d/n — every window partitioned by
+    ``group_cols`` (or over the duration-cardinality rollup when
+    global), never over raw rows.
+    """
+    gcols = list(group_cols or [])
+    d = F.col(duration_col).cast("double")
+    ev = F.col(event_col).cast("int")
+    base = df.filter(d.isNotNull()).select(
+        *gcols, d.alias("_t"), ev.alias("_e")
+    )
+    per = base.groupBy(*gcols, "_t").agg(
+        F.sum("_e").alias("_d"),
+        (F.count(F.lit(1)) - F.sum("_e")).alias("_c"),
+    )
+    wtot = Window.partitionBy(*gcols) if gcols else Window.partitionBy()
+    wcum = (
+        (Window.partitionBy(*gcols) if gcols else Window.partitionBy())
+        .orderBy(F.col("_t").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wrun = (
+        (Window.partitionBy(*gcols) if gcols else Window.partitionBy())
+        .orderBy(F.col("_t").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    n_total = F.sum(F.col("_d") + F.col("_c")).over(wtot)
+    removed = F.coalesce(
+        F.sum(F.col("_d") + F.col("_c")).over(wcum), F.lit(0)
+    )
+    staged = per.withColumn("_n", (n_total - removed).cast("long"))
+    hterm = F.col("_d").cast("double") / F.col("_n").cast("double")
+    return staged.select(
+        *gcols,
+        F.col("_t").alias("duration"),
+        F.col("_n").alias("n_at_risk"),
+        F.col("_d").cast("long").alias("n_events"),
+        F.round(F.sum(hterm).over(wrun), 6).alias("cum_hazard"),
+    )
+
+
+def lorenz_curve(
+    df: DataFrame,
+    value_col: str,
+    n_points: int = 10,
+) -> DataFrame:
+    """Lorenz curve points: ``(tile, cum_pop_share, cum_value_share)``
+    for ``n_points`` equal population tiles of NON-NEGATIVE values
+    sorted ascending — the inequality curve ``gini_concentration``
+    summarizes to one number (the curve shows WHERE the concentration
+    lives: a whale-dominated tail vs a starving middle).
+
+    The population split is the two-phase distributed rank + exact
+    NTILE arithmetic (the ``rfm_segments`` idiom — never a global
+    ntile window); per-tile sums hash-aggregate, and the ≤
+    ``n_points``-row cumulative fold runs over the tile rollup.
+    Values tie-break by rank order, so tile edges are deterministic
+    for any input with a total order on (value, tiebreak) — feed
+    integer cents when hash-matching engines (exact sums).  Negative
+    values raise (shares lose monotonicity) — fail loud, the
+    ``gini_concentration`` contract.
+    """
+    from moz_datapipeline_spark.operators.ranges import global_rank
+
+    x = F.col(value_col).cast("double")
+    base = df.filter(x.isNotNull()).select(
+        x.alias("_x"), F.monotonically_increasing_id().alias("_mid")
+    )
+    neg = base.filter(F.col("_x") < 0).limit(1).collect()
+    if neg:
+        raise ValueError(
+            "lorenz_curve: negative values break share monotonicity"
+        )
+    ranked = global_rank(
+        base, "_x", ["_mid"], with_percent=False, eager=True
+    )
+    q = int(n_points)
+    nrow = ranked.agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("_x").alias("_tot")
+    )
+    staged = ranked.crossJoin(F.broadcast(nrow))
+    basesz = F.expr(f"_n div {q}")
+    rem = F.col("_n") % F.lit(q)
+    fat = rem * (basesz + 1)
+    rn = F.col("rank")
+    tile = F.when(
+        rn <= fat, (rn + basesz) / (basesz + 1)
+    ).otherwise(rem + ((rn - fat + basesz - 1) / basesz)).cast("long")
+    per = (
+        staged.withColumn("tile", tile.cast("int"))
+        .groupBy("tile")
+        .agg(
+            F.count(F.lit(1)).alias("_cnt"),
+            F.sum("_x").alias("_s"),
+            F.max("_n").alias("_nt"),
+            F.max("_tot").alias("_tt"),
+        )
+    )
+    ranked.unpersist()
+    w = Window.orderBy("tile").rowsBetween(Window.unboundedPreceding, 0)
+    return per.select(
+        "tile",
+        F.round(
+            F.sum("_cnt").over(w).cast("double") / F.col("_nt").cast("double"),
+            6,
+        ).alias("cum_pop_share"),
+        F.round(
+            F.when(
+                F.col("_tt") > 0, F.sum("_s").over(w) / F.col("_tt")
+            ),
+            6,
+        ).alias("cum_value_share"),
+    )
+
+
+def heatmap_bins(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    x_bins: int = 20,
+    y_bins: int = 20,
+) -> DataFrame:
+    """2-D equal-width density grid: ``(x_bin, y_bin, n)`` over the
+    data's own [min, max] ranges (max clamps into the last bin) —
+    the joint-distribution readout behind heatmaps, drift eyeballing,
+    and quick dependence checks before committing to a statistic.
+
+    Plan: one (min, max) row for both axes, then ONE hash aggregate
+    to the ≤ x_bins·y_bins grid — map-side combined, grid-sized
+    exchange.  Constant axes collapse to bin 0.  NULLs in either
+    column drop.
+    """
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    base = df.filter(x.isNotNull() & y.isNotNull()).select(
+        x.alias("_x"), y.alias("_y")
+    )
+    head = base.agg(
+        F.min("_x").alias("xlo"), F.max("_x").alias("xhi"),
+        F.min("_y").alias("ylo"), F.max("_y").alias("yhi"),
+    ).collect()
+    if not head or head[0]["xlo"] is None:
+        return base.select(
+            F.lit(0).alias("x_bin"), F.lit(0).alias("y_bin"),
+            F.lit(0).cast("long").alias("n"),
+        ).limit(0)
+    xlo, xhi, ylo, yhi = (
+        head[0]["xlo"], head[0]["xhi"], head[0]["ylo"], head[0]["yhi"]
+    )
+
+    def _bin(col, lo, hi, nb):
+        w = (hi - lo) / nb
+        if not (w > 0.0):
+            return F.lit(0)
+        return F.least(
+            F.floor((col - F.lit(lo)) / F.lit(w)), F.lit(nb - 1)
+        ).cast("int")
+
+    return (
+        base.groupBy(
+            _bin(F.col("_x"), xlo, xhi, int(x_bins)).alias("x_bin"),
+            _bin(F.col("_y"), ylo, yhi, int(y_bins)).alias("y_bin"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )

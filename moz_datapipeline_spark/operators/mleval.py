@@ -31,14 +31,18 @@ def classification_report(
     threshold: float = 0.5,
 ) -> DataFrame:
     """Thresholded binary-classification readout, one row ``(tp, fp,
-    fn, tn, accuracy, precision, recall, f1)`` — predictions are
-    ``score >= threshold``.
+    fn, tn, accuracy, precision, recall, f1, balanced_accuracy, mcc)``
+    — predictions are ``score >= threshold``.  MCC (the Matthews /
+    phi coefficient) and balanced accuracy are the two readouts that
+    survive class imbalance, where plain accuracy rewards predicting
+    the majority class.
 
     ONE conditional-sum hash aggregate (map-side combined): four
-    integer cell counts, ratios derived in the same row.  Degenerate
-    denominators (no predicted positives, no actual positives) yield
-    NULL precision/recall/f1 rather than a fake 0.  NULL scores or
-    labels drop.
+    integer cell counts, ratios derived in the same row (cell products
+    in double — at 10¹¹ rows the 4-way product overflows int64).
+    Degenerate denominators (no predicted positives, no actual
+    positives, an all-one-class frame) yield NULL for the affected
+    ratios rather than a fake 0.  NULL scores or labels drop.
     """
     s = F.col(score_col).cast("double")
     y = F.col(label_col).cast("int")
@@ -63,6 +67,23 @@ def classification_report(
         2.0 * prec * rec / (prec + rec),
     )
     acc = F.when(total > 0, (tp + F.col("tn")) / total)
+    tnr = F.when(
+        F.col("tn") + F.col("fp") > 0,
+        F.col("tn").cast("double") / (F.col("tn") + F.col("fp")).cast(
+            "double"
+        ),
+    )
+    bal = F.when(
+        rec.isNotNull() & tnr.isNotNull(), (rec + tnr) / 2.0
+    )
+    tpd, fpd = tp, F.col("fp").cast("double")
+    fnd, tnd = F.col("fn").cast("double"), F.col("tn").cast("double")
+    mcc_den = F.sqrt(
+        (tpd + fpd) * (tpd + fnd) * (tnd + fpd) * (tnd + fnd)
+    )
+    mcc = F.when(
+        mcc_den > 0, (tpd * tnd - fpd * fnd) / mcc_den
+    )
     return folded.select(
         "tp",
         "fp",
@@ -72,6 +93,8 @@ def classification_report(
         F.round(prec, 6).alias("precision"),
         F.round(rec, 6).alias("recall"),
         F.round(f1, 6).alias("f1"),
+        F.round(bal, 6).alias("balanced_accuracy"),
+        F.round(mcc, 6).alias("mcc"),
     )
 
 

@@ -157,3 +157,24 @@ def ohlc_rollup(
             "n",
         )
     )
+
+
+def stream_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    key: str,
+    how: str = "left",
+) -> DataFrame:
+    """Stream–static dimension enrichment: broadcast the (static)
+    dimension into every micro-batch — the streaming counterpart of
+    the J1/J2 broadcast dimension joins, and the join shape Spark
+    allows UNRESTRICTED in streaming (no watermark needed: the static
+    side never changes mid-query, each micro-batch joins against the
+    dimension's current snapshot).
+
+    Left join by default: an event with no dimension row survives
+    with NULLs (dropping events because a dimension lags is a
+    pipeline bug).  Works identically on batch frames (the dual-mode
+    ``hourly_rollup`` contract).
+    """
+    return stream.join(F.broadcast(dim), key, how)

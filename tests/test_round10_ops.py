@@ -781,3 +781,120 @@ def test_theil_u_reference(spark):
         spark.createDataFrame(rows3, "a string, b string"), "a", "b"
     ).collect()[0]
     assert r3.u is None
+
+
+def test_nelson_aalen_reference(spark):
+    from moz_datapipeline_spark.operators.analytics import nelson_aalen
+
+    # durations 1(event),2(censor),3(event),4(event): n=4
+    rows = [(1.0, 1), (2.0, 0), (3.0, 1), (4.0, 1)]
+    df = spark.createDataFrame(rows, "t double, e int")
+    got = {r.duration: r for r in nelson_aalen(df, "t", "e").collect()}
+    assert got[1.0].n_at_risk == 4
+    assert got[1.0].cum_hazard == 0.25
+    # t=2: censor only; H unchanged 0.25, n_at_risk 3
+    assert got[2.0].n_at_risk == 3 and got[2.0].cum_hazard == 0.25
+    # t=3: H = 1/4 + 1/2
+    assert got[3.0].cum_hazard == 0.75
+    # t=4: H = 0.75 + 1/1
+    assert got[4.0].cum_hazard == 1.75
+
+
+def test_lorenz_curve_reference(spark):
+    import pytest
+
+    from moz_datapipeline_spark.operators.analytics import lorenz_curve
+
+    # values 1..10, 5 tiles of 2: total 55
+    df = spark.createDataFrame(
+        [(float(v),) for v in range(1, 11)], "x double"
+    )
+    got = {r.tile: r for r in lorenz_curve(df, "x", n_points=5).collect()}
+    assert got[1].cum_pop_share == 0.2
+    assert got[1].cum_value_share == round(3 / 55, 6)
+    assert got[5].cum_value_share == 1.0
+    assert got[3].cum_value_share == round((1+2+3+4+5+6) / 55, 6)
+
+    with pytest.raises(ValueError):
+        lorenz_curve(
+            spark.createDataFrame([(-1.0,)], "x double"), "x"
+        ).collect()
+
+
+def test_heatmap_bins_reference(spark):
+    from moz_datapipeline_spark.operators.analytics import heatmap_bins
+
+    rows = [(0.0, 0.0), (1.0, 1.0), (10.0, 10.0), (10.0, 0.0)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    got = {
+        (r.x_bin, r.y_bin): r.n
+        for r in heatmap_bins(df, "x", "y", x_bins=10, y_bins=10).collect()
+    }
+    assert got[(0, 0)] == 1 and got[(1, 1)] == 1
+    assert got[(9, 9)] == 1 and got[(9, 0)] == 1  # max clamps to last
+
+
+def test_classification_report_mcc(spark):
+    import math
+
+    from moz_datapipeline_spark.operators.mleval import (
+        classification_report,
+    )
+
+    rows = [
+        (0.9, 1), (0.8, 1), (0.7, 0),
+        (0.4, 1), (0.2, 0), (0.1, 0),
+    ]
+    df = spark.createDataFrame(rows, "s double, y int")
+    r = classification_report(df, "s", "y", threshold=0.5).collect()[0]
+    # tp 2 fp 1 fn 1 tn 2
+    mcc = (2 * 2 - 1 * 1) / math.sqrt(3 * 3 * 3 * 3)
+    assert r.mcc == round(mcc, 6)
+    assert r.balanced_accuracy == round((2 / 3 + 2 / 3) / 2, 6)
+
+
+def test_stream_enrich_matches_batch(spark, tmp_path):
+    """Stream-static broadcast enrichment: streaming micro-batches join
+    the same dimension snapshot the batch twin does; no-match events
+    survive with NULLs."""
+    import json
+
+    from moz_datapipeline_spark.streaming.events import stream_enrich
+
+    src = tmp_path / "enrich_in"
+    src.mkdir()
+    chk = str(tmp_path / "enrich_chk")
+    rows = [
+        {"k": 1, "v": 10.0},
+        {"k": 2, "v": 20.0},
+        {"k": 9, "v": 90.0},  # no dim row
+    ]
+    with open(src / "b1.json", "w") as fh:
+        for r in rows:
+            fh.write(json.dumps(r) + "\n")
+    dim = spark.createDataFrame(
+        [(1, "one"), (2, "two")], "k long, name string"
+    )
+    stream = spark.readStream.schema("k long, v double").json(str(src))
+    q = (
+        stream_enrich(stream, dim, "k")
+        .writeStream.format("memory")
+        .queryName("enrich_out")
+        .outputMode("append")
+        .option("checkpointLocation", chk)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.k, r.name) for r in spark.table("enrich_out").collect()
+    }
+    batch = spark.read.schema("k long, v double").json(str(src))
+    want = {
+        (r.k, r.name)
+        for r in stream_enrich(batch, dim, "k").collect()
+    }
+    assert got == want
+    assert (9, None) in got
