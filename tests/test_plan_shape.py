@@ -630,3 +630,45 @@ def test_margin_mining_lsh_no_cartesian(spark, sf_dir):
     # candidate join is (table, bucket) equi, vectors re-join by id
     plan = _plan(entry_mod.q_margin_mining_lsh(spark, sf_dir))
     assert "CartesianProduct" not in plan
+
+
+def test_pr_curve_no_data_sized_global_window(spark, sf_dir):
+    """The PR curve's cumulative sums must ride the two-phase prefix
+    (range partition + _pid-local windows + broadcast bases) — a
+    SinglePartition exchange feeding a data-sized window is the sort
+    that never finishes at 100 TB.  The only SinglePartition allowed
+    is the |partitions|-row bases fold."""
+    plan = _plan(entry_mod.q_pr_curve(spark, sf_dir))
+    assert "RangePartitioning" in plan or "rangepartitioning" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_spearman_ranks_are_two_phase(spark, sf_dir):
+    plan = _plan(entry_mod.q_spearman_correlation(spark, sf_dir))
+    # two per-column range exchanges, never a global row_number
+    assert plan.count("rangepartitioning") >= 2 or plan.count(
+        "RangePartitioning"
+    ) >= 2
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_rolling_features_window_is_group_partitioned(spark, sf_dir):
+    """The bounded ROWS window must be hash-partitioned by group —
+    SinglePartition would serialize the rollup through one task."""
+    plan = _plan(entry_mod.q_rolling_features(spark, sf_dir))
+    assert "SinglePartition" not in plan
+
+
+def test_clustering_coefficient_no_cartesian(spark, sf_dir):
+    """Wedge join + closure join + degree join: all equi joins on the
+    oriented keys — never a cross product."""
+    plan = _plan(entry_mod.q_clustering_coefficient(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+
+
+def test_cramers_v_totals_broadcast(spark, sf_dir):
+    """Row/column totals re-aggregate from the matrix-sized rollup and
+    broadcast back — the contingency cells must never sort-merge."""
+    plan = _plan(entry_mod.q_cramers_v_assoc(spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
