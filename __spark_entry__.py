@@ -6038,6 +6038,95 @@ def q_heatmap_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KTRUSS_ROUNDS = 3
+
+
+def q_k_truss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-truss of the tri-partite hub graph (graph/truss.k_truss):
+    3 bounded support-peel rounds, each a degree-ordered wedge join —
+    never a naive 3-way self-join; early_stop exits at the fixpoint
+    with oracle parity (extra oracle rounds are no-ops).  VALUE
+    oracle: the same rounds unrolled as MATERIALIZED DuckDB CTEs."""
+    from moz_datapipeline_spark.graph.truss import k_truss
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    edges = (
+        c.select(
+            F.col("c_custkey").alias("src"),
+            (F.col("c_custkey") % 97 + 2000000).alias("dst"),
+        )
+        .unionByName(
+            c.select(
+                F.col("c_custkey").alias("src"),
+                (F.col("c_custkey") % 31 + 2200000).alias("dst"),
+            )
+        )
+        .unionByName(
+            c.select(
+                (F.col("c_custkey") % 97 + 2000000).alias("src"),
+                (F.col("c_custkey") % 31 + 2200000).alias("dst"),
+            )
+        )
+    )
+    return k_truss(edges, k=4, rounds=_KTRUSS_ROUNDS)
+
+
+def q_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson score intervals for finish rate per order priority
+    (operators/analytics.wilson_ci): one integer-count aggregate,
+    closed-form interval.  VALUE oracle: identical arithmetic in
+    DuckDB."""
+    from moz_datapipeline_spark.operators.analytics import wilson_ci
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("done"),
+    )
+    return wilson_ci(o, "priority", "done")
+
+
+def q_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-DP noisy segment sizes (operators/analytics.dp_noisy_counts):
+    deterministic md5-seeded Laplace noise on per-segment counts —
+    reproducible releases, replayable in the oracle.  VALUE oracle:
+    the same md5 inverse-CDF draw in DuckDB."""
+    from moz_datapipeline_spark.operators.analytics import dp_noisy_counts
+
+    c = _t(spark, sf_dir, "customer")
+    return dp_noisy_counts(c, "c_mktsegment", epsilon=1.0)
+
+
+def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: each click picks up the user's NEXT error
+    at-or-after it (operators/temporal.asof_join_forward) — the
+    union-and-carry plan reflected (first ignore-nulls over an
+    unbounded-FOLLOWING frame), one shuffle on the user key.
+    Timestamps canonicalize to µs so engine and oracle agree exactly
+    (the asof_join convention).  VALUE oracle: DuckDB ASOF LEFT JOIN
+    with the >= inequality."""
+    from moz_datapipeline_spark.operators.temporal import asof_join_forward
+
+    e = _events(spark, sf_dir)
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.expr("ts DIV 1000").alias("ts_us"), "value"
+    )
+    errors = e.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.expr("ts DIV 1000").alias("ts_us"),
+        F.col("value").alias("err_value"),
+    )
+    out = asof_join_forward(
+        clicks, errors, key="user_id", ts="ts_us",
+        right_value_cols=["err_value"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("err_value_right").alias("next_err_value"),
+        F.col("ts_us_right").alias("next_err_ts"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -6299,6 +6388,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nelson_aalen": q_nelson_aalen,
         "lorenz_curve": q_lorenz_curve,
         "heatmap_bins": q_heatmap_bins,
+        "k_truss": q_k_truss,
+        "wilson_ci": q_wilson_ci,
+        "dp_noisy_counts": q_dp_noisy_counts,
+        "asof_forward": q_asof_forward,
     }
 
 
@@ -13142,7 +13235,127 @@ FROM eaul_calc
         GROUP BY 1, 2
     """
 
+    def _ktruss_sql(k: int = 4, rounds: int = _KTRUSS_ROUNDS) -> str:
+        need = k - 2
+        parts = [
+            """
+        WITH raw AS (
+          SELECT c_custkey AS s, 2000000 + c_custkey % 97 AS t FROM customer
+          UNION ALL
+          SELECT c_custkey, 2200000 + c_custkey % 31 FROM customer
+          UNION ALL
+          SELECT 2000000 + c_custkey % 97, 2200000 + c_custkey % 31
+          FROM customer
+        ), e0 AS MATERIALIZED (
+          SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b
+          FROM raw WHERE s <> t
+        )"""
+        ]
+        for r in range(1, rounds + 1):
+            p = r - 1
+            parts.append(f"""
+        , deg{r} AS MATERIALIZED (
+          SELECT n, count(*) AS d FROM (
+            SELECT a AS n FROM e{p} UNION ALL SELECT b FROM e{p}
+          ) GROUP BY n
+        ), keyed{r} AS (
+          SELECT n, d * 4294967296 + n AS kk FROM deg{r}
+        ), ori{r} AS MATERIALIZED (
+          SELECT CASE WHEN ka.kk < kb.kk THEN e.a ELSE e.b END AS u,
+                 CASE WHEN ka.kk < kb.kk THEN e.b ELSE e.a END AS v,
+                 greatest(ka.kk, kb.kk) AS kv
+          FROM e{p} e
+          JOIN keyed{r} ka ON ka.n = e.a
+          JOIN keyed{r} kb ON kb.n = e.b
+        ), closed{r} AS MATERIALIZED (
+          SELECT w.u, w.x, w.y FROM (
+            SELECT e1.u AS u, e1.v AS x, e2.v AS y
+            FROM ori{r} e1 JOIN ori{r} e2 ON e1.u = e2.u
+            WHERE e1.kv < e2.kv
+          ) w JOIN ori{r} o ON o.u = w.x AND o.v = w.y
+        ), sup{r} AS MATERIALIZED (
+          SELECT a, b, count(*) AS support FROM (
+            SELECT least(u, x) AS a, greatest(u, x) AS b FROM closed{r}
+            UNION ALL
+            SELECT least(u, y), greatest(u, y) FROM closed{r}
+            UNION ALL
+            SELECT least(x, y), greatest(x, y) FROM closed{r}
+          ) s GROUP BY 1, 2
+        ), e{r} AS MATERIALIZED (
+          SELECT a, b FROM sup{r} WHERE support >= {need}
+        )""")
+        parts.append(f"""
+        SELECT a, b, CAST(support AS BIGINT) AS support
+        FROM sup{rounds} WHERE support >= {need}
+        """)
+        return "".join(parts)
+
+    sql["k_truss"] = _ktruss_sql()
+
+    sql["wilson_ci"] = """
+        WITH per AS (
+          SELECT o_orderpriority AS priority,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0
+                   END) AS BIGINT) AS conversions
+          FROM orders WHERE o_orderpriority IS NOT NULL
+          GROUP BY 1
+        ), g AS (
+          SELECT *, CAST(conversions AS DOUBLE) / n AS p,
+                 1.0 + 3.8416 / n AS denom
+          FROM per
+        )
+        SELECT priority, n, conversions,
+               round(p, 6) AS rate,
+               round((p + 3.8416 / (2.0 * n)) / denom
+                     - 1.96 / denom
+                       * sqrt(p * (1.0 - p) / n
+                              + 3.8416 / (4.0 * CAST(n AS DOUBLE) * n)),
+                 6) AS ci_lo,
+               round((p + 3.8416 / (2.0 * n)) / denom
+                     + 1.96 / denom
+                       * sqrt(p * (1.0 - p) / n
+                              + 3.8416 / (4.0 * CAST(n AS DOUBLE) * n)),
+                 6) AS ci_hi
+        FROM g
+    """
+
+    sql["dp_noisy_counts"] = """
+        WITH per AS (
+          SELECT c_mktsegment AS seg, count(*) AS c
+          FROM customer WHERE c_mktsegment IS NOT NULL
+          GROUP BY 1
+        ), g AS (
+          SELECT seg, c,
+                 (CAST(('0x' || substr(md5('dp:' || seg), 1, 15))
+                    AS BIGINT) + 0.5) / 1152921504606846976.0 AS u
+          FROM per
+        )
+        SELECT seg AS c_mktsegment,
+               round(CAST(c AS DOUBLE)
+                     - sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5)),
+                 6) AS noisy_count
+        FROM g
+    """
+
+    sql["asof_forward"] = """
+        WITH clicks AS (
+          SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+          FROM events WHERE event_type = 'click'
+        ), errors AS (
+          SELECT user_id, epoch_us(ts) AS ts_us, value AS err_value
+          FROM events WHERE event_type = 'error'
+        )
+        SELECT c.event_id, c.user_id,
+               e.err_value AS next_err_value,
+               e.ts_us AS next_err_ts
+        FROM clicks c
+        ASOF LEFT JOIN errors e
+          ON c.user_id = e.user_id AND e.ts_us >= c.ts_us
+    """
+
     return sql
+
 
 
 

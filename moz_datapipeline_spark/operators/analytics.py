@@ -2446,3 +2446,101 @@ def heatmap_bins(
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
+
+
+def wilson_ci(
+    df: DataFrame,
+    group_col: str,
+    success_col: str,
+    z: float = 1.96,
+) -> DataFrame:
+    """Per-group binomial rate with the Wilson score interval:
+    ``(group, n, conversions, rate, ci_lo, ci_hi)`` — the interval
+    that behaves at small n and extreme rates where the naive normal
+    (Wald) interval collapses to zero width or escapes [0, 1].  The
+    per-segment readout every conversion dashboard should use.
+
+    ONE hash aggregate (integer counts), closed-form arithmetic in
+    the same row:
+
+        center = (p + z²/2n) / (1 + z²/n)
+        half   = z/(1 + z²/n) · sqrt(p(1−p)/n + z²/4n²)
+
+    Zero-row groups cannot occur (GROUP BY), NULL successes drop.
+    """
+    y = F.col(success_col).cast("int")
+    base = df.filter(y.isNotNull() & F.col(group_col).isNotNull())
+    per = base.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(y).cast("long").alias("conversions"),
+    )
+    zz = float(z) * float(z)
+    nn = F.col("n").cast("double")
+    p = F.col("conversions").cast("double") / nn
+    denom = 1.0 + F.lit(zz) / nn
+    center = (p + F.lit(zz) / (2.0 * nn)) / denom
+    half = (
+        F.lit(float(z))
+        / denom
+        * F.sqrt(p * (1.0 - p) / nn + F.lit(zz) / (4.0 * nn * nn))
+    )
+    return per.select(
+        F.col("grp").alias(group_col),
+        "n",
+        "conversions",
+        F.round(p, 6).alias("rate"),
+        F.round(center - half, 6).alias("ci_lo"),
+        F.round(center + half, 6).alias("ci_hi"),
+    )
+
+
+def dp_noisy_counts(
+    df: DataFrame,
+    group_col: str,
+    epsilon: float = 1.0,
+    seed: str = "dp",
+) -> DataFrame:
+    """Per-group counts with ε-differential-privacy Laplace noise:
+    ``(group, noisy_count)`` — count + Laplace(1/ε) (sensitivity 1
+    for a count), the release primitive for sharing group sizes
+    without certifying any individual's presence.  TRUE counts are
+    deliberately NOT returned — emitting them beside the noise would
+    defeat the release (join the un-noised aggregate separately when
+    you are on the trusted side).
+
+    The noise is DETERMINISTIC given (seed, group): the uniform draw
+    is the engine-portable md5 hash of ``seed:group`` (the
+    ``bootstrap_ci`` idiom) pushed through the inverse-CDF
+    ``−(1/ε)·sign(u−½)·ln(1−2|u−½|)`` — so releases are reproducible,
+    replayable in the DuckDB oracle, and adding a group never
+    re-rolls another group's noise (the stability property
+    per-partition RNGs lack).  One hash aggregate; noise is
+    group-cardinality-sized arithmetic.
+    """
+    if epsilon <= 0:
+        raise ValueError("dp_noisy_counts: need epsilon > 0")
+    per = df.filter(F.col(group_col).isNotNull()).groupBy(
+        F.col(group_col).alias("grp")
+    ).agg(F.count(F.lit(1)).alias("_c"))
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{seed}:"), F.col("grp").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + 0.5
+    ) / F.lit(float(1 << 60))
+    centered = u - 0.5
+    lap = (
+        -(1.0 / F.lit(float(epsilon)))
+        * F.signum(centered)
+        * F.log(1.0 - 2.0 * F.abs(centered))
+    )
+    return per.select(
+        F.col("grp").alias(group_col),
+        F.round(F.col("_c").cast("double") + lap, 6).alias("noisy_count"),
+    )

@@ -1103,3 +1103,67 @@ def rolling_features(
         F.round(F.max("value").over(w), 6).alias("roll_max"),
         n.cast("long").alias("roll_n"),
     )
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+    right_value_cols: list[str],
+    suffix: str = "_right",
+) -> DataFrame:
+    """Forward as-of join: for each left row, the EARLIEST right row
+    with ``right.ts >= left.ts`` on the same key (inclusive) — the
+    mirror of ``asof_join``'s backward carry, for "what happened
+    next" enrichment (next error after a click, next fill after an
+    order).
+
+    Same union-and-carry plan, reflected: right rows tag ``_side = 2``
+    so at equal timestamps they sort AFTER the left row (still
+    matching inclusively through the [current, following] frame), and
+    the carried struct arrives via ``first(ignorenulls)`` over an
+    unbounded-FOLLOWING window — one shuffle on the key, no range
+    explosion.  Duplicate right timestamps resolve to the SMALLEST
+    carried struct (earliest match wins, field-wise) — deterministic
+    under any partition layout.
+    """
+    lcols = left.columns
+    out_carried = [f"{c}{suffix}" for c in right_value_cols] + [
+        f"{ts}{suffix}"
+    ]
+    r_struct = F.struct(
+        F.col(ts).alias(f"{ts}{suffix}"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in right_value_cols],
+    )
+    r_tagged = right.select(
+        F.col(key), F.col(ts), F.lit(2).alias("_side"), r_struct.alias("_r")
+    )
+    r_type = r_tagged.schema["_r"].dataType
+    l_tagged = left.select(
+        *lcols,
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(r_type).alias("_r"),
+    )
+    for c in lcols:
+        if c not in (key, ts):
+            r_tagged = r_tagged.withColumn(
+                c, F.lit(None).cast(left.schema[c].dataType)
+            )
+    unioned = l_tagged.unionByName(r_tagged.select(l_tagged.columns))
+    w = (
+        Window.partitionBy(key)
+        .orderBy(
+            F.col(ts).asc(),
+            F.col("_side").asc(),
+            F.col("_r").asc_nulls_last(),
+        )
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    matched = unioned.withColumn(
+        "_r", F.first("_r", ignorenulls=True).over(w)
+    )
+    return matched.filter(F.col("_side") == 1).select(
+        *lcols,
+        *[F.col(f"_r.{c}").alias(c) for c in out_carried],
+    )

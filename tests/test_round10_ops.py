@@ -898,3 +898,83 @@ def test_stream_enrich_matches_batch(spark, tmp_path):
     }
     assert got == want
     assert (9, None) in got
+
+
+def test_k_truss_reference(spark):
+    from moz_datapipeline_spark.graph.truss import k_truss
+
+    # K4 on {1,2,3,4} + a pendant triangle {4,5,6} + a dangling edge
+    k4 = [(i, j) for i in range(1, 5) for j in range(i + 1, 5)]
+    extra = [(4, 5), (4, 6), (5, 6), (6, 7)]
+    edges = spark.createDataFrame(k4 + extra, "src long, dst long")
+
+    # 3-truss: every edge in >= 1 triangle -> drops only (6,7)
+    t3 = {(r.a, r.b) for r in k_truss(edges, k=3, rounds=4).collect()}
+    assert (6, 7) not in t3 and len(t3) == 9
+
+    # 4-truss: every edge in >= 2 triangles within the subgraph ->
+    # exactly the K4 (each K4 edge sits in 2 triangles)
+    t4 = {(r.a, r.b): r.support for r in k_truss(edges, k=4, rounds=4).collect()}
+    assert set(t4) == set(k4)
+    assert all(s >= 2 for s in t4.values())
+
+
+def test_wilson_ci_reference(spark):
+    import math
+
+    from moz_datapipeline_spark.operators.analytics import wilson_ci
+
+    rows = [("a", 1)] * 3 + [("a", 0)] * 7
+    df = spark.createDataFrame(rows, "g string, y int")
+    r = wilson_ci(df, "g", "y").collect()[0]
+    z, n, p = 1.96, 10, 0.3
+    denom = 1 + z * z / n
+    center = (p + z * z / (2 * n)) / denom
+    half = z / denom * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n))
+    assert r.rate == 0.3
+    assert r.ci_lo == round(center - half, 6)
+    assert r.ci_hi == round(center + half, 6)
+    assert 0.0 < r.ci_lo < 0.3 < r.ci_hi < 1.0
+
+
+def test_dp_noisy_counts_reference(spark):
+    from moz_datapipeline_spark.operators.analytics import dp_noisy_counts
+
+    rows = [("a",)] * 100 + [("b",)] * 50
+    df = spark.createDataFrame(rows, "g string")
+    got = {r.g: r.noisy_count for r in dp_noisy_counts(df, "g", epsilon=1.0).collect()}
+    # deterministic: same call -> identical noise
+    got2 = {r.g: r.noisy_count for r in dp_noisy_counts(df, "g", epsilon=1.0).collect()}
+    assert got == got2
+    # noise is bounded in probability; at eps=1 a 60-bit uniform can't
+    # produce |noise| > ~42 (ln of the smallest representable tail)
+    assert abs(got["a"] - 100) < 45 and abs(got["b"] - 50) < 45
+    # different seed -> different draw (overwhelmingly)
+    got3 = {
+        r.g: r.noisy_count
+        for r in dp_noisy_counts(df, "g", epsilon=1.0, seed="other").collect()
+    }
+    assert got3 != got
+
+
+def test_asof_join_forward_reference(spark):
+    from moz_datapipeline_spark.operators.temporal import asof_join_forward
+
+    left = spark.createDataFrame(
+        [(1, 10, "l1"), (1, 20, "l2"), (2, 5, "l3")],
+        "k long, ts long, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 15, 150.0), (1, 19, 190.0), (2, 1, 10.0)],
+        "k long, ts long, v double",
+    )
+    out = {
+        r.tag: (r.v_right, r.ts_right)
+        for r in asof_join_forward(left, right, "k", "ts", ["v"]).collect()
+    }
+    # l1 at ts 10: inclusive match at 10
+    assert out["l1"] == (100.0, 10)
+    # l2 at ts 20: no right row at/after -> NULLs
+    assert out["l2"] == (None, None)
+    # l3 at ts 5: right row at 1 is BEFORE -> no forward match
+    assert out["l3"] == (None, None)
