@@ -6127,6 +6127,102 @@ def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification of parts by revenue cents
+    (operators/analytics.abc_analysis): per-key rollup + the two-phase
+    distributed prefix share in (value DESC, key) order — never a
+    global window over the catalog.  VALUE oracle: sequential
+    cumulative window over the same rollup in DuckDB (exact integer
+    cents make the grouped partial sums engine-identical)."""
+    from moz_datapipeline_spark.operators.analytics import abc_analysis
+
+    li = _t(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.col("l_partkey").alias("part"),
+        F.floor(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+            + F.lit(0.5)
+        ).alias("cents"),
+    )
+    return abc_analysis(base, "part", "cents")
+
+
+def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-vs-returning user split per 30-day bucket — the product
+    growth readout: a user is NEW in the bucket of their first event,
+    RETURNING in any later bucket they appear in.  One per-user
+    min-day aggregate + one per-(bucket, user) presence rollup +
+    a broadcast join of the user-sized first-seen table; integral day
+    buckets (ts div day_ns div 30) keep both engines exact.  VALUE
+    oracle: identical folds in DuckDB."""
+    e = _events(spark, sf_dir)
+    day = F.expr("ts div 86400000000000")
+    present = (
+        e.select(
+            F.col("user_id"),
+            F.expr("(ts div 86400000000000) div 30").alias("bucket"),
+        )
+        .distinct()
+    )
+    first = present.groupBy("user_id").agg(
+        F.min("bucket").alias("_first")
+    )
+    staged = present.join(first, "user_id")
+    return (
+        staged.groupBy("bucket")
+        .agg(
+            F.sum(
+                (F.col("bucket") == F.col("_first")).cast("long")
+            ).alias("new_users"),
+            F.sum(
+                (F.col("bucket") > F.col("_first")).cast("long")
+            ).alias("returning_users"),
+        )
+    )
+
+
+def q_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per 30-day bucket: average daily distinct
+    users over monthly distinct users — the engagement ratio.  Two
+    distinct rollups (day-level, bucket-level) + exact integer folds;
+    bucket = day div 30 on integral epoch days.  VALUE oracle:
+    identical rollups in DuckDB."""
+    e = _events(spark, sf_dir)
+    day = F.expr("ts div 86400000000000")
+    daily = (
+        e.select(F.col("user_id"), day.alias("day"))
+        .distinct()
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("_dau"))
+        .withColumn("bucket", F.expr("day div 30"))
+    )
+    dau = daily.groupBy("bucket").agg(
+        F.sum("_dau").alias("_dau_sum"),
+        F.count(F.lit(1)).alias("_days"),
+    )
+    mau = (
+        e.select(
+            F.col("user_id"), F.expr("(ts div 86400000000000) div 30").alias("bucket")
+        )
+        .distinct()
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("mau"))
+    )
+    out = dau.join(mau, "bucket")
+    avg_dau = F.col("_dau_sum").cast("double") / F.col("_days").cast(
+        "double"
+    )
+    return out.select(
+        "bucket",
+        F.round(avg_dau, 6).alias("avg_dau"),
+        "mau",
+        F.round(
+            F.when(F.col("mau") > 0, avg_dau / F.col("mau").cast("double")),
+            6,
+        ).alias("stickiness"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -6392,6 +6488,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wilson_ci": q_wilson_ci,
         "dp_noisy_counts": q_dp_noisy_counts,
         "asof_forward": q_asof_forward,
+        "abc_analysis": q_abc_analysis,
+        "new_vs_returning": q_new_vs_returning,
+        "dau_mau": q_dau_mau,
     }
 
 
@@ -13354,7 +13453,73 @@ FROM eaul_calc
           ON c.user_id = e.user_id AND e.ts_us >= c.ts_us
     """
 
+    sql["abc_analysis"] = """
+        WITH per AS (
+          SELECT l_partkey AS part,
+                 sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                * 100 + 0.5) AS BIGINT)) AS v
+          FROM lineitem GROUP BY 1
+        ), tot AS (SELECT sum(v) AS t FROM per),
+        c AS (
+          SELECT part, CAST(v AS DOUBLE) AS value,
+                 CASE WHEN t > 0 THEN
+                   CAST(sum(v) OVER (ORDER BY v DESC, part ASC
+                     ROWS UNBOUNDED PRECEDING) AS DOUBLE) / t END
+                   AS share
+          FROM per CROSS JOIN tot
+        )
+        SELECT part, round(value, 6) AS value,
+               round(share, 6) AS cum_share,
+               CASE WHEN share <= 0.8 THEN 'A'
+                    WHEN share <= 0.95 THEN 'B'
+                    ELSE 'C' END AS abc_class
+        FROM c
+    """
+
+    sql["new_vs_returning"] = """
+        WITH present AS (
+          SELECT DISTINCT user_id,
+                 (epoch_ns(ts) // 86400000000000) // 30 AS bucket
+          FROM events
+        ), first AS (
+          SELECT user_id, min(bucket) AS f FROM present GROUP BY 1
+        )
+        SELECT p.bucket AS bucket,
+               CAST(sum(CASE WHEN p.bucket = f THEN 1 ELSE 0 END)
+                 AS BIGINT) AS new_users,
+               CAST(sum(CASE WHEN p.bucket > f THEN 1 ELSE 0 END)
+                 AS BIGINT) AS returning_users
+        FROM present p JOIN first USING (user_id)
+        GROUP BY 1
+    """
+
+    sql["dau_mau"] = """
+        WITH daily AS (
+          SELECT day, count(*) AS dau, day // 30 AS bucket FROM (
+            SELECT DISTINCT user_id,
+                   epoch_ns(ts) // 86400000000000 AS day
+            FROM events
+          ) GROUP BY day
+        ), d AS (
+          SELECT bucket, sum(dau) AS ds, count(*) AS nd
+          FROM daily GROUP BY 1
+        ), m AS (
+          SELECT bucket, CAST(count(*) AS BIGINT) AS mau FROM (
+            SELECT DISTINCT user_id,
+                   (epoch_ns(ts) // 86400000000000) // 30 AS bucket
+            FROM events
+          ) GROUP BY bucket
+        )
+        SELECT d.bucket AS bucket,
+               round(CAST(ds AS DOUBLE) / nd, 6) AS avg_dau,
+               mau,
+               round(CASE WHEN mau > 0 THEN
+                 (CAST(ds AS DOUBLE) / nd) / mau END, 6) AS stickiness
+        FROM d JOIN m ON d.bucket = m.bucket
+    """
+
     return sql
+
 
 
 

@@ -2544,3 +2544,76 @@ def dp_noisy_counts(
         F.col("grp").alias(group_col),
         F.round(F.col("_c").cast("double") + lap, 6).alias("noisy_count"),
     )
+
+
+def abc_analysis(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    a_share: float = 0.8,
+    b_share: float = 0.95,
+) -> DataFrame:
+    """ABC / Pareto classification: ``(key, value, cum_share,
+    abc_class)`` — items sorted by value DESCENDING, class A while the
+    running share of total value ≤ ``a_share``, B to ``b_share``, C
+    after (boundary items classify by the share INCLUDING themselves,
+    the standard inventory convention).  The working cut behind
+    "80% of revenue is 20% of SKUs": stock A tightly, spot-check B,
+    automate C.
+
+    The running share is the two-phase distributed prefix sum over
+    the per-key rollup in (value DESC, key ASC) order — range
+    partition, local running sums, broadcast exclusive bases (the
+    ``pr_curve`` idiom; never a global single-partition window, which
+    at a 10⁸-SKU catalog is the sort that never finishes).  Negative
+    totals raise (cumulative share loses monotonicity — the
+    ``lorenz_curve`` contract).
+    """
+    x = F.col(value_col).cast("double")
+    per = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.sum(x).alias("value")
+    )
+    if per.filter(F.col("value") < 0).limit(1).collect():
+        raise ValueError(
+            "abc_analysis: negative totals break share monotonicity"
+        )
+    ranged = per.repartitionByRange(
+        F.col("value").desc(), F.col("key").asc()
+    ).withColumn("_pid", F.spark_partition_id())
+    lw = (
+        Window.partitionBy("_pid")
+        .orderBy(F.col("value").desc(), F.col("key").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = ranged.withColumn("_cum_local", F.sum("value").over(lw)).cache()
+    bases = (
+        local.groupBy("_pid")
+        .agg(F.sum("value").alias("_tot"))
+        .withColumn(
+            "_base",
+            F.coalesce(
+                F.sum("_tot").over(
+                    Window.orderBy("_pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0.0),
+            ),
+        )
+        .withColumn("_t", F.sum("_tot").over(Window.partitionBy()))
+        .select("_pid", "_base", "_t")
+    )
+    staged = local.join(F.broadcast(bases), "_pid")
+    share = F.when(
+        F.col("_t") > 0,
+        (F.col("_cum_local") + F.col("_base")) / F.col("_t"),
+    )
+    return staged.select(
+        F.col("key").alias(key_col),
+        F.round("value", 6).alias("value"),
+        F.round(share, 6).alias("cum_share"),
+        F.when(share <= F.lit(float(a_share)), F.lit("A"))
+        .when(share <= F.lit(float(b_share)), F.lit("B"))
+        .otherwise(F.lit("C"))
+        .alias("abc_class"),
+    )

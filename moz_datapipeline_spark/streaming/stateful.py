@@ -460,3 +460,105 @@ def dedup_stream_watermarked(
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         list(keys)
     )
+
+
+ANOMALY_OUT_SCHEMA = (
+    "grp string, ts long, value double, zscore double, is_anomaly boolean"
+)
+ANOMALY_STATE_SCHEMA = "n long, mean double, m2 double"
+
+
+def _anomaly_fn(threshold: float, min_n: int):
+    """Closure factory: per-group Welford z-score anomaly flags.
+
+    State = the running (n, mean, M2) Welford accumulator.  Each event
+    (replayed in event-time order within the batch) is scored against
+    the PRE-UPDATE state — an anomaly must not dilute the baseline it
+    is judged by — then folded in.  Events before ``min_n`` history
+    get NULL z / False (no basis to judge), mirroring
+    ``rolling_zscore_anomalies``' warm-up rule.
+    """
+
+    def fn(
+        key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import math
+
+        if state.exists:
+            n, mean, m2 = state.get
+            n, mean, m2 = int(n), float(mean), float(m2)
+        else:
+            n, mean, m2 = 0, 0.0, 0.0
+        rows: list[tuple[int, float]] = []
+        for pdf in batches:
+            rows.extend(
+                (int(t), float(v)) for t, v in zip(pdf["ts"], pdf["value"])
+            )
+        out = []
+        for ts, v in sorted(rows):
+            z = None
+            flag = False
+            if n >= min_n:
+                var = m2 / (n - 1) if n > 1 else 0.0
+                if var > 0:
+                    z = (v - mean) / math.sqrt(var)
+                    flag = abs(z) > threshold
+            # Welford fold (numerically stable incremental moments)
+            n += 1
+            delta = v - mean
+            mean += delta / n
+            m2 += delta * (v - mean)
+            out.append(
+                {
+                    "grp": key[0],
+                    "ts": ts,
+                    "value": v,
+                    "zscore": None if z is None else round(z, 6),
+                    "is_anomaly": flag,
+                }
+            )
+        state.update((n, mean, m2))
+        yield pd.DataFrame(
+            out,
+            columns=["grp", "ts", "value", "zscore", "is_anomaly"],
+        )
+
+    return fn
+
+
+def anomaly_stream(
+    events: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    threshold: float = 3.0,
+    min_n: int = 10,
+) -> DataFrame:
+    """Streaming per-group anomaly detector with BOUNDED state: the
+    Welford (n, mean, M2) accumulator per group — three doubles, O(1)
+    per group regardless of stream length (the windowed alternative
+    buffers rows; this never does).  Each event is z-scored against
+    the history BEFORE it and flagged at ``|z| > threshold``; the
+    first ``min_n`` events per group warm up silently.
+
+    Exact under per-group in-order delivery (events sort by event time
+    within each micro-batch; a straggler older than an already-folded
+    event joins the fold late — the standard streaming approximation,
+    same contract as ``funnel_stream``).  The batch replay of the same
+    fold is the unit-test twin.
+    """
+    return (
+        events.selectExpr(
+            f"CAST({group_col} AS STRING) AS grp",
+            f"CAST({ts_col} AS LONG) AS ts",
+            f"CAST({value_col} AS DOUBLE) AS value",
+        )
+        .groupBy("grp")
+        .applyInPandasWithState(
+            _anomaly_fn(float(threshold), int(min_n)),
+            outputStructType=ANOMALY_OUT_SCHEMA,
+            stateStructType=ANOMALY_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -978,3 +978,87 @@ def test_asof_join_forward_reference(spark):
     assert out["l2"] == (None, None)
     # l3 at ts 5: right row at 1 is BEFORE -> no forward match
     assert out["l3"] == (None, None)
+
+
+def test_abc_analysis_reference(spark):
+    from moz_datapipeline_spark.operators.analytics import abc_analysis
+
+    rows = [("p1", 80.0), ("p2", 15.0), ("p3", 4.0), ("p4", 1.0)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    got = {r.k: r for r in abc_analysis(df, "k", "v").collect()}
+    assert got["p1"].abc_class == "A" and got["p1"].cum_share == 0.8
+    assert got["p2"].abc_class == "B" and got["p2"].cum_share == 0.95
+    assert got["p3"].abc_class == "C"
+    assert got["p4"].cum_share == 1.0
+
+
+def test_anomaly_stream_state_across_batches(spark, tmp_path):
+    """Welford state carries across micro-batches: 12 calm events in
+    batch 1 warm the baseline; a wild value in batch 2 flags against
+    state built in batch 1.  The flags equal a driver-side replay of
+    the same fold (the batch twin)."""
+    import json
+    import math
+
+    from moz_datapipeline_spark.streaming.stateful import anomaly_stream
+
+    src = tmp_path / "anom_in"
+    src.mkdir()
+    chk = str(tmp_path / "anom_chk")
+    calm = [
+        {"event_type": "g", "ts": i, "value": 10.0 + (i % 3)}
+        for i in range(12)
+    ]
+    wild = [
+        {"event_type": "g", "ts": 100, "value": 500.0},
+        {"event_type": "g", "ts": 101, "value": 10.5},
+    ]
+
+    def dump(name, rows):
+        with open(src / name, "w") as fh:
+            for r in rows:
+                fh.write(json.dumps(r) + "\n")
+
+    dump("b1.json", calm)
+    stream = spark.readStream.schema(
+        "event_type string, ts long, value double"
+    ).json(str(src))
+    q = (
+        anomaly_stream(stream, min_n=10)
+        .writeStream.format("memory")
+        .queryName("anom_out")
+        .outputMode("append")
+        .option("checkpointLocation", chk)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        dump("b2.json", wild)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r.ts: (r.zscore, r.is_anomaly)
+        for r in spark.table("anom_out").collect()
+    }
+    assert len(got) == 14
+
+    # driver-side replay (the batch twin)
+    n, mean, m2 = 0, 0.0, 0.0
+    want = {}
+    for ts, v in sorted(
+        (r["ts"], r["value"]) for r in calm + wild
+    ):
+        z, flag = None, False
+        if n >= 10:
+            var = m2 / (n - 1)
+            if var > 0:
+                z = round((v - mean) / math.sqrt(var), 6)
+                flag = abs((v - mean) / math.sqrt(var)) > 3.0
+        n += 1
+        d = v - mean
+        mean += d / n
+        m2 += d * (v - mean)
+        want[ts] = (z, flag)
+    assert got == want
+    assert got[100][1] is True and got[101][1] is False
