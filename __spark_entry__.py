@@ -6223,6 +6223,22 @@ def q_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_group_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority modal quantity (operators/analytics.group_mode):
+    two map-side-combined aggregates + a group-sized join, smallest-
+    value tiebreak — never an engine-lottery mode().  VALUE oracle:
+    the same peak + min fold in DuckDB."""
+    from moz_datapipeline_spark.operators.analytics import group_mode
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    j = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("l_quantity").cast("int").alias("qty"),
+    )
+    return group_mode(j, "priority", "qty")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -6491,6 +6507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "abc_analysis": q_abc_analysis,
         "new_vs_returning": q_new_vs_returning,
         "dau_mau": q_dau_mau,
+        "group_mode": q_group_mode,
     }
 
 
@@ -13516,6 +13533,28 @@ FROM eaul_calc
                round(CASE WHEN mau > 0 THEN
                  (CAST(ds AS DOUBLE) / nd) / mau END, 6) AS stickiness
         FROM d JOIN m ON d.bucket = m.bucket
+    """
+
+    sql["group_mode"] = """
+        WITH per AS (
+          SELECT o_orderpriority AS priority,
+                 CAST(l_quantity AS INTEGER) AS qty,
+                 count(*) AS c
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+          WHERE o_orderpriority IS NOT NULL AND l_quantity IS NOT NULL
+          GROUP BY 1, 2
+        ), peak AS (
+          SELECT priority, max(c) AS p,
+                 CAST(count(*) AS BIGINT) AS n_distinct
+          FROM per GROUP BY 1
+        )
+        SELECT per.priority AS priority,
+               min(qty) AS mode,
+               CAST(max(p) AS BIGINT) AS mode_count,
+               max(n_distinct) AS n_distinct
+        FROM per JOIN peak ON per.priority = peak.priority
+                          AND per.c = peak.p
+        GROUP BY 1
     """
 
     return sql

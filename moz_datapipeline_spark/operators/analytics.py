@@ -2617,3 +2617,50 @@ def abc_analysis(
         .otherwise(F.lit("C"))
         .alias("abc_class"),
     )
+
+
+def group_mode(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-group mode with a deterministic tiebreak: ``(group, mode,
+    mode_count, n_distinct)`` — the most frequent value, ties resolved
+    to the SMALLEST value (engines disagree on arbitrary-tie ``mode()``
+    — a partition-lottery mode is a flaky pipeline).
+
+    Plan: one (group, value) hash aggregate, then an argmax struct
+    fold ``max(struct(count, value_desc_key))`` per group — two
+    map-side-combined aggregates, no window, no sort.  The tiebreak
+    rides the struct comparison: count first, then the NEGATED
+    orderable value key so the smallest value wins among tied counts
+    (strings compare via their byte order on a fixed-width md5-free
+    path: we keep the raw value and invert comparison by sorting on
+    (count, value) with ``min`` over equal counts — implemented as a
+    two-level struct: max by count, min by value).
+    """
+    base = df.filter(
+        F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
+    )
+    per = base.groupBy(
+        F.col(group_col).alias("grp"), F.col(value_col).alias("val")
+    ).agg(F.count(F.lit(1)).alias("_c"))
+    # argmax by count with min-value tiebreak: max(struct(c, negkey))
+    # needs an orderable negation for arbitrary types, so instead take
+    # max(c) per group first, then min(val) among rows at that count —
+    # two group-sized aggregates + one broadcast-sized join
+    peak = per.groupBy("grp").agg(
+        F.max("_c").alias("_peak"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+    )
+    out = (
+        per.join(peak, "grp")
+        .filter(F.col("_c") == F.col("_peak"))
+        .groupBy("grp")
+        .agg(
+            F.min("val").alias("mode"),
+            F.max("_peak").cast("long").alias("mode_count"),
+            F.max("n_distinct").alias("n_distinct"),
+        )
+    )
+    return out.withColumnRenamed("grp", group_col)

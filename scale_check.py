@@ -1728,7 +1728,51 @@ def round10_ops_scale_check(spark) -> dict:
     t_mt = time.perf_counter() - t0
     assert n_mt <= 400
 
+    # k-truss on a planted-community graph: 100k cliques of 6 (1.5M
+    # in-community edges) + 1M random cross edges — the support peel
+    # must strip the random edges and keep the cliques, with wedge
+    # volume bounded by the degree orientation (never |E|² pairs)
+    from moz_datapipeline_spark.graph.truss import k_truss
+
+    n_cliques = 100_000
+    clique = spark.range(n_cliques * 15).select(
+        (F.col("id") % n_cliques).alias("cq"),
+        (F.col("id") / n_cliques).cast("long").alias("pair"),
+    )
+    # the 15 unordered pairs of a 6-clique, arithmetically
+    pair_a = F.expr(
+        "CASE WHEN pair < 5 THEN 0 WHEN pair < 9 THEN 1 "
+        "WHEN pair < 12 THEN 2 WHEN pair < 14 THEN 3 ELSE 4 END"
+    )
+    pair_b = F.expr(
+        "CASE WHEN pair < 5 THEN pair + 1 "
+        "WHEN pair < 9 THEN pair - 3 "
+        "WHEN pair < 12 THEN pair - 9 + 3 "
+        "WHEN pair < 14 THEN pair - 12 + 4 ELSE 5 END"
+    )
+    clique_edges = clique.select(
+        (F.col("cq") * 6 + pair_a).alias("src"),
+        (F.col("cq") * 6 + pair_b).alias("dst"),
+    )
+    noise = spark.range(1_000_000).select(
+        (F.abs(F.xxhash64("id")) % (n_cliques * 6)).alias("src"),
+        (F.abs(F.xxhash64("id", F.lit(1))) % (n_cliques * 6)).alias(
+            "dst"
+        ),
+    )
+    t0 = time.perf_counter()
+    truss = k_truss(
+        clique_edges.unionByName(noise), k=4, rounds=3
+    )
+    n_truss = truss.count()
+    t_truss = time.perf_counter() - t0
+    # every clique edge survives (support 4 within its 6-clique)
+    assert n_truss >= n_cliques * 15, n_truss
+
     return {
+        "ktruss_edges_in": 2_500_000,
+        "ktruss_edges_kept": n_truss,
+        "ktruss_sec": round(t_truss, 2),
         "margin_recall_by_tables": recall_by_tables,
         "quantiles_patho_rows": 50_000_000,
         "quantiles_patho_distinct": 12,

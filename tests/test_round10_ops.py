@@ -1062,3 +1062,13 @@ def test_anomaly_stream_state_across_batches(spark, tmp_path):
         want[ts] = (z, flag)
     assert got == want
     assert got[100][1] is True and got[101][1] is False
+
+
+def test_group_mode_reference(spark):
+    from moz_datapipeline_spark.operators.analytics import group_mode
+
+    rows = [("g", 3)] * 2 + [("g", 1)] * 2 + [("g", 2)]
+    df = spark.createDataFrame(rows, "g string, v int")
+    r = group_mode(df, "g", "v").collect()[0]
+    # counts tie at 2 for values 1 and 3 -> smallest wins
+    assert (r.mode, r.mode_count, r.n_distinct) == (1, 2, 3)
