@@ -6239,6 +6239,60 @@ def q_group_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return group_mode(j, "priority", "qty")
 
 
+def q_log_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank test between even/odd user cohorts' activity-span
+    survival (operators/analytics.log_rank_test): duration×group
+    rollup + prefix risk sets + one fold — windows only over the
+    duration rollup.  VALUE oracle: identical windows in DuckDB."""
+    from moz_datapipeline_spark.operators.analytics import log_rank_test
+
+    e = _events(spark, sf_dir)
+    day = F.expr("ts div 86400000000000")
+    spans = e.groupBy("user_id").agg(
+        F.min(day).alias("_first"), F.max(day).alias("_last")
+    )
+    edge = e.agg(F.max(day).alias("_edge"))
+    subj = spans.crossJoin(F.broadcast(edge)).select(
+        (F.col("user_id") % 2).cast("int").alias("cohort"),
+        (F.col("_last") - F.col("_first")).alias("duration"),
+        (F.col("_last") < F.col("_edge") - 3).cast("int").alias("event"),
+    )
+    return log_rank_test(subj, "duration", "event", "cohort")
+
+
+def q_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences of order value (cents): treated =
+    odd customers, post = orders from 1997 on (operators/analytics
+    .diff_in_diff): one conditional-sum aggregate over the 2×2.
+    VALUE oracle: the same four cells in DuckDB."""
+    from moz_datapipeline_spark.operators.analytics import diff_in_diff
+
+    o = _t(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % 2).cast("int").alias("treated"),
+        (F.year("o_orderdate") >= 1997).cast("int").alias("post"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).alias("cents"),
+    )
+    return diff_in_diff(o, "treated", "post", "cents")
+
+
+def q_covariate_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standardized mean differences of quantity/linenumber between
+    returned and kept line items (operators/analytics
+    .covariate_balance): one stack unpivot + one conditional-sum
+    aggregate per covariate; integer covariates keep every sum exact.
+    VALUE oracle: identical folds in DuckDB."""
+    from moz_datapipeline_spark.operators.analytics import (
+        covariate_balance,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_returnflag") == "R").cast("int").alias("treated"),
+        F.col("l_quantity"),
+        F.col("l_linenumber").cast("double").alias("l_linenumber"),
+    )
+    return covariate_balance(li, "treated", ["l_quantity", "l_linenumber"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -6508,6 +6562,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "new_vs_returning": q_new_vs_returning,
         "dau_mau": q_dau_mau,
         "group_mode": q_group_mode,
+        "log_rank": q_log_rank,
+        "diff_in_diff": q_diff_in_diff,
+        "covariate_balance": q_covariate_balance,
     }
 
 
@@ -13557,7 +13614,137 @@ FROM eaul_calc
         GROUP BY 1
     """
 
+    sql["log_rank"] = """
+        WITH spans AS (
+          SELECT user_id,
+                 min(epoch_ns(ts) // 86400000000000) AS f,
+                 max(epoch_ns(ts) // 86400000000000) AS l
+          FROM events GROUP BY 1
+        ), edge AS (
+          SELECT max(epoch_ns(ts) // 86400000000000) AS e FROM events
+        ), subj AS (
+          SELECT CAST(user_id % 2 AS INTEGER) AS cohort,
+                 CAST(l - f AS DOUBLE) AS t,
+                 CASE WHEN l < e - 3 THEN 1 ELSE 0 END AS ev
+          FROM spans CROSS JOIN edge
+        ), per AS (
+          SELECT t, sum(ev) AS d, count(*) AS r,
+                 sum(CASE WHEN cohort = 0 THEN ev ELSE 0 END) AS da,
+                 sum(CASE WHEN cohort = 0 THEN 1 ELSE 0 END) AS ra
+          FROM subj GROUP BY 1
+        ), staged AS (
+          SELECT t, d, da, ra, r,
+                 CAST(sum(r) OVER () - coalesce(sum(r) OVER (
+                   ORDER BY t ASC ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) AS DOUBLE) AS n_t,
+                 CAST(sum(ra) OVER () - coalesce(sum(ra) OVER (
+                   ORDER BY t ASC ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) AS DOUBLE) AS na_t
+          FROM per
+        ), f AS (
+          SELECT CAST(sum(ra) AS BIGINT) AS n_a,
+                 CAST(sum(r) - sum(ra) AS BIGINT) AS n_b,
+                 sum(CAST(da AS DOUBLE)) AS soa,
+                 sum(CASE WHEN n_t > 0
+                   THEN CAST(d AS DOUBLE) * na_t / n_t
+                   ELSE 0.0 END) AS sea,
+                 sum(CASE WHEN n_t > 1
+                   THEN CAST(d AS DOUBLE) * (n_t - d) * na_t
+                        * (n_t - na_t) / (n_t * n_t * (n_t - 1.0))
+                   ELSE 0.0 END) AS sv
+          FROM staged
+        )
+        SELECT n_a, n_b,
+               CAST(soa AS BIGINT) AS observed_a,
+               round(sea, 6) AS expected_a,
+               round(CASE WHEN sv > 0
+                 THEN (soa - sea) * (soa - sea) / sv END, 6) AS chi2,
+               CASE WHEN sv > 0 THEN
+                 CAST((soa - sea) * (soa - sea) / sv > 3.841
+                   AS INTEGER) END AS significant
+        FROM f
+    """
+
+    sql["diff_in_diff"] = """
+        WITH base AS (
+          SELECT CAST(o_custkey % 2 AS INTEGER) AS t,
+                 CASE WHEN year(o_orderdate) >= 1997 THEN 1 ELSE 0
+                   END AS p,
+                 CAST(floor(o_totalprice * 100 + 0.5) AS DOUBLE) AS y
+          FROM orders
+          WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+                AND o_totalprice IS NOT NULL
+        ), f AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 sum(CASE WHEN t=0 AND p=0 THEN y ELSE 0 END) AS s00,
+                 sum(CASE WHEN t=0 AND p=0 THEN 1.0 ELSE 0 END) AS n00,
+                 sum(CASE WHEN t=0 AND p=1 THEN y ELSE 0 END) AS s01,
+                 sum(CASE WHEN t=0 AND p=1 THEN 1.0 ELSE 0 END) AS n01,
+                 sum(CASE WHEN t=1 AND p=0 THEN y ELSE 0 END) AS s10,
+                 sum(CASE WHEN t=1 AND p=0 THEN 1.0 ELSE 0 END) AS n10,
+                 sum(CASE WHEN t=1 AND p=1 THEN y ELSE 0 END) AS s11,
+                 sum(CASE WHEN t=1 AND p=1 THEN 1.0 ELSE 0 END) AS n11
+          FROM base
+        )
+        SELECT n,
+               round(CASE WHEN n00 > 0 THEN s00 / n00 END, 6)
+                 AS mean_c_pre,
+               round(CASE WHEN n01 > 0 THEN s01 / n01 END, 6)
+                 AS mean_c_post,
+               round(CASE WHEN n10 > 0 THEN s10 / n10 END, 6)
+                 AS mean_t_pre,
+               round(CASE WHEN n11 > 0 THEN s11 / n11 END, 6)
+                 AS mean_t_post,
+               round((CASE WHEN n11 > 0 THEN s11 / n11 END
+                      - CASE WHEN n10 > 0 THEN s10 / n10 END)
+                     - (CASE WHEN n01 > 0 THEN s01 / n01 END
+                        - CASE WHEN n00 > 0 THEN s00 / n00 END), 6)
+                 AS did
+        FROM f
+    """
+
+    sql["covariate_balance"] = """
+        WITH long AS (
+          SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS t,
+                 cov.covariate AS covariate, cov.x AS x
+          FROM lineitem, LATERAL (
+            SELECT * FROM (VALUES
+              ('l_quantity', CAST(l_quantity AS DOUBLE)),
+              ('l_linenumber', CAST(l_linenumber AS DOUBLE))
+            ) AS v(covariate, x)
+          ) cov
+          WHERE cov.x IS NOT NULL AND l_returnflag IS NOT NULL
+        ), per AS (
+          SELECT covariate,
+                 sum(CASE WHEN t=1 THEN 1.0 ELSE 0 END) AS nt,
+                 sum(CASE WHEN t=0 THEN 1.0 ELSE 0 END) AS nc,
+                 sum(CASE WHEN t=1 THEN x ELSE 0 END) AS st,
+                 sum(CASE WHEN t=0 THEN x ELSE 0 END) AS sc,
+                 sum(CASE WHEN t=1 THEN x*x ELSE 0 END) AS sst,
+                 sum(CASE WHEN t=0 THEN x*x ELSE 0 END) AS ssc
+          FROM long GROUP BY 1
+        ), g AS (
+          SELECT *,
+                 CASE WHEN nt > 0 THEN st / nt END AS mt,
+                 CASE WHEN nc > 0 THEN sc / nc END AS mc,
+                 CASE WHEN nt > 1
+                   THEN (sst - st*st/nt) / (nt - 1.0) END AS vt,
+                 CASE WHEN nc > 1
+                   THEN (ssc - sc*sc/nc) / (nc - 1.0) END AS vc
+          FROM per
+        )
+        SELECT covariate,
+               CAST(nt AS BIGINT) AS n_treated,
+               CAST(nc AS BIGINT) AS n_control,
+               round(mt, 6) AS mean_t,
+               round(mc, 6) AS mean_c,
+               round(CASE WHEN sqrt((vt + vc) / 2.0) > 0
+                 THEN (mt - mc) / sqrt((vt + vc) / 2.0) END, 6) AS smd
+        FROM g
+    """
+
     return sql
+
 
 
 

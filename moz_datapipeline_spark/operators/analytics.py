@@ -2664,3 +2664,215 @@ def group_mode(
         )
     )
     return out.withColumnRenamed("grp", group_col)
+
+
+def log_rank_test(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Two-sample log-rank test, one row ``(n_a, n_b, observed_a,
+    expected_a, chi2, significant)`` — do two survival curves differ?
+    The hypothesis test that pairs with ``kaplan_meier``'s picture: at
+    every distinct event time t, group A's expected events under H₀
+    are ``d_t · n_At / n_t``; the statistic is
+    ``(Σ O_A − Σ E_A)² / Σ V_t`` with the hypergeometric variance
+    ``V_t = d_t (n_t−d_t) n_At n_Bt / (n_t² (n_t−1))``, χ²₁-distributed
+    (``significant`` at 3.841, two-sided 5%).
+
+    Plan shape: the ``kaplan_meier`` rollup twice-keyed — one hash
+    aggregate to (duration × group) cells, per-group exclusive prefix
+    sums for the risk sets (windows over the duration rollup, never
+    raw rows), then ONE fold.  Groups beyond the first two (by key
+    order) raise — the two-sample form is the contract.
+    """
+    gvals = [
+        r["g"]
+        for r in df.select(F.col(group_col).alias("g"))
+        .filter(F.col("g").isNotNull())
+        .distinct()
+        .orderBy("g")
+        .limit(3)
+        .collect()
+    ]
+    if len(gvals) != 2:
+        raise ValueError(
+            f"log_rank_test: need exactly 2 groups, found {gvals!r}"
+        )
+    ga, gb = gvals
+    d = F.col(duration_col).cast("double")
+    ev = F.col(event_col).cast("int")
+    base = df.filter(
+        d.isNotNull() & F.col(group_col).isin([ga, gb])
+    ).select(
+        (F.col(group_col) == F.lit(ga)).cast("int").alias("_isa"),
+        d.alias("_t"),
+        ev.alias("_e"),
+    )
+    per = base.groupBy("_t").agg(
+        F.sum("_e").alias("_d"),
+        F.count(F.lit(1)).alias("_r"),
+        F.sum(F.col("_isa") * F.col("_e")).alias("_da"),
+        F.sum("_isa").alias("_ra"),
+    )
+    wcum = (
+        Window.orderBy(F.col("_t").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wtot = Window.partitionBy()
+    # risk sets: subjects with duration >= t (windows over the
+    # duration-cardinality rollup — never data-sized)
+    n_t = (
+        F.sum("_r").over(wtot) - F.coalesce(F.sum("_r").over(wcum), F.lit(0))
+    ).cast("double")
+    na_t = (
+        F.sum("_ra").over(wtot)
+        - F.coalesce(F.sum("_ra").over(wcum), F.lit(0))
+    ).cast("double")
+    dd = F.col("_d").cast("double")
+    e_a = F.when(n_t > 0, dd * na_t / n_t).otherwise(F.lit(0.0))
+    v_t = F.when(
+        n_t > 1,
+        dd * (n_t - dd) * na_t * (n_t - na_t) / (n_t * n_t * (n_t - 1.0)),
+    ).otherwise(F.lit(0.0))
+    staged = per.select(
+        F.col("_da").cast("double").alias("_oa"),
+        e_a.alias("_ea"),
+        v_t.alias("_v"),
+        F.col("_ra").alias("_ra"),
+        F.col("_r").alias("_r"),
+    )
+    folded = staged.agg(
+        F.sum("_ra").cast("long").alias("n_a"),
+        (F.sum("_r") - F.sum("_ra")).cast("long").alias("n_b"),
+        F.sum("_oa").alias("_soa"),
+        F.sum("_ea").alias("_sea"),
+        F.sum("_v").alias("_sv"),
+    )
+    chi2 = F.when(
+        F.col("_sv") > 0,
+        (F.col("_soa") - F.col("_sea"))
+        * (F.col("_soa") - F.col("_sea"))
+        / F.col("_sv"),
+    )
+    return folded.select(
+        "n_a",
+        "n_b",
+        F.col("_soa").cast("long").alias("observed_a"),
+        F.round(F.col("_sea"), 6).alias("expected_a"),
+        F.round(chi2, 6).alias("chi2"),
+        F.when(chi2.isNotNull(), (chi2 > 3.841).cast("int")).alias(
+            "significant"
+        ),
+    )
+
+
+def diff_in_diff(
+    df: DataFrame,
+    treated_col: str,
+    post_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Difference-in-differences estimator, one row ``(n, mean_c_pre,
+    mean_c_post, mean_t_pre, mean_t_post, did)`` — the 2×2 interaction
+    ``(T_post − T_pre) − (C_post − C_pre)``: the causal-effect
+    workhorse when a clean A/B is impossible and both arms share a
+    trend (the parallel-trends assumption is YOURS to defend; this
+    computes the estimator).
+
+    ONE conditional-sum hash aggregate over the four cells; an empty
+    cell yields NULL did, never a silent zero.
+    """
+    t = F.col(treated_col).cast("int")
+    p = F.col(post_col).cast("int")
+    y = F.col(value_col).cast("double")
+    base = df.filter(t.isNotNull() & p.isNotNull() & y.isNotNull())
+
+    def cell(ti: int, pi: int):
+        m = ((t == ti) & (p == pi)).cast("int").cast("double")
+        return F.sum(m * y), F.sum(m)
+
+    s00, n00 = cell(0, 0)
+    s01, n01 = cell(0, 1)
+    s10, n10 = cell(1, 0)
+    s11, n11 = cell(1, 1)
+    folded = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        s00.alias("_s00"), n00.alias("_n00"),
+        s01.alias("_s01"), n01.alias("_n01"),
+        s10.alias("_s10"), n10.alias("_n10"),
+        s11.alias("_s11"), n11.alias("_n11"),
+    )
+
+    def mean(s, n):
+        return F.when(F.col(n) > 0, F.col(s) / F.col(n))
+
+    m00 = mean("_s00", "_n00")
+    m01 = mean("_s01", "_n01")
+    m10 = mean("_s10", "_n10")
+    m11 = mean("_s11", "_n11")
+    did = (m11 - m10) - (m01 - m00)
+    return folded.select(
+        "n",
+        F.round(m00, 6).alias("mean_c_pre"),
+        F.round(m01, 6).alias("mean_c_post"),
+        F.round(m10, 6).alias("mean_t_pre"),
+        F.round(m11, 6).alias("mean_t_post"),
+        F.round(did, 6).alias("did"),
+    )
+
+
+def covariate_balance(
+    df: DataFrame,
+    treated_col: str,
+    covariate_cols: list[str],
+) -> DataFrame:
+    """Standardized mean differences per covariate: ``(covariate,
+    n_treated, n_control, mean_t, mean_c, smd)`` with
+    ``smd = (μ_t − μ_c) / sqrt((s²_t + s²_c)/2)`` (sample variances) —
+    the table every observational study shows before trusting an
+    effect estimate (|SMD| < 0.1 is the conventional "balanced" bar).
+
+    Plan: one unpivot (``stack``) to (covariate, value) rows, then ONE
+    conditional-sum aggregate per covariate — map-side combined, no
+    joins, |covariates|-sized output.  Zero pooled variance yields
+    NULL smd.
+    """
+    if not covariate_cols:
+        raise ValueError("covariate_balance: need covariate_cols")
+    t = F.col(treated_col).cast("int")
+    stack = ", ".join(
+        f"'{c}', CAST({c} AS DOUBLE)" for c in covariate_cols
+    )
+    long = df.filter(t.isNotNull()).select(
+        t.alias("_t"),
+        F.expr(
+            f"stack({len(covariate_cols)}, {stack}) AS (covariate, _x)"
+        ),
+    ).filter(F.col("_x").isNotNull())
+    ti = F.col("_t").cast("double")
+    ci = (1 - F.col("_t")).cast("double")
+    per = long.groupBy("covariate").agg(
+        F.sum(ti).alias("_nt"),
+        F.sum(ci).alias("_nc"),
+        F.sum(ti * F.col("_x")).alias("_st"),
+        F.sum(ci * F.col("_x")).alias("_sc"),
+        F.sum(ti * F.col("_x") * F.col("_x")).alias("_sst"),
+        F.sum(ci * F.col("_x") * F.col("_x")).alias("_ssc"),
+    )
+    nt, nc = F.col("_nt"), F.col("_nc")
+    mt = F.when(nt > 0, F.col("_st") / nt)
+    mc = F.when(nc > 0, F.col("_sc") / nc)
+    vt = F.when(nt > 1, (F.col("_sst") - F.col("_st") * F.col("_st") / nt) / (nt - 1.0))
+    vc = F.when(nc > 1, (F.col("_ssc") - F.col("_sc") * F.col("_sc") / nc) / (nc - 1.0))
+    pooled = F.sqrt((vt + vc) / 2.0)
+    smd = F.when(pooled > 0, (mt - mc) / pooled)
+    return per.select(
+        "covariate",
+        nt.cast("long").alias("n_treated"),
+        nc.cast("long").alias("n_control"),
+        F.round(mt, 6).alias("mean_t"),
+        F.round(mc, 6).alias("mean_c"),
+        F.round(smd, 6).alias("smd"),
+    )

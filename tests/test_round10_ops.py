@@ -1072,3 +1072,80 @@ def test_group_mode_reference(spark):
     r = group_mode(df, "g", "v").collect()[0]
     # counts tie at 2 for values 1 and 3 -> smallest wins
     assert (r.mode, r.mode_count, r.n_distinct) == (1, 2, 3)
+
+
+def test_log_rank_reference(spark):
+    from moz_datapipeline_spark.operators.analytics import log_rank_test
+
+    # identical curves -> chi2 ~ 0
+    rows = [("a", float(t), 1) for t in (1, 2, 3)] + [
+        ("b", float(t), 1) for t in (1, 2, 3)
+    ]
+    df = spark.createDataFrame(rows, "g string, t double, e int")
+    r = log_rank_test(df, "t", "e", "g").collect()[0]
+    assert r.n_a == 3 and r.n_b == 3
+    assert r.chi2 == 0.0 and r.significant == 0
+
+    # textbook: A events at 1,2 ; B events at 3,4 (A dies earlier)
+    rows2 = [("a", 1.0, 1), ("a", 2.0, 1), ("b", 3.0, 1), ("b", 4.0, 1)]
+    r2 = log_rank_test(
+        spark.createDataFrame(rows2, "g string, t double, e int"),
+        "t", "e", "g",
+    ).collect()[0]
+    # hand fold: t=1: d=1,n=4,na=2 -> e=.5, v=1*3*2*2/(16*3)=.25
+    # t=2: d=1,n=3,na=1 -> e=1/3, v=1*2*1*2/(9*2)=2/9
+    # t=3: d=1,n=2,na=0 -> e=0, v=0
+    # t=4: n=1 -> v=0, e=0
+    oa, ea = 2.0, 0.5 + 1 / 3
+    v = 0.25 + 2 / 9
+    assert r2.observed_a == 2
+    assert r2.expected_a == round(ea, 6)
+    assert r2.chi2 == round((oa - ea) ** 2 / v, 6)
+
+    import pytest
+    with pytest.raises(ValueError):
+        log_rank_test(
+            spark.createDataFrame(
+                [("a", 1.0, 1), ("b", 1.0, 1), ("c", 1.0, 1)],
+                "g string, t double, e int",
+            ),
+            "t", "e", "g",
+        )
+
+
+def test_diff_in_diff_reference(spark):
+    from moz_datapipeline_spark.operators.analytics import diff_in_diff
+
+    rows = [
+        (0, 0, 10.0), (0, 0, 12.0),   # control pre: mean 11
+        (0, 1, 14.0), (0, 1, 16.0),   # control post: mean 15 (+4)
+        (1, 0, 20.0), (1, 0, 22.0),   # treated pre: mean 21
+        (1, 1, 30.0), (1, 1, 32.0),   # treated post: mean 31 (+10)
+    ]
+    df = spark.createDataFrame(rows, "t int, p int, y double")
+    r = diff_in_diff(df, "t", "p", "y").collect()[0]
+    assert r.did == 6.0  # 10 - 4
+    assert r.mean_c_pre == 11.0 and r.mean_t_post == 31.0
+
+    # empty cell -> NULL did
+    r2 = diff_in_diff(df.filter("NOT (t=1 AND p=1)"), "t", "p", "y").collect()[0]
+    assert r2.did is None
+
+
+def test_covariate_balance_reference(spark):
+    import math
+
+    from moz_datapipeline_spark.operators.analytics import (
+        covariate_balance,
+    )
+
+    rows = [
+        (1, 10.0, 5.0), (1, 12.0, 5.0),
+        (0, 8.0, 5.0), (0, 6.0, 5.0),
+    ]
+    df = spark.createDataFrame(rows, "t int, age double, score double")
+    got = {r.covariate: r for r in covariate_balance(df, "t", ["age", "score"]).collect()}
+    # age: mt 11 (var 2), mc 7 (var 2) -> smd = 4/sqrt(2) = 2.828
+    assert got["age"].smd == round(4 / math.sqrt(2.0), 6)
+    # score constant: zero pooled var -> NULL
+    assert got["score"].smd is None and got["score"].mean_t == 5.0
