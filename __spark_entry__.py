@@ -6293,6 +6293,51 @@ def q_covariate_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return covariate_balance(li, "treated", ["l_quantity", "l_linenumber"])
 
 
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid drift between even- and odd-labelled embedding slices
+    (operators/embed.embedding_drift): posexplode → dim-sized means →
+    one fold; nothing row-sized after the first aggregate.  VALUE
+    oracle: unnest + per-ordinal means in DuckDB."""
+    from moz_datapipeline_spark.operators.embed import embedding_drift
+
+    e = _t(spark, sf_dir, "embeddings")
+    return embedding_drift(
+        e.filter(F.col("label") % 2 == 0), e.filter(F.col("label") % 2 == 1)
+    )
+
+
+def q_hourly_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p95/p99 event value per (type, hour) — the latency-band
+    rollup every operational dashboard needs: exact percentile
+    selection per bucket (deterministic across engines; buffers are
+    bucket-sized, bounded by construction).  VALUE oracle:
+    quantile_cont per bucket in DuckDB."""
+    from moz_datapipeline_spark.operators.temporal import _bucket_epoch
+
+    ev = _events(spark, sf_dir)
+    out = (
+        ev.filter(F.col("value").isNotNull())
+        .groupBy(
+            F.col("event_type"),
+            _bucket_epoch(ev, "ts", "hour").alias("hour_epoch"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.expr(
+                "percentile(value, array(0.5, 0.95, 0.99))"
+            ).alias("_q"),
+        )
+    )
+    return out.select(
+        "event_type",
+        "hour_epoch",
+        "n",
+        F.round(F.col("_q")[0], 6).alias("p50"),
+        F.round(F.col("_q")[1], 6).alias("p95"),
+        F.round(F.col("_q")[2], 6).alias("p99"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -6565,6 +6610,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "log_rank": q_log_rank,
         "diff_in_diff": q_diff_in_diff,
         "covariate_balance": q_covariate_balance,
+        "embedding_drift": q_embedding_drift,
+        "hourly_percentiles": q_hourly_percentiles,
     }
 
 
@@ -13743,7 +13790,67 @@ FROM eaul_calc
         FROM g
     """
 
+    sql["embedding_drift"] = """
+        WITH a AS (
+          SELECT u.x AS v, u.dim AS dim FROM (
+            SELECT unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) - 1 AS dim
+            FROM embeddings WHERE label % 2 = 0
+                  AND embedding IS NOT NULL
+          ) u
+        ), b AS (
+          SELECT u.x AS v, u.dim AS dim FROM (
+            SELECT unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) - 1 AS dim
+            FROM embeddings WHERE label % 2 = 1
+                  AND embedding IS NOT NULL
+          ) u
+        ), na AS (
+          SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings
+          WHERE label % 2 = 0 AND embedding IS NOT NULL
+        ), nb AS (
+          SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings
+          WHERE label % 2 = 1 AND embedding IS NOT NULL
+        ), ma AS (
+          SELECT dim, sum(CAST(v AS DOUBLE)) / count(*) AS m
+          FROM a GROUP BY 1
+        ), mb AS (
+          SELECT dim, sum(CAST(v AS DOUBLE)) / count(*) AS m
+          FROM b GROUP BY 1
+        ), j AS (
+          SELECT coalesce(ma.m, 0.0) AS x, coalesce(mb.m, 0.0) AS y
+          FROM ma FULL OUTER JOIN mb ON ma.dim = mb.dim
+        ), f AS (
+          SELECT sum(x*y) AS dot, sum(x*x) AS aa, sum(y*y) AS bb,
+                 sum((x-y)*(x-y)) AS d2
+          FROM j
+        )
+        SELECT (SELECT n FROM na) AS n_a,
+               (SELECT n FROM nb) AS n_b,
+               round(CASE WHEN aa > 0 AND bb > 0
+                 THEN dot / (sqrt(aa) * sqrt(bb)) END, 6)
+                 AS centroid_cosine,
+               round(sqrt(d2), 6) AS centroid_l2
+        FROM f
+    """
+
+    sql["hourly_percentiles"] = """
+        WITH base AS (
+          SELECT event_type,
+                 (epoch_ns(ts) // 3600000000000) * 3600 AS hour_epoch,
+                 CAST(value AS DOUBLE) AS v
+          FROM events WHERE value IS NOT NULL
+        )
+        SELECT event_type, CAST(hour_epoch AS BIGINT) AS hour_epoch,
+               CAST(count(*) AS BIGINT) AS n,
+               round(quantile_cont(v, 0.5), 6) AS p50,
+               round(quantile_cont(v, 0.95), 6) AS p95,
+               round(quantile_cont(v, 0.99), 6) AS p99
+        FROM base GROUP BY 1, 2
+    """
+
     return sql
+
 
 
 

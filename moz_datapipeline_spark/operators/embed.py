@@ -143,3 +143,74 @@ def embed(
             yield pdf.assign(**{out_col: pd.Series(vecs, index=pdf.index)})
 
     return df.mapInPandas(kernel, schema)
+
+
+def embedding_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Centroid drift between two embedding snapshots, one row
+    ``(n_a, n_b, centroid_cosine, centroid_l2)`` — the embedding-space
+    counterpart of ``distribution_distance``: a new encoder version or
+    a shifted corpus moves the centroid long before per-pair checks
+    notice.  Cosine near 1 and a small L2 say the spaces still align.
+
+    Plan: one posexplode → per-(side, dim) hash aggregate (map-side
+    combined, dim-sized exchange), a dim-sized join, one fold.
+    Nothing after the first aggregate is row-sized.  Empty sides yield
+    NULL metrics.
+    """
+
+    def _dim_means(df: DataFrame, side: str) -> DataFrame:
+        return (
+            df.select(
+                F.posexplode(F.col(vec_col).cast("array<double>")).alias(
+                    "dim", "_v"
+                )
+            )
+            .groupBy("dim")
+            .agg(
+                F.sum("_v").alias(f"_s_{side}"),
+                F.count(F.lit(1)).alias(f"_n_{side}"),
+            )
+        )
+
+    na = df_a.filter(F.col(vec_col).isNotNull()).count()
+    nb = df_b.filter(F.col(vec_col).isNotNull()).count()
+    if na == 0 or nb == 0:
+        from pyspark.sql import Row
+
+        spark = df_a.sparkSession
+        return spark.createDataFrame(
+            [Row(n_a=na, n_b=nb, centroid_cosine=None, centroid_l2=None)],
+            "n_a long, n_b long, centroid_cosine double, centroid_l2 double",
+        )
+    ma = _dim_means(df_a, "a")
+    mb = _dim_means(df_b, "b")
+    joined = ma.join(mb, "dim", "full_outer").select(
+        F.coalesce(
+            F.col("_s_a") / F.col("_n_a").cast("double"), F.lit(0.0)
+        ).alias("_ma"),
+        F.coalesce(
+            F.col("_s_b") / F.col("_n_b").cast("double"), F.lit(0.0)
+        ).alias("_mb"),
+    )
+    folded = joined.agg(
+        F.sum(F.col("_ma") * F.col("_mb")).alias("_dot"),
+        F.sum(F.col("_ma") * F.col("_ma")).alias("_aa"),
+        F.sum(F.col("_mb") * F.col("_mb")).alias("_bb"),
+        F.sum(
+            (F.col("_ma") - F.col("_mb")) * (F.col("_ma") - F.col("_mb"))
+        ).alias("_d2"),
+    )
+    cos = F.when(
+        (F.col("_aa") > 0) & (F.col("_bb") > 0),
+        F.col("_dot") / (F.sqrt(F.col("_aa")) * F.sqrt(F.col("_bb"))),
+    )
+    return folded.select(
+        F.lit(na).cast("long").alias("n_a"),
+        F.lit(nb).cast("long").alias("n_b"),
+        F.round(cos, 6).alias("centroid_cosine"),
+        F.round(F.sqrt(F.col("_d2")), 6).alias("centroid_l2"),
+    )

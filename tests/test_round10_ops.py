@@ -1149,3 +1149,26 @@ def test_covariate_balance_reference(spark):
     assert got["age"].smd == round(4 / math.sqrt(2.0), 6)
     # score constant: zero pooled var -> NULL
     assert got["score"].smd is None and got["score"].mean_t == 5.0
+
+
+def test_embedding_drift_reference(spark):
+    import math
+
+    from moz_datapipeline_spark.operators.embed import embedding_drift
+
+    a = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.0])], "id long, embedding array<double>"
+    )
+    b = spark.createDataFrame(
+        [(3, [0.0, 2.0])], "id long, embedding array<double>"
+    )
+    r = embedding_drift(a, b).collect()[0]
+    assert (r.n_a, r.n_b) == (2, 1)
+    assert r.centroid_cosine == 0.0  # orthogonal centroids
+    assert r.centroid_l2 == round(math.sqrt(1 + 4), 6)
+
+    same = embedding_drift(a, a).collect()[0]
+    assert same.centroid_cosine == 1.0 and same.centroid_l2 == 0.0
+
+    empty = embedding_drift(a.limit(0), b).collect()[0]
+    assert empty.n_a == 0 and empty.centroid_cosine is None
