@@ -6338,6 +6338,32 @@ def q_hourly_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rbo_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap between two deterministic arithmetic
+    rankings per query (operators/mleval.rbo_overlap): per-query topk
+    windows, max-rank prefix weights as exact literals.  VALUE
+    oracle: the same windows + weight map in DuckDB."""
+    from moz_datapipeline_spark.operators.mleval import rbo_overlap
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    run_a = d.select(
+        (F.col("doc_id") % 20).alias("query_id"),
+        F.col("doc_id").alias("doc_id"),
+        ((F.col("doc_id") * 37) % 101).cast("double").alias("score"),
+    )
+    run_b = d.select(
+        (F.col("doc_id") % 20).alias("query_id"),
+        F.col("doc_id").alias("doc_id"),
+        ((F.col("doc_id") * 53) % 97).cast("double").alias("score"),
+    )
+    out = rbo_overlap(run_a, run_b, k=10, p=0.9)
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        "n_common",
+        "rbo",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -6612,6 +6638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "covariate_balance": q_covariate_balance,
         "embedding_drift": q_embedding_drift,
         "hourly_percentiles": q_hourly_percentiles,
+        "rbo_overlap": q_rbo_overlap,
     }
 
 
@@ -13847,6 +13874,40 @@ FROM eaul_calc
                round(quantile_cont(v, 0.95), 6) AS p95,
                round(quantile_cont(v, 0.99), 6) AS p99
         FROM base GROUP BY 1, 2
+    """
+
+    sql["rbo_overlap"] = """
+        WITH run_a AS (
+          SELECT doc_id % 20 AS q, doc_id AS doc,
+                 CAST((doc_id * 37) % 101 AS DOUBLE) AS s
+          FROM documents
+        ), run_b AS (
+          SELECT doc_id % 20 AS q, doc_id AS doc,
+                 CAST((doc_id * 53) % 97 AS DOUBLE) AS s
+          FROM documents
+        ), ta AS (
+          SELECT q, doc, row_number() OVER (
+                   PARTITION BY q ORDER BY s DESC, doc ASC) AS ra
+          FROM run_a QUALIFY ra <= 10
+        ), tb AS (
+          SELECT q, doc, row_number() OVER (
+                   PARTITION BY q ORDER BY s DESC, doc ASC) AS rb
+          FROM run_b QUALIFY rb <= 10
+        ), common AS (
+          SELECT ta.q AS q, greatest(ra, rb) AS fd
+          FROM ta JOIN tb ON ta.q = tb.q AND ta.doc = tb.doc
+        ), scored AS (
+          SELECT q, CAST(count(*) AS BIGINT) AS n_common,
+                 sum(CASE fd WHEN 1 THEN 0.23541639942571427 WHEN 2 THEN 0.13541639942571423 WHEN 3 THEN 0.09041639942571428 WHEN 4 THEN 0.06341639942571428 WHEN 5 THEN 0.04519139942571428 WHEN 6 THEN 0.03206939942571428 WHEN 7 THEN 0.022227899425714282 WHEN 8 THEN 0.01463588514 WHEN 9 THEN 0.00865717389 WHEN 10 THEN 0.00387420489 END) AS rbo
+          FROM common GROUP BY q
+        ), queries AS (
+          SELECT DISTINCT q FROM ta
+          UNION SELECT DISTINCT q FROM tb
+        )
+        SELECT CAST(queries.q AS BIGINT) AS query_id,
+               coalesce(n_common, CAST(0 AS BIGINT)) AS n_common,
+               round(coalesce(rbo, 0.0), 6) AS rbo
+        FROM queries LEFT JOIN scored ON queries.q = scored.q
     """
 
     return sql

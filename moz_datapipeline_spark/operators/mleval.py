@@ -390,3 +390,85 @@ def pr_curve(
         F.round(rec, 6).alias("recall"),
         F.round(f1, 6).alias("f1"),
     )
+
+
+def rbo_overlap(
+    run_a: DataFrame,
+    run_b: DataFrame,
+    k: int = 10,
+    p: float = 0.9,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Rank-biased overlap between two rankings per query, truncated
+    at depth ``k``: ``(query_id, n_common, rbo)`` with
+
+        RBO@k = (1−p) · Σ_{d=1..k} p^{d−1} · |A_d ∩ B_d| / d
+
+    (Webber et al.'s top-weighted agreement; p = 0.9 ≈ the top 10
+    ranks carry ~86% of the weight).  The A/B readout for ranker
+    rollouts: Kendall/Spearman treat depth 1 and depth 1000 alike,
+    RBO weights the top, where users look.
+
+    Plan: rank each run per query (partitioned windows, doc tiebreak),
+    keep top ``k``; an inner join on (query, doc) gives each common
+    doc its ``max(rank_a, rank_b)`` — the first depth it counts at —
+    so ``|A_d ∩ B_d|`` is a prefix count over a ≤ k-row per-query
+    rollup, and the weighted fold is exact powers of ``p``.  Queries
+    with NO common docs in the top k emit rbo = 0 via a left anchor
+    on the union of queries.
+    """
+    kk = int(k)
+    pp = float(p)
+
+    def _topk(run: DataFrame, out: str) -> DataFrame:
+        w = Window.partitionBy("_q").orderBy(
+            F.col("_s").desc(), F.col("_d").asc()
+        )
+        return (
+            run.select(
+                F.col(query_col).alias("_q"),
+                F.col(doc_col).alias("_d"),
+                F.col(score_col).alias("_s"),
+            )
+            .withColumn(out, F.row_number().over(w))
+            .filter(F.col(out) <= kk)
+            .select("_q", "_d", out)
+        )
+    a = _topk(run_a, "_ra")
+    b = _topk(run_b, "_rb")
+    common = a.join(b, ["_q", "_d"]).select(
+        "_q", F.greatest("_ra", "_rb").alias("_first_depth")
+    )
+    per_depth = common.groupBy("_q", "_first_depth").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    # weight of a doc first common at depth f:
+    # (1-p) * sum_{d=f..k} p^(d-1)/d  — exact literal per f (k tiny)
+    weights = {
+        f: (1.0 - pp)
+        * sum(pp ** (d - 1) / d for d in range(f, kk + 1))
+        for f in range(1, kk + 1)
+    }
+    wmap = F.create_map(
+        *[c for f, w in weights.items() for c in (F.lit(f), F.lit(w))]
+    )
+    scored = per_depth.groupBy("_q").agg(
+        F.sum("_c").cast("long").alias("n_common"),
+        F.sum(
+            F.col("_c").cast("double")
+            * F.element_at(wmap, F.col("_first_depth").cast("int"))
+        ).alias("_rbo"),
+    )
+    queries = (
+        a.select("_q").unionByName(b.select("_q")).distinct()
+    )
+    out = queries.join(scored, "_q", "left")
+    return out.select(
+        F.col("_q").alias(query_col),
+        F.coalesce(F.col("n_common"), F.lit(0)).cast("long").alias(
+            "n_common"
+        ),
+        F.round(F.coalesce(F.col("_rbo"), F.lit(0.0)), 6).alias("rbo"),
+    )

@@ -1789,8 +1789,31 @@ def round10_ops_scale_check(spark) -> dict:
     }
 
 
+def _section_gc(spark) -> None:
+    """Release caches and lingering localCheckpoint blocks between
+    sections: the rehearsal shares ONE JVM across ~20 sections, and
+    accumulated cached frames + broadcast blocks eventually starve the
+    driver-side broadcast builder (observed as a broadcast OOM in a
+    section that passes in isolation)."""
+    spark.catalog.clearCache()
+    for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+        rdd.unpersist(True)
+
+
 def main() -> None:
-    spark = get_spark(app_name="dedup_scale_check")
+    # 24g driver heap: local-mode broadcasts build in THIS JVM, and
+    # twenty sections of rehearsal state need headroom beyond the 8g
+    # test default (the VM has 128 GiB)
+    import os as _os
+
+    spark = get_spark(
+        app_name="dedup_scale_check",
+        extra_conf={
+            "spark.driver.memory": _os.environ.get(
+                "SPARK_GRAFT_DRIVER_MEM", "24g"
+            )
+        },
+    )
     docs = amplified_corpus(spark, "/root/testdata/sf0.1/documents.parquet")
     n_docs = docs.count()
     n_origins = n_docs // 10
@@ -1815,23 +1838,37 @@ def main() -> None:
 
     recall, n_truth = lsh_recall(docs, n_origins, cands)
     hygiene = hygiene_scale_check(spark, docs)
+    _section_gc(spark)
     pq = pq_recall_check(spark)
     pq_rerank = pq_rerank_scale_check(spark)
+    _section_gc(spark)
     incr = incremental_scale_check(spark, docs)
+    _section_gc(spark)
     media = media_scale_check(spark)
     routing = routing_scale_check(spark)
+    _section_gc(spark)
     graph_lm = graph_lm_scale_check(spark, docs)
+    _section_gc(spark)
     components = components_scale_check(spark)
+    _section_gc(spark)
     heavy_new = containment_semdedup_scale_check(spark, docs)
+    _section_gc(spark)
     warc = warc_scale_check(spark, docs)
+    _section_gc(spark)
     bpe = bpe_scale_check(spark, docs)
+    _section_gc(spark)
     kc = kcore_scale_check(spark)
     fz = fuzzy_scale_check(spark)
+    _section_gc(spark)
     rh = retrieval_hll_scale_check(spark, docs)
     rr2 = rank_retrieval2_scale_check(spark, docs)
+    _section_gc(spark)
     r7 = round7_ops_scale_check(spark, docs)
+    _section_gc(spark)
     r8 = round8_ops_scale_check(spark, docs)
+    _section_gc(spark)
     r9 = round9_ops_scale_check(spark)
+    _section_gc(spark)
     r10 = round10_ops_scale_check(spark)
 
     print(

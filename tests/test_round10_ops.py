@@ -1172,3 +1172,36 @@ def test_embedding_drift_reference(spark):
 
     empty = embedding_drift(a.limit(0), b).collect()[0]
     assert empty.n_a == 0 and empty.centroid_cosine is None
+
+
+def test_rbo_overlap_reference(spark):
+    from moz_datapipeline_spark.operators.mleval import rbo_overlap
+
+    a = spark.createDataFrame(
+        [("q", "d1", 3.0), ("q", "d2", 2.0), ("q", "d3", 1.0)],
+        "query_id string, doc_id string, score double",
+    )
+    # identical rankings -> rbo = (1-p) sum p^(d-1) (truncated)
+    r = rbo_overlap(a, a, k=3, p=0.9).collect()[0]
+    want = 0.1 * (1 + 0.9 + 0.81)
+    assert r.rbo == round(want, 6) and r.n_common == 3
+
+    # disjoint -> 0
+    b = spark.createDataFrame(
+        [("q", "x1", 3.0), ("q", "x2", 2.0), ("q", "x3", 1.0)],
+        "query_id string, doc_id string, score double",
+    )
+    r2 = rbo_overlap(a, b, k=3, p=0.9).collect()[0]
+    assert r2.rbo == 0.0 and r2.n_common == 0
+
+    # partial: b reverses a -> overlap(1)=0 (d1 vs d3), overlap(2)=0
+    # ... d1 rank1/rank3, d3 rank3/rank1, d2 rank2/rank2
+    rev = spark.createDataFrame(
+        [("q", "d1", 1.0), ("q", "d2", 2.0), ("q", "d3", 3.0)],
+        "query_id string, doc_id string, score double",
+    )
+    r3 = rbo_overlap(a, rev, k=3, p=0.9).collect()[0]
+    # first depths: d1 max(1,3)=3, d2 max(2,2)=2, d3 max(3,1)=3
+    want3 = 0.1 * (0.9 / 2 + 0.81 / 3) + 2 * (0.1 * 0.81 / 3)
+    assert r3.n_common == 3
+    assert abs(r3.rbo - want3) < 1e-6
