@@ -2379,6 +2379,10 @@ def lorenz_curve(
             F.max("_tot").alias("_tt"),
         )
     )
+    # materialize the ≤ n_points tile rollup BEFORE releasing the
+    # ranked cache — unpersisting first would recompute the whole
+    # range exchange once per consumer branch
+    per = per.localCheckpoint()
     ranked.unpersist()
     w = Window.orderBy("tile").rowsBetween(Window.unboundedPreceding, 0)
     return per.select(
