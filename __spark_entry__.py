@@ -182,6 +182,61 @@ def q_merge_indicators(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_merge_eaul(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 + U3: EAUL result flattening — one long (way, upgrade, eaul)
+    table pivots to eaul-<key> columns (the global baseline included,
+    script-eaul/eaul.js:692) and left-joins onto the network on NAME;
+    ways without results stay null on every eaul-* column
+    (scripts/merge-eaul/eaul.js:50-73).
+
+    The network stands in as the supplier table (NAME = s_name); the
+    results frame is a deterministic arithmetic derivation over 2/3 of
+    suppliers so the left join exercises both hit and miss paths.
+    """
+    from moz_datapipeline_spark.plans.moz_pipeline import merge_eaul
+
+    s = _t(spark, sf_dir, "supplier")
+    network = s.select(
+        F.col("s_name").alias("NAME"),
+        F.col("s_acctbal").cast("double").alias("acctbal"),
+    )
+    done = s.filter(F.col("s_suppkey") % 3 > 0)
+    ups = F.array(
+        F.struct(
+            F.lit("upgrade-asphalt").alias("u"),
+            (F.col("s_suppkey").cast("double") * F.lit(0.5)).alias("e"),
+        ),
+        F.struct(
+            F.lit("upgrade-gravel").alias("u"),
+            (F.col("s_suppkey").cast("double") * F.lit(0.25)).alias("e"),
+        ),
+    )
+    results = (
+        done.select(
+            F.col("s_name").alias("way_id"), F.explode(ups).alias("x")
+        )
+        .select(
+            "way_id",
+            F.col("x.u").alias("upgrade_id"),
+            F.col("x.e").alias("eaul"),
+        )
+        .union(
+            spark.createDataFrame(
+                [("__baseline__", "baseline", 1000.0)],
+                "way_id string, upgrade_id string, eaul double",
+            )
+        )
+    )
+    out = merge_eaul(network, results)
+    return out.select(
+        "NAME",
+        "acctbal",
+        F.col("eaul-baseline").alias("eaul_baseline"),
+        F.col("eaul-upgrade-asphalt").alias("eaul_asphalt"),
+        F.col("eaul-upgrade-gravel").alias("eaul_gravel"),
+    )
+
+
 def q_argmin_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J5: grouped nearest-neighbor/argmin join (prep-bridge.js:86-112 shape).
 
@@ -6639,6 +6694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_drift": q_embedding_drift,
         "hourly_percentiles": q_hourly_percentiles,
         "rbo_overlap": q_rbo_overlap,
+        "merge_eaul": q_merge_eaul,
     }
 
 
@@ -12835,7 +12891,8 @@ FROM eaul_calc
                    THEN 1 ELSE 0 END AS y
           FROM orders
         ), per AS (
-          SELECT CAST(least(floor(s * 10), 9) AS INTEGER) AS bin,
+          SELECT CAST(greatest(least(floor(s * 10), 9), 0) AS INTEGER)
+                   AS bin,
                  CAST(count(*) AS BIGINT) AS n,
                  sum(s) AS ssum,
                  CAST(sum(y) AS BIGINT) AS pos,
@@ -13908,6 +13965,24 @@ FROM eaul_calc
                coalesce(n_common, CAST(0 AS BIGINT)) AS n_common,
                round(coalesce(rbo, 0.0), 6) AS rbo
         FROM queries LEFT JOIN scored ON queries.q = scored.q
+    """
+
+    sql["merge_eaul"] = """
+        WITH res AS (
+          SELECT s_name AS way_id,
+                 CAST(s_suppkey AS DOUBLE) * CAST(0.5 AS DOUBLE)
+                   AS asphalt,
+                 CAST(s_suppkey AS DOUBLE) * CAST(0.25 AS DOUBLE)
+                   AS gravel
+          FROM supplier WHERE s_suppkey % 3 > 0
+        )
+        SELECT s.s_name AS NAME,
+               CAST(s.s_acctbal AS DOUBLE) AS acctbal,
+               CASE WHEN r.way_id IS NOT NULL
+                 THEN CAST(1000.0 AS DOUBLE) END AS eaul_baseline,
+               r.asphalt AS eaul_asphalt,
+               r.gravel AS eaul_gravel
+        FROM supplier s LEFT JOIN res r ON s.s_name = r.way_id
     """
 
     return sql

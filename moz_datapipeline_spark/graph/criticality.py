@@ -27,6 +27,8 @@ from moz_datapipeline_spark.graph.kernel import (
     dijkstra,
     od_tree_ways,
     pair_costs,
+    snap_to_nodes,
+    split_edges_at_points,
 )
 
 _STATS_SCHEMA = (
@@ -111,9 +113,12 @@ def _way_stats(
 def criticality_scores(
     spark: SparkSession,
     edges: pd.DataFrame,
-    od_nodes_by_id: list[str],
+    od_nodes_by_id: list[str] | None = None,
     n_partitions: int | None = None,
     checkpoint_dir: str | None = None,
+    od_points_lonlat=None,
+    node_coords: dict[str, tuple[float, float]] | None = None,
+    snap: str = "edge",
 ) -> DataFrame:
     """Distributed criticality over all ways.
 
@@ -122,11 +127,35 @@ def criticality_scores(
     OD points (pre-snapped). Returns (way_id, score, max_time, ...,
     unroutable_pairs, impacted_pairs).
 
+    Off-network OD points: pass ``od_points_lonlat`` (+ ``node_coords``)
+    instead of ``od_nodes_by_id``.  ``snap="edge"`` (default) projects
+    each point onto its nearest edge and routes from the foot point —
+    OSRM's osrm.table snap (criticality.js:132-177), including the
+    "nearest segment is the excluded way → unroutable" null semantics;
+    ``snap="node"`` is the cheap nearest-junction approximation.
+
     ``checkpoint_dir`` enables cross-run resume of the per-way Dijkstra
     stats (the expensive fan-out): finished ways are skipped on rerun
     via ``graph.resume.resumable_apply``.  Pruned zero-rows and the
     scoring pass (cheap, need ALL stats) recompute every run.
     """
+    if od_points_lonlat is not None:
+        if node_coords is None:
+            raise ValueError("od_points_lonlat requires node_coords")
+        if snap == "edge":
+            edges, od_nodes_by_id, node_coords = split_edges_at_points(
+                edges, np.asarray(od_points_lonlat), node_coords
+            )
+        elif snap == "node":
+            g0 = build_graph(edges)
+            idxs = snap_to_nodes(
+                g0, np.asarray(od_points_lonlat), node_coords
+            )
+            od_nodes_by_id = [g0.node_ids[int(i)] for i in idxs]
+        else:
+            raise ValueError(f"snap must be 'edge' or 'node', got {snap!r}")
+    if od_nodes_by_id is None:
+        raise ValueError("need od_nodes_by_id or od_points_lonlat")
     g = build_graph(edges)
     node_index = {n: i for i, n in enumerate(g.node_ids)}
     od_nodes = np.array([node_index[n] for n in od_nodes_by_id], dtype=np.int64)

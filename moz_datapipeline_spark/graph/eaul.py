@@ -37,6 +37,8 @@ from moz_datapipeline_spark.graph.kernel import (
     build_graph,
     dijkstra,
     pair_costs,
+    snap_to_nodes,
+    split_edges_at_points,
 )
 
 #: road upgrades evaluated per way (script-eaul/eaul.js:164-202)
@@ -339,10 +341,13 @@ def eaul_scores(
     spark: SparkSession,
     edges: pd.DataFrame,
     way_props: pd.DataFrame,
-    od_node_ids: list[str],
-    traffic_yearly: dict[tuple[int, int], float],
+    od_node_ids: list[str] | None = None,
+    traffic_yearly: dict[tuple[int, int], float] | None = None,
     upgrades: list[dict] | None = None,
     checkpoint_dir: str | None = None,
+    od_points_lonlat=None,
+    node_coords: dict[str, tuple[float, float]] | None = None,
+    snap: str = "edge",
 ) -> DataFrame:
     """Two-phase distributed EAUL.
 
@@ -351,12 +356,39 @@ def eaul_scores(
     ``applyInPandas``. Output rows: (way_id, upgrade_id, eaul) with a
     ('__baseline__', 'baseline') row first.
 
+    Off-network OD points: pass ``od_points_lonlat`` (+ ``node_coords``)
+    instead of ``od_node_ids``; ``snap="edge"`` (default) inserts OSRM
+    phantom nodes on the nearest segments (split edges keep their
+    way_id, so per-way floods/upgrades apply to both halves and a
+    point whose nearest segment floods out becomes unroutable — the
+    reference's osrm.table null case), ``snap="node"`` approximates
+    with the nearest junction.
+
     ``checkpoint_dir`` enables cross-run resume (G8 parity with the
     reference's per-way S3 restart, script-eaul/README.md:63-97):
     scenario results append there and finished (way, upgrade) pairs are
     skipped on rerun — see ``graph.resume.resumable_apply``.  The
     baseline phase (benchmark-once) reruns; only the fan-out resumes.
     """
+    if od_points_lonlat is not None:
+        if node_coords is None:
+            raise ValueError("od_points_lonlat requires node_coords")
+        if snap == "edge":
+            edges, od_node_ids, node_coords = split_edges_at_points(
+                edges, np.asarray(od_points_lonlat), node_coords
+            )
+        elif snap == "node":
+            g0 = build_graph(edges)
+            idxs = snap_to_nodes(
+                g0, np.asarray(od_points_lonlat), node_coords
+            )
+            od_node_ids = [g0.node_ids[int(i)] for i in idxs]
+        else:
+            raise ValueError(f"snap must be 'edge' or 'node', got {snap!r}")
+    if od_node_ids is None:
+        raise ValueError("need od_node_ids or od_points_lonlat")
+    if traffic_yearly is None:
+        raise ValueError("traffic_yearly is required")
     ups = upgrades or ROAD_UPGRADES
     ctx = EaulContext(edges, way_props, od_node_ids, traffic_yearly)
     baseline_eaul, excluded = ctx.eaul(None, None, 0.7, None, None)

@@ -320,9 +320,12 @@ def snap_to_nodes(
 ) -> np.ndarray:
     """Snap lon/lat points to the nearest graph node (planar argmin).
 
-    Stands in for OSRM's snap-to-nearest-edge; adequate when OD points
-    coincide with network nodes (true for the reference's fixtures and
-    OD zone centroids).
+    The cheap stand-in for OSRM's snap-to-nearest-edge; adequate when
+    OD points coincide with network nodes (true for the reference's
+    fixtures and OD zone centroids).  For off-network points use
+    ``snap_to_edges`` / ``split_edges_at_points`` — the OSRM-parity
+    path (scripts/criticality/criticality.js:132-177 snaps each table
+    coordinate to the nearest EDGE, not node).
     """
     coords = np.array([node_coords[n] for n in g.node_ids])  # (n, 2) lon/lat
     out = np.empty(len(points_lonlat), dtype=np.int32)
@@ -330,3 +333,109 @@ def snap_to_nodes(
         d2 = (coords[:, 0] - lon) ** 2 + (coords[:, 1] - lat) ** 2
         out[i] = int(np.argmin(d2))
     return out
+
+
+def snap_to_edges(
+    points_lonlat: np.ndarray,
+    edges: pd.DataFrame,
+    node_coords: dict[str, tuple[float, float]],
+) -> tuple[np.ndarray, np.ndarray]:
+    """Project each lon/lat point onto its nearest edge SEGMENT —
+    OSRM's phantom-node snap (criticality.js:132-177 via osrm.table):
+    the route from an off-network point starts at the foot of the
+    perpendicular onto the closest road, not at the closest junction.
+
+    Returns ``(edge_idx, t)``: the row index into ``edges`` of each
+    point's nearest segment and the clamped projection parameter
+    ``t ∈ [0, 1]`` along it (0 = src endpoint, 1 = dst endpoint).
+    Planar argmin like ``snap_to_nodes`` (same small-extent
+    assumption); ties break to the lowest edge row, deterministic.
+    """
+    a = np.array([node_coords[s] for s in edges["src"]], dtype=float)
+    b = np.array([node_coords[d] for d in edges["dst"]], dtype=float)
+    ab = b - a
+    denom = (ab**2).sum(axis=1)
+    denom_safe = np.where(denom > 0.0, denom, 1.0)
+    pts = np.asarray(points_lonlat, dtype=float)
+    out_e = np.empty(len(pts), dtype=np.int64)
+    out_t = np.empty(len(pts), dtype=np.float64)
+    for i, p in enumerate(pts):
+        t = np.clip(((p - a) * ab).sum(axis=1) / denom_safe, 0.0, 1.0)
+        foot = a + t[:, None] * ab
+        d2 = ((p - foot) ** 2).sum(axis=1)
+        e = int(np.argmin(d2))
+        out_e[i] = e
+        out_t[i] = float(t[e])
+    return out_e, out_t
+
+
+def split_edges_at_points(
+    edges: pd.DataFrame,
+    points_lonlat: np.ndarray,
+    node_coords: dict[str, tuple[float, float]],
+    prefix: str = "__od",
+) -> tuple[pd.DataFrame, list[str], dict[str, tuple[float, float]]]:
+    """Insert one phantom node per OD point at its nearest-edge foot
+    point, splitting that edge into segments that keep the ORIGINAL
+    way_id — so every downstream mechanism (per-way edge masks, per-way
+    weight overrides, tree pruning) works on the augmented graph
+    unchanged.  In particular, masking the way an OD point snapped to
+    isolates its phantom node → every pair through it costs inf —
+    exactly OSRM's null/unroutable semantics for "the closest segment
+    to A or B is the one ignored" (criticality.js:148-165, the
+    reference's issue #7 case).
+
+    ``weight`` (and ``len_part`` when present) split proportionally to
+    the projection parameter — the phantom sits ``t·w`` from src and
+    ``(1−t)·w`` from dst, OSRM's partial-edge traversal cost.  A point
+    projecting exactly onto an endpoint reuses that node (no
+    zero-weight stub).  Multiple points on one edge chain-split it in
+    ``t`` order.
+
+    Returns ``(edges_aug, od_node_ids, node_coords_aug)`` ready for
+    ``build_graph`` / ``criticality_scores`` / ``EaulContext``.
+    """
+    edge_idx, ts = snap_to_edges(points_lonlat, edges, node_coords)
+    od_ids: list[str] = [""] * len(ts)
+    cuts: dict[int, list[tuple[float, int]]] = {}
+    src_vals = edges["src"].to_numpy(dtype=object)
+    dst_vals = edges["dst"].to_numpy(dtype=object)
+    for i, (e, t) in enumerate(zip(edge_idx, ts)):
+        if t <= 0.0:
+            od_ids[i] = src_vals[e]
+        elif t >= 1.0:
+            od_ids[i] = dst_vals[e]
+        else:
+            cuts.setdefault(int(e), []).append((float(t), i))
+    if not cuts:
+        return edges, od_ids, dict(node_coords)
+    coords = dict(node_coords)
+    scale_cols = [c for c in ("weight", "len_part") if c in edges.columns]
+    out_rows: list[dict] = []
+    for e, r in enumerate(edges.to_dict("records")):
+        if e not in cuts:
+            out_rows.append(r)
+            continue
+        ax, ay = coords[r["src"]]
+        bx, by = coords[r["dst"]]
+        prev_node, prev_t = r["src"], 0.0
+        for t, i in sorted(cuts[e]):
+            node = f"{prefix}{i}"
+            od_ids[i] = node
+            coords[node] = (ax + t * (bx - ax), ay + t * (by - ay))
+            seg = dict(r)
+            seg["src"], seg["dst"] = prev_node, node
+            for c in scale_cols:
+                seg[c] = r[c] * (t - prev_t)
+            out_rows.append(seg)
+            prev_node, prev_t = node, t
+        seg = dict(r)
+        seg["src"] = prev_node
+        for c in scale_cols:
+            seg[c] = r[c] * (1.0 - prev_t)
+        out_rows.append(seg)
+    return (
+        pd.DataFrame(out_rows, columns=list(edges.columns)),
+        od_ids,
+        coords,
+    )

@@ -104,6 +104,10 @@ def k_truss(
         # the 2-truss is the input graph itself (support >= 0 keeps
         # triangle-free edges, which the support fold never sees)
         raise ValueError("k_truss: need k >= 3")
+    if rounds < 1:
+        # rounds=0 would return the empty seed frame below — an empty
+        # "truss" that looks like a real result to a dynamic caller
+        raise ValueError("k_truss: need rounds >= 1")
     a, b = F.col(src), F.col(dst)
     cur = (
         edges.filter(a != b)

@@ -2652,13 +2652,16 @@ def group_mode(
     # argmax by count with min-value tiebreak: max(struct(c, negkey))
     # needs an orderable negation for arbitrary types, so instead take
     # max(c) per group first, then min(val) among rows at that count —
-    # two group-sized aggregates + one broadcast-sized join
+    # two group-sized aggregates + one broadcast join (peak is
+    # group-sized, 3 narrow columns; broadcasting it keeps the
+    # (group × value) rollup from re-shuffling — at group cardinality
+    # past driver memory, drop the hint and let AQE pick the join)
     peak = per.groupBy("grp").agg(
         F.max("_c").alias("_peak"),
         F.count(F.lit(1)).cast("long").alias("n_distinct"),
     )
     out = (
-        per.join(peak, "grp")
+        per.join(F.broadcast(peak), "grp")
         .filter(F.col("_c") == F.col("_peak"))
         .groupBy("grp")
         .agg(

@@ -112,9 +112,12 @@ def calibration_curve(
     overall").
 
     - bins are equal-width over [0, 1] (``floor(score·n_bins)``,
-      clamped so score = 1.0 lands in the last bin) — the standard
-      reliability-diagram convention, deterministic across engines
-      (no quantile estimation inside the metric being validated);
+      clamped BOTH ends: score = 1.0 lands in the last bin, scores
+      outside [0, 1] — negatives, raw logits — clamp into the edge
+      bins instead of minting out-of-range bin ids that silently skew
+      ECE) — the standard reliability-diagram convention,
+      deterministic across engines (no quantile estimation inside the
+      metric being validated);
     - ECE = Σ_b (n_b/N)·|mean_score_b − pos_rate_b|;
     - Brier = mean (score − label)².
 
@@ -128,7 +131,9 @@ def calibration_curve(
         s.alias("_s"), y.alias("_y")
     )
     q = int(n_bins)
-    b = F.least(F.floor(F.col("_s") * q), F.lit(q - 1)).cast("int")
+    b = F.greatest(
+        F.least(F.floor(F.col("_s") * q), F.lit(q - 1)), F.lit(0)
+    ).cast("int")
     per = base.groupBy(b.alias("bin")).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("_s").alias("_ssum"),

@@ -585,16 +585,23 @@ def _resolve_cells(
                 cum += cnt
         pending = children
 
-    # terminal collect: one flat (g, b)-membership scan, ≤ cap rows;
-    # rows map to cells driver-side (chain replay on IEEE doubles).
-    # Membership compiles to per-group isin SETS (hash lookups), not
-    # an OR-chain of conjunctions — an OR over ~200 bucket equalities
-    # evaluated on every row measured 4× slower than one isin
+    # terminal collect: ≤ cap rows GUARANTEED.  Chain-free cells (the
+    # common, depth-0 case) share one flat (g, b)-membership scan —
+    # membership compiles to per-group isin SETS (hash lookups), not
+    # an OR-chain of conjunctions (an OR over ~200 bucket equalities
+    # evaluated on every row measured 4× slower than one isin).
+    # Chained cells (post-recursion refinements) MUST carry their full
+    # chain predicate executor-side: their refined ``count`` is what
+    # the cap admitted, but their ROOT bucket can hold arbitrarily
+    # more rows (the exact skew the recursion targets) — a (g, b)-only
+    # filter would pull the whole bucket to the driver.  There are at
+    # most |ranks| chained cells pending here, so the OR stays tiny.
     by_root: dict = {}
     buckets_by_g: dict = {}
     for c in pending:
         by_root.setdefault((c["g"], c["b"]), []).append(c)
-        buckets_by_g.setdefault(c["g"], set()).add(int(c["b"]))
+        if not c["chain"]:
+            buckets_by_g.setdefault(c["g"], set()).add(int(c["b"]))
     pred_any = F.lit(False)
     for g, bks in buckets_by_g.items():
         gp = (
@@ -603,6 +610,9 @@ def _resolve_cells(
             else (F.col("_g") == F.lit(g))
         )
         pred_any = pred_any | (gp & F.col("_b").isin(sorted(bks)))
+    for c in pending:
+        if c["chain"]:
+            pred_any = pred_any | _chain_pred(c)
     vals_by_cell: dict = {}
     for row in (
         tagged.filter(pred_any).select("_g", "_b", "_v").collect()

@@ -123,17 +123,29 @@ def prepare_admin_areas(
 def merge_eaul(network: DataFrame, eaul_results: DataFrame) -> DataFrame:
     """J4 + U3: EAUL results → per-upgrade columns joined onto the network.
 
-    The reference reads one result JSON per way and flattens
-    ``eaul.{baseline, upgrade-*}`` into ``eaul-<key>`` properties
-    (scripts/merge-eaul/eaul.js:50-73). Here the long (way_id,
-    upgrade_id, eaul) table pivots on the fixed upgrade list (bounded
-    width) and left-joins on the way key; misses stay null.
+    The reference reads one result JSON per way and flattens EVERY
+    ``eaul.{key}`` into an ``eaul-<key>`` property
+    (scripts/merge-eaul/eaul.js:50-73) — the keys being the global
+    ``baseline`` (script-eaul/eaul.js:692 stamps the same baseline
+    EAUL into every way's result file) plus one ``upgrade-*`` per
+    road upgrade.  Here the long (way_id, upgrade_id, eaul) table
+    pivots on the fixed upgrade list (bounded width) and left-joins
+    on the way key; ways with no result rows stay null on EVERY
+    ``eaul-*`` column — including ``eaul-baseline``, because a way
+    without a result file gets no properties at all in the reference.
     """
     upgrade_ids = [
         r["upgrade_id"]
         for r in eaul_results.select("upgrade_id").distinct().collect()
         if r["upgrade_id"] != "baseline"
     ]
+    base_row = (
+        eaul_results.filter(F.col("upgrade_id") == "baseline")
+        .select("eaul")
+        .limit(1)
+        .collect()
+    )
+    baseline_val = base_row[0]["eaul"] if base_row else None
     wide = (
         eaul_results.filter(F.col("upgrade_id") != "baseline")
         .groupBy("way_id")
@@ -144,8 +156,15 @@ def merge_eaul(network: DataFrame, eaul_results: DataFrame) -> DataFrame:
         F.col("way_id").alias("_w"),
         *[F.col(u).alias(f"eaul-{u}") for u in sorted(upgrade_ids)],
     )
-    return network.join(
+    joined = network.join(
         renamed, network["NAME"] == renamed["_w"], "left"
+    )
+    return joined.withColumn(
+        "eaul-baseline",
+        F.when(
+            F.col("_w").isNotNull(),
+            F.lit(baseline_val).cast("double"),
+        ),
     ).drop("_w")
 
 

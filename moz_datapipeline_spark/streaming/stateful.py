@@ -546,9 +546,22 @@ def anomaly_stream(
     event joins the fold late — the standard streaming approximation,
     same contract as ``funnel_stream``).  The batch replay of the same
     fold is the unit-test twin.
+
+    NULL policy: events with NULL ``ts`` or NULL/NaN ``value`` are
+    DROPPED before the fold — a NULL value arrives as NaN in the
+    Arrow batch and would permanently poison the (mean, M2) state
+    (every later z-score NULL, detection silently dead for the
+    group), and a NULL ts crashes the event-time sort.  Same filter
+    the batch percentile/rollup operators apply to the events table.
     """
     return (
-        events.selectExpr(
+        events.filter(
+            F.col(group_col).isNotNull()
+            & F.col(ts_col).isNotNull()
+            & F.col(value_col).isNotNull()
+            & ~F.isnan(F.col(value_col).cast("double"))
+        )
+        .selectExpr(
             f"CAST({group_col} AS STRING) AS grp",
             f"CAST({ts_col} AS LONG) AS ts",
             f"CAST({value_col} AS DOUBLE) AS value",

@@ -1,0 +1,142 @@
+"""Round-11 fixes: chained-cell cap bound in the exact-quantile
+terminal collect, anomaly_stream NULL policy, k_truss rounds guard,
+group_mode broadcast rollup join, calibration_curve bin clamping."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_exact_quantiles_terminal_collect_cap_bounded(spark, monkeypatch):
+    """Post-recursion cells must carry their CHAIN predicate into the
+    executor-side terminal filter: a (g, b)-only filter pulls the whole
+    root bucket to the driver (here 60k rows under a cap of 500 — the
+    exact skew the recursion exists to handle)."""
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    from moz_datapipeline_spark.operators.ranges import exact_quantiles
+
+    n = 60_000
+    # 60k values crammed into [0, 1e-6] plus one outlier at 1000.0:
+    # the value range makes bucket 0 hold every needed rank, forcing
+    # recursion (count 60k >> cap 500) with chain depth >= 1
+    df = (
+        spark.range(n)
+        .select((F.col("id").cast("double") / n * 1e-6).alias("v"))
+        .union(spark.range(1).select(F.lit(1000.0).alias("v")))
+    )
+
+    sizes: list[int] = []
+    orig = DataFrame.collect
+
+    def counted(self):
+        out = orig(self)
+        sizes.append(len(out))
+        return out
+
+    monkeypatch.setattr(DataFrame, "collect", counted)
+    got = exact_quantiles(
+        df, "v", [0.5], bucket_count=64, candidate_cap=500
+    )
+    # exactness first: rank 0.5*(60001-1) = 30000 -> id 30000's value
+    assert got == [30000.0 / n * 1e-6]
+    # boundedness: no single driver collect may exceed the candidate
+    # cap (histogram passes are <= bucket-count-sized, well under it)
+    assert sizes, "expected instrumented collects"
+    assert max(sizes) <= 500
+
+
+def test_anomaly_stream_null_values_do_not_poison_state(spark, tmp_path):
+    """A NULL value used to arrive as NaN and permanently poison the
+    Welford (mean, M2) state — every later z-score NULL, detection
+    silently dead.  NULL ts/value rows must be dropped pre-fold."""
+    import json
+
+    from moz_datapipeline_spark.streaming.stateful import anomaly_stream
+
+    src = tmp_path / "anom_null_in"
+    src.mkdir()
+    chk = str(tmp_path / "anom_null_chk")
+    rows = (
+        [{"event_type": "g", "ts": i, "value": 10.0 + (i % 3)} for i in range(12)]
+        + [
+            {"event_type": "g", "ts": 50, "value": None},
+            {"event_type": "g", "ts": None, "value": 11.0},
+            {"event_type": "g", "ts": 100, "value": 500.0},
+        ]
+    )
+    with open(src / "b1.json", "w") as fh:
+        for r in rows:
+            fh.write(json.dumps(r) + "\n")
+    stream = spark.readStream.schema(
+        "event_type string, ts long, value double"
+    ).json(str(src))
+    q = (
+        anomaly_stream(stream, min_n=10)
+        .writeStream.format("memory")
+        .queryName("anom_null_out")
+        .outputMode("append")
+        .option("checkpointLocation", chk)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r.ts: r for r in spark.table("anom_null_out").collect()}
+    # the NULL-value and NULL-ts rows are dropped, not folded
+    assert set(got) == set(range(12)) | {100}
+    # the wild value still flags: state was never NaN-poisoned
+    assert got[100].is_anomaly is True
+    assert got[100].zscore is not None
+
+
+def test_k_truss_rejects_rounds_below_one(spark):
+    from moz_datapipeline_spark.graph.truss import k_truss
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3)], "src long, dst long"
+    )
+    with pytest.raises(ValueError, match="rounds"):
+        k_truss(edges, k=3, rounds=0)
+
+
+def test_group_mode_broadcasts_peak_rollup(spark):
+    """The group-sized peak rollup must broadcast back onto the
+    (group x value) rollup — a plain shuffle join re-exchanges the
+    larger rollup for nothing."""
+    from moz_datapipeline_spark.operators.analytics import group_mode
+
+    rows = [("g%d" % (i % 7), i % 3) for i in range(100)]
+    df = spark.createDataFrame(rows, "g string, v int")
+    plan = _plan(group_mode(df, "g", "v"))
+    assert "BroadcastHashJoin" in plan
+    # correctness unchanged by the hint
+    got = {r.g: r for r in group_mode(df, "g", "v").collect()}
+    assert len(got) == 7
+
+
+def test_calibration_curve_clamps_out_of_range_scores(spark):
+    """Scores outside [0, 1] (negatives, raw logits) clamp into the
+    edge bins instead of minting out-of-range bin ids."""
+    from moz_datapipeline_spark.operators.mleval import calibration_curve
+
+    rows = [(-0.5, 0), (-2.0, 0), (0.5, 1), (1.7, 1), (1.0, 1)]
+    df = spark.createDataFrame(rows, "score double, label int")
+    out = calibration_curve(df, "score", "label", n_bins=10).collect()
+    bins = {r.bin for r in out}
+    assert bins == {0, 5, 9}
+    by_bin = {r.bin: r for r in out}
+    assert by_bin[0].n == 2  # both negatives clamp to bin 0
+    assert by_bin[9].n == 2  # 1.7 and 1.0 clamp to bin 9

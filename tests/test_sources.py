@@ -88,8 +88,14 @@ def test_merge_eaul_flatten(spark):
     assert out.loc["1", "eaul-upgrade-rehab-asphalt"] == 50.0
     assert out.loc["1", "eaul-upgrade-rehab-gravel"] == 60.0
     assert out.loc["2", "eaul-upgrade-rehab-asphalt"] == 80.0
-    # way 3 has no results → nulls
+    # the global baseline flattens onto every way WITH results
+    # (script-eaul stamps it into each result file; merge-eaul copies
+    # every eaul.* key)
+    assert out.loc["1", "eaul-baseline"] == 100.0
+    assert out.loc["2", "eaul-baseline"] == 100.0
+    # way 3 has no results → nulls on every eaul-* column
     assert out.loc["3", "eaul-upgrade-rehab-asphalt"] != out.loc["3", "eaul-upgrade-rehab-asphalt"]
+    assert out.loc["3", "eaul-baseline"] != out.loc["3", "eaul-baseline"]
 
 
 # shapefile scan coverage lives in tests/test_shapefile.py — the pure
