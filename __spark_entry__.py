@@ -1202,6 +1202,86 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "n_chars")
 
 
+def q_dedup_stream_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL streaming first-wins dedup (streaming/stateful.
+    dedup_stream, applyInPandasWithState keyed on source) driven through
+    one micro-batch of the events table via a memory sink — the batch
+    twin the oracle replays as SELECT DISTINCT.  Keys are event types,
+    fingerprints a 500-bucket fold of user_id so duplicates actually
+    occur within the batch.
+    """
+    import os
+    import shutil
+    import uuid
+
+    from moz_datapipeline_spark.streaming.stateful import dedup_stream
+
+    _events(spark, sf_dir)  # sets the nanos-ts conf for the raw read
+    src_dir = "/tmp/spark_graft_dedup_tw_src"
+    shutil.rmtree(src_dir, ignore_errors=True)
+    os.makedirs(src_dir)
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/events.parquet"),
+        f"{src_dir}/events.parquet",
+    )
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .parquet(src_dir)
+        .filter(
+            F.col("event_type").isNotNull() & F.col("user_id").isNotNull()
+        )
+        .select(
+            F.col("event_type").alias("source"),
+            (F.col("user_id") % 500).cast("long").alias("fingerprint"),
+        )
+    )
+    name = f"dedup_tw_{uuid.uuid4().hex[:8]}"
+    q = (
+        dedup_stream(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).select("key", "fingerprint", "n_new")
+
+
+_INGEST_STORE = "/tmp/spark_graft_ingest_store_q"
+
+
+def q_ingest_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of ``streaming/stateful.ingest_dedup_stream``'s admit
+    step (the foreachBatch closure): quality-gate the micro-batch, then
+    admit through ``incremental_dedup`` against a store bootstrapped
+    from a trusted prior corpus.  Here prior = doc_id % 3 == 0 (no
+    gate — the store is already curated), batch = the rest gated on
+    n_chars >= 200, portable md5 hashing so DuckDB replays the whole
+    MinHash pipeline.
+    """
+    import shutil
+
+    from moz_datapipeline_spark.operators.incremental import (
+        bootstrap_signature_store,
+        incremental_dedup,
+    )
+
+    shutil.rmtree(_INGEST_STORE, ignore_errors=True)
+    d = _t(spark, sf_dir, "documents")
+    prior = d.filter(F.col("doc_id") % 3 == 0)
+    batch = d.filter(F.col("doc_id") % 3 != 0)
+    gated = batch.filter(F.col("n_chars") >= 200)  # the quality_gate
+    bootstrap_signature_store(spark, prior, _INGEST_STORE, portable_hash=True)
+    out = incremental_dedup(
+        spark, gated, _INGEST_STORE, threshold=0.7, portable_hash=True
+    )
+    return out.select("doc_id", "lang", "n_chars")
+
+
 def q_embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batched embedding generation (operators/embed.embed): the
     model-agnostic Arrow ``mapInPandas`` encoder kernel, driven here by
@@ -6695,6 +6775,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hourly_percentiles": q_hourly_percentiles,
         "rbo_overlap": q_rbo_overlap,
         "merge_eaul": q_merge_eaul,
+        "dedup_stream_batch": q_dedup_stream_batch,
+        "ingest_dedup_batch": q_ingest_dedup_batch,
     }
 
 
@@ -6766,18 +6848,29 @@ def _bootstrap_ci_oracle(B: int = 32, lo: float = 0.025, hi: float = 0.975) -> s
     """
 
 
-def _incremental_dedup_oracle() -> str:
+def _incremental_dedup_oracle(
+    batch_pred: str = "doc_id % 2 = 1",
+    prior_pred: str = "doc_id % 2 = 0",
+    gate: str = "TRUE",
+) -> str:
     """Full independent DuckDB replay of q_incremental_dedup: token
     md5 hashes mod p, rolling 3-gram combine, the 32-permutation
     universal hash family (same (a, b) constants injected literally),
     8-band md5 digests, bucket-join candidates new↔store and new↔new,
     the ≥0.7 signature-agreement estimate, and min-id components via a
     recursive CTE.  Nothing is read from the Spark side — DuckDB
-    recomputes every stage from the documents table."""
+    recomputes every stage from the documents table.
+
+    Parameterized so the ingest batch-twin (``q_ingest_dedup_batch``)
+    replays with its own prior/batch split and quality ``gate`` (the
+    gate applies to the BATCH side only — gated-out docs never compute
+    signatures, never enter the store, never reach the sink)."""
     from moz_datapipeline_spark.operators.dedup import (
         _MERSENNE_P as P,
         _minhash_params,
     )
+
+    new_pred = f"({batch_pred}) AND ({gate})"
 
     mins = ", ".join(
         f"list_min(list_transform(s, x -> (x*{a} + {b}) % {P}))"
@@ -6785,6 +6878,8 @@ def _incremental_dedup_oracle() -> str:
     )
     return f"""
         WITH RECURSIVE
+        newids AS (SELECT doc_id FROM documents WHERE {new_pred}),
+        priorids AS (SELECT doc_id FROM documents WHERE {prior_pred}),
         base AS (
           SELECT doc_id,
                  string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
@@ -6813,7 +6908,8 @@ def _incremental_dedup_oracle() -> str:
           SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
           FROM banded n JOIN banded o
             ON n.band_idx = o.band_idx AND n.bh = o.bh
-          WHERE n.doc_id % 2 = 1 AND o.doc_id % 2 = 0
+          WHERE n.doc_id IN (SELECT doc_id FROM newids)
+            AND o.doc_id IN (SELECT doc_id FROM priorids)
         ),
         drop_store AS (
           SELECT DISTINCT c.new_id
@@ -6828,7 +6924,8 @@ def _incremental_dedup_oracle() -> str:
           SELECT DISTINCT a.doc_id AS id_a, bb.doc_id AS id_b
           FROM banded a JOIN banded bb
             ON a.band_idx = bb.band_idx AND a.bh = bb.bh
-          WHERE a.doc_id % 2 = 1 AND bb.doc_id % 2 = 1
+          WHERE a.doc_id IN (SELECT doc_id FROM newids)
+            AND bb.doc_id IN (SELECT doc_id FROM newids)
             AND a.doc_id < bb.doc_id
         ),
         vpairs AS (
@@ -6853,7 +6950,7 @@ def _incremental_dedup_oracle() -> str:
         losers AS (SELECT id FROM comp WHERE id <> component)
         SELECT d.doc_id, d.lang, d.n_chars
         FROM documents d
-        WHERE d.doc_id % 2 = 1
+        WHERE d.doc_id IN (SELECT doc_id FROM newids)
           AND d.doc_id NOT IN (SELECT id FROM losers)
           AND d.doc_id NOT IN (SELECT new_id FROM drop_store)
     """
@@ -13984,6 +14081,20 @@ FROM eaul_calc
                r.gravel AS eaul_gravel
         FROM supplier s LEFT JOIN res r ON s.s_name = r.way_id
     """
+
+    sql["dedup_stream_batch"] = """
+        SELECT DISTINCT event_type AS key,
+               CAST(user_id % 500 AS BIGINT) AS fingerprint,
+               CAST(1 AS BIGINT) AS n_new
+        FROM events
+        WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+    """
+
+    sql["ingest_dedup_batch"] = _incremental_dedup_oracle(
+        batch_pred="doc_id % 3 <> 0",
+        prior_pred="doc_id % 3 = 0",
+        gate="n_chars >= 200",
+    )
 
     return sql
 

@@ -44,28 +44,51 @@ def connected_components(
     propagate+shortcut rounds actually executed (the O(log d) claim is
     rehearsed against this in ``scale_check.py``).
     """
+    # MATERIALIZE the loop inputs once (eager localCheckpoint, not
+    # cache): a lazily-cached edges frame gets its distinct lineage
+    # re-planned inside every round's join tree — measured 9 s/round
+    # of pure overhead on a 394k-edge rehearsal vs 0.6-1.2 s/round
+    # checkpointed (the loop below re-references these frames 2-3×
+    # per round, so truncated lineage pays off immediately)
     edges = (
         pairs.select(
             F.col(a_col).alias("u"), F.col(b_col).alias("v")
         )
         .union(pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     # initial label: own id
     labels = (
         edges.select(F.col("u").alias("id"))
         .distinct()
         .withColumn("component", F.col("id"))
+        .localCheckpoint(eager=True)
     )
-    edges = edges.cache()
 
+    # FRONTIER propagation: only labels that changed last round can
+    # lower a neighbor this round, so the edges⨝labels join (the |E|
+    # cost that dominates every round) runs against the changed set
+    # only.  A near-dup graph is mostly tiny components — after round
+    # 1 the frontier collapses to almost nothing and later rounds are
+    # frontier-sized, not graph-sized.  Correctness: labels only
+    # decrease, and every decrease (propagate OR shortcut) enrolls the
+    # node in the next frontier, so each change event is offered to
+    # its neighbors exactly once — same fixed point, same O(log d)
+    # round bound on chains (the shortcut still runs on all labels).
+    frontier = labels
     converged = False
     rounds = 0
     for _ in range(max_iterations):
         rounds += 1
-        # propagate: each node adopts min(own, neighbors' labels)
+        # propagate: each node adopts min(own, CHANGED neighbors' labels)
         neighbor_min = (
-            edges.join(labels, edges["v"] == labels["id"])
+            edges.join(
+                frontier.select(
+                    F.col("id").alias("v"), F.col("component")
+                ),
+                "v",
+            )
             .groupBy(F.col("u").alias("id"))
             .agg(F.min("component").alias("_nmin"))
         )
@@ -102,7 +125,11 @@ def connected_components(
         if changed == 0:
             converged = True
             break
-    edges.unpersist()
+        frontier = (
+            updated.filter(F.col("_changed"))
+            .drop("_changed")
+            .localCheckpoint(eager=True)
+        )
     if stats is not None:
         stats["rounds"] = rounds
     if not converged:
@@ -117,12 +144,19 @@ def dedup_keep_representatives(
     df: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
+    components: DataFrame | None = None,
 ) -> DataFrame:
     """Filter ``df`` to one representative (min id) per duplicate cluster.
 
     Rows not in any pair are kept as-is (they are their own cluster).
+    Pass ``components`` (a prior ``connected_components(pairs)`` result)
+    to reuse it — otherwise the iterative clustering runs again here.
     """
-    comp = connected_components(pairs)
+    comp = (
+        components
+        if components is not None
+        else connected_components(pairs)
+    )
     keep = comp.filter(F.col("id") == F.col("component")).select(
         F.col("id").alias(id_col)
     )

@@ -54,6 +54,22 @@ def _wkt_spheroid(wkt: str) -> tuple[float, float]:
     return a, e2
 
 
+#: PROJECTION["..."] names (lowercased) with a Snyder closed-form
+#: inverse here — the families every reference .prj uses, plus the
+#: common global grids.  Documented in README §"Shapefile CRS support".
+SUPPORTED_PROJECTIONS = (
+    "albers",
+    "transverse_mercator",
+    "lambert_conformal_conic",
+    "mercator_auxiliary_sphere",
+    "stereographic (polar aspects only)",
+    "polar_stereographic",
+    "stereographic_north_pole",
+    "stereographic_south_pole",
+    "sinusoidal",
+)
+
+
 def make_transform(prj_wkt: str | None):
     """WKT → vectorized (x, y) -> (lon, lat) degrees transform.
 
@@ -152,7 +168,14 @@ def make_transform(prj_wkt: str | None):
             fe=p.get("false_easting", 0.0),
             fn=p.get("false_northing", 0.0),
         )
-    raise NotImplementedError(f"unsupported projection: {proj}")
+    raise NotImplementedError(
+        f"unsupported projection family {proj!r}; supported families: "
+        + ", ".join(SUPPORTED_PROJECTIONS)
+        + ". Reproject the source to one of these or to WGS84 "
+        "(ogr2ogr -t_srs EPSG:4326) — the reference pipeline does the "
+        "same in scripts/base-network.sh:98-99 — or add the Snyder "
+        "inverse for this family."
+    )
 
 
 def _q_of(sin_phi, e, e2):

@@ -1789,6 +1789,87 @@ def round10_ops_scale_check(spark) -> dict:
     }
 
 
+def round11_ops_scale_check(spark) -> dict:
+    """Round-11 rehearsal: the mleval family at its design scale.
+
+    - ``retrieval_eval`` at |queries| ≫ cores: 200k queries × 50 run
+      docs (10M run rows) against 1M qrel rows.  The shuffle shape to
+      demonstrate: ONE hash exchange on (query, doc) for the left
+      join, then per-query windows partitioned by query_id — 200k
+      independent window partitions spread over the cores, never a
+      global sort, output = one row per query.
+    - ``classification_report`` over 50M (label, pred) rows: a single
+      map-side-combined hash aggregate to ONE confusion-matrix row —
+      exchange carries 4 counters per partition, not data.
+    - ``calibration_curve`` over 50M scores: one hash aggregate to a
+      ≤ n_bins rollup (exchange ≤ bins × partitions rows), then
+      bins-sized windows.
+    """
+    from moz_datapipeline_spark.operators.mleval import (
+        calibration_curve,
+        classification_report,
+        retrieval_eval,
+    )
+
+    out: dict = {}
+
+    n_q, per_q = 200_000, 50
+    run = spark.range(n_q * per_q).select(
+        (F.col("id") % n_q).alias("query_id"),
+        (F.col("id") / n_q).cast("long").alias("doc_id"),
+        (F.pmod(F.xxhash64(F.col("id")), 10_000) / 100.0).alias("score"),
+    )
+    qrels = spark.range(n_q * 5).select(
+        (F.col("id") % n_q).alias("query_id"),
+        ((F.col("id") / n_q).cast("long") * 7 % per_q).alias("doc_id"),
+        (1 + F.col("id") % 3).cast("double").alias("rel"),
+    )
+    t0 = time.perf_counter()
+    ev = retrieval_eval(run, qrels, k=10)
+    out["retrieval_eval_queries_out"] = ev.count()
+    out["retrieval_eval_run_rows"] = n_q * per_q
+    out["retrieval_eval_sec"] = round(time.perf_counter() - t0, 2)
+    out["retrieval_eval_shuffle"] = (
+        "1 exchange on (query,doc) for the qrel join + per-query "
+        "windows partitioned by query_id (200k partitions over the "
+        "cores); output rows = |queries|"
+    )
+
+    n = 50_000_000
+    preds = spark.range(n).select(
+        (F.pmod(F.xxhash64(F.col("id")), 100) < 45).cast("int").alias("label"),
+        (F.pmod(F.xxhash64(F.col("id") + 7), 100) < 48)
+        .cast("int")
+        .alias("pred"),
+    )
+    t0 = time.perf_counter()
+    rep = classification_report(preds, "label", "pred").collect()
+    out["classification_rows_in"] = n
+    out["classification_sec"] = round(time.perf_counter() - t0, 2)
+    out["classification_shuffle"] = (
+        "one map-side-combined hash aggregate to a single confusion "
+        "row; exchange = 4 counters per input partition"
+    )
+    assert len(rep) == 1
+
+    scores = spark.range(n).select(
+        (F.pmod(F.xxhash64(F.col("id")), 10_000) / 10_000.0).alias("score"),
+        (F.pmod(F.xxhash64(F.col("id") + 3), 100) < 50)
+        .cast("int")
+        .alias("label"),
+    )
+    t0 = time.perf_counter()
+    curve = calibration_curve(scores, "score", "label", n_bins=10)
+    out["calibration_bins_out"] = curve.count()
+    out["calibration_rows_in"] = n
+    out["calibration_sec"] = round(time.perf_counter() - t0, 2)
+    out["calibration_shuffle"] = (
+        "one hash aggregate to a <= n_bins rollup (exchange <= "
+        "bins x partitions rows); everything after is bins-sized"
+    )
+    return out
+
+
 def _section_gc(spark) -> None:
     """Release caches and lingering localCheckpoint blocks between
     sections: the rehearsal shares ONE JVM across ~20 sections, and
@@ -1832,7 +1913,9 @@ def main() -> None:
     t0 = time.perf_counter()
     comp = connected_components(verified.select("id_a", "id_b"))
     n_clusters = comp.select("component").distinct().count()
-    survivors = dedup_keep_representatives(docs, verified.select("id_a", "id_b"))
+    survivors = dedup_keep_representatives(
+        docs, verified.select("id_a", "id_b"), components=comp
+    )
     n_kept = survivors.count()
     t_cluster = time.perf_counter() - t0
 
@@ -1870,6 +1953,8 @@ def main() -> None:
     r9 = round9_ops_scale_check(spark)
     _section_gc(spark)
     r10 = round10_ops_scale_check(spark)
+    _section_gc(spark)
+    r11 = round11_ops_scale_check(spark)
 
     print(
         json.dumps(
@@ -1904,6 +1989,7 @@ def main() -> None:
                 **r8,
                 **r9,
                 **r10,
+                **r11,
             }
         )
     )

@@ -127,6 +127,43 @@ def test_group_mode_broadcasts_peak_rollup(spark):
     assert len(got) == 7
 
 
+def test_connected_components_frontier_chain_and_stars(spark):
+    """Frontier propagation (only changed labels offered to neighbors)
+    must reach the same fixed point as full propagation: a 512-link
+    chain (worst case for propagation depth, needs the pointer-doubling
+    shortcut) plus disjoint stars (the common near-dup shape that the
+    frontier optimizes) all collapse to their min ids."""
+    from moz_datapipeline_spark.operators.components import (
+        connected_components,
+        dedup_keep_representatives,
+    )
+
+    chain = [(i, i + 1) for i in range(1000, 1512)]
+    stars = [(c, c + j) for c in range(0, 900, 100) for j in range(1, 5)]
+    pairs = spark.createDataFrame(
+        chain + stars, "id_a long, id_b long"
+    )
+    st: dict = {}
+    comp = connected_components(pairs, stats=st)
+    got = {r.id: r.component for r in comp.collect()}
+    assert all(got[i] == 1000 for i in range(1000, 1513))
+    for c in range(0, 900, 100):
+        assert all(got[c + j] == c for j in range(0, 5))
+    # O(log d): a 512-diameter chain needs ~9-11 doubling rounds, far
+    # fewer than the 512 plain propagation would take
+    assert st["rounds"] <= 14
+
+    # reuse path: passing the computed components skips the re-run
+    docs = spark.range(2000).select(F.col("id").alias("doc_id"))
+    kept = dedup_keep_representatives(
+        docs, pairs, id_col="doc_id", components=comp
+    )
+    kept_ids = {r.doc_id for r in kept.collect()}
+    assert 1000 in kept_ids and 1001 not in kept_ids
+    assert 0 in kept_ids and 101 not in kept_ids
+    assert 999 in kept_ids  # untouched by any pair
+
+
 def test_calibration_curve_clamps_out_of_range_scores(spark):
     """Scores outside [0, 1] (negatives, raw logits) clamp into the
     edge bins instead of minting out-of-range bin ids."""

@@ -172,6 +172,25 @@ def test_unknown_projection_raises():
         )
 
 
+def test_unknown_projection_error_names_family_and_alternatives():
+    """The loud failure must tell the user WHAT family was rejected and
+    WHICH families (or reprojection route) are available — README
+    §'Shapefile CRS support' is the contract."""
+    with pytest.raises(NotImplementedError) as exc:
+        shp.make_transform(
+            'PROJCS["x",GEOGCS["g",DATUM["d",SPHEROID["s",6378137.0,'
+            '298.257223563]],PRIMEM["Greenwich",0.0],UNIT["Degree",0.017]],'
+            'PROJECTION["Krovak"],UNIT["Meter",1.0]]'
+        )
+    msg = str(exc.value)
+    assert "'krovak'" in msg
+    assert "albers" in msg and "transverse_mercator" in msg
+    assert "ogr2ogr" in msg
+    # the documented list is the single source of truth
+    for fam in shp.SUPPORTED_PROJECTIONS:
+        assert fam in msg
+
+
 def _tmerc_forward(lon, lat, a, e2, lat0, lon0, k0, fe=0.0, fn=0.0):
     """Snyder 8-9..8-13 forward TM, written independently of the
     library's inverse so errors cannot cancel."""
