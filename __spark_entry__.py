@@ -1282,6 +1282,47 @@ def q_ingest_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "n_chars")
 
 
+def q_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley–Terry preference fit (operators/mleval.bradley_terry):
+    8 pseudo-players with PLANTED strengths θ_i = i+1 — player a beats
+    b iff a deterministic mod draw lands under (a+1)/(a+b+2), exactly
+    the BT win probability — fit with 3 MM rounds (Hunter 2004).
+    VALUE oracle: pair rollup + all 3 MM rounds + mean-1 rescales
+    unrolled as DuckDB CTEs.
+    """
+    from moz_datapipeline_spark.operators.mleval import bradley_terry
+
+    li = _t(spark, sf_dir, "lineitem")
+    a = (F.col("l_suppkey") % 8).cast("long")
+    b = (F.col("l_partkey") % 8).cast("long")
+    draw = F.pmod(
+        F.col("l_orderkey") * 7 + F.col("l_linenumber"), a + b + 2
+    )
+    comp = li.filter(a != b).select(
+        F.when(draw < a + 1, a).otherwise(b).alias("winner"),
+        F.when(draw < a + 1, b).otherwise(a).alias("loser"),
+    )
+    return bradley_terry(comp, iterations=3)
+
+
+def q_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa (operators/mleval.fleiss_kappa) over a natural
+    fixed-panel annotation table: orders with exactly 4 lineitems are
+    the items, the 4 lines their rater panel, l_returnflag the assigned
+    category.  VALUE oracle: identical cell/panel folds in DuckDB.
+    """
+    from moz_datapipeline_spark.operators.mleval import fleiss_kappa
+
+    li = _t(spark, sf_dir, "lineitem")
+    return fleiss_kappa(
+        li.select(
+            F.col("l_orderkey").alias("item_id"),
+            F.col("l_returnflag").alias("category"),
+        ),
+        raters_per_item=4,
+    )
+
+
 def q_embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batched embedding generation (operators/embed.embed): the
     model-agnostic Arrow ``mapInPandas`` encoder kernel, driven here by
@@ -6777,6 +6818,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_eaul": q_merge_eaul,
         "dedup_stream_batch": q_dedup_stream_batch,
         "ingest_dedup_batch": q_ingest_dedup_batch,
+        "bradley_terry": q_bradley_terry,
+        "fleiss_kappa": q_fleiss_kappa,
     }
 
 
@@ -6953,6 +6996,72 @@ def _incremental_dedup_oracle(
         WHERE d.doc_id IN (SELECT doc_id FROM newids)
           AND d.doc_id NOT IN (SELECT id FROM losers)
           AND d.doc_id NOT IN (SELECT new_id FROM drop_store)
+    """
+
+
+def _bradley_terry_oracle(iterations: int = 3) -> str:
+    """DuckDB replay of q_bradley_terry: the planted-strength winner
+    draw, the unordered-pair and win rollups, and every MM round
+    (contribution join → symmetric denominator fold → wins/denominator
+    update → mean-1 rescale) unrolled as CTEs."""
+    rounds = []
+    prev = "t0"
+    for r in range(1, int(iterations) + 1):
+        rounds.append(f"""
+        c{r} AS (
+          SELECT pa, pb, n / (ta.t + tb.t) AS c
+          FROM pair
+          JOIN {prev} ta ON ta.item = pair.pa
+          JOIN {prev} tb ON tb.item = pair.pb
+        ), d{r} AS (
+          SELECT item, sum(c) AS d FROM (
+            SELECT pa AS item, c FROM c{r}
+            UNION ALL SELECT pb AS item, c FROM c{r}
+          ) GROUP BY 1
+        ), u{r} AS (
+          SELECT i.item,
+                 CASE WHEN d > 0 THEN i.wins / d ELSE 1.0 END AS t
+          FROM items i LEFT JOIN d{r} USING (item)
+        ), t{r} AS (
+          SELECT item, t / (SELECT avg(t) FROM u{r}) AS t FROM u{r}
+        )""")
+        prev = f"t{r}"
+    return f"""
+        WITH src AS (
+          SELECT CAST(l_suppkey % 8 AS BIGINT) AS a,
+                 CAST(l_partkey % 8 AS BIGINT) AS b,
+                 (l_orderkey * 7 + l_linenumber) % (CAST(l_suppkey % 8 AS BIGINT) + CAST(l_partkey % 8 AS BIGINT) + 2) AS draw
+          FROM lineitem
+          WHERE l_suppkey % 8 <> l_partkey % 8
+        ), raw AS (
+          SELECT CASE WHEN draw < a + 1 THEN a ELSE b END AS w,
+                 CASE WHEN draw < a + 1 THEN b ELSE a END AS l
+          FROM src
+        ), pair AS (
+          SELECT least(w, l) AS pa, greatest(w, l) AS pb,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM raw GROUP BY 1, 2
+        ), winrows AS (
+          SELECT w AS item, CAST(count(*) AS BIGINT) AS wins
+          FROM raw GROUP BY 1
+        ), items AS (
+          SELECT u.item, coalesce(winrows.wins, 0) AS wins
+          FROM (SELECT DISTINCT w AS item FROM raw
+                UNION SELECT DISTINCT l FROM raw) u
+          LEFT JOIN winrows USING (item)
+        ), ncomp AS (
+          SELECT item, CAST(sum(n) AS BIGINT) AS n_comparisons FROM (
+            SELECT pa AS item, n FROM pair
+            UNION ALL SELECT pb AS item, n FROM pair
+          ) GROUP BY 1
+        ), t0 AS (
+          SELECT item, CAST(1.0 AS DOUBLE) AS t FROM items
+        ),{",".join(rounds)}
+        SELECT i.item, round({prev}.t, 6) AS strength, i.wins,
+               coalesce(ncomp.n_comparisons, 0) AS n_comparisons
+        FROM items i
+        JOIN {prev} USING (item)
+        LEFT JOIN ncomp USING (item)
     """
 
 
@@ -14095,6 +14204,40 @@ FROM eaul_calc
         prior_pred="doc_id % 3 = 0",
         gate="n_chars >= 200",
     )
+
+    sql["bradley_terry"] = _bradley_terry_oracle(iterations=3)
+
+    sql["fleiss_kappa"] = """
+        WITH keep AS (
+          SELECT l_orderkey AS i FROM lineitem
+          GROUP BY 1 HAVING count(*) = 4
+        ), cells AS (
+          SELECT l_orderkey AS i, l_returnflag AS c,
+                 CAST(count(*) AS BIGINT) AS nic
+          FROM lineitem
+          WHERE l_orderkey IN (SELECT i FROM keep)
+          GROUP BY 1, 2
+        ), itemfold AS (
+          SELECT i, sum(nic * nic) AS sq FROM cells GROUP BY 1
+        ), pbar AS (
+          SELECT CAST(count(*) AS BIGINT) AS items,
+                 avg((sq - 4) / CAST(12 AS DOUBLE)) AS pb
+          FROM itemfold
+        ), pe AS (
+          SELECT sum(pc * pc) AS pe FROM (
+            SELECT CAST(sum(nic) AS DOUBLE)
+                   / ((SELECT items FROM pbar) * CAST(4 AS DOUBLE)) AS pc
+            FROM cells GROUP BY c
+          )
+        )
+        SELECT items AS n_items,
+               CAST(4 AS INTEGER) AS n_raters,
+               round(pb, 6) AS p_bar,
+               round(pe, 6) AS p_e,
+               CASE WHEN 1.0 - pe > 0
+                 THEN round((pb - pe) / (1.0 - pe), 6) END AS kappa
+        FROM pbar CROSS JOIN pe
+    """
 
     return sql
 

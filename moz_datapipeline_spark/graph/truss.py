@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from moz_datapipeline_spark.iterate import checkpoint_sever
+
 _ID_SPACE = 1 << 32
 
 
@@ -118,9 +120,12 @@ def k_truss(
     need = int(k) - 2
     kept = cur.withColumn("support", F.lit(0).cast("long")).limit(0)
     for _ in range(int(rounds)):
-        kept = _edge_support(cur).filter(
-            F.col("support") >= need
-        ).localCheckpoint()
+        # checkpoint_sever: the support wedge-join reads the edge set
+        # twice, so preserved size estimates would square per round
+        # (iterate.py) — severing keeps late peel rounds flat
+        kept = checkpoint_sever(
+            _edge_support(cur).filter(F.col("support") >= need)
+        )
         n_next = kept.count()
         converged = early_stop and n_next == cur.count()
         cur = kept.select("a", "b")

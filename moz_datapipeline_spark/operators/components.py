@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from moz_datapipeline_spark.iterate import checkpoint_sever
+
 
 def connected_components(
     pairs: DataFrame,
@@ -118,17 +120,20 @@ def connected_components(
             )
         )
         # materialize the new labels so the next round doesn't re-derive
-        # the whole lineage (iterative algorithms grow plans exponentially)
-        updated = updated.localCheckpoint(eager=True)
+        # the whole lineage (iterative algorithms grow plans
+        # exponentially) — checkpoint_sever, not plain localCheckpoint:
+        # each round joins TWO derivatives of the labels frame (the
+        # propagate left-join and the shortcut self-join), so preserved
+        # size-estimate stats would square per round and the BigInt
+        # arithmetic would dominate late rounds (see iterate.py)
+        updated = checkpoint_sever(updated)
         changed = updated.filter(F.col("_changed")).count()
         labels = updated.drop("_changed")
         if changed == 0:
             converged = True
             break
-        frontier = (
-            updated.filter(F.col("_changed"))
-            .drop("_changed")
-            .localCheckpoint(eager=True)
+        frontier = checkpoint_sever(
+            updated.filter(F.col("_changed")).drop("_changed")
         )
     if stats is not None:
         stats["rounds"] = rounds

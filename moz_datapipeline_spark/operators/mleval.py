@@ -477,3 +477,295 @@ def rbo_overlap(
         ),
         F.round(F.coalesce(F.col("_rbo"), F.lit(0.0)), 6).alias("rbo"),
     )
+
+
+def bradley_terry(
+    comparisons: DataFrame,
+    winner_col: str = "winner",
+    loser_col: str = "loser",
+    iterations: int = 20,
+    solver_cap: int = 2_000_000,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Bradley–Terry strength fit over pairwise preferences — the
+    batch readback for RLHF-style comparison data: one row per item
+    ``(item, strength, wins, n_comparisons)`` with ``strength`` the
+    MM-algorithm estimate (Hunter 2004) normalized to mean 1, so
+    P(i beats j) = s_i / (s_i + s_j).
+
+    Each MM round solves θ_i ← W_i / Σ_j n_ij/(θ_i+θ_j) then rescales
+    to mean 1.  Scale posture: the DATA-sized work is folding raw
+    comparisons into an unordered-pair rollup (n_ij) and an item
+    rollup (W_i) — one distributed pass each.  The MM iteration runs
+    over the ROLLUP, which is bounded by the distinct comparison
+    graph, not the comparison count, so when it fits under
+    ``solver_cap`` pairs the solver runs driver-side in vectorized
+    numpy (hundreds of rounds in milliseconds — the exact_quantiles /
+    routing-kernel pattern: distribute the fold, solve the small
+    system locally).  Beyond the cap the rounds run as rollup-sized
+    joins whose θ frame is re-materialized per round via
+    ``iterate.checkpoint_sever`` — a plain ``localCheckpoint`` loop
+    that re-joins its own output squares the preserved size-estimate
+    BigInt every round and melts the driver from ~15 rounds on (see
+    ``moz_datapipeline_spark.iterate``).  ``stats`` receives
+    ``{"pairs": n, "solver": "driver"|"distributed"}``.
+
+    Ties in the input are the caller's to resolve (emit one row per
+    decided comparison).  Items that only ever win (or only lose)
+    get the MM update's natural drift; feed a prior round-robin or
+    clamp downstream when the comparison graph is not connected —
+    same caveat as every BT fit.
+    """
+    if iterations < 1:
+        raise ValueError("bradley_terry: need iterations >= 1")
+    raw = comparisons.select(
+        F.col(winner_col).alias("_w"), F.col(loser_col).alias("_l")
+    ).filter(
+        F.col("_w").isNotNull()
+        & F.col("_l").isNotNull()
+        & (F.col("_w") != F.col("_l"))
+    )
+    # unordered-pair rollup: (a < b, n comparisons) — the MM update
+    # needs only the pair totals; per-item win counts fold separately
+    pair = (
+        raw.select(
+            F.least("_w", "_l").alias("_a"),
+            F.greatest("_w", "_l").alias("_b"),
+        )
+        .groupBy("_a", "_b")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .localCheckpoint(eager=True)
+    )
+    wins = (
+        raw.groupBy(F.col("_w").alias("item"))
+        .agg(F.count(F.lit(1)).alias("wins"))
+    )
+    items = (
+        raw.select(F.col("_w").alias("item"))
+        .union(raw.select("_l"))
+        .distinct()
+        .join(wins, "item", "left")
+        .select(
+            "item", F.coalesce("wins", F.lit(0)).cast("long").alias("wins")
+        )
+        .localCheckpoint(eager=True)
+    )
+    n_comp = (
+        pair.select(F.col("_a").alias("item"), "_n")
+        .union(pair.select(F.col("_b").alias("item"), "_n"))
+        .groupBy("item")
+        .agg(F.sum("_n").cast("long").alias("n_comparisons"))
+    )
+
+    n_pairs = pair.count()
+    if stats is not None:
+        stats["pairs"] = int(n_pairs)
+    if n_pairs <= int(solver_cap):
+        if stats is not None:
+            stats["solver"] = "driver"
+        return _bt_driver_solve(
+            comparisons.sparkSession, pair, items, int(iterations)
+        )
+    if stats is not None:
+        stats["solver"] = "distributed"
+
+    from moz_datapipeline_spark.iterate import checkpoint_sever
+
+    theta = items.select("item", F.lit(1.0).alias("_t"))
+    for _ in range(int(iterations)):
+        ta = theta.select(F.col("item").alias("_a"), F.col("_t").alias("_ta"))
+        tb = theta.select(F.col("item").alias("_b"), F.col("_t").alias("_tb"))
+        # per-pair denominator contribution n_ij / (θ_i + θ_j), symmetric
+        contrib = (
+            pair.join(ta, "_a")
+            .join(tb, "_b")
+            .select(
+                "_a",
+                "_b",
+                (F.col("_n") / (F.col("_ta") + F.col("_tb"))).alias("_c"),
+            )
+        )
+        denom = (
+            contrib.select(F.col("_a").alias("item"), "_c")
+            .union(contrib.select(F.col("_b").alias("item"), "_c"))
+            .groupBy("item")
+            .agg(F.sum("_c").alias("_d"))
+        )
+        new_theta = (
+            items.join(denom, "item", "left")
+            .select(
+                "item",
+                F.when(
+                    F.col("_d") > 0, F.col("wins") / F.col("_d")
+                )
+                .otherwise(F.lit(1.0))
+                .alias("_t"),
+            )
+        )
+        # mean-1 rescale keeps the iteration bounded and the output
+        # scale-identified (BT strengths are only defined up to scale)
+        new_theta = checkpoint_sever(new_theta)
+        mean_t = new_theta.agg(F.avg("_t").alias("_m"))
+        theta = new_theta.crossJoin(F.broadcast(mean_t)).select(
+            "item", (F.col("_t") / F.col("_m")).alias("_t")
+        )
+    return (
+        theta.join(items, "item")
+        .join(n_comp, "item", "left")
+        .select(
+            "item",
+            F.round("_t", 6).alias("strength"),
+            "wins",
+            F.coalesce("n_comparisons", F.lit(0))
+            .cast("long")
+            .alias("n_comparisons"),
+        )
+    )
+
+
+def _bt_driver_solve(spark, pair, items, iterations: int) -> DataFrame:
+    """Vectorized MM over the collected pair rollup (under-cap path).
+
+    Arithmetic mirrors the distributed rounds (same update, same
+    mean-1 rescale, same half-up 6-digit rounding); summation order is
+    the sorted-pair order, deterministic across runs.
+    """
+    import math
+
+    import numpy as np
+    from pyspark.sql import types as T
+
+    prow = sorted((r["_a"], r["_b"], r["_n"]) for r in pair.collect())
+    irow = sorted((r["item"], r["wins"]) for r in items.collect())
+    ids = [i for i, _ in irow]
+    pos = {v: k for k, v in enumerate(ids)}
+    w = np.array([float(x) for _, x in irow])
+    ai = np.array([pos[a] for a, _, _ in prow], dtype=np.int64)
+    bi = np.array([pos[b] for _, b, _ in prow], dtype=np.int64)
+    nn = np.array([float(n) for _, _, n in prow])
+    ncomp = np.zeros(len(ids), dtype=np.int64)
+    np.add.at(ncomp, ai, nn.astype(np.int64))
+    np.add.at(ncomp, bi, nn.astype(np.int64))
+    theta = np.ones(len(ids))
+    for _ in range(iterations):
+        c = nn / (theta[ai] + theta[bi])
+        d = np.zeros(len(ids))
+        np.add.at(d, ai, c)
+        np.add.at(d, bi, c)
+        theta = np.where(d > 0, w / d, 1.0)
+        theta = theta / theta.mean()
+    item_field = items.schema["item"]
+    schema = T.StructType(
+        [
+            T.StructField("item", item_field.dataType),
+            T.StructField("strength", T.DoubleType()),
+            T.StructField("wins", T.LongType()),
+            T.StructField("n_comparisons", T.LongType()),
+        ]
+    )
+    rows = [
+        (
+            ids[k],
+            math.floor(float(theta[k]) * 1e6 + 0.5) / 1e6,  # half-up, >0
+            int(w[k]),
+            int(ncomp[k]),
+        )
+        for k in range(len(ids))
+    ]
+    return spark.createDataFrame(rows, schema)
+
+
+def fleiss_kappa(
+    ratings: DataFrame,
+    item_col: str = "item_id",
+    category_col: str = "category",
+    raters_per_item: int | None = None,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Fleiss' kappa over an annotation table — chance-corrected
+    agreement among the fixed-size rater panels that label training
+    data.  One row: ``(n_items, n_raters, p_bar, p_e, kappa)``.
+
+    ``ratings``: one row per (item, assigned category) rating event.
+    Fleiss' formula requires the SAME number of ratings on every item;
+    ``raters_per_item`` pins it (items with any other count are
+    dropped, count surfaced via ``stats["dropped_items"]``), or leave
+    None to infer the most common panel size (smallest wins a tie —
+    deterministic).  NULL items/categories are dropped.
+
+    Plan: one (item × category) hash aggregate, one item-sized
+    rollup for the panel filter, two 1-row folds — nothing after the
+    first aggregate is data-sized.  κ = (P̄ − P̄_e)/(1 − P̄_e) with
+    P_i = (Σ_c n_ic² − n)/(n(n−1)) and P̄_e = Σ_c p_c².
+    """
+    base = ratings.select(
+        F.col(item_col).alias("_i"), F.col(category_col).alias("_c")
+    ).filter(F.col("_i").isNotNull() & F.col("_c").isNotNull())
+    per_item = base.groupBy("_i").agg(F.count(F.lit(1)).alias("_cnt"))
+    if raters_per_item is None:
+        # most common panel size; ties to the smaller size
+        mode_row = (
+            per_item.groupBy("_cnt")
+            .agg(F.count(F.lit(1)).alias("_f"))
+            .orderBy(F.col("_f").desc(), F.col("_cnt").asc())
+            .limit(1)
+            .collect()
+        )
+        if not mode_row:
+            raise ValueError("fleiss_kappa: no rated items")
+        n = int(mode_row[0]["_cnt"])
+    else:
+        n = int(raters_per_item)
+    if n < 2:
+        raise ValueError("fleiss_kappa: need >= 2 raters per item")
+    keep = per_item.filter(F.col("_cnt") == n).select("_i")
+    if stats is not None:
+        stats["dropped_items"] = per_item.filter(
+            F.col("_cnt") != n
+        ).count()
+        stats["raters_per_item"] = n
+    cells = (
+        base.join(keep, "_i")
+        .groupBy("_i", "_c")
+        .agg(F.count(F.lit(1)).alias("_nic"))
+    )
+    # P_i numerator Σ_c n_ic² folds per item; category masses fold per
+    # category; both collapse to one row each
+    item_fold = cells.groupBy("_i").agg(
+        F.sum(F.col("_nic") * F.col("_nic")).alias("_sq")
+    )
+    pbar_row = item_fold.agg(
+        F.count(F.lit(1)).alias("_items"),
+        F.avg(
+            (F.col("_sq") - F.lit(n)) / F.lit(float(n * (n - 1)))
+        ).alias("_pbar"),
+    )
+    pe_row = (
+        cells.groupBy("_c")
+        .agg(F.sum("_nic").alias("_mass"))
+        .crossJoin(F.broadcast(pbar_row.select("_items")))
+        .select(
+            (
+                F.col("_mass").cast("double")
+                / (F.col("_items") * F.lit(float(n)))
+            ).alias("_pc")
+        )
+        .agg(F.sum(F.col("_pc") * F.col("_pc")).alias("_pe"))
+    )
+    return (
+        pbar_row.crossJoin(F.broadcast(pe_row))
+        .select(
+            F.col("_items").cast("long").alias("n_items"),
+            F.lit(n).cast("int").alias("n_raters"),
+            F.round("_pbar", 6).alias("p_bar"),
+            F.round("_pe", 6).alias("p_e"),
+            F.when(
+                F.lit(1.0) - F.col("_pe") > 0,
+                F.round(
+                    (F.col("_pbar") - F.col("_pe"))
+                    / (F.lit(1.0) - F.col("_pe")),
+                    6,
+                ),
+            ).alias("kappa"),
+        )
+    )

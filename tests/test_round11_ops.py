@@ -164,6 +164,107 @@ def test_connected_components_frontier_chain_and_stars(spark):
     assert 999 in kept_ids  # untouched by any pair
 
 
+def test_bradley_terry_planted_strengths(spark):
+    """Comparisons drawn from a true BT model (theta 1:2:4) must
+    recover the strength ORDER and approximately the planted ratios;
+    the mean-1 normalization pins the scale."""
+    import itertools
+
+    from moz_datapipeline_spark.operators.mleval import bradley_terry
+
+    theta = {0: 1.0, 1: 2.0, 2: 4.0}
+    rows = []
+    # deterministic "draws": round-robin each pair 60 times, a wins in
+    # the first round(60 * P(a)) meetings — the MLE then sits exactly
+    # at the planted probabilities
+    for a, b in itertools.combinations(theta, 2):
+        p = theta[a] / (theta[a] + theta[b])
+        wins_a = round(60 * p)
+        rows += [(a, b)] * wins_a + [(b, a)] * (60 - wins_a)
+    comp = spark.createDataFrame(rows, "winner long, loser long")
+    st: dict = {}
+    got = {
+        r.item: r
+        for r in bradley_terry(comp, iterations=60, stats=st).collect()
+    }
+    assert st["solver"] == "driver" and st["pairs"] == 3
+    s = [got[i].strength for i in (0, 1, 2)]
+    assert s[0] < s[1] < s[2]
+    # mean-1 normalization
+    assert sum(s) / 3 == pytest.approx(1.0, abs=1e-6)
+    # planted ratios recovered (MM converged): theta2/theta0 = 4
+    assert s[2] / s[0] == pytest.approx(4.0, rel=0.05)
+    assert s[1] / s[0] == pytest.approx(2.0, rel=0.05)
+    # wins of item 2: 48 over item 0 (p=4/5) + 40 over item 1 (p=2/3)
+    assert got[2].wins == 88
+    assert got[0].n_comparisons == 120
+
+    with pytest.raises(ValueError, match="iterations"):
+        bradley_terry(comp, iterations=0)
+
+
+def test_bradley_terry_distributed_path_matches_driver(spark):
+    """solver_cap=0 forces the rollup-join rounds (checkpoint_sever
+    severs the size-estimate BigInt each round — 25 rounds must stay
+    flat, not melt the driver); results match the driver solver to
+    rounding."""
+    from moz_datapipeline_spark.operators.mleval import bradley_terry
+
+    rows = (
+        [(0, 1)] * 20 + [(1, 0)] * 40
+        + [(0, 2)] * 12 + [(2, 0)] * 48
+        + [(1, 2)] * 20 + [(2, 1)] * 40
+    )
+    comp = spark.createDataFrame(rows, "winner long, loser long")
+    st: dict = {}
+    dist = {
+        r.item: r
+        for r in bradley_terry(
+            comp, iterations=25, solver_cap=0, stats=st
+        ).collect()
+    }
+    assert st["solver"] == "distributed"
+    drv = {
+        r.item: r for r in bradley_terry(comp, iterations=25).collect()
+    }
+    for i in (0, 1, 2):
+        assert dist[i].strength == pytest.approx(
+            drv[i].strength, abs=2e-6
+        )
+        assert dist[i].wins == drv[i].wins
+        assert dist[i].n_comparisons == drv[i].n_comparisons
+
+
+def test_fleiss_kappa_hand_computed(spark):
+    """4 items x 3 raters, two categories: P_i = (1, 1/3, 1, 1/3) ->
+    p_bar = 2/3; category masses split evenly -> p_e = 1/2; kappa =
+    (2/3 - 1/2)/(1 - 1/2) = 1/3."""
+    from moz_datapipeline_spark.operators.mleval import fleiss_kappa
+
+    rows = (
+        [(1, "a")] * 3
+        + [(2, "a")] + [(2, "b")] * 2
+        + [(3, "b")] * 3
+        + [(4, "a")] * 2 + [(4, "b")]
+        + [(5, "a")] * 2  # panel of 2 -> dropped under n=3
+    )
+    df = spark.createDataFrame(rows, "item_id long, category string")
+    st: dict = {}
+    r = fleiss_kappa(df, raters_per_item=3, stats=st).collect()[0]
+    assert r.n_items == 4 and r.n_raters == 3
+    assert r.p_bar == pytest.approx(2.0 / 3.0, abs=1e-6)
+    assert r.p_e == pytest.approx(0.5, abs=1e-6)
+    assert r.kappa == pytest.approx(1.0 / 3.0, abs=1e-6)
+    assert st["dropped_items"] == 1
+
+    # perfect agreement -> kappa = 1; inferred panel size
+    perf = spark.createDataFrame(
+        [(1, "x")] * 3 + [(2, "y")] * 3, "item_id long, category string"
+    )
+    r2 = fleiss_kappa(perf).collect()[0]
+    assert r2.n_raters == 3 and r2.kappa == pytest.approx(1.0)
+
+
 def test_calibration_curve_clamps_out_of_range_scores(spark):
     """Scores outside [0, 1] (negatives, raw logits) clamp into the
     edge bins instead of minting out-of-range bin ids."""
