@@ -1282,6 +1282,45 @@ def q_ingest_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "n_chars")
 
 
+def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U rank-sum test (operators/analytics.
+    mann_whitney_u) between urgent and low-priority order totals —
+    distinct-value rollup, two-phase prefix ranks, tie-corrected
+    normal z.  Rank sums are exact in FP (integers and halves below
+    2^53), so the DuckDB twin matches bit-for-bit.  VALUE oracle:
+    identical rollup + window cumsum + A&S erf polynomial.
+    """
+    from moz_datapipeline_spark.operators.analytics import mann_whitney_u
+
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderpriority") == "1-URGENT")
+    b = o.filter(F.col("o_orderpriority") == "5-LOW")
+    return mann_whitney_u(a, b, "o_totalprice")
+
+
+def q_isotonic_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic calibration map (operators/mleval.isotonic_fit): PAV
+    over the 97-distinct-score rollup of a noisy increasing score→
+    label relation.  VALUE oracle: the minimax identity fitted_k =
+    max_{i<=k} min_{j>=k} mean(i..j) over the SAME windowed prefix
+    sums the kernel uses (lag-based prefixes, so the FP values agree).
+    """
+    from moz_datapipeline_spark.operators.mleval import isotonic_fit
+
+    d = _t(spark, sf_dir, "documents")
+    base = d.select(
+        ((F.col("doc_id") % 97).cast("double") / F.lit(97.0)).alias(
+            "score"
+        ),
+        F.when(
+            (F.col("doc_id") % 89) < (F.col("doc_id") % 97), 1.0
+        )
+        .otherwise(0.0)
+        .alias("label"),
+    )
+    return isotonic_fit(base, "score", "label")
+
+
 def q_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bradley–Terry preference fit (operators/mleval.bradley_terry):
     8 pseudo-players with PLANTED strengths θ_i = i+1 — player a beats
@@ -6820,6 +6859,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ingest_dedup_batch": q_ingest_dedup_batch,
         "bradley_terry": q_bradley_terry,
         "fleiss_kappa": q_fleiss_kappa,
+        "mann_whitney": q_mann_whitney,
+        "isotonic_fit": q_isotonic_fit,
     }
 
 
@@ -14206,6 +14247,101 @@ FROM eaul_calc
     )
 
     sql["bradley_terry"] = _bradley_terry_oracle(iterations=3)
+
+    sql["mann_whitney"] = """
+        WITH va AS (
+          SELECT CAST(o_totalprice AS DOUBLE) AS v, 1 AS ia, 0 AS ib
+          FROM orders WHERE o_orderpriority = '1-URGENT'
+            AND o_totalprice IS NOT NULL
+        ), vb AS (
+          SELECT CAST(o_totalprice AS DOUBLE) AS v, 0 AS ia, 1 AS ib
+          FROM orders WHERE o_orderpriority = '5-LOW'
+            AND o_totalprice IS NOT NULL
+        ), per_v AS (
+          SELECT v, CAST(sum(ia) AS BIGINT) AS ca,
+                 CAST(sum(ib) AS BIGINT) AS cb
+          FROM (SELECT * FROM va UNION ALL SELECT * FROM vb)
+          GROUP BY v
+        ), ranked AS (
+          SELECT ca, cb, CAST(ca + cb AS DOUBLE) AS t,
+                 CAST(sum(ca + cb) OVER (ORDER BY v) AS DOUBLE)
+                   - CAST(ca + cb AS DOUBLE) AS before
+          FROM per_v
+        ), folded AS (
+          SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+                 CAST(sum(cb) AS BIGINT) AS n_b,
+                 sum(CAST(ca AS DOUBLE)
+                     * (before + (t + 1.0) / 2.0)) AS ra,
+                 sum(t * t * t - t) AS ties
+          FROM ranked
+        ), stat AS (
+          SELECT n_a, n_b,
+                 ra - CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) + 1.0)
+                      / 2.0 AS ua,
+                 CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) AS nab,
+                 CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) AS nn,
+                 ties
+          FROM folded
+        ), zrow AS (
+          SELECT n_a, n_b, ua, nab - ua AS ub,
+                 CASE WHEN n_a > 0 AND n_b > 0 AND
+                   nab / 12.0 * ((nn + 1.0) - ties / (nn * (nn - 1.0))) > 0
+                 THEN (ua - nab / 2.0)
+                      / sqrt(nab / 12.0
+                             * ((nn + 1.0) - ties / (nn * (nn - 1.0))))
+                 END AS z
+          FROM stat
+        )
+        SELECT n_a, n_b,
+               CASE WHEN n_a > 0 AND n_b > 0 THEN round(ua, 6) END AS u_a,
+               CASE WHEN n_a > 0 AND n_b > 0 THEN round(ub, 6) END AS u_b,
+               round(z, 6) AS z,
+               round((0.254829592 * (1.0/(1.0 + 0.3275911 * (abs(z)/sqrt(2.0))))
+                    - 0.284496736 * pow(1.0/(1.0 + 0.3275911 * (abs(z)/sqrt(2.0))), 2)
+                    + 1.421413741 * pow(1.0/(1.0 + 0.3275911 * (abs(z)/sqrt(2.0))), 3)
+                    - 1.453152027 * pow(1.0/(1.0 + 0.3275911 * (abs(z)/sqrt(2.0))), 4)
+                    + 1.061405429 * pow(1.0/(1.0 + 0.3275911 * (abs(z)/sqrt(2.0))), 5))
+                    * exp(-(abs(z)/sqrt(2.0)) * (abs(z)/sqrt(2.0))), 6)
+                 AS p_value,
+               CASE WHEN z IS NOT NULL THEN abs(z) > 1.959964 END
+                 AS significant
+        FROM zrow
+    """
+
+    sql["isotonic_fit"] = """
+        WITH base AS (
+          SELECT CAST(doc_id % 97 AS DOUBLE) / 97.0 AS score,
+                 CASE WHEN (doc_id % 89) < (doc_id % 97)
+                   THEN 1.0 ELSE 0.0 END AS y
+          FROM documents
+        ), rollup AS (
+          SELECT score, CAST(count(*) AS BIGINT) AS n, sum(y) AS sum_y
+          FROM base GROUP BY 1
+        ), ord AS (
+          SELECT score, n, sum_y,
+                 row_number() OVER (ORDER BY score) AS k,
+                 CAST(sum(n) OVER (ORDER BY score) AS DOUBLE) AS wk,
+                 sum(sum_y) OVER (ORDER BY score) AS sk
+          FROM rollup
+        ), pref AS (
+          SELECT *,
+                 coalesce(lag(wk) OVER (ORDER BY k), 0.0) AS wprev,
+                 coalesce(lag(sk) OVER (ORDER BY k), 0.0) AS sprev
+          FROM ord
+        ), mm AS (
+          SELECT i.k AS i, j.k AS j,
+                 (j.sk - i.sprev) / (j.wk - i.wprev) AS m
+          FROM pref i JOIN pref j ON j.k >= i.k
+        ), cand AS (
+          SELECT ks.k AS k, mm.i AS i, min(mm.m) AS inner_min
+          FROM pref ks JOIN mm ON mm.i <= ks.k AND mm.j >= ks.k
+          GROUP BY 1, 2
+        ), fit AS (
+          SELECT k, max(inner_min) AS fitted FROM cand GROUP BY 1
+        )
+        SELECT o.score, o.n, round(f.fitted, 6) AS fitted
+        FROM pref o JOIN fit f USING (k)
+    """
 
     sql["fleiss_kappa"] = """
         WITH keep AS (

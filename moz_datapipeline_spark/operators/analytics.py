@@ -2883,3 +2883,125 @@ def covariate_balance(
         F.round(mc, 6).alias("mean_c"),
         F.round(smd, 6).alias("smd"),
     )
+
+
+def mann_whitney_u(
+    a: DataFrame,
+    b: DataFrame,
+    column: str,
+) -> DataFrame:
+    """Two-sample Mann–Whitney U (Wilcoxon rank-sum) test: one row
+    ``(n_a, n_b, u_a, u_b, z, p_value, significant)`` — the
+    nonparametric "did the distribution shift?" companion to the
+    mean-based Welch z: rank-based, so outliers and non-normality
+    don't poison it.  Average ranks for ties, tie-corrected normal
+    variance, two-sided p via the Abramowitz–Stegun 7.1.26 erf
+    polynomial (the ``ab_test`` convention), ``significant`` at 5%.
+    No continuity correction (documented; the DuckDB twin replays the
+    same formula).
+
+    Plan — ranks only change at distinct values, so everything folds
+    over the distinct-value rollup (the ``ks_test`` scheme):
+
+    1. one union + hash aggregate → per-value side counts;
+    2. two-phase global prefix scan (range exchange + per-partition
+       cumsums + broadcast bases) for cumulative counts — never a
+       single-task window;
+    3. one 1-row fold: rank sum, tie term Σ(t³−t), then U/z/p
+       arithmetic on the single row.
+    """
+    va = a.select(F.col(column).cast("double").alias("v")).filter(
+        F.col("v").isNotNull()
+    )
+    vb = b.select(F.col(column).cast("double").alias("v")).filter(
+        F.col("v").isNotNull()
+    )
+    tagged = va.select(
+        "v", F.lit(1).alias("_ia"), F.lit(0).alias("_ib")
+    ).unionByName(
+        vb.select("v", F.lit(0).alias("_ia"), F.lit(1).alias("_ib"))
+    )
+    per_v = tagged.groupBy("v").agg(
+        F.sum("_ia").cast("long").alias("_ca"),
+        F.sum("_ib").cast("long").alias("_cb"),
+    )
+    ranged = per_v.repartitionByRange(F.col("v").asc()).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    lw = (
+        Window.partitionBy("_pid")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = (
+        ranged.withColumn(
+            "_lt", F.sum(F.col("_ca") + F.col("_cb")).over(lw)
+        )
+    )
+    pw = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    bases = (
+        local.groupBy("_pid")
+        .agg(F.sum(F.col("_ca") + F.col("_cb")).alias("_tt"))
+        .withColumn("_bt", F.coalesce(F.sum("_tt").over(pw), F.lit(0)))
+        .select("_pid", "_bt")
+    )
+    t_v = (F.col("_ca") + F.col("_cb")).cast("double")
+    # cumulative count BEFORE v + average rank of v's tie block
+    before = (F.col("_bt") + F.col("_lt")).cast("double") - t_v
+    avg_rank = before + (t_v + F.lit(1.0)) / F.lit(2.0)
+    folded = (
+        local.join(F.broadcast(bases), "_pid")
+        .agg(
+            F.coalesce(F.sum("_ca"), F.lit(0))
+            .cast("long")
+            .alias("n_a"),
+            F.coalesce(F.sum("_cb"), F.lit(0))
+            .cast("long")
+            .alias("n_b"),
+            F.sum(F.col("_ca").cast("double") * avg_rank).alias("_ra"),
+            F.sum(t_v * t_v * t_v - t_v).alias("_ties"),
+        )
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    nn = na + nb
+    u_a = F.col("_ra") - na * (na + F.lit(1.0)) / F.lit(2.0)
+    u_b = na * nb - u_a
+    var = (
+        na
+        * nb
+        / F.lit(12.0)
+        * (
+            (nn + F.lit(1.0))
+            - F.col("_ties") / (nn * (nn - F.lit(1.0)))
+        )
+    )
+    ok = (F.col("n_a") > 0) & (F.col("n_b") > 0) & (var > 0)
+    z = F.when(ok, (u_a - na * nb / F.lit(2.0)) / F.sqrt(var))
+    az = F.abs(z) / F.sqrt(F.lit(2.0))
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(0.3275911) * az)
+    poly = (
+        F.lit(0.254829592) * t
+        - F.lit(0.284496736) * (t**2)
+        + F.lit(1.421413741) * (t**3)
+        - F.lit(1.453152027) * (t**4)
+        + F.lit(1.061405429) * (t**5)
+    )
+    p = F.when(z.isNotNull(), poly * F.exp(-az * az))
+    return folded.select(
+        "n_a",
+        "n_b",
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0), F.round(u_a, 6)
+        ).alias("u_a"),
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0), F.round(u_b, 6)
+        ).alias("u_b"),
+        F.round(z, 6).alias("z"),
+        F.round(p, 6).alias("p_value"),
+        F.when(z.isNotNull(), F.abs(z) > F.lit(1.959964)).alias(
+            "significant"
+        ),
+    )

@@ -769,3 +769,93 @@ def fleiss_kappa(
             ).alias("kappa"),
         )
     )
+
+
+ISOTONIC_SCHEMA = "score double, n long, fitted double"
+
+
+def _pav_kernel(pdf):
+    """Pool-adjacent-violators over one sorted (score, n, sum_y)
+    rollup partition.  Block means compute from PREFIX sums (mean =
+    (S_j − S_{i-1}) / (W_j − W_{i-1})), not incremental merges — the
+    same FP values the minimax SQL oracle derives, so the two agree
+    bit-for-bit whenever block boundaries agree."""
+    import numpy as np
+    import pandas as pd
+
+    pdf = pdf.sort_values("score").reset_index(drop=True)
+    w = pdf["n"].to_numpy(dtype=np.float64)
+    s = pdf["sum_y"].to_numpy(dtype=np.float64)
+    W = np.concatenate([[0.0], np.cumsum(w)])
+    S = np.concatenate([[0.0], np.cumsum(s)])
+
+    def mean(i: int, j: int) -> float:
+        # block covering rollup rows [i, j] inclusive, 0-based
+        return (S[j + 1] - S[i]) / (W[j + 1] - W[i])
+
+    starts: list[int] = []  # stack of block start indices
+    for k in range(len(pdf)):
+        starts.append(k)
+        # merge while the last block's mean violates monotonicity
+        while len(starts) >= 2 and mean(starts[-1], k) < mean(
+            starts[-2], starts[-1] - 1
+        ):
+            starts.pop()
+    fitted = np.empty(len(pdf))
+    bounds = starts + [len(pdf)]
+    for bi in range(len(starts)):
+        i, j = bounds[bi], bounds[bi + 1] - 1
+        fitted[i : j + 1] = mean(i, j)
+    return pd.DataFrame(
+        {
+            "score": pdf["score"],
+            "n": pdf["n"].astype("int64"),
+            "fitted": np.round(fitted, 6),
+        }
+    )
+
+
+def isotonic_fit(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    max_rollup_rows: int = 5_000_000,
+) -> DataFrame:
+    """Isotonic-regression calibration map (pool-adjacent-violators):
+    one row per DISTINCT score ``(score, n, fitted)`` with ``fitted``
+    the monotone non-decreasing least-squares fit of the label's
+    positive rate — the standard score→probability calibrator that,
+    unlike ``calibration_curve``'s fixed bins, adapts its pooling to
+    the data.  Apply it downstream with a range/as-of join.
+
+    Plan: the data-sized work is ONE hash aggregate to the
+    (score, n, Σlabel) rollup; PAV itself is a single ordered pass
+    over that rollup inside one Arrow task (``applyInPandas`` on a
+    constant key).  The rollup is bounded by DISTINCT scores — model
+    scores are floats from a finite head, typically ≪ rows — and the
+    ``max_rollup_rows`` guard fails LOUDLY before shipping a rollup
+    that would not fit one task (quantize scores upstream, e.g.
+    ``round(score, 4)``, to shrink it).
+    """
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("double")
+    rollup = (
+        df.filter(s.isNotNull() & y.isNotNull())
+        .groupBy(s.alias("score"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(y).alias("sum_y"),
+        )
+    )
+    k = rollup.count()
+    if k > int(max_rollup_rows):
+        raise ValueError(
+            f"isotonic_fit: {k} distinct scores exceed max_rollup_rows="
+            f"{max_rollup_rows}; quantize the score column upstream "
+            "(e.g. round(score, 4)) or raise the guard"
+        )
+    return (
+        rollup.withColumn("_g", F.lit(1))
+        .groupBy("_g")
+        .applyInPandas(lambda pdf: _pav_kernel(pdf), ISOTONIC_SCHEMA)
+    )

@@ -265,6 +265,72 @@ def test_fleiss_kappa_hand_computed(spark):
     assert r2.n_raters == 3 and r2.kappa == pytest.approx(1.0)
 
 
+def test_mann_whitney_hand_computed(spark):
+    """A=[1,2,3] vs B=[4,5,6]: R_a=6, U_a=0, U_b=9, z=-4.5/sqrt(5.25)
+    = -1.963961 — just past the 5% line.  Tie case A=[1,1,2],
+    B=[2,3,3]: average ranks give U_a=0.5, tie term 18, var 4.8,
+    z=-1.825742 — not significant."""
+    from moz_datapipeline_spark.operators.analytics import mann_whitney_u
+
+    a = spark.createDataFrame([(1.0,), (2.0,), (3.0,)], "x double")
+    b = spark.createDataFrame([(4.0,), (5.0,), (6.0,)], "x double")
+    r = mann_whitney_u(a, b, "x").collect()[0]
+    assert (r.n_a, r.n_b) == (3, 3)
+    assert r.u_a == 0.0 and r.u_b == 9.0
+    assert r.z == pytest.approx(-1.963961, abs=1e-5)
+    assert r.significant is True
+
+    a2 = spark.createDataFrame([(1.0,), (1.0,), (2.0,)], "x double")
+    b2 = spark.createDataFrame([(2.0,), (3.0,), (3.0,)], "x double")
+    r2 = mann_whitney_u(a2, b2, "x").collect()[0]
+    assert r2.u_a == 0.5 and r2.u_b == 8.5
+    assert r2.z == pytest.approx(-1.825742, abs=1e-5)
+    assert r2.significant is False
+
+    # empty side -> NULL stats, counts reported
+    r3 = mann_whitney_u(
+        a, spark.createDataFrame([], "x double"), "x"
+    ).collect()[0]
+    assert r3.n_b == 0 and r3.z is None and r3.u_a is None
+
+
+def test_isotonic_fit_pav_pooling(spark):
+    """Pos rates 0.2, 0.6, 0.4, 0.8 over scores .1-.4: PAV pools the
+    middle violation to 0.5, endpoints untouched."""
+    from moz_datapipeline_spark.operators.mleval import isotonic_fit
+
+    rows = []
+    for score, pos in ((0.1, 1), (0.2, 3), (0.3, 2), (0.4, 4)):
+        rows += [(score, 1.0)] * pos + [(score, 0.0)] * (5 - pos)
+    df = spark.createDataFrame(rows, "score double, label double")
+    got = {
+        r.score: (r.n, r.fitted)
+        for r in isotonic_fit(df, "score", "label").collect()
+    }
+    assert got[0.1] == (5, pytest.approx(0.2))
+    assert got[0.2] == (5, pytest.approx(0.5))
+    assert got[0.3] == (5, pytest.approx(0.5))
+    assert got[0.4] == (5, pytest.approx(0.8))
+
+    # already-monotone input passes through untouched
+    mono = spark.createDataFrame(
+        [(0.1, 0.0), (0.2, 0.0), (0.2, 1.0), (0.3, 1.0)],
+        "score double, label double",
+    )
+    got2 = {
+        r.score: r.fitted
+        for r in isotonic_fit(mono, "score", "label").collect()
+    }
+    assert got2 == {
+        0.1: pytest.approx(0.0),
+        0.2: pytest.approx(0.5),
+        0.3: pytest.approx(1.0),
+    }
+
+    with pytest.raises(ValueError, match="max_rollup_rows"):
+        isotonic_fit(df, "score", "label", max_rollup_rows=2)
+
+
 def test_calibration_curve_clamps_out_of_range_scores(spark):
     """Scores outside [0, 1] (negatives, raw logits) clamp into the
     edge bins instead of minting out-of-range bin ids."""
