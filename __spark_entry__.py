@@ -1321,6 +1321,26 @@ def q_isotonic_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return isotonic_fit(base, "score", "label")
 
 
+def q_krippendorff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Krippendorff's alpha (operators/mleval.krippendorff_alpha) over
+    the natural VARIABLE-panel annotation table fleiss_kappa can't
+    accept: every order is an item, its 1-7 lineitems the raters,
+    l_returnflag the category; singleton orders drop.  VALUE oracle:
+    identical unit/category folds in DuckDB.
+    """
+    from moz_datapipeline_spark.operators.mleval import (
+        krippendorff_alpha,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    return krippendorff_alpha(
+        li.select(
+            F.col("l_orderkey").alias("item_id"),
+            F.col("l_returnflag").alias("category"),
+        )
+    )
+
+
 def q_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bradley–Terry preference fit (operators/mleval.bradley_terry):
     8 pseudo-players with PLANTED strengths θ_i = i+1 — player a beats
@@ -6861,6 +6881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fleiss_kappa": q_fleiss_kappa,
         "mann_whitney": q_mann_whitney,
         "isotonic_fit": q_isotonic_fit,
+        "krippendorff": q_krippendorff,
     }
 
 
@@ -14247,6 +14268,54 @@ FROM eaul_calc
     )
 
     sql["bradley_terry"] = _bradley_terry_oracle(iterations=3)
+
+    sql["krippendorff"] = """
+        WITH cells AS (
+          SELECT l_orderkey AS i, l_returnflag AS c,
+                 CAST(count(*) AS BIGINT) AS nuc
+          FROM lineitem GROUP BY 1, 2
+        ), per_unit AS (
+          SELECT i, sum(nuc) AS m, sum(nuc * nuc) AS sq
+          FROM cells GROUP BY 1
+        ), kept AS (SELECT * FROM per_unit WHERE m >= 2),
+        do_row AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_items,
+                 CAST(coalesce(sum(m), 0) AS BIGINT) AS n_ratings,
+                 sum((CAST(m AS DOUBLE) * CAST(m AS DOUBLE)
+                      - CAST(sq AS DOUBLE))
+                     / (CAST(m AS DOUBLE) - 1.0)) AS do_num
+          FROM kept
+        ), masses AS (
+          SELECT sum(CAST(nc AS DOUBLE) * CAST(nc AS DOUBLE)) AS sq_nc
+          FROM (
+            SELECT cells.c, sum(cells.nuc) AS nc
+            FROM cells JOIN kept ON cells.i = kept.i
+            GROUP BY 1
+          )
+        )
+        SELECT n_items, n_ratings,
+               CASE WHEN n_ratings >= 2
+                 THEN round(do_num / CAST(n_ratings AS DOUBLE), 6)
+               END AS d_o,
+               CASE WHEN n_ratings >= 2
+                 THEN round((CAST(n_ratings AS DOUBLE)
+                             * CAST(n_ratings AS DOUBLE) - sq_nc)
+                            / (CAST(n_ratings AS DOUBLE)
+                               * (CAST(n_ratings AS DOUBLE) - 1.0)), 6)
+               END AS d_e,
+               CASE WHEN n_ratings >= 2 AND
+                 (CAST(n_ratings AS DOUBLE) * CAST(n_ratings AS DOUBLE)
+                  - sq_nc)
+                 / (CAST(n_ratings AS DOUBLE)
+                    * (CAST(n_ratings AS DOUBLE) - 1.0)) > 0
+                 THEN round(1.0 - (do_num / CAST(n_ratings AS DOUBLE))
+                      / ((CAST(n_ratings AS DOUBLE)
+                          * CAST(n_ratings AS DOUBLE) - sq_nc)
+                         / (CAST(n_ratings AS DOUBLE)
+                            * (CAST(n_ratings AS DOUBLE) - 1.0))), 6)
+               END AS alpha
+        FROM do_row CROSS JOIN masses
+    """
 
     sql["mann_whitney"] = """
         WITH va AS (

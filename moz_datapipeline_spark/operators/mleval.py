@@ -859,3 +859,83 @@ def isotonic_fit(
         .groupBy("_g")
         .applyInPandas(lambda pdf: _pav_kernel(pdf), ISOTONIC_SCHEMA)
     )
+
+
+def krippendorff_alpha(
+    ratings: DataFrame,
+    item_col: str = "item_id",
+    category_col: str = "category",
+    stats: dict | None = None,
+) -> DataFrame:
+    """Krippendorff's alpha (nominal data) over an annotation table —
+    the agreement coefficient that, unlike ``fleiss_kappa``, accepts
+    VARIABLE panel sizes and missing ratings: one row ``(n_items,
+    n_ratings, d_o, d_e, alpha)``.
+
+    Nominal disagreement needs no coincidence matrix: per unit u with
+    m_u ratings and per-category counts n_uc,
+
+        D_o = Σ_u (m_u² − Σ_c n_uc²)/(m_u − 1)  /  n
+        D_e = (n² − Σ_c n_c²) / (n (n − 1))
+        α   = 1 − D_o / D_e
+
+    with n = Σ m_u over units having ≥ 2 ratings (singleton units
+    carry no pairable information and are dropped — count surfaced
+    via ``stats["dropped_singletons"]``).  NULL items/categories drop.
+
+    Plan: one (item × category) hash aggregate, one item-sized fold,
+    one category-sized fold, two 1-row folds — nothing after the
+    first aggregate is data-sized.
+    """
+    base = ratings.select(
+        F.col(item_col).alias("_i"), F.col(category_col).alias("_c")
+    ).filter(F.col("_i").isNotNull() & F.col("_c").isNotNull())
+    cells = base.groupBy("_i", "_c").agg(
+        F.count(F.lit(1)).alias("_nuc")
+    )
+    per_unit = cells.groupBy("_i").agg(
+        F.sum("_nuc").alias("_m"),
+        F.sum(F.col("_nuc") * F.col("_nuc")).alias("_sq"),
+    )
+    if stats is not None:
+        stats["dropped_singletons"] = per_unit.filter(
+            F.col("_m") < 2
+        ).count()
+    kept = per_unit.filter(F.col("_m") >= 2)
+    do_row = kept.agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.coalesce(F.sum("_m"), F.lit(0)).cast("long").alias("n_ratings"),
+        F.sum(
+            (
+                F.col("_m").cast("double") * F.col("_m").cast("double")
+                - F.col("_sq").cast("double")
+            )
+            / (F.col("_m").cast("double") - F.lit(1.0))
+        ).alias("_do_num"),
+    )
+    masses = (
+        cells.join(kept.select("_i"), "_i")
+        .groupBy("_c")
+        .agg(F.sum("_nuc").alias("_nc"))
+        .agg(
+            F.sum(
+                F.col("_nc").cast("double") * F.col("_nc").cast("double")
+            ).alias("_sq_nc")
+        )
+    )
+    n = F.col("n_ratings").cast("double")
+    d_o = F.col("_do_num") / n
+    d_e = (n * n - F.col("_sq_nc")) / (n * (n - F.lit(1.0)))
+    return (
+        do_row.crossJoin(F.broadcast(masses))
+        .select(
+            "n_items",
+            "n_ratings",
+            F.when(F.col("n_ratings") >= 2, F.round(d_o, 6)).alias("d_o"),
+            F.when(F.col("n_ratings") >= 2, F.round(d_e, 6)).alias("d_e"),
+            F.when(
+                (F.col("n_ratings") >= 2) & (d_e > 0),
+                F.round(F.lit(1.0) - d_o / d_e, 6),
+            ).alias("alpha"),
+        )
+    )

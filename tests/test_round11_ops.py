@@ -331,6 +331,31 @@ def test_isotonic_fit_pav_pooling(spark):
         isotonic_fit(df, "score", "label", max_rollup_rows=2)
 
 
+def test_krippendorff_alpha_hand_computed(spark):
+    """u1=(a,a), u2=(a,b): D_o = (2/1)/4 = 0.5, category masses a=3
+    b=1 -> D_e = (16-10)/12 = 0.5 -> alpha = 0 (chance level).
+    Perfect agreement -> alpha = 1.  Singleton units drop."""
+    from moz_datapipeline_spark.operators.mleval import (
+        krippendorff_alpha,
+    )
+
+    rows = [(1, "a"), (1, "a"), (2, "a"), (2, "b"), (3, "c")]
+    df = spark.createDataFrame(rows, "item_id long, category string")
+    st: dict = {}
+    r = krippendorff_alpha(df, stats=st).collect()[0]
+    assert (r.n_items, r.n_ratings) == (2, 4)
+    assert st["dropped_singletons"] == 1
+    assert r.d_o == pytest.approx(0.5)
+    assert r.d_e == pytest.approx(0.5)
+    assert r.alpha == pytest.approx(0.0)
+
+    perf = spark.createDataFrame(
+        [(1, "a")] * 3 + [(2, "b")] * 2, "item_id long, category string"
+    )
+    r2 = krippendorff_alpha(perf).collect()[0]
+    assert r2.alpha == pytest.approx(1.0)
+
+
 def test_calibration_curve_clamps_out_of_range_scores(spark):
     """Scores outside [0, 1] (negatives, raw logits) clamp into the
     edge bins instead of minting out-of-range bin ids."""
