@@ -1242,17 +1242,20 @@ def source_overlap_matrix(
     The release-diff / decontamination question at corpus granularity:
     which ingest feeds are actually the same crawl twice?
 
-    Plan: distinct (source, gram) rows (one hash aggregate — map-side
-    combine collapses within-source repeats), per-source gram counts
-    (|sources| rows, broadcast), then a self-join ON GRAM: per gram
-    the pair fan-out is (#sources containing it)² ≤ |sources|², and
-    |sources| is small by definition of the question — never a
-    doc-level pair join.  Jaccard = shared / (|A| + |B| − shared).
+    Plan: ONE pass tokenizes and explodes grams, then ONE exchange
+    groups them by gram into sorted source SETS (collect_set dedupes
+    (source, gram) repeats map-side — no separate distinct pass, and
+    the expensive per-doc gram construction runs exactly once).  Pair
+    counts generate in-task from each set via a two-stage posexplode
+    (per gram the fan-out is (#sources containing it)² ≤ |sources|²,
+    and |sources| is small by definition of the question — never a
+    doc-level pair join); per-source gram counts fold from the
+    exploded sets.  Jaccard = shared / (|A| + |B| − shared).
     """
     from .spread import spread_small_scan
 
     df = spread_small_scan(df, text_col)
-    grams = (
+    gram_rows = (
         df.filter(F.col(text_col).isNotNull())
         .select(
             F.col(source_col).alias("src"),
@@ -1271,14 +1274,31 @@ def source_overlap_matrix(
             ).alias("gram"),
         )
         .filter(F.size(F.split(F.col("gram"), " ")) == n)
-        .distinct()
     )
-    sizes = grams.groupBy("src").agg(F.count("*").alias("n_grams"))
-    a = grams.select(F.col("src").alias("source_a"), "gram")
-    b = grams.select(F.col("src").alias("source_b"), "gram")
+    by_gram = gram_rows.groupBy("gram").agg(
+        F.sort_array(F.collect_set("src")).alias("_ss")
+    )
+    sizes = (
+        by_gram.select(F.explode("_ss").alias("src"))
+        .groupBy("src")
+        .agg(F.count("*").alias("n_grams"))
+    )
     shared = (
-        a.join(b, "gram")
-        .filter(F.col("source_a") < F.col("source_b"))
+        by_gram.select(
+            "_ss", F.posexplode("_ss").alias("_i", "source_a")
+        )
+        .select(
+            "source_a",
+            F.explode(
+                F.slice(
+                    F.col("_ss"),
+                    F.col("_i") + F.lit(2),
+                    F.greatest(
+                        F.size("_ss") - F.col("_i") - F.lit(1), F.lit(0)
+                    ),
+                )
+            ).alias("source_b"),
+        )
         .groupBy("source_a", "source_b")
         .agg(F.count("*").alias("shared"))
     )
