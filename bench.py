@@ -59,6 +59,9 @@ EXCLUDED = {
     # component rounds (fixed job overhead, not operator throughput) —
     # its scale behavior is the dedup rehearsal's job (scale_check.py)
     "incremental_dedup": "store round-trip dominated; see scale_check",
+    # same shape: bootstrap + admit against a fresh on-disk signature
+    # store per call — store I/O, not operator throughput
+    "ingest_dedup_batch": "store round-trip dominated; see scale_check",
 }
 
 
