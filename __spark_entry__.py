@@ -6882,6 +6882,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mann_whitney": q_mann_whitney,
         "isotonic_fit": q_isotonic_fit,
         "krippendorff": q_krippendorff,
+        "sequence_ngrams": q_sequence_ngrams,
+        "modularity": q_modularity,
+        "rmst": q_rmst,
+        "quantile_bin": q_quantile_bin,
+        "grid_knn": q_grid_knn,
     }
 
 
@@ -14444,6 +14449,196 @@ FROM eaul_calc
         FROM pbar CROSS JOIN pe
     """
 
+    sql["sequence_ngrams"] = """
+        WITH seq AS (
+          SELECT user_id AS u,
+                 event_type AS t0,
+                 lead(event_type, 1) OVER w AS t1,
+                 lead(event_type, 2) OVER w AS t2
+          FROM events
+          WINDOW w AS (PARTITION BY user_id
+                       ORDER BY epoch_ns(ts) ASC, event_id ASC)
+        ), grams AS (
+          SELECT u, t0 || '>' || t1 || '>' || t2 AS gram
+          FROM seq WHERE t2 IS NOT NULL
+        ), tot AS (
+          SELECT CAST(count(DISTINCT u) AS DOUBLE) AS nu FROM grams
+        )
+        SELECT gram,
+               CAST(count(*) AS BIGINT) AS occurrences,
+               CAST(count(DISTINCT u) AS BIGINT) AS n_users,
+               round(count(DISTINCT u) / (SELECT nu FROM tot), 6)
+                 AS user_share
+        FROM grams GROUP BY gram
+        HAVING count(DISTINCT u) >= 2
+    """
+
+    sql["modularity"] = """
+        WITH fwd AS MATERIALIZED (
+          SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
+                          CAST(l_suppkey + 1000000 AS BIGINT) AS dst
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        ), e AS MATERIALIZED (
+          SELECT src, dst FROM fwd
+          UNION ALL
+          SELECT dst, src FROM fwd
+        ), lab AS MATERIALIZED (
+          SELECT CAST(c_custkey AS BIGINT) AS n,
+                 CAST(c_nationkey AS BIGINT) AS c
+          FROM customer
+          UNION ALL
+          SELECT CAST(s_suppkey + 1000000 AS BIGINT),
+                 CAST(s_nationkey AS BIGINT)
+          FROM supplier
+        ), tagged AS MATERIALIZED (
+          SELECT e.src AS s, ls.c AS cs, ld.c AS cd
+          FROM e JOIN lab ls ON e.src = ls.n
+                 JOIN lab ld ON e.dst = ld.n
+        ), deg AS (
+          SELECT s, cs, count(*) AS deg FROM tagged GROUP BY 1, 2
+        ), per AS (
+          SELECT cs AS community,
+                 CAST(count(*) AS BIGINT) AS n_nodes,
+                 CAST(sum(deg) AS BIGINT) AS degree_sum
+          FROM deg GROUP BY 1
+        ), internal AS (
+          SELECT cs AS community,
+                 CAST(count(*) // 2 AS BIGINT) AS internal_edges
+          FROM tagged WHERE cs = cd GROUP BY 1
+        ), tot AS (SELECT CAST(count(*) AS DOUBLE) AS two_m FROM e)
+        SELECT p.community, p.n_nodes,
+               CAST(coalesce(i.internal_edges, 0) AS BIGINT)
+                 AS internal_edges,
+               p.degree_sum,
+               round(coalesce(i.internal_edges, 0) / (two_m / 2.0)
+                     - (p.degree_sum / two_m) * (p.degree_sum / two_m),
+                     6) AS contribution
+        FROM per p LEFT JOIN internal i USING (community)
+        CROSS JOIN tot
+    """
+
+    sql["rmst"] = """
+        WITH spans AS (
+          SELECT user_id,
+                 min(epoch_ns(ts) // 86400000000000) AS f,
+                 max(epoch_ns(ts) // 86400000000000) AS l
+          FROM events GROUP BY 1
+        ), edge AS (
+          SELECT max(epoch_ns(ts) // 86400000000000) AS e FROM events
+        ), subj AS (
+          SELECT CAST(l - f AS DOUBLE) AS t,
+                 CASE WHEN l < e - 3 THEN 1 ELSE 0 END AS ev
+          FROM spans CROSS JOIN edge
+        ), per AS (
+          SELECT t, CAST(sum(ev) AS BIGINT) AS d,
+                 CAST(count(*) - sum(ev) AS BIGINT) AS c
+          FROM subj GROUP BY 1
+        ), staged AS (
+          SELECT t, d, c,
+                 CAST(sum(d + c) OVER () -
+                      coalesce(sum(d + c) OVER (
+                        ORDER BY t ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS BIGINT) AS n
+          FROM per
+        ), km AS (
+          SELECT t,
+                 round(CASE WHEN max(CASE WHEN d = n THEN 1 ELSE 0 END)
+                              OVER (ORDER BY t ASC
+                                    ROWS UNBOUNDED PRECEDING) = 1
+                       THEN 0.0
+                       ELSE exp(sum(CASE WHEN d > 0 AND d < n
+                                 THEN ln(1.0 - CAST(d AS DOUBLE) / n)
+                                 ELSE 0.0 END)
+                                OVER (ORDER BY t ASC
+                                      ROWS UNBOUNDED PRECEDING))
+                       END, 6) AS survival
+          FROM staged
+        ), seg AS (
+          SELECT t, survival,
+                 least(greatest(coalesce(
+                   lead(t) OVER (ORDER BY t ASC), 14.0), t), 14.0)
+                   AS nxt
+          FROM km
+        )
+        SELECT CAST(14.0 AS DOUBLE) AS tau,
+               round((SELECT least(min(t), 14.0) FROM seg)
+                     + sum(CASE WHEN t < 14.0
+                           THEN survival * (nxt - t)
+                           ELSE 0.0 END), 6) AS rmst
+        FROM seg
+    """
+
+    sql["quantile_bin"] = """
+        WITH b AS (
+          SELECT list_distinct(
+                   quantile_cont(CAST(l_extendedprice AS DOUBLE),
+                     [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875])
+                 ) AS qs
+          FROM lineitem
+          WHERE l_extendedprice IS NOT NULL
+        ), binned AS (
+          SELECT CAST(len(list_filter(b.qs,
+                   q -> CAST(l_extendedprice AS DOUBLE) > q))
+                 AS INTEGER) AS bin,
+                 CAST(l_extendedprice AS DOUBLE) AS v
+          FROM lineitem CROSS JOIN b
+          WHERE l_extendedprice IS NOT NULL
+        )
+        SELECT bin, CAST(count(*) AS BIGINT) AS n,
+               round(min(v), 2) AS min_v,
+               round(max(v), 2) AS max_v
+        FROM binned GROUP BY bin
+    """
+
+    sql["grid_knn"] = """
+        WITH corpus AS (
+          SELECT CAST(c_custkey AS BIGINT) AS corpus_id,
+                 CAST((c_custkey % 360) - 180 + 0.5 AS DOUBLE) AS clon,
+                 CAST((c_custkey * 7 % 170) - 85 + 0.5 AS DOUBLE) AS clat
+          FROM customer
+        ), ckeyed AS (
+          SELECT corpus_id, clon, clat,
+                 floor((clon + 180.0) / 30.0) AS cx,
+                 floor((clat + 90.0) / 30.0) AS cy
+          FROM corpus
+        ), qpts AS (
+          SELECT CAST(s_suppkey AS BIGINT) AS query_id,
+                 CAST((s_suppkey * 13 % 360) - 180 + 0.5 AS DOUBLE)
+                   AS qlon,
+                 CAST((s_suppkey * 11 % 170) - 85 + 0.5 AS DOUBLE)
+                   AS qlat
+          FROM supplier
+        ), qcells AS (
+          SELECT query_id, qlon, qlat,
+                 floor((qlon + 180.0) / 30.0) + off.dx AS cx,
+                 floor((qlat + 90.0) / 30.0) + off.dy AS cy
+          FROM qpts CROSS JOIN (
+            VALUES (-1, -1), (-1, 0), (-1, 1),
+                   (0, -1), (0, 0), (0, 1),
+                   (1, -1), (1, 0), (1, 1)
+          ) AS off(dx, dy)
+        ), cand AS (
+          SELECT q.query_id, c.corpus_id,
+                 2.0 * 6371.0088 * asin(sqrt(
+                   pow(sin(radians(c.clat - q.qlat) / 2), 2)
+                   + cos(radians(q.qlat)) * cos(radians(c.clat))
+                     * pow(sin(radians(c.clon - q.qlon) / 2), 2)
+                 )) AS d
+          FROM qcells q JOIN ckeyed c
+            ON q.cx = c.cx AND q.cy = c.cy
+        )
+        SELECT query_id, corpus_id, round(d, 6) AS dist_km,
+               CAST(rk AS BIGINT) AS rank
+        FROM (
+          SELECT query_id, corpus_id, d,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY d ASC, corpus_id ASC)
+                   AS rk
+          FROM cand
+        ) WHERE rk <= 3
+    """
+
     return sql
 
 
@@ -14453,3 +14648,120 @@ FROM eaul_calc
 
 
 
+
+
+# ---------------------------------------------------------------------------
+# round 11 batch 2: sequences, partition quality, survival effect size,
+# featurization binning, grid spatial KNN
+# ---------------------------------------------------------------------------
+
+def q_sequence_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent event-type trigrams over per-user sequences
+    (operators/analytics.sequence_ngrams): one user-partitioned lead
+    window, gram-sized rollup, distinct-user support with a broadcast
+    share denominator.  VALUE oracle: identical double-lead + distinct
+    counts in DuckDB."""
+    from moz_datapipeline_spark.operators.analytics import sequence_ngrams
+
+    e = _events(spark, sf_dir)
+    return sequence_ngrams(e, n=3, tiebreak_col="event_id", min_users=2)
+
+
+def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the nation partition over the symmetric
+    customer↔supplier trade graph (graph/structure.modularity): two
+    node-keyed label joins + community-sized folds; the acceptance
+    gate for LPA output.  VALUE oracle: identical tagging + arithmetic
+    in DuckDB."""
+    from moz_datapipeline_spark.graph.structure import modularity
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    fwd = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.col("o_custkey").cast("long").alias("src"),
+            (F.col("l_suppkey") + 1000000).cast("long").alias("dst"),
+        )
+        .distinct()
+    )
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = c.select(
+        F.col("c_custkey").cast("long").alias("node"),
+        F.col("c_nationkey").cast("long").alias("community"),
+    ).unionByName(
+        s.select(
+            (F.col("s_suppkey") + 1000000).cast("long").alias("node"),
+            F.col("s_nationkey").cast("long").alias("community"),
+        )
+    )
+    return modularity(edges, labels)
+
+
+def q_rmst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Restricted mean survival time at a 14-day horizon over the
+    q_kaplan_meier subjects (operators/analytics.rmst): the KM rollup
+    plus one lead window and one sum fold — the model-free "expected
+    active days in the first 14" effect size.  VALUE oracle: the KM
+    replay extended with the same step integration in DuckDB."""
+    from moz_datapipeline_spark.operators.analytics import rmst
+
+    e = _events(spark, sf_dir)
+    day = F.expr("ts div 86400000000000")
+    spans = e.groupBy("user_id").agg(
+        F.min(day).alias("_first"), F.max(day).alias("_last")
+    )
+    edge = e.agg(F.max(day).alias("_edge"))
+    subj = spans.crossJoin(F.broadcast(edge)).select(
+        (F.col("_last") - F.col("_first")).alias("duration"),
+        (F.col("_last") < F.col("_edge") - 3).cast("int").alias("event"),
+    )
+    return rmst(subj, "duration", "event", tau=14.0)
+
+
+def q_quantile_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency 8-bin discretization of l_extendedprice
+    (operators/features.quantile_bin): distributed interpolated
+    breakpoints (ranges.exact_quantiles — histogram passes, never a
+    single-task percentile buffer), then a pure codegen Σ[v > bᵢ]
+    assignment; readout is the per-bin profile.  VALUE oracle:
+    quantile_cont breakpoints + list_filter binning in DuckDB."""
+    from moz_datapipeline_spark.operators.features import quantile_bin
+
+    li = _t(spark, sf_dir, "lineitem")
+    binned = quantile_bin(li, "l_extendedprice", k=8)
+    v = F.col("l_extendedprice").cast("double")
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min(v), 2).alias("min_v"),
+        F.round(F.max(v), 2).alias("max_v"),
+    )
+
+
+def q_grid_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-bucketed spatial 3-NN join: supplier points snap to their
+    nearest customer points among the 3x3 neighboring 30-degree cells
+    (operators/geometry.grid_knn_join) — the scalable form of J5's
+    nearest-facility snap (prep-bridge.js:27-47) with the candidate
+    set bounded by the grid, never |corpus|.  VALUE oracle: identical
+    cell assignment, 9-offset expansion, haversine, and row_number
+    in DuckDB."""
+    from moz_datapipeline_spark.operators.geometry import grid_knn_join
+
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    corpus = c.select(
+        F.col("c_custkey").cast("long").alias("id"),
+        ((F.col("c_custkey") % 360) - 180 + 0.5).cast("double").alias("lon"),
+        ((F.col("c_custkey") * 7 % 170) - 85 + 0.5).cast("double").alias("lat"),
+    )
+    queries_df = s.select(
+        F.col("s_suppkey").cast("long").alias("id"),
+        ((F.col("s_suppkey") * 13 % 360) - 180 + 0.5).cast("double").alias("lon"),
+        ((F.col("s_suppkey") * 11 % 170) - 85 + 0.5).cast("double").alias("lat"),
+    )
+    return grid_knn_join(corpus, queries_df, k=3, cell_deg=30.0)

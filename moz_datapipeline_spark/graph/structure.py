@@ -153,3 +153,82 @@ def degree_distribution(
         "n_nodes",
         F.round(alpha, 6).alias("alpha"),
     )
+
+
+def modularity(
+    edges: DataFrame,
+    labels: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    label_col: str = "community",
+) -> DataFrame:
+    """Newman modularity of a community assignment, per community:
+    ``(community, n_nodes, internal_edges, degree_sum, contribution)``
+    with ``Q = Σ contribution = Σ_c [ L_c/m − (D_c/2m)² ]`` — the
+    standard partition-quality score (how many intra-community edges
+    the labeling captures beyond the degree-preserving random
+    expectation).  The acceptance gate for any community detection
+    output (``graph.lpa``) and the stop criterion for agglomerative
+    schemes.
+
+    ``edges`` must be the engine's symmetric directed convention (both
+    (u,v) and (v,u) present, as built for PageRank/k-core): the
+    symmetric count is 2m, per-row out-degree is the undirected
+    degree, and internal symmetric pairs count L_c twice — the
+    arithmetic below folds those factors exactly.  Unlabeled
+    endpoints drop their edges (surfaced in ``n_nodes`` vs the input
+    frame, never silently miscounted as a community).
+
+    Plan shape: two node-keyed equi joins tag each edge end with its
+    community (shuffle on node key, the same key both joins — one
+    exchange reused), then community-sized hash aggregates; the
+    2m/degree totals ride a single-row broadcast cross join.  No
+    global window, no driver collect; community rollup is
+    |communities|-sized.
+    """
+    lab = labels.select(
+        F.col(node_col).alias("_n"), F.col(label_col).alias("_c")
+    )
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    tagged = (
+        e.join(lab.withColumnRenamed("_c", "_cs"), e["_s"] == lab["_n"])
+        .drop("_n")
+        .join(
+            lab.withColumnRenamed("_c", "_cd").withColumnRenamed(
+                "_n", "_n2"
+            ),
+            F.col("_d") == F.col("_n2"),
+        )
+        .drop("_n2")
+    )
+    per_node_deg = tagged.groupBy("_s", "_cs").agg(
+        F.count(F.lit(1)).alias("_deg")
+    )
+    per_comm = per_node_deg.groupBy(F.col("_cs").alias("community")).agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum("_deg").alias("degree_sum"),
+    )
+    internal = (
+        tagged.filter(F.col("_cs") == F.col("_cd"))
+        .groupBy(F.col("_cs").alias("community"))
+        .agg((F.count(F.lit(1)) / 2).cast("long").alias("internal_edges"))
+    )
+    totals = e.agg(F.count(F.lit(1)).alias("_two_m"))
+    joined = (
+        per_comm.join(internal, "community", "left")
+        .na.fill({"internal_edges": 0})
+        .crossJoin(F.broadcast(totals))
+    )
+    m = F.col("_two_m").cast("double") / 2.0
+    contrib = (
+        F.col("internal_edges").cast("double") / m
+        - (F.col("degree_sum").cast("double") / (2.0 * m)) ** 2
+    )
+    return joined.select(
+        "community",
+        "n_nodes",
+        "internal_edges",
+        "degree_sum",
+        F.round(contrib, 6).alias("contribution"),
+    )

@@ -3005,3 +3005,143 @@ def mann_whitney_u(
             "significant"
         ),
     )
+
+
+def sequence_ngrams(
+    events: DataFrame,
+    n: int = 3,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str | None = None,
+    min_users: int = 1,
+    sep: str = ">",
+) -> DataFrame:
+    """Frequent event-type n-grams over per-user sequences:
+    ``(gram, occurrences, n_users, user_share)`` — every length-``n``
+    contiguous run of event types, with the number of distinct users
+    exhibiting it — sequential-pattern mining's workhorse readout
+    (journey motifs, scripted-bot signatures, funnel shapes that the
+    fixed-stage ``funnel_stages`` can't see).  Generalizes
+    ``markov_transitions`` (its pairs are the ``n=2`` grams before
+    row-normalization).
+
+    Ordering is (ts, tiebreak) within each user — pass an id column
+    as ``tiebreak_col`` whenever timestamps can tie, or gram counts
+    are partition-lottery.  A user's final ``n-1`` events anchor no
+    gram.  ``min_users`` prunes the singleton tail (at corpus scale
+    the gram dictionary is heavy-tailed; the filter sits on the
+    gram-sized rollup, after the only data-sized exchange).
+
+    Plan: ONE user-partitioned window producing the ``n-1`` leads
+    (one shuffle, hash-partitioned on the user key — never a global
+    sort), then a (gram) hash aggregate with map-side partial
+    count + partial distinct on the user key.  ``user_share`` divides
+    by a scalar broadcast total.  Everything after the window is
+    dictionary-sized, not data-sized.
+
+    Reference parity: extension operator (sequence mining); the
+    per-user lead idiom matches ``markov_transitions``.
+    """
+    if n < 2:
+        raise ValueError("sequence_ngrams: n must be >= 2")
+    tb = F.col(tiebreak_col) if tiebreak_col else F.col(type_col)
+    w = Window.partitionBy("_u").orderBy(
+        F.col(ts_col).asc(), F.col("_tb").asc()
+    )
+    base = events.select(
+        F.col(user_col).alias("_u"),
+        F.col(ts_col),
+        tb.alias("_tb"),
+        F.col(type_col).alias("_t0"),
+    )
+    lead_cols = [F.col("_t0")] + [
+        F.lead("_t0", i).over(w).alias(f"_t{i}") for i in range(1, n)
+    ]
+    grams = (
+        base.select("_u", *lead_cols)
+        .filter(F.col(f"_t{n - 1}").isNotNull())
+        .select(
+            "_u",
+            F.concat_ws(sep, *[f"_t{i}" for i in range(n)]).alias("gram"),
+        )
+    )
+    n_users_total = grams.select(
+        F.countDistinct("_u").alias("_nu")
+    )
+    per = grams.groupBy("gram").agg(
+        F.count(F.lit(1)).alias("occurrences"),
+        F.countDistinct("_u").alias("n_users"),
+    )
+    out = per.filter(F.col("n_users") >= min_users).crossJoin(
+        F.broadcast(n_users_total)
+    )
+    return out.select(
+        "gram",
+        "occurrences",
+        "n_users",
+        F.round(
+            F.col("n_users").cast("double") / F.col("_nu"), 6
+        ).alias("user_share"),
+    )
+
+
+def rmst(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    tau: float,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Restricted mean survival time: ``(*group_cols, tau, rmst)`` —
+    the area under the Kaplan–Meier curve up to horizon ``tau``,
+    i.e. the expected event-free time within the first ``tau`` units.
+    The standard model-free effect size when hazards aren't
+    proportional (where a median survival may not even exist): "users
+    in cohort A stay active 11.2 of their first 30 days vs 9.8 in B".
+
+    Step-function integration over the KM rollup (never a data-sized
+    pass): S(t) is right-continuous and piecewise constant, so
+
+        RMST = min(t_1, τ)·1 + Σ_i S(t_i)·(min(t_{i+1}, τ) − t_i)⁺
+
+    with the last observed time extending to τ (the curve is carried
+    flat past the last event, the conventional tau-restricted
+    estimate).  Uses the already-rounded ``survival`` column so the
+    readout composes exactly with ``kaplan_meier``'s published curve.
+
+    Plan: ``kaplan_meier``'s rollup (one hash aggregate + two
+    windows), then one lead window and one sum fold over the
+    |distinct durations|-sized frame — adding an O(rollup) epilogue,
+    no new data-sized shuffle.
+    """
+    if tau <= 0:
+        raise ValueError("rmst: tau must be > 0")
+    gcols = list(group_cols or [])
+    km = kaplan_meier(df, duration_col, event_col, group_cols=gcols)
+    wl = (
+        (Window.partitionBy(*gcols) if gcols else Window.partitionBy())
+        .orderBy(F.col("duration").asc())
+    )
+    t = F.col("duration").cast("double")
+    nxt = F.coalesce(
+        F.lead("duration").over(wl).cast("double"), F.lit(float(tau))
+    )
+    seg_end = F.least(F.greatest(nxt, t), F.lit(float(tau)))
+    seg = F.when(t < tau, F.col("survival") * (seg_end - t)).otherwise(
+        F.lit(0.0)
+    )
+    wmin = Window.partitionBy(*gcols) if gcols else Window.partitionBy()
+    head = F.least(F.min(t).over(wmin), F.lit(float(tau)))
+    staged = km.select(*gcols, seg.alias("_seg"), head.alias("_head"))
+    return (
+        staged.groupBy(*gcols)
+        .agg(
+            (F.max("_head") + F.sum("_seg")).alias("_r")
+        )
+        .select(
+            *gcols,
+            F.lit(float(tau)).alias("tau"),
+            F.round("_r", 6).alias("rmst"),
+        )
+    )

@@ -117,3 +117,58 @@ def hashed_features(
         .agg(F.sum("_sign").cast("long").alias("weight"))
         .filter(F.col("weight") != 0)
     )
+
+
+def quantile_bin(
+    df: DataFrame,
+    column: str,
+    k: int = 8,
+    bin_col: str = "bin",
+) -> DataFrame:
+    """Equal-frequency discretization: adds ``bin_col`` ∈ [0, k)
+    assigning each row to its quantile bucket of ``column`` — the
+    featurization step behind monotone-binned features, decile
+    reports, and per-bucket calibration (``decile_lift`` ranks
+    per-row; this publishes the REUSABLE cut points, the train-time
+    artifact a serving path can apply to new data without re-ranking).
+
+    Breakpoints are the interpolated ``i/k`` quantiles (the
+    ``percentile`` builtin's definition) computed DISTRIBUTED via
+    ``ranges.exact_quantiles`` — never a global sort or single-task
+    percentile buffer.  Binning is then a pure scalar fold:
+    ``bin = Σ_i [value > b_i]`` over the ≤ k−1 DISTINCT breakpoints,
+    broadcast as literals (heavy ties collapse equal breakpoints, so
+    tied values land in one merged bin — deterministic, never
+    partition-lottery).  NULL/NaN values get a NULL bin.
+
+    Scale shape: the breakpoint pass is ``exact_quantiles``' three
+    bounded passes (histogram exchange ≤ bucket_count rows); the
+    assignment is one codegen expression on the scan — zero shuffles
+    added to the consuming plan.
+
+    Reference parity: extension operator (featurization family,
+    ``features.target_encode``); the reference's percentile machinery
+    is scripts/utils.js:171-186 (criticality score binning).
+    """
+    from moz_datapipeline_spark.operators.ranges import exact_quantiles
+
+    if k < 2:
+        raise ValueError("quantile_bin: k must be >= 2")
+    probs = [i / k for i in range(1, k)]
+    breaks = exact_quantiles(df, column, probs)
+    v = F.col(column).cast("double")
+    if breaks is None:
+        return df.withColumn(
+            bin_col, F.when(v.isNotNull(), F.lit(0)).cast("int")
+        )
+    distinct_breaks = sorted(set(breaks))
+    expr = None
+    for b in distinct_breaks:
+        term = (v > F.lit(float(b))).cast("int")
+        expr = term if expr is None else expr + term
+    if expr is None:
+        expr = F.lit(0)
+    return df.withColumn(
+        bin_col,
+        F.when(v.isNotNull() & ~F.isnan(v), expr).cast("int"),
+    )

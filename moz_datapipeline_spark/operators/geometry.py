@@ -184,3 +184,102 @@ def dissolve(
         )
 
     return boundary.groupBy(group_key).applyInPandas(stitch, out_schema)
+
+
+def grid_knn_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    cell_deg: float = 1.0,
+    id_col: str = "id",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Grid-bucketed spatial k-nearest-neighbor join:
+    ``(query_id, corpus_id, dist_km, rank)`` — for each query point,
+    the ``k`` closest corpus points AMONG candidates sharing the
+    query's lon/lat grid cell or one of its 8 neighbors.  The scalable
+    form of "snap each asset to its nearest facilities"
+    (scripts/prep-bridge.js:27-47 does the O(N·M) scan; J5's
+    ``argmin_join`` is its k=1 exact twin on pre-bucketed pairs) —
+    here the grid bounds the candidate set so the join never goes
+    quadratic.
+
+    Deliberately approximate at the ring boundary: a true neighbor
+    farther than one cell away is unseen (standard grid-file trade;
+    pick ``cell_deg`` ≳ the expected k-NN radius).  Queries with an
+    empty 3×3 neighborhood emit nothing.  Deterministic: ties on
+    distance break by corpus id.
+
+    Plan shape: the corpus keys ONCE by its own cell; the query side
+    explodes into its 9 candidate cells (a constant-width literal
+    array — no extra shuffle source) and equi-joins on the cell key —
+    ONE hash-partitioned join whose fan-in per task is the local
+    point density, never |corpus|.  Top-k rides a
+    ``row_number() ≤ k`` window partitioned by query id —
+    WindowGroupLimit keeps per-partition heaps below the exchange.
+    At 100 TB: both sides shuffle by cell/query key only; skewed
+    megacity cells split under AQE; no broadcast of either side is
+    required (but a dimension-sized corpus side will auto-broadcast).
+    """
+    if k < 1:
+        raise ValueError("grid_knn_join: k must be >= 1")
+    if cell_deg <= 0:
+        raise ValueError("grid_knn_join: cell_deg must be > 0")
+    qid = query_id_col or id_col
+    cx = lambda lon: F.floor((F.col(lon) + 180.0) / F.lit(cell_deg))  # noqa: E731
+    cy = lambda lat: F.floor((F.col(lat) + 90.0) / F.lit(cell_deg))  # noqa: E731
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"),
+        F.col(lon_col).alias("_clon"),
+        F.col(lat_col).alias("_clat"),
+        cx(lon_col).alias("_cx"),
+        cy(lat_col).alias("_cy"),
+    )
+    offs = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    q = (
+        queries.select(
+            F.col(qid).alias("query_id"),
+            F.col(lon_col).alias("_qlon"),
+            F.col(lat_col).alias("_qlat"),
+            cx(lon_col).alias("_qx"),
+            cy(lat_col).alias("_qy"),
+        )
+        .withColumn("_off", F.explode(offs))
+        .select(
+            "query_id",
+            "_qlon",
+            "_qlat",
+            (F.col("_qx") + F.col("_off.dx")).alias("_cx"),
+            (F.col("_qy") + F.col("_off.dy")).alias("_cy"),
+        )
+    )
+    from pyspark.sql import Window
+
+    from moz_datapipeline_spark.functions.geo import haversine_km
+
+    cand = q.join(c, ["_cx", "_cy"]).select(
+        "query_id",
+        "corpus_id",
+        haversine_km("_qlon", "_qlat", "_clon", "_clat").alias("_d"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_d").asc(), F.col("corpus_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "corpus_id",
+            F.round("_d", 6).alias("dist_km"),
+            "rank",
+        )
+    )

@@ -369,3 +369,240 @@ def test_calibration_curve_clamps_out_of_range_scores(spark):
     by_bin = {r.bin: r for r in out}
     assert by_bin[0].n == 2  # both negatives clamp to bin 0
     assert by_bin[9].n == 2  # 1.7 and 1.0 clamp to bin 9
+
+
+# ---------------------------------------------------------------------------
+# round-11 batch 2: sequence_ngrams, modularity, rmst, quantile_bin,
+# grid_knn_join
+# ---------------------------------------------------------------------------
+
+
+def test_sequence_ngrams_hand_computed(spark):
+    from moz_datapipeline_spark.operators.analytics import sequence_ngrams
+
+    rows = [
+        # user 1: a b a b  -> grams a>b, b>a, a>b
+        (1, 1, "a"), (1, 2, "b"), (1, 3, "a"), (1, 4, "b"),
+        # user 2: a b c    -> grams a>b, b>c
+        (2, 1, "a"), (2, 2, "b"), (2, 3, "c"),
+        # user 3: single event, no gram
+        (3, 1, "a"),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts long, event_type string")
+    out = {
+        r.gram: r
+        for r in sequence_ngrams(
+            df, n=2, tiebreak_col="ts", min_users=1
+        ).collect()
+    }
+    assert out["a>b"].occurrences == 3
+    assert out["a>b"].n_users == 2
+    assert out["b>a"].occurrences == 1
+    assert out["b>a"].n_users == 1
+    assert out["b>c"].n_users == 1
+    # user 3 contributed no gram: the share denominator is gram-having users
+    assert abs(out["a>b"].user_share - 1.0) < 1e-9
+    # min_users prunes the singleton tail
+    pruned = {
+        r.gram
+        for r in sequence_ngrams(
+            df, n=2, tiebreak_col="ts", min_users=2
+        ).collect()
+    }
+    assert pruned == {"a>b"}
+    with pytest.raises(ValueError):
+        sequence_ngrams(df, n=1)
+
+
+def test_sequence_ngrams_equals_markov_pairs(spark):
+    """n=2 grams are markov_transitions' pair counts pre-normalization."""
+    from moz_datapipeline_spark.operators.analytics import (
+        markov_transitions,
+        sequence_ngrams,
+    )
+
+    rows = [
+        (u, t, x)
+        for u in range(5)
+        for t, x in enumerate("abcab" if u % 2 else "aabcc")
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts long, event_type string")
+    grams = {
+        r.gram: r.occurrences
+        for r in sequence_ngrams(df, n=2, tiebreak_col="ts").collect()
+    }
+    pairs = {
+        f"{r.from_type}>{r.to_type}": r.n
+        for r in markov_transitions(df, tiebreak_col="ts").collect()
+    }
+    assert grams == pairs
+
+
+def test_modularity_two_cliques(spark):
+    """Two 3-cliques joined by one bridge edge, labeled by clique:
+    Q = sum over c of [L_c/m - (D_c/2m)^2] against hand arithmetic."""
+    from moz_datapipeline_spark.graph.structure import modularity
+
+    cliq1 = [(1, 2), (1, 3), (2, 3)]
+    cliq2 = [(4, 5), (4, 6), (5, 6)]
+    bridge = [(3, 4)]
+    und = cliq1 + cliq2 + bridge
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long"
+    )
+    labels = spark.createDataFrame(
+        [(n, 0) for n in (1, 2, 3)] + [(n, 1) for n in (4, 5, 6)],
+        "node long, community long",
+    )
+    out = {r.community: r for r in modularity(edges, labels).collect()}
+    # m = 7 undirected edges; each clique: L_c = 3, D_c = 7
+    assert out[0].internal_edges == 3 and out[1].internal_edges == 3
+    assert out[0].degree_sum == 7 and out[1].degree_sum == 7
+    expected = 3 / 7 - (7 / 14) ** 2
+    assert abs(out[0].contribution - round(expected, 6)) < 1e-9
+    q = sum(r.contribution for r in out.values())
+    assert q == pytest.approx(2 * (3 / 7 - 0.25), abs=1e-6)
+
+
+def test_modularity_random_labels_near_zero(spark):
+    """Assigning every node the same community gives Q = 0 exactly
+    (L/m = 1, (D/2m)^2 = 1)."""
+    from moz_datapipeline_spark.graph.structure import modularity
+
+    und = [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long"
+    )
+    labels = spark.createDataFrame(
+        [(n, 0) for n in (1, 2, 3, 4)], "node long, community long"
+    )
+    rows = modularity(edges, labels).collect()
+    assert len(rows) == 1
+    assert rows[0].contribution == pytest.approx(0.0, abs=1e-9)
+
+
+def test_rmst_hand_computed(spark):
+    """Three subjects, no censoring: t = 2, 4, 10; tau = 6.
+    S = 1 on [0,2), 2/3 on [2,4), 1/3 on [4,6) ->
+    RMST = 2 + (2/3)*2 + (1/3)*2 = 4."""
+    from moz_datapipeline_spark.operators.analytics import rmst
+
+    df = spark.createDataFrame(
+        [(2.0, 1), (4.0, 1), (10.0, 1)], "duration double, event int"
+    )
+    row = rmst(df, "duration", "event", tau=6.0).collect()[0]
+    assert row.tau == 6.0
+    assert row.rmst == pytest.approx(4.0, abs=1e-5)
+    with pytest.raises(ValueError):
+        rmst(df, "duration", "event", tau=0.0)
+
+
+def test_rmst_tau_beyond_last_event_extends_flat(spark):
+    """Curve carried flat past the last observed time up to tau."""
+    from moz_datapipeline_spark.operators.analytics import rmst
+
+    df = spark.createDataFrame(
+        [(2.0, 1), (2.0, 1), (4.0, 0)], "duration double, event int"
+    )
+    # S = 1 on [0,2), 1/3 on [2,10): censoring at 4 removes the subject
+    # without a drop.  RMST(10) = 2 + (1/3)*8
+    row = rmst(df, "duration", "event", tau=10.0).collect()[0]
+    assert row.rmst == pytest.approx(2 + 8 / 3, abs=1e-5)
+
+
+def test_quantile_bin_equal_frequency(spark):
+    from moz_datapipeline_spark.operators.features import quantile_bin
+
+    df = spark.createDataFrame(
+        [(float(i),) for i in range(100)], "v double"
+    )
+    out = quantile_bin(df, "v", k=4)
+    counts = {
+        r.bin: r.n
+        for r in out.groupBy("bin").agg(F.count("*").alias("n")).collect()
+    }
+    # interpolated quartile breakpoints of 0..99: 24.75, 49.5, 74.25
+    assert counts == {0: 25, 1: 25, 2: 25, 3: 25}
+    with pytest.raises(ValueError):
+        quantile_bin(df, "v", k=1)
+
+
+def test_quantile_bin_ties_merge_bins(spark):
+    """A massively tied column collapses equal breakpoints: tied values
+    land in ONE bin, deterministically."""
+    from moz_datapipeline_spark.operators.features import quantile_bin
+
+    df = spark.createDataFrame(
+        [(1.0,)] * 90 + [(2.0,)] * 10, "v double"
+    )
+    out = quantile_bin(df, "v", k=10)
+    counts = {
+        r.v: {rr.bin for rr in out.filter(F.col("v") == r.v).select("bin").distinct().collect()}
+        for r in df.select("v").distinct().collect()
+    }
+    assert counts[1.0] == {0}
+    assert len(counts[2.0]) == 1
+    # NULL handling: NULL value -> NULL bin
+    dfn = spark.createDataFrame([(1.0,), (None,)], "v double")
+    rows = quantile_bin(dfn, "v", k=2).collect()
+    assert {r.bin for r in rows if r.v is None} == {None}
+
+
+def test_grid_knn_join_exact_within_cell(spark):
+    """Corpus points placed in one cell: grid 3-NN equals brute-force
+    3-NN; ring-boundary neighbors beyond one cell are unseen."""
+    from moz_datapipeline_spark.functions.geo import haversine_km
+    from moz_datapipeline_spark.operators.geometry import grid_knn_join
+
+    corpus = spark.createDataFrame(
+        [(1, 10.1, 10.1), (2, 10.2, 10.2), (3, 10.3, 10.3),
+         (4, 10.9, 10.9), (5, 60.0, 40.0)],
+        "id long, lon double, lat double",
+    )
+    queries = spark.createDataFrame(
+        [(100, 10.15, 10.15)], "id long, lon double, lat double"
+    )
+    out = grid_knn_join(corpus, queries, k=3, cell_deg=1.0)
+    got = [(r.corpus_id, r.rank) for r in out.orderBy("rank").collect()]
+    # brute-force: 1 and 2 nearest, then 3; 5 is far; 4 in same cell
+    brute = (
+        queries.alias("q")
+        .crossJoin(corpus.alias("c"))
+        .select(
+            F.col("c.id").alias("cid"),
+            haversine_km(
+                F.col("q.lon"), F.col("q.lat"), F.col("c.lon"), F.col("c.lat")
+            ).alias("d"),
+        )
+        .orderBy("d", "cid")
+        .limit(3)
+        .collect()
+    )
+    assert [g[0] for g in got] == [b.cid for b in brute]
+    assert [g[1] for g in got] == [1, 2, 3]
+    with pytest.raises(ValueError):
+        grid_knn_join(corpus, queries, k=0)
+    with pytest.raises(ValueError):
+        grid_knn_join(corpus, queries, cell_deg=0.0)
+
+
+def test_grid_knn_join_plan_single_cell_join(spark):
+    """Plan shape: candidate generation is ONE equi join on the cell
+    key — no cartesian product anywhere in the plan."""
+    from moz_datapipeline_spark.operators.geometry import grid_knn_join
+
+    corpus = spark.createDataFrame(
+        [(i, float(i % 360 - 180) + 0.5, float(i % 170 - 85) + 0.5)
+         for i in range(50)],
+        "id long, lon double, lat double",
+    )
+    out = grid_knn_join(corpus, corpus.limit(5), k=2, cell_deg=30.0)
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    assert "WindowGroupLimit" in plan
