@@ -6887,6 +6887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rmst": q_rmst,
         "quantile_bin": q_quantile_bin,
         "grid_knn": q_grid_knn,
+        "modularity_move": q_modularity_move,
     }
 
 
@@ -14639,6 +14640,69 @@ FROM eaul_calc
         ) WHERE rk <= 3
     """
 
+    sql["modularity_move"] = """
+        WITH fwd AS MATERIALIZED (
+          SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
+                          CAST(l_suppkey + 1000000 AS BIGINT) AS dst
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        ), e AS MATERIALIZED (
+          SELECT src, dst FROM fwd
+          UNION ALL
+          SELECT dst, src FROM fwd
+        ), lab AS MATERIALIZED (
+          SELECT CAST(c_custkey AS BIGINT) AS n,
+                 CAST(c_nationkey AS BIGINT) AS c
+          FROM customer
+          UNION ALL
+          SELECT CAST(s_suppkey + 1000000 AS BIGINT),
+                 CAST(s_nationkey AS BIGINT)
+          FROM supplier
+        ), tagged AS MATERIALIZED (
+          SELECT e.src AS s, ls.c AS cs, ld.c AS cd
+          FROM e JOIN lab ls ON e.src = ls.n
+                 JOIN lab ld ON e.dst = ld.n
+        ), k AS MATERIALIZED (
+          SELECT s AS u, cs AS a, CAST(count(*) AS BIGINT) AS ku
+          FROM tagged GROUP BY 1, 2
+        ), links AS MATERIALIZED (
+          SELECT s AS u, cd AS cand, CAST(count(*) AS BIGINT) AS kuc
+          FROM tagged GROUP BY 1, 2
+        ), tot AS MATERIALIZED (
+          SELECT a AS tc, CAST(sum(ku) AS BIGINT) AS tot FROM k
+          GROUP BY 1
+        ), tm AS (SELECT CAST(count(*) AS DOUBLE) AS two_m FROM e),
+        cand AS (
+          SELECT u, cand, kuc FROM links
+          UNION ALL
+          SELECT k.u, k.a, CAST(0 AS BIGINT)
+          FROM k LEFT JOIN links l ON k.u = l.u AND k.a = l.cand
+          WHERE l.u IS NULL
+        ), scored AS (
+          SELECT c.u, k.a, c.cand, c.kuc, k.ku, t.tot, tm.two_m,
+                 CAST(c.kuc AS DOUBLE) / (tm.two_m / 2.0)
+                 - CAST(k.ku AS DOUBLE)
+                   * (CAST(t.tot AS DOUBLE)
+                      - CASE WHEN c.cand = k.a
+                             THEN CAST(k.ku AS DOUBLE)
+                             ELSE 0.0 END)
+                   / (2.0 * (tm.two_m / 2.0) * (tm.two_m / 2.0))
+                   AS gain
+          FROM cand c
+          JOIN k ON c.u = k.u
+          JOIN tot t ON c.cand = t.tc
+          CROSS JOIN tm
+        )
+        SELECT u AS node, a AS old_community, cand AS new_community,
+               round(gain, 6) AS gain
+        FROM (
+          SELECT u, a, cand, gain,
+                 row_number() OVER (PARTITION BY u
+                                    ORDER BY gain DESC, cand ASC)
+                   AS rk
+          FROM scored
+        ) WHERE rk = 1
+    """
+
     return sql
 
 
@@ -14765,3 +14829,39 @@ def q_grid_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("s_suppkey") * 11 % 170) - 85 + 0.5).cast("double").alias("lat"),
     )
     return grid_knn_join(corpus, queries_df, k=3, cell_deg=30.0)
+
+
+def q_modularity_move(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One synchronous greedy modularity-ascent round (Louvain local
+    move, graph/structure.greedy_modularity_move) over the trade graph
+    seeded with the nation partition: every node simultaneously picks
+    the neighbor community (or stays) with the best standard local-move
+    gain, ties to the smaller community id.  VALUE oracle: identical
+    candidate set + gain arithmetic + row_number in DuckDB."""
+    from moz_datapipeline_spark.graph.structure import greedy_modularity_move
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    fwd = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.col("o_custkey").cast("long").alias("src"),
+            (F.col("l_suppkey") + 1000000).cast("long").alias("dst"),
+        )
+        .distinct()
+    )
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = c.select(
+        F.col("c_custkey").cast("long").alias("node"),
+        F.col("c_nationkey").cast("long").alias("community"),
+    ).unionByName(
+        s.select(
+            (F.col("s_suppkey") + 1000000).cast("long").alias("node"),
+            F.col("s_nationkey").cast("long").alias("community"),
+        )
+    )
+    return greedy_modularity_move(edges, labels)

@@ -19,7 +19,7 @@ routes; it does not measure structure) — same family as
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -231,4 +231,114 @@ def modularity(
         "internal_edges",
         "degree_sum",
         F.round(contrib, 6).alias("contribution"),
+    )
+
+
+def greedy_modularity_move(
+    edges: DataFrame,
+    labels: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    label_col: str = "community",
+) -> DataFrame:
+    """One synchronous round of greedy modularity ascent (the Louvain
+    local-move phase): ``(node, old_community, new_community, gain)``
+    — every node simultaneously picks the neighboring community (or
+    stays) that maximizes its modularity gain, evaluated against the
+    CURRENT labeling.  Iterate with ``modularity`` as the acceptance
+    gate to get a deterministic Louvain phase 1; one round alone is
+    the standard "refine seed communities" step after LPA.
+
+    The gain of node u joining community c (u removed from its own
+    community first) is the standard local-move objective
+
+        G(c) = k_{u→c}/m − k_u · tot'_c / (2m²)
+
+    with ``tot'_c`` the community degree total EXCLUDING u when
+    c = u's current community — so "stay" is scored by the same
+    formula and a node moves only on a strictly positive edge.  Ties
+    break to the smaller community id; the synchronous update makes
+    the round deterministic and engine-replayable (classic sequential
+    Louvain is visit-order-dependent — unusable as an oracle-checked
+    distributed operator).
+
+    ``edges`` uses the engine's symmetric directed convention (both
+    directions present; no self-loops).  Unlabeled endpoints drop
+    their edges, as in ``modularity``.
+
+    Plan shape: two node-keyed label joins (same key — one exchange
+    reused), then node-, (node × neighbor-community)-, and
+    community-sized hash aggregates; the winner is a
+    ``row_number() = 1`` window over the candidate list, partitioned
+    by node — WindowGroupLimit-bounded, never a global sort.  No
+    driver collect; every frame is node- or candidate-sized.
+    """
+    lab = labels.select(
+        F.col(node_col).alias("_n"), F.col(label_col).alias("_c")
+    )
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    tagged = (
+        e.join(lab.withColumnRenamed("_c", "_cs"), e["_s"] == lab["_n"])
+        .drop("_n")
+        .join(
+            lab.withColumnRenamed("_c", "_cd").withColumnRenamed(
+                "_n", "_n2"
+            ),
+            F.col("_d") == F.col("_n2"),
+        )
+        .drop("_n2")
+    )
+    k = tagged.groupBy(F.col("_s").alias("_u"), F.col("_cs").alias("_a")).agg(
+        F.count(F.lit(1)).alias("_ku")
+    )
+    links = tagged.groupBy(
+        F.col("_s").alias("_u"), F.col("_cd").alias("_cand")
+    ).agg(F.count(F.lit(1)).alias("_kuc"))
+    tot = k.groupBy(F.col("_a").alias("_tc")).agg(
+        F.sum("_ku").alias("_tot")
+    )
+    two_m = e.agg(F.count(F.lit(1)).cast("double").alias("_two_m"))
+    stay = (
+        k.join(
+            links,
+            (k["_u"] == links["_u"]) & (k["_a"] == links["_cand"]),
+            "left",
+        )
+        .select(
+            k["_u"],
+            k["_a"].alias("_cand"),
+            F.coalesce(links["_kuc"], F.lit(0)).alias("_kuc"),
+        )
+    )
+    cands = links.join(
+        k.select(F.col("_u").alias("_u2"), "_a"),
+        (links["_u"] == F.col("_u2")) & (links["_cand"] == F.col("_a")),
+        "left_anti",
+    ).unionByName(stay)
+    scored = (
+        cands.join(k.select("_u", "_a", "_ku"), "_u")
+        .join(tot, cands["_cand"] == tot["_tc"])
+        .crossJoin(F.broadcast(two_m))
+    )
+    m = F.col("_two_m") / 2.0
+    totp = F.col("_tot").cast("double") - F.when(
+        F.col("_cand") == F.col("_a"), F.col("_ku").cast("double")
+    ).otherwise(F.lit(0.0))
+    gain = F.col("_kuc").cast("double") / m - F.col(
+        "_ku"
+    ).cast("double") * totp / (2.0 * m * m)
+    w = Window.partitionBy("_u").orderBy(
+        F.col("_gain").desc(), F.col("_cand").asc()
+    )
+    return (
+        scored.withColumn("_gain", gain)
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select(
+            F.col("_u").alias("node"),
+            F.col("_a").alias("old_community"),
+            F.col("_cand").alias("new_community"),
+            F.round("_gain", 6).alias("gain"),
+        )
     )

@@ -606,3 +606,42 @@ def test_grid_knn_join_plan_single_cell_join(spark):
     plan = buf.getvalue()
     assert "CartesianProduct" not in plan
     assert "WindowGroupLimit" in plan
+
+
+def test_greedy_modularity_move_corrects_mislabeled_node(spark):
+    """Two 3-cliques + bridge; node 3 mislabeled into the far clique's
+    community. Hand arithmetic: G(move back) = 2/7 - 12/98 > 0 beats
+    G(stay) = 1/7 - 21/98 < 0; every other node stays."""
+    from moz_datapipeline_spark.graph.structure import greedy_modularity_move
+
+    und = [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6), (3, 4)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long"
+    )
+    labels = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 1), (4, 1), (5, 1), (6, 1)],
+        "node long, community long",
+    )
+    out = {
+        r.node: r for r in greedy_modularity_move(edges, labels).collect()
+    }
+    assert out[3].old_community == 1 and out[3].new_community == 0
+    assert out[3].gain == pytest.approx(2 / 7 - 12 / 98, abs=1e-6)
+    for n in (1, 2, 4, 5, 6):
+        assert out[n].new_community == out[n].old_community, n
+
+
+def test_greedy_modularity_move_converged_partition_all_stay(spark):
+    """With the correct clique labeling no node has a positive move."""
+    from moz_datapipeline_spark.graph.structure import greedy_modularity_move
+
+    und = [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6), (3, 4)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long"
+    )
+    labels = spark.createDataFrame(
+        [(n, 0) for n in (1, 2, 3)] + [(n, 1) for n in (4, 5, 6)],
+        "node long, community long",
+    )
+    rows = greedy_modularity_move(edges, labels).collect()
+    assert all(r.new_community == r.old_community for r in rows)
