@@ -96,6 +96,107 @@ def lsh_recall(docs, n_origins: int, cands, threshold: float = 0.8):
     return n_found / n_truth if n_truth else 1.0, n_truth
 
 
+def round11b_ops_scale_check(spark) -> dict:
+    """Round-11 second batch at design scale.  (``rmst`` rides the
+    already-rehearsed kaplan_meier rollup and ``quantile_bin`` rides
+    exact_quantiles' rehearsed histogram passes — no separate entry.)
+
+    - ``sequence_ngrams`` over 20M events / 200k users: the one
+      data-sized exchange is the user-partitioned lead window; the
+      gram rollup after it is dictionary-sized.
+    - ``grid_knn_join``: 2M corpus points vs 50k queries at 1-degree
+      cells — candidate fan-in = local density (~30/cell x 9 cells),
+      never |corpus|; WindowGroupLimit bounds the top-k exchange.
+    - ``greedy_modularity_move`` on a 100k-node / ~2M-symmetric-edge
+      planted-block graph with 1k seed communities: node/candidate/
+      community-sized folds only.
+    """
+    from moz_datapipeline_spark.graph.structure import greedy_modularity_move
+    from moz_datapipeline_spark.operators.analytics import sequence_ngrams
+    from moz_datapipeline_spark.operators.geometry import grid_knn_join
+
+    out: dict = {}
+
+    n_ev, n_users = 20_000_000, 200_000
+    ev = spark.range(n_ev).select(
+        F.pmod(F.xxhash64(F.col("id")), n_users).alias("user_id"),
+        F.col("id").alias("ts"),
+        F.concat(
+            F.lit("e"), F.pmod(F.xxhash64(F.col("id") + 13), 8)
+        ).alias("event_type"),
+    )
+    t0 = time.perf_counter()
+    grams = sequence_ngrams(ev, n=3, tiebreak_col="ts", min_users=2)
+    out["seq_ngrams_rows_in"] = n_ev
+    out["seq_ngrams_grams_out"] = grams.count()
+    out["seq_ngrams_sec"] = round(time.perf_counter() - t0, 2)
+    out["seq_ngrams_shuffle"] = (
+        "one user-hash window exchange (data-sized) + gram rollup "
+        "with map-side partials (dictionary-sized, 8^3 max here)"
+    )
+
+    n_corpus, n_queries = 2_000_000, 50_000
+    corpus = spark.range(n_corpus).select(
+        F.col("id"),
+        (F.pmod(F.xxhash64(F.col("id")), 360_000) / 1000.0 - 180.0).alias(
+            "lon"
+        ),
+        (F.pmod(F.xxhash64(F.col("id") + 5), 170_000) / 1000.0 - 85.0).alias(
+            "lat"
+        ),
+    )
+    queries = spark.range(n_queries).select(
+        F.col("id"),
+        (F.pmod(F.xxhash64(F.col("id") + 11), 360_000) / 1000.0 - 180.0)
+        .alias("lon"),
+        (F.pmod(F.xxhash64(F.col("id") + 17), 170_000) / 1000.0 - 85.0)
+        .alias("lat"),
+    )
+    t0 = time.perf_counter()
+    knn = grid_knn_join(corpus, queries, k=5, cell_deg=1.0)
+    out["grid_knn_corpus"] = n_corpus
+    out["grid_knn_queries"] = n_queries
+    out["grid_knn_rows_out"] = knn.count()
+    out["grid_knn_sec"] = round(time.perf_counter() - t0, 2)
+    out["grid_knn_shuffle"] = (
+        "corpus keyed once by cell; queries explode x9 offsets; ONE "
+        "cell equi join (fan-in = local density ~30x9) + per-query "
+        "WindowGroupLimit top-k"
+    )
+
+    n_nodes, deg = 100_000, 20
+    fwd = spark.range(n_nodes * deg).select(
+        (F.col("id") % n_nodes).alias("src"),
+        F.pmod(
+            (F.col("id") % n_nodes)
+            + 1
+            + F.pmod(F.xxhash64(F.col("id")), 50),
+            n_nodes,
+        ).alias("dst"),
+    ).filter(F.col("src") != F.col("dst")).distinct()
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = spark.range(n_nodes).select(
+        F.col("id").alias("node"),
+        F.pmod(F.xxhash64(F.col("id")), 1000).alias("community"),
+    )
+    t0 = time.perf_counter()
+    mv = greedy_modularity_move(edges, labels)
+    moved = mv.filter(
+        F.col("new_community") != F.col("old_community")
+    ).count()
+    out["mod_move_edges"] = edges.count()
+    out["mod_move_nodes"] = n_nodes
+    out["mod_move_moved"] = moved
+    out["mod_move_sec"] = round(time.perf_counter() - t0, 2)
+    out["mod_move_shuffle"] = (
+        "two node-keyed label joins + node/candidate/community-sized "
+        "hash aggregates + per-node WindowGroupLimit winner"
+    )
+    return out
+
+
 def routing_scale_check(spark) -> dict:
     """Multi-edge EAUL at reference full-run width (138 OD zones).
 
@@ -1955,6 +2056,8 @@ def main() -> None:
     r10 = round10_ops_scale_check(spark)
     _section_gc(spark)
     r11 = round11_ops_scale_check(spark)
+    _section_gc(spark)
+    r11b = round11b_ops_scale_check(spark)
 
     print(
         json.dumps(
@@ -1990,6 +2093,7 @@ def main() -> None:
                 **r9,
                 **r10,
                 **r11,
+                **r11b,
             }
         )
     )
