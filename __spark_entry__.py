@@ -6888,6 +6888,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_bin": q_quantile_bin,
         "grid_knn": q_grid_knn,
         "modularity_move": q_modularity_move,
+        "ols_fit": q_ols_fit,
+        "grid_density": q_grid_density,
     }
 
 
@@ -14703,6 +14705,101 @@ FROM eaul_calc
         ) WHERE rk = 1
     """
 
+    sql["ols_fit"] = """
+        WITH base AS (
+          SELECT l_returnflag,
+                 CAST(l_extendedprice AS DOUBLE) AS y,
+                 CAST(l_quantity AS DOUBLE) AS x1,
+                 CAST(l_discount AS DOUBLE) AS x2
+          FROM lineitem
+          WHERE l_extendedprice IS NOT NULL
+            AND l_quantity IS NOT NULL AND l_discount IS NOT NULL
+        ), m AS (
+          SELECT l_returnflag,
+                 CAST(count(*) AS DOUBLE) AS n,
+                 sum(y) AS sy, sum(y * y) AS syy,
+                 sum(x1) AS s1, sum(x1 * y) AS s1y,
+                 sum(x1 * x1) AS s11, sum(x1 * x2) AS s12,
+                 sum(x2) AS s2, sum(x2 * y) AS s2y,
+                 sum(x2 * x2) AS s22
+          FROM base GROUP BY 1
+        ), solved AS (
+          SELECT l_returnflag, n, sy, syy, s1y, s2y,
+                 n * (s11 * s22 - s12 * s12)
+                 - s1 * (s1 * s22 - s12 * s2)
+                 + s2 * (s1 * s12 - s11 * s2) AS det,
+                 sy * (s11 * s22 - s12 * s12)
+                 - s1 * (s1y * s22 - s12 * s2y)
+                 + s2 * (s1y * s12 - s11 * s2y) AS det0,
+                 n * (s1y * s22 - s12 * s2y)
+                 - sy * (s1 * s22 - s12 * s2)
+                 + s2 * (s1 * s2y - s1y * s2) AS det1,
+                 n * (s11 * s2y - s1y * s12)
+                 - s1 * (s1 * s2y - s1y * s2)
+                 + sy * (s1 * s12 - s11 * s2) AS det2,
+                 syy - sy * sy / n AS sst
+          FROM m
+        )
+        SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+               round(CASE WHEN abs(det) > 1e-9
+                     THEN det0 / det END, 6) AS b0,
+               round(CASE WHEN abs(det) > 1e-9
+                     THEN det1 / det END, 6) AS b_l_quantity,
+               round(CASE WHEN abs(det) > 1e-9
+                     THEN det2 / det END, 6) AS b_l_discount,
+               round(CASE WHEN sst > 1e-12 THEN
+                 1.0 - (syy - (CASE WHEN abs(det) > 1e-9
+                                    THEN det0 / det END) * sy
+                            - (CASE WHEN abs(det) > 1e-9
+                                    THEN det1 / det END) * s1y
+                            - (CASE WHEN abs(det) > 1e-9
+                                    THEN det2 / det END) * s2y) / sst
+               END, 6) AS r2
+        FROM solved
+    """
+
+    sql["grid_density"] = """
+        WITH RECURSIVE pts AS (
+          SELECT CAST(c_custkey AS BIGINT) AS id,
+                 floor((CAST((c_custkey % 360) - 180 + 0.5 AS DOUBLE)
+                        + 180.0) / 30.0) AS cx,
+                 floor((CAST((c_custkey * 7 % 170) - 85 + 0.5 AS DOUBLE)
+                        + 90.0) / 30.0) AS cy
+          FROM customer
+        ), pts2 AS (
+          SELECT id, CAST(cx * 10000000 + cy AS BIGINT) AS cell
+          FROM pts
+        ), cellxy AS (
+          SELECT CAST(cx * 10000000 + cy AS BIGINT) AS cell,
+                 cx, cy, count(*) AS n
+          FROM pts GROUP BY 1, 2, 3
+        ), core AS (
+          SELECT * FROM cellxy WHERE n >= 3
+        ), probe AS (
+          SELECT a.cell AS ca,
+                 CAST((a.cx + off.dx) * 10000000 + (a.cy + off.dy)
+                      AS BIGINT) AS cb
+          FROM core a CROSS JOIN (
+            VALUES (-1, -1), (-1, 0), (-1, 1),
+                   (0, -1), (0, 0), (0, 1),
+                   (1, -1), (1, 0), (1, 1)
+          ) AS off(dx, dy)
+        ), edges AS (
+          SELECT p.ca AS u, p.cb AS v
+          FROM probe p JOIN core c ON p.cb = c.cell
+        ), nodes AS (SELECT DISTINCT u AS id FROM edges),
+        reach AS (
+          SELECT id, id AS r FROM nodes
+          UNION
+          SELECT reach.id, e.v FROM reach JOIN edges e
+            ON e.u = reach.r
+        ), comp AS (
+          SELECT id AS cell, min(r) AS cluster FROM reach GROUP BY id
+        )
+        SELECT pts2.id, comp.cluster
+        FROM pts2 LEFT JOIN comp ON pts2.cell = comp.cell
+    """
+
     return sql
 
 
@@ -14865,3 +14962,41 @@ def q_modularity_move(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return greedy_modularity_move(edges, labels)
+
+
+def q_ols_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-feature OLS per return flag: l_extendedprice on
+    (l_quantity, l_discount) via the distributed moment aggregate +
+    closed-form Cramer solve (operators/analytics.ols_fit) — one
+    data-sized exchange carrying the moment partials, the solve on the
+    group rollup.  VALUE oracle: identical moment sums + determinant
+    arithmetic in DuckDB."""
+    from moz_datapipeline_spark.operators.analytics import ols_fit
+
+    li = _t(spark, sf_dir, "lineitem")
+    return ols_fit(
+        li,
+        "l_extendedprice",
+        ["l_quantity", "l_discount"],
+        group_cols=["l_returnflag"],
+    )
+
+
+def q_grid_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-density clustering (cell DBSCAN) of the synthetic customer
+    points at 30-degree cells, min_pts 3
+    (operators/geometry.grid_density_clusters): cell rollup → dense-
+    cell 8-neighborhood components (min-cell-key label) → point join;
+    sparse-cell points are NULL-cluster noise.  VALUE oracle: the
+    same cells + a recursive-CTE closure in DuckDB."""
+    from moz_datapipeline_spark.operators.geometry import (
+        grid_density_clusters,
+    )
+
+    c = _t(spark, sf_dir, "customer")
+    pts = c.select(
+        F.col("c_custkey").cast("long").alias("id"),
+        ((F.col("c_custkey") % 360) - 180 + 0.5).cast("double").alias("lon"),
+        ((F.col("c_custkey") * 7 % 170) - 85 + 0.5).cast("double").alias("lat"),
+    )
+    return grid_density_clusters(pts, cell_deg=30.0, min_pts=3)

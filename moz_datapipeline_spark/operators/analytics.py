@@ -3145,3 +3145,188 @@ def rmst(
             F.round("_r", 6).alias("rmst"),
         )
     )
+
+
+def ols_fit(
+    df: DataFrame,
+    y_col: str,
+    x_cols: list[str],
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Multiple linear regression by the method of moments:
+    ``(*group_cols, n, b0, b_<x1>, ..., r2)`` — the normal-equations
+    solution for y = b0 + Σ bᵢ·xᵢ per group, fitted DISTRIBUTED: one
+    hash aggregate computes the (d+1)×(d+2)/2 moment sums (n, Σxᵢ,
+    Σxᵢxⱼ, Σxᵢy, Σy, Σy²) with map-side combine, then the solve runs
+    on the GROUP-SIZED rollup, never the data.  Extends the
+    single-feature per-group trend fit to d features — the standard
+    "control for covariates" readout (CUPED's multi-covariate form).
+
+    For d ≤ 2 the solve is closed-form Cramer arithmetic as COLUMN
+    expressions — the identical expression tree replays in any SQL
+    engine (the oracle contract).  For d ≥ 3 the same moment rollup
+    feeds a tiny ``applyInPandas`` kernel (numpy ``lstsq`` on the
+    reconstructed (d+1)×(d+1) normal matrix) — still rollup-sized,
+    still one data pass.
+
+    Rows with a NULL in y or any x are excluded (listwise deletion).
+    A singular normal matrix (|det| < 1e-9, e.g. a constant feature)
+    yields NULL coefficients rather than garbage; r2 is NULL when the
+    response has zero variance.
+
+    Plan: one data-sized aggregate exchange carrying ~d² partial sums
+    per partition; everything after is |groups|-sized.
+    """
+    if not x_cols:
+        raise ValueError("ols_fit: need at least one feature column")
+    if len(set(x_cols)) != len(x_cols):
+        raise ValueError("ols_fit: duplicate feature columns")
+    gcols = list(group_cols or [])
+    d = len(x_cols)
+    y = F.col(y_col).cast("double")
+    xs = [F.col(c).cast("double") for c in x_cols]
+    cond = y.isNotNull()
+    for x in xs:
+        cond = cond & x.isNotNull()
+    base = df.filter(cond).select(
+        *gcols,
+        y.alias("_y"),
+        *[xs[i].alias(f"_x{i}") for i in range(d)],
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_y") * F.col("_y")).alias("_syy"),
+    ]
+    for i in range(d):
+        aggs.append(F.sum(f"_x{i}").alias(f"_s{i}"))
+        aggs.append(F.sum(F.col(f"_x{i}") * F.col("_y")).alias(f"_s{i}y"))
+        for j in range(i, d):
+            aggs.append(
+                F.sum(F.col(f"_x{i}") * F.col(f"_x{j}")).alias(
+                    f"_s{i}{j}"
+                )
+            )
+    mom = base.groupBy(*gcols).agg(*aggs)
+
+    coef_names = ["b0"] + [f"b_{c}" for c in x_cols]
+    if d == 1:
+        n, s1, s11 = F.col("_n"), F.col("_s0"), F.col("_s00")
+        sy, s1y = F.col("_sy"), F.col("_s0y")
+        det = n * s11 - s1 * s1
+        ok = F.abs(det) > 1e-9
+        b0 = F.when(ok, (sy * s11 - s1 * s1y) / det)
+        b1 = F.when(ok, (n * s1y - s1 * sy) / det)
+        sse = F.col("_syy") - b0 * sy - b1 * s1y
+        coefs = [b0, b1]
+    elif d == 2:
+        n = F.col("_n")
+        s1, s2 = F.col("_s0"), F.col("_s1")
+        s11, s12, s22 = F.col("_s00"), F.col("_s01"), F.col("_s11")
+        sy, s1y, s2y = F.col("_sy"), F.col("_s0y"), F.col("_s1y")
+        det = (
+            n * (s11 * s22 - s12 * s12)
+            - s1 * (s1 * s22 - s12 * s2)
+            + s2 * (s1 * s12 - s11 * s2)
+        )
+        ok = F.abs(det) > 1e-9
+        det0 = (
+            sy * (s11 * s22 - s12 * s12)
+            - s1 * (s1y * s22 - s12 * s2y)
+            + s2 * (s1y * s12 - s11 * s2y)
+        )
+        det1 = (
+            n * (s1y * s22 - s12 * s2y)
+            - sy * (s1 * s22 - s12 * s2)
+            + s2 * (s1 * s2y - s1y * s2)
+        )
+        det2 = (
+            n * (s11 * s2y - s1y * s12)
+            - s1 * (s1 * s2y - s1y * s2)
+            + sy * (s1 * s12 - s11 * s2)
+        )
+        b0 = F.when(ok, det0 / det)
+        b1 = F.when(ok, det1 / det)
+        b2 = F.when(ok, det2 / det)
+        sse = F.col("_syy") - b0 * sy - b1 * s1y - b2 * s2y
+        coefs = [b0, b1, b2]
+    else:
+        import numpy as np
+        import pandas as pd
+
+        from pyspark.sql.types import (
+            DoubleType,
+            StructField,
+            StructType,
+        )
+
+        gfields = [mom.schema[c] for c in gcols]
+        out_schema = StructType(
+            gfields
+            + [StructField("_nn", DoubleType())]
+            + [StructField(c, DoubleType()) for c in coef_names]
+            + [StructField("_r2", DoubleType())]
+        )
+
+        def solve(pdf: pd.DataFrame) -> pd.DataFrame:
+            rows = []
+            for _, r in pdf.iterrows():
+                n = r["_n"]
+                a = np.zeros((d + 1, d + 1))
+                c = np.zeros(d + 1)
+                a[0, 0] = n
+                c[0] = r["_sy"]
+                for i in range(d):
+                    a[0, i + 1] = a[i + 1, 0] = r[f"_s{i}"]
+                    c[i + 1] = r[f"_s{i}y"]
+                    for j in range(i, d):
+                        a[i + 1, j + 1] = a[j + 1, i + 1] = r[
+                            f"_s{i}{j}"
+                        ]
+                out = dict((g, r[g]) for g in gcols)
+                out["_nn"] = n
+                if abs(np.linalg.det(a)) > 1e-9:
+                    b = np.linalg.solve(a, c)
+                    sse = r["_syy"] - float(b @ c)
+                    sst = r["_syy"] - r["_sy"] ** 2 / n
+                    for name, val in zip(coef_names, b):
+                        out[name] = round(float(val), 6)
+                    out["_r2"] = (
+                        round(1.0 - sse / sst, 6) if sst > 1e-12 else None
+                    )
+                else:
+                    for name in coef_names:
+                        out[name] = None
+                    out["_r2"] = None
+                rows.append(out)
+            return pd.DataFrame(rows, columns=[f.name for f in out_schema])
+
+        solved = (
+            mom.groupBy(*gcols).applyInPandas(solve, schema=out_schema)
+            if gcols
+            else mom.withColumn("_g", F.lit(1))
+            .groupBy("_g")
+            .applyInPandas(
+                solve,
+                schema=out_schema,
+            )
+            .drop("_g")
+        )
+        return solved.select(
+            *gcols,
+            F.col("_nn").cast("long").alias("n"),
+            *coef_names,
+            F.col("_r2").alias("r2"),
+        )
+
+    sst = F.col("_syy") - F.col("_sy") * F.col("_sy") / F.col("_n")
+    r2 = F.when(sst > 1e-12, F.lit(1.0) - sse / sst)
+    return mom.select(
+        *gcols,
+        F.col("_n").cast("long").alias("n"),
+        *[
+            F.round(c, 6).alias(name)
+            for c, name in zip(coefs, coef_names)
+        ],
+        F.round(r2, 6).alias("r2"),
+    )

@@ -283,3 +283,93 @@ def grid_knn_join(
             "rank",
         )
     )
+
+
+def grid_density_clusters(
+    points: DataFrame,
+    id_col: str = "id",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    cell_deg: float = 1.0,
+    min_pts: int = 5,
+) -> DataFrame:
+    """Grid-density clustering (distributed DBSCAN on cells):
+    ``(id, cluster)`` — a point belongs to the cluster of its grid
+    cell when the cell is DENSE (≥ ``min_pts`` points); dense cells
+    connected through their 8-neighborhood form one cluster (label =
+    the smallest member cell key); points in sparse cells are noise
+    (``cluster`` NULL).  The scale-safe form of spatial cluster
+    discovery: point-level DBSCAN needs an ε-neighbor join per point,
+    this needs one cell rollup and a component pass over the
+    CELL-sized graph.
+
+    Deterministic: cell assignment is pure floor arithmetic, the
+    component label is the min cell key (``operators/components``
+    min-label convention), and no distance tie-break exists to
+    lottery on.  Resolution trade is explicit: clusters merge when
+    dense cells touch diagonally; sub-cell structure is invisible —
+    shrink ``cell_deg`` for finer grain.
+
+    Plan shape: ONE hash aggregate to the cell rollup (map-side
+    combined), an 8-offset explode + self equi join on the DENSE
+    subset only (density-bounded, usually ≪ |points|), pointer-
+    doubling components over the cell graph (O(log diameter) rounds,
+    each cell-sized), then one broadcast-eligible join of points to
+    their cell's label.  The only data-sized exchanges are the
+    rollup and the final label join.
+    """
+    if min_pts < 1:
+        raise ValueError("grid_density_clusters: min_pts must be >= 1")
+    if cell_deg <= 0:
+        raise ValueError("grid_density_clusters: cell_deg must be > 0")
+    from moz_datapipeline_spark.operators.components import (
+        connected_components,
+    )
+
+    key_span = 10_000_000
+    cx = F.floor((F.col(lon_col) + 180.0) / F.lit(cell_deg))
+    cy = F.floor((F.col(lat_col) + 90.0) / F.lit(cell_deg))
+    pts = points.select(
+        F.col(id_col).alias("id"),
+        (cx * key_span + cy).cast("long").alias("_cell"),
+        cx.cast("long").alias("_cx"),
+        cy.cast("long").alias("_cy"),
+    )
+    cells = pts.groupBy("_cell", "_cx", "_cy").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    core = cells.filter(F.col("_n") >= min_pts)
+    offs = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    probe = (
+        core.withColumn("_off", F.explode(offs))
+        .select(
+            F.col("_cell").alias("id_a"),
+            (
+                (F.col("_cx") + F.col("_off.dx")) * key_span
+                + (F.col("_cy") + F.col("_off.dy"))
+            ).cast("long").alias("id_b"),
+        )
+    )
+    # keep only pairs whose neighbor is ALSO a core cell; the (0,0)
+    # offset keeps isolated dense cells alive as self-loop singletons
+    edges = probe.join(
+        core.select(F.col("_cell").alias("id_b")), "id_b", "inner"
+    )
+    comp = connected_components(edges)
+    return (
+        pts.join(
+            comp.select(
+                F.col("id").alias("_cell2"),
+                F.col("component").alias("cluster"),
+            ),
+            pts["_cell"] == F.col("_cell2"),
+            "left",
+        )
+        .select("id", "cluster")
+    )

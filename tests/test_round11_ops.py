@@ -645,3 +645,126 @@ def test_greedy_modularity_move_converged_partition_all_stay(spark):
     )
     rows = greedy_modularity_move(edges, labels).collect()
     assert all(r.new_community == r.old_community for r in rows)
+
+
+def test_ols_fit_exact_plane(spark):
+    """y = 3 + 2*x1 - x2 exactly: coefficients recovered, r2 = 1."""
+    from moz_datapipeline_spark.operators.analytics import ols_fit
+
+    rows = [
+        (float(a), float(b), 3.0 + 2.0 * a - b)
+        for a in range(5)
+        for b in range(4)
+    ]
+    df = spark.createDataFrame(rows, "x1 double, x2 double, y double")
+    r = ols_fit(df, "y", ["x1", "x2"]).collect()[0]
+    assert r.n == 20
+    assert r.b0 == pytest.approx(3.0, abs=1e-5)
+    assert r.b_x1 == pytest.approx(2.0, abs=1e-5)
+    assert r.b_x2 == pytest.approx(-1.0, abs=1e-5)
+    assert r.r2 == pytest.approx(1.0, abs=1e-6)
+    with pytest.raises(ValueError):
+        ols_fit(df, "y", [])
+    with pytest.raises(ValueError):
+        ols_fit(df, "y", ["x1", "x1"])
+
+
+def test_ols_fit_single_feature_matches_closed_form(spark):
+    from moz_datapipeline_spark.operators.analytics import ols_fit
+
+    rows = [(float(i), 1.0 + 0.5 * i + (0.1 if i % 2 else -0.1))
+            for i in range(10)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    r = ols_fit(df, "y", ["x"]).collect()[0]
+    import numpy as np
+
+    x = np.array([a for a, _ in rows])
+    yv = np.array([b for _, b in rows])
+    b1, b0 = np.polyfit(x, yv, 1)
+    assert r.b0 == pytest.approx(b0, abs=1e-5)
+    assert r.b_x == pytest.approx(b1, abs=1e-5)
+
+
+def test_ols_fit_three_features_numpy_path(spark):
+    """d >= 3 takes the rollup-sized numpy kernel; verify against a
+    direct lstsq on the raw data, grouped."""
+    from moz_datapipeline_spark.operators.analytics import ols_fit
+    import numpy as np
+
+    rng = [(g, float(i), float((i * 7) % 5), float((i * 3) % 4),
+            1.0 + 2.0 * i - 0.5 * ((i * 7) % 5) + 0.25 * ((i * 3) % 4)
+            + (0.01 if i % 3 == 0 else -0.01))
+           for g in ("a", "b") for i in range(30)]
+    df = spark.createDataFrame(
+        rng, "g string, x1 double, x2 double, x3 double, y double"
+    )
+    out = {r.g: r for r in
+           ols_fit(df, "y", ["x1", "x2", "x3"], group_cols=["g"]).collect()}
+    for g in ("a", "b"):
+        rows = [r for r in rng if r[0] == g]
+        X = np.array([[1.0, r[1], r[2], r[3]] for r in rows])
+        yv = np.array([r[4] for r in rows])
+        beta, *_ = np.linalg.lstsq(X, yv, rcond=None)
+        assert out[g].b0 == pytest.approx(beta[0], abs=1e-4)
+        assert out[g].b_x1 == pytest.approx(beta[1], abs=1e-4)
+        assert out[g].b_x2 == pytest.approx(beta[2], abs=1e-4)
+        assert out[g].b_x3 == pytest.approx(beta[3], abs=1e-4)
+        assert out[g].n == 30
+
+
+def test_ols_fit_singular_matrix_null_not_garbage(spark):
+    """A constant feature makes the normal matrix singular: NULL
+    coefficients, never a division blowup."""
+    from moz_datapipeline_spark.operators.analytics import ols_fit
+
+    df = spark.createDataFrame(
+        [(1.0, 2.0, 3.0), (2.0, 2.0, 5.0), (3.0, 2.0, 7.0)],
+        "x1 double, x2 double, y double",
+    )
+    r = ols_fit(df, "y", ["x1", "x2"]).collect()[0]
+    assert r.b0 is None and r.b_x1 is None and r.b_x2 is None
+
+
+def test_grid_density_clusters_two_blobs_and_noise(spark):
+    from moz_datapipeline_spark.operators.geometry import (
+        grid_density_clusters,
+    )
+
+    pts = (
+        # blob A: 6 points spanning two ADJACENT cells -> one cluster
+        [(i, 10.2 + 0.1 * i, 10.5) for i in range(3)]
+        + [(10 + i, 11.2 + 0.1 * i, 10.5) for i in range(3)]
+        # blob B: 3 points far away
+        + [(20 + i, 50.1 + 0.1 * i, -30.5) for i in range(3)]
+        # noise: isolated single points
+        + [(30, 120.5, 40.5), (31, -90.5, -60.5)]
+    )
+    df = spark.createDataFrame(pts, "id long, lon double, lat double")
+    out = {r.id: r.cluster for r in
+           grid_density_clusters(df, cell_deg=1.0, min_pts=3).collect()}
+    blob_a = {out[i] for i in (0, 1, 2, 10, 11, 12)}
+    blob_b = {out[i] for i in (20, 21, 22)}
+    assert len(blob_a) == 1 and None not in blob_a
+    assert len(blob_b) == 1 and None not in blob_b
+    assert blob_a != blob_b
+    assert out[30] is None and out[31] is None
+    with pytest.raises(ValueError):
+        grid_density_clusters(df, min_pts=0)
+    with pytest.raises(ValueError):
+        grid_density_clusters(df, cell_deg=-1.0)
+
+
+def test_grid_density_clusters_diagonal_cells_merge(spark):
+    """8-neighborhood: diagonally touching dense cells join."""
+    from moz_datapipeline_spark.operators.geometry import (
+        grid_density_clusters,
+    )
+
+    pts = (
+        [(i, 10.5, 10.5) for i in range(3)]
+        + [(10 + i, 11.5, 11.5) for i in range(3)]
+    )
+    df = spark.createDataFrame(pts, "id long, lon double, lat double")
+    out = {r.cluster for r in
+           grid_density_clusters(df, cell_deg=1.0, min_pts=3).collect()}
+    assert len(out) == 1
