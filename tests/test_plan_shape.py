@@ -672,3 +672,58 @@ def test_cramers_v_totals_broadcast(spark, sf_dir):
     plan = _plan(entry_mod.q_cramers_v_assoc(spark, sf_dir))
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_sequence_ngrams_one_window_then_partial_agg(spark, sf_dir):
+    """The only data-sized exchange is the user-hash window; the gram
+    rollup has a map-side partial aggregate and no global sort."""
+    plan = _plan(entry_mod.q_sequence_ngrams(spark, sf_dir))
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Window") >= 1
+
+
+def test_modularity_totals_broadcast_no_cartesian(spark, sf_dir):
+    """The 2m scalar rides a broadcast; no cartesian product, no
+    global window anywhere in the plan."""
+    plan = _plan(entry_mod.q_modularity(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_modularity_move_winner_is_group_limited(spark, sf_dir):
+    """Per-node winner selection keeps the WindowGroupLimit heap below
+    the exchange."""
+    plan = _plan(entry_mod.q_modularity_move(spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ols_fit_single_moment_aggregate(spark, sf_dir):
+    """One data-sized aggregate computes every moment (map-side
+    combined); the Cramer solve adds NO further exchange over data."""
+    import re
+
+    plan = _plan(entry_mod.q_ols_fit(spark, sf_dir))
+    assert "partial_sum" in plan
+    # exactly one shuffle: the moment aggregate's group exchange
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
+    assert "Window" not in plan
+
+
+def test_grid_knn_no_cartesian_group_limited(spark, sf_dir):
+    plan = _plan(entry_mod.q_grid_knn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "WindowGroupLimit" in plan
+
+
+def test_quantile_bin_assignment_adds_no_shuffle(spark, sf_dir):
+    """After the breakpoint pass, bin assignment is a scalar codegen
+    expression: the consuming rollup plan holds one aggregate
+    exchange and no join or window."""
+    import re
+
+    plan = _plan(entry_mod.q_quantile_bin(spark, sf_dir))
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
+    assert "Join" not in plan
+    assert "Window" not in plan
