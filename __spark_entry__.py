@@ -6890,6 +6890,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "modularity_move": q_modularity_move,
         "ols_fit": q_ols_fit,
         "grid_density": q_grid_density,
+        "ols_residuals": q_ols_residuals,
+        "km_median": q_km_median,
     }
 
 
@@ -14800,6 +14802,98 @@ FROM eaul_calc
         FROM pts2 LEFT JOIN comp ON pts2.cell = comp.cell
     """
 
+    sql["ols_residuals"] = """
+        WITH base AS (
+          SELECT l_returnflag,
+                 CAST(l_extendedprice AS DOUBLE) AS y,
+                 CAST(l_quantity AS DOUBLE) AS x1,
+                 CAST(l_discount AS DOUBLE) AS x2
+          FROM lineitem
+          WHERE l_extendedprice IS NOT NULL
+            AND l_quantity IS NOT NULL AND l_discount IS NOT NULL
+        ), m AS (
+          SELECT l_returnflag AS g,
+                 CAST(count(*) AS DOUBLE) AS n,
+                 sum(y) AS sy,
+                 sum(x1) AS s1, sum(x1 * y) AS s1y,
+                 sum(x1 * x1) AS s11, sum(x1 * x2) AS s12,
+                 sum(x2) AS s2, sum(x2 * y) AS s2y,
+                 sum(x2 * x2) AS s22
+          FROM base GROUP BY 1
+        ), solved AS (
+          SELECT g,
+                 round((sy * (s11 * s22 - s12 * s12)
+                        - s1 * (s1y * s22 - s12 * s2y)
+                        + s2 * (s1y * s12 - s11 * s2y))
+                       / (n * (s11 * s22 - s12 * s12)
+                          - s1 * (s1 * s22 - s12 * s2)
+                          + s2 * (s1 * s12 - s11 * s2)), 6) AS b0,
+                 round((n * (s1y * s22 - s12 * s2y)
+                        - sy * (s1 * s22 - s12 * s2)
+                        + s2 * (s1 * s2y - s1y * s2))
+                       / (n * (s11 * s22 - s12 * s12)
+                          - s1 * (s1 * s22 - s12 * s2)
+                          + s2 * (s1 * s12 - s11 * s2)), 6) AS b1,
+                 round((n * (s11 * s2y - s1y * s12)
+                        - s1 * (s1 * s2y - s1y * s2)
+                        + sy * (s1 * s12 - s11 * s2))
+                       / (n * (s11 * s22 - s12 * s12)
+                          - s1 * (s1 * s22 - s12 * s2)
+                          + s2 * (s1 * s12 - s11 * s2)), 6) AS b2
+          FROM m
+        ), scored AS (
+          SELECT b.l_returnflag,
+                 round(b.y - round(s.b0 + s.b1 * b.x1 + s.b2 * b.x2,
+                                   6), 6) AS residual
+          FROM base b JOIN solved s ON b.l_returnflag = s.g
+        )
+        SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+               round(avg(abs(residual)), 4) AS mae,
+               round(max(abs(residual)), 4) AS max_abs_residual
+        FROM scored GROUP BY 1
+    """
+
+    sql["km_median"] = """
+        WITH spans AS (
+          SELECT user_id,
+                 min(epoch_ns(ts) // 86400000000000) AS f,
+                 max(epoch_ns(ts) // 86400000000000) AS l
+          FROM events GROUP BY 1
+        ), edge AS (
+          SELECT max(epoch_ns(ts) // 86400000000000) AS e FROM events
+        ), subj AS (
+          SELECT CAST(l - f AS DOUBLE) AS t,
+                 CASE WHEN l < e - 3 THEN 1 ELSE 0 END AS ev
+          FROM spans CROSS JOIN edge
+        ), per AS (
+          SELECT t, CAST(sum(ev) AS BIGINT) AS d,
+                 CAST(count(*) - sum(ev) AS BIGINT) AS c
+          FROM subj GROUP BY 1
+        ), staged AS (
+          SELECT t, d, c,
+                 CAST(sum(d + c) OVER () -
+                      coalesce(sum(d + c) OVER (
+                        ORDER BY t ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS BIGINT) AS n
+          FROM per
+        ), km AS (
+          SELECT t,
+                 round(CASE WHEN max(CASE WHEN d = n THEN 1 ELSE 0 END)
+                              OVER (ORDER BY t ASC
+                                    ROWS UNBOUNDED PRECEDING) = 1
+                       THEN 0.0
+                       ELSE exp(sum(CASE WHEN d > 0 AND d < n
+                                 THEN ln(1.0 - CAST(d AS DOUBLE) / n)
+                                 ELSE 0.0 END)
+                                OVER (ORDER BY t ASC
+                                      ROWS UNBOUNDED PRECEDING))
+                       END, 6) AS survival
+          FROM staged
+        )
+        SELECT min(t) AS median_duration FROM km WHERE survival <= 0.5
+    """
+
     return sql
 
 
@@ -15000,3 +15094,54 @@ def q_grid_density(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("c_custkey") * 7 % 170) - 85 + 0.5).cast("double").alias("lat"),
     )
     return grid_density_clusters(pts, cell_deg=30.0, min_pts=3)
+
+
+def q_ols_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/serve round trip: fit per-flag OLS then score lineitem
+    with the PUBLISHED rounded coefficients
+    (operators/analytics.ols_predict — broadcast model join + codegen
+    dot product, no added shuffle) and profile the residuals per
+    group.  VALUE oracle: the ols_fit replay + identical rounded
+    scoring in DuckDB."""
+    from moz_datapipeline_spark.operators.analytics import ols_fit, ols_predict
+
+    li = _t(spark, sf_dir, "lineitem")
+    model = ols_fit(
+        li,
+        "l_extendedprice",
+        ["l_quantity", "l_discount"],
+        group_cols=["l_returnflag"],
+    )
+    scored = ols_predict(
+        li,
+        model,
+        ["l_quantity", "l_discount"],
+        y_col="l_extendedprice",
+        group_cols=["l_returnflag"],
+    )
+    return scored.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(F.abs(F.col("residual"))), 4).alias("mae"),
+        F.round(F.max(F.abs(F.col("residual"))), 4).alias("max_abs_residual"),
+    )
+
+
+def q_km_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median survival time over the q_kaplan_meier subjects
+    (operators/analytics.km_median): first duration where the
+    published KM curve is <= 0.5, NULL if never reached — one filter
+    + min fold on the rollup.  VALUE oracle: the KM replay + the same
+    min fold in DuckDB."""
+    from moz_datapipeline_spark.operators.analytics import km_median
+
+    e = _events(spark, sf_dir)
+    day = F.expr("ts div 86400000000000")
+    spans = e.groupBy("user_id").agg(
+        F.min(day).alias("_first"), F.max(day).alias("_last")
+    )
+    edge = e.agg(F.max(day).alias("_edge"))
+    subj = spans.crossJoin(F.broadcast(edge)).select(
+        (F.col("_last") - F.col("_first")).alias("duration"),
+        (F.col("_last") < F.col("_edge") - 3).cast("int").alias("event"),
+    )
+    return km_median(subj, "duration", "event")

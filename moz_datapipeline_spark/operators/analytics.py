@@ -3330,3 +3330,70 @@ def ols_fit(
         ],
         F.round(r2, 6).alias("r2"),
     )
+
+
+def ols_predict(
+    df: DataFrame,
+    model: DataFrame,
+    x_cols: list[str],
+    y_col: str | None = None,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Serving companion to ``ols_fit``: applies a fitted coefficient
+    frame back to rows — adds ``yhat`` (and ``residual`` when
+    ``y_col`` is given).  The train-once/apply-anywhere half of the
+    regression story (``quantile_bin`` publishes cut points the same
+    way): the model frame is GROUP-sized, so scoring is one broadcast
+    join + a codegen dot product — zero shuffles added to the
+    consuming plan beyond the broadcast.
+
+    Uses the model's published (rounded) coefficients — serving
+    replays exactly what ``ols_fit`` reported, keeping scores
+    engine-portable.  Rows from groups absent in the model (or with
+    NULL coefficients from a singular fit) get NULL ``yhat``.
+    """
+    gcols = list(group_cols or [])
+    coef_cols = ["b0"] + [f"b_{c}" for c in x_cols]
+    m = model.select(*gcols, *coef_cols)
+    if gcols:
+        scored = df.join(F.broadcast(m), gcols, "left")
+    else:
+        scored = df.crossJoin(F.broadcast(m))
+    yhat = F.col("b0")
+    for c in x_cols:
+        yhat = yhat + F.col(f"b_{c}") * F.col(c).cast("double")
+    out = scored.withColumn("yhat", F.round(yhat, 6)).drop(*coef_cols)
+    if y_col is not None:
+        out = out.withColumn(
+            "residual",
+            F.round(F.col(y_col).cast("double") - F.col("yhat"), 6),
+        )
+    return out
+
+
+def km_median(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Median survival time: ``(*group_cols, median_duration)`` — the
+    smallest duration where the Kaplan–Meier curve drops to ≤ 0.5,
+    NULL when the curve never reaches it (more than half the subjects
+    survive the observation window — the case where a mean is
+    undefined and ``rmst`` is the right effect size instead).
+
+    One filter + min fold over ``kaplan_meier``'s rollup (uses the
+    published rounded curve, so the readout composes exactly with it);
+    adds nothing data-sized.
+    """
+    gcols = list(group_cols or [])
+    km = kaplan_meier(df, duration_col, event_col, group_cols=gcols)
+    hits = km.filter(F.col("survival") <= 0.5)
+    if gcols:
+        base = km.select(*gcols).distinct()
+        med = hits.groupBy(*gcols).agg(
+            F.min("duration").alias("median_duration")
+        )
+        return base.join(med, gcols, "left")
+    return hits.agg(F.min("duration").alias("median_duration"))

@@ -768,3 +768,51 @@ def test_grid_density_clusters_diagonal_cells_merge(spark):
     out = {r.cluster for r in
            grid_density_clusters(df, cell_deg=1.0, min_pts=3).collect()}
     assert len(out) == 1
+
+
+def test_ols_predict_roundtrip_and_missing_group(spark):
+    from moz_datapipeline_spark.operators.analytics import ols_fit, ols_predict
+
+    rows = [("a", float(i), 1.0 + 2.0 * i) for i in range(6)] + [
+        ("b", float(i), 5.0 - 1.0 * i) for i in range(6)
+    ]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    model = ols_fit(df, "y", ["x"], group_cols=["g"])
+    scored = ols_predict(
+        df, model, ["x"], y_col="y", group_cols=["g"]
+    ).collect()
+    for r in scored:
+        assert r.residual == pytest.approx(0.0, abs=1e-5)
+    # a group absent from the model scores NULL, never garbage
+    extra = spark.createDataFrame([("c", 1.0, 1.0)], "g string, x double, y double")
+    out = ols_predict(extra, model, ["x"], y_col="y", group_cols=["g"]).collect()[0]
+    assert out.yhat is None and out.residual is None
+
+
+def test_km_median_hand_computed(spark):
+    """5 subjects, events at 1,2,3,4,5 (no censoring): S(3)=0.4 <= 0.5
+    -> median 3. All-censored curve never crosses -> NULL."""
+    from moz_datapipeline_spark.operators.analytics import km_median
+
+    df = spark.createDataFrame(
+        [(float(t), 1) for t in (1, 2, 3, 4, 5)],
+        "duration double, event int",
+    )
+    assert km_median(df, "duration", "event").collect()[0].median_duration == 3.0
+    cens = spark.createDataFrame(
+        [(float(t), 0) for t in (1, 2, 3)], "duration double, event int"
+    )
+    assert km_median(cens, "duration", "event").collect()[0].median_duration is None
+
+
+def test_km_median_grouped_keeps_uncrossed_groups(spark):
+    from moz_datapipeline_spark.operators.analytics import km_median
+
+    rows = [("fast", float(t), 1) for t in (1, 1, 2, 2)] + [
+        ("slow", float(t), 0) for t in (9, 9, 9, 9)
+    ]
+    df = spark.createDataFrame(rows, "g string, duration double, event int")
+    out = {r.g: r.median_duration
+           for r in km_median(df, "duration", "event", group_cols=["g"]).collect()}
+    assert out["fast"] == 1.0  # S(1) = 0.5 exactly -> first <= 0.5
+    assert out["slow"] is None
