@@ -6892,6 +6892,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grid_density": q_grid_density,
         "ols_residuals": q_ols_residuals,
         "km_median": q_km_median,
+        "interval_overlap": q_interval_overlap,
+        "touch_attribution": q_touch_attribution,
     }
 
 
@@ -14894,6 +14896,63 @@ FROM eaul_calc
         SELECT min(t) AS median_duration FROM km WHERE survival <= 0.5
     """
 
+    sql["interval_overlap"] = """
+        WITH spans AS (
+          SELECT user_id AS id,
+                 CAST(min(epoch_ns(ts) // 86400000000000) AS DOUBLE)
+                   AS s,
+                 CAST(max(epoch_ns(ts) // 86400000000000) AS DOUBLE)
+                   AS e
+          FROM events GROUP BY 1
+        ), weeks AS (
+          SELECT DISTINCT
+                 (epoch_ns(ts) // 86400000000000) // 7 AS wk
+          FROM events
+        )
+        SELECT CAST(wk * 7 AS BIGINT) AS week_start,
+               CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(least(e, wk * 7 + 6) - greatest(s, wk * 7) + 1)
+                    AS BIGINT) AS total_overlap_days
+        FROM spans JOIN weeks
+          ON s <= wk * 7 + 6 AND wk * 7 <= e
+        GROUP BY 1
+    """
+
+    sql["touch_attribution"] = """
+        WITH base AS (
+          SELECT user_id AS u, epoch_ns(ts) AS ts, event_id AS tb,
+                 event_type AS t,
+                 CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                   AS isc
+          FROM events
+        ), staged AS (
+          SELECT *,
+                 coalesce(sum(isc) OVER (
+                   PARTITION BY u ORDER BY ts ASC, tb ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0) AS gid
+          FROM base
+        ), ctot AS (
+          SELECT CAST(count(*) AS BIGINT) AS nc FROM staged
+          WHERE isc = 1
+        ), touches AS (
+          SELECT * FROM staged s
+          WHERE isc = 0 AND EXISTS (
+            SELECT 1 FROM staged c
+            WHERE c.isc = 1 AND c.u = s.u AND c.gid = s.gid
+          )
+        ), weighted AS (
+          SELECT t,
+                 1.0 / count(*) OVER (PARTITION BY u, gid) AS credit
+          FROM touches
+        )
+        SELECT t AS event_type,
+               round(sum(credit), 6) AS credit,
+               CAST(count(*) AS BIGINT) AS n_touches,
+               (SELECT nc FROM ctot) AS n_conversions
+        FROM weighted GROUP BY t
+    """
+
     return sql
 
 
@@ -15145,3 +15204,52 @@ def q_km_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("_last") < F.col("_edge") - 3).cast("int").alias("event"),
     )
     return km_median(subj, "duration", "event")
+
+
+def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval×interval overlap join (operators/ranges.
+    interval_overlap_join): per-user activity spans vs calendar-week
+    windows, paired through a 7-day bucket grid (first-shared-bucket
+    identity — one emit per pair, no distinct pass), rolled up to
+    users + overlap days per week.  VALUE oracle: a plain overlap
+    join in DuckDB (same RESULT, simpler mechanism)."""
+    from moz_datapipeline_spark.operators.ranges import interval_overlap_join
+
+    e = _events(spark, sf_dir)
+    day = F.expr("ts div 86400000000000")
+    spans = e.groupBy(F.col("user_id").alias("id")).agg(
+        F.min(day).alias("start"), F.max(day).alias("end")
+    )
+    weeks = (
+        e.select((day / 7).cast("long").alias("id")).distinct()
+        .select(
+            "id",
+            (F.col("id") * 7).cast("double").alias("start"),
+            (F.col("id") * 7 + 6).cast("double").alias("end"),
+        )
+    )
+    pairs = interval_overlap_join(spans, weeks, bucket_width=7.0)
+    return pairs.groupBy(F.col("right_id").alias("week")).agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.col("overlap") + 1).cast("long").alias("total_overlap_days"),
+    ).select(
+        (F.col("week") * 7).alias("week_start"),
+        "n_users",
+        "total_overlap_days",
+    )
+
+
+def q_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution of purchase conversions over
+    per-user event sequences (operators/analytics.touch_attribution):
+    running-count windows assign touches to conversion windows, a
+    window-granular semi join keeps converted windows, per-window
+    equal split, touch-type-sized credit fold.  VALUE oracle:
+    identical windows + IN-subquery semi join in DuckDB."""
+    from moz_datapipeline_spark.operators.analytics import touch_attribution
+
+    e = _events(spark, sf_dir)
+    return touch_attribution(
+        e, conversion_type="purchase", model="linear",
+        tiebreak_col="event_id",
+    )

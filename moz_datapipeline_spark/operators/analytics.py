@@ -3397,3 +3397,94 @@ def km_median(
         )
         return base.join(med, gcols, "left")
     return hits.agg(F.min("duration").alias("median_duration"))
+
+
+def touch_attribution(
+    events: DataFrame,
+    conversion_type: str,
+    model: str = "linear",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Batch multi-touch attribution: ``(event_type, credit,
+    n_touches, n_conversions)`` — distributes each conversion's one
+    unit of credit over the user's touch events since their PREVIOUS
+    conversion, summed per touch type.  The marketing-analytics
+    staple the streaming joiner (``stream_stream_attribution``) only
+    answers pairwise: linear (equal split), ``first`` (all credit to
+    the earliest touch), ``last`` (all to the latest).
+
+    Windows order by (ts, tiebreak) within each user — pass an id
+    column when timestamps can tie.  A conversion with NO preceding
+    touches in its window contributes no credit (it still counts in
+    ``n_conversions``); touches after a user's last conversion are
+    unattributed.  The conversion event itself is never a touch.
+
+    Plan shape: ONE user-partitioned running-count window assigns
+    every touch to its conversion window (strictly-before conversion
+    count = the window's 0-based id, data-sized exchange #1), a
+    (user, window)-keyed join keeps only converted windows
+    (exchange #2, window-granular), per-window weights come from a
+    (user, window)-partitioned count/rank, and the final credit fold
+    is touch-type-sized.  No global window, no driver loop.
+    """
+    if model not in ("linear", "first", "last"):
+        raise ValueError(
+            "touch_attribution: model must be linear | first | last"
+        )
+    tb = F.col(tiebreak_col) if tiebreak_col else F.col(type_col)
+    base = events.select(
+        F.col(user_col).alias("_u"),
+        F.col(ts_col).alias("_ts"),
+        tb.alias("_tb"),
+        F.col(type_col).alias("_t"),
+        (F.col(type_col) == conversion_type).cast("int").alias("_isc"),
+    )
+    w = Window.partitionBy("_u").orderBy(
+        F.col("_ts").asc(), F.col("_tb").asc()
+    )
+    strict_before = F.coalesce(
+        F.sum("_isc").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    staged = base.withColumn("_gid", strict_before)
+    convs = staged.filter(F.col("_isc") == 1).select(
+        "_u", F.col("_gid").alias("_cid")
+    )
+    conv_total = convs.agg(
+        F.count(F.lit(1)).alias("n_conversions")
+    )
+    touches = staged.filter(F.col("_isc") == 0).join(
+        convs,
+        (staged["_u"] == convs["_u"]) & (F.col("_gid") == F.col("_cid")),
+        "left_semi",
+    )
+    gw = Window.partitionBy("_u", "_gid")
+    gord = gw.orderBy(F.col("_ts").asc(), F.col("_tb").asc())
+    n_in_group = F.count(F.lit(1)).over(gw)
+    if model == "linear":
+        credit = F.lit(1.0) / n_in_group.cast("double")
+    elif model == "first":
+        credit = F.when(
+            F.row_number().over(gord) == 1, F.lit(1.0)
+        ).otherwise(F.lit(0.0))
+    else:
+        credit = F.when(
+            F.row_number().over(
+                gw.orderBy(F.col("_ts").desc(), F.col("_tb").desc())
+            )
+            == 1,
+            F.lit(1.0),
+        ).otherwise(F.lit(0.0))
+    out = (
+        touches.withColumn("_credit", credit)
+        .groupBy(F.col("_t").alias("event_type"))
+        .agg(
+            F.round(F.sum("_credit"), 6).alias("credit"),
+            F.count(F.lit(1)).alias("n_touches"),
+        )
+        .crossJoin(F.broadcast(conv_total))
+    )
+    return out

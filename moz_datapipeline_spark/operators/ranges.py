@@ -901,3 +901,98 @@ def exact_quantiles_grouped(
                 bl.append((1.0 - frac) * v_lo + frac * v_hi)
         out[g] = bl
     return out
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    bucket_width: float,
+    left_id: str = "id",
+    right_id: str = "id",
+    start_col: str = "start",
+    end_col: str = "end",
+) -> DataFrame:
+    """Interval×interval overlap join: ``(left_id, right_id,
+    overlap_start, overlap_end, overlap)`` for every pair with
+    ``l.start <= r.end AND r.start <= l.end`` — the two-sided
+    generalization of ``bucketed_range_join`` (point-in-interval):
+    log-span vs maintenance-window overlap, session vs campaign
+    windows, coverage reconciliation.
+
+    Never a cross join: each interval explodes into its
+    ``floor(start/w)..floor(end/w)`` bucket run (``F.sequence`` —
+    span-bounded, pick ``bucket_width`` near the typical interval
+    length so the fan-out is O(1)) and pairs meet through ONE bucket
+    equi join.  A pair sharing several buckets is emitted exactly
+    once WITHOUT a distinct pass: only the first shared bucket —
+    ``max(floor(l.start/w), floor(r.start/w))`` — reports it (the
+    standard dedup-free grid-join identity; both interval starts are
+    known on the joined row, so the filter is a scalar predicate).
+
+    Intervals must have ``start <= end`` (raise upstream); NULL
+    bounds are dropped.  At 100 TB: the only exchange is the bucket
+    hash join; skewed hot buckets split under AQE, and the bucket
+    run per row is (span/width)+1 — surfaced via the loud
+    ``max_buckets_per_row`` guard (default 1024) so a degenerate
+    width fails fast instead of exploding quietly.
+    """
+    if bucket_width <= 0:
+        raise ValueError("interval_overlap_join: bucket_width must be > 0")
+    w = float(bucket_width)
+    max_buckets = 1024
+
+    def prep(df: DataFrame, idc: str, tag: str) -> DataFrame:
+        s = F.col(start_col).cast("double")
+        e = F.col(end_col).cast("double")
+        lo = F.floor(s / w).cast("long")
+        hi = F.floor(e / w).cast("long")
+        base = df.filter(s.isNotNull() & e.isNotNull()).select(
+            F.col(idc).alias(f"{tag}_id"),
+            s.alias(f"{tag}_start"),
+            e.alias(f"{tag}_end"),
+            lo.alias(f"{tag}_lo"),
+            hi.alias(f"{tag}_hi"),
+        )
+        # loud, not silent, and WITHOUT an extra eager pass: a
+        # row-level raise fires at execution if any interval spans
+        # >= max_buckets buckets (degenerate width for this data)
+        checked = base.withColumn(
+            f"{tag}_hi",
+            F.when(
+                F.col(f"{tag}_hi") - F.col(f"{tag}_lo")
+                < F.lit(max_buckets),
+                F.col(f"{tag}_hi"),
+            ).otherwise(
+                F.raise_error(
+                    F.lit(
+                        "interval_overlap_join: an interval spans >= "
+                        f"{max_buckets} buckets; raise bucket_width"
+                    )
+                ).cast("long")
+            ),
+        )
+        return checked.withColumn(
+            "_bucket",
+            F.explode(F.sequence(F.col(f"{tag}_lo"), F.col(f"{tag}_hi"))),
+        )
+
+    lt = prep(left, left_id, "l")
+    rt = prep(right, right_id, "r")
+    joined = lt.join(rt, "_bucket").filter(
+        (F.col("l_start") <= F.col("r_end"))
+        & (F.col("r_start") <= F.col("l_end"))
+        & (
+            F.col("_bucket")
+            == F.greatest(F.col("l_lo"), F.col("r_lo"))
+        )
+    )
+    return joined.select(
+        F.col("l_id").alias("left_id"),
+        F.col("r_id").alias("right_id"),
+        F.greatest("l_start", "r_start").alias("overlap_start"),
+        F.least("l_end", "r_end").alias("overlap_end"),
+        (
+            F.least("l_end", "r_end")
+            - F.greatest("l_start", "r_start")
+        ).alias("overlap"),
+    )

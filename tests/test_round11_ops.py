@@ -816,3 +816,102 @@ def test_km_median_grouped_keeps_uncrossed_groups(spark):
            for r in km_median(df, "duration", "event", group_cols=["g"]).collect()}
     assert out["fast"] == 1.0  # S(1) = 0.5 exactly -> first <= 0.5
     assert out["slow"] is None
+
+
+def test_interval_overlap_join_matches_brute_force(spark):
+    from moz_datapipeline_spark.operators.ranges import interval_overlap_join
+
+    left = spark.createDataFrame(
+        [(1, 0.0, 10.0), (2, 5.0, 6.0), (3, 20.0, 25.0)],
+        "id long, start double, end double",
+    )
+    right = spark.createDataFrame(
+        [(100, 8.0, 22.0), (200, 11.0, 19.0), (300, 4.0, 5.0)],
+        "id long, start double, end double",
+    )
+    out = {
+        (r.left_id, r.right_id): (r.overlap_start, r.overlap_end, r.overlap)
+        for r in interval_overlap_join(left, right, bucket_width=5.0).collect()
+    }
+    # brute force: (1,100): [8,10]; (1,300): [4,5]; (2,300): [5,5];
+    # (3,100): [20,22]; (3,200) disjoint; (2,100) disjoint
+    assert out == {
+        (1, 100): (8.0, 10.0, 2.0),
+        (1, 300): (4.0, 5.0, 1.0),
+        (2, 300): (5.0, 5.0, 0.0),
+        (3, 100): (20.0, 22.0, 2.0),
+    }
+    with pytest.raises(ValueError):
+        interval_overlap_join(left, right, bucket_width=0.0)
+
+
+def test_interval_overlap_join_multi_bucket_pair_emitted_once(spark):
+    """A pair sharing many buckets appears exactly once (first-shared-
+    bucket identity), and an over-wide interval fails loudly."""
+    from moz_datapipeline_spark.operators.ranges import interval_overlap_join
+
+    left = spark.createDataFrame(
+        [(1, 0.0, 99.0)], "id long, start double, end double"
+    )
+    right = spark.createDataFrame(
+        [(9, 50.0, 60.0)], "id long, start double, end double"
+    )
+    rows = interval_overlap_join(left, right, bucket_width=10.0).collect()
+    assert len(rows) == 1
+    assert rows[0].overlap == 10.0
+    wide = spark.createDataFrame(
+        [(1, 0.0, 1e9)], "id long, start double, end double"
+    )
+    import pyspark.errors
+
+    with pytest.raises(Exception, match="spans"):
+        interval_overlap_join(wide, right, bucket_width=0.5).collect()
+
+
+def test_touch_attribution_models_hand_computed(spark):
+    """User 1: view, click, BUY, view, BUY; user 2: view (never
+    converts). Linear: window 1 = {view, click} 0.5 each; window 2 =
+    {view} 1.0. First: view 1 + view 1 ... verify all three models."""
+    from moz_datapipeline_spark.operators.analytics import touch_attribution
+
+    rows = [
+        (1, 1, "view"), (1, 2, "click"), (1, 3, "buy"),
+        (1, 4, "view"), (1, 5, "buy"),
+        (2, 1, "view"),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts long, event_type string")
+    lin = {r.event_type: r for r in
+           touch_attribution(df, "buy", model="linear",
+                             tiebreak_col="ts").collect()}
+    assert lin["view"].credit == pytest.approx(1.5)
+    assert lin["click"].credit == pytest.approx(0.5)
+    assert lin["view"].n_conversions == 2
+    # user 2's unconverted view earns nothing and isn't counted
+    assert lin["view"].n_touches == 2
+    first = {r.event_type: r.credit for r in
+             touch_attribution(df, "buy", model="first",
+                               tiebreak_col="ts").collect()}
+    assert first == {"view": 2.0, "click": 0.0}
+    last = {r.event_type: r.credit for r in
+            touch_attribution(df, "buy", model="last",
+                              tiebreak_col="ts").collect()}
+    assert last == {"view": 1.0, "click": 1.0}
+    with pytest.raises(ValueError):
+        touch_attribution(df, "buy", model="u_shaped")
+
+
+def test_touch_attribution_conversion_without_touches(spark):
+    """A conversion preceded by nothing credits no one but still
+    counts in n_conversions."""
+    from moz_datapipeline_spark.operators.analytics import touch_attribution
+
+    df = spark.createDataFrame(
+        [(1, 1, "buy"), (1, 2, "view"), (1, 3, "buy")],
+        "user_id int, ts long, event_type string",
+    )
+    out = touch_attribution(df, "buy", model="linear",
+                            tiebreak_col="ts").collect()
+    assert len(out) == 1
+    assert out[0].event_type == "view"
+    assert out[0].credit == pytest.approx(1.0)
+    assert out[0].n_conversions == 2
