@@ -6894,6 +6894,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "km_median": q_km_median,
         "interval_overlap": q_interval_overlap,
         "touch_attribution": q_touch_attribution,
+        "collapse_rare": q_collapse_rare,
+        "quantile_bin_grouped": q_quantile_bin_grouped,
+        "touch_decay": q_touch_decay,
     }
 
 
@@ -14953,6 +14956,82 @@ FROM eaul_calc
         FROM weighted GROUP BY t
     """
 
+    sql["collapse_rare"] = """
+        WITH keep AS (
+          SELECT source AS cat FROM documents
+          WHERE source IS NOT NULL
+          GROUP BY 1 HAVING count(*) >= 40
+        )
+        SELECT CASE WHEN d.source IS NULL THEN NULL
+                    WHEN k.cat IS NOT NULL THEN d.source
+                    ELSE '__other__' END AS source_c,
+               CAST(count(*) AS BIGINT) AS n
+        FROM documents d LEFT JOIN keep k ON d.source = k.cat
+        GROUP BY 1
+    """
+
+    sql["quantile_bin_grouped"] = """
+        WITH b AS (
+          SELECT l_returnflag AS g,
+                 list_distinct(
+                   quantile_cont(CAST(l_quantity AS DOUBLE),
+                                 [0.25, 0.5, 0.75])
+                 ) AS qs
+          FROM lineitem
+          WHERE l_quantity IS NOT NULL
+          GROUP BY 1
+        ), binned AS (
+          SELECT l_returnflag,
+                 CAST(len(list_filter(b.qs,
+                   q -> CAST(l_quantity AS DOUBLE) > q))
+                 AS INTEGER) AS bin,
+                 CAST(l_quantity AS DOUBLE) AS v
+          FROM lineitem JOIN b ON l_returnflag = b.g
+          WHERE l_quantity IS NOT NULL
+        )
+        SELECT l_returnflag, bin, CAST(count(*) AS BIGINT) AS n,
+               round(min(v), 2) AS min_v,
+               round(max(v), 2) AS max_v
+        FROM binned GROUP BY 1, 2
+    """
+
+    sql["touch_decay"] = """
+        WITH base AS (
+          SELECT user_id AS u, epoch_ns(ts) AS ts, event_id AS tb,
+                 event_type AS t,
+                 CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                   AS isc
+          FROM events
+        ), staged AS (
+          SELECT *,
+                 coalesce(sum(isc) OVER (
+                   PARTITION BY u ORDER BY ts ASC, tb ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0) AS gid
+          FROM base
+        ), ctot AS (
+          SELECT CAST(count(*) AS BIGINT) AS nc FROM staged
+          WHERE isc = 1
+        ), touches AS (
+          SELECT s.u, s.ts, s.t, s.gid, c.ts AS cts
+          FROM staged s JOIN staged c
+            ON s.u = c.u AND s.gid = c.gid AND c.isc = 1
+          WHERE s.isc = 0
+        ), weighted AS (
+          SELECT t,
+                 pow(0.5, CAST(cts - ts AS DOUBLE) / 86400000000000.0)
+                 / sum(pow(0.5,
+                       CAST(cts - ts AS DOUBLE) / 86400000000000.0))
+                   OVER (PARTITION BY u, gid) AS credit
+          FROM touches
+        )
+        SELECT t AS event_type,
+               round(sum(credit), 6) AS credit,
+               CAST(count(*) AS BIGINT) AS n_touches,
+               (SELECT nc FROM ctot) AS n_conversions
+        FROM weighted GROUP BY t
+    """
+
     return sql
 
 
@@ -15252,4 +15331,54 @@ def q_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return touch_attribution(
         e, conversion_type="purchase", model="linear",
         tiebreak_col="event_id",
+    )
+
+
+def q_collapse_rare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rare-label collapse of the documents source column (operators/
+    features.collapse_rare): category rollup → broadcast keep-list →
+    codegen recode, profiled as collapsed-category counts.  VALUE
+    oracle: identical threshold + recode in DuckDB."""
+    from moz_datapipeline_spark.operators.features import collapse_rare
+
+    d = _t(spark, sf_dir, "documents")
+    out = collapse_rare(d, "source", min_count=40, out_col="source_c")
+    return out.groupBy("source_c").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_quantile_bin_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group equal-frequency binning: l_quantity quartiles WITHIN
+    each return flag (operators/features.quantile_bin_grouped — the
+    grouped histogram-pass breakpoints, broadcast cut lists, HOF
+    assignment), profiled per (flag, bin).  VALUE oracle: per-group
+    quantile_cont + list_filter in DuckDB."""
+    from moz_datapipeline_spark.operators.features import (
+        quantile_bin_grouped,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    binned = quantile_bin_grouped(li, "l_returnflag", "l_quantity", k=4)
+    v = F.col("l_quantity").cast("double")
+    return binned.groupBy("l_returnflag", "bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min(v), 2).alias("min_v"),
+        F.round(F.max(v), 2).alias("max_v"),
+    )
+
+
+def q_touch_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay multi-touch attribution (1-day half-life in event
+    nanoseconds): recent touches earn exponentially more of each
+    conversion's credit (operators/analytics.touch_attribution,
+    model=time_decay).  VALUE oracle: identical windows + decay
+    normalization in DuckDB."""
+    from moz_datapipeline_spark.operators.analytics import touch_attribution
+
+    e = _events(spark, sf_dir)
+    return touch_attribution(
+        e,
+        conversion_type="purchase",
+        model="time_decay",
+        tiebreak_col="event_id",
+        half_life=86400000000000.0,
     )

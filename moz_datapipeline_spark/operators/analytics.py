@@ -3407,6 +3407,7 @@ def touch_attribution(
     ts_col: str = "ts",
     type_col: str = "event_type",
     tiebreak_col: str | None = None,
+    half_life: float | None = None,
 ) -> DataFrame:
     """Batch multi-touch attribution: ``(event_type, credit,
     n_touches, n_conversions)`` — distributes each conversion's one
@@ -3414,7 +3415,10 @@ def touch_attribution(
     conversion, summed per touch type.  The marketing-analytics
     staple the streaming joiner (``stream_stream_attribution``) only
     answers pairwise: linear (equal split), ``first`` (all credit to
-    the earliest touch), ``last`` (all to the latest).
+    the earliest touch), ``last`` (all to the latest), ``time_decay``
+    (credit ∝ 0.5^(Δt/half_life), Δt the touch→conversion age in
+    ``ts_col`` units, normalized within the window — recent touches
+    dominate with an explicit, auditable half-life).
 
     Windows order by (ts, tiebreak) within each user — pass an id
     column when timestamps can tie.  A conversion with NO preceding
@@ -3430,9 +3434,14 @@ def touch_attribution(
     (user, window)-partitioned count/rank, and the final credit fold
     is touch-type-sized.  No global window, no driver loop.
     """
-    if model not in ("linear", "first", "last"):
+    if model not in ("linear", "first", "last", "time_decay"):
         raise ValueError(
-            "touch_attribution: model must be linear | first | last"
+            "touch_attribution: model must be "
+            "linear | first | last | time_decay"
+        )
+    if model == "time_decay" and (half_life is None or half_life <= 0):
+        raise ValueError(
+            "touch_attribution: time_decay needs half_life > 0"
         )
     tb = F.col(tiebreak_col) if tiebreak_col else F.col(type_col)
     base = events.select(
@@ -3451,21 +3460,33 @@ def touch_attribution(
     )
     staged = base.withColumn("_gid", strict_before)
     convs = staged.filter(F.col("_isc") == 1).select(
-        "_u", F.col("_gid").alias("_cid")
+        F.col("_u").alias("_cu"),
+        F.col("_gid").alias("_cid"),
+        F.col("_ts").alias("_cts"),
     )
     conv_total = convs.agg(
         F.count(F.lit(1)).alias("n_conversions")
     )
+    # each touch window matches exactly one conversion (window ids are
+    # the strictly-before conversion count), so an inner join is the
+    # semi join PLUS the conversion timestamp time_decay needs
     touches = staged.filter(F.col("_isc") == 0).join(
         convs,
-        (staged["_u"] == convs["_u"]) & (F.col("_gid") == F.col("_cid")),
-        "left_semi",
+        (staged["_u"] == F.col("_cu")) & (F.col("_gid") == F.col("_cid")),
+        "inner",
     )
     gw = Window.partitionBy("_u", "_gid")
     gord = gw.orderBy(F.col("_ts").asc(), F.col("_tb").asc())
     n_in_group = F.count(F.lit(1)).over(gw)
     if model == "linear":
         credit = F.lit(1.0) / n_in_group.cast("double")
+    elif model == "time_decay":
+        w_decay = F.pow(
+            F.lit(0.5),
+            (F.col("_cts") - F.col("_ts")).cast("double")
+            / F.lit(float(half_life or 1.0)),
+        )
+        credit = w_decay / F.sum(w_decay).over(gw)
     elif model == "first":
         credit = F.when(
             F.row_number().over(gord) == 1, F.lit(1.0)

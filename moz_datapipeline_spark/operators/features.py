@@ -172,3 +172,116 @@ def quantile_bin(
         bin_col,
         F.when(v.isNotNull() & ~F.isnan(v), expr).cast("int"),
     )
+
+
+def quantile_bin_grouped(
+    df: DataFrame,
+    group_col: str,
+    column: str,
+    k: int = 8,
+    bin_col: str = "bin",
+) -> DataFrame:
+    """Per-group equal-frequency discretization: like ``quantile_bin``
+    but with breakpoints computed WITHIN each ``group_col`` value —
+    per-language length buckets, per-cohort spend deciles — so bin 3
+    means the same relative position in every group.
+
+    Breakpoints ride ``ranges.exact_quantiles_grouped`` (the same
+    bounded histogram passes, per-group cells); assignment joins the
+    ≤ |groups|·(k−1) breakpoint rows back BROADCAST and folds
+    ``Σ[v > bᵢ]`` over the group's own distinct cut list — one
+    codegen HOF, no window, no per-group shuffle.  Low-cardinality
+    groupings only (the ``max_groups`` contract of the quantile
+    kernel — it raises beyond that rather than degrade).  NULL/NaN
+    values get a NULL bin.
+    """
+    from moz_datapipeline_spark.operators.ranges import (
+        exact_quantiles_grouped,
+    )
+
+    if k < 2:
+        raise ValueError("quantile_bin_grouped: k must be >= 2")
+    probs = [i / k for i in range(1, k)]
+    per_group = exact_quantiles_grouped(df, group_col, column, probs)
+    if per_group is None:
+        raise ValueError(
+            "quantile_bin_grouped: grouping too wide or input empty "
+            "(exact_quantiles_grouped declined)"
+        )
+    spark = df.sparkSession
+    rows = [
+        (g, sorted(set(bl)))
+        for g, bl in per_group.items()
+        if bl is not None
+    ]
+    gtype = df.schema[group_col].dataType
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        StructField,
+        StructType,
+    )
+
+    cuts = spark.createDataFrame(
+        rows,
+        StructType(
+            [
+                StructField("_g", gtype),
+                StructField("_cuts", ArrayType(DoubleType())),
+            ]
+        ),
+    )
+    v = F.col(column).cast("double")
+    joined = df.join(
+        F.broadcast(cuts), df[group_col] == cuts["_g"], "left"
+    ).drop("_g")
+    nbin = F.size(
+        F.filter("_cuts", lambda b: v > b)
+    )
+    return joined.withColumn(
+        bin_col,
+        F.when(
+            v.isNotNull() & ~F.isnan(v) & F.col("_cuts").isNotNull(),
+            nbin,
+        ).cast("int"),
+    ).drop("_cuts")
+
+
+def collapse_rare(
+    df: DataFrame,
+    category_col: str,
+    min_count: int = 10,
+    other_label: str = "__other__",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Rare-label collapse: categories of ``category_col`` seen fewer
+    than ``min_count`` times become ``other_label`` — the standard
+    pre-encoding guard (target/one-hot/hashing encoders explode on
+    million-label tails; serving hits labels training never saw).
+    Writes to ``out_col`` (default: in place).
+
+    Plan: one category-sized rollup, broadcast back as a keep-list
+    semi structure (left join + conditional) — the data-sized pass is
+    a broadcast join plus a codegen conditional, no shuffle of the
+    input.  NULL categories stay NULL (they are their own signal, not
+    a rare label).
+    """
+    if min_count < 1:
+        raise ValueError("collapse_rare: min_count must be >= 1")
+    out = out_col or category_col
+    keep = (
+        df.filter(F.col(category_col).isNotNull())
+        .groupBy(F.col(category_col).alias("_cat"))
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .filter(F.col("_cnt") >= min_count)
+        .select("_cat")
+    )
+    joined = df.join(
+        F.broadcast(keep), df[category_col] == keep["_cat"], "left"
+    )
+    return joined.withColumn(
+        out,
+        F.when(F.col(category_col).isNull(), F.lit(None).cast("string"))
+        .when(F.col("_cat").isNotNull(), F.col(category_col))
+        .otherwise(F.lit(other_label)),
+    ).drop("_cat")

@@ -915,3 +915,55 @@ def test_touch_attribution_conversion_without_touches(spark):
     assert out[0].event_type == "view"
     assert out[0].credit == pytest.approx(1.0)
     assert out[0].n_conversions == 2
+
+
+def test_collapse_rare_thresholds_and_nulls(spark):
+    from moz_datapipeline_spark.operators.features import collapse_rare
+
+    rows = [("a",)] * 5 + [("b",)] * 2 + [("c",)] * 1 + [(None,)]
+    df = spark.createDataFrame(rows, "cat string")
+    out = collapse_rare(df, "cat", min_count=3, out_col="cat2")
+    got = {(r.cat, r.cat2) for r in out.collect()}
+    assert ("a", "a") in got
+    assert ("b", "__other__") in got
+    assert ("c", "__other__") in got
+    assert (None, None) in got  # NULL stays NULL, not a rare label
+    with pytest.raises(ValueError):
+        collapse_rare(df, "cat", min_count=0)
+
+
+def test_quantile_bin_grouped_per_group_cuts(spark):
+    """Two groups with disjoint ranges: each gets its OWN quartile
+    cuts, so bin 0 means 'low for this group'."""
+    from moz_datapipeline_spark.operators.features import quantile_bin_grouped
+
+    rows = [("a", float(i)) for i in range(100)] + [
+        ("b", float(1000 + i)) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = quantile_bin_grouped(df, "g", "v", k=4)
+    counts = {
+        (r.g, r.bin): r.n
+        for r in out.groupBy("g", "bin").agg(F.count("*").alias("n")).collect()
+    }
+    for g in ("a", "b"):
+        for b in range(4):
+            assert counts[(g, b)] == 25, (g, b, counts)
+    with pytest.raises(ValueError):
+        quantile_bin_grouped(df, "g", "v", k=1)
+
+
+def test_touch_attribution_time_decay(spark):
+    """One conversion at t=10 with touches at t=8 and t=9 and a 1-unit
+    half-life: weights 0.25 and 0.5 -> credits 1/3 and 2/3."""
+    from moz_datapipeline_spark.operators.analytics import touch_attribution
+
+    rows = [(1, 8, "view"), (1, 9, "click"), (1, 10, "buy")]
+    df = spark.createDataFrame(rows, "user_id int, ts long, event_type string")
+    out = {r.event_type: r.credit for r in
+           touch_attribution(df, "buy", model="time_decay",
+                             tiebreak_col="ts", half_life=1.0).collect()}
+    assert out["view"] == pytest.approx(1 / 3, abs=1e-6)
+    assert out["click"] == pytest.approx(2 / 3, abs=1e-6)
+    with pytest.raises(ValueError):
+        touch_attribution(df, "buy", model="time_decay")  # no half_life
