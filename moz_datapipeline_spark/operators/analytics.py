@@ -3415,7 +3415,8 @@ def touch_attribution(
     conversion, summed per touch type.  The marketing-analytics
     staple the streaming joiner (``stream_stream_attribution``) only
     answers pairwise: linear (equal split), ``first`` (all credit to
-    the earliest touch), ``last`` (all to the latest), ``time_decay``
+    the earliest touch), ``last`` (all to the latest), ``u_shaped``
+    (position-based 40/20/40), ``time_decay``
     (credit ∝ 0.5^(Δt/half_life), Δt the touch→conversion age in
     ``ts_col`` units, normalized within the window — recent touches
     dominate with an explicit, auditable half-life).
@@ -3434,10 +3435,10 @@ def touch_attribution(
     (user, window)-partitioned count/rank, and the final credit fold
     is touch-type-sized.  No global window, no driver loop.
     """
-    if model not in ("linear", "first", "last", "time_decay"):
+    if model not in ("linear", "first", "last", "time_decay", "u_shaped"):
         raise ValueError(
             "touch_attribution: model must be "
-            "linear | first | last | time_decay"
+            "linear | first | last | time_decay | u_shaped"
         )
     if model == "time_decay" and (half_life is None or half_life <= 0):
         raise ValueError(
@@ -3487,6 +3488,20 @@ def touch_attribution(
             / F.lit(float(half_life or 1.0)),
         )
         credit = w_decay / F.sum(w_decay).over(gw)
+    elif model == "u_shaped":
+        # position-based 40/20/40: first and last anchor 0.4 each,
+        # middles split the remaining 0.2; n=1 -> 1.0, n=2 -> 0.5/0.5
+        rk = F.row_number().over(gord)
+        is_first = rk == 1
+        is_last = rk == n_in_group
+        credit = (
+            F.when(n_in_group == 1, F.lit(1.0))
+            .when(n_in_group == 2, F.lit(0.5))
+            .when(is_first | is_last, F.lit(0.4))
+            .otherwise(
+                F.lit(0.2) / (n_in_group - 2).cast("double")
+            )
+        )
     elif model == "first":
         credit = F.when(
             F.row_number().over(gord) == 1, F.lit(1.0)

@@ -197,6 +197,77 @@ def round11b_ops_scale_check(spark) -> dict:
     return out
 
 
+def round11c_ops_scale_check(spark) -> dict:
+    """Round-11 third batch at design scale.
+
+    - ``interval_overlap_join``: 10M user spans vs 2k maintenance
+      windows through a shared bucket grid — fan-out is span/width
+      (~3 buckets/row here), ONE bucket hash join, first-shared-
+      bucket identity (no distinct pass).
+    - ``touch_attribution`` over 20M events / 200k users (linear):
+      one user window + one window-granular join + type-sized fold.
+    """
+    from moz_datapipeline_spark.operators.analytics import touch_attribution
+    from moz_datapipeline_spark.operators.ranges import interval_overlap_join
+
+    out: dict = {}
+
+    n_spans, n_windows = 10_000_000, 2_000
+    spans = spark.range(n_spans).select(
+        F.col("id"),
+        (F.pmod(F.xxhash64(F.col("id")), 100_000) * 1.0).alias("start"),
+        (
+            F.pmod(F.xxhash64(F.col("id")), 100_000)
+            + 1.0
+            + F.pmod(F.xxhash64(F.col("id") + 3), 200)
+        ).alias("end"),
+    )
+    windows = spark.range(n_windows).select(
+        F.col("id"),
+        (F.col("id") * 50.0).alias("start"),
+        (F.col("id") * 50.0 + 49.0).alias("end"),
+    )
+    t0 = time.perf_counter()
+    ov = interval_overlap_join(spans, windows, bucket_width=100.0)
+    out["interval_overlap_left"] = n_spans
+    out["interval_overlap_right"] = n_windows
+    out["interval_overlap_pairs"] = ov.count()
+    out["interval_overlap_sec"] = round(time.perf_counter() - t0, 2)
+    out["interval_overlap_shuffle"] = (
+        "span explode ~3 buckets/row, ONE bucket hash join, "
+        "first-shared-bucket emit (no distinct)"
+    )
+
+    n_ev, n_users = 20_000_000, 200_000
+    ev = spark.range(n_ev).select(
+        F.pmod(F.xxhash64(F.col("id")), n_users).alias("user_id"),
+        F.col("id").alias("ts"),
+        F.when(
+            F.pmod(F.xxhash64(F.col("id") + 13), 20) == 0,
+            F.lit("purchase"),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("t"), F.pmod(F.xxhash64(F.col("id") + 7), 6)
+            )
+        )
+        .alias("event_type"),
+    )
+    t0 = time.perf_counter()
+    att = touch_attribution(
+        ev, conversion_type="purchase", model="linear",
+        tiebreak_col="ts",
+    )
+    out["attribution_rows_in"] = n_ev
+    out["attribution_types_out"] = att.count()
+    out["attribution_sec"] = round(time.perf_counter() - t0, 2)
+    out["attribution_shuffle"] = (
+        "one user-hash window exchange + one (user,window) join "
+        "exchange; credit fold is touch-type-sized"
+    )
+    return out
+
+
 def routing_scale_check(spark) -> dict:
     """Multi-edge EAUL at reference full-run width (138 OD zones).
 
@@ -2058,6 +2129,8 @@ def main() -> None:
     r11 = round11_ops_scale_check(spark)
     _section_gc(spark)
     r11b = round11b_ops_scale_check(spark)
+    _section_gc(spark)
+    r11c = round11c_ops_scale_check(spark)
 
     print(
         json.dumps(
@@ -2094,6 +2167,7 @@ def main() -> None:
                 **r10,
                 **r11,
                 **r11b,
+                **r11c,
             }
         )
     )

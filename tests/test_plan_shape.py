@@ -727,3 +727,20 @@ def test_quantile_bin_assignment_adds_no_shuffle(spark, sf_dir):
     assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
     assert "Join" not in plan
     assert "Window" not in plan
+
+
+def test_interval_overlap_no_cartesian_single_bucket_join(spark, sf_dir):
+    plan = _plan(entry_mod.q_interval_overlap(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_touch_attribution_no_global_window(spark, sf_dir):
+    """Every window partitions by user (or user+window id) — never a
+    partition-less global sort."""
+    plan = _plan(entry_mod.q_touch_attribution(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    import re
+
+    # no empty partition spec: windowspecdefinition always keyed
+    assert not re.search(r"windowspecdefinition\(_w?ts", plan)

@@ -967,3 +967,23 @@ def test_touch_attribution_time_decay(spark):
     assert out["click"] == pytest.approx(2 / 3, abs=1e-6)
     with pytest.raises(ValueError):
         touch_attribution(df, "buy", model="time_decay")  # no half_life
+
+
+def test_touch_attribution_u_shaped(spark):
+    """4 touches: 0.4 / 0.1 / 0.1 / 0.4; 1 touch: 1.0; 2: 0.5/0.5."""
+    from moz_datapipeline_spark.operators.analytics import touch_attribution
+
+    rows = [
+        (1, 1, "a"), (1, 2, "b"), (1, 3, "c"), (1, 4, "d"), (1, 5, "buy"),
+        (2, 1, "a"), (2, 2, "buy"),
+        (3, 1, "a"), (3, 2, "b"), (3, 3, "buy"),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts long, event_type string")
+    out = {r.event_type: r.credit for r in
+           touch_attribution(df, "buy", model="u_shaped",
+                             tiebreak_col="ts").collect()}
+    # user1: a=0.4 b=0.1 c=0.1 d=0.4; user2: a=1.0; user3: a=0.5 b=0.5
+    assert out["a"] == pytest.approx(0.4 + 1.0 + 0.5, abs=1e-6)
+    assert out["b"] == pytest.approx(0.1 + 0.5, abs=1e-6)
+    assert out["c"] == pytest.approx(0.1, abs=1e-6)
+    assert out["d"] == pytest.approx(0.4, abs=1e-6)
