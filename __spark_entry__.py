@@ -6897,6 +6897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collapse_rare": q_collapse_rare,
         "quantile_bin_grouped": q_quantile_bin_grouped,
         "touch_decay": q_touch_decay,
+        "repetition_signals": q_repetition_signals,
     }
 
 
@@ -15032,6 +15033,53 @@ FROM eaul_calc
         FROM weighted GROUP BY t
     """
 
+    sql["repetition_signals"] = """
+        WITH base AS (
+          SELECT doc_id AS id, text FROM documents
+        ), tok AS (
+          SELECT id,
+                 CASE WHEN trim(text) = '' THEN
+                   CAST([] AS VARCHAR[])
+                 ELSE string_split_regex(lower(trim(text)), '\\s+')
+                 END AS l
+          FROM base
+        ), lines AS (
+          SELECT b.id, trim(t.l) AS ln
+          FROM base b, unnest(string_split(b.text, chr(10))) AS t(l)
+          WHERE trim(t.l) <> ''
+        ), ls AS (
+          SELECT id, CAST(count(*) AS BIGINT) AS nl,
+                 CAST(count(DISTINCT ln) AS BIGINT) AS dl
+          FROM lines GROUP BY id
+        ), bgl AS (
+          SELECT id,
+                 list_transform(range(1, greatest(len(l), 1)),
+                                i -> l[i] || ' ' || l[i + 1]) AS bg
+          FROM tok
+        ), bgx AS (
+          SELECT b.id, t.b AS gram
+          FROM bgl b, unnest(b.bg) AS t(b)
+        ), bgc AS (
+          SELECT id, gram, count(*) AS c FROM bgx GROUP BY 1, 2
+        ), bs AS (
+          SELECT id, CAST(sum(c) AS BIGINT) AS tb,
+                 CAST(max(c) AS BIGINT) AS mb
+          FROM bgc GROUP BY id
+        )
+        SELECT t.id,
+               CAST(len(t.l) AS BIGINT) AS n_tokens,
+               coalesce(ls.nl, 0) AS n_lines,
+               round(CASE WHEN coalesce(ls.nl, 0) > 0
+                     THEN 1.0 - CAST(ls.dl AS DOUBLE) / ls.nl
+                     ELSE 0.0 END, 6) AS dup_line_frac,
+               round(CASE WHEN coalesce(bs.tb, 0) > 0
+                     THEN CAST(bs.mb AS DOUBLE) / bs.tb
+                     ELSE 0.0 END, 6) AS top_bigram_frac
+        FROM tok t
+        LEFT JOIN ls ON t.id = ls.id
+        LEFT JOIN bs ON t.id = bs.id
+    """
+
     return sql
 
 
@@ -15382,3 +15430,15 @@ def q_touch_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         tiebreak_col="event_id",
         half_life=86400000000000.0,
     )
+
+
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality gates over documents
+    (operators/text.repetition_signals): duplicate-line fraction and
+    top-bigram concentration — JVM array builds, one explode each for
+    the line/bigram rollups, doc-keyed exchanges only.  VALUE oracle:
+    identical tokenization + rollups in DuckDB."""
+    from moz_datapipeline_spark.operators.text import repetition_signals
+
+    d = _t(spark, sf_dir, "documents")
+    return repetition_signals(d)

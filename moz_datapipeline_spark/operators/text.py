@@ -856,3 +856,86 @@ def zipf_fit(
         F.round(-slope, 6).alias("exponent"),
         F.round(r2, 6).alias("r2"),
     )
+
+
+def repetition_signals(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Gopher-style repetition gates: ``(id, n_tokens, n_lines,
+    dup_line_frac, top_bigram_frac)`` — the two repetition signals the
+    length/stopword battery (``quality_features``) cannot see:
+    documents that are long and stopword-plausible but are really one
+    boilerplate block repeated (nav bars, SEO spam, scraped menus).
+    ``dup_line_frac`` = fraction of non-blank lines that are repeats
+    of an earlier-seen line (1 − distinct/total); ``top_bigram_frac``
+    = fraction of word-bigram occurrences taken by the most common
+    bigram.  Filter callers typically gate at dup_line_frac > 0.3 /
+    top_bigram_frac > 0.2 (Rae et al. 2021's published thresholds live
+    in the caller, not here).
+
+    Plan shape: tokens and bigram arrays build JVM-side
+    (``split`` + ``zip_with`` on the array and its tail — no UDF, no
+    explode for the token count), then ONE explode each for the line
+    and bigram rollups, each a (doc, value) hash aggregate with
+    map-side combine and doc-sized folds after.  All exchanges are
+    keyed by doc id — per-doc work is document-length-bounded, never
+    corpus-shaped.  Empty docs report 0 fractions.
+    """
+    t = F.col(text_col)
+    toks = F.split(F.lower(F.trim(t)), r"\s+")
+    n_tok = F.when(F.trim(t) == "", F.lit(0)).otherwise(F.size(toks))
+    head = F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0)))
+    tail = F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0)))
+    bigrams = F.zip_with(
+        head, tail, lambda a, b: F.concat_ws(" ", a, b)
+    )
+    lines = F.filter(
+        F.transform(F.split(t, r"\n"), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+    base = df.select(
+        F.col(id_col).alias("id"),
+        n_tok.alias("n_tokens"),
+        bigrams.alias("_bg"),
+        lines.alias("_ln"),
+    )
+    line_stats = (
+        base.select("id", F.explode_outer("_ln").alias("_l"))
+        .groupBy("id")
+        .agg(
+            F.count("_l").alias("_nl"),
+            F.countDistinct("_l").alias("_dl"),
+        )
+    )
+    bg_counts = (
+        base.select("id", F.explode_outer("_bg").alias("_b"))
+        .groupBy("id", "_b")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    bg_stats = bg_counts.groupBy("id").agg(
+        F.sum(F.when(F.col("_b").isNotNull(), F.col("_c"))).alias("_tb"),
+        F.max(F.when(F.col("_b").isNotNull(), F.col("_c"))).alias("_mb"),
+    )
+    out = (
+        base.select("id", "n_tokens")
+        .join(line_stats, "id", "left")
+        .join(bg_stats, "id", "left")
+    )
+    dup_frac = F.when(
+        F.col("_nl") > 0,
+        F.lit(1.0)
+        - F.col("_dl").cast("double") / F.col("_nl").cast("double"),
+    ).otherwise(F.lit(0.0))
+    top_frac = F.when(
+        F.col("_tb") > 0,
+        F.col("_mb").cast("double") / F.col("_tb").cast("double"),
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        "id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.coalesce(F.col("_nl"), F.lit(0)).cast("long").alias("n_lines"),
+        F.round(dup_frac, 6).alias("dup_line_frac"),
+        F.round(top_frac, 6).alias("top_bigram_frac"),
+    )

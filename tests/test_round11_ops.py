@@ -987,3 +987,29 @@ def test_touch_attribution_u_shaped(spark):
     assert out["b"] == pytest.approx(0.1 + 0.5, abs=1e-6)
     assert out["c"] == pytest.approx(0.1, abs=1e-6)
     assert out["d"] == pytest.approx(0.4, abs=1e-6)
+
+
+def test_repetition_signals_hand_computed(spark):
+    from moz_datapipeline_spark.operators.text import repetition_signals
+
+    rows = [
+        # 4 lines, 2 distinct -> dup_line_frac 0.5; bigrams of
+        # "nav home nav home": {nav home:2, home nav:1} -> top 2/3
+        (1, "nav home\nnav home\nabout us\nabout us"),
+        (2, "a clean unique sentence with no repeats"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.id: r for r in repetition_signals(df).collect()}
+    r1 = out[1]
+    assert r1.n_lines == 4
+    assert r1.dup_line_frac == pytest.approx(0.5)
+    # tokens: nav home nav home about us about us -> top bigram
+    # "nav home" or "about us" both occur 2 of 7 -> 2/7
+    assert r1.top_bigram_frac == pytest.approx(2 / 7, abs=1e-6)
+    r2 = out[2]
+    assert r2.dup_line_frac == 0.0
+    assert r2.top_bigram_frac == pytest.approx(1 / 6, abs=1e-6)
+    r3 = out[3]
+    assert r3.n_tokens == 0 and r3.n_lines == 0
+    assert r3.dup_line_frac == 0.0 and r3.top_bigram_frac == 0.0
