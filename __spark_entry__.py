@@ -6898,6 +6898,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_bin_grouped": q_quantile_bin_grouped,
         "touch_decay": q_touch_decay,
         "repetition_signals": q_repetition_signals,
+        "eb_shrink": q_eb_shrink,
+        "km_survival_at": q_km_survival_at,
     }
 
 
@@ -15080,6 +15082,86 @@ FROM eaul_calc
         LEFT JOIN bs ON t.id = bs.id
     """
 
+    sql["eb_shrink"] = """
+        WITH per AS (
+          SELECT o_custkey AS grp,
+                 CAST(sum(CASE WHEN o_orderstatus = 'F'
+                          THEN 1 ELSE 0 END) AS DOUBLE) AS s,
+                 CAST(count(*) AS DOUBLE) AS n
+          FROM orders GROUP BY 1
+        ), staged AS (
+          SELECT grp, s, n, s / n AS r FROM per WHERE n > 0
+        ), mom AS (
+          SELECT avg(r) AS mu,
+                 avg(r * r) - avg(r) * avg(r) AS v
+          FROM staged
+        )
+        SELECT grp,
+               CAST(s AS BIGINT) AS successes,
+               CAST(n AS BIGINT) AS trials,
+               round(r, 6) AS raw_rate,
+               round(CASE WHEN v > 1e-12 AND v < mu * (1.0 - mu)
+                     THEN (mu * (mu * (1.0 - mu) / v - 1.0) + s)
+                          / (mu * (mu * (1.0 - mu) / v - 1.0)
+                             + (1.0 - mu) * (mu * (1.0 - mu) / v - 1.0)
+                             + n)
+                     ELSE r END, 6) AS shrunk_rate,
+               round(CASE WHEN v > 1e-12 AND v < mu * (1.0 - mu)
+                     THEN mu * (mu * (1.0 - mu) / v - 1.0) END, 6)
+                 AS alpha,
+               round(CASE WHEN v > 1e-12 AND v < mu * (1.0 - mu)
+                     THEN (1.0 - mu) * (mu * (1.0 - mu) / v - 1.0) END,
+                     6) AS beta
+        FROM staged CROSS JOIN mom
+    """
+
+    sql["km_survival_at"] = """
+        WITH spans AS (
+          SELECT user_id,
+                 min(epoch_ns(ts) // 86400000000000) AS f,
+                 max(epoch_ns(ts) // 86400000000000) AS l
+          FROM events GROUP BY 1
+        ), edge AS (
+          SELECT max(epoch_ns(ts) // 86400000000000) AS e FROM events
+        ), subj AS (
+          SELECT CAST(l - f AS DOUBLE) AS t,
+                 CASE WHEN l < e - 3 THEN 1 ELSE 0 END AS ev
+          FROM spans CROSS JOIN edge
+        ), per AS (
+          SELECT t, CAST(sum(ev) AS BIGINT) AS d,
+                 CAST(count(*) - sum(ev) AS BIGINT) AS c
+          FROM subj GROUP BY 1
+        ), staged AS (
+          SELECT t, d, c,
+                 CAST(sum(d + c) OVER () -
+                      coalesce(sum(d + c) OVER (
+                        ORDER BY t ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS BIGINT) AS n
+          FROM per
+        ), km AS (
+          SELECT t,
+                 round(CASE WHEN max(CASE WHEN d = n THEN 1 ELSE 0 END)
+                              OVER (ORDER BY t ASC
+                                    ROWS UNBOUNDED PRECEDING) = 1
+                       THEN 0.0
+                       ELSE exp(sum(CASE WHEN d > 0 AND d < n
+                                 THEN ln(1.0 - CAST(d AS DOUBLE) / n)
+                                 ELSE 0.0 END)
+                                OVER (ORDER BY t ASC
+                                      ROWS UNBOUNDED PRECEDING))
+                       END, 6) AS survival
+          FROM staged
+        ), horizons AS (
+          SELECT unnest([3.0, 7.0, 14.0]) AS horizon
+        )
+        SELECT h.horizon,
+               coalesce((SELECT survival FROM km
+                         WHERE t <= h.horizon
+                         ORDER BY t DESC LIMIT 1), 1.0) AS survival
+        FROM horizons h
+    """
+
     return sql
 
 
@@ -15442,3 +15524,41 @@ def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return repetition_signals(d)
+
+
+def q_eb_shrink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes shrinkage of per-customer fulfilled-order
+    rates (operators/analytics.eb_shrink_rates): Beta-Binomial
+    method-of-moments prior from one rollup-sized fold, posterior
+    means broadcast back — the leaderboard-noise fix.  VALUE oracle:
+    identical moments + posterior arithmetic in DuckDB."""
+    from moz_datapipeline_spark.operators.analytics import eb_shrink_rates
+
+    o = _t(spark, sf_dir, "orders")
+    base = o.select(
+        "o_custkey",
+        (F.col("o_orderstatus") == "F").cast("int").alias("succ"),
+        F.lit(1).alias("trial"),
+    )
+    return eb_shrink_rates(base, "o_custkey", "succ", "trial")
+
+
+def q_km_survival_at(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Censoring-correct day-3/7/14 retention: S(h) read off the KM
+    curve at fixed horizons (operators/analytics.km_survival_at) —
+    the naive day-k ratio counts the young cohort as churned; this
+    doesn't.  VALUE oracle: KM replay + correlated last-step lookup
+    in DuckDB."""
+    from moz_datapipeline_spark.operators.analytics import km_survival_at
+
+    e = _events(spark, sf_dir)
+    day = F.expr("ts div 86400000000000")
+    spans = e.groupBy("user_id").agg(
+        F.min(day).alias("_first"), F.max(day).alias("_last")
+    )
+    edge = e.agg(F.max(day).alias("_edge"))
+    subj = spans.crossJoin(F.broadcast(edge)).select(
+        (F.col("_last") - F.col("_first")).alias("duration"),
+        (F.col("_last") < F.col("_edge") - 3).cast("int").alias("event"),
+    )
+    return km_survival_at(subj, "duration", "event", horizons=[3.0, 7.0, 14.0])

@@ -3524,3 +3524,127 @@ def touch_attribution(
         .crossJoin(F.broadcast(conv_total))
     )
     return out
+
+
+def eb_shrink_rates(
+    df: DataFrame,
+    group_col: str,
+    success_col: str,
+    trial_col: str,
+) -> DataFrame:
+    """Empirical-Bayes rate shrinkage: ``(group, successes, trials,
+    raw_rate, shrunk_rate, alpha, beta)`` — per-group Beta-Binomial
+    posterior means with the prior fitted from the data itself by the
+    method of moments.  The standard fix for "this SKU has 1 sale in
+    2 views = 50% conversion" leaderboard noise: small groups pull
+    toward the global rate, big groups keep their own.
+
+    Prior fit (moments of the per-group raw rates — unweighted
+    across groups — over groups with trials > 0):
+
+        α = μ·(μ(1−μ)/v − 1),  β = (1−μ)·(μ(1−μ)/v − 1)
+
+    degenerate when v ≥ μ(1−μ) or v ≈ 0 (no overdispersion to
+    shrink against) — then α, β are NULL and ``shrunk_rate`` falls
+    back to the raw rate, loudly visible in the output columns.
+    Posterior mean per group: (α + s)/(α + β + n).
+
+    Plan: one group rollup (data-sized exchange), one 1-row moment
+    fold over the rollup, broadcast back — nothing else touches the
+    data.  Deterministic given the rollup; the oracle replays the
+    identical moment arithmetic.
+    """
+    s = F.col(success_col).cast("double")
+    n = F.col(trial_col).cast("double")
+    per = (
+        df.filter(s.isNotNull() & n.isNotNull())
+        .groupBy(F.col(group_col).alias("grp"))
+        .agg(F.sum(s).alias("_s"), F.sum(n).alias("_n"))
+        .filter(F.col("_n") > 0)
+    )
+    rate = F.col("_s") / F.col("_n")
+    staged = per.withColumn("_r", rate)
+    mom = staged.agg(
+        F.avg("_r").alias("_mu"),
+        F.avg(F.col("_r") * F.col("_r")).alias("_r2"),
+        F.count(F.lit(1)).alias("_g"),
+    ).select(
+        "_mu",
+        (F.col("_r2") - F.col("_mu") * F.col("_mu")).alias("_v"),
+        "_g",
+    )
+    j = staged.crossJoin(F.broadcast(mom))
+    mu, v = F.col("_mu"), F.col("_v")
+    k = mu * (1.0 - mu) / v - 1.0
+    ok = (v > 1e-12) & (v < mu * (1.0 - mu))
+    alpha = F.when(ok, mu * k)
+    beta = F.when(ok, (1.0 - mu) * k)
+    shrunk = F.when(
+        ok,
+        (alpha + F.col("_s")) / (alpha + beta + F.col("_n")),
+    ).otherwise(F.col("_r"))
+    return j.select(
+        "grp",
+        F.col("_s").cast("long").alias("successes"),
+        F.col("_n").cast("long").alias("trials"),
+        F.round("_r", 6).alias("raw_rate"),
+        F.round(shrunk, 6).alias("shrunk_rate"),
+        F.round(alpha, 6).alias("alpha"),
+        F.round(beta, 6).alias("beta"),
+    )
+
+
+def km_survival_at(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    horizons: list[float],
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Survival probabilities at fixed horizons: ``(*group_cols,
+    horizon, survival)`` — S(h) read off the Kaplan–Meier curve as
+    the last published step at or before each horizon (1.0 before
+    the first event; the curve is right-continuous, carried flat).
+    The "day-7 / day-30 retention with censoring handled correctly"
+    readout — a naive day-30 ratio silently counts the
+    not-yet-30-days-old cohort as churned.
+
+    One broadcast horizon explode against the KM rollup + a per-
+    (group, horizon) max-duration argmax fold — rollup-sized, no new
+    data pass.
+    """
+    if not horizons:
+        raise ValueError("km_survival_at: need at least one horizon")
+    gcols = list(group_cols or [])
+    km = kaplan_meier(df, duration_col, event_col, group_cols=gcols)
+    hz = F.explode(
+        F.array(*[F.lit(float(h)) for h in sorted(set(horizons))])
+    ).alias("horizon")
+    grid = (
+        km.select(*gcols).distinct().select(*gcols, hz)
+        if gcols
+        else km.sparkSession.range(1).select(hz)
+    )
+    joined = grid.join(
+        km.select(
+            *[F.col(c).alias(f"_g_{c}") for c in gcols],
+            F.col("duration").alias("_d"),
+            F.col("survival").alias("_sv"),
+        ),
+        on=[F.col(c) == F.col(f"_g_{c}") for c in gcols]
+        if gcols
+        else F.lit(True),
+        how="left",
+    ).filter(F.col("_d") <= F.col("horizon"))
+    w = Window.partitionBy(*gcols, "horizon").orderBy(F.col("_d").desc())
+    last_step = (
+        joined.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select(*gcols, "horizon", F.col("_sv").alias("survival"))
+    )
+    base = grid.select(*gcols, "horizon")
+    return base.join(last_step, [*gcols, "horizon"], "left").select(
+        *gcols,
+        "horizon",
+        F.coalesce(F.col("survival"), F.lit(1.0)).alias("survival"),
+    )

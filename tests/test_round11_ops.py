@@ -1013,3 +1013,58 @@ def test_repetition_signals_hand_computed(spark):
     r3 = out[3]
     assert r3.n_tokens == 0 and r3.n_lines == 0
     assert r3.dup_line_frac == 0.0 and r3.top_bigram_frac == 0.0
+
+
+def test_eb_shrink_pulls_small_groups_toward_global(spark):
+    from moz_datapipeline_spark.operators.analytics import eb_shrink_rates
+
+    # many medium groups near 0.5, one tiny group at 1.0
+    rows = []
+    for g in range(20):
+        n = 40
+        k = 20 + (g % 5) - 2  # 18..22 successes of 40
+        rows += [(g, 1, 1)] * k + [(g, 0, 1)] * (n - k)
+    rows += [(99, 1, 1)]  # 1-of-1 group
+    df = spark.createDataFrame(rows, "grp int, succ int, trial int")
+    out = {r.grp: r for r in
+           eb_shrink_rates(df, "grp", "succ", "trial").collect()}
+    tiny = out[99]
+    assert tiny.raw_rate == 1.0
+    # shrinkage pulls the 1-of-1 group strongly toward ~0.5
+    assert tiny.shrunk_rate < 0.8
+    assert tiny.alpha is not None and tiny.beta is not None
+    big = out[0]
+    # large groups barely move
+    assert abs(big.shrunk_rate - big.raw_rate) < 0.05
+
+
+def test_eb_shrink_degenerate_no_variance_falls_back(spark):
+    from moz_datapipeline_spark.operators.analytics import eb_shrink_rates
+
+    rows = [(g, 1, 1) for g in range(5)] + [(g, 0, 1) for g in range(5)]
+    # every group has identical rate 0.5 -> zero between-group variance
+    rows = [(g, s, t) for g in range(5) for s, t in ((1, 1), (0, 1))]
+    df = spark.createDataFrame(rows, "grp int, succ int, trial int")
+    out = eb_shrink_rates(df, "grp", "succ", "trial").collect()
+    for r in out:
+        assert r.alpha is None and r.beta is None
+        assert r.shrunk_rate == r.raw_rate
+
+
+def test_km_survival_at_hand_computed(spark):
+    """Events at 2 and 4 of 4 subjects (2 censored at 5): S(2)=0.75,
+    S(4)=0.5; horizon 1 before any event -> 1.0."""
+    from moz_datapipeline_spark.operators.analytics import km_survival_at
+
+    df = spark.createDataFrame(
+        [(2.0, 1), (4.0, 1), (5.0, 0), (5.0, 0)],
+        "duration double, event int",
+    )
+    out = {r.horizon: r.survival for r in
+           km_survival_at(df, "duration", "event",
+                          horizons=[1.0, 2.0, 4.5]).collect()}
+    assert out[1.0] == 1.0
+    assert out[2.0] == pytest.approx(0.75)
+    assert out[4.5] == pytest.approx(0.5)
+    with pytest.raises(ValueError):
+        km_survival_at(df, "duration", "event", horizons=[])
