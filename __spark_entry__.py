@@ -6900,6 +6900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_signals": q_repetition_signals,
         "eb_shrink": q_eb_shrink,
         "km_survival_at": q_km_survival_at,
+        "dataset_diff": q_dataset_diff,
     }
 
 
@@ -15162,6 +15163,58 @@ FROM eaul_calc
         FROM horizons h
     """
 
+    sql["dataset_diff"] = """
+        WITH old AS (
+          SELECT o_orderkey AS k, o_totalprice AS p, o_orderstatus AS st
+          FROM orders
+        ), kept AS (
+          SELECT o_orderkey AS k,
+                 CASE WHEN o_orderkey % 7 = 0
+                      THEN o_totalprice + 10.0
+                      ELSE o_totalprice END AS p,
+                 o_orderstatus AS st
+          FROM orders WHERE o_orderkey % 13 <> 0
+        ), added AS (
+          SELECT o_orderkey + 1000000000 AS k, o_totalprice AS p,
+                 o_orderstatus AS st
+          FROM orders WHERE o_orderkey % 11 = 0
+        ), neww AS (
+          SELECT * FROM kept UNION ALL SELECT * FROM added
+        ), j AS (
+          SELECT o.k AS ok, n.k AS nk,
+                 (o.p IS DISTINCT FROM n.p) AS chp,
+                 (o.st IS DISTINCT FROM n.st) AS chs
+          FROM old o FULL OUTER JOIN neww n ON o.k = n.k
+        )
+        SELECT 'added' AS metric,
+               CAST(sum(CASE WHEN ok IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n FROM j
+        UNION ALL
+        SELECT 'removed',
+               CAST(sum(CASE WHEN nk IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) FROM j
+        UNION ALL
+        SELECT 'changed',
+               CAST(sum(CASE WHEN ok IS NOT NULL AND nk IS NOT NULL
+                             AND (chp OR chs) THEN 1 ELSE 0 END)
+                    AS BIGINT) FROM j
+        UNION ALL
+        SELECT 'unchanged',
+               CAST(sum(CASE WHEN ok IS NOT NULL AND nk IS NOT NULL
+                             AND NOT (chp OR chs) THEN 1 ELSE 0 END)
+                    AS BIGINT) FROM j
+        UNION ALL
+        SELECT 'col_changed:o_totalprice',
+               CAST(sum(CASE WHEN ok IS NOT NULL AND nk IS NOT NULL
+                             AND chp THEN 1 ELSE 0 END) AS BIGINT)
+        FROM j
+        UNION ALL
+        SELECT 'col_changed:o_orderstatus',
+               CAST(sum(CASE WHEN ok IS NOT NULL AND nk IS NOT NULL
+                             AND chs THEN 1 ELSE 0 END) AS BIGINT)
+        FROM j
+    """
+
     return sql
 
 
@@ -15562,3 +15615,32 @@ def q_km_survival_at(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("_last") < F.col("_edge") - 3).cast("int").alias("event"),
     )
     return km_survival_at(subj, "duration", "event", horizons=[3.0, 7.0, 14.0])
+
+
+def q_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Release reconciliation: orders vs a deterministically perturbed
+    rebuild — %13 keys dropped, %7 prices bumped, %11 keys re-added
+    under a new id (operators/validation.dataset_diff: one full-outer
+    key join + one conditional-sum fold; NULL-safe column compare).
+    VALUE oracle: identical perturbation + FULL OUTER reconciliation
+    in DuckDB."""
+    from moz_datapipeline_spark.operators.validation import dataset_diff
+
+    o = _t(spark, sf_dir, "orders")
+    old = o.select("o_orderkey", "o_totalprice", "o_orderstatus")
+    kept = o.filter(F.col("o_orderkey") % 13 != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 10.0
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        "o_orderstatus",
+    )
+    added = o.filter(F.col("o_orderkey") % 11 == 0).select(
+        (F.col("o_orderkey") + 1000000000).alias("o_orderkey"),
+        "o_totalprice",
+        "o_orderstatus",
+    )
+    new = kept.unionByName(added)
+    return dataset_diff(old, new, ["o_orderkey"])

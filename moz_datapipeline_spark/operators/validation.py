@@ -1470,3 +1470,106 @@ def distribution_distance(
         ),
         F.round(F.when(ok, F.col("_tvd")), 6).alias("tvd"),
     )
+
+
+def dataset_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Row-level reconciliation between two dataset versions:
+    ``(metric, n)`` — ``added`` / ``removed`` / ``changed`` /
+    ``unchanged`` row counts plus ``col_changed:<col>`` per compared
+    column.  The release gate that tells you WHAT an incremental
+    rebuild actually did before you ship it ("why did 4% of prices
+    change?") — ``release_drift`` compares distributions, this
+    compares rows.
+
+    Keys must be unique per side (it raises loudly on duplicate keys
+    — a diff over non-keys silently double-counts).  Column equality
+    is NULL-safe (NULL = NULL is unchanged, NULL→value is a change).
+    ``compare_cols`` defaults to every shared non-key column.
+
+    Plan: ONE full-outer hash join on the key (the data-sized
+    exchange) with every comparison folded into a single conditional-
+    sum aggregate — map-side combined, output is metric-sized.  The
+    duplicate-key guard is two up-front count/count-distinct folds
+    (one per side, map-side combined) — an explicit, bounded price
+    for never silently double-counting.
+    """
+    if not key_cols:
+        raise ValueError("dataset_diff: need at least one key column")
+    shared = [
+        c
+        for c in old.columns
+        if c in set(new.columns) and c not in set(key_cols)
+    ]
+    cols = compare_cols if compare_cols is not None else shared
+    for c in cols:
+        if c not in old.columns or c not in new.columns:
+            raise ValueError(f"dataset_diff: column {c!r} not on both sides")
+    o = old.select(
+        *[F.col(k).alias(f"_k_{k}") for k in key_cols],
+        *[F.col(c).alias(f"_o_{c}") for c in cols],
+        F.lit(1).alias("_po"),
+    )
+    n = new.select(
+        *[F.col(k).alias(f"_nk_{k}") for k in key_cols],
+        *[F.col(c).alias(f"_n_{c}") for c in cols],
+        F.lit(1).alias("_pn"),
+    )
+    # loud duplicate-key guard: count vs distinct-key count per side
+    for side, frame, kcols in (
+        ("old", o, [f"_k_{k}" for k in key_cols]),
+        ("new", n, [f"_nk_{k}" for k in key_cols]),
+    ):
+        head = frame.agg(
+            F.count(F.lit(1)).alias("_r"),
+            F.count_distinct(*[F.col(k) for k in kcols]).alias("_d"),
+        ).collect()[0]
+        if head["_r"] != head["_d"]:
+            raise ValueError(
+                f"dataset_diff: duplicate keys on the {side} side "
+                f"({head['_r']} rows, {head['_d']} distinct keys)"
+            )
+    cond = [
+        o[f"_k_{k}"].eqNullSafe(n[f"_nk_{k}"]) for k in key_cols
+    ]
+    j = o.join(n, cond, "full_outer")
+    in_old = F.col("_po").isNotNull()
+    in_new = F.col("_pn").isNotNull()
+    col_diff = [
+        (~F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))).alias(f"_ch_{c}")
+        for c in cols
+    ]
+    staged = j.select(in_old.alias("_io"), in_new.alias("_in"), *col_diff)
+    any_change = None
+    for c in cols:
+        term = F.col(f"_ch_{c}")
+        any_change = term if any_change is None else (any_change | term)
+    if any_change is None:
+        any_change = F.lit(False)
+    aggs = [
+        F.sum((F.col("_in") & ~F.col("_io")).cast("long")).alias("added"),
+        F.sum((F.col("_io") & ~F.col("_in")).cast("long")).alias("removed"),
+        F.sum(
+            (F.col("_io") & F.col("_in") & any_change).cast("long")
+        ).alias("changed"),
+        F.sum(
+            (F.col("_io") & F.col("_in") & ~any_change).cast("long")
+        ).alias("unchanged"),
+    ] + [
+        F.sum(
+            (F.col("_io") & F.col("_in") & F.col(f"_ch_{c}")).cast("long")
+        ).alias(f"col_changed:{c}")
+        for c in cols
+    ]
+    wide = staged.agg(*aggs)
+    names = ["added", "removed", "changed", "unchanged"] + [
+        f"col_changed:{c}" for c in cols
+    ]
+    stack = ", ".join(f"'{m}', `{m}`" for m in names)
+    return wide.selectExpr(
+        f"stack({len(names)}, {stack}) as (metric, n)"
+    )

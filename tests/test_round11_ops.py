@@ -1068,3 +1068,31 @@ def test_km_survival_at_hand_computed(spark):
     assert out[4.5] == pytest.approx(0.5)
     with pytest.raises(ValueError):
         km_survival_at(df, "duration", "event", horizons=[])
+
+
+def test_dataset_diff_hand_computed(spark):
+    from moz_datapipeline_spark.operators.validation import dataset_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", None), (4, "d", 40.0)],
+        "k long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0),      # unchanged
+         (2, "B", 20.0),      # s changed
+         (3, "c", 30.0),      # v NULL -> value = changed
+         (5, "e", 50.0)],     # added; 4 removed
+        "k long, s string, v double",
+    )
+    out = {r.metric: r.n for r in dataset_diff(old, new, ["k"]).collect()}
+    assert out == {
+        "added": 1, "removed": 1, "changed": 2, "unchanged": 1,
+        "col_changed:s": 1, "col_changed:v": 1,
+    }
+    with pytest.raises(ValueError):
+        dataset_diff(old, new, [])
+    dup = spark.createDataFrame(
+        [(1, "a", 1.0), (1, "b", 2.0)], "k long, s string, v double"
+    )
+    with pytest.raises(ValueError, match="duplicate keys"):
+        dataset_diff(dup, new, ["k"])
