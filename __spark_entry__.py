@@ -6901,6 +6901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eb_shrink": q_eb_shrink,
         "km_survival_at": q_km_survival_at,
         "dataset_diff": q_dataset_diff,
+        "cohort_ltv": q_cohort_ltv,
     }
 
 
@@ -15215,6 +15216,35 @@ FROM eaul_calc
         FROM j
     """
 
+    sql["cohort_ltv"] = """
+        WITH ev AS (
+          SELECT user_id,
+                 epoch_ns(ts) // 86400000000000 AS d,
+                 CASE WHEN event_type = 'purchase'
+                      AND value IS NOT NULL
+                      THEN CAST(value AS DOUBLE) ELSE 0.0 END AS v
+          FROM events
+        ), first AS (
+          SELECT user_id, min(d) AS cohort_day FROM ev GROUP BY 1
+        ), sizes AS (
+          SELECT cohort_day, CAST(count(*) AS BIGINT) AS cohort_size
+          FROM first GROUP BY 1
+        ), per AS (
+          SELECT f.cohort_day, e.d - f.cohort_day AS day_offset,
+                 sum(e.v) AS pr
+          FROM ev e JOIN first f ON e.user_id = f.user_id
+          GROUP BY 1, 2
+        )
+        SELECT p.cohort_day, p.day_offset, s.cohort_size,
+               floor(p.pr * 100 + 0.5) / 100 AS period_revenue,
+               round(sum(p.pr) OVER (
+                       PARTITION BY p.cohort_day
+                       ORDER BY p.day_offset ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) / s.cohort_size, 6) AS cum_revenue_per_user
+        FROM per p JOIN sizes s ON p.cohort_day = s.cohort_day
+    """
+
     return sql
 
 
@@ -15644,3 +15674,15 @@ def q_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     new = kept.unionByName(added)
     return dataset_diff(old, new, ["o_orderkey"])
+
+
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curve over purchase revenue
+    (operators/analytics.cohort_ltv): per-user cohort fold + one
+    user-keyed join + (cohort, offset) rollup + a cohort-partitioned
+    cumulative window — divides by FULL cohort size so curves
+    compare.  VALUE oracle: identical grid + running sum in DuckDB."""
+    from moz_datapipeline_spark.operators.analytics import cohort_ltv
+
+    e = _events(spark, sf_dir)
+    return cohort_ltv(e, value_type="purchase")

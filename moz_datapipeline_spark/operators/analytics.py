@@ -3648,3 +3648,74 @@ def km_survival_at(
         "horizon",
         F.coalesce(F.col("survival"), F.lit(1.0)).alias("survival"),
     )
+
+
+def cohort_ltv(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    value_type: str | None = None,
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Cohort LTV curve: ``(cohort_day, day_offset, cohort_size,
+    period_revenue, cum_revenue_per_user)`` — cumulative revenue per
+    original cohort member by age, the readout that answers "how much
+    is a day-0 signup worth by day 30" (``cohort_retention`` counts
+    who comes back; this counts what they spend — divergent curves
+    mean retention is fine but monetization decays, or vice versa).
+
+    ``cum_revenue_per_user`` divides by the FULL cohort size (not the
+    still-active subset) so curves are comparable across cohorts and
+    monotone.  ``value_type`` restricts which events carry revenue
+    (e.g. only purchases); NULL values count 0.
+
+    Plan: the ``cohort_retention`` shape — per-user min fold, one
+    user-keyed join, (cohort, offset) rollup — plus ONE ordered
+    window per cohort over the grid (grid-sized, partitioned by
+    cohort, never a global sort).  Days are integral ns divisions, so
+    the grid is engine-exact; revenue sums ride the rollup.
+    """
+    day = F.expr(f"{ts_col} div {NS_PER_DAY}")
+    first = events.groupBy(user_col).agg(F.min(day).alias("cohort_day"))
+    sizes = first.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    val = F.col(value_col).cast("double")
+    rev = F.when(val.isNotNull(), val).otherwise(F.lit(0.0))
+    if value_type is not None:
+        rev = F.when(F.col(type_col) == value_type, rev).otherwise(
+            F.lit(0.0)
+        )
+    per = (
+        events.select(user_col, day.alias("_d"), rev.alias("_v"))
+        .join(first, user_col)
+        .groupBy(
+            "cohort_day",
+            (F.col("_d") - F.col("cohort_day")).alias("day_offset"),
+        )
+        .agg(F.sum("_v").alias("period_revenue"))
+    )
+    w = (
+        Window.partitionBy("cohort_day")
+        .orderBy(F.col("day_offset").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        per.join(F.broadcast(sizes), "cohort_day")
+        .withColumn("_cum", F.sum("period_revenue").over(w))
+        .select(
+            "cohort_day",
+            "day_offset",
+            "cohort_size",
+            # floor(x*100+0.5)/100: engine-portable 2dp (Spark and
+            # DuckDB round() tie-break differently)
+            (
+                F.floor(F.col("period_revenue") * 100 + F.lit(0.5))
+                / 100.0
+            ).alias("period_revenue"),
+            F.round(
+                F.col("_cum") / F.col("cohort_size").cast("double"), 6
+            ).alias("cum_revenue_per_user"),
+        )
+    )

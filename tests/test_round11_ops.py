@@ -1096,3 +1096,31 @@ def test_dataset_diff_hand_computed(spark):
     )
     with pytest.raises(ValueError, match="duplicate keys"):
         dataset_diff(dup, new, ["k"])
+
+
+def test_cohort_ltv_hand_computed(spark):
+    """Two users in one cohort (day 0), one in a later cohort.
+    Cohort 0: u1 spends 10 at day0 and 20 at day2; u2 spends 6 at
+    day0 and nothing later -> cum/user: day0 (10+6)/2=8, day2 28/2=18
+    (divides by FULL cohort, not active)."""
+    from moz_datapipeline_spark.operators.analytics import cohort_ltv
+
+    ns = 86_400_000_000_000
+    rows = [
+        (1, 0 * ns, "purchase", 10.0),
+        (1, 2 * ns, "purchase", 20.0),
+        (2, 0 * ns, "purchase", 6.0),
+        (3, 5 * ns, "purchase", 7.0),
+        (1, 1 * ns, "view", 99.0),  # non-purchase carries no revenue
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id int, ts long, event_type string, value double"
+    )
+    out = {(r.cohort_day, r.day_offset): r for r in
+           cohort_ltv(df, value_type="purchase").collect()}
+    assert out[(0, 0)].cohort_size == 2
+    assert out[(0, 0)].cum_revenue_per_user == pytest.approx(8.0)
+    assert out[(0, 1)].period_revenue == 0.0  # the view day: 0 revenue
+    assert out[(0, 2)].cum_revenue_per_user == pytest.approx(18.0)
+    assert out[(5, 0)].cohort_size == 1
+    assert out[(5, 0)].cum_revenue_per_user == pytest.approx(7.0)
