@@ -6902,6 +6902,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "km_survival_at": q_km_survival_at,
         "dataset_diff": q_dataset_diff,
         "cohort_ltv": q_cohort_ltv,
+        "state_durations": q_state_durations,
+        "path_flows": q_path_flows,
     }
 
 
@@ -15245,6 +15247,46 @@ FROM eaul_calc
         FROM per p JOIN sizes s ON p.cohort_day = s.cohort_day
     """
 
+    sql["state_durations"] = """
+        WITH base AS (
+          SELECT user_id AS entity, epoch_ns(ts) AS ts,
+                 event_id AS tb, event_type AS state
+          FROM events
+        ), staged AS (
+          SELECT *,
+                 row_number() OVER (PARTITION BY entity
+                                    ORDER BY ts ASC, tb ASC)
+                 - row_number() OVER (PARTITION BY entity, state
+                                      ORDER BY ts ASC, tb ASC)
+                   AS isl
+          FROM base
+        )
+        SELECT entity, state,
+               min(ts) AS run_start, max(ts) AS run_end,
+               CAST(count(*) AS BIGINT) AS n_events,
+               max(ts) - min(ts) AS duration
+        FROM staged GROUP BY entity, state, isl
+    """
+
+    sql["path_flows"] = """
+        WITH base AS (
+          SELECT user_id AS u, epoch_ns(ts) AS ts, event_id AS tb,
+                 event_type AS ft
+          FROM events
+        ), staged AS (
+          SELECT u, ft,
+                 row_number() OVER w AS step,
+                 lead(ft) OVER w AS tt
+          FROM base
+          WINDOW w AS (PARTITION BY u ORDER BY ts ASC, tb ASC)
+        )
+        SELECT CAST(step AS BIGINT) AS step, ft AS from_type,
+               tt AS to_type, CAST(count(*) AS BIGINT) AS n_users
+        FROM staged
+        WHERE step <= 5 AND tt IS NOT NULL
+        GROUP BY 1, 2, 3
+    """
+
     return sql
 
 
@@ -15686,3 +15728,27 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _events(spark, sf_dir)
     return cohort_ltv(e, value_type="purchase")
+
+
+def q_state_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands run collapse of per-user event-type streaks
+    (operators/temporal.state_durations): the two-row_number island
+    identity + one (entity, state, island) rollup, all partitioned by
+    user.  VALUE oracle: identical windows in DuckDB."""
+    from moz_datapipeline_spark.operators.temporal import state_durations
+
+    e = _events(spark, sf_dir)
+    out = state_durations(e, tiebreak_col="event_id")
+    return out.drop("_isl") if "_isl" in out.columns else out
+
+
+def q_path_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Step-indexed journey flows for the first 5 steps
+    (operators/analytics.path_flows): one user-ordered
+    row_number+lead window, step-capped rollup — the Sankey input
+    markov_transitions can't produce (it forgets position).  VALUE
+    oracle: identical windows in DuckDB."""
+    from moz_datapipeline_spark.operators.analytics import path_flows
+
+    e = _events(spark, sf_dir)
+    return path_flows(e, max_steps=5, tiebreak_col="event_id")

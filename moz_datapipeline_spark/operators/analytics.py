@@ -3719,3 +3719,46 @@ def cohort_ltv(
             ).alias("cum_revenue_per_user"),
         )
     )
+
+
+def path_flows(
+    events: DataFrame,
+    max_steps: int = 5,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Step-indexed journey flows (the Sankey-diagram input):
+    ``(step, from_type, to_type, n_users)`` — how many users went
+    from their step-k event to their step-k+1 event, for the first
+    ``max_steps`` steps.  ``markov_transitions`` aggregates over ALL
+    positions; this keeps position, which is what a journey diagram
+    needs (step-1→2 mix differs radically from step-4→5 mix).
+
+    One user-ordered row_number + lead window (single user-hash
+    exchange), a step cap ON the window output (so the rollup is
+    |types|²·max_steps-sized), then a count fold.  Each user
+    contributes at most one flow per step — n_users is a plain count.
+    """
+    if max_steps < 1:
+        raise ValueError("path_flows: max_steps must be >= 1")
+    tb = F.col(tiebreak_col) if tiebreak_col else F.col(type_col)
+    w = Window.partitionBy("_u").orderBy(
+        F.col("_ts").asc(), F.col("_tb").asc()
+    )
+    base = events.select(
+        F.col(user_col).alias("_u"),
+        F.col(ts_col).alias("_ts"),
+        tb.alias("_tb"),
+        F.col(type_col).alias("from_type"),
+    )
+    return (
+        base.withColumn("step", F.row_number().over(w))
+        .withColumn("to_type", F.lead("from_type").over(w))
+        .filter(
+            (F.col("step") <= max_steps) & F.col("to_type").isNotNull()
+        )
+        .groupBy("step", "from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

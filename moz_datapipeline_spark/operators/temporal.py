@@ -1167,3 +1167,58 @@ def asof_join_forward(
         *lcols,
         *[F.col(f"_r.{c}").alias(c) for c in out_carried],
     )
+
+
+def state_durations(
+    events: DataFrame,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    state_col: str = "event_type",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Gaps-and-islands run collapse: consecutive equal states per
+    entity fold into one run — ``(entity, state, run_start, run_end,
+    n_events, duration)`` with ``duration = run_end − run_start`` in
+    ``ts_col`` units (0 for single-event runs; the next run's start
+    is NOT borrowed — no lookahead semantics to argue about).  The
+    state-log workhorse: device up/down spans, user mode dwell times,
+    alert storm collapsing.
+
+    The island id is the classic two-window identity — row_number
+    over the entity minus row_number over (entity, state) is constant
+    exactly within a run — then one (entity, state, island) rollup.
+    Both windows and the rollup hash-partition by entity: two window
+    passes over one exchange, never global.  Ordering ties break by
+    ``tiebreak_col`` (pass an id when timestamps can repeat).
+    """
+    tb = F.col(tiebreak_col) if tiebreak_col else F.col(state_col)
+    base = events.select(
+        F.col(entity_col).alias("entity"),
+        F.col(ts_col).alias("_ts"),
+        tb.alias("_tb"),
+        F.col(state_col).alias("state"),
+    )
+    we = Window.partitionBy("entity").orderBy(
+        F.col("_ts").asc(), F.col("_tb").asc()
+    )
+    ws = Window.partitionBy("entity", "state").orderBy(
+        F.col("_ts").asc(), F.col("_tb").asc()
+    )
+    island = F.row_number().over(we) - F.row_number().over(ws)
+    return (
+        base.withColumn("_isl", island)
+        .groupBy("entity", "state", "_isl")
+        .agg(
+            F.min("_ts").alias("run_start"),
+            F.max("_ts").alias("run_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "entity",
+            "state",
+            "run_start",
+            "run_end",
+            "n_events",
+            (F.col("run_end") - F.col("run_start")).alias("duration"),
+        )
+    )

@@ -1124,3 +1124,38 @@ def test_cohort_ltv_hand_computed(spark):
     assert out[(0, 2)].cum_revenue_per_user == pytest.approx(18.0)
     assert out[(5, 0)].cohort_size == 1
     assert out[(5, 0)].cum_revenue_per_user == pytest.approx(7.0)
+
+
+def test_state_durations_islands(spark):
+    """a a b a -> runs: a(x2), b(x1), a(x1) — the repeated state forms
+    a NEW run after the interruption."""
+    from moz_datapipeline_spark.operators.temporal import state_durations
+
+    rows = [(1, 10, "a"), (1, 20, "a"), (1, 30, "b"), (1, 40, "a"),
+            (2, 5, "b")]
+    df = spark.createDataFrame(rows, "user_id int, ts long, event_type string")
+    out = sorted(
+        [(r.entity, r.state, r.run_start, r.run_end, r.n_events, r.duration)
+         for r in state_durations(df, tiebreak_col="ts").collect()]
+    )
+    assert out == [
+        (1, "a", 10, 20, 2, 10),
+        (1, "a", 40, 40, 1, 0),
+        (1, "b", 30, 30, 1, 0),
+        (2, "b", 5, 5, 1, 0),
+    ]
+
+
+def test_path_flows_position_specific(spark):
+    """Two users: a->b->c and a->c. Step 1 flows: a->b (1), a->c (1);
+    step 2: b->c (1). Position kept, unlike markov_transitions."""
+    from moz_datapipeline_spark.operators.analytics import path_flows
+
+    rows = [(1, 1, "a"), (1, 2, "b"), (1, 3, "c"),
+            (2, 1, "a"), (2, 2, "c")]
+    df = spark.createDataFrame(rows, "user_id int, ts long, event_type string")
+    out = {(r.step, r.from_type, r.to_type): r.n_users
+           for r in path_flows(df, max_steps=2, tiebreak_col="ts").collect()}
+    assert out == {(1, "a", "b"): 1, (1, "a", "c"): 1, (2, "b", "c"): 1}
+    with pytest.raises(ValueError):
+        path_flows(df, max_steps=0)
