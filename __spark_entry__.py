@@ -6904,6 +6904,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_ltv": q_cohort_ltv,
         "state_durations": q_state_durations,
         "path_flows": q_path_flows,
+        "local_peaks": q_local_peaks,
+        "trajectory_stats": q_trajectory_stats,
     }
 
 
@@ -15287,6 +15289,87 @@ FROM eaul_calc
         GROUP BY 1, 2, 3
     """
 
+    sql["local_peaks"] = """
+        WITH hourly AS (
+          SELECT event_type AS g,
+                 epoch_ns(ts) // 3600000000000 AS h,
+                 CAST(count(*) AS DOUBLE) AS v
+          FROM events GROUP BY 1, 2
+        ), st AS (
+          SELECT g, h, v,
+                 max(v) OVER (PARTITION BY g ORDER BY h ASC
+                              ROWS BETWEEN 2 PRECEDING
+                              AND 1 PRECEDING) AS mb,
+                 max(v) OVER (PARTITION BY g ORDER BY h ASC
+                              ROWS BETWEEN 1 FOLLOWING
+                              AND 2 FOLLOWING) AS ma,
+                 count(*) OVER (PARTITION BY g ORDER BY h ASC
+                                ROWS BETWEEN 2 PRECEDING
+                                AND 1 PRECEDING) AS nb,
+                 count(*) OVER (PARTITION BY g ORDER BY h ASC
+                                ROWS BETWEEN 1 FOLLOWING
+                                AND 2 FOLLOWING) AS na
+          FROM hourly
+        )
+        SELECT g AS "group", h AS ts, v AS value,
+               round(v - greatest(mb, ma), 6) AS prominence
+        FROM st
+        WHERE nb = 2 AND na = 2
+          AND v > greatest(mb, ma)
+          AND v - greatest(mb, ma) >= 1.0
+    """
+
+    sql["trajectory_stats"] = """
+        WITH pts AS (
+          SELECT user_id AS entity, epoch_ns(ts) AS ts,
+                 event_id AS tb,
+                 CAST((event_id * 37 % 360) - 180 + 0.5 AS DOUBLE)
+                   AS lon,
+                 CAST((event_id * 17 % 170) - 85 + 0.5 AS DOUBLE)
+                   AS lat
+          FROM events
+        ), st AS (
+          SELECT *,
+                 lag(lon) OVER w AS plon,
+                 lag(lat) OVER w AS plat
+          FROM pts
+          WINDOW w AS (PARTITION BY entity ORDER BY ts ASC, tb ASC)
+        ), seg AS (
+          SELECT entity, ts, tb, lon, lat,
+                 CASE WHEN plon IS NULL THEN NULL
+                 ELSE 2.0 * 6371.0088 * asin(sqrt(
+                   pow(sin(radians(lat - plat) / 2), 2)
+                   + cos(radians(plat)) * cos(radians(lat))
+                     * pow(sin(radians(lon - plon) / 2), 2)
+                 )) END AS s
+          FROM st
+        ), agg AS (
+          SELECT entity, CAST(count(*) AS BIGINT) AS n_points,
+                 coalesce(sum(s), 0.0) AS total,
+                 coalesce(max(s), 0.0) AS maxseg,
+                 min({'ts': ts, 'tb': tb, 'lon': lon, 'lat': lat})
+                   AS f,
+                 max({'ts': ts, 'tb': tb, 'lon': lon, 'lat': lat})
+                   AS l
+          FROM seg GROUP BY 1
+        )
+        SELECT entity, n_points,
+               round(total, 6) AS total_km,
+               round(maxseg, 6) AS max_segment_km,
+               round(2.0 * 6371.0088 * asin(sqrt(
+                 pow(sin(radians(l.lat - f.lat) / 2), 2)
+                 + cos(radians(f.lat)) * cos(radians(l.lat))
+                   * pow(sin(radians(l.lon - f.lon) / 2), 2)
+               )), 6) AS net_km,
+               round(CASE WHEN total > 0 THEN
+                 2.0 * 6371.0088 * asin(sqrt(
+                   pow(sin(radians(l.lat - f.lat) / 2), 2)
+                   + cos(radians(f.lat)) * cos(radians(l.lat))
+                     * pow(sin(radians(l.lon - f.lon) / 2), 2)
+                 )) / total END, 6) AS straightness
+        FROM agg
+    """
+
     return sql
 
 
@@ -15752,3 +15835,50 @@ def q_path_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _events(spark, sf_dir)
     return path_flows(e, max_steps=5, tiebreak_col="event_id")
+
+
+def q_local_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prominence-gated local maxima over hourly per-type event
+    counts (operators/temporal.local_peaks): one group-partitioned
+    two-sided neighbor-max window on the BUCKET rollup, full-window
+    interior points only.  VALUE oracle: identical row-frame windows
+    in DuckDB."""
+    from moz_datapipeline_spark.operators.temporal import local_peaks
+
+    e = _events(spark, sf_dir)
+    hourly = e.groupBy(
+        F.col("event_type").alias("etype"),
+        F.expr("ts div 3600000000000").alias("hour"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("n"))
+    return local_peaks(
+        hourly, "etype", "hour", "n", neighborhood=2, min_prominence=1.0
+    )
+
+
+def q_trajectory_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trajectory rollup over synthetic event-derived GPS
+    points (operators/geometry.trajectory_stats): one lag window for
+    segment haversines + one fold carrying first/last via
+    lexicographic struct min/max — total path, worst hop, net
+    displacement, straightness.  VALUE oracle: identical windows +
+    struct folds in DuckDB."""
+    from moz_datapipeline_spark.operators.geometry import trajectory_stats
+
+    e = _events(spark, sf_dir)
+    pts = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        ((F.col("event_id") * 37 % 360) - 180 + 0.5)
+        .cast("double")
+        .alias("lon"),
+        ((F.col("event_id") * 17 % 170) - 85 + 0.5)
+        .cast("double")
+        .alias("lat"),
+    )
+    return trajectory_stats(
+        pts,
+        entity_col="user_id",
+        ts_col="ts",
+        tiebreak_col="event_id",
+    )

@@ -29,7 +29,7 @@ from __future__ import annotations
 
 from collections import defaultdict
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
 
@@ -261,8 +261,6 @@ def grid_knn_join(
             (F.col("_qy") + F.col("_off.dy")).alias("_cy"),
         )
     )
-    from pyspark.sql import Window
-
     from moz_datapipeline_spark.functions.geo import haversine_km
 
     cand = q.join(c, ["_cx", "_cy"]).select(
@@ -372,4 +370,78 @@ def grid_density_clusters(
             "left",
         )
         .select("id", "cluster")
+    )
+
+
+def trajectory_stats(
+    points: DataFrame,
+    entity_col: str = "entity",
+    ts_col: str = "ts",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Per-entity trajectory rollup: ``(entity, n_points, total_km,
+    max_segment_km, net_km, straightness)`` — total great-circle path
+    length over the time-ordered points, the longest single hop (the
+    GPS-glitch flag), net start→end displacement, and ``net/total``
+    straightness in (0, 1] (1 = beeline, →0 = wandering).  The
+    fleet/telemetry summary the routing kernel doesn't cover (it
+    routes on a graph; this measures observed tracks).
+
+    One entity-partitioned lag window for the segment distances
+    (single hash exchange), then a plain rollup; first/last points
+    ride min/max ``struct(ts, lon, lat)`` folds in the SAME
+    aggregate — no second window, no self-join.  Single-point
+    entities report zeros (and straightness NULL: no path).
+    NULL coordinates drop their row upstream of the lag so segments
+    bridge over them.
+    """
+    tb = F.col(tiebreak_col) if tiebreak_col else F.col(ts_col)
+    base = points.filter(
+        F.col(lon_col).isNotNull() & F.col(lat_col).isNotNull()
+    ).select(
+        F.col(entity_col).alias("entity"),
+        F.col(ts_col).alias("_ts"),
+        tb.alias("_tb"),
+        F.col(lon_col).cast("double").alias("_lon"),
+        F.col(lat_col).cast("double").alias("_lat"),
+    )
+    w = Window.partitionBy("entity").orderBy(
+        F.col("_ts").asc(), F.col("_tb").asc()
+    )
+    from moz_datapipeline_spark.functions.geo import haversine_km
+
+    seg = haversine_km(
+        F.lag("_lon").over(w),
+        F.lag("_lat").over(w),
+        F.col("_lon"),
+        F.col("_lat"),
+    )
+    staged = base.withColumn("_seg", seg)
+    first_pt = F.min(
+        F.struct(F.col("_ts"), F.col("_tb"), F.col("_lon"), F.col("_lat"))
+    )
+    last_pt = F.max(
+        F.struct(F.col("_ts"), F.col("_tb"), F.col("_lon"), F.col("_lat"))
+    )
+    agg = staged.groupBy("entity").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.coalesce(F.sum("_seg"), F.lit(0.0)).alias("_total"),
+        F.coalesce(F.max("_seg"), F.lit(0.0)).alias("_maxseg"),
+        first_pt.alias("_f"),
+        last_pt.alias("_l"),
+    )
+    net = haversine_km(
+        F.col("_f._lon"), F.col("_f._lat"), F.col("_l._lon"), F.col("_l._lat")
+    )
+    return agg.select(
+        "entity",
+        "n_points",
+        F.round("_total", 6).alias("total_km"),
+        F.round("_maxseg", 6).alias("max_segment_km"),
+        F.round(net, 6).alias("net_km"),
+        F.round(
+            F.when(F.col("_total") > 0, net / F.col("_total")), 6
+        ).alias("straightness"),
     )

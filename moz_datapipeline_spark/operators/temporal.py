@@ -1222,3 +1222,63 @@ def state_durations(
             (F.col("run_end") - F.col("run_start")).alias("duration"),
         )
     )
+
+
+def local_peaks(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    value_col: str,
+    neighborhood: int = 2,
+    min_prominence: float = 0.0,
+) -> DataFrame:
+    """Local-maximum detection on (small-cardinality-keyed) series:
+    ``(group, ts, value, prominence)`` — points strictly greater than
+    every neighbor within ``neighborhood`` steps on both sides, with
+    ``prominence = value − max(neighborhood)`` ≥ ``min_prominence``.
+    The monitoring readout between "threshold alert" (misses relative
+    spikes) and full changepoint analysis (overkill for "what spiked
+    Tuesday"): traffic bursts, error storms, sale-day peaks.
+
+    Interior points only — the first/last ``neighborhood`` points of
+    each series can't certify a full window and are never reported
+    (documented edge bias, standard for peak pickers).  Strict
+    inequality means plateaus yield NO peak (two equal tops mask each
+    other — flat-top detection needs run collapse first:
+    ``state_durations``).
+
+    One group-partitioned ordered window computing the two-sided
+    neighbor max via ``rowsBetween`` — a single exchange on the group
+    key; built for ROLLUP series (hourly counts per type), where the
+    window partition is bucket-sized, not raw-data-sized.
+    """
+    if neighborhood < 1:
+        raise ValueError("local_peaks: neighborhood must be >= 1")
+    w = Window.partitionBy(group_col).orderBy(F.col(ts_col).asc())
+    before = F.max(F.col(value_col)).over(
+        w.rowsBetween(-neighborhood, -1)
+    )
+    after = F.max(F.col(value_col)).over(w.rowsBetween(1, neighborhood))
+    n_before = F.count(F.lit(1)).over(w.rowsBetween(-neighborhood, -1))
+    n_after = F.count(F.lit(1)).over(w.rowsBetween(1, neighborhood))
+    v = F.col(value_col).cast("double")
+    neigh = F.greatest(before, after).cast("double")
+    prom = v - neigh
+    return (
+        df.withColumn("_nb", n_before)
+        .withColumn("_na", n_after)
+        .withColumn("_neigh", neigh)
+        .withColumn("_prom", prom)
+        .filter(
+            (F.col("_nb") == neighborhood)
+            & (F.col("_na") == neighborhood)
+            & (v > F.col("_neigh"))
+            & (F.col("_prom") >= min_prominence)
+        )
+        .select(
+            F.col(group_col).alias("group"),
+            F.col(ts_col).alias("ts"),
+            v.alias("value"),
+            F.round("_prom", 6).alias("prominence"),
+        )
+    )

@@ -1159,3 +1159,47 @@ def test_path_flows_position_specific(spark):
     assert out == {(1, "a", "b"): 1, (1, "a", "c"): 1, (2, "b", "c"): 1}
     with pytest.raises(ValueError):
         path_flows(df, max_steps=0)
+
+
+def test_local_peaks_hand_computed(spark):
+    """Series 1 1 5 1 1 1 3 1 1: peak at 5 (prom 4) and 3 (prom 2);
+    edges never report; plateau 4 4 yields nothing."""
+    from moz_datapipeline_spark.operators.temporal import local_peaks
+
+    rows = [("a", t, v) for t, v in
+            enumerate([1.0, 1.0, 5.0, 1.0, 1.0, 1.0, 3.0, 1.0, 1.0])]
+    rows += [("b", t, v) for t, v in
+             enumerate([1.0, 1.0, 4.0, 4.0, 1.0, 1.0])]
+    df = spark.createDataFrame(rows, "g string, t long, v double")
+    out = {(r.group, r.ts): r.prominence for r in
+           local_peaks(df, "g", "t", "v", neighborhood=2).collect()}
+    assert out == {("a", 2): 4.0, ("a", 6): 2.0}
+    # min_prominence gates the smaller peak
+    gated = {(r.group, r.ts) for r in
+             local_peaks(df, "g", "t", "v", neighborhood=2,
+                         min_prominence=3.0).collect()}
+    assert gated == {("a", 2)}
+    with pytest.raises(ValueError):
+        local_peaks(df, "g", "t", "v", neighborhood=0)
+
+
+def test_trajectory_stats_hand_computed(spark):
+    """Out-and-back path: net ~0, straightness ~0; single point zeros."""
+    from moz_datapipeline_spark.functions.geo import haversine_km
+    from moz_datapipeline_spark.operators.geometry import trajectory_stats
+
+    rows = [
+        (1, 1, 0.0, 0.0), (1, 2, 1.0, 0.0), (1, 3, 0.0, 0.0),
+        (2, 1, 10.0, 10.0),
+    ]
+    df = spark.createDataFrame(rows, "entity int, ts long, lon double, lat double")
+    out = {r.entity: r for r in
+           trajectory_stats(df, entity_col="entity").collect()}
+    one_deg = 111.195  # ~km per degree longitude at the equator
+    assert out[1].n_points == 3
+    assert out[1].total_km == pytest.approx(2 * one_deg, rel=1e-3)
+    assert out[1].max_segment_km == pytest.approx(one_deg, rel=1e-3)
+    assert out[1].net_km == pytest.approx(0.0, abs=1e-6)
+    assert out[1].straightness == pytest.approx(0.0, abs=1e-6)
+    assert out[2].n_points == 1
+    assert out[2].total_km == 0.0 and out[2].straightness is None
