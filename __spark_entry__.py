@@ -6906,6 +6906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "path_flows": q_path_flows,
         "local_peaks": q_local_peaks,
         "trajectory_stats": q_trajectory_stats,
+        "prorate": q_prorate,
     }
 
 
@@ -15370,6 +15371,45 @@ FROM eaul_calc
         FROM agg
     """
 
+    sql["prorate"] = """
+        WITH iv AS (
+          SELECT o_orderkey AS id,
+                 CAST(date_diff('day', DATE '1970-01-01', o_orderdate)
+                      AS DOUBLE) AS s,
+                 CAST(date_diff('day', DATE '1970-01-01', o_orderdate)
+                      + o_orderkey % 30 AS DOUBLE) AS e,
+                 CAST(o_totalprice AS DOUBLE) AS a
+          FROM orders
+          WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+        ), marked AS (
+          SELECT id, s, e, a,
+                 CAST(floor(s / 30.0) AS BIGINT) AS lo,
+                 CASE WHEN e > s
+                      AND e = CAST(floor(e / 30.0) AS BIGINT) * 30.0
+                      THEN CAST(floor(e / 30.0) AS BIGINT) - 1
+                      ELSE CAST(floor(e / 30.0) AS BIGINT) END AS hi
+          FROM iv WHERE e >= s
+        ), exploded AS (
+          SELECT m.id, m.s, m.e, m.a, t.b
+          FROM marked m,
+               unnest(range(m.lo, greatest(m.hi, m.lo) + 1)) AS t(b)
+        ), alloc AS (
+          SELECT id, CAST(b AS DOUBLE) * 30.0 AS bucket_start,
+                 round(CASE WHEN e - s > 0
+                       THEN a * (least(e, CAST(b AS DOUBLE) * 30.0
+                                          + 30.0)
+                                 - greatest(s, CAST(b AS DOUBLE)
+                                               * 30.0))
+                            / (e - s)
+                       ELSE a END, 6) AS al
+          FROM exploded
+        )
+        SELECT bucket_start,
+               CAST(count(*) AS BIGINT) AS n_slices,
+               floor(sum(al) * 100 + 0.5) / 100 AS revenue
+        FROM alloc GROUP BY 1
+    """
+
     return sql
 
 
@@ -15881,4 +15921,36 @@ def q_trajectory_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         entity_col="user_id",
         ts_col="ts",
         tiebreak_col="event_id",
+    )
+
+
+def q_prorate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue calendarization: order amounts spread over 30-day
+    buckets proportional to each order's service interval
+    (operators/ranges.prorate_intervals — map-side sequence explode +
+    scalar arithmetic, zero shuffles before the caller's rollup),
+    rolled up per bucket.  VALUE oracle: identical half-open
+    proration in DuckDB."""
+    from moz_datapipeline_spark.operators.ranges import prorate_intervals
+
+    o = _t(spark, sf_dir, "orders")
+    iv = o.select(
+        F.col("o_orderkey").alias("id"),
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))
+        .cast("double")
+        .alias("start"),
+        (
+            F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))
+            + F.col("o_orderkey") % 30
+        )
+        .cast("double")
+        .alias("end"),
+        F.col("o_totalprice").alias("amount"),
+    )
+    out = prorate_intervals(iv, "start", "end", "amount", bucket_width=30.0)
+    return out.groupBy("bucket_start").agg(
+        F.count(F.lit(1)).alias("n_slices"),
+        (F.floor(F.sum("allocated") * 100 + F.lit(0.5)) / 100.0).alias(
+            "revenue"
+        ),
     )

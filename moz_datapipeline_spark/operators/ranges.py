@@ -996,3 +996,82 @@ def interval_overlap_join(
             - F.greatest("l_start", "r_start")
         ).alias("overlap"),
     )
+
+
+def prorate_intervals(
+    df: DataFrame,
+    start_col: str,
+    end_col: str,
+    amount_col: str,
+    bucket_width: float,
+    id_col: str = "id",
+) -> DataFrame:
+    """Calendarization / proration: ``(id, bucket_start, allocated)``
+    — each interval's amount spread over the ``bucket_width`` grid
+    proportional to overlap, HALF-OPEN ``[start, end)`` against
+    ``[b·w, (b+1)·w)`` so adjacent buckets partition exactly and the
+    allocations sum back to the amount (the revenue-recognition /
+    subscription-accrual primitive: "a 90-day contract booked Jan 15
+    recognizes how much in February?").
+
+    Zero-length intervals (start = end: point charges) allocate fully
+    to their containing bucket.  NULL bounds or amounts drop.  The
+    per-row bucket fan-out is span/width + 1 with the same loud
+    ``>= 1024``-bucket row-level raise as ``interval_overlap_join``
+    (a degenerate width fails fast, never explodes quietly).
+
+    Plan: pure map-side — one ``F.sequence`` explode and scalar
+    arithmetic; NO shuffle at all (callers roll up by bucket with
+    their own aggregate).  The invariant worth testing: Σ allocated
+    per id = amount (exact up to FP dust).
+    """
+    if bucket_width <= 0:
+        raise ValueError("prorate_intervals: bucket_width must be > 0")
+    w = float(bucket_width)
+    max_buckets = 1024
+    s = F.col(start_col).cast("double")
+    e = F.col(end_col).cast("double")
+    a = F.col(amount_col).cast("double")
+    lo = F.floor(s / w).cast("long")
+    hi_raw = F.floor(e / w).cast("long")
+    # half-open: an end exactly on a boundary contributes nothing to
+    # the bucket it opens
+    hi = F.when(
+        (e > s) & (e == hi_raw.cast("double") * w), hi_raw - 1
+    ).otherwise(hi_raw)
+    base = df.filter(
+        s.isNotNull() & e.isNotNull() & a.isNotNull() & (e >= s)
+    ).select(
+        F.col(id_col).alias("id"),
+        s.alias("_s"),
+        e.alias("_e"),
+        a.alias("_a"),
+        lo.alias("_lo"),
+        F.when(
+            hi - lo < F.lit(max_buckets), hi
+        )
+        .otherwise(
+            F.raise_error(
+                F.lit(
+                    "prorate_intervals: an interval spans >= "
+                    f"{max_buckets} buckets; raise bucket_width"
+                )
+            ).cast("long")
+        )
+        .alias("_hi"),
+    )
+    bucket = F.explode(
+        F.sequence(F.col("_lo"), F.greatest(F.col("_hi"), F.col("_lo")))
+    )
+    staged = base.withColumn("_b", bucket)
+    bs = F.col("_b").cast("double") * w
+    ov = F.least(F.col("_e"), bs + w) - F.greatest(F.col("_s"), bs)
+    dur = F.col("_e") - F.col("_s")
+    alloc = F.when(dur > 0, F.col("_a") * ov / dur).otherwise(
+        F.col("_a")
+    )
+    return staged.select(
+        "id",
+        bs.alias("bucket_start"),
+        F.round(alloc, 6).alias("allocated"),
+    )

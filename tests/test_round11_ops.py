@@ -1203,3 +1203,33 @@ def test_trajectory_stats_hand_computed(spark):
     assert out[1].straightness == pytest.approx(0.0, abs=1e-6)
     assert out[2].n_points == 1
     assert out[2].total_km == 0.0 and out[2].straightness is None
+
+
+def test_prorate_intervals_conserves_amount(spark):
+    from moz_datapipeline_spark.operators.ranges import prorate_intervals
+
+    rows = [
+        (1, 5.0, 25.0, 100.0),    # within one 30-bucket
+        (2, 25.0, 65.0, 80.0),    # spans buckets 0,1,2
+        (3, 30.0, 60.0, 90.0),    # exactly bucket 1 (half-open end)
+        (4, 7.0, 7.0, 55.0),      # point charge
+    ]
+    df = spark.createDataFrame(rows, "id long, start double, end double, amount double")
+    out = prorate_intervals(df, "start", "end", "amount", bucket_width=30.0)
+    per_id = {r.id: r.total for r in
+              out.groupBy("id").agg(F.sum("allocated").alias("total")).collect()}
+    assert per_id[1] == pytest.approx(100.0, abs=1e-6)
+    assert per_id[2] == pytest.approx(80.0, abs=1e-6)
+    assert per_id[3] == pytest.approx(90.0, abs=1e-6)
+    assert per_id[4] == pytest.approx(55.0, abs=1e-6)
+    rows3 = {(r.bucket_start): r.allocated
+             for r in out.filter(F.col("id") == 3).collect()}
+    # half-open [30,60) lives entirely in bucket 1 — no 60-bucket slice
+    assert rows3 == {30.0: 90.0}
+    rows2 = {r.bucket_start: r.allocated
+             for r in out.filter(F.col("id") == 2).collect()}
+    assert rows2[0.0] == pytest.approx(80.0 * 5 / 40)
+    assert rows2[30.0] == pytest.approx(80.0 * 30 / 40)
+    assert rows2[60.0] == pytest.approx(80.0 * 5 / 40)
+    with pytest.raises(ValueError):
+        prorate_intervals(df, "start", "end", "amount", bucket_width=0)
