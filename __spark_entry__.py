@@ -6907,6 +6907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "local_peaks": q_local_peaks,
         "trajectory_stats": q_trajectory_stats,
         "prorate": q_prorate,
+        "robust_scale": q_robust_scale,
     }
 
 
@@ -15410,6 +15411,32 @@ FROM eaul_calc
         FROM alloc GROUP BY 1
     """
 
+    sql["robust_scale"] = """
+        WITH base AS (
+          SELECT l_returnflag AS g,
+                 CAST(l_extendedprice AS DOUBLE) AS x
+          FROM lineitem WHERE l_extendedprice IS NOT NULL
+        ), med AS (
+          SELECT g, quantile_cont(x, 0.5) AS m FROM base GROUP BY 1
+        ), mad AS (
+          SELECT b.g, quantile_cont(abs(b.x - med.m), 0.5) AS d
+          FROM base b JOIN med ON b.g = med.g
+          GROUP BY b.g
+        ), z AS (
+          SELECT b.g,
+                 CASE WHEN mad.d > 0
+                 THEN round((b.x - med.m) / (1.4826 * mad.d), 6) END
+                   AS rz
+          FROM base b
+          JOIN med ON b.g = med.g
+          JOIN mad ON b.g = mad.g
+        )
+        SELECT g AS l_returnflag,
+               CAST(floor(rz) AS INTEGER) AS z_band,
+               CAST(count(*) AS BIGINT) AS n
+        FROM z GROUP BY 1, 2
+    """
+
     return sql
 
 
@@ -15954,3 +15981,20 @@ def q_prorate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue"
         ),
     )
+
+
+def q_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust z-score feature for l_extendedprice per return flag
+    (operators/features.robust_scale): grouped median/MAD via the
+    distributed histogram passes, constants inlined as literals, the
+    feature a pure codegen expression — profiled per (flag, z-band).
+    VALUE oracle: quantile_disc-free replay with quantile_cont
+    medians + the same banding in DuckDB."""
+    from moz_datapipeline_spark.operators.features import robust_scale
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = robust_scale(li, "l_extendedprice", group_col="l_returnflag")
+    band = F.floor(F.col("robust_z"))
+    return out.groupBy(
+        "l_returnflag", band.cast("int").alias("z_band")
+    ).agg(F.count(F.lit(1)).alias("n"))

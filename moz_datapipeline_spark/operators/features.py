@@ -285,3 +285,81 @@ def collapse_rare(
         .when(F.col("_cat").isNotNull(), F.col(category_col))
         .otherwise(F.lit(other_label)),
     ).drop("_cat")
+
+
+def robust_scale(
+    df: DataFrame,
+    column: str,
+    group_col: str | None = None,
+    out_col: str = "robust_z",
+) -> DataFrame:
+    """Robust z-score featurization: adds ``out_col`` =
+    ``(x − median) / (1.4826·MAD)`` (optionally per ``group_col``) —
+    the outlier-proof sibling of mean/std standardization: a single
+    fat-finger value shifts a mean-based z for EVERY row, but median
+    and MAD have 50% breakdown.  The scaling constants are the
+    train-time artifact (same philosophy as ``quantile_bin``'s cut
+    points); ``mad_outliers`` reports the outlier COUNTS, this
+    publishes the per-row feature.
+
+    Median and MAD come from ``ranges.exact_quantiles[_grouped]``
+    (distributed histogram selection) and inline as literals — the
+    scaled column is a pure codegen expression on the scan, zero
+    joins.  A zero-MAD slice (over half the values tied) yields a
+    NULL feature (no meaningful scale exists); NULL/NaN inputs stay
+    NULL.
+    """
+    from moz_datapipeline_spark.operators.ranges import (
+        exact_quantiles,
+        exact_quantiles_grouped,
+    )
+
+    x = F.col(column).cast("double")
+    base = df.filter(x.isNotNull() & ~F.isnan(x))
+    c = F.lit(1.4826)
+    if group_col is None:
+        med = exact_quantiles(base.select(x.alias("_x")), "_x", [0.5])
+        if med is None:
+            return df.withColumn(out_col, F.lit(None).cast("double"))
+        m = float(med[0])
+        mad = exact_quantiles(
+            base.select(F.abs(x - F.lit(m)).alias("_d")), "_d", [0.5]
+        )
+        sigma = c * F.lit(float(mad[0])) if mad else F.lit(None)
+        z = F.when(
+            x.isNotNull() & ~F.isnan(x) & (F.lit(mad[0] if mad else 0.0) > 0),
+            (x - F.lit(m)) / sigma,
+        )
+        return df.withColumn(out_col, F.round(z, 6))
+    med = exact_quantiles_grouped(
+        base.select(F.col(group_col).alias("_g"), x.alias("_x")),
+        "_g",
+        "_x",
+        [0.5],
+    )
+    if med is None:
+        raise ValueError(
+            "robust_scale: grouping too wide or empty "
+            "(exact_quantiles_grouped declined)"
+        )
+    g = F.col(group_col)
+    med_m = F.create_map(
+        *[cc for kk, v in med.items() for cc in (F.lit(kk), F.lit(v[0]))]
+    )
+    dev = base.select(
+        F.col(group_col).alias("_g"),
+        F.abs(x - F.element_at(med_m, g)).alias("_d"),
+    )
+    mad = exact_quantiles_grouped(dev, "_g", "_d", [0.5])
+    if mad is None:
+        raise ValueError("robust_scale: MAD pass declined")
+    mad_m = F.create_map(
+        *[cc for kk, v in mad.items() for cc in (F.lit(kk), F.lit(v[0]))]
+    )
+    m_g = F.element_at(med_m, g)
+    mad_g = F.element_at(mad_m, g)
+    z = F.when(
+        x.isNotNull() & ~F.isnan(x) & (mad_g > 0),
+        (x - m_g) / (c * mad_g),
+    )
+    return df.withColumn(out_col, F.round(z, 6))

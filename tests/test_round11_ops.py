@@ -1233,3 +1233,24 @@ def test_prorate_intervals_conserves_amount(spark):
     assert rows2[60.0] == pytest.approx(80.0 * 5 / 40)
     with pytest.raises(ValueError):
         prorate_intervals(df, "start", "end", "amount", bucket_width=0)
+
+
+def test_robust_scale_outlier_proof(spark):
+    """One 1e6 outlier barely moves the robust z of normal rows,
+    and itself scores huge; zero-MAD group yields NULL."""
+    from moz_datapipeline_spark.operators.features import robust_scale
+
+    rows = [("a", float(v)) for v in
+            [10, 11, 12, 13, 14, 15, 16, 17, 18, 1_000_000]]
+    rows += [("b", 5.0)] * 6  # all tied -> MAD 0
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {(r.g, r.v): r.robust_z
+           for r in robust_scale(df, "v", group_col="g").collect()}
+    # group a: median 14.5, MAD 2.5 -> z(14) ~ -0.1349
+    assert out[("a", 14.0)] == pytest.approx(-0.5 / (1.4826 * 2.5), abs=1e-4)
+    assert out[("a", 1_000_000.0)] > 1000
+    assert out[("b", 5.0)] is None
+    # ungrouped path
+    g = robust_scale(df.filter(F.col("g") == "a"), "v")
+    vals = {r.v: r.robust_z for r in g.collect()}
+    assert vals[14.0] == pytest.approx(-0.5 / (1.4826 * 2.5), abs=1e-4)
