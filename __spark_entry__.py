@@ -6908,6 +6908,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trajectory_stats": q_trajectory_stats,
         "prorate": q_prorate,
         "robust_scale": q_robust_scale,
+        "expectations": q_expectations,
     }
 
 
@@ -15437,6 +15438,47 @@ FROM eaul_calc
         FROM z GROUP BY 1, 2
     """
 
+    sql["expectations"] = """
+        WITH wide AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CASE WHEN NOT coalesce(
+                   l_orderkey IS NOT NULL, FALSE)
+                   THEN 1 ELSE 0 END) AS BIGINT) AS v0,
+                 CAST(sum(CASE WHEN NOT coalesce(
+                   CAST(l_quantity AS DOUBLE) > 0, FALSE)
+                   THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+                 CAST(sum(CASE WHEN NOT coalesce(
+                   CAST(l_discount AS DOUBLE) >= 0.0
+                   AND CAST(l_discount AS DOUBLE) <= 0.1, FALSE)
+                   THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+                 CAST(sum(CASE WHEN NOT coalesce(
+                   l_returnflag IN ('A', 'N', 'R'), FALSE)
+                   THEN 1 ELSE 0 END) AS BIGINT) AS v3,
+                 CAST(sum(CASE WHEN NOT coalesce(
+                   CAST(l_extendedprice AS DOUBLE) >= 900.0
+                   AND CAST(l_extendedprice AS DOUBLE) <= 200000.0,
+                   FALSE)
+                   THEN 1 ELSE 0 END) AS BIGINT) AS v4
+          FROM lineitem
+        )
+        SELECT r.rule, r.col AS "column", w.n AS n_rows,
+               CASE r.i WHEN 0 THEN w.v0 WHEN 1 THEN w.v1
+                        WHEN 2 THEN w.v2 WHEN 3 THEN w.v3
+                        ELSE w.v4 END AS n_violations,
+               round(1.0 - CAST(CASE r.i WHEN 0 THEN w.v0
+                                WHEN 1 THEN w.v1 WHEN 2 THEN w.v2
+                                WHEN 3 THEN w.v3 ELSE w.v4 END
+                           AS DOUBLE) / greatest(w.n, 1), 6)
+                 AS pass_rate
+        FROM wide w CROSS JOIN (
+          VALUES (0, 'not_null', 'l_orderkey'),
+                 (1, 'positive', 'l_quantity'),
+                 (2, 'in_range', 'l_discount'),
+                 (3, 'in_set', 'l_returnflag'),
+                 (4, 'in_range', 'l_extendedprice')
+        ) AS r(i, rule, col)
+    """
+
     return sql
 
 
@@ -15998,3 +16040,29 @@ def q_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy(
         "l_returnflag", band.cast("int").alias("z_band")
     ).agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate over lineitem: five expectations
+    folded into ONE conditional-sum pass
+    (operators/validation.expectations_report).  VALUE oracle:
+    identical predicates as CASE sums in DuckDB."""
+    from moz_datapipeline_spark.operators.validation import (
+        expect_in_range,
+        expect_in_set,
+        expect_not_null,
+        expect_positive,
+        expectations_report,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    return expectations_report(
+        li,
+        [
+            expect_not_null("l_orderkey"),
+            expect_positive("l_quantity"),
+            expect_in_range("l_discount", 0.0, 0.1),
+            expect_in_set("l_returnflag", ["A", "N", "R"]),
+            expect_in_range("l_extendedprice", 900.0, 200000.0),
+        ],
+    )

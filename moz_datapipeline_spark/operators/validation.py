@@ -1573,3 +1573,76 @@ def dataset_diff(
     return wide.selectExpr(
         f"stack({len(names)}, {stack}) as (metric, n)"
     )
+
+
+def expectations_report(
+    df: DataFrame,
+    rules: list[tuple[str, str, Column]],
+) -> DataFrame:
+    """Declarative data-quality gate: ``(rule, column, n_rows,
+    n_violations, pass_rate)`` — each rule is ``(name, column,
+    predicate_column)`` where the predicate is TRUE for conforming
+    rows (build them with the ``expect_*`` helpers below or any
+    Column).  The generic expectations runner over the engine's
+    specific audits (``fk_integrity`` checks keys, ``release_drift``
+    checks distributions; this checks whatever the pipeline owner
+    declares).
+
+    ALL rules fold into ONE conditional-sum aggregate — one data
+    pass, map-side combined, output is rules-sized.  NULL predicate
+    results count as violations (an expectation that cannot evaluate
+    did not pass).
+    """
+    if not rules:
+        raise ValueError("expectations_report: need at least one rule")
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for i, (_, _, pred) in enumerate(rules):
+        aggs.append(
+            F.sum(
+                (~F.coalesce(pred, F.lit(False))).cast("long")
+            ).alias(f"_v{i}")
+        )
+    wide = df.agg(*aggs)
+    parts = ", ".join(
+        f"'{name}', '{col}', `_v{i}`"
+        for i, (name, col, _) in enumerate(rules)
+    )
+    long = wide.selectExpr(
+        "_n",
+        f"stack({len(rules)}, {parts}) as (rule, column, n_violations)",
+    )
+    return long.select(
+        "rule",
+        "column",
+        F.col("_n").alias("n_rows"),
+        "n_violations",
+        F.round(
+            F.lit(1.0)
+            - F.col("n_violations").cast("double")
+            / F.greatest(F.col("_n"), F.lit(1)).cast("double"),
+            6,
+        ).alias("pass_rate"),
+    )
+
+
+def expect_not_null(col: str) -> tuple[str, str, Column]:
+    return ("not_null", col, F.col(col).isNotNull())
+
+
+def expect_in_range(
+    col: str, lo: float, hi: float
+) -> tuple[str, str, Column]:
+    c = F.col(col).cast("double")
+    return ("in_range", col, (c >= lo) & (c <= hi))
+
+
+def expect_in_set(col: str, values: list) -> tuple[str, str, Column]:
+    return ("in_set", col, F.col(col).isin(values))
+
+
+def expect_matches(col: str, pattern: str) -> tuple[str, str, Column]:
+    return ("matches", col, F.col(col).cast("string").rlike(pattern))
+
+
+def expect_positive(col: str) -> tuple[str, str, Column]:
+    return ("positive", col, F.col(col).cast("double") > 0)

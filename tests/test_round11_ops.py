@@ -1254,3 +1254,29 @@ def test_robust_scale_outlier_proof(spark):
     g = robust_scale(df.filter(F.col("g") == "a"), "v")
     vals = {r.v: r.robust_z for r in g.collect()}
     assert vals[14.0] == pytest.approx(-0.5 / (1.4826 * 2.5), abs=1e-4)
+
+
+def test_expectations_report_counts_and_null_policy(spark):
+    from moz_datapipeline_spark.operators.validation import (
+        expect_in_range,
+        expect_not_null,
+        expectations_report,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, None), (3, 50.0), (None, 2.0)],
+        "k int, v double",
+    )
+    out = {r.rule + ":" + r.column: r for r in expectations_report(
+        df,
+        [expect_not_null("k"), expect_in_range("v", 0.0, 10.0)],
+    ).collect()}
+    nn = out["not_null:k"]
+    assert nn.n_rows == 4 and nn.n_violations == 1
+    rng = out["in_range:v"]
+    # NULL v cannot evaluate -> violation; 50 out of range -> 2 total
+    assert rng.n_violations == 2
+    assert rng.pass_rate == pytest.approx(0.5)
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        expectations_report(df, [])
