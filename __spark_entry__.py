@@ -6909,6 +6909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prorate": q_prorate,
         "robust_scale": q_robust_scale,
         "expectations": q_expectations,
+        "item_similarity": q_item_similarity,
     }
 
 
@@ -15479,6 +15480,43 @@ FROM eaul_calc
         ) AS r(i, rule, col)
     """
 
+    sql["item_similarity"] = """
+        WITH e AS (
+          SELECT DISTINCT CAST(o_custkey AS BIGINT) AS u,
+                          CAST(l_partkey % 200 AS BIGINT) AS i
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        ), deg AS (
+          SELECT i, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY 1
+        ), pairs AS (
+          SELECT a.i AS ia, b.i AS ib,
+                 CAST(count(*) AS BIGINT) AS w
+          FROM e a JOIN e b ON a.u = b.u AND a.i < b.i
+          GROUP BY 1, 2
+        ), sym AS (
+          SELECT ia AS item, ib AS neighbor, w FROM pairs
+          UNION ALL
+          SELECT ib, ia, w FROM pairs
+        ), scored AS (
+          SELECT s.item, s.neighbor, s.w,
+                 CAST(s.w AS DOUBLE)
+                 / sqrt(CAST(da.d AS DOUBLE) * CAST(db.d AS DOUBLE))
+                   AS c
+          FROM sym s
+          JOIN deg da ON s.item = da.i
+          JOIN deg db ON s.neighbor = db.i
+        )
+        SELECT item, neighbor, w AS weight,
+               round(c, 6) AS cosine,
+               CAST(rk AS BIGINT) AS rank
+        FROM (
+          SELECT item, neighbor, w, c,
+                 row_number() OVER (PARTITION BY item
+                                    ORDER BY c DESC, neighbor ASC)
+                   AS rk
+          FROM scored
+        ) WHERE rk <= 5
+    """
+
     return sql
 
 
@@ -16066,3 +16104,24 @@ def q_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
             expect_in_range("l_extendedprice", 900.0, 200000.0),
         ],
     )
+
+
+def q_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """"Customers who bought X also bought": top-5 cosine item
+    neighbors per part over customer↔part purchase edges
+    (graph/aggregate.item_similarity — the projection's in-task pair
+    plan + broadcast degree join + WindowGroupLimit; cap disabled
+    here so the oracle replays exactly).  VALUE oracle: self-join
+    pair counts + identical cosine + row_number in DuckDB."""
+    from moz_datapipeline_spark.graph.aggregate import item_similarity
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    edges = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.col("o_custkey").cast("long").alias("user"),
+            (F.col("l_partkey") % 200).cast("long").alias("item"),
+        )
+    )
+    return item_similarity(edges, k=5, max_user_degree=None)

@@ -13,7 +13,7 @@ Reference parity: extension surface; the join idiom follows
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -166,5 +166,86 @@ def bipartite_projection(
                 ),
                 6,
             ).alias("jaccard"),
+        )
+    )
+
+
+def item_similarity(
+    edges: DataFrame,
+    user_col: str = "user",
+    item_col: str = "item",
+    k: int = 10,
+    max_user_degree: int | None = 1000,
+    min_weight: int = 1,
+) -> DataFrame:
+    """Item-item collaborative-filtering neighbors: ``(item, neighbor,
+    weight, cosine, rank)`` — the top-``k`` most co-consumed items per
+    item, cosine = shared_users / √(deg_a·deg_b) over the deduped
+    user-item edge set.  The "customers who bought X also bought"
+    readout, built on ``bipartite_projection``'s in-task pair
+    generation (never an all-pairs join; ``max_user_degree`` drops
+    mega-hub users exactly like the projection's right-degree cap —
+    a user who bought everything says nothing about any pair).
+
+    Plan: the projection's one-exchange pair plan, an item-sized
+    degree join (broadcast-eligible), pair symmetrization (a map-side
+    union — each undirected pair serves both directions), and a
+    per-item WindowGroupLimit top-k (ties break on the neighbor id).
+    """
+    if k < 1:
+        raise ValueError("item_similarity: k must be >= 1")
+    proj = bipartite_projection(
+        edges,
+        src=item_col,
+        dst=user_col,
+        max_right_degree=max_user_degree,
+        min_weight=min_weight,
+    )
+    deg = (
+        edges.select(
+            F.col(item_col).alias("_i"), F.col(user_col).alias("_u")
+        )
+        .distinct()
+        .groupBy("_i")
+        .agg(F.count(F.lit(1)).alias("_deg"))
+    )
+    pairs = proj.select("node_a", "node_b", "weight").unionByName(
+        proj.select(
+            F.col("node_b").alias("node_a"),
+            F.col("node_a").alias("node_b"),
+            "weight",
+        )
+    )
+    j = (
+        pairs.join(
+            F.broadcast(deg.withColumnRenamed("_i", "node_a")).withColumnRenamed(
+                "_deg", "_da"
+            ),
+            "node_a",
+        )
+        .join(
+            F.broadcast(deg.withColumnRenamed("_i", "node_b")).withColumnRenamed(
+                "_deg", "_db"
+            ),
+            "node_b",
+        )
+        .withColumn(
+            "_cos",
+            F.col("weight").cast("double")
+            / F.sqrt(F.col("_da").cast("double") * F.col("_db").cast("double")),
+        )
+    )
+    w = Window.partitionBy("node_a").orderBy(
+        F.col("_cos").desc(), F.col("node_b").asc()
+    )
+    return (
+        j.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("node_a").alias("item"),
+            F.col("node_b").alias("neighbor"),
+            "weight",
+            F.round("_cos", 6).alias("cosine"),
+            "rank",
         )
     )

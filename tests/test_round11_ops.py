@@ -1280,3 +1280,23 @@ def test_expectations_report_counts_and_null_policy(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         expectations_report(df, [])
+
+
+def test_item_similarity_hand_computed(spark):
+    """Users {1: AB, 2: AB, 3: AC}: cos(A,B) = 2/sqrt(3*2),
+    cos(A,C) = 1/sqrt(3*1), cos(B,C) = 0 (no shared user -> no row)."""
+    from moz_datapipeline_spark.graph.aggregate import item_similarity
+    import math
+
+    rows = [(1, "A"), (1, "B"), (2, "A"), (2, "B"), (3, "A"), (3, "C")]
+    df = spark.createDataFrame(rows, "user int, item string")
+    out = {(r.item, r.neighbor): r for r in
+           item_similarity(df, k=5, max_user_degree=None).collect()}
+    assert out[("A", "B")].cosine == pytest.approx(2 / math.sqrt(6), abs=1e-6)
+    assert out[("A", "C")].cosine == pytest.approx(1 / math.sqrt(3), abs=1e-6)
+    assert out[("B", "A")].weight == 2
+    assert ("B", "C") not in out
+    # per-item ranking: A's best neighbor is B
+    assert out[("A", "B")].rank == 1 and out[("A", "C")].rank == 2
+    with pytest.raises(ValueError):
+        item_similarity(df, k=0)
