@@ -582,10 +582,17 @@ def test_ks_drift_no_global_single_partition_window(spark, sf_dir):
     # the single-partition trap.  ks_test materializes internally, so
     # inspect the component frames via a small run instead: the
     # operator must leave no cached RDDs and return one row.
-    base = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    before = {
+        r.id() for r in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    }
     out = ks_test(a, b, "l_extendedprice")
     assert out.count() == 1
-    assert len(spark.sparkContext._jsc.sc().getRDDStorageInfo()) == base
+    # id-set difference, not a raw count: concurrent tests in the
+    # shared session may unpersist THEIR caches between the two reads
+    after = {
+        r.id() for r in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    }
+    assert not (after - before)
 
 
 def test_dirichlet_lm_broadcast_and_topk(spark, sf_dir):

@@ -897,7 +897,7 @@ def test_touch_attribution_models_hand_computed(spark):
                               tiebreak_col="ts").collect()}
     assert last == {"view": 1.0, "click": 1.0}
     with pytest.raises(ValueError):
-        touch_attribution(df, "buy", model="u_shaped")
+        touch_attribution(df, "buy", model="quadratic")
 
 
 def test_touch_attribution_conversion_without_touches(spark):
