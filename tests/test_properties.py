@@ -424,3 +424,134 @@ def test_split_corpus_is_a_partition(spark, n, fracs):
     out = split_corpus(df, fr).collect()
     assert len(out) == n
     assert all(r.split in fr for r in out)
+
+
+@settings(**SETTINGS)
+@given(
+    ivs=st.lists(
+        st.tuples(
+            st.floats(min_value=0.0, max_value=500.0, allow_nan=False),
+            st.floats(min_value=0.0, max_value=200.0, allow_nan=False),
+            st.floats(min_value=0.01, max_value=1e4, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+)
+def test_prorate_conserves_every_amount(spark, ivs):
+    """Σ allocated per interval == amount, for arbitrary intervals and
+    the half-open grid."""
+    from moz_datapipeline_spark.operators.ranges import prorate_intervals
+
+    rows = [
+        (i, s, s + span, a) for i, (s, span, a) in enumerate(ivs)
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, start double, end double, amount double"
+    )
+    out = (
+        prorate_intervals(df, "start", "end", "amount", bucket_width=30.0)
+        .groupBy("id")
+        .agg({"allocated": "sum"})
+        .collect()
+    )
+    got = {r["id"]: r["sum(allocated)"] for r in out}
+    for i, (s, span, a) in enumerate(ivs):
+        assert got[i] == pytest.approx(a, rel=1e-6, abs=1e-4), (i, s, span, a)
+
+
+@settings(**SETTINGS)
+@given(
+    left=st.lists(
+        st.tuples(
+            st.floats(min_value=-100.0, max_value=100.0, allow_nan=False),
+            st.floats(min_value=0.0, max_value=50.0, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=15,
+    ),
+    right=st.lists(
+        st.tuples(
+            st.floats(min_value=-100.0, max_value=100.0, allow_nan=False),
+            st.floats(min_value=0.0, max_value=50.0, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=15,
+    ),
+)
+def test_interval_overlap_join_equals_brute_force(spark, left, right):
+    from moz_datapipeline_spark.operators.ranges import interval_overlap_join
+
+    lf = spark.createDataFrame(
+        [(i, s, s + d) for i, (s, d) in enumerate(left)],
+        "id long, start double, end double",
+    )
+    rf = spark.createDataFrame(
+        [(i, s, s + d) for i, (s, d) in enumerate(right)],
+        "id long, start double, end double",
+    )
+    got = {
+        (r.left_id, r.right_id)
+        for r in interval_overlap_join(lf, rf, bucket_width=13.0).collect()
+    }
+    want = set()
+    for i, (ls, ld) in enumerate(left):
+        for j, (rs, rd) in enumerate(right):
+            if ls <= rs + rd and rs <= ls + ld:
+                want.add((i, j))
+    assert got == want
+
+
+@settings(**SETTINGS)
+@given(
+    seqs=st.lists(
+        st.lists(st.sampled_from("abc"), min_size=1, max_size=12),
+        min_size=1,
+        max_size=8,
+    ),
+)
+def test_state_durations_partition_property(spark, seqs):
+    """Runs partition the events: Σ n_events == rows; adjacent runs of
+    one entity never share a state boundary timestamp ordering."""
+    from moz_datapipeline_spark.operators.temporal import state_durations
+
+    rows = [
+        (u, t, s) for u, seq in enumerate(seqs) for t, s in enumerate(seq)
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts long, event_type string")
+    runs = state_durations(df, tiebreak_col="ts").collect()
+    assert sum(r.n_events for r in runs) == len(rows)
+    # reconstruct each entity's timeline from runs: contiguous,
+    # alternating states at the boundaries
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for r in runs:
+        per[r.entity].append(r)
+    for u, rs in per.items():
+        rs.sort(key=lambda r: r.run_start)
+        for x, y in zip(rs, rs[1:]):
+            assert x.run_end < y.run_start
+            assert x.state != y.state or x.run_end + 1 < y.run_start
+
+
+@settings(**SETTINGS)
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.floats(min_value=-170.0, max_value=170.0, allow_nan=False),
+            st.floats(min_value=-80.0, max_value=80.0, allow_nan=False),
+        ),
+        min_size=2,
+        max_size=20,
+    ),
+)
+def test_trajectory_triangle_inequality(spark, pts):
+    """net displacement never exceeds total path length (+FP dust)."""
+    from moz_datapipeline_spark.operators.geometry import trajectory_stats
+
+    rows = [(1, t, lon, lat) for t, (lon, lat) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "entity int, ts long, lon double, lat double")
+    r = trajectory_stats(df, entity_col="entity").collect()[0]
+    assert r.net_km <= r.total_km + 1e-6
+    assert r.max_segment_km <= r.total_km + 1e-6
