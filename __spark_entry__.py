@@ -6910,6 +6910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robust_scale": q_robust_scale,
         "expectations": q_expectations,
         "item_similarity": q_item_similarity,
+        "weighted_quantiles": q_weighted_quantiles,
     }
 
 
@@ -15517,6 +15518,32 @@ FROM eaul_calc
         ) WHERE rk <= 5
     """
 
+    sql["weighted_quantiles"] = """
+        WITH base AS (
+          SELECT l_returnflag AS g,
+                 CAST(l_extendedprice AS DOUBLE) AS v,
+                 CAST(l_quantity AS DOUBLE) AS w
+          FROM lineitem
+          WHERE l_extendedprice IS NOT NULL
+            AND l_quantity IS NOT NULL AND l_quantity > 0
+        ), marked AS (
+          SELECT g, v,
+                 sum(w) OVER (PARTITION BY g ORDER BY v
+                              RANGE BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cw,
+                 sum(w) OVER (PARTITION BY g) AS tw
+          FROM base
+        ), probs AS (
+          SELECT unnest([0.25, 0.5, 0.75, 0.9]) AS prob
+        )
+        SELECT m.g AS l_returnflag, p.prob,
+               min(m.v) AS value,
+               round(min(m.tw), 2) AS total_weight
+        FROM marked m CROSS JOIN probs p
+        WHERE m.cw >= p.prob * m.tw
+        GROUP BY 1, 2
+    """
+
     return sql
 
 
@@ -16125,3 +16152,24 @@ def q_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return item_similarity(edges, k=5, max_user_degree=None)
+
+
+def q_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted price quartiles per return flag
+    (operators/indicators.weighted_quantiles): one tie-safe RANGE-
+    frame cumulative-weight window + |probs| explode on the marked
+    frame — the weighted_median generalization.  VALUE oracle:
+    identical cumulative windows in DuckDB."""
+    from moz_datapipeline_spark.operators.indicators import weighted_quantiles
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = weighted_quantiles(
+        li, "l_returnflag", "l_extendedprice", "l_quantity",
+        probs=[0.25, 0.5, 0.75, 0.9],
+    )
+    return out.select(
+        "l_returnflag",
+        "prob",
+        "value",
+        F.round("total_weight", 2).alias("total_weight"),
+    )

@@ -230,3 +230,60 @@ def weighted_median(
         )
         .withColumnRenamed("grp", group_col)
     )
+
+
+def weighted_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    weight_col: str,
+    probs: list[float],
+) -> DataFrame:
+    """Weighted quantiles per group: for each ``p`` the smallest value
+    whose cumulative weight reaches ``p``·total — ``(group, prob,
+    value, total_weight)``.  Generalizes ``weighted_median`` (its
+    ``probs=[0.5]``): survey-weighted percentiles, duration-weighted
+    p90 speeds, exposure-weighted risk cutoffs.
+
+    Same tie-safe plan as the median — ONE per-group RANGE-frame
+    cumulative-weight window (equal values share one cumulative
+    count, so the answer never depends on their internal order), then
+    a constant-width prob explode and a min-filter aggregate per
+    (group, prob).  All shuffles hash on the group key; the explode
+    multiplies the rollup by |probs|, not the data.  Rows with NULL
+    or non-positive weight are excluded.
+    """
+    if not probs or not all(0.0 < p <= 1.0 for p in probs):
+        raise ValueError(
+            "weighted_quantiles: probs must be within (0, 1]"
+        )
+    v = F.col(value_col).cast("double")
+    w = F.col(weight_col).cast("double")
+    base = df.filter(
+        v.isNotNull() & w.isNotNull() & (w > 0)
+    ).select(F.col(group_col).alias("grp"), v.alias("_v"), w.alias("_w"))
+    cum = (
+        Window.partitionBy("grp")
+        .orderBy("_v")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = Window.partitionBy("grp")
+    marked = base.select(
+        "grp",
+        "_v",
+        F.sum("_w").over(cum).alias("_cw"),
+        F.sum("_w").over(tot).alias("_tw"),
+    )
+    pl = F.explode(
+        F.array(*[F.lit(float(p)) for p in sorted(set(probs))])
+    ).alias("prob")
+    return (
+        marked.select("grp", "_v", "_cw", "_tw", pl)
+        .filter(F.col("_cw") >= F.col("prob") * F.col("_tw"))
+        .groupBy("grp", "prob")
+        .agg(
+            F.min("_v").alias("value"),
+            F.first("_tw").alias("total_weight"),
+        )
+        .withColumnRenamed("grp", group_col)
+    )

@@ -1300,3 +1300,27 @@ def test_item_similarity_hand_computed(spark):
     assert out[("A", "B")].rank == 1 and out[("A", "C")].rank == 2
     with pytest.raises(ValueError):
         item_similarity(df, k=0)
+
+
+def test_weighted_quantiles_hand_computed(spark):
+    """Values 1..4 with weights 1,1,2,4 (total 8): p25 -> cum>=2 at
+    v=2; p50 -> cum>=4 at v=3; p75 -> cum>=6 at v=4; p=1 -> max."""
+    from moz_datapipeline_spark.operators.indicators import weighted_quantiles
+
+    rows = [("g", 1.0, 1.0), ("g", 2.0, 1.0), ("g", 3.0, 2.0),
+            ("g", 4.0, 4.0)]
+    df = spark.createDataFrame(rows, "grp string, v double, w double")
+    out = {r.prob: r.value for r in
+           weighted_quantiles(df, "grp", "v", "w",
+                              probs=[0.25, 0.5, 0.75, 1.0]).collect()}
+    assert out == {0.25: 2.0, 0.5: 3.0, 0.75: 4.0, 1.0: 4.0}
+    # ties share one cumulative step: equal values are order-safe
+    tied = spark.createDataFrame(
+        [("g", 5.0, 1.0)] * 4 + [("g", 9.0, 1.0)],
+        "grp string, v double, w double",
+    )
+    t = {r.prob: r.value for r in
+         weighted_quantiles(tied, "grp", "v", "w", probs=[0.5]).collect()}
+    assert t[0.5] == 5.0
+    with pytest.raises(ValueError):
+        weighted_quantiles(df, "grp", "v", "w", probs=[0.0])
