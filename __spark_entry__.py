@@ -6911,6 +6911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "expectations": q_expectations,
         "item_similarity": q_item_similarity,
         "weighted_quantiles": q_weighted_quantiles,
+        "conversion_paths": q_conversion_paths,
     }
 
 
@@ -15544,6 +15545,30 @@ FROM eaul_calc
         GROUP BY 1, 2
     """
 
+    sql["conversion_paths"] = """
+        WITH base AS (
+          SELECT user_id AS u, epoch_ns(ts) AS ts, event_id AS tb,
+                 event_type AS t
+          FROM events
+        ), conv AS (
+          SELECT u, min({'ts': ts, 'tb': tb}) AS cf
+          FROM base WHERE t = 'purchase' GROUP BY 1
+        ), pref AS (
+          SELECT b.u, b.ts, b.tb, b.t,
+                 row_number() OVER (PARTITION BY b.u
+                                    ORDER BY b.ts ASC, b.tb ASC)
+                   AS rn
+          FROM base b JOIN conv c ON b.u = c.u
+          WHERE {'ts': b.ts, 'tb': b.tb} <= c.cf
+        ), per AS (
+          SELECT u,
+                 string_agg(t, '>' ORDER BY ts ASC, tb ASC) AS path
+          FROM pref WHERE rn <= 5 GROUP BY u
+        )
+        SELECT path, CAST(count(*) AS BIGINT) AS n_users
+        FROM per GROUP BY path
+    """
+
     return sql
 
 
@@ -16172,4 +16197,19 @@ def q_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "prob",
         "value",
         F.round("total_weight", 2).alias("total_weight"),
+    )
+
+
+def q_conversion_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top journeys into first purchase, 5 steps
+    (operators/analytics.conversion_paths): conditional min-struct
+    first-conversion fold + prefix filter + per-user JVM
+    sort/slice/concat, path-sized rollup.  VALUE oracle: identical
+    prefix + ordered string_agg in DuckDB."""
+    from moz_datapipeline_spark.operators.analytics import conversion_paths
+
+    e = _events(spark, sf_dir)
+    return conversion_paths(
+        e, conversion_type="purchase", max_steps=5,
+        tiebreak_col="event_id",
     )

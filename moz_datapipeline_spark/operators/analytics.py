@@ -3762,3 +3762,69 @@ def path_flows(
         .groupBy("step", "from_type", "to_type")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+def conversion_paths(
+    events: DataFrame,
+    conversion_type: str,
+    max_steps: int = 5,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str | None = None,
+    sep: str = ">",
+) -> DataFrame:
+    """Top conversion journeys: ``(path, n_users)`` — for each user
+    who converts, the ordered sequence of their first ``max_steps``
+    events up to and including their FIRST conversion, joined into a
+    path string and counted across users.  The whole-journey
+    complement to ``path_flows`` (step marginals) and
+    ``touch_attribution`` (credit): "what do the top paths into
+    purchase actually look like?".
+
+    Users who never convert contribute nothing; a journey longer than
+    ``max_steps`` keeps its first ``max_steps`` events (truncated
+    paths simply don't end in the conversion type — visible, not
+    hidden).  Ordering ties break on ``tiebreak_col``.
+
+    Plan: a conditional min-struct fold finds each user's first
+    conversion (one user rollup), an inner join keeps converting
+    users' prefix events (struct ≤ comparison — lexicographic, exact),
+    one per-user sort_array+slice builds the path JVM-side (no window
+    needed: the per-user collect is bounded by the user's event
+    count), then a path-sized count rollup.
+    """
+    if max_steps < 1:
+        raise ValueError("conversion_paths: max_steps must be >= 1")
+    tb = F.col(tiebreak_col) if tiebreak_col else F.col(type_col)
+    base = events.select(
+        F.col(user_col).alias("_u"),
+        F.col(ts_col).alias("_ts"),
+        tb.alias("_tb"),
+        F.col(type_col).alias("_t"),
+    )
+    conv = (
+        base.filter(F.col("_t") == conversion_type)
+        .groupBy("_u")
+        .agg(F.min(F.struct("_ts", "_tb")).alias("_cf"))
+    )
+    j = base.join(conv, "_u").filter(
+        F.struct("_ts", "_tb") <= F.col("_cf")
+    )
+    per = j.groupBy("_u").agg(
+        F.slice(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("_ts", "_tb", "_t"))
+                ),
+                lambda s: s["_t"],
+            ),
+            1,
+            max_steps,
+        ).alias("_steps")
+    )
+    return (
+        per.select(F.concat_ws(sep, "_steps").alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

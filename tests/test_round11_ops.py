@@ -1324,3 +1324,26 @@ def test_weighted_quantiles_hand_computed(spark):
     assert t[0.5] == 5.0
     with pytest.raises(ValueError):
         weighted_quantiles(df, "grp", "v", "w", probs=[0.0])
+
+
+def test_conversion_paths_hand_computed(spark):
+    from moz_datapipeline_spark.operators.analytics import conversion_paths
+
+    rows = [
+        (1, 1, "view"), (1, 2, "click"), (1, 3, "buy"), (1, 4, "view"),
+        (2, 1, "view"), (2, 2, "click"), (2, 3, "buy"),
+        (3, 1, "view"),                      # never converts
+        (4, 1, "a"), (4, 2, "b"), (4, 3, "c"), (4, 4, "d"),
+        (4, 5, "e"), (4, 6, "buy"),          # journey longer than cap
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts long, event_type string")
+    out = {r.path: r.n_users for r in
+           conversion_paths(df, "buy", max_steps=5,
+                            tiebreak_col="ts").collect()}
+    # users 1 and 2 share the same journey; post-conversion events drop
+    assert out["view>click>buy"] == 2
+    # truncated journey keeps first 5 steps and doesn't end in 'buy'
+    assert out["a>b>c>d>e"] == 1
+    assert len(out) == 2  # user 3 contributes nothing
+    with pytest.raises(ValueError):
+        conversion_paths(df, "buy", max_steps=0)
