@@ -6912,6 +6912,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "item_similarity": q_item_similarity,
         "weighted_quantiles": q_weighted_quantiles,
         "conversion_paths": q_conversion_paths,
+        "lexical_diversity": q_lexical_diversity,
+        "weibull_fit": q_weibull_fit,
     }
 
 
@@ -15569,6 +15571,106 @@ FROM eaul_calc
         FROM per GROUP BY path
     """
 
+    sql["lexical_diversity"] = """
+        WITH tok AS (
+          SELECT doc_id AS id,
+                 CASE WHEN trim(text) = '' THEN
+                   CAST([] AS VARCHAR[])
+                 ELSE string_split_regex(lower(trim(text)), '\\s+')
+                 END AS l
+          FROM documents
+        ), hap AS (
+          SELECT id,
+                 CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS h
+          FROM (
+            SELECT t.id, u.w, count(*) AS c
+            FROM tok t, unnest(t.l) AS u(w)
+            GROUP BY 1, 2
+          ) GROUP BY id
+        )
+        SELECT t.id,
+               CAST(len(t.l) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(t.l)) AS BIGINT) AS n_types,
+               round(CASE WHEN len(t.l) > 0
+                     THEN CAST(len(list_distinct(t.l)) AS DOUBLE)
+                          / len(t.l) END, 6) AS type_token_ratio,
+               round(CASE WHEN len(list_distinct(t.l)) > 0
+                     THEN CAST(coalesce(hap.h, 0) AS DOUBLE)
+                          / len(list_distinct(t.l)) END, 6)
+                 AS hapax_frac
+        FROM tok t LEFT JOIN hap ON t.id = hap.id
+    """
+
+    sql["weibull_fit"] = """
+        WITH spans AS (
+          SELECT user_id,
+                 min(epoch_ns(ts) // 86400000000000) AS f,
+                 max(epoch_ns(ts) // 86400000000000) AS l
+          FROM events GROUP BY 1
+        ), edge AS (
+          SELECT max(epoch_ns(ts) // 86400000000000) AS e FROM events
+        ), subj AS (
+          SELECT CAST(l - f AS DOUBLE) AS t,
+                 CASE WHEN l < e - 3 THEN 1 ELSE 0 END AS ev
+          FROM spans CROSS JOIN edge
+        ), per AS (
+          SELECT t, CAST(sum(ev) AS BIGINT) AS d,
+                 CAST(count(*) - sum(ev) AS BIGINT) AS c
+          FROM subj GROUP BY 1
+        ), staged AS (
+          SELECT t, d, c,
+                 CAST(sum(d + c) OVER () -
+                      coalesce(sum(d + c) OVER (
+                        ORDER BY t ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS BIGINT) AS n
+          FROM per
+        ), km AS (
+          SELECT t,
+                 round(CASE WHEN max(CASE WHEN d = n THEN 1 ELSE 0 END)
+                              OVER (ORDER BY t ASC
+                                    ROWS UNBOUNDED PRECEDING) = 1
+                       THEN 0.0
+                       ELSE exp(sum(CASE WHEN d > 0 AND d < n
+                                 THEN ln(1.0 - CAST(d AS DOUBLE) / n)
+                                 ELSE 0.0 END)
+                                OVER (ORDER BY t ASC
+                                      ROWS UNBOUNDED PRECEDING))
+                       END, 6) AS survival
+          FROM staged
+        ), pts AS (
+          SELECT ln(t) AS x, ln(-ln(survival)) AS y
+          FROM km WHERE survival > 0 AND survival < 1 AND t > 0
+        ), m AS (
+          SELECT CAST(count(*) AS DOUBLE) AS n,
+                 sum(y) AS sy, sum(y * y) AS syy,
+                 sum(x) AS s1, sum(x * y) AS s1y,
+                 sum(x * x) AS s11
+          FROM pts
+        ), solved AS (
+          SELECT n, sy, syy, s1y,
+                 CASE WHEN abs(n * s11 - s1 * s1) > 1e-9
+                 THEN (sy * s11 - s1 * s1y)
+                      / (n * s11 - s1 * s1) END AS b0r,
+                 CASE WHEN abs(n * s11 - s1 * s1) > 1e-9
+                 THEN (n * s1y - s1 * sy)
+                      / (n * s11 - s1 * s1) END AS b1r,
+                 syy - sy * sy / n AS sst
+          FROM m
+        )
+        SELECT round(round(b1r, 6), 6) AS shape,
+               round(CASE WHEN round(b1r, 6) IS NOT NULL
+                          AND round(b1r, 6) <> 0
+                     THEN exp(-round(b0r, 6) / round(b1r, 6)) END, 6)
+                 AS scale,
+               CAST(n AS BIGINT) AS n_points,
+               round(CASE WHEN sst > 1e-12 THEN
+                 1.0 - (syy - b0r * sy - b1r * s1y) / sst
+               END, 6) AS r2
+        FROM solved
+    """
+
     return sql
 
 
@@ -16213,3 +16315,34 @@ def q_conversion_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, conversion_type="purchase", max_steps=5,
         tiebreak_col="event_id",
     )
+
+
+def q_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-token ratio + hapax fraction per document
+    (operators/text.lexical_diversity): one split, JVM array folds,
+    one doc-keyed explode for the hapax rollup.  VALUE oracle:
+    identical tokenization + list folds in DuckDB."""
+    from moz_datapipeline_spark.operators.text import lexical_diversity
+
+    d = _t(spark, sf_dir, "documents")
+    return lexical_diversity(d)
+
+
+def q_weibull_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weibull shape/scale from the KM curve's log-log linearization
+    (operators/analytics.weibull_fit): the KM rollup feeding the OLS
+    moment fold — wear-out vs burn-in in two numbers.  VALUE oracle:
+    KM replay + identical d=1 Cramer arithmetic in DuckDB."""
+    from moz_datapipeline_spark.operators.analytics import weibull_fit
+
+    e = _events(spark, sf_dir)
+    day = F.expr("ts div 86400000000000")
+    spans = e.groupBy("user_id").agg(
+        F.min(day).alias("_first"), F.max(day).alias("_last")
+    )
+    edge = e.agg(F.max(day).alias("_edge"))
+    subj = spans.crossJoin(F.broadcast(edge)).select(
+        (F.col("_last") - F.col("_first")).alias("duration"),
+        (F.col("_last") < F.col("_edge") - 3).cast("int").alias("event"),
+    )
+    return weibull_fit(subj, "duration", "event")

@@ -3828,3 +3828,51 @@ def conversion_paths(
         .groupBy("path")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+def weibull_fit(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Parametric Weibull survival fit from the KM curve:
+    ``(*group_cols, shape, scale, n_points, r2)`` — ordinary least
+    squares on the linearization ``ln(−ln S(t)) = k·ln t − k·ln λ``
+    over the curve's interior points (0 < S < 1, t > 0).  ``shape``
+    k > 1 means wear-out (churn accelerates with age), k < 1 burn-in
+    (survivors stabilize), k ≈ 1 memoryless; ``scale`` λ is the
+    characteristic life (63.2% converted).  The smooth-extrapolation
+    companion to the non-parametric readouts (``rmst``,
+    ``km_median``): a forecast needs a curve beyond the observation
+    window.
+
+    Plan: the KM rollup (one aggregate + windows) then the
+    ``ols_fit`` moment fold on the rollup-sized regression frame —
+    nothing data-sized after the KM pass.  Degenerate curves (< 2
+    usable points, or a singular fit) yield NULLs.
+    """
+    gcols = list(group_cols or [])
+    km = kaplan_meier(df, duration_col, event_col, group_cols=gcols)
+    pts = km.filter(
+        (F.col("survival") > 0)
+        & (F.col("survival") < 1)
+        & (F.col("duration") > 0)
+    ).select(
+        *gcols,
+        F.log(F.col("duration").cast("double")).alias("_x"),
+        F.log(-F.log(F.col("survival"))).alias("_y"),
+    )
+    fit = ols_fit(pts, "_y", ["_x"], group_cols=gcols)
+    shape = F.col("b__x")
+    scale = F.when(
+        shape.isNotNull() & (shape != 0),
+        F.exp(-F.col("b0") / shape),
+    )
+    return fit.select(
+        *gcols,
+        F.round(shape, 6).alias("shape"),
+        F.round(scale, 6).alias("scale"),
+        F.col("n").alias("n_points"),
+        F.col("r2"),
+    )

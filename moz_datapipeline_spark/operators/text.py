@@ -939,3 +939,72 @@ def repetition_signals(
         F.round(dup_frac, 6).alias("dup_line_frac"),
         F.round(top_frac, 6).alias("top_bigram_frac"),
     )
+
+
+def lexical_diversity(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Lexical-diversity quality signals: ``(id, n_tokens, n_types,
+    type_token_ratio, hapax_frac)`` — vocabulary size over token
+    count, and the fraction of the vocabulary used exactly once.
+    Complements ``repetition_signals``: template spam scores LOW TTR
+    (few types recycled); keyword-stuffing and gibberish score HIGH
+    hapax fractions; natural prose sits between.  (TTR is
+    length-sensitive — compare within length bands, or gate after
+    ``batch_by_length``.)
+
+    Everything builds JVM-side from ONE split: token count from the
+    array size, types from ``array_distinct``, hapax counts via ONE
+    doc-keyed explode + (doc, word) rollup.  Exchanges are doc-keyed;
+    per-doc work is document-length-bounded.  Empty docs report 0s
+    and NULL ratios.
+    """
+    t = F.col(text_col)
+    toks = F.split(F.lower(F.trim(t)), r"\s+")
+    empty = F.trim(t) == ""
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.when(empty, F.lit(0)).otherwise(F.size(toks)).alias("n_tokens"),
+        F.when(empty, F.lit(0))
+        .otherwise(F.size(F.array_distinct(toks)))
+        .alias("n_types"),
+        F.when(empty, F.array().cast("array<string>"))
+        .otherwise(toks)
+        .alias("_tk"),
+    )
+    hapax = (
+        base.select("id", F.explode_outer("_tk").alias("_w"))
+        .groupBy("id", "_w")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy("id")
+        .agg(
+            F.sum(
+                F.when(F.col("_w").isNotNull() & (F.col("_c") == 1), 1)
+                .otherwise(0)
+            ).alias("_hapax")
+        )
+    )
+    out = base.drop("_tk").join(hapax, "id", "left")
+    return out.select(
+        "id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_types").cast("long").alias("n_types"),
+        F.round(
+            F.when(
+                F.col("n_tokens") > 0,
+                F.col("n_types").cast("double")
+                / F.col("n_tokens").cast("double"),
+            ),
+            6,
+        ).alias("type_token_ratio"),
+        F.round(
+            F.when(
+                F.col("n_types") > 0,
+                F.coalesce(F.col("_hapax"), F.lit(0)).cast("double")
+                / F.col("n_types").cast("double"),
+            ),
+            6,
+        ).alias("hapax_frac"),
+    )

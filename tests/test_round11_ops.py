@@ -1347,3 +1347,46 @@ def test_conversion_paths_hand_computed(spark):
     assert len(out) == 2  # user 3 contributes nothing
     with pytest.raises(ValueError):
         conversion_paths(df, "buy", max_steps=0)
+
+
+def test_lexical_diversity_hand_computed(spark):
+    from moz_datapipeline_spark.operators.text import lexical_diversity
+
+    rows = [
+        (1, "the cat sat on the mat"),   # 6 tokens, 5 types, hapax 4/5
+        (2, "spam spam spam spam"),      # TTR 0.25, hapax 0
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.id: r for r in lexical_diversity(df).collect()}
+    assert out[1].n_tokens == 6 and out[1].n_types == 5
+    assert out[1].hapax_frac == pytest.approx(4 / 5)
+    assert out[2].type_token_ratio == pytest.approx(0.25)
+    assert out[2].hapax_frac == 0.0
+    assert out[3].n_tokens == 0 and out[3].type_token_ratio is None
+
+
+def test_weibull_fit_matches_numpy_on_km_points(spark):
+    """Wire check: shape/scale equal a direct numpy polyfit on the
+    same KM curve's interior points."""
+    import math
+
+    import numpy as np
+
+    from moz_datapipeline_spark.operators.analytics import (
+        kaplan_meier,
+        weibull_fit,
+    )
+
+    rows = [(float(t), 1) for t in (1, 2, 3, 5, 8, 13, 21, 34)]
+    df = spark.createDataFrame(rows, "duration double, event int")
+    km = kaplan_meier(df, "duration", "event").collect()
+    pts = [(math.log(r.duration), math.log(-math.log(r.survival)))
+           for r in km if 0 < r.survival < 1 and r.duration > 0]
+    x = np.array([p[0] for p in pts]); y = np.array([p[1] for p in pts])
+    b1, b0 = np.polyfit(x, y, 1)
+    r = weibull_fit(df, "duration", "event").collect()[0]
+    assert r.n_points == len(pts)
+    assert r.shape == pytest.approx(b1, abs=1e-4)
+    assert r.scale == pytest.approx(math.exp(-b0 / b1), rel=1e-3)
+    assert r.shape > 0
