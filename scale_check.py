@@ -268,6 +268,88 @@ def round11c_ops_scale_check(spark) -> dict:
     return out
 
 
+def round11d_ops_scale_check(spark) -> dict:
+    """Round-11 fourth batch at design scale.
+
+    - ``weighted_quantiles`` in its HARD regime: FEW groups (8) over
+      20M rows — the per-group RANGE window partitions are
+      data-sized/|groups|, the honest cost of exact weighted
+      quantiles at low group cardinality (many-groups is the easy
+      case; callers with one giant group should pre-aggregate ties
+      or accept the partition size — documented, measured).
+    - ``item_similarity`` over 5M user-item edges / 200k users /
+      2k items with the degree cap on: pair volume bounded by
+      min(deg, cap)^2 per user.
+    - ``conversion_paths`` over 20M events / 200k users.
+    """
+    from moz_datapipeline_spark.graph.aggregate import item_similarity
+    from moz_datapipeline_spark.operators.analytics import conversion_paths
+    from moz_datapipeline_spark.operators.indicators import weighted_quantiles
+
+    out: dict = {}
+
+    n = 20_000_000
+    df = spark.range(n).select(
+        F.concat(F.lit("g"), F.pmod(F.xxhash64(F.col("id")), 8)).alias(
+            "grp"
+        ),
+        (F.pmod(F.xxhash64(F.col("id") + 3), 100_000) / 10.0).alias("v"),
+        (1.0 + F.pmod(F.xxhash64(F.col("id") + 7), 9)).alias("w"),
+    )
+    t0 = time.perf_counter()
+    wq = weighted_quantiles(df, "grp", "v", "w", probs=[0.5, 0.9, 0.99])
+    out["wquant_rows_in"] = n
+    out["wquant_rows_out"] = wq.count()
+    out["wquant_sec"] = round(time.perf_counter() - t0, 2)
+    out["wquant_shuffle"] = (
+        "8 RANGE-window partitions of 2.5M rows each (the few-groups "
+        "hard regime, measured on purpose) + |probs| explode on the "
+        "marked frame"
+    )
+
+    n_edges, n_users, n_items = 5_000_000, 200_000, 2_000
+    edges = spark.range(n_edges).select(
+        F.pmod(F.xxhash64(F.col("id")), n_users).alias("user"),
+        F.pmod(F.xxhash64(F.col("id") + 11), n_items).alias("item"),
+    )
+    t0 = time.perf_counter()
+    sim = item_similarity(edges, k=10, max_user_degree=100)
+    out["itemsim_edges"] = n_edges
+    out["itemsim_rows_out"] = sim.count()
+    out["itemsim_sec"] = round(time.perf_counter() - t0, 2)
+    out["itemsim_shuffle"] = (
+        "projection pair plan (in-task pair generation under the "
+        "user-degree cap) + broadcast degree join + per-item "
+        "WindowGroupLimit"
+    )
+
+    n_ev = 20_000_000
+    ev = spark.range(n_ev).select(
+        F.pmod(F.xxhash64(F.col("id")), 200_000).alias("user_id"),
+        F.col("id").alias("ts"),
+        F.when(
+            F.pmod(F.xxhash64(F.col("id") + 13), 25) == 0,
+            F.lit("purchase"),
+        )
+        .otherwise(
+            F.concat(F.lit("t"), F.pmod(F.xxhash64(F.col("id") + 7), 5))
+        )
+        .alias("event_type"),
+    )
+    t0 = time.perf_counter()
+    cp = conversion_paths(
+        ev, conversion_type="purchase", max_steps=5, tiebreak_col="ts"
+    )
+    out["convpaths_rows_in"] = n_ev
+    out["convpaths_paths_out"] = cp.count()
+    out["convpaths_sec"] = round(time.perf_counter() - t0, 2)
+    out["convpaths_shuffle"] = (
+        "first-conversion rollup + user join + per-user bounded "
+        "collect; path rollup is dictionary-sized"
+    )
+    return out
+
+
 def routing_scale_check(spark) -> dict:
     """Multi-edge EAUL at reference full-run width (138 OD zones).
 
@@ -2131,6 +2213,8 @@ def main() -> None:
     r11b = round11b_ops_scale_check(spark)
     _section_gc(spark)
     r11c = round11c_ops_scale_check(spark)
+    _section_gc(spark)
+    r11d = round11d_ops_scale_check(spark)
 
     print(
         json.dumps(
@@ -2168,6 +2252,7 @@ def main() -> None:
                 **r11,
                 **r11b,
                 **r11c,
+                **r11d,
             }
         )
     )
