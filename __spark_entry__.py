@@ -6914,6 +6914,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversion_paths": q_conversion_paths,
         "lexical_diversity": q_lexical_diversity,
         "weibull_fit": q_weibull_fit,
+        "inter_event_gaps": q_inter_event_gaps,
+        "overdispersion": q_overdispersion,
     }
 
 
@@ -15671,6 +15673,53 @@ FROM eaul_calc
         FROM solved
     """
 
+    sql["inter_event_gaps"] = """
+        WITH st AS (
+          SELECT epoch_ns(ts) AS t,
+                 lag(epoch_ns(ts)) OVER (
+                   PARTITION BY user_id
+                   ORDER BY epoch_ns(ts) ASC, event_id ASC
+                 ) AS p
+          FROM events
+        ), gaps AS (
+          SELECT CAST(t - p AS DOUBLE) AS gap FROM st
+          WHERE p IS NOT NULL
+        ), q AS (
+          SELECT quantile_cont(gap, [0.5, 0.9, 0.99]) AS qs,
+                 CAST(count(*) AS BIGINT) AS ng
+          FROM gaps
+        )
+        SELECT unnest([0.5, 0.9, 0.99]) AS prob,
+               unnest(qs) AS gap,
+               ng AS n_gaps
+        FROM q
+    """
+
+    sql["overdispersion"] = """
+        WITH daily AS (
+          SELECT event_type AS grp,
+                 epoch_ns(ts) // 86400000000000 AS d,
+                 CAST(count(*) AS DOUBLE) AS cnt
+          FROM events GROUP BY 1, 2
+        ), per AS (
+          SELECT grp, CAST(count(*) AS BIGINT) AS n,
+                 sum(cnt) AS s, sum(cnt * cnt) AS s2
+          FROM daily GROUP BY 1
+        )
+        SELECT grp, n,
+               round(s / n, 6) AS mean,
+               round(CASE WHEN n > 1
+                     THEN (s2 - s * s / n) / (n - 1.0) END, 6)
+                 AS variance,
+               round(CASE WHEN n > 1 AND s / n > 0
+                     THEN ((s2 - s * s / n) / (n - 1.0)) / (s / n)
+                     END, 6) AS dispersion,
+               CASE WHEN n > 1 AND s / n > 0
+                    THEN ((s2 - s * s / n) / (n - 1.0)) / (s / n)
+                         > 1.5 END AS overdispersed
+        FROM per
+    """
+
     return sql
 
 
@@ -16346,3 +16395,33 @@ def q_weibull_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("_last") < F.col("_edge") - 3).cast("int").alias("event"),
     )
     return weibull_fit(subj, "duration", "event")
+
+
+def q_inter_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-distribution readout for sessionization tuning
+    (operators/temporal.inter_event_gaps): one user-lag window +
+    the distributed exact-quantile histogram passes.  VALUE oracle:
+    identical lag + quantile_cont in DuckDB."""
+    from moz_datapipeline_spark.operators.temporal import inter_event_gaps
+
+    e = _events(spark, sf_dir)
+    return inter_event_gaps(e, tiebreak_col="event_id",
+                            probs=[0.5, 0.9, 0.99])
+
+
+def q_overdispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poissonness QC of daily event counts per type
+    (operators/analytics.overdispersion_check): one (type, day)
+    rollup then one moment fold — variance/mean per type with the
+    overdispersion verdict.  VALUE oracle: identical moments in
+    DuckDB."""
+    from moz_datapipeline_spark.operators.analytics import (
+        overdispersion_check,
+    )
+
+    e = _events(spark, sf_dir)
+    day = F.expr("ts div 86400000000000")
+    daily = e.groupBy(
+        F.col("event_type"), day.alias("_d")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    return overdispersion_check(daily, "event_type", "cnt")

@@ -3876,3 +3876,49 @@ def weibull_fit(
         F.col("n").alias("n_points"),
         F.col("r2"),
     )
+
+
+def overdispersion_check(
+    df: DataFrame,
+    group_col: str,
+    count_col: str,
+    threshold: float = 1.5,
+) -> DataFrame:
+    """Count-data dispersion QC: ``(group, n, mean, variance,
+    dispersion, overdispersed)`` — the per-group variance-to-mean
+    ratio (Poisson ⇒ 1; sample variance, n−1).  The two-minute test
+    that says whether a Poisson rate model (or a Poisson bootstrap /
+    ε-DP noise calibration) is even admissible for this column, or
+    whether clumping (bursts, contagion, bots) demands a negative-
+    binomial treatment.  Groups with n < 2 or zero mean report NULL
+    dispersion (no verdict, never a fake 'passed').
+
+    One hash aggregate (Σx, Σx², n per group) — map-side combined,
+    output group-sized; the moments arithmetic is the engine's
+    portable form (no two-pass variance).
+    """
+    x = F.col(count_col).cast("double")
+    per = (
+        df.filter(x.isNotNull())
+        .groupBy(F.col(group_col).alias("grp"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(x).alias("_s"),
+            F.sum(x * x).alias("_s2"),
+        )
+    )
+    nn = F.col("n").cast("double")
+    mean = F.col("_s") / nn
+    var = F.when(
+        F.col("n") > 1,
+        (F.col("_s2") - F.col("_s") * F.col("_s") / nn) / (nn - 1.0),
+    )
+    disp = F.when(mean > 0, var / mean)
+    return per.select(
+        "grp",
+        "n",
+        F.round(mean, 6).alias("mean"),
+        F.round(var, 6).alias("variance"),
+        F.round(disp, 6).alias("dispersion"),
+        F.when(disp.isNotNull(), disp > threshold).alias("overdispersed"),
+    )

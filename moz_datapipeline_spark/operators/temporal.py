@@ -1282,3 +1282,71 @@ def local_peaks(
             F.round("_prom", 6).alias("prominence"),
         )
     )
+
+
+def inter_event_gaps(
+    events: DataFrame,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str | None = None,
+    probs: list[float] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Inter-event gap distribution: ``(prob, gap)`` plus an
+    ``n_gaps`` column — exact quantiles of the within-entity
+    successor gaps (``ts_col`` units).  THE empirical input for
+    choosing a sessionization timeout (the idle threshold should sit
+    in the valley past the p90–p99 within-session gap mass) and for
+    bot detection (machine-regular gap spectra).
+
+    One entity-partitioned lag window produces the gaps (single hash
+    exchange); the quantiles ride ``ranges.exact_quantiles``'
+    bounded histogram passes — never a global sort or single-task
+    percentile buffer.  Entities with one event contribute no gap.
+    """
+    from moz_datapipeline_spark.operators.ranges import exact_quantiles
+
+    plist = sorted(set(float(p) for p in probs))
+    if not plist or not all(0.0 <= p <= 1.0 for p in plist):
+        raise ValueError("inter_event_gaps: probs must be in [0, 1]")
+    tb = F.col(tiebreak_col) if tiebreak_col else F.col(ts_col)
+    w = Window.partitionBy("_e").orderBy(
+        F.col("_ts").asc(), F.col("_tb").asc()
+    )
+    gaps = (
+        events.select(
+            F.col(entity_col).alias("_e"),
+            F.col(ts_col).alias("_ts"),
+            tb.alias("_tb"),
+        )
+        .withColumn("_gap", F.col("_ts") - F.lag("_ts").over(w))
+        .filter(F.col("_gap").isNotNull())
+        .select(F.col("_gap").cast("double").alias("_gap"))
+    )
+    n_gaps = gaps.count()
+    qs = exact_quantiles(gaps, "_gap", plist) if n_gaps else None
+    spark = events.sparkSession
+    rows = [
+        (
+            p,
+            float(qs[i]) if qs is not None else None,
+            n_gaps,
+        )
+        for i, p in enumerate(plist)
+    ]
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    return spark.createDataFrame(
+        rows,
+        StructType(
+            [
+                StructField("prob", DoubleType()),
+                StructField("gap", DoubleType()),
+                StructField("n_gaps", LongType()),
+            ]
+        ),
+    )

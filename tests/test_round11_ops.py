@@ -1390,3 +1390,37 @@ def test_weibull_fit_matches_numpy_on_km_points(spark):
     assert r.shape == pytest.approx(b1, abs=1e-4)
     assert r.scale == pytest.approx(math.exp(-b0 / b1), rel=1e-3)
     assert r.shape > 0
+
+
+def test_inter_event_gaps_hand_computed(spark):
+    from moz_datapipeline_spark.operators.temporal import inter_event_gaps
+
+    rows = [(1, 0), (1, 10), (1, 30), (2, 5), (2, 105), (3, 7)]
+    df = spark.createDataFrame(rows, "user_id int, ts long")
+    out = {r.prob: r for r in
+           inter_event_gaps(df, tiebreak_col="ts",
+                            probs=[0.5, 1.0]).collect()}
+    # gaps: 10, 20, 100 -> median 20, max 100; user 3 contributes none
+    assert out[0.5].gap == pytest.approx(20.0)
+    assert out[1.0].gap == pytest.approx(100.0)
+    assert out[0.5].n_gaps == 3
+    with pytest.raises(ValueError):
+        inter_event_gaps(df, probs=[1.5])
+
+
+def test_overdispersion_check_poisson_vs_bursty(spark):
+    from moz_datapipeline_spark.operators.analytics import (
+        overdispersion_check,
+    )
+
+    rows = [("steady", float(v)) for v in (4, 5, 6, 5, 4, 6, 5, 5)]
+    rows += [("bursty", float(v)) for v in (0, 0, 0, 40, 0, 0, 0, 0)]
+    rows += [("single", 7.0)]
+    df = spark.createDataFrame(rows, "g string, cnt double")
+    out = {r.grp: r for r in
+           overdispersion_check(df, "g", "cnt").collect()}
+    assert out["steady"].overdispersed is False
+    assert out["bursty"].overdispersed is True
+    assert out["bursty"].dispersion > 30
+    assert out["single"].dispersion is None
+    assert out["single"].overdispersed is None
