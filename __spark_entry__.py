@@ -6916,6 +6916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weibull_fit": q_weibull_fit,
         "inter_event_gaps": q_inter_event_gaps,
         "overdispersion": q_overdispersion,
+        "adoption_curve": q_adoption_curve,
     }
 
 
@@ -15720,6 +15721,23 @@ FROM eaul_calc
         FROM per
     """
 
+    sql["adoption_curve"] = """
+        WITH first AS (
+          SELECT user_id,
+                 min(epoch_ns(ts) // 86400000000000) AS day
+          FROM events GROUP BY 1
+        ), daily AS (
+          SELECT day, CAST(count(*) AS BIGINT) AS new_users
+          FROM first GROUP BY 1
+        )
+        SELECT day, new_users,
+               CAST(sum(new_users) OVER (
+                 ORDER BY day ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum_users
+        FROM daily
+    """
+
     return sql
 
 
@@ -16425,3 +16443,13 @@ def q_overdispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type"), day.alias("_d")
     ).agg(F.count(F.lit(1)).alias("cnt"))
     return overdispersion_check(daily, "event_type", "cnt")
+
+
+def q_adoption_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adoption S-curve (operators/analytics.adoption_curve):
+    first-activity fold → day rollup → one rollup-sized cumulative
+    window.  VALUE oracle: identical folds + running sum in DuckDB."""
+    from moz_datapipeline_spark.operators.analytics import adoption_curve
+
+    e = _events(spark, sf_dir)
+    return adoption_curve(e)

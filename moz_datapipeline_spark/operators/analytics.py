@@ -3922,3 +3922,36 @@ def overdispersion_check(
         F.round(disp, 6).alias("dispersion"),
         F.when(disp.isNotNull(), disp > threshold).alias("overdispersed"),
     )
+
+
+def adoption_curve(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Product adoption curve: ``(day, new_users, cum_users)`` — each
+    user counted once on their FIRST-activity day, accumulated into
+    the classic S-curve (the growth chart; its derivative is
+    ``new_vs_returning``'s new-user series, its plateau is market
+    saturation).
+
+    One per-user min fold (the ``cohort_retention`` cohort pass), a
+    day-sized rollup, and ONE ordered cumulative window over the
+    rollup — day-cardinality-sized, never a data-sized sort.  Days
+    are integral ns divisions (engine-exact).
+    """
+    day = F.expr(f"{ts_col} div {NS_PER_DAY}")
+    first = events.groupBy(user_col).agg(F.min(day).alias("day"))
+    daily = first.groupBy("day").agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = (
+        Window.partitionBy()
+        .orderBy(F.col("day").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return daily.select(
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).alias("cum_users"),
+    )

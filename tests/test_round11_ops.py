@@ -1424,3 +1424,17 @@ def test_overdispersion_check_poisson_vs_bursty(spark):
     assert out["bursty"].dispersion > 30
     assert out["single"].dispersion is None
     assert out["single"].overdispersed is None
+
+
+def test_adoption_curve_hand_computed(spark):
+    from moz_datapipeline_spark.operators.analytics import adoption_curve
+
+    ns = 86_400_000_000_000
+    rows = [(1, 0), (2, 0), (1, 1 * ns), (3, 2 * ns), (2, 2 * ns),
+            (4, 2 * ns)]
+    df = spark.createDataFrame(rows, "user_id int, ts long")
+    out = {r.day: (r.new_users, r.cum_users)
+           for r in adoption_curve(df).collect()}
+    # day 0: users 1,2 new; day 1: none new (user 1 returns, day absent);
+    # day 2: users 3,4 new
+    assert out == {0: (2, 2), 2: (2, 4)}
