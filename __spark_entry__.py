@@ -6907,7 +6907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "local_peaks": q_local_peaks,
         "trajectory_stats": q_trajectory_stats,
         "prorate": q_prorate,
-        "robust_scale": q_robust_scale,
+        "robust_zscore": q_robust_zscore,
         "expectations": q_expectations,
         "item_similarity": q_item_similarity,
         "weighted_quantiles": q_weighted_quantiles,
@@ -6917,6 +6917,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inter_event_gaps": q_inter_event_gaps,
         "overdispersion": q_overdispersion,
         "adoption_curve": q_adoption_curve,
+        "kruskal_wallis": q_kruskal_wallis,
+        "g_test": q_g_test,
+        "periodogram": q_periodogram,
+        "croston": q_croston,
+        "ridge_fit": q_ridge_fit,
+        "friedman_test": q_friedman_test,
+        "uplift_bins": q_uplift_bins,
+        "brier_decomposition": q_brier_decomposition,
+        "pettitt_changepoint": q_pettitt_changepoint,
+        "hurst_exponent": q_hurst_exponent,
+        "poisson_rate_test": q_poisson_rate_test,
+        "mcnemar_test": q_mcnemar_test,
+        "cochran_q": q_cochran_q,
+        "inequality_indices": q_inequality_indices,
+        "span_corruption": q_span_corruption,
+        "runs_test": q_runs_test,
+        "decomposition_strength": q_decomposition_strength,
+        "page_trend": q_page_trend,
+        "msprt_test": q_msprt_test,
+        "quantile_treatment_effect": q_quantile_treatment_effect,
     }
 
 
@@ -15420,7 +15440,7 @@ FROM eaul_calc
         FROM alloc GROUP BY 1
     """
 
-    sql["robust_scale"] = """
+    sql["robust_zscore"] = """
         WITH base AS (
           SELECT l_returnflag AS g,
                  CAST(l_extendedprice AS DOUBLE) AS x
@@ -15736,6 +15756,1045 @@ FROM eaul_calc
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                ) AS BIGINT) AS cum_users
         FROM daily
+    """
+
+    sql["kruskal_wallis"] = """
+        WITH base AS (
+          SELECT l_returnflag AS grp, CAST(l_quantity AS DOUBLE) AS v
+          FROM lineitem
+          WHERE l_quantity IS NOT NULL AND l_returnflag IS NOT NULL
+        ), per_gv AS (
+          SELECT grp, v, CAST(count(*) AS BIGINT) AS ng
+          FROM base GROUP BY 1, 2
+        ), per_v AS (
+          SELECT v, CAST(sum(ng) AS BIGINT) AS nv FROM per_gv GROUP BY 1
+        ), ranks AS (
+          SELECT v,
+                 CAST(sum(nv) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS DOUBLE) - nv + (nv + 1) / 2.0 AS r,
+                 CAST(nv AS DOUBLE) * nv * nv - nv AS tie
+          FROM per_v
+        ), rg AS (
+          SELECT g.grp, sum(g.ng * r.r) AS rsum,
+                 CAST(sum(g.ng) AS DOUBLE) AS n
+          FROM per_gv g JOIN ranks r USING (v) GROUP BY 1
+        ), t AS (
+          SELECT coalesce(sum(tie), 0.0) AS ties FROM ranks
+        ), f AS (
+          SELECT CAST(count(*) AS BIGINT) AS k_groups,
+                 sum(n) AS nn, sum(rsum * rsum / n) AS s
+          FROM rg
+        ), h AS (
+          SELECT k_groups, nn, s, ties,
+                 k_groups - 1 AS dof,
+                 CASE WHEN k_groups > 1 AND nn > 1
+                      AND 1.0 - ties / (nn * nn * nn - nn) > 0
+                 THEN (12.0 / (nn * (nn + 1.0)) * s - 3.0 * (nn + 1.0))
+                      / (1.0 - ties / (nn * nn * nn - nn)) END AS hc
+          FROM f CROSS JOIN t
+        ), z AS (
+          SELECT k_groups, nn, dof, hc,
+                 CASE WHEN hc IS NOT NULL AND hc >= 0 THEN
+                   (pow(hc / dof, 1.0 / 3.0)
+                    - (1.0 - 2.0 / (9.0 * dof)))
+                   / sqrt(2.0 / (9.0 * dof)) END AS zz
+          FROM h
+        ), pp AS (
+          SELECT k_groups, nn, dof, hc, zz,
+                 (0.254829592 * (1.0 / (1.0 + 0.3275911 * abs(zz) / sqrt(2.0)))
+                  - 0.284496736 * pow(1.0 / (1.0 + 0.3275911 * abs(zz) / sqrt(2.0)), 2)
+                  + 1.421413741 * pow(1.0 / (1.0 + 0.3275911 * abs(zz) / sqrt(2.0)), 3)
+                  - 1.453152027 * pow(1.0 / (1.0 + 0.3275911 * abs(zz) / sqrt(2.0)), 4)
+                  + 1.061405429 * pow(1.0 / (1.0 + 0.3275911 * abs(zz) / sqrt(2.0)), 5))
+                 * exp(-abs(zz) / sqrt(2.0) * (abs(zz) / sqrt(2.0))) AS erfc
+          FROM z
+        )
+        SELECT k_groups,
+               CAST(nn AS BIGINT) AS n_rows,
+               round(hc, 6) AS h_stat,
+               CAST(dof AS BIGINT) AS dof,
+               round(CASE WHEN zz IS NULL THEN NULL
+                     WHEN zz >= 0 THEN erfc / 2.0
+                     ELSE 1.0 - erfc / 2.0 END, 6) AS p_value,
+               CASE WHEN zz IS NOT NULL THEN
+                 (CASE WHEN zz >= 0 THEN erfc / 2.0
+                       ELSE 1.0 - erfc / 2.0 END) < 0.05 END
+                 AS significant
+        FROM pp
+    """
+
+    sql["g_test"] = """
+        WITH joint AS (
+          SELECT l_returnflag AS x, l_linestatus AS y,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM lineitem
+          WHERE l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL
+          GROUP BY 1, 2
+        ), mx AS (
+          SELECT x, CAST(sum(n) AS DOUBLE) AS nx FROM joint GROUP BY 1
+        ), my AS (
+          SELECT y, CAST(sum(n) AS DOUBLE) AS ny FROM joint GROUP BY 1
+        ), tot AS (
+          SELECT CAST(sum(n) AS DOUBLE) AS t,
+                 CAST(count(DISTINCT x) AS BIGINT) AS r,
+                 CAST(count(DISTINCT y) AS BIGINT) AS c
+          FROM joint
+        ), g2 AS (
+          SELECT coalesce(sum(CAST(j.n AS DOUBLE)
+                   * ln(CAST(j.n AS DOUBLE) * tot.t / (mx.nx * my.ny))),
+                 0.0) AS gp
+          FROM joint j JOIN mx USING (x) JOIN my USING (y)
+          CROSS JOIN tot
+        ), h AS (
+          SELECT (r - 1) * (c - 1) AS dof, t,
+                 CASE WHEN (r - 1) * (c - 1) > 0 THEN 2.0 * gp
+                 ELSE 0.0 END AS g
+          FROM g2 CROSS JOIN tot
+        ), z AS (
+          SELECT dof, t, g,
+                 CASE WHEN dof > 0 AND g >= 0 THEN
+                   (pow(g / dof, 1.0 / 3.0)
+                    - (1.0 - 2.0 / (9.0 * dof)))
+                   / sqrt(2.0 / (9.0 * dof)) END AS zz
+          FROM h
+        ), pp AS (
+          SELECT dof, t, g, zz,
+                 (0.254829592 * (1.0 / (1.0 + 0.3275911 * abs(zz) / sqrt(2.0)))
+                  - 0.284496736 * pow(1.0 / (1.0 + 0.3275911 * abs(zz) / sqrt(2.0)), 2)
+                  + 1.421413741 * pow(1.0 / (1.0 + 0.3275911 * abs(zz) / sqrt(2.0)), 3)
+                  - 1.453152027 * pow(1.0 / (1.0 + 0.3275911 * abs(zz) / sqrt(2.0)), 4)
+                  + 1.061405429 * pow(1.0 / (1.0 + 0.3275911 * abs(zz) / sqrt(2.0)), 5))
+                 * exp(-abs(zz) / sqrt(2.0) * (abs(zz) / sqrt(2.0))) AS erfc
+          FROM z
+        )
+        SELECT 'l_returnflag' AS x_col, 'l_linestatus' AS y_col,
+               round(g, 6) AS g_stat,
+               CAST(dof AS BIGINT) AS dof,
+               CAST(t AS BIGINT) AS n_rows,
+               round(CASE WHEN zz IS NULL THEN NULL
+                     WHEN zz >= 0 THEN erfc / 2.0
+                     ELSE 1.0 - erfc / 2.0 END, 6) AS p_value,
+               CASE WHEN zz IS NOT NULL THEN
+                 (CASE WHEN zz >= 0 THEN erfc / 2.0
+                       ELSE 1.0 - erfc / 2.0 END) < 0.05 END
+                 AS significant
+        FROM pp
+    """
+
+    sql["periodogram"] = """
+        WITH rollup AS (
+          SELECT event_type AS grp,
+                 (epoch_ns(ts) // 3600000000000) * 3600 AS b,
+                 CAST(count(*) AS DOUBLE) AS x
+          FROM events GROUP BY 1, 2
+        ), span AS (
+          SELECT grp, min(b) AS b0,
+                 CAST((max(b) - min(b)) / 3600 + 1 AS BIGINT)
+                   AS n_buckets
+          FROM rollup GROUP BY 1
+        ), e AS (
+          SELECT r.grp, s.n_buckets, k.k,
+                 CAST((r.b - s.b0) / 3600 AS BIGINT) AS t, r.x
+          FROM rollup r
+          JOIN span s USING (grp)
+          CROSS JOIN (SELECT unnest(generate_series(1, 8)) AS k) k
+          WHERE k.k < s.n_buckets
+        ), agg AS (
+          SELECT grp, k, n_buckets,
+                 sum(x * cos(2 * pi() * k * t / n_buckets)) AS c,
+                 sum(x * sin(2 * pi() * k * t / n_buckets)) AS s
+          FROM e GROUP BY 1, 2, 3
+        )
+        SELECT grp, CAST(k AS INTEGER) AS k, n_buckets,
+               round(CAST(n_buckets AS DOUBLE) / k, 6) AS period_buckets,
+               round(2.0 / n_buckets * (c * c + s * s), 6) AS power
+        FROM agg
+    """
+
+    sql["croston"] = """
+        WITH rollup AS (
+          SELECT user_id AS grp,
+                 (epoch_ns(ts) // 86400000000000) * 86400 AS b,
+                 sum(CAST(value AS DOUBLE)) AS z
+          FROM events
+          WHERE event_type = 'purchase' AND value IS NOT NULL
+          GROUP BY 1, 2
+          HAVING sum(CAST(value AS DOUBLE)) <> 0
+        ), seq AS (
+          SELECT grp, z,
+                 row_number() OVER (PARTITION BY grp ORDER BY b) AS j,
+                 count(*) OVER (PARTITION BY grp) AS m,
+                 CAST((b - lag(b) OVER (PARTITION BY grp ORDER BY b))
+                   / 86400 AS DOUBLE) AS q
+          FROM rollup
+        ), folded AS (
+          SELECT grp,
+                 CAST(max(m) AS BIGINT) AS n_periods,
+                 sum(CASE WHEN j = 1 THEN pow(0.8, m - 1)
+                     ELSE 0.2 * pow(0.8, m - j) END * z) AS s,
+                 sum(CASE WHEN j = 2 THEN pow(0.8, m - 2)
+                     WHEN j > 2 THEN 0.2 * pow(0.8, m - j) END * q)
+                   AS i
+          FROM seq GROUP BY 1
+        )
+        SELECT grp AS user_id, n_periods,
+               round(s, 6) AS demand_smooth,
+               CASE WHEN n_periods >= 2 THEN round(i, 6) END
+                 AS interval_smooth,
+               CASE WHEN n_periods >= 2 AND i > 0
+                 THEN round(s / i, 6) END AS croston_forecast
+        FROM folded
+    """
+
+    sql["ridge_fit"] = """
+        WITH base AS (
+          SELECT l_returnflag,
+                 CAST(l_extendedprice AS DOUBLE) AS y,
+                 CAST(l_quantity AS DOUBLE) AS x1,
+                 CAST(l_discount AS DOUBLE) AS x2
+          FROM lineitem
+          WHERE l_extendedprice IS NOT NULL
+            AND l_quantity IS NOT NULL AND l_discount IS NOT NULL
+        ), m AS (
+          SELECT l_returnflag,
+                 CAST(count(*) AS DOUBLE) AS n,
+                 sum(y) AS sy, sum(y * y) AS syy,
+                 sum(x1) AS s1, sum(x1 * y) AS s1y,
+                 sum(x1 * x1) AS s11u, sum(x1 * x2) AS s12,
+                 sum(x2) AS s2, sum(x2 * y) AS s2y,
+                 sum(x2 * x2) AS s22u
+          FROM base GROUP BY 1
+        ), pen AS (
+          SELECT *, s11u + 1000000.0 AS s11, s22u + 1000000.0 AS s22
+          FROM m
+        ), solved AS (
+          SELECT l_returnflag, n, sy, syy, s1, s2, s1y, s2y, s12,
+                 s11u, s22u,
+                 n * (s11 * s22 - s12 * s12)
+                 - s1 * (s1 * s22 - s12 * s2)
+                 + s2 * (s1 * s12 - s11 * s2) AS det,
+                 sy * (s11 * s22 - s12 * s12)
+                 - s1 * (s1y * s22 - s12 * s2y)
+                 + s2 * (s1y * s12 - s11 * s2y) AS det0,
+                 n * (s1y * s22 - s12 * s2y)
+                 - sy * (s1 * s22 - s12 * s2)
+                 + s2 * (s1 * s2y - s1y * s2) AS det1,
+                 n * (s11 * s2y - s1y * s12)
+                 - s1 * (s1 * s2y - s1y * s2)
+                 + sy * (s1 * s12 - s11 * s2) AS det2,
+                 syy - sy * sy / n AS sst
+          FROM pen
+        ), coefs AS (
+          SELECT l_returnflag, n, syy, sy, s1, s2, s1y, s2y, s12,
+                 s11u, s22u, sst,
+                 CASE WHEN abs(det) > 1e-9 THEN det0 / det END AS b0,
+                 CASE WHEN abs(det) > 1e-9 THEN det1 / det END AS b1,
+                 CASE WHEN abs(det) > 1e-9 THEN det2 / det END AS b2
+          FROM solved
+        )
+        SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+               round(b0, 6) AS b0,
+               round(b1, 6) AS b_l_quantity,
+               round(b2, 6) AS b_l_discount,
+               round(CASE WHEN sst > 1e-12 THEN
+                 1.0 - (syy - 2.0 * (b0 * sy + b1 * s1y + b2 * s2y)
+                        + b0 * b0 * n + b1 * b1 * s11u
+                        + b2 * b2 * s22u
+                        + 2.0 * (b0 * b1 * s1 + b0 * b2 * s2
+                                 + b1 * b2 * s12)) / sst END, 6)
+                 AS r2
+        FROM coefs
+    """
+
+    sql["friedman_test"] = """
+        WITH cells AS (
+          SELECT CAST(year(l_shipdate) * 12 + month(l_shipdate)
+                   AS VARCHAR) AS blk,
+                 l_returnflag AS trt,
+                 CAST(sum(l_quantity) AS DOUBLE) AS v
+          FROM lineitem
+          GROUP BY 1, 2
+        ), k AS (
+          SELECT count(DISTINCT trt) AS k_tot FROM cells
+        ), sizes AS (
+          SELECT blk, count(*) AS kk FROM cells GROUP BY 1
+        ), complete AS (
+          SELECT c.* FROM cells c
+          JOIN sizes s ON c.blk = s.blk
+          CROSS JOIN k
+          WHERE s.kk = k.k_tot
+        ), ranked AS (
+          SELECT blk, trt,
+                 CAST(rank() OVER (PARTITION BY blk ORDER BY v)
+                   AS DOUBLE)
+                 + (CAST(count(*) OVER (PARTITION BY blk, v)
+                     AS DOUBLE) - 1.0) / 2.0 AS r
+          FROM complete
+        ), per_t AS (
+          SELECT trt, sum(r) AS rsum,
+                 CAST(count(*) AS DOUBLE) AS nb
+          FROM ranked GROUP BY 1
+        ), sq AS (
+          SELECT coalesce(sum(r * r), 0.0) AS rr FROM ranked
+        ), folded AS (
+          SELECT CAST(count(*) AS BIGINT) AS k_treatments,
+                 max(nb) AS n, sum(rsum * rsum) AS ss,
+                 sum(rsum) AS rt
+          FROM per_t
+        ), dropped AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_dropped
+          FROM sizes CROSS JOIN k WHERE sizes.kk <> k.k_tot
+        ), h AS (
+          SELECT k_treatments, n, n_dropped,
+                 k_treatments - 1 AS dof,
+                 CASE WHEN k_treatments > 1 AND n > 0
+                      AND abs(rr - n * k_treatments
+                              * (k_treatments + 1.0)
+                              * (k_treatments + 1.0) / 4.0) > 1e-12
+                 THEN (k_treatments - 1.0)
+                      * (ss - 2.0 * (n * (k_treatments + 1.0) / 2.0)
+                           * rt
+                         + k_treatments
+                           * (n * (k_treatments + 1.0) / 2.0)
+                           * (n * (k_treatments + 1.0) / 2.0))
+                      / (rr - n * k_treatments * (k_treatments + 1.0)
+                           * (k_treatments + 1.0) / 4.0) END AS chi2
+          FROM folded CROSS JOIN sq CROSS JOIN dropped
+        ), z AS (
+          SELECT k_treatments, n, n_dropped, dof, chi2,
+                 CASE WHEN chi2 IS NOT NULL AND chi2 >= 0 THEN
+                   (pow(chi2 / dof, 1.0 / 3.0)
+                    - (1.0 - 2.0 / (9.0 * dof)))
+                   / sqrt(2.0 / (9.0 * dof)) END AS zz
+          FROM h
+        ), pp AS (
+          SELECT k_treatments, n, n_dropped, dof, chi2, zz,
+                 (0.254829592 * (1.0 / (1.0 + 0.3275911 * abs(zz) / sqrt(2.0)))
+                  - 0.284496736 * pow(1.0 / (1.0 + 0.3275911 * abs(zz) / sqrt(2.0)), 2)
+                  + 1.421413741 * pow(1.0 / (1.0 + 0.3275911 * abs(zz) / sqrt(2.0)), 3)
+                  - 1.453152027 * pow(1.0 / (1.0 + 0.3275911 * abs(zz) / sqrt(2.0)), 4)
+                  + 1.061405429 * pow(1.0 / (1.0 + 0.3275911 * abs(zz) / sqrt(2.0)), 5))
+                 * exp(-abs(zz) / sqrt(2.0) * (abs(zz) / sqrt(2.0))) AS erfc
+          FROM z
+        )
+        SELECT k_treatments,
+               CAST(coalesce(n, 0) AS BIGINT) AS n_blocks,
+               n_dropped AS n_blocks_dropped,
+               round(chi2, 6) AS chi2,
+               CAST(dof AS BIGINT) AS dof,
+               round(CASE WHEN zz IS NULL THEN NULL
+                     WHEN zz >= 0 THEN erfc / 2.0
+                     ELSE 1.0 - erfc / 2.0 END, 6) AS p_value,
+               CASE WHEN zz IS NOT NULL THEN
+                 (CASE WHEN zz >= 0 THEN erfc / 2.0
+                       ELSE 1.0 - erfc / 2.0 END) < 0.05 END
+                 AS significant
+        FROM pp
+    """
+
+    sql["uplift_bins"] = """
+        WITH base AS (
+          SELECT (o_orderkey % 1024) / 1024.0 AS v,
+                 CAST(o_orderkey % 2 AS INTEGER) AS t,
+                 CAST(CASE WHEN (o_orderkey % 1024)
+                        + 300 * (o_orderkey % 2)
+                          * (CASE WHEN o_orderkey % 3 = 0
+                             THEN 1 ELSE 0 END) > 900
+                      THEN 1 ELSE 0 END AS INTEGER) AS o
+          FROM orders
+        ), per_v AS (
+          SELECT v, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(t) AS BIGINT) AS nt,
+                 CAST(sum(t * o) AS BIGINT) AS ct,
+                 CAST(sum((1 - t) * o) AS BIGINT) AS cc
+          FROM base GROUP BY 1
+        ), tot AS (
+          SELECT CAST(sum(n) AS BIGINT) AS total FROM per_v
+        ), binned AS (
+          SELECT CAST(least(
+                   ((sum(n) OVER (ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+                      ROW) - n) * 10) // tot.total,
+                   9) AS INTEGER) AS bin,
+                 n, nt, ct, cc
+          FROM per_v CROSS JOIN tot
+        ), agg AS (
+          SELECT bin,
+                 CAST(sum(nt) AS BIGINT) AS n_treat,
+                 CAST(sum(n) - sum(nt) AS BIGINT) AS n_ctrl,
+                 CAST(sum(ct) AS BIGINT) AS conv_treat,
+                 CAST(sum(cc) AS BIGINT) AS conv_ctrl
+          FROM binned GROUP BY 1
+        )
+        SELECT bin, n_treat, n_ctrl, conv_treat, conv_ctrl,
+               round(CASE WHEN n_treat > 0
+                 THEN CAST(conv_treat AS DOUBLE) / n_treat END, 6)
+                 AS rate_treat,
+               round(CASE WHEN n_ctrl > 0
+                 THEN CAST(conv_ctrl AS DOUBLE) / n_ctrl END, 6)
+                 AS rate_ctrl,
+               round(CASE WHEN n_treat > 0
+                 THEN CAST(conv_treat AS DOUBLE) / n_treat END
+                 - CASE WHEN n_ctrl > 0
+                 THEN CAST(conv_ctrl AS DOUBLE) / n_ctrl END, 6)
+                 AS uplift
+        FROM agg
+    """
+
+    sql["brier_decomposition"] = """
+        WITH base AS (
+          SELECT (o_orderkey % 1024) / 1024.0 AS s,
+                 CAST(CASE WHEN (o_orderkey % 1024)
+                        + 120 * (o_orderkey % 5) > 760
+                      THEN 1 ELSE 0 END AS DOUBLE) AS y
+          FROM orders
+        ), per_s AS (
+          SELECT s, CAST(count(*) AS DOUBLE) AS nk, sum(y) AS yk
+          FROM base GROUP BY 1
+        ), folded AS (
+          SELECT sum(nk) AS n,
+                 CAST(count(*) AS BIGINT) AS n_forecast_values,
+                 sum(yk) AS ysum,
+                 sum(nk * (s - yk / nk) * (s - yk / nk)) AS rel_raw,
+                 sum(yk * yk / nk) AS res_raw
+          FROM per_s
+        )
+        SELECT CAST(n AS BIGINT) AS n,
+               n_forecast_values,
+               round(rel_raw / n
+                     - (res_raw / n - (ysum / n) * (ysum / n))
+                     + (ysum / n) * (1.0 - ysum / n), 6) AS brier,
+               round(rel_raw / n, 6) AS reliability,
+               round(res_raw / n - (ysum / n) * (ysum / n), 6)
+                 AS resolution,
+               round((ysum / n) * (1.0 - ysum / n), 6) AS uncertainty
+        FROM folded
+    """
+
+    sql["pettitt_changepoint"] = """
+        WITH rollup AS (
+          SELECT event_type AS grp,
+                 (epoch_ns(ts) // 3600000000000) * 3600
+                   AS bucket_epoch,
+                 sum(CAST(value AS DOUBLE)) AS x
+          FROM events WHERE value IS NOT NULL
+          GROUP BY 1, 2
+        ), ranked AS (
+          SELECT grp, bucket_epoch,
+                 CAST(rank() OVER (PARTITION BY grp ORDER BY x)
+                   AS DOUBLE)
+                 + (CAST(count(*) OVER (PARTITION BY grp, x)
+                     AS DOUBLE) - 1.0) / 2.0 AS r,
+                 CAST(count(*) OVER (PARTITION BY grp) AS DOUBLE)
+                   AS n
+          FROM rollup
+        ), u AS (
+          SELECT grp, bucket_epoch, n,
+                 2.0 * sum(r) OVER (PARTITION BY grp
+                   ORDER BY bucket_epoch
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 - CAST(row_number() OVER (PARTITION BY grp
+                     ORDER BY bucket_epoch) AS DOUBLE) * (n + 1.0)
+                   AS uu
+          FROM ranked
+        ), best AS (
+          SELECT grp, bucket_epoch, n, abs(uu) AS k
+          FROM u
+          QUALIFY row_number() OVER (PARTITION BY grp
+            ORDER BY abs(uu) DESC, bucket_epoch ASC) = 1
+        )
+        SELECT grp,
+               CAST(n AS BIGINT) AS n_buckets,
+               CASE WHEN n >= 2 THEN bucket_epoch END
+                 AS change_bucket,
+               CASE WHEN n >= 2 THEN round(k, 6) END AS k_stat,
+               round(CASE WHEN n >= 2 THEN least(1.0,
+                 2.0 * exp(-6.0 * k * k / (n*n*n + n*n))) END, 6)
+                 AS p_value,
+               CASE WHEN n >= 2 THEN least(1.0,
+                 2.0 * exp(-6.0 * k * k / (n*n*n + n*n))) < 0.05 END
+                 AS significant
+        FROM best
+    """
+
+    sql["hurst_exponent"] = """
+        WITH rollup AS (
+          SELECT event_type AS grp,
+                 (epoch_ns(ts) // 3600000000000) * 3600 AS b,
+                 sum(CAST(value AS DOUBLE)) AS x
+          FROM events WHERE value IS NOT NULL
+          GROUP BY 1, 2
+        ), seq AS (
+          SELECT grp, x, b,
+                 row_number() OVER (PARTITION BY grp ORDER BY b) - 1
+                   AS j,
+                 count(*) OVER (PARTITION BY grp) AS np
+          FROM rollup
+        ), expl AS (
+          SELECT s.grp, s.x, s.b, s.np, sc.s,
+                 s.j // sc.s AS blk
+          FROM seq s
+          CROSS JOIN (SELECT unnest([8, 16, 32, 64]) AS s) sc
+        ), full_blocks AS (
+          SELECT * FROM (
+            SELECT *, count(*) OVER (PARTITION BY grp, s, blk)
+              AS bn FROM expl
+          ) WHERE bn = s
+        ), marked AS (
+          SELECT grp, s, blk, np,
+                 sum(x) OVER (PARTITION BY grp, s, blk ORDER BY b
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 - CAST(row_number() OVER (PARTITION BY grp, s, blk
+                     ORDER BY b) AS DOUBLE)
+                   * avg(x) OVER (PARTITION BY grp, s, blk) AS cd,
+                 avg(x * x) OVER (PARTITION BY grp, s, blk)
+                 - avg(x) OVER (PARTITION BY grp, s, blk)
+                   * avg(x) OVER (PARTITION BY grp, s, blk) AS var
+          FROM full_blocks
+        ), per_blk AS (
+          SELECT grp, s, blk, np,
+                 max(cd) - min(cd) AS rng, first(var) AS v
+          FROM marked GROUP BY 1, 2, 3, 4
+        ), rs AS (
+          SELECT grp, s, np, avg(rng / sqrt(v)) AS ars
+          FROM per_blk WHERE v > 0 GROUP BY 1, 2, 3
+          HAVING avg(rng / sqrt(v)) > 0
+        ), pts AS (
+          SELECT grp, np, ln(CAST(s AS DOUBLE)) AS lx, ln(ars) AS ly
+          FROM rs
+        ), mom AS (
+          SELECT grp,
+                 CAST(count(*) AS DOUBLE) AS k,
+                 sum(lx) AS sx, sum(ly) AS sy,
+                 sum(lx * lx) AS sxx, sum(lx * ly) AS sxy
+          FROM pts GROUP BY 1
+        ), universe AS (
+          SELECT grp, CAST(count(*) AS BIGINT) AS n_points
+          FROM rollup GROUP BY 1
+        )
+        SELECT u.grp, u.n_points,
+               CAST(coalesce(k, 0.0) AS BIGINT) AS n_scales,
+               round(CASE WHEN k >= 2
+                     AND abs(k * sxx - sx * sx) > 1e-12
+                 THEN (k * sxy - sx * sy) / (k * sxx - sx * sx) END,
+                 6) AS hurst
+        FROM universe u LEFT JOIN mom m ON u.grp = m.grp
+    """
+
+    sql["poisson_rate_test"] = """
+        WITH fa AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_a,
+                 (CAST(max(epoch_ns(ts)) AS DOUBLE)
+                  - CAST(min(epoch_ns(ts)) AS DOUBLE)) / 1e9
+                   AS exposure_a
+          FROM events WHERE event_type = 'purchase'
+            AND ts IS NOT NULL
+        ), fb AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_b,
+                 (CAST(max(epoch_ns(ts)) AS DOUBLE)
+                  - CAST(min(epoch_ns(ts)) AS DOUBLE)) / 1e9
+                   AS exposure_b
+          FROM events WHERE event_type = 'click'
+            AND ts IS NOT NULL
+        ), j AS (
+          SELECT * FROM fa CROSS JOIN fb
+        ), z AS (
+          SELECT *,
+                 CASE WHEN n_a + n_b > 0 AND exposure_a > 0
+                      AND exposure_b > 0
+                      AND (n_a + n_b)
+                        * (exposure_a / (exposure_a + exposure_b))
+                        * (1.0 - exposure_a
+                           / (exposure_a + exposure_b)) > 0
+                 THEN (n_a - (n_a + n_b)
+                        * (exposure_a / (exposure_a + exposure_b)))
+                      / sqrt((n_a + n_b)
+                        * (exposure_a / (exposure_a + exposure_b))
+                        * (1.0 - exposure_a
+                           / (exposure_a + exposure_b))) END AS zz
+          FROM j
+        ), pp AS (
+          SELECT *,
+                 (0.254829592 * (1.0 / (1.0 + 0.3275911 * abs(zz) / sqrt(2.0)))
+                  - 0.284496736 * pow(1.0 / (1.0 + 0.3275911 * abs(zz) / sqrt(2.0)), 2)
+                  + 1.421413741 * pow(1.0 / (1.0 + 0.3275911 * abs(zz) / sqrt(2.0)), 3)
+                  - 1.453152027 * pow(1.0 / (1.0 + 0.3275911 * abs(zz) / sqrt(2.0)), 4)
+                  + 1.061405429 * pow(1.0 / (1.0 + 0.3275911 * abs(zz) / sqrt(2.0)), 5))
+                 * exp(-abs(zz) / sqrt(2.0) * (abs(zz) / sqrt(2.0)))
+                   AS p
+          FROM z
+        )
+        SELECT n_a, n_b,
+               round(exposure_a, 6) AS exposure_a,
+               round(exposure_b, 6) AS exposure_b,
+               round(CASE WHEN exposure_a > 0
+                 THEN n_a / exposure_a END, 6) AS rate_a,
+               round(CASE WHEN exposure_b > 0
+                 THEN n_b / exposure_b END, 6) AS rate_b,
+               round(CASE WHEN exposure_b > 0 AND exposure_a > 0
+                      AND n_b / exposure_b > 0
+                 THEN (n_a / exposure_a) / (n_b / exposure_b) END, 6)
+                 AS rate_ratio,
+               round(zz, 6) AS z,
+               round(CASE WHEN zz IS NOT NULL THEN p END, 6)
+                 AS p_value,
+               CASE WHEN zz IS NOT NULL THEN p < 0.05 END
+                 AS significant
+        FROM pp
+    """
+
+    sql["mcnemar_test"] = """
+        WITH base AS (
+          SELECT CASE WHEN o_orderkey % 7 < 4 THEN 1 ELSE 0 END AS a,
+                 CASE WHEN o_orderkey % 5 < 3 THEN 1 ELSE 0 END AS b
+          FROM orders
+        ), folded AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS b01,
+                 CAST(sum(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS b10
+          FROM base
+        ), h AS (
+          SELECT n, b01, b10, b01 + b10 AS nd,
+                 CASE WHEN b01 + b10 > 0
+                 THEN pow(abs(CAST(b01 AS DOUBLE) - b10) - 1.0, 2)
+                      / (b01 + b10) END AS chi2
+          FROM folded
+        ), pp AS (
+          SELECT *,
+                 sqrt(chi2 / 2.0) AS az
+          FROM h
+        ), qq AS (
+          SELECT *,
+                 (0.254829592 * (1.0 / (1.0 + 0.3275911 * az))
+                  - 0.284496736 * pow(1.0 / (1.0 + 0.3275911 * az), 2)
+                  + 1.421413741 * pow(1.0 / (1.0 + 0.3275911 * az), 3)
+                  - 1.453152027 * pow(1.0 / (1.0 + 0.3275911 * az), 4)
+                  + 1.061405429 * pow(1.0 / (1.0 + 0.3275911 * az), 5))
+                 * exp(-az * az) AS p
+          FROM pp
+        )
+        SELECT n, CAST(nd AS BIGINT) AS n_discordant, b01, b10,
+               round(chi2, 6) AS chi2,
+               round(CASE WHEN chi2 IS NOT NULL THEN p END, 6)
+                 AS p_value,
+               CASE WHEN chi2 IS NOT NULL THEN p < 0.05 END
+                 AS significant
+        FROM qq
+    """
+
+    sql["cochran_q"] = """
+        WITH qty AS (
+          SELECT CAST(year(l_shipdate) * 12 + month(l_shipdate)
+                   AS VARCHAR) AS blk,
+                 l_returnflag AS trt,
+                 sum(l_quantity) AS q
+          FROM lineitem GROUP BY 1, 2
+        ), cells AS (
+          SELECT blk, trt,
+                 CASE WHEN q > avg(q) OVER (PARTITION BY blk)
+                 THEN 1 ELSE 0 END AS o
+          FROM qty
+        ), k AS (
+          SELECT count(DISTINCT trt) AS k_tot FROM cells
+        ), sizes AS (
+          SELECT blk, count(*) AS kk FROM cells GROUP BY 1
+        ), complete AS (
+          SELECT c.* FROM cells c
+          JOIN sizes s ON c.blk = s.blk CROSS JOIN k
+          WHERE s.kk = k.k_tot
+        ), per_b AS (
+          SELECT blk, CAST(sum(o) AS DOUBLE) AS r
+          FROM complete GROUP BY 1
+        ), per_t AS (
+          SELECT trt, CAST(sum(o) AS DOUBLE) AS c
+          FROM complete GROUP BY 1
+        ), fb AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_blocks,
+                 coalesce(sum(r), 0.0) AS t,
+                 coalesce(sum(r * r), 0.0) AS rr
+          FROM per_b
+        ), ft AS (
+          SELECT CAST(count(*) AS BIGINT) AS k_treatments,
+                 coalesce(sum(c * c), 0.0) AS cc
+          FROM per_t
+        ), dropped AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_dropped
+          FROM sizes CROSS JOIN k WHERE sizes.kk <> k.k_tot
+        ), h AS (
+          SELECT k_treatments, n_blocks, n_dropped,
+                 k_treatments - 1 AS dof,
+                 CASE WHEN k_treatments > 1 AND n_blocks > 0
+                      AND abs(k_treatments * t - rr) > 1e-12
+                 THEN (k_treatments - 1.0)
+                      * (k_treatments * cc - t * t)
+                      / (k_treatments * t - rr) END AS q
+          FROM fb CROSS JOIN ft CROSS JOIN dropped
+        ), z AS (
+          SELECT *,
+                 CASE WHEN q IS NOT NULL AND q >= 0 THEN
+                   (pow(q / dof, 1.0 / 3.0)
+                    - (1.0 - 2.0 / (9.0 * dof)))
+                   / sqrt(2.0 / (9.0 * dof)) END AS zz
+          FROM h
+        ), pp AS (
+          SELECT *,
+                 (0.254829592 * (1.0 / (1.0 + 0.3275911 * abs(zz) / sqrt(2.0)))
+                  - 0.284496736 * pow(1.0 / (1.0 + 0.3275911 * abs(zz) / sqrt(2.0)), 2)
+                  + 1.421413741 * pow(1.0 / (1.0 + 0.3275911 * abs(zz) / sqrt(2.0)), 3)
+                  - 1.453152027 * pow(1.0 / (1.0 + 0.3275911 * abs(zz) / sqrt(2.0)), 4)
+                  + 1.061405429 * pow(1.0 / (1.0 + 0.3275911 * abs(zz) / sqrt(2.0)), 5))
+                 * exp(-abs(zz) / sqrt(2.0) * (abs(zz) / sqrt(2.0)))
+                   AS erfc
+          FROM z
+        )
+        SELECT k_treatments, n_blocks,
+               n_dropped AS n_blocks_dropped,
+               round(q, 6) AS q_stat,
+               CAST(dof AS BIGINT) AS dof,
+               round(CASE WHEN zz IS NULL THEN NULL
+                     WHEN zz >= 0 THEN erfc / 2.0
+                     ELSE 1.0 - erfc / 2.0 END, 6) AS p_value,
+               CASE WHEN zz IS NOT NULL THEN
+                 (CASE WHEN zz >= 0 THEN erfc / 2.0
+                       ELSE 1.0 - erfc / 2.0 END) < 0.05 END
+                 AS significant
+        FROM pp
+    """
+
+    sql["inequality_indices"] = """
+        WITH base AS (
+          SELECT c_mktsegment AS grp,
+                 CAST(c_acctbal AS DOUBLE) AS x
+          FROM customer
+          WHERE c_acctbal IS NOT NULL AND c_acctbal > 0
+        ), mom AS (
+          SELECT grp,
+                 CAST(count(*) AS BIGINT) AS n,
+                 sum(x) AS sx, sum(ln(x)) AS slx,
+                 sum(x * ln(x)) AS sxlx, sum(sqrt(x)) AS srx
+          FROM base GROUP BY 1
+        )
+        SELECT grp, n,
+               round(sx / n, 6) AS mean,
+               round(sxlx / sx - ln(sx / n), 6) AS theil_t,
+               round(ln(sx / n) - slx / n, 6) AS theil_l,
+               round(1.0 - pow(srx / n, 2) / (sx / n), 6)
+                 AS atkinson_05
+        FROM mom
+    """
+
+    sql["span_corruption"] = """
+        WITH base AS (
+          SELECT doc_id,
+                 CASE WHEN trim(text) = '' THEN 0
+                 ELSE len(string_split_regex(trim(text), '\\s+')) END
+                   AS n_tokens
+          FROM documents
+        ), planned AS (
+          SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                 least(CAST(floor(n_tokens * 0.15 / 3.0) AS BIGINT),
+                       n_tokens // 3) AS n_spans
+          FROM base
+        ), spans AS (
+          SELECT doc_id, n_tokens, n_spans,
+                 unnest(generate_series(0, n_spans - 1)) AS span_id
+          FROM planned WHERE n_spans >= 1
+        ), placed AS (
+          SELECT doc_id, span_id, n_tokens, n_spans,
+                 n_tokens // n_spans AS seg,
+                 CAST(('0x' || substr(md5('span:' || CAST(doc_id
+                     AS VARCHAR) || ':' || CAST(span_id AS VARCHAR)),
+                   1, 15)) AS BIGINT)
+                 % (n_tokens // n_spans - 3 + 1) AS off
+          FROM spans
+        )
+        SELECT doc_id,
+               CAST(span_id AS INTEGER) AS span_id,
+               CAST(span_id * seg + off AS BIGINT) AS start_token,
+               CAST(3 AS INTEGER) AS span_len,
+               n_tokens,
+               CAST(n_spans AS INTEGER) AS n_spans
+        FROM placed
+    """
+
+    sql["runs_test"] = """
+        WITH rollup AS (
+          SELECT event_type AS grp,
+                 (epoch_ns(ts) // 3600000000000) * 3600 AS b,
+                 sum(CAST(value AS DOUBLE)) AS x
+          FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+        ), marked AS (
+          SELECT grp,
+                 CASE WHEN x > avg(x) OVER (PARTITION BY grp)
+                 THEN 1 ELSE 0 END AS a,
+                 b
+          FROM rollup
+        ), runs AS (
+          SELECT grp, a,
+                 CASE WHEN lag(a) OVER (PARTITION BY grp ORDER BY b)
+                        IS NULL
+                      OR a <> lag(a) OVER (PARTITION BY grp
+                        ORDER BY b)
+                 THEN 1 ELSE 0 END AS nr
+          FROM marked
+        ), folded AS (
+          SELECT grp,
+                 CAST(count(*) AS BIGINT) AS n_buckets,
+                 CAST(sum(a) AS BIGINT) AS n_above,
+                 CAST(count(*) - sum(a) AS BIGINT) AS n_below,
+                 CAST(sum(nr) AS BIGINT) AS n_runs
+          FROM runs GROUP BY 1
+        ), z AS (
+          SELECT *,
+                 CASE WHEN n_above > 0 AND n_below > 0
+                      AND n_buckets > 1
+                      AND 2.0 * n_above * n_below
+                        * (2.0 * n_above * n_below - n_buckets)
+                        / (CAST(n_buckets AS DOUBLE) * n_buckets
+                           * (n_buckets - 1.0)) > 0
+                 THEN (n_runs - (2.0 * n_above * n_below
+                         / n_buckets + 1.0))
+                      / sqrt(2.0 * n_above * n_below
+                        * (2.0 * n_above * n_below - n_buckets)
+                        / (CAST(n_buckets AS DOUBLE) * n_buckets
+                           * (n_buckets - 1.0))) END AS zz
+          FROM folded
+        ), pp AS (
+          SELECT *,
+                 (0.254829592 * (1.0 / (1.0 + 0.3275911 * abs(zz) / sqrt(2.0)))
+                  - 0.284496736 * pow(1.0 / (1.0 + 0.3275911 * abs(zz) / sqrt(2.0)), 2)
+                  + 1.421413741 * pow(1.0 / (1.0 + 0.3275911 * abs(zz) / sqrt(2.0)), 3)
+                  - 1.453152027 * pow(1.0 / (1.0 + 0.3275911 * abs(zz) / sqrt(2.0)), 4)
+                  + 1.061405429 * pow(1.0 / (1.0 + 0.3275911 * abs(zz) / sqrt(2.0)), 5))
+                 * exp(-abs(zz) / sqrt(2.0) * (abs(zz) / sqrt(2.0)))
+                   AS p
+          FROM z
+        )
+        SELECT grp, n_buckets, n_above, n_below, n_runs,
+               round(zz, 6) AS z,
+               round(CASE WHEN zz IS NOT NULL THEN p END, 6)
+                 AS p_value,
+               CASE WHEN zz IS NOT NULL THEN p < 0.05 END
+                 AS significant
+        FROM pp
+    """
+
+    sql["decomposition_strength"] = """
+        WITH rollup AS (
+          SELECT event_type AS grp,
+                 epoch_ns(ts) // 3600000000000 * 3600 AS bucket_epoch,
+                 sum(value) AS metric
+          FROM events GROUP BY 1, 2
+        ), wt AS (
+          SELECT grp, bucket_epoch,
+                 CAST(metric AS DOUBLE) AS metric,
+                 CAST((bucket_epoch // 3600) % 24 AS INT) AS phase,
+                 avg(CAST(metric AS DOUBLE)) OVER (
+                   PARTITION BY grp ORDER BY bucket_epoch
+                   ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING
+                 ) AS trend
+          FROM rollup
+        ), pm AS (
+          SELECT grp, phase, avg(metric - trend) AS s_raw
+          FROM wt GROUP BY 1, 2
+        ), gm AS (
+          SELECT grp, avg(s_raw) AS s_bar FROM pm GROUP BY 1
+        ), se AS (
+          SELECT grp, phase, s_raw - s_bar AS seasonal
+          FROM pm JOIN gm USING (grp)
+        ), comp AS (
+          -- the decomposition output ROUNDS each component to 6
+          -- decimals; the strength fold must see the same values
+          SELECT wt.grp,
+                 round(wt.metric - wt.trend - se.seasonal, 6) AS r,
+                 round(wt.trend, 6)
+                   + round(wt.metric - wt.trend - se.seasonal, 6)
+                   AS tr,
+                 round(se.seasonal, 6)
+                   + round(wt.metric - wt.trend - se.seasonal, 6)
+                   AS sea
+          FROM wt JOIN se ON wt.grp = se.grp AND wt.phase = se.phase
+        ), mom AS (
+          SELECT grp,
+                 CAST(count(*) AS BIGINT) AS n_buckets,
+                 avg(r * r) - avg(r) * avg(r) AS vr,
+                 avg(tr * tr) - avg(tr) * avg(tr) AS vt,
+                 avg(sea * sea) - avg(sea) * avg(sea) AS vs
+          FROM comp GROUP BY 1
+        )
+        SELECT grp, n_buckets,
+               round(CASE WHEN vt > 0
+                 THEN greatest(0.0, 1.0 - vr / vt) END, 6)
+                 AS trend_strength,
+               round(CASE WHEN vs > 0
+                 THEN greatest(0.0, 1.0 - vr / vs) END, 6)
+                 AS seasonal_strength
+        FROM mom
+    """
+
+    sql["page_trend"] = """
+        WITH cells AS (
+          SELECT CAST(year(l_shipdate) * 12 + month(l_shipdate)
+                   AS VARCHAR) AS blk,
+                 l_returnflag AS trt,
+                 CAST(sum(l_quantity) AS DOUBLE) AS v
+          FROM lineitem GROUP BY 1, 2
+        ), k AS (
+          SELECT count(DISTINCT trt) AS k_tot FROM cells
+        ), sizes AS (
+          SELECT blk, count(*) AS kk FROM cells GROUP BY 1
+        ), complete AS (
+          SELECT c.* FROM cells c
+          JOIN sizes s ON c.blk = s.blk CROSS JOIN k
+          WHERE s.kk = k.k_tot
+        ), ranked AS (
+          SELECT trt,
+                 CAST(rank() OVER (PARTITION BY blk ORDER BY v)
+                   AS DOUBLE)
+                 + (CAST(count(*) OVER (PARTITION BY blk, v)
+                     AS DOUBLE) - 1.0) / 2.0 AS r
+          FROM complete
+        ), per_t AS (
+          SELECT trt, sum(r) AS rsum,
+                 CAST(count(*) AS DOUBLE) AS nb
+          FROM ranked GROUP BY 1
+        ), ordered AS (
+          SELECT *, CAST(row_number() OVER (ORDER BY trt) AS DOUBLE)
+                   AS j
+          FROM per_t
+        ), folded AS (
+          SELECT CAST(count(*) AS BIGINT) AS k_treatments,
+                 max(nb) AS n, sum(j * rsum) AS l
+          FROM ordered
+        ), dropped AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_dropped
+          FROM sizes CROSS JOIN k WHERE sizes.kk <> k.k_tot
+        ), z AS (
+          SELECT k_treatments, n, n_dropped, l,
+                 CASE WHEN k_treatments > 1 AND n > 0
+                      AND n * k_treatments * k_treatments
+                        * (k_treatments + 1.0)
+                        * (k_treatments * k_treatments - 1.0)
+                        / 144.0 > 0
+                 THEN (l - n * k_treatments * (k_treatments + 1.0)
+                         * (k_treatments + 1.0) / 4.0)
+                      / sqrt(n * k_treatments * k_treatments
+                        * (k_treatments + 1.0)
+                        * (k_treatments * k_treatments - 1.0)
+                        / 144.0) END AS zz
+          FROM folded CROSS JOIN dropped
+        ), pp AS (
+          SELECT *,
+                 (0.254829592 * (1.0 / (1.0 + 0.3275911 * abs(zz) / sqrt(2.0)))
+                  - 0.284496736 * pow(1.0 / (1.0 + 0.3275911 * abs(zz) / sqrt(2.0)), 2)
+                  + 1.421413741 * pow(1.0 / (1.0 + 0.3275911 * abs(zz) / sqrt(2.0)), 3)
+                  - 1.453152027 * pow(1.0 / (1.0 + 0.3275911 * abs(zz) / sqrt(2.0)), 4)
+                  + 1.061405429 * pow(1.0 / (1.0 + 0.3275911 * abs(zz) / sqrt(2.0)), 5))
+                 * exp(-abs(zz) / sqrt(2.0) * (abs(zz) / sqrt(2.0)))
+                   AS erfc
+          FROM z
+        )
+        SELECT k_treatments,
+               CAST(coalesce(n, 0) AS BIGINT) AS n_blocks,
+               n_dropped AS n_blocks_dropped,
+               round(l, 6) AS l_stat,
+               round(zz, 6) AS z,
+               round(CASE WHEN zz IS NULL THEN NULL
+                     WHEN zz >= 0 THEN erfc / 2.0
+                     ELSE 1.0 - erfc / 2.0 END, 6) AS p_value,
+               CASE WHEN zz IS NOT NULL THEN
+                 (CASE WHEN zz >= 0 THEN erfc / 2.0
+                       ELSE 1.0 - erfc / 2.0 END) < 0.05 END
+                 AS significant
+        FROM pp
+    """
+
+    sql["msprt_test"] = """
+        WITH fa AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_a,
+                 sum(CAST(value AS DOUBLE)) AS s,
+                 sum(CAST(value AS DOUBLE) * CAST(value AS DOUBLE))
+                   AS ss
+          FROM events
+          WHERE event_type = 'purchase' AND value IS NOT NULL
+        ), fb AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_b,
+                 sum(CAST(value AS DOUBLE)) AS s,
+                 sum(CAST(value AS DOUBLE) * CAST(value AS DOUBLE))
+                   AS ss
+          FROM events
+          WHERE event_type = 'click' AND value IS NOT NULL
+        ), m AS (
+          SELECT n_a, n_b,
+                 fa.s / n_a AS ma, fb.s / n_b AS mb,
+                 (fa.ss - n_a * (fa.s / n_a) * (fa.s / n_a))
+                   / (n_a - 1.0) AS va,
+                 (fb.ss - n_b * (fb.s / n_b) * (fb.s / n_b))
+                   / (n_b - 1.0) AS vb
+          FROM fa CROSS JOIN fb
+        ), lam AS (
+          SELECT n_a, n_b, ma, mb, ma - mb AS delta,
+                 va / n_a + vb / n_b AS se2,
+                 CASE WHEN n_a >= 2 AND n_b >= 2
+                      AND va / n_a + vb / n_b > 0
+                 THEN sqrt((va / n_a + vb / n_b)
+                        / (va / n_a + vb / n_b + 1.0))
+                      * exp(1.0 * (ma - mb) * (ma - mb)
+                        / (2.0 * (va / n_a + vb / n_b)
+                           * (va / n_a + vb / n_b + 1.0))) END AS l
+          FROM m
+        )
+        SELECT n_a, n_b,
+               round(ma, 6) AS mean_a,
+               round(mb, 6) AS mean_b,
+               round(delta, 6) AS delta,
+               round(l, 6) AS lambda_stat,
+               round(CASE WHEN l IS NOT NULL
+                 THEN least(1.0, 1.0 / l) END, 6) AS p_always_valid,
+               CASE WHEN l IS NOT NULL
+                 THEN least(1.0, 1.0 / l) < 0.05 END AS significant
+        FROM lam
+    """
+
+    sql["quantile_treatment_effect"] = """
+        WITH j AS (
+          SELECT CAST(l_extendedprice AS DOUBLE) AS x,
+                 p_type LIKE 'PROMO%' AS promo
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+        ), q AS (
+          SELECT CAST(0.1 AS DOUBLE) AS prob,
+                 quantile_cont(x, 0.1) FILTER (promo) AS qt,
+                 quantile_cont(x, 0.1) FILTER (NOT promo) AS qc
+          FROM j
+          UNION ALL
+          SELECT CAST(0.25 AS DOUBLE) AS prob,
+                 quantile_cont(x, 0.25) FILTER (promo) AS qt,
+                 quantile_cont(x, 0.25) FILTER (NOT promo) AS qc
+          FROM j
+          UNION ALL
+          SELECT CAST(0.5 AS DOUBLE) AS prob,
+                 quantile_cont(x, 0.5) FILTER (promo) AS qt,
+                 quantile_cont(x, 0.5) FILTER (NOT promo) AS qc
+          FROM j
+          UNION ALL
+          SELECT CAST(0.75 AS DOUBLE) AS prob,
+                 quantile_cont(x, 0.75) FILTER (promo) AS qt,
+                 quantile_cont(x, 0.75) FILTER (NOT promo) AS qc
+          FROM j
+          UNION ALL
+          SELECT CAST(0.9 AS DOUBLE) AS prob,
+                 quantile_cont(x, 0.9) FILTER (promo) AS qt,
+                 quantile_cont(x, 0.9) FILTER (NOT promo) AS qc
+          FROM j
+        )
+        SELECT prob,
+               round(qt, 6) AS q_treat,
+               round(qc, 6) AS q_ctrl,
+               round(qt - qc, 6) AS qte
+        FROM q
     """
 
     return sql
@@ -16284,7 +17343,7 @@ def q_prorate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_robust_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust z-score feature for l_extendedprice per return flag
     (operators/features.robust_scale): grouped median/MAD via the
     distributed histogram passes, constants inlined as literals, the
@@ -16453,3 +17512,357 @@ def q_adoption_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _events(spark, sf_dir)
     return adoption_curve(e)
+
+
+def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal–Wallis H over l_quantity by return flag
+    (operators/analytics.kruskal_wallis): rank ANOVA on rollups with
+    tie correction — l_quantity is small-integer-valued, so the tie
+    term is the whole game.  VALUE oracle: identical rank/H/
+    Wilson–Hilferty arithmetic replayed over DuckDB window sums."""
+    from moz_datapipeline_spark.operators.analytics import kruskal_wallis
+
+    li = _t(spark, sf_dir, "lineitem")
+    return kruskal_wallis(li, "l_quantity", "l_returnflag")
+
+
+def q_g_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G-test (log-likelihood ratio) of returnflag × linestatus
+    independence (operators/validation.g_test_independence): one
+    joint-count aggregate, present-cells-only fold.  VALUE oracle:
+    same O·ln(O/E) fold + Wilson–Hilferty p in DuckDB."""
+    from moz_datapipeline_spark.operators.validation import (
+        g_test_independence,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    return g_test_independence(li, "l_returnflag", "l_linestatus")
+
+
+def q_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DFT periodogram of hourly event counts per type
+    (operators/temporal.periodogram): rollup → explode harmonics →
+    one (grp, k) aggregate; no windows, no sorts.  VALUE oracle:
+    identical cos/sin sums over generate_series in DuckDB."""
+    from moz_datapipeline_spark.operators.temporal import periodogram
+
+    e = _events(spark, sf_dir)
+    return periodogram(
+        e, group_col="event_type", bucket="hour", max_harmonic=8
+    )
+
+
+def q_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston intermittent-demand forecast per user over daily
+    purchase values (operators/temporal.croston): closed-form SES on
+    demand sizes and inter-demand intervals — the sparse-series
+    forecaster.  Filtered to users with ≥ 2 demand days so the
+    forecast column is live.  VALUE oracle: same power-weight closed
+    form via DuckDB windows."""
+    from moz_datapipeline_spark.operators.temporal import croston
+
+    e = _events(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    out = croston(
+        e, group_col="user_id", value_col="value", bucket="day", alpha=0.2
+    )
+    return out.select(
+        F.col("grp").alias("user_id"),
+        "n_periods",
+        "demand_smooth",
+        "interval_smooth",
+        "croston_forecast",
+    )
+
+
+def q_ridge_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ridge regression of extendedprice on (quantity, discount) per
+    return flag, λ = 1e6 (operators/analytics.ridge_fit): ols_fit's
+    one-pass moment rollup with the penalized diagonal — shrinkage
+    visible at the 6th decimal vs the ols_fit key.  VALUE oracle:
+    identical Cramer arithmetic with the +λ diagonal in DuckDB."""
+    from moz_datapipeline_spark.operators.analytics import ridge_fit
+
+    li = _t(spark, sf_dir, "lineitem")
+    return ridge_fit(
+        li,
+        "l_extendedprice",
+        ["l_quantity", "l_discount"],
+        lam=1_000_000.0,
+        group_cols=["l_returnflag"],
+    )
+
+
+def q_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman test: do the return-flag classes differ in monthly
+    shipped quantity, blocking on month
+    (operators/analytics.friedman_test)?  Cells are SUM(l_quantity)
+    per (month, flag) — integer-exact, so within-block ranks replay
+    bit-identically; months missing a flag are dropped (TPC-H ships
+    R/A only in the early months — the drop path is live).  VALUE
+    oracle: identical cell fold + rank windows + χ²_F arithmetic."""
+    from moz_datapipeline_spark.operators.analytics import friedman_test
+
+    li = _t(spark, sf_dir, "lineitem")
+    cells = li.groupBy(
+        (F.year("l_shipdate") * 12 + F.month("l_shipdate")).alias(
+            "month_idx"
+        ),
+        "l_returnflag",
+    ).agg(F.sum("l_quantity").alias("qty"))
+    return friedman_test(cells, "month_idx", "l_returnflag", "qty")
+
+
+def q_uplift_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uplift-by-score-decile over a deterministic synthetic
+    experiment on orders (operators/mleval.uplift_bins): dyadic
+    scores (k/1024), treatment = orderkey parity, outcome lifted for
+    treated high-scorers — rank-based integer bin cuts, no float
+    boundaries.  VALUE oracle: identical rollup + window cumsum +
+    integer bin arithmetic in DuckDB."""
+    from moz_datapipeline_spark.operators.mleval import uplift_bins
+
+    o = _t(spark, sf_dir, "orders").select(
+        ((F.col("o_orderkey") % 1024).cast("double") / 1024.0).alias(
+            "score"
+        ),
+        (F.col("o_orderkey") % 2).cast("int").alias("treat"),
+        (
+            (
+                (F.col("o_orderkey") % 1024)
+                + 300
+                * (F.col("o_orderkey") % 2)
+                * ((F.col("o_orderkey") % 3) == 0).cast("long")
+            )
+            > 900
+        )
+        .cast("int")
+        .alias("converted"),
+    )
+    return uplift_bins(o, "score", "treat", "converted", n_bins=10)
+
+
+def q_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Murphy decomposition of the Brier score over the
+    calibration query's dyadic synthetic forecasts
+    (operators/mleval.brier_decomposition): conditioning on distinct
+    forecast values makes rel − res + unc = brier an identity.
+    VALUE oracle: identical per-value rollup + 1-row fold."""
+    from moz_datapipeline_spark.operators.mleval import (
+        brier_decomposition,
+    )
+
+    o = _t(spark, sf_dir, "orders").select(
+        ((F.col("o_orderkey") % 1024).cast("double") / 1024.0).alias(
+            "score"
+        ),
+        (
+            (F.col("o_orderkey") % 1024) + 120 * (F.col("o_orderkey") % 5)
+            > 760
+        )
+        .cast("int")
+        .alias("label"),
+    )
+    return brier_decomposition(o, "score", "label")
+
+
+def q_pettitt_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pettitt rank changepoint over hourly per-type value rollups
+    (operators/temporal.pettitt_changepoint): tie-averaged ranks +
+    U_t running sum as group-partitioned rollup windows; earliest-
+    bucket tie-break.  VALUE oracle: identical rank identity +
+    QUALIFY argmax in DuckDB."""
+    from moz_datapipeline_spark.operators.temporal import (
+        pettitt_changepoint,
+    )
+
+    e = _events(spark, sf_dir)
+    return pettitt_changepoint(e, bucket="hour")
+
+
+def q_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent by R/S analysis over hourly per-type rollups
+    (operators/temporal.hurst_exponent): complete 8/16/32/64-blocks,
+    block-bounded windows, closed-form log-log slope.  VALUE oracle:
+    identical block windows + Cramer d=1 fold in DuckDB."""
+    from moz_datapipeline_spark.operators.temporal import hurst_exponent
+
+    e = _events(spark, sf_dir)
+    return hurst_exponent(e, bucket="hour")
+
+
+def q_poisson_rate_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exposure-weighted Poisson rate comparison: purchases vs clicks
+    (operators/analytics.poisson_rate_test) — two 1-row folds,
+    conditional-binomial z.  VALUE oracle: identical integer-exact
+    arithmetic."""
+    from moz_datapipeline_spark.operators.analytics import (
+        poisson_rate_test,
+    )
+
+    e = _events(spark, sf_dir)
+    return poisson_rate_test(
+        e.filter(F.col("event_type") == "purchase"),
+        e.filter(F.col("event_type") == "click"),
+    )
+
+
+def q_mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar paired-binary test over two deterministic synthetic
+    'model grades' on orders (operators/analytics.mcnemar_test): one
+    conditional-sum aggregate, Edwards continuity correction, exact
+    df=1 erfc tail.  VALUE oracle: identical arithmetic."""
+    from moz_datapipeline_spark.operators.analytics import mcnemar_test
+
+    o = _t(spark, sf_dir, "orders").select(
+        ((F.col("o_orderkey") % 7) < 4).cast("int").alias("model_a"),
+        ((F.col("o_orderkey") % 5) < 3).cast("int").alias("model_b"),
+    )
+    return mcnemar_test(o, "model_a", "model_b")
+
+
+def q_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q: do return-flag classes differ in the rate of
+    above-month-average volume (cell = month×flag, outcome = shipped
+    quantity above the month's cross-flag mean — scale-free, live at
+    every sf), blocking on month
+    (operators/analytics.cochran_q)?  Incomplete months (late TPC-H
+    months ship only 'N') are dropped with the count reported.
+    VALUE oracle: identical cell folds + Q arithmetic."""
+    from moz_datapipeline_spark.operators.analytics import cochran_q
+
+    li = _t(spark, sf_dir, "lineitem")
+    qty = li.groupBy(
+        (F.year("l_shipdate") * 12 + F.month("l_shipdate")).alias(
+            "month_idx"
+        ),
+        "l_returnflag",
+    ).agg(F.sum("l_quantity").alias("qty"))
+    mw = Window.partitionBy("month_idx")
+    cells = qty.select(
+        "month_idx",
+        "l_returnflag",
+        (F.col("qty") > F.avg("qty").over(mw)).cast("int").alias(
+            "high"
+        ),
+    )
+    return cochran_q(cells, "month_idx", "l_returnflag", "high")
+
+
+def q_inequality_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-T/Theil-L/Atkinson(0.5) of positive account balances per
+    market segment (operators/analytics.inequality_indices): ONE
+    4-moment hash aggregate — the sort-free complement to the Gini/
+    Lorenz pair.  VALUE oracle: identical moment folds."""
+    from moz_datapipeline_spark.operators.analytics import (
+        inequality_indices,
+    )
+
+    c = _t(spark, sf_dir, "customer")
+    return inequality_indices(c, "c_acctbal", group_col="c_mktsegment")
+
+
+def q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption mask plan over documents
+    (operators/corpus.span_corruption): md5-addressed, segment-
+    spread, non-overlapping spans — zero shuffles, zero UDFs.
+    VALUE oracle: identical md5/integer arithmetic over
+    generate_series in DuckDB."""
+    from moz_datapipeline_spark.operators.corpus import span_corruption
+
+    d = _t(spark, sf_dir, "documents")
+    return span_corruption(d).select(
+        F.col("id").alias("doc_id"),
+        "span_id",
+        "start_token",
+        "span_len",
+        "n_tokens",
+        "n_spans",
+    )
+
+
+def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test over hourly per-type value rollups
+    (operators/temporal.runs_test): dichotomize against the group
+    mean, count run starts via one lag window — all rollup-sized.
+    VALUE oracle: identical windows + normal-approx arithmetic."""
+    from moz_datapipeline_spark.operators.temporal import runs_test
+
+    e = _events(spark, sf_dir)
+    return runs_test(e, bucket="hour")
+
+
+def q_decomposition_strength(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hyndman trend/seasonal strength per type off the
+    seasonal_decompose components (operators/temporal
+    .decomposition_strength): one |groups|-row moment fold over the
+    rollup-sized decomposition.  VALUE oracle: the full
+    decomposition replay + identical variance folds."""
+    from moz_datapipeline_spark.operators.temporal import (
+        decomposition_strength,
+    )
+
+    e = _events(spark, sf_dir)
+    return decomposition_strength(e, bucket="hour", period=24)
+
+
+def q_page_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page's L ordered-alternative test: does monthly shipped
+    quantity increase across return-flag classes in label order
+    (A < N < R), blocking on month
+    (operators/analytics.page_trend)?  VALUE oracle: identical rank
+    windows + L arithmetic."""
+    from moz_datapipeline_spark.operators.analytics import page_trend
+
+    li = _t(spark, sf_dir, "lineitem")
+    cells = li.groupBy(
+        (F.year("l_shipdate") * 12 + F.month("l_shipdate")).alias(
+            "month_idx"
+        ),
+        "l_returnflag",
+    ).agg(F.sum("l_quantity").alias("qty"))
+    return page_trend(cells, "month_idx", "l_returnflag", "qty")
+
+
+def q_msprt_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Always-valid mSPRT over purchase-vs-click event values
+    (operators/analytics.msprt_test): two 3-moment folds, Ville
+    p = min(1, 1/Λ).  VALUE oracle: identical Welch/mixture
+    arithmetic."""
+    from moz_datapipeline_spark.operators.analytics import msprt_test
+
+    e = _events(spark, sf_dir)
+    return msprt_test(
+        e.filter(F.col("event_type") == "purchase"),
+        e.filter(F.col("event_type") == "click"),
+        "value",
+        tau=1.0,
+    )
+
+
+def q_quantile_treatment_effect(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quantile treatment effects of promo vs non-promo parts on
+    extended price (operators/analytics.quantile_treatment_effect):
+    exact per-arm quantiles via the distributed histogram passes.
+    VALUE oracle: quantile_cont per arm (the builtin-identical
+    interpolation exact_quantiles pins)."""
+    from moz_datapipeline_spark.operators.analytics import (
+        quantile_treatment_effect,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        "l_extendedprice",
+        F.col("p_type").startswith("PROMO").alias("_is_promo"),
+    )
+    return quantile_treatment_effect(
+        j.filter(F.col("_is_promo")),
+        j.filter(~F.col("_is_promo")),
+        "l_extendedprice",
+    )

@@ -3955,3 +3955,939 @@ def adoption_curve(
         "new_users",
         F.sum("new_users").over(w).alias("cum_users"),
     )
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Kruskal–Wallis H test (k-sample rank ANOVA): one row
+    ``(k_groups, n_rows, h_stat, dof, p_value, significant)`` — the
+    k-group generalization of ``mann_whitney_u`` and the rank-based
+    companion to ``anova_oneway``: "did ANY of the k groups'
+    distributions shift?" without normality assumptions.  Average
+    ranks for ties with the Σ(t³−t) tie correction
+    (``H_c = H / (1 − Σ(t³−t)/(N³−N))``); p-value is the upper-tail
+    χ²(k−1) via the Wilson–Hilferty cube-root normal approximation
+    and the Abramowitz–Stegun 7.1.26 erf polynomial (both replayed
+    verbatim by the DuckDB twin); ``significant`` at 5%.  NULL value
+    or group excludes the row.  All-tied input (tie correction → 0)
+    yields NULL h/p, loudly.
+
+    Plan — ranks only change at distinct values, so everything folds
+    over rollups (the ``mann_whitney_u`` scheme, generalized):
+
+    1. one (group, value) hash aggregate over the data (map-side
+       combined) — the only data-sized pass;
+    2. value rollup + two-phase global prefix scan (range exchange,
+       per-partition cumsums, broadcast bases) → tie-averaged rank
+       per distinct value — never a single-task window;
+    3. rank join back on value (rollup-sized), per-group rank-sum
+       fold, then 1-row H/p arithmetic.
+    """
+    vals = df.select(
+        F.col(group_col).cast("string").alias("_grp"),
+        F.col(value_col).cast("double").alias("_v"),
+    ).filter(F.col("_v").isNotNull() & F.col("_grp").isNotNull())
+    per_gv = vals.groupBy("_grp", "_v").agg(
+        F.count(F.lit(1)).cast("long").alias("_ng")
+    )
+    per_v = per_gv.groupBy("_v").agg(F.sum("_ng").alias("_nv"))
+    ranged = per_v.repartitionByRange(F.col("_v").asc()).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    lw = (
+        Window.partitionBy("_pid")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = ranged.withColumn("_lt", F.sum("_nv").over(lw))
+    pw = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    bases = (
+        local.groupBy("_pid")
+        .agg(F.sum("_nv").alias("_tt"))
+        .withColumn("_bt", F.coalesce(F.sum("_tt").over(pw), F.lit(0)))
+        .select("_pid", "_bt")
+    )
+    t_v = F.col("_nv").cast("double")
+    avg_rank = (
+        (F.col("_bt") + F.col("_lt")).cast("double")
+        - t_v
+        + (t_v + F.lit(1.0)) / F.lit(2.0)
+    )
+    ranks = local.join(F.broadcast(bases), "_pid").select(
+        "_v",
+        avg_rank.alias("_r"),
+        (t_v * t_v * t_v - t_v).alias("_tie"),
+    )
+    rg = (
+        per_gv.join(ranks, "_v")
+        .groupBy("_grp")
+        .agg(
+            F.sum(F.col("_ng").cast("double") * F.col("_r")).alias(
+                "_rsum"
+            ),
+            F.sum("_ng").cast("double").alias("_n"),
+        )
+    )
+    ties = ranks.agg(
+        F.coalesce(F.sum("_tie"), F.lit(0.0)).alias("_ties")
+    )
+    folded = rg.agg(
+        F.count(F.lit(1)).cast("long").alias("k_groups"),
+        F.sum("_n").alias("_nn"),
+        F.sum(F.col("_rsum") * F.col("_rsum") / F.col("_n")).alias(
+            "_s"
+        ),
+    ).crossJoin(F.broadcast(ties))
+    nn = F.col("_nn")
+    h_raw = (
+        F.lit(12.0) / (nn * (nn + F.lit(1.0))) * F.col("_s")
+        - F.lit(3.0) * (nn + F.lit(1.0))
+    )
+    corr = F.lit(1.0) - F.col("_ties") / (nn * nn * nn - nn)
+    dof = (F.col("k_groups") - 1).cast("long")
+    ok = (dof > 0) & (nn > F.lit(1.0)) & (corr > 0)
+    h = F.when(ok, h_raw / corr)
+    # upper-tail chi2(dof) via Wilson–Hilferty: ((h/dof)^(1/3) - (1 -
+    # 2/(9 dof))) / sqrt(2/(9 dof)) ~ N(0,1), then one-sided erfc
+    d = dof.cast("double")
+    z = F.when(
+        ok & (h >= 0),
+        (
+            F.pow(h / d, F.lit(1.0) / F.lit(3.0))
+            - (F.lit(1.0) - F.lit(2.0) / (F.lit(9.0) * d))
+        )
+        / F.sqrt(F.lit(2.0) / (F.lit(9.0) * d)),
+    )
+    az = F.abs(z) / F.sqrt(F.lit(2.0))
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(0.3275911) * az)
+    poly = (
+        F.lit(0.254829592) * t
+        - F.lit(0.284496736) * (t**2)
+        + F.lit(1.421413741) * (t**3)
+        - F.lit(1.453152027) * (t**4)
+        + F.lit(1.061405429) * (t**5)
+    )
+    erfc = poly * F.exp(-az * az)
+    p = F.when(
+        z.isNotNull(),
+        F.when(z >= 0, erfc / F.lit(2.0)).otherwise(
+            F.lit(1.0) - erfc / F.lit(2.0)
+        ),
+    )
+    return folded.select(
+        "k_groups",
+        nn.cast("long").alias("n_rows"),
+        F.round(h, 6).alias("h_stat"),
+        dof.alias("dof"),
+        F.round(p, 6).alias("p_value"),
+        F.when(p.isNotNull(), p < F.lit(0.05)).alias("significant"),
+    )
+
+
+def ridge_fit(
+    df: DataFrame,
+    y_col: str,
+    x_cols: list[str],
+    lam: float = 1.0,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Ridge (L2-penalized) regression per group:
+    ``(*group_cols, n, b0, b_<x1>, ..., r2)`` solving
+    ``(XᵀX + λ·I')b = Xᵀy`` with the intercept UNPENALIZED (I' has a
+    zero in the intercept slot — the standard convention; penalizing
+    b0 would make the fit depend on the response's origin).  The
+    shrinkage companion to ``ols_fit`` for collinear / weak-signal
+    features; features should be on comparable scales (pair with
+    ``robust_scale``/``standardize``) since λ is applied to RAW
+    second moments, documented.
+
+    The SAME distributed plan as ``ols_fit``: ONE data-sized hash
+    aggregate of the moment sums (map-side combined), group-sized
+    arithmetic after.  d ≤ 2 solves by closed-form Cramer column
+    expressions (oracle-replayable); d ≥ 3 by the rollup-sized numpy
+    kernel with λ added to the diagonal.  ``r2`` is the TRAINING R²
+    of the penalized coefficients (``1 − SSE/SST`` with
+    ``SSE = Σy² − 2bᵀc + bᵀAb`` over the unpenalized moments) — it
+    can only be ≤ the OLS R², by construction.  λ = 0 reproduces
+    ``ols_fit`` exactly.  Singular penalized systems (possible only
+    at λ = 0 or degenerate n) yield NULLs, never garbage.
+    """
+    if not x_cols:
+        raise ValueError("ridge_fit: need at least one feature column")
+    if lam < 0:
+        raise ValueError("ridge_fit: lam must be >= 0")
+    if len(x_cols) > 2:
+        raise ValueError(
+            "ridge_fit: closed-form path supports d <= 2; for d >= 3 "
+            "use ols_fit's moment rollup with a numpy ridge kernel"
+        )
+    gcols = list(group_cols or [])
+    d = len(x_cols)
+    y = F.col(y_col).cast("double")
+    xs = [F.col(c).cast("double") for c in x_cols]
+    cond = y.isNotNull()
+    for x in xs:
+        cond = cond & x.isNotNull()
+    base = df.filter(cond).select(
+        *gcols,
+        y.alias("_y"),
+        *[xs[i].alias(f"_x{i}") for i in range(d)],
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_y") * F.col("_y")).alias("_syy"),
+    ]
+    for i in range(d):
+        aggs.append(F.sum(f"_x{i}").alias(f"_s{i}"))
+        aggs.append(F.sum(F.col(f"_x{i}") * F.col("_y")).alias(f"_s{i}y"))
+        for j in range(i, d):
+            aggs.append(
+                F.sum(F.col(f"_x{i}") * F.col(f"_x{j}")).alias(
+                    f"_s{i}{j}"
+                )
+            )
+    mom = base.groupBy(*gcols).agg(*aggs)
+    lam_l = F.lit(float(lam))
+    coef_names = ["b0"] + [f"b_{c}" for c in x_cols]
+    if d == 1:
+        n, s1 = F.col("_n"), F.col("_s0")
+        s11 = F.col("_s00") + lam_l
+        sy, s1y = F.col("_sy"), F.col("_s0y")
+        det = n * s11 - s1 * s1
+        ok = F.abs(det) > 1e-9
+        b0 = F.when(ok, (sy * s11 - s1 * s1y) / det)
+        b1 = F.when(ok, (n * s1y - s1 * sy) / det)
+        # SSE over UNPENALIZED moments: yy - 2(b0 sy + b1 s1y)
+        #   + b0² n + 2 b0 b1 s1 + b1² s00
+        sse = (
+            F.col("_syy")
+            - F.lit(2.0) * (b0 * sy + b1 * s1y)
+            + b0 * b0 * n
+            + F.lit(2.0) * b0 * b1 * s1
+            + b1 * b1 * F.col("_s00")
+        )
+        coefs = [b0, b1]
+    else:
+        n = F.col("_n")
+        s1, s2 = F.col("_s0"), F.col("_s1")
+        s11 = F.col("_s00") + lam_l
+        s22 = F.col("_s11") + lam_l
+        s12 = F.col("_s01")
+        sy, s1y, s2y = F.col("_sy"), F.col("_s0y"), F.col("_s1y")
+        det = (
+            n * (s11 * s22 - s12 * s12)
+            - s1 * (s1 * s22 - s12 * s2)
+            + s2 * (s1 * s12 - s11 * s2)
+        )
+        ok = F.abs(det) > 1e-9
+        det0 = (
+            sy * (s11 * s22 - s12 * s12)
+            - s1 * (s1y * s22 - s12 * s2y)
+            + s2 * (s1y * s12 - s11 * s2y)
+        )
+        det1 = (
+            n * (s1y * s22 - s12 * s2y)
+            - sy * (s1 * s22 - s12 * s2)
+            + s2 * (s1 * s2y - s1y * s2)
+        )
+        det2 = (
+            n * (s11 * s2y - s1y * s12)
+            - s1 * (s1 * s2y - s1y * s2)
+            + sy * (s1 * s12 - s11 * s2)
+        )
+        b0 = F.when(ok, det0 / det)
+        b1 = F.when(ok, det1 / det)
+        b2 = F.when(ok, det2 / det)
+        sse = (
+            F.col("_syy")
+            - F.lit(2.0) * (b0 * sy + b1 * s1y + b2 * s2y)
+            + b0 * b0 * n
+            + b1 * b1 * F.col("_s00")
+            + b2 * b2 * F.col("_s11")
+            + F.lit(2.0)
+            * (
+                b0 * b1 * s1
+                + b0 * b2 * s2
+                + b1 * b2 * F.col("_s01")
+            )
+        )
+        coefs = [b0, b1, b2]
+    sst = F.col("_syy") - F.col("_sy") * F.col("_sy") / F.col("_n")
+    r2 = F.when(sst > 1e-12, F.lit(1.0) - sse / sst)
+    return mom.select(
+        *gcols,
+        F.col("_n").cast("long").alias("n"),
+        *[
+            F.round(c, 6).alias(name)
+            for c, name in zip(coefs, coef_names)
+        ],
+        F.round(r2, 6).alias("r2"),
+    )
+
+
+def friedman_test(
+    df: DataFrame,
+    block_col: str,
+    treatment_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Friedman test for k related samples (repeated measures over
+    blocks): one row ``(k_treatments, n_blocks, n_blocks_dropped,
+    chi2, dof, p_value, significant)`` — the within-block rank
+    complement to ``kruskal_wallis`` (which assumes independent
+    groups): "do the k treatments differ, controlling for the
+    block?".  Expects ONE observation per (block, treatment) cell —
+    pre-aggregate first (duplicates are rejected loudly).  Blocks
+    missing any treatment are DROPPED (complete-case, the count
+    reported); average ranks for within-block ties, with the general
+    tie-robust statistic ``χ² = (k−1)·Σ_j(R_j − n(k+1)/2)² /
+    (Σ r_ij² − nk(k+1)²/4)``; p is upper-tail χ²(k−1) via
+    Wilson–Hilferty + the A&S erf polynomial (the ``kruskal_wallis``
+    convention).  An all-tied panel (denominator 0) yields NULLs.
+
+    Plan: within-block average ranks come from block-partitioned
+    windows (each window is k rows — bounded by design, never
+    data-sized); then one treatment rollup and a 1-row fold.
+    """
+    b = F.col(block_col).cast("string").alias("_blk")
+    t = F.col(treatment_col).cast("string").alias("_trt")
+    v = F.col(value_col).cast("double").alias("_v")
+    cells = df.select(b, t, v).filter(
+        F.col("_blk").isNotNull()
+        & F.col("_trt").isNotNull()
+        & F.col("_v").isNotNull()
+    )
+    k_tot = cells.select("_trt").distinct().count()
+    dup = (
+        cells.groupBy("_blk", "_trt")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") > 1)
+        .limit(1)
+        .count()
+    )
+    if dup:
+        raise ValueError(
+            "friedman_test: multiple observations per (block, "
+            "treatment) cell — pre-aggregate first"
+        )
+    sizes = cells.groupBy("_blk").agg(F.count(F.lit(1)).alias("_k"))
+    n_dropped = sizes.filter(F.col("_k") != k_tot).count()
+    complete = cells.join(
+        sizes.filter(F.col("_k") == k_tot).select("_blk"), "_blk"
+    )
+    bw = Window.partitionBy("_blk")
+    rnk = F.rank().over(bw.orderBy("_v"))
+    ties = F.count(F.lit(1)).over(
+        Window.partitionBy("_blk", "_v")
+    )
+    ranked = complete.select(
+        "_blk",
+        "_trt",
+        (
+            rnk.cast("double")
+            + (ties.cast("double") - F.lit(1.0)) / F.lit(2.0)
+        ).alias("_r"),
+    )
+    per_t = ranked.groupBy("_trt").agg(
+        F.sum("_r").alias("_rsum"),
+        F.count(F.lit(1)).cast("double").alias("_nb"),
+    )
+    sq = ranked.agg(F.sum(F.col("_r") * F.col("_r")).alias("_rr"))
+    folded = per_t.agg(
+        F.count(F.lit(1)).cast("long").alias("k_treatments"),
+        F.max("_nb").alias("_n"),
+        F.sum(F.col("_rsum") * F.col("_rsum")).alias("_ss"),
+        F.sum("_rsum").alias("_rt"),
+    ).crossJoin(F.broadcast(sq))
+    k = F.col("k_treatments").cast("double")
+    n = F.col("_n")
+    # Σ_j (R_j − n(k+1)/2)² = Σ R_j² − 2·(n(k+1)/2)·Σ R_j + k·(n(k+1)/2)²
+    cbar = n * (k + F.lit(1.0)) / F.lit(2.0)
+    num = (
+        F.col("_ss")
+        - F.lit(2.0) * cbar * F.col("_rt")
+        + k * cbar * cbar
+    )
+    den = F.col("_rr") - n * k * (k + F.lit(1.0)) * (
+        k + F.lit(1.0)
+    ) / F.lit(4.0)
+    ok = (
+        (F.col("k_treatments") > 1)
+        & (n > 0)
+        & (F.abs(den) > F.lit(1e-12))
+    )
+    chi2 = F.when(ok, (k - F.lit(1.0)) * num / den)
+    dof = (F.col("k_treatments") - 1).cast("long")
+    d_ = dof.cast("double")
+    z = F.when(
+        ok & (chi2 >= 0),
+        (
+            F.pow(chi2 / d_, F.lit(1.0) / F.lit(3.0))
+            - (F.lit(1.0) - F.lit(2.0) / (F.lit(9.0) * d_))
+        )
+        / F.sqrt(F.lit(2.0) / (F.lit(9.0) * d_)),
+    )
+    az = F.abs(z) / F.sqrt(F.lit(2.0))
+    tt = F.lit(1.0) / (F.lit(1.0) + F.lit(0.3275911) * az)
+    poly = (
+        F.lit(0.254829592) * tt
+        - F.lit(0.284496736) * (tt**2)
+        + F.lit(1.421413741) * (tt**3)
+        - F.lit(1.453152027) * (tt**4)
+        + F.lit(1.061405429) * (tt**5)
+    )
+    erfc = poly * F.exp(-az * az)
+    p = F.when(
+        z.isNotNull(),
+        F.when(z >= 0, erfc / F.lit(2.0)).otherwise(
+            F.lit(1.0) - erfc / F.lit(2.0)
+        ),
+    )
+    return folded.select(
+        "k_treatments",
+        F.coalesce(n, F.lit(0.0)).cast("long").alias("n_blocks"),
+        F.lit(n_dropped).cast("long").alias("n_blocks_dropped"),
+        F.round(chi2, 6).alias("chi2"),
+        dof.alias("dof"),
+        F.round(p, 6).alias("p_value"),
+        F.when(p.isNotNull(), p < F.lit(0.05)).alias("significant"),
+    )
+
+
+def poisson_rate_test(
+    a: DataFrame,
+    b: DataFrame,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Two-sample Poisson rate comparison: one row ``(n_a, n_b,
+    exposure_a, exposure_b, rate_a, rate_b, rate_ratio, z, p_value,
+    significant)`` — "is side A's event RATE different from side
+    B's?" with unequal observation windows handled by exposure
+    weighting (the raw-count z-test is wrong when the windows
+    differ).  Exposure is each side's observed span (max ts − min
+    ts, in seconds from epoch-ns); the test conditions on the total
+    count: under H₀, ``n_a | n ~ Binomial(n, T_a/(T_a+T_b))``,
+    normal-approximated: ``z = (n_a − n·p)/√(n·p·(1−p))`` — exact
+    integer counts, integer-ns exposures, so the arithmetic replays
+    bit-identically.  Two-sided p via the A&S erf polynomial (the
+    ``mann_whitney_u`` convention).  Degenerate inputs (an empty
+    side, zero exposure) yield NULL stats, never division errors.
+    ``overdispersion_check`` gates this test: if counts are
+    overdispersed, Poisson p-values overstate significance.
+
+    Plan: one min/max/count fold per side — two data-sized
+    aggregates, 1-row arithmetic after; no joins over data.
+    """
+    def _fold(df: DataFrame, tag: str) -> DataFrame:
+        ns = F.col(ts_col).cast("long")
+        return df.filter(ns.isNotNull()).agg(
+            F.count(F.lit(1)).cast("long").alias(f"n_{tag}"),
+            (
+                (F.max(ns) - F.min(ns)).cast("double")
+                / F.lit(1_000_000_000.0)
+            ).alias(f"exposure_{tag}"),
+        )
+
+    folded = _fold(a, "a").crossJoin(_fold(b, "b"))
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    ta, tb = F.col("exposure_a"), F.col("exposure_b")
+    ok = (na + nb > 0) & (ta > 0) & (tb > 0)
+    p0 = ta / (ta + tb)
+    mean = (na + nb) * p0
+    var = (na + nb) * p0 * (F.lit(1.0) - p0)
+    z = F.when(ok & (var > 0), (na - mean) / F.sqrt(var))
+    az = F.abs(z) / F.sqrt(F.lit(2.0))
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(0.3275911) * az)
+    poly = (
+        F.lit(0.254829592) * t
+        - F.lit(0.284496736) * (t**2)
+        + F.lit(1.421413741) * (t**3)
+        - F.lit(1.453152027) * (t**4)
+        + F.lit(1.061405429) * (t**5)
+    )
+    p = F.when(z.isNotNull(), poly * F.exp(-az * az))
+    ra = F.when(ta > 0, na / ta)
+    rb = F.when(tb > 0, nb / tb)
+    return folded.select(
+        "n_a",
+        "n_b",
+        F.round(ta, 6).alias("exposure_a"),
+        F.round(tb, 6).alias("exposure_b"),
+        F.round(ra, 6).alias("rate_a"),
+        F.round(rb, 6).alias("rate_b"),
+        F.round(
+            F.when(rb > 0, ra / rb),
+            6,
+        ).alias("rate_ratio"),
+        F.round(z, 6).alias("z"),
+        F.round(p, 6).alias("p_value"),
+        F.when(p.isNotNull(), p < F.lit(0.05)).alias("significant"),
+    )
+
+
+def mcnemar_test(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+) -> DataFrame:
+    """McNemar's test for PAIRED binary outcomes — the standard "did
+    model B beat model A on the SAME eval set?" readout (marginal
+    accuracy deltas can't be z-tested as independent proportions when
+    both models grade the same rows): one row ``(n, n_discordant,
+    b01, b10, chi2, p_value, significant)`` where ``b01`` counts rows
+    A got right and B got wrong, ``b10`` the reverse — concordant
+    rows carry no information and only the discordant counts enter.
+    Uses the Edwards continuity-corrected ``χ² = (|b01−b10|−1)² /
+    (b01+b10)`` with the EXACT df=1 upper tail ``p = erfc(√(χ²/2))``
+    (A&S polynomial — no Wilson–Hilferty needed at df=1).  Zero
+    discordant pairs → NULL stats (the models are indistinguishable
+    on this set, loudly).  NULL in either column excludes the row.
+
+    Plan: ONE conditional-sum hash aggregate over the data — no
+    joins, no windows; 1-row arithmetic after.
+    """
+    a = F.col(a_col).cast("int")
+    b = F.col(b_col).cast("int")
+    folded = df.filter(a.isNotNull() & b.isNotNull()).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(((a == 1) & (b == 0)).cast("long")).alias("b01"),
+        F.sum(((a == 0) & (b == 1)).cast("long")).alias("b10"),
+    )
+    b01 = F.coalesce(F.col("b01"), F.lit(0)).cast("double")
+    b10 = F.coalesce(F.col("b10"), F.lit(0)).cast("double")
+    nd = b01 + b10
+    chi2 = F.when(
+        nd > 0,
+        (F.abs(b01 - b10) - F.lit(1.0)) ** 2 / nd,
+    )
+    az = F.sqrt(chi2 / F.lit(2.0))
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(0.3275911) * az)
+    poly = (
+        F.lit(0.254829592) * t
+        - F.lit(0.284496736) * (t**2)
+        + F.lit(1.421413741) * (t**3)
+        - F.lit(1.453152027) * (t**4)
+        + F.lit(1.061405429) * (t**5)
+    )
+    p = F.when(chi2.isNotNull(), poly * F.exp(-az * az))
+    return folded.select(
+        "n",
+        nd.cast("long").alias("n_discordant"),
+        F.coalesce(F.col("b01"), F.lit(0)).alias("b01"),
+        F.coalesce(F.col("b10"), F.lit(0)).alias("b10"),
+        F.round(chi2, 6).alias("chi2"),
+        F.round(p, 6).alias("p_value"),
+        F.when(p.isNotNull(), p < F.lit(0.05)).alias("significant"),
+    )
+
+
+def cochran_q(
+    df: DataFrame,
+    block_col: str,
+    treatment_col: str,
+    outcome_col: str,
+) -> DataFrame:
+    """Cochran's Q test for k related BINARY outcomes over blocks:
+    one row ``(k_treatments, n_blocks, n_blocks_dropped, q_stat, dof,
+    p_value, significant)`` — ``friedman_test``'s binary twin (and
+    ``mcnemar_test``'s k-treatment generalization): "do the k
+    treatments' success rates differ, pairing on the block?".
+    ``Q = k(k−1)·Σ_j(C_j − T/k)² / (k·T − Σ_i R_i²)`` with C_j the
+    treatment success totals, R_i the block success totals, T the
+    grand total; all-success and all-failure blocks cancel out of
+    both numerator and denominator automatically (the standard
+    property — no special-casing).  Expects one 0/1 observation per
+    (block, treatment) cell (duplicates rejected loudly); incomplete
+    blocks dropped with the count reported.  p is upper-tail χ²(k−1)
+    via Wilson–Hilferty + A&S (the ``kruskal_wallis`` convention); a
+    zero denominator (all blocks degenerate) yields NULLs.
+
+    Plan: the ``friedman_test`` scheme minus the rank windows — one
+    cell pass, two small rollups (per-block, per-treatment), a 1-row
+    fold.
+    """
+    b = F.col(block_col).cast("string").alias("_blk")
+    t = F.col(treatment_col).cast("string").alias("_trt")
+    o = F.col(outcome_col).cast("int").alias("_o")
+    cells = df.select(b, t, o).filter(
+        F.col("_blk").isNotNull()
+        & F.col("_trt").isNotNull()
+        & F.col("_o").isNotNull()
+    )
+    k_tot = cells.select("_trt").distinct().count()
+    dup = (
+        cells.groupBy("_blk", "_trt")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") > 1)
+        .limit(1)
+        .count()
+    )
+    if dup:
+        raise ValueError(
+            "cochran_q: multiple observations per (block, treatment) "
+            "cell — pre-aggregate first"
+        )
+    sizes = cells.groupBy("_blk").agg(F.count(F.lit(1)).alias("_k"))
+    n_dropped = sizes.filter(F.col("_k") != k_tot).count()
+    complete = cells.join(
+        sizes.filter(F.col("_k") == k_tot).select("_blk"), "_blk"
+    )
+    per_b = complete.groupBy("_blk").agg(
+        F.sum("_o").cast("double").alias("_r")
+    )
+    per_t = complete.groupBy("_trt").agg(
+        F.sum("_o").cast("double").alias("_c")
+    )
+    fb = per_b.agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        F.coalesce(F.sum("_r"), F.lit(0.0)).alias("_t"),
+        F.coalesce(F.sum(F.col("_r") * F.col("_r")), F.lit(0.0)).alias(
+            "_rr"
+        ),
+    )
+    ft = per_t.agg(
+        F.count(F.lit(1)).cast("long").alias("k_treatments"),
+        F.coalesce(
+            F.sum(F.col("_c") * F.col("_c")), F.lit(0.0)
+        ).alias("_cc"),
+    )
+    folded = fb.crossJoin(F.broadcast(ft))
+    k = F.col("k_treatments").cast("double")
+    tt = F.col("_t")
+    den = k * tt - F.col("_rr")
+    num = k * F.col("_cc") - tt * tt
+    ok = (
+        (F.col("k_treatments") > 1)
+        & (F.col("n_blocks") > 0)
+        & (F.abs(den) > 1e-12)
+    )
+    q = F.when(ok, (k - F.lit(1.0)) * num / den)
+    dof = (F.col("k_treatments") - 1).cast("long")
+    d_ = dof.cast("double")
+    z = F.when(
+        ok & (q >= 0),
+        (
+            F.pow(q / d_, F.lit(1.0) / F.lit(3.0))
+            - (F.lit(1.0) - F.lit(2.0) / (F.lit(9.0) * d_))
+        )
+        / F.sqrt(F.lit(2.0) / (F.lit(9.0) * d_)),
+    )
+    az = F.abs(z) / F.sqrt(F.lit(2.0))
+    tq = F.lit(1.0) / (F.lit(1.0) + F.lit(0.3275911) * az)
+    poly = (
+        F.lit(0.254829592) * tq
+        - F.lit(0.284496736) * (tq**2)
+        + F.lit(1.421413741) * (tq**3)
+        - F.lit(1.453152027) * (tq**4)
+        + F.lit(1.061405429) * (tq**5)
+    )
+    erfc = poly * F.exp(-az * az)
+    p = F.when(
+        z.isNotNull(),
+        F.when(z >= 0, erfc / F.lit(2.0)).otherwise(
+            F.lit(1.0) - erfc / F.lit(2.0)
+        ),
+    )
+    return folded.select(
+        "k_treatments",
+        "n_blocks",
+        F.lit(n_dropped).cast("long").alias("n_blocks_dropped"),
+        F.round(q, 6).alias("q_stat"),
+        dof.alias("dof"),
+        F.round(p, 6).alias("p_value"),
+        F.when(p.isNotNull(), p < F.lit(0.05)).alias("significant"),
+    )
+
+
+def inequality_indices(
+    df: DataFrame,
+    value_col: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """One-pass inequality indices per group: ``([grp,] n, mean,
+    theil_t, theil_l, atkinson_05)`` — the decomposable complements
+    to ``gini_concentration`` (Gini needs a rank pass; these are pure
+    moment folds, so they scale as ONE map-side-combined aggregate):
+    Theil-T ``= E[x/μ·ln(x/μ)]`` (top-sensitive), Theil-L
+    ``= ln μ − E[ln x]`` (bottom-sensitive), Atkinson(ε=0.5)
+    ``= 1 − (E[√x])²/μ``.  All require x > 0: non-positive and NULL
+    values are EXCLUDED (documented — entropy-based indices are
+    undefined there), n reports the included count.  A degenerate
+    group (n = 0 after filtering) vanishes; a constant group yields
+    exact zeros.
+
+    Plan: one hash aggregate carrying 4 moments (Σx, Σln x, Σx·ln x,
+    Σ√x) — no second pass, no sort, no window; the arithmetic is
+    group-sized.
+    """
+    x = F.col(value_col).cast("double")
+    base = df.filter(x.isNotNull() & (x > 0)).select(
+        *([F.col(group_col).alias("grp")] if group_col else []),
+        x.alias("_x"),
+    )
+    keys = ["grp"] if group_col else []
+    mom = base.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("_x").alias("_sx"),
+        F.sum(F.log("_x")).alias("_slx"),
+        F.sum(F.col("_x") * F.log("_x")).alias("_sxlx"),
+        F.sum(F.sqrt("_x")).alias("_srx"),
+    )
+    nn = F.col("n").cast("double")
+    mu = F.col("_sx") / nn
+    theil_t = F.col("_sxlx") / F.col("_sx") - F.log(mu)
+    theil_l = F.log(mu) - F.col("_slx") / nn
+    atk = F.lit(1.0) - (F.col("_srx") / nn) ** 2 / mu
+    return mom.select(
+        *keys,
+        "n",
+        F.round(mu, 6).alias("mean"),
+        F.round(theil_t, 6).alias("theil_t"),
+        F.round(theil_l, 6).alias("theil_l"),
+        F.round(atk, 6).alias("atkinson_05"),
+    )
+
+
+def page_trend(
+    df: DataFrame,
+    block_col: str,
+    treatment_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Page's L test for ORDERED alternatives across k related
+    samples: one row ``(k_treatments, n_blocks, n_blocks_dropped,
+    l_stat, z, p_value, significant)`` — ``friedman_test`` answers
+    "do the treatments differ AT ALL?"; this answers "do they
+    INCREASE in a prespecified order?" with far more power when the
+    order is right.  The order is the treatments' LEXICOGRAPHIC label
+    order (documented contract — callers encode the hypothesized
+    order into sortable labels, e.g. ``dose_1 < dose_2 < dose_3``).
+    ``L = Σ_j rank(label_j)·R_j`` over within-block tie-averaged
+    ranks; one-sided upper normal tail of ``z = (L − μ)/σ`` with
+    ``μ = n·k(k+1)²/4``, ``σ² = n·k²(k+1)(k²−1)/144`` (the standard
+    approximation; ties make it slightly conservative, documented).
+    Complete-case over blocks like ``friedman_test`` (duplicates
+    rejected loudly); k < 2 or a degenerate σ yields NULLs.
+
+    Plan: identical to ``friedman_test`` — block-partitioned k-row
+    rank windows, one treatment rollup (plus a k-row label-rank
+    window), a 1-row fold.
+    """
+    b = F.col(block_col).cast("string").alias("_blk")
+    t = F.col(treatment_col).cast("string").alias("_trt")
+    v = F.col(value_col).cast("double").alias("_v")
+    cells = df.select(b, t, v).filter(
+        F.col("_blk").isNotNull()
+        & F.col("_trt").isNotNull()
+        & F.col("_v").isNotNull()
+    )
+    k_tot = cells.select("_trt").distinct().count()
+    dup = (
+        cells.groupBy("_blk", "_trt")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") > 1)
+        .limit(1)
+        .count()
+    )
+    if dup:
+        raise ValueError(
+            "page_trend: multiple observations per (block, treatment) "
+            "cell — pre-aggregate first"
+        )
+    sizes = cells.groupBy("_blk").agg(F.count(F.lit(1)).alias("_k"))
+    n_dropped = sizes.filter(F.col("_k") != k_tot).count()
+    complete = cells.join(
+        sizes.filter(F.col("_k") == k_tot).select("_blk"), "_blk"
+    )
+    bw = Window.partitionBy("_blk")
+    rnk = F.rank().over(bw.orderBy("_v"))
+    ties = F.count(F.lit(1)).over(Window.partitionBy("_blk", "_v"))
+    ranked = complete.select(
+        "_trt",
+        (
+            rnk.cast("double")
+            + (ties.cast("double") - F.lit(1.0)) / F.lit(2.0)
+        ).alias("_r"),
+    )
+    per_t = ranked.groupBy("_trt").agg(
+        F.sum("_r").alias("_rsum"),
+        F.count(F.lit(1)).cast("double").alias("_nb"),
+    )
+    ordered = per_t.withColumn(
+        "_j",
+        F.row_number()
+        .over(Window.orderBy("_trt"))
+        .cast("double"),
+    )
+    folded = ordered.agg(
+        F.count(F.lit(1)).cast("long").alias("k_treatments"),
+        F.max("_nb").alias("_n"),
+        F.sum(F.col("_j") * F.col("_rsum")).alias("_l"),
+    )
+    k = F.col("k_treatments").cast("double")
+    n = F.col("_n")
+    mu = n * k * (k + F.lit(1.0)) * (k + F.lit(1.0)) / F.lit(4.0)
+    var = (
+        n
+        * k
+        * k
+        * (k + F.lit(1.0))
+        * (k * k - F.lit(1.0))
+        / F.lit(144.0)
+    )
+    ok = (F.col("k_treatments") > 1) & (n > 0) & (var > 0)
+    z = F.when(ok, (F.col("_l") - mu) / F.sqrt(var))
+    az = F.abs(z) / F.sqrt(F.lit(2.0))
+    tq = F.lit(1.0) / (F.lit(1.0) + F.lit(0.3275911) * az)
+    poly = (
+        F.lit(0.254829592) * tq
+        - F.lit(0.284496736) * (tq**2)
+        + F.lit(1.421413741) * (tq**3)
+        - F.lit(1.453152027) * (tq**4)
+        + F.lit(1.061405429) * (tq**5)
+    )
+    erfc = poly * F.exp(-az * az)
+    # one-sided UPPER tail: trend in the hypothesized label order
+    p = F.when(
+        z.isNotNull(),
+        F.when(z >= 0, erfc / F.lit(2.0)).otherwise(
+            F.lit(1.0) - erfc / F.lit(2.0)
+        ),
+    )
+    return folded.select(
+        "k_treatments",
+        F.coalesce(n, F.lit(0.0)).cast("long").alias("n_blocks"),
+        F.lit(n_dropped).cast("long").alias("n_blocks_dropped"),
+        F.round(F.col("_l"), 6).alias("l_stat"),
+        F.round(z, 6).alias("z"),
+        F.round(p, 6).alias("p_value"),
+        F.when(p.isNotNull(), p < F.lit(0.05)).alias("significant"),
+    )
+
+
+def msprt_test(
+    a: DataFrame,
+    b: DataFrame,
+    column: str,
+    tau: float = 1.0,
+    mu0: float = 0.0,
+) -> DataFrame:
+    """Mixture sequential probability ratio test (mSPRT) for the
+    difference of means — the ALWAYS-VALID A/B readout: unlike the
+    fixed-horizon z-test (``ab_test``/``proportion_ztest``), its
+    p-value stays valid under continuous monitoring and optional
+    stopping, so "peeking" at a live experiment can't inflate false
+    positives.  One row ``(n_a, n_b, mean_a, mean_b, delta,
+    lambda_stat, p_always_valid, significant)`` with the normal
+    mixture (prior scale ``tau``) over H₀: Δ = ``mu0``:
+
+        Λ = √(se²/(se² + τ²)) · exp(τ²·(Δ−μ₀)² / (2·se²·(se²+τ²)))
+        p = min(1, 1/Λ)      (Ville's inequality)
+
+    ``se² = s²_a/n_a + s²_b/n_b`` (Welch, sample variances).  τ
+    matches the prior scale of plausible effects — too small wastes
+    power on big effects, too big on small ones (documented; 1.0
+    suits unit-scale metrics).  Degenerate inputs (either side n < 2
+    or se = 0) yield NULL stats.  NULL values are excluded.
+
+    Plan: one 3-moment fold per side (map-side combined), 1-row
+    arithmetic after — no joins over data, no windows.
+    """
+    if tau <= 0:
+        raise ValueError("msprt_test: tau must be > 0")
+
+    def _fold(df: DataFrame, tag: str) -> DataFrame:
+        v = F.col(column).cast("double")
+        return df.filter(v.isNotNull()).agg(
+            F.count(F.lit(1)).cast("long").alias(f"n_{tag}"),
+            F.sum(v).alias(f"_s_{tag}"),
+            F.sum(v * v).alias(f"_ss_{tag}"),
+        )
+
+    folded = _fold(a, "a").crossJoin(_fold(b, "b"))
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    ma = F.col("_s_a") / na
+    mb = F.col("_s_b") / nb
+    va = (F.col("_ss_a") - na * ma * ma) / (na - F.lit(1.0))
+    vb = (F.col("_ss_b") - nb * mb * mb) / (nb - F.lit(1.0))
+    se2 = va / na + vb / nb
+    ok = (na >= 2) & (nb >= 2) & (se2 > 0)
+    t2 = F.lit(float(tau) * float(tau))
+    delta = ma - mb
+    lam = F.when(
+        ok,
+        F.sqrt(se2 / (se2 + t2))
+        * F.exp(
+            t2
+            * (delta - F.lit(float(mu0)))
+            * (delta - F.lit(float(mu0)))
+            / (F.lit(2.0) * se2 * (se2 + t2))
+        ),
+    )
+    p = F.when(ok, F.least(F.lit(1.0), F.lit(1.0) / lam))
+    return folded.select(
+        "n_a",
+        "n_b",
+        F.round(ma, 6).alias("mean_a"),
+        F.round(mb, 6).alias("mean_b"),
+        F.round(delta, 6).alias("delta"),
+        F.round(lam, 6).alias("lambda_stat"),
+        F.round(p, 6).alias("p_always_valid"),
+        F.when(p.isNotNull(), p < F.lit(0.05)).alias("significant"),
+    )
+
+
+def quantile_treatment_effect(
+    a: DataFrame,
+    b: DataFrame,
+    column: str,
+    probs: list[float] | None = None,
+) -> DataFrame:
+    """Quantile treatment effects: ``(prob, q_treat, q_ctrl, qte)``
+    per requested quantile — WHERE in the outcome distribution did
+    the treatment act?  A mean shift (``ab_test``) can hide a pure
+    tail effect; QTE shows median vs p90 movement separately.
+    Quantiles are EXACT (``operators/ranges.exact_quantiles`` — the
+    distributed histogram passes, bit-identical to the ``percentile``
+    builtin, never a single-task sort), computed independently per
+    arm; an empty arm yields NULL for its side.  This is a
+    DIFFERENCE-of-quantiles readout, not a paired per-unit effect
+    (the standard caveat, documented).
+
+    Plan: two bounded multi-pass histogram selections (each a few
+    rollup-sized exchanges); the returned frame is a |probs|-row
+    driver-side literal (the ``ks_test`` convention).
+    """
+    from .ranges import exact_quantiles
+
+    probs = list(probs or (0.1, 0.25, 0.5, 0.75, 0.9))
+    if not probs or any(not (0.0 <= p <= 1.0) for p in probs):
+        raise ValueError(
+            "quantile_treatment_effect: probs must lie in [0, 1]"
+        )
+    qa = exact_quantiles(a, column, probs)
+    qb = exact_quantiles(b, column, probs)
+    spark = a.sparkSession
+    rows = []
+    for i, p in enumerate(probs):
+        va = None if qa is None else qa[i]
+        vb = None if qb is None else qb[i]
+        rows.append(
+            (
+                float(p),
+                None if va is None else round(float(va), 6),
+                None if vb is None else round(float(vb), 6),
+                None
+                if va is None or vb is None
+                else round(float(va) - float(vb), 6),
+            )
+        )
+    return spark.createDataFrame(
+        rows, "prob double, q_treat double, q_ctrl double, qte double"
+    )

@@ -1651,3 +1651,88 @@ def ctfidf_terms(
             "rank",
         )
     )
+
+
+def span_corruption(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    corruption_rate: float = 0.15,
+    span_len: int = 3,
+    seed: str = "span",
+) -> DataFrame:
+    """T5-style span-corruption mask plan: one row per masked span,
+    ``(id, span_id, start_token, span_len, n_tokens, n_spans)`` —
+    the denoising-objective prep step (mask ~corruption_rate of each
+    document's tokens in fixed-length spans, train the model to
+    reconstruct them).  The plan is fully DETERMINISTIC and
+    content-addressed: ``n_spans = min(floor(n·rate/len),
+    floor(n/len))`` spans, one per equal-width segment, each placed
+    at ``md5(seed:id:span_id) mod (segment_len − span_len + 1)``
+    inside its segment — guaranteed non-overlapping, in-bounds,
+    reproducible across runs / shards / engines (the
+    ``stable_sample`` md5 convention; T5 samples spans from a
+    spread-out distribution, this fixes the count and spreads
+    placement uniformly — same corruption budget, replayable).
+    Documents too short for one span produce no rows.  Tokens are
+    whitespace-split positions (the ``token_count`` convention).
+
+    Plan: pure per-row projection + ``explode(sequence())`` — zero
+    shuffles, zero UDFs; embarrassingly parallel at any corpus size.
+    """
+    if not (0.0 < corruption_rate < 1.0):
+        raise ValueError(
+            "span_corruption: corruption_rate must be in (0, 1)"
+        )
+    if span_len < 1:
+        raise ValueError("span_corruption: span_len must be >= 1")
+    t = F.trim(F.col(text_col))
+    n = F.when(t == "", F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    )
+    k = F.least(
+        F.floor(
+            n.cast("double") * F.lit(float(corruption_rate))
+            / F.lit(float(span_len))
+        ),
+        F.floor(n / F.lit(int(span_len))),
+    ).cast("long")
+    base = df.select(
+        F.col(id_col).alias("id"),
+        n.cast("long").alias("n_tokens"),
+        k.alias("n_spans"),
+    ).filter(F.col("n_spans") >= 1)
+    spans = base.withColumn(
+        "span_id",
+        F.explode(
+            F.sequence(F.lit(0), (F.col("n_spans") - 1).cast("int"))
+        ),
+    )
+    seg = F.floor(F.col("n_tokens") / F.col("n_spans"))
+    room = seg - F.lit(int(span_len)) + F.lit(1)
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(seed),
+                    F.lit(":"),
+                    F.col("id").cast("string"),
+                    F.lit(":"),
+                    F.col("span_id").cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    start = F.col("span_id") * seg + F.pmod(h, room)
+    return spans.select(
+        "id",
+        F.col("span_id").cast("int").alias("span_id"),
+        start.cast("long").alias("start_token"),
+        F.lit(int(span_len)).cast("int").alias("span_len"),
+        "n_tokens",
+        F.col("n_spans").cast("int").alias("n_spans"),
+    )

@@ -939,3 +939,174 @@ def krippendorff_alpha(
             ).alias("alpha"),
         )
     )
+
+
+def uplift_bins(
+    df: DataFrame,
+    score_col: str,
+    treatment_col: str,
+    outcome_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Uplift-by-score-bin readout for an A/B'd model score:
+    ``(bin, n_treat, n_ctrl, conv_treat, conv_ctrl, rate_treat,
+    rate_ctrl, uplift)`` — the standard uplift-model validation
+    curve: rank the population by model score, cut into n_bins
+    RANK-based bins (equal-population up to ties), and compare
+    treated vs control conversion inside each bin.  A good uplift
+    model shows monotone-decreasing ``uplift`` across bins; a flat
+    curve means the score doesn't segment persuadables.
+
+    Bins are assigned by CUMULATIVE COUNT on the distinct-score
+    rollup (``bin = floor(rows_before · n_bins / N)``, clamped) —
+    pure integer arithmetic, so ties share a bin deterministically
+    and the cut replays EXACTLY in any engine (no float quantile
+    boundaries to disagree over, the ``decile_lift`` lesson).
+    NULL score/treatment/outcome rows are excluded.  Empty sides
+    yield NULL rates, never division errors.
+
+    Plan: one (score, treatment) hash aggregate over the data; the
+    two-phase global prefix scan (range exchange + per-partition
+    cumsums + broadcast bases) assigns bins on the ROLLUP; one final
+    ≤n_bins-row aggregate.  Never a single-task global window.
+    """
+    if n_bins < 2:
+        raise ValueError("uplift_bins: n_bins must be >= 2")
+    base = df.select(
+        F.col(score_col).cast("double").alias("_v"),
+        F.col(treatment_col).cast("int").alias("_t"),
+        F.col(outcome_col).cast("int").alias("_o"),
+    ).filter(
+        F.col("_v").isNotNull()
+        & F.col("_t").isNotNull()
+        & F.col("_o").isNotNull()
+    )
+    per_v = base.groupBy("_v").agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum(F.col("_t")).cast("long").alias("_nt"),
+        F.sum(F.col("_t") * F.col("_o")).cast("long").alias("_ct"),
+        F.sum((F.lit(1) - F.col("_t")) * F.col("_o"))
+        .cast("long")
+        .alias("_cc"),
+    )
+    ranged = per_v.repartitionByRange(F.col("_v").asc()).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    lw = (
+        Window.partitionBy("_pid")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = ranged.withColumn("_lt", F.sum("_n").over(lw))
+    pw = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    bases = (
+        local.groupBy("_pid")
+        .agg(F.sum("_n").alias("_tt"))
+        .withColumn("_bt", F.coalesce(F.sum("_tt").over(pw), F.lit(0)))
+        .select("_pid", "_bt")
+    )
+    tot = per_v.agg(F.sum("_n").alias("_total"))
+    before = F.col("_bt") + F.col("_lt") - F.col("_n")
+    binned = (
+        local.join(F.broadcast(bases), "_pid")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.least(
+                F.floor(
+                    before * F.lit(int(n_bins)) / F.col("_total")
+                ),
+                F.lit(int(n_bins) - 1),
+            )
+            .cast("int")
+            .alias("bin"),
+            "_n",
+            "_nt",
+            "_ct",
+            "_cc",
+        )
+    )
+    out = binned.groupBy("bin").agg(
+        F.sum("_nt").cast("long").alias("n_treat"),
+        (F.sum("_n") - F.sum("_nt")).cast("long").alias("n_ctrl"),
+        F.sum("_ct").cast("long").alias("conv_treat"),
+        F.sum("_cc").cast("long").alias("conv_ctrl"),
+    )
+    rt = F.when(
+        F.col("n_treat") > 0,
+        F.col("conv_treat").cast("double") / F.col("n_treat"),
+    )
+    rc = F.when(
+        F.col("n_ctrl") > 0,
+        F.col("conv_ctrl").cast("double") / F.col("n_ctrl"),
+    )
+    return out.select(
+        "bin",
+        "n_treat",
+        "n_ctrl",
+        "conv_treat",
+        "conv_ctrl",
+        F.round(rt, 6).alias("rate_treat"),
+        F.round(rc, 6).alias("rate_ctrl"),
+        F.round(rt - rc, 6).alias("uplift"),
+    )
+
+
+def brier_decomposition(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Murphy decomposition of the Brier score: one row ``(n,
+    n_forecast_values, brier, reliability, resolution, uncertainty)``
+    with ``brier = reliability − resolution + uncertainty`` holding
+    EXACTLY because conditioning is on the DISTINCT forecast values
+    themselves, not on coarsened bins (binning makes the identity
+    approximate — the ``calibration_curve`` trade; this is the
+    exact-readout companion).  ``reliability`` is miscalibration
+    (lower = better-calibrated), ``resolution`` is how much the
+    forecasts separate outcomes (higher = more informative),
+    ``uncertainty = ō(1−ō)`` is the no-skill floor.  NULL score or
+    label excludes the row; an empty input returns zero rows.
+
+    Plan: ONE hash aggregate per distinct forecast value (map-side
+    combined — bounded by the score's value cardinality, which for
+    any real probability model is quantized and small), then a 1-row
+    fold.  The identity is asserted by construction, not recomputed.
+    """
+    base = df.select(
+        F.col(score_col).cast("double").alias("_s"),
+        F.col(label_col).cast("double").alias("_y"),
+    ).filter(F.col("_s").isNotNull() & F.col("_y").isNotNull())
+    per_s = base.groupBy("_s").agg(
+        F.count(F.lit(1)).cast("double").alias("_nk"),
+        F.sum("_y").alias("_yk"),
+    )
+    folded = per_s.agg(
+        F.sum("_nk").alias("_n"),
+        F.count(F.lit(1)).cast("long").alias("n_forecast_values"),
+        F.sum("_yk").alias("_ysum"),
+        F.sum(
+            F.col("_nk")
+            * (F.col("_s") - F.col("_yk") / F.col("_nk"))
+            * (F.col("_s") - F.col("_yk") / F.col("_nk"))
+        ).alias("_rel"),
+        F.sum(F.col("_yk") * F.col("_yk") / F.col("_nk")).alias(
+            "_res_raw"
+        ),
+    )
+    n = F.col("_n")
+    obar = F.col("_ysum") / n
+    rel = F.col("_rel") / n
+    # Σ n_k(ō_k − ō)²/N  =  Σ y_k²/n_k / N  −  ō²
+    res = F.col("_res_raw") / n - obar * obar
+    unc = obar * (F.lit(1.0) - obar)
+    return folded.select(
+        n.cast("long").alias("n"),
+        "n_forecast_values",
+        F.round(rel - res + unc, 6).alias("brier"),
+        F.round(rel, 6).alias("reliability"),
+        F.round(res, 6).alias("resolution"),
+        F.round(unc, 6).alias("uncertainty"),
+    )

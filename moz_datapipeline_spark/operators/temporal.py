@@ -19,6 +19,7 @@ latest row holds a NULL).
 
 from __future__ import annotations
 
+import math
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window
@@ -1349,4 +1350,550 @@ def inter_event_gaps(
                 StructField("n_gaps", LongType()),
             ]
         ),
+    )
+
+
+def periodogram(
+    events: DataFrame,
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+    value_col: str | None = None,
+    bucket: str = "hour",
+    max_harmonic: int = 12,
+) -> DataFrame:
+    """Discrete-Fourier periodogram per group over bucketed rollups:
+    ``(grp, k, n_buckets, period_buckets, power)`` for harmonics
+    ``k = 1..max_harmonic`` — the frequency-domain seasonality
+    detector (``autocorrelation`` answers "is there memory at lag
+    k?"; this answers "at WHICH period does the series cycle?").
+    ``power = 2/N · (C_k² + S_k²)`` with ``C_k = Σ x_t·cos(2πkt/N)``,
+    ``S_k = Σ x_t·sin(2πkt/N)`` over the regular bucket grid
+    ``t = 0..N−1`` anchored at the group's first bucket; empty
+    buckets are zero demand (they contribute nothing to the sums, so
+    they never need materializing).  Mean removal is FREE and exact:
+    for integer ``1 ≤ k < N`` the cos/sin sums over a complete grid
+    vanish, so the DC term cancels analytically — no centering pass.
+    Harmonics with ``k ≥ N`` are aliases and are dropped.
+
+    Plan: one data-sized rollup hash aggregate; a |groups|-row
+    min/max fold broadcast back; explode × max_harmonic and ONE
+    (grp, k) hash aggregate over rollup×K rows — no windows, no
+    sorts, fully parallel at any group count.
+    """
+    if max_harmonic < 1:
+        raise ValueError("periodogram: max_harmonic must be >= 1")
+    metric = (
+        F.count(F.lit(1)).cast("double")
+        if value_col is None
+        else F.sum(F.col(value_col).cast("double"))
+    )
+    rollup = events.groupBy(
+        F.col(group_col).alias("grp"),
+        _bucket_epoch(events, ts_col, bucket).alias("_b"),
+    ).agg(metric.alias("_x"))
+    step = _BUCKET_NS[bucket] // 1_000_000_000
+    span = rollup.groupBy("grp").agg(
+        F.min("_b").alias("_b0"),
+        (
+            (F.max("_b") - F.min("_b")) / F.lit(step) + F.lit(1)
+        )
+        .cast("long")
+        .alias("n_buckets"),
+    )
+    expanded = (
+        rollup.join(F.broadcast(span), "grp")
+        .withColumn(
+            "_t", ((F.col("_b") - F.col("_b0")) / F.lit(step)).cast("long")
+        )
+        .withColumn(
+            "k", F.explode(F.sequence(F.lit(1), F.lit(max_harmonic)))
+        )
+        .filter(F.col("k") < F.col("n_buckets"))
+    )
+    ang = (
+        F.lit(2.0)
+        * F.lit(math.pi)
+        * F.col("k").cast("double")
+        * F.col("_t").cast("double")
+        / F.col("n_buckets").cast("double")
+    )
+    out = expanded.groupBy("grp", "k", "n_buckets").agg(
+        F.sum(F.col("_x") * F.cos(ang)).alias("_c"),
+        F.sum(F.col("_x") * F.sin(ang)).alias("_s"),
+    )
+    power = (
+        F.lit(2.0)
+        / F.col("n_buckets").cast("double")
+        * (
+            F.col("_c") * F.col("_c")
+            + F.col("_s") * F.col("_s")
+        )
+    )
+    return out.select(
+        "grp",
+        F.col("k").cast("int").alias("k"),
+        "n_buckets",
+        F.round(
+            F.col("n_buckets").cast("double") / F.col("k").cast("double"),
+            6,
+        ).alias("period_buckets"),
+        F.round(power, 6).alias("power"),
+    )
+
+
+def croston(
+    events: DataFrame,
+    ts_col: str = "ts",
+    group_col: str = "user_id",
+    value_col: str = "value",
+    bucket: str = "day",
+    alpha: float = 0.1,
+) -> DataFrame:
+    """Croston's method for INTERMITTENT demand: per group, simple
+    exponential smoothing applied separately to the nonzero demand
+    sizes and to the inter-demand intervals, forecast = size-SES /
+    interval-SES — the standard spare-parts/sparse-SKU forecaster
+    where ``holt_linear`` (which sees the zeros) collapses to noise.
+    Returns ``(grp, n_periods, demand_smooth, interval_smooth,
+    croston_forecast)`` per group; groups with fewer than 2 demand
+    periods have no interval history → NULL interval/forecast,
+    loudly, with ``demand_smooth`` still reported.
+
+    SES is evaluated in CLOSED FORM, not recursively: with demands
+    ``z_1..z_m`` (bucket-ordered), ``S_m = (1−α)^{m−1}·z_1 +
+    Σ_{j≥2} α·(1−α)^{m−j}·z_j``; intervals ``q_j = t_j − t_{j−1}``
+    (bucket steps, j ≥ 2) smooth the same way seeded with ``q_2``.
+    Old terms underflow to 0 in double — deterministic and identical
+    in the DuckDB replay.
+
+    Plan: one data-sized (grp, bucket) rollup; per-group ORDER comes
+    from a window partitioned BY GROUP over the rollup (bounded by
+    the group's bucket count, never a global sort); one power-weight
+    projection and one |groups|-row fold.
+    """
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError("croston: alpha must be in (0, 1]")
+    rollup = (
+        events.filter(F.col(value_col).isNotNull())
+        .groupBy(
+            F.col(group_col).alias("grp"),
+            _bucket_epoch(events, ts_col, bucket).alias("_b"),
+        )
+        .agg(F.sum(F.col(value_col).cast("double")).alias("_z"))
+        .filter(F.col("_z") != 0)
+    )
+    step = _BUCKET_NS[bucket] // 1_000_000_000
+    w = Window.partitionBy("grp").orderBy("_b")
+    seq = rollup.select(
+        "grp",
+        "_z",
+        F.row_number().over(w).alias("_j"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy("grp").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("_m"),
+        ((F.col("_b") - F.lag("_b").over(w)) / F.lit(step))
+        .cast("double")
+        .alias("_q"),
+    )
+    a = F.lit(float(alpha))
+    one_m_a = F.lit(1.0 - float(alpha))
+    zw = F.when(
+        F.col("_j") == 1, F.pow(one_m_a, F.col("_m") - 1)
+    ).otherwise(a * F.pow(one_m_a, F.col("_m") - F.col("_j")))
+    qw = F.when(F.col("_j") == 2, F.pow(one_m_a, F.col("_m") - 2)).when(
+        F.col("_j") > 2, a * F.pow(one_m_a, F.col("_m") - F.col("_j"))
+    )
+    folded = seq.groupBy("grp").agg(
+        F.max("_m").cast("long").alias("n_periods"),
+        F.sum(zw * F.col("_z")).alias("_s"),
+        F.sum(qw * F.col("_q")).alias("_i"),
+    )
+    ok = F.col("n_periods") >= 2
+    return folded.select(
+        "grp",
+        "n_periods",
+        F.round(F.col("_s"), 6).alias("demand_smooth"),
+        F.when(ok, F.round(F.col("_i"), 6)).alias("interval_smooth"),
+        F.when(
+            ok & (F.col("_i") > 0),
+            F.round(F.col("_s") / F.col("_i"), 6),
+        ).alias("croston_forecast"),
+    )
+
+
+def pettitt_changepoint(
+    events: DataFrame,
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+    value_col: str = "value",
+    bucket: str = "hour",
+) -> DataFrame:
+    """Pettitt single-changepoint test per group over bucketed
+    rollups: ``(grp, n_buckets, change_bucket, k_stat, p_value,
+    significant)`` — the rank-based (distribution-free) "did the
+    level shift, and WHEN?" detector; the nonparametric complement
+    to ``cusum_changepoints`` (which assumes a known in-control
+    mean/σ).  Uses the rank identity ``U_t = 2·Σ_{i≤t} r_i −
+    t·(n+1)`` with tie-averaged ranks, ``K = max_t |U_t|`` attained
+    at the changepoint, and the standard approximation ``p ≈ 2·exp(
+    −6K²/(n³+n²))`` (capped at 1).  Ties in |U| break to the EARLIEST
+    bucket — deterministic, replayed by the oracle.  Groups with
+    n < 2 report NULL stats.
+
+    Plan: one data-sized rollup; ranks and the U_t running sum are
+    GROUP-PARTITIONED windows over the rollup (bounded by each
+    group's bucket count — the ``autocorrelation`` contract, never a
+    global sort); the argmax is a per-group rank-1 filter.
+    """
+    rollup = (
+        events.filter(F.col(value_col).isNotNull())
+        .groupBy(
+            F.col(group_col).alias("grp"),
+            _bucket_epoch(events, ts_col, bucket).alias("bucket_epoch"),
+        )
+        .agg(F.sum(F.col(value_col).cast("double")).alias("_x"))
+    )
+    gw = Window.partitionBy("grp")
+    rnk = F.rank().over(gw.orderBy("_x"))
+    ties = F.count(F.lit(1)).over(Window.partitionBy("grp", "_x"))
+    ranked = rollup.select(
+        "grp",
+        "bucket_epoch",
+        (
+            rnk.cast("double")
+            + (ties.cast("double") - F.lit(1.0)) / F.lit(2.0)
+        ).alias("_r"),
+        F.count(F.lit(1)).over(gw).cast("double").alias("_n"),
+    )
+    tw = gw.orderBy("bucket_epoch").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    u = ranked.select(
+        "grp",
+        "bucket_epoch",
+        "_n",
+        (
+            F.lit(2.0) * F.sum("_r").over(tw)
+            - F.row_number().over(gw.orderBy("bucket_epoch")).cast(
+                "double"
+            )
+            * (F.col("_n") + F.lit(1.0))
+        ).alias("_u"),
+    )
+    pick = Window.partitionBy("grp").orderBy(
+        F.abs(F.col("_u")).desc(), F.col("bucket_epoch").asc()
+    )
+    best = (
+        u.withColumn("_rk", F.row_number().over(pick))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk")
+    )
+    n = F.col("_n")
+    k = F.abs(F.col("_u"))
+    ok = n >= 2
+    p = F.when(
+        ok,
+        F.least(
+            F.lit(1.0),
+            F.lit(2.0)
+            * F.exp(
+                F.lit(-6.0) * k * k / (n * n * n + n * n)
+            ),
+        ),
+    )
+    return best.select(
+        "grp",
+        n.cast("long").alias("n_buckets"),
+        F.when(ok, F.col("bucket_epoch")).alias("change_bucket"),
+        F.when(ok, F.round(k, 6)).alias("k_stat"),
+        F.round(p, 6).alias("p_value"),
+        F.when(p.isNotNull(), p < F.lit(0.05)).alias("significant"),
+    )
+
+
+def hurst_exponent(
+    events: DataFrame,
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+    value_col: str = "value",
+    bucket: str = "hour",
+    scales: Sequence[int] = (8, 16, 32, 64),
+) -> DataFrame:
+    """Hurst exponent per group by rescaled-range (R/S) analysis
+    over bucketed rollups: ``(grp, n_points, n_scales, hurst)`` —
+    H ≈ 0.5 for a memoryless series, H > 0.5 for trending
+    (persistent) series, H < 0.5 for mean-reverting ones; the
+    long-memory diagnostic that ``autocorrelation`` (fixed small
+    lags) and ``periodogram`` (pure cycles) both miss.
+
+    For each scale s: split the group's series (bucket order) into
+    complete s-sized blocks; per block compute the range of the
+    cumulative mean-deviation series divided by the population σ;
+    average R/S over blocks; then H is the d=1 least-squares slope
+    of ln(R/S) on ln(s) (the ``ols_fit`` closed form, inlined).
+    Zero-σ blocks are skipped; groups with fewer than 2 usable
+    scales report NULL hurst.
+
+    Plan: rollup → per-group row_number (group-bounded window) →
+    explode scales → block windows keyed (grp, scale, block) —
+    every window ≤ max(scales) rows by construction; the log-log
+    fit is a |groups|-row fold.  Running block sums accumulate in
+    bucket order, so float results replay bit-stably.
+    """
+    scales = [int(s) for s in scales]
+    if len(scales) < 2 or any(s < 2 for s in scales):
+        raise ValueError("hurst_exponent: need >= 2 scales, each >= 2")
+    rollup = (
+        events.filter(F.col(value_col).isNotNull())
+        .groupBy(
+            F.col(group_col).alias("grp"),
+            _bucket_epoch(events, ts_col, bucket).alias("_b"),
+        )
+        .agg(F.sum(F.col(value_col).cast("double")).alias("_x"))
+    )
+    gw = Window.partitionBy("grp").orderBy("_b")
+    seq = rollup.select(
+        "grp",
+        "_x",
+        "_b",
+        (F.row_number().over(gw) - 1).alias("_j"),
+        F.count(F.lit(1))
+        .over(
+            Window.partitionBy("grp").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("_np"),
+    )
+    expl = seq.withColumn(
+        "_s",
+        F.explode(
+            F.array(*[F.lit(s) for s in scales])
+        ),
+    ).withColumn("_blk", F.floor(F.col("_j") / F.col("_s")))
+    # keep complete blocks only: block holds exactly s rows
+    bw = Window.partitionBy("grp", "_s", "_blk")
+    full = expl.withColumn("_bn", F.count(F.lit(1)).over(bw)).filter(
+        F.col("_bn") == F.col("_s")
+    )
+    mean = F.avg("_x").over(bw)
+    var = F.avg(F.col("_x") * F.col("_x")).over(bw) - mean * mean
+    run = bw.orderBy("_b").rowsBetween(Window.unboundedPreceding, 0)
+    idx_in_blk = F.row_number().over(bw.orderBy("_b")).cast("double")
+    cumdev = F.sum("_x").over(run) - idx_in_blk * mean
+    marked = full.select(
+        "grp",
+        "_s",
+        "_blk",
+        "_np",
+        cumdev.alias("_cd"),
+        var.alias("_var"),
+    )
+    per_blk = marked.groupBy("grp", "_s", "_blk", "_np").agg(
+        (F.max("_cd") - F.min("_cd")).alias("_rng"),
+        F.first("_var").alias("_v"),
+    )
+    rs = (
+        per_blk.filter(F.col("_v") > 0)
+        .select(
+            "grp",
+            "_s",
+            "_np",
+            (F.col("_rng") / F.sqrt(F.col("_v"))).alias("_rs"),
+        )
+        .groupBy("grp", "_s", "_np")
+        .agg(F.avg("_rs").alias("_ars"))
+        .filter(F.col("_ars") > 0)
+    )
+    pts = rs.select(
+        "grp",
+        "_np",
+        F.log(F.col("_s").cast("double")).alias("_lx"),
+        F.log("_ars").alias("_ly"),
+    )
+    mom = pts.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("double").alias("_k"),
+        F.sum("_lx").alias("_sx"),
+        F.sum("_ly").alias("_sy"),
+        F.sum(F.col("_lx") * F.col("_lx")).alias("_sxx"),
+        F.sum(F.col("_lx") * F.col("_ly")).alias("_sxy"),
+    )
+    # groups whose every block was zero-variance vanish from `pts`;
+    # report them with n_scales = 0 / NULL hurst instead of dropping
+    universe = rollup.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_points")
+    )
+    mom = universe.join(mom, "grp", "left")
+    det = F.col("_k") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    slope = F.when(
+        (F.col("_k") >= 2) & (F.abs(det) > 1e-12),
+        (F.col("_k") * F.col("_sxy") - F.col("_sx") * F.col("_sy"))
+        / det,
+    )
+    return mom.select(
+        "grp",
+        "n_points",
+        F.coalesce(F.col("_k"), F.lit(0.0))
+        .cast("long")
+        .alias("n_scales"),
+        F.round(slope, 6).alias("hurst"),
+    )
+
+
+def runs_test(
+    events: DataFrame,
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+    value_col: str = "value",
+    bucket: str = "hour",
+) -> DataFrame:
+    """Wald–Wolfowitz runs test per group over bucketed rollups:
+    ``(grp, n_buckets, n_above, n_below, n_runs, z, p_value,
+    significant)`` — "is the series RANDOM around its level, or does
+    it cluster/alternate?"; too few runs = regime clustering (the
+    ``hurst_exponent`` > 0.5 story), too many = over-alternation.
+    The series is dichotomized against the group MEAN (strictly
+    above vs not — ties side with "below", documented); a run is a
+    maximal same-side stretch; ``z = (R − μ)/σ`` with
+    ``μ = 2·n₁·n₂/n + 1``, ``σ² = 2n₁n₂(2n₁n₂ − n)/(n²(n−1))``,
+    two-sided p via the A&S erfc polynomial.  One-sided groups
+    (never crossing their mean — includes constants) have σ = 0 →
+    NULL stats, loudly.
+
+    Plan: one data-sized rollup; the mean, the lag, and the run
+    count are group-partitioned rollup windows (bounded by bucket
+    cardinality); |groups|-row arithmetic after.
+    """
+    rollup = (
+        events.filter(F.col(value_col).isNotNull())
+        .groupBy(
+            F.col(group_col).alias("grp"),
+            _bucket_epoch(events, ts_col, bucket).alias("_b"),
+        )
+        .agg(F.sum(F.col(value_col).cast("double")).alias("_x"))
+    )
+    gw = Window.partitionBy("grp")
+    above = (
+        F.col("_x")
+        > F.avg("_x").over(
+            gw.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+    ).cast("int")
+    ow = gw.orderBy("_b")
+    marked = rollup.select(
+        "grp",
+        "_b",
+        above.alias("_a"),
+    ).select(
+        "grp",
+        "_a",
+        F.when(
+            F.lag("_a").over(ow).isNull()
+            | (F.col("_a") != F.lag("_a").over(ow)),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("_new_run"),
+    )
+    folded = marked.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.sum("_a").cast("long").alias("n_above"),
+        (F.count(F.lit(1)) - F.sum("_a")).cast("long").alias("n_below"),
+        F.sum("_new_run").cast("long").alias("n_runs"),
+    )
+    n1 = F.col("n_above").cast("double")
+    n2 = F.col("n_below").cast("double")
+    n = n1 + n2
+    two = F.lit(2.0) * n1 * n2
+    mu = two / n + F.lit(1.0)
+    var = (
+        two
+        * (two - n)
+        / (n * n * (n - F.lit(1.0)))
+    )
+    ok = (n1 > 0) & (n2 > 0) & (n > 1) & (var > 0)
+    z = F.when(ok, (F.col("n_runs").cast("double") - mu) / F.sqrt(var))
+    az = F.abs(z) / F.sqrt(F.lit(2.0))
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(0.3275911) * az)
+    poly = (
+        F.lit(0.254829592) * t
+        - F.lit(0.284496736) * (t**2)
+        + F.lit(1.421413741) * (t**3)
+        - F.lit(1.453152027) * (t**4)
+        + F.lit(1.061405429) * (t**5)
+    )
+    p = F.when(z.isNotNull(), poly * F.exp(-az * az))
+    return folded.select(
+        "grp",
+        "n_buckets",
+        "n_above",
+        "n_below",
+        "n_runs",
+        F.round(z, 6).alias("z"),
+        F.round(p, 6).alias("p_value"),
+        F.when(p.isNotNull(), p < F.lit(0.05)).alias("significant"),
+    )
+
+
+def decomposition_strength(
+    events: DataFrame,
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+    value_col: str = "value",
+    bucket: str = "hour",
+    period: int = 24,
+    trend_window: int = 12,
+) -> DataFrame:
+    """Trend/seasonal strength per group, read off the
+    ``seasonal_decompose`` components (Hyndman's FPP3 measures):
+    ``(grp, n_buckets, trend_strength, seasonal_strength)`` with
+    ``F_T = max(0, 1 − Var(resid)/Var(trend + resid))`` and
+    ``F_S = max(0, 1 − Var(resid)/Var(seasonal + resid))`` — the
+    one-number "how much of this series is structure vs noise?"
+    readouts that decide whether ``holt_linear`` (trend) or a
+    seasonal model is worth fitting.  Population variance; a
+    zero-variance denominator yields NULL for that strength.
+
+    Plan: the decomposition's rollup-sized output feeds ONE
+    |groups|-row moment aggregate — no second data scan.
+    """
+    dec = seasonal_decompose(
+        events,
+        ts_col=ts_col,
+        group_col=group_col,
+        value_col=value_col,
+        bucket=bucket,
+        period=period,
+        trend_window=trend_window,
+    )
+    r = F.col("residual")
+    tr = F.col("trend") + r
+    se = F.col("seasonal") + r
+    mom = dec.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        (F.avg(r * r) - F.avg(r) * F.avg(r)).alias("_vr"),
+        (F.avg(tr * tr) - F.avg(tr) * F.avg(tr)).alias("_vt"),
+        (F.avg(se * se) - F.avg(se) * F.avg(se)).alias("_vs"),
+    )
+    ft = F.when(
+        F.col("_vt") > 0,
+        F.greatest(
+            F.lit(0.0), F.lit(1.0) - F.col("_vr") / F.col("_vt")
+        ),
+    )
+    fs = F.when(
+        F.col("_vs") > 0,
+        F.greatest(
+            F.lit(0.0), F.lit(1.0) - F.col("_vr") / F.col("_vs")
+        ),
+    )
+    return mom.select(
+        "grp",
+        "n_buckets",
+        F.round(ft, 6).alias("trend_strength"),
+        F.round(fs, 6).alias("seasonal_strength"),
     )

@@ -1646,3 +1646,98 @@ def expect_matches(col: str, pattern: str) -> tuple[str, str, Column]:
 
 def expect_positive(col: str) -> tuple[str, str, Column]:
     return ("positive", col, F.col(col).cast("double") > 0)
+
+
+def g_test_independence(
+    df: DataFrame, x_col: str, y_col: str
+) -> DataFrame:
+    """G-test (log-likelihood ratio) of independence between two
+    CATEGORICAL columns: one row ``(x_col, y_col, g_stat, dof,
+    n_rows, p_value, significant)`` — the information-theoretic twin
+    of ``chi_square_independence`` (``G = 2·Σ O·ln(O/E)`` = 2N·MI in
+    nats); preferred over Pearson χ² when any O/E ratio is far from
+    1, where the quadratic approximation under-counts evidence.
+    Absent joint cells contribute 0 (O·ln(O/E) → 0 as O → 0), so —
+    unlike χ² — only PRESENT cells enter the fold.  A 1×k or k×1
+    table has no freedom: ``dof = 0, g_stat = 0, p = NULL``.  NULL in
+    either column excludes the row.  p-value is the upper-tail
+    χ²(dof) via Wilson–Hilferty + the A&S erf polynomial (the
+    ``kruskal_wallis`` convention, replayed by the DuckDB twin);
+    ``significant`` at 5%.
+
+    Plan: ONE joint-count hash aggregate over the data (map-side
+    combined, ≤ |x|·|y| groups); marginals and the fold derive from
+    that small table — never a second data scan (the
+    ``chi_square_independence`` scheme).
+    """
+    x, y = F.col(x_col), F.col(y_col)
+    joint = (
+        df.filter(x.isNotNull() & y.isNotNull())
+        .groupBy(x.alias("_x"), y.alias("_y"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    mx = joint.groupBy("_x").agg(F.sum("n").alias("nx"))
+    my = joint.groupBy("_y").agg(F.sum("n").alias("ny"))
+    tot = joint.agg(
+        F.sum("n").cast("double").alias("_t"),
+        F.countDistinct("_x").cast("long").alias("_r"),
+        F.countDistinct("_y").cast("long").alias("_c"),
+    )
+    g_partial = (
+        joint.join(mx, "_x")
+        .join(my, "_y")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            (
+                F.col("n").cast("double")
+                * F.log(
+                    F.col("n").cast("double")
+                    * F.col("_t")
+                    / (
+                        F.col("nx").cast("double")
+                        * F.col("ny").cast("double")
+                    )
+                )
+            ).alias("_term")
+        )
+        .agg(F.coalesce(F.sum("_term"), F.lit(0.0)).alias("_g2"))
+    )
+    out = g_partial.crossJoin(F.broadcast(tot))
+    dof = ((F.col("_r") - 1) * (F.col("_c") - 1)).cast("long")
+    g = F.when(dof > 0, F.lit(2.0) * F.col("_g2")).otherwise(
+        F.lit(0.0)
+    )
+    d = dof.cast("double")
+    z = F.when(
+        (dof > 0) & (g >= 0),
+        (
+            F.pow(g / d, F.lit(1.0) / F.lit(3.0))
+            - (F.lit(1.0) - F.lit(2.0) / (F.lit(9.0) * d))
+        )
+        / F.sqrt(F.lit(2.0) / (F.lit(9.0) * d)),
+    )
+    az = F.abs(z) / F.sqrt(F.lit(2.0))
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(0.3275911) * az)
+    poly = (
+        F.lit(0.254829592) * t
+        - F.lit(0.284496736) * (t**2)
+        + F.lit(1.421413741) * (t**3)
+        - F.lit(1.453152027) * (t**4)
+        + F.lit(1.061405429) * (t**5)
+    )
+    erfc = poly * F.exp(-az * az)
+    p = F.when(
+        z.isNotNull(),
+        F.when(z >= 0, erfc / F.lit(2.0)).otherwise(
+            F.lit(1.0) - erfc / F.lit(2.0)
+        ),
+    )
+    return out.select(
+        F.lit(x_col).alias("x_col"),
+        F.lit(y_col).alias("y_col"),
+        F.round(g, 6).alias("g_stat"),
+        dof.alias("dof"),
+        F.col("_t").cast("long").alias("n_rows"),
+        F.round(p, 6).alias("p_value"),
+        F.when(p.isNotNull(), p < F.lit(0.05)).alias("significant"),
+    )

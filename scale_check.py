@@ -2124,6 +2124,87 @@ def round11_ops_scale_check(spark) -> dict:
     return out
 
 
+def round11e_ops_scale_check(spark) -> dict:
+    """Round-11e rehearsal: the rank-stats / experimentation family
+    at its design scale.
+
+    - ``kruskal_wallis`` over 50M rows in 20 groups with ONLY 1,000
+      distinct values (the tie-heavy regime the correction exists
+      for): the data-sized pass is one (grp, v) hash aggregate →
+      20k-row rollup; ranks/H fold never touch the data again.
+    - ``uplift_bins`` over 20M rows with a 10k-value score: the
+      two-phase prefix runs on the 10k-row rollup; the exchange
+      carries rollup rows, not data rows.
+    - ``periodogram`` over 100k series × ~200 buckets each (20M
+      rollup rows × 8 harmonics): zero windows — the (grp, k)
+      aggregate is the only exchange past the rollup.
+    - ``span_corruption`` over 2M synthetic docs (~250 tokens each):
+      pure projection + explode, zero exchanges — rows/sec is the
+      whole story.
+    """
+    from moz_datapipeline_spark.operators.analytics import kruskal_wallis
+    from moz_datapipeline_spark.operators.corpus import span_corruption
+    from moz_datapipeline_spark.operators.mleval import uplift_bins
+    from moz_datapipeline_spark.operators.temporal import periodogram
+
+    out: dict = {}
+
+    n = 50_000_000
+    df = spark.range(n).select(
+        (F.col("id") % 20).cast("string").alias("g"),
+        F.pmod(F.xxhash64("id"), 1_000).cast("double").alias("v"),
+    )
+    t0 = time.perf_counter()
+    r = kruskal_wallis(df, "v", "g").collect()[0]
+    out["kw_rows_in"] = n
+    out["kw_distinct_values"] = 1_000
+    out["kw_sec"] = round(time.perf_counter() - t0, 2)
+    out["kw_h_finite"] = bool(r.h_stat is not None)
+
+    n = 20_000_000
+    df = spark.range(n).select(
+        (F.pmod(F.xxhash64("id"), 10_000) / 10_000.0).alias("s"),
+        (F.col("id") % 2).cast("int").alias("t"),
+        (F.pmod(F.xxhash64("id", F.lit(1)), 10) < 3).cast("int").alias(
+            "o"
+        ),
+    )
+    t0 = time.perf_counter()
+    bins = uplift_bins(df, "s", "t", "o", n_bins=10).collect()
+    out["uplift_rows_in"] = n
+    out["uplift_bins_out"] = len(bins)
+    out["uplift_sec"] = round(time.perf_counter() - t0, 2)
+
+    n_series, n_buckets = 100_000, 200
+    ns_hour = 3_600_000_000_000
+    ev = spark.range(n_series * n_buckets).select(
+        (F.col("id") % n_series).cast("string").alias("event_type"),
+        ((F.col("id") / n_series).cast("long") * ns_hour).alias("ts"),
+        (F.pmod(F.xxhash64("id"), 100)).cast("double").alias("value"),
+    )
+    t0 = time.perf_counter()
+    n_rows = periodogram(ev, max_harmonic=8).count()
+    out["periodogram_series"] = n_series
+    out["periodogram_rows_out"] = n_rows
+    out["periodogram_sec"] = round(time.perf_counter() - t0, 2)
+
+    n_docs = 2_000_000
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.expr("repeat('tok ', 50 + cast(id % 400 as int))").alias(
+            "text"
+        ),
+    )
+    t0 = time.perf_counter()
+    n_spans = span_corruption(docs).count()
+    dt = time.perf_counter() - t0
+    out["span_docs_in"] = n_docs
+    out["span_masks_out"] = n_spans
+    out["span_sec"] = round(dt, 2)
+    out["span_docs_per_sec"] = round(n_docs / dt, 1)
+    return out
+
+
 def _section_gc(spark) -> None:
     """Release caches and lingering localCheckpoint blocks between
     sections: the rehearsal shares ONE JVM across ~20 sections, and
@@ -2215,6 +2296,8 @@ def main() -> None:
     r11c = round11c_ops_scale_check(spark)
     _section_gc(spark)
     r11d = round11d_ops_scale_check(spark)
+    _section_gc(spark)
+    r11e = round11e_ops_scale_check(spark)
 
     print(
         json.dumps(
@@ -2253,6 +2336,7 @@ def main() -> None:
                 **r11b,
                 **r11c,
                 **r11d,
+                **r11e,
             }
         )
     )

@@ -751,3 +751,64 @@ def test_touch_attribution_no_global_window(spark, sf_dir):
 
     # no empty partition spec: windowspecdefinition always keyed
     assert not re.search(r"windowspecdefinition\(_w?ts", plan)
+
+
+def test_kruskal_ranks_never_single_task_over_data(spark, sf_dir):
+    """The rank scan must be the two-phase scheme: a range exchange
+    feeding partition-local windows — never one global all-rows
+    window (the partitionBy() smell)."""
+    plan = _plan(entry_mod.q_kruskal_wallis(spark, sf_dir))
+    assert "rangepartitioning(_v" in plan
+    # the only unpartitioned window runs over the |partitions|-row
+    # bases frame, whose input is a tiny hash aggregate, and the
+    # final folds are plain hash aggregates
+    assert "HashAggregate" in plan
+
+
+def test_periodogram_no_sort_no_window(spark, sf_dir):
+    """Pure rollup → explode → hash aggregate: the plan must carry
+    no Window and no Sort at all."""
+    plan = _plan(entry_mod.q_periodogram(spark, sf_dir))
+    assert "Window" not in plan
+    assert "Generate" in plan  # the harmonic explode
+    assert "HashAggregate" in plan
+
+
+def test_span_corruption_zero_exchange(spark, sf_dir):
+    """Mask planning is a pure projection + explode: no exchange
+    anywhere in the plan."""
+    plan = _plan(entry_mod.q_span_corruption(spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "Generate" in plan
+
+
+def test_uplift_bins_two_phase_prefix(spark, sf_dir):
+    plan = _plan(entry_mod.q_uplift_bins(spark, sf_dir))
+    assert "rangepartitioning(_v" in plan
+
+
+def test_ridge_fit_single_data_aggregate(spark, sf_dir):
+    """The moment rollup is ONE partial+final hash-aggregate pair
+    over the data; no join appears anywhere."""
+    plan = _plan(entry_mod.q_ridge_fit(spark, sf_dir))
+    assert "Join" not in plan
+    # one partial+final pair; "formatted" lists each node twice
+    # (tree + details), so 2 physical nodes == 4 mentions
+    assert plan.count("HashAggregate") == 4
+
+
+def test_mcnemar_single_aggregate_no_join(spark, sf_dir):
+    plan = _plan(entry_mod.q_mcnemar_test(spark, sf_dir))
+    assert "Join" not in plan
+
+
+def test_pettitt_windows_group_partitioned(spark, sf_dir):
+    """Every window must be partitioned by grp (or finer) — no
+    all-rows window over the rollup."""
+    plan = _plan(entry_mod.q_pettitt_changepoint(spark, sf_dir))
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, "expected window specs in the pettitt plan"
+    for spec in specs:
+        assert spec.startswith("grp#"), spec

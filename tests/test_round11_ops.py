@@ -1438,3 +1438,609 @@ def test_adoption_curve_hand_computed(spark):
     # day 0: users 1,2 new; day 1: none new (user 1 returns, day absent);
     # day 2: users 3,4 new
     assert out == {0: (2, 2), 2: (2, 4)}
+
+
+def test_kruskal_wallis_vs_scipy_values(spark):
+    """Pin against scipy.stats.kruskal's published worked example
+    (three small samples, no ties): H and p must match the chi2
+    asymptotics to the Wilson–Hilferty approximation's accuracy."""
+    from moz_datapipeline_spark.operators.analytics import kruskal_wallis
+
+    a = [2.9, 3.0, 2.5, 2.6, 3.2]
+    b = [3.8, 2.7, 4.0, 2.4]
+    c = [2.8, 3.4, 3.7, 2.2, 2.0]
+    rows = [("a", v) for v in a] + [("b", v) for v in b] + [
+        ("c", v) for v in c
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = kruskal_wallis(df, "v", "g").collect()[0]
+    assert r.k_groups == 3 and r.n_rows == 14 and r.dof == 2
+    # scipy.stats.kruskal -> H = 0.7714, p = 0.6800
+    assert abs(r.h_stat - 0.771429) < 1e-4
+    assert abs(r.p_value - 0.68) < 0.02  # Wilson–Hilferty tolerance
+    assert r.significant is False
+
+
+def test_kruskal_wallis_all_tied_and_single_group(spark):
+    from moz_datapipeline_spark.operators.analytics import kruskal_wallis
+
+    allsame = spark.createDataFrame(
+        [("a", 5.0), ("a", 5.0), ("b", 5.0), ("b", 5.0)],
+        "g string, v double",
+    )
+    r = kruskal_wallis(allsame, "v", "g").collect()[0]
+    assert r.h_stat is None and r.p_value is None
+
+    single = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0)], "g string, v double"
+    )
+    r = kruskal_wallis(single, "v", "g").collect()[0]
+    assert r.dof == 0 and r.h_stat is None
+
+
+def test_g_test_independent_vs_dependent(spark):
+    from moz_datapipeline_spark.operators.validation import (
+        g_test_independence,
+    )
+
+    # perfectly independent 2x2 (all cells 25)
+    rows = [("x", "p")] * 25 + [("x", "q")] * 25 + [("y", "p")] * 25 + [
+        ("y", "q")
+    ] * 25
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = g_test_independence(df, "a", "b").collect()[0]
+    assert abs(r.g_stat) < 1e-9 and r.dof == 1
+    assert r.significant is False
+
+    # perfectly dependent: a == b bijection, G = 2N·ln(2) for 2 levels
+    rows = [("x", "p")] * 50 + [("y", "q")] * 50
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = g_test_independence(df, "a", "b").collect()[0]
+    import math
+
+    assert abs(r.g_stat - 2 * 100 * math.log(2)) < 1e-6
+    assert r.significant is True
+
+    # 1xk degenerate: no freedom
+    rows = [("x", "p")] * 10 + [("x", "q")] * 10
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = g_test_independence(df, "a", "b").collect()[0]
+    assert r.dof == 0 and r.g_stat == 0.0 and r.p_value is None
+
+
+def test_periodogram_detects_planted_cycle(spark):
+    """A pure 24-bucket cosine over 96 hourly buckets must put its
+    power at k = 4 (= 96/24) and ~zero everywhere else."""
+    import math
+
+    from moz_datapipeline_spark.operators.temporal import periodogram
+
+    ns = 3_600_000_000_000
+    rows = []
+    for t in range(96):
+        # integer-ish counts: 10 + 5cos(2*pi*t/24) events at hour t
+        n_events = round(10 + 5 * math.cos(2 * math.pi * t / 24))
+        rows += [("s", t * ns)] * int(n_events)
+    df = spark.createDataFrame(rows, "event_type string, ts long")
+    out = {r.k: r for r in periodogram(df, max_harmonic=8).collect()}
+    assert out[4].n_buckets == 96
+    assert abs(out[4].period_buckets - 24.0) < 1e-9
+    peak = out[4].power
+    others = [out[k].power for k in out if k != 4]
+    assert peak > 100 and all(p < peak / 50 for p in others)
+
+
+def test_periodogram_aliased_harmonics_dropped(spark):
+    from moz_datapipeline_spark.operators.temporal import periodogram
+
+    ns = 3_600_000_000_000
+    df = spark.createDataFrame(
+        [("s", 0 * ns), ("s", 1 * ns), ("s", 2 * ns)],
+        "event_type string, ts long",
+    )
+    ks = {r.k for r in periodogram(df, max_harmonic=8).collect()}
+    assert ks == {1, 2}  # N = 3 buckets: k >= N are aliases
+
+
+def test_croston_hand_computed(spark):
+    """Two demand points: S = (1-a)z1 + a·z2, I = q2, f = S/I."""
+    from moz_datapipeline_spark.operators.temporal import croston
+
+    ns = 86_400_000_000_000
+    rows = [
+        (1, 0 * ns, 10.0),
+        (1, 3 * ns, 20.0),  # interval 3 days
+        (2, 5 * ns, 7.0),  # single demand -> no forecast
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts long, value double")
+    out = {
+        r.grp: r
+        for r in croston(df, alpha=0.2, bucket="day").collect()
+    }
+    r1 = out[1]
+    assert r1.n_periods == 2
+    assert abs(r1.demand_smooth - (0.8 * 10 + 0.2 * 20)) < 1e-9
+    assert abs(r1.interval_smooth - 3.0) < 1e-9
+    assert abs(r1.croston_forecast - (12.0 / 3.0)) < 1e-9
+    r2 = out[2]
+    assert r2.n_periods == 1
+    assert r2.interval_smooth is None and r2.croston_forecast is None
+
+
+def test_croston_rejects_bad_alpha(spark):
+    from moz_datapipeline_spark.operators.temporal import croston
+
+    df = spark.createDataFrame([(1, 0, 1.0)], "user_id int, ts long, value double")
+    with pytest.raises(ValueError, match="alpha"):
+        croston(df, alpha=0.0)
+
+
+def test_ridge_fit_lambda_zero_equals_ols(spark):
+    from moz_datapipeline_spark.operators.analytics import (
+        ols_fit,
+        ridge_fit,
+    )
+
+    rows = [
+        (1.0, 2.0, 5.1),
+        (2.0, 1.0, 7.9),
+        (3.0, 4.0, 12.2),
+        (4.0, 3.0, 14.8),
+        (5.0, 5.0, 18.1),
+    ]
+    df = spark.createDataFrame(rows, "x1 double, x2 double, y double")
+    o = ols_fit(df, "y", ["x1", "x2"]).collect()[0]
+    r = ridge_fit(df, "y", ["x1", "x2"], lam=0.0).collect()[0]
+    assert abs(o.b0 - r.b0) < 1e-9
+    assert abs(o.b_x1 - r.b_x1) < 1e-9
+    assert abs(o.b_x2 - r.b_x2) < 1e-9
+    assert abs(o.r2 - r.r2) < 1e-9
+
+
+def test_ridge_fit_shrinks_toward_zero(spark):
+    """As lambda grows the slope must shrink monotonically and the
+    training r2 must not increase."""
+    from moz_datapipeline_spark.operators.analytics import ridge_fit
+
+    rows = [(float(i), 2.0 * i + (1 if i % 2 else -1)) for i in range(20)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    slopes, r2s = [], []
+    for lam in (0.0, 100.0, 10_000.0):
+        r = ridge_fit(df, "y", ["x"], lam=lam).collect()[0]
+        slopes.append(r.b_x)
+        r2s.append(r.r2)
+    assert slopes[0] > slopes[1] > slopes[2] >= 0
+    assert r2s[0] >= r2s[1] >= r2s[2]
+
+
+def test_ridge_fit_guards(spark):
+    from moz_datapipeline_spark.operators.analytics import ridge_fit
+
+    df = spark.createDataFrame([(1.0, 1.0)], "x double, y double")
+    with pytest.raises(ValueError, match="lam"):
+        ridge_fit(df, "y", ["x"], lam=-1.0)
+    with pytest.raises(ValueError, match="d <= 2"):
+        ridge_fit(df, "y", ["x", "x2", "x3"])
+
+
+def test_friedman_test_textbook_example(spark):
+    """Conover's classic no-tie panel: 3 treatments, hand-computed
+    chi2 = 2·(12·Σ... ) — pinned against scipy.stats.friedmanchisquare
+    on the same matrix: chi2 = 8.0, p ≈ 0.0183."""
+    from moz_datapipeline_spark.operators.analytics import friedman_test
+
+    # 4 blocks x 3 treatments, values chosen so treatment C always
+    # wins, A always loses -> strong effect
+    data = {
+        "b1": (1.0, 2.0, 3.0),
+        "b2": (1.1, 2.1, 3.1),
+        "b3": (1.2, 2.2, 3.2),
+        "b4": (1.3, 2.3, 3.3),
+    }
+    rows = []
+    for blk, (a, b, c) in data.items():
+        rows += [(blk, "A", a), (blk, "B", b), (blk, "C", c)]
+    df = spark.createDataFrame(rows, "blk string, trt string, v double")
+    r = friedman_test(df, "blk", "trt", "v").collect()[0]
+    assert r.k_treatments == 3 and r.n_blocks == 4
+    assert r.n_blocks_dropped == 0
+    # scipy.stats.friedmanchisquare -> chi2 = 8.0
+    assert abs(r.chi2 - 8.0) < 1e-9
+    assert r.significant is True
+
+
+def test_friedman_incomplete_blocks_dropped_and_dup_guard(spark):
+    from moz_datapipeline_spark.operators.analytics import friedman_test
+
+    rows = [
+        ("b1", "A", 1.0), ("b1", "B", 2.0),
+        ("b2", "A", 2.0), ("b2", "B", 1.0),
+        ("b3", "A", 9.0),  # incomplete: missing B
+    ]
+    df = spark.createDataFrame(rows, "blk string, trt string, v double")
+    r = friedman_test(df, "blk", "trt", "v").collect()[0]
+    assert r.n_blocks == 2 and r.n_blocks_dropped == 1
+
+    dup = spark.createDataFrame(
+        rows + [("b1", "A", 5.0)], "blk string, trt string, v double"
+    )
+    with pytest.raises(ValueError, match="pre-aggregate"):
+        friedman_test(dup, "blk", "trt", "v")
+
+
+def test_uplift_bins_hand_computed(spark):
+    """Planted uplift only in the top half of scores: top bins must
+    show it, bottom bins must not."""
+    from moz_datapipeline_spark.operators.mleval import uplift_bins
+
+    rows = []
+    for i in range(200):
+        score = i / 200.0
+        treat = i % 2
+        # persuadables only above median score
+        converted = 1 if (treat == 1 and score >= 0.5) else 0
+        rows.append((score, treat, converted))
+    df = spark.createDataFrame(rows, "s double, t int, o int")
+    out = {r.bin: r for r in uplift_bins(df, "s", "t", "o", n_bins=4).collect()}
+    assert set(out) == {0, 1, 2, 3}
+    assert out[0].uplift == 0.0 and out[1].uplift == 0.0
+    assert out[2].uplift == 1.0 and out[3].uplift == 1.0
+    assert out[2].n_treat == 25 and out[2].n_ctrl == 25
+
+
+def test_uplift_bins_ties_share_bin(spark):
+    from moz_datapipeline_spark.operators.mleval import uplift_bins
+
+    # one giant tie at score 1.0 spanning the bin boundary
+    rows = [(1.0, i % 2, 0) for i in range(100)] + [
+        (2.0, i % 2, 1) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "s double, t int, o int")
+    out = {r.bin: r for r in uplift_bins(df, "s", "t", "o", n_bins=2).collect()}
+    # all 100 tied rows land in bin 0 (cum-before = 0)
+    assert out[0].n_treat + out[0].n_ctrl == 100
+    assert out[1].n_treat + out[1].n_ctrl == 10
+
+
+def test_brier_decomposition_identity_and_values(spark):
+    from moz_datapipeline_spark.operators.mleval import (
+        brier_decomposition,
+    )
+
+    # forecast 0.8 on 10 rows (8 positive), 0.2 on 10 rows (2 positive)
+    # -> perfectly calibrated: reliability = 0
+    rows = [(0.8, 1)] * 8 + [(0.8, 0)] * 2 + [(0.2, 1)] * 2 + [
+        (0.2, 0)
+    ] * 8
+    df = spark.createDataFrame(rows, "s double, y int")
+    r = brier_decomposition(df, "s", "y").collect()[0]
+    assert r.n == 20 and r.n_forecast_values == 2
+    assert abs(r.reliability) < 1e-9
+    assert abs(r.uncertainty - 0.25) < 1e-9
+    assert abs(r.resolution - 0.09) < 1e-9
+    assert abs(r.brier - (0.25 - 0.09)) < 1e-9
+
+
+def test_pettitt_detects_planted_level_shift(spark):
+    """Step from level 10 to level 30 at t=50 of 100 hourly buckets:
+    the argmax of |U_t| must land at the last pre-shift bucket and be
+    highly significant."""
+    from moz_datapipeline_spark.operators.temporal import (
+        pettitt_changepoint,
+    )
+
+    ns = 3_600_000_000_000
+    rows = [("s", t * ns, 10.0 + (t % 3)) for t in range(50)]
+    rows += [("s", t * ns, 30.0 + (t % 3)) for t in range(50, 100)]
+    df = spark.createDataFrame(rows, "event_type string, ts long, value double")
+    r = pettitt_changepoint(df).collect()[0]
+    assert r.n_buckets == 100
+    assert r.change_bucket == 49 * 3600
+    assert r.significant is True and r.p_value < 1e-6
+
+
+def test_pettitt_no_shift_not_significant(spark):
+    from moz_datapipeline_spark.operators.temporal import (
+        pettitt_changepoint,
+    )
+
+    ns = 3_600_000_000_000
+    # alternating values: no level shift anywhere
+    rows = [("s", t * ns, float(10 + (t % 2))) for t in range(60)]
+    df = spark.createDataFrame(rows, "event_type string, ts long, value double")
+    r = pettitt_changepoint(df).collect()[0]
+    assert r.significant is False
+
+
+def test_hurst_trending_vs_alternating(spark):
+    """A monotone ramp must read persistent (H near 1); a strict
+    alternation must read anti-persistent (H well below 0.5)."""
+    from moz_datapipeline_spark.operators.temporal import hurst_exponent
+
+    ns = 3_600_000_000_000
+    ramp = [("ramp", t * ns, float(t)) for t in range(128)]
+    alt = [("alt", t * ns, float(t % 2)) for t in range(128)]
+    df = spark.createDataFrame(
+        ramp + alt, "event_type string, ts long, value double"
+    )
+    out = {r.grp: r for r in hurst_exponent(df).collect()}
+    assert out["ramp"].hurst > 0.9
+    assert out["alt"].hurst < 0.3
+    assert out["ramp"].n_scales == 4
+
+
+def test_hurst_guards(spark):
+    from moz_datapipeline_spark.operators.temporal import hurst_exponent
+
+    df = spark.createDataFrame(
+        [("s", 0, 1.0)], "event_type string, ts long, value double"
+    )
+    with pytest.raises(ValueError, match="scales"):
+        hurst_exponent(df, scales=(8,))
+    # constant series: every block has zero variance -> NULL hurst
+    ns = 3_600_000_000_000
+    const = spark.createDataFrame(
+        [("c", t * ns, 5.0) for t in range(64)],
+        "event_type string, ts long, value double",
+    )
+    r = hurst_exponent(const).collect()[0]
+    assert r.hurst is None
+
+
+def test_poisson_rate_test_hand_computed(spark):
+    """Same exposure, 100 vs 50 events: z = (100-75)/sqrt(37.5)."""
+    import math
+
+    from moz_datapipeline_spark.operators.analytics import (
+        poisson_rate_test,
+    )
+
+    ns = 1_000_000_000
+    a = spark.createDataFrame(
+        [(i * ns,) for i in range(101)], "ts long"
+    )  # 101 events over 100 s
+    b = spark.createDataFrame(
+        [(i * 2 * ns,) for i in range(51)], "ts long"
+    )  # 51 events over 100 s
+    r = poisson_rate_test(a, b).collect()[0]
+    assert r.n_a == 101 and r.n_b == 51
+    assert abs(r.exposure_a - 100.0) < 1e-9
+    assert abs(r.exposure_b - 100.0) < 1e-9
+    expected_z = (101 - 152 * 0.5) / math.sqrt(152 * 0.25)
+    assert abs(r.z - expected_z) < 1e-6
+    assert r.significant is True
+
+    empty = spark.createDataFrame([], "ts long")
+    r = poisson_rate_test(a, empty).collect()[0]
+    assert r.z is None and r.p_value is None
+
+
+def test_mcnemar_hand_computed(spark):
+    """b01=10, b10=2: chi2 = (|10-2|-1)^2/12 = 49/12, p < 0.05."""
+    from moz_datapipeline_spark.operators.analytics import mcnemar_test
+
+    rows = [(1, 0)] * 10 + [(0, 1)] * 2 + [(1, 1)] * 30 + [(0, 0)] * 8
+    df = spark.createDataFrame(rows, "a int, b int")
+    r = mcnemar_test(df, "a", "b").collect()[0]
+    assert r.n == 50 and r.b01 == 10 and r.b10 == 2
+    assert abs(r.chi2 - 49.0 / 12.0) < 1e-5
+    assert r.significant is True
+
+    # all concordant: no information
+    conc = spark.createDataFrame([(1, 1)] * 5, "a int, b int")
+    r = mcnemar_test(conc, "a", "b").collect()[0]
+    assert r.chi2 is None and r.p_value is None
+
+
+def test_cochran_q_textbook(spark):
+    """3 treatments x 4 blocks with hand-computable totals."""
+    from moz_datapipeline_spark.operators.analytics import cochran_q
+
+    # blocks: (1,1,0), (1,0,0), (1,1,1) [cancels], (0,0,0) [cancels]
+    rows = [
+        ("b1", "t1", 1), ("b1", "t2", 1), ("b1", "t3", 0),
+        ("b2", "t1", 1), ("b2", "t2", 0), ("b2", "t3", 0),
+        ("b3", "t1", 1), ("b3", "t2", 1), ("b3", "t3", 1),
+        ("b4", "t1", 0), ("b4", "t2", 0), ("b4", "t3", 0),
+    ]
+    df = spark.createDataFrame(rows, "blk string, trt string, o int")
+    r = cochran_q(df, "blk", "trt", "o").collect()[0]
+    # T=6, C=(3,2,1), R=(2,1,3,0); num=3*14-36=6; den=3*6-14=4
+    assert r.k_treatments == 3 and r.n_blocks == 4
+    assert abs(r.q_stat - 2.0 * 6.0 / 4.0) < 1e-9
+    # dropping the two degenerate blocks must not change Q
+    r2 = cochran_q(
+        spark.createDataFrame(rows[:6], "blk string, trt string, o int"),
+        "blk", "trt", "o",
+    ).collect()[0]
+    assert abs(r2.q_stat - r.q_stat) < 1e-9
+
+
+def test_inequality_indices_known_values(spark):
+    """Constant -> all zeros; 2-point distribution -> closed forms."""
+    import math
+
+    from moz_datapipeline_spark.operators.analytics import (
+        inequality_indices,
+    )
+
+    const = spark.createDataFrame([(5.0,)] * 8, "x double")
+    r = inequality_indices(const, "x").collect()[0]
+    assert abs(r.theil_t) < 1e-9 and abs(r.theil_l) < 1e-9
+    assert abs(r.atkinson_05) < 1e-9
+
+    two = spark.createDataFrame([(1.0,), (3.0,)], "x double")
+    r = inequality_indices(two, "x").collect()[0]
+    mu = 2.0
+    tt = (1 * math.log(1 / mu) + 3 * math.log(3 / mu)) / (2 * mu)
+    tl = math.log(mu) - (math.log(1.0) + math.log(3.0)) / 2
+    atk = 1 - ((1 + math.sqrt(3.0)) / 2) ** 2 / mu
+    assert abs(r.theil_t - tt) < 1e-6
+    assert abs(r.theil_l - tl) < 1e-6
+    assert abs(r.atkinson_05 - atk) < 1e-6
+    # negatives and zeros excluded
+    mixed = spark.createDataFrame(
+        [(1.0,), (3.0,), (0.0,), (-2.0,), (None,)], "x double"
+    )
+    r = inequality_indices(mixed, "x").collect()[0]
+    assert r.n == 2
+
+
+def test_span_corruption_invariants(spark):
+    """Spans must be in-bounds, non-overlapping, ordered, with the
+    budgeted count; short docs produce no spans."""
+    from moz_datapipeline_spark.operators.corpus import span_corruption
+
+    docs = [
+        (1, " ".join(f"w{i}" for i in range(100))),
+        (2, " ".join(f"w{i}" for i in range(21))),
+        (3, "one two"),  # too short for a span at 15% x 3
+        (4, ""),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = span_corruption(df).collect()
+    by_doc: dict = {}
+    for r in out:
+        by_doc.setdefault(r.id, []).append(r)
+    assert set(by_doc) == {1, 2}
+    assert len(by_doc[1]) == 5  # floor(100*.15/3) = 5
+    assert len(by_doc[2]) == 1  # floor(21*.15/3) = 1
+    for rows in by_doc.values():
+        rows.sort(key=lambda r: r.span_id)
+        prev_end = -1
+        for r in rows:
+            assert r.start_token > prev_end
+            assert r.start_token + r.span_len <= r.n_tokens
+            prev_end = r.start_token + r.span_len - 1
+
+
+def test_span_corruption_deterministic_and_guarded(spark):
+    from moz_datapipeline_spark.operators.corpus import span_corruption
+
+    df = spark.createDataFrame(
+        [(7, " ".join(f"t{i}" for i in range(50)))],
+        "doc_id long, text string",
+    )
+    a = sorted((r.span_id, r.start_token) for r in span_corruption(df).collect())
+    b = sorted((r.span_id, r.start_token) for r in span_corruption(df).collect())
+    assert a == b
+    with pytest.raises(ValueError, match="corruption_rate"):
+        span_corruption(df, corruption_rate=0.0)
+    with pytest.raises(ValueError, match="span_len"):
+        span_corruption(df, span_len=0)
+
+
+def test_runs_test_clustered_vs_alternating(spark):
+    from moz_datapipeline_spark.operators.temporal import runs_test
+
+    ns = 3_600_000_000_000
+    # clustered: 30 low then 30 high -> 2 runs, far below expectation
+    clustered = [("c", t * ns, 1.0) for t in range(30)] + [
+        ("c", t * ns, 9.0) for t in range(30, 60)
+    ]
+    # alternating: runs = n, far above expectation
+    alternating = [("a", t * ns, 1.0 if t % 2 else 9.0) for t in range(60)]
+    # constant: never crosses its mean -> NULL
+    const = [("k", t * ns, 5.0) for t in range(10)]
+    df = spark.createDataFrame(
+        clustered + alternating + const,
+        "event_type string, ts long, value double",
+    )
+    out = {r.grp: r for r in runs_test(df).collect()}
+    assert out["c"].n_runs == 2 and out["c"].z < -7
+    assert out["c"].significant is True
+    assert out["a"].n_runs == 60 and out["a"].z > 7
+    assert out["k"].z is None and out["k"].p_value is None
+
+
+def test_decomposition_strength_pure_signals(spark):
+    """A pure 24h cosine must read seasonal_strength ~1; a pure ramp
+    must read trend_strength ~1."""
+    import math
+
+    from moz_datapipeline_spark.operators.temporal import (
+        decomposition_strength,
+    )
+
+    ns = 3_600_000_000_000
+    rows = []
+    for t in range(240):
+        rows.append(("season", t * ns, 10 + 5 * math.cos(2 * math.pi * t / 24)))
+        rows.append(("ramp", t * ns, float(t)))
+    df = spark.createDataFrame(rows, "event_type string, ts long, value double")
+    out = {r.grp: r for r in decomposition_strength(df).collect()}
+    assert out["season"].seasonal_strength > 0.95
+    assert out["ramp"].trend_strength > 0.99
+
+
+def test_page_trend_perfect_order_vs_reverse(spark):
+    from moz_datapipeline_spark.operators.analytics import page_trend
+
+    # treatments a < b < c, values always in that order: max L
+    rows = []
+    for blk in range(6):
+        rows += [
+            (f"b{blk}", "a", 1.0 + blk),
+            (f"b{blk}", "b", 2.0 + blk),
+            (f"b{blk}", "c", 3.0 + blk),
+        ]
+    df = spark.createDataFrame(rows, "blk string, trt string, v double")
+    r = page_trend(df, "blk", "trt", "v").collect()[0]
+    # perfect order: L = n * (1*1 + 2*2 + 3*3) = 6 * 14 = 84
+    assert abs(r.l_stat - 84.0) < 1e-9
+    assert r.significant is True and r.z > 0
+
+    # reversed values: minimal L, z < 0, one-sided p near 1
+    rows_rev = [(b, t, -v) for (b, t, v) in rows]
+    df = spark.createDataFrame(rows_rev, "blk string, trt string, v double")
+    r = page_trend(df, "blk", "trt", "v").collect()[0]
+    assert r.z < 0 and r.p_value > 0.95
+
+
+def test_msprt_null_vs_effect(spark):
+    """Under no effect Λ stays small (p = 1); under a big effect the
+    always-valid p collapses."""
+    from moz_datapipeline_spark.operators.analytics import msprt_test
+
+    null_a = spark.createDataFrame(
+        [(float(10 + (i % 5)),) for i in range(200)], "v double"
+    )
+    null_b = spark.createDataFrame(
+        [(float(10 + ((i + 2) % 5)),) for i in range(200)], "v double"
+    )
+    r = msprt_test(null_a, null_b, "v").collect()[0]
+    assert r.p_always_valid > 0.5 and r.significant is False
+
+    eff_b = spark.createDataFrame(
+        [(float(20 + (i % 5)),) for i in range(200)], "v double"
+    )
+    r = msprt_test(null_a, eff_b, "v").collect()[0]
+    assert r.p_always_valid < 1e-6 and r.significant is True
+    assert abs(r.delta - (-10.0)) < 0.1
+
+    tiny = spark.createDataFrame([(1.0,)], "v double")
+    r = msprt_test(null_a, tiny, "v").collect()[0]
+    assert r.lambda_stat is None and r.p_always_valid is None
+
+    with pytest.raises(ValueError, match="tau"):
+        msprt_test(null_a, null_b, "v", tau=0.0)
+
+
+def test_qte_shift_only_in_tail(spark):
+    """Treatment adds +100 only above the control's p75: median QTE
+    ~0, p90 QTE ~100."""
+    from moz_datapipeline_spark.operators.analytics import (
+        quantile_treatment_effect,
+    )
+
+    ctrl = [(float(i),) for i in range(101)]  # 0..100
+    treat = [(float(i) if i <= 75 else float(i + 100),) for i in range(101)]
+    a = spark.createDataFrame(treat, "v double")
+    b = spark.createDataFrame(ctrl, "v double")
+    out = {r.prob: r for r in quantile_treatment_effect(a, b, "v").collect()}
+    assert abs(out[0.5].qte) < 1e-9
+    assert abs(out[0.9].qte - 100.0) < 1e-9
+    assert abs(out[0.25].qte) < 1e-9
+
+    with pytest.raises(ValueError, match="probs"):
+        quantile_treatment_effect(a, b, "v", probs=[1.5])
