@@ -6937,6 +6937,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_trend": q_page_trend,
         "msprt_test": q_msprt_test,
         "quantile_treatment_effect": q_quantile_treatment_effect,
+        "wasserstein_1d": q_wasserstein_1d,
+        "js_divergence": q_js_divergence,
+        "mahalanobis_outliers": q_mahalanobis_outliers,
+        "windowed_topk": q_windowed_topk,
+        "random_walks": q_random_walks,
     }
 
 
@@ -16797,6 +16802,191 @@ FROM eaul_calc
         FROM q
     """
 
+    sql["wasserstein_1d"] = """
+        WITH j AS (
+          SELECT CAST(l_extendedprice AS DOUBLE) AS v,
+                 p_type LIKE 'PROMO%' AS promo
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE l_extendedprice IS NOT NULL
+        ), per_v AS (
+          SELECT v,
+                 CAST(sum(CASE WHEN promo THEN 1 ELSE 0 END)
+                   AS BIGINT) AS ca,
+                 CAST(sum(CASE WHEN promo THEN 0 ELSE 1 END)
+                   AS BIGINT) AS cb
+          FROM j GROUP BY 1
+        ), tot AS (
+          SELECT CAST(sum(ca) AS DOUBLE) AS na,
+                 CAST(sum(cb) AS DOUBLE) AS nb
+          FROM per_v
+        ), cdf AS (
+          SELECT v,
+                 sum(ca) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS la,
+                 sum(cb) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS lb,
+                 lead(v) OVER (ORDER BY v) AS nv
+          FROM per_v
+        ), terms AS (
+          SELECT CASE WHEN nv IS NOT NULL
+                 THEN abs(la / tot.na - lb / tot.nb) * (nv - v)
+                 ELSE 0.0 END AS t
+          FROM cdf CROSS JOIN tot
+        )
+        SELECT CAST(tot.na AS BIGINT) AS n_a,
+               CAST(tot.nb AS BIGINT) AS n_b,
+               CASE WHEN tot.na > 0 AND tot.nb > 0 THEN
+                 round((SELECT coalesce(sum(t), 0.0) FROM terms), 6)
+               END AS wasserstein
+        FROM tot
+    """
+
+    sql["js_divergence"] = """
+        WITH tagged AS (
+          SELECT lang AS c,
+                 CASE WHEN source <= 'src4' THEN 1 ELSE 0 END AS ia,
+                 CASE WHEN source <= 'src4' THEN 0 ELSE 1 END AS ib
+          FROM documents WHERE lang IS NOT NULL
+        ), per_c AS (
+          SELECT c, CAST(sum(ia) AS DOUBLE) AS pa,
+                 CAST(sum(ib) AS DOUBLE) AS pb
+          FROM tagged GROUP BY 1
+        ), tot AS (
+          SELECT sum(pa) AS na, sum(pb) AS nb FROM per_c
+        ), folded AS (
+          SELECT max(tot.na) AS fa, max(tot.nb) AS fb,
+                 CAST(count(*) AS BIGINT) AS n_categories,
+                 sum(
+                   CASE WHEN pa / tot.na > 0
+                   THEN pa / tot.na * ln((pa / tot.na)
+                     / ((pa / tot.na + pb / tot.nb) / 2.0))
+                   ELSE 0.0 END
+                   + CASE WHEN pb / tot.nb > 0
+                   THEN pb / tot.nb * ln((pb / tot.nb)
+                     / ((pa / tot.na + pb / tot.nb) / 2.0))
+                   ELSE 0.0 END
+                 ) / 2.0 AS jsd
+          FROM per_c CROSS JOIN tot
+        )
+        SELECT CAST(fa AS BIGINT) AS n_a,
+               CAST(fb AS BIGINT) AS n_b,
+               n_categories,
+               round(CASE WHEN fa > 0 AND fb > 0
+                 THEN greatest(0.0, jsd) END, 6) AS jsd,
+               round(CASE WHEN fa > 0 AND fb > 0
+                 THEN greatest(0.0, jsd) END
+                 / 0.6931471805599453, 6) AS jsd_bits
+        FROM folded
+    """
+
+    sql["mahalanobis_outliers"] = """
+        WITH base AS (
+          SELECT l_returnflag,
+                 CAST(l_quantity AS DOUBLE) AS x,
+                 CAST(l_extendedprice AS DOUBLE) AS y
+          FROM lineitem
+          WHERE l_quantity IS NOT NULL
+            AND l_extendedprice IS NOT NULL
+        ), mom AS (
+          SELECT CAST(count(*) AS DOUBLE) AS n,
+                 avg(x) AS mx, avg(y) AS my,
+                 avg(x * x) AS mxx, avg(y * y) AS myy,
+                 avg(x * y) AS mxy
+          FROM base
+        ), d AS (
+          SELECT l_returnflag,
+                 CASE WHEN n >= 2
+                      AND (mxx - mx * mx) * (myy - my * my)
+                        - (mxy - mx * my) * (mxy - mx * my) > 0
+                 THEN round((
+                   (myy - my * my) * (x - mx) * (x - mx)
+                   - 2.0 * (mxy - mx * my) * (x - mx) * (y - my)
+                   + (mxx - mx * mx) * (y - my) * (y - my)
+                 ) / ((mxx - mx * mx) * (myy - my * my)
+                      - (mxy - mx * my) * (mxy - mx * my)), 6)
+                 END AS d2
+          FROM base CROSS JOIN mom
+        )
+        SELECT l_returnflag,
+               CASE WHEN d2 IS NOT NULL THEN d2 > 13.8155 END
+                 AS is_outlier,
+               CAST(count(*) AS BIGINT) AS n,
+               floor(sum(d2) * 1000 + 0.5) / 1000.0 AS d2_sum
+        FROM d GROUP BY 1, 2
+    """
+
+    sql["windowed_topk"] = """
+        WITH counts AS (
+          SELECT (epoch_ns(ts) // 3600000000000) * 3600
+                   AS window_start,
+                 event_type AS key,
+                 user_id AS "user",
+                 CAST(count(*) AS BIGINT) AS n_events
+          FROM events GROUP BY 1, 2, 3
+        )
+        SELECT window_start, key, "user", n_events,
+               CAST(rank AS INTEGER) AS rank
+        FROM (
+          SELECT *,
+                 row_number() OVER (
+                   PARTITION BY window_start, key
+                   ORDER BY n_events DESC, "user" ASC
+                 ) AS rank
+          FROM counts
+        )
+        WHERE rank <= 3
+    """
+
+    sql["random_walks"] = """
+        WITH fwd AS (
+          SELECT DISTINCT o_custkey AS src,
+                 l_suppkey + 1000000 AS dst
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        ), edges AS (
+          SELECT src, dst FROM fwd
+          UNION ALL
+          SELECT dst AS src, src AS dst FROM fwd
+        ), idx AS (
+          SELECT src,
+                 row_number() OVER (PARTITION BY src ORDER BY dst)
+                   - 1 AS idx,
+                 dst,
+                 count(*) OVER (PARTITION BY src) AS degree
+          FROM (SELECT DISTINCT src, dst FROM edges)
+        ), starts AS (
+          SELECT CAST(src AS VARCHAR) || '#0' AS walk_id,
+                 src AS start, src AS node
+          FROM (SELECT DISTINCT src FROM idx)
+        ), hop1 AS (
+          SELECT s.walk_id, s.start, i.dst AS node
+          FROM starts s JOIN idx i ON s.node = i.src
+          WHERE i.idx = CAST(('0x' || substr(md5(
+                  'walk:' || s.walk_id || ':1'), 1, 15)) AS BIGINT)
+                % i.degree
+        ), hop2 AS (
+          SELECT s.walk_id, s.start, i.dst AS node
+          FROM hop1 s JOIN idx i ON s.node = i.src
+          WHERE i.idx = CAST(('0x' || substr(md5(
+                  'walk:' || s.walk_id || ':2'), 1, 15)) AS BIGINT)
+                % i.degree
+        ), hop3 AS (
+          SELECT s.walk_id, s.start, i.dst AS node
+          FROM hop2 s JOIN idx i ON s.node = i.src
+          WHERE i.idx = CAST(('0x' || substr(md5(
+                  'walk:' || s.walk_id || ':3'), 1, 15)) AS BIGINT)
+                % i.degree
+        )
+        SELECT walk_id, start, 0 AS step, node FROM starts
+        UNION ALL
+        SELECT walk_id, start, 1 AS step, node FROM hop1
+        UNION ALL
+        SELECT walk_id, start, 2 AS step, node FROM hop2
+        UNION ALL
+        SELECT walk_id, start, 3 AS step, node FROM hop3
+    """
+
     return sql
 
 
@@ -17866,3 +18056,101 @@ def q_quantile_treatment_effect(
         j.filter(~F.col("_is_promo")),
         "l_extendedprice",
     )
+
+
+def q_wasserstein_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 1-D earth-mover distance between promo and non-promo
+    extended prices (operators/analytics.wasserstein_1d): CDF gaps ×
+    value gaps over the distinct-value rollup, two-phase prefix scan
+    + broadcast boundary table.  VALUE oracle: identical windows in
+    DuckDB."""
+    from moz_datapipeline_spark.operators.analytics import wasserstein_1d
+
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        "l_extendedprice",
+        F.col("p_type").startswith("PROMO").alias("_is_promo"),
+    )
+    return wasserstein_1d(
+        j.filter(F.col("_is_promo")),
+        j.filter(~F.col("_is_promo")),
+        "l_extendedprice",
+    )
+
+
+def q_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen–Shannon divergence of the language mix between two
+    document source groups (operators/analytics.js_divergence): one
+    category rollup + 1-row fold, absent-category-safe (the PSI
+    failure mode).  VALUE oracle: identical mixture fold."""
+    from moz_datapipeline_spark.operators.analytics import js_divergence
+
+    d = _t(spark, sf_dir, "documents")
+    return js_divergence(
+        d.filter(F.col("source") <= "src4"),
+        d.filter(F.col("source") > "src4"),
+        "lang",
+    )
+
+
+def q_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate Mahalanobis outliers over (quantity, extendedprice)
+    (operators/analytics.mahalanobis_outliers): closed-form 2×2
+    inverse as column expressions, one moment broadcast + pure
+    projection.  Profiled per (flag, outlier) so the oracle compare
+    is count-stable.  VALUE oracle: identical moments + distance."""
+    from moz_datapipeline_spark.operators.analytics import (
+        mahalanobis_outliers,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = mahalanobis_outliers(
+        li.select("l_returnflag", "l_quantity", "l_extendedprice"),
+        "l_quantity",
+        "l_extendedprice",
+    )
+    return out.groupBy("l_returnflag", "is_outlier").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.floor(F.sum("maha_d2") * 1000 + F.lit(0.5)) / 1000.0).alias(
+            "d2_sum"
+        ),
+    )
+
+
+def q_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed top-3 users per (hour, event type)
+    (streaming/events.windowed_topk_batch — the batch twin of the
+    append-mode streaming counts + closed-window rank stage): one
+    hash aggregate + per-(window, key) WindowGroupLimit.  VALUE
+    oracle: identical counts + row_number tie-break in DuckDB."""
+    from moz_datapipeline_spark.streaming.events import (
+        windowed_topk_batch,
+    )
+
+    e = _events(spark, sf_dir)
+    return windowed_topk_batch(e, k=3)
+
+
+def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 3-hop random-walk corpus over the customer↔
+    supplier trade graph (graph/walks.random_walks): hash-addressed
+    neighbor picks, one equi join per hop — the DeepWalk input
+    generator.  VALUE oracle: identical md5 picks over 3 unrolled
+    hop CTEs in DuckDB."""
+    from moz_datapipeline_spark.graph.walks import random_walks
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    fwd = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + 1000000).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return random_walks(edges, walk_len=3, walks_per_node=1)

@@ -4231,6 +4231,44 @@ def ridge_fit(
     )
 
 
+def _complete_case_guards(cells: DataFrame, op: str) -> tuple[int, int]:
+    """Guard pass over the PINNED cell frame for the blocked-design
+    tests (friedman/page/cochran): one action for the duplicate-cell
+    check (loud ValueError) and the global treatment count k, one
+    cached-scan count for the incomplete blocks.  k is the count of
+    DISTINCT treatments anywhere in the input — a block missing any
+    of them is incomplete (the oracle contract)."""
+    g = cells.groupBy("_blk", "_trt").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    row = g.agg(
+        F.coalesce(F.max("_c"), F.lit(0)).alias("mx"),
+        F.countDistinct("_trt").alias("k"),
+    ).collect()[0]
+    if row["mx"] > 1:
+        raise ValueError(
+            f"{op}: multiple observations per (block, treatment) "
+            "cell — pre-aggregate first"
+        )
+    k_tot = int(row["k"])
+    n_dropped = (
+        g.groupBy("_blk")
+        .agg(F.count(F.lit(1)).alias("_k"))
+        .filter(F.col("_k") != F.lit(k_tot))
+        .count()
+    )
+    return k_tot, n_dropped
+
+
+def _eager_one_row(cells: DataFrame, final: DataFrame) -> DataFrame:
+    """Materialize a 1-row result eagerly, release the pinned cell
+    frame, and hand back a driver-side literal (the ``ks_test``
+    convention) — nothing stays cached after the operator returns."""
+    rows = final.collect()
+    cells.unpersist()
+    return final.sparkSession.createDataFrame(rows, final.schema)
+
+
 def friedman_test(
     df: DataFrame,
     block_col: str,
@@ -4263,23 +4301,16 @@ def friedman_test(
         & F.col("_trt").isNotNull()
         & F.col("_v").isNotNull()
     )
-    k_tot = cells.select("_trt").distinct().count()
-    dup = (
-        cells.groupBy("_blk", "_trt")
-        .agg(F.count(F.lit(1)).alias("_c"))
-        .filter(F.col("_c") > 1)
-        .limit(1)
-        .count()
-    )
-    if dup:
-        raise ValueError(
-            "friedman_test: multiple observations per (block, "
-            "treatment) cell — pre-aggregate first"
-        )
+    # the cell frame is blocks×k-sized but may sit on an expensive
+    # lineage (a data-sized rollup): pin it so the guard pass and the
+    # main fold scan the input ONCE, and fold both guards into a
+    # single action
+    cells = cells.persist()
+    k_tot, n_dropped = _complete_case_guards(cells, "friedman_test")
     sizes = cells.groupBy("_blk").agg(F.count(F.lit(1)).alias("_k"))
-    n_dropped = sizes.filter(F.col("_k") != k_tot).count()
     complete = cells.join(
-        sizes.filter(F.col("_k") == k_tot).select("_blk"), "_blk"
+        sizes.filter(F.col("_k") == F.lit(k_tot)).select("_blk"),
+        "_blk",
     )
     bw = Window.partitionBy("_blk")
     rnk = F.rank().over(bw.orderBy("_v"))
@@ -4349,14 +4380,19 @@ def friedman_test(
             F.lit(1.0) - erfc / F.lit(2.0)
         ),
     )
-    return folded.select(
-        "k_treatments",
-        F.coalesce(n, F.lit(0.0)).cast("long").alias("n_blocks"),
-        F.lit(n_dropped).cast("long").alias("n_blocks_dropped"),
-        F.round(chi2, 6).alias("chi2"),
-        dof.alias("dof"),
-        F.round(p, 6).alias("p_value"),
-        F.when(p.isNotNull(), p < F.lit(0.05)).alias("significant"),
+    return _eager_one_row(
+        cells,
+        folded.select(
+            "k_treatments",
+            F.coalesce(n, F.lit(0.0)).cast("long").alias("n_blocks"),
+            F.lit(n_dropped).cast("long").alias("n_blocks_dropped"),
+            F.round(chi2, 6).alias("chi2"),
+            dof.alias("dof"),
+            F.round(p, 6).alias("p_value"),
+            F.when(p.isNotNull(), p < F.lit(0.05)).alias(
+                "significant"
+            ),
+        ),
     )
 
 
@@ -4520,23 +4556,12 @@ def cochran_q(
         & F.col("_trt").isNotNull()
         & F.col("_o").isNotNull()
     )
-    k_tot = cells.select("_trt").distinct().count()
-    dup = (
-        cells.groupBy("_blk", "_trt")
-        .agg(F.count(F.lit(1)).alias("_c"))
-        .filter(F.col("_c") > 1)
-        .limit(1)
-        .count()
-    )
-    if dup:
-        raise ValueError(
-            "cochran_q: multiple observations per (block, treatment) "
-            "cell — pre-aggregate first"
-        )
+    cells = cells.persist()
+    k_tot, n_dropped = _complete_case_guards(cells, "cochran_q")
     sizes = cells.groupBy("_blk").agg(F.count(F.lit(1)).alias("_k"))
-    n_dropped = sizes.filter(F.col("_k") != k_tot).count()
     complete = cells.join(
-        sizes.filter(F.col("_k") == k_tot).select("_blk"), "_blk"
+        sizes.filter(F.col("_k") == F.lit(k_tot)).select("_blk"),
+        "_blk",
     )
     per_b = complete.groupBy("_blk").agg(
         F.sum("_o").cast("double").alias("_r")
@@ -4594,14 +4619,19 @@ def cochran_q(
             F.lit(1.0) - erfc / F.lit(2.0)
         ),
     )
-    return folded.select(
-        "k_treatments",
-        "n_blocks",
-        F.lit(n_dropped).cast("long").alias("n_blocks_dropped"),
-        F.round(q, 6).alias("q_stat"),
-        dof.alias("dof"),
-        F.round(p, 6).alias("p_value"),
-        F.when(p.isNotNull(), p < F.lit(0.05)).alias("significant"),
+    return _eager_one_row(
+        cells,
+        folded.select(
+            "k_treatments",
+            "n_blocks",
+            F.lit(n_dropped).cast("long").alias("n_blocks_dropped"),
+            F.round(q, 6).alias("q_stat"),
+            dof.alias("dof"),
+            F.round(p, 6).alias("p_value"),
+            F.when(p.isNotNull(), p < F.lit(0.05)).alias(
+                "significant"
+            ),
+        ),
     )
 
 
@@ -4687,23 +4717,12 @@ def page_trend(
         & F.col("_trt").isNotNull()
         & F.col("_v").isNotNull()
     )
-    k_tot = cells.select("_trt").distinct().count()
-    dup = (
-        cells.groupBy("_blk", "_trt")
-        .agg(F.count(F.lit(1)).alias("_c"))
-        .filter(F.col("_c") > 1)
-        .limit(1)
-        .count()
-    )
-    if dup:
-        raise ValueError(
-            "page_trend: multiple observations per (block, treatment) "
-            "cell — pre-aggregate first"
-        )
+    cells = cells.persist()
+    k_tot, n_dropped = _complete_case_guards(cells, "page_trend")
     sizes = cells.groupBy("_blk").agg(F.count(F.lit(1)).alias("_k"))
-    n_dropped = sizes.filter(F.col("_k") != k_tot).count()
     complete = cells.join(
-        sizes.filter(F.col("_k") == k_tot).select("_blk"), "_blk"
+        sizes.filter(F.col("_k") == F.lit(k_tot)).select("_blk"),
+        "_blk",
     )
     bw = Window.partitionBy("_blk")
     rnk = F.rank().over(bw.orderBy("_v"))
@@ -4760,14 +4779,19 @@ def page_trend(
             F.lit(1.0) - erfc / F.lit(2.0)
         ),
     )
-    return folded.select(
-        "k_treatments",
-        F.coalesce(n, F.lit(0.0)).cast("long").alias("n_blocks"),
-        F.lit(n_dropped).cast("long").alias("n_blocks_dropped"),
-        F.round(F.col("_l"), 6).alias("l_stat"),
-        F.round(z, 6).alias("z"),
-        F.round(p, 6).alias("p_value"),
-        F.when(p.isNotNull(), p < F.lit(0.05)).alias("significant"),
+    return _eager_one_row(
+        cells,
+        folded.select(
+            "k_treatments",
+            F.coalesce(n, F.lit(0.0)).cast("long").alias("n_blocks"),
+            F.lit(n_dropped).cast("long").alias("n_blocks_dropped"),
+            F.round(F.col("_l"), 6).alias("l_stat"),
+            F.round(z, 6).alias("z"),
+            F.round(p, 6).alias("p_value"),
+            F.when(p.isNotNull(), p < F.lit(0.05)).alias(
+                "significant"
+            ),
+        ),
     )
 
 
@@ -4890,4 +4914,227 @@ def quantile_treatment_effect(
         )
     return spark.createDataFrame(
         rows, "prob double, q_treat double, q_ctrl double, qte double"
+    )
+
+
+def wasserstein_1d(
+    a: DataFrame,
+    b: DataFrame,
+    column: str,
+) -> DataFrame:
+    """Exact 1-D Wasserstein-1 (earth-mover) distance between two
+    samples: one row ``(n_a, n_b, wasserstein)`` computed as
+    ``∫|F_a(x) − F_b(x)| dx`` over the merged empirical CDFs — the
+    magnitude-aware drift metric: KS (``ks_drift``) reports the worst
+    CDF gap, PSI needs bins; W₁ reports HOW MUCH mass moved HOW FAR,
+    in the column's own units.  Empty sides yield NULL.
+
+    Plan — the integrand is piecewise-constant between distinct
+    values, so everything folds over the distinct-value rollup (the
+    ``ks_test`` scheme plus one value-gap term):
+
+    1. one union + (value) hash aggregate → per-value side counts;
+    2. two-phase global prefix scan (range exchange, per-partition
+       cumsums, broadcast bases) → both CDFs at each value;
+    3. the NEXT distinct value comes from a partition-local ``lead``
+       plus a broadcast |partitions|-row first-value table for the
+       partition boundaries — never a global single-task window;
+    4. one 1-row fold of Σ |ΔF|·gap.
+    """
+    va = a.select(F.col(column).cast("double").alias("v")).filter(
+        F.col("v").isNotNull()
+    )
+    vb = b.select(F.col(column).cast("double").alias("v")).filter(
+        F.col("v").isNotNull()
+    )
+    tagged = va.select(
+        "v", F.lit(1).alias("_ia"), F.lit(0).alias("_ib")
+    ).unionByName(
+        vb.select("v", F.lit(0).alias("_ia"), F.lit(1).alias("_ib"))
+    )
+    per_v = tagged.groupBy("v").agg(
+        F.sum("_ia").cast("long").alias("_ca"),
+        F.sum("_ib").cast("long").alias("_cb"),
+    )
+    ranged = per_v.repartitionByRange(F.col("v").asc()).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    lw = (
+        Window.partitionBy("_pid")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = ranged.select(
+        "_pid",
+        "v",
+        "_ca",
+        "_cb",
+        F.sum("_ca").over(lw).alias("_la"),
+        F.sum("_cb").over(lw).alias("_lb"),
+        F.lead("v").over(
+            Window.partitionBy("_pid").orderBy("v")
+        ).alias("_nv"),
+    )
+    pw = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    bases = (
+        local.groupBy("_pid")
+        .agg(
+            F.sum("_ca").alias("_ta"),
+            F.sum("_cb").alias("_tb"),
+            F.min("v").alias("_fv"),
+        )
+        .select(
+            "_pid",
+            F.coalesce(F.sum("_ta").over(pw), F.lit(0)).alias("_ba"),
+            F.coalesce(F.sum("_tb").over(pw), F.lit(0)).alias("_bb"),
+            # first value of the NEXT non-empty partition
+            F.lead("_fv").over(Window.orderBy("_pid")).alias("_nextv"),
+        )
+    )
+    tot = per_v.agg(
+        F.sum("_ca").cast("double").alias("_na"),
+        F.sum("_cb").cast("double").alias("_nb"),
+    )
+    joined = local.join(F.broadcast(bases), "_pid").crossJoin(
+        F.broadcast(tot)
+    )
+    # ANSI mode: guard the divisions — an empty side must yield a
+    # NULL metric, not a divide-by-zero error
+    live = (F.col("_na") > 0) & (F.col("_nb") > 0)
+    fa = F.when(
+        live, (F.col("_ba") + F.col("_la")).cast("double") / F.col("_na")
+    )
+    fb = F.when(
+        live, (F.col("_bb") + F.col("_lb")).cast("double") / F.col("_nb")
+    )
+    gap = F.coalesce(F.col("_nv"), F.col("_nextv")) - F.col("v")
+    term = F.when(
+        live & gap.isNotNull(), F.abs(fa - fb) * gap
+    ).otherwise(F.lit(0.0))
+    folded = joined.agg(
+        F.max("_na").alias("_fna"),
+        F.max("_nb").alias("_fnb"),
+        F.coalesce(F.sum(term), F.lit(0.0)).alias("_w"),
+    )
+    ok = (F.col("_fna") > 0) & (F.col("_fnb") > 0)
+    return folded.select(
+        F.col("_fna").cast("long").alias("n_a"),
+        F.col("_fnb").cast("long").alias("n_b"),
+        F.when(ok, F.round(F.col("_w"), 6)).alias("wasserstein"),
+    )
+
+
+def js_divergence(
+    a: DataFrame,
+    b: DataFrame,
+    column: str,
+) -> DataFrame:
+    """Jensen–Shannon divergence between two CATEGORICAL
+    distributions: one row ``(n_a, n_b, n_categories, jsd, jsd_bits)``
+    — the symmetric, always-finite drift metric for label/source/
+    language mixes: PSI (``psi_categorical``) blows up on categories
+    absent from one side; JSD handles them exactly (the missing
+    side's term is 0, the present side contributes against the
+    mixture).  ``jsd = (KL(P‖M) + KL(Q‖M))/2`` in nats with
+    ``M = (P+Q)/2``; ``jsd_bits = jsd/ln 2`` is bounded by [0, 1].
+    NULL categories are excluded; an empty side yields NULL.
+
+    Plan: ONE union + category hash aggregate (map-side combined, ≤
+    |categories| rows), a 1-row total broadcast, a category-sized
+    fold — no joins over data.
+    """
+    ca = a.select(F.col(column).cast("string").alias("c")).filter(
+        F.col("c").isNotNull()
+    )
+    cb = b.select(F.col(column).cast("string").alias("c")).filter(
+        F.col("c").isNotNull()
+    )
+    tagged = ca.select(
+        "c", F.lit(1).alias("_ia"), F.lit(0).alias("_ib")
+    ).unionByName(
+        cb.select("c", F.lit(0).alias("_ia"), F.lit(1).alias("_ib"))
+    )
+    per_c = tagged.groupBy("c").agg(
+        F.sum("_ia").cast("double").alias("_pa"),
+        F.sum("_ib").cast("double").alias("_pb"),
+    )
+    tot = per_c.agg(
+        F.sum("_pa").alias("_na"), F.sum("_pb").alias("_nb")
+    )
+    j = per_c.crossJoin(F.broadcast(tot))
+    p = F.col("_pa") / F.col("_na")
+    q = F.col("_pb") / F.col("_nb")
+    m = (p + q) / F.lit(2.0)
+    kl_p = F.when(p > 0, p * F.log(p / m)).otherwise(F.lit(0.0))
+    kl_q = F.when(q > 0, q * F.log(q / m)).otherwise(F.lit(0.0))
+    folded = j.agg(
+        F.max("_na").alias("_fa"),
+        F.max("_nb").alias("_fb"),
+        F.count(F.lit(1)).cast("long").alias("n_categories"),
+        (F.sum(kl_p + kl_q) / F.lit(2.0)).alias("_jsd"),
+    )
+    ok = (F.col("_fa") > 0) & (F.col("_fb") > 0)
+    jsd = F.when(ok, F.greatest(F.lit(0.0), F.col("_jsd")))
+    return folded.select(
+        F.col("_fa").cast("long").alias("n_a"),
+        F.col("_fb").cast("long").alias("n_b"),
+        "n_categories",
+        F.round(jsd, 6).alias("jsd"),
+        F.round(jsd / F.lit(0.6931471805599453), 6).alias("jsd_bits"),
+    )
+
+
+def mahalanobis_outliers(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    threshold: float = 13.8155,
+) -> DataFrame:
+    """Bivariate Mahalanobis outlier distances: adds ``maha_d2`` and
+    ``is_outlier`` per row — the correlation-aware generalization of
+    per-column z-scores (``iqr_outliers``/``mad_outliers`` miss
+    points that are unremarkable per-axis but violate the JOINT
+    shape, e.g. high price at low quantity).  ``d² = (x−μ)ᵀ Σ⁻¹
+    (x−μ)`` with the 2×2 covariance inverted in CLOSED FORM as
+    column expressions — fully relational, no numpy, so the oracle
+    replays it verbatim.  The default threshold is χ²₂(0.999).
+    Degenerate covariance (|Σ| ≤ 0: constant or perfectly collinear
+    columns) yields NULL distances, loudly.  NULL in either column
+    excludes the row.
+
+    Plan: ONE 5-moment hash aggregate (map-side combined) broadcast
+    back as a 1-row frame; the distance is a pure projection —
+    two data passes total, no shuffle of data rows.
+    """
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    base = df.filter(x.isNotNull() & y.isNotNull())
+    mom = base.agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.avg(x).alias("_mx"),
+        F.avg(y).alias("_my"),
+        F.avg(x * x).alias("_mxx"),
+        F.avg(y * y).alias("_myy"),
+        F.avg(x * y).alias("_mxy"),
+    )
+    out = base.crossJoin(F.broadcast(mom))
+    vx = F.col("_mxx") - F.col("_mx") * F.col("_mx")
+    vy = F.col("_myy") - F.col("_my") * F.col("_my")
+    cxy = F.col("_mxy") - F.col("_mx") * F.col("_my")
+    det = vx * vy - cxy * cxy
+    dx = x - F.col("_mx")
+    dy = y - F.col("_my")
+    d2 = F.when(
+        (F.col("_n") >= 2) & (det > 0),
+        (vy * dx * dx - F.lit(2.0) * cxy * dx * dy + vx * dy * dy)
+        / det,
+    )
+    return out.select(
+        *[c for c in df.columns],
+        F.round(d2, 6).alias("maha_d2"),
+        F.when(d2.isNotNull(), d2 > F.lit(float(threshold))).alias(
+            "is_outlier"
+        ),
     )

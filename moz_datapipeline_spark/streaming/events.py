@@ -178,3 +178,79 @@ def stream_enrich(
     ``hourly_rollup`` contract).
     """
     return stream.join(F.broadcast(dim), key, how)
+
+
+def windowed_user_counts_stream(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window_len: str = "1 hour",
+    watermark: str = "2 hours",
+    key_col: str = "event_type",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """STREAMING stage of windowed top-k: per (window, key, user)
+    event counts under a watermark — append-mode safe, so each
+    window's counts emit exactly once when the watermark passes.
+
+    Ranking deliberately does NOT live in the stream: Structured
+    Streaming forbids window functions over streaming aggregates
+    (rank needs the closed window's full count set).  The standard
+    production shape is this stage → a sink → ``topk_from_counts``
+    over the closed windows (or ``forEachBatch``).
+    ``windowed_topk_batch`` is the equivalence twin the tests pin.
+    """
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.window(F.col(ts_col), window_len).alias("w"),
+            F.col(key_col).alias("key"),
+            F.col(user_col).alias("user"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "key",
+            "user",
+            "n_events",
+        )
+    )
+
+
+def topk_from_counts(counts: DataFrame, k: int = 3) -> DataFrame:
+    """Rank stage over CLOSED windows: top-k users per (window, key)
+    by count, ties broken by user ascending (deterministic, replayed
+    by the oracle).  The window is partitioned per (window, key) —
+    WindowGroupLimit prunes to k rows per partition map-side, so the
+    exchange carries ~k rows per group, not the counts."""
+    if k < 1:
+        raise ValueError("topk_from_counts: k must be >= 1")
+    w = Window.partitionBy("window_start", "key").orderBy(
+        F.col("n_events").desc(), F.col("user").asc()
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("window_start", "key", "user", "n_events", "rank")
+    )
+
+
+def windowed_topk_batch(
+    events: DataFrame,
+    k: int = 3,
+    ts_col: str = "ts",
+    window_ns: int = 3_600_000_000_000,
+    key_col: str = "event_type",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Batch twin of the streaming windowed top-k (long-ns ts — the
+    engine contract): tumbling-window counts + the SAME rank stage.
+    One hash aggregate + one per-(window, key) WindowGroupLimit."""
+    step = window_ns // 1_000_000_000
+    counts = events.groupBy(
+        (F.floor(F.col(ts_col) / F.lit(window_ns)) * F.lit(step))
+        .cast("long")
+        .alias("window_start"),
+        F.col(key_col).alias("key"),
+        F.col(user_col).alias("user"),
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    return topk_from_counts(counts, k=k)

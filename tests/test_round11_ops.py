@@ -2044,3 +2044,98 @@ def test_qte_shift_only_in_tail(spark):
 
     with pytest.raises(ValueError, match="probs"):
         quantile_treatment_effect(a, b, "v", probs=[1.5])
+
+
+def test_wasserstein_known_distance(spark):
+    """Point masses at 0 vs at d: W1 = d.  Uniform {0..9} vs shifted
+    {5..14}: W1 = 5."""
+    from moz_datapipeline_spark.operators.analytics import wasserstein_1d
+
+    a = spark.createDataFrame([(0.0,)] * 5, "v double")
+    b = spark.createDataFrame([(7.5,)] * 3, "v double")
+    r = wasserstein_1d(a, b, "v").collect()[0]
+    assert abs(r.wasserstein - 7.5) < 1e-9
+
+    a = spark.createDataFrame([(float(i),) for i in range(10)], "v double")
+    b = spark.createDataFrame([(float(i + 5),) for i in range(10)], "v double")
+    r = wasserstein_1d(a, b, "v").collect()[0]
+    assert abs(r.wasserstein - 5.0) < 1e-9
+
+    # identical samples: 0
+    r = wasserstein_1d(a, a, "v").collect()[0]
+    assert abs(r.wasserstein) < 1e-12
+
+    empty = spark.createDataFrame([], "v double")
+    r = wasserstein_1d(a, empty, "v").collect()[0]
+    assert r.wasserstein is None
+
+
+def test_js_divergence_bounds_and_disjoint(spark):
+    """Identical mixes -> 0; fully disjoint categories -> ln 2 nats
+    (1 bit) — the case that blows PSI up."""
+    from moz_datapipeline_spark.operators.analytics import js_divergence
+
+    a = spark.createDataFrame([("x",)] * 6 + [("y",)] * 4, "c string")
+    r = js_divergence(a, a, "c").collect()[0]
+    assert abs(r.jsd) < 1e-12
+
+    b = spark.createDataFrame([("z",)] * 10, "c string")
+    r = js_divergence(a, b, "c").collect()[0]
+    assert abs(r.jsd_bits - 1.0) < 1e-9
+    assert r.n_categories == 3
+
+
+def test_mahalanobis_joint_outlier(spark):
+    """A point unremarkable per-axis but violating the correlation
+    must score far higher than on-trend points."""
+    from moz_datapipeline_spark.operators.analytics import (
+        mahalanobis_outliers,
+    )
+
+    # strong y ~ 2x trend plus one anti-trend point at (9, 2)
+    rows = [(float(i), 2.0 * i + (0.1 if i % 2 else -0.1)) for i in range(20)]
+    rows.append((9.0, 2.0))
+    df = spark.createDataFrame(rows, "x double, y double")
+    out = mahalanobis_outliers(df, "x", "y", threshold=9.0).collect()
+    scored = {(r.x, r.y): r for r in out}
+    anti = scored[(9.0, 2.0)]
+    on_trend = scored[(11.0, 2.0 * 11 + 0.1)]
+    assert anti.maha_d2 > 10 * on_trend.maha_d2
+    assert anti.is_outlier is True and on_trend.is_outlier is False
+
+    const = spark.createDataFrame([(1.0, 1.0)] * 5, "x double, y double")
+    r = mahalanobis_outliers(const, "x", "y").collect()[0]
+    assert r.maha_d2 is None and r.is_outlier is None
+
+
+def test_random_walks_invariants(spark):
+    """Every hop must follow a real edge; walks are deterministic;
+    dead ends keep their prefix."""
+    from moz_datapipeline_spark.graph.walks import random_walks
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (2, 4)],  # 4 is a dead end
+        "src long, dst long",
+    )
+    out = random_walks(edges, walk_len=5, walks_per_node=2).collect()
+    edge_set = {(1, 2), (2, 3), (3, 1), (2, 4)}
+    by_walk: dict = {}
+    for r in out:
+        by_walk.setdefault(r.walk_id, {})[r.step] = r.node
+    # walks start from nodes WITH outgoing edges: {1,2,3}, not the
+    # pure sink 4
+    assert len(by_walk) == 3 * 2
+    for wid, steps in by_walk.items():
+        assert steps[0] == int(wid.split("#")[0])
+        path = [steps[t] for t in sorted(steps)]
+        for a, b in zip(path, path[1:]):
+            assert (a, b) in edge_set, (wid, path)
+        # a walk ends early ONLY at the dead end
+        if len(path) < 6:
+            assert path[-1] == 4
+
+    again = random_walks(edges, walk_len=5, walks_per_node=2).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+    with pytest.raises(ValueError, match="walk_len"):
+        random_walks(edges, walk_len=0)

@@ -494,3 +494,113 @@ def test_dedup_stream_watermarked_bounded_state(spark, tmp_path):
     got = {r.fingerprint: r.n for r in out}
     # fp 1: once from hour 0, once re-admitted after eviction
     assert got == {1: 2, 2: 1, 3: 1}
+
+
+def test_windowed_topk_stream_vs_batch_twin(spark, tmp_path):
+    """Drive the append-mode windowed counts with a real file stream
+    (two micro-batches), rank the closed windows, and pin equality
+    against windowed_topk_batch on the same rows."""
+    import json
+
+    from moz_datapipeline_spark.streaming.events import (
+        topk_from_counts,
+        windowed_topk_batch,
+        windowed_user_counts_stream,
+    )
+
+    src = tmp_path / "wt_in"
+    src.mkdir()
+    chk = str(tmp_path / "wt_chk")
+    out = str(tmp_path / "wt_out")
+
+    rows = []
+    # hour 0: user 1 x3, user 2 x2, users 3..5 x1 -> top3 = 1,2,3
+    for u, n in ((1, 3), (2, 2), (3, 1), (4, 1), (5, 1)):
+        for i in range(n):
+            rows.append({"ts": f"2026-01-01T00:0{u}:{i:02d}",
+                         "event_type": "view", "user_id": u})
+    # hour 1: tie between users 7 and 8 -> user asc breaks it
+    rows2 = []
+    for u in (7, 8, 9):
+        for i in range(2):
+            rows2.append({"ts": f"2026-01-01T01:1{u - 6}:{i:02d}",
+                          "event_type": "view", "user_id": u})
+
+    def write_batch(name, batch):
+        with open(src / name, "w") as fh:
+            for r in batch:
+                fh.write(json.dumps(r) + "\n")
+
+    write_batch("b1.json", rows)
+    schema = "ts timestamp, event_type string, user_id long"
+    stream = spark.readStream.schema(schema).json(str(src))
+    counts = windowed_user_counts_stream(stream, watermark="0 seconds")
+    q = (
+        counts.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", chk)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    write_batch("b2.json", rows2)
+    q = (
+        counts.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", chk)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # append-mode only emits a window once the watermark passes its
+    # end: push the watermark beyond hour 1 with a sentinel event in
+    # hour 3 (whose own window stays open and never emits)
+    write_batch("b3.json", [{"ts": "2026-01-01T03:00:00",
+                             "event_type": "view", "user_id": 999}])
+    q = (
+        counts.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", chk)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    closed = spark.read.parquet(out)
+    got = {
+        (r.window_start, r.key, r.rank): (r.user, r.n_events)
+        for r in topk_from_counts(closed, k=3).collect()
+    }
+
+    # batch twin over the same rows (long-ns ts)
+    both = rows + rows2
+    ns_rows = []
+    for r in both:
+        h, m, s = r["ts"][11:13], r["ts"][14:16], r["ts"][17:19]
+        epoch = (
+            (int(h) * 3600 + int(m) * 60 + int(s)) + 1_767_225_600
+        )  # 2026-01-01 UTC
+        ns_rows.append((epoch * 1_000_000_000, r["event_type"], r["user_id"]))
+    bdf = spark.createDataFrame(
+        ns_rows, "ts long, event_type string, user_id long"
+    )
+    want_raw = windowed_topk_batch(bdf, k=3).collect()
+    # the stream's window_start is a timestamp; compare on epoch secs
+    import datetime as dt
+
+    norm_got = {
+        (int(k[0].replace(tzinfo=dt.timezone.utc).timestamp()), k[1], k[2]): v
+        for k, v in got.items()
+    }
+    want = {
+        (r.window_start, r.key, r.rank): (r.user, r.n_events)
+        for r in want_raw
+    }
+    assert norm_got == want
+    # hour-1 tie: rank 1 must be user 7 (ascending tie-break), not 8
+    hour1 = 1_767_225_600 + 3600
+    assert want[(hour1, "view", 1)][0] == 7
+    assert want[(hour1, "view", 2)][0] == 8
