@@ -6942,6 +6942,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mahalanobis_outliers": q_mahalanobis_outliers,
         "windowed_topk": q_windowed_topk,
         "random_walks": q_random_walks,
+        "holm_correct": q_holm_correct,
+        "srm_check": q_srm_check,
+        "skipgram_pairs": q_skipgram_pairs,
     }
 
 
@@ -16987,6 +16990,111 @@ FROM eaul_calc
         SELECT walk_id, start, 3 AS step, node FROM hop3
     """
 
+    sql["holm_correct"] = """
+        WITH battery AS (
+          SELECT o_orderpriority,
+                 (min(o_orderkey) % 997) / 997.0 AS p_value
+          FROM orders GROUP BY 1
+        ), ranked AS (
+          SELECT o_orderpriority, p_value,
+                 CAST(row_number() OVER (
+                   ORDER BY p_value ASC, o_orderpriority ASC
+                 ) AS BIGINT) AS rank,
+                 CAST(count(*) OVER () AS DOUBLE) AS m
+          FROM battery
+        ), th AS (
+          SELECT o_orderpriority, p_value, rank,
+                 round(0.05 / (m - rank + 1.0), 9) AS holm_threshold
+          FROM ranked
+        ), fail AS (
+          SELECT *,
+                 min(CASE WHEN p_value > holm_threshold
+                     THEN rank END) OVER (
+                   ORDER BY rank ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS kfail
+          FROM th
+        )
+        SELECT o_orderpriority,
+               round(p_value, 6) AS p_value,
+               rank, holm_threshold,
+               (kfail IS NULL OR rank < kfail) AS reject
+        FROM fail
+    """
+
+    sql["srm_check"] = """
+        WITH obs AS (
+          SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'control'
+                 ELSE 'treatment' END AS arm,
+                 CAST(count(*) AS DOUBLE) AS o
+          FROM orders GROUP BY 1
+        ), exp AS (
+          SELECT unnest(['control', 'treatment']) AS arm,
+                 unnest([0.5, 0.5]) AS ratio
+        ), j AS (
+          SELECT e.arm, e.ratio, coalesce(obs.o, 0.0) AS o
+          FROM exp e LEFT JOIN obs ON e.arm = obs.arm
+        ), tot AS (
+          SELECT sum(o) AS n FROM j
+        ), folded AS (
+          SELECT CAST(count(*) AS BIGINT) AS k_arms,
+                 max(tot.n) AS n,
+                 sum(pow(o - ratio * tot.n, 2) / (ratio * tot.n))
+                   AS chi2
+          FROM j CROSS JOIN tot
+        ), z AS (
+          SELECT k_arms, n, chi2, k_arms - 1 AS dof,
+                 CASE WHEN k_arms > 1 AND n > 0 AND chi2 >= 0 THEN
+                   (pow(chi2 / (k_arms - 1), 1.0 / 3.0)
+                    - (1.0 - 2.0 / (9.0 * (k_arms - 1))))
+                   / sqrt(2.0 / (9.0 * (k_arms - 1))) END AS zz
+          FROM folded
+        ), pp AS (
+          SELECT *,
+                 (0.254829592 * (1.0 / (1.0 + 0.3275911 * abs(zz) / sqrt(2.0)))
+                  - 0.284496736 * pow(1.0 / (1.0 + 0.3275911 * abs(zz) / sqrt(2.0)), 2)
+                  + 1.421413741 * pow(1.0 / (1.0 + 0.3275911 * abs(zz) / sqrt(2.0)), 3)
+                  - 1.453152027 * pow(1.0 / (1.0 + 0.3275911 * abs(zz) / sqrt(2.0)), 4)
+                  + 1.061405429 * pow(1.0 / (1.0 + 0.3275911 * abs(zz) / sqrt(2.0)), 5))
+                 * exp(-abs(zz) / sqrt(2.0) * (abs(zz) / sqrt(2.0)))
+                   AS erfc
+          FROM z
+        )
+        SELECT k_arms, CAST(n AS BIGINT) AS n,
+               round(chi2, 6) AS chi2,
+               CAST(dof AS BIGINT) AS dof,
+               round(CASE WHEN zz IS NULL THEN NULL
+                     WHEN zz >= 0 THEN erfc / 2.0
+                     ELSE 1.0 - erfc / 2.0 END, 6) AS p_value,
+               CASE WHEN zz IS NOT NULL THEN
+                 (CASE WHEN zz >= 0 THEN erfc / 2.0
+                       ELSE 1.0 - erfc / 2.0 END) < 0.001 END
+                 AS srm_detected
+        FROM pp
+    """
+
+    sql["skipgram_pairs"] = """
+        WITH seq AS (
+          SELECT user_id,
+                 CAST(row_number() OVER (
+                   PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+                 ) AS BIGINT) AS pos,
+                 event_type
+          FROM events
+        ), pairs AS (
+          SELECT a.event_type AS center,
+                 b.event_type AS context,
+                 CAST(d.d AS INTEGER) AS distance
+          FROM seq a
+          CROSS JOIN (SELECT unnest([-2, -1, 1, 2]) AS d) d
+          JOIN seq b
+            ON a.user_id = b.user_id AND b.pos = a.pos + d.d
+        )
+        SELECT center, context, distance,
+               CAST(count(*) AS BIGINT) AS n_pairs
+        FROM pairs GROUP BY 1, 2, 3
+    """
+
     return sql
 
 
@@ -18154,3 +18262,63 @@ def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     return random_walks(edges, walk_len=3, walks_per_node=1)
+
+
+def q_holm_correct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holm step-down over a 5-test battery (deterministic integer-
+    ratio p-values per order priority)
+    (operators/validation.holm_correct): prefix-min rejection set
+    over the tiny ranked frame.  VALUE oracle: identical thresholds
+    + step-down windows."""
+    from moz_datapipeline_spark.operators.validation import holm_correct
+
+    o = _t(spark, sf_dir, "orders")
+    battery = o.groupBy("o_orderpriority").agg(
+        ((F.min("o_orderkey") % 997) / 997.0).alias("p_value")
+    )
+    out = holm_correct(battery, "p_value", alpha=0.05,
+                       id_cols=["o_orderpriority"])
+    return out.select(
+        "o_orderpriority",
+        F.round("p_value", 6).alias("p_value"),
+        "rank",
+        "holm_threshold",
+        "reject",
+    )
+
+
+def q_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guardrail over a deterministic 50/50
+    orderkey-parity assignment (operators/validation.srm_check): one
+    count aggregate vs the designed split, χ² GOF, p < 0.001 alarm.
+    VALUE oracle: identical fold."""
+    from moz_datapipeline_spark.operators.validation import srm_check
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.when(F.col("o_orderkey") % 2 == 0, "control")
+        .otherwise("treatment")
+        .alias("arm")
+    )
+    return srm_check(o, "arm", {"control": 0.5, "treatment": 0.5})
+
+
+def q_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram (center, context) pairs over per-user event-type
+    sequences, window 2 (operators/text.skipgram_pairs): explode ±d
+    + one equi join on (user, pos+d) — linear, never a range join.
+    Profiled per (center, context, distance) so the compare is
+    count-stable.  VALUE oracle: identical row_number sequencing +
+    offset join."""
+    from moz_datapipeline_spark.operators.text import skipgram_pairs
+
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        F.row_number().over(w).alias("pos"),
+        "event_type",
+    )
+    pairs = skipgram_pairs(seq, "user_id", "pos", "event_type", window=2)
+    return pairs.groupBy("center", "context", "distance").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )

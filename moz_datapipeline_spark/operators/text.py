@@ -1008,3 +1008,54 @@ def lexical_diversity(
             6,
         ).alias("hapax_frac"),
     )
+
+
+def skipgram_pairs(
+    df: DataFrame,
+    seq_col: str,
+    pos_col: str,
+    token_col: str,
+    window: int = 2,
+) -> DataFrame:
+    """Skip-gram (center, context) pair generation over ANY sequence
+    frame — event sessions, random-walk corpora (``graph/walks``),
+    token streams: rows ``(seq, center, context, distance)`` for
+    every ordered pair within ``window`` positions (distance signed,
+    center ≠ context position).  The standard word2vec/DeepWalk
+    training-pair builder; weight by ``1/abs(distance)`` downstream
+    for GloVe-style decay.
+
+    Plan: NOT a range join — the offset set is tiny and fixed, so
+    each pair is an ``explode(±1..±window)`` + one EQUI join on
+    (seq, pos+d): Catalyst plans a plain shuffled hash join keyed on
+    the sequence and exact position, and absent positions (sequence
+    edges) drop out via the join.  Cost: |rows|·2w join probes —
+    linear in the corpus, no quadratic blowup on long sequences.
+    """
+    if window < 1:
+        raise ValueError("skipgram_pairs: window must be >= 1")
+    left = df.select(
+        F.col(seq_col).alias("seq"),
+        F.col(pos_col).cast("long").alias("_pos"),
+        F.col(token_col).alias("center"),
+    ).filter(F.col("_pos").isNotNull() & F.col("center").isNotNull())
+    right = df.select(
+        F.col(seq_col).alias("seq"),
+        F.col(pos_col).cast("long").alias("_cpos"),
+        F.col(token_col).alias("context"),
+    ).filter(F.col("_cpos").isNotNull() & F.col("context").isNotNull())
+    offsets = [d for d in range(-int(window), int(window) + 1) if d]
+    expanded = left.withColumn(
+        "distance",
+        F.explode(F.array(*[F.lit(d) for d in offsets])),
+    )
+    return expanded.join(
+        right,
+        (expanded["seq"] == right["seq"])
+        & (right["_cpos"] == expanded["_pos"] + expanded["distance"]),
+    ).select(
+        expanded["seq"],
+        "center",
+        "context",
+        F.col("distance").cast("int").alias("distance"),
+    )

@@ -1741,3 +1741,166 @@ def g_test_independence(
         F.round(p, 6).alias("p_value"),
         F.when(p.isNotNull(), p < F.lit(0.05)).alias("significant"),
     )
+
+
+def holm_correct(
+    df: DataFrame,
+    p_col: str,
+    alpha: float = 0.05,
+    id_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Holm–Bonferroni step-down over a battery of p-values: the
+    FWER companion to ``fdr_correct`` (BH controls the false-
+    discovery RATE; Holm controls the chance of ANY false positive —
+    the right guardrail when a single wrong "drifted!" page is
+    expensive).  Adds ``(rank, holm_threshold, reject)``: reject
+    p_(1), p_(2), … while ``p_(i) ≤ alpha/(m−i+1)``, stop at the
+    first failure (every later test survives — step-down, so the
+    rejection set is a PREFIX of the rank order, unlike BH's
+    suffix-max rule).  Uniformly more powerful than plain Bonferroni,
+    never less safe.  NULL p-values get NULL rank and reject=False.
+
+    Same input contract and plan as ``fdr_correct``: a |tests|-row
+    frame, one ordered window (by-design tiny), deterministic tie
+    order via ``id_cols``.
+    """
+    if not (0.0 < alpha < 1.0):
+        raise ValueError("holm_correct: alpha must be in (0, 1)")
+    id_cols = list(id_cols or [])
+    p = F.col(p_col).cast("double")
+    scored = df.withColumn("_p", p)
+    ranked = scored.filter(F.col("_p").isNotNull())
+    order = [F.col("_p").asc()] + [F.col(c).asc() for c in id_cols]
+    w = Window.orderBy(*order)
+    m = ranked.count()
+    ranked = ranked.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).withColumn(
+        "holm_threshold",
+        F.round(
+            F.lit(float(alpha))
+            / (F.lit(float(m)) - F.col("rank") + F.lit(1.0)),
+            9,
+        ),
+    )
+    # step-down: the FIRST rank whose p exceeds its threshold kills
+    # everything from there on — a prefix-min over the tiny frame
+    w_prefix = Window.orderBy(F.col("rank").asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ranked = ranked.withColumn(
+        "_kfail",
+        F.min(
+            F.when(
+                F.col("_p") > F.col("holm_threshold"), F.col("rank")
+            )
+        ).over(w_prefix),
+    ).withColumn(
+        "reject",
+        F.col("_kfail").isNull() | (F.col("rank") < F.col("_kfail")),
+    )
+    nulls = scored.filter(F.col("_p").isNull()).select(
+        "*",
+        F.lit(None).cast("long").alias("rank"),
+        F.lit(None).cast("double").alias("holm_threshold"),
+        F.lit(False).alias("reject"),
+    )
+    return ranked.drop("_kfail").unionByName(nulls).drop("_p")
+
+
+def srm_check(
+    df: DataFrame,
+    arm_col: str,
+    expected: dict[str, float],
+) -> DataFrame:
+    """Sample-ratio-mismatch guardrail for experiments: one row
+    ``(k_arms, n, chi2, dof, p_value, srm_detected)`` — a χ²
+    goodness-of-fit of the observed assignment counts against the
+    DESIGNED split (e.g. 50/50).  SRM is the canonical "your
+    experiment infrastructure is broken, stop reading the metrics"
+    alarm: even a 0.1% assignment skew invalidates downstream
+    effects.  Detection threshold p < 0.001 (the accepted SRM
+    convention — far stricter than 0.05, because the test runs on
+    every experiment every day).  Arms observed in the data but
+    absent from ``expected`` raise loudly (a misconfigured split IS
+    the bug being hunted); expected arms with zero observations
+    still contribute their full E term.  p is upper-tail χ²(k−1) via
+    Wilson–Hilferty + A&S (the ``kruskal_wallis`` convention).
+
+    Plan: ONE count aggregate over the data (map-side combined, ≤ k
+    groups) joined to a k-row broadcast literal; 1-row fold after.
+    """
+    if not expected:
+        raise ValueError("srm_check: expected split is empty")
+    tot_w = float(sum(expected.values()))
+    if tot_w <= 0:
+        raise ValueError("srm_check: expected weights must sum > 0")
+    spark = df.sparkSession
+    exp_df = spark.createDataFrame(
+        [(str(k), float(v) / tot_w) for k, v in expected.items()],
+        "_arm string, _ratio double",
+    )
+    obs = (
+        df.select(F.col(arm_col).cast("string").alias("_arm"))
+        .filter(F.col("_arm").isNotNull())
+        .groupBy("_arm")
+        .agg(F.count(F.lit(1)).cast("double").alias("_o"))
+    )
+    unknown = (
+        obs.join(F.broadcast(exp_df), "_arm", "left_anti")
+        .limit(1)
+        .collect()
+    )
+    if unknown:
+        raise ValueError(
+            f"srm_check: arm {unknown[0]['_arm']!r} observed in the "
+            "data but missing from the expected split"
+        )
+    joined = exp_df.join(obs, "_arm", "left").select(
+        "_arm", "_ratio", F.coalesce(F.col("_o"), F.lit(0.0)).alias("_o")
+    )
+    tot = joined.agg(F.sum("_o").alias("_n")).collect()[0]["_n"]
+    folded = joined.agg(
+        F.count(F.lit(1)).cast("long").alias("k_arms"),
+        F.sum("_o").alias("_n"),
+        F.sum(
+            (F.col("_o") - F.col("_ratio") * F.lit(tot)) ** 2
+            / (F.col("_ratio") * F.lit(tot))
+        ).alias("_chi2"),
+    )
+    dof = (F.col("k_arms") - 1).cast("long")
+    ok = (dof > 0) & (F.col("_n") > 0)
+    chi2 = F.when(ok, F.col("_chi2"))
+    d_ = dof.cast("double")
+    z = F.when(
+        ok & (chi2 >= 0),
+        (
+            F.pow(chi2 / d_, F.lit(1.0) / F.lit(3.0))
+            - (F.lit(1.0) - F.lit(2.0) / (F.lit(9.0) * d_))
+        )
+        / F.sqrt(F.lit(2.0) / (F.lit(9.0) * d_)),
+    )
+    az = F.abs(z) / F.sqrt(F.lit(2.0))
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(0.3275911) * az)
+    poly = (
+        F.lit(0.254829592) * t
+        - F.lit(0.284496736) * (t**2)
+        + F.lit(1.421413741) * (t**3)
+        - F.lit(1.453152027) * (t**4)
+        + F.lit(1.061405429) * (t**5)
+    )
+    erfc = poly * F.exp(-az * az)
+    p = F.when(
+        z.isNotNull(),
+        F.when(z >= 0, erfc / F.lit(2.0)).otherwise(
+            F.lit(1.0) - erfc / F.lit(2.0)
+        ),
+    )
+    return folded.select(
+        "k_arms",
+        F.col("_n").cast("long").alias("n"),
+        F.round(chi2, 6).alias("chi2"),
+        dof.alias("dof"),
+        F.round(p, 6).alias("p_value"),
+        F.when(p.isNotNull(), p < F.lit(0.001)).alias("srm_detected"),
+    )

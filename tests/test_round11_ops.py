@@ -2139,3 +2139,72 @@ def test_random_walks_invariants(spark):
 
     with pytest.raises(ValueError, match="walk_len"):
         random_walks(edges, walk_len=0)
+
+
+def test_holm_step_down_prefix(spark):
+    """Textbook battery: p = .01, .013, .02, .04 at alpha=.05, m=4:
+    thresholds .0125, .0167, .025, .05 -> p2=.013 FAILS its .0167?
+    No: .013 <= .0167 passes; .02 <= .025 passes; .04 <= .05 passes
+    -> all rejected.  Add p=.03 vs threshold .0167: fails at rank 2,
+    killing ranks >= 2 even though p=.02 < .025."""
+    from moz_datapipeline_spark.operators.validation import holm_correct
+
+    df = spark.createDataFrame(
+        [("a", 0.01), ("b", 0.03), ("c", 0.02), ("d", 0.04)],
+        "test string, p double",
+    )
+    out = {r.test: r for r in
+           holm_correct(df, "p", alpha=0.05, id_cols=["test"]).collect()}
+    # order: a(.01) c(.02) b(.03) d(.04); thresholds .0125 .0167 .025 .05
+    assert out["a"].reject is True
+    # c fails at rank 2 (.02 > .0167) -> c, b, d all survive
+    assert out["c"].reject is False
+    assert out["b"].reject is False
+    assert out["d"].reject is False
+
+    withnull = df.union(spark.createDataFrame([("e", None)],
+                                              "test string, p double"))
+    out = {r.test: r for r in
+           holm_correct(withnull, "p", id_cols=["test"]).collect()}
+    assert out["e"].rank is None and out["e"].reject is False
+
+
+def test_srm_detects_skew(spark):
+    from moz_datapipeline_spark.operators.validation import srm_check
+
+    balanced = spark.createDataFrame(
+        [("a",)] * 5000 + [("b",)] * 5000, "arm string"
+    )
+    r = srm_check(balanced, "arm", {"a": 0.5, "b": 0.5}).collect()[0]
+    assert r.srm_detected is False and abs(r.chi2) < 1e-9
+
+    skewed = spark.createDataFrame(
+        [("a",)] * 5300 + [("b",)] * 4700, "arm string"
+    )
+    r = srm_check(skewed, "arm", {"a": 0.5, "b": 0.5}).collect()[0]
+    assert r.chi2 > 30 and r.srm_detected is True
+
+    with pytest.raises(ValueError, match="missing from the expected"):
+        srm_check(
+            spark.createDataFrame([("c",)], "arm string"),
+            "arm",
+            {"a": 0.5, "b": 0.5},
+        )
+
+
+def test_skipgram_pairs_hand_computed(spark):
+    from moz_datapipeline_spark.operators.text import skipgram_pairs
+
+    rows = [(1, 1, "a"), (1, 2, "b"), (1, 3, "c"), (2, 1, "x")]
+    df = spark.createDataFrame(rows, "seq long, pos long, tok string")
+    out = {(r.seq, r.center, r.context, r.distance)
+           for r in skipgram_pairs(df, "seq", "pos", "tok", window=1).collect()}
+    assert out == {
+        (1, "a", "b", 1), (1, "b", "a", -1),
+        (1, "b", "c", 1), (1, "c", "b", -1),
+    }
+    # window 2 adds the (a, c) pair both ways; singleton seq 2 stays out
+    out2 = skipgram_pairs(df, "seq", "pos", "tok", window=2).collect()
+    assert len(out2) == 6
+    with pytest.raises(ValueError, match="window"):
+        skipgram_pairs(df, "seq", "pos", "tok", window=0)
