@@ -4231,42 +4231,69 @@ def ridge_fit(
     )
 
 
-def _complete_case_guards(cells: DataFrame, op: str) -> tuple[int, int]:
-    """Guard pass over the PINNED cell frame for the blocked-design
-    tests (friedman/page/cochran): one action for the duplicate-cell
-    check (loud ValueError) and the global treatment count k, one
-    cached-scan count for the incomplete blocks.  k is the count of
-    DISTINCT treatments anywhere in the input — a block missing any
-    of them is incomplete (the oracle contract)."""
+def _blocked_design_frames(
+    cells: DataFrame,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared lazy plumbing for the blocked-design tests
+    (friedman/page/cochran) — NO driver actions here, so the whole
+    test runs as ONE job:
+
+    - ``guards``: a 1-row frame ``(_k_tot, _max_cell, _n_dropped)``
+      — global distinct-treatment count (the completeness contract),
+      the duplicate-cell detector, and the incomplete-block count;
+    - ``complete``: the cells of blocks holding exactly ``_k_tot``
+      cells (complete-case), via a broadcast of the guards row.
+    """
     g = cells.groupBy("_blk", "_trt").agg(
         F.count(F.lit(1)).alias("_c")
     )
-    row = g.agg(
-        F.coalesce(F.max("_c"), F.lit(0)).alias("mx"),
-        F.countDistinct("_trt").alias("k"),
-    ).collect()[0]
-    if row["mx"] > 1:
+    sizes = g.groupBy("_blk").agg(F.count(F.lit(1)).alias("_k"))
+    kf = g.agg(
+        F.countDistinct("_trt").cast("long").alias("_k_tot"),
+        F.coalesce(F.max("_c"), F.lit(0)).cast("long").alias(
+            "_max_cell"
+        ),
+    )
+    guards = (
+        sizes.crossJoin(F.broadcast(kf))
+        .agg(
+            F.max("_k_tot").alias("_k_tot"),
+            F.max("_max_cell").alias("_max_cell"),
+            F.coalesce(
+                F.sum(
+                    (F.col("_k") != F.col("_k_tot")).cast("long")
+                ),
+                F.lit(0),
+            ).alias("_n_dropped"),
+        )
+    )
+    complete = cells.join(
+        sizes.crossJoin(F.broadcast(kf))
+        .filter(F.col("_k") == F.col("_k_tot"))
+        .select("_blk"),
+        "_blk",
+    )
+    return guards, complete
+
+
+def _eager_one_row(
+    cells: DataFrame, final: DataFrame, op: str
+) -> DataFrame:
+    """Materialize the 1-row result (ONE job), enforce the
+    duplicate-cell guard post-hoc, release the pinned cell frame, and
+    hand back a driver-side literal (the ``ks_test`` convention) with
+    the internal guard columns stripped — nothing stays cached after
+    the operator returns."""
+    rows = final.collect()
+    cells.unpersist()
+    if rows and rows[0]["_max_cell"] is not None and rows[0]["_max_cell"] > 1:
         raise ValueError(
             f"{op}: multiple observations per (block, treatment) "
             "cell — pre-aggregate first"
         )
-    k_tot = int(row["k"])
-    n_dropped = (
-        g.groupBy("_blk")
-        .agg(F.count(F.lit(1)).alias("_k"))
-        .filter(F.col("_k") != F.lit(k_tot))
-        .count()
-    )
-    return k_tot, n_dropped
-
-
-def _eager_one_row(cells: DataFrame, final: DataFrame) -> DataFrame:
-    """Materialize a 1-row result eagerly, release the pinned cell
-    frame, and hand back a driver-side literal (the ``ks_test``
-    convention) — nothing stays cached after the operator returns."""
-    rows = final.collect()
-    cells.unpersist()
-    return final.sparkSession.createDataFrame(rows, final.schema)
+    keep = [f.name for f in final.schema.fields if f.name != "_max_cell"]
+    out = final.sparkSession.createDataFrame(rows, final.schema)
+    return out.select(*keep)
 
 
 def friedman_test(
@@ -4306,12 +4333,7 @@ def friedman_test(
     # main fold scan the input ONCE, and fold both guards into a
     # single action
     cells = cells.persist()
-    k_tot, n_dropped = _complete_case_guards(cells, "friedman_test")
-    sizes = cells.groupBy("_blk").agg(F.count(F.lit(1)).alias("_k"))
-    complete = cells.join(
-        sizes.filter(F.col("_k") == F.lit(k_tot)).select("_blk"),
-        "_blk",
-    )
+    guards, complete = _blocked_design_frames(cells)
     bw = Window.partitionBy("_blk")
     rnk = F.rank().over(bw.orderBy("_v"))
     ties = F.count(F.lit(1)).over(
@@ -4330,12 +4352,16 @@ def friedman_test(
         F.count(F.lit(1)).cast("double").alias("_nb"),
     )
     sq = ranked.agg(F.sum(F.col("_r") * F.col("_r")).alias("_rr"))
-    folded = per_t.agg(
-        F.count(F.lit(1)).cast("long").alias("k_treatments"),
-        F.max("_nb").alias("_n"),
-        F.sum(F.col("_rsum") * F.col("_rsum")).alias("_ss"),
-        F.sum("_rsum").alias("_rt"),
-    ).crossJoin(F.broadcast(sq))
+    folded = (
+        per_t.agg(
+            F.count(F.lit(1)).cast("long").alias("k_treatments"),
+            F.max("_nb").alias("_n"),
+            F.sum(F.col("_rsum") * F.col("_rsum")).alias("_ss"),
+            F.sum("_rsum").alias("_rt"),
+        )
+        .crossJoin(F.broadcast(sq))
+        .crossJoin(F.broadcast(guards))
+    )
     k = F.col("k_treatments").cast("double")
     n = F.col("_n")
     # Σ_j (R_j − n(k+1)/2)² = Σ R_j² − 2·(n(k+1)/2)·Σ R_j + k·(n(k+1)/2)²
@@ -4385,14 +4411,18 @@ def friedman_test(
         folded.select(
             "k_treatments",
             F.coalesce(n, F.lit(0.0)).cast("long").alias("n_blocks"),
-            F.lit(n_dropped).cast("long").alias("n_blocks_dropped"),
+            F.col("_n_dropped").cast("long").alias(
+                "n_blocks_dropped"
+            ),
             F.round(chi2, 6).alias("chi2"),
             dof.alias("dof"),
             F.round(p, 6).alias("p_value"),
             F.when(p.isNotNull(), p < F.lit(0.05)).alias(
                 "significant"
             ),
+            "_max_cell",
         ),
+        "friedman_test",
     )
 
 
@@ -4557,12 +4587,7 @@ def cochran_q(
         & F.col("_o").isNotNull()
     )
     cells = cells.persist()
-    k_tot, n_dropped = _complete_case_guards(cells, "cochran_q")
-    sizes = cells.groupBy("_blk").agg(F.count(F.lit(1)).alias("_k"))
-    complete = cells.join(
-        sizes.filter(F.col("_k") == F.lit(k_tot)).select("_blk"),
-        "_blk",
-    )
+    guards, complete = _blocked_design_frames(cells)
     per_b = complete.groupBy("_blk").agg(
         F.sum("_o").cast("double").alias("_r")
     )
@@ -4582,7 +4607,9 @@ def cochran_q(
             F.sum(F.col("_c") * F.col("_c")), F.lit(0.0)
         ).alias("_cc"),
     )
-    folded = fb.crossJoin(F.broadcast(ft))
+    folded = fb.crossJoin(F.broadcast(ft)).crossJoin(
+        F.broadcast(guards)
+    )
     k = F.col("k_treatments").cast("double")
     tt = F.col("_t")
     den = k * tt - F.col("_rr")
@@ -4624,14 +4651,18 @@ def cochran_q(
         folded.select(
             "k_treatments",
             "n_blocks",
-            F.lit(n_dropped).cast("long").alias("n_blocks_dropped"),
+            F.col("_n_dropped").cast("long").alias(
+                "n_blocks_dropped"
+            ),
             F.round(q, 6).alias("q_stat"),
             dof.alias("dof"),
             F.round(p, 6).alias("p_value"),
             F.when(p.isNotNull(), p < F.lit(0.05)).alias(
                 "significant"
             ),
+            "_max_cell",
         ),
+        "cochran_q",
     )
 
 
@@ -4718,12 +4749,7 @@ def page_trend(
         & F.col("_v").isNotNull()
     )
     cells = cells.persist()
-    k_tot, n_dropped = _complete_case_guards(cells, "page_trend")
-    sizes = cells.groupBy("_blk").agg(F.count(F.lit(1)).alias("_k"))
-    complete = cells.join(
-        sizes.filter(F.col("_k") == F.lit(k_tot)).select("_blk"),
-        "_blk",
-    )
+    guards, complete = _blocked_design_frames(cells)
     bw = Window.partitionBy("_blk")
     rnk = F.rank().over(bw.orderBy("_v"))
     ties = F.count(F.lit(1)).over(Window.partitionBy("_blk", "_v"))
@@ -4748,7 +4774,7 @@ def page_trend(
         F.count(F.lit(1)).cast("long").alias("k_treatments"),
         F.max("_nb").alias("_n"),
         F.sum(F.col("_j") * F.col("_rsum")).alias("_l"),
-    )
+    ).crossJoin(F.broadcast(guards))
     k = F.col("k_treatments").cast("double")
     n = F.col("_n")
     mu = n * k * (k + F.lit(1.0)) * (k + F.lit(1.0)) / F.lit(4.0)
@@ -4784,14 +4810,18 @@ def page_trend(
         folded.select(
             "k_treatments",
             F.coalesce(n, F.lit(0.0)).cast("long").alias("n_blocks"),
-            F.lit(n_dropped).cast("long").alias("n_blocks_dropped"),
+            F.col("_n_dropped").cast("long").alias(
+                "n_blocks_dropped"
+            ),
             F.round(F.col("_l"), 6).alias("l_stat"),
             F.round(z, 6).alias("z"),
             F.round(p, 6).alias("p_value"),
             F.when(p.isNotNull(), p < F.lit(0.05)).alias(
                 "significant"
             ),
+            "_max_cell",
         ),
+        "page_trend",
     )
 
 
