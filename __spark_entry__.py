@@ -6945,6 +6945,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "holm_correct": q_holm_correct,
         "srm_check": q_srm_check,
         "skipgram_pairs": q_skipgram_pairs,
+        "adstock_transform": q_adstock_transform,
+        "price_index": q_price_index,
+        "compaction_plan": q_compaction_plan,
     }
 
 
@@ -17095,6 +17098,87 @@ FROM eaul_calc
         FROM pairs GROUP BY 1, 2, 3
     """
 
+    sql["adstock_transform"] = """
+        WITH rollup AS (
+          SELECT event_type AS grp,
+                 (epoch_ns(ts) // 86400000000000) * 86400 AS b,
+                 sum(CAST(value AS DOUBLE)) AS raw
+          FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+        ), contrib AS (
+          SELECT grp,
+                 b + j.j * 86400 AS bucket_epoch,
+                 pow(0.6, j.j) * raw AS c,
+                 CASE WHEN j.j = 0 THEN raw ELSE 0.0 END AS r
+          FROM rollup
+          CROSS JOIN (SELECT unnest(generate_series(0, 8)) AS j) j
+        )
+        SELECT grp, bucket_epoch,
+               floor(sum(r) * 1e6 + 0.5) / 1e6 AS raw,
+               floor(sum(c) * 1e6 + 0.5) / 1e6 AS adstock
+        FROM contrib GROUP BY 1, 2
+    """
+
+    sql["price_index"] = """
+        WITH b AS (
+          SELECT l_partkey AS item,
+                 sum(l_extendedprice) / sum(l_quantity) AS p,
+                 CAST(sum(l_quantity) AS DOUBLE) AS q
+          FROM lineitem WHERE year(l_shipdate) = 1995
+          GROUP BY 1
+        ), c AS (
+          SELECT l_partkey AS item,
+                 sum(l_extendedprice) / sum(l_quantity) AS p,
+                 CAST(sum(l_quantity) AS DOUBLE) AS q
+          FROM lineitem WHERE year(l_shipdate) = 1997
+          GROUP BY 1
+        ), m AS (
+          SELECT b.p AS pb, b.q AS qb, c.p AS pc, c.q AS qc
+          FROM b JOIN c USING (item)
+        ), f AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_items,
+                 sum(pc * qb) AS cb, sum(pb * qb) AS bb,
+                 sum(pc * qc) AS cc, sum(pb * qc) AS bc
+          FROM m
+        )
+        SELECT n_items,
+               round(CASE WHEN bb > 0 THEN cb / bb END, 6)
+                 AS laspeyres,
+               round(CASE WHEN bc > 0 THEN cc / bc END, 6)
+                 AS paasche,
+               round(CASE WHEN bb > 0 AND bc > 0
+                      AND (cb / bb) * (cc / bc) >= 0
+                 THEN sqrt((cb / bb) * (cc / bc)) END, 6) AS fisher
+        FROM f
+    """
+
+    sql["compaction_plan"] = """
+        WITH listing AS (
+          SELECT 'part-' || CAST(o_orderkey AS VARCHAR) AS path,
+                 CAST(o_orderkey % 9973 * 1024 AS BIGINT) AS bytes
+          FROM orders
+        ), cum AS (
+          SELECT path, bytes,
+                 sum(bytes) OVER (
+                   ORDER BY bytes DESC, path ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) - bytes AS before
+          FROM listing
+        ), binned AS (
+          SELECT path, bytes,
+                 CAST(before // 67108864 AS BIGINT) AS bin
+          FROM cum
+        ), per_bin AS (
+          SELECT bin, CAST(sum(bytes) AS BIGINT) AS bin_bytes,
+                 CAST(count(*) AS BIGINT) AS n_files_in_bin
+          FROM binned GROUP BY 1
+        )
+        SELECT b.bin, p.bin_bytes, p.n_files_in_bin,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(b.bytes) AS BIGINT) AS sum_bytes
+        FROM binned b JOIN per_bin p USING (bin)
+        GROUP BY 1, 2, 3
+    """
+
     return sql
 
 
@@ -18321,4 +18405,72 @@ def q_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = skipgram_pairs(seq, "user_id", "pos", "event_type", window=2)
     return pairs.groupBy("center", "context", "distance").agg(
         F.count(F.lit(1)).alias("n_pairs")
+    )
+
+
+def q_adstock_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometric adstock over daily purchase values per event type
+    (operators/temporal.adstock_transform): explode(0..L) + self
+    equi join on the regular grid — gaps decay through, no windows.
+    VALUE oracle: identical contribution join in DuckDB."""
+    from moz_datapipeline_spark.operators.temporal import (
+        adstock_transform,
+    )
+
+    e = _events(spark, sf_dir)
+    # decay 0.6, NOT 0.5: a dyadic decay over 2-decimal spends makes
+    # every 6th-decimal readout an EXACT half-tie, where 1-ulp
+    # engine noise flips the snap — non-dyadic decays leave tie hits
+    # measure-zero (the repo-wide float-readout convention)
+    return adstock_transform(
+        e, bucket="day", decay=0.6, max_lag=8
+    )
+
+
+def q_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laspeyres/Paasche/Fisher price indices, 1995 vs 1997 shipped
+    lineitems per part (operators/analytics.price_index):
+    matched-model join of per-period (item, avg price, total qty)
+    cells, one 1-row fold.  VALUE oracle: identical folds."""
+    from moz_datapipeline_spark.operators.analytics import price_index
+
+    li = _t(spark, sf_dir, "lineitem")
+
+    def period(year: int):
+        return (
+            li.filter(F.year("l_shipdate") == year)
+            .groupBy("l_partkey")
+            .agg(
+                (F.sum("l_extendedprice") / F.sum("l_quantity")).alias(
+                    "price"
+                ),
+                F.sum("l_quantity").alias("qty"),
+            )
+        )
+
+    return price_index(
+        period(1995), period(1997), "l_partkey", "price", "qty"
+    )
+
+
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction plan over a deterministic synthetic
+    listing derived from orders (operators/relational
+    .compaction_plan): cumulative-quotient packing via the two-phase
+    prefix scan.  Profiled per bin so the compare is count-stable.
+    VALUE oracle: identical global cumsum + integer bin cut."""
+    from moz_datapipeline_spark.operators.relational import (
+        compaction_plan,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    listing = o.select(
+        F.concat(F.lit("part-"), F.col("o_orderkey").cast("string"))
+        .alias("path"),
+        (F.col("o_orderkey") % 9973 * 1024).cast("long").alias("bytes"),
+    )
+    plan = compaction_plan(listing, target_bytes=64 * 1024 * 1024)
+    return plan.groupBy("bin", "bin_bytes", "n_files_in_bin").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("bytes").alias("sum_bytes"),
     )

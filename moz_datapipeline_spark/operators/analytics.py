@@ -5168,3 +5168,78 @@ def mahalanobis_outliers(
             "is_outlier"
         ),
     )
+
+
+def price_index(
+    base: DataFrame,
+    current: DataFrame,
+    item_col: str,
+    price_col: str,
+    qty_col: str,
+) -> DataFrame:
+    """Bilateral price indices between a base and a current period:
+    one row ``(n_items, laspeyres, paasche, fisher)`` — the classic
+    "how much did prices move, holding the basket fixed?" readouts:
+    Laspeyres weights by BASE-period quantities (overstates inflation
+    under substitution), Paasche by CURRENT quantities (understates),
+    Fisher is their geometric mean (the superlative index).  Only
+    items present in BOTH periods enter (matched-model — the standard
+    treatment of entry/exit; the count is reported).  Per-period
+    (item, price, qty) cells come from the caller (pre-aggregate
+    multi-row periods first — duplicates raise loudly via the same
+    one-pass guard scheme as the blocked tests).  An empty match set
+    or zero denominators yield NULL indices.
+
+    Plan: one hash aggregate per side → ONE equi join on item
+    (matched-model) → a 1-row fold of the four Σp·q sums.
+    """
+    def _side(df: DataFrame, tag: str) -> DataFrame:
+        return df.select(
+            F.col(item_col).cast("string").alias("_item"),
+            F.col(price_col).cast("double").alias(f"_p_{tag}"),
+            F.col(qty_col).cast("double").alias(f"_q_{tag}"),
+        ).filter(
+            F.col("_item").isNotNull()
+            & F.col(f"_p_{tag}").isNotNull()
+            & F.col(f"_q_{tag}").isNotNull()
+        )
+
+    b = _side(base, "b")
+    c = _side(current, "c")
+    dup = (
+        b.groupBy("_item")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > 1)
+        .unionByName(
+            c.groupBy("_item")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > 1)
+        )
+        .limit(1)
+        .count()
+    )
+    if dup:
+        raise ValueError(
+            "price_index: multiple rows per item in a period — "
+            "pre-aggregate first"
+        )
+    matched = b.join(c, "_item")
+    folded = matched.agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum(F.col("_p_c") * F.col("_q_b")).alias("_cb"),
+        F.sum(F.col("_p_b") * F.col("_q_b")).alias("_bb"),
+        F.sum(F.col("_p_c") * F.col("_q_c")).alias("_cc"),
+        F.sum(F.col("_p_b") * F.col("_q_c")).alias("_bc"),
+    )
+    lasp = F.when(F.col("_bb") > 0, F.col("_cb") / F.col("_bb"))
+    paas = F.when(F.col("_bc") > 0, F.col("_cc") / F.col("_bc"))
+    fish = F.when(
+        lasp.isNotNull() & paas.isNotNull() & (lasp * paas >= 0),
+        F.sqrt(lasp * paas),
+    )
+    return folded.select(
+        "n_items",
+        F.round(lasp, 6).alias("laspeyres"),
+        F.round(paas, 6).alias("paasche"),
+        F.round(fish, 6).alias("fisher"),
+    )

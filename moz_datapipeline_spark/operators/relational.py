@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -78,3 +78,83 @@ def relational_division(
         F.col("_need") == 0
     ).select(*keys)
     return matched.unionByName(vacuous)
+
+
+def compaction_plan(
+    files: DataFrame,
+    path_col: str = "path",
+    bytes_col: str = "bytes",
+    target_bytes: int = 128 * 1024 * 1024,
+) -> DataFrame:
+    """Small-file compaction planner for lake maintenance: assign
+    every input file to an output bin of ~``target_bytes`` — rows
+    ``(path, bytes, bin, bin_bytes, n_files_in_bin)``.  The
+    100 TB-lake hygiene op: a table written by 10k streaming
+    micro-batches reads 100× slower than the same bytes in
+    right-sized files; this emits the rewrite plan (group by ``bin``,
+    coalesce, write).
+
+    Packing is CUMULATIVE-QUOTIENT: files in deterministic
+    (bytes DESC, path) order, ``bin = floor(running_bytes_before /
+    target)`` — a one-window approximation of first-fit-decreasing
+    whose bins overshoot by at most one file (exactly one file can
+    straddle each boundary; oversized files get a bin of their own).
+    Deterministic, engine-replayable, and — unlike true FFD — free of
+    sequential state, so it stays a single range-partitioned scan.
+    Files with NULL/negative size are rejected loudly.
+
+    Plan: the listing is metadata-sized (one row per FILE, not per
+    data row), so the global order is one range exchange +
+    partition-local cumsums with broadcast bases (the two-phase
+    scheme) — never a single-task window over a billion-file listing.
+    """
+    if target_bytes < 1:
+        raise ValueError("compaction_plan: target_bytes must be >= 1")
+    base = files.select(
+        F.col(path_col).cast("string").alias("path"),
+        F.col(bytes_col).cast("long").alias("bytes"),
+    )
+    bad = base.filter(
+        F.col("bytes").isNull() | (F.col("bytes") < 0)
+        | F.col("path").isNull()
+    ).limit(1).count()
+    if bad:
+        raise ValueError(
+            "compaction_plan: NULL path or NULL/negative size in the "
+            "listing"
+        )
+    ranged = base.repartitionByRange(
+        F.col("bytes").desc(), F.col("path").asc()
+    ).withColumn("_pid", F.spark_partition_id())
+    lw = (
+        Window.partitionBy("_pid")
+        .orderBy(F.col("bytes").desc(), F.col("path").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = ranged.withColumn("_lt", F.sum("bytes").over(lw))
+    pw = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    bases = (
+        local.groupBy("_pid")
+        .agg(F.sum("bytes").alias("_tt"))
+        .withColumn("_bt", F.coalesce(F.sum("_tt").over(pw), F.lit(0)))
+        .select("_pid", "_bt")
+    )
+    before = F.col("_bt") + F.col("_lt") - F.col("bytes")
+    binned = local.join(F.broadcast(bases), "_pid").select(
+        "path",
+        "bytes",
+        F.floor(before / F.lit(int(target_bytes)))
+        .cast("long")
+        .alias("bin"),
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.sum("bytes").alias("bin_bytes"),
+        F.count(F.lit(1)).cast("long").alias("n_files_in_bin"),
+    )
+    # no broadcast hint: |bins| grows with the listing (total/target)
+    # — both sides are listing-sized, so let AQE pick the strategy
+    return binned.join(per_bin, "bin").select(
+        "path", "bytes", "bin", "bin_bytes", "n_files_in_bin"
+    )

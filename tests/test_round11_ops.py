@@ -2208,3 +2208,86 @@ def test_skipgram_pairs_hand_computed(spark):
     assert len(out2) == 6
     with pytest.raises(ValueError, match="window"):
         skipgram_pairs(df, "seq", "pos", "tok", window=0)
+
+
+def test_adstock_hand_computed_with_gap(spark):
+    """Spend 100 on day 0 only: adstock decays 100, 50, 25 ... and a
+    GAP day still carries (grid semantics, not row-lag)."""
+    from moz_datapipeline_spark.operators.temporal import (
+        adstock_transform,
+    )
+
+    ns = 86_400_000_000_000
+    rows = [("m", 0, 100.0), ("m", 3 * ns, 40.0)]
+    df = spark.createDataFrame(rows, "event_type string, ts long, value double")
+    out = {r.bucket_epoch: r for r in
+           adstock_transform(df, decay=0.5, max_lag=4).collect()}
+    day = 86400
+    assert out[0].adstock == 100.0 and out[0].raw == 100.0
+    assert out[day].adstock == 50.0 and out[day].raw == 0.0
+    assert out[2 * day].adstock == 25.0
+    # day 3: carry 12.5 + new 40
+    assert out[3 * day].adstock == 52.5 and out[3 * day].raw == 40.0
+    # truncation: day 5 = 100*0.5^5 excluded (max_lag 4) + 40*0.25
+    assert out[5 * day].adstock == 10.0
+
+    with pytest.raises(ValueError, match="decay"):
+        adstock_transform(df, decay=1.0)
+
+
+def test_price_index_textbook(spark):
+    """Two items with hand-computed L/P/F; unmatched item excluded."""
+    from moz_datapipeline_spark.operators.analytics import price_index
+
+    base = spark.createDataFrame(
+        [("a", 1.0, 10.0), ("b", 2.0, 5.0), ("gone", 9.0, 1.0)],
+        "item string, price double, qty double",
+    )
+    cur = spark.createDataFrame(
+        [("a", 2.0, 8.0), ("b", 3.0, 6.0), ("new", 1.0, 1.0)],
+        "item string, price double, qty double",
+    )
+    r = price_index(base, cur, "item", "price", "qty").collect()[0]
+    assert r.n_items == 2
+    # L = (2*10 + 3*5)/(1*10 + 2*5) = 35/20 = 1.75
+    assert abs(r.laspeyres - 1.75) < 1e-9
+    # P = (2*8 + 3*6)/(1*8 + 2*6) = 34/20 = 1.7
+    assert abs(r.paasche - 1.7) < 1e-9
+    import math
+    assert abs(r.fisher - math.sqrt(1.75 * 1.7)) < 1e-6
+
+    with pytest.raises(ValueError, match="pre-aggregate"):
+        price_index(
+            base.union(spark.createDataFrame([("a", 1.5, 2.0)],
+                       "item string, price double, qty double")),
+            cur, "item", "price", "qty",
+        )
+
+
+def test_compaction_plan_invariants(spark):
+    """Bins fill to >= target before a new bin opens (sorted order);
+    oversized files isolate; every file appears exactly once."""
+    from moz_datapipeline_spark.operators.relational import (
+        compaction_plan,
+    )
+
+    files = [(f"f{i}", 40) for i in range(10)] + [("big", 500)]
+    df = spark.createDataFrame(files, "path string, bytes long")
+    out = compaction_plan(df, target_bytes=100).collect()
+    assert len(out) == 11
+    assert {r.path for r in out} == {f"f{i}" for i in range(10)} | {"big"}
+    # big sorts first: occupies bins [0..4] worth of budget alone
+    big = [r for r in out if r.path == "big"][0]
+    assert big.bin == 0 and big.n_files_in_bin == 1
+    # the 40-byte files pack ~2-3 per bin after the big offset
+    per_bin = {}
+    for r in out:
+        if r.path != "big":
+            per_bin.setdefault(r.bin, []).append(r)
+    for b, rows in per_bin.items():
+        assert sum(r.bytes for r in rows) <= 100 + 40  # one-file overshoot
+
+    with pytest.raises(ValueError, match="NULL"):
+        compaction_plan(
+            spark.createDataFrame([("x", None)], "path string, bytes long")
+        )
