@@ -6948,6 +6948,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adstock_transform": q_adstock_transform,
         "price_index": q_price_index,
         "compaction_plan": q_compaction_plan,
+        "frequent_itemsets": q_frequent_itemsets,
+        "seasonal_mad_anomalies": q_seasonal_mad_anomalies,
+        "calendar_features": q_calendar_features,
     }
 
 
@@ -17179,6 +17182,102 @@ FROM eaul_calc
         GROUP BY 1, 2, 3
     """
 
+    sql["frequent_itemsets"] = """
+        WITH base AS (
+          SELECT DISTINCT l_orderkey AS b, p_brand AS i
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+        ), l1 AS (
+          SELECT i, CAST(count(*) AS BIGINT) AS support
+          FROM base GROUP BY 1 HAVING count(*) >= 40
+        ), kept AS (
+          SELECT base.b, base.i FROM base JOIN l1 USING (i)
+        ), l2 AS (
+          SELECT a.i AS x, c.i AS y,
+                 CAST(count(*) AS BIGINT) AS support
+          FROM kept a JOIN kept c ON a.b = c.b AND a.i < c.i
+          GROUP BY 1, 2 HAVING count(*) >= 40
+        ), cand AS (
+          SELECT ab.x AS t1, ab.y AS t2, ac.y AS t3
+          FROM l2 ab JOIN l2 ac ON ab.x = ac.x AND ab.y < ac.y
+          JOIN l2 bc ON bc.x = ab.y AND bc.y = ac.y
+        ), l3 AS (
+          SELECT cand.t1, cand.t2, cand.t3,
+                 CAST(count(*) AS BIGINT) AS support
+          FROM cand
+          JOIN kept k1 ON k1.i = cand.t1
+          JOIN kept k2 ON k2.b = k1.b AND k2.i = cand.t2
+          JOIN kept k3 ON k3.b = k1.b AND k3.i = cand.t3
+          GROUP BY 1, 2, 3 HAVING count(*) >= 40
+        )
+        SELECT i AS itemset, 1 AS size, support FROM l1
+        UNION ALL
+        SELECT x || '|' || y AS itemset, 2 AS size, support FROM l2
+        UNION ALL
+        SELECT t1 || '|' || t2 || '|' || t3 AS itemset,
+               3 AS size, support
+        FROM l3
+    """
+
+    sql["seasonal_mad_anomalies"] = """
+        WITH rollup AS (
+          SELECT event_type AS grp,
+                 (epoch_ns(ts) // 3600000000000) * 3600
+                   AS bucket_epoch,
+                 sum(CAST(value AS DOUBLE)) AS metric
+          FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+        ), ph AS (
+          SELECT grp, bucket_epoch, metric,
+                 CAST((bucket_epoch // 3600) % 24 AS INTEGER)
+                   AS phase
+          FROM rollup
+        ), med AS (
+          SELECT grp, phase, quantile_cont(metric, 0.5) AS m
+          FROM ph GROUP BY 1, 2
+        ), mad AS (
+          SELECT ph.grp, ph.phase,
+                 quantile_cont(abs(ph.metric - med.m), 0.5) AS d
+          FROM ph JOIN med ON ph.grp = med.grp
+            AND ph.phase = med.phase
+          GROUP BY 1, 2
+        ), scored AS (
+          SELECT ph.grp, ph.phase,
+                 CASE WHEN mad.d > 0
+                 THEN (ph.metric - med.m) / (1.4826 * mad.d) END AS z
+          FROM ph
+          JOIN med ON ph.grp = med.grp AND ph.phase = med.phase
+          JOIN mad ON ph.grp = mad.grp AND ph.phase = mad.phase
+        )
+        SELECT grp, phase,
+               CASE WHEN z IS NOT NULL THEN abs(z) > 3.5 END
+                 AS is_anomaly,
+               CAST(count(*) AS BIGINT) AS n
+        FROM scored GROUP BY 1, 2, 3
+    """
+
+    sql["calendar_features"] = """
+        WITH f AS (
+          SELECT epoch_ns(ts) // 86400000000000 AS eday,
+                 CAST((epoch_ns(ts) // 3600000000000) % 24
+                   AS INTEGER) AS hour_of_day
+          FROM events
+        ), g AS (
+          SELECT CAST((eday + 3) % 7 AS INTEGER) AS day_of_week,
+                 hour_of_day
+          FROM f
+        )
+        SELECT day_of_week,
+               day_of_week >= 5 AS is_weekend,
+               hour_of_day,
+               round(sin(day_of_week * 2 * pi() / 7.0), 6) AS dow_sin,
+               round(cos(day_of_week * 2 * pi() / 7.0), 6) AS dow_cos,
+               round(sin(hour_of_day * 2 * pi() / 24.0), 6)
+                 AS hour_sin,
+               round(cos(hour_of_day * 2 * pi() / 24.0), 6)
+                 AS hour_cos,
+               CAST(count(*) AS BIGINT) AS n
+        FROM g GROUP BY 1, 2, 3, 4, 5, 6, 7
+    """
+
     return sql
 
 
@@ -18474,3 +18573,60 @@ def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("bytes").alias("sum_bytes"),
     )
+
+
+def q_frequent_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apriori itemsets (≤ size 3) over order baskets of part BRANDS
+    (operators/relational.frequent_itemsets): L1 broadcast semi-join,
+    downward-closed triple candidates before any basket scan.  VALUE
+    oracle: identical level-wise joins in DuckDB."""
+    from moz_datapipeline_spark.operators.relational import (
+        frequent_itemsets,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    baskets = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        F.col("l_orderkey").alias("basket"),
+        F.col("p_brand").alias("item"),
+    )
+    return frequent_itemsets(
+        baskets, "basket", "item", min_support=40, max_size=3
+    )
+
+
+def q_seasonal_mad_anomalies(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Phase-conditioned robust anomalies over hourly per-type value
+    rollups (operators/temporal.seasonal_mad_anomalies): per-(group,
+    hour-of-day) median/MAD windows, 3.5σ-equivalent flags.
+    Profiled per (grp, phase, is_anomaly) so the compare is
+    count-stable.  VALUE oracle: identical phase medians + flags."""
+    from moz_datapipeline_spark.operators.temporal import (
+        seasonal_mad_anomalies,
+    )
+
+    e = _events(spark, sf_dir)
+    out = seasonal_mad_anomalies(e, bucket="hour", period=24)
+    return out.groupBy("grp", "phase", "is_anomaly").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def q_calendar_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timezone-free calendar features over events
+    (operators/features.calendar_features): integer-exact epoch-day
+    arithmetic (dow via (day+3) mod 7), cyclic sin/cos encoders —
+    pure projection.  Profiled per (day_of_week, hour_of_day) with
+    encoder checksums.  VALUE oracle: identical integer arithmetic."""
+    from moz_datapipeline_spark.operators.features import (
+        calendar_features,
+    )
+
+    e = _events(spark, sf_dir)
+    out = calendar_features(e)
+    return out.groupBy(
+        "day_of_week", "is_weekend", "hour_of_day",
+        "dow_sin", "dow_cos", "hour_sin", "hour_cos",
+    ).agg(F.count(F.lit(1)).alias("n"))

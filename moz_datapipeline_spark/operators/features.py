@@ -12,6 +12,8 @@ featurization); the hash conventions follow ``operators/dedup``.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -363,3 +365,55 @@ def robust_scale(
         (x - m_g) / (c * mad_g),
     )
     return df.withColumn(out_col, F.round(z, 6))
+
+
+def calendar_features(
+    df: DataFrame,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Forecasting calendar features from a LONG epoch-ns timestamp:
+    adds ``(epoch_day, day_of_week, is_weekend, hour_of_day, dow_sin,
+    dow_cos, hour_sin, hour_cos)`` — the standard seasonal encoders
+    for regression/boosting models (cyclic sin/cos so hour 23 sits
+    next to hour 0, where a raw integer puts them farthest apart).
+
+    ``day_of_week`` is 0=Monday..6=Sunday computed by PURE INTEGER
+    arithmetic (``(epoch_day + 3) mod 7`` — 1970-01-01 was a
+    Thursday), so it is timezone-free and engine-exact: the built-in
+    ``dayofweek``/DuckDB ``dow`` disagree on numbering AND shift with
+    session timezones, the exact bug class the ``_events`` ns
+    contract exists to kill.  Pure projection — zero shuffles.
+    """
+    ns = F.col(ts_col).cast("long")
+    eday = F.floor(ns / F.lit(86_400_000_000_000)).cast("long")
+    dow = F.pmod(eday + F.lit(3), F.lit(7)).cast("int")
+    hour = F.pmod(
+        F.floor(ns / F.lit(3_600_000_000_000)).cast("long"), F.lit(24)
+    ).cast("int")
+    two_pi = 2.0 * math.pi
+    return (
+        df.withColumn("epoch_day", eday)
+        .withColumn("day_of_week", dow)
+        .withColumn("is_weekend", dow >= 5)
+        .withColumn("hour_of_day", hour)
+        .withColumn(
+            "dow_sin",
+            F.round(F.sin(dow.cast("double") * F.lit(two_pi / 7.0)), 6),
+        )
+        .withColumn(
+            "dow_cos",
+            F.round(F.cos(dow.cast("double") * F.lit(two_pi / 7.0)), 6),
+        )
+        .withColumn(
+            "hour_sin",
+            F.round(
+                F.sin(hour.cast("double") * F.lit(two_pi / 24.0)), 6
+            ),
+        )
+        .withColumn(
+            "hour_cos",
+            F.round(
+                F.cos(hour.cast("double") * F.lit(two_pi / 24.0)), 6
+            ),
+        )
+    )

@@ -158,3 +158,124 @@ def compaction_plan(
     return binned.join(per_bin, "bin").select(
         "path", "bytes", "bin", "bin_bytes", "n_files_in_bin"
     )
+
+
+def frequent_itemsets(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 2,
+    max_size: int = 3,
+) -> DataFrame:
+    """Apriori frequent itemsets up to size 3: rows ``(itemset, size,
+    support)`` with ``itemset`` the '|'-joined items in ascending
+    order — the market-basket generalization of ``copurchase_lift``
+    (which stops at pairs): "which item TRIPLES co-occur often enough
+    to act on?".  ``min_support`` is an absolute basket count.
+
+    Classic Apriori pruning, all relational:
+
+    1. L1: one (item) hash aggregate, filter ≥ min_support;
+    2. L2: basket self-join restricted to L1 items with ``a < b``
+       (each pair once), aggregate, filter — the L1 semi-join is a
+       broadcast (frequent items are few BY CONSTRUCTION: at most
+       Σbaskets/min_support);
+    3. L3: candidate triples from L2⨝L2 on the shared first item
+       (``(a,b) ⋈ (a,c), b < c``) with DOWNWARD CLOSURE enforced
+       ((b,c) must also be in L2) BEFORE any basket scan — the
+       candidate set, not the data, bounds the final count join.
+
+    Duplicate (basket, item) rows collapse first (set semantics).
+    Items containing the '|' separator are rejected loudly rather
+    than silently merging itemsets.
+    """
+    if min_support < 1:
+        raise ValueError("frequent_itemsets: min_support must be >= 1")
+    if not (1 <= max_size <= 3):
+        raise ValueError("frequent_itemsets: max_size must be 1..3")
+    base = (
+        df.select(
+            F.col(basket_col).cast("string").alias("_b"),
+            F.col(item_col).cast("string").alias("_i"),
+        )
+        .filter(F.col("_b").isNotNull() & F.col("_i").isNotNull())
+        .distinct()
+    )
+    bad = base.filter(F.col("_i").contains("|")).limit(1).count()
+    if bad:
+        raise ValueError(
+            "frequent_itemsets: item values must not contain '|'"
+        )
+    l1 = (
+        base.groupBy("_i")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        .filter(F.col("support") >= min_support)
+    )
+    out = l1.select(
+        F.col("_i").alias("itemset"),
+        F.lit(1).alias("size"),
+        "support",
+    )
+    if max_size == 1:
+        return out
+    kept = base.join(
+        F.broadcast(l1.select("_i")), "_i"
+    )  # only frequent items can appear in larger sets
+    a = kept.select(F.col("_b"), F.col("_i").alias("_a"))
+    b = kept.select(F.col("_b"), F.col("_i").alias("_c"))
+    pairs = (
+        a.join(b, "_b")
+        .filter(F.col("_a") < F.col("_c"))
+        .groupBy("_a", "_c")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        .filter(F.col("support") >= min_support)
+    )
+    out = out.unionByName(
+        pairs.select(
+            F.concat_ws("|", "_a", "_c").alias("itemset"),
+            F.lit(2).alias("size"),
+            "support",
+        )
+    )
+    if max_size == 2:
+        return out
+    # candidate triples with downward closure, then ONE count join
+    p1 = pairs.select(
+        F.col("_a").alias("x"), F.col("_c").alias("y")
+    )
+    cand = (
+        p1.alias("ab")
+        .join(p1.alias("ac"), F.col("ab.x") == F.col("ac.x"))
+        .filter(F.col("ab.y") < F.col("ac.y"))
+        .select(
+            F.col("ab.x").alias("_t1"),
+            F.col("ab.y").alias("_t2"),
+            F.col("ac.y").alias("_t3"),
+        )
+        .join(
+            p1.select(
+                F.col("x").alias("_t2"), F.col("y").alias("_t3")
+            ),
+            ["_t2", "_t3"],
+        )
+    )
+    c = kept.select(F.col("_b"), F.col("_i").alias("_e"))
+    triples = (
+        cand.join(
+            a.select("_b", F.col("_a").alias("_t1")), "_t1"
+        )
+        .join(
+            b.select("_b", F.col("_c").alias("_t2")), ["_b", "_t2"]
+        )
+        .join(c.select("_b", F.col("_e").alias("_t3")), ["_b", "_t3"])
+        .groupBy("_t1", "_t2", "_t3")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        .filter(F.col("support") >= min_support)
+    )
+    return out.unionByName(
+        triples.select(
+            F.concat_ws("|", "_t1", "_t2", "_t3").alias("itemset"),
+            F.lit(3).alias("size"),
+            "support",
+        )
+    )

@@ -1970,3 +1970,73 @@ def adstock_transform(
             _snap6(F.col("_csum")).alias("adstock"),
         )
     )
+
+
+def seasonal_mad_anomalies(
+    events: DataFrame,
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+    value_col: str = "value",
+    bucket: str = "hour",
+    period: int = 24,
+    threshold: float = 3.5,
+) -> DataFrame:
+    """Seasonality-aware robust anomaly flags: per (group, phase =
+    bucket mod period) compute the median and MAD of the rollup
+    metric, flag buckets with ``|x − median_phase| > threshold ·
+    1.4826 · MAD_phase`` — the "3am Sunday is SUPPOSED to be quiet"
+    detector: a global z-score (``rolling_zscore_anomalies``) flags
+    every weekend as anomalous on weekday-heavy metrics; conditioning
+    on phase removes the seasonal baseline first, and median/MAD
+    survive the very outliers being hunted (50% breakdown).  Returns
+    ``(grp, bucket_epoch, phase, metric, phase_median, phase_mad,
+    robust_z, is_anomaly)``; zero-MAD phases (constant baseline)
+    yield NULL z — a constant phase with one deviation still flags
+    via the raw inequality, loudly documented as NULL-z/anomaly-NULL.
+
+    Plan: one data-sized rollup; medians/MADs per (group, phase) via
+    two RANGE-frame percentile windows over the rollup (each window
+    is |buckets|/period rows); the flag is a projection.
+    """
+    step = _BUCKET_NS[bucket] // 1_000_000_000
+    rollup = (
+        events.filter(F.col(value_col).isNotNull())
+        .groupBy(
+            F.col(group_col).alias("grp"),
+            _bucket_epoch(events, ts_col, bucket).alias("bucket_epoch"),
+        )
+        .agg(F.sum(F.col(value_col).cast("double")).alias("metric"))
+        .withColumn(
+            "phase",
+            F.pmod(
+                F.floor(F.col("bucket_epoch") / F.lit(step)).cast(
+                    "long"
+                ),
+                F.lit(int(period)),
+            ).cast("int"),
+        )
+    )
+    pw = Window.partitionBy("grp", "phase")
+    med = F.expr("percentile(metric, 0.5)").over(pw)
+    marked = rollup.withColumn("_med", med)
+    mad = F.expr("percentile(abs(metric - _med), 0.5)").over(
+        Window.partitionBy("grp", "phase")
+    )
+    scored = marked.withColumn("_mad", mad)
+    z = F.when(
+        F.col("_mad") > 0,
+        (F.col("metric") - F.col("_med"))
+        / (F.lit(1.4826) * F.col("_mad")),
+    )
+    return scored.select(
+        "grp",
+        "bucket_epoch",
+        "phase",
+        F.round("metric", 6).alias("metric"),
+        F.round("_med", 6).alias("phase_median"),
+        F.round("_mad", 6).alias("phase_mad"),
+        F.round(z, 6).alias("robust_z"),
+        F.when(z.isNotNull(), F.abs(z) > F.lit(float(threshold))).alias(
+            "is_anomaly"
+        ),
+    )

@@ -2291,3 +2291,74 @@ def test_compaction_plan_invariants(spark):
         compaction_plan(
             spark.createDataFrame([("x", None)], "path string, bytes long")
         )
+
+
+def test_frequent_itemsets_hand_computed(spark):
+    from moz_datapipeline_spark.operators.relational import (
+        frequent_itemsets,
+    )
+
+    rows = []
+    # 3 baskets with {a,b,c}, 1 with {a,b}, 1 with {a,d}
+    for b in (1, 2, 3):
+        rows += [(b, "a"), (b, "b"), (b, "c")]
+    rows += [(4, "a"), (4, "b"), (5, "a"), (5, "d"), (5, "d")]  # dup row
+    df = spark.createDataFrame(rows, "basket long, item string")
+    out = {(r.itemset, r.size): r.support for r in
+           frequent_itemsets(df, "basket", "item", min_support=3).collect()}
+    assert out[("a", 1)] == 5 and out[("b", 1)] == 4
+    assert out[("c", 1)] == 3
+    assert ("d", 1) not in out  # support 1 after dedup
+    assert out[("a|b", 2)] == 4 and out[("a|c", 2)] == 3
+    assert out[("b|c", 2)] == 3
+    assert out[("a|b|c", 3)] == 3
+    assert all(s != 3 or k == "a|b|c" for (k, s) in out)
+
+    with pytest.raises(ValueError, match="must not contain"):
+        frequent_itemsets(
+            spark.createDataFrame([(1, "x|y")], "basket long, item string"),
+            "basket", "item",
+        )
+
+
+def test_seasonal_mad_flags_only_phase_outlier(spark):
+    """Value 100 at hour-3 phase is normal if every hour-3 is ~100;
+    the same 100 at an hour-4 phase (baseline ~10) must flag."""
+    from moz_datapipeline_spark.operators.temporal import (
+        seasonal_mad_anomalies,
+    )
+
+    ns = 3_600_000_000_000
+    rows = []
+    for day in range(10):
+        for hour in range(6):
+            base = 100.0 if hour == 3 else 10.0
+            rows.append(("s", (day * 24 + hour) * ns,
+                         base + (day % 3)))
+    # plant: one hour-4 bucket spikes to 100
+    rows.append(("s", (10 * 24 + 4) * ns, 100.0))
+    df = spark.createDataFrame(rows, "event_type string, ts long, value double")
+    out = seasonal_mad_anomalies(df, period=24, threshold=3.5).collect()
+    flagged = [(r.phase, r.metric) for r in out if r.is_anomaly]
+    assert flagged == [(4, 100.0)]
+    # hour-3 baseline of 100s never flags
+    assert all(not r.is_anomaly for r in out if r.phase == 3)
+
+
+def test_calendar_features_known_dates(spark):
+    """1970-01-01 was a Thursday (dow=3); 2026-08-16 is a Sunday."""
+    from moz_datapipeline_spark.operators.features import (
+        calendar_features,
+    )
+
+    day_ns = 86_400_000_000_000
+    # 2026-08-16 = 20681 days after epoch
+    rows = [(0,), (3 * day_ns,), (20681 * day_ns + 5 * 3_600_000_000_000,)]
+    df = spark.createDataFrame(rows, "ts long")
+    out = {r.epoch_day: r for r in calendar_features(df).collect()}
+    assert out[0].day_of_week == 3 and out[0].is_weekend is False
+    assert out[3].day_of_week == 6 and out[3].is_weekend is True  # Sunday
+    r = out[20681]
+    assert r.day_of_week == 6 and r.hour_of_day == 5
+    import math
+    assert abs(r.hour_sin - round(math.sin(5 * 2 * math.pi / 24), 6)) < 1e-9
