@@ -166,6 +166,7 @@ def frequent_itemsets(
     item_col: str,
     min_support: int = 2,
     max_size: int = 3,
+    max_triple_candidates: int = 5_000_000,
 ) -> DataFrame:
     """Apriori frequent itemsets up to size 3: rows ``(itemset, size,
     support)`` with ``itemset`` the '|'-joined items in ascending
@@ -188,6 +189,13 @@ def frequent_itemsets(
     Duplicate (basket, item) rows collapse first (set semantics).
     Items containing the '|' separator are rejected loudly rather
     than silently merging itemsets.
+
+    DENSE-PAIR HAZARD: when most pairs are frequent (tiny catalog or
+    low min_support), closure barely prunes and the triple count
+    join multiplies |candidates| × per-item basket lists — the
+    classic Apriori blow-up.  The candidate count is checked BEFORE
+    that join and raises past ``max_triple_candidates`` (raise
+    min_support, not the cap).
     """
     if min_support < 1:
         raise ValueError("frequent_itemsets: min_support must be >= 1")
@@ -240,6 +248,7 @@ def frequent_itemsets(
     if max_size == 2:
         return out
     # candidate triples with downward closure, then ONE count join
+    pairs = pairs.persist()
     p1 = pairs.select(
         F.col("_a").alias("x"), F.col("_c").alias("y")
     )
@@ -259,6 +268,14 @@ def frequent_itemsets(
             ["_t2", "_t3"],
         )
     )
+    n_cand = cand.count()
+    if n_cand > max_triple_candidates:
+        pairs.unpersist()
+        raise ValueError(
+            f"frequent_itemsets: {n_cand} triple candidates exceed "
+            f"max_triple_candidates={max_triple_candidates} — the "
+            "pair level is too dense; raise min_support"
+        )
     c = kept.select(F.col("_b"), F.col("_i").alias("_e"))
     triples = (
         cand.join(

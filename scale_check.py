@@ -2205,6 +2205,111 @@ def round11e_ops_scale_check(spark) -> dict:
     return out
 
 
+def round11f_ops_scale_check(spark) -> dict:
+    """Round-11f rehearsal: drift / basket / walk / maintenance ops
+    at their design scale.
+
+    - ``wasserstein_1d`` over 25M vs 25M rows with a 10k-value grid:
+      the CDF scan runs on the 10k-row rollup — data passes once.
+    - ``frequent_itemsets`` over 10M (basket, item) rows drawn from a
+      200-item catalog (40-item baskets): L1/L2 prune before the
+      triple join; the candidate count, not the data, bounds L3.
+    - ``random_walks`` (len 4 × 1 walk) over a 1M-edge graph: 4 equi
+      joins of a 100k-row frontier against the neighbor index.
+    - ``skipgram_pairs`` (window 2) over 20M sequence positions:
+      explode + equi join, output 4×|rows| bounded.
+    - ``compaction_plan`` over 5M synthetic files: the two-phase
+      prefix scan on a metadata-sized listing.
+    """
+    from moz_datapipeline_spark.graph.walks import random_walks
+    from moz_datapipeline_spark.operators.analytics import wasserstein_1d
+    from moz_datapipeline_spark.operators.relational import (
+        compaction_plan,
+        frequent_itemsets,
+    )
+    from moz_datapipeline_spark.operators.text import skipgram_pairs
+
+    out: dict = {}
+
+    n = 25_000_000
+    a = spark.range(n).select(
+        (F.pmod(F.xxhash64("id"), 10_000)).cast("double").alias("v")
+    )
+    b = spark.range(n).select(
+        (F.pmod(F.xxhash64("id", F.lit(7)), 10_000) + 500)
+        .cast("double")
+        .alias("v")
+    )
+    t0 = time.perf_counter()
+    r = wasserstein_1d(a, b, "v").collect()[0]
+    out["w1_rows_per_side"] = n
+    out["w1_value"] = float(r.wasserstein)
+    out["w1_sec"] = round(time.perf_counter() - t0, 2)
+
+    n = 10_000_000
+    # planted design: 20 HOT items in ~30% of rows (frequent), a 10k
+    # cold tail (pruned at L1) — the realistic sparse-basket shape;
+    # a dense-pair config is the operator's documented blow-up case
+    # and raises via max_triple_candidates instead of running
+    baskets = spark.range(n).select(
+        (F.col("id") / 40).cast("long").alias("basket"),
+        F.when(
+            F.pmod(F.xxhash64("id", F.lit(11)), 10) < 3,
+            F.pmod(F.xxhash64("id"), 20),
+        )
+        .otherwise(F.pmod(F.xxhash64("id"), 10_000) + 100)
+        .cast("string")
+        .alias("item"),
+    )
+    t0 = time.perf_counter()
+    fi = frequent_itemsets(
+        baskets, "basket", "item", min_support=20_000, max_size=3
+    )
+    counts = {r["size"]: r["n"] for r in
+              fi.groupBy("size").agg(F.count(F.lit(1)).alias("n")).collect()}
+    out["fi_rows_in"] = n
+    out["fi_l1"] = int(counts.get(1, 0))
+    out["fi_l2"] = int(counts.get(2, 0))
+    out["fi_l3"] = int(counts.get(3, 0))
+    out["fi_sec"] = round(time.perf_counter() - t0, 2)
+
+    edges_fwd = spark.range(1_000_000).select(
+        F.pmod(F.xxhash64("id"), 100_000).alias("src"),
+        F.pmod(F.xxhash64("id", F.lit(3)), 100_000).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    t0 = time.perf_counter()
+    n_walk_rows = random_walks(edges_fwd, walk_len=4,
+                               walks_per_node=1).count()
+    out["walks_edges_in"] = 1_000_000
+    out["walks_rows_out"] = n_walk_rows
+    out["walks_sec"] = round(time.perf_counter() - t0, 2)
+
+    n = 20_000_000
+    seqs = spark.range(n).select(
+        (F.col("id") / 100).cast("long").alias("seq"),
+        F.pmod(F.col("id"), 100).alias("pos"),
+        F.pmod(F.xxhash64("id"), 50).cast("string").alias("tok"),
+    )
+    t0 = time.perf_counter()
+    n_pairs = skipgram_pairs(seqs, "seq", "pos", "tok", window=2).count()
+    out["skipgram_rows_in"] = n
+    out["skipgram_pairs_out"] = n_pairs
+    out["skipgram_sec"] = round(time.perf_counter() - t0, 2)
+
+    n = 5_000_000
+    listing = spark.range(n).select(
+        F.concat(F.lit("f"), F.col("id").cast("string")).alias("path"),
+        (F.pmod(F.xxhash64("id"), 8_000_000) + 1024).alias("bytes"),
+    )
+    t0 = time.perf_counter()
+    plan = compaction_plan(listing, target_bytes=512 * 1024 * 1024)
+    n_bins = plan.select("bin").distinct().count()
+    out["compaction_files_in"] = n
+    out["compaction_bins_out"] = n_bins
+    out["compaction_sec"] = round(time.perf_counter() - t0, 2)
+    return out
+
+
 def _section_gc(spark) -> None:
     """Release caches and lingering localCheckpoint blocks between
     sections: the rehearsal shares ONE JVM across ~20 sections, and
@@ -2298,6 +2403,8 @@ def main() -> None:
     r11d = round11d_ops_scale_check(spark)
     _section_gc(spark)
     r11e = round11e_ops_scale_check(spark)
+    _section_gc(spark)
+    r11f = round11f_ops_scale_check(spark)
 
     print(
         json.dumps(
@@ -2337,6 +2444,7 @@ def main() -> None:
                 **r11c,
                 **r11d,
                 **r11e,
+                **r11f,
             }
         )
     )

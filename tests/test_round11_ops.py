@@ -2362,3 +2362,18 @@ def test_calendar_features_known_dates(spark):
     assert r.day_of_week == 6 and r.hour_of_day == 5
     import math
     assert abs(r.hour_sin - round(math.sin(5 * 2 * math.pi / 24), 6)) < 1e-9
+
+
+def test_frequent_itemsets_dense_cap_raises(spark):
+    """A dense pair level (every pair frequent) must refuse the
+    triple join loudly instead of running it."""
+    from moz_datapipeline_spark.operators.relational import (
+        frequent_itemsets,
+    )
+
+    # 40 baskets x 30 items each, 30-item catalog: all pairs frequent
+    rows = [(b, str(i)) for b in range(40) for i in range(30)]
+    df = spark.createDataFrame(rows, "basket long, item string")
+    with pytest.raises(ValueError, match="triple candidates exceed"):
+        frequent_itemsets(df, "basket", "item", min_support=10,
+                          max_triple_candidates=100)
