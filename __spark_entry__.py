@@ -6951,6 +6951,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frequent_itemsets": q_frequent_itemsets,
         "seasonal_mad_anomalies": q_seasonal_mad_anomalies,
         "calendar_features": q_calendar_features,
+        "rolling_active_users": q_rolling_active_users,
+        "mix_rate_decomposition": q_mix_rate_decomposition,
     }
 
 
@@ -17278,6 +17280,54 @@ FROM eaul_calc
         FROM g GROUP BY 1, 2, 3, 4, 5, 6, 7
     """
 
+    sql["rolling_active_users"] = """
+        WITH per_ud AS (
+          SELECT DISTINCT user_id AS u,
+                 epoch_ns(ts) // 86400000000000 AS d
+          FROM events WHERE user_id IS NOT NULL
+        ), covered AS (
+          SELECT u, unnest(generate_series(d, d + 6)) AS day
+          FROM per_ud
+        )
+        SELECT CAST(day AS BIGINT) AS day,
+               CAST(count(DISTINCT u) AS BIGINT) AS active_users
+        FROM covered GROUP BY 1
+    """
+
+    sql["mix_rate_decomposition"] = """
+        WITH pb AS (
+          SELECT l_returnflag AS seg,
+                 CAST(sum(l_quantity) AS DOUBLE) AS w,
+                 avg(l_extendedprice) AS r
+          FROM lineitem WHERE year(l_shipdate) = 1995 GROUP BY 1
+        ), pc AS (
+          SELECT l_returnflag AS seg,
+                 CAST(sum(l_quantity) AS DOUBLE) AS w,
+                 avg(l_extendedprice) AS r
+          FROM lineitem WHERE year(l_shipdate) = 1997 GROUP BY 1
+        ), sb AS (
+          SELECT seg, w / (SELECT sum(w) FROM pb) AS s, r FROM pb
+        ), sc AS (
+          SELECT seg, w / (SELECT sum(w) FROM pc) AS s, r FROM pc
+        ), j AS (
+          SELECT coalesce(sb.seg, sc.seg) AS segment,
+                 coalesce(sb.s, 0.0) AS w_base,
+                 coalesce(sc.s, 0.0) AS w_cur,
+                 sb.r AS r_base, sc.r AS r_cur
+          FROM sb FULL OUTER JOIN sc ON sb.seg = sc.seg
+        )
+        SELECT segment,
+               round(w_base, 6) AS w_base,
+               round(w_cur, 6) AS w_cur,
+               round(r_base, 6) AS r_base,
+               round(r_cur, 6) AS r_cur,
+               round((w_cur - w_base) * coalesce(r_base, r_cur), 6)
+                 AS mix_effect,
+               round(w_cur * (coalesce(r_cur, 0.0)
+                 - coalesce(r_base, r_cur, 0.0)), 6) AS rate_effect
+        FROM j
+    """
+
     return sql
 
 
@@ -18630,3 +18680,45 @@ def q_calendar_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day_of_week", "is_weekend", "hour_of_day",
         "dow_sin", "dow_cos", "hour_sin", "hour_cos",
     ).agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users
+    (operators/analytics.rolling_active_users): (user, day) dedup →
+    7× rollup explode → per-day distinct.  VALUE oracle: identical
+    explode + distinct in DuckDB."""
+    from moz_datapipeline_spark.operators.analytics import (
+        rolling_active_users,
+    )
+
+    e = _events(spark, sf_dir)
+    return rolling_active_users(e, window_days=7)
+
+
+def q_mix_rate_decomposition(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mix-vs-rate bridge of average extended price by return flag,
+    1995 vs 1997 (operators/analytics.mix_rate_decomposition): one
+    full-outer segment join — 1997 ships only 'N', so the
+    missing-segment paths are live.  VALUE oracle: identical shares
+    + effects."""
+    from moz_datapipeline_spark.operators.analytics import (
+        mix_rate_decomposition,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+
+    def period(year: int):
+        return (
+            li.filter(F.year("l_shipdate") == year)
+            .groupBy("l_returnflag")
+            .agg(
+                F.sum("l_quantity").alias("qty"),
+                F.avg("l_extendedprice").alias("avg_price"),
+            )
+        )
+
+    return mix_rate_decomposition(
+        period(1995), period(1997), "l_returnflag", "qty", "avg_price"
+    )

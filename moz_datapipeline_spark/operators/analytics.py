@@ -5243,3 +5243,131 @@ def price_index(
         F.round(paas, 6).alias("paasche"),
         F.round(fish, 6).alias("fisher"),
     )
+
+
+def rolling_active_users(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    window_days: int = 7,
+) -> DataFrame:
+    """Rolling N-day active users per day: ``(day, active_users)``
+    counting DISTINCT users active in ``[day − N + 1, day]`` — the
+    WAU/MAU generalization (``dau_mau`` reports calendar-month MAU;
+    sliding windows don't cliff at month boundaries).
+
+    Distinct-over-sliding-window does NOT decompose into window
+    sums — so: dedupe to (user, day) once, EXPLODE each active day
+    into the N future days it keeps the user active for, and count
+    DISTINCT per covered day (a user active twice in the window
+    lands twice on the covered day; the distinct collapses it).
+    Emitted days are those with ≥1 covering user — trailing windows
+    past the last activity are not materialized (documented).
+
+    Plan: one (user, day) dedup aggregate (map-side combined), an
+    N× explode of the ROLLUP (not the events), one (day) distinct
+    aggregate.  Exchange carries rollup×N rows — linear, no windows.
+    """
+    if window_days < 1:
+        raise ValueError(
+            "rolling_active_users: window_days must be >= 1"
+        )
+    day = F.floor(
+        F.col(ts_col).cast("long") / F.lit(86_400_000_000_000)
+    ).cast("long")
+    per_ud = (
+        events.filter(F.col(user_col).isNotNull())
+        .select(F.col(user_col).alias("_u"), day.alias("_d"))
+        .distinct()
+    )
+    covered = per_ud.withColumn(
+        "day",
+        F.explode(
+            F.sequence(
+                F.col("_d"), F.col("_d") + F.lit(int(window_days) - 1)
+            )
+        ),
+    )
+    return covered.groupBy("day").agg(
+        F.countDistinct("_u").alias("active_users")
+    )
+
+
+def mix_rate_decomposition(
+    base: DataFrame,
+    current: DataFrame,
+    segment_col: str,
+    weight_col: str,
+    metric_col: str,
+) -> DataFrame:
+    """Mix-vs-rate bridge between two periods: why did the blended
+    metric move?  Per segment, ``(segment, w_base, w_cur, r_base,
+    r_cur, mix_effect, rate_effect)`` plus the exact identity
+    ``Σ mix + Σ rate = blended_cur − blended_base`` where weights are
+    each period's segment shares and rates the segment metrics:
+
+        mix_effect_s  = (w1_s − w0_s) · r0_s      (composition moved)
+        rate_effect_s = w1_s · (r1_s − r0_s)      (behavior moved)
+
+    The classic "is revenue/quality down because the MIX shifted
+    toward a weak segment, or because segments got worse?" BI
+    decomposition (a two-factor Laspeyres/Paasche split; the
+    interaction term rides ``rate_effect`` by the w1 weighting,
+    documented).  Segments missing from a period enter with zero
+    weight and a NULL rate treated as contributing only through the
+    side that has them.  Inputs are per-segment cells (one row per
+    segment per period — duplicates raise loudly).
+
+    Plan: two cell-sized scans for the weight totals + ONE full
+    outer join on segment; everything is |segments|-sized.
+    """
+    def _side(df: DataFrame, tag: str) -> DataFrame:
+        out = df.select(
+            F.col(segment_col).cast("string").alias("_seg"),
+            F.col(weight_col).cast("double").alias(f"_w_{tag}"),
+            F.col(metric_col).cast("double").alias(f"_r_{tag}"),
+        ).filter(F.col("_seg").isNotNull())
+        dup = (
+            out.groupBy("_seg")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > 1)
+            .limit(1)
+            .count()
+        )
+        if dup:
+            raise ValueError(
+                "mix_rate_decomposition: multiple rows per segment "
+                f"in the {tag} period — pre-aggregate first"
+            )
+        tot = out.agg(F.sum(f"_w_{tag}").alias("_t"))
+        return out.crossJoin(F.broadcast(tot)).select(
+            "_seg",
+            (F.col(f"_w_{tag}") / F.col("_t")).alias(f"_s_{tag}"),
+            F.col(f"_r_{tag}"),
+        )
+
+    b = _side(base, "b")
+    c = _side(current, "c")
+    j = b.join(c, "_seg", "full_outer").select(
+        F.col("_seg").alias("segment"),
+        F.coalesce("_s_b", F.lit(0.0)).alias("w_base"),
+        F.coalesce("_s_c", F.lit(0.0)).alias("w_cur"),
+        F.col("_r_b").alias("r_base"),
+        F.col("_r_c").alias("r_cur"),
+    )
+    mix = (F.col("w_cur") - F.col("w_base")) * F.coalesce(
+        "r_base", "r_cur"
+    )
+    rate = F.col("w_cur") * (
+        F.coalesce("r_cur", F.lit(0.0))
+        - F.coalesce("r_base", "r_cur", F.lit(0.0))
+    )
+    return j.select(
+        "segment",
+        F.round("w_base", 6).alias("w_base"),
+        F.round("w_cur", 6).alias("w_cur"),
+        F.round("r_base", 6).alias("r_base"),
+        F.round("r_cur", 6).alias("r_cur"),
+        F.round(mix, 6).alias("mix_effect"),
+        F.round(rate, 6).alias("rate_effect"),
+    )

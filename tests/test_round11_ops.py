@@ -2377,3 +2377,62 @@ def test_frequent_itemsets_dense_cap_raises(spark):
     with pytest.raises(ValueError, match="triple candidates exceed"):
         frequent_itemsets(df, "basket", "item", min_support=10,
                           max_triple_candidates=100)
+
+
+def test_rolling_active_users_hand_computed(spark):
+    from moz_datapipeline_spark.operators.analytics import (
+        rolling_active_users,
+    )
+
+    ns = 86_400_000_000_000
+    rows = [
+        (1, 0), (1, 0),  # user 1 twice on day 0 -> counts once
+        (2, 1 * ns),
+        (1, 9 * ns),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts long")
+    out = {r.day: r.active_users for r in
+           rolling_active_users(df, window_days=3).collect()}
+    # day 0: {1}; day 1: {1,2}; day 2: {1,2}; day 3: {2}; day 9-11: {1}
+    assert out[0] == 1 and out[1] == 2 and out[2] == 2
+    assert out[3] == 1
+    assert 4 not in out and out[9] == 1 and out[11] == 1
+
+    with pytest.raises(ValueError, match="window_days"):
+        rolling_active_users(df, window_days=0)
+
+
+def test_mix_rate_identity_and_effects(spark):
+    """Σmix + Σrate must equal the blended delta exactly, including
+    segments present on only one side."""
+    from moz_datapipeline_spark.operators.analytics import (
+        mix_rate_decomposition,
+    )
+
+    base = spark.createDataFrame(
+        [("A", 60.0, 10.0), ("B", 40.0, 20.0), ("gone", 0.0, 5.0)],
+        "seg string, w double, r double",
+    )
+    cur = spark.createDataFrame(
+        [("A", 30.0, 12.0), ("B", 60.0, 20.0), ("new", 10.0, 50.0)],
+        "seg string, w double, r double",
+    )
+    out = mix_rate_decomposition(base, cur, "seg", "w", "r").collect()
+    blended_base = 0.6 * 10 + 0.4 * 20 + 0.0 * 5
+    blended_cur = 0.3 * 12 + 0.6 * 20 + 0.1 * 50
+    total = sum(r.mix_effect + r.rate_effect for r in out)
+    assert abs(total - (blended_cur - blended_base)) < 1e-6
+    by_seg = {r.segment: r for r in out}
+    # B's rate unchanged: pure mix effect (0.6-0.4)*20 = 4
+    assert abs(by_seg["B"].mix_effect - 4.0) < 1e-6
+    assert abs(by_seg["B"].rate_effect) < 1e-9
+    # new segment contributes w1*r1 = 5 in total
+    assert abs(by_seg["new"].mix_effect + by_seg["new"].rate_effect
+               - 5.0) < 1e-6
+
+    with pytest.raises(ValueError, match="pre-aggregate"):
+        mix_rate_decomposition(
+            base.union(spark.createDataFrame([("A", 1.0, 1.0)],
+                       "seg string, w double, r double")),
+            cur, "seg", "w", "r",
+        )
