@@ -6953,6 +6953,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calendar_features": q_calendar_features,
         "rolling_active_users": q_rolling_active_users,
         "mix_rate_decomposition": q_mix_rate_decomposition,
+        "cdc_apply": q_cdc_apply,
+        "k_anonymity": q_k_anonymity,
     }
 
 
@@ -17328,6 +17330,72 @@ FROM eaul_calc
         FROM j
     """
 
+    sql["cdc_apply"] = """
+        WITH snap AS (
+          SELECT c_custkey, c_name, c_acctbal FROM customer
+        ), oplog AS (
+          SELECT c_custkey, c_name,
+                 c_acctbal + 100 AS c_acctbal, 'U' AS op, 1 AS seq
+          FROM snap WHERE c_custkey % 7 = 1
+          UNION ALL
+          SELECT c_custkey, c_name,
+                 c_acctbal + 500, 'U', 2
+          FROM snap WHERE c_custkey % 7 = 1
+          UNION ALL
+          SELECT c_custkey, c_name, c_acctbal, 'D', 3
+          FROM snap WHERE c_custkey % 11 = 2
+          UNION ALL
+          SELECT c_custkey + 10000000, 'new-' || c_name, 0.0, 'I', 1
+          FROM snap WHERE (c_custkey + 10000000) % 13 = 3
+        ), winner AS (
+          SELECT c_custkey,
+                 arg_max(op, seq) AS op,
+                 arg_max(c_name, seq) AS c_name,
+                 arg_max(c_acctbal, seq) AS c_acctbal
+          FROM oplog GROUP BY 1
+        ), kept AS (
+          SELECT s.* FROM snap s
+          LEFT JOIN winner w ON s.c_custkey = w.c_custkey
+          WHERE w.c_custkey IS NULL
+        ), final AS (
+          SELECT c_custkey, c_name, c_acctbal FROM kept
+          UNION ALL
+          SELECT c_custkey, c_name, c_acctbal
+          FROM winner WHERE op <> 'D'
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(c_custkey) AS BIGINT) AS key_sum,
+               floor(sum(c_acctbal) * 100 + 0.5) / 100.0 AS bal_sum,
+               CAST(sum(CASE WHEN c_name LIKE 'new-%' THEN 1
+                        ELSE 0 END) AS BIGINT) AS n_inserted
+        FROM final
+    """
+
+    sql["k_anonymity"] = """
+        WITH base AS (
+          SELECT c_nationkey, c_mktsegment,
+                 CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band
+          FROM customer
+        ), groups AS (
+          SELECT c_nationkey, c_mktsegment,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(count(DISTINCT bal_band) AS BIGINT) AS l
+          FROM base GROUP BY 1, 2
+        )
+        SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+               CAST(count(*) AS BIGINT) AS n_groups,
+               CAST(min(n) AS BIGINT) AS min_group_size,
+               CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_violating_groups,
+               CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END)
+                 AS BIGINT) AS n_rows_at_risk,
+               sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) = 0
+                 AS k_anonymous,
+               CAST(min(l) AS BIGINT) AS min_l_diversity,
+               min(l) >= 2 AS l_diverse
+        FROM groups
+    """
+
     return sql
 
 
@@ -18721,4 +18789,81 @@ def q_mix_rate_decomposition(
 
     return mix_rate_decomposition(
         period(1995), period(1997), "l_returnflag", "qty", "avg_price"
+    )
+
+
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC oplog application against the customer snapshot
+    (operators/scd.cdc_apply): deterministic synthetic log (updates
+    balances of keys ≡1 mod 7 twice — seq ordering decides — deletes
+    keys ≡2 mod 11, inserts new keys), last-writer-wins via one
+    max_by fold + anti join + union.  Profiled as a checksum so the
+    compare is count-stable.  VALUE oracle: identical winner fold in
+    DuckDB."""
+    from moz_datapipeline_spark.operators.scd import cdc_apply
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    upd1 = c.filter(F.col("c_custkey") % 7 == 1).select(
+        "c_custkey",
+        "c_name",
+        (F.col("c_acctbal") + 100).alias("c_acctbal"),
+        F.lit("U").alias("op"),
+        F.lit(1).alias("seq"),
+    )
+    upd2 = c.filter(F.col("c_custkey") % 7 == 1).select(
+        "c_custkey",
+        "c_name",
+        (F.col("c_acctbal") + 500).alias("c_acctbal"),
+        F.lit("U").alias("op"),
+        F.lit(2).alias("seq"),
+    )
+    dels = c.filter(F.col("c_custkey") % 11 == 2).select(
+        "c_custkey",
+        "c_name",
+        "c_acctbal",
+        F.lit("D").alias("op"),
+        F.lit(3).alias("seq"),
+    )
+    ins = c.select(
+        (F.col("c_custkey") + 10_000_000).alias("c_custkey"),
+        F.concat(F.lit("new-"), F.col("c_name")).alias("c_name"),
+        F.lit(0.0).alias("c_acctbal"),
+        F.lit("I").alias("op"),
+        F.lit(1).alias("seq"),
+    ).filter(F.col("c_custkey") % 13 == 3)
+    oplog = upd1.unionByName(upd2).unionByName(dels).unionByName(ins)
+    out = cdc_apply(c, oplog, ["c_custkey"], "seq")
+    return out.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("c_custkey").alias("key_sum"),
+        (F.floor(F.sum("c_acctbal") * 100 + F.lit(0.5)) / 100.0).alias(
+            "bal_sum"
+        ),
+        F.count(F.when(F.col("c_name").startswith("new-"), 1)).alias(
+            "n_inserted"
+        ),
+    )
+
+
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity + l-diversity report over customer quasi-
+    identifiers (nation, mktsegment; balance band as sensitive)
+    (operators/validation.k_anonymity_report): one QI aggregate +
+    1-row fold.  VALUE oracle: identical folds."""
+    from moz_datapipeline_spark.operators.validation import (
+        k_anonymity_report,
+    )
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        (F.floor(F.col("c_acctbal") / 1000)).alias("bal_band"),
+    )
+    return k_anonymity_report(
+        c,
+        ["c_nationkey", "c_mktsegment"],
+        k=5,
+        sensitive_col="bal_band",
     )

@@ -124,3 +124,72 @@ def scd2_as_of(
         (F.col(start_col) <= t)
         & (F.col(end_col).isNull() | (F.col(end_col) > t))
     )
+
+
+def cdc_apply(
+    snapshot: DataFrame,
+    oplog: DataFrame,
+    key_cols: list[str],
+    seq_col: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply a change-data-capture oplog to a base snapshot:
+    rows are the post-log state — for every key, the HIGHEST-``seq``
+    operation wins (last-writer-wins); a winning ``D`` removes the
+    key, a winning ``I``/``U`` replaces the row, untouched snapshot
+    rows pass through.  The lakehouse MERGE as ONE relational plan —
+    no per-batch loop, no mutable table: replaying a day of CDC
+    against a 100 TB snapshot is a single anti-join + union.
+
+    Ops are ``I``/``U``/``D`` (anything else raises loudly up front);
+    ``seq`` must be totally ordered per key (duplicate (key, seq)
+    raises — an ambiguous log has no deterministic winner).  The
+    oplog's payload columns must match the snapshot's.
+
+    Plan: one ``max_by``-style winner fold over the OPLOG (hash
+    aggregate on key, map-side combined — the log, usually ≪ the
+    snapshot, is the only thing shuffled twice); one LEFT ANTI join
+    of the snapshot against touched keys (broadcast when the day's
+    keys fit, AQE decides); union with the surviving upserts.  The
+    snapshot itself is scanned once and never sorted.
+    """
+    if not key_cols:
+        raise ValueError("cdc_apply: key_cols must be non-empty")
+    payload = [c for c in snapshot.columns]
+    missing = [c for c in payload if c not in oplog.columns]
+    if missing:
+        raise ValueError(
+            f"cdc_apply: oplog lacks snapshot columns {missing}"
+        )
+    bad_op = (
+        oplog.filter(~F.col(op_col).isin("I", "U", "D"))
+        .limit(1)
+        .count()
+    )
+    if bad_op:
+        raise ValueError("cdc_apply: ops must be one of I/U/D")
+    dup = (
+        oplog.groupBy(*key_cols, seq_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > 1)
+        .limit(1)
+        .count()
+    )
+    if dup:
+        raise ValueError(
+            "cdc_apply: duplicate (key, seq) in the oplog — no "
+            "deterministic winner"
+        )
+    winner = oplog.groupBy(*key_cols).agg(
+        F.max_by(
+            F.struct(F.col(op_col).alias("_op"), *payload),
+            F.col(seq_col),
+        ).alias("_w")
+    )
+    touched = winner.select(*key_cols)
+    kept = snapshot.join(touched, key_cols, "left_anti")
+    upserts = (
+        winner.filter(F.col("_w._op") != "D")
+        .select(*[F.col(f"_w.{c}").alias(c) for c in payload])
+    )
+    return kept.unionByName(upserts)

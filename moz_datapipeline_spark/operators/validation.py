@@ -1904,3 +1904,65 @@ def srm_check(
         F.round(p, 6).alias("p_value"),
         F.when(p.isNotNull(), p < F.lit(0.001)).alias("srm_detected"),
     )
+
+
+def k_anonymity_report(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    k: int = 5,
+    sensitive_col: str | None = None,
+) -> DataFrame:
+    """Privacy QC before a data release: one row ``(n_rows, n_groups,
+    min_group_size, n_violating_groups, n_rows_at_risk,
+    k_anonymous[, min_l_diversity, l_diverse])`` over the
+    quasi-identifier combination — a dataset is k-anonymous when
+    every QI group holds ≥ k rows (smaller groups re-identify
+    individuals by joining on the QIs).  With ``sensitive_col``,
+    also reports l-diversity (the minimum count of DISTINCT sensitive
+    values within any QI group — k-anonymity alone fails when a
+    group's sensitive value is constant: membership leaks it).
+    NULLs in QI columns form their own group (NULL is itself a
+    disclosure — documented); l-diversity counts non-NULL sensitive
+    values.
+
+    Plan: ONE (QI...) hash aggregate (map-side combined) + a 1-row
+    fold — the report never shuffles data rows twice.
+    """
+    if not quasi_cols:
+        raise ValueError(
+            "k_anonymity_report: quasi_cols must be non-empty"
+        )
+    if k < 2:
+        raise ValueError("k_anonymity_report: k must be >= 2")
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    if sensitive_col is not None:
+        aggs.append(
+            F.countDistinct(F.col(sensitive_col)).alias("_l")
+        )
+    groups = df.groupBy(
+        *[F.col(c) for c in quasi_cols]
+    ).agg(*aggs)
+    folds = [
+        F.sum("_n").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.min("_n").cast("long").alias("min_group_size"),
+        F.sum((F.col("_n") < k).cast("long")).alias(
+            "n_violating_groups"
+        ),
+        F.sum(F.when(F.col("_n") < k, F.col("_n")).otherwise(0))
+        .cast("long")
+        .alias("n_rows_at_risk"),
+    ]
+    if sensitive_col is not None:
+        folds.append(F.min("_l").cast("long").alias("min_l_diversity"))
+    folded = groups.agg(*folds)
+    out = folded.select(
+        "*",
+        (F.col("n_violating_groups") == 0).alias("k_anonymous"),
+    )
+    if sensitive_col is not None:
+        out = out.select(
+            "*",
+            (F.col("min_l_diversity") >= 2).alias("l_diverse"),
+        )
+    return out

@@ -2436,3 +2436,58 @@ def test_mix_rate_identity_and_effects(spark):
                        "seg string, w double, r double")),
             cur, "seg", "w", "r",
         )
+
+
+def test_cdc_apply_hand_computed(spark):
+    from moz_datapipeline_spark.operators.scd import cdc_apply
+
+    snap = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k long, name string, bal double",
+    )
+    oplog = spark.createDataFrame(
+        [
+            (1, "a", 11.0, "U", 1),
+            (1, "a", 12.0, "U", 5),   # later seq wins
+            (2, "b", 20.0, "D", 1),   # delete
+            (2, "b", 21.0, "U", 0),   # older than the delete -> dead
+            (9, "new", 1.0, "I", 1),  # insert
+        ],
+        "k long, name string, bal double, op string, seq int",
+    )
+    out = {r.k: r for r in cdc_apply(snap, oplog, ["k"], "seq").collect()}
+    assert set(out) == {1, 3, 9}
+    assert out[1].bal == 12.0          # seq 5 beat seq 1
+    assert out[3].bal == 30.0          # untouched passthrough
+    assert out[9].name == "new"
+
+    with pytest.raises(ValueError, match="I/U/D"):
+        cdc_apply(snap, oplog.withColumn("op", F.lit("X")), ["k"], "seq")
+    with pytest.raises(ValueError, match="no .*winner|duplicate"):
+        cdc_apply(snap, oplog.union(oplog.limit(1)), ["k"], "seq")
+
+
+def test_k_anonymity_report_flags(spark):
+    from moz_datapipeline_spark.operators.validation import (
+        k_anonymity_report,
+    )
+
+    rows = [("x", 1, "s1")] * 5 + [("x", 2, "s1")] * 2 + [
+        ("y", 1, "s2")
+    ] * 7
+    df = spark.createDataFrame(rows, "qi1 string, qi2 int, s string")
+    r = k_anonymity_report(df, ["qi1", "qi2"], k=5,
+                           sensitive_col="s").collect()[0]
+    assert r.n_groups == 3 and r.min_group_size == 2
+    assert r.n_violating_groups == 1 and r.n_rows_at_risk == 2
+    assert r.k_anonymous is False
+    # every group's sensitive value is constant -> l = 1
+    assert r.min_l_diversity == 1 and r.l_diverse is False
+
+    safe = spark.createDataFrame(
+        [("x", i % 2, f"s{i % 3}") for i in range(20)],
+        "qi1 string, qi2 int, s string",
+    )
+    r = k_anonymity_report(safe, ["qi1", "qi2"], k=5,
+                           sensitive_col="s").collect()[0]
+    assert r.k_anonymous is True and r.l_diverse is True
