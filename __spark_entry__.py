@@ -6955,6 +6955,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_rate_decomposition": q_mix_rate_decomposition,
         "cdc_apply": q_cdc_apply,
         "k_anonymity": q_k_anonymity,
+        "paired_ttest": q_paired_ttest,
+        "cochran_armitage": q_cochran_armitage,
+        "odds_ratio": q_odds_ratio,
     }
 
 
@@ -17396,6 +17399,143 @@ FROM eaul_calc
         FROM groups
     """
 
+    sql["paired_ttest"] = """
+        WITH d AS (
+          SELECT CAST(l_extendedprice AS DOUBLE)
+                 - CAST(l_extendedprice AS DOUBLE)
+                   * (1 - CAST(l_discount AS DOUBLE)) AS diff
+          FROM lineitem
+          WHERE l_extendedprice IS NOT NULL
+            AND l_discount IS NOT NULL
+        ), f AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 sum(diff) AS s, sum(diff * diff) AS ss
+          FROM d
+        ), m AS (
+          SELECT n, s / n AS mean,
+                 (ss - n * (s / n) * (s / n)) / (n - 1.0) AS var
+          FROM f
+        ), t AS (
+          SELECT n, mean,
+                 CASE WHEN n >= 2 AND var > 0
+                 THEN sqrt(var / n) END AS se
+          FROM m
+        ), z AS (
+          SELECT n, mean, se,
+                 CASE WHEN se IS NOT NULL THEN mean / se END AS tt
+          FROM t
+        ), pp AS (
+          SELECT *,
+                 (0.254829592 * (1.0 / (1.0 + 0.3275911 * abs(tt) / sqrt(2.0)))
+                  - 0.284496736 * pow(1.0 / (1.0 + 0.3275911 * abs(tt) / sqrt(2.0)), 2)
+                  + 1.421413741 * pow(1.0 / (1.0 + 0.3275911 * abs(tt) / sqrt(2.0)), 3)
+                  - 1.453152027 * pow(1.0 / (1.0 + 0.3275911 * abs(tt) / sqrt(2.0)), 4)
+                  + 1.061405429 * pow(1.0 / (1.0 + 0.3275911 * abs(tt) / sqrt(2.0)), 5))
+                 * exp(-abs(tt) / sqrt(2.0) * (abs(tt) / sqrt(2.0)))
+                   AS p
+          FROM z
+        )
+        SELECT n,
+               round(CASE WHEN n > 0 THEN mean END, 6) AS mean_diff,
+               round(se, 6) AS se,
+               round(tt, 6) AS t_stat,
+               round(CASE WHEN tt IS NOT NULL THEN p END, 6)
+                 AS p_value,
+               CASE WHEN tt IS NOT NULL THEN p < 0.05 END
+                 AS significant
+        FROM pp
+    """
+
+    sql["cochran_armitage"] = """
+        WITH base AS (
+          SELECT CAST(floor(CAST(l_quantity AS DOUBLE) / 10)
+                   AS DOUBLE) AS s,
+                 CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS o
+          FROM lineitem
+          WHERE l_quantity IS NOT NULL AND l_returnflag IS NOT NULL
+        ), per AS (
+          SELECT s, CAST(count(*) AS DOUBLE) AS n,
+                 CAST(sum(o) AS DOUBLE) AS x
+          FROM base GROUP BY 1
+        ), f AS (
+          SELECT CAST(count(*) AS BIGINT) AS k_levels,
+                 sum(n) AS nn, sum(x) AS xx,
+                 sum(s * x) AS sx, sum(s * n) AS sn,
+                 sum(s * s * n) AS ssn
+          FROM per
+        ), z AS (
+          SELECT k_levels, nn,
+                 CASE WHEN k_levels > 1
+                      AND (xx / nn) * (1.0 - xx / nn)
+                        * (ssn - sn * sn / nn) > 0
+                 THEN (sx - (xx / nn) * sn)
+                      / sqrt((xx / nn) * (1.0 - xx / nn)
+                        * (ssn - sn * sn / nn)) END AS zz
+          FROM f
+        ), pp AS (
+          SELECT *,
+                 (0.254829592 * (1.0 / (1.0 + 0.3275911 * abs(zz) / sqrt(2.0)))
+                  - 0.284496736 * pow(1.0 / (1.0 + 0.3275911 * abs(zz) / sqrt(2.0)), 2)
+                  + 1.421413741 * pow(1.0 / (1.0 + 0.3275911 * abs(zz) / sqrt(2.0)), 3)
+                  - 1.453152027 * pow(1.0 / (1.0 + 0.3275911 * abs(zz) / sqrt(2.0)), 4)
+                  + 1.061405429 * pow(1.0 / (1.0 + 0.3275911 * abs(zz) / sqrt(2.0)), 5))
+                 * exp(-abs(zz) / sqrt(2.0) * (abs(zz) / sqrt(2.0)))
+                   AS p
+          FROM z
+        )
+        SELECT k_levels, CAST(nn AS BIGINT) AS n,
+               round(zz, 6) AS z,
+               round(CASE WHEN zz IS NOT NULL THEN p END, 6)
+                 AS p_value,
+               CASE WHEN zz IS NOT NULL THEN p < 0.05 END
+                 AS significant
+        FROM pp
+    """
+
+    sql["odds_ratio"] = """
+        WITH j AS (
+          SELECT CASE WHEN p_type LIKE 'PROMO%' THEN 1 ELSE 0 END
+                   AS e,
+                 CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS o
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+        ), f AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CASE WHEN e = 1 AND o = 1 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS a,
+                 CAST(sum(CASE WHEN e = 1 AND o = 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS b,
+                 CAST(sum(CASE WHEN e = 0 AND o = 1 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS c,
+                 CAST(sum(CASE WHEN e = 0 AND o = 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS d
+          FROM j
+        ), h AS (
+          SELECT *,
+                 CASE WHEN a = 0 OR b = 0 OR c = 0 OR d = 0
+                 THEN 0.5 ELSE 0.0 END AS hh
+          FROM f
+        ), m AS (
+          SELECT n, a, b, c, d,
+                 ((a + hh) * (d + hh)) / ((b + hh) * (c + hh))
+                   AS orr,
+                 sqrt(1.0 / (a + hh) + 1.0 / (b + hh)
+                      + 1.0 / (c + hh) + 1.0 / (d + hh)) AS se
+          FROM h
+        )
+        SELECT n, a, b, c, d,
+               round(CASE WHEN n > 0 THEN orr END, 6) AS odds_ratio,
+               round(CASE WHEN n > 0 THEN se END, 6) AS log_or_se,
+               round(CASE WHEN n > 0
+                 THEN exp(ln(orr) - 1.959964 * se) END, 6) AS ci_low,
+               round(CASE WHEN n > 0
+                 THEN exp(ln(orr) + 1.959964 * se) END, 6) AS ci_high,
+               CASE WHEN n > 0 THEN
+                 exp(ln(orr) - 1.959964 * se) > 1
+                 OR exp(ln(orr) + 1.959964 * se) < 1 END
+                 AS significant
+        FROM m
+    """
+
     return sql
 
 
@@ -18867,3 +19007,49 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5,
         sensitive_col="bal_band",
     )
+
+
+def q_paired_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired test of discounted vs full extended price per lineitem
+    (operators/analytics.paired_ttest): one 3-moment fold over the
+    per-row diffs.  VALUE oracle: identical arithmetic."""
+    from moz_datapipeline_spark.operators.analytics import paired_ttest
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("full_price"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "discounted"
+        ),
+    )
+    return paired_ttest(li, "full_price", "discounted")
+
+
+def q_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran–Armitage trend: does the return rate move with the
+    quantity tier (operators/analytics.cochran_armitage)?  Scores =
+    floor(quantity/10), outcome = returned flag.  VALUE oracle:
+    identical level fold + trend arithmetic."""
+    from moz_datapipeline_spark.operators.analytics import (
+        cochran_armitage,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.floor(F.col("l_quantity") / 10).alias("tier"),
+        (F.col("l_returnflag") == "R").cast("int").alias("returned"),
+    )
+    return cochran_armitage(li, "tier", "returned")
+
+
+def q_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Odds ratio of return given promo part, Woolf CI
+    (operators/analytics.odds_ratio): one conditional-sum fold.
+    VALUE oracle: identical 2×2 arithmetic."""
+    from moz_datapipeline_spark.operators.analytics import odds_ratio
+
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        F.col("p_type").startswith("PROMO").cast("int").alias("promo"),
+        (F.col("l_returnflag") == "R").cast("int").alias("returned"),
+    )
+    return odds_ratio(j, "promo", "returned")

@@ -5371,3 +5371,183 @@ def mix_rate_decomposition(
         F.round(mix, 6).alias("mix_effect"),
         F.round(rate, 6).alias("rate_effect"),
     )
+
+
+def paired_ttest(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+) -> DataFrame:
+    """Paired test for two measurements on the SAME rows (before/
+    after, model A/model B per example): one row ``(n, mean_diff,
+    se, t_stat, p_value, significant)`` over the per-row differences
+    — pairing removes the between-row variance that drowns a
+    two-sample test (``ab_test``) when rows differ more than
+    treatments do.  Normal-approximate two-sided p via the A&S erfc
+    polynomial (documented: at the row counts this engine exists
+    for, t ≈ z; below ~30 pairs use an exact-table tool).  Zero
+    variance in the diffs (all equal): NULL stats.  NULL in either
+    column drops the pair.
+
+    Plan: ONE 3-moment hash aggregate over the diffs — no joins, no
+    windows; the numeric twin of ``mcnemar_test``.
+    """
+    a = F.col(a_col).cast("double")
+    b = F.col(b_col).cast("double")
+    d = a - b
+    folded = df.filter(a.isNotNull() & b.isNotNull()).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(d).alias("_s"),
+        F.sum(d * d).alias("_ss"),
+    )
+    n = F.col("n").cast("double")
+    mean = F.col("_s") / n
+    var = (F.col("_ss") - n * mean * mean) / (n - F.lit(1.0))
+    ok = (F.col("n") >= 2) & (var > 0)
+    se = F.when(ok, F.sqrt(var / n))
+    t = F.when(ok, mean / se)
+    az = F.abs(t) / F.sqrt(F.lit(2.0))
+    u = F.lit(1.0) / (F.lit(1.0) + F.lit(0.3275911) * az)
+    poly = (
+        F.lit(0.254829592) * u
+        - F.lit(0.284496736) * (u**2)
+        + F.lit(1.421413741) * (u**3)
+        - F.lit(1.453152027) * (u**4)
+        + F.lit(1.061405429) * (u**5)
+    )
+    p = F.when(t.isNotNull(), poly * F.exp(-az * az))
+    return folded.select(
+        "n",
+        F.round(F.when(F.col("n") > 0, mean), 6).alias("mean_diff"),
+        F.round(se, 6).alias("se"),
+        F.round(t, 6).alias("t_stat"),
+        F.round(p, 6).alias("p_value"),
+        F.when(p.isNotNull(), p < F.lit(0.05)).alias("significant"),
+    )
+
+
+def cochran_armitage(
+    df: DataFrame,
+    score_col: str,
+    outcome_col: str,
+) -> DataFrame:
+    """Cochran–Armitage trend test: does a BINARY outcome rate move
+    monotonically with an ORDINAL exposure score (dose, tier, bucket
+    index)?  One row ``(k_levels, n, z, p_value, significant)`` —
+    more powerful than the omnibus χ² (``chi_square``) when the
+    alternative is a trend, because it spends its one degree of
+    freedom on the ordering:
+
+        z = Σᵢ sᵢ(xᵢ − nᵢ·p̄) / √( p̄(1−p̄)·[Σnᵢsᵢ² − (Σnᵢsᵢ)²/N] )
+
+    with xᵢ successes of nᵢ at score sᵢ.  Two-sided p via the A&S
+    erfc polynomial.  Degenerate inputs (one level, all-success/
+    all-failure, zero score variance) yield NULLs.  NULLs drop.
+
+    Plan: one (score) hash aggregate (map-side combined, ≤ levels
+    groups) + a 1-row fold.
+    """
+    s = F.col(score_col).cast("double")
+    o = F.col(outcome_col).cast("int")
+    per = (
+        df.filter(s.isNotNull() & o.isNotNull())
+        .groupBy(s.alias("_s"))
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("_n"),
+            F.sum(o).cast("double").alias("_x"),
+        )
+    )
+    folded = per.agg(
+        F.count(F.lit(1)).cast("long").alias("k_levels"),
+        F.sum("_n").alias("_nn"),
+        F.sum("_x").alias("_xx"),
+        F.sum(F.col("_s") * F.col("_x")).alias("_sx"),
+        F.sum(F.col("_s") * F.col("_n")).alias("_sn"),
+        F.sum(F.col("_s") * F.col("_s") * F.col("_n")).alias("_ssn"),
+    )
+    nn = F.col("_nn")
+    pbar = F.col("_xx") / nn
+    num = F.col("_sx") - pbar * F.col("_sn")
+    den2 = (
+        pbar
+        * (F.lit(1.0) - pbar)
+        * (F.col("_ssn") - F.col("_sn") * F.col("_sn") / nn)
+    )
+    ok = (F.col("k_levels") > 1) & (den2 > 0)
+    z = F.when(ok, num / F.sqrt(den2))
+    az = F.abs(z) / F.sqrt(F.lit(2.0))
+    u = F.lit(1.0) / (F.lit(1.0) + F.lit(0.3275911) * az)
+    poly = (
+        F.lit(0.254829592) * u
+        - F.lit(0.284496736) * (u**2)
+        + F.lit(1.421413741) * (u**3)
+        - F.lit(1.453152027) * (u**4)
+        + F.lit(1.061405429) * (u**5)
+    )
+    p = F.when(z.isNotNull(), poly * F.exp(-az * az))
+    return folded.select(
+        "k_levels",
+        nn.cast("long").alias("n"),
+        F.round(z, 6).alias("z"),
+        F.round(p, 6).alias("p_value"),
+        F.when(p.isNotNull(), p < F.lit(0.05)).alias("significant"),
+    )
+
+
+def odds_ratio(
+    df: DataFrame,
+    exposure_col: str,
+    outcome_col: str,
+) -> DataFrame:
+    """2×2 odds ratio with the Woolf (log) confidence interval: one
+    row ``(n, a, b, c, d, odds_ratio, log_or_se, ci_low, ci_high,
+    significant)`` where a/b/c/d are the exposed-positive /
+    exposed-negative / unexposed-positive / unexposed-negative
+    counts.  The case-control effect size ``ab_test`` (a difference
+    of rates) can't express; CI = exp(ln OR ± 1.96·√(1/a+1/b+1/c+
+    1/d)); ``significant`` when the CI excludes 1.  The Haldane–
+    Anscombe +0.5 correction applies ONLY when some cell is zero
+    (documented — applying it always biases dense tables).  NULLs
+    drop; both columns are coerced to 0/1.
+
+    Plan: ONE conditional-sum aggregate — no joins, no windows.
+    """
+    e = F.col(exposure_col).cast("int")
+    o = F.col(outcome_col).cast("int")
+    folded = df.filter(e.isNotNull() & o.isNotNull()).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(((e == 1) & (o == 1)).cast("long")).alias("a"),
+        F.sum(((e == 1) & (o == 0)).cast("long")).alias("b"),
+        F.sum(((e == 0) & (o == 1)).cast("long")).alias("c"),
+        F.sum(((e == 0) & (o == 0)).cast("long")).alias("d"),
+    )
+    any_zero = (
+        (F.col("a") == 0)
+        | (F.col("b") == 0)
+        | (F.col("c") == 0)
+        | (F.col("d") == 0)
+    )
+    half = F.when(any_zero, F.lit(0.5)).otherwise(F.lit(0.0))
+    a = F.col("a").cast("double") + half
+    b = F.col("b").cast("double") + half
+    c = F.col("c").cast("double") + half
+    d = F.col("d").cast("double") + half
+    orr = (a * d) / (b * c)
+    se = F.sqrt(
+        F.lit(1.0) / a + F.lit(1.0) / b + F.lit(1.0) / c + F.lit(1.0) / d
+    )
+    lo = F.exp(F.log(orr) - F.lit(1.959964) * se)
+    hi = F.exp(F.log(orr) + F.lit(1.959964) * se)
+    ok = F.col("n") > 0
+    return folded.select(
+        "n",
+        "a",
+        "b",
+        "c",
+        "d",
+        F.round(F.when(ok, orr), 6).alias("odds_ratio"),
+        F.round(F.when(ok, se), 6).alias("log_or_se"),
+        F.round(F.when(ok, lo), 6).alias("ci_low"),
+        F.round(F.when(ok, hi), 6).alias("ci_high"),
+        F.when(ok, (lo > 1) | (hi < 1)).alias("significant"),
+    )

@@ -2491,3 +2491,64 @@ def test_k_anonymity_report_flags(spark):
     r = k_anonymity_report(safe, ["qi1", "qi2"], k=5,
                            sensitive_col="s").collect()[0]
     assert r.k_anonymous is True and r.l_diverse is True
+
+
+def test_paired_ttest_beats_unpaired_on_noisy_rows(spark):
+    """Per-row baselines vary hugely; the treatment adds +1 to each.
+    The paired test must detect it decisively."""
+    from moz_datapipeline_spark.operators.analytics import paired_ttest
+
+    rows = [(float(1000 * i), float(1000 * i + 1 + (0.1 if i % 2 else -0.1)))
+            for i in range(100)]
+    df = spark.createDataFrame(rows, "before double, after double")
+    r = paired_ttest(df, "after", "before").collect()[0]
+    assert abs(r.mean_diff - 1.0) < 1e-6
+    assert r.significant is True and r.p_value < 1e-6
+
+    const = spark.createDataFrame([(1.0, 1.0)] * 5, "a double, b double")
+    r = paired_ttest(const, "a", "b").collect()[0]
+    assert r.t_stat is None and r.p_value is None
+
+
+def test_cochran_armitage_trend_vs_flat(spark):
+    from moz_datapipeline_spark.operators.analytics import (
+        cochran_armitage,
+    )
+
+    rows = []
+    # monotone: success rate 10%/30%/50% at scores 0/1/2
+    for s, rate in ((0, 10), (1, 30), (2, 50)):
+        rows += [(s, 1)] * rate + [(s, 0)] * (100 - rate)
+    df = spark.createDataFrame(rows, "s int, o int")
+    r = cochran_armitage(df, "s", "o").collect()[0]
+    assert r.z > 5 and r.significant is True
+
+    flat = []
+    for s in (0, 1, 2):
+        flat += [(s, 1)] * 30 + [(s, 0)] * 70
+    r = cochran_armitage(
+        spark.createDataFrame(flat, "s int, o int"), "s", "o"
+    ).collect()[0]
+    assert abs(r.z) < 1e-9 and r.significant is False
+
+    one_level = spark.createDataFrame([(1, 1), (1, 0)], "s int, o int")
+    r = cochran_armitage(one_level, "s", "o").collect()[0]
+    assert r.z is None
+
+
+def test_odds_ratio_hand_computed(spark):
+    from moz_datapipeline_spark.operators.analytics import odds_ratio
+
+    # a=30 b=70 c=10 d=90 -> OR = 30*90/(70*10) = 3.857
+    rows = [(1, 1)] * 30 + [(1, 0)] * 70 + [(0, 1)] * 10 + [(0, 0)] * 90
+    df = spark.createDataFrame(rows, "e int, o int")
+    r = odds_ratio(df, "e", "o").collect()[0]
+    assert abs(r.odds_ratio - 30 * 90 / (70 * 10)) < 1e-6
+    assert r.significant is True and r.ci_low > 1
+
+    # zero cell -> Haldane correction engages, no infinity
+    rows = [(1, 1)] * 10 + [(1, 0)] * 10 + [(0, 0)] * 20
+    r = odds_ratio(
+        spark.createDataFrame(rows, "e int, o int"), "e", "o"
+    ).collect()[0]
+    assert r.odds_ratio is not None and r.ci_high is not None
