@@ -15447,11 +15447,11 @@ FROM eaul_calc
         ), alloc AS (
           SELECT id, CAST(b AS DOUBLE) * 30.0 AS bucket_start,
                  round(CASE WHEN e - s > 0
-                       THEN a * (least(e, CAST(b AS DOUBLE) * 30.0
-                                          + 30.0)
-                                 - greatest(s, CAST(b AS DOUBLE)
-                                               * 30.0))
-                            / (e - s)
+                       THEN a * ((least(e, CAST(b AS DOUBLE) * 30.0
+                                           + 30.0)
+                                  - greatest(s, CAST(b AS DOUBLE)
+                                                * 30.0))
+                                 / (e - s))
                        ELSE a END, 6) AS al
           FROM exploded
         )

@@ -1067,7 +1067,10 @@ def prorate_intervals(
     bs = F.col("_b").cast("double") * w
     ov = F.least(F.col("_e"), bs + w) - F.greatest(F.col("_s"), bs)
     dur = F.col("_e") - F.col("_s")
-    alloc = F.when(dur > 0, F.col("_a") * ov / dur).otherwise(
+    # ratio FIRST: a*ov can underflow to subnormal dust before the
+    # divide (a 5e-324-wide interval allocated 2.0x its amount in the
+    # hypothesis sweep); ov/dur is well-conditioned in [0, 1]
+    alloc = F.when(dur > 0, F.col("_a") * (ov / dur)).otherwise(
         F.col("_a")
     )
     return staged.select(
