@@ -555,3 +555,160 @@ def test_trajectory_triangle_inequality(spark, pts):
     r = trajectory_stats(df, entity_col="entity").collect()[0]
     assert r.net_km <= r.total_km + 1e-6
     assert r.max_segment_km <= r.total_km + 1e-6
+
+
+@settings(**SETTINGS)
+@given(
+    a=st.lists(st.floats(min_value=-1e6, max_value=1e6,
+                         allow_nan=False), min_size=1, max_size=60),
+    b=st.lists(st.floats(min_value=-1e6, max_value=1e6,
+                         allow_nan=False), min_size=1, max_size=60),
+)
+def test_wasserstein_metric_properties(spark, a, b):
+    """W1 is symmetric, zero on identical samples, and matches the
+    O(n log n) reference on sorted quantile functions when sizes are
+    equal."""
+    from moz_datapipeline_spark.operators.analytics import wasserstein_1d
+
+    da = spark.createDataFrame([(float(v),) for v in a], "v double")
+    db = spark.createDataFrame([(float(v),) for v in b], "v double")
+    w_ab = wasserstein_1d(da, db, "v").collect()[0].wasserstein
+    w_ba = wasserstein_1d(db, da, "v").collect()[0].wasserstein
+    assert w_ab == pytest.approx(w_ba, rel=1e-9, abs=1e-9)
+    w_aa = wasserstein_1d(da, da, "v").collect()[0].wasserstein
+    assert w_aa == pytest.approx(0.0, abs=1e-9)
+    if len(a) == len(b):
+        ref = float(np.mean(np.abs(np.sort(a) - np.sort(b))))
+        assert w_ab == pytest.approx(ref, rel=1e-6, abs=1e-5)
+
+
+@settings(**SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=20),   # key
+            st.integers(min_value=0, max_value=50),   # seq
+            st.sampled_from(["I", "U", "D"]),
+            st.floats(min_value=-100, max_value=100, allow_nan=False),
+        ),
+        min_size=0, max_size=60,
+    )
+)
+def test_cdc_apply_replay_idempotent(spark, rows):
+    """Applying the same oplog to its own output changes nothing
+    (last-writer-wins is idempotent), and the result matches a
+    driver-side replay."""
+    from moz_datapipeline_spark.operators.scd import cdc_apply
+
+    # dedupe (key, seq) pairs — ambiguous logs are rejected by design
+    seen = {}
+    for k, seq, op, v in rows:
+        seen[(k, seq)] = (k, seq, op, v)
+    log = list(seen.values())
+    snap_rows = [(k, float(k)) for k in range(10)]
+    snap = spark.createDataFrame(snap_rows, "k long, val double")
+    if not log:
+        return
+    oplog = spark.createDataFrame(
+        [(k, float(v), op, seq) for (k, seq, op, v) in log],
+        "k long, val double, op string, seq long",
+    )
+    out1 = cdc_apply(snap, oplog, ["k"], "seq")
+    got1 = {r.k: r.val for r in out1.collect()}
+    out2 = cdc_apply(out1, oplog, ["k"], "seq")
+    got2 = {r.k: r.val for r in out2.collect()}
+    assert got1 == got2
+    # driver replay
+    state = dict(snap_rows)
+    winners = {}
+    for k, seq, op, v in log:
+        if k not in winners or seq > winners[k][0]:
+            winners[k] = (seq, op, v)
+    for k, (_, op, v) in winners.items():
+        if op == "D":
+            state.pop(k, None)
+        else:
+            state[k] = float(v)
+    assert got1 == state
+
+
+@settings(**SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.floats(min_value=0, max_value=1, allow_nan=False),
+            st.integers(min_value=0, max_value=1),
+            st.integers(min_value=0, max_value=1),
+        ),
+        min_size=4, max_size=120,
+    ),
+    n_bins=st.integers(min_value=2, max_value=8),
+)
+def test_uplift_bins_partition_rows(spark, rows, n_bins):
+    """Bins partition the population exactly: per-bin counts sum to
+    the input and conversions are conserved."""
+    from moz_datapipeline_spark.operators.mleval import uplift_bins
+
+    df = spark.createDataFrame(rows, "s double, t int, o int")
+    out = uplift_bins(df, "s", "t", "o", n_bins=n_bins).collect()
+    assert sum(r.n_treat + r.n_ctrl for r in out) == len(rows)
+    assert sum(r.conv_treat for r in out) == sum(
+        o for (_, t, o) in rows if t == 1
+    )
+    assert sum(r.conv_ctrl for r in out) == sum(
+        o for (_, t, o) in rows if t == 0
+    )
+    assert all(0 <= r.bin < n_bins for r in out)
+
+
+@settings(**SETTINGS)
+@given(
+    vals=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),
+            st.floats(min_value=-1e3, max_value=1e3, allow_nan=False),
+        ),
+        min_size=6, max_size=100,
+    )
+)
+def test_kruskal_invariant_to_label_permutation(spark, vals):
+    """Relabeling the groups (a bijection) must not change H."""
+    from moz_datapipeline_spark.operators.analytics import kruskal_wallis
+
+    df = spark.createDataFrame(vals, "g string, v double")
+    h1 = kruskal_wallis(df, "v", "g").collect()[0].h_stat
+    swap = {"a": "z", "b": "x", "c": "y"}
+    df2 = spark.createDataFrame(
+        [(swap[g], v) for g, v in vals], "g string, v double"
+    )
+    h2 = kruskal_wallis(df2, "v", "g").collect()[0].h_stat
+    if h1 is None:
+        assert h2 is None
+    else:
+        assert h1 == pytest.approx(h2, rel=1e-9, abs=1e-9)
+
+
+@settings(**SETTINGS)
+@given(
+    sizes=st.lists(st.integers(min_value=1, max_value=10_000),
+                   min_size=1, max_size=80),
+    target=st.integers(min_value=100, max_value=20_000),
+)
+def test_compaction_plan_covers_and_bounds(spark, sizes, target):
+    """Every file lands in exactly one bin; no bin except via a
+    single straddling file exceeds target + max_file."""
+    from moz_datapipeline_spark.operators.relational import (
+        compaction_plan,
+    )
+
+    files = [(f"f{i}", int(s)) for i, s in enumerate(sizes)]
+    df = spark.createDataFrame(files, "path string, bytes long")
+    out = compaction_plan(df, target_bytes=target).collect()
+    assert sorted(r.path for r in out) == sorted(p for p, _ in files)
+    mx = max(sizes)
+    bins = {}
+    for r in out:
+        bins.setdefault(r.bin, 0)
+        bins[r.bin] += r.bytes
+    for b, tot in bins.items():
+        assert tot <= target + mx
