@@ -6958,6 +6958,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paired_ttest": q_paired_ttest,
         "cochran_armitage": q_cochran_armitage,
         "odds_ratio": q_odds_ratio,
+        "quantile_ci": q_quantile_ci,
+        "capture_recapture": q_capture_recapture,
     }
 
 
@@ -17536,6 +17538,86 @@ FROM eaul_calc
         FROM m
     """
 
+    sql["quantile_ci"] = """
+        WITH vals AS (
+          SELECT CAST(l_extendedprice AS DOUBLE) AS v
+          FROM lineitem WHERE l_extendedprice IS NOT NULL
+        ), nn AS (
+          SELECT CAST(count(*) AS BIGINT) AS n FROM vals
+        ), zc AS (
+          -- A&S 26.2.23 inverse normal at 0.975 (alpha/2 = 0.025)
+          SELECT n,
+                 sqrt(-2.0 * ln(0.025)) AS t
+          FROM nn
+        ), zz AS (
+          SELECT n,
+                 t - (2.30753 + 0.27061 * t)
+                     / (1.0 + 0.99229 * t + 0.04481 * t * t) AS z
+          FROM zc
+        ), ranks AS (
+          SELECT n, z,
+                 greatest(1, least(n, CAST(floor(n * 0.5
+                   - z * sqrt(n * 0.25)) AS BIGINT))) AS r_lo,
+                 greatest(1, least(n, CAST(ceil(n * 0.5
+                   + z * sqrt(n * 0.25)) AS BIGINT))) AS r_hi,
+                 greatest(1, least(n, CAST(floor(0.5 * (n - 1)
+                   + 0.5) AS BIGINT) + 1)) AS r_pt
+          FROM zz
+        ), ordered AS (
+          SELECT v, row_number() OVER (ORDER BY v) AS rn FROM vals
+        )
+        SELECT r.n,
+               CAST(0.5 AS DOUBLE) AS prob,
+               round((SELECT v FROM ordered WHERE rn = r.r_pt), 6)
+                 AS estimate,
+               round((SELECT v FROM ordered WHERE rn = r.r_lo), 6)
+                 AS ci_low,
+               round((SELECT v FROM ordered WHERE rn = r.r_hi), 6)
+                 AS ci_high,
+               r.r_lo AS rank_low,
+               r.r_hi AS rank_high
+        FROM ranks r
+    """
+
+    sql["capture_recapture"] = """
+        WITH ia AS (
+          SELECT DISTINCT o_orderkey AS id FROM orders
+          WHERE o_orderkey % 3 = 0
+        ), ib AS (
+          SELECT DISTINCT o_orderkey AS id FROM orders
+          WHERE o_orderkey % 5 = 0
+        ), f AS (
+          SELECT (SELECT CAST(count(*) AS BIGINT) FROM ia) AS n_a,
+                 (SELECT CAST(count(*) AS BIGINT) FROM ib) AS n_b,
+                 (SELECT CAST(count(*) AS BIGINT)
+                  FROM ia JOIN ib USING (id)) AS n_overlap
+        ), m AS (
+          SELECT n_a, n_b, n_overlap,
+                 (n_a + 1.0) * (n_b + 1.0) / (n_overlap + 1.0) - 1.0
+                   AS est,
+                 sqrt(greatest(0.0,
+                   (n_a + 1.0) * (n_b + 1.0)
+                   * (n_a - CAST(n_overlap AS DOUBLE))
+                   * (n_b - CAST(n_overlap AS DOUBLE))
+                   / ((n_overlap + 1.0) * (n_overlap + 1.0)
+                      * (n_overlap + 2.0)))) AS se,
+                 greatest(CAST(n_a AS DOUBLE), n_b) AS fl
+          FROM f
+        )
+        SELECT n_a, n_b, n_overlap,
+               round(CASE WHEN n_a > 0 AND n_b > 0
+                 THEN greatest(est, fl) END, 6) AS estimate,
+               round(CASE WHEN n_a > 0 AND n_b > 0 THEN se END, 6)
+                 AS se,
+               round(CASE WHEN n_a > 0 AND n_b > 0
+                 THEN greatest(est - 1.959964 * se, fl) END, 6)
+                 AS ci_low,
+               round(CASE WHEN n_a > 0 AND n_b > 0
+                 THEN greatest(est + 1.959964 * se, fl) END, 6)
+                 AS ci_high
+        FROM m
+    """
+
     return sql
 
 
@@ -19053,3 +19135,33 @@ def q_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_returnflag") == "R").cast("int").alias("returned"),
     )
     return odds_ratio(j, "promo", "returned")
+
+
+def q_quantile_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-statistic CI for the median extended price
+    (operators/analytics.quantile_ci): binomial rank bounds + three
+    bounded rank selections — the assumption-free quantile CI.
+    VALUE oracle: identical A&S inverse-normal z, identical ranks,
+    row_number order statistics."""
+    from moz_datapipeline_spark.operators.analytics import quantile_ci
+
+    li = _t(spark, sf_dir, "lineitem")
+    return quantile_ci(li, "l_extendedprice", prob=0.5,
+                       confidence=0.95)
+
+
+def q_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chapman capture–recapture estimate over two deterministic
+    'detector' passes on orders (keys ≡0 mod 3 vs mod 5)
+    (operators/analytics.capture_recapture): two distinct folds +
+    one overlap join.  VALUE oracle: identical Chapman arithmetic."""
+    from moz_datapipeline_spark.operators.analytics import (
+        capture_recapture,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    return capture_recapture(
+        o.filter(F.col("o_orderkey") % 3 == 0).select("o_orderkey"),
+        o.filter(F.col("o_orderkey") % 5 == 0).select("o_orderkey"),
+        "o_orderkey",
+    )

@@ -5551,3 +5551,154 @@ def odds_ratio(
         F.round(F.when(ok, hi), 6).alias("ci_high"),
         F.when(ok, (lo > 1) | (hi < 1)).alias("significant"),
     )
+
+
+def quantile_ci(
+    df: DataFrame,
+    column: str,
+    prob: float = 0.5,
+    confidence: float = 0.95,
+) -> DataFrame:
+    """Distribution-free confidence interval for a quantile via
+    ORDER STATISTICS: one row ``(n, prob, estimate, ci_low, ci_high,
+    rank_low, rank_high)`` — the rank of the p-quantile is
+    Binomial(n, p), so ``[x_(r_lo), x_(r_hi)]`` with ``r = n·p ±
+    z·√(n·p(1−p))`` covers the true quantile at the target level
+    with NO distributional assumption (the bootstrap without the
+    bootstrap: exact order statistics, two extra rank selections).
+    The normal rank approximation is standard for n ≳ 30
+    (documented); ranks clamp to [1, n].  NULLs drop; n = 0 returns
+    a single all-NULL-stats row.
+
+    Plan: three ``exact_kth_value`` selections (each a bounded
+    range-partition rank — never a global sort) over ONE cached
+    value projection; the result is a 1-row driver literal (the
+    ``ks_test`` convention).
+    """
+    import math as _math
+
+    if not (0.0 < prob < 1.0):
+        raise ValueError("quantile_ci: prob must be in (0, 1)")
+    if not (0.5 <= confidence < 1.0):
+        raise ValueError(
+            "quantile_ci: confidence must be in [0.5, 1)"
+        )
+    from .indicators import exact_kth_value
+
+    spark = df.sparkSession
+    vals = df.select(
+        F.col(column).cast("double").alias("_v")
+    ).filter(F.col("_v").isNotNull())
+    vals = vals.persist()
+    n = vals.count()
+    schema = (
+        "n long, prob double, estimate double, ci_low double, "
+        "ci_high double, rank_low long, rank_high long"
+    )
+    if n == 0:
+        vals.unpersist()
+        return spark.createDataFrame(
+            [(0, float(prob), None, None, None, None, None)], schema
+        )
+    # two-sided z for the requested confidence via the A&S inverse
+    # (rational approximation, |eps| < 4.5e-4 — far inside the
+    # integer rank rounding this feeds)
+    alpha = 1.0 - confidence
+    pz = 1.0 - alpha / 2.0
+    t = _math.sqrt(-2.0 * _math.log(1.0 - pz))
+    z = t - (2.30753 + 0.27061 * t) / (
+        1.0 + 0.99229 * t + 0.04481 * t * t
+    )
+    mean = n * prob
+    sd = _math.sqrt(n * prob * (1.0 - prob))
+    r_lo = max(1, min(n, int(_math.floor(mean - z * sd))))
+    r_hi = max(1, min(n, int(_math.ceil(mean + z * sd))))
+    # half-up, NOT python round (banker's): the oracle replays
+    # floor(x + 0.5) exactly
+    r_pt = max(1, min(n, int(_math.floor(prob * (n - 1) + 0.5)) + 1))
+    est = exact_kth_value(vals, "_v", r_pt - 1)
+    lo = exact_kth_value(vals, "_v", r_lo - 1)
+    hi = exact_kth_value(vals, "_v", r_hi - 1)
+    vals.unpersist()
+    return spark.createDataFrame(
+        [
+            (
+                n,
+                float(prob),
+                None if est is None else round(float(est), 6),
+                None if lo is None else round(float(lo), 6),
+                None if hi is None else round(float(hi), 6),
+                r_lo,
+                r_hi,
+            )
+        ],
+        schema,
+    )
+
+
+def capture_recapture(
+    a: DataFrame,
+    b: DataFrame,
+    id_col: str,
+) -> DataFrame:
+    """Chapman capture–recapture population estimate from two
+    independent detection passes: one row ``(n_a, n_b, n_overlap,
+    estimate, se, ci_low, ci_high)`` with ``N̂ = (n_a+1)(n_b+1)/
+    (m+1) − 1`` — the dedup-QA workhorse: run two DIFFERENT
+    near-dup detectors (e.g. MinHash and SimHash) over the same
+    corpus, treat each's detected set as a "capture", and estimate
+    how many duplicates BOTH missed.  Assumes independent detection
+    with equal catchability (documented — correlated detectors bias
+    N̂ low).  Chapman is unbiased for m > 0 and defined even at
+    m = 0, unlike Lincoln–Petersen; the CI is the normal interval on
+    the Chapman variance, floored at max(n_a, n_b) (an estimate
+    below either capture is impossible).
+
+    Plan: two distinct-count folds + ONE inner join for the overlap
+    — no data-sized shuffles beyond the id projections.
+    """
+    ia = a.select(F.col(id_col).alias("_id")).filter(
+        F.col("_id").isNotNull()
+    ).distinct()
+    ib = b.select(F.col(id_col).alias("_id")).filter(
+        F.col("_id").isNotNull()
+    ).distinct()
+    na = ia.agg(F.count(F.lit(1)).alias("_n"))
+    nb = ib.agg(F.count(F.lit(1)).alias("_n"))
+    m = ia.join(ib, "_id").agg(F.count(F.lit(1)).alias("_m"))
+    folded = (
+        na.select(F.col("_n").alias("n_a"))
+        .crossJoin(nb.select(F.col("_n").alias("n_b")))
+        .crossJoin(F.broadcast(m.select(F.col("_m").alias("n_overlap"))))
+    )
+    a_ = F.col("n_a").cast("double")
+    b_ = F.col("n_b").cast("double")
+    m_ = F.col("n_overlap").cast("double")
+    est = (a_ + 1) * (b_ + 1) / (m_ + 1) - F.lit(1.0)
+    var = (
+        (a_ + 1)
+        * (b_ + 1)
+        * (a_ - m_)
+        * (b_ - m_)
+        / ((m_ + 1) * (m_ + 1) * (m_ + 2))
+    )
+    se = F.sqrt(F.greatest(var, F.lit(0.0)))
+    floor_ = F.greatest(a_, b_)
+    ok = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    return folded.select(
+        "n_a",
+        "n_b",
+        "n_overlap",
+        F.round(F.when(ok, F.greatest(est, floor_)), 6).alias(
+            "estimate"
+        ),
+        F.round(F.when(ok, se), 6).alias("se"),
+        F.round(
+            F.when(ok, F.greatest(est - F.lit(1.959964) * se, floor_)),
+            6,
+        ).alias("ci_low"),
+        F.round(
+            F.when(ok, F.greatest(est + F.lit(1.959964) * se, floor_)),
+            6,
+        ).alias("ci_high"),
+    )

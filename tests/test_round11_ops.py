@@ -2552,3 +2552,43 @@ def test_odds_ratio_hand_computed(spark):
         spark.createDataFrame(rows, "e int, o int"), "e", "o"
     ).collect()[0]
     assert r.odds_ratio is not None and r.ci_high is not None
+
+
+def test_quantile_ci_covers_known_median(spark):
+    from moz_datapipeline_spark.operators.analytics import quantile_ci
+
+    vals = [float(i) for i in range(1, 102)]  # median = 51
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    r = quantile_ci(df, "v", prob=0.5, confidence=0.95).collect()[0]
+    assert r.n == 101 and r.estimate == 51.0
+    assert r.ci_low <= 51.0 <= r.ci_high
+    assert r.ci_low > 38 and r.ci_high < 64  # ~±10 ranks at n=101
+
+    empty = spark.createDataFrame([], "v double")
+    r = quantile_ci(empty, "v").collect()[0]
+    assert r.n == 0 and r.estimate is None
+
+    with pytest.raises(ValueError, match="prob"):
+        quantile_ci(df, "v", prob=1.5)
+    # no leaked cache
+    assert spark.sparkContext._jsc.sc().getPersistentRDDs().size() == 0
+
+
+def test_capture_recapture_chapman(spark):
+    """n_a=60, n_b=40, m=20 -> Chapman = 61*41/21 - 1 = 118.1."""
+    from moz_datapipeline_spark.operators.analytics import (
+        capture_recapture,
+    )
+
+    a = spark.createDataFrame([(i,) for i in range(60)], "id long")
+    b = spark.createDataFrame([(i,) for i in range(40, 80)], "id long")
+    r = capture_recapture(a, b, "id").collect()[0]
+    assert r.n_a == 60 and r.n_b == 40 and r.n_overlap == 20
+    assert abs(r.estimate - (61 * 41 / 21 - 1)) < 1e-6
+    assert r.ci_low <= r.estimate <= r.ci_high
+    assert r.ci_low >= 60  # floored at max capture
+
+    # zero overlap stays finite (Chapman's whole point)
+    c = spark.createDataFrame([(i,) for i in range(100, 120)], "id long")
+    r = capture_recapture(a, c, "id").collect()[0]
+    assert r.n_overlap == 0 and r.estimate == 61 * 21 - 1
