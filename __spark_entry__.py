@@ -6960,6 +6960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "odds_ratio": q_odds_ratio,
         "quantile_ci": q_quantile_ci,
         "capture_recapture": q_capture_recapture,
+        "mrr_bridge": q_mrr_bridge,
     }
 
 
@@ -17618,6 +17619,57 @@ FROM eaul_calc
         FROM m
     """
 
+    sql["mrr_bridge"] = """
+        WITH pb AS (
+          SELECT CAST(o_custkey AS VARCHAR) AS id,
+                 sum(o_totalprice) AS a
+          FROM orders WHERE year(o_orderdate) = 1995
+          GROUP BY 1 HAVING sum(o_totalprice) > 0
+        ), pc AS (
+          SELECT CAST(o_custkey AS VARCHAR) AS id,
+                 sum(o_totalprice) AS a
+          FROM orders WHERE year(o_orderdate) = 1996
+          GROUP BY 1 HAVING sum(o_totalprice) > 0
+        ), j AS (
+          SELECT coalesce(pb.a, 0.0) AS b, coalesce(pc.a, 0.0) AS c
+          FROM pb FULL OUTER JOIN pc ON pb.id = pc.id
+        ), t AS (
+          SELECT least(b, c) AS retained,
+                 CASE WHEN b = 0 THEN c ELSE 0.0 END AS new,
+                 CASE WHEN b > 0 AND c > b THEN c - b
+                 ELSE 0.0 END AS expansion,
+                 CASE WHEN c > 0 AND b > c THEN b - c
+                 ELSE 0.0 END AS contraction,
+                 CASE WHEN c = 0 THEN b ELSE 0.0 END AS churned
+          FROM j
+        )
+        SELECT 'retained' AS movement,
+               CAST(sum(CASE WHEN retained > 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_accounts,
+               round(coalesce(sum(retained), 0.0), 6) AS amount
+        FROM t
+        UNION ALL
+        SELECT 'new',
+               CAST(sum(CASE WHEN new > 0 THEN 1 ELSE 0 END)
+                 AS BIGINT),
+               round(coalesce(sum(new), 0.0), 6) FROM t
+        UNION ALL
+        SELECT 'expansion',
+               CAST(sum(CASE WHEN expansion > 0 THEN 1 ELSE 0 END)
+                 AS BIGINT),
+               round(coalesce(sum(expansion), 0.0), 6) FROM t
+        UNION ALL
+        SELECT 'contraction',
+               CAST(sum(CASE WHEN contraction > 0 THEN 1 ELSE 0 END)
+                 AS BIGINT),
+               round(coalesce(sum(contraction), 0.0), 6) FROM t
+        UNION ALL
+        SELECT 'churned',
+               CAST(sum(CASE WHEN churned > 0 THEN 1 ELSE 0 END)
+                 AS BIGINT),
+               round(coalesce(sum(churned), 0.0), 6) FROM t
+    """
+
     return sql
 
 
@@ -19165,3 +19217,22 @@ def q_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.filter(F.col("o_orderkey") % 5 == 0).select("o_orderkey"),
         "o_orderkey",
     )
+
+
+def q_mrr_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue movement bridge: per-customer order spend, 1995 vs
+    1996 (operators/analytics.mrr_bridge) — retained/new/expansion/
+    contraction/churned with the account-exact sum identity.  VALUE
+    oracle: identical full-outer join + conditional folds."""
+    from moz_datapipeline_spark.operators.analytics import mrr_bridge
+
+    o = _t(spark, sf_dir, "orders")
+
+    def period(year: int):
+        return (
+            o.filter(F.year("o_orderdate") == year)
+            .groupBy("o_custkey")
+            .agg(F.sum("o_totalprice").alias("spend"))
+        )
+
+    return mrr_bridge(period(1995), period(1996), "o_custkey", "spend")

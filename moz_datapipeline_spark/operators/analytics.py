@@ -5702,3 +5702,112 @@ def capture_recapture(
             6,
         ).alias("ci_high"),
     )
+
+
+def mrr_bridge(
+    base: DataFrame,
+    current: DataFrame,
+    id_col: str,
+    amount_col: str,
+) -> DataFrame:
+    """Recurring-revenue movement bridge between two periods: rows
+    ``(movement, n_accounts, amount)`` for movement ∈ {retained,
+    expansion, contraction, new, churned} plus the identity
+    ``base + new + expansion − contraction − churned = current``
+    (retained carries the UNCHANGED portion: an account paying 80
+    after 100 contributes 80 retained + 20 contraction, so the
+    bridge sums account-exactly, not just in aggregate).  The SaaS
+    twin of ``mix_rate_decomposition`` — per-account attribution
+    instead of per-segment.  One row per account per period
+    (duplicates raise loudly); zero/NULL amounts are treated as
+    absent (a zeroed subscription IS churn).
+
+    Plan: one FULL OUTER equi join on the account id + one 5-way
+    conditional fold — |accounts|-sized all the way.
+    """
+    def _side(df: DataFrame, tag: str) -> DataFrame:
+        out = df.select(
+            F.col(id_col).cast("string").alias("_id"),
+            F.col(amount_col).cast("double").alias(f"_a_{tag}"),
+        ).filter(
+            F.col("_id").isNotNull()
+            & F.col(f"_a_{tag}").isNotNull()
+            & (F.col(f"_a_{tag}") > 0)
+        )
+        dup = (
+            out.groupBy("_id")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > 1)
+            .limit(1)
+            .count()
+        )
+        if dup:
+            raise ValueError(
+                "mrr_bridge: multiple rows per account in the "
+                f"{tag} period — pre-aggregate first"
+            )
+        return out
+
+    b = _side(base, "b")
+    c = _side(current, "c")
+    j = b.join(c, "_id", "full_outer").select(
+        F.coalesce("_a_b", F.lit(0.0)).alias("_b"),
+        F.coalesce("_a_c", F.lit(0.0)).alias("_c"),
+    )
+    terms = j.select(
+        F.least("_b", "_c").alias("_retained"),
+        F.when(F.col("_b") == 0, F.col("_c"))
+        .otherwise(F.lit(0.0))
+        .alias("_new"),
+        F.when(
+            (F.col("_b") > 0) & (F.col("_c") > F.col("_b")),
+            F.col("_c") - F.col("_b"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("_expansion"),
+        F.when(
+            (F.col("_c") > 0) & (F.col("_b") > F.col("_c")),
+            F.col("_b") - F.col("_c"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("_contraction"),
+        F.when(F.col("_c") == 0, F.col("_b"))
+        .otherwise(F.lit(0.0))
+        .alias("_churned"),
+    )
+    folded = terms.agg(
+        *[
+            x
+            for name in (
+                "retained",
+                "new",
+                "expansion",
+                "contraction",
+                "churned",
+            )
+            for x in (
+                F.sum(f"_{name}").alias(f"_s_{name}"),
+                F.sum((F.col(f"_{name}") > 0).cast("long")).alias(
+                    f"_n_{name}"
+                ),
+            )
+        ]
+    )
+    rows = []
+    for name in ("retained", "new", "expansion", "contraction",
+                 "churned"):
+        rows.append(
+            folded.select(
+                F.lit(name).alias("movement"),
+                F.coalesce(F.col(f"_n_{name}"), F.lit(0)).alias(
+                    "n_accounts"
+                ),
+                F.round(
+                    F.coalesce(F.col(f"_s_{name}"), F.lit(0.0)), 6
+                ).alias("amount"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

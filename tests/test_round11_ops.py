@@ -2592,3 +2592,32 @@ def test_capture_recapture_chapman(spark):
     c = spark.createDataFrame([(i,) for i in range(100, 120)], "id long")
     r = capture_recapture(a, c, "id").collect()[0]
     assert r.n_overlap == 0 and r.estimate == 61 * 21 - 1
+
+
+def test_mrr_bridge_account_exact_identity(spark):
+    from moz_datapipeline_spark.operators.analytics import mrr_bridge
+
+    base = spark.createDataFrame(
+        [("a", 100.0), ("b", 50.0), ("c", 30.0), ("zero", 0.0)],
+        "id string, amt double",
+    )
+    cur = spark.createDataFrame(
+        [("a", 80.0), ("b", 70.0), ("d", 40.0)],
+        "id string, amt double",
+    )
+    out = {r.movement: r for r in
+           mrr_bridge(base, cur, "id", "amt").collect()}
+    # a: 80 retained + 20 contraction; b: 50 retained + 20 expansion;
+    # c: 30 churned; d: 40 new; zero-amount base row is absent
+    assert out["retained"].amount == 130.0
+    assert out["contraction"].amount == 20.0
+    assert out["expansion"].amount == 20.0
+    assert out["churned"].amount == 30.0 and out["churned"].n_accounts == 1
+    assert out["new"].amount == 40.0
+    base_total, cur_total = 180.0, 190.0
+    assert (base_total + out["new"].amount + out["expansion"].amount
+            - out["contraction"].amount - out["churned"].amount
+            ) == cur_total
+
+    with pytest.raises(ValueError, match="pre-aggregate"):
+        mrr_bridge(base.union(base.limit(1)), cur, "id", "amt")
