@@ -5570,10 +5570,11 @@ def quantile_ci(
     (documented); ranks clamp to [1, n].  NULLs drop; n = 0 returns
     a single all-NULL-stats row.
 
-    Plan: three ``exact_kth_value`` selections (each a bounded
-    range-partition rank — never a global sort) over ONE cached
-    value projection; the result is a 1-row driver literal (the
-    ``ks_test`` convention).
+    Plan: ONE ``exact_quantiles`` multi-selection resolves all three
+    ranks together (the bounded histogram passes — never a global
+    sort; integer rank positions interpolate trivially) over ONE
+    cached value projection; the result is a 1-row driver literal
+    (the ``ks_test`` convention).
     """
     import math as _math
 
@@ -5583,7 +5584,7 @@ def quantile_ci(
         raise ValueError(
             "quantile_ci: confidence must be in [0.5, 1)"
         )
-    from .indicators import exact_kth_value
+    from .ranges import exact_quantiles
 
     spark = df.sparkSession
     vals = df.select(
@@ -5616,9 +5617,21 @@ def quantile_ci(
     # half-up, NOT python round (banker's): the oracle replays
     # floor(x + 0.5) exactly
     r_pt = max(1, min(n, int(_math.floor(prob * (n - 1) + 0.5)) + 1))
-    est = exact_kth_value(vals, "_v", r_pt - 1)
-    lo = exact_kth_value(vals, "_v", r_lo - 1)
-    hi = exact_kth_value(vals, "_v", r_hi - 1)
+    if n == 1:
+        lo = est = hi = vals.first()["_v"]
+    else:
+        # one multi-rank selection: rank r is the exact order stat at
+        # position (r-1)/(n-1) — integer positions, no interpolation
+        qs = exact_quantiles(
+            vals,
+            "_v",
+            [
+                (r_lo - 1) / (n - 1),
+                (r_pt - 1) / (n - 1),
+                (r_hi - 1) / (n - 1),
+            ],
+        )
+        lo, est, hi = qs
     vals.unpersist()
     return spark.createDataFrame(
         [
