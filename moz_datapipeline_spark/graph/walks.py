@@ -12,35 +12,65 @@ moz-datapipeline) stops at routing-graph analytics; this extends the
 engine for the embedding-prep lifecycle the way ``operators.embed``
 does.
 
-Scale posture: the neighbor index is one hash aggregate + one
-group-bounded window over the EDGE list; each step is an equi join on
-(node, pick) against that index — k steps = k shuffles of the walk
-frontier (|nodes|·walks_per_node rows), never the edges.  Walks at
-dead ends (out-degree 0) stop early and keep their prefix, documented.
+Scale posture: the adjacency index is ONE hash aggregate
+(``collect_set`` → sorted array, map-side combined, a single shuffle
+of the edge list) producing |V| rows, materialized once via
+``checkpoint_sever`` — the invariant-relation convention of the
+package's iterative operators (components, truss, Bradley–Terry).
+Each hop is then a 1:1 equi join of the walk frontier against those
+|V| rows (``element_at(nbrs, pick+1)`` resolves the next node from
+the carried array), so every step emits exactly 1 row per live walk
+and moves walk-sized + node-sized frames — never the edge list.  AQE
+broadcasts the index when |V| is small enough; otherwise both sides
+hash-exchange on the node key.
+
+SUPER-NODE HAZARD: a hub's adjacency row is degree×8 bytes (a 10M-
+degree hub ⇒ an 80 MB row).  ``max_degree`` caps it loudly — walks
+over hubs past the cap raise instead of OOM-ing an executor; raise
+the cap deliberately if your graph's hubs genuinely fit.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from moz_datapipeline_spark.iterate import checkpoint_sever
 
-def _neighbor_index(edges: DataFrame) -> DataFrame:
-    """(src, idx, dst, degree): each node's DISTINCT neighbors under a
-    deterministic 0-based index (dst ascending)."""
-    uniq = edges.select("src", "dst").distinct()
-    w = Window.partitionBy("src").orderBy("dst")
-    return uniq.select(
-        "src",
-        (F.row_number().over(w) - 1).alias("idx"),
-        "dst",
-        F.count(F.lit(1))
-        .over(
-            Window.partitionBy("src").rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
-        )
-        .alias("degree"),
+
+def _adjacency(edges: DataFrame) -> DataFrame:
+    """(src, nbrs): each node's DISTINCT neighbors as a sorted array —
+    one map-side-combined hash aggregate over the edge list
+    (``collect_set`` dedupes in-agg; no separate ``distinct`` pass)."""
+    return (
+        edges.select("src", "dst")
+        .groupBy("src")
+        .agg(F.sort_array(F.collect_set("dst")).alias("nbrs"))
+    )
+
+
+def _pick(seed: str, t: int, degree):
+    """Hash-addressed neighbor choice: md5(seed:walk_id:t) mod degree
+    (first 15 hex digits — exact in a long)."""
+    return F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(seed),
+                        F.lit(":"),
+                        F.col("walk_id"),
+                        F.lit(":"),
+                        F.lit(str(t)),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        degree,
     )
 
 
@@ -49,40 +79,53 @@ def random_walks(
     walk_len: int = 4,
     walks_per_node: int = 2,
     seed: str = "walk",
+    max_degree: int = 1_000_000,
 ) -> DataFrame:
     """Emit ``(walk_id, start, step, node)`` rows: ``walks_per_node``
     hash-addressed walks of up to ``walk_len`` hops from every source
     node.  Step 0 is the start node; step t picks neighbor
     ``md5(seed:walk_id:t) mod degree`` of the step-t−1 node —
-    deterministic, engine-portable, and uniform over neighbors.
-    Dead-end nodes end their walk early (the emitted prefix stays).
+    deterministic, engine-portable, and uniform over the node's
+    DISTINCT neighbors in ascending order.  Dead-end nodes (no
+    outgoing edges) end their walk early (the emitted prefix stays).
 
     The walk corpus is the standard skip-gram input for DeepWalk-style
     node embeddings; pair it with ``operators/embed`` downstream.
+
+    The returned frame reads the materialized adjacency index (a
+    ``checkpoint_sever`` block, MEMORY_AND_DISK) — it is released when
+    the result goes out of scope, like ``connected_components``.
+    Nodes above ``max_degree`` raise loudly (see module docstring).
     """
     if walk_len < 1:
         raise ValueError("random_walks: walk_len must be >= 1")
     if walks_per_node < 1:
         raise ValueError("random_walks: walks_per_node must be >= 1")
-    idx = _neighbor_index(edges)
-    starts = (
-        idx.select("src")
-        .distinct()
-        .withColumn(
-            "_w",
-            F.explode(
-                F.sequence(F.lit(0), F.lit(int(walks_per_node) - 1))
-            ),
+    # materialize the invariant index once: every hop joins against
+    # these blocks instead of re-running the edge scan + aggregate
+    nbrs = checkpoint_sever(_adjacency(edges))
+    over = nbrs.filter(F.size("nbrs") > int(max_degree)).limit(1)
+    hub = over.collect()
+    if hub:
+        raise ValueError(
+            f"random_walks: node {hub[0]['src']!r} has degree "
+            f"{len(hub[0]['nbrs'])} > max_degree={max_degree} — a hub "
+            "row this large risks executor OOM; raise max_degree "
+            "deliberately or pre-sample the hub's edges"
         )
-        .select(
-            F.concat(
-                F.col("src").cast("string"),
-                F.lit("#"),
-                F.col("_w").cast("string"),
-            ).alias("walk_id"),
-            F.col("src").alias("start"),
-            F.col("src").alias("node"),
-        )
+    starts = nbrs.select("src").withColumn(
+        "_w",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(int(walks_per_node) - 1))
+        ),
+    ).select(
+        F.concat(
+            F.col("src").cast("string"),
+            F.lit("#"),
+            F.col("_w").cast("string"),
+        ).alias("walk_id"),
+        F.col("src").alias("start"),
+        F.col("src").alias("node"),
     )
     out = starts.select(
         "walk_id", "start", F.lit(0).alias("step"), "node"
@@ -90,41 +133,22 @@ def random_walks(
     frontier = starts
     for t in range(1, int(walk_len) + 1):
         # fresh attribute ids per hop: the index joins against its
-        # own lineage (frontier came from it), so re-alias every
-        # column to keep the self-join unambiguous
-        it = idx.select(
-            F.col("src").alias("_hs"),
-            F.col("idx").alias("_hi"),
-            F.col("dst").alias("_hd"),
-            F.col("degree").alias("_hg"),
-        )
-        pick = F.pmod(
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat(
-                            F.lit(seed),
-                            F.lit(":"),
-                            F.col("walk_id"),
-                            F.lit(":"),
-                            F.lit(str(t)),
-                        )
-                    ),
-                    1,
-                    15,
-                ),
-                16,
-                10,
-            ).cast("long"),
-            F.col("_hg"),
+        # own lineage (frontier came from it), so re-alias to keep
+        # the self-join unambiguous.  1:1 join — one output row per
+        # live walk; walks at dead ends (node absent from the index)
+        # simply drop out.
+        it = nbrs.select(
+            F.col("src").alias("_hs"), F.col("nbrs").alias("_hn")
         )
         hopped = (
             frontier.join(it, frontier["node"] == it["_hs"])
-            .filter(F.col("_hi") == pick)
             .select(
                 "walk_id",
                 "start",
-                F.col("_hd").alias("node"),
+                F.element_at(
+                    "_hn",
+                    (_pick(seed, t, F.size("_hn")) + 1).cast("int"),
+                ).alias("node"),
             )
         )
         out = out.unionByName(

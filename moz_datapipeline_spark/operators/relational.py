@@ -247,8 +247,12 @@ def frequent_itemsets(
     )
     if max_size == 2:
         return out
-    # candidate triples with downward closure, then ONE count join
-    pairs = pairs.persist()
+    # candidate triples with downward closure, then ONE count join.
+    # No persist: the returned plan references the `pairs` subtree
+    # multiple times (size-2 branch + two closure probes) and Spark's
+    # exchange reuse computes the pair shuffle once per job — a persist
+    # here would outlive the operator (the returned frame is lazy) and
+    # violate the package's nothing-stays-cached convention.
     p1 = pairs.select(
         F.col("_a").alias("x"), F.col("_c").alias("y")
     )
@@ -270,7 +274,6 @@ def frequent_itemsets(
     )
     n_cand = cand.count()
     if n_cand > max_triple_candidates:
-        pairs.unpersist()
         raise ValueError(
             f"frequent_itemsets: {n_cand} triple candidates exceed "
             f"max_triple_candidates={max_triple_candidates} — the "

@@ -1859,13 +1859,17 @@ def srm_check(
     joined = exp_df.join(obs, "_arm", "left").select(
         "_arm", "_ratio", F.coalesce(F.col("_o"), F.lit(0.0)).alias("_o")
     )
-    tot = joined.agg(F.sum("_o").alias("_n")).collect()[0]["_n"]
+    # One fold: ratios sum to 1, so χ² = Σ(oᵢ−rᵢN)²/(rᵢN) expands to
+    # (Σ oᵢ²/rᵢ)/N − N — no separate job to learn N first.
     folded = joined.agg(
         F.count(F.lit(1)).cast("long").alias("k_arms"),
         F.sum("_o").alias("_n"),
-        F.sum(
-            (F.col("_o") - F.col("_ratio") * F.lit(tot)) ** 2
-            / (F.col("_ratio") * F.lit(tot))
+        F.sum(F.col("_o") ** 2 / F.col("_ratio")).alias("_sq"),
+    ).select(
+        "k_arms",
+        "_n",
+        F.when(
+            F.col("_n") > 0, F.col("_sq") / F.col("_n") - F.col("_n")
         ).alias("_chi2"),
     )
     dof = (F.col("k_arms") - 1).cast("long")

@@ -812,3 +812,18 @@ def test_pettitt_windows_group_partitioned(spark, sf_dir):
     assert specs, "expected window specs in the pettitt plan"
     for spec in specs:
         assert spec.startswith("grp#"), spec
+
+
+def test_random_walks_no_degree_amplified_probe(spark, sf_dir):
+    """Each hop must be a 1:1 join of the frontier against the |V|-row
+    adjacency array — never a probe of the |E|-row index on node alone
+    with a post-join idx filter (the round-11 shape, degree-amplified),
+    and never a per-hop Window re-derivation of the neighbor index."""
+    plan = _plan(entry_mod.q_random_walks(spark, sf_dir))
+    assert "Window" not in plan  # index is one hash agg, not a window
+    assert "element_at" in plan  # next node resolved from carried array
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the adjacency build is ONE collect_set aggregate, materialized
+    # once (checkpoint_sever) — hops scan its blocks, not the edges
+    assert plan.count("collect_set") <= 2  # partial+final of one agg

@@ -2379,6 +2379,33 @@ def test_frequent_itemsets_dense_cap_raises(spark):
                           max_triple_candidates=100)
 
 
+def test_frequent_itemsets_no_cache_leak(spark):
+    """Regression: the happy path must leave nothing persisted — the
+    returned frame is lazy and outlives the operator, so any persist
+    inside would pin an RDD forever (round-11 leak at the triple
+    level)."""
+    from moz_datapipeline_spark.operators.relational import (
+        frequent_itemsets,
+    )
+
+    rows = [(b, i) for b in range(50)
+            for i in ["a", "b", "c", "d"][: (b % 4) + 1]]
+    df = spark.createDataFrame(rows, "basket long, item string")
+    out = frequent_itemsets(df, "basket", "item", min_support=5,
+                            max_size=3)
+    assert out.count() == 14  # materialize the happy path fully
+    assert spark.sparkContext._jsc.sc().getPersistentRDDs().size() == 0
+    # the error path must not leak either
+    dense = spark.createDataFrame(
+        [(b, str(i)) for b in range(40) for i in range(30)],
+        "basket long, item string",
+    )
+    with pytest.raises(ValueError, match="triple candidates exceed"):
+        frequent_itemsets(dense, "basket", "item", min_support=10,
+                          max_triple_candidates=100)
+    assert spark.sparkContext._jsc.sc().getPersistentRDDs().size() == 0
+
+
 def test_rolling_active_users_hand_computed(spark):
     from moz_datapipeline_spark.operators.analytics import (
         rolling_active_users,
