@@ -3,10 +3,10 @@
 The driver's correctness gate samples from ``queries()`` by KEY and
 accumulates coverage across rounds — dropping or renaming a key
 silently discards its cumulative correctness history.  This pins the
-round-10 key set (273 keys, ``r10_query_keys.txt``) as a FLOOR: new
-keys may append, existing keys must never disappear.  Every key must
-also keep either a DuckDB oracle or an explicit place on the
-rows-only-checked list.
+round-11 key set (360 keys, ``r11_query_keys.txt``, a superset of the
+273 round-10 keys) as a FLOOR: new keys may append, existing keys
+must never disappear.  Every key must also keep either a DuckDB
+oracle or an explicit place on the rows-only-checked list.
 """
 
 from __future__ import annotations
@@ -18,17 +18,23 @@ import __spark_entry__ as entry_mod
 _HERE = os.path.dirname(os.path.abspath(__file__))
 
 
-def test_registered_keys_are_a_superset_of_round10():
-    frozen = {
+def _frozen(fname: str) -> set[str]:
+    return {
         ln.strip()
-        for ln in open(os.path.join(_HERE, "r10_query_keys.txt"))
+        for ln in open(os.path.join(_HERE, fname))
         if ln.strip()
     }
-    assert len(frozen) == 273
+
+
+def test_registered_keys_are_a_superset_of_round11():
+    frozen = _frozen("r11_query_keys.txt")
+    assert len(frozen) == 360
+    # the r11 pin itself must still contain every r10 key
+    assert _frozen("r10_query_keys.txt") <= frozen
     current = set(entry_mod.queries())
     missing = frozen - current
     assert not missing, (
-        f"queries() dropped {len(missing)} round-10 keys — the driver "
+        f"queries() dropped {len(missing)} round-11 keys — the driver "
         f"loses their correctness history: {sorted(missing)[:10]}"
     )
 
