@@ -248,11 +248,15 @@ def frequent_itemsets(
     if max_size == 2:
         return out
     # candidate triples with downward closure, then ONE count join.
-    # No persist: the returned plan references the `pairs` subtree
-    # multiple times (size-2 branch + two closure probes) and Spark's
-    # exchange reuse computes the pair shuffle once per job — a persist
-    # here would outlive the operator (the returned frame is lazy) and
-    # violate the package's nothing-stays-cached convention.
+    # The full plan references the `pairs` subtree four times (size-2
+    # branch + two closure probes + the candidate count); exchange
+    # reuse would dedupe those, but AQE's stage-level re-planning
+    # defeats it in this shape (measured: 22 s vs 8 s at sf0.1).  So:
+    # persist `pairs`, materialize the result via checkpoint_sever,
+    # and unpersist before returning — the returned frame reads its
+    # own severed blocks and pins no cache (the `connected_components`
+    # convention; blocks are reclaimed when the result is dropped).
+    pairs = pairs.persist()
     p1 = pairs.select(
         F.col("_a").alias("x"), F.col("_c").alias("y")
     )
@@ -274,6 +278,7 @@ def frequent_itemsets(
     )
     n_cand = cand.count()
     if n_cand > max_triple_candidates:
+        pairs.unpersist()
         raise ValueError(
             f"frequent_itemsets: {n_cand} triple candidates exceed "
             f"max_triple_candidates={max_triple_candidates} — the "
@@ -292,10 +297,16 @@ def frequent_itemsets(
         .agg(F.count(F.lit(1)).cast("long").alias("support"))
         .filter(F.col("support") >= min_support)
     )
-    return out.unionByName(
-        triples.select(
-            F.concat_ws("|", "_t1", "_t2", "_t3").alias("itemset"),
-            F.lit(3).alias("size"),
-            "support",
+    from ..iterate import checkpoint_sever
+
+    res = checkpoint_sever(
+        out.unionByName(
+            triples.select(
+                F.concat_ws("|", "_t1", "_t2", "_t3").alias("itemset"),
+                F.lit(3).alias("size"),
+                "support",
+            )
         )
     )
+    pairs.unpersist()
+    return res

@@ -2310,6 +2310,97 @@ def round11f_ops_scale_check(spark) -> dict:
     return out
 
 
+def round12_ops_scale_check(spark) -> dict:
+    """Round-12: Apriori (``frequent_itemsets``) under adversarial
+    basket skew — the dense-pair hazard its ``max_triple_candidates``
+    guard exists for, measured instead of asserted.
+
+    Corpus: 1M baskets × 8 draws from a 10k-item Zipf(s≈1) catalog
+    (rank = floor(N^u) ⇒ p(rank r) ∝ ln(1+1/r)): the head item lands
+    in ~40% of baskets, so the pair level is dominated by hot×hot
+    co-occurrence — the classic blow-up shape.
+
+    Measured: wall time + L1/L2/L3 counts at 0.5% support (the
+    realistic setting), then the guard TRIP POINT at 0.02% support
+    on a 200k-basket slice with a deliberately small cap (measured
+    candidates: ~24k at 0.05%, ~107k at 0.02%, ~1M at 0.005% — the
+    blow-up is sharply super-linear in 1/support; the candidate count
+    in the raised error is recorded.  The guard fires BEFORE the
+    triple count join, so tripping costs only the pair rollup +
+    candidate count, never the blow-up join itself).
+    """
+    from moz_datapipeline_spark.operators.relational import (
+        frequent_itemsets,
+    )
+
+    out: dict = {}
+    n_baskets, basket_sz, n_items = 1_000_000, 8, 10_000
+    rows = spark.range(n_baskets * basket_sz).select(
+        (F.col("id") / basket_sz).cast("long").alias("basket"),
+        F.concat(
+            F.lit("i"),
+            F.floor(
+                F.pow(
+                    F.lit(float(n_items)),
+                    F.pmod(F.xxhash64("id"), 1_000_000)
+                    / F.lit(1_000_000.0),
+                )
+            ).cast("long"),
+        ).alias("item"),
+    )
+    min_support = n_baskets // 200  # 0.5%
+    t0 = time.perf_counter()
+    fi = frequent_itemsets(
+        rows, "basket", "item", min_support=min_support, max_size=3
+    )
+    by_size = {
+        r["size"]: r["n"]
+        for r in fi.groupBy("size")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    out["apriori_baskets"] = n_baskets
+    out["apriori_catalog"] = n_items
+    out["apriori_min_support"] = min_support
+    out["apriori_l1"] = by_size.get(1, 0)
+    out["apriori_l2"] = by_size.get(2, 0)
+    out["apriori_l3"] = by_size.get(3, 0)
+    out["apriori_sec"] = round(time.perf_counter() - t0, 2)
+
+    # guard trip: 25x lower support densifies the pair level; the cap
+    # must refuse the triple join loudly and FAST (no basket scan)
+    trip_baskets = 200_000
+    trip_rows = rows.filter(F.col("basket") < trip_baskets)
+    t0 = time.perf_counter()
+    tripped = None
+    try:
+        frequent_itemsets(
+            trip_rows,
+            "basket",
+            "item",
+            min_support=trip_baskets // 5000,
+            max_size=3,
+            max_triple_candidates=50_000,
+        ).count()
+    except ValueError as e:
+        tripped = str(e)
+    assert tripped is not None, (
+        "apriori guard did not trip at 0.02% support / 50k cap"
+    )
+    out["apriori_trip_baskets"] = trip_baskets
+    out["apriori_guard_candidates"] = int(
+        tripped.split(":")[1].strip().split(" ")[0]
+    )
+    out["apriori_guard_trip_sec"] = round(time.perf_counter() - t0, 2)
+    out["apriori_shuffle"] = (
+        "basket self-join restricted to L1 items (broadcast semi-join)"
+        " -> pair rollup; triple candidates from L2xL2 closure BEFORE "
+        "any basket scan; guard counts candidates, never materializes "
+        "the triple join"
+    )
+    return out
+
+
 def _section_gc(spark) -> None:
     """Release caches and lingering localCheckpoint blocks between
     sections: the rehearsal shares ONE JVM across ~20 sections, and
@@ -2405,6 +2496,8 @@ def main() -> None:
     r11e = round11e_ops_scale_check(spark)
     _section_gc(spark)
     r11f = round11f_ops_scale_check(spark)
+    _section_gc(spark)
+    r12 = round12_ops_scale_check(spark)
 
     print(
         json.dumps(
@@ -2445,6 +2538,7 @@ def main() -> None:
                 **r11d,
                 **r11e,
                 **r11f,
+                **r12,
             }
         )
     )

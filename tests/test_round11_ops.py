@@ -2380,22 +2380,46 @@ def test_frequent_itemsets_dense_cap_raises(spark):
 
 
 def test_frequent_itemsets_no_cache_leak(spark):
-    """Regression: the happy path must leave nothing persisted — the
-    returned frame is lazy and outlives the operator, so any persist
-    inside would pin an RDD forever (round-11 leak at the triple
-    level)."""
+    """Regression for the round-11 leak: the triple level persisted
+    `pairs` and the returned lazy frame pinned it FOREVER.  The fixed
+    contract: the result reads only its own checkpoint_sever blocks
+    (reclaimed once the result is dropped — the connected_components
+    convention), and the intermediate pair cache is released before
+    the operator returns."""
+    import gc
+
     from moz_datapipeline_spark.operators.relational import (
         frequent_itemsets,
     )
+
+    def _registry() -> int:
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    def _drained(tries: int = 20) -> bool:
+        # ContextCleaner releases checkpoint blocks on GC — poke both
+        # collectors and poll
+        import time as _t
+
+        for _ in range(tries):
+            gc.collect()
+            spark._jvm.System.gc()
+            if _registry() == 0:
+                return True
+            _t.sleep(0.25)
+        return _registry() == 0
 
     rows = [(b, i) for b in range(50)
             for i in ["a", "b", "c", "d"][: (b % 4) + 1]]
     df = spark.createDataFrame(rows, "basket long, item string")
     out = frequent_itemsets(df, "basket", "item", min_support=5,
                             max_size=3)
-    assert out.count() == 14  # materialize the happy path fully
-    assert spark.sparkContext._jsc.sc().getPersistentRDDs().size() == 0
-    # the error path must not leak either
+    assert out.count() == 14
+    # while the result is alive only its OWN severed blocks may be
+    # registered — the r11 bug kept the pair cache too
+    assert _registry() <= 1
+    del out
+    assert _drained(), "result blocks not reclaimed after drop"
+    # the error path must release the pair cache synchronously
     dense = spark.createDataFrame(
         [(b, str(i)) for b in range(40) for i in range(30)],
         "basket long, item string",
@@ -2403,7 +2427,7 @@ def test_frequent_itemsets_no_cache_leak(spark):
     with pytest.raises(ValueError, match="triple candidates exceed"):
         frequent_itemsets(dense, "basket", "item", min_support=10,
                           max_triple_candidates=100)
-    assert spark.sparkContext._jsc.sc().getPersistentRDDs().size() == 0
+    assert _drained(), "error path left the pair cache registered"
 
 
 def test_rolling_active_users_hand_computed(spark):
