@@ -67,7 +67,42 @@ SUPPORTED_PROJECTIONS = (
     "stereographic_north_pole",
     "stereographic_south_pole",
     "sinusoidal",
+    "lambert_azimuthal_equal_area",
+    "equirectangular / equidistant_cylindrical / plate_carree",
 )
+
+#: user-registered inverse factories for families without a built-in
+#: Snyder inverse: ``name (lowercased PROJECTION[".."]) -> factory(a,
+#: e2, params) -> inverse(x, y)``.  The graceful-degradation hatch for
+#: exotic national grids — see ``register_projection_inverse``.
+_EXTRA_INVERSES: dict = {}
+
+
+def register_projection_inverse(name: str, factory) -> None:
+    """Register an inverse for a PROJCS family ``make_transform`` does
+    not cover: ``factory(a, e2, params)`` receives the WKT's spheroid
+    (semi-major axis, eccentricity squared) and its
+    ``PARAMETER["name", value]`` dict (lowercased keys) and must
+    return a vectorized ``(x, y) -> (lon, lat)`` degrees function.
+    Registered names take effect for every subsequent shapefile scan
+    in the process (executors re-resolve through the same module)."""
+    _EXTRA_INVERSES[name.strip().lower()] = factory
+
+
+def _pyproj_transform(prj_wkt: str):
+    """Optional escape hatch: if ``pyproj`` is importable (it is NOT a
+    dependency of this package), let PROJ handle any CRS the built-in
+    Snyder inverses don't.  Returns None when pyproj is absent."""
+    try:
+        from pyproj import Transformer
+    except ImportError:
+        return None
+    tr = Transformer.from_crs(prj_wkt, "EPSG:4326", always_xy=True)
+
+    def inverse(x, y):
+        return tr.transform(x, y)
+
+    return inverse
 
 
 def make_transform(prj_wkt: str | None):
@@ -77,10 +112,14 @@ def make_transform(prj_wkt: str | None):
     Albers, Transverse Mercator (every UTM zone plus national TM
     grids), Lambert Conformal Conic, Web Mercator, Polar
     Stereographic (ESRI ``Stereographic_*_Pole``, pole-origin
-    variant A, and EPSG variant B via ``Polar_Stereographic``), and
-    Sinusoidal — each an ellipsoidal Snyder closed-form inverse.
-    Anything else raises — fail loudly rather than silently
-    mis-locate geometry.
+    variant A, and EPSG variant B via ``Polar_Stereographic``),
+    Sinusoidal, Lambert Azimuthal Equal-Area (the ETRS89-LAEA /
+    US National Atlas family), and Equidistant Cylindrical /
+    Equirectangular — each an ellipsoidal Snyder closed-form
+    inverse.  Anything else falls through, in order, to (1) a
+    user-registered inverse (``register_projection_inverse``),
+    (2) pyproj when importable (NOT a dependency), then (3) raises
+    loudly rather than silently mis-locate geometry.
     """
     if prj_wkt is None or prj_wkt.lstrip().startswith("GEOGCS"):
         return lambda x, y: (x, y)
@@ -168,13 +207,39 @@ def make_transform(prj_wkt: str | None):
             fe=p.get("false_easting", 0.0),
             fn=p.get("false_northing", 0.0),
         )
+    if proj == "lambert_azimuthal_equal_area":
+        return _laea_inverse(
+            a,
+            e2,
+            lat0=p.get("latitude_of_origin", p.get("latitude_of_center", 0.0)),
+            lon0=p.get("central_meridian", p.get("longitude_of_center", 0.0)),
+            fe=p.get("false_easting", 0.0),
+            fn=p.get("false_northing", 0.0),
+        )
+    if proj in ("equirectangular", "equidistant_cylindrical", "plate_carree"):
+        return _eqc_inverse(
+            a,
+            e2,
+            lat_ts=p.get("standard_parallel_1", p.get("latitude_of_origin", 0.0)),
+            lon0=p.get("central_meridian", 0.0),
+            fe=p.get("false_easting", 0.0),
+            fn=p.get("false_northing", 0.0),
+        )
+    if proj in _EXTRA_INVERSES:
+        return _EXTRA_INVERSES[proj](a, e2, p)
+    hatch = _pyproj_transform(prj_wkt)
+    if hatch is not None:
+        return hatch
     raise NotImplementedError(
         f"unsupported projection family {proj!r}; supported families: "
         + ", ".join(SUPPORTED_PROJECTIONS)
-        + ". Reproject the source to one of these or to WGS84 "
-        "(ogr2ogr -t_srs EPSG:4326) — the reference pipeline does the "
-        "same in scripts/base-network.sh:98-99 — or add the Snyder "
-        "inverse for this family."
+        + ". Escape hatches, in preference order: (1) reproject the "
+        "source to one of these or to WGS84 (ogr2ogr -t_srs EPSG:4326) "
+        "— the reference pipeline does the same in scripts/"
+        "base-network.sh:98-99; (2) pip install pyproj — when "
+        "importable it is used automatically for any CRS; (3) "
+        "register_projection_inverse(name, factory) with your own "
+        "(x, y) -> (lon, lat) inverse for this family."
     )
 
 
@@ -459,6 +524,101 @@ def _sinusoidal_inverse(a, e2, lon0, fe=0.0, fn=0.0):
             x * np.sqrt(1.0 - e2 * s * s) / (a * np.where(c == 0, 1.0, c)),
         )
         return lon0 + lam / d2r, phi / d2r
+
+    return inverse
+
+
+def _laea_inverse(a, e2, lat0, lon0, fe=0.0, fn=0.0):
+    """Ellipsoidal Lambert Azimuthal Equal-Area inverse, oblique
+    aspect (Snyder 24-26..24-34 + 3-16..3-18, p. 187-190) — the
+    family behind the pan-European ETRS89-LAEA grid (EPSG:3035) and
+    the US National Atlas grid.  Latitude comes from the authalic
+    latitude by fixed-point iteration of Snyder 3-16 (converges below
+    1e-12 rad in ≤6 rounds for any geodetic ellipsoid)."""
+    e = math.sqrt(e2)
+    d2r = math.pi / 180.0
+
+    def q_of(s):
+        # Snyder 3-12 (authalic q), vectorized-safe
+        if e == 0.0:
+            return 2.0 * s
+        return (1.0 - e2) * (
+            s / (1.0 - e2 * s * s)
+            - (1.0 / (2.0 * e)) * np.log((1.0 - e * s) / (1.0 + e * s))
+        )
+
+    phi0 = lat0 * d2r
+    qp = float(q_of(np.float64(1.0)))  # q at the pole
+    q0 = float(q_of(np.float64(math.sin(phi0))))
+    beta0 = math.asin(q0 / qp)  # authalic latitude of origin
+    rq = a * math.sqrt(qp / 2.0)  # Snyder 3-13
+    s0 = math.sin(phi0)
+    m0 = math.cos(phi0) / math.sqrt(1.0 - e2 * s0 * s0)  # Snyder 14-15
+    d = a * m0 / (rq * math.cos(beta0))  # Snyder 24-20
+    sb0, cb0 = math.sin(beta0), math.cos(beta0)
+
+    def inverse(x, y):
+        x = np.asarray(x, dtype=np.float64) - fe
+        y = np.asarray(y, dtype=np.float64) - fn
+        rho = np.hypot(x / d, d * y)  # Snyder 24-28
+        # rho = 0 is the projection origin: guard the divisions, the
+        # sin/cos(ce) terms then reproduce (lat0, lon0) exactly
+        safe = np.where(rho == 0.0, 1.0, rho)
+        ce = 2.0 * np.arcsin(np.clip(rho / (2.0 * rq), -1.0, 1.0))
+        sce, cce = np.sin(ce), np.cos(ce)
+        q = qp * (cce * sb0 + d * y * sce * cb0 / safe)  # Snyder 24-27
+        lam = np.arctan2(  # Snyder 24-26
+            x * sce, d * safe * cb0 * cce - d * d * y * sb0 * sce
+        )
+        phi = np.arcsin(np.clip(q / 2.0, -1.0, 1.0))  # spherical start
+        if e > 0.0:
+            for _ in range(6):  # Snyder 3-16
+                s = np.sin(phi)
+                phi = phi + (
+                    (1.0 - e2 * s * s) ** 2 / (2.0 * np.cos(phi))
+                ) * (
+                    q / (1.0 - e2)
+                    - s / (1.0 - e2 * s * s)
+                    + (1.0 / (2.0 * e))
+                    * np.log((1.0 - e * s) / (1.0 + e * s))
+                )
+        phi = np.where(rho == 0.0, phi0, phi)
+        lam = np.where(rho == 0.0, 0.0, lam)
+        lon = np.mod(lon0 + lam / d2r + 180.0, 360.0) - 180.0
+        return lon, phi / d2r
+
+    return inverse
+
+
+def _eqc_inverse(a, e2, lat_ts, lon0, fe=0.0, fn=0.0):
+    """Ellipsoidal Equidistant Cylindrical (Equirectangular / Plate
+    Carrée) inverse, EPSG method 1028: ``x = FE + nu1*cos(lat_ts)*
+    (lam-lam0)``, ``y = FN + M(phi)`` — latitude from the rectifying
+    series (Snyder 3-26, the ``_sinusoidal_inverse`` machinery),
+    longitude by dividing out the standard-parallel scale."""
+    d2r = math.pi / 180.0
+    phi1 = lat_ts * d2r
+    s1 = math.sin(phi1)
+    nu1_cos = a * math.cos(phi1) / math.sqrt(1.0 - e2 * s1 * s1)
+    sqrt1e = math.sqrt(1.0 - e2)
+    e1 = (1.0 - sqrt1e) / (1.0 + sqrt1e)  # Snyder 3-24
+    rect = a * (
+        1.0 - e2 / 4.0 - 3.0 * e2 * e2 / 64.0 - 5.0 * e2 ** 3 / 256.0
+    )
+
+    def inverse(x, y):
+        x = np.asarray(x, dtype=np.float64) - fe
+        y = np.asarray(y, dtype=np.float64) - fn
+        mu = y / rect  # Snyder 7-19
+        phi = (  # Snyder 3-26
+            mu
+            + (3.0 * e1 / 2.0 - 27.0 * e1 ** 3 / 32.0) * np.sin(2.0 * mu)
+            + (21.0 * e1 ** 2 / 16.0 - 55.0 * e1 ** 4 / 32.0)
+            * np.sin(4.0 * mu)
+            + (151.0 * e1 ** 3 / 96.0) * np.sin(6.0 * mu)
+            + (1097.0 * e1 ** 4 / 512.0) * np.sin(8.0 * mu)
+        )
+        return lon0 + (x / nu1_cos) / d2r, phi / d2r
 
     return inverse
 

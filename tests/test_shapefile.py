@@ -676,3 +676,156 @@ def test_polar_and_sinusoidal_wkt_dispatch():
             'PARAMETER["Latitude_Of_Origin",45.0],'
             'PARAMETER["Scale_Factor",1.0],UNIT["Meter",1.0]]'
         )
+
+
+def _laea_forward(lon, lat, a, e2, lat0, lon0, fe=0.0, fn=0.0):
+    """Test-local Snyder 24-19..24-21 oblique ellipsoidal LAEA forward."""
+    import math
+
+    e = math.sqrt(e2)
+
+    def q_of(s):
+        return (1.0 - e2) * (
+            s / (1.0 - e2 * s * s)
+            - (1.0 / (2.0 * e)) * math.log((1.0 - e * s) / (1.0 + e * s))
+        )
+
+    d2r = math.pi / 180.0
+    phi, lam = lat * d2r, lon * d2r
+    phi0, lam0 = lat0 * d2r, lon0 * d2r
+    qp = q_of(1.0)
+    beta = math.asin(q_of(math.sin(phi)) / qp)
+    beta0 = math.asin(q_of(math.sin(phi0)) / qp)
+    rq = a * math.sqrt(qp / 2.0)
+    m0 = math.cos(phi0) / math.sqrt(1.0 - e2 * math.sin(phi0) ** 2)
+    d = a * m0 / (rq * math.cos(beta0))
+    b = rq * math.sqrt(
+        2.0
+        / (
+            1.0
+            + math.sin(beta0) * math.sin(beta)
+            + math.cos(beta0) * math.cos(beta) * math.cos(lam - lam0)
+        )
+    )
+    x = b * d * math.cos(beta) * math.sin(lam - lam0) + fe
+    y = (b / d) * (
+        math.cos(beta0) * math.sin(beta)
+        - math.sin(beta0) * math.cos(beta) * math.cos(lam - lam0)
+    ) + fn
+    return x, y
+
+
+def test_laea_epsg_guidance_note_example():
+    """ETRS89 / LAEA Europe (EPSG:3035): the EPSG Guidance Note 7-2
+    worked example — 50°N 5°E <-> E 3962799.45, N 2999718.85 — an
+    independent published pin, not a round-trip."""
+    a, f = 6378137.0, 1.0 / 298.257222101  # GRS80
+    e2 = 2 * f - f * f
+    inv = shp._laea_inverse(
+        a, e2, lat0=52.0, lon0=10.0, fe=4321000.0, fn=3210000.0
+    )
+    lon, lat = inv(np.array([3962799.45]), np.array([2999718.85]))
+    assert abs(lon[0] - 5.0) < 1e-7
+    assert abs(lat[0] - 50.0) < 1e-7
+
+
+def test_laea_roundtrip_grid():
+    a, f = 6378137.0, 1.0 / 298.257222101
+    e2 = 2 * f - f * f
+    inv = shp._laea_inverse(a, e2, lat0=52.0, lon0=10.0)
+    for lon in (-25.0, -8.0, 10.0, 31.5, 44.0):
+        for lat in (34.0, 44.2, 52.0, 60.0, 71.0):
+            x, y = _laea_forward(lon, lat, a, e2, 52.0, 10.0)
+            rlon, rlat = inv(np.array([x]), np.array([y]))
+            assert abs(rlon[0] - lon) < 1e-8, (lon, lat)
+            assert abs(rlat[0] - lat) < 1e-8, (lon, lat)
+    # exact origin: rho = 0 must not divide by zero
+    rlon, rlat = inv(np.array([0.0]), np.array([0.0]))
+    assert abs(rlon[0] - 10.0) < 1e-12 and abs(rlat[0] - 52.0) < 1e-12
+
+
+def test_equidistant_cylindrical_roundtrip():
+    import math
+
+    a, e2 = 6378137.0, 0.0066943799901413165
+    lat_ts = 30.0
+    inv = shp._eqc_inverse(a, e2, lat_ts=lat_ts, lon0=0.0)
+    s1 = math.sin(lat_ts * math.pi / 180.0)
+    nu1cos = (
+        a
+        * math.cos(lat_ts * math.pi / 180.0)
+        / math.sqrt(1.0 - e2 * s1 * s1)
+    )
+    for lon, lat in [(10.0, 55.0), (-73.5, -33.2), (179.0, 80.0)]:
+        x = nu1cos * lon * math.pi / 180.0
+        y = float(
+            shp._meridian_arc(np.float64(lat * math.pi / 180.0), a, e2)
+        )
+        rlon, rlat = inv(np.array([x]), np.array([y]))
+        assert abs(rlon[0] - lon) < 1e-8
+        assert abs(rlat[0] - lat) < 1e-7
+
+
+def test_laea_and_eqc_wkt_dispatch():
+    gcs = (
+        'GEOGCS["GCS_ETRS_1989",DATUM["D_ETRS_1989",SPHEROID["GRS_1980",'
+        "6378137.0,298.257222101]],PRIMEM[\"Greenwich\",0.0],"
+        'UNIT["Degree",0.0174532925199433]]'
+    )
+    wkt = (
+        f'PROJCS["ETRS89_LAEA",{gcs},'
+        'PROJECTION["Lambert_Azimuthal_Equal_Area"],'
+        'PARAMETER["False_Easting",4321000.0],'
+        'PARAMETER["False_Northing",3210000.0],'
+        'PARAMETER["Central_Meridian",10.0],'
+        'PARAMETER["Latitude_Of_Origin",52.0],UNIT["Meter",1.0]]'
+    )
+    tr = shp.make_transform(wkt)
+    lon, lat = tr(np.array([3962799.45]), np.array([2999718.85]))
+    assert abs(lon[0] - 5.0) < 1e-7 and abs(lat[0] - 50.0) < 1e-7
+    wkt2 = (
+        f'PROJCS["WGS84_PlateCarree",{gcs},PROJECTION["Equirectangular"],'
+        'PARAMETER["False_Easting",0.0],PARAMETER["False_Northing",0.0],'
+        'PARAMETER["Central_Meridian",0.0],'
+        'PARAMETER["Standard_Parallel_1",0.0],UNIT["Meter",1.0]]'
+    )
+    tr2 = shp.make_transform(wkt2)
+    lon, lat = tr2(np.array([0.0]), np.array([0.0]))
+    assert abs(lon[0]) < 1e-12 and abs(lat[0]) < 1e-12
+
+
+def test_register_projection_inverse_hatch():
+    """An unsupported family with a registered factory must resolve
+    through the registry (and receive the .prj's spheroid + params);
+    unregistered it must raise naming ALL THREE escape hatches."""
+    gcs = (
+        'GEOGCS["g",DATUM["d",SPHEROID["s",6378137.0,298.257223563]],'
+        'PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433]]'
+    )
+    wkt = (
+        f'PROJCS["cz",{gcs},PROJECTION["Krovak"],'
+        'PARAMETER["False_Easting",0.0],'
+        'PARAMETER["Latitude_Of_Center",49.5],UNIT["Meter",1.0]]'
+    )
+    with pytest.raises(NotImplementedError) as exc:
+        shp.make_transform(wkt)
+    msg = str(exc.value)
+    assert "register_projection_inverse" in msg
+    assert "pyproj" in msg and "ogr2ogr" in msg
+
+    seen = {}
+
+    def factory(a, e2, params):
+        seen["a"], seen["e2"], seen["params"] = a, e2, params
+        return lambda x, y: (x / 1000.0, y / 1000.0)
+
+    shp.register_projection_inverse("Krovak", factory)
+    try:
+        tr = shp.make_transform(wkt)
+        lon, lat = tr(np.array([12500.0]), np.array([49800.0]))
+        assert lon[0] == 12.5 and lat[0] == 49.8
+        assert seen["a"] == 6378137.0
+        assert abs(seen["e2"] - 0.0066943799901413165) < 1e-12
+        assert seen["params"]["latitude_of_center"] == 49.5
+    finally:
+        shp._EXTRA_INVERSES.pop("krovak", None)
