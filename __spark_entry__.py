@@ -6961,7 +6961,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_ci": q_quantile_ci,
         "capture_recapture": q_capture_recapture,
         "mrr_bridge": q_mrr_bridge,
+        "grid_dbscan": q_grid_dbscan,
     }
+
+
+def q_grid_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-level DBSCAN over four synthetic customer blobs
+    (operators/geometry.grid_dbscan): eps=5 km / min_pts=4 with the
+    grid-bounded neighbor join — core/border/noise with min-core-id
+    cluster labels.  Positions are md5-scattered (the stable_sample
+    convention) so the blobs are genuine 2-D point clouds whose
+    density mixes core, border, and noise at the sf0.01 gate scale.  VALUE oracle:
+    identical cell join, haversine, degree fold, recursive min-label
+    reachability over core-core edges, and border min-cluster
+    assignment in DuckDB."""
+    from moz_datapipeline_spark.operators.geometry import grid_dbscan
+
+    c = _t(spark, sf_dir, "customer")
+
+    def h(tag: str):
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(tag), F.col("c_custkey").cast("string")
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    pts = c.select(
+        F.col("c_custkey").cast("long").alias("id"),
+        (
+            (F.col("c_custkey") % 4) * 30 - 60
+            + (h("x:") % 2000) * 0.0005
+        ).cast("double").alias("lon"),
+        ((h("y:") % 2000) * 0.0005).cast("double").alias("lat"),
+    )
+    return grid_dbscan(pts, eps_km=5.0, min_pts=4)
 
 
 def _bootstrap_ci_oracle(B: int = 32, lo: float = 0.025, hi: float = 0.975) -> str:
@@ -17668,6 +17709,68 @@ FROM eaul_calc
                CAST(sum(CASE WHEN churned > 0 THEN 1 ELSE 0 END)
                  AS BIGINT),
                round(coalesce(sum(churned), 0.0), 6) FROM t
+    """
+
+    sql["grid_dbscan"] = """
+        WITH RECURSIVE pts AS (
+          SELECT CAST(c_custkey AS BIGINT) AS id,
+                 CAST((c_custkey % 4) * 30 - 60
+                      + (CAST(('0x' || substr(md5('x:' ||
+                          CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT)
+                         % 2000) * 0.0005 AS DOUBLE) AS lon,
+                 CAST((CAST(('0x' || substr(md5('y:' ||
+                          CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT)
+                       % 2000) * 0.0005 AS DOUBLE) AS lat
+          FROM customer
+        ), keyed AS (
+          SELECT id, lon, lat,
+                 floor((lon + 180.0) / (5.0 / 110.0)) AS cx,
+                 floor((lat + 90.0) / (5.0 / 110.0)) AS cy
+          FROM pts
+        ), nbrs AS (
+          SELECT a.id AS ida, b.id AS idb
+          FROM keyed a JOIN keyed b
+            ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
+           AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+           AND a.id <> b.id
+          WHERE 2.0 * 6371.0088 * asin(sqrt(
+                  pow(sin(radians(b.lat - a.lat) / 2), 2)
+                  + cos(radians(a.lat)) * cos(radians(b.lat))
+                    * pow(sin(radians(b.lon - a.lon) / 2), 2)
+                )) <= 5.0
+        ), deg AS (
+          SELECT ida AS id, count(*) AS nn FROM nbrs GROUP BY 1
+        ), flagged AS (
+          SELECT k.id, coalesce(d.nn, 0) + 1 >= 4 AS is_core
+          FROM keyed k LEFT JOIN deg d ON k.id = d.id
+        ), core_edges AS (
+          SELECT n.ida AS u, n.idb AS v FROM nbrs n
+          JOIN flagged fa ON fa.id = n.ida AND fa.is_core
+          JOIN flagged fb ON fb.id = n.idb AND fb.is_core
+        ), nodes AS (SELECT DISTINCT u AS id FROM core_edges),
+        reach AS (
+          SELECT id, id AS r FROM nodes
+          UNION
+          SELECT reach.id, e.v FROM reach JOIN core_edges e
+            ON e.u = reach.r
+        ), comp AS (
+          SELECT id, min(r) AS component FROM reach GROUP BY id
+        ), core_label AS (
+          SELECT f.id, coalesce(c.component, f.id) AS cluster
+          FROM flagged f LEFT JOIN comp c ON f.id = c.id
+          WHERE f.is_core
+        ), border_label AS (
+          SELECT n.ida AS id, min(cl.cluster) AS cluster
+          FROM nbrs n
+          JOIN core_label cl ON cl.id = n.idb
+          JOIN flagged f ON f.id = n.ida AND NOT f.is_core
+          GROUP BY 1
+        )
+        SELECT f.id, l.cluster, f.is_core
+        FROM flagged f LEFT JOIN (
+          SELECT * FROM core_label
+          UNION ALL SELECT * FROM border_label
+        ) l ON f.id = l.id
     """
 
     return sql

@@ -28,6 +28,7 @@ def connected_components(
     b_col: str = "id_b",
     max_iterations: int = 30,
     stats: dict | None = None,
+    driver_cap: int = 0,
 ) -> DataFrame:
     """(id_a, id_b) pair edges → (id, component) with component = min id.
 
@@ -45,7 +46,55 @@ def connected_components(
     ``stats``: pass a dict to receive ``{"rounds": n}`` — the number of
     propagate+shortcut rounds actually executed (the O(log d) claim is
     rehearsed against this in ``scale_check.py``).
+
+    ``driver_cap`` > 0 enables the small-graph fast path (the
+    ``bradley_terry`` solver-cap convention): when the DISTINCT edge
+    count is ≤ the cap, collect and union-find on the driver — one
+    job instead of O(log d) iterative rounds, each of which carries
+    ~1 s of fixed scheduling/checkpoint cost that dwarfs tiny graphs.
+    Callers that CONTRACT a big graph first (``grid_dbscan``'s cell
+    graph) should pass a cap; the default 0 never collects.  Above
+    the cap the distributed loop runs unchanged — same labels either
+    way (min id per component).
     """
+    if driver_cap and driver_cap > 0:
+        small = (
+            pairs.select(
+                F.col(a_col).alias("u"), F.col(b_col).alias("v")
+            )
+            .distinct()
+            .limit(int(driver_cap) + 1)
+            .collect()
+        )
+        if len(small) <= driver_cap:
+            if stats is not None:
+                stats["rounds"] = 0
+            parent: dict = {}
+
+            def find(x):
+                r = x
+                while parent[r] != r:
+                    r = parent[r]
+                while parent[x] != r:
+                    parent[x], x = r, parent[x]
+                return r
+
+            for row in small:
+                u, v = row["u"], row["v"]
+                parent.setdefault(u, u)
+                parent.setdefault(v, v)
+                ru, rv = find(u), find(v)
+                if ru != rv:
+                    # union by MIN root so the label convention holds
+                    if rv < ru:
+                        ru, rv = rv, ru
+                    parent[rv] = ru
+            out = [(n, find(n)) for n in parent]
+            spark = pairs.sparkSession
+            field = pairs.schema[a_col].dataType.simpleString()
+            return spark.createDataFrame(
+                out, f"id {field}, component {field}"
+            )
     # MATERIALIZE the loop inputs once (eager localCheckpoint, not
     # cache): a lazily-cached edges frame gets its distinct lineage
     # re-planned inside every round's join tree — measured 9 s/round

@@ -373,6 +373,197 @@ def grid_density_clusters(
     )
 
 
+def grid_dbscan(
+    points: DataFrame,
+    eps_km: float,
+    min_pts: int = 4,
+    id_col: str = "id",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    cell_deg: float | None = None,
+) -> DataFrame:
+    """Point-level DBSCAN with a grid-bounded ε-neighbor join:
+    ``(id, cluster, is_core)`` — the exact-ε sibling of
+    ``grid_density_clusters`` (which clusters whole CELLS).  Core
+    points have ≥ ``min_pts`` points within ``eps_km`` (haversine,
+    self included — the sklearn convention); core points within ε of
+    each other share a cluster (transitively); non-core points within
+    ε of a core join that core's cluster (BORDER points — ties across
+    clusters break to the smallest cluster label, deterministic where
+    classic DBSCAN is scan-order-dependent); everything else is noise
+    (``cluster`` NULL, ``is_core`` false).  Cluster label = smallest
+    core id in the cluster (the ``operators/components`` min-label
+    convention).
+
+    ``cell_deg`` must be ≥ ε in degrees WHERE THE DATA LIVES or
+    cross-cell neighbors are unseen (the ``grid_knn_join`` grid-file
+    trade).  The default ``eps_km / 110.0`` is exact in latitude and
+    exact in longitude at the equator; above ~60° latitude pass
+    ``eps_km / (110 · cos(max_lat))``.
+
+    Plan shape: the ε join is ONE 9-offset explode + equi join on the
+    cell key (fan-in = local density, never |points|); degrees fold
+    from the directed pair set (map-side combined).  Connectivity is
+    solved on a CONTRACTED graph: core points collapse into cells
+    whose diagonal is ≤ ε (everything in such a cell is mutually
+    within ε — a clique, so the contraction is exact), inter-cell
+    edges come from the actual ≤ ε core-core pairs, and pointer-
+    doubling components run over the CELL graph — nodes = occupied
+    cells, not points, so the iterative rounds never touch
+    point-sized frames.  Border assignment is one core-neighbor join
+    + min rollup.  Megacity cells skew-split under AQE.
+
+    Reference parity: extends the snap/cluster family
+    (scripts/prep-bridge.js:27-47 nearest-scan; J9 spatial join) with
+    the density-clustering readout the reference computes offline.
+    """
+    if eps_km <= 0:
+        raise ValueError("grid_dbscan: eps_km must be > 0")
+    if min_pts < 1:
+        raise ValueError("grid_dbscan: min_pts must be >= 1")
+    cell = float(cell_deg) if cell_deg is not None else eps_km / 110.0
+    if cell <= 0:
+        raise ValueError("grid_dbscan: cell_deg must be > 0")
+    from moz_datapipeline_spark.functions.geo import haversine_km
+    from moz_datapipeline_spark.operators.components import (
+        connected_components,
+    )
+
+    cx = F.floor((F.col("_lon") + 180.0) / F.lit(cell))
+    cy = F.floor((F.col("_lat") + 90.0) / F.lit(cell))
+    pts = points.select(
+        F.col(id_col).alias("id"),
+        F.col(lon_col).cast("double").alias("_lon"),
+        F.col(lat_col).cast("double").alias("_lat"),
+    ).select("id", "_lon", "_lat", cx.alias("_cx"), cy.alias("_cy"))
+    offs = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    probe = pts.withColumn("_off", F.explode(offs)).select(
+        F.col("id").alias("_ida"),
+        F.col("_lon").alias("_lona"),
+        F.col("_lat").alias("_lata"),
+        (F.col("_cx") + F.col("_off.dx")).alias("_cx"),
+        (F.col("_cy") + F.col("_off.dy")).alias("_cy"),
+    )
+    build = pts.select(
+        F.col("id").alias("_idb"),
+        F.col("_lon").alias("_lonb"),
+        F.col("_lat").alias("_latb"),
+        "_cx",
+        "_cy",
+    )
+    # each DIRECTED pair appears exactly once: b's home cell occurs
+    # once among a's 9 probe cells.  Materialize ONCE (checkpoint
+    # sever, the package's invariant-relation convention): three
+    # consumers read it — the degree fold, the core-core cell edges,
+    # and the border assignment — and the epsilon join is the most
+    # expensive stage in the plan.
+    from moz_datapipeline_spark.iterate import checkpoint_sever
+
+    nbrs = checkpoint_sever(
+        probe.join(build, ["_cx", "_cy"])
+        .filter(F.col("_ida") != F.col("_idb"))
+        .filter(
+            haversine_km("_lona", "_lata", "_lonb", "_latb")
+            <= F.lit(float(eps_km))
+        )
+        .select("_ida", "_idb")
+    )
+    deg = nbrs.groupBy("_ida").agg(
+        F.count(F.lit(1)).cast("long").alias("_nn")
+    )
+    flagged = pts.join(
+        deg, pts["id"] == deg["_ida"], "left"
+    ).select(
+        "id",
+        (
+            F.coalesce(F.col("_nn"), F.lit(0)) + F.lit(1)
+            >= F.lit(int(min_pts))
+        ).alias("is_core"),
+    )
+    cores = flagged.filter(F.col("is_core")).select("id")
+    # exact contraction: cells with diagonal <= eps (158 km/deg bounds
+    # sqrt(110.57^2 + 111.32^2) ~ 156.9 at any latitude; longitude
+    # degrees only shrink poleward, which tightens the bound)
+    key_span = 100_000_000
+    ccell = eps_km / 158.0
+    pcx = F.floor((F.col("_lon") + 180.0) / F.lit(ccell))
+    pcy = F.floor((F.col("_lat") + 90.0) / F.lit(ccell))
+    pcell = pts.select(
+        "id", (pcx * key_span + pcy).cast("long").alias("_ccell")
+    )
+    core_cells = cores.join(pcell, "id")
+    cell_edges = (
+        nbrs.join(
+            core_cells.select(
+                F.col("id").alias("_ida"), F.col("_ccell").alias("_ca")
+            ),
+            "_ida",
+        )
+        .join(
+            core_cells.select(
+                F.col("id").alias("_idb"), F.col("_ccell").alias("_cb")
+            ),
+            "_idb",
+        )
+        .filter(F.col("_ca") < F.col("_cb"))
+        .select(
+            F.col("_ca").alias("id_a"), F.col("_cb").alias("id_b")
+        )
+        .distinct()
+        # self loops keep single-cell clusters alive in the component
+        # pass (isolated dense cells have no inter-cell edge)
+        .unionByName(
+            core_cells.select(
+                F.col("_ccell").alias("id_a"),
+                F.col("_ccell").alias("id_b"),
+            ).distinct()
+        )
+    )
+    # the contracted graph is occupied-cell-sized: union-find on the
+    # driver below 1M edges (one job), pointer doubling above
+    comp = connected_components(cell_edges, driver_cap=1_000_000)
+    core_comp = core_cells.join(
+        comp.select(
+            F.col("id").alias("_ccell"), F.col("component").alias("_cp")
+        ),
+        "_ccell",
+    ).select("id", "_cp")
+    # the public label is the smallest CORE ID in the cluster, not the
+    # internal cell key
+    core_label = core_comp.join(
+        core_comp.groupBy("_cp").agg(F.min("id").alias("cluster")),
+        "_cp",
+    ).select("id", "cluster")
+    # border points: nearest-by-label core neighbor (min cluster id)
+    border_label = (
+        nbrs.join(
+            core_label.select(
+                F.col("id").alias("_idb"), F.col("cluster")
+            ),
+            "_idb",
+        )
+        .join(
+            flagged.filter(~F.col("is_core")).select(
+                F.col("id").alias("_ida")
+            ),
+            "_ida",
+        )
+        .groupBy("_ida")
+        .agg(F.min("cluster").alias("cluster"))
+        .select(F.col("_ida").alias("id"), "cluster")
+    )
+    labels = core_label.unionByName(border_label)
+    return flagged.join(labels, "id", "left").select(
+        "id", "cluster", "is_core"
+    )
+
+
 def trajectory_stats(
     points: DataFrame,
     entity_col: str = "entity",

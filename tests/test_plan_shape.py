@@ -827,3 +827,13 @@ def test_random_walks_no_degree_amplified_probe(spark, sf_dir):
     # the adjacency build is ONE collect_set aggregate, materialized
     # once (checkpoint_sever) — hops scan its blocks, not the edges
     assert plan.count("collect_set") <= 2  # partial+final of one agg
+
+
+def test_grid_dbscan_no_cartesian_cell_bounded(spark, sf_dir):
+    """The epsilon join must be the 9-offset cell equi join — never a
+    cartesian/nested-loop pairing — and clustering must run on the
+    contracted cell graph, not a point-sized window."""
+    plan = _plan(entry_mod.q_grid_dbscan(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" not in plan
