@@ -6962,6 +6962,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "capture_recapture": q_capture_recapture,
         "mrr_bridge": q_mrr_bridge,
         "grid_dbscan": q_grid_dbscan,
+        "zorder_layout": q_zorder_layout,
+        "record_linkage": q_record_linkage,
     }
 
 
@@ -7003,6 +7005,78 @@ def q_grid_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((h("y:") % 2000) * 0.0005).cast("double").alias("lat"),
     )
     return grid_dbscan(pts, eps_km=5.0, min_pts=4)
+
+
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over lineitem's
+    (l_partkey, l_suppkey) at 8 bits/dim with data-driven bounds
+    (operators/layout.zorder_layout) — the OPTIMIZE ZORDER BY
+    write-side layout op; rows close in BOTH dimensions share a
+    key prefix so parquet min/max stats prune on both columns.
+    VALUE oracle: identical min/max bounds, equal-width quantize,
+    clamp, and shift-or bit interleave in DuckDB."""
+    from moz_datapipeline_spark.operators.layout import zorder_layout
+
+    li = _t(spark, sf_dir, "lineitem")
+    laid = zorder_layout(
+        li, ["l_partkey", "l_suppkey"], bits=8, num_partitions=32
+    )
+    return laid.select("l_orderkey", "l_linenumber", "zorder_key")
+
+
+
+def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter record linkage over nation-blocked customer
+    pairs (operators/linkage.record_linkage_score): three field
+    comparisons (market segment, last-2-digit name suffix, account
+    balance within 100) scored with log2 likelihood-ratio weights
+    and the two-threshold link/review/reject rule.  VALUE oracle:
+    identical blocking join, agreement predicates, weight literals,
+    and thresholds in DuckDB."""
+    from moz_datapipeline_spark.operators.linkage import (
+        record_linkage_score,
+    )
+
+    c = _t(spark, sf_dir, "customer")
+    a = c.select(
+        F.col("c_custkey").alias("id_a"),
+        F.col("c_nationkey").alias("_nk"),
+        F.col("c_mktsegment").alias("_seg_a"),
+        F.substring("c_name", -2, 2).alias("_ph_a"),
+        F.col("c_acctbal").alias("_bal_a"),
+    )
+    b = c.select(
+        F.col("c_custkey").alias("id_b"),
+        F.col("c_nationkey").alias("_nk"),
+        F.col("c_mktsegment").alias("_seg_b"),
+        F.substring("c_name", -2, 2).alias("_ph_b"),
+        F.col("c_acctbal").alias("_bal_b"),
+    )
+    pairs = (
+        a.join(b, "_nk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("_seg_a") == F.col("_seg_b")).alias("seg_ok"),
+            (F.col("_ph_a") == F.col("_ph_b")).alias("phone_ok"),
+            (
+                F.abs(F.col("_bal_a") - F.col("_bal_b")) < 100.0
+            ).alias("bal_ok"),
+        )
+    )
+    scored = record_linkage_score(
+        pairs,
+        {
+            "seg_ok": (0.9, 0.2),
+            "phone_ok": (0.85, 0.05),
+            "bal_ok": (0.7, 0.02),
+        },
+        upper=4.0,
+        lower=0.0,
+    )
+    return scored.select("id_a", "id_b", "score", "decision")
+
 
 
 def _bootstrap_ci_oracle(B: int = 32, lo: float = 0.025, hi: float = 0.975) -> str:
@@ -17771,6 +17845,78 @@ FROM eaul_calc
           SELECT * FROM core_label
           UNION ALL SELECT * FROM border_label
         ) l ON f.id = l.id
+    """
+
+    sql["zorder_layout"] = """
+        WITH b AS (
+          SELECT min(CAST(l_partkey AS DOUBLE)) AS lo1,
+                 max(CAST(l_partkey AS DOUBLE)) AS hi1,
+                 min(CAST(l_suppkey AS DOUBLE)) AS lo2,
+                 max(CAST(l_suppkey AS DOUBLE)) AS hi2
+          FROM lineitem
+        ), q AS (
+          SELECT l_orderkey, l_linenumber,
+                 least(greatest(CAST(floor(
+                   (CAST(l_partkey AS DOUBLE) - b.lo1)
+                   / (b.hi1 - b.lo1) * 256.0) AS BIGINT), 0), 255)
+                   AS q1,
+                 least(greatest(CAST(floor(
+                   (CAST(l_suppkey AS DOUBLE) - b.lo2)
+                   / (b.hi2 - b.lo2) * 256.0) AS BIGINT), 0), 255)
+                   AS q2
+          FROM lineitem CROSS JOIN b
+        )
+        SELECT l_orderkey, l_linenumber,
+               (((q1 >> 0) & 1) << 0)
+               | (((q1 >> 1) & 1) << 2)
+               | (((q1 >> 2) & 1) << 4)
+               | (((q1 >> 3) & 1) << 6)
+               | (((q1 >> 4) & 1) << 8)
+               | (((q1 >> 5) & 1) << 10)
+               | (((q1 >> 6) & 1) << 12)
+               | (((q1 >> 7) & 1) << 14)
+               | (((q2 >> 0) & 1) << 1)
+               | (((q2 >> 1) & 1) << 3)
+               | (((q2 >> 2) & 1) << 5)
+               | (((q2 >> 3) & 1) << 7)
+               | (((q2 >> 4) & 1) << 9)
+               | (((q2 >> 5) & 1) << 11)
+               | (((q2 >> 6) & 1) << 13)
+               | (((q2 >> 7) & 1) << 15)
+                 AS zorder_key
+        FROM q
+    """
+
+    sql["record_linkage"] = """
+        WITH pairs AS (
+          SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+                 a.c_mktsegment = b.c_mktsegment AS seg_ok,
+                 substr(a.c_name, length(a.c_name) - 1, 2)
+                   = substr(b.c_name, length(b.c_name) - 1, 2)
+                   AS phone_ok,
+                 abs(a.c_acctbal - b.c_acctbal) < 100.0 AS bal_ok
+          FROM customer a JOIN customer b
+            ON a.c_nationkey = b.c_nationkey
+           AND a.c_custkey < b.c_custkey
+        ), scored AS (
+          SELECT id_a, id_b,
+                 round(
+                   (CASE WHEN seg_ok IS NULL THEN 0.0
+                         WHEN seg_ok THEN 2.169925001442312
+                         ELSE -3.0000000000000004 END)
+                   + (CASE WHEN phone_ok IS NULL THEN 0.0
+                           WHEN phone_ok THEN 4.087462841250339
+                           ELSE -2.662965012722429 END)
+                   + (CASE WHEN bal_ok IS NULL THEN 0.0
+                           WHEN bal_ok THEN 5.129283016944966
+                           ELSE -1.7078192485066894 END), 6) AS score
+          FROM pairs
+        )
+        SELECT id_a, id_b, score,
+               CASE WHEN score >= 4.0 THEN 'match'
+                    WHEN score < 0.0 THEN 'non_match'
+                    ELSE 'possible' END AS decision
+        FROM scored
     """
 
     return sql

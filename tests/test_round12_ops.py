@@ -73,3 +73,165 @@ def test_grid_dbscan_guards(spark):
         grid_dbscan(df, eps_km=0.0)
     with pytest.raises(ValueError, match="min_pts"):
         grid_dbscan(df, eps_km=1.0, min_pts=0)
+
+
+def test_zorder_key_hand_interleave(spark):
+    """bits=3, cols (x, y) with bounds making quantized = raw value:
+    x=5 (101), y=3 (011) -> bit layout x0,y0,x1,y1,x2,y2 =
+    1,1,0,1,1,0 -> 0b011011 = 27."""
+    from moz_datapipeline_spark.operators.layout import zorder_key
+
+    df = spark.createDataFrame([(5.0, 3.0)], "x double, y double")
+    # bounds [0, 8) with 3 bits => bin width 1 => identity quantize
+    z = df.select(
+        zorder_key({"x": (0.0, 8.0), "y": (0.0, 8.0)}, bits=3).alias("z")
+    ).collect()[0]["z"]
+    assert z == 27
+
+
+def test_zorder_key_clamps_and_nulls(spark):
+    from moz_datapipeline_spark.operators.layout import zorder_key
+
+    df = spark.createDataFrame(
+        [(-5.0, 99.0), (None, 0.0)], "x double, y double"
+    )
+    rows = df.select(
+        zorder_key({"x": (0.0, 8.0), "y": (0.0, 8.0)}, bits=3).alias("z")
+    ).collect()
+    # x=-5 clamps to bin 0; y=99 clamps to bin 7 (111 at odd bits:
+    # 2+8+32=42).  NULL x -> 0; y=0 -> 0.
+    assert rows[0]["z"] == 42
+    assert rows[1]["z"] == 0
+
+
+def test_zorder_key_guards(spark):
+    from moz_datapipeline_spark.operators.layout import zorder_key
+
+    with pytest.raises(ValueError, match="column"):
+        zorder_key({}, bits=4)
+    with pytest.raises(ValueError, match="62"):
+        zorder_key({"a": (0, 1), "b": (0, 1)}, bits=32)
+
+
+def test_zorder_layout_locality(spark, tmp_path):
+    """Write a 2-D grid z-ordered: per-file min/max ranges of BOTH
+    columns must be tight — the one-column sort leaves the second
+    column's per-file range at ~full width, z-order shrinks it."""
+    from pyspark.sql import functions as F
+
+    from moz_datapipeline_spark.operators.layout import zorder_layout
+
+    n = 64
+    df = (
+        spark.range(n * n)
+        .select(
+            (F.col("id") % n).cast("double").alias("x"),
+            (F.col("id") / n).cast("long").cast("double").alias("y"),
+        )
+    )
+    laid = zorder_layout(df, ["x", "y"], bits=6, num_partitions=16)
+    assert "zorder_key" in laid.columns
+    spans = (
+        laid.groupBy(F.spark_partition_id().alias("p"))
+        .agg(
+            (F.max("x") - F.min("x")).alias("sx"),
+            (F.max("y") - F.min("y")).alias("sy"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .collect()
+    )
+    assert sum(r.cnt for r in spans) == n * n
+    # 16 partitions over a 64x64 grid: a z-layout keeps BOTH spans
+    # near sqrt(4096/16)=16; a linear sort on x gives sy = 63 in
+    # every partition.  Allow generous slack for range-boundary
+    # straddle.
+    avg_sy = sum(r.sy for r in spans) / len(spans)
+    assert avg_sy < 40, avg_sy
+    avg_sx = sum(r.sx for r in spans) / len(spans)
+    assert avg_sx < 40, avg_sx
+
+
+def test_record_linkage_score_hand_computed(spark):
+    """Textbook weights: name (m=.9, u=.1) -> agree +3.17, disagree
+    -3.17; phone (m=.8, u=.2) -> +2, -2.  Pair agreeing on both:
+    5.169925; agreeing on name only: 1.169925; NULL phone: 3.169925."""
+    import math
+
+    from moz_datapipeline_spark.operators.linkage import (
+        record_linkage_score,
+    )
+
+    rows = [
+        (1, True, True),
+        (2, True, False),
+        (3, True, None),
+        (4, False, False),
+    ]
+    df = spark.createDataFrame(
+        rows, "pid long, name_ok boolean, phone_ok boolean"
+    )
+    out = {
+        r.pid: r
+        for r in record_linkage_score(
+            df,
+            {"name_ok": (0.9, 0.1), "phone_ok": (0.8, 0.2)},
+            upper=3.0,
+            lower=0.0,
+        ).collect()
+    }
+    w_name = math.log2(9.0)
+    w_phone = math.log2(4.0)
+    assert out[1].score == round(w_name + w_phone, 6)
+    assert out[1].decision == "match"
+    assert out[2].score == round(w_name - w_phone, 6)
+    assert out[2].decision == "possible"
+    assert out[3].score == round(w_name, 6)
+    assert out[3].decision == "match"
+    assert out[4].score == round(-w_name - w_phone, 6)
+    assert out[4].decision == "non_match"
+
+
+def test_record_linkage_guards(spark):
+    from moz_datapipeline_spark.operators.linkage import (
+        record_linkage_score,
+    )
+
+    df = spark.createDataFrame([(1, True)], "pid long, f boolean")
+    with pytest.raises(ValueError, match="m <= u"):
+        record_linkage_score(df, {"f": (0.2, 0.8)})
+    with pytest.raises(ValueError, match="in \\(0, 1\\)"):
+        record_linkage_score(df, {"f": (1.0, 0.1)})
+    with pytest.raises(ValueError, match=">= 1 field"):
+        record_linkage_score(df, {})
+
+
+def test_estimate_m_u_hand_computed(spark):
+    """4 matches (3 agree name, 1 null phone of which 2/3 agree) and
+    4 non-matches (1 agrees name, 0 agree phone -> floor clamp)."""
+    from moz_datapipeline_spark.operators.linkage import estimate_m_u
+
+    rows = [
+        (True, True, True),
+        (True, True, True),
+        (True, True, None),
+        (True, False, False),
+        (False, True, False),
+        (False, False, False),
+        (False, False, False),
+        (False, False, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "is_match boolean, name_ok boolean, phone_ok boolean"
+    )
+    out = {
+        r.field: r
+        for r in estimate_m_u(df, ["name_ok", "phone_ok"]).collect()
+    }
+    assert out["name_ok"].m == 0.75 and out["name_ok"].u == 0.25
+    assert out["phone_ok"].m == round(2 / 3, 6)
+    assert out["phone_ok"].u == 0.001  # floor clamp, 0/3 agreements
+    assert out["name_ok"].n_match == 4 and out["name_ok"].n_non_match == 4
+
+    one_class = df.filter("is_match")
+    with pytest.raises(ValueError, match="BOTH classes"):
+        estimate_m_u(one_class, ["name_ok"])
