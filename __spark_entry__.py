@@ -6964,6 +6964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grid_dbscan": q_grid_dbscan,
         "zorder_layout": q_zorder_layout,
         "record_linkage": q_record_linkage,
+        "cox_ph": q_cox_ph,
     }
 
 
@@ -7076,6 +7077,29 @@ def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         lower=0.0,
     )
     return scored.select("id_a", "id_b", "score", "decision")
+
+
+
+def q_cox_ph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cox proportional hazards (Breslow ties, fixed 8-round Newton)
+    over a synthetic orders survival panel: binary covariate shifts
+    survival by construction (operators/analytics.cox_ph).  VALUE
+    oracle: the ENTIRE optimization unrolled in DuckDB — 8 iteration
+    CTE chains of the same beta-weighted rollup + descending suffix
+    sums + score/information fold, then the Wald readouts."""
+    from moz_datapipeline_spark.operators.analytics import cox_ph
+
+    o = _t(spark, sf_dir, "orders")
+    surv = o.select(
+        (
+            (F.col("o_orderkey") % 30)
+            + 1
+            + 15 * (F.col("o_orderkey") % 2)
+        ).cast("double").alias("t"),
+        F.when(F.col("o_orderkey") % 5 != 0, 1).otherwise(0).alias("e"),
+        (F.col("o_orderkey") % 2).cast("double").alias("x"),
+    )
+    return cox_ph(surv, "t", "e", "x")
 
 
 
@@ -17917,6 +17941,280 @@ FROM eaul_calc
                     WHEN score < 0.0 THEN 'non_match'
                     ELSE 'possible' END AS decision
         FROM scored
+    """
+
+    sql["cox_ph"] = """
+        WITH base AS MATERIALIZED (
+          SELECT CAST((o_orderkey % 30) + 1
+                      + 15 * (o_orderkey % 2) AS DOUBLE) AS t,
+                 CASE WHEN o_orderkey % 5 <> 0 THEN 1 ELSE 0 END AS e,
+                 CAST(o_orderkey % 2 AS DOUBLE) AS x
+          FROM orders
+        ),
+        it0 AS MATERIALIZED (SELECT 0.0 AS beta),
+        r1 AS MATERIALIZED (
+          SELECT t,
+                 sum(exp((SELECT beta FROM it0) * x)) AS w,
+                 sum(x * exp((SELECT beta FROM it0) * x)) AS xw,
+                 sum(x * x * exp((SELECT beta FROM it0) * x)) AS x2w,
+                 sum(e) AS d, sum(e * x) AS dx, count(*) AS n
+          FROM base GROUP BY t
+        ), s1 AS MATERIALIZED (
+          SELECT d, dx, n,
+                 sum(w) OVER win AS s0,
+                 sum(xw) OVER win AS s1v,
+                 sum(x2w) OVER win AS s2v
+          FROM r1
+          WINDOW win AS (ORDER BY t DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ), f1 AS MATERIALIZED (
+          SELECT sum(n) AS n, CAST(sum(d) AS BIGINT) AS d,
+                 sum(CASE WHEN d > 0
+                     THEN dx - d * s1v / s0 END) AS u,
+                 sum(CASE WHEN d > 0
+                     THEN d * (s2v / s0 - (s1v / s0) * (s1v / s0))
+                     END) AS i
+          FROM s1
+        ), it1 AS MATERIALIZED (
+          SELECT (SELECT beta FROM it0)
+                 + (SELECT u FROM f1) / (SELECT i FROM f1) AS beta
+        ),
+        r2 AS MATERIALIZED (
+          SELECT t,
+                 sum(exp((SELECT beta FROM it1) * x)) AS w,
+                 sum(x * exp((SELECT beta FROM it1) * x)) AS xw,
+                 sum(x * x * exp((SELECT beta FROM it1) * x)) AS x2w,
+                 sum(e) AS d, sum(e * x) AS dx, count(*) AS n
+          FROM base GROUP BY t
+        ), s2 AS MATERIALIZED (
+          SELECT d, dx, n,
+                 sum(w) OVER win AS s0,
+                 sum(xw) OVER win AS s1v,
+                 sum(x2w) OVER win AS s2v
+          FROM r2
+          WINDOW win AS (ORDER BY t DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ), f2 AS MATERIALIZED (
+          SELECT sum(n) AS n, CAST(sum(d) AS BIGINT) AS d,
+                 sum(CASE WHEN d > 0
+                     THEN dx - d * s1v / s0 END) AS u,
+                 sum(CASE WHEN d > 0
+                     THEN d * (s2v / s0 - (s1v / s0) * (s1v / s0))
+                     END) AS i
+          FROM s2
+        ), it2 AS MATERIALIZED (
+          SELECT (SELECT beta FROM it1)
+                 + (SELECT u FROM f2) / (SELECT i FROM f2) AS beta
+        ),
+        r3 AS MATERIALIZED (
+          SELECT t,
+                 sum(exp((SELECT beta FROM it2) * x)) AS w,
+                 sum(x * exp((SELECT beta FROM it2) * x)) AS xw,
+                 sum(x * x * exp((SELECT beta FROM it2) * x)) AS x2w,
+                 sum(e) AS d, sum(e * x) AS dx, count(*) AS n
+          FROM base GROUP BY t
+        ), s3 AS MATERIALIZED (
+          SELECT d, dx, n,
+                 sum(w) OVER win AS s0,
+                 sum(xw) OVER win AS s1v,
+                 sum(x2w) OVER win AS s2v
+          FROM r3
+          WINDOW win AS (ORDER BY t DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ), f3 AS MATERIALIZED (
+          SELECT sum(n) AS n, CAST(sum(d) AS BIGINT) AS d,
+                 sum(CASE WHEN d > 0
+                     THEN dx - d * s1v / s0 END) AS u,
+                 sum(CASE WHEN d > 0
+                     THEN d * (s2v / s0 - (s1v / s0) * (s1v / s0))
+                     END) AS i
+          FROM s3
+        ), it3 AS MATERIALIZED (
+          SELECT (SELECT beta FROM it2)
+                 + (SELECT u FROM f3) / (SELECT i FROM f3) AS beta
+        ),
+        r4 AS MATERIALIZED (
+          SELECT t,
+                 sum(exp((SELECT beta FROM it3) * x)) AS w,
+                 sum(x * exp((SELECT beta FROM it3) * x)) AS xw,
+                 sum(x * x * exp((SELECT beta FROM it3) * x)) AS x2w,
+                 sum(e) AS d, sum(e * x) AS dx, count(*) AS n
+          FROM base GROUP BY t
+        ), s4 AS MATERIALIZED (
+          SELECT d, dx, n,
+                 sum(w) OVER win AS s0,
+                 sum(xw) OVER win AS s1v,
+                 sum(x2w) OVER win AS s2v
+          FROM r4
+          WINDOW win AS (ORDER BY t DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ), f4 AS MATERIALIZED (
+          SELECT sum(n) AS n, CAST(sum(d) AS BIGINT) AS d,
+                 sum(CASE WHEN d > 0
+                     THEN dx - d * s1v / s0 END) AS u,
+                 sum(CASE WHEN d > 0
+                     THEN d * (s2v / s0 - (s1v / s0) * (s1v / s0))
+                     END) AS i
+          FROM s4
+        ), it4 AS MATERIALIZED (
+          SELECT (SELECT beta FROM it3)
+                 + (SELECT u FROM f4) / (SELECT i FROM f4) AS beta
+        ),
+        r5 AS MATERIALIZED (
+          SELECT t,
+                 sum(exp((SELECT beta FROM it4) * x)) AS w,
+                 sum(x * exp((SELECT beta FROM it4) * x)) AS xw,
+                 sum(x * x * exp((SELECT beta FROM it4) * x)) AS x2w,
+                 sum(e) AS d, sum(e * x) AS dx, count(*) AS n
+          FROM base GROUP BY t
+        ), s5 AS MATERIALIZED (
+          SELECT d, dx, n,
+                 sum(w) OVER win AS s0,
+                 sum(xw) OVER win AS s1v,
+                 sum(x2w) OVER win AS s2v
+          FROM r5
+          WINDOW win AS (ORDER BY t DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ), f5 AS MATERIALIZED (
+          SELECT sum(n) AS n, CAST(sum(d) AS BIGINT) AS d,
+                 sum(CASE WHEN d > 0
+                     THEN dx - d * s1v / s0 END) AS u,
+                 sum(CASE WHEN d > 0
+                     THEN d * (s2v / s0 - (s1v / s0) * (s1v / s0))
+                     END) AS i
+          FROM s5
+        ), it5 AS MATERIALIZED (
+          SELECT (SELECT beta FROM it4)
+                 + (SELECT u FROM f5) / (SELECT i FROM f5) AS beta
+        ),
+        r6 AS MATERIALIZED (
+          SELECT t,
+                 sum(exp((SELECT beta FROM it5) * x)) AS w,
+                 sum(x * exp((SELECT beta FROM it5) * x)) AS xw,
+                 sum(x * x * exp((SELECT beta FROM it5) * x)) AS x2w,
+                 sum(e) AS d, sum(e * x) AS dx, count(*) AS n
+          FROM base GROUP BY t
+        ), s6 AS MATERIALIZED (
+          SELECT d, dx, n,
+                 sum(w) OVER win AS s0,
+                 sum(xw) OVER win AS s1v,
+                 sum(x2w) OVER win AS s2v
+          FROM r6
+          WINDOW win AS (ORDER BY t DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ), f6 AS MATERIALIZED (
+          SELECT sum(n) AS n, CAST(sum(d) AS BIGINT) AS d,
+                 sum(CASE WHEN d > 0
+                     THEN dx - d * s1v / s0 END) AS u,
+                 sum(CASE WHEN d > 0
+                     THEN d * (s2v / s0 - (s1v / s0) * (s1v / s0))
+                     END) AS i
+          FROM s6
+        ), it6 AS MATERIALIZED (
+          SELECT (SELECT beta FROM it5)
+                 + (SELECT u FROM f6) / (SELECT i FROM f6) AS beta
+        ),
+        r7 AS MATERIALIZED (
+          SELECT t,
+                 sum(exp((SELECT beta FROM it6) * x)) AS w,
+                 sum(x * exp((SELECT beta FROM it6) * x)) AS xw,
+                 sum(x * x * exp((SELECT beta FROM it6) * x)) AS x2w,
+                 sum(e) AS d, sum(e * x) AS dx, count(*) AS n
+          FROM base GROUP BY t
+        ), s7 AS MATERIALIZED (
+          SELECT d, dx, n,
+                 sum(w) OVER win AS s0,
+                 sum(xw) OVER win AS s1v,
+                 sum(x2w) OVER win AS s2v
+          FROM r7
+          WINDOW win AS (ORDER BY t DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ), f7 AS MATERIALIZED (
+          SELECT sum(n) AS n, CAST(sum(d) AS BIGINT) AS d,
+                 sum(CASE WHEN d > 0
+                     THEN dx - d * s1v / s0 END) AS u,
+                 sum(CASE WHEN d > 0
+                     THEN d * (s2v / s0 - (s1v / s0) * (s1v / s0))
+                     END) AS i
+          FROM s7
+        ), it7 AS MATERIALIZED (
+          SELECT (SELECT beta FROM it6)
+                 + (SELECT u FROM f7) / (SELECT i FROM f7) AS beta
+        ),
+        r8 AS MATERIALIZED (
+          SELECT t,
+                 sum(exp((SELECT beta FROM it7) * x)) AS w,
+                 sum(x * exp((SELECT beta FROM it7) * x)) AS xw,
+                 sum(x * x * exp((SELECT beta FROM it7) * x)) AS x2w,
+                 sum(e) AS d, sum(e * x) AS dx, count(*) AS n
+          FROM base GROUP BY t
+        ), s8 AS MATERIALIZED (
+          SELECT d, dx, n,
+                 sum(w) OVER win AS s0,
+                 sum(xw) OVER win AS s1v,
+                 sum(x2w) OVER win AS s2v
+          FROM r8
+          WINDOW win AS (ORDER BY t DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ), f8 AS MATERIALIZED (
+          SELECT sum(n) AS n, CAST(sum(d) AS BIGINT) AS d,
+                 sum(CASE WHEN d > 0
+                     THEN dx - d * s1v / s0 END) AS u,
+                 sum(CASE WHEN d > 0
+                     THEN d * (s2v / s0 - (s1v / s0) * (s1v / s0))
+                     END) AS i
+          FROM s8
+        ), it8 AS MATERIALIZED (
+          SELECT (SELECT beta FROM it7)
+                 + (SELECT u FROM f8) / (SELECT i FROM f8) AS beta
+        ),
+        rf AS MATERIALIZED (
+          SELECT t,
+                 sum(exp((SELECT beta FROM it8) * x)) AS w,
+                 sum(x * exp((SELECT beta FROM it8) * x)) AS xw,
+                 sum(x * x * exp((SELECT beta FROM it8) * x))
+                   AS x2w,
+                 sum(e) AS d, sum(e * x) AS dx, count(*) AS n
+          FROM base GROUP BY t
+        ), sf AS MATERIALIZED (
+          SELECT d, dx, n,
+                 sum(w) OVER win AS s0,
+                 sum(xw) OVER win AS s1v,
+                 sum(x2w) OVER win AS s2v
+          FROM rf
+          WINDOW win AS (ORDER BY t DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ), ff AS MATERIALIZED (
+          SELECT CAST(sum(n) AS BIGINT) AS n,
+                 CAST(sum(d) AS BIGINT) AS d,
+                 sum(CASE WHEN d > 0
+                     THEN d * (s2v / s0 - (s1v / s0) * (s1v / s0))
+                     END) AS i
+          FROM sf
+        )
+        SELECT n, d AS n_events,
+               round((SELECT beta FROM it8), 6) AS beta,
+               round(exp((SELECT beta FROM it8)), 6)
+                 AS hazard_ratio,
+               round(1.0 / sqrt(i), 6) AS se,
+               round((SELECT beta FROM it8) * sqrt(i), 6) AS z,
+               round((0.254829592 * tt - 0.284496736 * pow(tt, 2)
+                      + 1.421413741 * pow(tt, 3)
+                      - 1.453152027 * pow(tt, 4)
+                      + 1.061405429 * pow(tt, 5)) * exp(-az * az), 6)
+                 AS p_value,
+               ((0.254829592 * tt - 0.284496736 * pow(tt, 2)
+                 + 1.421413741 * pow(tt, 3)
+                 - 1.453152027 * pow(tt, 4)
+                 + 1.061405429 * pow(tt, 5)) * exp(-az * az)) < 0.05
+                 AS significant
+        FROM ff, (
+          SELECT az, 1.0 / (1.0 + 0.3275911 * az) AS tt
+          FROM (
+            SELECT abs((SELECT beta FROM it8)
+                       * sqrt((SELECT i FROM ff))) / sqrt(2.0) AS az
+          )
+        )
     """
 
     return sql

@@ -5824,3 +5824,174 @@ def mrr_bridge(
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+def cox_ph(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    x_col: str,
+    iterations: int = 8,
+    divergence_cap: float = 50.0,
+) -> DataFrame:
+    """Cox proportional-hazards regression, one covariate, Breslow
+    ties: one row ``(n, n_events, beta, hazard_ratio, se, z, p_value,
+    significant)`` — the survival family's effect-size estimator:
+    ``kaplan_meier`` draws the curves, ``log_rank_test`` says the
+    groups differ, Cox says BY HOW MUCH per unit of ``x``, without
+    choosing a baseline hazard shape.  ``hazard_ratio = exp(beta)``;
+    two-sided p via the Abramowitz–Stegun 7.1.26 erfc polynomial (the
+    ``ab_test`` convention), ``significant`` at 5%.
+
+    FIXED-ITERATION Newton–Raphson (``iterations`` rounds from
+    β = 0), not tolerance-stopped — deliberately, so the whole
+    optimization replays bit-stably in any engine (the ``bpe``
+    unrolled-merges convention); 8 rounds converge far below the
+    6-dp output rounding for any single-covariate problem that
+    converges at all.  |β| past ``divergence_cap`` raises loudly
+    (monotone likelihood — a perfectly separating covariate has no
+    finite MLE).  NULL duration/event/x excludes the row; zero
+    events or a constant covariate (observed information ≤ 0)
+    yields an all-NULL estimate row, loudly.
+
+    Plan, per Newton round: ONE data pass — a hash aggregate to the
+    |distinct durations| rollup of β-weighted moments (Σe^{βx},
+    Σxe^{βx}, Σx²e^{βx}, events' d and Σx) — then descending-time
+    suffix sums over that rollup (duration-cardinality-sized, the
+    ``kaplan_meier`` window scheme) give every risk set's S0/S1/S2
+    in one window pass, and a 1-row fold yields the score U and
+    information I.  β updates on the driver (the ``bradley_terry``
+    driver-solve convention: the state is ONE scalar).  Total:
+    ``iterations + 1`` linear passes, no joins, no data-sized
+    windows.
+    """
+    import math as _math
+
+    if iterations < 1:
+        raise ValueError("cox_ph: iterations must be >= 1")
+    t = F.col(duration_col).cast("double")
+    e = F.col(event_col).cast("int")
+    x = F.col(x_col).cast("double")
+    base = df.select(
+        t.alias("_t"), e.alias("_e"), x.alias("_x")
+    ).filter(
+        F.col("_t").isNotNull()
+        & F.col("_e").isNotNull()
+        & F.col("_x").isNotNull()
+    )
+    spark = df.sparkSession
+
+    def fold(beta: float):
+        bw = F.exp(F.lit(float(beta)) * F.col("_x"))
+        per = base.groupBy("_t").agg(
+            F.sum(bw).alias("_w"),
+            F.sum(F.col("_x") * bw).alias("_xw"),
+            F.sum(F.col("_x") * F.col("_x") * bw).alias("_x2w"),
+            F.sum("_e").cast("long").alias("_d"),
+            F.sum(F.col("_e") * F.col("_x")).alias("_dx"),
+            F.count(F.lit(1)).cast("long").alias("_n"),
+        )
+        w = (
+            Window.partitionBy()
+            .orderBy(F.col("_t").desc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        s = per.select(
+            "_d",
+            "_dx",
+            "_n",
+            F.sum("_w").over(w).alias("_s0"),
+            F.sum("_xw").over(w).alias("_s1"),
+            F.sum("_x2w").over(w).alias("_s2"),
+        )
+        r = s.agg(
+            F.sum("_n").alias("n"),
+            F.sum("_d").alias("d"),
+            F.sum(
+                F.when(
+                    F.col("_d") > 0,
+                    F.col("_dx")
+                    - F.col("_d") * F.col("_s1") / F.col("_s0"),
+                )
+            ).alias("u"),
+            F.sum(
+                F.when(
+                    F.col("_d") > 0,
+                    F.col("_d")
+                    * (
+                        F.col("_s2") / F.col("_s0")
+                        - (F.col("_s1") / F.col("_s0")) ** 2
+                    ),
+                )
+            ).alias("i"),
+        ).collect()[0]
+        return r["n"], r["d"], r["u"], r["i"]
+
+    schema = (
+        "n long, n_events long, beta double, hazard_ratio double, "
+        "se double, z double, p_value double, significant boolean"
+    )
+    def _separation(b: float):
+        raise ValueError(
+            f"cox_ph: no finite MLE at beta = {b:.3f} — the covariate "
+            "(near-)perfectly separates event order (monotone "
+            "likelihood: the information collapsed or |beta| passed "
+            f"{divergence_cap}); check for leakage or cap/bin the "
+            "covariate"
+        )
+
+    beta = 0.0
+    n = d = 0
+    for _ in range(int(iterations)):
+        n, d, u, info = fold(beta)
+        if not n or not d or info is None or info <= 0.0:
+            # info collapse at a drifted beta IS separation (the
+            # monotone-likelihood walk flattens the exp weights until
+            # every risk set is a point mass) — refuse loudly; at
+            # beta ~ 0 it's just a constant covariate: NULL row
+            if abs(beta) > 2.0:
+                _separation(beta)
+            return spark.createDataFrame(
+                [(int(n or 0), int(d or 0), None, None, None, None,
+                  None, None)],
+                schema,
+            )
+        beta = beta + u / info
+        if abs(beta) > divergence_cap:
+            _separation(beta)
+    # observed information at the final estimate -> Wald readouts
+    n, d, _u, info = fold(beta)
+    if info is None or info <= 0.0:
+        if abs(beta) > 2.0:
+            _separation(beta)
+        return spark.createDataFrame(
+            [(int(n), int(d), None, None, None, None, None, None)],
+            schema,
+        )
+    se = 1.0 / _math.sqrt(info)
+    z = beta / se
+    az = abs(z) / _math.sqrt(2.0)
+    tt = 1.0 / (1.0 + 0.3275911 * az)
+    poly = (
+        0.254829592 * tt
+        - 0.284496736 * tt**2
+        + 1.421413741 * tt**3
+        - 1.453152027 * tt**4
+        + 1.061405429 * tt**5
+    )
+    p = poly * _math.exp(-az * az)
+    return spark.createDataFrame(
+        [
+            (
+                int(n),
+                int(d),
+                round(beta, 6),
+                round(_math.exp(beta), 6),
+                round(se, 6),
+                round(z, 6),
+                round(p, 6),
+                bool(p < 0.05),
+            )
+        ],
+        schema,
+    )

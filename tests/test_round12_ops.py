@@ -235,3 +235,67 @@ def test_estimate_m_u_hand_computed(spark):
     one_class = df.filter("is_match")
     with pytest.raises(ValueError, match="BOTH classes"):
         estimate_m_u(one_class, ["name_ok"])
+
+
+def test_cox_ph_gehan_published_pin(spark):
+    """Gehan (1965) 6-MP leukemia trial, control arm coded x=1: the
+    PUBLISHED Breslow-ties Cox fit is beta = 1.509 (HR 4.52),
+    SE = 0.410 — an independent literature pin, not a replay."""
+    from moz_datapipeline_spark.operators.analytics import cox_ph
+
+    control = [1, 1, 2, 2, 3, 4, 4, 5, 5, 8, 8, 8, 8,
+               11, 11, 12, 12, 15, 17, 22, 23]
+    treat = [(6, 1), (6, 1), (6, 1), (6, 0), (7, 1), (9, 0), (10, 1),
+             (10, 0), (11, 0), (13, 1), (16, 1), (17, 0), (19, 0),
+             (20, 0), (22, 1), (23, 1), (25, 0), (32, 0), (32, 0),
+             (34, 0), (35, 0)]
+    rows = [(float(t), 1, 1.0) for t in control] + [
+        (float(t), e, 0.0) for t, e in treat
+    ]
+    df = spark.createDataFrame(rows, "t double, e int, x double")
+    r = cox_ph(df, "t", "e", "x").collect()[0]
+    assert r.n == 42 and r.n_events == 30
+    assert abs(r.beta - 1.5092) < 1e-3
+    assert abs(r.se - 0.4096) < 1e-3
+    assert abs(r.hazard_ratio - 4.523) < 1e-2
+    assert r.significant is True
+
+
+def test_cox_ph_null_effect_and_degenerates(spark):
+    from moz_datapipeline_spark.operators.analytics import cox_ph
+
+    # covariate independent of survival -> beta ~ 0, not significant
+    rows = [(float(1 + i % 7), 1, float(i % 2)) for i in range(60)]
+    df = spark.createDataFrame(rows, "t double, e int, x double")
+    r = cox_ph(df, "t", "e", "x").collect()[0]
+    assert abs(r.beta) < 0.2 and r.significant is False
+
+    # constant covariate: information 0 -> NULL estimates
+    const = spark.createDataFrame(
+        [(float(i + 1), 1, 2.0) for i in range(10)],
+        "t double, e int, x double",
+    )
+    r = cox_ph(const, "t", "e", "x").collect()[0]
+    assert r.n == 10 and r.beta is None and r.p_value is None
+
+    # zero events: NULL estimates
+    cens = spark.createDataFrame(
+        [(float(i + 1), 0, float(i % 2)) for i in range(10)],
+        "t double, e int, x double",
+    )
+    r = cox_ph(cens, "t", "e", "x").collect()[0]
+    assert r.n == 10 and r.n_events == 0 and r.beta is None
+
+    with pytest.raises(ValueError, match="iterations"):
+        cox_ph(df, "t", "e", "x", iterations=0)
+
+
+def test_cox_ph_separation_raises(spark):
+    """A covariate that perfectly orders the (all-event) times has a
+    monotone likelihood: Newton runs away and must be refused."""
+    from moz_datapipeline_spark.operators.analytics import cox_ph
+
+    rows = [(float(i + 1), 1, float(i)) for i in range(12)]
+    df = spark.createDataFrame(rows, "t double, e int, x double")
+    with pytest.raises(ValueError, match="monotone"):
+        cox_ph(df, "t", "e", "x", iterations=40)
