@@ -6965,6 +6965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_layout": q_zorder_layout,
         "record_linkage": q_record_linkage,
         "cox_ph": q_cox_ph,
+        "logit_fit": q_logit_fit,
     }
 
 
@@ -7100,6 +7101,27 @@ def q_cox_ph(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderkey") % 2).cast("double").alias("x"),
     )
     return cox_ph(surv, "t", "e", "x")
+
+
+
+def q_logit_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic regression (IRLS Newton, intercept + slope) over a
+    synthetic orders conversion panel with a planted monotone lift
+    (operators/analytics.logit_fit).  VALUE oracle: all 8 Newton
+    rounds unrolled as MATERIALIZED CTE chains (5-moment fold + 2x2
+    Cramer per round), then the Wald readouts."""
+    from moz_datapipeline_spark.operators.analytics import logit_fit
+
+    o = _t(spark, sf_dir, "orders")
+    panel = o.select(
+        F.when(
+            (F.col("o_orderkey") * 11) % 20
+            < 4 + 2 * (F.col("o_orderkey") % 5),
+            1.0,
+        ).otherwise(0.0).alias("y"),
+        (F.col("o_orderkey") % 5).cast("double").alias("x"),
+    )
+    return logit_fit(panel, "y", "x")
 
 
 
@@ -18213,6 +18235,345 @@ FROM eaul_calc
           FROM (
             SELECT abs((SELECT beta FROM it8)
                        * sqrt((SELECT i FROM ff))) / sqrt(2.0) AS az
+          )
+        )
+    """
+
+    sql["logit_fit"] = """
+        WITH base AS MATERIALIZED (
+          SELECT CASE WHEN (o_orderkey * 11) % 20
+                          < 4 + 2 * (o_orderkey % 5)
+                 THEN 1.0 ELSE 0.0 END AS y,
+                 CAST(o_orderkey % 5 AS DOUBLE) AS x
+          FROM orders
+        ),
+        it0 AS MATERIALIZED (SELECT 0.0 AS b0, 0.0 AS b1),
+        f1 AS MATERIALIZED (
+          SELECT count(*) AS n, CAST(sum(y) AS BIGINT) AS npos,
+                 sum(y - 1.0 / (1.0 + exp(-((SELECT b0 FROM it0)
+                     + (SELECT b1 FROM it0) * x)))) AS g0,
+                 sum(x * (y - 1.0 / (1.0 + exp(-((SELECT b0 FROM it0)
+                     + (SELECT b1 FROM it0) * x))))) AS g1,
+                 sum((1.0 / (1.0 + exp(-((SELECT b0 FROM it0)
+                     + (SELECT b1 FROM it0) * x))))
+                     * (1.0 - 1.0 / (1.0 + exp(-((SELECT b0 FROM it0)
+                     + (SELECT b1 FROM it0) * x))))) AS h00,
+                 sum(x * (1.0 / (1.0 + exp(-((SELECT b0 FROM it0)
+                     + (SELECT b1 FROM it0) * x))))
+                     * (1.0 - 1.0 / (1.0 + exp(-((SELECT b0 FROM it0)
+                     + (SELECT b1 FROM it0) * x))))) AS h01,
+                 sum(x * x * (1.0 / (1.0 + exp(-((SELECT b0 FROM it0)
+                     + (SELECT b1 FROM it0) * x))))
+                     * (1.0 - 1.0 / (1.0 + exp(-((SELECT b0 FROM it0)
+                     + (SELECT b1 FROM it0) * x))))) AS h11
+          FROM base
+        ),
+        it1 AS MATERIALIZED (
+          SELECT (SELECT b0 FROM it0)
+                 + ((SELECT h11 FROM f1) * (SELECT g0 FROM f1)
+                    - (SELECT h01 FROM f1) * (SELECT g1 FROM f1))
+                   / ((SELECT h00 FROM f1) * (SELECT h11 FROM f1)
+                      - (SELECT h01 FROM f1) * (SELECT h01 FROM f1))
+                   AS b0,
+                 (SELECT b1 FROM it0)
+                 + ((SELECT h00 FROM f1) * (SELECT g1 FROM f1)
+                    - (SELECT h01 FROM f1) * (SELECT g0 FROM f1))
+                   / ((SELECT h00 FROM f1) * (SELECT h11 FROM f1)
+                      - (SELECT h01 FROM f1) * (SELECT h01 FROM f1))
+                   AS b1
+        ),
+        f2 AS MATERIALIZED (
+          SELECT count(*) AS n, CAST(sum(y) AS BIGINT) AS npos,
+                 sum(y - 1.0 / (1.0 + exp(-((SELECT b0 FROM it1)
+                     + (SELECT b1 FROM it1) * x)))) AS g0,
+                 sum(x * (y - 1.0 / (1.0 + exp(-((SELECT b0 FROM it1)
+                     + (SELECT b1 FROM it1) * x))))) AS g1,
+                 sum((1.0 / (1.0 + exp(-((SELECT b0 FROM it1)
+                     + (SELECT b1 FROM it1) * x))))
+                     * (1.0 - 1.0 / (1.0 + exp(-((SELECT b0 FROM it1)
+                     + (SELECT b1 FROM it1) * x))))) AS h00,
+                 sum(x * (1.0 / (1.0 + exp(-((SELECT b0 FROM it1)
+                     + (SELECT b1 FROM it1) * x))))
+                     * (1.0 - 1.0 / (1.0 + exp(-((SELECT b0 FROM it1)
+                     + (SELECT b1 FROM it1) * x))))) AS h01,
+                 sum(x * x * (1.0 / (1.0 + exp(-((SELECT b0 FROM it1)
+                     + (SELECT b1 FROM it1) * x))))
+                     * (1.0 - 1.0 / (1.0 + exp(-((SELECT b0 FROM it1)
+                     + (SELECT b1 FROM it1) * x))))) AS h11
+          FROM base
+        ),
+        it2 AS MATERIALIZED (
+          SELECT (SELECT b0 FROM it1)
+                 + ((SELECT h11 FROM f2) * (SELECT g0 FROM f2)
+                    - (SELECT h01 FROM f2) * (SELECT g1 FROM f2))
+                   / ((SELECT h00 FROM f2) * (SELECT h11 FROM f2)
+                      - (SELECT h01 FROM f2) * (SELECT h01 FROM f2))
+                   AS b0,
+                 (SELECT b1 FROM it1)
+                 + ((SELECT h00 FROM f2) * (SELECT g1 FROM f2)
+                    - (SELECT h01 FROM f2) * (SELECT g0 FROM f2))
+                   / ((SELECT h00 FROM f2) * (SELECT h11 FROM f2)
+                      - (SELECT h01 FROM f2) * (SELECT h01 FROM f2))
+                   AS b1
+        ),
+        f3 AS MATERIALIZED (
+          SELECT count(*) AS n, CAST(sum(y) AS BIGINT) AS npos,
+                 sum(y - 1.0 / (1.0 + exp(-((SELECT b0 FROM it2)
+                     + (SELECT b1 FROM it2) * x)))) AS g0,
+                 sum(x * (y - 1.0 / (1.0 + exp(-((SELECT b0 FROM it2)
+                     + (SELECT b1 FROM it2) * x))))) AS g1,
+                 sum((1.0 / (1.0 + exp(-((SELECT b0 FROM it2)
+                     + (SELECT b1 FROM it2) * x))))
+                     * (1.0 - 1.0 / (1.0 + exp(-((SELECT b0 FROM it2)
+                     + (SELECT b1 FROM it2) * x))))) AS h00,
+                 sum(x * (1.0 / (1.0 + exp(-((SELECT b0 FROM it2)
+                     + (SELECT b1 FROM it2) * x))))
+                     * (1.0 - 1.0 / (1.0 + exp(-((SELECT b0 FROM it2)
+                     + (SELECT b1 FROM it2) * x))))) AS h01,
+                 sum(x * x * (1.0 / (1.0 + exp(-((SELECT b0 FROM it2)
+                     + (SELECT b1 FROM it2) * x))))
+                     * (1.0 - 1.0 / (1.0 + exp(-((SELECT b0 FROM it2)
+                     + (SELECT b1 FROM it2) * x))))) AS h11
+          FROM base
+        ),
+        it3 AS MATERIALIZED (
+          SELECT (SELECT b0 FROM it2)
+                 + ((SELECT h11 FROM f3) * (SELECT g0 FROM f3)
+                    - (SELECT h01 FROM f3) * (SELECT g1 FROM f3))
+                   / ((SELECT h00 FROM f3) * (SELECT h11 FROM f3)
+                      - (SELECT h01 FROM f3) * (SELECT h01 FROM f3))
+                   AS b0,
+                 (SELECT b1 FROM it2)
+                 + ((SELECT h00 FROM f3) * (SELECT g1 FROM f3)
+                    - (SELECT h01 FROM f3) * (SELECT g0 FROM f3))
+                   / ((SELECT h00 FROM f3) * (SELECT h11 FROM f3)
+                      - (SELECT h01 FROM f3) * (SELECT h01 FROM f3))
+                   AS b1
+        ),
+        f4 AS MATERIALIZED (
+          SELECT count(*) AS n, CAST(sum(y) AS BIGINT) AS npos,
+                 sum(y - 1.0 / (1.0 + exp(-((SELECT b0 FROM it3)
+                     + (SELECT b1 FROM it3) * x)))) AS g0,
+                 sum(x * (y - 1.0 / (1.0 + exp(-((SELECT b0 FROM it3)
+                     + (SELECT b1 FROM it3) * x))))) AS g1,
+                 sum((1.0 / (1.0 + exp(-((SELECT b0 FROM it3)
+                     + (SELECT b1 FROM it3) * x))))
+                     * (1.0 - 1.0 / (1.0 + exp(-((SELECT b0 FROM it3)
+                     + (SELECT b1 FROM it3) * x))))) AS h00,
+                 sum(x * (1.0 / (1.0 + exp(-((SELECT b0 FROM it3)
+                     + (SELECT b1 FROM it3) * x))))
+                     * (1.0 - 1.0 / (1.0 + exp(-((SELECT b0 FROM it3)
+                     + (SELECT b1 FROM it3) * x))))) AS h01,
+                 sum(x * x * (1.0 / (1.0 + exp(-((SELECT b0 FROM it3)
+                     + (SELECT b1 FROM it3) * x))))
+                     * (1.0 - 1.0 / (1.0 + exp(-((SELECT b0 FROM it3)
+                     + (SELECT b1 FROM it3) * x))))) AS h11
+          FROM base
+        ),
+        it4 AS MATERIALIZED (
+          SELECT (SELECT b0 FROM it3)
+                 + ((SELECT h11 FROM f4) * (SELECT g0 FROM f4)
+                    - (SELECT h01 FROM f4) * (SELECT g1 FROM f4))
+                   / ((SELECT h00 FROM f4) * (SELECT h11 FROM f4)
+                      - (SELECT h01 FROM f4) * (SELECT h01 FROM f4))
+                   AS b0,
+                 (SELECT b1 FROM it3)
+                 + ((SELECT h00 FROM f4) * (SELECT g1 FROM f4)
+                    - (SELECT h01 FROM f4) * (SELECT g0 FROM f4))
+                   / ((SELECT h00 FROM f4) * (SELECT h11 FROM f4)
+                      - (SELECT h01 FROM f4) * (SELECT h01 FROM f4))
+                   AS b1
+        ),
+        f5 AS MATERIALIZED (
+          SELECT count(*) AS n, CAST(sum(y) AS BIGINT) AS npos,
+                 sum(y - 1.0 / (1.0 + exp(-((SELECT b0 FROM it4)
+                     + (SELECT b1 FROM it4) * x)))) AS g0,
+                 sum(x * (y - 1.0 / (1.0 + exp(-((SELECT b0 FROM it4)
+                     + (SELECT b1 FROM it4) * x))))) AS g1,
+                 sum((1.0 / (1.0 + exp(-((SELECT b0 FROM it4)
+                     + (SELECT b1 FROM it4) * x))))
+                     * (1.0 - 1.0 / (1.0 + exp(-((SELECT b0 FROM it4)
+                     + (SELECT b1 FROM it4) * x))))) AS h00,
+                 sum(x * (1.0 / (1.0 + exp(-((SELECT b0 FROM it4)
+                     + (SELECT b1 FROM it4) * x))))
+                     * (1.0 - 1.0 / (1.0 + exp(-((SELECT b0 FROM it4)
+                     + (SELECT b1 FROM it4) * x))))) AS h01,
+                 sum(x * x * (1.0 / (1.0 + exp(-((SELECT b0 FROM it4)
+                     + (SELECT b1 FROM it4) * x))))
+                     * (1.0 - 1.0 / (1.0 + exp(-((SELECT b0 FROM it4)
+                     + (SELECT b1 FROM it4) * x))))) AS h11
+          FROM base
+        ),
+        it5 AS MATERIALIZED (
+          SELECT (SELECT b0 FROM it4)
+                 + ((SELECT h11 FROM f5) * (SELECT g0 FROM f5)
+                    - (SELECT h01 FROM f5) * (SELECT g1 FROM f5))
+                   / ((SELECT h00 FROM f5) * (SELECT h11 FROM f5)
+                      - (SELECT h01 FROM f5) * (SELECT h01 FROM f5))
+                   AS b0,
+                 (SELECT b1 FROM it4)
+                 + ((SELECT h00 FROM f5) * (SELECT g1 FROM f5)
+                    - (SELECT h01 FROM f5) * (SELECT g0 FROM f5))
+                   / ((SELECT h00 FROM f5) * (SELECT h11 FROM f5)
+                      - (SELECT h01 FROM f5) * (SELECT h01 FROM f5))
+                   AS b1
+        ),
+        f6 AS MATERIALIZED (
+          SELECT count(*) AS n, CAST(sum(y) AS BIGINT) AS npos,
+                 sum(y - 1.0 / (1.0 + exp(-((SELECT b0 FROM it5)
+                     + (SELECT b1 FROM it5) * x)))) AS g0,
+                 sum(x * (y - 1.0 / (1.0 + exp(-((SELECT b0 FROM it5)
+                     + (SELECT b1 FROM it5) * x))))) AS g1,
+                 sum((1.0 / (1.0 + exp(-((SELECT b0 FROM it5)
+                     + (SELECT b1 FROM it5) * x))))
+                     * (1.0 - 1.0 / (1.0 + exp(-((SELECT b0 FROM it5)
+                     + (SELECT b1 FROM it5) * x))))) AS h00,
+                 sum(x * (1.0 / (1.0 + exp(-((SELECT b0 FROM it5)
+                     + (SELECT b1 FROM it5) * x))))
+                     * (1.0 - 1.0 / (1.0 + exp(-((SELECT b0 FROM it5)
+                     + (SELECT b1 FROM it5) * x))))) AS h01,
+                 sum(x * x * (1.0 / (1.0 + exp(-((SELECT b0 FROM it5)
+                     + (SELECT b1 FROM it5) * x))))
+                     * (1.0 - 1.0 / (1.0 + exp(-((SELECT b0 FROM it5)
+                     + (SELECT b1 FROM it5) * x))))) AS h11
+          FROM base
+        ),
+        it6 AS MATERIALIZED (
+          SELECT (SELECT b0 FROM it5)
+                 + ((SELECT h11 FROM f6) * (SELECT g0 FROM f6)
+                    - (SELECT h01 FROM f6) * (SELECT g1 FROM f6))
+                   / ((SELECT h00 FROM f6) * (SELECT h11 FROM f6)
+                      - (SELECT h01 FROM f6) * (SELECT h01 FROM f6))
+                   AS b0,
+                 (SELECT b1 FROM it5)
+                 + ((SELECT h00 FROM f6) * (SELECT g1 FROM f6)
+                    - (SELECT h01 FROM f6) * (SELECT g0 FROM f6))
+                   / ((SELECT h00 FROM f6) * (SELECT h11 FROM f6)
+                      - (SELECT h01 FROM f6) * (SELECT h01 FROM f6))
+                   AS b1
+        ),
+        f7 AS MATERIALIZED (
+          SELECT count(*) AS n, CAST(sum(y) AS BIGINT) AS npos,
+                 sum(y - 1.0 / (1.0 + exp(-((SELECT b0 FROM it6)
+                     + (SELECT b1 FROM it6) * x)))) AS g0,
+                 sum(x * (y - 1.0 / (1.0 + exp(-((SELECT b0 FROM it6)
+                     + (SELECT b1 FROM it6) * x))))) AS g1,
+                 sum((1.0 / (1.0 + exp(-((SELECT b0 FROM it6)
+                     + (SELECT b1 FROM it6) * x))))
+                     * (1.0 - 1.0 / (1.0 + exp(-((SELECT b0 FROM it6)
+                     + (SELECT b1 FROM it6) * x))))) AS h00,
+                 sum(x * (1.0 / (1.0 + exp(-((SELECT b0 FROM it6)
+                     + (SELECT b1 FROM it6) * x))))
+                     * (1.0 - 1.0 / (1.0 + exp(-((SELECT b0 FROM it6)
+                     + (SELECT b1 FROM it6) * x))))) AS h01,
+                 sum(x * x * (1.0 / (1.0 + exp(-((SELECT b0 FROM it6)
+                     + (SELECT b1 FROM it6) * x))))
+                     * (1.0 - 1.0 / (1.0 + exp(-((SELECT b0 FROM it6)
+                     + (SELECT b1 FROM it6) * x))))) AS h11
+          FROM base
+        ),
+        it7 AS MATERIALIZED (
+          SELECT (SELECT b0 FROM it6)
+                 + ((SELECT h11 FROM f7) * (SELECT g0 FROM f7)
+                    - (SELECT h01 FROM f7) * (SELECT g1 FROM f7))
+                   / ((SELECT h00 FROM f7) * (SELECT h11 FROM f7)
+                      - (SELECT h01 FROM f7) * (SELECT h01 FROM f7))
+                   AS b0,
+                 (SELECT b1 FROM it6)
+                 + ((SELECT h00 FROM f7) * (SELECT g1 FROM f7)
+                    - (SELECT h01 FROM f7) * (SELECT g0 FROM f7))
+                   / ((SELECT h00 FROM f7) * (SELECT h11 FROM f7)
+                      - (SELECT h01 FROM f7) * (SELECT h01 FROM f7))
+                   AS b1
+        ),
+        f8 AS MATERIALIZED (
+          SELECT count(*) AS n, CAST(sum(y) AS BIGINT) AS npos,
+                 sum(y - 1.0 / (1.0 + exp(-((SELECT b0 FROM it7)
+                     + (SELECT b1 FROM it7) * x)))) AS g0,
+                 sum(x * (y - 1.0 / (1.0 + exp(-((SELECT b0 FROM it7)
+                     + (SELECT b1 FROM it7) * x))))) AS g1,
+                 sum((1.0 / (1.0 + exp(-((SELECT b0 FROM it7)
+                     + (SELECT b1 FROM it7) * x))))
+                     * (1.0 - 1.0 / (1.0 + exp(-((SELECT b0 FROM it7)
+                     + (SELECT b1 FROM it7) * x))))) AS h00,
+                 sum(x * (1.0 / (1.0 + exp(-((SELECT b0 FROM it7)
+                     + (SELECT b1 FROM it7) * x))))
+                     * (1.0 - 1.0 / (1.0 + exp(-((SELECT b0 FROM it7)
+                     + (SELECT b1 FROM it7) * x))))) AS h01,
+                 sum(x * x * (1.0 / (1.0 + exp(-((SELECT b0 FROM it7)
+                     + (SELECT b1 FROM it7) * x))))
+                     * (1.0 - 1.0 / (1.0 + exp(-((SELECT b0 FROM it7)
+                     + (SELECT b1 FROM it7) * x))))) AS h11
+          FROM base
+        ),
+        it8 AS MATERIALIZED (
+          SELECT (SELECT b0 FROM it7)
+                 + ((SELECT h11 FROM f8) * (SELECT g0 FROM f8)
+                    - (SELECT h01 FROM f8) * (SELECT g1 FROM f8))
+                   / ((SELECT h00 FROM f8) * (SELECT h11 FROM f8)
+                      - (SELECT h01 FROM f8) * (SELECT h01 FROM f8))
+                   AS b0,
+                 (SELECT b1 FROM it7)
+                 + ((SELECT h00 FROM f8) * (SELECT g1 FROM f8)
+                    - (SELECT h01 FROM f8) * (SELECT g0 FROM f8))
+                   / ((SELECT h00 FROM f8) * (SELECT h11 FROM f8)
+                      - (SELECT h01 FROM f8) * (SELECT h01 FROM f8))
+                   AS b1
+        ),
+        ff AS MATERIALIZED (
+          SELECT count(*) AS n, CAST(sum(y) AS BIGINT) AS npos,
+                 sum(y - 1.0 / (1.0 + exp(-((SELECT b0 FROM it8)
+                     + (SELECT b1 FROM it8) * x)))) AS g0,
+                 sum(x * (y - 1.0 / (1.0 + exp(-((SELECT b0 FROM it8)
+                     + (SELECT b1 FROM it8) * x))))) AS g1,
+                 sum((1.0 / (1.0 + exp(-((SELECT b0 FROM it8)
+                     + (SELECT b1 FROM it8) * x))))
+                     * (1.0 - 1.0 / (1.0 + exp(-((SELECT b0 FROM it8)
+                     + (SELECT b1 FROM it8) * x))))) AS h00,
+                 sum(x * (1.0 / (1.0 + exp(-((SELECT b0 FROM it8)
+                     + (SELECT b1 FROM it8) * x))))
+                     * (1.0 - 1.0 / (1.0 + exp(-((SELECT b0 FROM it8)
+                     + (SELECT b1 FROM it8) * x))))) AS h01,
+                 sum(x * x * (1.0 / (1.0 + exp(-((SELECT b0 FROM it8)
+                     + (SELECT b1 FROM it8) * x))))
+                     * (1.0 - 1.0 / (1.0 + exp(-((SELECT b0 FROM it8)
+                     + (SELECT b1 FROM it8) * x))))) AS h11
+          FROM base
+        ),
+        fin AS MATERIALIZED (
+          SELECT n, npos,
+                 (SELECT b0 FROM it8) AS b0,
+                 (SELECT b1 FROM it8) AS b1,
+                 h00 * h11 - h01 * h01 AS det, h00, h11
+          FROM ff
+        )
+        SELECT n, npos AS n_pos,
+               round(b0, 6) AS intercept,
+               round(b1, 6) AS beta,
+               round(exp(b1), 6) AS odds_ratio,
+               round(sqrt(h11 / det), 6) AS se_intercept,
+               round(sqrt(h00 / det), 6) AS se_beta,
+               round(b1 / sqrt(h00 / det), 6) AS z,
+               round((0.254829592 * tt - 0.284496736 * pow(tt, 2)
+                      + 1.421413741 * pow(tt, 3)
+                      - 1.453152027 * pow(tt, 4)
+                      + 1.061405429 * pow(tt, 5)) * exp(-az * az), 6)
+                 AS p_value,
+               ((0.254829592 * tt - 0.284496736 * pow(tt, 2)
+                 + 1.421413741 * pow(tt, 3)
+                 - 1.453152027 * pow(tt, 4)
+                 + 1.061405429 * pow(tt, 5)) * exp(-az * az)) < 0.05
+                 AS significant
+        FROM fin, (
+          SELECT az, 1.0 / (1.0 + 0.3275911 * az) AS tt
+          FROM (
+            SELECT abs((SELECT b1 FROM it8)
+                       / sqrt((SELECT h00 FROM ff)
+                              / ((SELECT h00 FROM ff)
+                                 * (SELECT h11 FROM ff)
+                                 - (SELECT h01 FROM ff)
+                                 * (SELECT h01 FROM ff))))
+                   / sqrt(2.0) AS az
           )
         )
     """

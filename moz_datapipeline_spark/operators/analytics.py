@@ -5995,3 +5995,133 @@ def cox_ph(
         ],
         schema,
     )
+
+
+def logit_fit(
+    df: DataFrame,
+    y_col: str,
+    x_col: str,
+    iterations: int = 8,
+    divergence_cap: float = 50.0,
+) -> DataFrame:
+    """Logistic regression (intercept + one covariate) by
+    fixed-iteration Newton–Raphson: one row ``(n, n_pos, intercept,
+    beta, odds_ratio, se_intercept, se_beta, z, p_value,
+    significant)`` — the binary-outcome companion to ``ols_fit``:
+    conversion/churn/defect rates against a driver, with the
+    covariate's Wald z and two-sided p (A&S erfc polynomial, the
+    ``ab_test`` convention).  ``odds_ratio = exp(beta)``.
+
+    FIXED 8 Newton rounds from (0, 0) — not tolerance-stopped — so
+    the optimization replays bit-stably in any engine (the ``cox_ph``
+    convention); 8 rounds sit far below the 6-dp output rounding for
+    any separable-free fit.  Perfect separation (|coef| past
+    ``divergence_cap`` or a collapsing Hessian away from 0) raises
+    loudly; a constant covariate or single-class outcome yields an
+    all-NULL estimate row.  NULL y/x excludes the row; y must be
+    0/1 (anything else raises).
+
+    Plan, per round: ONE 5-moment hash aggregate (map-side combined)
+    — Σ(y−p), Σx(y−p), Σw, Σxw, Σx²w with w = p(1−p) — and a 2×2
+    Cramér solve on the driver (the state is two scalars).  Total
+    ``iterations + 1`` linear passes, no joins, no windows.
+    """
+    import math as _math
+
+    if iterations < 1:
+        raise ValueError("logit_fit: iterations must be >= 1")
+    y = F.col(y_col).cast("double")
+    x = F.col(x_col).cast("double")
+    base = df.select(y.alias("_y"), x.alias("_x")).filter(
+        F.col("_y").isNotNull() & F.col("_x").isNotNull()
+    )
+    bad = base.filter(
+        (F.col("_y") != 0.0) & (F.col("_y") != 1.0)
+    ).limit(1).count()
+    if bad:
+        raise ValueError("logit_fit: y must be 0/1")
+    spark = df.sparkSession
+
+    def fold(b0: float, b1: float):
+        eta = F.lit(float(b0)) + F.lit(float(b1)) * F.col("_x")
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
+        w = p * (F.lit(1.0) - p)
+        r = base.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("_y").cast("long").alias("npos"),
+            F.sum(F.col("_y") - p).alias("g0"),
+            F.sum(F.col("_x") * (F.col("_y") - p)).alias("g1"),
+            F.sum(w).alias("h00"),
+            F.sum(F.col("_x") * w).alias("h01"),
+            F.sum(F.col("_x") * F.col("_x") * w).alias("h11"),
+        ).collect()[0]
+        return r
+
+    def _separation(b0: float, b1: float):
+        raise ValueError(
+            f"logit_fit: no finite MLE at (intercept, beta) = "
+            f"({b0:.3f}, {b1:.3f}) — the covariate (near-)perfectly "
+            "separates the classes; check for leakage or cap/bin it"
+        )
+
+    schema = (
+        "n long, n_pos long, intercept double, beta double, "
+        "odds_ratio double, se_intercept double, se_beta double, "
+        "z double, p_value double, significant boolean"
+    )
+    b0 = b1 = 0.0
+    n = npos = 0
+    for _ in range(int(iterations) + 1):
+        r = fold(b0, b1)
+        n, npos = r["n"], r["npos"]
+        det = (
+            None
+            if r["h00"] is None
+            else r["h00"] * r["h11"] - r["h01"] * r["h01"]
+        )
+        if not n or not npos or npos == n or det is None or det <= 0.0:
+            if abs(b0) > 2.0 or abs(b1) > 2.0:
+                _separation(b0, b1)
+            return spark.createDataFrame(
+                [(int(n or 0), int(npos or 0), None, None, None,
+                  None, None, None, None, None)],
+                schema,
+            )
+        last = (r, det)
+        if _ == int(iterations):
+            break  # final pass only refreshes the Hessian
+        b0 = b0 + (r["h11"] * r["g0"] - r["h01"] * r["g1"]) / det
+        b1 = b1 + (r["h00"] * r["g1"] - r["h01"] * r["g0"]) / det
+        if abs(b0) > divergence_cap or abs(b1) > divergence_cap:
+            _separation(b0, b1)
+    r, det = last
+    se0 = _math.sqrt(r["h11"] / det)
+    se1 = _math.sqrt(r["h00"] / det)
+    z = b1 / se1
+    az = abs(z) / _math.sqrt(2.0)
+    tt = 1.0 / (1.0 + 0.3275911 * az)
+    poly = (
+        0.254829592 * tt
+        - 0.284496736 * tt**2
+        + 1.421413741 * tt**3
+        - 1.453152027 * tt**4
+        + 1.061405429 * tt**5
+    )
+    p = poly * _math.exp(-az * az)
+    return spark.createDataFrame(
+        [
+            (
+                int(n),
+                int(npos),
+                round(b0, 6),
+                round(b1, 6),
+                round(_math.exp(b1), 6),
+                round(se0, 6),
+                round(se1, 6),
+                round(z, 6),
+                round(p, 6),
+                bool(p < 0.05),
+            )
+        ],
+        schema,
+    )

@@ -299,3 +299,57 @@ def test_cox_ph_separation_raises(spark):
     df = spark.createDataFrame(rows, "t double, e int, x double")
     with pytest.raises(ValueError, match="monotone"):
         cox_ph(df, "t", "e", "x", iterations=40)
+
+
+def test_logit_fit_closed_form_binary_x(spark):
+    """Binary covariate: the logistic MLE has a CLOSED FORM —
+    intercept = log odds(x=0), beta = log OR, SE(beta) =
+    sqrt(1/a+1/b+1/c+1/d).  2x2 table 30/70 vs 60/40."""
+    import math
+
+    from moz_datapipeline_spark.operators.analytics import logit_fit
+
+    rows = ([(1.0, 0.0)] * 30 + [(0.0, 0.0)] * 70
+            + [(1.0, 1.0)] * 60 + [(0.0, 1.0)] * 40)
+    df = spark.createDataFrame(rows, "y double, x double")
+    r = logit_fit(df, "y", "x").collect()[0]
+    assert r.n == 200 and r.n_pos == 90
+    assert r.intercept == round(math.log(3 / 7), 6)
+    assert r.beta == round(math.log(3.5), 6)
+    assert r.odds_ratio == 3.5
+    assert r.se_beta == round(
+        math.sqrt(1 / 30 + 1 / 70 + 1 / 60 + 1 / 40), 6
+    )
+    assert r.significant is True
+
+
+def test_logit_fit_degenerates_and_guards(spark):
+    from moz_datapipeline_spark.operators.analytics import logit_fit
+
+    # single-class outcome: NULL estimates
+    ones = spark.createDataFrame(
+        [(1.0, float(i)) for i in range(10)], "y double, x double"
+    )
+    r = logit_fit(ones, "y", "x").collect()[0]
+    assert r.n == 10 and r.n_pos == 10 and r.beta is None
+
+    # constant covariate: singular Hessian -> NULL estimates
+    const = spark.createDataFrame(
+        [(float(i % 2), 3.0) for i in range(10)], "y double, x double"
+    )
+    r = logit_fit(const, "y", "x").collect()[0]
+    assert r.beta is None
+
+    # non-binary y refused
+    bad = spark.createDataFrame([(2.0, 1.0)], "y double, x double")
+    with pytest.raises(ValueError, match="0/1"):
+        logit_fit(bad, "y", "x")
+
+    # perfect separation refused
+    sep = spark.createDataFrame(
+        [(0.0, float(i)) for i in range(8)]
+        + [(1.0, float(i + 8)) for i in range(8)],
+        "y double, x double",
+    )
+    with pytest.raises(ValueError, match="separates"):
+        logit_fit(sep, "y", "x", iterations=40)
