@@ -6966,6 +6966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "record_linkage": q_record_linkage,
         "cox_ph": q_cox_ph,
         "logit_fit": q_logit_fit,
+        "psm_att": q_psm_att,
     }
 
 
@@ -7122,6 +7123,51 @@ def q_logit_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderkey") % 5).cast("double").alias("x"),
     )
     return logit_fit(panel, "y", "x")
+
+
+
+def q_psm_att(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Propensity-score-matched ATT over a synthetic customer
+    observational panel (operators/analytics.psm_att): md5-scattered
+    scores, ~30% treated, planted +5 lift, caliper 0.01 nearest-
+    control matching with replacement.  VALUE oracle: identical
+    bucket join, (distance, score, id) winner pick via row_number,
+    and paired fold in DuckDB."""
+    from moz_datapipeline_spark.operators.analytics import psm_att
+
+    c = _t(spark, sf_dir, "customer")
+
+    def h(tag: str):
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(tag), F.col("c_custkey").cast("string")
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    score = (h("p:") % 1000000) / 1000000.0
+    treated = (h("t:") % 10 < 3).cast("int")
+    panel = c.select(
+        F.col("c_custkey").cast("long").alias("uid"),
+        score.alias("score"),
+        treated.alias("treated"),
+        (
+            50.0
+            + 20.0 * score
+            + 5.0 * treated
+            + (h("n:") % 100) / 10.0
+        ).alias("y"),
+    )
+    return psm_att(
+        panel, "score", "treated", "y", caliper=0.01, id_col="uid"
+    )
 
 
 
@@ -18576,6 +18622,64 @@ FROM eaul_calc
                    / sqrt(2.0) AS az
           )
         )
+    """
+
+    sql["psm_att"] = """
+        WITH panel AS (
+          SELECT CAST(c_custkey AS BIGINT) AS uid,
+                 (CAST(('0x' || substr(md5('p:' ||
+                    CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT)
+                  % 1000000) / 1000000.0 AS score,
+                 CASE WHEN CAST(('0x' || substr(md5('t:' ||
+                    CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT)
+                    % 10 < 3 THEN 1 ELSE 0 END AS treated,
+                 CAST(('0x' || substr(md5('n:' ||
+                    CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT)
+                    % 100 AS noise
+          FROM customer
+        ), full_panel AS (
+          SELECT uid, score, treated,
+                 50.0 + 20.0 * score + 5.0 * treated + noise / 10.0
+                   AS y
+          FROM panel
+        ), ctl AS (
+          SELECT CAST(floor(score / 0.01) AS BIGINT) AS b,
+                 score AS cs, y AS cy, uid AS cid
+          FROM full_panel WHERE treated = 0
+        ), trt AS (
+          SELECT uid AS tid, score AS ts, y AS ty,
+                 CAST(floor(score / 0.01) AS BIGINT) AS b0
+          FROM full_panel WHERE treated = 1
+        ), cand AS (
+          SELECT t.tid, t.ts, t.ty, c.cs, c.cy, c.cid,
+                 abs(t.ts - c.cs) AS d
+          FROM trt t
+          CROSS JOIN (VALUES (-1), (0), (1)) AS off(dx)
+          JOIN ctl c ON c.b = t.b0 + off.dx
+          WHERE abs(t.ts - c.cs) <= 0.01
+        ), best AS (
+          SELECT tid, ty, cy FROM (
+            SELECT tid, ty, cy,
+                   row_number() OVER (PARTITION BY tid
+                     ORDER BY d, cs, cid) AS rn
+            FROM cand
+          ) WHERE rn = 1
+        ), counts AS (
+          SELECT CAST(sum(treated) AS BIGINT) AS n_treated,
+                 CAST(sum(1 - treated) AS BIGINT) AS n_control
+          FROM full_panel
+        ), fold AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_matched,
+                 avg(ty - cy) AS att,
+                 stddev_samp(ty - cy) AS sd
+          FROM best
+        )
+        SELECT n_treated, n_control, n_matched,
+               n_treated - n_matched AS n_unmatched,
+               round(att, 6) AS att,
+               round(CASE WHEN n_matched > 1
+                     THEN sd / sqrt(n_matched) END, 6) AS se_att
+        FROM counts, fold
     """
 
     return sql

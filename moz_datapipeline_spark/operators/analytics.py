@@ -6125,3 +6125,126 @@ def logit_fit(
         ],
         schema,
     )
+
+
+def psm_att(
+    df: DataFrame,
+    score_col: str,
+    treat_col: str,
+    outcome_col: str,
+    caliper: float = 0.05,
+    id_col: str | None = None,
+) -> DataFrame:
+    """Propensity-score matching ATT: one row ``(n_treated,
+    n_control, n_matched, n_unmatched, att, se_att)`` — each treated
+    unit matches its NEAREST control by propensity score within
+    ``caliper``, 1:1 WITH REPLACEMENT (the standard observational
+    estimator when treatment is rare; with-replacement keeps the
+    match independent of processing order, so the result is
+    deterministic where greedy without-replacement is
+    scan-order-dependent).  ATT = mean over matched treated of
+    (y_treated − y_matched_control); ``se_att`` is the naive paired
+    standard error (Abadie–Imbens replacement-aware variance is NOT
+    applied — documented; use it before publishing confidence
+    claims).  Completes the causal battery: ``covariate_balance``
+    checks the match, ``diff_in_diff`` handles panels, this handles
+    cross-sections.
+
+    Ties (two controls equally close) break to the smaller control
+    score and then the smaller ``id_col`` (required only if scores
+    can tie exactly — with distinct scores pass nothing); unmatched
+    treated (no control within the caliper) are counted, not
+    silently dropped.  NULL score/treat/outcome excludes the row.
+
+    Plan shape (the ``grid_knn_join`` 1-D specialization): controls
+    key ONCE by their caliper-width score bucket; treated probe
+    their own + 2 adjacent buckets — any control within ``caliper``
+    is in those three buckets BY CONSTRUCTION, so the equi join is
+    exact, with fan-in = local control density per bucket (dense
+    score regions widen it — shrink the caliper, or coarsen the
+    score, if a single bucket holds millions).  Winner per treated
+    via ``min_by`` over (distance, score, id) — one map-side-
+    combinable aggregate, then a 1-row fold.  No global window, no
+    sort.
+    """
+    if caliper <= 0:
+        raise ValueError("psm_att: caliper must be > 0")
+    sc = F.col(score_col).cast("double")
+    tr = F.col(treat_col).cast("int")
+    y = F.col(outcome_col).cast("double")
+    idc = (
+        F.col(id_col).cast("long")
+        if id_col
+        else F.lit(0).cast("long")
+    )
+    base = df.select(
+        sc.alias("_s"), tr.alias("_tr"), y.alias("_y"), idc.alias("_id")
+    ).filter(
+        F.col("_s").isNotNull()
+        & F.col("_tr").isNotNull()
+        & F.col("_y").isNotNull()
+    )
+    w = float(caliper)
+    bkt = F.floor(F.col("_s") / F.lit(w)).cast("long")
+    ctl = base.filter(F.col("_tr") == 0).select(
+        bkt.alias("_b"),
+        F.col("_s").alias("_cs"),
+        F.col("_y").alias("_cy"),
+        F.col("_id").alias("_cid"),
+    )
+    trt = base.filter(F.col("_tr") == 1).select(
+        F.col("_s").alias("_ts"),
+        F.col("_y").alias("_ty"),
+        F.col("_id").alias("_tid"),
+        bkt.alias("_b0"),
+    )
+    probes = trt.withColumn(
+        "_off", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1)))
+    ).select(
+        "_ts", "_ty", "_tid", (F.col("_b0") + F.col("_off")).alias("_b")
+    )
+    cand = probes.join(ctl, "_b").filter(
+        F.abs(F.col("_ts") - F.col("_cs")) <= F.lit(w)
+    )
+    best = cand.groupBy("_tid", "_ts", "_ty").agg(
+        F.min(
+            F.struct(
+                F.abs(F.col("_ts") - F.col("_cs")).alias("_d"),
+                F.col("_cs"),
+                F.col("_cid"),
+                F.col("_cy"),
+            )
+        ).alias("_m")
+    )
+    pairs = best.select(
+        "_ty", F.col("_m._cy").alias("_cy")
+    )
+    counts = base.agg(
+        F.sum(F.when(F.col("_tr") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_treated"),
+        F.sum(F.when(F.col("_tr") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_control"),
+    )
+    fold = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_matched"),
+        F.avg(F.col("_ty") - F.col("_cy")).alias("_att"),
+        F.stddev_samp(F.col("_ty") - F.col("_cy")).alias("_sd"),
+    )
+    return counts.crossJoin(F.broadcast(fold)).select(
+        "n_treated",
+        "n_control",
+        "n_matched",
+        (F.col("n_treated") - F.col("n_matched"))
+        .cast("long")
+        .alias("n_unmatched"),
+        F.round("_att", 6).alias("att"),
+        F.round(
+            F.when(
+                F.col("n_matched") > 1,
+                F.col("_sd") / F.sqrt(F.col("n_matched")),
+            ),
+            6,
+        ).alias("se_att"),
+    )

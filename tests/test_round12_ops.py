@@ -353,3 +353,48 @@ def test_logit_fit_degenerates_and_guards(spark):
     )
     with pytest.raises(ValueError, match="separates"):
         logit_fit(sep, "y", "x", iterations=40)
+
+
+def test_psm_att_hand_computed(spark):
+    """Treated at scores .30/.52/.90 with outcomes 10/20/30; controls
+    at .28(y=5), .33(y=7), .50(y=12), .95(y=99).  caliper=.05:
+    t1(.30) -> nearest .28 (d=.02 beats .33's d=.03) -> diff 5;
+    t2(.52) -> .50 -> diff 8; t3(.90) -> .95 is d=.05 <= caliper ->
+    diff -69.  ATT = (5+8-69)/3."""
+    from moz_datapipeline_spark.operators.analytics import psm_att
+
+    rows = [
+        (0.30, 1, 10.0), (0.52, 1, 20.0), (0.90, 1, 30.0),
+        (0.28, 0, 5.0), (0.33, 0, 7.0), (0.50, 0, 12.0),
+        (0.95, 0, 99.0),
+    ]
+    df = spark.createDataFrame(rows, "s double, tr int, y double")
+    r = psm_att(df, "s", "tr", "y", caliper=0.05).collect()[0]
+    assert r.n_treated == 3 and r.n_control == 4
+    assert r.n_matched == 3 and r.n_unmatched == 0
+    assert r.att == round((5.0 + 8.0 - 69.0) / 3.0, 6)
+
+    # tighter caliper drops the .90 treated (nearest is .05 away)
+    r = psm_att(df, "s", "tr", "y", caliper=0.04).collect()[0]
+    assert r.n_matched == 2 and r.n_unmatched == 1
+    assert r.att == round((5.0 + 8.0) / 2.0, 6)
+
+    with pytest.raises(ValueError, match="caliper"):
+        psm_att(df, "s", "tr", "y", caliper=0.0)
+
+
+def test_psm_att_with_replacement_and_ties(spark):
+    """Two treated share one nearest control (replacement); an exact
+    distance tie breaks to the smaller control score."""
+    from moz_datapipeline_spark.operators.analytics import psm_att
+
+    rows = [
+        (0.40, 1, 10.0), (0.42, 1, 20.0),  # both nearest to .41
+        (0.41, 0, 4.0),
+        (0.60, 1, 9.0),  # controls at .55 and .65: tie -> .55 (y=1)
+        (0.55, 0, 1.0), (0.65, 0, 2.0),
+    ]
+    df = spark.createDataFrame(rows, "s double, tr int, y double")
+    r = psm_att(df, "s", "tr", "y", caliper=0.1).collect()[0]
+    assert r.n_matched == 3
+    assert r.att == round((6.0 + 16.0 + 8.0) / 3.0, 6)
