@@ -6967,6 +6967,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cox_ph": q_cox_ph,
         "logit_fit": q_logit_fit,
         "psm_att": q_psm_att,
+        "shapley_attribution": q_shapley_attribution,
+        "markov_attribution": q_markov_attribution,
     }
 
 
@@ -7167,6 +7169,77 @@ def q_psm_att(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return psm_att(
         panel, "score", "treated", "y", caliper=0.01, id_col="uid"
+    )
+
+
+
+def q_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shapley (carrier-game) channel attribution over the events
+    table: each user's distinct non-purchase event-type set is the
+    exposure coalition, conversion = the user purchased
+    (operators/analytics.shapley_attribution).  VALUE oracle:
+    identical per-user set build, equal-split credit explode, and
+    exposure rollup in DuckDB."""
+    from moz_datapipeline_spark.operators.analytics import (
+        shapley_attribution,
+    )
+
+    ev = _events(spark, sf_dir)
+    per_user = ev.groupBy("user_id").agg(
+        F.array_sort(
+            F.array_distinct(
+                F.collect_list(
+                    F.when(
+                        F.col("event_type") != "purchase",
+                        F.col("event_type"),
+                    )
+                )
+            )
+        ).alias("chs"),
+        F.max(
+            (F.col("event_type") == "purchase").cast("int")
+        ).alias("conv"),
+    )
+    return shapley_attribution(per_user, "chs", "conv")
+
+
+
+def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov removal-effect attribution over per-user ordered event
+    journeys (operators/analytics.markov_attribution): non-purchase
+    event types form the path, purchase anywhere = conversion; fixed
+    60 forward-propagation rounds so the DuckDB twin can unroll the
+    SAME iteration count as chained GROUP BY CTEs (recursive CTEs
+    cannot aggregate).  VALUE oracle: identical transition counts,
+    probabilities, 60 propagation rounds, and credit scaling."""
+    from moz_datapipeline_spark.operators.analytics import (
+        markov_attribution,
+    )
+
+    ev = _events(spark, sf_dir)
+    per_user = ev.groupBy("user_id").agg(
+        F.filter(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("ts", "event_id", "event_type")
+                )
+            ).cast(
+                "array<struct<ts:long,event_id:long,"
+                "event_type:string>>"
+            ),
+            lambda e: e["event_type"] != "purchase",
+        ).alias("_ordered"),
+        F.max(
+            (F.col("event_type") == "purchase").cast("int")
+        ).alias("conv"),
+    ).select(
+        F.transform(
+            F.col("_ordered"), lambda e: e["event_type"]
+        ).alias("path"),
+        "conv",
+    )
+    return markov_attribution(
+        per_user, "path", "conv", iterations=60
     )
 
 
@@ -18680,6 +18753,654 @@ FROM eaul_calc
                round(CASE WHEN n_matched > 1
                      THEN sd / sqrt(n_matched) END, 6) AS se_att
         FROM counts, fold
+    """
+
+    sql["shapley_attribution"] = """
+        WITH per_user AS (
+          SELECT user_id,
+                 list_sort(list_distinct(list_filter(
+                   list(event_type), t -> t <> 'purchase'))) AS chs,
+                 max(CASE WHEN event_type = 'purchase'
+                     THEN 1 ELSE 0 END) AS conv
+          FROM events GROUP BY user_id
+        ), base AS (
+          SELECT chs, conv FROM per_user
+          WHERE chs IS NOT NULL AND len(chs) > 0
+        ), coal AS (
+          SELECT chs, CAST(sum(conv) AS BIGINT) AS conv
+          FROM base GROUP BY chs
+        ), credits AS (
+          SELECT channel,
+                 round(sum(credit), 6) AS shapley_credit,
+                 CAST(count(*) AS BIGINT) AS n_coalitions
+          FROM (
+            SELECT unnest(chs) AS channel,
+                   CAST(conv AS DOUBLE) / len(chs) AS credit
+            FROM coal WHERE conv > 0
+          ) GROUP BY channel
+        ), exposed AS (
+          SELECT unnest(chs) AS channel
+          FROM base
+        ), exp_cnt AS (
+          SELECT channel, CAST(count(*) AS BIGINT) AS n_exposed
+          FROM exposed GROUP BY channel
+        )
+        SELECT e.channel,
+               coalesce(c.shapley_credit, 0.0) AS shapley_credit,
+               CAST(coalesce(c.n_coalitions, 0) AS BIGINT)
+                 AS n_coalitions,
+               e.n_exposed
+        FROM exp_cnt e LEFT JOIN credits c ON e.channel = c.channel
+    """
+
+    sql["markov_attribution"] = """
+        WITH per_user AS MATERIALIZED (
+          SELECT user_id,
+                 list_filter(
+                   list(event_type ORDER BY epoch_ns(ts), event_id),
+                   t -> t <> 'purchase') AS path,
+                 max(CASE WHEN event_type = 'purchase'
+                     THEN 1 ELSE 0 END) AS conv
+          FROM events GROUP BY user_id
+        ), base AS MATERIALIZED (
+          SELECT path, conv FROM per_user
+          WHERE path IS NOT NULL AND len(path) > 0
+        ), totals AS MATERIALIZED (
+          SELECT CAST(sum(conv) AS BIGINT) AS tc FROM base
+        ), seqs AS MATERIALIZED (
+          SELECT ['START'] || path
+                 || [CASE WHEN conv = 1 THEN 'CONV'
+                     ELSE 'LOSS' END] AS s
+          FROM base
+        ), trans AS MATERIALIZED (
+          SELECT src, dst, count(*) AS n FROM (
+            SELECT s[i] AS src, s[i + 1] AS dst
+            FROM seqs, unnest(generate_series(1, len(s) - 1))
+              AS u(i)
+          ) WHERE src <> dst
+          GROUP BY src, dst
+        ), probs AS MATERIALIZED (
+          SELECT src, dst,
+                 CAST(n AS DOUBLE)
+                 / sum(n) OVER (PARTITION BY src) AS p
+          FROM trans
+        ), channels AS MATERIALIZED (
+          SELECT DISTINCT c AS channel FROM (
+            SELECT src AS c FROM trans
+            UNION SELECT dst FROM trans
+          ) WHERE c NOT IN ('START', 'CONV', 'LOSS')
+        ), variants AS MATERIALIZED (
+          SELECT '##NONE##' AS rm
+          UNION ALL SELECT channel FROM channels
+        ), m0 AS MATERIALIZED (
+          SELECT rm, 'START' AS state, 1.0 AS mass FROM variants
+        ),
+        m1 AS MATERIALIZED (
+          SELECT rm, state, sum(mass) AS mass FROM (
+            SELECT j.rm, t.dst AS state, j.mass * t.p AS mass
+            FROM m0 j JOIN probs t ON t.src = j.state
+            WHERE t.dst <> j.rm AND t.dst <> 'LOSS'
+            UNION ALL
+            SELECT rm, state, mass FROM m0 WHERE state = 'CONV'
+          ) GROUP BY rm, state
+        ),
+        m2 AS MATERIALIZED (
+          SELECT rm, state, sum(mass) AS mass FROM (
+            SELECT j.rm, t.dst AS state, j.mass * t.p AS mass
+            FROM m1 j JOIN probs t ON t.src = j.state
+            WHERE t.dst <> j.rm AND t.dst <> 'LOSS'
+            UNION ALL
+            SELECT rm, state, mass FROM m1 WHERE state = 'CONV'
+          ) GROUP BY rm, state
+        ),
+        m3 AS MATERIALIZED (
+          SELECT rm, state, sum(mass) AS mass FROM (
+            SELECT j.rm, t.dst AS state, j.mass * t.p AS mass
+            FROM m2 j JOIN probs t ON t.src = j.state
+            WHERE t.dst <> j.rm AND t.dst <> 'LOSS'
+            UNION ALL
+            SELECT rm, state, mass FROM m2 WHERE state = 'CONV'
+          ) GROUP BY rm, state
+        ),
+        m4 AS MATERIALIZED (
+          SELECT rm, state, sum(mass) AS mass FROM (
+            SELECT j.rm, t.dst AS state, j.mass * t.p AS mass
+            FROM m3 j JOIN probs t ON t.src = j.state
+            WHERE t.dst <> j.rm AND t.dst <> 'LOSS'
+            UNION ALL
+            SELECT rm, state, mass FROM m3 WHERE state = 'CONV'
+          ) GROUP BY rm, state
+        ),
+        m5 AS MATERIALIZED (
+          SELECT rm, state, sum(mass) AS mass FROM (
+            SELECT j.rm, t.dst AS state, j.mass * t.p AS mass
+            FROM m4 j JOIN probs t ON t.src = j.state
+            WHERE t.dst <> j.rm AND t.dst <> 'LOSS'
+            UNION ALL
+            SELECT rm, state, mass FROM m4 WHERE state = 'CONV'
+          ) GROUP BY rm, state
+        ),
+        m6 AS MATERIALIZED (
+          SELECT rm, state, sum(mass) AS mass FROM (
+            SELECT j.rm, t.dst AS state, j.mass * t.p AS mass
+            FROM m5 j JOIN probs t ON t.src = j.state
+            WHERE t.dst <> j.rm AND t.dst <> 'LOSS'
+            UNION ALL
+            SELECT rm, state, mass FROM m5 WHERE state = 'CONV'
+          ) GROUP BY rm, state
+        ),
+        m7 AS MATERIALIZED (
+          SELECT rm, state, sum(mass) AS mass FROM (
+            SELECT j.rm, t.dst AS state, j.mass * t.p AS mass
+            FROM m6 j JOIN probs t ON t.src = j.state
+            WHERE t.dst <> j.rm AND t.dst <> 'LOSS'
+            UNION ALL
+            SELECT rm, state, mass FROM m6 WHERE state = 'CONV'
+          ) GROUP BY rm, state
+        ),
+        m8 AS MATERIALIZED (
+          SELECT rm, state, sum(mass) AS mass FROM (
+            SELECT j.rm, t.dst AS state, j.mass * t.p AS mass
+            FROM m7 j JOIN probs t ON t.src = j.state
+            WHERE t.dst <> j.rm AND t.dst <> 'LOSS'
+            UNION ALL
+            SELECT rm, state, mass FROM m7 WHERE state = 'CONV'
+          ) GROUP BY rm, state
+        ),
+        m9 AS MATERIALIZED (
+          SELECT rm, state, sum(mass) AS mass FROM (
+            SELECT j.rm, t.dst AS state, j.mass * t.p AS mass
+            FROM m8 j JOIN probs t ON t.src = j.state
+            WHERE t.dst <> j.rm AND t.dst <> 'LOSS'
+            UNION ALL
+            SELECT rm, state, mass FROM m8 WHERE state = 'CONV'
+          ) GROUP BY rm, state
+        ),
+        m10 AS MATERIALIZED (
+          SELECT rm, state, sum(mass) AS mass FROM (
+            SELECT j.rm, t.dst AS state, j.mass * t.p AS mass
+            FROM m9 j JOIN probs t ON t.src = j.state
+            WHERE t.dst <> j.rm AND t.dst <> 'LOSS'
+            UNION ALL
+            SELECT rm, state, mass FROM m9 WHERE state = 'CONV'
+          ) GROUP BY rm, state
+        ),
+        m11 AS MATERIALIZED (
+          SELECT rm, state, sum(mass) AS mass FROM (
+            SELECT j.rm, t.dst AS state, j.mass * t.p AS mass
+            FROM m10 j JOIN probs t ON t.src = j.state
+            WHERE t.dst <> j.rm AND t.dst <> 'LOSS'
+            UNION ALL
+            SELECT rm, state, mass FROM m10 WHERE state = 'CONV'
+          ) GROUP BY rm, state
+        ),
+        m12 AS MATERIALIZED (
+          SELECT rm, state, sum(mass) AS mass FROM (
+            SELECT j.rm, t.dst AS state, j.mass * t.p AS mass
+            FROM m11 j JOIN probs t ON t.src = j.state
+            WHERE t.dst <> j.rm AND t.dst <> 'LOSS'
+            UNION ALL
+            SELECT rm, state, mass FROM m11 WHERE state = 'CONV'
+          ) GROUP BY rm, state
+        ),
+        m13 AS MATERIALIZED (
+          SELECT rm, state, sum(mass) AS mass FROM (
+            SELECT j.rm, t.dst AS state, j.mass * t.p AS mass
+            FROM m12 j JOIN probs t ON t.src = j.state
+            WHERE t.dst <> j.rm AND t.dst <> 'LOSS'
+            UNION ALL
+            SELECT rm, state, mass FROM m12 WHERE state = 'CONV'
+          ) GROUP BY rm, state
+        ),
+        m14 AS MATERIALIZED (
+          SELECT rm, state, sum(mass) AS mass FROM (
+            SELECT j.rm, t.dst AS state, j.mass * t.p AS mass
+            FROM m13 j JOIN probs t ON t.src = j.state
+            WHERE t.dst <> j.rm AND t.dst <> 'LOSS'
+            UNION ALL
+            SELECT rm, state, mass FROM m13 WHERE state = 'CONV'
+          ) GROUP BY rm, state
+        ),
+        m15 AS MATERIALIZED (
+          SELECT rm, state, sum(mass) AS mass FROM (
+            SELECT j.rm, t.dst AS state, j.mass * t.p AS mass
+            FROM m14 j JOIN probs t ON t.src = j.state
+            WHERE t.dst <> j.rm AND t.dst <> 'LOSS'
+            UNION ALL
+            SELECT rm, state, mass FROM m14 WHERE state = 'CONV'
+          ) GROUP BY rm, state
+        ),
+        m16 AS MATERIALIZED (
+          SELECT rm, state, sum(mass) AS mass FROM (
+            SELECT j.rm, t.dst AS state, j.mass * t.p AS mass
+            FROM m15 j JOIN probs t ON t.src = j.state
+            WHERE t.dst <> j.rm AND t.dst <> 'LOSS'
+            UNION ALL
+            SELECT rm, state, mass FROM m15 WHERE state = 'CONV'
+          ) GROUP BY rm, state
+        ),
+        m17 AS MATERIALIZED (
+          SELECT rm, state, sum(mass) AS mass FROM (
+            SELECT j.rm, t.dst AS state, j.mass * t.p AS mass
+            FROM m16 j JOIN probs t ON t.src = j.state
+            WHERE t.dst <> j.rm AND t.dst <> 'LOSS'
+            UNION ALL
+            SELECT rm, state, mass FROM m16 WHERE state = 'CONV'
+          ) GROUP BY rm, state
+        ),
+        m18 AS MATERIALIZED (
+          SELECT rm, state, sum(mass) AS mass FROM (
+            SELECT j.rm, t.dst AS state, j.mass * t.p AS mass
+            FROM m17 j JOIN probs t ON t.src = j.state
+            WHERE t.dst <> j.rm AND t.dst <> 'LOSS'
+            UNION ALL
+            SELECT rm, state, mass FROM m17 WHERE state = 'CONV'
+          ) GROUP BY rm, state
+        ),
+        m19 AS MATERIALIZED (
+          SELECT rm, state, sum(mass) AS mass FROM (
+            SELECT j.rm, t.dst AS state, j.mass * t.p AS mass
+            FROM m18 j JOIN probs t ON t.src = j.state
+            WHERE t.dst <> j.rm AND t.dst <> 'LOSS'
+            UNION ALL
+            SELECT rm, state, mass FROM m18 WHERE state = 'CONV'
+          ) GROUP BY rm, state
+        ),
+        m20 AS MATERIALIZED (
+          SELECT rm, state, sum(mass) AS mass FROM (
+            SELECT j.rm, t.dst AS state, j.mass * t.p AS mass
+            FROM m19 j JOIN probs t ON t.src = j.state
+            WHERE t.dst <> j.rm AND t.dst <> 'LOSS'
+            UNION ALL
+            SELECT rm, state, mass FROM m19 WHERE state = 'CONV'
+          ) GROUP BY rm, state
+        ),
+        m21 AS MATERIALIZED (
+          SELECT rm, state, sum(mass) AS mass FROM (
+            SELECT j.rm, t.dst AS state, j.mass * t.p AS mass
+            FROM m20 j JOIN probs t ON t.src = j.state
+            WHERE t.dst <> j.rm AND t.dst <> 'LOSS'
+            UNION ALL
+            SELECT rm, state, mass FROM m20 WHERE state = 'CONV'
+          ) GROUP BY rm, state
+        ),
+        m22 AS MATERIALIZED (
+          SELECT rm, state, sum(mass) AS mass FROM (
+            SELECT j.rm, t.dst AS state, j.mass * t.p AS mass
+            FROM m21 j JOIN probs t ON t.src = j.state
+            WHERE t.dst <> j.rm AND t.dst <> 'LOSS'
+            UNION ALL
+            SELECT rm, state, mass FROM m21 WHERE state = 'CONV'
+          ) GROUP BY rm, state
+        ),
+        m23 AS MATERIALIZED (
+          SELECT rm, state, sum(mass) AS mass FROM (
+            SELECT j.rm, t.dst AS state, j.mass * t.p AS mass
+            FROM m22 j JOIN probs t ON t.src = j.state
+            WHERE t.dst <> j.rm AND t.dst <> 'LOSS'
+            UNION ALL
+            SELECT rm, state, mass FROM m22 WHERE state = 'CONV'
+          ) GROUP BY rm, state
+        ),
+        m24 AS MATERIALIZED (
+          SELECT rm, state, sum(mass) AS mass FROM (
+            SELECT j.rm, t.dst AS state, j.mass * t.p AS mass
+            FROM m23 j JOIN probs t ON t.src = j.state
+            WHERE t.dst <> j.rm AND t.dst <> 'LOSS'
+            UNION ALL
+            SELECT rm, state, mass FROM m23 WHERE state = 'CONV'
+          ) GROUP BY rm, state
+        ),
+        m25 AS MATERIALIZED (
+          SELECT rm, state, sum(mass) AS mass FROM (
+            SELECT j.rm, t.dst AS state, j.mass * t.p AS mass
+            FROM m24 j JOIN probs t ON t.src = j.state
+            WHERE t.dst <> j.rm AND t.dst <> 'LOSS'
+            UNION ALL
+            SELECT rm, state, mass FROM m24 WHERE state = 'CONV'
+          ) GROUP BY rm, state
+        ),
+        m26 AS MATERIALIZED (
+          SELECT rm, state, sum(mass) AS mass FROM (
+            SELECT j.rm, t.dst AS state, j.mass * t.p AS mass
+            FROM m25 j JOIN probs t ON t.src = j.state
+            WHERE t.dst <> j.rm AND t.dst <> 'LOSS'
+            UNION ALL
+            SELECT rm, state, mass FROM m25 WHERE state = 'CONV'
+          ) GROUP BY rm, state
+        ),
+        m27 AS MATERIALIZED (
+          SELECT rm, state, sum(mass) AS mass FROM (
+            SELECT j.rm, t.dst AS state, j.mass * t.p AS mass
+            FROM m26 j JOIN probs t ON t.src = j.state
+            WHERE t.dst <> j.rm AND t.dst <> 'LOSS'
+            UNION ALL
+            SELECT rm, state, mass FROM m26 WHERE state = 'CONV'
+          ) GROUP BY rm, state
+        ),
+        m28 AS MATERIALIZED (
+          SELECT rm, state, sum(mass) AS mass FROM (
+            SELECT j.rm, t.dst AS state, j.mass * t.p AS mass
+            FROM m27 j JOIN probs t ON t.src = j.state
+            WHERE t.dst <> j.rm AND t.dst <> 'LOSS'
+            UNION ALL
+            SELECT rm, state, mass FROM m27 WHERE state = 'CONV'
+          ) GROUP BY rm, state
+        ),
+        m29 AS MATERIALIZED (
+          SELECT rm, state, sum(mass) AS mass FROM (
+            SELECT j.rm, t.dst AS state, j.mass * t.p AS mass
+            FROM m28 j JOIN probs t ON t.src = j.state
+            WHERE t.dst <> j.rm AND t.dst <> 'LOSS'
+            UNION ALL
+            SELECT rm, state, mass FROM m28 WHERE state = 'CONV'
+          ) GROUP BY rm, state
+        ),
+        m30 AS MATERIALIZED (
+          SELECT rm, state, sum(mass) AS mass FROM (
+            SELECT j.rm, t.dst AS state, j.mass * t.p AS mass
+            FROM m29 j JOIN probs t ON t.src = j.state
+            WHERE t.dst <> j.rm AND t.dst <> 'LOSS'
+            UNION ALL
+            SELECT rm, state, mass FROM m29 WHERE state = 'CONV'
+          ) GROUP BY rm, state
+        ),
+        m31 AS MATERIALIZED (
+          SELECT rm, state, sum(mass) AS mass FROM (
+            SELECT j.rm, t.dst AS state, j.mass * t.p AS mass
+            FROM m30 j JOIN probs t ON t.src = j.state
+            WHERE t.dst <> j.rm AND t.dst <> 'LOSS'
+            UNION ALL
+            SELECT rm, state, mass FROM m30 WHERE state = 'CONV'
+          ) GROUP BY rm, state
+        ),
+        m32 AS MATERIALIZED (
+          SELECT rm, state, sum(mass) AS mass FROM (
+            SELECT j.rm, t.dst AS state, j.mass * t.p AS mass
+            FROM m31 j JOIN probs t ON t.src = j.state
+            WHERE t.dst <> j.rm AND t.dst <> 'LOSS'
+            UNION ALL
+            SELECT rm, state, mass FROM m31 WHERE state = 'CONV'
+          ) GROUP BY rm, state
+        ),
+        m33 AS MATERIALIZED (
+          SELECT rm, state, sum(mass) AS mass FROM (
+            SELECT j.rm, t.dst AS state, j.mass * t.p AS mass
+            FROM m32 j JOIN probs t ON t.src = j.state
+            WHERE t.dst <> j.rm AND t.dst <> 'LOSS'
+            UNION ALL
+            SELECT rm, state, mass FROM m32 WHERE state = 'CONV'
+          ) GROUP BY rm, state
+        ),
+        m34 AS MATERIALIZED (
+          SELECT rm, state, sum(mass) AS mass FROM (
+            SELECT j.rm, t.dst AS state, j.mass * t.p AS mass
+            FROM m33 j JOIN probs t ON t.src = j.state
+            WHERE t.dst <> j.rm AND t.dst <> 'LOSS'
+            UNION ALL
+            SELECT rm, state, mass FROM m33 WHERE state = 'CONV'
+          ) GROUP BY rm, state
+        ),
+        m35 AS MATERIALIZED (
+          SELECT rm, state, sum(mass) AS mass FROM (
+            SELECT j.rm, t.dst AS state, j.mass * t.p AS mass
+            FROM m34 j JOIN probs t ON t.src = j.state
+            WHERE t.dst <> j.rm AND t.dst <> 'LOSS'
+            UNION ALL
+            SELECT rm, state, mass FROM m34 WHERE state = 'CONV'
+          ) GROUP BY rm, state
+        ),
+        m36 AS MATERIALIZED (
+          SELECT rm, state, sum(mass) AS mass FROM (
+            SELECT j.rm, t.dst AS state, j.mass * t.p AS mass
+            FROM m35 j JOIN probs t ON t.src = j.state
+            WHERE t.dst <> j.rm AND t.dst <> 'LOSS'
+            UNION ALL
+            SELECT rm, state, mass FROM m35 WHERE state = 'CONV'
+          ) GROUP BY rm, state
+        ),
+        m37 AS MATERIALIZED (
+          SELECT rm, state, sum(mass) AS mass FROM (
+            SELECT j.rm, t.dst AS state, j.mass * t.p AS mass
+            FROM m36 j JOIN probs t ON t.src = j.state
+            WHERE t.dst <> j.rm AND t.dst <> 'LOSS'
+            UNION ALL
+            SELECT rm, state, mass FROM m36 WHERE state = 'CONV'
+          ) GROUP BY rm, state
+        ),
+        m38 AS MATERIALIZED (
+          SELECT rm, state, sum(mass) AS mass FROM (
+            SELECT j.rm, t.dst AS state, j.mass * t.p AS mass
+            FROM m37 j JOIN probs t ON t.src = j.state
+            WHERE t.dst <> j.rm AND t.dst <> 'LOSS'
+            UNION ALL
+            SELECT rm, state, mass FROM m37 WHERE state = 'CONV'
+          ) GROUP BY rm, state
+        ),
+        m39 AS MATERIALIZED (
+          SELECT rm, state, sum(mass) AS mass FROM (
+            SELECT j.rm, t.dst AS state, j.mass * t.p AS mass
+            FROM m38 j JOIN probs t ON t.src = j.state
+            WHERE t.dst <> j.rm AND t.dst <> 'LOSS'
+            UNION ALL
+            SELECT rm, state, mass FROM m38 WHERE state = 'CONV'
+          ) GROUP BY rm, state
+        ),
+        m40 AS MATERIALIZED (
+          SELECT rm, state, sum(mass) AS mass FROM (
+            SELECT j.rm, t.dst AS state, j.mass * t.p AS mass
+            FROM m39 j JOIN probs t ON t.src = j.state
+            WHERE t.dst <> j.rm AND t.dst <> 'LOSS'
+            UNION ALL
+            SELECT rm, state, mass FROM m39 WHERE state = 'CONV'
+          ) GROUP BY rm, state
+        ),
+        m41 AS MATERIALIZED (
+          SELECT rm, state, sum(mass) AS mass FROM (
+            SELECT j.rm, t.dst AS state, j.mass * t.p AS mass
+            FROM m40 j JOIN probs t ON t.src = j.state
+            WHERE t.dst <> j.rm AND t.dst <> 'LOSS'
+            UNION ALL
+            SELECT rm, state, mass FROM m40 WHERE state = 'CONV'
+          ) GROUP BY rm, state
+        ),
+        m42 AS MATERIALIZED (
+          SELECT rm, state, sum(mass) AS mass FROM (
+            SELECT j.rm, t.dst AS state, j.mass * t.p AS mass
+            FROM m41 j JOIN probs t ON t.src = j.state
+            WHERE t.dst <> j.rm AND t.dst <> 'LOSS'
+            UNION ALL
+            SELECT rm, state, mass FROM m41 WHERE state = 'CONV'
+          ) GROUP BY rm, state
+        ),
+        m43 AS MATERIALIZED (
+          SELECT rm, state, sum(mass) AS mass FROM (
+            SELECT j.rm, t.dst AS state, j.mass * t.p AS mass
+            FROM m42 j JOIN probs t ON t.src = j.state
+            WHERE t.dst <> j.rm AND t.dst <> 'LOSS'
+            UNION ALL
+            SELECT rm, state, mass FROM m42 WHERE state = 'CONV'
+          ) GROUP BY rm, state
+        ),
+        m44 AS MATERIALIZED (
+          SELECT rm, state, sum(mass) AS mass FROM (
+            SELECT j.rm, t.dst AS state, j.mass * t.p AS mass
+            FROM m43 j JOIN probs t ON t.src = j.state
+            WHERE t.dst <> j.rm AND t.dst <> 'LOSS'
+            UNION ALL
+            SELECT rm, state, mass FROM m43 WHERE state = 'CONV'
+          ) GROUP BY rm, state
+        ),
+        m45 AS MATERIALIZED (
+          SELECT rm, state, sum(mass) AS mass FROM (
+            SELECT j.rm, t.dst AS state, j.mass * t.p AS mass
+            FROM m44 j JOIN probs t ON t.src = j.state
+            WHERE t.dst <> j.rm AND t.dst <> 'LOSS'
+            UNION ALL
+            SELECT rm, state, mass FROM m44 WHERE state = 'CONV'
+          ) GROUP BY rm, state
+        ),
+        m46 AS MATERIALIZED (
+          SELECT rm, state, sum(mass) AS mass FROM (
+            SELECT j.rm, t.dst AS state, j.mass * t.p AS mass
+            FROM m45 j JOIN probs t ON t.src = j.state
+            WHERE t.dst <> j.rm AND t.dst <> 'LOSS'
+            UNION ALL
+            SELECT rm, state, mass FROM m45 WHERE state = 'CONV'
+          ) GROUP BY rm, state
+        ),
+        m47 AS MATERIALIZED (
+          SELECT rm, state, sum(mass) AS mass FROM (
+            SELECT j.rm, t.dst AS state, j.mass * t.p AS mass
+            FROM m46 j JOIN probs t ON t.src = j.state
+            WHERE t.dst <> j.rm AND t.dst <> 'LOSS'
+            UNION ALL
+            SELECT rm, state, mass FROM m46 WHERE state = 'CONV'
+          ) GROUP BY rm, state
+        ),
+        m48 AS MATERIALIZED (
+          SELECT rm, state, sum(mass) AS mass FROM (
+            SELECT j.rm, t.dst AS state, j.mass * t.p AS mass
+            FROM m47 j JOIN probs t ON t.src = j.state
+            WHERE t.dst <> j.rm AND t.dst <> 'LOSS'
+            UNION ALL
+            SELECT rm, state, mass FROM m47 WHERE state = 'CONV'
+          ) GROUP BY rm, state
+        ),
+        m49 AS MATERIALIZED (
+          SELECT rm, state, sum(mass) AS mass FROM (
+            SELECT j.rm, t.dst AS state, j.mass * t.p AS mass
+            FROM m48 j JOIN probs t ON t.src = j.state
+            WHERE t.dst <> j.rm AND t.dst <> 'LOSS'
+            UNION ALL
+            SELECT rm, state, mass FROM m48 WHERE state = 'CONV'
+          ) GROUP BY rm, state
+        ),
+        m50 AS MATERIALIZED (
+          SELECT rm, state, sum(mass) AS mass FROM (
+            SELECT j.rm, t.dst AS state, j.mass * t.p AS mass
+            FROM m49 j JOIN probs t ON t.src = j.state
+            WHERE t.dst <> j.rm AND t.dst <> 'LOSS'
+            UNION ALL
+            SELECT rm, state, mass FROM m49 WHERE state = 'CONV'
+          ) GROUP BY rm, state
+        ),
+        m51 AS MATERIALIZED (
+          SELECT rm, state, sum(mass) AS mass FROM (
+            SELECT j.rm, t.dst AS state, j.mass * t.p AS mass
+            FROM m50 j JOIN probs t ON t.src = j.state
+            WHERE t.dst <> j.rm AND t.dst <> 'LOSS'
+            UNION ALL
+            SELECT rm, state, mass FROM m50 WHERE state = 'CONV'
+          ) GROUP BY rm, state
+        ),
+        m52 AS MATERIALIZED (
+          SELECT rm, state, sum(mass) AS mass FROM (
+            SELECT j.rm, t.dst AS state, j.mass * t.p AS mass
+            FROM m51 j JOIN probs t ON t.src = j.state
+            WHERE t.dst <> j.rm AND t.dst <> 'LOSS'
+            UNION ALL
+            SELECT rm, state, mass FROM m51 WHERE state = 'CONV'
+          ) GROUP BY rm, state
+        ),
+        m53 AS MATERIALIZED (
+          SELECT rm, state, sum(mass) AS mass FROM (
+            SELECT j.rm, t.dst AS state, j.mass * t.p AS mass
+            FROM m52 j JOIN probs t ON t.src = j.state
+            WHERE t.dst <> j.rm AND t.dst <> 'LOSS'
+            UNION ALL
+            SELECT rm, state, mass FROM m52 WHERE state = 'CONV'
+          ) GROUP BY rm, state
+        ),
+        m54 AS MATERIALIZED (
+          SELECT rm, state, sum(mass) AS mass FROM (
+            SELECT j.rm, t.dst AS state, j.mass * t.p AS mass
+            FROM m53 j JOIN probs t ON t.src = j.state
+            WHERE t.dst <> j.rm AND t.dst <> 'LOSS'
+            UNION ALL
+            SELECT rm, state, mass FROM m53 WHERE state = 'CONV'
+          ) GROUP BY rm, state
+        ),
+        m55 AS MATERIALIZED (
+          SELECT rm, state, sum(mass) AS mass FROM (
+            SELECT j.rm, t.dst AS state, j.mass * t.p AS mass
+            FROM m54 j JOIN probs t ON t.src = j.state
+            WHERE t.dst <> j.rm AND t.dst <> 'LOSS'
+            UNION ALL
+            SELECT rm, state, mass FROM m54 WHERE state = 'CONV'
+          ) GROUP BY rm, state
+        ),
+        m56 AS MATERIALIZED (
+          SELECT rm, state, sum(mass) AS mass FROM (
+            SELECT j.rm, t.dst AS state, j.mass * t.p AS mass
+            FROM m55 j JOIN probs t ON t.src = j.state
+            WHERE t.dst <> j.rm AND t.dst <> 'LOSS'
+            UNION ALL
+            SELECT rm, state, mass FROM m55 WHERE state = 'CONV'
+          ) GROUP BY rm, state
+        ),
+        m57 AS MATERIALIZED (
+          SELECT rm, state, sum(mass) AS mass FROM (
+            SELECT j.rm, t.dst AS state, j.mass * t.p AS mass
+            FROM m56 j JOIN probs t ON t.src = j.state
+            WHERE t.dst <> j.rm AND t.dst <> 'LOSS'
+            UNION ALL
+            SELECT rm, state, mass FROM m56 WHERE state = 'CONV'
+          ) GROUP BY rm, state
+        ),
+        m58 AS MATERIALIZED (
+          SELECT rm, state, sum(mass) AS mass FROM (
+            SELECT j.rm, t.dst AS state, j.mass * t.p AS mass
+            FROM m57 j JOIN probs t ON t.src = j.state
+            WHERE t.dst <> j.rm AND t.dst <> 'LOSS'
+            UNION ALL
+            SELECT rm, state, mass FROM m57 WHERE state = 'CONV'
+          ) GROUP BY rm, state
+        ),
+        m59 AS MATERIALIZED (
+          SELECT rm, state, sum(mass) AS mass FROM (
+            SELECT j.rm, t.dst AS state, j.mass * t.p AS mass
+            FROM m58 j JOIN probs t ON t.src = j.state
+            WHERE t.dst <> j.rm AND t.dst <> 'LOSS'
+            UNION ALL
+            SELECT rm, state, mass FROM m58 WHERE state = 'CONV'
+          ) GROUP BY rm, state
+        ),
+        m60 AS MATERIALIZED (
+          SELECT rm, state, sum(mass) AS mass FROM (
+            SELECT j.rm, t.dst AS state, j.mass * t.p AS mass
+            FROM m59 j JOIN probs t ON t.src = j.state
+            WHERE t.dst <> j.rm AND t.dst <> 'LOSS'
+            UNION ALL
+            SELECT rm, state, mass FROM m59 WHERE state = 'CONV'
+          ) GROUP BY rm, state
+        ),
+        pconv AS MATERIALIZED (
+          SELECT v.rm,
+                 coalesce((SELECT mass FROM m60 m
+                           WHERE m.rm = v.rm AND m.state = 'CONV'),
+                          0.0) AS p
+          FROM variants v
+        ), readout AS MATERIALIZED (
+          SELECT c.channel,
+                 (SELECT p FROM pconv WHERE rm = '##NONE##')
+                   AS p_base,
+                 (SELECT p FROM pconv WHERE rm = c.channel)
+                   AS p_removed
+          FROM channels c
+        ), effects AS MATERIALIZED (
+          SELECT channel, p_base, p_removed,
+                 greatest(0.0, 1.0 - p_removed / p_base) AS eff
+          FROM readout
+        )
+        SELECT channel,
+               round(p_base, 6) AS p_base,
+               round(p_removed, 6) AS p_removed,
+               round(eff, 6) AS removal_effect,
+               round((SELECT tc FROM totals) * eff
+                     / sum(eff) OVER (), 6)
+                 AS attributed_conversions
+        FROM effects
     """
 
     return sql

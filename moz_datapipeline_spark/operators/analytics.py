@@ -6248,3 +6248,238 @@ def psm_att(
             6,
         ).alias("se_att"),
     )
+
+
+def shapley_attribution(
+    df: DataFrame,
+    channels_col: str,
+    converted_col: str,
+) -> DataFrame:
+    """Shapley-value channel attribution over exposure SETS: rows
+    ``(channel, shapley_credit, n_coalitions, n_exposed)`` — each
+    converting user's distinct channel set is a symmetric carrier
+    (unanimity) game worth its conversions, and the Shapley value of
+    a sum of such games splits every coalition's worth EQUALLY among
+    its members: ``φ_c = Σ_{S ∋ c} conversions(S) / |S|``.  The
+    order-free complement to ``touch_attribution`` (position/decay
+    models reward sequence; Shapley rewards membership — the "did
+    being in the mix matter" readout marketing-mix reviews ask for).
+    Exactly the Shapley value of the carrier-decomposed coalition
+    game — not a heuristic — and exactly relational, so it scales to
+    any channel cardinality (no 2^k enumeration).
+
+    ``channels_col`` is an ``array<string>`` of the user's touched
+    channels (duplicates inside a row collapse first — exposure is a
+    set); ``converted_col`` is 0/1 or boolean.  Empty/NULL channel
+    arrays drop (no one to credit).  ``n_coalitions`` counts the
+    distinct converting sets the channel appears in; ``n_exposed``
+    counts ALL users (converted or not) who touched the channel.
+
+    Plan: one (set → conversions) hash aggregate, one explode of the
+    ≤|set| members with credit/|S| (map-side combined per-channel
+    rollup), one exposure rollup — coalition- and channel-sized
+    exchanges only.
+    """
+    ch = F.col(channels_col)
+    conv = F.col(converted_col).cast("int")
+    base = df.select(
+        F.array_sort(F.array_distinct(ch)).alias("_set"),
+        conv.alias("_c"),
+    ).filter(
+        F.col("_set").isNotNull() & (F.size("_set") > 0)
+        & F.col("_c").isNotNull()
+    )
+    coal = base.groupBy("_set").agg(
+        F.sum("_c").cast("long").alias("_conv")
+    )
+    credits = (
+        coal.filter(F.col("_conv") > 0)
+        .select(
+            F.explode("_set").alias("channel"),
+            (
+                F.col("_conv").cast("double")
+                / F.size("_set").cast("double")
+            ).alias("_credit"),
+        )
+        .groupBy("channel")
+        .agg(
+            F.round(F.sum("_credit"), 6).alias("shapley_credit"),
+            F.count(F.lit(1)).cast("long").alias("n_coalitions"),
+        )
+    )
+    exposed = (
+        base.select(F.explode("_set").alias("channel"))
+        .groupBy("channel")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_exposed"))
+    )
+    return exposed.join(credits, "channel", "left").select(
+        "channel",
+        F.coalesce("shapley_credit", F.lit(0.0)).alias(
+            "shapley_credit"
+        ),
+        F.coalesce("n_coalitions", F.lit(0)).cast("long").alias(
+            "n_coalitions"
+        ),
+        "n_exposed",
+    )
+
+
+def markov_attribution(
+    paths: DataFrame,
+    channels_col: str,
+    converted_col: str,
+    iterations: int = 200,
+    state_cap: int = 100_000,
+) -> DataFrame:
+    """First-order Markov removal-effect attribution: rows
+    ``(channel, p_base, p_removed, removal_effect,
+    attributed_conversions)`` — build the START → channels →
+    CONV/LOSS transition chain from observed journeys, and credit
+    each channel by how much the chain's conversion probability
+    DROPS when journeys can no longer pass through it (transitions
+    into the removed channel divert to LOSS — the standard removal
+    effect).  Credits scale to the observed conversion total:
+    ``attributed = total_conv · effect_c / Σ effects``.  The
+    path-dependent complement to ``shapley_attribution`` (membership
+    credit) and ``touch_attribution`` (position credit).
+
+    Conversion probabilities come from FIXED-count forward mass
+    propagation (``iterations`` rounds, default 200) rather than a
+    matrix solve — deliberately: the arithmetic replays verbatim in
+    any engine (the ``cox_ph`` fixed-iteration convention), and 200
+    rounds put the geometric tail far below the 6-dp rounding for
+    any chain whose per-step conversion mass isn't pathological.
+
+    ``channels_col`` is the ORDERED ``array<string>`` of touches
+    (order matters here, unlike Shapley); empty paths drop.
+    Self-loops collapse (A→A transitions are dropped — first-order
+    chains gain nothing from them and they slow mixing).
+
+    Plan: transition counting is distributed (one explode + pair
+    rollup); the chain itself is then TINY by construction
+    (|channels|² transitions at most), so the propagation runs on
+    the driver over the collected rollup — ``state_cap`` bounds the
+    collect loudly (the ``bradley_terry`` solver-cap convention).
+    """
+    if iterations < 1:
+        raise ValueError("markov_attribution: iterations must be >= 1")
+    ch = F.col(channels_col)
+    conv = F.col(converted_col).cast("int")
+    base = paths.select(ch.alias("_p"), conv.alias("_c")).filter(
+        F.col("_p").isNotNull() & (F.size("_p") > 0)
+        & F.col("_c").isNotNull()
+    )
+    # per-path transition list: START -> c1 -> ... -> ck -> CONV/LOSS
+    steps = base.select(
+        F.concat(
+            F.array(F.lit("START")),
+            F.col("_p"),
+            F.array(
+                F.when(F.col("_c") == 1, F.lit("CONV")).otherwise(
+                    F.lit("LOSS")
+                )
+            ),
+        ).alias("_s")
+    )
+    trans = (
+        steps.select(
+            F.explode(
+                F.zip_with(
+                    F.slice(
+                        F.col("_s"), 1, F.size("_s") - 1
+                    ),
+                    F.slice(F.col("_s"), 2, F.size("_s") - 1),
+                    lambda a, b: F.struct(
+                        a.alias("src"), b.alias("dst")
+                    ),
+                )
+            ).alias("_t")
+        )
+        .select(F.col("_t.src").alias("src"), F.col("_t.dst").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))  # collapse self-loops
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    rows = trans.limit(int(state_cap) + 1).collect()
+    if len(rows) > state_cap:
+        raise ValueError(
+            f"markov_attribution: more than {state_cap} distinct "
+            "transitions — the channel alphabet is too wide for a "
+            "driver-side chain; coarsen the channels or raise "
+            "state_cap"
+        )
+    totals = base.agg(
+        F.sum("_c").cast("long").alias("tc"),
+        F.count(F.lit(1)).cast("long").alias("np"),
+    ).collect()[0]
+    total_conv = int(totals["tc"] or 0)
+    out_n: dict = {}
+    probs: dict = {}
+    for r in rows:
+        out_n[r["src"]] = out_n.get(r["src"], 0) + r["n"]
+    for r in rows:
+        probs.setdefault(r["src"], []).append(
+            (r["dst"], r["n"] / out_n[r["src"]])
+        )
+    channels = sorted(
+        {r["src"] for r in rows if r["src"] not in ("START",)}
+        | {
+            r["dst"]
+            for r in rows
+            if r["dst"] not in ("CONV", "LOSS")
+        }
+    )
+    channels = [c for c in channels if c not in ("START", "CONV", "LOSS")]
+
+    def p_conv(removed: str | None) -> float:
+        mass = {"START": 1.0}
+        absorbed = 0.0
+        for _ in range(int(iterations)):
+            nxt: dict = {}
+            for st in sorted(mass):
+                m = mass[st]
+                for dst, p in probs.get(st, []):
+                    if dst == removed:
+                        continue  # diverted to LOSS
+                    if dst == "CONV":
+                        absorbed += m * p
+                    elif dst != "LOSS":
+                        nxt[dst] = nxt.get(dst, 0.0) + m * p
+            mass = nxt
+            if not mass:
+                break
+        return absorbed
+
+    base_p = p_conv(None)
+    spark = paths.sparkSession
+    schema = (
+        "channel string, p_base double, p_removed double, "
+        "removal_effect double, attributed_conversions double"
+    )
+    if base_p <= 0.0 or not channels:
+        return spark.createDataFrame(
+            [(c, round(base_p, 6), None, None, None) for c in channels]
+            or [],
+            schema,
+        )
+    effects = {}
+    for c in channels:
+        pr = p_conv(c)
+        effects[c] = (pr, max(0.0, 1.0 - pr / base_p))
+    tot_eff = sum(e for _, e in effects.values())
+    out = []
+    for c in channels:
+        pr, e = effects[c]
+        attributed = (
+            total_conv * e / tot_eff if tot_eff > 0 else None
+        )
+        out.append(
+            (
+                c,
+                round(base_p, 6),
+                round(pr, 6),
+                round(e, 6),
+                None if attributed is None else round(attributed, 6),
+            )
+        )
+    return spark.createDataFrame(out, schema)

@@ -398,3 +398,84 @@ def test_psm_att_with_replacement_and_ties(spark):
     r = psm_att(df, "s", "tr", "y", caliper=0.1).collect()[0]
     assert r.n_matched == 3
     assert r.att == round((6.0 + 16.0 + 8.0) / 3.0, 6)
+
+
+def test_shapley_attribution_hand_computed(spark):
+    """Sets {a}x2 conv, {a,b}x1 conv, {a,b,c}x1 conv, {b}x1 no-conv:
+    phi_a = 2 + 1/2 + 1/3; phi_b = 1/2 + 1/3; phi_c = 1/3.  Credit
+    conserves: sum(phi) = total conversions = 4."""
+    from moz_datapipeline_spark.operators.analytics import (
+        shapley_attribution,
+    )
+
+    rows = [
+        (["a"], 1), (["a"], 1),
+        (["a", "b"], 1),
+        (["c", "b", "a", "a"], 1),  # dup + order collapse
+        (["b"], 0),
+    ]
+    df = spark.createDataFrame(rows, "chs array<string>, conv int")
+    out = {
+        r.channel: r
+        for r in shapley_attribution(df, "chs", "conv").collect()
+    }
+    assert out["a"].shapley_credit == round(2 + 0.5 + 1 / 3, 6)
+    assert out["b"].shapley_credit == round(0.5 + 1 / 3, 6)
+    assert out["c"].shapley_credit == round(1 / 3, 6)
+    total = sum(r.shapley_credit for r in out.values())
+    assert abs(total - 4.0) < 1e-5
+    assert out["b"].n_exposed == 3 and out["b"].n_coalitions == 2
+    # channel only in non-converting sets still appears, credit 0
+    rows2 = rows + [(["d"], 0)]
+    df2 = spark.createDataFrame(rows2, "chs array<string>, conv int")
+    out2 = {
+        r.channel: r
+        for r in shapley_attribution(df2, "chs", "conv").collect()
+    }
+    assert out2["d"].shapley_credit == 0.0 and out2["d"].n_exposed == 1
+
+
+def test_markov_attribution_hand_computed(spark):
+    """Chain: START->a (2/3), START->b (1/3); a->b (1/2), a->LOSS
+    (1/2); b->CONV (1).  p_base = 2/3; removing a -> 1/3 (effect
+    .5); removing b -> 0 (effect 1).  2 conversions split 2/3 : 4/3."""
+    from moz_datapipeline_spark.operators.analytics import (
+        markov_attribution,
+    )
+
+    rows = [
+        (["a", "b"], 1),
+        (["a"], 0),
+        (["b"], 1),
+    ]
+    df = spark.createDataFrame(rows, "path array<string>, conv int")
+    out = {
+        r.channel: r
+        for r in markov_attribution(df, "path", "conv").collect()
+    }
+    assert abs(out["a"].p_base - 2 / 3) < 1e-6
+    assert abs(out["a"].p_removed - 1 / 3) < 1e-6
+    assert abs(out["a"].removal_effect - 0.5) < 1e-6
+    assert out["b"].p_removed == 0.0
+    assert out["b"].removal_effect == 1.0
+    assert abs(out["a"].attributed_conversions - 2 / 3) < 1e-5
+    assert abs(out["b"].attributed_conversions - 4 / 3) < 1e-5
+
+    # self-loops collapse: [a, a, b] behaves like [a, b]
+    rows2 = [(["a", "a", "b"], 1), (["a"], 0), (["b"], 1)]
+    df2 = spark.createDataFrame(rows2, "path array<string>, conv int")
+    out2 = {
+        r.channel: r
+        for r in markov_attribution(df2, "path", "conv").collect()
+    }
+    assert abs(out2["a"].removal_effect - 0.5) < 1e-6
+
+    # zero conversions: NULL effects, loudly typed
+    none = spark.createDataFrame(
+        [(["a"], 0)], "path array<string>, conv int"
+    )
+    r = markov_attribution(none, "path", "conv").collect()
+    assert len(r) == 1 and r[0].p_removed is None
+
+    with pytest.raises(ValueError, match="iterations"):
+        markov_attribution(df, "path", "conv", iterations=0)
