@@ -6969,6 +6969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psm_att": q_psm_att,
         "shapley_attribution": q_shapley_attribution,
         "markov_attribution": q_markov_attribution,
+        "ipw_ate": q_ipw_ate,
     }
 
 
@@ -7241,6 +7242,51 @@ def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return markov_attribution(
         per_user, "path", "conv", iterations=60
     )
+
+
+
+def q_ipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IPW (Hajek) average treatment effect on the md5-scattered
+    customer panel with KNOWN +5 lift and confounded assignment
+    (treatment probability rises with the score that also drives the
+    outcome) (operators/analytics.ipw_ate).  VALUE oracle: identical
+    trim predicate and six-sum fold in DuckDB."""
+    from moz_datapipeline_spark.operators.analytics import ipw_ate
+
+    c = _t(spark, sf_dir, "customer")
+
+    def h(tag: str):
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(tag), F.col("c_custkey").cast("string")
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    score = (h("p:") % 1000000) / 1000000.0
+    # confounded assignment: P(treat) = 0.2 + 0.6*score, realized by
+    # an independent uniform draw — and e is the TRUE propensity
+    treated = (
+        (h("u:") % 1000000) / 1000000.0 < 0.2 + 0.6 * score
+    ).cast("int")
+    panel = c.select(
+        treated.alias("t"),
+        (
+            50.0
+            + 20.0 * score
+            + 5.0 * treated
+            + (h("n:") % 100) / 10.0
+        ).alias("y"),
+        (0.2 + 0.6 * score).alias("e"),
+    )
+    return ipw_ate(panel, "t", "y", "e")
 
 
 
@@ -19401,6 +19447,55 @@ FROM eaul_calc
                      / sum(eff) OVER (), 6)
                  AS attributed_conversions
         FROM effects
+    """
+
+    sql["ipw_ate"] = """
+        WITH panel AS (
+          SELECT
+            CASE WHEN (CAST(('0x' || substr(md5('u:' ||
+                 CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT)
+                 % 1000000) / 1000000.0
+                 < 0.2 + 0.6 * ((CAST(('0x' || substr(md5('p:' ||
+                 CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT)
+                 % 1000000) / 1000000.0)
+            THEN 1 ELSE 0 END AS t,
+            (CAST(('0x' || substr(md5('p:' ||
+               CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT)
+               % 1000000) / 1000000.0 AS score,
+            CAST(('0x' || substr(md5('n:' ||
+               CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT)
+               % 100 AS noise
+          FROM customer
+        ), full_panel AS (
+          SELECT CAST(t AS DOUBLE) AS t,
+                 50.0 + 20.0 * score + 5.0 * t + noise / 10.0 AS y,
+                 0.2 + 0.6 * score AS e
+          FROM panel
+        ), agg AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CASE WHEN e >= 0.01 AND e <= 0.99
+                     THEN t ELSE 0.0 END) AS BIGINT) AS n_treated,
+                 CAST(sum(CASE WHEN e >= 0.01 AND e <= 0.99
+                     THEN 0 ELSE 1 END) AS BIGINT) AS n_trimmed,
+                 sum(CASE WHEN e >= 0.01 AND e <= 0.99
+                     THEN t * y / e END) AS s1y,
+                 sum(CASE WHEN e >= 0.01 AND e <= 0.99
+                     THEN t / e END) AS s1,
+                 sum(CASE WHEN e >= 0.01 AND e <= 0.99
+                     THEN (1.0 - t) * y / (1.0 - e) END) AS s0y,
+                 sum(CASE WHEN e >= 0.01 AND e <= 0.99
+                     THEN (1.0 - t) / (1.0 - e) END) AS s0
+          FROM full_panel
+        )
+        SELECT n, n_treated, n_trimmed,
+               round(CASE WHEN s1 > 0 THEN s1y / s1 END
+                     - CASE WHEN s0 > 0 THEN s0y / s0 END, 6)
+                 AS ate_ipw,
+               round(CASE WHEN s1 > 0 THEN s1y / s1 END, 6)
+                 AS mu_treated,
+               round(CASE WHEN s0 > 0 THEN s0y / s0 END, 6)
+                 AS mu_control
+        FROM agg
     """
 
     return sql

@@ -6483,3 +6483,79 @@ def markov_attribution(
             )
         )
     return spark.createDataFrame(out, schema)
+
+
+def ipw_ate(
+    df: DataFrame,
+    treat_col: str,
+    outcome_col: str,
+    propensity_col: str,
+    trim: float = 0.01,
+) -> DataFrame:
+    """Inverse-propensity-weighted ATE (Horvitz–Thompson, stabilized
+    Hájek form): one row ``(n, n_treated, n_trimmed, ate_ipw, mu_treated,
+    mu_control)`` — the weighting complement to ``psm_att`` (matching
+    discards unmatched units; IPW reweights everyone):
+
+        μ₁ = Σ t·y/e  / Σ t/e,   μ₀ = Σ (1−t)·y/(1−e) / Σ (1−t)/(1−e)
+
+    with supplied propensity scores ``e`` (fit them with
+    ``logit_fit`` or your model of choice — estimation and weighting
+    are deliberately separate so the weights are auditable).  Scores
+    outside ``[trim, 1−trim]`` are TRIMMED (dropped, counted) — the
+    standard guard against exploding weights; a NULL-free row diet
+    (NULL t/y/e excludes).  The Hájek normalization keeps the
+    estimate inside the outcome's range, unlike raw Horvitz–
+    Thompson.
+
+    Plan: ONE conditional-sum aggregate — six sums, map-side
+    combined; everything after is 1-row arithmetic.
+    """
+    if not (0.0 <= trim < 0.5):
+        raise ValueError("ipw_ate: trim must be in [0, 0.5)")
+    t = F.col(treat_col).cast("double")
+    y = F.col(outcome_col).cast("double")
+    e = F.col(propensity_col).cast("double")
+    base = df.select(
+        t.alias("_t"), y.alias("_y"), e.alias("_e")
+    ).filter(
+        F.col("_t").isNotNull()
+        & F.col("_y").isNotNull()
+        & F.col("_e").isNotNull()
+    )
+    ok = (F.col("_e") >= F.lit(float(trim))) & (
+        F.col("_e") <= F.lit(1.0 - float(trim))
+    )
+    agg = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(ok, F.col("_t")).otherwise(0.0))
+        .cast("long")
+        .alias("n_treated"),
+        F.sum(F.when(~ok, 1).otherwise(0)).cast("long").alias(
+            "n_trimmed"
+        ),
+        F.sum(
+            F.when(ok, F.col("_t") * F.col("_y") / F.col("_e"))
+        ).alias("_s1y"),
+        F.sum(F.when(ok, F.col("_t") / F.col("_e"))).alias("_s1"),
+        F.sum(
+            F.when(
+                ok,
+                (1.0 - F.col("_t")) * F.col("_y")
+                / (1.0 - F.col("_e")),
+            )
+        ).alias("_s0y"),
+        F.sum(
+            F.when(ok, (1.0 - F.col("_t")) / (1.0 - F.col("_e")))
+        ).alias("_s0"),
+    )
+    mu1 = F.when(F.col("_s1") > 0, F.col("_s1y") / F.col("_s1"))
+    mu0 = F.when(F.col("_s0") > 0, F.col("_s0y") / F.col("_s0"))
+    return agg.select(
+        "n",
+        "n_treated",
+        "n_trimmed",
+        F.round(mu1 - mu0, 6).alias("ate_ipw"),
+        F.round(mu1, 6).alias("mu_treated"),
+        F.round(mu0, 6).alias("mu_control"),
+    )

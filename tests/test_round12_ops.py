@@ -479,3 +479,33 @@ def test_markov_attribution_hand_computed(spark):
 
     with pytest.raises(ValueError, match="iterations"):
         markov_attribution(df, "path", "conv", iterations=0)
+
+
+def test_ipw_ate_hand_computed(spark):
+    """Confounded toy: stratum A (e=.8) treated y=10/control y=8;
+    stratum B (e=.2) treated y=4/control y=2.  True effect +2 in
+    both strata; the naive diff is biased, IPW recovers +2."""
+    from moz_datapipeline_spark.operators.analytics import ipw_ate
+
+    rows = []
+    # stratum A: 8 treated, 2 control at e=0.8
+    rows += [(1, 10.0, 0.8)] * 8 + [(0, 8.0, 0.8)] * 2
+    # stratum B: 2 treated, 8 control at e=0.2
+    rows += [(1, 4.0, 0.2)] * 2 + [(0, 2.0, 0.2)] * 8
+    df = spark.createDataFrame(rows, "t int, y double, e double")
+    r = ipw_ate(df, "t", "y", "e").collect()[0]
+    # mu1 = (8*10/.8 + 2*4/.2) / (8/.8 + 2/.2) = 140/20 = 7
+    # mu0 = (2*8/.2 + 8*2/.8) / (2/.2 + 8/.8) = 100/20 = 5
+    assert r.mu_treated == 7.0 and r.mu_control == 5.0
+    assert r.ate_ipw == 2.0
+    # naive diff for contrast: (8*10+2*4)/10 - (2*8+8*2)/10 = 8.8-3.2
+    assert r.n == 20 and r.n_treated == 10 and r.n_trimmed == 0
+
+    # extreme scores trim
+    rows2 = rows + [(1, 999.0, 0.001), (0, -999.0, 0.9999)]
+    df2 = spark.createDataFrame(rows2, "t int, y double, e double")
+    r2 = ipw_ate(df2, "t", "y", "e", trim=0.01).collect()[0]
+    assert r2.n_trimmed == 2 and r2.ate_ipw == 2.0
+
+    with pytest.raises(ValueError, match="trim"):
+        ipw_ate(df, "t", "y", "e", trim=0.7)
