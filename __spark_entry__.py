@@ -6970,6 +6970,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shapley_attribution": q_shapley_attribution,
         "markov_attribution": q_markov_attribution,
         "ipw_ate": q_ipw_ate,
+        "cuped_adjust": q_cuped_adjust,
+        "conformal_intervals": q_conformal_intervals,
     }
 
 
@@ -7287,6 +7289,67 @@ def q_ipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
         (0.2 + 0.6 * score).alias("e"),
     )
     return ipw_ate(panel, "t", "y", "e")
+
+
+
+def q_cuped_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B readout on the md5 customer panel:
+    pre-period covariate drives the outcome (r2 ~ .8), arm is an
+    independent coin, planted +4 lift
+    (operators/analytics.cuped_adjust).  VALUE oracle: identical
+    16-sum moment fold and all downstream arithmetic in DuckDB."""
+    from moz_datapipeline_spark.operators.analytics import cuped_adjust
+
+    c = _t(spark, sf_dir, "customer")
+
+    def h(tag: str):
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(tag), F.col("c_custkey").cast("string")
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    x = 100.0 + (h("x:") % 1000) / 10.0
+    treat = (h("a:") % 2 == 0).cast("int")
+    panel = c.select(
+        F.when(treat == 1, "t").otherwise("c").alias("g"),
+        (x + 4.0 * treat + (h("n:") % 100) / 20.0).alias("y"),
+        x.alias("x"),
+    )
+    return cuped_adjust(panel, "g", "y", "x", "t", "c")
+
+
+
+def q_conformal_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal 90% prediction intervals: odd orderkeys
+    calibrate a fixed linear price model, even orderkeys get
+    intervals (operators/mleval.conformal_intervals) — the exact
+    order-statistic radius via the distributed rank selection.
+    VALUE oracle: identical residual build, ceil((n+1)(1-alpha))-th
+    smallest via row_number, and the +/- attach in DuckDB."""
+    from moz_datapipeline_spark.operators.mleval import (
+        conformal_intervals,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    yhat = 30000.0 + 2.5 * (F.col("o_orderkey") % 50000)
+    cal = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        F.col("o_totalprice").cast("double").alias("y"),
+        yhat.alias("yhat"),
+    )
+    pred = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_orderkey").cast("long").alias("oid"),
+        yhat.alias("yhat"),
+    )
+    return conformal_intervals(cal, pred, "y", "yhat", alpha=0.1)
 
 
 
@@ -19496,6 +19559,128 @@ FROM eaul_calc
                round(CASE WHEN s0 > 0 THEN s0y / s0 END, 6)
                  AS mu_control
         FROM agg
+    """
+
+    sql["cuped_adjust"] = """
+        WITH panel AS (
+          SELECT
+            CASE WHEN CAST(('0x' || substr(md5('a:' ||
+                 CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT)
+                 % 2 = 0 THEN 1 ELSE 0 END AS tr,
+            100.0 + (CAST(('0x' || substr(md5('x:' ||
+                 CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT)
+                 % 1000) / 10.0 AS x,
+            CAST(('0x' || substr(md5('n:' ||
+                 CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT)
+                 % 100 AS noise
+          FROM customer
+        ), fp AS (
+          SELECT CAST(tr AS DOUBLE) AS isa,
+                 CAST(1 - tr AS DOUBLE) AS isb,
+                 x + 4.0 * tr + noise / 20.0 AS y, x
+          FROM panel
+        ), m AS (
+          SELECT CAST(sum(isa) AS BIGINT) AS na,
+                 CAST(sum(isb) AS BIGINT) AS nb,
+                 sum(y) AS sy, sum(x) AS sx, sum(y * x) AS sxy,
+                 sum(x * x) AS sxx,
+                 sum(isa * y) AS say, sum(isb * y) AS sby,
+                 sum(isa * x) AS sax, sum(isb * x) AS sbx,
+                 sum(isa * y * y) AS sayy, sum(isb * y * y) AS sbyy,
+                 sum(isa * x * x) AS saxx, sum(isb * x * x) AS sbxx,
+                 sum(isa * y * x) AS saxy, sum(isb * y * x) AS sbxy
+          FROM fp
+        ), d AS (
+          SELECT *,
+                 na + nb AS n,
+                 sx / (na + nb) AS xbar,
+                 sxx / (na + nb) - pow(sx / (na + nb), 2) AS varx,
+                 sxy / (na + nb)
+                   - (sy / (na + nb)) * (sx / (na + nb)) AS covxy
+          FROM m
+        ), t AS (
+          SELECT *,
+                 CASE WHEN varx <= 0.0 THEN 0.0
+                      ELSE covxy / varx END AS theta
+          FROM d
+        ), e AS (
+          SELECT *,
+                 say / na AS mya, sby / nb AS myb,
+                 sax / na AS mxa, sbx / nb AS mxb,
+                 greatest(sayy / na - pow(say / na, 2)
+                   - 2.0 * theta * (saxy / na
+                     - (say / na) * (sax / na))
+                   + theta * theta
+                     * (saxx / na - pow(sax / na, 2)), 0.0)
+                   * na / (na - 1) AS va,
+                 greatest(sbyy / nb - pow(sby / nb, 2)
+                   - 2.0 * theta * (sbxy / nb
+                     - (sby / nb) * (sbx / nb))
+                   + theta * theta
+                     * (sbxx / nb - pow(sbx / nb, 2)), 0.0)
+                   * nb / (nb - 1) AS vb,
+                 (sayy / na - pow(say / na, 2)) * na / (na - 1)
+                   AS vya,
+                 (sbyy / nb - pow(sby / nb, 2)) * nb / (nb - 1)
+                   AS vyb
+          FROM t
+        ), f AS (
+          SELECT *,
+                 mya - myb AS diff_raw,
+                 (mya - theta * (mxa - xbar))
+                   - (myb - theta * (mxb - xbar)) AS diff_cuped,
+                 va / na + vb / nb AS se2,
+                 vya / na + vyb / nb AS raw_se2
+          FROM e
+        ), g AS (
+          SELECT *,
+                 sqrt(se2) AS se,
+                 diff_cuped / sqrt(se2) AS z,
+                 abs(diff_cuped / sqrt(se2)) / sqrt(2.0) AS az
+          FROM f
+        )
+        SELECT na AS n_a, nb AS n_b,
+               round(theta, 6) AS theta,
+               round(diff_raw, 6) AS diff_raw,
+               round(diff_cuped, 6) AS diff_cuped,
+               round(greatest(0.0, 1.0 - se2 / raw_se2), 6)
+                 AS var_reduction,
+               round(se, 6) AS se_cuped,
+               round(z, 6) AS z,
+               round((0.254829592 * tt - 0.284496736 * pow(tt, 2)
+                      + 1.421413741 * pow(tt, 3)
+                      - 1.453152027 * pow(tt, 4)
+                      + 1.061405429 * pow(tt, 5)) * exp(-az * az), 6)
+                 AS p_value,
+               ((0.254829592 * tt - 0.284496736 * pow(tt, 2)
+                 + 1.421413741 * pow(tt, 3)
+                 - 1.453152027 * pow(tt, 4)
+                 + 1.061405429 * pow(tt, 5)) * exp(-az * az)) < 0.05
+                 AS significant
+        FROM g, (SELECT 1.0 / (1.0 + 0.3275911 * gg.az) AS tt
+                 FROM g gg)
+    """
+
+    sql["conformal_intervals"] = """
+        WITH cal AS (
+          SELECT abs(CAST(o_totalprice AS DOUBLE)
+                     - (30000.0 + 2.5 * (o_orderkey % 50000))) AS r
+          FROM orders WHERE o_orderkey % 2 = 1
+        ), ranked AS (
+          SELECT r, row_number() OVER (ORDER BY r) AS rn,
+                 count(*) OVER () AS n
+          FROM cal WHERE r IS NOT NULL
+        ), q AS (
+          SELECT r AS qhat FROM ranked
+          WHERE rn = CAST(ceil((n + 1) * 0.9) AS BIGINT)
+        )
+        SELECT CAST(o_orderkey AS BIGINT) AS oid,
+               30000.0 + 2.5 * (o_orderkey % 50000) AS yhat,
+               round(30000.0 + 2.5 * (o_orderkey % 50000)
+                     - (SELECT qhat FROM q), 6) AS conformal_lo,
+               round(30000.0 + 2.5 * (o_orderkey % 50000)
+                     + (SELECT qhat FROM q), 6) AS conformal_hi
+        FROM orders WHERE o_orderkey % 2 = 0
     """
 
     return sql

@@ -1110,3 +1110,62 @@ def brier_decomposition(
         F.round(res, 6).alias("resolution"),
         F.round(unc, 6).alias("uncertainty"),
     )
+
+
+def conformal_intervals(
+    calibration: DataFrame,
+    predictions: DataFrame,
+    y_col: str,
+    yhat_col: str,
+    alpha: float = 0.1,
+) -> DataFrame:
+    """Split-conformal prediction intervals: ``predictions`` plus
+    ``(conformal_lo, conformal_hi)`` = ŷ ± q̂, where q̂ is the
+    ``⌈(n+1)(1−α)⌉``-th smallest absolute residual on the held-out
+    ``calibration`` frame — the DISTRIBUTION-FREE finite-sample
+    guarantee P(y ∈ [lo, hi]) ≥ 1−α for exchangeable data, no
+    residual-normality assumption (the ``quantile_ci`` philosophy
+    applied to model error).  The model itself stays outside: any
+    scored frame works (``ols_predict``, a served model's output).
+
+    ``⌈(n+1)(1−α)⌉ > n`` (calibration too small for the requested
+    coverage — needs n ≥ (1−α)/α) raises loudly rather than emitting
+    an interval with no guarantee.  NULL y/ŷ excludes the
+    calibration row; symmetric absolute-residual intervals
+    (documented; use per-side scores for asymmetric noise).
+
+    Plan: one filtered projection + ``exact_kth_value``'s
+    range-partitioned rank selection on the calibration frame (never
+    a single-task sort); the interval attach is a pure projection
+    with the scalar q̂ inlined as a literal — zero joins.
+    """
+    if not (0.0 < alpha < 1.0):
+        raise ValueError("conformal_intervals: alpha must be in (0, 1)")
+    from moz_datapipeline_spark.operators.indicators import (
+        exact_kth_value,
+    )
+
+    res = calibration.select(
+        F.abs(
+            F.col(y_col).cast("double")
+            - F.col(yhat_col).cast("double")
+        ).alias("_r")
+    ).filter(F.col("_r").isNotNull())
+    n = res.count()
+    import math as _math
+
+    k = _math.ceil((n + 1) * (1.0 - alpha))  # 1-based order statistic
+    if n == 0 or k > n:
+        raise ValueError(
+            f"conformal_intervals: calibration n={n} cannot support "
+            f"1-alpha={1 - alpha} coverage (needs the "
+            f"{k}-th order statistic); add calibration data or relax "
+            "alpha"
+        )
+    q = float(exact_kth_value(res, "_r", k - 1))  # 0-based rank
+    yhat = F.col(yhat_col).cast("double")
+    return predictions.select(
+        "*",
+        F.round(yhat - F.lit(q), 6).alias("conformal_lo"),
+        F.round(yhat + F.lit(q), 6).alias("conformal_hi"),
+    )

@@ -509,3 +509,79 @@ def test_ipw_ate_hand_computed(spark):
 
     with pytest.raises(ValueError, match="trim"):
         ipw_ate(df, "t", "y", "e", trim=0.7)
+
+
+def test_cuped_adjust_recovers_effect_and_shrinks_variance(spark):
+    """y = x + effect*treat + tiny noise with a strong pre-period
+    covariate: CUPED's theta ~ 1, the adjusted diff stays ~ the
+    planted effect, and the variance reduction is large.  Numpy
+    cross-check of theta and both diffs (exact, same moments)."""
+    import numpy as np
+
+    from moz_datapipeline_spark.operators.analytics import cuped_adjust
+
+    rng = np.random.default_rng(7)
+    n = 400
+    x = rng.normal(100.0, 20.0, n).round(2)
+    treat = np.array([i % 2 for i in range(n)])
+    y = (x + 3.0 * treat + rng.normal(0, 1.0, n)).round(2)
+    rows = [
+        ("t" if t else "c", float(yy), float(xx))
+        for t, yy, xx in zip(treat, y, x)
+    ]
+    df = spark.createDataFrame(rows, "g string, y double, x double")
+    r = cuped_adjust(df, "g", "y", "x", "t", "c").collect()[0]
+
+    theta = np.cov(y, x, bias=True)[0, 1] / np.var(x)
+    adj = y - theta * (x - x.mean())
+    exp_diff = adj[treat == 1].mean() - adj[treat == 0].mean()
+    assert r.theta == pytest.approx(theta, abs=1e-6)
+    assert r.diff_cuped == pytest.approx(exp_diff, abs=1e-6)
+    assert r.diff_raw == pytest.approx(
+        y[treat == 1].mean() - y[treat == 0].mean(), abs=1e-6
+    )
+    assert abs(r.diff_cuped - 3.0) < 0.3
+    assert r.var_reduction > 0.95
+    assert r.significant is True
+
+    # constant covariate: theta 0, CUPED == raw
+    const = spark.createDataFrame(
+        [("t", 5.0, 1.0), ("t", 6.0, 1.0), ("c", 4.0, 1.0),
+         ("c", 3.0, 1.0)],
+        "g string, y double, x double",
+    )
+    rc = cuped_adjust(const, "g", "y", "x", "t", "c").collect()[0]
+    assert rc.theta == 0.0 and rc.diff_cuped == rc.diff_raw
+
+
+def test_conformal_intervals_hand_computed(spark):
+    """9 calibration residuals |y-yhat| = 1..9, alpha=0.2:
+    k = ceil(10*0.8) = 8 -> q = 8.  Intervals are yhat +/- 8."""
+    from moz_datapipeline_spark.operators.mleval import (
+        conformal_intervals,
+    )
+
+    cal = spark.createDataFrame(
+        [(float(10 + i), 10.0) for i in range(1, 10)],
+        "y double, yhat double",
+    )
+    pred = spark.createDataFrame(
+        [(1, 100.0), (2, 50.5)], "id long, yhat double"
+    )
+    out = {
+        r.id: r
+        for r in conformal_intervals(
+            cal, pred, "y", "yhat", alpha=0.2
+        ).collect()
+    }
+    assert out[1].conformal_lo == 92.0 and out[1].conformal_hi == 108.0
+    assert out[2].conformal_lo == 42.5 and out[2].conformal_hi == 58.5
+
+    # guarantee-impossible: n=3, alpha=0.1 -> k=ceil(4*.9)=4 > 3
+    small = spark.createDataFrame(
+        [(1.0, 0.0), (2.0, 0.0), (3.0, 0.0)], "y double, yhat double"
+    )
+    with pytest.raises(ValueError, match="cannot support"):
+        conformal_intervals(small, pred, "y", "yhat", alpha=0.1)
+    with pytest.raises(ValueError, match="alpha"):
+        conformal_intervals(cal, pred, "y", "yhat", alpha=1.5)
