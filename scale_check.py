@@ -2398,6 +2398,43 @@ def round12_ops_scale_check(spark) -> dict:
         "any basket scan; guard counts candidates, never materializes "
         "the triple join"
     )
+
+    # --- point-level DBSCAN at design scale: 2M points, 16 blobs ---
+    from moz_datapipeline_spark.operators.geometry import grid_dbscan
+
+    n_pts = 2_000_000
+    pts = spark.range(n_pts).select(
+        F.col("id"),
+        (
+            (F.col("id") % 16) * 20 - 160
+            + (F.pmod(F.xxhash64(F.col("id")), 2_000_000) / 1_000_000.0)
+        ).alias("lon"),
+        (
+            F.pmod(F.xxhash64(F.col("id") + 7), 2_000_000) / 1_000_000.0
+        ).alias("lat"),
+    )
+    t0 = time.perf_counter()
+    clustered = grid_dbscan(pts, eps_km=0.5, min_pts=4)
+    agg = clustered.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("is_core"), 1).otherwise(0)).alias("core"),
+        F.sum(
+            F.when(F.col("cluster").isNull(), 1).otherwise(0)
+        ).alias("noise"),
+        F.countDistinct("cluster").alias("clusters"),
+    ).collect()[0]
+    out["dbscan_points"] = n_pts
+    out["dbscan_core"] = int(agg["core"])
+    out["dbscan_noise"] = int(agg["noise"])
+    out["dbscan_clusters"] = int(agg["clusters"])
+    out["dbscan_sec"] = round(time.perf_counter() - t0, 2)
+    out["dbscan_shuffle"] = (
+        "epsilon join = one 9-offset cell equi join (fan-in = local "
+        "density), pair set severed once; connectivity on the exact "
+        "eps-diagonal cell contraction (occupied-cell-sized), "
+        "union-find on the driver under the 1M-edge cap"
+    )
+    _section_gc(spark)
     return out
 
 
