@@ -6972,6 +6972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ipw_ate": q_ipw_ate,
         "cuped_adjust": q_cuped_adjust,
         "conformal_intervals": q_conformal_intervals,
+        "regression_discontinuity": q_regression_discontinuity,
     }
 
 
@@ -7350,6 +7351,50 @@ def q_conformal_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         yhat.alias("yhat"),
     )
     return conformal_intervals(cal, pred, "y", "yhat", alpha=0.1)
+
+
+
+def q_regression_discontinuity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharp RD at a planted threshold over the md5 customer panel:
+    the outcome jumps +8 where the running score crosses 0.5
+    (operators/analytics.regression_discontinuity), local linear fits
+    within +/-0.3.  VALUE oracle: identical 10-moment conditional
+    fold and closed-form per-side OLS in DuckDB."""
+    from moz_datapipeline_spark.operators.analytics import (
+        regression_discontinuity,
+    )
+
+    c = _t(spark, sf_dir, "customer")
+
+    def h(tag: str):
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(tag), F.col("c_custkey").cast("string")
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    score = (h("r:") % 1000000) / 1000000.0
+    jump = (score >= 0.5).cast("double")
+    panel = c.select(
+        score.alias("x"),
+        (
+            10.0
+            + 6.0 * score
+            + 8.0 * jump
+            + (h("n:") % 100) / 25.0
+        ).alias("y"),
+    )
+    return regression_discontinuity(
+        panel, "x", "y", cutoff=0.5, bandwidth=0.3
+    )
 
 
 
@@ -19681,6 +19726,99 @@ FROM eaul_calc
                round(30000.0 + 2.5 * (o_orderkey % 50000)
                      + (SELECT qhat FROM q), 6) AS conformal_hi
         FROM orders WHERE o_orderkey % 2 = 0
+    """
+
+    sql["regression_discontinuity"] = """
+        WITH panel AS (
+          SELECT
+            (CAST(('0x' || substr(md5('r:' ||
+               CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT)
+               % 1000000) / 1000000.0 AS score,
+            CAST(('0x' || substr(md5('n:' ||
+               CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT)
+               % 100 AS noise
+          FROM customer
+        ), base AS (
+          SELECT score - 0.5 AS x,
+                 10.0 + 6.0 * score
+                 + 8.0 * (CASE WHEN score >= 0.5
+                          THEN 1.0 ELSE 0.0 END)
+                 + noise / 25.0 AS y
+          FROM panel
+          WHERE abs(score - 0.5) <= 0.3
+        ), m AS (
+          SELECT
+            CAST(sum(CASE WHEN x < 0 THEN 1 ELSE 0 END) AS BIGINT)
+              AS nl,
+            sum(CASE WHEN x < 0 THEN x END) AS sxl,
+            sum(CASE WHEN x < 0 THEN x * x END) AS sxxl,
+            sum(CASE WHEN x < 0 THEN y END) AS syl,
+            sum(CASE WHEN x < 0 THEN x * y END) AS sxyl,
+            sum(CASE WHEN x < 0 THEN y * y END) AS syyl,
+            CAST(sum(CASE WHEN x >= 0 THEN 1 ELSE 0 END) AS BIGINT)
+              AS nr,
+            sum(CASE WHEN x >= 0 THEN x END) AS sxr,
+            sum(CASE WHEN x >= 0 THEN x * x END) AS sxxr,
+            sum(CASE WHEN x >= 0 THEN y END) AS syr,
+            sum(CASE WHEN x >= 0 THEN x * y END) AS sxyr,
+            sum(CASE WHEN x >= 0 THEN y * y END) AS syyr
+          FROM base
+        ), f AS (
+          SELECT nl, nr,
+                 (sxyl - sxl * syl / nl)
+                   / (sxxl - sxl * sxl / nl) AS bl,
+                 (sxyr - sxr * syr / nr)
+                   / (sxxr - sxr * sxr / nr) AS br,
+                 sxl, sxxl, syl, sxyl, syyl,
+                 sxr, sxxr, syr, sxyr, syyr,
+                 sxxl - sxl * sxl / nl AS sxxcl,
+                 sxxr - sxr * sxr / nr AS sxxcr
+          FROM m
+        ), g AS (
+          SELECT *,
+                 (syl - bl * sxl) / nl AS al,
+                 (syr - br * sxr) / nr AS ar
+          FROM f
+        ), h AS (
+          SELECT *,
+                 greatest(syyl - al * syl - bl * sxyl, 0.0)
+                   / (nl - 2) AS s2l,
+                 greatest(syyr - ar * syr - br * sxyr, 0.0)
+                   / (nr - 2) AS s2r
+          FROM g
+        ), k AS (
+          SELECT *,
+                 sqrt(s2l * (1.0 / nl + pow(sxl / nl, 2) / sxxcl)
+                      + s2r * (1.0 / nr + pow(sxr / nr, 2) / sxxcr))
+                   AS se,
+                 ar - al AS effect
+          FROM h
+        ), z AS (
+          SELECT *,
+                 effect / se AS zz,
+                 abs(effect / se) / sqrt(2.0) AS az
+          FROM k
+        )
+        SELECT nl AS n_left, nr AS n_right,
+               round(effect, 6) AS effect,
+               round(al, 6) AS intercept_left,
+               round(ar, 6) AS intercept_right,
+               round(bl, 6) AS slope_left,
+               round(br, 6) AS slope_right,
+               round(se, 6) AS se,
+               round(zz, 6) AS z,
+               round((0.254829592 * tt - 0.284496736 * pow(tt, 2)
+                      + 1.421413741 * pow(tt, 3)
+                      - 1.453152027 * pow(tt, 4)
+                      + 1.061405429 * pow(tt, 5)) * exp(-az * az), 6)
+                 AS p_value,
+               ((0.254829592 * tt - 0.284496736 * pow(tt, 2)
+                 + 1.421413741 * pow(tt, 3)
+                 - 1.453152027 * pow(tt, 4)
+                 + 1.061405429 * pow(tt, 5)) * exp(-az * az)) < 0.05
+                 AS significant
+        FROM z, (SELECT 1.0 / (1.0 + 0.3275911 * zz2.az) AS tt
+                 FROM z zz2)
     """
 
     return sql

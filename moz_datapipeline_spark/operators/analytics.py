@@ -6704,3 +6704,148 @@ def cuped_adjust(
         ],
         schema,
     )
+
+
+def regression_discontinuity(
+    df: DataFrame,
+    running_col: str,
+    outcome_col: str,
+    cutoff: float,
+    bandwidth: float,
+) -> DataFrame:
+    """Sharp regression-discontinuity effect at a cutoff: one row
+    ``(n_left, n_right, effect, intercept_left, intercept_right,
+    slope_left, slope_right, se, z, p_value, significant)`` — local
+    linear fits (uniform kernel, documented — triangular down-weights
+    edges but adds a tuning surface) on each side of ``cutoff``
+    within ``bandwidth``, effect = the jump between the two
+    intercepts AT the cutoff.  The design for "eligibility flips at a
+    threshold" questions (discount kicks in at basket ≥ X, review
+    triggers at score ≥ Y) where assignment is deterministic in the
+    running variable — the case PSM/IPW cannot handle (no overlap).
+    Completes the causal battery: ``diff_in_diff`` (panels),
+    ``psm_att``/``ipw_ate`` (overlap designs), RD (threshold
+    designs), ``cuped_adjust`` (experiments).
+
+    Rows AT the cutoff count as RIGHT (x ≥ c, the standard sharp-RD
+    convention).  Conventional (non-robust) SEs: Var(intercept) =
+    σ̂²(1/n + x̄²/Sxx) per side, independence across sides; z and
+    two-sided p via the A&S erfc polynomial.  Fewer than 3 points or
+    a degenerate running variable on either side yields NULL
+    estimates, loudly typed.
+
+    Plan: ONE conditional 10-moment hash aggregate (5 sums per side
+    over the bandwidth window, map-side combined) — the filter and
+    both fits ride a single data pass; everything after is 1-row
+    driver arithmetic.
+    """
+    import math as _math
+
+    if bandwidth <= 0:
+        raise ValueError(
+            "regression_discontinuity: bandwidth must be > 0"
+        )
+    x = F.col(running_col).cast("double") - F.lit(float(cutoff))
+    y = F.col(outcome_col).cast("double")
+    base = df.select(x.alias("_x"), y.alias("_y")).filter(
+        F.col("_x").isNotNull()
+        & F.col("_y").isNotNull()
+        & (F.abs(F.col("_x")) <= F.lit(float(bandwidth)))
+    )
+    right = (F.col("_x") >= 0).cast("double")
+    left = (F.col("_x") < 0).cast("double")
+
+    def side_moments(m, tag):
+        return [
+            F.sum(m).cast("long").alias(f"n_{tag}"),
+            F.sum(m * F.col("_x")).alias(f"sx_{tag}"),
+            F.sum(m * F.col("_x") * F.col("_x")).alias(f"sxx_{tag}"),
+            F.sum(m * F.col("_y")).alias(f"sy_{tag}"),
+            F.sum(m * F.col("_x") * F.col("_y")).alias(f"sxy_{tag}"),
+            F.sum(m * F.col("_y") * F.col("_y")).alias(f"syy_{tag}"),
+        ]
+
+    r = base.agg(
+        *side_moments(left, "l"), *side_moments(right, "r")
+    ).collect()[0]
+    spark = df.sparkSession
+    schema = (
+        "n_left long, n_right long, effect double, "
+        "intercept_left double, intercept_right double, "
+        "slope_left double, slope_right double, se double, "
+        "z double, p_value double, significant boolean"
+    )
+
+    def fit(tag):
+        n = int(r[f"n_{tag}"] or 0)
+        if n < 3:
+            return None
+        sx, sxx = r[f"sx_{tag}"], r[f"sxx_{tag}"]
+        sy, sxy, syy = r[f"sy_{tag}"], r[f"sxy_{tag}"], r[f"syy_{tag}"]
+        sxx_c = sxx - sx * sx / n  # centered Sxx
+        if sxx_c <= 0.0:
+            return None
+        b = (sxy - sx * sy / n) / sxx_c
+        a = (sy - b * sx) / n
+        sse = (
+            syy
+            - a * sy
+            - b * sxy
+        )  # = sum (y - a - b x)^2, algebraically
+        sigma2 = max(sse, 0.0) / (n - 2) if n > 2 else 0.0
+        var_a = sigma2 * (1.0 / n + (sx / n) ** 2 / sxx_c)
+        return n, a, b, var_a
+
+    fl, fr = fit("l"), fit("r")
+    if fl is None or fr is None:
+        return spark.createDataFrame(
+            [
+                (
+                    int(r["n_l"] or 0),
+                    int(r["n_r"] or 0),
+                    None, None, None, None, None, None, None, None,
+                    None,
+                )
+            ],
+            schema,
+        )
+    nl, al, bl, val = fl
+    nr, ar, br, var = fr
+    effect = ar - al
+    se2 = val + var
+    if se2 <= 0.0:
+        return spark.createDataFrame(
+            [(nl, nr, round(effect, 6), round(al, 6), round(ar, 6),
+              round(bl, 6), round(br, 6), None, None, None, None)],
+            schema,
+        )
+    se = _math.sqrt(se2)
+    z = effect / se
+    az = abs(z) / _math.sqrt(2.0)
+    tt = 1.0 / (1.0 + 0.3275911 * az)
+    poly = (
+        0.254829592 * tt
+        - 0.284496736 * tt**2
+        + 1.421413741 * tt**3
+        - 1.453152027 * tt**4
+        + 1.061405429 * tt**5
+    )
+    p = poly * _math.exp(-az * az)
+    return spark.createDataFrame(
+        [
+            (
+                nl,
+                nr,
+                round(effect, 6),
+                round(al, 6),
+                round(ar, 6),
+                round(bl, 6),
+                round(br, 6),
+                round(se, 6),
+                round(z, 6),
+                round(p, 6),
+                bool(p < 0.05),
+            )
+        ],
+        schema,
+    )

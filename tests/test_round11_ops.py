@@ -2395,7 +2395,7 @@ def test_frequent_itemsets_no_cache_leak(spark):
     def _registry() -> int:
         return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
 
-    def _drained(tries: int = 20) -> bool:
+    def _drained(tries: int = 40) -> bool:
         # ContextCleaner releases checkpoint blocks on GC — poke both
         # collectors and poll
         import time as _t
@@ -2408,6 +2408,13 @@ def test_frequent_itemsets_no_cache_leak(spark):
             _t.sleep(0.25)
         return _registry() == 0
 
+    # earlier tests' results (severed frames awaiting GC or pinned by
+    # pytest bookkeeping) may still hold blocks — force-release them
+    # so the deltas below are OURS (the bench _clear convention)
+    spark.catalog.clearCache()
+    for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+        rdd.unpersist(True)
+    assert _registry() == 0
     rows = [(b, i) for b in range(50)
             for i in ["a", "b", "c", "d"][: (b % 4) + 1]]
     df = spark.createDataFrame(rows, "basket long, item string")

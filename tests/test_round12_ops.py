@@ -585,3 +585,86 @@ def test_conformal_intervals_hand_computed(spark):
         conformal_intervals(small, pred, "y", "yhat", alpha=0.1)
     with pytest.raises(ValueError, match="alpha"):
         conformal_intervals(cal, pred, "y", "yhat", alpha=1.5)
+
+
+def test_regression_discontinuity_noise_free_jump(spark):
+    """y = 2 + 0.5x below the cutoff, y = 7 + 1.5(x-10) at/above
+    (cutoff 10): exact lines -> intercepts 7 (left limit 2+5) and 7?
+    No: left line AT x=10 is 2+0.5*10 = 7; right intercept is 7 ->
+    effect 0?  Use a real jump: right = 12 + 1.5(x-10) -> effect 5."""
+    from moz_datapipeline_spark.operators.analytics import (
+        regression_discontinuity,
+    )
+
+    rows = []
+    for i in range(20):  # left: x in [5, 9.75]
+        xv = 5.0 + i * 0.25
+        rows.append((xv, 2.0 + 0.5 * xv))
+    for i in range(20):  # right: x in [10, 14.75]
+        xv = 10.0 + i * 0.25
+        rows.append((xv, 12.0 + 1.5 * (xv - 10.0)))
+    df = spark.createDataFrame(rows, "x double, y double")
+    r = regression_discontinuity(
+        df, "x", "y", cutoff=10.0, bandwidth=5.0
+    ).collect()[0]
+    assert r.n_left == 20 and r.n_right == 20
+    # left intercept at the cutoff: 2 + 0.5*10 = 7; right: 12
+    assert r.intercept_left == pytest.approx(7.0, abs=1e-6)
+    assert r.intercept_right == pytest.approx(12.0, abs=1e-6)
+    assert r.slope_left == pytest.approx(0.5, abs=1e-6)
+    assert r.slope_right == pytest.approx(1.5, abs=1e-6)
+    assert r.effect == pytest.approx(5.0, abs=1e-6)
+
+    # bandwidth filters: only |x-10|<=2 -> 8+9 points, same lines
+    r2 = regression_discontinuity(
+        df, "x", "y", cutoff=10.0, bandwidth=2.0
+    ).collect()[0]
+    assert r2.n_left == 8 and r2.n_right == 9
+    assert r2.effect == pytest.approx(5.0, abs=1e-6)
+
+    with pytest.raises(ValueError, match="bandwidth"):
+        regression_discontinuity(df, "x", "y", 10.0, 0.0)
+
+
+def test_regression_discontinuity_se_vs_numpy(spark):
+    """Noisy jump: cross-check intercepts/slopes/SEs against a
+    dense-matrix OLS per side (conventional variance)."""
+    import numpy as np
+
+    from moz_datapipeline_spark.operators.analytics import (
+        regression_discontinuity,
+    )
+
+    rng = np.random.default_rng(11)
+    xl = rng.uniform(-5, 0, 150)
+    xr = rng.uniform(0, 5, 140)
+    yl = 1.0 + 0.3 * xl + rng.normal(0, 0.5, 150)
+    yr = 4.0 + 0.8 * xr + rng.normal(0, 0.5, 140)
+    rows = [(float(a), float(b)) for a, b in zip(xl, yl)] + [
+        (float(a), float(b)) for a, b in zip(xr, yr)
+    ]
+    df = spark.createDataFrame(rows, "x double, y double")
+    r = regression_discontinuity(
+        df, "x", "y", cutoff=0.0, bandwidth=5.0
+    ).collect()[0]
+
+    def ols(x, y):
+        n = len(x)
+        X = np.stack([np.ones(n), x], axis=1)
+        coef, *_ = np.linalg.lstsq(X, y, rcond=None)
+        resid = y - X @ coef
+        sigma2 = (resid**2).sum() / (n - 2)
+        cov = sigma2 * np.linalg.inv(X.T @ X)
+        return coef, np.sqrt(cov[0, 0])
+
+    (al, bl), sal = ols(xl, yl)
+    (ar, br), sar = ols(xr, yr)
+    assert r.intercept_left == pytest.approx(al, abs=1e-5)
+    assert r.intercept_right == pytest.approx(ar, abs=1e-5)
+    assert r.slope_left == pytest.approx(bl, abs=1e-5)
+    assert r.slope_right == pytest.approx(br, abs=1e-5)
+    assert r.effect == pytest.approx(ar - al, abs=1e-5)
+    assert r.se == pytest.approx(
+        float(np.sqrt(sal**2 + sar**2)), abs=1e-5
+    )
+    assert r.significant is True
