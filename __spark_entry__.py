@@ -6973,6 +6973,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cuped_adjust": q_cuped_adjust,
         "conformal_intervals": q_conformal_intervals,
         "regression_discontinuity": q_regression_discontinuity,
+        "cumulative_incidence": q_cumulative_incidence,
+        "poisson_fit": q_poisson_fit,
     }
 
 
@@ -7395,6 +7397,46 @@ def q_regression_discontinuity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return regression_discontinuity(
         panel, "x", "y", cutoff=0.5, bandwidth=0.3
     )
+
+
+
+def q_cumulative_incidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aalen-Johansen cumulative incidence over a two-cause orders
+    survival panel (operators/analytics.cumulative_incidence):
+    competing causes 'a' (2/7 of keys) and 'b' (1/7), the rest
+    censored.  VALUE oracle: identical rollups, exclusive-prefix
+    risk sets, sum-of-logs all-cause survival, and per-cause running
+    CIF in DuckDB."""
+    from moz_datapipeline_spark.operators.analytics import (
+        cumulative_incidence,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    panel = o.select(
+        ((F.col("o_orderkey") % 25) + 1).cast("double").alias("t"),
+        F.when(F.col("o_orderkey") % 7 < 2, "a")
+        .when(F.col("o_orderkey") % 7 == 2, "b")
+        .otherwise("0")
+        .alias("e"),
+    )
+    return cumulative_incidence(panel, "t", "e")
+
+
+
+def q_poisson_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson regression over a synthetic orders count panel with a
+    planted log-linear rate (operators/analytics.poisson_fit).
+    VALUE oracle: all 8 Newton rounds unrolled as MATERIALIZED CTE
+    chains (5 mu-moment sums + 2x2 Cramer per round) plus the Wald
+    readouts — the logit_fit oracle scheme with exp(eta) weights."""
+    from moz_datapipeline_spark.operators.analytics import poisson_fit
+
+    o = _t(spark, sf_dir, "orders")
+    panel = o.select(
+        ((F.col("o_orderkey") * 13) % 7).cast("double").alias("y"),
+        ((F.col("o_orderkey") % 4)).cast("double").alias("x"),
+    )
+    return poisson_fit(panel, "y", "x")
 
 
 
@@ -19819,6 +19861,340 @@ FROM eaul_calc
                  AS significant
         FROM z, (SELECT 1.0 / (1.0 + 0.3275911 * zz2.az) AS tt
                  FROM z zz2)
+    """
+
+    sql["cumulative_incidence"] = """
+        WITH base AS (
+          SELECT CAST((o_orderkey % 25) + 1 AS DOUBLE) AS t,
+                 CASE WHEN o_orderkey % 7 < 2 THEN 'a'
+                      WHEN o_orderkey % 7 = 2 THEN 'b'
+                      ELSE '0' END AS e
+          FROM orders
+        ), per_tc AS (
+          SELECT t, e, CAST(count(*) AS BIGINT) AS n
+          FROM base GROUP BY t, e
+        ), per_t AS (
+          SELECT t,
+                 CAST(sum(CASE WHEN e <> '0' THEN n ELSE 0 END)
+                   AS BIGINT) AS d,
+                 CAST(sum(n) AS BIGINT) AS total
+          FROM per_tc GROUP BY t
+        ), staged AS (
+          SELECT t, d,
+                 sum(total) OVER ()
+                   - coalesce(sum(total) OVER (ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS n_risk
+          FROM per_t
+        ), surv AS (
+          SELECT t, d, n_risk,
+                 CASE WHEN coalesce(max(CASE WHEN d = n_risk
+                        THEN 1 ELSE 0 END) OVER (ORDER BY t
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) = 1
+                 THEN 0.0
+                 ELSE exp(coalesce(sum(CASE WHEN d > 0 AND d < n_risk
+                        THEN ln(1.0 - CAST(d AS DOUBLE) / n_risk)
+                        ELSE 0.0 END) OVER (ORDER BY t
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0.0))
+                 END AS s_minus
+          FROM staged
+        ), inc AS (
+          SELECT c.t, c.e, s.n_risk, c.n,
+                 s.s_minus * CAST(c.n AS DOUBLE) / s.n_risk AS i
+          FROM per_tc c JOIN surv s ON c.t = s.t
+          WHERE c.e <> '0'
+        )
+        SELECT t AS duration, e AS event_type,
+               CAST(n_risk AS BIGINT) AS n_at_risk, n AS n_events,
+               round(sum(i) OVER (PARTITION BY e ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 6) AS cif
+        FROM inc
+    """
+
+    sql["poisson_fit"] = """
+        WITH base AS MATERIALIZED (
+          SELECT CAST((o_orderkey * 13) % 7 AS DOUBLE) AS y,
+                 CAST(o_orderkey % 4 AS DOUBLE) AS x
+          FROM orders
+        ),
+        it0 AS MATERIALIZED (SELECT 0.0 AS b0, 0.0 AS b1),
+        f1 AS MATERIALIZED (
+          SELECT count(*) AS n, sum(y) AS ty,
+                 sum(y - exp((SELECT b0 FROM it0)
+                     + (SELECT b1 FROM it0) * x)) AS g0,
+                 sum(x * (y - exp((SELECT b0 FROM it0)
+                     + (SELECT b1 FROM it0) * x))) AS g1,
+                 sum(exp((SELECT b0 FROM it0)
+                     + (SELECT b1 FROM it0) * x)) AS h00,
+                 sum(x * exp((SELECT b0 FROM it0)
+                     + (SELECT b1 FROM it0) * x)) AS h01,
+                 sum(x * x * exp((SELECT b0 FROM it0)
+                     + (SELECT b1 FROM it0) * x)) AS h11
+          FROM base
+        ),
+        it1 AS MATERIALIZED (
+          SELECT (SELECT b0 FROM it0)
+                 + ((SELECT h11 FROM f1) * (SELECT g0 FROM f1)
+                    - (SELECT h01 FROM f1) * (SELECT g1 FROM f1))
+                   / ((SELECT h00 FROM f1) * (SELECT h11 FROM f1)
+                      - (SELECT h01 FROM f1) * (SELECT h01 FROM f1))
+                   AS b0,
+                 (SELECT b1 FROM it0)
+                 + ((SELECT h00 FROM f1) * (SELECT g1 FROM f1)
+                    - (SELECT h01 FROM f1) * (SELECT g0 FROM f1))
+                   / ((SELECT h00 FROM f1) * (SELECT h11 FROM f1)
+                      - (SELECT h01 FROM f1) * (SELECT h01 FROM f1))
+                   AS b1
+        ),
+        f2 AS MATERIALIZED (
+          SELECT count(*) AS n, sum(y) AS ty,
+                 sum(y - exp((SELECT b0 FROM it1)
+                     + (SELECT b1 FROM it1) * x)) AS g0,
+                 sum(x * (y - exp((SELECT b0 FROM it1)
+                     + (SELECT b1 FROM it1) * x))) AS g1,
+                 sum(exp((SELECT b0 FROM it1)
+                     + (SELECT b1 FROM it1) * x)) AS h00,
+                 sum(x * exp((SELECT b0 FROM it1)
+                     + (SELECT b1 FROM it1) * x)) AS h01,
+                 sum(x * x * exp((SELECT b0 FROM it1)
+                     + (SELECT b1 FROM it1) * x)) AS h11
+          FROM base
+        ),
+        it2 AS MATERIALIZED (
+          SELECT (SELECT b0 FROM it1)
+                 + ((SELECT h11 FROM f2) * (SELECT g0 FROM f2)
+                    - (SELECT h01 FROM f2) * (SELECT g1 FROM f2))
+                   / ((SELECT h00 FROM f2) * (SELECT h11 FROM f2)
+                      - (SELECT h01 FROM f2) * (SELECT h01 FROM f2))
+                   AS b0,
+                 (SELECT b1 FROM it1)
+                 + ((SELECT h00 FROM f2) * (SELECT g1 FROM f2)
+                    - (SELECT h01 FROM f2) * (SELECT g0 FROM f2))
+                   / ((SELECT h00 FROM f2) * (SELECT h11 FROM f2)
+                      - (SELECT h01 FROM f2) * (SELECT h01 FROM f2))
+                   AS b1
+        ),
+        f3 AS MATERIALIZED (
+          SELECT count(*) AS n, sum(y) AS ty,
+                 sum(y - exp((SELECT b0 FROM it2)
+                     + (SELECT b1 FROM it2) * x)) AS g0,
+                 sum(x * (y - exp((SELECT b0 FROM it2)
+                     + (SELECT b1 FROM it2) * x))) AS g1,
+                 sum(exp((SELECT b0 FROM it2)
+                     + (SELECT b1 FROM it2) * x)) AS h00,
+                 sum(x * exp((SELECT b0 FROM it2)
+                     + (SELECT b1 FROM it2) * x)) AS h01,
+                 sum(x * x * exp((SELECT b0 FROM it2)
+                     + (SELECT b1 FROM it2) * x)) AS h11
+          FROM base
+        ),
+        it3 AS MATERIALIZED (
+          SELECT (SELECT b0 FROM it2)
+                 + ((SELECT h11 FROM f3) * (SELECT g0 FROM f3)
+                    - (SELECT h01 FROM f3) * (SELECT g1 FROM f3))
+                   / ((SELECT h00 FROM f3) * (SELECT h11 FROM f3)
+                      - (SELECT h01 FROM f3) * (SELECT h01 FROM f3))
+                   AS b0,
+                 (SELECT b1 FROM it2)
+                 + ((SELECT h00 FROM f3) * (SELECT g1 FROM f3)
+                    - (SELECT h01 FROM f3) * (SELECT g0 FROM f3))
+                   / ((SELECT h00 FROM f3) * (SELECT h11 FROM f3)
+                      - (SELECT h01 FROM f3) * (SELECT h01 FROM f3))
+                   AS b1
+        ),
+        f4 AS MATERIALIZED (
+          SELECT count(*) AS n, sum(y) AS ty,
+                 sum(y - exp((SELECT b0 FROM it3)
+                     + (SELECT b1 FROM it3) * x)) AS g0,
+                 sum(x * (y - exp((SELECT b0 FROM it3)
+                     + (SELECT b1 FROM it3) * x))) AS g1,
+                 sum(exp((SELECT b0 FROM it3)
+                     + (SELECT b1 FROM it3) * x)) AS h00,
+                 sum(x * exp((SELECT b0 FROM it3)
+                     + (SELECT b1 FROM it3) * x)) AS h01,
+                 sum(x * x * exp((SELECT b0 FROM it3)
+                     + (SELECT b1 FROM it3) * x)) AS h11
+          FROM base
+        ),
+        it4 AS MATERIALIZED (
+          SELECT (SELECT b0 FROM it3)
+                 + ((SELECT h11 FROM f4) * (SELECT g0 FROM f4)
+                    - (SELECT h01 FROM f4) * (SELECT g1 FROM f4))
+                   / ((SELECT h00 FROM f4) * (SELECT h11 FROM f4)
+                      - (SELECT h01 FROM f4) * (SELECT h01 FROM f4))
+                   AS b0,
+                 (SELECT b1 FROM it3)
+                 + ((SELECT h00 FROM f4) * (SELECT g1 FROM f4)
+                    - (SELECT h01 FROM f4) * (SELECT g0 FROM f4))
+                   / ((SELECT h00 FROM f4) * (SELECT h11 FROM f4)
+                      - (SELECT h01 FROM f4) * (SELECT h01 FROM f4))
+                   AS b1
+        ),
+        f5 AS MATERIALIZED (
+          SELECT count(*) AS n, sum(y) AS ty,
+                 sum(y - exp((SELECT b0 FROM it4)
+                     + (SELECT b1 FROM it4) * x)) AS g0,
+                 sum(x * (y - exp((SELECT b0 FROM it4)
+                     + (SELECT b1 FROM it4) * x))) AS g1,
+                 sum(exp((SELECT b0 FROM it4)
+                     + (SELECT b1 FROM it4) * x)) AS h00,
+                 sum(x * exp((SELECT b0 FROM it4)
+                     + (SELECT b1 FROM it4) * x)) AS h01,
+                 sum(x * x * exp((SELECT b0 FROM it4)
+                     + (SELECT b1 FROM it4) * x)) AS h11
+          FROM base
+        ),
+        it5 AS MATERIALIZED (
+          SELECT (SELECT b0 FROM it4)
+                 + ((SELECT h11 FROM f5) * (SELECT g0 FROM f5)
+                    - (SELECT h01 FROM f5) * (SELECT g1 FROM f5))
+                   / ((SELECT h00 FROM f5) * (SELECT h11 FROM f5)
+                      - (SELECT h01 FROM f5) * (SELECT h01 FROM f5))
+                   AS b0,
+                 (SELECT b1 FROM it4)
+                 + ((SELECT h00 FROM f5) * (SELECT g1 FROM f5)
+                    - (SELECT h01 FROM f5) * (SELECT g0 FROM f5))
+                   / ((SELECT h00 FROM f5) * (SELECT h11 FROM f5)
+                      - (SELECT h01 FROM f5) * (SELECT h01 FROM f5))
+                   AS b1
+        ),
+        f6 AS MATERIALIZED (
+          SELECT count(*) AS n, sum(y) AS ty,
+                 sum(y - exp((SELECT b0 FROM it5)
+                     + (SELECT b1 FROM it5) * x)) AS g0,
+                 sum(x * (y - exp((SELECT b0 FROM it5)
+                     + (SELECT b1 FROM it5) * x))) AS g1,
+                 sum(exp((SELECT b0 FROM it5)
+                     + (SELECT b1 FROM it5) * x)) AS h00,
+                 sum(x * exp((SELECT b0 FROM it5)
+                     + (SELECT b1 FROM it5) * x)) AS h01,
+                 sum(x * x * exp((SELECT b0 FROM it5)
+                     + (SELECT b1 FROM it5) * x)) AS h11
+          FROM base
+        ),
+        it6 AS MATERIALIZED (
+          SELECT (SELECT b0 FROM it5)
+                 + ((SELECT h11 FROM f6) * (SELECT g0 FROM f6)
+                    - (SELECT h01 FROM f6) * (SELECT g1 FROM f6))
+                   / ((SELECT h00 FROM f6) * (SELECT h11 FROM f6)
+                      - (SELECT h01 FROM f6) * (SELECT h01 FROM f6))
+                   AS b0,
+                 (SELECT b1 FROM it5)
+                 + ((SELECT h00 FROM f6) * (SELECT g1 FROM f6)
+                    - (SELECT h01 FROM f6) * (SELECT g0 FROM f6))
+                   / ((SELECT h00 FROM f6) * (SELECT h11 FROM f6)
+                      - (SELECT h01 FROM f6) * (SELECT h01 FROM f6))
+                   AS b1
+        ),
+        f7 AS MATERIALIZED (
+          SELECT count(*) AS n, sum(y) AS ty,
+                 sum(y - exp((SELECT b0 FROM it6)
+                     + (SELECT b1 FROM it6) * x)) AS g0,
+                 sum(x * (y - exp((SELECT b0 FROM it6)
+                     + (SELECT b1 FROM it6) * x))) AS g1,
+                 sum(exp((SELECT b0 FROM it6)
+                     + (SELECT b1 FROM it6) * x)) AS h00,
+                 sum(x * exp((SELECT b0 FROM it6)
+                     + (SELECT b1 FROM it6) * x)) AS h01,
+                 sum(x * x * exp((SELECT b0 FROM it6)
+                     + (SELECT b1 FROM it6) * x)) AS h11
+          FROM base
+        ),
+        it7 AS MATERIALIZED (
+          SELECT (SELECT b0 FROM it6)
+                 + ((SELECT h11 FROM f7) * (SELECT g0 FROM f7)
+                    - (SELECT h01 FROM f7) * (SELECT g1 FROM f7))
+                   / ((SELECT h00 FROM f7) * (SELECT h11 FROM f7)
+                      - (SELECT h01 FROM f7) * (SELECT h01 FROM f7))
+                   AS b0,
+                 (SELECT b1 FROM it6)
+                 + ((SELECT h00 FROM f7) * (SELECT g1 FROM f7)
+                    - (SELECT h01 FROM f7) * (SELECT g0 FROM f7))
+                   / ((SELECT h00 FROM f7) * (SELECT h11 FROM f7)
+                      - (SELECT h01 FROM f7) * (SELECT h01 FROM f7))
+                   AS b1
+        ),
+        f8 AS MATERIALIZED (
+          SELECT count(*) AS n, sum(y) AS ty,
+                 sum(y - exp((SELECT b0 FROM it7)
+                     + (SELECT b1 FROM it7) * x)) AS g0,
+                 sum(x * (y - exp((SELECT b0 FROM it7)
+                     + (SELECT b1 FROM it7) * x))) AS g1,
+                 sum(exp((SELECT b0 FROM it7)
+                     + (SELECT b1 FROM it7) * x)) AS h00,
+                 sum(x * exp((SELECT b0 FROM it7)
+                     + (SELECT b1 FROM it7) * x)) AS h01,
+                 sum(x * x * exp((SELECT b0 FROM it7)
+                     + (SELECT b1 FROM it7) * x)) AS h11
+          FROM base
+        ),
+        it8 AS MATERIALIZED (
+          SELECT (SELECT b0 FROM it7)
+                 + ((SELECT h11 FROM f8) * (SELECT g0 FROM f8)
+                    - (SELECT h01 FROM f8) * (SELECT g1 FROM f8))
+                   / ((SELECT h00 FROM f8) * (SELECT h11 FROM f8)
+                      - (SELECT h01 FROM f8) * (SELECT h01 FROM f8))
+                   AS b0,
+                 (SELECT b1 FROM it7)
+                 + ((SELECT h00 FROM f8) * (SELECT g1 FROM f8)
+                    - (SELECT h01 FROM f8) * (SELECT g0 FROM f8))
+                   / ((SELECT h00 FROM f8) * (SELECT h11 FROM f8)
+                      - (SELECT h01 FROM f8) * (SELECT h01 FROM f8))
+                   AS b1
+        ),
+        ff AS MATERIALIZED (
+          SELECT count(*) AS n, sum(y) AS ty,
+                 sum(y - exp((SELECT b0 FROM it8)
+                     + (SELECT b1 FROM it8) * x)) AS g0,
+                 sum(x * (y - exp((SELECT b0 FROM it8)
+                     + (SELECT b1 FROM it8) * x))) AS g1,
+                 sum(exp((SELECT b0 FROM it8)
+                     + (SELECT b1 FROM it8) * x)) AS h00,
+                 sum(x * exp((SELECT b0 FROM it8)
+                     + (SELECT b1 FROM it8) * x)) AS h01,
+                 sum(x * x * exp((SELECT b0 FROM it8)
+                     + (SELECT b1 FROM it8) * x)) AS h11
+          FROM base
+        ),
+        fin AS MATERIALIZED (
+          SELECT n, ty,
+                 (SELECT b0 FROM it8) AS b0,
+                 (SELECT b1 FROM it8) AS b1,
+                 h00 * h11 - h01 * h01 AS det, h00, h11
+          FROM ff
+        )
+        SELECT n, CAST(ty AS BIGINT) AS total_events,
+               round(b0, 6) AS intercept,
+               round(b1, 6) AS beta,
+               round(exp(b1), 6) AS rate_ratio,
+               round(sqrt(h11 / det), 6) AS se_intercept,
+               round(sqrt(h00 / det), 6) AS se_beta,
+               round(b1 / sqrt(h00 / det), 6) AS z,
+               round((0.254829592 * tt - 0.284496736 * pow(tt, 2)
+                      + 1.421413741 * pow(tt, 3)
+                      - 1.453152027 * pow(tt, 4)
+                      + 1.061405429 * pow(tt, 5)) * exp(-az * az), 6)
+                 AS p_value,
+               ((0.254829592 * tt - 0.284496736 * pow(tt, 2)
+                 + 1.421413741 * pow(tt, 3)
+                 - 1.453152027 * pow(tt, 4)
+                 + 1.061405429 * pow(tt, 5)) * exp(-az * az)) < 0.05
+                 AS significant
+        FROM fin, (
+          SELECT az, 1.0 / (1.0 + 0.3275911 * az) AS tt
+          FROM (
+            SELECT abs((SELECT b1 FROM it8)
+                       / sqrt((SELECT h00 FROM ff)
+                              / ((SELECT h00 FROM ff)
+                                 * (SELECT h11 FROM ff)
+                                 - (SELECT h01 FROM ff)
+                                 * (SELECT h01 FROM ff))))
+                   / sqrt(2.0) AS az
+          )
+        )
     """
 
     return sql

@@ -6849,3 +6849,228 @@ def regression_discontinuity(
         ],
         schema,
     )
+
+
+def cumulative_incidence(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+) -> DataFrame:
+    """Aalen–Johansen cumulative incidence under COMPETING RISKS:
+    rows ``(duration, event_type, n_at_risk, n_events, cif)`` — the
+    probability of failing FROM CAUSE k by time t when other causes
+    can claim the subject first:
+
+        CIF_k(t) = Σ_{s ≤ t} S(s⁻) · d_k(s) / n(s)
+
+    with S the ALL-CAUSE Kaplan–Meier survival.  The estimator
+    1 − KM_k (treating other causes as censoring) OVERSTATES every
+    cause's incidence (the classic competing-risks mistake — churn
+    "due to price" can't happen to a user who already churned "due
+    to bugs"); Aalen–Johansen is the honest decomposition, and
+    Σ_k CIF_k(t) = 1 − S(t) exactly.
+
+    ``event_col``: 0 = censored, any other value = the cause label
+    (cast to string in the output).  One row per (duration,
+    observed-cause) pair; ``cif`` rounded to 6 dp.
+
+    Plan: one hash aggregate to the |durations × causes| rollup, a
+    per-duration fold to the all-cause rollup, then ordered windows
+    over THAT (duration-cardinality-sized — the ``kaplan_meier``
+    scheme): exclusive prefix for n_at_risk and Σln for S(s⁻),
+    finally a per-cause running sum.  No data-sized windows.
+    """
+    d = F.col(duration_col).cast("double")
+    ev = F.col(event_col).cast("string")
+    base = df.select(d.alias("_t"), ev.alias("_e")).filter(
+        F.col("_t").isNotNull() & F.col("_e").isNotNull()
+    )
+    per_tc = base.groupBy("_t", "_e").agg(
+        F.count(F.lit(1)).cast("long").alias("_n")
+    )
+    per_t = per_tc.groupBy("_t").agg(
+        F.sum(F.when(F.col("_e") != "0", F.col("_n")).otherwise(0))
+        .cast("long")
+        .alias("_d"),
+        F.sum("_n").cast("long").alias("_all"),
+    )
+    wcum = (
+        Window.partitionBy()
+        .orderBy(F.col("_t").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wtot = Window.partitionBy()
+    n_total = F.sum("_all").over(wtot)
+    removed = F.coalesce(F.sum("_all").over(wcum), F.lit(0))
+    staged = per_t.select(
+        "_t",
+        "_d",
+        (n_total - removed).cast("long").alias("_n_risk"),
+    )
+    frac = F.col("_d").cast("double") / F.col("_n_risk").cast("double")
+    ln_term = F.when(
+        (F.col("_d") > 0) & (F.col("_d") < F.col("_n_risk")),
+        F.log(F.lit(1.0) - frac),
+    ).otherwise(F.lit(0.0))
+    # S(s-) = exp(sum of ln terms BEFORE s); extinction (d = n) sends
+    # survival to 0 from the NEXT time on
+    extinct_before = F.max(
+        (F.col("_d") == F.col("_n_risk")).cast("int")
+    ).over(wcum)
+    s_minus = F.when(
+        F.coalesce(extinct_before, F.lit(0)) == 1, F.lit(0.0)
+    ).otherwise(F.exp(F.coalesce(F.sum(ln_term).over(wcum), F.lit(0.0))))
+    risk = staged.select(
+        "_t", "_n_risk", s_minus.alias("_s_minus")
+    )
+    causes = per_tc.filter(F.col("_e") != "0").join(risk, "_t")
+    inc = causes.select(
+        "_t",
+        "_e",
+        "_n_risk",
+        "_n",
+        (
+            F.col("_s_minus")
+            * F.col("_n").cast("double")
+            / F.col("_n_risk").cast("double")
+        ).alias("_inc"),
+    )
+    wrun = (
+        Window.partitionBy("_e")
+        .orderBy(F.col("_t").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return inc.select(
+        F.col("_t").alias("duration"),
+        F.col("_e").alias("event_type"),
+        F.col("_n_risk").alias("n_at_risk"),
+        F.col("_n").alias("n_events"),
+        F.round(F.sum("_inc").over(wrun), 6).alias("cif"),
+    )
+
+
+def poisson_fit(
+    df: DataFrame,
+    y_col: str,
+    x_col: str,
+    iterations: int = 8,
+    divergence_cap: float = 50.0,
+) -> DataFrame:
+    """Poisson regression (log link, intercept + one covariate) by
+    fixed-iteration Newton–Raphson: one row ``(n, total_events,
+    intercept, beta, rate_ratio, se_intercept, se_beta, z, p_value,
+    significant)`` — the COUNT-outcome member of the GLM family
+    (``ols_fit`` gaussian, ``logit_fit`` binomial, ``cox_ph``
+    hazards): incidents/orders/defects per unit against a driver,
+    with ``rate_ratio = exp(beta)`` per covariate unit.  Pair with
+    ``overdispersion_check`` first — a variance≫mean outcome wants
+    quasi-Poisson widening (documented caveat).
+
+    FIXED 8 Newton rounds from (0, 0) (the ``cox_ph``/``logit_fit``
+    replayable-optimization convention).  Divergence past
+    ``divergence_cap`` or a collapsing Hessian at drifted
+    coefficients raises loudly; all-zero outcomes or a constant
+    covariate yield an all-NULL estimate row.  Negative y RAISES
+    (counts cannot be negative); NULL y/x excludes the row.
+
+    Plan, per round: ONE 5-moment hash aggregate — Σ(y−μ), Σx(y−μ),
+    Σμ, Σxμ, Σx²μ with μ = exp(b0 + b1·x) — and a driver 2×2 Cramér
+    solve.  ``iterations + 1`` linear passes, no joins, no windows.
+    """
+    import math as _math
+
+    if iterations < 1:
+        raise ValueError("poisson_fit: iterations must be >= 1")
+    y = F.col(y_col).cast("double")
+    x = F.col(x_col).cast("double")
+    base = df.select(y.alias("_y"), x.alias("_x")).filter(
+        F.col("_y").isNotNull() & F.col("_x").isNotNull()
+    )
+    bad = base.filter(F.col("_y") < 0).limit(1).count()
+    if bad:
+        raise ValueError("poisson_fit: y must be a nonnegative count")
+    spark = df.sparkSession
+
+    def fold(b0: float, b1: float):
+        mu = F.exp(F.lit(float(b0)) + F.lit(float(b1)) * F.col("_x"))
+        return base.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("_y").alias("ty"),
+            F.sum(F.col("_y") - mu).alias("g0"),
+            F.sum(F.col("_x") * (F.col("_y") - mu)).alias("g1"),
+            F.sum(mu).alias("h00"),
+            F.sum(F.col("_x") * mu).alias("h01"),
+            F.sum(F.col("_x") * F.col("_x") * mu).alias("h11"),
+        ).collect()[0]
+
+    def _separation(b0: float, b1: float):
+        raise ValueError(
+            f"poisson_fit: no finite MLE at (intercept, beta) = "
+            f"({b0:.3f}, {b1:.3f}) — the fit diverged (rate collapses "
+            "or explodes along the covariate); check for leakage, "
+            "rescale x, or cap/bin it"
+        )
+
+    schema = (
+        "n long, total_events long, intercept double, beta double, "
+        "rate_ratio double, se_intercept double, se_beta double, "
+        "z double, p_value double, significant boolean"
+    )
+    b0 = b1 = 0.0
+    n = 0
+    ty = 0.0
+    last = None
+    for i in range(int(iterations) + 1):
+        r = fold(b0, b1)
+        n, ty = r["n"], float(r["ty"] or 0.0)
+        det = (
+            None
+            if r["h00"] is None
+            else r["h00"] * r["h11"] - r["h01"] * r["h01"]
+        )
+        if not n or ty <= 0.0 or det is None or det <= 0.0:
+            if abs(b0) > 2.0 or abs(b1) > 2.0:
+                _separation(b0, b1)
+            return spark.createDataFrame(
+                [(int(n or 0), int(ty), None, None, None, None, None,
+                  None, None, None)],
+                schema,
+            )
+        last = (r, det)
+        if i == int(iterations):
+            break
+        b0 = b0 + (r["h11"] * r["g0"] - r["h01"] * r["g1"]) / det
+        b1 = b1 + (r["h00"] * r["g1"] - r["h01"] * r["g0"]) / det
+        if abs(b0) > divergence_cap or abs(b1) > divergence_cap:
+            _separation(b0, b1)
+    r, det = last
+    se0 = _math.sqrt(r["h11"] / det)
+    se1 = _math.sqrt(r["h00"] / det)
+    z = b1 / se1
+    az = abs(z) / _math.sqrt(2.0)
+    tt = 1.0 / (1.0 + 0.3275911 * az)
+    poly = (
+        0.254829592 * tt
+        - 0.284496736 * tt**2
+        + 1.421413741 * tt**3
+        - 1.453152027 * tt**4
+        + 1.061405429 * tt**5
+    )
+    p = poly * _math.exp(-az * az)
+    return spark.createDataFrame(
+        [
+            (
+                int(n),
+                int(ty),
+                round(b0, 6),
+                round(b1, 6),
+                round(_math.exp(b1), 6),
+                round(se0, 6),
+                round(se1, 6),
+                round(z, 6),
+                round(p, 6),
+                bool(p < 0.05),
+            )
+        ],
+        schema,
+    )

@@ -668,3 +668,102 @@ def test_regression_discontinuity_se_vs_numpy(spark):
         float(np.sqrt(sal**2 + sar**2)), abs=1e-5
     )
     assert r.significant is True
+
+
+def test_cumulative_incidence_hand_computed(spark):
+    """5 subjects, two causes: t=1 cause a (n=5, S(1-)=1 -> CIF_a =
+    .2); t=2 cause b (n=4, S(2-)=.8 -> CIF_b = .2); t=3 censored;
+    t=4 cause a (n=2, S(4-)=.8*.75=.6 -> CIF_a = .2+.3=.5); t=5
+    censored.  Identity: CIF_a + CIF_b = 1 - S."""
+    from moz_datapipeline_spark.operators.analytics import (
+        cumulative_incidence,
+    )
+
+    rows = [
+        (1.0, "a"), (2.0, "b"), (3.0, "0"), (4.0, "a"), (5.0, "0"),
+    ]
+    df = spark.createDataFrame(rows, "t double, e string")
+    out = {
+        (r.duration, r.event_type): r
+        for r in cumulative_incidence(df, "t", "e").collect()
+    }
+    r1 = out[(1.0, "a")]
+    assert r1.n_at_risk == 5 and r1.cif == pytest.approx(0.2)
+    r2 = out[(2.0, "b")]
+    assert r2.n_at_risk == 4 and r2.cif == pytest.approx(0.2)
+    r4 = out[(4.0, "a")]
+    assert r4.n_at_risk == 2
+    # S(4-) = (1-1/5)(1-1/4) = .6; inc = .6 * 1/2 = .3; CIF_a = .5
+    assert r4.cif == pytest.approx(0.5)
+    # decomposition identity at the horizon: .5 + .2 = 1 - S(4)
+    # S(4) = .6 * (1 - 1/2) = .3 -> 1 - .3 = .7 = .5 + .2
+    assert r4.cif + r2.cif == pytest.approx(0.7)
+
+
+def test_cumulative_incidence_single_cause_equals_km(spark):
+    """With ONE cause and no competition, CIF = 1 - KM exactly."""
+    from moz_datapipeline_spark.operators.analytics import (
+        cumulative_incidence,
+        kaplan_meier,
+    )
+
+    from pyspark.sql import functions as F
+
+    rows = [(float(t), e) for t, e in
+            [(1, "x"), (2, "0"), (3, "x"), (3, "x"), (4, "0"),
+             (5, "x"), (6, "0")]]
+    df = spark.createDataFrame(rows, "t double, e string")
+    cif = {
+        r.duration: r.cif
+        for r in cumulative_incidence(df, "t", "e").collect()
+    }
+    km_in = df.select(
+        "t", (F.col("e") != "0").cast("int").alias("ev")
+    )
+    km = {
+        r.duration: r.survival
+        for r in kaplan_meier(km_in, "t", "ev").collect()
+    }
+    for t, c in cif.items():
+        assert c == pytest.approx(1.0 - km[t], abs=2e-6), t
+
+
+def test_poisson_fit_closed_form_binary_x(spark):
+    """Binary covariate: the Poisson MLE has a closed form —
+    intercept = log(mean rate | x=0), beta = log rate ratio,
+    SE(beta) = sqrt(1/sum_y1 + 1/sum_y0)."""
+    import math
+
+    from moz_datapipeline_spark.operators.analytics import poisson_fit
+
+    # x=0: 50 units, 100 events total (rate 2); x=1: 40 units,
+    # 240 events (rate 6) -> RR 3
+    rows = [(2.0, 0.0)] * 50 + [(6.0, 1.0)] * 40
+    df = spark.createDataFrame(rows, "y double, x double")
+    r = poisson_fit(df, "y", "x").collect()[0]
+    assert r.n == 90 and r.total_events == 340
+    assert r.intercept == round(math.log(2.0), 6)
+    assert r.beta == round(math.log(3.0), 6)
+    assert r.rate_ratio == 3.0
+    assert r.se_beta == round(math.sqrt(1 / 240 + 1 / 100), 6)
+    assert r.significant is True
+
+
+def test_poisson_fit_degenerates(spark):
+    from moz_datapipeline_spark.operators.analytics import poisson_fit
+
+    zeros = spark.createDataFrame(
+        [(0.0, float(i)) for i in range(10)], "y double, x double"
+    )
+    r = poisson_fit(zeros, "y", "x").collect()[0]
+    assert r.n == 10 and r.beta is None
+
+    neg = spark.createDataFrame([(-1.0, 1.0)], "y double, x double")
+    with pytest.raises(ValueError, match="nonnegative"):
+        poisson_fit(neg, "y", "x")
+
+    const = spark.createDataFrame(
+        [(float(i % 3), 2.0) for i in range(10)], "y double, x double"
+    )
+    r = poisson_fit(const, "y", "x").collect()[0]
+    assert r.beta is None
