@@ -2381,52 +2381,45 @@ def test_frequent_itemsets_dense_cap_raises(spark):
 
 def test_frequent_itemsets_no_cache_leak(spark):
     """Regression for the round-11 leak: the triple level persisted
-    `pairs` and the returned lazy frame pinned it FOREVER.  The fixed
-    contract: the result reads only its own checkpoint_sever blocks
-    (reclaimed once the result is dropped — the connected_components
-    convention), and the intermediate pair cache is released before
-    the operator returns."""
-    import gc
+    `pairs` and the returned lazy frame pinned that CACHE forever.
+    The fixed contract: after the operator runs, every RDD still in
+    the storage registry is a localCheckpoint block (the severed
+    result, reclaimed on GC — the connected_components convention);
+    a plain .persist() left behind is NOT locally checkpointed, so
+    this check catches the r11 bug deterministically, without racing
+    the ContextCleaner."""
+    import pytest
 
     from moz_datapipeline_spark.operators.relational import (
         frequent_itemsets,
     )
 
-    def _registry() -> int:
-        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    def _non_checkpoint_blocks() -> int:
+        jmap = spark.sparkContext._jsc.sc().getPersistentRDDs()
+        it = jmap.values().iterator()
+        bad = 0
+        while it.hasNext():
+            if not it.next().isLocallyCheckpointed():
+                bad += 1
+        return bad
 
-    def _drained(tries: int = 40) -> bool:
-        # ContextCleaner releases checkpoint blocks on GC — poke both
-        # collectors and poll
-        import time as _t
-
-        for _ in range(tries):
-            gc.collect()
-            spark._jvm.System.gc()
-            if _registry() == 0:
-                return True
-            _t.sleep(0.25)
-        return _registry() == 0
-
-    # earlier tests' results (severed frames awaiting GC or pinned by
-    # pytest bookkeeping) may still hold blocks — force-release them
-    # so the deltas below are OURS (the bench _clear convention)
+    # earlier tests' results may legitimately hold severed blocks —
+    # force-release everything so the deltas below are OURS
     spark.catalog.clearCache()
     for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
         rdd.unpersist(True)
-    assert _registry() == 0
+
     rows = [(b, i) for b in range(50)
             for i in ["a", "b", "c", "d"][: (b % 4) + 1]]
     df = spark.createDataFrame(rows, "basket long, item string")
     out = frequent_itemsets(df, "basket", "item", min_support=5,
                             max_size=3)
     assert out.count() == 14
-    # while the result is alive only its OWN severed blocks may be
-    # registered — the r11 bug kept the pair cache too
-    assert _registry() <= 1
-    del out
-    assert _drained(), "result blocks not reclaimed after drop"
-    # the error path must release the pair cache synchronously
+    assert _non_checkpoint_blocks() == 0, (
+        "frequent_itemsets left a non-checkpoint cache registered "
+        "(the r11 persist leak)"
+    )
+    # the error path unpersists its cache synchronously
     dense = spark.createDataFrame(
         [(b, str(i)) for b in range(40) for i in range(30)],
         "basket long, item string",
@@ -2434,7 +2427,14 @@ def test_frequent_itemsets_no_cache_leak(spark):
     with pytest.raises(ValueError, match="triple candidates exceed"):
         frequent_itemsets(dense, "basket", "item", min_support=10,
                           max_triple_candidates=100)
-    assert _drained(), "error path left the pair cache registered"
+    assert _non_checkpoint_blocks() == 0, (
+        "the over-cap error path left the pair cache registered"
+    )
+    # leave the shared session clean for later hygiene-sensitive tests
+    del out
+    spark.catalog.clearCache()
+    for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+        rdd.unpersist(True)
 
 
 def test_rolling_active_users_hand_computed(spark):
@@ -2628,8 +2628,13 @@ def test_quantile_ci_covers_known_median(spark):
 
     with pytest.raises(ValueError, match="prob"):
         quantile_ci(df, "v", prob=1.5)
-    # no leaked cache
-    assert spark.sparkContext._jsc.sc().getPersistentRDDs().size() == 0
+    # no leaked cache: only localCheckpoint blocks (severed results of
+    # earlier tests awaiting GC) may remain — a plain persist() is a
+    # leak (the r11 frequent_itemsets bug tripped this)
+    jmap = spark.sparkContext._jsc.sc().getPersistentRDDs()
+    it = jmap.values().iterator()
+    while it.hasNext():
+        assert it.next().isLocallyCheckpointed()
 
 
 def test_capture_recapture_chapman(spark):
