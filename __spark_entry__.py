@@ -6975,6 +6975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regression_discontinuity": q_regression_discontinuity,
         "cumulative_incidence": q_cumulative_incidence,
         "poisson_fit": q_poisson_fit,
+        "twfe_fit": q_twfe_fit,
     }
 
 
@@ -7437,6 +7438,42 @@ def q_poisson_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("o_orderkey") % 4)).cast("double").alias("x"),
     )
     return poisson_fit(panel, "y", "x")
+
+
+
+def q_twfe_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-way fixed-effects within estimator over a balanced
+    synthetic panel built from customers x 8 periods with planted
+    unit/time effects and a +3 slope
+    (operators/analytics.twfe_fit).  VALUE oracle: identical unit/
+    time/grand means, double-demeaned moment fold, and Wald
+    readouts in DuckDB."""
+    from moz_datapipeline_spark.operators.analytics import twfe_fit
+
+    c = _t(spark, sf_dir, "customer")
+    panel = c.select(
+        F.col("c_custkey").alias("u"),
+        F.explode(
+            F.sequence(F.lit(0), F.lit(7))
+        ).alias("t"),
+    ).select(
+        "u",
+        "t",
+        (
+            ((F.col("u") * 7 + F.col("t") * 13) % 100) / 10.0
+        ).alias("x"),
+    ).select(
+        "u",
+        "t",
+        "x",
+        (
+            3.0 * F.col("x")
+            + (F.col("u") % 50).cast("double")  # unit FE
+            + (F.col("t") * F.col("t")).cast("double")  # time FE
+            + ((F.col("u") * 31 + F.col("t") * 17) % 20) / 10.0
+        ).alias("y"),
+    )
+    return twfe_fit(panel, "u", "t", "x", "y")
 
 
 
@@ -20195,6 +20232,67 @@ FROM eaul_calc
                    / sqrt(2.0) AS az
           )
         )
+    """
+
+    sql["twfe_fit"] = """
+        WITH panel AS (
+          SELECT c_custkey AS u, t,
+                 ((c_custkey * 7 + t * 13) % 100) / 10.0 AS x
+          FROM customer,
+               unnest(generate_series(0, 7)) AS g(t)
+        ), fp AS (
+          SELECT CAST(u AS VARCHAR) AS u, CAST(t AS VARCHAR) AS tt,
+                 x,
+                 3.0 * x + CAST(u % 50 AS DOUBLE)
+                 + CAST(t * t AS DOUBLE)
+                 + ((u * 31 + t * 17) % 20) / 10.0 AS y
+          FROM panel
+        ), gm AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 avg(x) AS mx, avg(y) AS my,
+                 CAST(count(DISTINCT u) AS BIGINT) AS nu,
+                 CAST(count(DISTINCT tt) AS BIGINT) AS nt
+          FROM fp
+        ), um AS (
+          SELECT u, avg(x) AS ux, avg(y) AS uy FROM fp GROUP BY u
+        ), tm AS (
+          SELECT tt, avg(x) AS tx, avg(y) AS ty FROM fp GROUP BY tt
+        ), m AS (
+          SELECT sum((f.x - um.ux - tm.tx + gm.mx)
+                     * (f.y - um.uy - tm.ty + gm.my)) AS sxy,
+                 sum(pow(f.x - um.ux - tm.tx + gm.mx, 2)) AS sxx,
+                 sum(pow(f.y - um.uy - tm.ty + gm.my, 2)) AS syy
+          FROM fp f
+          JOIN um ON f.u = um.u
+          JOIN tm ON f.tt = tm.tt
+          CROSS JOIN gm
+        ), fit AS (
+          SELECT gm.n, gm.nu, gm.nt,
+                 m.sxy / m.sxx AS beta,
+                 sqrt(greatest(m.syy - (m.sxy / m.sxx) * m.sxy, 0.0)
+                      / (gm.n - gm.nu - gm.nt) / m.sxx) AS se
+          FROM m CROSS JOIN gm
+        ), z AS (
+          SELECT *, beta / se AS zz,
+                 abs(beta / se) / sqrt(2.0) AS az
+          FROM fit
+        )
+        SELECT n, nu AS n_units, nt AS n_times,
+               round(beta, 6) AS beta,
+               round(se, 6) AS se,
+               round(zz, 6) AS z,
+               round((0.254829592 * tt2 - 0.284496736 * pow(tt2, 2)
+                      + 1.421413741 * pow(tt2, 3)
+                      - 1.453152027 * pow(tt2, 4)
+                      + 1.061405429 * pow(tt2, 5)) * exp(-az * az), 6)
+                 AS p_value,
+               ((0.254829592 * tt2 - 0.284496736 * pow(tt2, 2)
+                 + 1.421413741 * pow(tt2, 3)
+                 - 1.453152027 * pow(tt2, 4)
+                 + 1.061405429 * pow(tt2, 5)) * exp(-az * az)) < 0.05
+                 AS significant
+        FROM z, (SELECT 1.0 / (1.0 + 0.3275911 * z2.az) AS tt2
+                 FROM z z2)
     """
 
     return sql

@@ -7074,3 +7074,142 @@ def poisson_fit(
         ],
         schema,
     )
+
+
+def twfe_fit(
+    df: DataFrame,
+    unit_col: str,
+    time_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Two-way fixed-effects (within) panel estimator: one row
+    ``(n, n_units, n_times, beta, se, z, p_value, significant)`` —
+    the workhorse panel regression ``y_it = β·x_it + α_i + γ_t +
+    ε_it``, fit by double demeaning: ``ỹ = y − ȳ_i − ȳ_t + ȳ``
+    (same for x), then β = Σx̃ỹ / Σx̃².  Absorbs EVERY time-constant
+    unit trait and EVERY unit-constant period shock without
+    estimating them — the generalization of ``diff_in_diff`` to many
+    units, many periods, and a continuous treatment.  Conventional
+    (non-clustered) SE with dof = n − N_units − N_times + 1 — the
+    honest caveat: serially correlated errors want clustered SEs,
+    which need a unit-level resample (``bootstrap_ci``'s scheme)
+    rather than this closed form (documented).
+
+    BALANCED-PANEL EXACTNESS: double demeaning equals the full
+    fixed-effects projection only on balanced panels; unbalanced
+    panels make it an approximation (the one-step Within transform
+    vs iterated demeaning).  This implementation checks balance and
+    RAISES on unbalanced input rather than silently approximating —
+    fill or filter the panel first.  Degenerate within-variance
+    (x constant inside every unit-time cell pattern) yields NULLs.
+
+    Plan: two small rollups (unit means, time means — broadcast
+    joined back), one grand-mean literal, ONE residual-moment fold.
+    Three linear passes, no windows, no data-sized joins.
+    """
+    import math as _math
+
+    u = F.col(unit_col).cast("string")
+    t = F.col(time_col).cast("string")
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    base = df.select(
+        u.alias("_u"), t.alias("_t"), x.alias("_x"), y.alias("_y")
+    ).filter(
+        F.col("_u").isNotNull()
+        & F.col("_t").isNotNull()
+        & F.col("_x").isNotNull()
+        & F.col("_y").isNotNull()
+    )
+    gm = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.avg("_x").alias("mx"),
+        F.avg("_y").alias("my"),
+        F.countDistinct("_u").cast("long").alias("nu"),
+        F.countDistinct("_t").cast("long").alias("nt"),
+        F.countDistinct("_u", "_t").cast("long").alias("ncell"),
+    ).collect()[0]
+    spark = df.sparkSession
+    schema = (
+        "n long, n_units long, n_times long, beta double, se double, "
+        "z double, p_value double, significant boolean"
+    )
+    n, nu, nt = int(gm["n"] or 0), int(gm["nu"] or 0), int(gm["nt"] or 0)
+    if n == 0:
+        return spark.createDataFrame(
+            [(0, 0, 0, None, None, None, None, None)], schema
+        )
+    if gm["ncell"] != nu * nt or n != nu * nt:
+        raise ValueError(
+            f"twfe_fit: unbalanced panel ({n} rows, {nu} units x "
+            f"{nt} times, {gm['ncell']} distinct cells) — double "
+            "demeaning is only exact on balanced panels; fill or "
+            "filter first (one row per unit-time cell)"
+        )
+    um = base.groupBy("_u").agg(
+        F.avg("_x").alias("_ux"), F.avg("_y").alias("_uy")
+    )
+    tm = base.groupBy("_t").agg(
+        F.avg("_x").alias("_tx"), F.avg("_y").alias("_ty")
+    )
+    xt = (
+        F.col("_x") - F.col("_ux") - F.col("_tx") + F.lit(gm["mx"])
+    )
+    yt = (
+        F.col("_y") - F.col("_uy") - F.col("_ty") + F.lit(gm["my"])
+    )
+    r = (
+        base.join(F.broadcast(um), "_u")
+        .join(F.broadcast(tm), "_t")
+        .agg(
+            F.sum(xt * yt).alias("sxy"),
+            F.sum(xt * xt).alias("sxx"),
+            F.sum(yt * yt).alias("syy"),
+        )
+        .collect()[0]
+    )
+    if r["sxx"] is None or r["sxx"] <= 0.0:
+        return spark.createDataFrame(
+            [(n, nu, nt, None, None, None, None, None)], schema
+        )
+    beta = r["sxy"] / r["sxx"]
+    dof = n - nu - nt
+    if dof < 2:
+        return spark.createDataFrame(
+            [(n, nu, nt, round(beta, 6), None, None, None, None)],
+            schema,
+        )
+    sse = max(r["syy"] - beta * r["sxy"], 0.0)
+    se = _math.sqrt(sse / dof / r["sxx"])
+    if se <= 0.0:
+        return spark.createDataFrame(
+            [(n, nu, nt, round(beta, 6), 0.0, None, None, None)],
+            schema,
+        )
+    z = beta / se
+    az = abs(z) / _math.sqrt(2.0)
+    tt = 1.0 / (1.0 + 0.3275911 * az)
+    poly = (
+        0.254829592 * tt
+        - 0.284496736 * tt**2
+        + 1.421413741 * tt**3
+        - 1.453152027 * tt**4
+        + 1.061405429 * tt**5
+    )
+    p = poly * _math.exp(-az * az)
+    return spark.createDataFrame(
+        [
+            (
+                n,
+                nu,
+                nt,
+                round(beta, 6),
+                round(se, 6),
+                round(z, 6),
+                round(p, 6),
+                bool(p < 0.05),
+            )
+        ],
+        schema,
+    )

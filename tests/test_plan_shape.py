@@ -837,3 +837,39 @@ def test_grid_dbscan_no_cartesian_cell_bounded(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Window" not in plan
+
+
+def test_psm_att_no_global_window_no_cartesian(spark, sf_dir):
+    """Matching must ride the caliper-bucket equi join + min-struct
+    aggregate — never a global-order window or a cartesian pairing."""
+    plan = _plan(entry_mod.q_psm_att(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+
+
+def test_zorder_layout_single_range_exchange(spark, sf_dir):
+    """The layout is ONE range repartition on the generated key —
+    no sort-based global ordering, no extra hash exchanges from the
+    key computation (pure projection)."""
+    plan = _plan(entry_mod.q_zorder_layout(spark, sf_dir))
+    assert plan.count("rangepartitioning") >= 1 or "REPARTITION" in plan
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_record_linkage_blocked_equi_join_only(spark, sf_dir):
+    plan = _plan(entry_mod.q_record_linkage(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cumulative_incidence_windows_rollup_sized(spark, sf_dir):
+    """All windows run over the duration rollup AFTER aggregation —
+    the plan must aggregate before any window (never a data-sized
+    window)."""
+    plan = _plan(entry_mod.q_cumulative_incidence(spark, sf_dir))
+    assert "Window" in plan
+    # the scan feeds a hash aggregate before any window node: crude
+    # but effective — the aggregate count must be >= 2 (partial+final
+    # pairs for the rollups)
+    assert plan.count("HashAggregate") >= 2

@@ -767,3 +767,57 @@ def test_poisson_fit_degenerates(spark):
     )
     r = poisson_fit(const, "y", "x").collect()[0]
     assert r.beta is None
+
+
+def test_twfe_fit_recovers_effect_vs_numpy(spark):
+    """Balanced 20x12 panel, y = 2.5x + unit FE + time FE + noise:
+    the within estimator recovers beta; cross-checked against a
+    dense dummy-variable OLS (the exact FE projection)."""
+    import numpy as np
+
+    from moz_datapipeline_spark.operators.analytics import twfe_fit
+
+    rng = np.random.default_rng(3)
+    nu, nt = 20, 12
+    alpha = rng.normal(0, 5, nu)
+    gamma = rng.normal(0, 3, nt)
+    rows = []
+    xs, ys, uu, tt = [], [], [], []
+    for i in range(nu):
+        for t in range(nt):
+            xv = rng.normal(0, 1)
+            yv = 2.5 * xv + alpha[i] + gamma[t] + rng.normal(0, 0.5)
+            rows.append((f"u{i}", f"t{t}", float(xv), float(yv)))
+            xs.append(xv); ys.append(yv); uu.append(i); tt.append(t)
+    df = spark.createDataFrame(rows, "u string, t string, x double, y double")
+    r = twfe_fit(df, "u", "t", "x", "y").collect()[0]
+    assert r.n == nu * nt and r.n_units == nu and r.n_times == nt
+
+    # dense dummy OLS (drop one dummy per factor + intercept)
+    X = np.zeros((nu * nt, 1 + (nu - 1) + (nt - 1) + 1))
+    X[:, 0] = 1.0
+    X[:, 1] = xs
+    for k, (i, t) in enumerate(zip(uu, tt)):
+        if i > 0:
+            X[k, 1 + i] = 1.0
+        if t > 0:
+            X[k, nu + 1 + t - 1] = 1.0
+    yv = np.array(ys)
+    coef, *_ = np.linalg.lstsq(X, yv, rcond=None)
+    resid = yv - X @ coef
+    dof = nu * nt - X.shape[1]
+    cov = (resid**2).sum() / dof * np.linalg.inv(X.T @ X)
+    assert r.beta == pytest.approx(coef[1], abs=1e-5)
+    assert r.se == pytest.approx(float(np.sqrt(cov[1, 1])), abs=1e-5)
+    assert abs(r.beta - 2.5) < 0.15
+    assert r.significant is True
+
+
+def test_twfe_fit_unbalanced_raises(spark):
+    from moz_datapipeline_spark.operators.analytics import twfe_fit
+
+    rows = [("a", "1", 1.0, 1.0), ("a", "2", 2.0, 2.0),
+            ("b", "1", 3.0, 3.0)]  # b missing t=2
+    df = spark.createDataFrame(rows, "u string, t string, x double, y double")
+    with pytest.raises(ValueError, match="unbalanced"):
+        twfe_fit(df, "u", "t", "x", "y")
