@@ -64,6 +64,14 @@ EXCLUDED = {
     "ingest_dedup_batch": "store round-trip dominated; see scale_check",
 }
 
+# SESSION-AGING CAVEAT (measured r12): a query's in-bench number can
+# exceed its quiet-host solo number by 2-3x when it runs late in the
+# ~370-query session — JVM/GC state accumulated over hundreds of jobs,
+# not the operator's plan.  bootstrap_ci is the canonical case: 12.7 s
+# in-bench vs 4.7-5.1 s solo cold (cache cleared, quiet host, same
+# code).  Cross-round comparisons of individual late-session keys
+# should re-measure solo before declaring a regression.
+
 
 def _storage_registry_empty(spark) -> bool:
     infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
