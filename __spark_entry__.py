@@ -6976,6 +6976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cumulative_incidence": q_cumulative_incidence,
         "poisson_fit": q_poisson_fit,
         "twfe_fit": q_twfe_fit,
+        "rake_weights": q_rake_weights,
     }
 
 
@@ -7474,6 +7475,32 @@ def q_twfe_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("y"),
     )
     return twfe_fit(panel, "u", "t", "x", "y")
+
+
+
+def q_rake_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survey raking to uniform margins over the customer
+    (mktsegment x nation-bucket) table
+    (operators/analytics.rake_weights): 20 fixed IPF rounds so the
+    DuckDB twin unrolls the SAME iteration count as MATERIALIZED
+    GROUP BY CTE rounds.  VALUE oracle: identical cell rollup and
+    all 20 alternating margin scalings."""
+    from moz_datapipeline_spark.operators.analytics import rake_weights
+
+    c = _t(spark, sf_dir, "customer")
+    panel = c.select(
+        F.col("c_mktsegment").alias("seg"),
+        (F.col("c_nationkey") % 5).cast("string").alias("nb"),
+    )
+    segs = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD",
+            "MACHINERY"]
+    return rake_weights(
+        panel,
+        "seg",
+        "nb",
+        {k: 20.0 for k in segs},
+        {str(i): 20.0 for i in range(5)},
+    )
 
 
 
@@ -20293,6 +20320,281 @@ FROM eaul_calc
                  AS significant
         FROM z, (SELECT 1.0 / (1.0 + 0.3275911 * z2.az) AS tt2
                  FROM z z2)
+    """
+
+    sql["rake_weights"] = """
+        WITH cells AS MATERIALIZED (
+          SELECT c_mktsegment AS seg,
+                 CAST(c_nationkey % 5 AS VARCHAR) AS nb,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM customer GROUP BY 1, 2
+        ),
+        w0 AS MATERIALIZED (
+          SELECT seg, nb, n, 1.0 AS w FROM cells
+        ),
+        rs1 AS MATERIALIZED (
+          SELECT seg, sum(n * w) AS s FROM w0 GROUP BY seg
+        ), wr1 AS MATERIALIZED (
+          SELECT a.seg, a.nb, a.n,
+                 a.w * 20.0 / r.s AS w
+          FROM w0 a JOIN rs1 r ON a.seg = r.seg
+        ), cs1 AS MATERIALIZED (
+          SELECT nb, sum(n * w) AS s FROM wr1 GROUP BY nb
+        ), w1 AS MATERIALIZED (
+          SELECT a.seg, a.nb, a.n,
+                 a.w * 20.0 / c.s AS w
+          FROM wr1 a JOIN cs1 c ON a.nb = c.nb
+        ),
+        rs2 AS MATERIALIZED (
+          SELECT seg, sum(n * w) AS s FROM w1 GROUP BY seg
+        ), wr2 AS MATERIALIZED (
+          SELECT a.seg, a.nb, a.n,
+                 a.w * 20.0 / r.s AS w
+          FROM w1 a JOIN rs2 r ON a.seg = r.seg
+        ), cs2 AS MATERIALIZED (
+          SELECT nb, sum(n * w) AS s FROM wr2 GROUP BY nb
+        ), w2 AS MATERIALIZED (
+          SELECT a.seg, a.nb, a.n,
+                 a.w * 20.0 / c.s AS w
+          FROM wr2 a JOIN cs2 c ON a.nb = c.nb
+        ),
+        rs3 AS MATERIALIZED (
+          SELECT seg, sum(n * w) AS s FROM w2 GROUP BY seg
+        ), wr3 AS MATERIALIZED (
+          SELECT a.seg, a.nb, a.n,
+                 a.w * 20.0 / r.s AS w
+          FROM w2 a JOIN rs3 r ON a.seg = r.seg
+        ), cs3 AS MATERIALIZED (
+          SELECT nb, sum(n * w) AS s FROM wr3 GROUP BY nb
+        ), w3 AS MATERIALIZED (
+          SELECT a.seg, a.nb, a.n,
+                 a.w * 20.0 / c.s AS w
+          FROM wr3 a JOIN cs3 c ON a.nb = c.nb
+        ),
+        rs4 AS MATERIALIZED (
+          SELECT seg, sum(n * w) AS s FROM w3 GROUP BY seg
+        ), wr4 AS MATERIALIZED (
+          SELECT a.seg, a.nb, a.n,
+                 a.w * 20.0 / r.s AS w
+          FROM w3 a JOIN rs4 r ON a.seg = r.seg
+        ), cs4 AS MATERIALIZED (
+          SELECT nb, sum(n * w) AS s FROM wr4 GROUP BY nb
+        ), w4 AS MATERIALIZED (
+          SELECT a.seg, a.nb, a.n,
+                 a.w * 20.0 / c.s AS w
+          FROM wr4 a JOIN cs4 c ON a.nb = c.nb
+        ),
+        rs5 AS MATERIALIZED (
+          SELECT seg, sum(n * w) AS s FROM w4 GROUP BY seg
+        ), wr5 AS MATERIALIZED (
+          SELECT a.seg, a.nb, a.n,
+                 a.w * 20.0 / r.s AS w
+          FROM w4 a JOIN rs5 r ON a.seg = r.seg
+        ), cs5 AS MATERIALIZED (
+          SELECT nb, sum(n * w) AS s FROM wr5 GROUP BY nb
+        ), w5 AS MATERIALIZED (
+          SELECT a.seg, a.nb, a.n,
+                 a.w * 20.0 / c.s AS w
+          FROM wr5 a JOIN cs5 c ON a.nb = c.nb
+        ),
+        rs6 AS MATERIALIZED (
+          SELECT seg, sum(n * w) AS s FROM w5 GROUP BY seg
+        ), wr6 AS MATERIALIZED (
+          SELECT a.seg, a.nb, a.n,
+                 a.w * 20.0 / r.s AS w
+          FROM w5 a JOIN rs6 r ON a.seg = r.seg
+        ), cs6 AS MATERIALIZED (
+          SELECT nb, sum(n * w) AS s FROM wr6 GROUP BY nb
+        ), w6 AS MATERIALIZED (
+          SELECT a.seg, a.nb, a.n,
+                 a.w * 20.0 / c.s AS w
+          FROM wr6 a JOIN cs6 c ON a.nb = c.nb
+        ),
+        rs7 AS MATERIALIZED (
+          SELECT seg, sum(n * w) AS s FROM w6 GROUP BY seg
+        ), wr7 AS MATERIALIZED (
+          SELECT a.seg, a.nb, a.n,
+                 a.w * 20.0 / r.s AS w
+          FROM w6 a JOIN rs7 r ON a.seg = r.seg
+        ), cs7 AS MATERIALIZED (
+          SELECT nb, sum(n * w) AS s FROM wr7 GROUP BY nb
+        ), w7 AS MATERIALIZED (
+          SELECT a.seg, a.nb, a.n,
+                 a.w * 20.0 / c.s AS w
+          FROM wr7 a JOIN cs7 c ON a.nb = c.nb
+        ),
+        rs8 AS MATERIALIZED (
+          SELECT seg, sum(n * w) AS s FROM w7 GROUP BY seg
+        ), wr8 AS MATERIALIZED (
+          SELECT a.seg, a.nb, a.n,
+                 a.w * 20.0 / r.s AS w
+          FROM w7 a JOIN rs8 r ON a.seg = r.seg
+        ), cs8 AS MATERIALIZED (
+          SELECT nb, sum(n * w) AS s FROM wr8 GROUP BY nb
+        ), w8 AS MATERIALIZED (
+          SELECT a.seg, a.nb, a.n,
+                 a.w * 20.0 / c.s AS w
+          FROM wr8 a JOIN cs8 c ON a.nb = c.nb
+        ),
+        rs9 AS MATERIALIZED (
+          SELECT seg, sum(n * w) AS s FROM w8 GROUP BY seg
+        ), wr9 AS MATERIALIZED (
+          SELECT a.seg, a.nb, a.n,
+                 a.w * 20.0 / r.s AS w
+          FROM w8 a JOIN rs9 r ON a.seg = r.seg
+        ), cs9 AS MATERIALIZED (
+          SELECT nb, sum(n * w) AS s FROM wr9 GROUP BY nb
+        ), w9 AS MATERIALIZED (
+          SELECT a.seg, a.nb, a.n,
+                 a.w * 20.0 / c.s AS w
+          FROM wr9 a JOIN cs9 c ON a.nb = c.nb
+        ),
+        rs10 AS MATERIALIZED (
+          SELECT seg, sum(n * w) AS s FROM w9 GROUP BY seg
+        ), wr10 AS MATERIALIZED (
+          SELECT a.seg, a.nb, a.n,
+                 a.w * 20.0 / r.s AS w
+          FROM w9 a JOIN rs10 r ON a.seg = r.seg
+        ), cs10 AS MATERIALIZED (
+          SELECT nb, sum(n * w) AS s FROM wr10 GROUP BY nb
+        ), w10 AS MATERIALIZED (
+          SELECT a.seg, a.nb, a.n,
+                 a.w * 20.0 / c.s AS w
+          FROM wr10 a JOIN cs10 c ON a.nb = c.nb
+        ),
+        rs11 AS MATERIALIZED (
+          SELECT seg, sum(n * w) AS s FROM w10 GROUP BY seg
+        ), wr11 AS MATERIALIZED (
+          SELECT a.seg, a.nb, a.n,
+                 a.w * 20.0 / r.s AS w
+          FROM w10 a JOIN rs11 r ON a.seg = r.seg
+        ), cs11 AS MATERIALIZED (
+          SELECT nb, sum(n * w) AS s FROM wr11 GROUP BY nb
+        ), w11 AS MATERIALIZED (
+          SELECT a.seg, a.nb, a.n,
+                 a.w * 20.0 / c.s AS w
+          FROM wr11 a JOIN cs11 c ON a.nb = c.nb
+        ),
+        rs12 AS MATERIALIZED (
+          SELECT seg, sum(n * w) AS s FROM w11 GROUP BY seg
+        ), wr12 AS MATERIALIZED (
+          SELECT a.seg, a.nb, a.n,
+                 a.w * 20.0 / r.s AS w
+          FROM w11 a JOIN rs12 r ON a.seg = r.seg
+        ), cs12 AS MATERIALIZED (
+          SELECT nb, sum(n * w) AS s FROM wr12 GROUP BY nb
+        ), w12 AS MATERIALIZED (
+          SELECT a.seg, a.nb, a.n,
+                 a.w * 20.0 / c.s AS w
+          FROM wr12 a JOIN cs12 c ON a.nb = c.nb
+        ),
+        rs13 AS MATERIALIZED (
+          SELECT seg, sum(n * w) AS s FROM w12 GROUP BY seg
+        ), wr13 AS MATERIALIZED (
+          SELECT a.seg, a.nb, a.n,
+                 a.w * 20.0 / r.s AS w
+          FROM w12 a JOIN rs13 r ON a.seg = r.seg
+        ), cs13 AS MATERIALIZED (
+          SELECT nb, sum(n * w) AS s FROM wr13 GROUP BY nb
+        ), w13 AS MATERIALIZED (
+          SELECT a.seg, a.nb, a.n,
+                 a.w * 20.0 / c.s AS w
+          FROM wr13 a JOIN cs13 c ON a.nb = c.nb
+        ),
+        rs14 AS MATERIALIZED (
+          SELECT seg, sum(n * w) AS s FROM w13 GROUP BY seg
+        ), wr14 AS MATERIALIZED (
+          SELECT a.seg, a.nb, a.n,
+                 a.w * 20.0 / r.s AS w
+          FROM w13 a JOIN rs14 r ON a.seg = r.seg
+        ), cs14 AS MATERIALIZED (
+          SELECT nb, sum(n * w) AS s FROM wr14 GROUP BY nb
+        ), w14 AS MATERIALIZED (
+          SELECT a.seg, a.nb, a.n,
+                 a.w * 20.0 / c.s AS w
+          FROM wr14 a JOIN cs14 c ON a.nb = c.nb
+        ),
+        rs15 AS MATERIALIZED (
+          SELECT seg, sum(n * w) AS s FROM w14 GROUP BY seg
+        ), wr15 AS MATERIALIZED (
+          SELECT a.seg, a.nb, a.n,
+                 a.w * 20.0 / r.s AS w
+          FROM w14 a JOIN rs15 r ON a.seg = r.seg
+        ), cs15 AS MATERIALIZED (
+          SELECT nb, sum(n * w) AS s FROM wr15 GROUP BY nb
+        ), w15 AS MATERIALIZED (
+          SELECT a.seg, a.nb, a.n,
+                 a.w * 20.0 / c.s AS w
+          FROM wr15 a JOIN cs15 c ON a.nb = c.nb
+        ),
+        rs16 AS MATERIALIZED (
+          SELECT seg, sum(n * w) AS s FROM w15 GROUP BY seg
+        ), wr16 AS MATERIALIZED (
+          SELECT a.seg, a.nb, a.n,
+                 a.w * 20.0 / r.s AS w
+          FROM w15 a JOIN rs16 r ON a.seg = r.seg
+        ), cs16 AS MATERIALIZED (
+          SELECT nb, sum(n * w) AS s FROM wr16 GROUP BY nb
+        ), w16 AS MATERIALIZED (
+          SELECT a.seg, a.nb, a.n,
+                 a.w * 20.0 / c.s AS w
+          FROM wr16 a JOIN cs16 c ON a.nb = c.nb
+        ),
+        rs17 AS MATERIALIZED (
+          SELECT seg, sum(n * w) AS s FROM w16 GROUP BY seg
+        ), wr17 AS MATERIALIZED (
+          SELECT a.seg, a.nb, a.n,
+                 a.w * 20.0 / r.s AS w
+          FROM w16 a JOIN rs17 r ON a.seg = r.seg
+        ), cs17 AS MATERIALIZED (
+          SELECT nb, sum(n * w) AS s FROM wr17 GROUP BY nb
+        ), w17 AS MATERIALIZED (
+          SELECT a.seg, a.nb, a.n,
+                 a.w * 20.0 / c.s AS w
+          FROM wr17 a JOIN cs17 c ON a.nb = c.nb
+        ),
+        rs18 AS MATERIALIZED (
+          SELECT seg, sum(n * w) AS s FROM w17 GROUP BY seg
+        ), wr18 AS MATERIALIZED (
+          SELECT a.seg, a.nb, a.n,
+                 a.w * 20.0 / r.s AS w
+          FROM w17 a JOIN rs18 r ON a.seg = r.seg
+        ), cs18 AS MATERIALIZED (
+          SELECT nb, sum(n * w) AS s FROM wr18 GROUP BY nb
+        ), w18 AS MATERIALIZED (
+          SELECT a.seg, a.nb, a.n,
+                 a.w * 20.0 / c.s AS w
+          FROM wr18 a JOIN cs18 c ON a.nb = c.nb
+        ),
+        rs19 AS MATERIALIZED (
+          SELECT seg, sum(n * w) AS s FROM w18 GROUP BY seg
+        ), wr19 AS MATERIALIZED (
+          SELECT a.seg, a.nb, a.n,
+                 a.w * 20.0 / r.s AS w
+          FROM w18 a JOIN rs19 r ON a.seg = r.seg
+        ), cs19 AS MATERIALIZED (
+          SELECT nb, sum(n * w) AS s FROM wr19 GROUP BY nb
+        ), w19 AS MATERIALIZED (
+          SELECT a.seg, a.nb, a.n,
+                 a.w * 20.0 / c.s AS w
+          FROM wr19 a JOIN cs19 c ON a.nb = c.nb
+        ),
+        rs20 AS MATERIALIZED (
+          SELECT seg, sum(n * w) AS s FROM w19 GROUP BY seg
+        ), wr20 AS MATERIALIZED (
+          SELECT a.seg, a.nb, a.n,
+                 a.w * 20.0 / r.s AS w
+          FROM w19 a JOIN rs20 r ON a.seg = r.seg
+        ), cs20 AS MATERIALIZED (
+          SELECT nb, sum(n * w) AS s FROM wr20 GROUP BY nb
+        ), w20 AS MATERIALIZED (
+          SELECT a.seg, a.nb, a.n,
+                 a.w * 20.0 / c.s AS w
+          FROM wr20 a JOIN cs20 c ON a.nb = c.nb
+        )
+        SELECT seg AS row_cat, nb AS col_cat, n,
+               round(w, 6) AS weight
+        FROM w20
     """
 
     return sql

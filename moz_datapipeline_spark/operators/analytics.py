@@ -7213,3 +7213,109 @@ def twfe_fit(
         ],
         schema,
     )
+
+
+def rake_weights(
+    df: DataFrame,
+    row_col: str,
+    col_col: str,
+    row_targets: dict,
+    col_targets: dict,
+    iterations: int = 20,
+    cell_cap: int = 100_000,
+) -> DataFrame:
+    """Survey raking (iterative proportional fitting): rows
+    ``(row_cat, col_cat, n, weight)`` — per-cell weights that make
+    the weighted sample hit BOTH marginal target distributions at
+    once (the post-stratification workhorse when only margins are
+    known: reweight panels to census age × region, traffic to
+    device × country).  Alternately scales row then column margins;
+    ``Σ n·w`` converges to the common target total (row and column
+    targets must agree on it — mismatched totals raise).
+
+    FIXED ``iterations`` rounds (the ``markov_attribution``
+    replayable convention — IPF converges geometrically, 20 rounds
+    sit far below the 6-dp rounding for any connected table).
+    Sample categories missing from the targets raise loudly (a
+    misspecified frame IS the bug); target categories missing from
+    the sample are reported impossible (their mass cannot be
+    reached) — also a loud raise.  Structural-zero patterns that
+    make the targets unreachable still return (weights simply stop
+    improving — check margins downstream; documented).
+
+    Plan: ONE (row, col) hash aggregate to the cell rollup
+    (``cell_cap``-guarded collect — cells are |A|·|B|, tiny by
+    construction), the IPF loop on the driver, and a literal cell
+    frame back out — join it to the data on (row, col) to attach
+    weights.
+    """
+    if iterations < 1:
+        raise ValueError("rake_weights: iterations must be >= 1")
+    if not row_targets or not col_targets:
+        raise ValueError("rake_weights: targets must be non-empty")
+    rt = {str(k): float(v) for k, v in row_targets.items()}
+    ct = {str(k): float(v) for k, v in col_targets.items()}
+    tot_r, tot_c = sum(rt.values()), sum(ct.values())
+    if tot_r <= 0 or tot_c <= 0:
+        raise ValueError("rake_weights: target totals must be > 0")
+    if abs(tot_r - tot_c) > 1e-9 * max(tot_r, tot_c):
+        raise ValueError(
+            f"rake_weights: row targets sum to {tot_r} but column "
+            f"targets to {tot_c} — margins of the same population "
+            "must agree on the total"
+        )
+    cells = (
+        df.select(
+            F.col(row_col).cast("string").alias("_r"),
+            F.col(col_col).cast("string").alias("_c"),
+        )
+        .filter(F.col("_r").isNotNull() & F.col("_c").isNotNull())
+        .groupBy("_r", "_c")
+        .agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    )
+    rows = cells.limit(int(cell_cap) + 1).collect()
+    if len(rows) > cell_cap:
+        raise ValueError(
+            f"rake_weights: more than {cell_cap} cells — coarsen the "
+            "categories or raise cell_cap"
+        )
+    sample_r = {r["_r"] for r in rows}
+    sample_c = {r["_c"] for r in rows}
+    unknown_r = sample_r - set(rt)
+    unknown_c = sample_c - set(ct)
+    if unknown_r or unknown_c:
+        raise ValueError(
+            "rake_weights: sample categories missing from the "
+            f"targets — rows {sorted(unknown_r)[:5]}, cols "
+            f"{sorted(unknown_c)[:5]}"
+        )
+    dead_r = [k for k, v in rt.items() if v > 0 and k not in sample_r]
+    dead_c = [k for k, v in ct.items() if v > 0 and k not in sample_c]
+    if dead_r or dead_c:
+        raise ValueError(
+            "rake_weights: positive-target categories absent from "
+            f"the sample (unreachable mass) — rows {dead_r[:5]}, "
+            f"cols {dead_c[:5]}"
+        )
+    w = {(r["_r"], r["_c"]): 1.0 for r in rows}
+    n = {(r["_r"], r["_c"]): r["_n"] for r in rows}
+    for _ in range(int(iterations)):
+        rsum: dict = {}
+        for k, nv in n.items():
+            rsum[k[0]] = rsum.get(k[0], 0.0) + nv * w[k]
+        for k in w:
+            if rsum[k[0]] > 0:
+                w[k] *= rt[k[0]] / rsum[k[0]]
+        csum: dict = {}
+        for k, nv in n.items():
+            csum[k[1]] = csum.get(k[1], 0.0) + nv * w[k]
+        for k in w:
+            if csum[k[1]] > 0:
+                w[k] *= ct[k[1]] / csum[k[1]]
+    out = [
+        (r, c, int(n[(r, c)]), round(w[(r, c)], 6))
+        for (r, c) in sorted(w)
+    ]
+    return df.sparkSession.createDataFrame(
+        out, "row_cat string, col_cat string, n long, weight double"
+    )

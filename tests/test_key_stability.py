@@ -3,7 +3,7 @@
 The driver's correctness gate samples from ``queries()`` by KEY and
 accumulates coverage across rounds — dropping or renaming a key
 silently discards its cumulative correctness history.  This pins the
-round-12 key set (375 keys, ``r12_query_keys.txt``, a superset of
+round-12 key set (376 keys, ``r12_query_keys.txt``, a superset of
 the 360 round-11 and 273 round-10 keys) as a FLOOR: new keys may
 append, existing keys must never disappear.  Every key must also keep either a DuckDB
 oracle or an explicit place on the rows-only-checked list.
@@ -28,7 +28,7 @@ def _frozen(fname: str) -> set[str]:
 
 def test_registered_keys_are_a_superset_of_round12():
     frozen = _frozen("r12_query_keys.txt")
-    assert len(frozen) == 375
+    assert len(frozen) == 376
     # the pin lineage must be monotone
     assert _frozen("r11_query_keys.txt") <= frozen
     assert _frozen("r10_query_keys.txt") <= frozen

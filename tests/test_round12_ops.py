@@ -821,3 +821,61 @@ def test_twfe_fit_unbalanced_raises(spark):
     df = spark.createDataFrame(rows, "u string, t string, x double, y double")
     with pytest.raises(ValueError, match="unbalanced"):
         twfe_fit(df, "u", "t", "x", "y")
+
+
+def test_rake_weights_hits_both_margins(spark):
+    """Counts [[30,10],[20,40]], row targets (60,40), col targets
+    (50,50): after raking the weighted margins hit the targets to
+    within the 6-dp rounding; numpy IPF cross-check agrees."""
+    import numpy as np
+
+    from moz_datapipeline_spark.operators.analytics import rake_weights
+
+    rows = ([("a", "x")] * 30 + [("a", "y")] * 10
+            + [("b", "x")] * 20 + [("b", "y")] * 40)
+    df = spark.createDataFrame(rows, "r string, c string")
+    out = {
+        (w.row_cat, w.col_cat): w
+        for w in rake_weights(
+            df, "r", "c", {"a": 60, "b": 40}, {"x": 50, "y": 50}
+        ).collect()
+    }
+    # weighted margins
+    ra = out[("a", "x")].weight * 30 + out[("a", "y")].weight * 10
+    rb = out[("b", "x")].weight * 20 + out[("b", "y")].weight * 40
+    cx = out[("a", "x")].weight * 30 + out[("b", "x")].weight * 20
+    cy = out[("a", "y")].weight * 10 + out[("b", "y")].weight * 40
+    assert ra == pytest.approx(60, abs=1e-3)
+    assert rb == pytest.approx(40, abs=1e-3)
+    assert cx == pytest.approx(50, abs=1e-3)
+    assert cy == pytest.approx(50, abs=1e-3)
+
+    # numpy IPF replay
+    nmat = np.array([[30.0, 10.0], [20.0, 40.0]])
+    w = np.ones((2, 2))
+    rt = np.array([60.0, 40.0]); ct = np.array([50.0, 50.0])
+    for _ in range(20):
+        rs = (nmat * w).sum(axis=1)
+        w *= (rt / rs)[:, None]
+        cs = (nmat * w).sum(axis=0)
+        w *= (ct / cs)[None, :]
+    assert out[("a", "x")].weight == pytest.approx(w[0, 0], abs=1e-6)
+    assert out[("b", "y")].weight == pytest.approx(w[1, 1], abs=1e-6)
+
+
+def test_rake_weights_guards(spark):
+    from moz_datapipeline_spark.operators.analytics import rake_weights
+
+    df = spark.createDataFrame(
+        [("a", "x"), ("b", "y")], "r string, c string"
+    )
+    with pytest.raises(ValueError, match="must agree on the total"):
+        rake_weights(df, "r", "c", {"a": 10, "b": 10}, {"x": 5, "y": 6})
+    with pytest.raises(ValueError, match="missing from the\n"
+                       ".*targets|missing from the targets"):
+        rake_weights(df, "r", "c", {"a": 10}, {"x": 5, "y": 5})
+    with pytest.raises(ValueError, match="unreachable"):
+        rake_weights(
+            df, "r", "c",
+            {"a": 5, "b": 5, "z": 10}, {"x": 10, "y": 10},
+        )
