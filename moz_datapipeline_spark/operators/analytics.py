@@ -725,57 +725,62 @@ def bootstrap_ci(
     base = spread_small_scan(df.filter(y.isNotNull()), key_col)
     space = float(1 << 60)
 
-    def _u(b: int) -> Column:
-        if portable:
-            # one md5 funds TWO replicates: hex digits 1-15 and 17-31
-            # are independent 60-bit draws — halves the hash cost
-            h = F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat(
-                            F.lit(f"{seed}:{b // 2}:"),
-                            F.col(key_col).cast("string"),
-                        )
-                    ),
-                    1 if b % 2 == 0 else 17,
-                    15,
-                ),
-                16,
-                10,
-            ).cast("long")
-        else:
-            h = F.pmod(
-                F.xxhash64(
-                    F.concat(
-                        F.lit(f"{seed}:{b}:"),
-                        F.col(key_col).cast("string"),
-                    )
-                ),
-                F.lit(1 << 60),
-            )
-        return (h.cast("double") + F.lit(1.0)) / F.lit(space)
-
     # EXPLODE the replicate axis instead of 2B aggregate expressions:
     # a 2·B-expression aggregate blows past the whole-stage-codegen
     # field budget and drops to the interpreted path (~10× slower
     # measured at B=32); the exploded shape is two plain codegen'd
     # sums whose map-side combine collapses to |groups|·B rows per
     # partition before the exchange — same math, same hash draws.
+    #
+    # The replicate id comes from explode(sequence(0, B-1)) and the
+    # draw is ONE expression over (_b, key) — not B unrolled copies:
+    # the unrolled array-of-structs shape built a 32-field struct
+    # array per input row and produced an O(B)-sized plan (45 kB of
+    # explain at B=32, with matching analysis/codegen latency); this
+    # shape evaluates the identical hash arithmetic per exploded row,
+    # so the draws are bit-for-bit unchanged in both hash modes.
+    bcol = F.col("_b")
+    kstr = F.col("_bs_key")
+    if portable:
+        # one md5 funds TWO replicates: hex digits 1-15 and 17-31
+        # are independent 60-bit draws — halves the hash cost.
+        # f"{seed}:{b // 2}:" ≡ concat over floor(_b/2) cast to string
+        digest = F.md5(
+            F.concat(
+                F.lit(f"{seed}:"),
+                F.floor(bcol / F.lit(2.0)).cast("long").cast("string"),
+                F.lit(":"),
+                kstr,
+            )
+        )
+        pos = F.when(bcol % 2 == 0, F.lit(1)).otherwise(F.lit(17))
+        h = F.conv(digest.substr(pos, F.lit(15)), 16, 10).cast("long")
+    else:
+        h = F.pmod(
+            F.xxhash64(
+                F.concat(
+                    F.lit(f"{seed}:"),
+                    bcol.cast("string"),
+                    F.lit(":"),
+                    kstr,
+                )
+            ),
+            F.lit(1 << 60),
+        )
+    u = (h.cast("double") + F.lit(1.0)) / F.lit(space)
     reps = base.select(
         *group_cols,
         y.alias("_y"),
+        F.col(key_col).cast("string").alias("_bs_key"),
         F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("_b"),
-                        _poisson1_weight(_u(b)).cast("double").alias("_w"),
-                    )
-                    for b in range(replicates)
-                ]
-            )
-        ).alias("_r"),
-    ).select(*group_cols, "_y", F.col("_r._b").alias("_b"), F.col("_r._w").alias("_w"))
+            F.sequence(F.lit(0), F.lit(replicates - 1))
+        ).alias("_b"),
+    ).select(
+        *group_cols,
+        "_y",
+        "_b",
+        _poisson1_weight(u).cast("double").alias("_w"),
+    )
     per_rep = reps.groupBy(*group_cols, "_b").agg(
         F.sum(F.col("_w") * F.col("_y")).alias("_wy"),
         F.sum("_w").alias("_wsum"),

@@ -174,48 +174,94 @@ def frequent_itemsets(
     (which stops at pairs): "which item TRIPLES co-occur often enough
     to act on?".  ``min_support`` is an absolute basket count.
 
-    Classic Apriori pruning, all relational:
+    Plan (round-12 re-plan — basket-local combination counting):
 
-    1. L1: one (item) hash aggregate, filter ≥ min_support;
-    2. L2: basket self-join restricted to L1 items with ``a < b``
-       (each pair once), aggregate, filter — the L1 semi-join is a
-       broadcast (frequent items are few BY CONSTRUCTION: at most
-       Σbaskets/min_support);
-    3. L3: candidate triples from L2⨝L2 on the shared first item
-       (``(a,b) ⋈ (a,c), b < c``) with DOWNWARD CLOSURE enforced
-       ((b,c) must also be in L2) BEFORE any basket scan — the
-       candidate set, not the data, bounds the final count join.
+    1. ONE groupBy collapses each basket to its sorted distinct-item
+       array (set semantics ride the same exchange that the old plan
+       paid a separate ``distinct`` for); the '|' guard is one agg
+       over that small persisted frame.
+    2. L1: explode the arrays, one (item) hash aggregate, filter.
+    3. The arrays are pruned to L1-frequent items (broadcast
+       semi-join — frequent items are few BY CONSTRUCTION: at most
+       Σbaskets/min_support) and re-collected once; L2 and L3 both
+       read this persisted frame.
+    4. L2: all within-basket pairs are generated EXCHANGE-LOCALLY
+       with array lambdas (Σ C(k,2) rows — strictly fewer than the
+       old basket self-join's Σ k² probe output), one aggregate,
+       filter.
+    5. L3: same shape with 3-combinations — exact support counting
+       in one pass, Σ C(k,3) generated rows.  That count is checked
+       eagerly (a 1-row agg over per-basket sizes) BEFORE generating
+       anything; past ``max_triple_candidates`` the operator falls
+       back to classic Apriori — downward-closed L2⨝L2 candidates
+       whose own count is guarded the same way — because in the
+       huge-basket regime the candidate set, not ΣC(k,3), bounds the
+       work.
 
-    Duplicate (basket, item) rows collapse first (set semantics).
     Items containing the '|' separator are rejected loudly rather
     than silently merging itemsets.
 
     DENSE-PAIR HAZARD: when most pairs are frequent (tiny catalog or
-    low min_support), closure barely prunes and the triple count
-    join multiplies |candidates| × per-item basket lists — the
-    classic Apriori blow-up.  The candidate count is checked BEFORE
-    that join and raises past ``max_triple_candidates`` (raise
-    min_support, not the cap).
+    low min_support) AND baskets are huge, neither ΣC(k,3) nor the
+    closure-pruned candidate count stays small; both guards raise
+    past ``max_triple_candidates`` (raise min_support, not the cap).
     """
     if min_support < 1:
         raise ValueError("frequent_itemsets: min_support must be >= 1")
     if not (1 <= max_size <= 3):
         raise ValueError("frequent_itemsets: max_size must be 1..3")
-    base = (
-        df.select(
-            F.col(basket_col).cast("string").alias("_b"),
-            F.col(item_col).cast("string").alias("_i"),
+    pairs0 = df.select(
+        F.col(basket_col).cast("string").alias("_b"),
+        F.col(item_col).cast("string").alias("_i"),
+    ).filter(F.col("_b").isNotNull() & F.col("_i").isNotNull())
+    if max_size == 1:
+        base = pairs0.distinct()
+        bad = base.filter(F.col("_i").contains("|")).limit(1).count()
+        if bad:
+            raise ValueError(
+                "frequent_itemsets: item values must not contain '|'"
+            )
+        return (
+            base.groupBy("_i")
+            .agg(F.count(F.lit(1)).cast("long").alias("support"))
+            .filter(F.col("support") >= min_support)
+            .select(
+                F.col("_i").alias("itemset"),
+                F.lit(1).alias("size"),
+                "support",
+            )
         )
-        .filter(F.col("_b").isNotNull() & F.col("_i").isNotNull())
-        .distinct()
+    # BASKET-LOCAL combination generation (round-12 re-plan): ONE
+    # groupBy collapses each basket to its sorted distinct-item array
+    # (set semantics for free — the old plan paid a separate
+    # distinct), and pairs/triples are generated inside the basket
+    # row with array lambdas — no basket self-join (whose probe emits
+    # Σk² rows vs ΣC(k,2) here) and no candidate×basket count joins.
+    # The old plan also recomputed the (scan → distinct) lineage for
+    # the '|' guard, both self-join sides, and the three count joins;
+    # here every level reads the one persisted array frame.
+    arrs_all = (
+        pairs0.groupBy("_b")
+        .agg(F.sort_array(F.collect_set("_i")).alias("_items"))
+        .persist()
     )
-    bad = base.filter(F.col("_i").contains("|")).limit(1).count()
-    if bad:
+    # one eager pass: materializes arrs_all AND runs the '|' guard
+    guard = arrs_all.agg(
+        F.coalesce(
+            F.max(
+                F.exists("_items", lambda x: x.contains("|"))
+            ),
+            F.lit(False),
+        ).alias("_bad")
+    ).collect()[0]
+    if guard["_bad"]:
+        arrs_all.unpersist()
         raise ValueError(
             "frequent_itemsets: item values must not contain '|'"
         )
     l1 = (
-        base.groupBy("_i")
+        arrs_all.select(F.explode("_items").alias("_i"))
+        .groupBy("_i")
         .agg(F.count(F.lit(1)).cast("long").alias("support"))
         .filter(F.col("support") >= min_support)
     )
@@ -224,16 +270,25 @@ def frequent_itemsets(
         F.lit(1).alias("size"),
         "support",
     )
-    if max_size == 1:
-        return out
-    kept = base.join(
-        F.broadcast(l1.select("_i")), "_i"
-    )  # only frequent items can appear in larger sets
-    a = kept.select(F.col("_b"), F.col("_i").alias("_a"))
-    b = kept.select(F.col("_b"), F.col("_i").alias("_c"))
+    # prune to frequent items (downward closure at the item level),
+    # then re-collect the per-basket arrays once — every larger level
+    # reads this small frame
+    arr_f = (
+        arrs_all.select("_b", F.explode("_items").alias("_i"))
+        .join(F.broadcast(l1.select("_i")), "_i")
+        .groupBy("_b")
+        .agg(F.sort_array(F.collect_list("_i")).alias("_items"))
+        .filter(F.size("_items") >= 2)
+        .persist()
+    )
+    pair_combos = F.expr(
+        "flatten(transform(_items, (x, i) -> "
+        "transform(slice(_items, i + 2, size(_items)), "
+        "y -> named_struct('_a', x, '_c', y))))"
+    )
     pairs = (
-        a.join(b, "_b")
-        .filter(F.col("_a") < F.col("_c"))
+        arr_f.select(F.explode(pair_combos).alias("_p"))
+        .select(F.col("_p._a").alias("_a"), F.col("_p._c").alias("_c"))
         .groupBy("_a", "_c")
         .agg(F.count(F.lit(1)).cast("long").alias("support"))
         .filter(F.col("support") >= min_support)
@@ -245,60 +300,89 @@ def frequent_itemsets(
             "support",
         )
     )
-    if max_size == 2:
-        return out
-    # candidate triples with downward closure, then ONE count join.
-    # The full plan references the `pairs` subtree four times (size-2
-    # branch + two closure probes + the candidate count); exchange
-    # reuse would dedupe those, but AQE's stage-level re-planning
-    # defeats it in this shape (measured: 22 s vs 8 s at sf0.1).  So:
-    # persist `pairs`, materialize the result via checkpoint_sever,
-    # and unpersist before returning — the returned frame reads its
-    # own severed blocks and pins no cache (the `connected_components`
-    # convention; blocks are reclaimed when the result is dropped).
-    pairs = pairs.persist()
-    p1 = pairs.select(
-        F.col("_a").alias("x"), F.col("_c").alias("y")
-    )
-    cand = (
-        p1.alias("ab")
-        .join(p1.alias("ac"), F.col("ab.x") == F.col("ac.x"))
-        .filter(F.col("ab.y") < F.col("ac.y"))
-        .select(
-            F.col("ab.x").alias("_t1"),
-            F.col("ab.y").alias("_t2"),
-            F.col("ac.y").alias("_t3"),
-        )
-        .join(
-            p1.select(
-                F.col("x").alias("_t2"), F.col("y").alias("_t3")
-            ),
-            ["_t2", "_t3"],
-        )
-    )
-    n_cand = cand.count()
-    if n_cand > max_triple_candidates:
-        pairs.unpersist()
-        raise ValueError(
-            f"frequent_itemsets: {n_cand} triple candidates exceed "
-            f"max_triple_candidates={max_triple_candidates} — the "
-            "pair level is too dense; raise min_support"
-        )
-    c = kept.select(F.col("_b"), F.col("_i").alias("_e"))
-    triples = (
-        cand.join(
-            a.select("_b", F.col("_a").alias("_t1")), "_t1"
-        )
-        .join(
-            b.select("_b", F.col("_c").alias("_t2")), ["_b", "_t2"]
-        )
-        .join(c.select("_b", F.col("_e").alias("_t3")), ["_b", "_t3"])
-        .groupBy("_t1", "_t2", "_t3")
-        .agg(F.count(F.lit(1)).cast("long").alias("support"))
-        .filter(F.col("support") >= min_support)
-    )
     from ..iterate import checkpoint_sever
 
+    if max_size == 2:
+        res = checkpoint_sever(out)
+        arr_f.unpersist()
+        arrs_all.unpersist()
+        return res
+    # triple level: generating C(k,3) combos per basket is exact
+    # support counting in one pass, but blows up on huge baskets —
+    # the SAME dense hazard the candidate join has.  The eager guard
+    # below (one agg over the small persisted array frame) bounds the
+    # generated-row count; past the cap, fall back to classic Apriori
+    # candidates (downward-closed L2⨝L2, own guarded count) whose
+    # work is bounded by |candidates| × basket lists instead.
+    k = F.size("_items").cast("long")
+    stats = arr_f.agg(
+        F.coalesce(
+            F.sum(k * (k - 1) * (k - 2) / F.lit(6)), F.lit(0.0)
+        ).alias("_c3")
+    ).collect()[0]
+    n_combos = int(stats["_c3"])
+    if n_combos <= max_triple_candidates:
+        triple_combos = F.expr(
+            "flatten(flatten(transform(_items, (x, i) -> "
+            "transform(slice(_items, i + 2, size(_items)), (y, j) -> "
+            "transform(slice(_items, i + j + 3, size(_items)), "
+            "z -> named_struct('_t1', x, '_t2', y, '_t3', z))))))"
+        )
+        triples = (
+            arr_f.select(F.explode(triple_combos).alias("_t"))
+            .select("_t._t1", "_t._t2", "_t._t3")
+            .groupBy("_t1", "_t2", "_t3")
+            .agg(F.count(F.lit(1)).cast("long").alias("support"))
+            .filter(F.col("support") >= min_support)
+        )
+    else:
+        pairs = pairs.persist()
+        p1 = pairs.select(
+            F.col("_a").alias("x"), F.col("_c").alias("y")
+        )
+        cand = (
+            p1.alias("ab")
+            .join(p1.alias("ac"), F.col("ab.x") == F.col("ac.x"))
+            .filter(F.col("ab.y") < F.col("ac.y"))
+            .select(
+                F.col("ab.x").alias("_t1"),
+                F.col("ab.y").alias("_t2"),
+                F.col("ac.y").alias("_t3"),
+            )
+            .join(
+                p1.select(
+                    F.col("x").alias("_t2"), F.col("y").alias("_t3")
+                ),
+                ["_t2", "_t3"],
+            )
+        )
+        n_cand = cand.count()
+        if n_cand > max_triple_candidates:
+            pairs.unpersist()
+            arr_f.unpersist()
+            arrs_all.unpersist()
+            raise ValueError(
+                f"frequent_itemsets: {n_cand} triple candidates exceed "
+                f"max_triple_candidates={max_triple_candidates} — the "
+                "pair level is too dense; raise min_support"
+            )
+        kept = arr_f.select("_b", F.explode("_items").alias("_i"))
+        triples = (
+            cand.join(
+                kept.select("_b", F.col("_i").alias("_t1")), "_t1"
+            )
+            .join(
+                kept.select("_b", F.col("_i").alias("_t2")),
+                ["_b", "_t2"],
+            )
+            .join(
+                kept.select("_b", F.col("_i").alias("_t3")),
+                ["_b", "_t3"],
+            )
+            .groupBy("_t1", "_t2", "_t3")
+            .agg(F.count(F.lit(1)).cast("long").alias("support"))
+            .filter(F.col("support") >= min_support)
+        )
     res = checkpoint_sever(
         out.unionByName(
             triples.select(
@@ -308,5 +392,7 @@ def frequent_itemsets(
             )
         )
     )
-    pairs.unpersist()
+    # unpersist is a no-op on the never-persisted direct-path `pairs`
+    for c in (arr_f, arrs_all, pairs):
+        c.unpersist()
     return res
