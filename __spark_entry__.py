@@ -4362,8 +4362,8 @@ def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     Adamic–Adar / preferential-attachment) over the part↔supplier
     bipartite graph, wedge centers capped at degree 30 — the hub-skew
     guard with degrees still exact from the full graph
-    (graph/linkpred.link_prediction_scores).  One wedge self-join on
-    the center, never |V|² pairs.  VALUE oracle: the identical wedge
+    (graph/linkpred.link_prediction_scores).  Wedge pairs generated
+    exchange-locally per center, never |V|² pairs.  VALUE oracle: the identical wedge
     fold in DuckDB."""
     from moz_datapipeline_spark.graph.linkpred import (
         link_prediction_scores,

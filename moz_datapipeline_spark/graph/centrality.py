@@ -16,11 +16,11 @@ Execution shape: ONE frontier frame carries all k sources at once
 node id plus an anti join against the visited set — k never multiplies
 the number of Spark jobs, only the row count.  BFS is inherently
 iterative with the visited set consumed three times per hop (join,
-anti, union), so the operator MATERIALIZES each hop (persist + count,
-releasing the previous hop — the ``pagerank eager`` contract); a lazy
-variant would triple the plan per hop.  The returned frame is
-persisted; callers unpersist it when done (pinned by
-``tests/test_cache_contract``).
+anti, union), so the operator SEVERS each hop
+(``iterate.checkpoint_sever``): a lazy or merely-persisted lineage
+grows ~3x per hop and Catalyst re-analysis of the exponential plan
+dominates the wall clock.  The returned frame is persisted; callers
+unpersist it when done (pinned by ``tests/test_cache_contract``).
 
 Reference parity: extension surface; the frontier/visited idiom
 matches ``graph/kcore.py``'s peel rounds.
@@ -59,14 +59,20 @@ def harmonic_centrality(
         )
     e = e.filter(F.col("_s") != F.col("_d")).distinct().persist()
 
+    from moz_datapipeline_spark.iterate import (
+        checkpoint_sever,
+        sever_release,
+    )
+
     spark = edges.sparkSession
     init = spark.createDataFrame(
         [(s, s, 0) for s in sources], ["source", "node", "dist"]
     )
-    visited = init.persist()
-    visited.count()
+    visited = init
+    # hop-1 termination must see only NEWLY discovered nodes, so the
+    # baseline is the init row count (known driver-side, no job)
+    n_prev = len(sources)
     frontier = visited
-    cached = [visited]
     for h in range(1, max_hops + 1):
         nxt = (
             frontier.join(e, frontier["node"] == e["_s"])
@@ -75,9 +81,22 @@ def harmonic_centrality(
             .join(visited, ["source", "node"], "anti")
             .withColumn("dist", F.lit(h))
         )
-        visited_new = visited.unionByName(nxt).persist()
-        n_new = visited_new.count() - visited.count()
-        cached.append(visited_new)
+        # SEVER, don't just persist: each hop references `visited`
+        # three times (frontier filter, anti join, union), so a lazy
+        # or merely-persisted lineage grows ~3x per hop and Catalyst
+        # re-analysis of the exponentially growing plan dominates the
+        # wall clock (measured: the hop-4 result plan was an 8,400-
+        # operator tree; with severing it is one ExistingRDD scan).
+        # The termination count then scans the severed blocks (cheap),
+        # with the previous size tracked driver-side.  Each superseded
+        # hop's blocks are released as soon as the new hop is
+        # materialized (sever_release), honouring the operator's
+        # nothing-stays-cached contract.
+        visited_new = checkpoint_sever(visited.unionByName(nxt))
+        n_now = visited_new.count()
+        n_new = n_now - n_prev
+        n_prev = n_now
+        sever_release(visited)
         frontier = visited_new.filter(F.col("dist") == h)
         visited = visited_new
         if n_new == 0:
@@ -109,7 +128,6 @@ def harmonic_centrality(
         .persist()
     )
     result.count()
-    for c in cached:
-        c.unpersist()
+    sever_release(visited)
     e.unpersist()
     return result

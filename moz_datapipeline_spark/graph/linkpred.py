@@ -8,9 +8,11 @@ citation neighborhood" signals.  They complement the membership-style
 graph operators here (``pagerank`` scores nodes, ``lpa``/
 ``components`` partition them; this scores ABSENT edges).
 
-Scale shape: every score is a fold over WEDGES (paths a—z—b), so the
-work is one self-equi-join of the adjacency on the wedge center z —
-Σ deg(z)² rows, never |V|² pairs.  That sum is dominated by hubs,
+Scale shape: every score is a fold over WEDGES (paths a—z—b).  The
+adjacency is collapsed to one sorted neighbor array per center (one
+groupBy exchange) and the C(deg z, 2) wedge pairs are generated
+EXCHANGE-LOCALLY with streaming Generates — Σ C(deg z, 2) rows and no
+wedge self-join, never |V|² pairs.  That sum is dominated by hubs,
 which is exactly why ``max_wedge_degree`` exists: capping the center
 degree drops hub wedges (a 10⁶-degree hub contributes 10¹² wedges
 and near-zero Adamic–Adar weight each — the classic skew trade), and
@@ -19,7 +21,8 @@ Degrees are always computed on the FULL graph before the cap, so
 Jaccard/PA denominators stay exact.
 
 Reference parity: extension surface (the reference has no link
-prediction); the wedge-join idiom matches ``graph/triangles.py``.
+prediction); the array-combination idiom matches
+``operators/relational.frequent_itemsets``'s round-12 re-plan.
 """
 
 from __future__ import annotations
@@ -55,8 +58,8 @@ def link_prediction_scores(
     ``stats`` and plan construction stays job-free).
 
     ``max_wedge_degree`` DEFAULTS to 1000: one uncapped hub of degree
-    d emits d² wedge rows (a 10⁶-degree hub → 10¹² rows), so the
-    quadratic path must be an explicit choice — pass ``None`` to
+    d emits C(d,2) wedge rows (a 10⁶-degree hub → ~5·10¹¹ rows), so
+    the quadratic path must be an explicit choice — pass ``None`` to
     disable the cap on graphs known to be hub-free.  Capped centers
     lower-bound ``common_neighbors``/``adamic_adar`` for pairs routed
     through them; degrees (hence ``jaccard`` denominators and
@@ -69,37 +72,58 @@ def link_prediction_scores(
         )
     e = e.filter(F.col("_s") != F.col("_d")).distinct()
 
-    deg = e.groupBy(F.col("_s").alias("_node")).agg(
-        F.count(F.lit(1)).alias("_deg")
+    # ONE groupBy collapses each center to its sorted neighbor array
+    # (e is distinct, so collect_list is already set-valued); degrees
+    # fall out as size(_ns) from the SAME exchange (ReusedExchange —
+    # the old plan paid a separate count aggregate plus an e⨝deg join
+    # to put _dz on every edge row).
+    nbrs = e.groupBy(F.col("_s").alias("_z")).agg(
+        F.sort_array(F.collect_list("_d")).alias("_ns")
     )
-    centers = e.join(
-        deg.select(
-            F.col("_node").alias("_s"), F.col("_deg").alias("_dz")
-        ),
-        "_s",
-    ).filter(F.col("_dz") >= 2)
+    deg = nbrs.select(
+        F.col("_z").alias("_node"), F.size("_ns").cast("long").alias("_deg")
+    )
+    centers = nbrs.filter(F.size("_ns") >= 2)
     if max_wedge_degree is not None:
         if stats is not None:
             stats["dropped_centers"] = (
                 deg.filter(F.col("_deg") > int(max_wedge_degree)).count()
             )
-        centers = centers.filter(F.col("_dz") <= int(max_wedge_degree))
+        centers = centers.filter(
+            F.size("_ns") <= int(max_wedge_degree)
+        )
 
-    wa = centers.select(
-        F.col("_s").alias("_z"), F.col("_d").alias("_a"), "_dz"
-    )
-    wb = centers.select(
-        F.col("_s").alias("_z"), F.col("_d").alias("_b")
-    )
+    # Wedge pairs are generated EXCHANGE-LOCALLY from the sorted
+    # array: posexplode picks _a, a second explode slices the strictly
+    # later elements as _b — exactly the C(k,2) pairs with _a < _b the
+    # old self-join produced from k² probe rows, with no wedge
+    # exchange at all.  Two STREAMING Generates (not one flattened
+    # combination array) keep peak allocation O(k) per center, so an
+    # uncapped hub degrades like the old join (many rows) rather than
+    # materializing C(k,2) structs in one buffer.
     wedges = (
-        wa.join(wb, "_z")
-        .filter(F.col("_a") < F.col("_b"))
+        centers.select(
+            (
+                F.lit(1.0) / F.log(F.size("_ns").cast("double"))
+            ).alias("_w"),
+            "_ns",
+            F.posexplode("_ns").alias("_i", "_a"),
+        )
+        .select(
+            "_w",
+            "_a",
+            F.explode(
+                F.slice(
+                    F.col("_ns"),
+                    F.col("_i") + F.lit(2),
+                    F.size("_ns"),
+                )
+            ).alias("_b"),
+        )
         .groupBy("_a", "_b")
         .agg(
             F.count(F.lit(1)).alias("_cn"),
-            F.sum(
-                F.lit(1.0) / F.log(F.col("_dz").cast("double"))
-            ).alias("_aa"),
+            F.sum("_w").alias("_aa"),
         )
     )
     adj = e.filter(F.col("_s") < F.col("_d")).select(

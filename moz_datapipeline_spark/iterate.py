@@ -44,7 +44,32 @@ def checkpoint_sever(df: DataFrame) -> DataFrame:
         jds = spark._jsparkSession.internalCreateDataFrame(
             jrdd, jdf.schema(), False
         )
-        return _CDF(jds, spark)
+        out = _CDF(jds, spark)
+        # handle for sever_release: the PERSISTED rdd is the one inside
+        # cp's LogicalRDD (toRdd() above is a derived wrapper over it)
+        try:
+            out._severed_source_jrdd = (
+                jdf.queryExecution().analyzed().rdd()
+            )
+        except Exception:
+            pass
+        return out
     except Exception:
         # internal API moved: public rebuild (adds a Python pass)
         return cp.sparkSession.createDataFrame(cp.rdd, cp.schema)
+
+
+def sever_release(df: DataFrame) -> None:
+    """Unpersist the checkpointed blocks behind a ``checkpoint_sever``
+    result.  AFTER THIS THE FRAME CANNOT BE RECOMPUTED (a severed plan
+    has no lineage) — call only once every downstream consumer has
+    materialized its own copy.  Loops with a strict nothing-stays-
+    cached contract (``harmonic_centrality``) use this to release
+    superseded rounds instead of waiting for the ContextCleaner;
+    a frame from the fallback path is left alone (no handle)."""
+    jrdd = getattr(df, "_severed_source_jrdd", None)
+    if jrdd is not None:
+        try:
+            jrdd.unpersist(False)
+        except Exception:
+            pass
