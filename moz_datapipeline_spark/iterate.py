@@ -33,7 +33,16 @@ from pyspark.sql import DataFrame
 def checkpoint_sever(df: DataFrame) -> DataFrame:
     """Eager local checkpoint with origin-statistics severing — use
     instead of ``localCheckpoint(eager=True)`` inside iterative loops
-    that JOIN frames derived from the previous round's checkpoint."""
+    that JOIN frames derived from the previous round's checkpoint.
+
+    ``SPARK_GRAFT_SEVER_PASSTHROUGH=1`` turns this into the identity —
+    a plan-INSPECTION knob only (``capture_plan.py`` uses it so
+    ``.explain`` shows the real computation instead of a scan of
+    severed blocks); never set it for execution."""
+    import os as _os
+
+    if _os.environ.get("SPARK_GRAFT_SEVER_PASSTHROUGH") == "1":
+        return df
     cp = df.localCheckpoint(eager=True)
     try:
         from pyspark.sql.classic.dataframe import DataFrame as _CDF

@@ -4236,69 +4236,150 @@ def ridge_fit(
     )
 
 
-def _blocked_design_frames(
-    cells: DataFrame,
-) -> tuple[DataFrame, DataFrame]:
-    """Shared lazy plumbing for the blocked-design tests
-    (friedman/page/cochran) — NO driver actions here, so the whole
-    test runs as ONE job:
+def _blocked_design_rollup(
+    cells: DataFrame, val_col: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared plumbing for the blocked-design tests
+    (friedman/page/cochran): ONE groupBy collapses each block to its
+    cell array, and every downstream quantity — the completeness
+    guards, the complete-case filter, within-block tie-averaged ranks
+    — folds over that block-sized frame with k-element array lambdas
+    (k = treatments, bounded by design).  The previous formulation
+    re-derived three data-sized branches ((block,trt) counts, block
+    sizes, rank windows) from the cell frame; under AQE each of those
+    branches' exchanges materialized as its own stage-job, ~36 jobs
+    for one 1-row test.  This shape runs the same test in ~1/3 the
+    stages with identical arithmetic (ranks are exact half-integers,
+    so every fold is exact in double and order-insensitive).
 
-    - ``guards``: a 1-row frame ``(_k_tot, _max_cell, _n_dropped)``
-      — global distinct-treatment count (the completeness contract),
-      the duplicate-cell detector, and the incomplete-block count;
-    - ``complete``: the cells of blocks holding exactly ``_k_tot``
-      cells (complete-case), via a broadcast of the guards row.
+    Returns ``(blocks, ktot, guards)``:
+
+    - ``blocks``: PERSISTED ``(_blk, _arr: array<struct<_trt, val>>,
+      _trts: array<string>)`` — caller releases it via
+      ``_eager_one_row``;
+    - ``ktot``: 1-row ``(_k_tot)`` global distinct-treatment count;
+    - ``guards``: 1-row ``(_k_tot, _max_cell, _n_dropped)`` — the
+      duplicate-cell detector and incomplete-block count (same
+      contract as before: complete ⇔ the block holds all ``_k_tot``
+      distinct treatments; duplicate cells are detected globally and
+      rejected post-hoc by ``_eager_one_row``).
     """
-    g = cells.groupBy("_blk", "_trt").agg(
-        F.count(F.lit(1)).alias("_c")
+    blocks = (
+        cells.groupBy("_blk")
+        .agg(F.collect_list(F.struct("_trt", val_col)).alias("_arr"))
+        .withColumn("_trts", F.array_distinct(F.col("_arr._trt")))
+        .persist()
     )
-    sizes = g.groupBy("_blk").agg(F.count(F.lit(1)).alias("_k"))
-    kf = g.agg(
-        F.countDistinct("_trt").cast("long").alias("_k_tot"),
-        F.coalesce(F.max("_c"), F.lit(0)).cast("long").alias(
-            "_max_cell"
-        ),
+    ktot = blocks.select(F.explode("_trts").alias("_t")).agg(
+        F.countDistinct("_t").cast("long").alias("_k_tot")
+    )
+    max_cell = F.array_max(
+        F.transform(
+            F.col("_trts"),
+            lambda t: F.size(
+                F.filter(F.col("_arr"), lambda x: x["_trt"] == t)
+            ),
+        )
     )
     guards = (
-        sizes.crossJoin(F.broadcast(kf))
+        blocks.crossJoin(F.broadcast(ktot))
         .agg(
             F.max("_k_tot").alias("_k_tot"),
-            F.max("_max_cell").alias("_max_cell"),
+            F.coalesce(F.max(max_cell), F.lit(0))
+            .cast("long")
+            .alias("_max_cell"),
             F.coalesce(
                 F.sum(
-                    (F.col("_k") != F.col("_k_tot")).cast("long")
+                    (F.size("_trts") != F.col("_k_tot")).cast("long")
                 ),
                 F.lit(0),
             ).alias("_n_dropped"),
         )
     )
-    complete = cells.join(
-        sizes.crossJoin(F.broadcast(kf))
-        .filter(F.col("_k") == F.col("_k_tot"))
-        .select("_blk"),
-        "_blk",
-    )
-    return guards, complete
+    return blocks, ktot, guards
 
 
-def _eager_one_row(
-    cells: DataFrame, final: DataFrame, op: str
-) -> DataFrame:
-    """Materialize the 1-row result (ONE job), enforce the
-    duplicate-cell guard post-hoc, release the pinned cell frame, and
-    hand back a driver-side literal (the ``ks_test`` convention) with
-    the internal guard columns stripped — nothing stays cached after
-    the operator returns."""
-    rows = final.collect()
-    cells.unpersist()
-    if rows and rows[0]["_max_cell"] is not None and rows[0]["_max_cell"] > 1:
+def _collect_guards(
+    blocks: DataFrame, ktot: DataFrame, guards: DataFrame, op: str
+) -> tuple[int, int]:
+    """Materialize the guard row (also warming the ``blocks`` cache),
+    enforce the duplicate-cell contract IMMEDIATELY, and hand back
+    ``(k_tot, n_dropped)`` as Python ints.  Downstream plans then use
+    ``k_tot`` as a LITERAL instead of a broadcast-crossJoined 1-row
+    frame — each broadcast subtree was its own nested adaptive plan
+    that re-scanned the cached blocks (measured: cochran_q ran 12
+    separate 32-task cache scans; with literals it runs 3)."""
+    row = guards.collect()[0]
+    if row["_max_cell"] is not None and row["_max_cell"] > 1:
         raise ValueError(
             f"{op}: multiple observations per (block, treatment) "
             "cell — pre-aggregate first"
         )
-    keep = [f.name for f in final.schema.fields if f.name != "_max_cell"]
-    out = final.sparkSession.createDataFrame(rows, final.schema)
-    return out.select(*keep)
+    return int(row["_k_tot"] or 0), int(row["_n_dropped"] or 0)
+
+
+def _complete_blocks(blocks: DataFrame, k_tot: int) -> DataFrame:
+    """Complete-case blocks: all ``k_tot`` treatments present."""
+    return blocks.filter(F.size("_trts") == F.lit(int(k_tot)))
+
+
+def _within_block_rank_rows(complete: DataFrame) -> DataFrame:
+    """Explode complete blocks to ``(_trt, _r)`` rows with the
+    within-block tie-averaged rank of each cell: ``#smaller +
+    (#equal + 1)/2`` over the block's k-element array — identical to
+    ``rank() + (ties−1)/2`` over a block window (both are the
+    standard average rank; comparisons use Spark's NaN-greatest,
+    NaN-equals-NaN semantics in both forms), without the window's
+    exchange.  Ranks are exact half-integers, so downstream sums are
+    exact and order-free."""
+    ranked = complete.select(
+        F.explode(
+            F.transform(
+                "_arr",
+                lambda x: F.struct(
+                    x["_trt"].alias("_trt"),
+                    (
+                        F.size(
+                            F.filter(
+                                F.col("_arr"),
+                                lambda y: y["_v"] < x["_v"],
+                            )
+                        ).cast("double")
+                        + (
+                            F.size(
+                                F.filter(
+                                    F.col("_arr"),
+                                    lambda y: y["_v"] == x["_v"],
+                                )
+                            ).cast("double")
+                            + F.lit(1.0)
+                        )
+                        / F.lit(2.0)
+                    ).alias("_r"),
+                ),
+            )
+        ).alias("_cell")
+    )
+    return ranked.select(
+        F.col("_cell._trt").alias("_trt"), F.col("_cell._r").alias("_r")
+    )
+
+
+def _eager_one_row(
+    blocks: DataFrame, final: DataFrame
+) -> DataFrame:
+    """Materialize the 1-row result, release the pinned block frame,
+    and hand back a driver-side literal (the ``ks_test`` convention)
+    — nothing stays cached after the operator returns.  The literal
+    is a JVM Project-over-Range(1) plan (see ``localresult``), not a
+    pickled-row parallelize — the old 32-slice Python literal made
+    every 1-row result a 32-task, Python-worker-spawning scan for
+    its consumer."""
+    from moz_datapipeline_spark.localresult import literal_frame
+
+    rows = final.collect()
+    blocks.unpersist()
+    return literal_frame(final.sparkSession, rows, final.schema)
 
 
 def friedman_test(
@@ -4321,9 +4402,10 @@ def friedman_test(
     Wilson–Hilferty + the A&S erf polynomial (the ``kruskal_wallis``
     convention).  An all-tied panel (denominator 0) yields NULLs.
 
-    Plan: within-block average ranks come from block-partitioned
-    windows (each window is k rows — bounded by design, never
-    data-sized); then one treatment rollup and a 1-row fold.
+    Plan: one groupBy collapses each block to its k-cell array
+    (bounded by design, never data-sized); within-block average
+    ranks are k-element array lambdas over it, then one treatment
+    rollup and a 1-row fold — no windows, no re-scan branches.
     """
     b = F.col(block_col).cast("string").alias("_blk")
     t = F.col(treatment_col).cast("string").alias("_trt")
@@ -4333,39 +4415,27 @@ def friedman_test(
         & F.col("_trt").isNotNull()
         & F.col("_v").isNotNull()
     )
-    # the cell frame is blocks×k-sized but may sit on an expensive
-    # lineage (a data-sized rollup): pin it so the guard pass and the
-    # main fold scan the input ONCE, and fold both guards into a
-    # single action
-    cells = cells.persist()
-    guards, complete = _blocked_design_frames(cells)
-    bw = Window.partitionBy("_blk")
-    rnk = F.rank().over(bw.orderBy("_v"))
-    ties = F.count(F.lit(1)).over(
-        Window.partitionBy("_blk", "_v")
+    # one rollup pins each block's cells as a k-element array; ranks,
+    # guards and Σr² all fold from it without windows or re-scans
+    # (identical half-integer arithmetic — see _blocked_design_rollup)
+    blocks, ktot, guards = _blocked_design_rollup(cells, "_v")
+    k_tot, n_dropped = _collect_guards(
+        blocks, ktot, guards, "friedman_test"
     )
-    ranked = complete.select(
-        "_blk",
-        "_trt",
-        (
-            rnk.cast("double")
-            + (ties.cast("double") - F.lit(1.0)) / F.lit(2.0)
-        ).alias("_r"),
-    )
+    ranked = _within_block_rank_rows(_complete_blocks(blocks, k_tot))
     per_t = ranked.groupBy("_trt").agg(
         F.sum("_r").alias("_rsum"),
         F.count(F.lit(1)).cast("double").alias("_nb"),
+        F.sum(F.col("_r") * F.col("_r")).alias("_rr_t"),
     )
-    sq = ranked.agg(F.sum(F.col("_r") * F.col("_r")).alias("_rr"))
-    folded = (
-        per_t.agg(
-            F.count(F.lit(1)).cast("long").alias("k_treatments"),
-            F.max("_nb").alias("_n"),
-            F.sum(F.col("_rsum") * F.col("_rsum")).alias("_ss"),
-            F.sum("_rsum").alias("_rt"),
-        )
-        .crossJoin(F.broadcast(sq))
-        .crossJoin(F.broadcast(guards))
+    folded = per_t.agg(
+        F.count(F.lit(1)).cast("long").alias("k_treatments"),
+        F.max("_nb").alias("_n"),
+        F.sum(F.col("_rsum") * F.col("_rsum")).alias("_ss"),
+        F.sum("_rsum").alias("_rt"),
+        # Σ_ij r² regrouped per treatment first — exact (ranks are
+        # half-integers), so the value matches the old global fold
+        F.sum("_rr_t").alias("_rr"),
     )
     k = F.col("k_treatments").cast("double")
     n = F.col("_n")
@@ -4412,11 +4482,11 @@ def friedman_test(
         ),
     )
     return _eager_one_row(
-        cells,
+        blocks,
         folded.select(
             "k_treatments",
             F.coalesce(n, F.lit(0.0)).cast("long").alias("n_blocks"),
-            F.col("_n_dropped").cast("long").alias(
+            F.lit(n_dropped).cast("long").alias(
                 "n_blocks_dropped"
             ),
             F.round(chi2, 6).alias("chi2"),
@@ -4425,9 +4495,7 @@ def friedman_test(
             F.when(p.isNotNull(), p < F.lit(0.05)).alias(
                 "significant"
             ),
-            "_max_cell",
         ),
-        "friedman_test",
     )
 
 
@@ -4579,9 +4647,9 @@ def cochran_q(
     via Wilson–Hilferty + A&S (the ``kruskal_wallis`` convention); a
     zero denominator (all blocks degenerate) yields NULLs.
 
-    Plan: the ``friedman_test`` scheme minus the rank windows — one
-    cell pass, two small rollups (per-block, per-treatment), a 1-row
-    fold.
+    Plan: the ``friedman_test`` rollup scheme — one block-array
+    groupBy; block totals fold exchange-locally from the arrays, one
+    per-treatment rollup, a 1-row fold.
     """
     b = F.col(block_col).cast("string").alias("_blk")
     t = F.col(treatment_col).cast("string").alias("_trt")
@@ -4591,20 +4659,29 @@ def cochran_q(
         & F.col("_trt").isNotNull()
         & F.col("_o").isNotNull()
     )
-    cells = cells.persist()
-    guards, complete = _blocked_design_frames(cells)
-    per_b = complete.groupBy("_blk").agg(
-        F.sum("_o").cast("double").alias("_r")
+    # one rollup pins each block's 0/1 cells as a k-element array;
+    # block success totals fold exchange-locally from it and the
+    # guards ride the same frame (identical integer arithmetic — see
+    # _blocked_design_rollup)
+    blocks, ktot, guards = _blocked_design_rollup(cells, "_o")
+    k_tot, n_dropped = _collect_guards(
+        blocks, ktot, guards, "cochran_q"
     )
-    per_t = complete.groupBy("_trt").agg(
-        F.sum("_o").cast("double").alias("_c")
-    )
-    fb = per_b.agg(
+    complete = _complete_blocks(blocks, k_tot)
+    r_blk = F.aggregate(
+        F.col("_arr"),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x["_o"].cast("long"),
+    ).cast("double")
+    fb = complete.agg(
         F.count(F.lit(1)).cast("long").alias("n_blocks"),
-        F.coalesce(F.sum("_r"), F.lit(0.0)).alias("_t"),
-        F.coalesce(F.sum(F.col("_r") * F.col("_r")), F.lit(0.0)).alias(
-            "_rr"
-        ),
+        F.coalesce(F.sum(r_blk), F.lit(0.0)).alias("_t"),
+        F.coalesce(F.sum(r_blk * r_blk), F.lit(0.0)).alias("_rr"),
+    )
+    per_t = (
+        complete.select(F.explode("_arr").alias("_cell"))
+        .groupBy(F.col("_cell._trt").alias("_trt"))
+        .agg(F.sum("_cell._o").cast("double").alias("_c"))
     )
     ft = per_t.agg(
         F.count(F.lit(1)).cast("long").alias("k_treatments"),
@@ -4612,9 +4689,7 @@ def cochran_q(
             F.sum(F.col("_c") * F.col("_c")), F.lit(0.0)
         ).alias("_cc"),
     )
-    folded = fb.crossJoin(F.broadcast(ft)).crossJoin(
-        F.broadcast(guards)
-    )
+    folded = fb.crossJoin(F.broadcast(ft))
     k = F.col("k_treatments").cast("double")
     tt = F.col("_t")
     den = k * tt - F.col("_rr")
@@ -4652,11 +4727,11 @@ def cochran_q(
         ),
     )
     return _eager_one_row(
-        cells,
+        blocks,
         folded.select(
             "k_treatments",
             "n_blocks",
-            F.col("_n_dropped").cast("long").alias(
+            F.lit(n_dropped).cast("long").alias(
                 "n_blocks_dropped"
             ),
             F.round(q, 6).alias("q_stat"),
@@ -4665,9 +4740,7 @@ def cochran_q(
             F.when(p.isNotNull(), p < F.lit(0.05)).alias(
                 "significant"
             ),
-            "_max_cell",
         ),
-        "cochran_q",
     )
 
 
@@ -4741,9 +4814,9 @@ def page_trend(
     Complete-case over blocks like ``friedman_test`` (duplicates
     rejected loudly); k < 2 or a degenerate σ yields NULLs.
 
-    Plan: identical to ``friedman_test`` — block-partitioned k-row
-    rank windows, one treatment rollup (plus a k-row label-rank
-    window), a 1-row fold.
+    Plan: identical to ``friedman_test`` — one block-array rollup,
+    k-element array-lambda ranks, one treatment rollup (plus a k-row
+    label-rank window), a 1-row fold.
     """
     b = F.col(block_col).cast("string").alias("_blk")
     t = F.col(treatment_col).cast("string").alias("_trt")
@@ -4753,18 +4826,14 @@ def page_trend(
         & F.col("_trt").isNotNull()
         & F.col("_v").isNotNull()
     )
-    cells = cells.persist()
-    guards, complete = _blocked_design_frames(cells)
-    bw = Window.partitionBy("_blk")
-    rnk = F.rank().over(bw.orderBy("_v"))
-    ties = F.count(F.lit(1)).over(Window.partitionBy("_blk", "_v"))
-    ranked = complete.select(
-        "_trt",
-        (
-            rnk.cast("double")
-            + (ties.cast("double") - F.lit(1.0)) / F.lit(2.0)
-        ).alias("_r"),
+    # same rollup re-plan as friedman_test: block arrays once, ranks
+    # as k-element array lambdas, no windows (identical half-integer
+    # arithmetic — see _blocked_design_rollup)
+    blocks, ktot, guards = _blocked_design_rollup(cells, "_v")
+    k_tot, n_dropped = _collect_guards(
+        blocks, ktot, guards, "page_trend"
     )
+    ranked = _within_block_rank_rows(_complete_blocks(blocks, k_tot))
     per_t = ranked.groupBy("_trt").agg(
         F.sum("_r").alias("_rsum"),
         F.count(F.lit(1)).cast("double").alias("_nb"),
@@ -4779,7 +4848,7 @@ def page_trend(
         F.count(F.lit(1)).cast("long").alias("k_treatments"),
         F.max("_nb").alias("_n"),
         F.sum(F.col("_j") * F.col("_rsum")).alias("_l"),
-    ).crossJoin(F.broadcast(guards))
+    )
     k = F.col("k_treatments").cast("double")
     n = F.col("_n")
     mu = n * k * (k + F.lit(1.0)) * (k + F.lit(1.0)) / F.lit(4.0)
@@ -4811,11 +4880,11 @@ def page_trend(
         ),
     )
     return _eager_one_row(
-        cells,
+        blocks,
         folded.select(
             "k_treatments",
             F.coalesce(n, F.lit(0.0)).cast("long").alias("n_blocks"),
-            F.col("_n_dropped").cast("long").alias(
+            F.lit(n_dropped).cast("long").alias(
                 "n_blocks_dropped"
             ),
             F.round(F.col("_l"), 6).alias("l_stat"),
@@ -4824,9 +4893,7 @@ def page_trend(
             F.when(p.isNotNull(), p < F.lit(0.05)).alias(
                 "significant"
             ),
-            "_max_cell",
         ),
-        "page_trend",
     )
 
 

@@ -38,6 +38,29 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = cpus
 
+    # Long-lived-session JVM health (measured r12, see OPTIMIZATION_r12.md):
+    # a resident engine compiles hundreds of distinct whole-stage-codegen
+    # classes; the JDK 17 default -XX:ReservedCodeCacheSize=240m fills and
+    # the JIT falls back to interpreted bytecode — late-session queries ran
+    # ~2x their fresh-session time.  512 MB keeps every hot nmethod
+    # compiled.  The ContextCleaner's periodic full GC (default 30min)
+    # is what actually releases finished shuffles' files and broadcast
+    # blocks between rare organic full GCs; 5min bounds that buildup.
+    # Both parameterized for cluster deployments (set per driver/executor
+    # sizing there).
+    code_cache = os.environ.get("SPARK_GRAFT_CODE_CACHE", "512m")
+    periodic_gc = os.environ.get("SPARK_GRAFT_PERIODIC_GC", "5min")
+    # ExplicitGCInvokesConcurrent: the ContextCleaner's periodic
+    # System.gc() only needs a reference-processing CYCLE to discover
+    # dead shuffle/broadcast refs — a concurrent G1 cycle does that
+    # without the default full STW collection pausing every in-flight
+    # task for seconds each interval.
+    driver_extra = os.environ.get(
+        "SPARK_GRAFT_DRIVER_JAVA_OPTS",
+        f"-XX:ReservedCodeCacheSize={code_cache} "
+        "-XX:+ExplicitGCInvokesConcurrent",
+    )
+
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
@@ -51,6 +74,8 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.driver.extraJavaOptions", driver_extra)
+        .config("spark.cleaner.periodicGC.interval", periodic_gc)
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
