@@ -1985,7 +1985,15 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     return kcore(
-        edges, k=_KCORE_K, rounds=_KCORE_ROUNDS, early_stop=True
+        edges,
+        k=_KCORE_K,
+        rounds=_KCORE_ROUNDS,
+        early_stop=True,
+        # fwd is distinct and the reversal swaps disjoint id ranges
+        # (custkey < 1e6 <= suppkey+1e6), so the union is distinct by
+        # construction — skip the operator's dedup shuffle of the
+        # largest frame
+        assume_distinct=True,
     )
 
 

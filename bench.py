@@ -78,6 +78,52 @@ def _storage_registry_empty(spark) -> bool:
     return len(infos) == 0
 
 
+def clear_storage(spark, name: str) -> None:
+    """Drop cached blocks so the next run is timed against a clean
+    storage pool, and FAIL LOUD on operator cache leaks.
+
+    Leak definition (checked BEFORE any cleanup — the r12 verdict
+    found the old assert vacuous because it unpersisted everything
+    first): a MATERIALIZED storage-registry entry that is not a
+    locally-checkpointed RDD.  localCheckpoint / ``checkpoint_sever``
+    blocks from iterative operators (components/LPA/harmonic)
+    legitimately outlive the query that made them (the result plan
+    reads them) and are only reclaimed by the ContextCleaner on GC —
+    those are exempt and unpersisted here as cleanup.  Anything else
+    still materialized between queries is a ``persist()``/``cache()``
+    an operator failed to release: that fails the bench (after
+    cleanup, so a --cold rerun of the offender alone still starts
+    clean)."""
+    jsc = spark.sparkContext._jsc
+    infos = {
+        i.id(): i.name() for i in jsc.sc().getRDDStorageInfo()
+    }
+    persistent = dict(jsc.getPersistentRDDs())
+    legit = set()
+    for rid, jrdd in persistent.items():
+        try:
+            if bool(jrdd.rdd().isLocallyCheckpointed()):
+                legit.add(rid)
+        except Exception:
+            pass
+    leaked = {
+        rid: nm for rid, nm in infos.items() if rid not in legit
+    }
+    # cleanup first, so a failed assert still leaves a clean pool for
+    # a --cold rerun of the offender alone
+    spark.catalog.clearCache()
+    for jrdd in persistent.values():
+        jrdd.unpersist(True)
+    assert not leaked, (
+        f"cached RDDs leaked into the bench before {name!r}: "
+        f"{leaked} — an operator is not releasing its cache"
+    )
+    assert _storage_registry_empty(spark), (
+        f"storage registry not empty before {name!r} even after "
+        "explicit unpersist"
+    )
+
+
 def main() -> None:
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else -1.0
     cold_mode = "--cold" in sys.argv[1:] or os.environ.get(
@@ -105,21 +151,7 @@ def main() -> None:
             return time.perf_counter() - t0
 
         def _clear() -> None:
-            # drop cached blocks so this run is timed against a clean
-            # storage pool.  clearCache() handles catalog-cached plans;
-            # localCheckpoint blocks from iterative operators
-            # (components/LPA) legitimately outlive the query that made
-            # them (the result plan reads them) and are only reclaimed
-            # by the ContextCleaner on GC — unpersist them explicitly,
-            # then assert the registry is EMPTY so a genuinely leaked
-            # persist() fails the bench instead of flattering it
-            spark.catalog.clearCache()
-            for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
-                rdd.unpersist(True)
-            assert _storage_registry_empty(spark), (
-                f"persisted RDDs leaked into the bench before {name!r}: "
-                "an operator is not releasing its cache"
-            )
+            clear_storage(spark, name)
 
         _clear()
         cold[name] = round(_one_run(), 3)

@@ -57,11 +57,17 @@ def harmonic_centrality(
         e = e.unionByName(
             e.select(F.col("_d").alias("_s"), F.col("_s").alias("_d"))
         )
-    e = e.filter(F.col("_s") != F.col("_d")).distinct().persist()
-
     from moz_datapipeline_spark.iterate import (
         checkpoint_sever,
         sever_release,
+    )
+
+    # sever, don't persist: every hop references the edge set, and the
+    # result plan reads it too — a plain persist() could never be
+    # released by the operator (strict bench leak assert); severed
+    # localCheckpoint blocks are the sanctioned exemption
+    e = checkpoint_sever(
+        e.filter(F.col("_s") != F.col("_d")).distinct()
     )
 
     spark = edges.sparkSession
@@ -125,9 +131,10 @@ def harmonic_centrality(
                 "n_reached"
             ),
         )
-        .persist()
     )
-    result.count()
+    # materialize via sever (NOT persist: the caller never unpersists a
+    # returned frame in the bench), then release the loop inputs
+    result = checkpoint_sever(result)
     sever_release(visited)
-    e.unpersist()
+    sever_release(e)
     return result

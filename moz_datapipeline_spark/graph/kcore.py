@@ -44,31 +44,46 @@ def kcore(
     rounds: int = 8,
     early_stop: bool = False,
     stats: dict | None = None,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """(node, degree) of the ``rounds``-bounded k-core of a SYMMETRIC
     (src, dst) edge list (pass both directions, as for
     ``graph/pagerank``).  Duplicate edges are collapsed first —
-    multiplicity is not degree.  Runs Spark jobs at CALL time (one
-    checkpoint + count per round, see module docstring); the returned
-    aggregation reads the final checkpointed edge set."""
+    multiplicity is not degree; pass ``assume_distinct=True`` when the
+    input is distinct BY CONSTRUCTION (e.g. a distinct forward edge
+    set unioned with its reversal over disjoint id ranges) to skip
+    that full shuffle of the largest frame in the operator.  Runs
+    Spark jobs at CALL time (one checkpoint + count per round, see
+    module docstring); the returned aggregation reads the final
+    checkpointed edge set."""
+    from moz_datapipeline_spark.iterate import (
+        checkpoint_sever,
+        sever_release,
+    )
+
     if k < 1:
         raise ValueError("kcore: k must be >= 1")
     if rounds < 1:
         raise ValueError("kcore: rounds must be >= 1")
-    e = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    e = edges.select("src", "dst")
+    if not assume_distinct:
+        e = e.distinct()
+    e = checkpoint_sever(e)
     n_edges = e.count()
     executed = 0
     n_next = n_edges
     for _ in range(rounds):
         deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
         keep = deg.filter(F.col("_deg") >= k).select("src")
-        e_next = (
+        e_next = checkpoint_sever(
             e.join(keep, "src", "left_semi")
             .join(keep.select(F.col("src").alias("dst")), "dst", "left_semi")
             # truncate lineage: the plan doubles per round otherwise
-            .localCheckpoint(eager=True)
         )
         n_next = e_next.count()
+        # the superseded round's blocks serve no plan once the new
+        # round is materialized — release instead of waiting for GC
+        sever_release(e)
         e = e_next
         executed += 1
         if early_stop and n_next == n_edges:

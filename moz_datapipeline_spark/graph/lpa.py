@@ -46,6 +46,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from moz_datapipeline_spark.iterate import checkpoint_sever, sever_release
+
 
 def label_propagation(
     edges: DataFrame,
@@ -90,7 +92,13 @@ def label_propagation(
         e = e.unionByName(
             e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
-    e = e.filter(F.col("src") != F.col("dst")).distinct().persist()
+    # sever, don't persist: every round and the result plan read the
+    # deduped edge list — a persist() could never be released by the
+    # operator (strict bench leak assert); severed localCheckpoint
+    # blocks are the sanctioned exemption
+    e = checkpoint_sever(
+        e.filter(F.col("src") != F.col("dst")).distinct()
+    )
 
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -103,9 +111,13 @@ def label_propagation(
     # consume the previous labels frame exactly ONCE (winners cover
     # precisely the distinct-dst set), keeping the plan linear in
     # ``rounds`` with no per-round pinning.
-    voteless = nodes.join(
-        e.select(F.col("dst").alias("node")).distinct(), "node", "anti"
-    ).withColumn("label", F.col("node")).persist()
+    voteless = checkpoint_sever(
+        nodes.join(
+            e.select(F.col("dst").alias("node")).distinct(),
+            "node",
+            "anti",
+        ).withColumn("label", F.col("node"))
+    )
 
     labels = nodes.withColumn("label", F.col("node"))
     for _ in range(rounds):
@@ -130,8 +142,9 @@ def label_propagation(
         labels = winners.unionByName(voteless)
     result = labels.select("node", "label")
     if eager:
-        result = result.persist()
-        result.count()
-        e.unpersist()
-        voteless.unpersist()
+        # sever, not persist: the caller never unpersists a returned
+        # frame in the bench; severed blocks are the exempt kind
+        result = checkpoint_sever(result)
+        sever_release(e)
+        sever_release(voteless)
     return result

@@ -51,6 +51,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from moz_datapipeline_spark.iterate import checkpoint_sever, sever_release
+
 
 def pagerank(
     edges: DataFrame,
@@ -85,10 +87,14 @@ def pagerank(
     if seeds is not None and len(seeds) == 0:
         raise ValueError("pagerank: seeds must be non-empty when given")
     d = float(damping)
-    e = (
+    # sever, don't persist: every iteration and the result plan read
+    # the deduped edge list — a persist() could never be released by
+    # the operator (strict bench leak assert); severed localCheckpoint
+    # blocks are the sanctioned exemption.  Severing also keeps each
+    # iteration's plan flat (the harmonic_centrality finding).
+    e = checkpoint_sever(
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .distinct()
-        .persist()
     )
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -124,7 +130,7 @@ def pagerank(
                     "graph; the personalized teleport vector is "
                     "undefined — check the seed ids"
                 )
-    base = base.persist()
+    base = checkpoint_sever(base)
     carry = ["node", "_deg", "_n"] + (["_p"] if seeds is not None else [])
 
     init_rank = (
@@ -170,21 +176,23 @@ def pagerank(
                 F.col("_in"), F.lit(0.0)
             )
         # the next iteration reads ranks up to twice (dangling mass +
-        # contributions); persist to keep the shared prefix single-shot
-        ranks = nxt.select(*carry, new_rank.alias("rank")).persist()
-        cached = ranks
-        if checkpoint_every and (i + 1) % checkpoint_every == 0:
-            ranks = ranks.localCheckpoint(eager=False)
-        if eager:
-            # materialize this iteration, then release its predecessor —
-            # keeps the session's cache footprint at one iteration
-            ranks.count()
-            if prev_cached is not None:
-                prev_cached.unpersist()
-            prev_cached = cached
-    if eager and iters > 0:
-        # the last iteration is cached; the invariants are no longer
-        # needed to serve reads of the returned frame
-        e.unpersist()
-        base.unpersist()
+        # contributions) and the plan would otherwise double per
+        # iteration: SEVER each iteration (materialize + cut lineage,
+        # the harmonic_centrality idiom) and release the superseded
+        # one immediately — nothing stays cached past the call except
+        # exempt localCheckpoint blocks
+        ranks = checkpoint_sever(nxt.select(*carry, new_rank.alias("rank")))
+        if prev_cached is not None:
+            sever_release(prev_cached)
+        prev_cached = ranks
+    if iters > 0:
+        # the final iteration is materialized; the statics no longer
+        # serve any plan — release them so at most ONE severed frame
+        # (the result) outlives the call
+        sever_release(e)
+        sever_release(base)
+    else:
+        # ranks is a lazy projection of base — base must stay; the
+        # edge list only fed base's (materialized) build
+        sever_release(e)
     return ranks.select("node", "rank")

@@ -267,12 +267,16 @@ def greedy_modularity_move(
     directions present; no self-loops).  Unlabeled endpoints drop
     their edges, as in ``modularity``.
 
-    Plan shape: two node-keyed label joins (same key — one exchange
-    reused), then node-, (node × neighbor-community)-, and
-    community-sized hash aggregates; the winner is a
-    ``row_number() = 1`` window over the candidate list, partitioned
-    by node — WindowGroupLimit-bounded, never a global sort.  No
-    driver collect; every frame is node- or candidate-sized.
+    Plan shape (re-planned r13, guide §2.3/§2.4): two node-keyed
+    label joins tag each edge, ONE (node, neighbor-community) cell
+    aggregate counts k_{u→c}, ONE node rollup collapses each node's
+    candidate list to an array (k_u rides the same exchange, and the
+    "stay" candidate is appended EXCHANGE-LOCALLY instead of the old
+    left-join + anti-join + union over three aggregate lineages); the
+    community totals are a community-sized aggregate off that rollup,
+    and the winner is a ``min_by`` hash aggregate — no window sort,
+    no self-joins of aggregate lineage.  No driver collect; every
+    frame is node- or candidate-sized.
     """
     lab = labels.select(
         F.col(node_col).alias("_n"), F.col(label_col).alias("_c")
@@ -289,38 +293,50 @@ def greedy_modularity_move(
         )
         .drop("_n2")
     )
-    k = tagged.groupBy(F.col("_s").alias("_u"), F.col("_cs").alias("_a")).agg(
-        F.count(F.lit(1)).alias("_ku")
-    )
-    links = tagged.groupBy(
-        F.col("_s").alias("_u"), F.col("_cd").alias("_cand")
+    cell = tagged.groupBy(
+        F.col("_s").alias("_u"),
+        F.col("_cs").alias("_a"),
+        F.col("_cd").alias("_cand"),
     ).agg(F.count(F.lit(1)).alias("_kuc"))
-    tot = k.groupBy(F.col("_a").alias("_tc")).agg(
+    node = cell.groupBy("_u", "_a").agg(
+        F.sum("_kuc").alias("_ku"),
+        F.collect_list(F.struct("_cand", "_kuc")).alias("_cs"),
+    )
+    # "stay" is scored by the same formula: append the node's own
+    # community with k_{u→a} = 0 when no neighbor shares it (array
+    # lambda — the old plan paid a left join + a left_anti + a union
+    # re-reading two aggregate lineages for exactly this)
+    has_stay = F.exists(
+        F.col("_cs"), lambda x: x["_cand"] == F.col("_a")
+    )
+    with_stay = F.when(has_stay, F.col("_cs")).otherwise(
+        F.array_append(
+            F.col("_cs"),
+            F.struct(
+                F.col("_a").alias("_cand"),
+                F.lit(0).cast("long").alias("_kuc"),
+            ),
+        )
+    )
+    tot = node.groupBy(F.col("_a").alias("_tc")).agg(
         F.sum("_ku").alias("_tot")
     )
     two_m = e.agg(F.count(F.lit(1)).cast("double").alias("_two_m"))
-    stay = (
-        k.join(
-            links,
-            (k["_u"] == links["_u"]) & (k["_a"] == links["_cand"]),
-            "left",
-        )
-        .select(
-            k["_u"],
-            k["_a"].alias("_cand"),
-            F.coalesce(links["_kuc"], F.lit(0)).alias("_kuc"),
-        )
+    cand_rows = node.select(
+        "_u",
+        "_a",
+        "_ku",
+        F.explode(with_stay).alias("_x"),
+    ).select(
+        "_u",
+        "_a",
+        "_ku",
+        F.col("_x")["_cand"].alias("_cand"),
+        F.col("_x")["_kuc"].alias("_kuc"),
     )
-    cands = links.join(
-        k.select(F.col("_u").alias("_u2"), "_a"),
-        (links["_u"] == F.col("_u2")) & (links["_cand"] == F.col("_a")),
-        "left_anti",
-    ).unionByName(stay)
-    scored = (
-        cands.join(k.select("_u", "_a", "_ku"), "_u")
-        .join(tot, cands["_cand"] == tot["_tc"])
-        .crossJoin(F.broadcast(two_m))
-    )
+    scored = cand_rows.join(
+        tot, cand_rows["_cand"] == tot["_tc"]
+    ).crossJoin(F.broadcast(two_m))
     m = F.col("_two_m") / 2.0
     totp = F.col("_tot").cast("double") - F.when(
         F.col("_cand") == F.col("_a"), F.col("_ku").cast("double")
@@ -328,17 +344,21 @@ def greedy_modularity_move(
     gain = F.col("_kuc").cast("double") / m - F.col(
         "_ku"
     ).cast("double") * totp / (2.0 * m * m)
-    w = Window.partitionBy("_u").orderBy(
-        F.col("_gain").desc(), F.col("_cand").asc()
+    # winner = (gain DESC, candidate ASC): min_by over the negated
+    # gain — a map-side-combinable hash aggregate instead of a
+    # per-node window sort
+    win = F.min_by(
+        F.struct("_a", "_cand", "_gain"),
+        F.struct(F.negate(F.col("_gain")), F.col("_cand")),
     )
     return (
         scored.withColumn("_gain", gain)
-        .withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") == 1)
+        .groupBy("_u")
+        .agg(win.alias("_w"))
         .select(
             F.col("_u").alias("node"),
-            F.col("_a").alias("old_community"),
-            F.col("_cand").alias("new_community"),
-            F.round("_gain", 6).alias("gain"),
+            F.col("_w")["_a"].alias("old_community"),
+            F.col("_w")["_cand"].alias("new_community"),
+            F.round(F.col("_w")["_gain"], 6).alias("gain"),
         )
     )

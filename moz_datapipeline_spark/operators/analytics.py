@@ -16,6 +16,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from moz_datapipeline_spark.iterate import checkpoint_sever, sever_release
+from moz_datapipeline_spark.localresult import literal_frame
 
 NS_PER_DAY = 86_400_000_000_000
 
@@ -1395,9 +1397,11 @@ def roc_auc(
         .orderBy(F.col("_s").asc())
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    local = ranged.withColumn(
-        "_below_local", F.coalesce(F.sum("_nn").over(lw), F.lit(0))
-    ).cache()
+    local = checkpoint_sever(
+        ranged.withColumn(
+            "_below_local", F.coalesce(F.sum("_nn").over(lw), F.lit(0))
+        )
+    )
     bases = (
         local.groupBy("_pid")
         .agg(F.sum("_nn").alias("_tot"))
@@ -1436,7 +1440,7 @@ def roc_auc(
     if eager:
         out = out.persist()
         out.count()
-        local.unpersist()
+        sever_release(local)
     return out
 
 
@@ -1575,9 +1579,12 @@ def spearman_corr(
             .orderBy(F.col("_val").asc())
             .rowsBetween(Window.unboundedPreceding, -1)
         )
-        local = ranged.withColumn(
-            "_below_local", F.coalesce(F.sum("_cnt").over(lw), F.lit(0))
-        ).cache()
+        local = checkpoint_sever(
+            ranged.withColumn(
+                "_below_local",
+                F.coalesce(F.sum("_cnt").over(lw), F.lit(0)),
+            )
+        )
         bases = (
             local.groupBy("_pid")
             .agg(F.sum("_cnt").alias("_tot"))
@@ -2594,7 +2601,9 @@ def abc_analysis(
         .orderBy(F.col("value").desc(), F.col("key").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    local = ranged.withColumn("_cum_local", F.sum("value").over(lw)).cache()
+    local = checkpoint_sever(
+        ranged.withColumn("_cum_local", F.sum("value").over(lw))
+    )
     bases = (
         local.groupBy("_pid")
         .agg(F.sum("value").alias("_tot"))
@@ -5014,7 +5023,7 @@ def quantile_treatment_effect(
                 else round(float(va) - float(vb), 6),
             )
         )
-    return spark.createDataFrame(
+    return literal_frame(spark, 
         rows, "prob double, q_treat double, q_ctrl double, qte double"
     )
 
@@ -5670,7 +5679,7 @@ def quantile_ci(
     )
     if n == 0:
         vals.unpersist()
-        return spark.createDataFrame(
+        return literal_frame(spark, 
             [(0, float(prob), None, None, None, None, None)], schema
         )
     # two-sided z for the requested confidence via the A&S inverse
@@ -5705,7 +5714,7 @@ def quantile_ci(
         )
         lo, est, hi = qs
     vals.unpersist()
-    return spark.createDataFrame(
+    return literal_frame(spark, 
         [
             (
                 n,
@@ -6023,7 +6032,7 @@ def cox_ph(
             # beta ~ 0 it's just a constant covariate: NULL row
             if abs(beta) > 2.0:
                 _separation(beta)
-            return spark.createDataFrame(
+            return literal_frame(spark, 
                 [(int(n or 0), int(d or 0), None, None, None, None,
                   None, None)],
                 schema,
@@ -6036,7 +6045,7 @@ def cox_ph(
     if info is None or info <= 0.0:
         if abs(beta) > 2.0:
             _separation(beta)
-        return spark.createDataFrame(
+        return literal_frame(spark, 
             [(int(n), int(d), None, None, None, None, None, None)],
             schema,
         )
@@ -6052,7 +6061,7 @@ def cox_ph(
         + 1.061405429 * tt**5
     )
     p = poly * _math.exp(-az * az)
-    return spark.createDataFrame(
+    return literal_frame(spark, 
         [
             (
                 int(n),
@@ -6154,7 +6163,7 @@ def logit_fit(
         if not n or not npos or npos == n or det is None or det <= 0.0:
             if abs(b0) > 2.0 or abs(b1) > 2.0:
                 _separation(b0, b1)
-            return spark.createDataFrame(
+            return literal_frame(spark, 
                 [(int(n or 0), int(npos or 0), None, None, None,
                   None, None, None, None, None)],
                 schema,
@@ -6180,7 +6189,7 @@ def logit_fit(
         + 1.061405429 * tt**5
     )
     p = poly * _math.exp(-az * az)
-    return spark.createDataFrame(
+    return literal_frame(spark, 
         [
             (
                 int(n),
@@ -6529,7 +6538,7 @@ def markov_attribution(
         "removal_effect double, attributed_conversions double"
     )
     if base_p <= 0.0 or not channels:
-        return spark.createDataFrame(
+        return literal_frame(spark, 
             [(c, round(base_p, 6), None, None, None) for c in channels]
             or [],
             schema,
@@ -6554,7 +6563,7 @@ def markov_attribution(
                 None if attributed is None else round(attributed, 6),
             )
         )
-    return spark.createDataFrame(out, schema)
+    return literal_frame(spark, out, schema)
 
 
 def ipw_ate(
@@ -6702,7 +6711,7 @@ def cuped_adjust(
     na, nb = int(r["na"] or 0), int(r["nb"] or 0)
     n = na + nb
     if na < 2 or nb < 2:
-        return spark.createDataFrame(
+        return literal_frame(spark, 
             [(na, nb, None, None, None, None, None, None, None,
               None)],
             schema,
@@ -6739,7 +6748,7 @@ def cuped_adjust(
         None if raw_se2 <= 0.0 else max(0.0, 1.0 - se2 / raw_se2)
     )
     if se2 <= 0.0:
-        return spark.createDataFrame(
+        return literal_frame(spark, 
             [(na, nb, round(theta, 6), round(diff_raw, 6),
               round(diff_cuped, 6), var_reduction, None, None, None,
               None)],
@@ -6757,7 +6766,7 @@ def cuped_adjust(
         + 1.061405429 * tt**5
     )
     p = poly * _math.exp(-az * az)
-    return spark.createDataFrame(
+    return literal_frame(spark, 
         [
             (
                 na,
@@ -6870,7 +6879,7 @@ def regression_discontinuity(
 
     fl, fr = fit("l"), fit("r")
     if fl is None or fr is None:
-        return spark.createDataFrame(
+        return literal_frame(spark, 
             [
                 (
                     int(r["n_l"] or 0),
@@ -6886,7 +6895,7 @@ def regression_discontinuity(
     effect = ar - al
     se2 = val + var
     if se2 <= 0.0:
-        return spark.createDataFrame(
+        return literal_frame(spark, 
             [(nl, nr, round(effect, 6), round(al, 6), round(ar, 6),
               round(bl, 6), round(br, 6), None, None, None, None)],
             schema,
@@ -6903,7 +6912,7 @@ def regression_discontinuity(
         + 1.061405429 * tt**5
     )
     p = poly * _math.exp(-az * az)
-    return spark.createDataFrame(
+    return literal_frame(spark, 
         [
             (
                 nl,
@@ -7103,7 +7112,7 @@ def poisson_fit(
         if not n or ty <= 0.0 or det is None or det <= 0.0:
             if abs(b0) > 2.0 or abs(b1) > 2.0:
                 _separation(b0, b1)
-            return spark.createDataFrame(
+            return literal_frame(spark, 
                 [(int(n or 0), int(ty), None, None, None, None, None,
                   None, None, None)],
                 schema,
@@ -7129,7 +7138,7 @@ def poisson_fit(
         + 1.061405429 * tt**5
     )
     p = poly * _math.exp(-az * az)
-    return spark.createDataFrame(
+    return literal_frame(spark, 
         [
             (
                 int(n),
@@ -7209,7 +7218,7 @@ def twfe_fit(
     )
     n, nu, nt = int(gm["n"] or 0), int(gm["nu"] or 0), int(gm["nt"] or 0)
     if n == 0:
-        return spark.createDataFrame(
+        return literal_frame(spark, 
             [(0, 0, 0, None, None, None, None, None)], schema
         )
     if gm["ncell"] != nu * nt or n != nu * nt:
@@ -7242,20 +7251,20 @@ def twfe_fit(
         .collect()[0]
     )
     if r["sxx"] is None or r["sxx"] <= 0.0:
-        return spark.createDataFrame(
+        return literal_frame(spark, 
             [(n, nu, nt, None, None, None, None, None)], schema
         )
     beta = r["sxy"] / r["sxx"]
     dof = n - nu - nt
     if dof < 2:
-        return spark.createDataFrame(
+        return literal_frame(spark, 
             [(n, nu, nt, round(beta, 6), None, None, None, None)],
             schema,
         )
     sse = max(r["syy"] - beta * r["sxy"], 0.0)
     se = _math.sqrt(sse / dof / r["sxx"])
     if se <= 0.0:
-        return spark.createDataFrame(
+        return literal_frame(spark, 
             [(n, nu, nt, round(beta, 6), 0.0, None, None, None)],
             schema,
         )
@@ -7270,7 +7279,7 @@ def twfe_fit(
         + 1.061405429 * tt**5
     )
     p = poly * _math.exp(-az * az)
-    return spark.createDataFrame(
+    return literal_frame(spark, 
         [
             (
                 n,
@@ -7388,6 +7397,6 @@ def rake_weights(
         (r, c, int(n[(r, c)]), round(w[(r, c)], 6))
         for (r, c) in sorted(w)
     ]
-    return df.sparkSession.createDataFrame(
+    return literal_frame(df.sparkSession, 
         out, "row_cat string, col_cat string, n long, weight double"
     )

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from moz_datapipeline_spark.iterate import checkpoint_sever
+from moz_datapipeline_spark.localresult import literal_frame
 
 
 def connected_components(
@@ -92,7 +93,7 @@ def connected_components(
             out = [(n, find(n)) for n in parent]
             spark = pairs.sparkSession
             field = pairs.schema[a_col].dataType.simpleString()
-            return spark.createDataFrame(
+            return literal_frame(spark, 
                 out, f"id {field}, component {field}"
             )
     # MATERIALIZE the loop inputs once (eager localCheckpoint, not

@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from moz_datapipeline_spark.iterate import checkpoint_sever, sever_release
+
 
 def tokens(text_col: Column | str) -> Column:
     """Whitespace tokens with empties dropped (JVM-side)."""
@@ -831,9 +833,11 @@ def negative_sample(
         F.col(id_col)
     ).withColumn("_pid", F.spark_partition_id())
     lw = Window.partitionBy("_pid").orderBy(id_col)
-    local = ranged.withColumn(
-        "_lrank", F.row_number().over(lw).cast("long")
-    ).cache()
+    # checkpoint_sever, not .cache(): the result plan reads this frame
+    # (see ranges.global_rank — leak assert + eviction consistency)
+    local = checkpoint_sever(
+        ranged.withColumn("_lrank", F.row_number().over(lw).cast("long"))
+    )
     bases = (
         local.groupBy("_pid")
         .agg(F.count(F.lit(1)).alias("_cnt"))
@@ -896,7 +900,7 @@ def negative_sample(
     if eager:
         out = out.persist()
         out.count()
-        local.unpersist()
+        sever_release(local)
     return out
 
 

@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from moz_datapipeline_spark.iterate import checkpoint_sever, sever_release
+
 # 31-bit Mersenne prime: keeps a*h+b < 2^62, safe under ANSI long arithmetic
 _MERSENNE_P = (1 << 31) - 1
 
@@ -197,7 +199,10 @@ def minhash_lsh_candidates(
     cache (the ``graph.pagerank(eager=True)`` contract); the caller may
     ``.unpersist()`` the returned frame when done.
     """
-    sigs = sigs.cache()
+    # checkpoint_sever, not .cache(): the candidate-pair plan reads the
+    # signature frame, so the operator could never unpersist it (the
+    # bench's strict leak assert fails exactly that)
+    sigs = checkpoint_sever(sigs)
     banded = band_hashes(sigs, bands, id_col, portable_hash)
     a = banded.alias("a")
     b = banded.alias("b")
@@ -216,7 +221,7 @@ def minhash_lsh_candidates(
     if eager:
         out = out.persist()
         out.count()
-        sigs.unpersist()
+        sever_release(sigs)
     return out
 
 
@@ -426,7 +431,8 @@ def simhash_candidates(
     release-the-intermediate contract (result becomes the single cached
     frame).
     """
-    sig_df = sig_df.cache()
+    # checkpoint_sever, not .cache() — see minhash_lsh_candidates
+    sig_df = checkpoint_sever(sig_df)
     width = 64 // chunks
     mask = (1 << width) - 1
     exploded = sig_df.select(
@@ -462,7 +468,7 @@ def simhash_candidates(
     if eager:
         out = out.persist()
         out.count()
-        sig_df.unpersist()
+        sever_release(sig_df)
     return out
 
 
@@ -540,6 +546,12 @@ def set_similarity_join(
         )
         .withColumn("_sz", F.size("_toks"))
     )
+    # four consumers read `docs` (both prefix-explode aliases + both
+    # verification joins) and Spark has no cross-subtree reuse — the
+    # tokenize→frequency→sort pipeline (3 shuffles) would run FOUR
+    # times.  Materialize once; |docs| rows of token arrays, bounded
+    # at any scale.  Sever (not cache): leak-exempt + lineage-cut.
+    docs = checkpoint_sever(docs)
     prefix_len = (
         F.col("_sz") - F.ceil(F.lit(float(threshold)) * F.col("_sz")) + 1
     ).cast("int")

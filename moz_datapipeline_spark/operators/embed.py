@@ -36,6 +36,7 @@ from typing import Callable, Iterable, Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from moz_datapipeline_spark.localresult import literal_frame
 
 
 def hashing_ngram_encoder(
@@ -182,7 +183,7 @@ def embedding_drift(
         from pyspark.sql import Row
 
         spark = df_a.sparkSession
-        return spark.createDataFrame(
+        return literal_frame(spark, 
             [Row(n_a=na, n_b=nb, centroid_cosine=None, centroid_l2=None)],
             "n_a long, n_b long, centroid_cosine double, centroid_l2 double",
         )

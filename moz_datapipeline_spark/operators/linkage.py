@@ -27,6 +27,7 @@ import math
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from moz_datapipeline_spark.localresult import literal_frame
 
 
 def _validate_m_u(field_weights: dict[str, tuple[float, float]]) -> None:
@@ -149,7 +150,7 @@ def estimate_m_u(
             else floor
         )
         out.append((f, m, u, int(row["_nm"]), int(row["_nn"])))
-    return labeled_pairs.sparkSession.createDataFrame(
+    return literal_frame(labeled_pairs.sparkSession, 
         out,
         "field string, m double, u double, "
         "n_match long, n_non_match long",

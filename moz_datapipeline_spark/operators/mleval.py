@@ -22,6 +22,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from moz_datapipeline_spark.iterate import checkpoint_sever
+from moz_datapipeline_spark.localresult import literal_frame
 
 
 def classification_report(
@@ -338,9 +340,15 @@ def pr_curve(
         .orderBy(F.col("score").desc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    local = ranged.withColumn(
-        "_tp_local", F.sum("_np").over(lw)
-    ).withColumn("_fp_local", F.sum("_nn").over(lw)).cache()
+    # materialize once via checkpoint_sever (not .cache(): the result
+    # plan reads this frame, so the operator could never unpersist and
+    # the bench's strict leak assert would fail it) — the totals branch
+    # and the final join must see the SAME sampled range partitioning
+    local = checkpoint_sever(
+        ranged.withColumn("_tp_local", F.sum("_np").over(lw)).withColumn(
+            "_fp_local", F.sum("_nn").over(lw)
+        )
+    )
     bases = (
         local.groupBy("_pid")
         .agg(
@@ -672,7 +680,7 @@ def _bt_driver_solve(spark, pair, items, iterations: int) -> DataFrame:
         )
         for k in range(len(ids))
     ]
-    return spark.createDataFrame(rows, schema)
+    return literal_frame(spark, rows, schema)
 
 
 def fleiss_kappa(

@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from moz_datapipeline_spark.iterate import checkpoint_sever, sever_release
+
 
 def bucketed_range_join(
     points: DataFrame,
@@ -97,11 +99,16 @@ def global_rank(
         "_pid", F.spark_partition_id()
     )
     lw = Window.partitionBy("_pid").orderBy(oc, *tb)
-    # cache: the counts branch and the final join must observe the SAME
-    # sampled range partitioning (same rule as batch_by_length)
-    local = ranged.withColumn(
-        "_lrank", F.row_number().over(lw).cast("long")
-    ).cache()
+    # materialize ONCE via checkpoint_sever: the counts branch and the
+    # final join must observe the SAME sampled range partitioning (same
+    # rule as batch_by_length).  A .cache() here is read by the result
+    # plan, so the operator can never release it — the bench's strict
+    # leak assert fails exactly that; localCheckpoint blocks are the
+    # sanctioned exemption, and they cannot be silently evicted into an
+    # inconsistent recompute the way cache blocks can.
+    local = checkpoint_sever(
+        ranged.withColumn("_lrank", F.row_number().over(lw).cast("long"))
+    )
     bases = (
         local.groupBy("_pid")
         .agg(F.count(F.lit(1)).alias("_cnt"))
@@ -138,7 +145,7 @@ def global_rank(
     if eager:
         result = result.persist()
         result.count()
-        local.unpersist()
+        sever_release(local)
     return result
 
 
@@ -192,10 +199,14 @@ def peak_concurrency(
     lw = Window.partitionBy("_pid", *group_cols).orderBy(
         F.col("t").asc(), F.col("d").asc()
     )
-    local = ranged.withColumn(
-        "_lsum",
-        F.sum("d").over(lw.rowsBetween(Window.unboundedPreceding, 0)),
-    ).cache()
+    # checkpoint_sever, not .cache(): the result plan reads this frame
+    # (see global_rank — leak-assert + eviction-consistency rationale)
+    local = checkpoint_sever(
+        ranged.withColumn(
+            "_lsum",
+            F.sum("d").over(lw.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
     bases = (
         local.groupBy("_pid", *group_cols)
         .agg(F.sum("d").alias("_tot"))
@@ -234,7 +245,7 @@ def peak_concurrency(
     if eager:
         result = result.persist()
         result.count()
-        local.unpersist()
+        sever_release(local)
     return result
 
 
@@ -284,11 +295,11 @@ def pareto_frontier_2d(
         .orderBy("_x")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    # cache: the bases branch and the join must observe the SAME
-    # sampled range partitioning (the global_rank rule)
-    local = ranged.withColumn(
-        "_lmin", F.min("_eq_min").over(lw)
-    ).cache()
+    # checkpoint_sever, not .cache(): the result plan reads this frame
+    # (the global_rank rule — leak assert + eviction consistency)
+    local = checkpoint_sever(
+        ranged.withColumn("_lmin", F.min("_eq_min").over(lw))
+    )
     bases = (
         local.groupBy("_pid")
         .agg(F.min("_eq_min").alias("_pmin"))
@@ -317,7 +328,7 @@ def pareto_frontier_2d(
     if eager:
         result = result.persist()
         result.count()
-        local.unpersist()
+        sever_release(local)
     return result
 
 

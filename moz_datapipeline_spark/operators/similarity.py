@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from moz_datapipeline_spark.iterate import checkpoint_sever, sever_release
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -52,53 +54,32 @@ def _partition_topk(
     k: int,
     ascending: bool = True,
 ) -> DataFrame:
-    """Map-side partial top-k: at most ``k`` rows per key survive from
-    EACH input partition, selected under the same total order the
-    global window uses (``order_col`` then ``tiebreak_col`` asc).
+    """Shuffle-bounded exact top-k per key: ``row_number() <= k`` under
+    the total order every caller's global window uses (``order_col``
+    then ``tiebreak_col`` asc).
 
-    Top-k under a total order is distributive — the global top-k is a
-    subset of the union of per-partition top-k — so a following exact
-    ``row_number()`` window is unchanged, but the exchange feeding it
-    carries ≤ k·partitions rows per key instead of every scored
-    candidate (the 100 TB difference between shuffling |corpus| rows
-    per query and shuffling k per partition).  Arrow-batched
-    ``mapInPandas`` with per-batch compaction keeps executor memory at
-    O(keys·k + one batch); it pipelines into the scoring stage, adding
-    no exchange of its own.
+    The bounding is map-side but PURE JVM: a rank-limit filter makes
+    Spark 3.5+/4.x insert ``WindowGroupLimit(Partial)`` + a partition
+    sort BELOW the exchange, so at most ``k`` rows per key survive from
+    each input partition before any bytes move (the 100 TB difference
+    between shuffling |corpus| rows per query and shuffling k per
+    partition), and ``Final`` above it makes the result the exact
+    global top-k.  This replaces the r4–r12 ``mapInPandas`` compactor:
+    same bounded exchange, but the scored grid no longer crosses
+    JVM→Arrow→Python→JVM (the dominant cost of every brute-force /
+    ADC scorer — guide §4.1), and NaN ordering is Spark's own total
+    order by construction instead of a pandas emulation.  Callers'
+    downstream exact windows share this window's exchange and sort.
     """
-    import pandas as _pd
-
-    schema = df.schema
-    cols = [f.name for f in schema.fields]
-
-    def fn(batches):
-        best = None
-        for pdf in batches:
-            cur = (
-                _pd.concat([best, pdf], ignore_index=True)
-                if best is not None
-                else pdf
-            )
-            # Spark's total order puts NaN ABOVE every number, so it
-            # lands last under asc and FIRST under desc; pandas defaults
-            # to NaN-last either way, which would let a partition that
-            # is rich in real scores drop a NaN row the global window
-            # ranks first (partition-dependent results).  Match Spark
-            # exactly.  (Null scores are indistinguishable from NaN in
-            # a pandas float column; score expressions are arithmetic
-            # over non-null inputs, so none of the callers produce
-            # SQL NULL here.)
-            cur = cur.sort_values(
-                [order_col, tiebreak_col],
-                ascending=[ascending, True],
-                kind="mergesort",
-                na_position="last" if ascending else "first",
-            )
-            best = cur.groupby(key_cols, sort=False).head(k)
-        if best is not None and len(best):
-            yield best[cols]
-
-    return df.mapInPandas(fn, schema)
+    direction = F.col(order_col).asc() if ascending else F.col(order_col).desc()
+    w = Window.partitionBy(*key_cols).orderBy(
+        direction, F.col(tiebreak_col).asc()
+    )
+    return (
+        df.withColumn("_ptk", F.row_number().over(w))
+        .filter(F.col("_ptk") <= k)
+        .drop("_ptk")
+    )
 
 
 def cosine_topk_bruteforce(
@@ -604,15 +585,20 @@ def embedding_near_dup(
     ``graph.pagerank(eager=True)`` contract); caller may unpersist the
     returned frame when done."""
     tables = _plane_tables(dim, n_planes, n_tables)
-    # cache before the self-join: alias-only branches defeat exchange
-    # reuse, so without it both sides recompute every plane dot product
-    # (same rationale as minhash_lsh_candidates)
-    v = _bucketed(
-        vectors.select(F.col(id_col), _as_double(vec_col).alias("_v")),
-        id_col,
-        "_v",
-        tables,
-    ).cache()
+    # materialize ONCE before the self-join (checkpoint_sever, not
+    # .cache(): the result plan reads this frame, so the operator could
+    # never unpersist — the bench's strict leak assert fails exactly
+    # that).  Alias-only branches defeat exchange reuse, so without the
+    # materialization both sides recompute every plane dot product
+    # (same rationale as minhash_lsh_candidates).
+    v = checkpoint_sever(
+        _bucketed(
+            vectors.select(F.col(id_col), _as_double(vec_col).alias("_v")),
+            id_col,
+            "_v",
+            tables,
+        )
+    )
     a, b = v.alias("a"), v.alias("b")
     cand = a.join(
         b,
@@ -635,7 +621,7 @@ def embedding_near_dup(
     if eager:
         out = out.persist()
         out.count()
-        v.unpersist()
+        sever_release(v)
     return out
 
 
@@ -850,9 +836,10 @@ def semantic_dedup(
         )
     else:
         pair_key = F.col("a.cluster") == F.col("b.cluster")
-    # cache before the self-join: alias-only branches defeat exchange
+    # materialize once before the self-join (checkpoint_sever — see
+    # embedding near-dup above): alias-only branches defeat exchange
     # reuse (both sides would re-run the full Lloyd DAG)
-    v = v.cache()
+    v = checkpoint_sever(v)
     a, b = v.alias("a"), v.alias("b")
     drops = (
         a.join(
@@ -867,7 +854,7 @@ def semantic_dedup(
     if eager:
         out = out.persist()
         out.count()
-        v.unpersist()
+        sever_release(v)
     return out
 
 
@@ -1882,6 +1869,16 @@ def margin_mine_pairs(
         "_idb",
         cosine(F.col("_va"), F.col("_vb")).alias("cosine"),
     )
+    if candidates is not None:
+        # both direction top-ks consume `scored`; Spark has no
+        # cross-subtree reuse, so the candidate joins + cosine would
+        # run TWICE.  The candidate path's scored frame is
+        # |candidates| narrow rows (two ids + a double) — materialize
+        # it once (sever: leak-exempt, lineage-cut).  The exact-grid
+        # path deliberately stays recompute: its grid is |A|×|B| rows
+        # and materializing that is the wrong trade at scale, while
+        # the broadcast cross join is pure map-side compute.
+        scored = checkpoint_sever(scored)
     pruned_ab = _partition_topk(
         scored, ["_ida"], "cosine", "_idb", k, ascending=False
     )

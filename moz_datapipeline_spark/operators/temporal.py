@@ -24,6 +24,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from moz_datapipeline_spark.localresult import literal_frame
 
 
 def asof_join(
@@ -534,22 +535,29 @@ def mann_kendall(
 
     INPUT CONTRACT: ``df`` is a per-group time SERIES — one row per
     (group, time), the shape every rollup here produces
-    (``_bucket_epoch`` family).  The pair join is within-group
-    O(n_g²): correct and cheap for rollup-sized groups (a year of
-    hourly buckets = 8.8k rows → 38M pairs across ALL groups only if
-    every group is that long; the join is an equi join on the group
-    key, so cost follows the group histogram, never the corpus).
-    Duplicate timestamps within a group are excluded from pairs (the
-    strict ``<``) — roll up first.  NULL values drop out.
+    (``_bucket_epoch`` family).  Each group is collapsed to ONE
+    sorted ``(t, v)`` array by a single hash aggregate; S, the tie
+    correction and the Sen pair slopes are then computed
+    EXCHANGE-LOCALLY with array lambdas — no within-group pair
+    self-join, no second shuffle, no join at all (r12 verdict: the
+    old plan shuffled Σn_g² pair rows through a SortMergeJoin and
+    three aggregates).  Compute is still O(n_g²) per group — the
+    same arithmetic the pair join did, minus the shuffle — and
+    follows the group histogram, never the corpus.  Duplicate
+    timestamps within a group are excluded from pairs (the strict
+    ``<``) — roll up first.  NULL values drop out.
 
-    MEMORY BOUND: ``sen_slope`` is an exact ``percentile`` over the
-    per-group pair deltas, and that aggregation BUFFERS the group's
-    ~n_g²/2 pair values in one buffer — a 10k-row series is ~50M
-    doubles (~400 MB), past any executor's comfort.  Pass
-    ``max_group_rows`` to fail loudly instead of OOMing: one tiny
-    count aggregate names the longest offending group; thin or
-    re-bucket series longer than that before calling.
+    MEMORY BOUND: the Sen pair-slope array holds ~n_g²/2 doubles per
+    group (exactly what the old exact-``percentile`` buffer held) — a
+    10k-row series is ~50M doubles (~400 MB), past any executor's
+    comfort.  The guard is ON BY DEFAULT: groups longer than
+    ``max_group_rows`` (default 10_000) fail loudly from inside the
+    task (``raise_error`` naming the group — zero extra driver jobs)
+    instead of OOMing.  Passing ``max_group_rows`` explicitly ALSO
+    runs the eager driver-side pre-check that raises ``ValueError``
+    with the longest offending group before any heavy work starts.
     """
+    cap = int(max_group_rows) if max_group_rows is not None else 10_000
     base = df.select(
         F.col(group_col).alias("grp"),
         F.col(time_col).cast("double").alias("t"),
@@ -568,43 +576,141 @@ def mann_kendall(
             raise ValueError(
                 f"mann_kendall: group {over[0]['grp']!r} has "
                 f"{over[0]['_n']} rows (> max_group_rows="
-                f"{max_group_rows}); sen_slope's exact percentile "
-                "buffers ~n^2/2 pair deltas per group — re-bucket or "
-                "thin the series, or raise max_group_rows deliberately"
+                f"{max_group_rows}); sen_slope's exact pair-slope "
+                "median buffers ~n^2/2 deltas per group — re-bucket "
+                "or thin the series, or raise max_group_rows "
+                "deliberately"
             )
-    a = base.select(
-        "grp", F.col("t").alias("ta"), F.col("v").alias("va")
+    # ONE exchange: group -> sorted (t, v) array (+ n off the same agg)
+    g = base.groupBy("grp").agg(
+        F.sort_array(F.collect_list(F.struct("t", "v"))).alias("_a"),
+        F.count(F.lit(1)).alias("n"),
     )
-    b = base.select(
-        "grp", F.col("t").alias("tb"), F.col("v").alias("vb")
-    )
-    pairs = a.join(b, "grp").filter(F.col("ta") < F.col("tb"))
-    folded = pairs.groupBy("grp").agg(
-        F.sum(F.signum(F.col("vb") - F.col("va")))
-        .cast("long")
-        .alias("s"),
-        F.expr(
-            "percentile((vb - va) / (tb - ta), 0.5)"
-        ).alias("_sen"),
-    )
-    counts = base.groupBy("grp").agg(F.count(F.lit(1)).alias("n"))
-    ties = (
-        base.groupBy("grp", "v")
-        .agg(F.count(F.lit(1)).alias("_t"))
-        .groupBy("grp")
-        .agg(
-            F.sum(
-                F.col("_t") * (F.col("_t") - 1) * (2 * F.col("_t") + 5)
-            ).alias("_tie")
+
+    arr = F.col("_a")
+    nn = F.size(arr)
+
+    def _el(j):
+        # j is a 0-based index Column; element_at is 1-based
+        return F.element_at(arr, j + F.lit(1))
+
+    # in-task refusal: the Sen delta array is the memory hazard; fail
+    # loudly (naming the group) before building it for an over-cap
+    # group.  CaseWhen branches evaluate lazily, so compliant rows
+    # never touch the raise_error.
+    cap_err = F.raise_error(
+        F.concat(
+            F.lit("mann_kendall: group "),
+            F.col("grp").cast("string"),
+            F.lit(" has "),
+            nn.cast("string"),
+            F.lit(
+                f" rows (> max_group_rows={cap}); sen_slope buffers "
+                "~n^2/2 pair deltas per group — re-bucket or thin "
+                "the series, or raise max_group_rows deliberately"
+            ),
         )
+    )
+
+    zero_l = F.lit(0).cast("long")
+    # S = sum over j of sum over i<j (t_i < t_j strictly) of
+    # sign(v_j - v_i) — the array is t-sorted, so i<j implies
+    # t_i <= t_j and only equal-timestamp pairs need excluding
+    s_expr = F.when(nn < 2, zero_l).otherwise(
+        F.aggregate(
+            F.sequence(F.lit(1), nn - 1),
+            zero_l,
+            lambda acc, j: acc
+            + F.aggregate(
+                F.sequence(F.lit(0), j - 1),
+                zero_l,
+                lambda acc2, i: acc2
+                + F.when(
+                    _el(i)["t"] < _el(j)["t"],
+                    F.when(_el(j)["v"] > _el(i)["v"], 1)
+                    .when(_el(j)["v"] < _el(i)["v"], -1)
+                    .otherwise(0),
+                )
+                .otherwise(0)
+                .cast("long"),
+            ),
+        )
+    )
+    # tie correction sum_t t(t-1)(2t+5): run-length over the sorted
+    # values (one O(n) fold — same grouping-by-value the old
+    # groupBy(grp, v) aggregate did, without its two extra exchanges)
+    vs = F.array_sort(F.transform(arr, lambda x: x["v"]))
+
+    def _tie_term(c):
+        return c * (c - 1) * (2 * c + 5)
+
+    tie_expr = F.when(nn < 2, zero_l).otherwise(
+        F.aggregate(
+            F.sequence(F.lit(1), nn - 1),
+            F.struct(
+                F.lit(1).cast("long").alias("run"),
+                zero_l.alias("tot"),
+            ),
+            lambda acc, j: F.struct(
+                F.when(
+                    F.element_at(F.col("_vs"), j + 1)
+                    == F.element_at(F.col("_vs"), j),
+                    acc["run"] + 1,
+                )
+                .otherwise(F.lit(1).cast("long"))
+                .alias("run"),
+                F.when(
+                    F.element_at(F.col("_vs"), j + 1)
+                    == F.element_at(F.col("_vs"), j),
+                    acc["tot"],
+                )
+                .otherwise(acc["tot"] + _tie_term(acc["run"]))
+                .alias("tot"),
+            ),
+            lambda acc: acc["tot"] + _tie_term(acc["run"]),
+        )
+    )
+    # Sen pair slopes, exchange-local; sorted once for the exact
+    # median (identical linear interpolation to SQL percentile(x, .5))
+    deltas = F.when(nn > cap, cap_err.cast("array<double>")).when(
+        nn < 2, F.array().cast("array<double>")
+    ).otherwise(
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), nn - 1),
+                lambda j: F.transform(
+                    F.filter(
+                        F.sequence(F.lit(0), j - 1),
+                        lambda i: _el(i)["t"] < _el(j)["t"],
+                    ),
+                    lambda i: (_el(j)["v"] - _el(i)["v"])
+                    / (_el(j)["t"] - _el(i)["t"]),
+                ),
+            )
+        )
+    )
+    g = g.select("grp", "n", "_a", vs.alias("_vs")).select(
+        "grp",
+        "n",
+        s_expr.alias("s"),
+        tie_expr.alias("_tie"),
+        F.array_sort(deltas).alias("_ds"),
+    )
+    m = F.size("_ds")
+    md = (m.cast("double") - F.lit(1.0)) * F.lit(0.5)
+    lo = F.floor(md).cast("int")
+    hi = F.ceil(md).cast("int")
+    sen = F.when(m == 0, F.lit(None).cast("double")).otherwise(
+        F.element_at("_ds", lo + 1)
+        + (md - lo)
+        * (F.element_at("_ds", hi + 1) - F.element_at("_ds", lo + 1))
     )
     n = F.col("n").cast("double")
     var_s = (
         n * (n - 1) * (2 * n + 5) - F.col("_tie").cast("double")
     ) / F.lit(18.0)
     out = (
-        counts.join(folded, "grp", "left")
-        .join(ties, "grp")
+        g.withColumn("_sen", sen)
         .withColumn("var_s", var_s)
         .withColumn("s", F.coalesce(F.col("s"), F.lit(0)))
     )
@@ -1341,7 +1447,7 @@ def inter_event_gaps(
         StructType,
     )
 
-    return spark.createDataFrame(
+    return literal_frame(spark, 
         rows,
         StructType(
             [

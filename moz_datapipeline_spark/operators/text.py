@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from moz_datapipeline_spark.iterate import checkpoint_sever
+
 # tiny marker lists per language — deterministic heuristic, not a model
 LANG_MARKERS: dict[str, tuple[str, ...]] = {
     "en": ("the", "and", "of", "to", "a"),
@@ -344,13 +346,20 @@ def pack_documents(
     lw = Window.partitionBy("_pid").orderBy(id_col).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    # cache: both the per-partition totals and the final join read this
-    # frame, and the two branches must see the SAME range partitioning
+    # materialize ONCE (checkpoint_sever, not .cache()): both the
+    # per-partition totals and the final join read this frame, and the
+    # two branches must see the SAME range partitioning
     # (repartitionByRange samples boundaries; a recompute could re-deal
-    # rows and mismatch _pid against the broadcast bases)
-    local = ranged.withColumn(
-        "_local_end", F.sum("n_tokens").over(lw).cast("long")
-    ).cache()
+    # rows and mismatch _pid against the broadcast bases).  A cache()
+    # here outlives the query — the result plan reads it, so the
+    # operator can never unpersist — which the bench's strict leak
+    # assert rightly fails; localCheckpoint blocks are the sanctioned
+    # exemption (reclaimed by the ContextCleaner / bench cleanup).
+    local = checkpoint_sever(
+        ranged.withColumn(
+            "_local_end", F.sum("n_tokens").over(lw).cast("long")
+        )
+    )
     part_totals = (
         local.groupBy("_pid")
         .agg(F.max("_local_end").alias("_ptotal"))
@@ -435,11 +444,14 @@ def batch_by_length(
         F.col("len_bucket"), F.col(id_col)
     ).withColumn("_pid", F.spark_partition_id())
     lw = Window.partitionBy("_pid", "len_bucket").orderBy(id_col)
-    # cache: the counts branch and the final join must see the SAME
-    # sampled range partitioning (see pack_documents)
-    local = ranged.withColumn(
-        "_lrank", F.row_number().over(lw).cast("long")
-    ).cache()
+    # materialize once via checkpoint_sever: the counts branch and the
+    # final join must see the SAME sampled range partitioning (see
+    # pack_documents — and the same leak rationale: a cache() here can
+    # never be unpersisted by the operator and trips the bench's
+    # strict leak assert)
+    local = checkpoint_sever(
+        ranged.withColumn("_lrank", F.row_number().over(lw).cast("long"))
+    )
     bases = (
         local.groupBy("_pid", "len_bucket")
         .agg(F.count(F.lit(1)).alias("_cnt"))

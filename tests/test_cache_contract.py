@@ -255,3 +255,30 @@ class TestLpaLazyNeverPersists:
         assert _cached_rdd_count(spark) <= base + 1
         out.unpersist(blocking=True)
         assert _cached_rdd_count(spark) <= base
+
+
+class TestBenchLeakAssert:
+    """bench.clear_storage must FAIL LOUD on a leaked persist() while
+    silently cleaning legitimate localCheckpoint remnants (r12 verdict:
+    the old in-bench assert unpersisted everything first, so it could
+    never trip)."""
+
+    def test_leaked_persist_trips_the_assert(self, spark):
+        leak = spark.range(100).persist()
+        leak.count()  # materialize so it enters the storage registry
+        import bench
+
+        with pytest.raises(AssertionError, match="leaked into the bench"):
+            bench.clear_storage(spark, "scratch")
+        # cleanup ran even though the assert fired
+        assert _cached_rdd_count(spark) == 0
+
+    def test_local_checkpoint_remnant_is_cleaned_not_failed(self, spark):
+        from moz_datapipeline_spark.iterate import checkpoint_sever
+
+        remnant = checkpoint_sever(spark.range(100))
+        remnant.count()
+        import bench
+
+        bench.clear_storage(spark, "scratch")  # must NOT raise
+        assert _cached_rdd_count(spark) == 0

@@ -284,22 +284,23 @@ def test_product_profit_part_filter_pushdown(spark, sf_dir):
 def test_pq_adc_scoring_is_mapside_rank_shuffle_bounded(spark, sf_dir):
     """ADC scoring must be shuffle-free (codes scan × broadcast query
     tables) and the only wide exchange — the global rank — must be fed
-    by the map-side partial top-k, so it carries ≤ k rows per
-    (partition, query) instead of every scored candidate."""
+    by the JVM map-side group limit (r13: the mapInPandas compactor is
+    gone), so it carries ≤ k rows per (partition, query) instead of
+    every scored candidate."""
     plan = _plan(entry_mod.q_pq_adc(spark, sf_dir))
-    assert "MapInPandas" in plan
+    assert "MapInPandas" not in plan
+    assert "WindowGroupLimit" in plan
     assert "SortMergeJoin" not in plan
-    # partial top-k sits upstream (deeper in the tree) of the window rank
-    assert plan.index("Window") < plan.index("MapInPandas")
 
 
 def test_bruteforce_topk_rank_shuffle_bounded(spark, sf_dir):
     """Brute-force cosine: score map-side against broadcast queries,
-    then the partial top-k bounds the rank exchange."""
+    then the JVM partial group limit bounds the rank exchange — no
+    Python boundary anywhere in the scorer (r13)."""
     plan = _plan(entry_mod.queries()["similarity_topk"](spark, sf_dir))
-    assert "MapInPandas" in plan
+    assert "MapInPandas" not in plan
+    assert "WindowGroupLimit" in plan
     assert "SortMergeJoin" not in plan
-    assert plan.index("Window") < plan.index("MapInPandas")
 
 
 def test_pq_rerank_broadcasts_candidates_into_corpus_scan(spark, sf_dir):
@@ -348,8 +349,8 @@ def test_ivfadc_probed_scoring_stays_broadcast(spark, sf_dir):
     rank exchange is fed by the partial top-k."""
     plan = _plan(entry_mod.q_ivfadc_rerank(spark, sf_dir))
     assert "SortMergeJoin" not in plan
-    assert "MapInPandas" in plan
-    assert plan.index("Window") < plan.index("MapInPandas")
+    assert "MapInPandas" not in plan
+    assert "WindowGroupLimit" in plan
 
 
 def test_lm_score_all_jvm_broadcast_model(spark, sf_dir):
@@ -362,11 +363,14 @@ def test_lm_score_all_jvm_broadcast_model(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") >= 2
 
 
-def test_pagerank_persists_loop_invariants(spark, sf_dir):
-    """Each unrolled iteration must read edges/ranks from the cache,
-    not re-derive them — the cached scans are visible in the plan."""
+def test_pagerank_severs_loop_invariants(spark, sf_dir):
+    """r13: each iteration is materialized via checkpoint_sever and its
+    predecessor released — the returned plan is a flat scan of the
+    final iteration's severed blocks (no session-lifetime persist()
+    leaks, no per-iteration plan doubling)."""
     plan = _plan(entry_mod.q_pagerank(spark, sf_dir))
-    assert "InMemoryTableScan" in plan
+    assert "ExistingRDD" in plan
+    assert "InMemoryTableScan" not in plan
 
 
 def test_duplicate_spans_no_python_two_phase_agg(spark, sf_dir):
@@ -498,7 +502,10 @@ def test_profile_is_single_aggregate_pass(spark, sf_dir):
     assert "Generate" in plan
 
 
-def test_pareto_frontier_no_global_window(spark, sf_dir):
+def test_pareto_frontier_no_global_window(spark, sf_dir, monkeypatch):
+    # passthrough so .explain shows the computation the sever would
+    # hide behind a severed-blocks scan (the capture_plan convention)
+    monkeypatch.setenv("SPARK_GRAFT_SEVER_PASSTHROUGH", "1")
     plan = _plan(entry_mod.q_pareto_frontier(spark, sf_dir))
     # the strict prefix min must ride the two-phase scheme: a range
     # exchange over the group table, never a whole-table
@@ -639,18 +646,22 @@ def test_margin_mining_lsh_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
-def test_pr_curve_no_data_sized_global_window(spark, sf_dir):
+def test_pr_curve_no_data_sized_global_window(spark, sf_dir, monkeypatch):
     """The PR curve's cumulative sums must ride the two-phase prefix
     (range partition + _pid-local windows + broadcast bases) — a
     SinglePartition exchange feeding a data-sized window is the sort
     that never finishes at 100 TB.  The only SinglePartition allowed
-    is the |partitions|-row bases fold."""
+    is the |partitions|-row bases fold.  Passthrough so the plan shows
+    the computation the r13 checkpoint_sever would hide behind a
+    severed-blocks scan."""
+    monkeypatch.setenv("SPARK_GRAFT_SEVER_PASSTHROUGH", "1")
     plan = _plan(entry_mod.q_pr_curve(spark, sf_dir))
     assert "RangePartitioning" in plan or "rangepartitioning" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
-def test_spearman_ranks_are_two_phase(spark, sf_dir):
+def test_spearman_ranks_are_two_phase(spark, sf_dir, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_SEVER_PASSTHROUGH", "1")
     plan = _plan(entry_mod.q_spearman_correlation(spark, sf_dir))
     # two per-column range exchanges, never a global row_number
     assert plan.count("rangepartitioning") >= 2 or plan.count(
@@ -699,10 +710,11 @@ def test_modularity_totals_broadcast_no_cartesian(spark, sf_dir):
 
 
 def test_modularity_move_winner_is_group_limited(spark, sf_dir):
-    """Per-node winner selection keeps the WindowGroupLimit heap below
-    the exchange."""
+    """Per-node winner selection is a min_by hash aggregate (r13
+    re-plan) — no per-node window sort, no cartesian product."""
     plan = _plan(entry_mod.q_modularity_move(spark, sf_dir))
-    assert "WindowGroupLimit" in plan
+    assert "min_by" in plan
+    assert "Window" not in plan
     assert "CartesianProduct" not in plan
 
 
