@@ -75,15 +75,14 @@ def label_propagation(
     ONCE (vote-less nodes are a static precomputed set), so the
     per-round frames never need pinning in EITHER mode; only the two
     STATIC frames — the deduped edge list and the vote-less set,
-    each referenced every round — persist for the duration of the
-    call.  ``eager=True`` materializes the (persisted) result,
-    releases both statics, and returns a frame the caller unpersists
-    when done — at most ONE cached frame survives the call (pinned by
-    ``tests/test_cache_contract``).  ``eager=False`` stays a fully
-    lazy single-job plan: the statics remain pinned for the returned
-    frame's lifetime (re-deriving an expensive edge build once per
-    round per appearance measured ~9× slower), documented here
-    instead of leaked silently.
+    each referenced every round — are materialized, via
+    ``checkpoint_sever`` (r13: exempt localCheckpoint blocks, not a
+    leakable persist).  ``eager=True`` severs the result too and
+    releases both statics — at most ONE severed frame survives the
+    call (pinned by ``tests/test_cache_contract``).  ``eager=False``
+    keeps the rounds as one lazy plan over the severed statics
+    (re-deriving an expensive edge build once per round per
+    appearance measured ~9× slower).
     """
     if rounds < 0:
         raise ValueError("label_propagation: rounds must be >= 0")

@@ -190,19 +190,21 @@ def minhash_lsh_candidates(
     The join is an equi join on (band_idx, band_hash) — co-located by
     the shuffle, skew-split by AQE. Output: (id_a < id_b) pairs.
 
-    The signature table is persisted first: both sides of the self-join
-    would otherwise recompute the full signature aggregation (alias-only
-    branches defeat exchange reuse). Signatures are narrow (id + hashes)
-    so the cache is cheap even at corpus scale — but by default it lives
-    for the session.  ``eager=True`` materializes the candidate pairs,
-    keeps THEM as the single cached frame, and releases the signature
-    cache (the ``graph.pagerank(eager=True)`` contract); the caller may
-    ``.unpersist()`` the returned frame when done.
+    The signature table is materialized first (``checkpoint_sever``):
+    both sides of the self-join would otherwise recompute the full
+    signature aggregation (alias-only branches defeat exchange reuse).
+    Signatures are narrow (id + hashes) so the blocks are cheap even at
+    corpus scale, exempt from the bench's leak assert, and reclaimed
+    between queries.  ``eager=True`` materializes the candidate pairs
+    as a persisted frame and releases the signature blocks immediately;
+    the caller may ``.unpersist()`` the returned frame when done.
     """
-    # checkpoint_sever, not .cache(): the candidate-pair plan reads the
+    # localCheckpoint, not .cache(): the candidate-pair plan reads the
     # signature frame, so the operator could never unpersist it (the
-    # bench's strict leak assert fails exactly that)
-    sigs = checkpoint_sever(sigs)
+    # bench's strict leak assert fails exactly that).  Not
+    # checkpoint_sever: one-shot self-joins keep origin statistics so
+    # broadcast decisions survive (see semantic_dedup).
+    sigs = sigs.localCheckpoint(eager=True)
     banded = band_hashes(sigs, bands, id_col, portable_hash)
     a = banded.alias("a")
     b = banded.alias("b")
@@ -431,8 +433,8 @@ def simhash_candidates(
     release-the-intermediate contract (result becomes the single cached
     frame).
     """
-    # checkpoint_sever, not .cache() — see minhash_lsh_candidates
-    sig_df = checkpoint_sever(sig_df)
+    # localCheckpoint, not .cache() — see minhash_lsh_candidates
+    sig_df = sig_df.localCheckpoint(eager=True)
     width = 64 // chunks
     mask = (1 << width) - 1
     exploded = sig_df.select(
@@ -546,12 +548,6 @@ def set_similarity_join(
         )
         .withColumn("_sz", F.size("_toks"))
     )
-    # four consumers read `docs` (both prefix-explode aliases + both
-    # verification joins) and Spark has no cross-subtree reuse — the
-    # tokenize→frequency→sort pipeline (3 shuffles) would run FOUR
-    # times.  Materialize once; |docs| rows of token arrays, bounded
-    # at any scale.  Sever (not cache): leak-exempt + lineage-cut.
-    docs = checkpoint_sever(docs)
     prefix_len = (
         F.col("_sz") - F.ceil(F.lit(float(threshold)) * F.col("_sz")) + 1
     ).cast("int")

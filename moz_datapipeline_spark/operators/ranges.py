@@ -80,14 +80,13 @@ def global_rank(
     ``tiebreak_cols`` must make the order total (unique) — ranks are
     otherwise partitioning-dependent for tied rows.
 
-    Cache contract: the range-partitioned dataset must stay pinned so
-    the counts branch and the final join observe the SAME sampled
-    partitioning.  ``eager=False`` (default) leaves that cache live
-    for the returned frame's lifetime; long-running drivers should
-    pass ``eager=True``, which materializes the (persisted) result,
-    releases the intermediate, and leaves AT MOST the returned frame
-    cached — unpersist it when done (the ``graph.pagerank`` /
-    ``graph.lpa`` contract, pinned by ``tests/test_cache_contract``).
+    Materialization contract (r13): the range-partitioned dataset is
+    materialized ONCE via ``checkpoint_sever`` so the counts branch
+    and the final join observe the SAME sampled partitioning — exempt
+    localCheckpoint blocks, reclaimed between bench queries, never a
+    leakable ``cache()``.  ``eager=True`` additionally materializes
+    the (persisted) result and releases the intermediate immediately;
+    unpersist the returned frame when done.
     """
     from pyspark.sql import Window
 
@@ -174,9 +173,10 @@ def peak_concurrency(
     One explode (2 rows per interval), one range exchange, one window
     over |partitions| rows.  Holds at any interval count.
 
-    Cache contract: same as ``global_rank`` — the pinned range
-    partitioning is released under ``eager=True`` once the (persisted)
-    result materializes; unpersist the returned frame when done.
+    Materialization contract: same as ``global_rank`` (severed, not
+    cached); ``eager=True`` releases the intermediate once the
+    (persisted) result materializes — unpersist the returned frame
+    when done.
     """
     group_cols = group_cols or []
     ev = intervals.select(

@@ -54,32 +54,53 @@ def _partition_topk(
     k: int,
     ascending: bool = True,
 ) -> DataFrame:
-    """Shuffle-bounded exact top-k per key: ``row_number() <= k`` under
-    the total order every caller's global window uses (``order_col``
-    then ``tiebreak_col`` asc).
+    """Map-side partial top-k: at most ``k`` rows per key survive from
+    EACH input partition, selected under the same total order the
+    global window uses (``order_col`` then ``tiebreak_col`` asc).
 
-    The bounding is map-side but PURE JVM: a rank-limit filter makes
-    Spark 3.5+/4.x insert ``WindowGroupLimit(Partial)`` + a partition
-    sort BELOW the exchange, so at most ``k`` rows per key survive from
-    each input partition before any bytes move (the 100 TB difference
-    between shuffling |corpus| rows per query and shuffling k per
-    partition), and ``Final`` above it makes the result the exact
-    global top-k.  This replaces the r4–r12 ``mapInPandas`` compactor:
-    same bounded exchange, but the scored grid no longer crosses
-    JVM→Arrow→Python→JVM (the dominant cost of every brute-force /
-    ADC scorer — guide §4.1), and NaN ordering is Spark's own total
-    order by construction instead of a pandas emulation.  Callers'
-    downstream exact windows share this window's exchange and sort.
+    Top-k under a total order is distributive — the global top-k is a
+    subset of the union of per-partition top-k — so a following exact
+    ``row_number()`` window is unchanged, but the exchange feeding it
+    carries ≤ k·partitions rows per key instead of every scored
+    candidate (the 100 TB difference between shuffling |corpus| rows
+    per query and shuffling k per partition).  Arrow-batched
+    ``mapInPandas`` with per-batch compaction keeps executor memory at
+    O(keys·k + one batch); it pipelines into the scoring stage, adding
+    no exchange of its own.
     """
-    direction = F.col(order_col).asc() if ascending else F.col(order_col).desc()
-    w = Window.partitionBy(*key_cols).orderBy(
-        direction, F.col(tiebreak_col).asc()
-    )
-    return (
-        df.withColumn("_ptk", F.row_number().over(w))
-        .filter(F.col("_ptk") <= k)
-        .drop("_ptk")
-    )
+    import pandas as _pd
+
+    schema = df.schema
+    cols = [f.name for f in schema.fields]
+
+    def fn(batches):
+        best = None
+        for pdf in batches:
+            cur = (
+                _pd.concat([best, pdf], ignore_index=True)
+                if best is not None
+                else pdf
+            )
+            # Spark's total order puts NaN ABOVE every number, so it
+            # lands last under asc and FIRST under desc; pandas defaults
+            # to NaN-last either way, which would let a partition that
+            # is rich in real scores drop a NaN row the global window
+            # ranks first (partition-dependent results).  Match Spark
+            # exactly.  (Null scores are indistinguishable from NaN in
+            # a pandas float column; score expressions are arithmetic
+            # over non-null inputs, so none of the callers produce
+            # SQL NULL here.)
+            cur = cur.sort_values(
+                [order_col, tiebreak_col],
+                ascending=[ascending, True],
+                kind="mergesort",
+                na_position="last" if ascending else "first",
+            )
+            best = cur.groupby(key_cols, sort=False).head(k)
+        if best is not None and len(best):
+            yield best[cols]
+
+    return df.mapInPandas(fn, schema)
 
 
 def cosine_topk_bruteforce(
@@ -585,20 +606,20 @@ def embedding_near_dup(
     ``graph.pagerank(eager=True)`` contract); caller may unpersist the
     returned frame when done."""
     tables = _plane_tables(dim, n_planes, n_tables)
-    # materialize ONCE before the self-join (checkpoint_sever, not
+    # materialize ONCE before the self-join (localCheckpoint, not
     # .cache(): the result plan reads this frame, so the operator could
     # never unpersist — the bench's strict leak assert fails exactly
-    # that).  Alias-only branches defeat exchange reuse, so without the
-    # materialization both sides recompute every plane dot product
-    # (same rationale as minhash_lsh_candidates).
-    v = checkpoint_sever(
-        _bucketed(
-            vectors.select(F.col(id_col), _as_double(vec_col).alias("_v")),
-            id_col,
-            "_v",
-            tables,
-        )
-    )
+    # that; and not checkpoint_sever — one-shot self-joins want the
+    # origin statistics kept so broadcast decisions survive, see
+    # semantic_dedup).  Alias-only branches defeat exchange reuse, so
+    # without the materialization both sides recompute every plane dot
+    # product (same rationale as minhash_lsh_candidates).
+    v = _bucketed(
+        vectors.select(F.col(id_col), _as_double(vec_col).alias("_v")),
+        id_col,
+        "_v",
+        tables,
+    ).localCheckpoint(eager=True)
     a, b = v.alias("a"), v.alias("b")
     cand = a.join(
         b,
@@ -831,30 +852,40 @@ def semantic_dedup(
                 ),
             ).otherwise(F.lit(0)),
         ).drop("_csz")
-        pair_key = (F.col("a.cluster") == F.col("b.cluster")) & (
-            F.col("a._sub") == F.col("b._sub")
-        )
+        bucket_cols = ["cluster", "_sub"]
     else:
-        pair_key = F.col("a.cluster") == F.col("b.cluster")
-    # materialize once before the self-join (checkpoint_sever — see
-    # embedding near-dup above): alias-only branches defeat exchange
-    # reuse (both sides would re-run the full Lloyd DAG)
-    v = checkpoint_sever(v)
-    a, b = v.alias("a"), v.alias("b")
-    drops = (
-        a.join(
-            b,
-            pair_key & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .filter(cosine(F.col("a._v"), F.col("b._v")) > threshold)
-        .select(F.col(f"b.{id_col}").alias(id_col))
-        .distinct()
+        bucket_cols = ["cluster"]
+    # r13 re-plan: collapse each (cluster[, sub]) bucket to an id-sorted
+    # (id, vec) array in ONE hash aggregate and apply the drop rule
+    # EXCHANGE-LOCALLY — element j survives iff no LOWER-id element i
+    # has cosine > threshold (identical to the old pair self-join +
+    # distinct + anti join: there too a row was dropped when ANY
+    # lower-id member, dropped or not, was within threshold).  Bucket
+    # width is bounded by construction (k ≈ √N, or hard-capped via
+    # max_cluster_size), so the per-task array stays bucket-sized.
+    # This removes the self-join, the anti join, and — decisively —
+    # the multiply-consumed labeled frame: the Lloyd DAG now has ONE
+    # consumer, so the r12 ``.cache()`` (an operator leak: the result
+    # plan read it, so it could never be unpersisted) has nothing left
+    # to dedupe.  Every leak-legal materialization variant measured
+    # 7.6–10 s against the cache's 2.1 s (serial AQE planning of the
+    # checkpoint-consumer jobs dominated); this shape measures at the
+    # cache level with zero retained blocks.
+    arr = F.sort_array(F.collect_list(F.struct(id_col, "_v")))
+    buckets = v.groupBy(*bucket_cols).agg(arr.alias("_a"))
+    survivors = F.filter(
+        F.col("_a"),
+        lambda x, j: ~F.exists(
+            F.slice(F.col("_a"), 1, j),
+            lambda y: cosine(y["_v"], x["_v"]) > F.lit(float(threshold)),
+        ),
     )
-    out = v.join(drops, id_col, "left_anti").select(id_col, "cluster")
+    out = buckets.select(
+        F.col("cluster"), F.explode(survivors).alias("_x")
+    ).select(F.col("_x")[id_col].alias(id_col), "cluster")
     if eager:
         out = out.persist()
         out.count()
-        sever_release(v)
     return out
 
 
@@ -1869,16 +1900,6 @@ def margin_mine_pairs(
         "_idb",
         cosine(F.col("_va"), F.col("_vb")).alias("cosine"),
     )
-    if candidates is not None:
-        # both direction top-ks consume `scored`; Spark has no
-        # cross-subtree reuse, so the candidate joins + cosine would
-        # run TWICE.  The candidate path's scored frame is
-        # |candidates| narrow rows (two ids + a double) — materialize
-        # it once (sever: leak-exempt, lineage-cut).  The exact-grid
-        # path deliberately stays recompute: its grid is |A|×|B| rows
-        # and materializing that is the wrong trade at scale, while
-        # the broadcast cross join is pure map-side compute.
-        scored = checkpoint_sever(scored)
     pruned_ab = _partition_topk(
         scored, ["_ida"], "cosine", "_idb", k, ascending=False
     )

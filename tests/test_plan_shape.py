@@ -284,23 +284,25 @@ def test_product_profit_part_filter_pushdown(spark, sf_dir):
 def test_pq_adc_scoring_is_mapside_rank_shuffle_bounded(spark, sf_dir):
     """ADC scoring must be shuffle-free (codes scan × broadcast query
     tables) and the only wide exchange — the global rank — must be fed
-    by the JVM map-side group limit (r13: the mapInPandas compactor is
-    gone), so it carries ≤ k rows per (partition, query) instead of
-    every scored candidate."""
+    by the map-side partial top-k, so it carries ≤ k rows per
+    (partition, query) instead of every scored candidate.  (r13 tried
+    replacing the mapInPandas compactor with the JVM WindowGroupLimit
+    partial — measured SLOWER, full-partition sort below the exchange;
+    reverted, see OPTIMIZATION_r13.md.)"""
     plan = _plan(entry_mod.q_pq_adc(spark, sf_dir))
-    assert "MapInPandas" not in plan
-    assert "WindowGroupLimit" in plan
+    assert "MapInPandas" in plan
     assert "SortMergeJoin" not in plan
+    # partial top-k sits upstream (deeper in the tree) of the window rank
+    assert plan.index("Window") < plan.index("MapInPandas")
 
 
 def test_bruteforce_topk_rank_shuffle_bounded(spark, sf_dir):
     """Brute-force cosine: score map-side against broadcast queries,
-    then the JVM partial group limit bounds the rank exchange — no
-    Python boundary anywhere in the scorer (r13)."""
+    then the partial top-k bounds the rank exchange."""
     plan = _plan(entry_mod.queries()["similarity_topk"](spark, sf_dir))
-    assert "MapInPandas" not in plan
-    assert "WindowGroupLimit" in plan
+    assert "MapInPandas" in plan
     assert "SortMergeJoin" not in plan
+    assert plan.index("Window") < plan.index("MapInPandas")
 
 
 def test_pq_rerank_broadcasts_candidates_into_corpus_scan(spark, sf_dir):
@@ -349,8 +351,8 @@ def test_ivfadc_probed_scoring_stays_broadcast(spark, sf_dir):
     rank exchange is fed by the partial top-k."""
     plan = _plan(entry_mod.q_ivfadc_rerank(spark, sf_dir))
     assert "SortMergeJoin" not in plan
-    assert "MapInPandas" not in plan
-    assert "WindowGroupLimit" in plan
+    assert "MapInPandas" in plan
+    assert plan.index("Window") < plan.index("MapInPandas")
 
 
 def test_lm_score_all_jvm_broadcast_model(spark, sf_dir):
