@@ -40,12 +40,6 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# Benchmarks measure the PRODUCTION hash path (xxhash64); the driver's
-# correctness gate runs the same queries without this flag and gets the
-# md5 portable mode its DuckDB oracle replays. test_dedup_fastpath pins
-# that the two modes agree on verified outputs.
-os.environ.setdefault("SPARK_GRAFT_PORTABLE_HASH", "0")
-
 import __spark_entry__ as entry_mod
 from moz_datapipeline_spark.session import get_spark
 
@@ -125,6 +119,15 @@ def clear_storage(spark, name: str) -> None:
 
 
 def main() -> None:
+    # Benchmarks measure the PRODUCTION hash path (xxhash64); the
+    # driver's correctness gate runs the same queries without this flag
+    # and gets the md5 portable mode its DuckDB oracle replays.
+    # test_dedup_fastpath pins that the two modes agree on verified
+    # outputs.  Set here, NOT at import: importing bench from a test
+    # must not flip hash mode for the rest of that pytest session
+    # (it silently broke hash-dependent oracle-parity tests that ran
+    # after a `import bench`).
+    os.environ.setdefault("SPARK_GRAFT_PORTABLE_HASH", "0")
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else -1.0
     cold_mode = "--cold" in sys.argv[1:] or os.environ.get(
         "SPARK_GRAFT_BENCH_COLD", "0"

@@ -82,3 +82,14 @@ def sever_release(df: DataFrame) -> None:
             jrdd.unpersist(False)
         except Exception:
             pass
+        return
+    # plain df.localCheckpoint(...) frame (no sever handle): its
+    # analyzed plan is a LogicalRDD over the persisted internal RDD —
+    # release that directly so eager operators can honour the at-most-
+    # one-cached-frame contract for BOTH checkpoint flavours
+    try:
+        rdd = df._jdf.queryExecution().analyzed().rdd()
+        if bool(rdd.isLocallyCheckpointed()):
+            rdd.unpersist(False)
+    except Exception:
+        pass

@@ -91,6 +91,7 @@ class TestStore:
                 num_hashes=16, bands=4,
             ).count()
 
+    @pytest.mark.deep
     def test_portable_and_fast_hash_agree_on_survivors(self, spark, tmp_path):
         rows = [(1, BASE), (2, BASE + " x"), (3, OTHER), (4, THIRD)]
         outs = []

